@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Loaders for the driver's parquet testdata (TESTDATA.md) plus shared
+  * determinism helpers used by every oracle-checked query.
+  */
+object Tables {
+
+  /** Read one testdata table: `\$dir/\$name.parquet`.
+    *
+    * The driver's `events.parquet` stores `ts` as TIMESTAMP(NANOS), which the
+    * Spark parquet reader rejects; read it as raw nanos and convert (all
+    * values are micro-aligned, so the conversion is lossless).
+    */
+  def t(spark: SparkSession, dir: String, name: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    if (name == "events")
+      df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    else df
+  }
+
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  /** Register every testdata table as a temp view (for spark.sql users). */
+  def registerAll(spark: SparkSession, dir: String): Unit =
+    names.foreach(n => t(spark, dir, n).createOrReplaceTempView(n))
+
+  // ---- determinism helpers -------------------------------------------------
+  // Double summation is order-dependent, and Spark's shuffle order differs
+  // from DuckDB's scan order. Summing through an exact decimal makes the
+  // aggregate order-independent, so Spark and the DuckDB oracle agree
+  // bit-for-bit after the final round+cast. See SURVEY.md §7.4.
+
+  private val Dec = DecimalType(38, 10)
+
+  /** Order-independent 2dp sum of a double column (oracle-stable). */
+  def dsum(c: Column): Column = round(sum(c.cast(Dec)), 2).cast("double")
+
+  /** Order-independent average, rounded to `scale` dp (oracle-stable). */
+  def davg(c: Column, scale: Int = 4): Column =
+    round(sum(c.cast(Dec)).cast("double") / count(c), scale)
+
+  /** SQL twin of [[dsum]] for the DuckDB oracle string. */
+  def sqlDsum(x: String): String =
+    s"CAST(round(sum(CAST($x AS DECIMAL(38,10))), 2) AS DOUBLE)"
+
+  /** SQL twin of [[davg]]. */
+  def sqlDavg(x: String, scale: Int = 4): String =
+    s"round(CAST(sum(CAST($x AS DECIMAL(38,10))) AS DOUBLE) / count($x), $scale)"
+}

@@ -1,0 +1,237 @@
+package graft.ops
+
+import graft.Tables
+import graft.Tables.{dsum, sqlDsum}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Dashboard-parity analytics over the `events` stream table.
+  *
+  * Re-expresses every relational computation of the reference dashboard
+  * (SURVEY.md §2.2–§2.6; /root/reference/kafka_realtime_pipeline/dashboard.py)
+  * on the driver's `events` table, mapped per FIXTURES.md: trade_id→event_id,
+  * timestamp→ts, status→event_type, notional_value→value, counterparty→user_id.
+  *
+  * Every query is deterministic (total order with unique-key tie-breaks) and
+  * uses decimal-backed sums so the DuckDB oracle hash-matches exactly.
+  */
+object EventOps {
+
+  private def events(s: SparkSession, dir: String): DataFrame =
+    Tables.t(s, dir, "events")
+
+  /** S6+P2+W2 — recency scan: filter, order by time desc, limit.
+    * Ref: dashboard.py:23-29 (`WHERE status=… ORDER BY timestamp DESC LIMIT n`).
+    * Spark plans TakeOrderedAndProject (top-k, no full sort).
+    */
+  def recentEvents(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .filter(col("event_type") === "click")
+      .orderBy(col("ts").desc, col("event_id").desc)
+      .limit(500)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+
+  /** A2–A5 — the KPI header: global count/sums, filtered counts, ratio KPIs.
+    * Ref: dashboard.py:74-100. One pass (conditional sums) vs pandas' many.
+    */
+  def kpiOverview(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .agg(
+        count(lit(1)).as("n_events"),
+        dsum(col("value")).as("total_value"),
+        sum(when(col("event_type") === "click", 1).otherwise(0)).as("n_clicks"),
+        sum(when(col("event_type") === "view", 1).otherwise(0)).as("n_views"),
+        sum(when(col("event_type") === "error", 1).otherwise(0)).as("n_errors"),
+        countDistinct(col("user_id")).as("n_users"))
+      .select(
+        col("n_events"), col("total_value"), col("n_clicks"), col("n_views"),
+        col("n_errors"), col("n_users"),
+        round(col("n_errors") * lit(100.0) / col("n_events"), 4).as("error_rate_pct"),
+        round(col("total_value") / col("n_events"), 4).as("avg_value"))
+
+  /** A7 — value_counts: group-by key, count, implicit desc sort.
+    * Ref: dashboard.py:131,181 (status / venue distributions).
+    */
+  def typeDistribution(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("event_type").asc)
+
+  /** A6 — single-key group-by + sum. Ref: dashboard.py:145,164,220. */
+  def valueByType(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .groupBy("event_type")
+      .agg(dsum(col("value")).as("total_value"), count(lit(1)).as("n"))
+      .orderBy("event_type")
+
+  /** W4 — top-k by aggregate: top-10 users by total value.
+    * Ref: dashboard.py:164-165 (counterparty exposure top-10).
+    */
+  def topUsers(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .groupBy("user_id")
+      .agg(dsum(col("value")).as("total_value"), count(lit(1)).as("n"))
+      .orderBy(col("total_value").desc, col("user_id").asc)
+      .limit(10)
+
+  /** W1+A8 — tumbling 1-minute time-series: per-minute count + sum.
+    * Ref: dashboard.py:236-243 (`dt.floor("1min")` + multi-agg).
+    */
+  def minutelyTimeseries(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .groupBy(date_trunc("minute", col("ts")).as("minute"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("total_value"))
+      .orderBy("minute")
+
+  /** F7 — unpivot: columns→rows from three conditional sums.
+    * Ref: dashboard.py:200-207 (fee-breakdown frame).
+    */
+  def valueUnpivot(s: SparkSession, dir: String): DataFrame = {
+    val agged = events(s, dir).agg(
+      dsum(when(col("event_type") === "click", col("value"))).as("click_v"),
+      dsum(when(col("event_type") === "view", col("value"))).as("view_v"),
+      dsum(when(col("event_type") === "error", col("value"))).as("error_v"))
+    agged.select(expr(
+      "stack(3, 'click', click_v, 'view', view_v, 'error', error_v) AS (event_type, total_value)"))
+      .orderBy("event_type")
+  }
+
+  /** P4 — substring predicate (`status.str.contains`), ref dashboard.py:80,119. */
+  def containsFilter(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .filter(col("event_type").contains("e"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("total_value"))
+      .orderBy("event_type")
+
+  /** P6+P7 — derived CASE priority + boolean eligibility columns.
+    * Ref: producer.py:100-105 (priority / stp_eligible derivations).
+    */
+  def priorityCase(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .withColumn("priority",
+        when(col("event_type") === "error" || col("value") > 50, "High")
+          .otherwise("Normal"))
+      .withColumn("ok", !(col("event_type") === "error"))
+      .groupBy("priority", "ok")
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("total_value"))
+      .orderBy("priority", "ok")
+
+  /** F2 — JSON extraction from the `props` payload column.
+    * Ref: consumer.py:17 (json.loads on the wire payload).
+    */
+  def jsonProps(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+      .groupBy("event_type")
+      .agg(
+        count(col("k")).as("n"),
+        sum(col("k")).as("sum_k"),
+        min(col("k")).as("min_k"),
+        max(col("k")).as("max_k"))
+      .orderBy("event_type")
+
+  /** A8 variant — hourly distinct users (exact distinct under shuffle). */
+  def hourlyUsers(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .groupBy(date_trunc("hour", col("ts")).as("hour"))
+      .agg(countDistinct(col("user_id")).as("n_users"), count(lit(1)).as("n"))
+      .orderBy("hour")
+
+  /** A1 — keyed dedup, deterministic variant: per (user_id, event_type) keep
+    * the earliest event (row_number over (ts, event_id)). Ref: consumer.py:78
+    * (`ON CONFLICT (trade_id) DO NOTHING` — first write wins).
+    */
+  def dedupEvents(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id", "event_type")
+      .orderBy(col("ts").asc, col("event_id").asc)
+    events(s, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select("event_id", "user_id", "event_type", "ts", "value")
+      .orderBy("user_id", "event_type")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q01_recent_events" -> recentEvents,
+    "q02_kpi_overview" -> kpiOverview,
+    "q03_type_distribution" -> typeDistribution,
+    "q04_value_by_type" -> valueByType,
+    "q05_top_users" -> topUsers,
+    "q06_minutely_timeseries" -> minutelyTimeseries,
+    "q07_value_unpivot" -> valueUnpivot,
+    "q08_contains_filter" -> containsFilter,
+    "q09_priority_case" -> priorityCase,
+    "q10_json_props" -> jsonProps,
+    "q11_hourly_users" -> hourlyUsers,
+    "q12_dedup_events" -> dedupEvents)
+
+  val oracle: Map[String, String] = Map(
+    "q01_recent_events" ->
+      """SELECT event_id, ts, user_id, event_type, value FROM events
+        |WHERE event_type = 'click'
+        |ORDER BY ts DESC, event_id DESC LIMIT 500""".stripMargin,
+    "q02_kpi_overview" ->
+      s"""WITH a AS (SELECT count(*) AS n_events,
+         |  ${sqlDsum("value")} AS total_value,
+         |  sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS n_clicks,
+         |  sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS n_views,
+         |  sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n_errors,
+         |  count(DISTINCT user_id) AS n_users FROM events)
+         |SELECT n_events, total_value, n_clicks, n_views, n_errors, n_users,
+         |  round(n_errors * CAST(100 AS DOUBLE) / n_events, 4) AS error_rate_pct,
+         |  round(total_value / n_events, 4) AS avg_value FROM a""".stripMargin,
+    "q03_type_distribution" ->
+      """SELECT event_type, count(*) AS n FROM events
+        |GROUP BY event_type ORDER BY n DESC, event_type ASC""".stripMargin,
+    "q04_value_by_type" ->
+      s"""SELECT event_type, ${sqlDsum("value")} AS total_value, count(*) AS n
+         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q05_top_users" ->
+      s"""SELECT user_id, ${sqlDsum("value")} AS total_value, count(*) AS n
+         |FROM events GROUP BY user_id
+         |ORDER BY total_value DESC, user_id ASC LIMIT 10""".stripMargin,
+    "q06_minutely_timeseries" ->
+      s"""SELECT date_trunc('minute', ts) AS minute, count(*) AS n,
+         |  ${sqlDsum("value")} AS total_value
+         |FROM events GROUP BY 1 ORDER BY minute""".stripMargin,
+    "q07_value_unpivot" ->
+      s"""WITH a AS (SELECT
+         |  ${sqlDsum("CASE WHEN event_type = 'click' THEN value END")} AS click_v,
+         |  ${sqlDsum("CASE WHEN event_type = 'view' THEN value END")} AS view_v,
+         |  ${sqlDsum("CASE WHEN event_type = 'error' THEN value END")} AS error_v
+         |  FROM events)
+         |SELECT 'click' AS event_type, click_v AS total_value FROM a
+         |UNION ALL SELECT 'error', error_v FROM a
+         |UNION ALL SELECT 'view', view_v FROM a
+         |ORDER BY event_type""".stripMargin,
+    "q08_contains_filter" ->
+      s"""SELECT event_type, count(*) AS n, ${sqlDsum("value")} AS total_value
+         |FROM events WHERE event_type LIKE '%e%'
+         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q09_priority_case" ->
+      s"""SELECT CASE WHEN event_type = 'error' OR value > 50 THEN 'High'
+         |            ELSE 'Normal' END AS priority,
+         |  NOT (event_type = 'error') AS ok,
+         |  count(*) AS n, ${sqlDsum("value")} AS total_value
+         |FROM events GROUP BY 1, 2 ORDER BY priority, ok""".stripMargin,
+    "q10_json_props" ->
+      """SELECT event_type, count(k) AS n, sum(k) AS sum_k,
+        |  min(k) AS min_k, max(k) AS max_k
+        |FROM (SELECT event_type,
+        |        CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        |      FROM events)
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q11_hourly_users" ->
+      """SELECT date_trunc('hour', ts) AS hour,
+        |  count(DISTINCT user_id) AS n_users, count(*) AS n
+        |FROM events GROUP BY 1 ORDER BY hour""".stripMargin,
+    "q12_dedup_events" ->
+      """SELECT event_id, user_id, event_type, ts, value FROM (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY user_id, event_type
+        |    ORDER BY ts ASC, event_id ASC) AS rn FROM events)
+        |WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin)
+}
