@@ -19,11 +19,11 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    ops.EventOps.queries
+    ops.EventOps.queries ++ ops.RelationalOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys → weaker rows-only check.
     */
   def oracleSql: Map[String, String] =
-    ops.EventOps.oracle
+    ops.EventOps.oracle ++ ops.RelationalOps.oracle
 }

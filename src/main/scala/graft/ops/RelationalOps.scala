@@ -1,0 +1,276 @@
+package graft.ops
+
+import graft.Tables
+import graft.Tables.{dsum, davg, sqlDsum, sqlDavg}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Join / set / window-function capabilities over the TPC-H-ish star schema.
+  *
+  * The reference performs zero joins (SURVEY.md §2.3) — this group is the
+  * extended relational scope the testdata invites: multi-way equi-joins with
+  * Catalyst-chosen strategies, semi/anti joins, SQL window functions, and
+  * two-level aggregation.
+  *
+  * Scale notes (100 TB design): fact-fact joins (lineitem⋈orders) shuffle on
+  * the join key and are left to sort-merge + AQE; dimension joins
+  * (nation/region/supplier — fixed-cardinality tables) are explicitly
+  * broadcast. Customer/part sit in between: AQE's size estimate picks
+  * broadcast at small SF and sort-merge at scale, which is exactly the
+  * behavior we want, so no hint is pinned.
+  */
+object RelationalOps {
+
+  private def t(s: SparkSession, dir: String, n: String) = Tables.t(s, dir, n)
+
+  /** TPC-H Q1-style pricing summary: scan-heavy multi-aggregate group-by.
+    * Partial aggregation (map-side combine) keeps the shuffle at 6 rows.
+    */
+  def pricingSummary(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .filter(col("l_shipdate") <= lit("2000-01-01"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_base_price"),
+        dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .as("sum_disc_price"),
+        dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+          * (lit(1.0) + col("l_tax"))).as("sum_charge"),
+        davg(col("l_quantity")).as("avg_qty"),
+        davg(col("l_extendedprice")).as("avg_price"),
+        davg(col("l_discount")).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /** Q3/Q10-style: 3-way join, revenue rollup, top-10. lineitem⋈orders is the
+    * big shuffle join; customer joins after aggregation would be ideal but
+    * the group key needs c_name — AQE broadcasts customer at small SF.
+    */
+  def topCustomerRevenue(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    val o = t(s, dir, "orders")
+    val c = t(s, dir, "customer")
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
+      .groupBy("c_custkey", "c_name", "c_mktsegment")
+      .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        .as("revenue"), count(lit(1)).as("n_items"))
+      .orderBy(col("revenue").desc, col("c_custkey").asc)
+      .limit(10)
+  }
+
+  /** Q5-style: 5-way join down the region→nation→customer→orders→lineitem
+    * chain. nation (25 rows) and region (5 rows) are always broadcast.
+    */
+  def regionRevenue(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    val o = t(s, dir, "orders")
+    val c = t(s, dir, "customer")
+    val n = broadcast(t(s, dir, "nation"))
+    val r = broadcast(t(s, dir, "region"))
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
+      .join(n, c("c_nationkey") === n("n_nationkey"))
+      .join(r, n("n_regionkey") === r("r_regionkey"))
+      .groupBy("r_name", "n_name")
+      .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        .as("revenue"), count(lit(1)).as("n_items"))
+      .orderBy("r_name", "n_name")
+  }
+
+  /** Left-anti join: customers with no orders since 2001 (churn scan). */
+  def inactiveCustomers(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer")
+    val o = t(s, dir, "orders")
+      .filter(col("o_orderdate") >= lit("2001-01-01"))
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_inactive"),
+        round(sum(col("c_acctbal").cast("decimal(38,10)")), 2).cast("double")
+          .as("total_acctbal"))
+      .orderBy("c_mktsegment")
+  }
+
+  /** Left-semi join: orders having at least one premium line item. */
+  def premiumOrders(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    val li = t(s, dir, "lineitem")
+      .filter(col("l_extendedprice") > lit(95000.0))
+    o.join(li, o("o_orderkey") === li("l_orderkey"), "left_semi")
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("total"))
+      .orderBy("o_orderstatus")
+  }
+
+  /** Dimension rollup: customer⋈orders by market segment. */
+  def segmentOrders(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer")
+    val o = t(s, dir, "orders")
+    o.join(c, o("o_custkey") === c("c_custkey"))
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_orders"),
+        dsum(col("o_totalprice")).as("total_price"),
+        davg(col("o_totalprice")).as("avg_price"))
+      .orderBy("c_mktsegment")
+  }
+
+  /** Part-dimension top-k: revenue by brand (AQE broadcasts part). */
+  def brandRevenue(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    val p = t(s, dir, "part")
+    li.join(p, li("l_partkey") === p("p_partkey"))
+      .groupBy("p_brand")
+      .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        .as("revenue"), dsum(col("l_quantity")).as("qty"))
+      .orderBy(col("revenue").desc, col("p_brand").asc)
+      .limit(10)
+  }
+
+  /** Supplier-side rollup: revenue attributed to supplier nations. */
+  def supplierNationRevenue(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    val sup = broadcast(t(s, dir, "supplier"))
+    val n = broadcast(t(s, dir, "nation"))
+    li.join(sup, li("l_suppkey") === sup("s_suppkey"))
+      .join(n, sup("s_nationkey") === n("n_nationkey"))
+      .groupBy("n_name")
+      .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        .as("revenue"), count(lit(1)).as("n_items"))
+      .orderBy("n_name")
+  }
+
+  /** SQL window function: top-3 orders per market segment (rank + qualify). */
+  def topOrdersPerSegment(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer")
+    val o = t(s, dir, "orders")
+    val w = Window.partitionBy("c_mktsegment")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    o.join(c, o("o_custkey") === c("c_custkey"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select("c_mktsegment", "rank", "o_orderkey", "o_totalprice")
+      .orderBy("c_mktsegment", "rank")
+  }
+
+  /** Running/lag window over the event stream (per-user sequential state). */
+  def userRunningValue(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
+    t(s, dir, "events")
+      .filter(col("user_id") < 10)
+      .withColumn("prev_value", lag(col("value"), 1).over(w))
+      .withColumn("running_value",
+        round(sum(col("value")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)), 2))
+      .select("user_id", "event_id", "ts", "value", "prev_value", "running_value")
+      .orderBy("user_id", "ts", "event_id")
+  }
+
+  /** Two-level aggregation: distribution of order sizes (items per order). */
+  def orderSizeDistribution(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy("l_orderkey")
+      .agg(count(lit(1)).as("n_items"))
+      .groupBy("n_items")
+      .agg(count(lit(1)).as("n_orders"))
+      .orderBy("n_items")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q20_pricing_summary" -> pricingSummary,
+    "q21_top_customer_revenue" -> topCustomerRevenue,
+    "q22_region_revenue" -> regionRevenue,
+    "q23_inactive_customers" -> inactiveCustomers,
+    "q24_premium_orders" -> premiumOrders,
+    "q25_segment_orders" -> segmentOrders,
+    "q26_brand_revenue" -> brandRevenue,
+    "q27_supplier_nation_revenue" -> supplierNationRevenue,
+    "q28_top_orders_per_segment" -> topOrdersPerSegment,
+    "q29_user_running_value" -> userRunningValue,
+    "q30_order_size_distribution" -> orderSizeDistribution)
+
+  private val disc = "l_extendedprice * (1.0 - l_discount)"
+
+  val oracle: Map[String, String] = Map(
+    "q20_pricing_summary" ->
+      s"""SELECT l_returnflag, l_linestatus,
+         |  ${sqlDsum("l_quantity")} AS sum_qty,
+         |  ${sqlDsum("l_extendedprice")} AS sum_base_price,
+         |  ${sqlDsum(disc)} AS sum_disc_price,
+         |  ${sqlDsum(s"$disc * (1.0 + l_tax)")} AS sum_charge,
+         |  ${sqlDavg("l_quantity")} AS avg_qty,
+         |  ${sqlDavg("l_extendedprice")} AS avg_price,
+         |  ${sqlDavg("l_discount")} AS avg_disc,
+         |  count(*) AS count_order
+         |FROM lineitem WHERE l_shipdate <= TIMESTAMP '2000-01-01'
+         |GROUP BY l_returnflag, l_linestatus
+         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q21_top_customer_revenue" ->
+      s"""SELECT c_custkey, c_name, c_mktsegment,
+         |  ${sqlDsum(disc)} AS revenue, count(*) AS n_items
+         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |GROUP BY c_custkey, c_name, c_mktsegment
+         |ORDER BY revenue DESC, c_custkey ASC LIMIT 10""".stripMargin,
+    "q22_region_revenue" ->
+      s"""SELECT r_name, n_name, ${sqlDsum(disc)} AS revenue, count(*) AS n_items
+         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN nation ON c_nationkey = n_nationkey
+         |JOIN region ON n_regionkey = r_regionkey
+         |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin,
+    "q23_inactive_customers" ->
+      """SELECT c_mktsegment, count(*) AS n_inactive,
+        |  CAST(round(sum(CAST(c_acctbal AS DECIMAL(38,10))), 2) AS DOUBLE)
+        |    AS total_acctbal
+        |FROM customer c
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o
+        |  WHERE o.o_custkey = c.c_custkey
+        |    AND o.o_orderdate >= TIMESTAMP '2001-01-01')
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "q24_premium_orders" ->
+      s"""SELECT o_orderstatus, count(*) AS n_orders,
+         |  ${sqlDsum("o_totalprice")} AS total
+         |FROM orders o
+         |WHERE EXISTS (SELECT 1 FROM lineitem l
+         |  WHERE l.l_orderkey = o.o_orderkey AND l.l_extendedprice > 95000.0)
+         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "q25_segment_orders" ->
+      s"""SELECT c_mktsegment, count(*) AS n_orders,
+         |  ${sqlDsum("o_totalprice")} AS total_price,
+         |  ${sqlDavg("o_totalprice")} AS avg_price
+         |FROM orders JOIN customer ON o_custkey = c_custkey
+         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "q26_brand_revenue" ->
+      s"""SELECT p_brand, ${sqlDsum(disc)} AS revenue,
+         |  ${sqlDsum("l_quantity")} AS qty
+         |FROM lineitem JOIN part ON l_partkey = p_partkey
+         |GROUP BY p_brand ORDER BY revenue DESC, p_brand ASC LIMIT 10""".stripMargin,
+    "q27_supplier_nation_revenue" ->
+      s"""SELECT n_name, ${sqlDsum(disc)} AS revenue, count(*) AS n_items
+         |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+         |JOIN nation ON s_nationkey = n_nationkey
+         |GROUP BY n_name ORDER BY n_name""".stripMargin,
+    "q28_top_orders_per_segment" ->
+      """SELECT c_mktsegment, rank, o_orderkey, o_totalprice FROM (
+        |  SELECT c_mktsegment, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY c_mktsegment
+        |      ORDER BY o_totalprice DESC, o_orderkey ASC) AS rank
+        |  FROM orders JOIN customer ON o_custkey = c_custkey)
+        |WHERE rank <= 3 ORDER BY c_mktsegment, rank""".stripMargin,
+    "q29_user_running_value" ->
+      """SELECT user_id, event_id, ts, value,
+        |  lag(value, 1) OVER w AS prev_value,
+        |  round(sum(value) OVER (PARTITION BY user_id
+        |    ORDER BY ts ASC, event_id ASC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+        |    AS running_value
+        |FROM events WHERE user_id < 10
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+        |ORDER BY user_id, ts, event_id""".stripMargin,
+    "q30_order_size_distribution" ->
+      """SELECT n_items, count(*) AS n_orders FROM (
+        |  SELECT l_orderkey, count(*) AS n_items FROM lineitem
+        |  GROUP BY l_orderkey)
+        |GROUP BY n_items ORDER BY n_items""".stripMargin)
+}
