@@ -1,0 +1,186 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators over `documents` — the core training-data-pipeline
+  * capability set: exact (normalized-hash) dedup, exact n-gram Jaccard
+  * near-dup pairs, and the two sub-quadratic scale paths (MinHash+LSH banding
+  * and SimHash chunk blocking).
+  *
+  * Scale design: the exact-pair queries block on `lang` (dedup within
+  * language — the realistic corpus partitioning), bounding the quadratic
+  * term; the LSH/SimHash paths never form the full cross product at all —
+  * candidates come from shuffling on (band, signature) keys, so cost tracks
+  * the true duplicate density rather than n².
+  */
+object DedupOps {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables.t(s, dir, "documents")
+
+  private val normText: Column =
+    regexp_replace(lower(trim(col("text"))), "\\s+", " ")
+
+  /** Exact dedup summary after whitespace/case normalization. */
+  def exactDedup(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .withColumn("norm", normText)
+      .agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(col("norm")).as("n_distinct"),
+        (count(lit(1)) - countDistinct(col("norm"))).as("n_dupes"))
+
+  /** Exact distinct-word Jaccard near-dup pairs within language blocks.
+    * Ground truth for the approximate paths below; the oracle computes the
+    * identical pair set in DuckDB.
+    */
+  def jaccardPairs(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+      .select(col("doc_id"), col("lang"),
+        array_distinct(split(trim(col("text")), " ")).as("toks"))
+      .withColumn("n_toks", size(col("toks")))
+    val a = d.select(col("doc_id").as("a_id"), col("lang"),
+      col("toks").as("a_toks"), col("n_toks").as("a_n"))
+    val b = d.select(col("doc_id").as("b_id"), col("lang"),
+      col("toks").as("b_toks"), col("n_toks").as("b_n"))
+    a.join(b, Seq("lang"))
+      .filter(col("a_id") < col("b_id"))
+      .withColumn("inter", size(array_intersect(col("a_toks"), col("b_toks"))))
+      .withColumn("jaccard",
+        col("inter") / (col("a_n") + col("b_n") - col("inter")))
+      .filter(col("jaccard") >= 0.9)
+      .select(col("lang"), col("a_id"), col("b_id"),
+        round(col("jaccard"), 6).as("jaccard"))
+      .orderBy("a_id", "b_id")
+  }
+
+  // ---- MinHash + LSH (sub-quadratic scale path; Spark-only check) --------
+
+  private val NumHashes = 64
+  private val Bands = 16
+  private val RowsPerBand = NumHashes / Bands
+
+  /** doc_id, lang, shingles (word 3-grams), minhash signature array. */
+  private def signatures(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .withColumn("toks", split(trim(col("text")), " "))
+      .withColumn("n_tokens", size(col("toks")))
+      .filter(col("n_tokens") >= 3)
+      .withColumn("shingles", array_distinct(
+        transform(sequence(lit(1), col("n_tokens") - 2), i =>
+          concat_ws(" ",
+            element_at(col("toks"), i),
+            element_at(col("toks"), i + 1),
+            element_at(col("toks"), i + 2)))))
+      .withColumn("sig", array((0 until NumHashes).map(i =>
+        array_min(transform(col("shingles"), sh => xxhash64(sh, lit(i))))): _*))
+      .select("doc_id", "lang", "shingles", "sig")
+
+  /** MinHash+LSH near-dup pairs: band the signature, shuffle on
+    * (band, band-hash), emit candidate pairs within buckets, then verify
+    * candidates with exact shingle Jaccard ≥ 0.8. No cross join anywhere.
+    */
+  def minhashLshPairs(s: SparkSession, dir: String): DataFrame = {
+    val sigs = signatures(s, dir).cache()
+    val banded = sigs.select(col("doc_id"),
+      posexplode(array((0 until Bands).map { b =>
+        xxhash64((0 until RowsPerBand).map(r =>
+          element_at(col("sig"), b * RowsPerBand + r + 1)) :+ lit(b): _*)
+      }: _*)).as(Seq("band", "band_hash")))
+    val cands = banded.as("x").join(banded.as("y"),
+        col("x.band") === col("y.band") &&
+          col("x.band_hash") === col("y.band_hash") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
+      .distinct()
+    val sa = sigs.select(col("doc_id").as("a_id"), col("shingles").as("a_sh"))
+    val sb = sigs.select(col("doc_id").as("b_id"), col("shingles").as("b_sh"))
+    cands.join(sa, "a_id").join(sb, "b_id")
+      .withColumn("inter", size(array_intersect(col("a_sh"), col("b_sh"))))
+      .withColumn("jaccard", col("inter") /
+        (size(col("a_sh")) + size(col("b_sh")) - col("inter")))
+      .filter(col("jaccard") >= 0.8)
+      .select(col("a_id"), col("b_id"), round(col("jaccard"), 6).as("jaccard"))
+      .orderBy("a_id", "b_id")
+  }
+
+  // ---- SimHash (Hamming-space scale path; Spark-only check) --------------
+
+  /** 64-bit SimHash over distinct tokens: per-bit vote from each token's
+    * xxhash64, packed to a long via a bit fold.
+    */
+  private def simhashed(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .withColumn("toks", array_distinct(split(trim(col("text")), " ")))
+      .withColumn("votes", expr(
+        """aggregate(toks, array_repeat(0, 64),
+          |  (acc, t) -> zip_with(acc,
+          |    transform(sequence(0, 63),
+          |      k -> CASE WHEN shiftright(xxhash64(t), k) & 1 = 1
+          |                 THEN 1 ELSE -1 END),
+          |    (a, v) -> a + v))""".stripMargin))
+      .withColumn("simhash", expr(
+        // shiftleft|or packing: bit ops don't overflow-check under ANSI mode
+        // (acc*2+bit would throw ARITHMETIC_OVERFLOW once the sign bit lands)
+        """aggregate(votes, 0L,
+          |  (acc, v) -> shiftleft(acc, 1) | (CASE WHEN v > 0 THEN 1L ELSE 0L END))"""
+          .stripMargin))
+      .select("doc_id", "lang", "simhash")
+
+  /** SimHash near-dup pairs: block on 4×16-bit signature chunks (pigeonhole:
+    * any pair within Hamming distance 3 shares at least one exact chunk),
+    * verify candidates with bit_count(xor) ≤ 3.
+    */
+  def simhashPairs(s: SparkSession, dir: String): DataFrame = {
+    val sh = simhashed(s, dir).cache()
+    val chunked = sh.select(col("doc_id"), col("simhash"),
+      posexplode(array((0 until 4).map(j =>
+        shiftrightunsigned(col("simhash"), j * 16)
+          .bitwiseAND(lit(0xFFFFL))): _*)).as(Seq("chunk_idx", "chunk")))
+    chunked.as("x").join(chunked.as("y"),
+        col("x.chunk_idx") === col("y.chunk_idx") &&
+          col("x.chunk") === col("y.chunk") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"),
+        col("x.simhash").as("a_sim"), col("y.simhash").as("b_sim"))
+      .distinct()
+      .withColumn("hamming",
+        bit_count(col("a_sim").bitwiseXOR(col("b_sim"))))
+      .filter(col("hamming") <= 3)
+      .select("a_id", "b_id", "hamming")
+      .orderBy("a_id", "b_id")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q36_exact_dedup" -> exactDedup,
+    "q37_jaccard_pairs" -> jaccardPairs,
+    "q38_minhash_lsh_pairs" -> minhashLshPairs,
+    "q39_simhash_pairs" -> simhashPairs)
+
+  /** q38/q39 intentionally omitted: their signatures use Spark's xxhash64,
+    * which DuckDB cannot reproduce — they get the driver's rows-only check
+    * plus ScalaTest recall checks against the exact q37 ground truth.
+    */
+  val oracle: Map[String, String] = Map(
+    "q36_exact_dedup" ->
+      """SELECT count(*) AS n_docs,
+        |  count(DISTINCT regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
+        |    AS n_distinct,
+        |  count(*) - count(DISTINCT
+        |    regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS n_dupes
+        |FROM documents""".stripMargin,
+    "q37_jaccard_pairs" ->
+      """WITH d AS (SELECT doc_id, lang,
+        |  list_distinct(string_split(trim(text), ' ')) AS toks
+        |  FROM documents),
+        |p AS (SELECT a.lang, a.doc_id AS a_id, b.doc_id AS b_id,
+        |  len(list_intersect(a.toks, b.toks)) AS inter,
+        |  len(a.toks) AS a_n, len(b.toks) AS b_n
+        |  FROM d a JOIN d b ON a.lang = b.lang AND a.doc_id < b.doc_id)
+        |SELECT lang, a_id, b_id,
+        |  round(inter / (a_n + b_n - inter), 6) AS jaccard
+        |FROM p WHERE inter / (a_n + b_n - inter) >= 0.9e0
+        |ORDER BY a_id, b_id""".stripMargin)
+}

