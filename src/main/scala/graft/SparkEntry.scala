@@ -20,12 +20,14 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     ops.EventOps.queries ++ ops.RelationalOps.queries ++
-      ops.TextOps.queries ++ ops.DedupOps.queries ++ ops.SimilarityOps.queries
+      ops.TextOps.queries ++ ops.DedupOps.queries ++
+      ops.SimilarityOps.queries ++ ops.MultimodalOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys → weaker rows-only check.
     */
   def oracleSql: Map[String, String] =
     ops.EventOps.oracle ++ ops.RelationalOps.oracle ++
-      ops.TextOps.oracle ++ ops.DedupOps.oracle ++ ops.SimilarityOps.oracle
+      ops.TextOps.oracle ++ ops.DedupOps.oracle ++
+      ops.SimilarityOps.oracle ++ ops.MultimodalOps.oracle
 }

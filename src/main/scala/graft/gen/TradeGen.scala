@@ -1,0 +1,137 @@
+package graft.gen
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deterministic synthetic trade generator — the Spark-native restatement of
+  * the reference's producer (producer.py:11-128, field semantics in
+  * SURVEY.md §1.2).
+  *
+  * Unlike `rand(seed)` (whose stream depends on partitioning), every random
+  * draw derives from `xxhash64(trade row id, stream-id)`, so the generated
+  * table is bit-identical for any partition count and any cluster size —
+  * reproducible test fixtures at 100 TB scale. All derivation stays in
+  * codegen'd column expressions; generating N rows is a single distributed
+  * `range(N)` scan with no shuffle.
+  */
+object TradeGen {
+
+  val assetClasses = Seq("Equity", "Fixed Income", "Derivative", "FX", "Commodity")
+
+  /** Per-asset-class instrument universe (producer.py:42-48). */
+  val instruments: Map[String, Seq[String]] = Map(
+    "Equity" -> Seq("AAPL", "MSFT", "GOOGL", "AMZN", "TSLA", "NVDA", "META", "JPM"),
+    "Fixed Income" -> Seq("UST10Y", "UST2Y", "CORP-AAA", "MUNI-CA", "TIPS5Y"),
+    "Derivative" -> Seq("SPX-OPT", "NDX-FUT", "VIX-OPT", "ES-FUT", "RATE-SWAP"),
+    "FX" -> Seq("EUR/USD", "GBP/USD", "USD/JPY", "AUD/USD", "USD/CHF"),
+    "Commodity" -> Seq("WTI-CRUDE", "GOLD", "NATGAS", "COPPER"))
+
+  val counterparties = Seq(
+    "Goldman Sachs", "Morgan Stanley", "JP Morgan", "Citadel Securities",
+    "Jane Street", "Two Sigma", "Barclays", "UBS")
+
+  /** Weighted status distribution (producer.py:30-39): cumulative bounds. */
+  val statusWeights = Seq(
+    "Pending Confirmation" -> 0.40, "Confirmed" -> 0.35,
+    "Settlement Pending" -> 0.15, "Settled" -> 0.08,
+    "Break - Mismatch" -> 0.015, "Break - Missing Trade" -> 0.005)
+
+  val settlementVenues = Seq("DTC", "Euroclear", "Clearstream", "CME", "ICE", "OCC")
+
+  /** T+n settlement cycle per asset class (producer.py:89-97). */
+  val settlementDays = Map(
+    "Equity" -> 2, "Fixed Income" -> 1, "Derivative" -> 1, "FX" -> 2,
+    "Commodity" -> 1)
+
+  val analystNames = Seq(
+    "Alex Chen", "Sam Rivera", "Jordan Lee", "Casey Kim", "Morgan Patel",
+    "Taylor Brooks", "Riley Nguyen", "Avery Jones", "Quinn Garcia",
+    "Drew Martin")
+
+  /** Uniform [0,1) draw for stream `k`, keyed on the row id — deterministic
+    * under any partitioning (unlike rand(seed), which is per-partition).
+    */
+  private def u(k: Int): Column =
+    pmod(xxhash64(col("id"), lit(k)), lit(1000000L)).cast("double") / 1000000.0
+
+  /** Uniform pick from a literal string list, driven by stream `k`. */
+  private def pick(k: Int, xs: Seq[String]): Column =
+    element_at(array(xs.map(lit): _*), (u(k) * xs.size).cast("int") + 1)
+
+  private def uniform(k: Int, lo: Double, hi: Double): Column =
+    u(k) * (hi - lo) + lo
+
+  private def randint(k: Int, lo: Int, hi: Int): Column =
+    (u(k) * (hi - lo + 1)).cast("long") + lo
+
+  /** Per-asset-class branch helper. */
+  private def byClass(f: String => Column): Column =
+    assetClasses.tail.foldLeft(when(col("asset_class") === assetClasses.head,
+      f(assetClasses.head))) { (acc, ac) =>
+      acc.when(col("asset_class") === ac, f(ac))
+    }
+
+  /** Generate `n` trades. 20 columns per SURVEY.md §1.2; all values derive
+    * from (id, seed) hashes — same output for any partitioning.
+    */
+  def trades(spark: SparkSession, n: Long, seed: Int = 42,
+      baseDate: String = "2026-01-15"): DataFrame = {
+    val s = seed * 1000 // offset streams per seed
+
+    val statusExpr = {
+      val cum = statusWeights.scanLeft(0.0)(_ + _._2).tail
+      statusWeights.map(_._1).zip(cum).init
+        .foldLeft(None: Option[Column]) { case (acc, (st, c)) =>
+          Some(acc.fold(when(u(s + 7) < c, st))(_.when(u(s + 7) < c, st)))
+        }.get.otherwise(statusWeights.last._1)
+    }
+
+    spark.range(n)
+      // 12-char unique key (reference: uuid4()[:12]); id-based rather than
+      // random so the key is unique by construction and reproducible
+      .withColumn("trade_id", concat(lit("T"), lpad(col("id"), 11, "0")))
+      .withColumn("asset_class", pick(s + 1, assetClasses))
+      .withColumn("instrument", byClass(ac => pick(s + 2, instruments(ac))))
+      .withColumn("side", pick(s + 3, Seq("Buy", "Sell")))
+      .withColumn("quantity", byClass {
+        case "Equity" => randint(s + 4, 100, 50000)
+        case "Fixed Income" => randint(s + 4, 100000, 10000000)
+        case "Derivative" => randint(s + 4, 1, 100)
+        case "FX" => randint(s + 4, 100000, 5000000)
+        case _ => randint(s + 4, 1, 500)
+      }.cast("double"))
+      .withColumn("price", byClass {
+        case "Equity" => round(uniform(s + 5, 10, 500), 2)
+        case "Fixed Income" => round(uniform(s + 5, 90, 110), 4)
+        case "Derivative" => round(uniform(s + 5, 1, 50), 2)
+        case "FX" => round(uniform(s + 5, 0.5, 2.0), 6)
+        case _ => round(uniform(s + 5, 20, 2000), 2)
+      })
+      .withColumn("notional_value", round(col("quantity") * col("price"), 2))
+      .withColumn("counterparty", pick(s + 6, counterparties))
+      .withColumn("status", statusExpr)
+      .withColumn("settlement_venue", pick(s + 8, settlementVenues))
+      .withColumn("trade_date",
+        date_sub(to_date(lit(baseDate)), randint(s + 9, 0, 3).cast("int")))
+      .withColumn("settlement_date",
+        date_add(col("trade_date"),
+          byClass(ac => lit(settlementDays(ac))).cast("int")))
+      .withColumn("brokerage_fee",
+        round(col("notional_value") * uniform(s + 10, 0.0001, 0.0015), 2))
+      .withColumn("clearing_fee",
+        round(col("notional_value") * uniform(s + 11, 0.00005, 0.0003), 2))
+      .withColumn("exchange_fee",
+        round(col("notional_value") * uniform(s + 12, 0.00003, 0.0002), 2))
+      .withColumn("total_fees",
+        round(col("brokerage_fee") + col("clearing_fee") + col("exchange_fee"), 2))
+      .withColumn("priority",
+        when(col("status").contains("Break") || col("notional_value") > 1000000.0,
+          "High").otherwise("Normal"))
+      .withColumn("stp_eligible", !col("status").contains("Break"))
+      .withColumn("timestamp", timestamp_micros(
+        lit(java.sql.Timestamp.valueOf(s"$baseDate 09:00:00").getTime * 1000L)
+          + col("id") * 900000L + (u(s + 13) * 600000).cast("long")))
+      .withColumn("processed_by", pick(s + 14, analystNames))
+      .drop("id")
+  }
+}

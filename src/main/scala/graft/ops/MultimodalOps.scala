@@ -1,0 +1,106 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Decode input row (top-level, non-private: Spark's codegen'd encoders
+  * need JVM-visible accessors — an object-private case class compiles to a
+  * private member that generated code cannot touch).
+  */
+private[ops] case class MediaIn(doc_id: Long, payload: Array[Byte])
+
+/** Multimodal-column plumbing: opaque `binary` payloads with typed metadata
+  * and a batched decode/feature-extract stage.
+  *
+  * The container has no image/audio codecs, so the decode kernel is a
+  * clearly-marked deterministic stub (byte statistics standing in for pixel
+  * statistics) — but the Spark-side plumbing is real: binary columns, typed
+  * metadata projection, and a batched `mapPartitions` decode whose shape
+  * (iterator → fixed-size batches → per-record features) is exactly how a
+  * real decoder (or a Pandas-UDF `mapInPandas` twin) plugs in at scale.
+  * Payloads derive deterministically from `documents.text` since the
+  * testdata ships no real media bytes.
+  */
+object MultimodalOps {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables.t(s, dir, "documents")
+
+  /** Typed metadata over binary payloads: modality routing, byte length,
+    * stub-decoded dimensions, content digest. Fully relational (no UDF) —
+    * metadata extraction must not break codegen or pushdown.
+    */
+  def mediaMeta(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .withColumn("payload", encode(col("text"), "UTF-8"))
+      .withColumn("n_bytes", length(col("payload")))
+      .select(
+        col("doc_id"),
+        element_at(array(lit("image"), lit("audio"), lit("video")),
+          (col("doc_id") % 3 + 1).cast("int")).as("media_type"),
+        col("n_bytes"),
+        (lit(64) + (col("n_bytes") % 8) * 16).as("width"),
+        (lit(64) + (col("n_bytes") % 5) * 16).as("height"),
+        expr("n_bytes div 64 + 1").as("n_frames"),
+        substring(md5(col("payload")), 1, 16).as("digest"))
+      .orderBy("doc_id")
+
+  /** Batched decode + feature extraction over the binary column.
+    *
+    * STUB KERNEL: a real deployment decodes image/audio frames here (or in a
+    * `mapInPandas` Python twin); this container has no codecs, so the kernel
+    * computes deterministic byte statistics with the same batch shape: the
+    * partition iterator is consumed in fixed-size batches (as a vectorized
+    * decoder would), each record yielding a fixed-width feature row.
+    */
+  def mediaFeatures(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val BatchSize = 32
+    docs(s, dir)
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+      .as[MediaIn]
+      .mapPartitions { it =>
+        it.grouped(BatchSize).flatMap { batch =>
+          batch.map { m =>
+            val bytes = m.payload
+            val n = bytes.length
+            var sum = 0L
+            val hist = new Array[Long](8)
+            var i = 0
+            while (i < n) {
+              val b = bytes(i) & 0xFF
+              sum += b
+              hist(b >> 5) += 1
+              i += 1
+            }
+            val meanByte = math.round(sum * 10000.0 / n) / 10000.0
+            val dominantBin = hist.indices.maxBy(j => (hist(j), -j))
+            val sampled = (n + 1023) / 1024
+            (m.doc_id, n, meanByte, dominantBin, sampled)
+          }
+        }
+      }
+      .toDF("doc_id", "n_bytes", "mean_byte", "dominant_bin", "frames_sampled")
+      .orderBy("doc_id")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q50_media_meta" -> mediaMeta,
+    "q51_media_features" -> mediaFeatures)
+
+  /** q51 omitted: the stub decode kernel runs in JVM code the oracle cannot
+    * reproduce — rows-only check + ScalaTest over literal payloads.
+    */
+  val oracle: Map[String, String] = Map(
+    "q50_media_meta" ->
+      """SELECT doc_id,
+        |  (['image', 'audio', 'video'])[CAST(doc_id % 3 + 1 AS INT)]
+        |    AS media_type,
+        |  octet_length(encode(text)) AS n_bytes,
+        |  64 + (octet_length(encode(text)) % 8) * 16 AS width,
+        |  64 + (octet_length(encode(text)) % 5) * 16 AS height,
+        |  octet_length(encode(text)) // 64 + 1 AS n_frames,
+        |  substring(md5(text), 1, 16) AS digest
+        |FROM documents ORDER BY doc_id""".stripMargin)
+}

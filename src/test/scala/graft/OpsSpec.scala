@@ -1,0 +1,73 @@
+package graft
+
+import graft.ops._
+import org.apache.spark.sql.functions._
+
+/** Cross-cutting operator checks at sf0.001 (the oracle gate at sf0.01 is
+  * the primary correctness net; these assert structural invariants fast).
+  */
+class OpsSpec extends SparkSpec {
+
+  test("every registered query returns rows at sf0.001") {
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val n = fn(spark, sfDir).count()
+      assert(n >= 0, s"$name failed")
+      // q42 candidates can be empty at tiny SF; all others must be non-empty
+      if (name != "q42_ann_lsh") assert(n > 0, s"$name returned no rows")
+    }
+  }
+
+  test("every query key has either an oracle or a documented omission") {
+    val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    assert(noOracle === Set("q38_minhash_lsh_pairs", "q39_simhash_pairs",
+      "q42_ann_lsh", "q51_media_features"))
+  }
+
+  test("kpi overview internal consistency") {
+    val r = EventOps.kpiOverview(spark, sfDir).collect().head
+    val n = r.getAs[Long]("n_events")
+    assert(r.getAs[Long]("n_clicks") + r.getAs[Long]("n_views")
+      + r.getAs[Long]("n_errors") <= n)
+    assert(r.getAs[Double]("total_value") > 0)
+  }
+
+  test("dedup is idempotent: f(f(x)) = f(x)") {
+    val once = EventOps.dedupEvents(spark, sfDir)
+    assert(once.count() ===
+      once.dropDuplicates("user_id", "event_type").count())
+  }
+
+  test("top-k queries respect their limits and ordering") {
+    val top = EventOps.topUsers(spark, sfDir).collect()
+    assert(top.length <= 10)
+    val vals = top.map(_.getAs[Double]("total_value"))
+    assert(vals.sameElements(vals.sortBy(-_)), "must be sorted desc")
+  }
+
+  test("jaccard pairs are symmetric-free and above threshold") {
+    val p = DedupOps.jaccardPairs(spark, sfDir)
+    assert(p.filter(col("a_id") >= col("b_id")).count() === 0)
+    assert(p.filter(col("jaccard") < 0.9).count() === 0)
+  }
+
+  test("media features match a hand-computed payload") {
+    val feats = MultimodalOps.mediaFeatures(spark, sfDir).collect()
+    val docs = Tables.t(spark, sfDir, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    feats.take(5).foreach { r =>
+      val bytes = docs(r.getAs[Long]("doc_id")).getBytes("UTF-8")
+      assert(r.getAs[Int]("n_bytes") === bytes.length)
+      val mean = math.round(bytes.map(_ & 0xFF).map(_.toLong).sum
+        * 10000.0 / bytes.length) / 10000.0
+      assert(r.getAs[Double]("mean_byte") === mean)
+    }
+  }
+
+  test("centroid rows cover every (label, dim) cell") {
+    val c = SimilarityOps.labelCentroids(spark, sfDir)
+    val labels = Tables.t(spark, sfDir, "embeddings")
+      .select("label").distinct().count()
+    assert(c.count() === labels * SimilarityOps.Dim)
+  }
+}

@@ -1,0 +1,75 @@
+package graft
+
+import graft.gen.TradeGen
+import org.apache.spark.sql.functions._
+
+/** Property checks for the seeded generator — the invariants from
+  * SURVEY.md §5.2(3) (producer.py:62-105 semantics).
+  */
+class TradeGenSpec extends SparkSpec {
+
+  private lazy val trades = TradeGen.trades(spark, 2000, seed = 42).cache()
+
+  test("generates the requested row count with unique trade ids") {
+    assert(trades.count() === 2000)
+    assert(trades.select("trade_id").distinct().count() === 2000)
+  }
+
+  test("derived columns satisfy producer invariants") {
+    val bad = trades.filter(
+      abs(col("notional_value") - round(col("quantity") * col("price"), 2)) > 0.011 ||
+        abs(col("total_fees") - round(col("brokerage_fee") + col("clearing_fee")
+          + col("exchange_fee"), 2)) > 0.011)
+    assert(bad.count() === 0)
+  }
+
+  test("priority and stp_eligible derive from status and notional") {
+    val bad = trades.filter(
+      (col("priority") === "High") =!=
+        (col("status").contains("Break") || col("notional_value") > 1000000.0) ||
+        col("stp_eligible") === col("status").contains("Break"))
+    assert(bad.count() === 0)
+  }
+
+  test("settlement date = trade date + per-class cycle") {
+    TradeGen.settlementDays.foreach { case (ac, days) =>
+      val bad = trades.filter(col("asset_class") === ac &&
+        datediff(col("settlement_date"), col("trade_date")) =!= days)
+      assert(bad.count() === 0, s"cycle violated for $ac")
+    }
+  }
+
+  test("quantity and price stay within per-class ranges") {
+    val ranges = Map(
+      "Equity" -> ((100.0, 50000.0), (10.0, 500.0)),
+      "Fixed Income" -> ((100000.0, 10000000.0), (90.0, 110.0)),
+      "Derivative" -> ((1.0, 100.0), (1.0, 50.0)),
+      "FX" -> ((100000.0, 5000000.0), (0.5, 2.0)),
+      "Commodity" -> ((1.0, 500.0), (20.0, 2000.0)))
+    ranges.foreach { case (ac, ((qLo, qHi), (pLo, pHi))) =>
+      val bad = trades.filter(col("asset_class") === ac &&
+        (col("quantity") < qLo || col("quantity") > qHi ||
+          col("price") < pLo || col("price") > pHi))
+      assert(bad.count() === 0, s"range violated for $ac")
+    }
+  }
+
+  test("status distribution tracks the producer weights") {
+    val n = 2000.0
+    val counts = trades.groupBy("status").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    TradeGen.statusWeights.foreach { case (st, w) =>
+      val got = counts.getOrElse(st, 0L) / n
+      assert(math.abs(got - w) < 0.05, s"$st: got $got want ~$w")
+    }
+  }
+
+  test("generation is deterministic and partitioning-independent") {
+    val a = TradeGen.trades(spark, 500, seed = 7)
+    val b = TradeGen.trades(spark, 500, seed = 7).repartition(13)
+    assert(a.exceptAll(b).count() === 0)
+    assert(b.exceptAll(a).count() === 0)
+    val c = TradeGen.trades(spark, 500, seed = 8)
+    assert(a.exceptAll(c).count() > 0, "different seeds should differ")
+  }
+}
