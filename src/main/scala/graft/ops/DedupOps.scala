@@ -43,16 +43,22 @@ object DedupOps {
       .withColumn("n_toks", size(col("toks")))
     val a = d.select(col("doc_id").as("a_id"), col("lang"),
       col("toks").as("a_toks"), col("n_toks").as("a_n"))
-    val b = d.select(col("doc_id").as("b_id"), col("lang"),
+    val b = d.select(col("doc_id").as("b_id"), col("lang").as("b_lang"),
       col("toks").as("b_toks"), col("n_toks").as("b_n"))
-    a.join(b, Seq("lang"))
-      .filter(col("a_id") < col("b_id"))
-      .withColumn("inter", size(array_intersect(col("a_toks"), col("b_toks"))))
-      .withColumn("jaccard",
-        col("inter") / (col("a_n") + col("b_n") - col("inter")))
-      .filter(col("jaccard") >= 0.9)
+    // One conjunctive filter, cheapest predicates first: Catalyst folds the
+    // whole conjunction into the hash-join condition preserving this order,
+    // and codegen short-circuits — so the size-ratio band (lossless prune:
+    // J ≥ 0.9 ⇒ |A|,|B| within 10%) runs before the O(|A|+|B|)
+    // array_intersect instead of after it.
+    val inter = size(array_intersect(col("a_toks"), col("b_toks")))
+    val jac = inter / (col("a_n") + col("b_n") - inter)
+    a.join(b, col("lang") === col("b_lang"))
+      .filter(col("a_id") < col("b_id") &&
+        col("a_n") * 10 >= col("b_n") * 9 &&
+        col("b_n") * 10 >= col("a_n") * 9 &&
+        jac >= 0.9)
       .select(col("lang"), col("a_id"), col("b_id"),
-        round(col("jaccard"), 6).as("jaccard"))
+        round(jac, 6).as("jaccard"))
       .orderBy("a_id", "b_id")
   }
 
@@ -178,7 +184,9 @@ object DedupOps {
         |p AS (SELECT a.lang, a.doc_id AS a_id, b.doc_id AS b_id,
         |  len(list_intersect(a.toks, b.toks)) AS inter,
         |  len(a.toks) AS a_n, len(b.toks) AS b_n
-        |  FROM d a JOIN d b ON a.lang = b.lang AND a.doc_id < b.doc_id)
+        |  FROM d a JOIN d b ON a.lang = b.lang AND a.doc_id < b.doc_id
+        |    AND len(a.toks) * 10 >= len(b.toks) * 9
+        |    AND len(b.toks) * 10 >= len(a.toks) * 9)
         |SELECT lang, a_id, b_id,
         |  round(inter / (a_n + b_n - inter), 6) AS jaccard
         |FROM p WHERE inter / (a_n + b_n - inter) >= 0.9e0

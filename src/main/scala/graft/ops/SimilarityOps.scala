@@ -79,19 +79,36 @@ object SimilarityOps {
 
   private val Planes = 16
 
-  /** Deterministic pseudo-random hyperplanes: component j of plane p derives
-    * from xxhash64(p*Dim+j) mapped to [-0.5, 0.5). Seeded-hash planes keep
-    * the signature reproducible across partitions and runs (no rand()).
+  /** Deterministic pseudo-random hyperplanes, precomputed driver-side with
+    * splitmix64 from a fixed seed and embedded as literals — the signature
+    * expression is then a pure codegen'd multiply-add chain (no per-row
+    * hashing, reproducible across partitions, runs, and cluster sizes).
     */
-  private def signature(e: Column): Column =
+  private val planes: Array[Array[Double]] = {
+    var state = 0x9E3779B97F4A7C15L // fixed seed
+    def next(): Double = {
+      state += 0x9E3779B97F4A7C15L
+      var z = state
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      z = z ^ (z >>> 31)
+      (z >>> 11).toDouble / (1L << 53).toDouble - 0.5
+    }
+    Array.fill(Planes, Dim)(next())
+  }
+
+  /** Signature via higher-order functions over the literal plane matrix —
+    * compact expression (an unrolled 16×64 chain makes whole-stage codegen
+    * emit a method too large to JIT; the HOF form is smaller and faster).
+    */
+  private def signature(e: Column): Column = {
+    val planesCol = array(planes.map(p => array(p.map(lit): _*)): _*)
     aggregate(
-      transform(sequence(lit(0), lit(Planes - 1)), p =>
-        when((1 to Dim).map(j =>
-          element_at(e, j).cast("double") *
-            ((pmod(xxhash64(p * lit(Dim) + lit(j)), lit(1000L))
-              .cast("double") / 1000.0) - 0.5))
-          .reduce(_ + _) >= 0, 1L).otherwise(0L)),
+      transform(planesCol, p =>
+        when(aggregate(zip_with(e, p, (x, y) => x.cast("double") * y),
+          lit(0.0), (acc, v) => acc + v) >= 0, 1L).otherwise(0L)),
       lit(0L), (acc, bit) => acc * 2 + bit)
+  }
 
   /** ANN via random-hyperplane LSH, two-table multi-probe: the 16-bit
     * signature splits into two independent 8-bit tables (high/low byte); a
