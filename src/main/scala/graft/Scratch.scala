@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Dev scratchpad for plan inspection (not part of the driver contract). */
 object Scratch {
@@ -18,18 +18,18 @@ object Scratch {
       val n = f
       println(f"$name rows=$n ${(System.nanoTime() - t0) / 1e9}%.2f s")
     }
-    args.headOption.getOrElse("q37") match {
-      case "q37" =>
-        val df = ops.DedupOps.jaccardPairs(spark, dir)
-        df.explain("formatted")
-        time("q37")(df.count())
-        time("q37-again")(df.count())
-      case "q42" =>
-        val df = ops.SimilarityOps.annLsh(spark, dir)
-        df.explain("formatted")
-        time("q42")(df.count())
-        time("q42-again")(df.count())
-    }
+    val queries: Map[String, DataFrame] = Map(
+      "q37" -> ops.DedupOps.jaccardPairs(spark, dir),
+      "q38" -> ops.DedupOps.minhashLshPairs(spark, dir),
+      "q39" -> ops.DedupOps.simhashPairs(spark, dir),
+      "q40" -> ops.SimilarityOps.annTopK(spark, dir),
+      "q41" -> ops.SimilarityOps.cosineTopPairs(spark, dir),
+      "q42" -> ops.SimilarityOps.annLsh(spark, dir))
+    val name = args.headOption.getOrElse("q37")
+    val df = queries(name)
+    if (args.length > 1 && args(1) == "explain") df.explain("formatted")
+    time(name)(df.count())
+    time(s"$name-again")(df.count())
     spark.stop()
   }
 }

@@ -32,28 +32,89 @@ object DedupOps {
         countDistinct(col("norm")).as("n_distinct"),
         (count(lit(1)) - countDistinct(col("norm"))).as("n_dupes"))
 
-  /** Exact distinct-word Jaccard near-dup pairs within language blocks.
-    * Ground truth for the approximate paths below; the oracle computes the
-    * identical pair set in DuckDB.
+  /** Exact distinct-word Jaccard near-dup pairs (J ≥ 0.9), with a one-probe
+    * cost-based plan choice (the kind of stats-driven dispatch a real engine
+    * makes at optimize time):
+    *
+    *  - **small vocabulary** (≤ 64 distinct tokens corpus-wide — true of
+    *    template-generated corpora like this testdata): dictionary-encode
+    *    every token set as ONE 64-bit mask; Jaccard becomes two popcounts,
+    *    so the within-language pair scan is a pure codegen'd bit-op loop
+    *    (~100× cheaper per pair than array_intersect on string arrays).
+    *  - **general vocabulary**: PPJoin-style prefix filtering — index only
+    *    each doc's ⌊(1−t)·n⌋+1 globally-rarest tokens (prefix-filter
+    *    theorem: J ≥ t ⇒ |A∩B| ≥ t·max(|A|,|B|), so a qualifying pair must
+    *    share a prefix token under any common total order); candidates come
+    *    from an equi-join on prefix tokens (shuffle sized by near-dup
+    *    density, not n²), then are verified exactly.
+    *
+    * Ground truth for the approximate paths below; the DuckDB oracle
+    * computes the identical pair set via the quadratic formulation (fine at
+    * oracle scale).
     */
   def jaccardPairs(s: SparkSession, dir: String): DataFrame = {
     val d = docs(s, dir)
       .select(col("doc_id"), col("lang"),
         array_distinct(split(trim(col("text")), " ")).as("toks"))
       .withColumn("n_toks", size(col("toks")))
-    val a = d.select(col("doc_id").as("a_id"), col("lang"),
+    val vocab = d.select(explode(col("toks")).as("tok"))
+      .distinct().orderBy("tok").limit(65)
+      .collect().map(_.getString(0))
+    if (vocab.length <= 64) jaccardPairsMask(d, vocab)
+    else jaccardPairsPrefix(d)
+  }
+
+  /** Small-vocab plan: token set → 64-bit mask, Jaccard via popcounts.
+    * `10·inter ≥ 9·union` is the exact integer form of J ≥ 0.9 (and agrees
+    * bit-for-bit with the oracle's double compare: for denominators ≤ 64
+    * the only boundary fraction is 9/10, whose IEEE quotient equals the
+    * 0.9 literal exactly).
+    */
+  private def jaccardPairsMask(d: DataFrame, vocab: Array[String]): DataFrame = {
+    val vocabSql = vocab.map(t => "'" + t.replace("'", "''") + "'")
+      .mkString("array(", ",", ")")
+    val dm = d.withColumn("mask", expr(
+      s"aggregate(toks, 0L, (acc, t) -> " +
+        s"acc | shiftleft(1L, int(array_position($vocabSql, t)) - 1))"))
+    val a = dm.select(col("doc_id").as("a_id"), col("lang"),
+      col("mask").as("a_mask"))
+    val b = dm.select(col("doc_id").as("b_id"), col("lang").as("b_lang"),
+      col("mask").as("b_mask"))
+    val inter = bit_count(col("a_mask").bitwiseAND(col("b_mask")))
+    val uni = bit_count(col("a_mask").bitwiseOR(col("b_mask")))
+    a.join(b, col("lang") === col("b_lang"))
+      .filter(col("a_id") < col("b_id") && inter * 10 >= uni * 9)
+      .select(col("lang"), col("a_id"), col("b_id"),
+        round(inter.cast("double") / uni, 6).as("jaccard"))
+      .orderBy("a_id", "b_id")
+  }
+
+  /** General-vocab plan: prefix-filtered similarity join (PPJoin-lite) —
+    * every stage is a linear scan or key shuffle; no per-language cross
+    * product, so the plan survives a 1000× corpus.
+    */
+  private def jaccardPairsPrefix(d: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val expl = d.select(col("doc_id"), col("n_toks"),
+      explode(col("toks")).as("tok"))
+    val vocab = expl.groupBy("tok").agg(count(lit(1)).as("freq"))
+    val w = Window.partitionBy("doc_id").orderBy("freq", "tok")
+    val prefix = expl.join(broadcast(vocab), "tok")
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= floor(col("n_toks") * 0.1) + 1)
+      .select(col("doc_id"), col("tok"))
+    val cands = prefix.as("x").join(prefix.as("y"),
+        col("x.tok") === col("y.tok") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
+      .distinct()
+    val fa = d.select(col("doc_id").as("a_id"), col("lang"),
       col("toks").as("a_toks"), col("n_toks").as("a_n"))
-    val b = d.select(col("doc_id").as("b_id"), col("lang").as("b_lang"),
+    val fb = d.select(col("doc_id").as("b_id"), col("lang").as("b_lang"),
       col("toks").as("b_toks"), col("n_toks").as("b_n"))
-    // One conjunctive filter, cheapest predicates first: Catalyst folds the
-    // whole conjunction into the hash-join condition preserving this order,
-    // and codegen short-circuits — so the size-ratio band (lossless prune:
-    // J ≥ 0.9 ⇒ |A|,|B| within 10%) runs before the O(|A|+|B|)
-    // array_intersect instead of after it.
     val inter = size(array_intersect(col("a_toks"), col("b_toks")))
     val jac = inter / (col("a_n") + col("b_n") - inter)
-    a.join(b, col("lang") === col("b_lang"))
-      .filter(col("a_id") < col("b_id") &&
+    cands.join(fa, "a_id").join(fb, "b_id")
+      .filter(col("lang") === col("b_lang") &&
         col("a_n") * 10 >= col("b_n") * 9 &&
         col("b_n") * 10 >= col("a_n") * 9 &&
         jac >= 0.9)
@@ -68,6 +129,7 @@ object DedupOps {
   private val Bands = 16
   private val RowsPerBand = NumHashes / Bands
 
+
   /** doc_id, lang, shingles (word 3-grams), minhash signature array. */
   private def signatures(s: SparkSession, dir: String): DataFrame =
     docs(s, dir)
@@ -80,8 +142,16 @@ object DedupOps {
             element_at(col("toks"), i),
             element_at(col("toks"), i + 1),
             element_at(col("toks"), i + 2)))))
-      .withColumn("sig", array((0 until NumHashes).map(i =>
-        array_min(transform(col("shingles"), sh => xxhash64(sh, lit(i))))): _*))
+      // Hash each shingle ONCE (the only variable-length string hash), then
+      // derive the 64 minhash values by re-hashing that long with the
+      // function index — a fixed 16-byte xxhash64 per (shingle, i), ~an
+      // order of magnitude cheaper than xxhash64(shingle, seed=i) per i.
+      // (Affine a*h+b permutations would be cheaper still, but long
+      // multiply overflow-throws under ANSI mode.)
+      .withColumn("sh_h", transform(col("shingles"), sh => xxhash64(sh)))
+      .withColumn("sig", array((0 until NumHashes).map { i =>
+        array_min(transform(col("sh_h"), h => xxhash64(h, lit(i))))
+      }: _*))
       .select("doc_id", "lang", "shingles", "sig")
 
   /** MinHash+LSH near-dup pairs: band the signature, shuffle on
@@ -120,11 +190,15 @@ object DedupOps {
   private def simhashed(s: SparkSession, dir: String): DataFrame =
     docs(s, dir)
       .withColumn("toks", array_distinct(split(trim(col("text")), " ")))
+      // Hash each token once up front; the per-bit vote fold then only does
+      // shifts/adds on the precomputed long (the naive form re-hashed the
+      // token string inside the 64-way inner lambda — 64× the hashing).
+      .withColumn("tok_h", expr("transform(toks, t -> xxhash64(t))"))
       .withColumn("votes", expr(
-        """aggregate(toks, array_repeat(0, 64),
-          |  (acc, t) -> zip_with(acc,
+        """aggregate(tok_h, array_repeat(0, 64),
+          |  (acc, h) -> zip_with(acc,
           |    transform(sequence(0, 63),
-          |      k -> CASE WHEN shiftright(xxhash64(t), k) & 1 = 1
+          |      k -> CASE WHEN shiftright(h, k) & 1 = 1
           |                 THEN 1 ELSE -1 END),
           |    (a, v) -> a + v))""".stripMargin))
       .withColumn("simhash", expr(

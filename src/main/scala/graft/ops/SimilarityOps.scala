@@ -7,10 +7,11 @@ import org.apache.spark.sql.functions._
 /** Similarity search over the `embeddings` table (`embedding: array<float>`,
   * fixed dim 64).
   *
-  * The dot product is unrolled into a 64-term codegen'd expression chain
-  * (element_at × 64) rather than a lambda `aggregate` — whole-stage codegen
-  * keeps it in registers, and the fixed left-to-right addition order makes
-  * the float math bit-identical to the DuckDB oracle's unrolled SQL twin.
+  * The dot product is a lambda `aggregate` over `zip_with` — a compact
+  * expression whole-stage codegen can JIT (an unrolled 64-term element_at
+  * chain exceeds the JIT method-size budget and falls back to interpreted
+  * eval), and the foldLeft addition order makes the float math bit-identical
+  * to the DuckDB oracle's left-associated unrolled SQL twin.
   *
   * Scale design: brute-force top-k broadcasts the query vector and plans as
   * scan → project → TakeOrderedAndProject (no shuffle of the corpus); the
@@ -24,11 +25,15 @@ object SimilarityOps {
   private def emb(s: SparkSession, dir: String): DataFrame =
     Tables.t(s, dir, "embeddings")
 
-  /** Unrolled dot product of two array<float> columns, computed in double. */
+  /** Dot product of two array<float> columns in double, summed in index
+    * order (foldLeft) — bit-identical to the oracle's left-associated
+    * unrolled SQL sum. The HOF form stays small enough for whole-stage
+    * codegen to JIT; an unrolled 64-term element_at chain does not.
+    */
   def dot(a: Column, b: Column): Column =
-    (1 to Dim).map(i =>
-      element_at(a, i).cast("double") * element_at(b, i).cast("double"))
-      .reduce(_ + _)
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
 
   /** Unrolled L2 norm. */
   def norm(a: Column): Column = sqrt(dot(a, a))
