@@ -10,6 +10,10 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Warm the session before timing: JVM/codegen JIT, parquet footer reads,
+    // and shuffle machinery otherwise all land on whichever query runs first.
+    spark.range(1000000).selectExpr("sum(id)").collect()
+    Tables.names.foreach(n => Tables.t(spark, sfDir, n).count())
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

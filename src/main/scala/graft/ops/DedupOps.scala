@@ -130,55 +130,64 @@ object DedupOps {
   private val RowsPerBand = NumHashes / Bands
 
 
-  /** doc_id, lang, shingles (word 3-grams), minhash signature array. */
+  /** doc_id, hashed shingle set (word 3-grams → xxhash64 longs), and the 16
+    * per-band LSH keys derived from the 64-value minhash signature.
+    *
+    * Shingles are hashed ONCE to a long (the only variable-length string
+    * hash); the 64 minhash values come from fixed 16-byte re-hashes of that
+    * long — ~an order of magnitude cheaper than xxhash64(shingle, seed=i)
+    * per function. Downstream verification runs on the hashed shingle sets
+    * (long arrays intersect far faster than string arrays; a 64-bit
+    * collision over this corpus has probability ≈ 1e-8 and would only
+    * perturb a Jaccard estimate by one shingle).
+    */
   private def signatures(s: SparkSession, dir: String): DataFrame =
     docs(s, dir)
       .withColumn("toks", split(trim(col("text")), " "))
       .withColumn("n_tokens", size(col("toks")))
       .filter(col("n_tokens") >= 3)
-      .withColumn("shingles", array_distinct(
+      .withColumn("shs", array_distinct(
         transform(sequence(lit(1), col("n_tokens") - 2), i =>
-          concat_ws(" ",
+          xxhash64(concat_ws(" ",
             element_at(col("toks"), i),
             element_at(col("toks"), i + 1),
-            element_at(col("toks"), i + 2)))))
-      // Hash each shingle ONCE (the only variable-length string hash), then
-      // derive the 64 minhash values by re-hashing that long with the
-      // function index — a fixed 16-byte xxhash64 per (shingle, i), ~an
-      // order of magnitude cheaper than xxhash64(shingle, seed=i) per i.
-      // (Affine a*h+b permutations would be cheaper still, but long
-      // multiply overflow-throws under ANSI mode.)
-      .withColumn("sh_h", transform(col("shingles"), sh => xxhash64(sh)))
-      .withColumn("sig", array((0 until NumHashes).map { i =>
-        array_min(transform(col("sh_h"), h => xxhash64(h, lit(i))))
+            element_at(col("toks"), i + 2))))))
+      .withColumn("bh", array((0 until Bands).map { b =>
+        xxhash64(((b * RowsPerBand) until ((b + 1) * RowsPerBand)).map(i =>
+          array_min(transform(col("shs"), h => xxhash64(h, lit(i)))))
+          :+ lit(b): _*)
       }: _*))
-      .select("doc_id", "lang", "shingles", "sig")
+      .select("doc_id", "shs", "bh")
 
   /** MinHash+LSH near-dup pairs: band the signature, shuffle on
-    * (band, band-hash), emit candidate pairs within buckets, then verify
-    * candidates with exact shingle Jaccard ≥ 0.8. No cross join anywhere.
+    * (band, band-key), emit each candidate pair from its FIRST matching band
+    * only (the earlier-band inequality check rides in the join condition, so
+    * no distinct() shuffle over the candidate stream is ever needed), then
+    * verify candidates with exact shingle Jaccard ≥ 0.8 behind a lossless
+    * size-ratio band. No cross join anywhere.
     */
   def minhashLshPairs(s: SparkSession, dir: String): DataFrame = {
     val sigs = signatures(s, dir).cache()
-    val banded = sigs.select(col("doc_id"),
-      posexplode(array((0 until Bands).map { b =>
-        xxhash64((0 until RowsPerBand).map(r =>
-          element_at(col("sig"), b * RowsPerBand + r + 1)) :+ lit(b): _*)
-      }: _*)).as(Seq("band", "band_hash")))
+    val banded = sigs.select(col("doc_id"), col("bh"),
+      posexplode(col("bh")).as(Seq("band", "band_key")))
+    val firstMatch = expr(
+      "!exists(zip_with(slice(x.bh, 1, x.band), slice(y.bh, 1, x.band)," +
+        " (p, q) -> p = q), m -> m)")
     val cands = banded.as("x").join(banded.as("y"),
         col("x.band") === col("y.band") &&
-          col("x.band_hash") === col("y.band_hash") &&
-          col("x.doc_id") < col("y.doc_id"))
+          col("x.band_key") === col("y.band_key") &&
+          col("x.doc_id") < col("y.doc_id") && firstMatch)
       .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
-      .distinct()
-    val sa = sigs.select(col("doc_id").as("a_id"), col("shingles").as("a_sh"))
-    val sb = sigs.select(col("doc_id").as("b_id"), col("shingles").as("b_sh"))
+    val sa = sigs.select(col("doc_id").as("a_id"), col("shs").as("a_sh"),
+      size(col("shs")).as("a_n"))
+    val sb = sigs.select(col("doc_id").as("b_id"), col("shs").as("b_sh"),
+      size(col("shs")).as("b_n"))
+    val inter = size(array_intersect(col("a_sh"), col("b_sh")))
+    val jac = inter / (col("a_n") + col("b_n") - inter)
     cands.join(sa, "a_id").join(sb, "b_id")
-      .withColumn("inter", size(array_intersect(col("a_sh"), col("b_sh"))))
-      .withColumn("jaccard", col("inter") /
-        (size(col("a_sh")) + size(col("b_sh")) - col("inter")))
-      .filter(col("jaccard") >= 0.8)
-      .select(col("a_id"), col("b_id"), round(col("jaccard"), 6).as("jaccard"))
+      .filter(col("a_n") * 5 >= col("b_n") * 4 &&
+        col("b_n") * 5 >= col("a_n") * 4 && jac >= 0.8)
+      .select(col("a_id"), col("b_id"), round(jac, 6).as("jaccard"))
       .orderBy("a_id", "b_id")
   }
 
@@ -211,7 +220,10 @@ object DedupOps {
 
   /** SimHash near-dup pairs: block on 4×16-bit signature chunks (pigeonhole:
     * any pair within Hamming distance 3 shares at least one exact chunk),
-    * verify candidates with bit_count(xor) ≤ 3.
+    * verify candidates with bit_count(xor) ≤ 3. Each pair is emitted from
+    * its FIRST shared chunk only — the earlier-chunk inequality check rides
+    * in the join condition, so the verification happens inside the join and
+    * no distinct() shuffle over candidates is needed.
     */
   def simhashPairs(s: SparkSession, dir: String): DataFrame = {
     val sh = simhashed(s, dir).cache()
@@ -219,17 +231,20 @@ object DedupOps {
       posexplode(array((0 until 4).map(j =>
         shiftrightunsigned(col("simhash"), j * 16)
           .bitwiseAND(lit(0xFFFFL))): _*)).as(Seq("chunk_idx", "chunk")))
+    def chunkOf(sim: Column, j: Column): Column =
+      call_function("shiftrightunsigned", sim, j * lit(16))
+        .bitwiseAND(lit(0xFFFFL))
+    val firstMatch = when(col("x.chunk_idx") === 0, lit(true))
+      .otherwise(!exists(sequence(lit(0), col("x.chunk_idx") - 1), i =>
+        chunkOf(col("x.simhash"), i) === chunkOf(col("y.simhash"), i)))
     chunked.as("x").join(chunked.as("y"),
         col("x.chunk_idx") === col("y.chunk_idx") &&
           col("x.chunk") === col("y.chunk") &&
-          col("x.doc_id") < col("y.doc_id"))
+          col("x.doc_id") < col("y.doc_id") &&
+          bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))) <= 3 &&
+          firstMatch)
       .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"),
-        col("x.simhash").as("a_sim"), col("y.simhash").as("b_sim"))
-      .distinct()
-      .withColumn("hamming",
-        bit_count(col("a_sim").bitwiseXOR(col("b_sim"))))
-      .filter(col("hamming") <= 3)
-      .select("a_id", "b_id", "hamming")
+        bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).as("hamming"))
       .orderBy("a_id", "b_id")
   }
 

@@ -44,19 +44,30 @@ object RelationalOps {
         count(lit(1)).as("count_order"))
       .orderBy("l_returnflag", "l_linestatus")
 
-  /** Q3/Q10-style: 3-way join, revenue rollup, top-10. lineitem⋈orders is the
-    * big shuffle join; customer joins after aggregation would be ideal but
-    * the group key needs c_name — AQE broadcasts customer at small SF.
+  /** Q3/Q10-style: 3-way join, revenue rollup, top-10.
+    *
+    * The fact table is pre-aggregated to per-order partials BEFORE any join
+    * (exact decimal partial sums are associative, so the final rounded
+    * revenue is bit-identical): the lineitem⋈orders join then moves one row
+    * per order instead of one per line item — at 100 TB that's the
+    * difference between shuffling the whole fact table into the join and
+    * shuffling a 4× smaller pre-reduced stream. Customer attributes join
+    * last, onto already-aggregated per-customer rows.
     */
   def topCustomerRevenue(s: SparkSession, dir: String): DataFrame = {
     val li = t(s, dir, "lineitem")
     val o = t(s, dir, "orders")
     val c = t(s, dir, "customer")
-    li.join(o, li("l_orderkey") === o("o_orderkey"))
-      .join(c, o("o_custkey") === c("c_custkey"))
-      .groupBy("c_custkey", "c_name", "c_mktsegment")
-      .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
-        .as("revenue"), count(lit(1)).as("n_items"))
+    val dec = org.apache.spark.sql.types.DecimalType(38, 10)
+    val perOrder = li.groupBy("l_orderkey").agg(
+      sum((col("l_extendedprice") * (lit(1.0) - col("l_discount"))).cast(dec))
+        .as("rev_part"), count(lit(1)).as("n_part"))
+    perOrder.join(o, col("l_orderkey") === o("o_orderkey"))
+      .groupBy("o_custkey")
+      .agg(sum(col("rev_part")).as("rev_part"), sum(col("n_part")).as("n_items"))
+      .join(c, col("o_custkey") === c("c_custkey"))
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"),
+        round(col("rev_part"), 2).cast("double").as("revenue"), col("n_items"))
       .orderBy(col("revenue").desc, col("c_custkey").asc)
       .limit(10)
   }
@@ -70,13 +81,23 @@ object RelationalOps {
     val c = t(s, dir, "customer")
     val n = broadcast(t(s, dir, "nation"))
     val r = broadcast(t(s, dir, "region"))
-    li.join(o, li("l_orderkey") === o("o_orderkey"))
-      .join(c, o("o_custkey") === c("c_custkey"))
+    val dec = org.apache.spark.sql.types.DecimalType(38, 10)
+    // Same pre-reduce-before-join shape as q21: per-order partials join
+    // orders, collapse to per-customer partials, and only then touch the
+    // dimension chain — the broadcast joins and final 25-row rollup run on
+    // ~|customer| rows, not |lineitem|.
+    val perOrder = li.groupBy("l_orderkey").agg(
+      sum((col("l_extendedprice") * (lit(1.0) - col("l_discount"))).cast(dec))
+        .as("rev_part"), count(lit(1)).as("n_part"))
+    perOrder.join(o, col("l_orderkey") === o("o_orderkey"))
+      .groupBy("o_custkey")
+      .agg(sum(col("rev_part")).as("rev_part"), sum(col("n_part")).as("n_part"))
+      .join(c, col("o_custkey") === c("c_custkey"))
       .join(n, c("c_nationkey") === n("n_nationkey"))
       .join(r, n("n_regionkey") === r("r_regionkey"))
       .groupBy("r_name", "n_name")
-      .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
-        .as("revenue"), count(lit(1)).as("n_items"))
+      .agg(round(sum(col("rev_part")), 2).cast("double").as("revenue"),
+        sum(col("n_part")).as("n_items"))
       .orderBy("r_name", "n_name")
   }
 
