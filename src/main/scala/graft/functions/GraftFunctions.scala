@@ -1,0 +1,46 @@
+package graft.functions
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+
+/** Registration for the graft native expressions.
+  *
+  * Two paths to the same functions:
+  *  - [[GraftFunctions.ensureRegistered]] — runtime registration into the
+  *    session's function registry; every graft operator calls it, so the
+  *    library works against any plain SparkSession (the driver builds its
+  *    own session without extra config).
+  *  - [[GraftExtensions]] — `spark.sql.extensions=graft.functions.GraftExtensions`
+  *    for users who want the functions available in pure `spark.sql(...)`
+  *    from session start.
+  */
+object GraftFunctions {
+
+  private def intArg(e: Expression): Int =
+    e.asInstanceOf[Literal].value.asInstanceOf[Number].intValue()
+
+  val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "graft_minhash_band_keys" ->
+      (es => MinHashBandKeys(es.head, intArg(es(1)))),
+    "graft_simhash64" -> (es => SimHash64(es.head)),
+    "graft_vec_dot" -> (es => VecDot(es.head, es(1))))
+
+  /** Idempotently register all graft functions into `spark`'s registry. */
+  def ensureRegistered(spark: SparkSession): Unit = {
+    val registry = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sessionState.functionRegistry
+    builders.foreach { case (name, builder) =>
+      registry.createOrReplaceTempFunction(name, builder, "built-in")
+    }
+  }
+}
+
+/** `spark.sql.extensions` entry point (config-time registration). */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit =
+    GraftFunctions.builders.foreach { case (name, builder) =>
+      e.injectFunction((FunctionIdentifier(name),
+        new ExpressionInfo("graft.functions", name), builder))
+    }
+}

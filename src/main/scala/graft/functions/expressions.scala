@@ -1,0 +1,183 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+
+/** Native Catalyst expressions for the hot per-row kernels of the dedup /
+  * similarity operators — the cases where composing built-in higher-order
+  * functions is asymptotically fine but allocation-bound (each lambda step
+  * materializes a boxed intermediate array per element).
+  *
+  * Each expression consumes `ArrayData` directly with primitive `while`
+  * loops — no boxing, no Scala-collection conversion (the overhead that
+  * makes a plain UDF slow). They are deterministic, null-safe, and foldable
+  * only through the standard Catalyst machinery. Registered via
+  * [[GraftFunctions.ensureRegistered]] (runtime) or [[GraftExtensions]]
+  * (config: spark.sql.extensions=graft.functions.GraftExtensions).
+  */
+object MinHashBandKeys {
+  val NumHashes = 64
+
+  /** Fixed-seed splitmix64 stream → affine-permutation constants (a odd ⇒
+    * bijective mod 2^64; JVM long arithmetic wraps, unlike ANSI SQL).
+    */
+  private[functions] val (permA: Array[Long], permB: Array[Long]) = {
+    var state = 0x243F6A8885A308D3L
+    def next(): Long = {
+      state += 0x9E3779B97F4A7C15L
+      var z = state
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      z ^ (z >>> 31)
+    }
+    (Array.fill(NumHashes)(next() | 1L), Array.fill(NumHashes)(next()))
+  }
+}
+
+/** minhash_band_keys(shingle_hashes: array<bigint>, bands) →
+  * array<bigint> of `bands` LSH keys: the 64-value minhash signature
+  * (min over affine permutations a_i·h+b_i of the shingle hashes) folded
+  * into `bands` keys of 64/bands rows each.
+  */
+case class MinHashBandKeys(child: Expression, bands: Int)
+    extends UnaryExpression with CodegenFallback {
+  import MinHashBandKeys._
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires an array<bigint> argument")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_band_keys"
+
+  private val rowsPerBand = NumHashes / bands
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val mins = Array.fill(NumHashes)(Long.MaxValue)
+    var s = 0
+    while (s < n) {
+      val h = arr.getLong(s)
+      var i = 0
+      while (i < NumHashes) {
+        val v = h * permA(i) + permB(i)
+        if (v < mins(i)) mins(i) = v
+        i += 1
+      }
+      s += 1
+    }
+    val keys = new Array[Long](bands)
+    var b = 0
+    while (b < bands) {
+      // splitmix-style fold of the band's minima into one key
+      var acc = b * 0x9E3779B97F4A7C15L
+      var r = 0
+      while (r < rowsPerBand) {
+        var z = acc ^ mins(b * rowsPerBand + r)
+        z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+        z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+        acc = z ^ (z >>> 31)
+        r += 1
+      }
+      keys(b) = acc
+      b += 1
+    }
+    new GenericArrayData(keys)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** simhash64(token_hashes: array<bigint>) → bigint: per-bit majority vote
+  * over the 64 bits of each token hash, packed to one long (bit k of the
+  * result is 1 iff more tokens have bit k set than unset).
+  */
+case class SimHash64(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires an array<bigint> argument")
+  }
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash64"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val votes = new Array[Int](64)
+    var t = 0
+    while (t < n) {
+      val h = arr.getLong(t)
+      var k = 0
+      while (k < 64) {
+        if (((h >>> k) & 1L) == 1L) votes(k) += 1 else votes(k) -= 1
+        k += 1
+      }
+      t += 1
+    }
+    var sim = 0L
+    var k = 63
+    while (k >= 0) {
+      sim = (sim << 1) | (if (votes(k) > 0) 1L else 0L)
+      k -= 1
+    }
+    sim
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** vec_dot(a: array<float|double>, b: array<float|double>) → double: dot
+  * product accumulated in double, strictly in index order (foldLeft), so the
+  * result is bit-identical to a left-associated SQL sum of products — the
+  * property the DuckDB oracle comparison depends on.
+  */
+case class VecDot(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "vec_dot"
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val ok = Seq(left, right).forall(_.dataType match {
+      case ArrayType(FloatType | DoubleType, _) => true
+      case _ => false
+    })
+    if (ok) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<float> or array<double> arguments")
+  }
+
+  private def isFloat(e: Expression): Boolean =
+    e.dataType.asInstanceOf[ArrayType].elementType == FloatType
+  private lazy val leftFloat = isFloat(left)
+  private lazy val rightFloat = isFloat(right)
+
+  override protected def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val n = math.min(a.numElements(), b.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      val x = if (leftFloat) a.getFloat(i).toDouble else a.getDouble(i)
+      val y = if (rightFloat) b.getFloat(i).toDouble else b.getDouble(i)
+      acc += x * y
+      i += 1
+    }
+    acc
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}

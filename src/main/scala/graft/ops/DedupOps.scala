@@ -17,8 +17,10 @@ import org.apache.spark.sql.functions._
   */
 object DedupOps {
 
-  private def docs(s: SparkSession, dir: String): DataFrame =
+  private def docs(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(s)
     Tables.t(s, dir, "documents")
+  }
 
   private val normText: Column =
     regexp_replace(lower(trim(col("text"))), "\\s+", " ")
@@ -152,11 +154,10 @@ object DedupOps {
             element_at(col("toks"), i),
             element_at(col("toks"), i + 1),
             element_at(col("toks"), i + 2))))))
-      .withColumn("bh", array((0 until Bands).map { b =>
-        xxhash64(((b * RowsPerBand) until ((b + 1) * RowsPerBand)).map(i =>
-          array_min(transform(col("shs"), h => xxhash64(h, lit(i)))))
-          :+ lit(b): _*)
-      }: _*))
+      // native kernel: 64 affine-permutation minima folded to 16 band keys
+      // in one primitive pass (graft.functions.MinHashBandKeys)
+      .withColumn("bh",
+        call_function("graft_minhash_band_keys", col("shs"), lit(Bands)))
       .select("doc_id", "shs", "bh")
 
   /** MinHash+LSH near-dup pairs: band the signature, shuffle on
@@ -199,23 +200,11 @@ object DedupOps {
   private def simhashed(s: SparkSession, dir: String): DataFrame =
     docs(s, dir)
       .withColumn("toks", array_distinct(split(trim(col("text")), " ")))
-      // Hash each token once up front; the per-bit vote fold then only does
-      // shifts/adds on the precomputed long (the naive form re-hashed the
-      // token string inside the 64-way inner lambda — 64× the hashing).
+      // Hash each token once; the 64-bit vote/pack loop is a native kernel
+      // (graft.functions.SimHash64) — primitive arrays, no boxed
+      // intermediate vote vectors.
       .withColumn("tok_h", expr("transform(toks, t -> xxhash64(t))"))
-      .withColumn("votes", expr(
-        """aggregate(tok_h, array_repeat(0, 64),
-          |  (acc, h) -> zip_with(acc,
-          |    transform(sequence(0, 63),
-          |      k -> CASE WHEN shiftright(h, k) & 1 = 1
-          |                 THEN 1 ELSE -1 END),
-          |    (a, v) -> a + v))""".stripMargin))
-      .withColumn("simhash", expr(
-        // shiftleft|or packing: bit ops don't overflow-check under ANSI mode
-        // (acc*2+bit would throw ARITHMETIC_OVERFLOW once the sign bit lands)
-        """aggregate(votes, 0L,
-          |  (acc, v) -> shiftleft(acc, 1) | (CASE WHEN v > 0 THEN 1L ELSE 0L END))"""
-          .stripMargin))
+      .withColumn("simhash", call_function("graft_simhash64", col("tok_h")))
       .select("doc_id", "lang", "simhash")
 
   /** SimHash near-dup pairs: block on 4×16-bit signature chunks (pigeonhole:

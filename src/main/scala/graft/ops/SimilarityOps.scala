@@ -22,18 +22,17 @@ object SimilarityOps {
 
   val Dim = 64
 
-  private def emb(s: SparkSession, dir: String): DataFrame =
+  private def emb(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(s)
     Tables.t(s, dir, "embeddings")
+  }
 
-  /** Dot product of two array<float> columns in double, summed in index
-    * order (foldLeft) — bit-identical to the oracle's left-associated
-    * unrolled SQL sum. The HOF form stays small enough for whole-stage
-    * codegen to JIT; an unrolled 64-term element_at chain does not.
+  /** Dot product of two array<float|double> columns in double, summed in
+    * index order — bit-identical to the oracle's left-associated unrolled
+    * SQL sum. Native kernel (graft.functions.VecDot): one primitive loop
+    * over ArrayData, no boxed per-element intermediates.
     */
-  def dot(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
+  def dot(a: Column, b: Column): Column = call_function("graft_vec_dot", a, b)
 
   /** Unrolled L2 norm. */
   def norm(a: Column): Column = sqrt(dot(a, a))
@@ -102,18 +101,14 @@ object SimilarityOps {
     Array.fill(Planes, Dim)(next())
   }
 
-  /** Signature via higher-order functions over the literal plane matrix —
-    * compact expression (an unrolled 16×64 chain makes whole-stage codegen
-    * emit a method too large to JIT; the HOF form is smaller and faster).
+  /** Signature: one native vec_dot against each constant plane (array
+    * literals evaluate once, the dot is a primitive loop), bits folded with
+    * plain column arithmetic — max value 2^16, no overflow concerns.
     */
-  private def signature(e: Column): Column = {
-    val planesCol = array(planes.map(p => array(p.map(lit): _*)): _*)
-    aggregate(
-      transform(planesCol, p =>
-        when(aggregate(zip_with(e, p, (x, y) => x.cast("double") * y),
-          lit(0.0), (acc, v) => acc + v) >= 0, 1L).otherwise(0L)),
-      lit(0L), (acc, bit) => acc * 2 + bit)
-  }
+  private def signature(e: Column): Column =
+    planes.map(p =>
+      when(dot(e, typedLit(p.toSeq)) >= 0, lit(1L)).otherwise(lit(0L)))
+      .reduce((acc, bit) => acc * 2 + bit)
 
   /** ANN via random-hyperplane LSH, two-table multi-probe: the 16-bit
     * signature splits into two independent 8-bit tables (high/low byte); a
