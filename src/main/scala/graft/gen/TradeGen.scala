@@ -75,7 +75,24 @@ object TradeGen {
     * from (id, seed) hashes — same output for any partitioning.
     */
   def trades(spark: SparkSession, n: Long, seed: Int = 42,
-      baseDate: String = "2026-01-15"): DataFrame = {
+      baseDate: String = "2026-01-15"): DataFrame =
+    derive(spark.range(n).toDF, seed, baseDate)
+
+  /** Streaming twin (SURVEY.md §2.1 S1): the rate source supplies the
+    * monotonically increasing id, the identical derivation chain supplies
+    * the 20 fields — so batch fixtures and the live stream are the same
+    * generator, differing only in the source operator.
+    */
+  def tradeStream(spark: SparkSession, rowsPerSecond: Int = 100,
+      seed: Int = 42, baseDate: String = "2026-01-15"): DataFrame =
+    derive(
+      spark.readStream.format("rate")
+        .option("rowsPerSecond", rowsPerSecond).load()
+        .select(col("value").as("id")),
+      seed, baseDate)
+
+  /** The 20-column derivation chain over any frame with a long `id`. */
+  private def derive(ids: DataFrame, seed: Int, baseDate: String): DataFrame = {
     val s = seed * 1000 // offset streams per seed
 
     val statusExpr = {
@@ -86,7 +103,7 @@ object TradeGen {
         }.get.otherwise(statusWeights.last._1)
     }
 
-    spark.range(n)
+    ids
       // 12-char unique key (reference: uuid4()[:12]); id-based rather than
       // random so the key is unique by construction and reproducible
       .withColumn("trade_id", concat(lit("T"), lpad(col("id"), 11, "0")))

@@ -133,6 +133,66 @@ object SimilarityOps {
       .limit(10)
   }
 
+  /** All-nearest-neighbor table — the embedding-cosine near-dup primitive:
+    * for every vector, its most-similar neighbor within the label block and
+    * the cosine score (a dedup pass keeps `nn_cos < threshold` rows or
+    * collapses clusters; threshold stays a caller decision since it is
+    * corpus-dependent). Label blocking bounds the quadratic term exactly as
+    * in q41; at scale the block key becomes an LSH bucket (q42) instead of
+    * a label.
+    */
+  def nnDedup(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = emb(s, dir).withColumn("nrm", norm(col("embedding")))
+    val a = d.select(col("vec_id").as("vec_id"), col("label"),
+      col("embedding").as("a_emb"), col("nrm").as("a_nrm"))
+    val b = d.select(col("vec_id").as("nn_id"), col("label").as("b_label"),
+      col("embedding").as("b_emb"), col("nrm").as("b_nrm"))
+    val cos = dot(col("a_emb"), col("b_emb")) / (col("a_nrm") * col("b_nrm"))
+    val w = Window.partitionBy("vec_id")
+      .orderBy(col("cos").desc, col("nn_id").asc)
+    a.join(b, col("label") === col("b_label") && col("vec_id") =!= col("nn_id"))
+      .withColumn("cos", cos)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("label"), col("nn_id"),
+        round(col("cos"), 6).as("nn_cos"))
+      .orderBy("vec_id")
+  }
+
+  /** IVF-style ANN: per-label centroids act as the coarse quantizer cells
+    * (the testdata's labels are its natural clustering; a k-means coarse
+    * codebook drops into the same shape). The query probes its `nProbe`
+    * nearest cells, then exact-re-ranks only those cells' vectors — the
+    * scan shrinks by ~|cells|/nProbe versus brute force, and both the
+    * centroid table and the probe list are broadcast (no shuffle of the
+    * corpus at any point).
+    */
+  def annIvf(s: SparkSession, dir: String): DataFrame = {
+    val nProbe = 3
+    val e = emb(s, dir)
+    val cent = e.groupBy("label").agg(
+      array((0 until Dim).map(i =>
+        avg(element_at(col("embedding"), i + 1))): _*).as("centroid"))
+    val q = broadcast(e.filter(col("vec_id") === 0)
+      .select(col("embedding").as("q_emb")))
+    val probed = broadcast(
+      cent.crossJoin(q)
+        .withColumn("c_cos",
+          dot(col("centroid"), col("q_emb")) /
+            (sqrt(dot(col("centroid"), col("centroid"))) * norm(col("q_emb"))))
+        .orderBy(col("c_cos").desc, col("label").asc)
+        .limit(nProbe)
+        .select(col("label")))
+    e.join(probed, "label")
+      .filter(col("vec_id") =!= 0)
+      .crossJoin(q)
+      .select(col("vec_id"), col("label"),
+        round(cosine(col("embedding"), col("q_emb")), 6).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_id").asc)
+      .limit(10)
+  }
+
   /** Per-label centroids, one row per (label, dim): posexplode + exact
     * decimal mean (order-independent, oracle-stable).
     */
@@ -149,10 +209,13 @@ object SimilarityOps {
     "q40_ann_topk" -> annTopK,
     "q41_cosine_top_pairs" -> cosineTopPairs,
     "q42_ann_lsh" -> annLsh,
-    "q43_label_centroids" -> labelCentroids)
+    "q43_label_centroids" -> labelCentroids,
+    "q44_nn_dedup" -> nnDedup,
+    "q45_ann_ivf" -> annIvf)
 
-  /** q42 omitted: signature planes use Spark's xxhash64 (not reproducible in
-    * DuckDB) — rows-only check + ScalaTest recall vs the exact q40 ranking.
+  /** q42/q45 omitted: q42's signature planes are not reproducible in DuckDB,
+    * and q45's probe selection depends on float centroid math — both get the
+    * driver's rows-only check plus ScalaTest recall vs the exact q40 ranking.
     */
   val oracle: Map[String, String] = Map(
     "q40_ann_topk" ->
@@ -172,6 +235,16 @@ object SimilarityOps {
          |    AS cos_sim
          |FROM d a JOIN d b ON a.label = b.label AND a.vec_id < b.vec_id
          |ORDER BY cos_sim DESC, a_id ASC, b_id ASC LIMIT 50""".stripMargin,
+    "q44_nn_dedup" ->
+      s"""WITH d AS (SELECT vec_id, label, embedding,
+         |  ${sqlNorm("embedding")} AS nrm FROM embeddings),
+         |p AS (SELECT a.vec_id AS vec_id, a.label, b.vec_id AS nn_id,
+         |  (${sqlDot("a.embedding", "b.embedding")}) / (a.nrm * b.nrm) AS cos
+         |  FROM d a JOIN d b ON a.label = b.label AND a.vec_id <> b.vec_id),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY vec_id
+         |  ORDER BY cos DESC, nn_id ASC) AS rn FROM p)
+         |SELECT vec_id, label, nn_id, round(cos, 6) AS nn_cos
+         |FROM r WHERE rn = 1 ORDER BY vec_id""".stripMargin,
     "q43_label_centroids" ->
       """SELECT label, s.i AS dim,
         |  round(CAST(sum(CAST(embedding[s.i] AS DECIMAL(38,10))) AS DOUBLE)

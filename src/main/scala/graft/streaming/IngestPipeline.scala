@@ -48,13 +48,20 @@ object IngestPipeline {
     StructField("timestamp", TimestampType),
     StructField("processed_by", StringType)))
 
+  /** Wire timestamp format: Python `datetime.isoformat()` carries
+    * microseconds and no zone (producer.py:126); the default Spark JSON
+    * format is millisecond-only and would silently truncate.
+    */
+  val wireOptions: Map[String, String] =
+    Map("timestampFormat" -> "yyyy-MM-dd'T'HH:mm:ss.SSSSSS")
+
   /** Wire-format decode: JSON string payload → 20 typed columns.
     * PERMISSIVE parse + key-null filter reproduces the reference's
     * per-message poison-pill skip (consumer.py:116-118) without killing the
     * stream.
     */
   def parseTrades(raw: DataFrame, payload: Column = col("value")): DataFrame =
-    raw.select(from_json(payload.cast("string"), tradeSchema).as("t"))
+    raw.select(from_json(payload.cast("string"), tradeSchema, wireOptions).as("t"))
       .select(col("t.*"))
       .filter(col("trade_id").isNotNull)
 

@@ -1,0 +1,45 @@
+package graft.streaming
+
+import graft.gen.TradeGen
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import scala.jdk.CollectionConverters._
+
+/** Raw trade-stream sources, all yielding the same wire shape — a `value`
+  * column holding the JSON payload — so [[IngestPipeline.parseTrades]] and
+  * everything downstream is source-agnostic. Swapping Kafka for the
+  * self-contained rate generator (or a drop directory of JSON files) is a
+  * one-line config change, exactly the isolation SURVEY.md §7.1 calls for.
+  */
+object TradeSource {
+
+  /** Kafka source (reference topology: topic `trades`, earliest offsets —
+    * consumer.py:12-19). Requires the spark-sql-kafka connector on the
+    * classpath and a reachable broker; not exercised in this harness (no
+    * broker, no connector jar), kept as the production wiring.
+    */
+  def kafka(spark: SparkSession, bootstrapServers: String,
+      topic: String = "trades"): DataFrame =
+    spark.readStream.format("kafka")
+      .option("kafka.bootstrap.servers", bootstrapServers)
+      .option("subscribe", topic)
+      .option("startingOffsets", "earliest")
+      .load()
+      .select(col("value"))
+
+  /** File-drop source: a directory watched for JSON-lines files (each line
+    * one trade). The batch twin of a Kafka topic for harness testing.
+    */
+  def jsonFiles(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream.text(dir).select(col("value"))
+
+  /** Self-contained generator source: rate source → seeded 20-field trades
+    * (gen.TradeGen) → JSON wire encoding, so the full
+    * decode→dedup→sink pipeline runs without any external system.
+    */
+  def rate(spark: SparkSession, rowsPerSecond: Int = 100,
+      seed: Int = 42): DataFrame =
+    TradeGen.tradeStream(spark, rowsPerSecond, seed)
+      .select(to_json(struct(col("*")),
+        IngestPipeline.wireOptions.asJava).as("value"))
+}

@@ -79,5 +79,19 @@ class DedupSpec extends SparkSpec {
     val brute = SimilarityOps.annTopK(spark, dir).collect()
     assert(brute.head.getLong(0) === 1L)
     assert(brute.head.getDouble(2) > 0.99)
+
+    // IVF: the planted near-dup shares the query's label, so its cell is
+    // the closest centroid to the query and must be probed.
+    val ivf = SimilarityOps.annIvf(spark, dir).collect()
+    assert(ivf.nonEmpty && ivf.head.getLong(0) === 1L,
+      s"IVF must retrieve the planted neighbor, got ${ivf.map(_.getLong(0)).toSeq}")
+
+    // all-NN dedup table: the planted pair must be mutual nearest neighbors
+    // with cosine > 0.99; every vector gets exactly one row.
+    val nn = SimilarityOps.nnDedup(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getDouble(3))).toMap
+    assert(nn(0L)._1 === 1L && nn(1L)._1 === 0L)
+    assert(nn(0L)._2 > 0.99)
+    assert(nn.size === 200)
   }
 }

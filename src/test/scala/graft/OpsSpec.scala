@@ -20,7 +20,7 @@ class OpsSpec extends SparkSpec {
   test("every query key has either an oracle or a documented omission") {
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(noOracle === Set("q38_minhash_lsh_pairs", "q39_simhash_pairs",
-      "q42_ann_lsh", "q51_media_features"))
+      "q42_ann_lsh", "q45_ann_ivf", "q51_media_features"))
   }
 
   test("kpi overview internal consistency") {

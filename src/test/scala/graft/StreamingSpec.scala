@@ -4,6 +4,7 @@ import graft.gen.TradeGen
 import graft.streaming.IngestPipeline
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
+import scala.jdk.CollectionConverters._
 
 /** Streaming-pipeline tests per SURVEY.md §5.2(4): MemoryStream in,
   * processAllAvailable, assert sink contents.
@@ -54,7 +55,8 @@ class StreamingSpec extends SparkSpec {
   test("streaming 1-minute windows match batch date_trunc on the same data") {
     implicit val sqlCtx = spark.sqlContext
     val trades = TradeGen.trades(spark, 200, seed = 5).cache()
-    val json = trades.select(to_json(struct(col("*"))).as("j")).as[String]
+    val json = trades.select(to_json(struct(col("*")),
+        IngestPipeline.wireOptions.asJava).as("j")).as[String]
       .collect().toSeq
 
     val input = MemoryStream[String]

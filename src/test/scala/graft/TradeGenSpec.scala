@@ -2,6 +2,7 @@ package graft
 
 import graft.gen.TradeGen
 import org.apache.spark.sql.functions._
+import scala.jdk.CollectionConverters._
 
 /** Property checks for the seeded generator — the invariants from
   * SURVEY.md §5.2(3) (producer.py:62-105 semantics).
@@ -13,6 +14,18 @@ class TradeGenSpec extends SparkSpec {
   test("generates the requested row count with unique trade ids") {
     assert(trades.count() === 2000)
     assert(trades.select("trade_id").distinct().count() === 2000)
+  }
+
+  test("JSON wire round-trip: gen → to_json → parseTrades is lossless") {
+    // the same encode/decode pair the Kafka path uses (F1/F2), run batch
+    val wire = trades.limit(200).select(to_json(struct(col("*")),
+      graft.streaming.IngestPipeline.wireOptions.asJava).as("value"))
+    val back = graft.streaming.IngestPipeline.parseTrades(wire)
+    assert(back.count() === 200)
+    assert(back.schema === graft.streaming.IngestPipeline.tradeSchema)
+    val orig = trades.limit(200)
+    assert(back.exceptAll(orig).count() === 0)
+    assert(orig.exceptAll(back).count() === 0)
   }
 
   test("derived columns satisfy producer invariants") {
