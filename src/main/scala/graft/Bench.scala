@@ -14,10 +14,18 @@ object Bench {
     // and shuffle machinery otherwise all land on whichever query runs first.
     spark.range(1000000).selectExpr("sum(id)").collect()
     Tables.names.foreach(n => Tables.t(spark, sfDir, n).count())
+    // Two timed iterations per query, best-of reported: per-query JIT and
+    // allocation noise at these sub-second scales otherwise dominates the
+    // comparison. Cached intermediates are dropped between iterations so
+    // the second run re-executes the full plan, not an InMemoryRelation.
     val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val times = (1 to 2).map { _ =>
+        spark.sharedState.cacheManager.clearCache()
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        (System.nanoTime() - t0) / 1e9
+      }
+      name -> times.min
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

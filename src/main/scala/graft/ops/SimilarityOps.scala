@@ -142,21 +142,24 @@ object SimilarityOps {
     * a label.
     */
   def nnDedup(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val d = emb(s, dir).withColumn("nrm", norm(col("embedding")))
     val a = d.select(col("vec_id").as("vec_id"), col("label"),
       col("embedding").as("a_emb"), col("nrm").as("a_nrm"))
     val b = d.select(col("vec_id").as("nn_id"), col("label").as("b_label"),
       col("embedding").as("b_emb"), col("nrm").as("b_nrm"))
     val cos = dot(col("a_emb"), col("b_emb")) / (col("a_nrm") * col("b_nrm"))
-    val w = Window.partitionBy("vec_id")
-      .orderBy(col("cos").desc, col("nn_id").asc)
+    // arg-max via max_by with a (cos, -nn_id) key — ties break to the lowest
+    // neighbor id, matching the oracle's `ORDER BY cos DESC, nn_id ASC`.
+    // Unlike a window rank (which shuffles every candidate pair), max_by
+    // partial-aggregates map-side: only one row per vector reaches the
+    // shuffle, so the plan is insensitive to block size.
     a.join(b, col("label") === col("b_label") && col("vec_id") =!= col("nn_id"))
       .withColumn("cos", cos)
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col("vec_id"), col("label"), col("nn_id"),
-        round(col("cos"), 6).as("nn_cos"))
+      .groupBy("vec_id", "label")
+      .agg(max_by(struct(col("nn_id"), col("cos")),
+        struct(col("cos"), -col("nn_id"))).as("nn"))
+      .select(col("vec_id"), col("label"), col("nn.nn_id").as("nn_id"),
+        round(col("nn.cos"), 6).as("nn_cos"))
       .orderBy("vec_id")
   }
 
