@@ -18,13 +18,8 @@ object Scratch {
       val n = f
       println(f"$name rows=$n ${(System.nanoTime() - t0) / 1e9}%.2f s")
     }
-    val queries: Map[String, DataFrame] = Map(
-      "q37" -> ops.DedupOps.jaccardPairs(spark, dir),
-      "q38" -> ops.DedupOps.minhashLshPairs(spark, dir),
-      "q39" -> ops.DedupOps.simhashPairs(spark, dir),
-      "q40" -> ops.SimilarityOps.annTopK(spark, dir),
-      "q41" -> ops.SimilarityOps.cosineTopPairs(spark, dir),
-      "q42" -> ops.SimilarityOps.annLsh(spark, dir))
+    val queries: Map[String, DataFrame] =
+      SparkEntry.queries.map { case (k, fn) => k.take(3) -> fn(spark, dir) }
     val name = args.headOption.getOrElse("q37")
     val df = queries(name)
     if (args.length > 1 && args(1) == "explain") df.explain("formatted")
