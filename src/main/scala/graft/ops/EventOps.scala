@@ -154,7 +154,38 @@ object EventOps {
       .orderBy("user_id", "event_type")
   }
 
+  /** Sessionization: split each user's event stream on >30-minute gaps
+    * (classic training-data/behavioral primitive). Batch formulation: a
+    * boundary flag via lag(), a running sum turning flags into session
+    * ordinals, then one aggregate per session. Gap compare runs on integer
+    * microseconds — exact, no float-epoch drift against the oracle. The
+    * streaming twin (graft.streaming.SessionPipeline) keeps the open
+    * session in flatMapGroupsWithState state and must produce exactly
+    * these rows once sessions close — asserted in StreamingSpec.
+    */
+  def userSessions(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val GapMicros = 1800L * 1000000L
+    val w = Window.partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
+    events(s, dir)
+      .withColumn("us", unix_micros(col("ts")))
+      .withColumn("boundary",
+        when(col("us") - lag(col("us"), 1).over(w) > GapMicros ||
+          lag(col("us"), 1).over(w).isNull, 1).otherwise(0))
+      .withColumn("session_seq",
+        sum(col("boundary")).over(w.rowsBetween(Window.unboundedPreceding,
+          Window.currentRow)))
+      .groupBy("user_id", "session_seq")
+      .agg(
+        min(col("ts")).as("session_start"),
+        max(col("ts")).as("session_end"),
+        count(lit(1)).as("n_events"),
+        dsum(col("value")).as("total_value"))
+      .orderBy("user_id", "session_seq")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q13_user_sessions" -> userSessions,
     "q01_recent_events" -> recentEvents,
     "q02_kpi_overview" -> kpiOverview,
     "q03_type_distribution" -> typeDistribution,
@@ -169,6 +200,22 @@ object EventOps {
     "q12_dedup_events" -> dedupEvents)
 
   val oracle: Map[String, String] = Map(
+    "q13_user_sessions" ->
+      s"""WITH b AS (SELECT user_id, event_id, ts, value, epoch_us(ts) AS us,
+         |  CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+         |         OR lag(epoch_us(ts)) OVER w IS NULL
+         |       THEN 1 ELSE 0 END AS boundary
+         |  FROM events
+         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)),
+         |s AS (SELECT *, sum(boundary) OVER (PARTITION BY user_id
+         |  ORDER BY ts ASC, event_id ASC
+         |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+         |  FROM b)
+         |SELECT user_id, session_seq, min(ts) AS session_start,
+         |  max(ts) AS session_end, count(*) AS n_events,
+         |  ${sqlDsum("value")} AS total_value
+         |FROM s GROUP BY user_id, session_seq
+         |ORDER BY user_id, session_seq""".stripMargin,
     "q01_recent_events" ->
       """SELECT event_id, ts, user_id, event_type, value FROM events
         |WHERE event_type = 'click'

@@ -81,6 +81,36 @@ class StreamingSpec extends SparkSpec {
     assert(got === want)
   }
 
+  test("streaming sessionization closes sessions per the batch definition") {
+    import graft.streaming.{ClosedSession, SessionEvent, SessionPipeline}
+    implicit val sqlCtx = spark.sqlContext
+    implicit val sp = spark
+    val M = 1000000L
+    def ev(u: Long, id: Long, sec: Long, v: Double) =
+      SessionEvent(u, id, sec * M, v)
+
+    val input = MemoryStream[SessionEvent]
+    val q = SessionPipeline.sessionize(input.toDS())
+      .writeStream.format("memory").queryName("sess")
+      .outputMode("append").start()
+
+    // batch 1: u1 gets a 2-event session then a gap boundary; u2 one event
+    input.addData(ev(1, 1, 0, 1.0), ev(1, 2, 100, 2.0), ev(2, 5, 50, 4.0))
+    q.processAllAvailable()
+    // batch 2: u1 continues past the gap (closing session 1), then both
+    // users get a far-future event that forces every real session closed
+    input.addData(ev(1, 3, 1901, 0.75), ev(1, 4, 2001, 0.75),
+      ev(1, 9, 999999, 0.0), ev(2, 9, 999999, 0.0))
+    q.processAllAvailable()
+    q.stop()
+
+    val got = spark.table("sess").as[ClosedSession].collect().toSet
+    assert(got === Set(
+      ClosedSession(1, 1, 0, 100 * M, 2, 3.0),
+      ClosedSession(1, 2, 1901 * M, 2001 * M, 2, 1.5),
+      ClosedSession(2, 1, 50 * M, 50 * M, 1, 4.0)))
+  }
+
   test("watermarked dedup drops cross-batch duplicates") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[String]
