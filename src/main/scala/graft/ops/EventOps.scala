@@ -184,8 +184,25 @@ object EventOps {
       .orderBy("user_id", "session_seq")
   }
 
+  /** Exact interpolated percentiles of `value` per event type (p50/p95/p99)
+    * — distribution analytics beyond the reference's sums/counts. Exact
+    * `percentile` (not percentile_approx) so the DuckDB `quantile_cont`
+    * twin agrees; at true scale the one-line swap to `percentile_approx`
+    * trades exactness for a mergeable sketch.
+    */
+  def valuePercentiles(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .groupBy("event_type")
+      .agg(
+        round(expr("percentile(value, 0.5)"), 4).as("p50"),
+        round(expr("percentile(value, 0.95)"), 4).as("p95"),
+        round(expr("percentile(value, 0.99)"), 4).as("p99"),
+        count(lit(1)).as("n"))
+      .orderBy("event_type")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q13_user_sessions" -> userSessions,
+    "q14_value_percentiles" -> valuePercentiles,
     "q01_recent_events" -> recentEvents,
     "q02_kpi_overview" -> kpiOverview,
     "q03_type_distribution" -> typeDistribution,
@@ -200,6 +217,13 @@ object EventOps {
     "q12_dedup_events" -> dedupEvents)
 
   val oracle: Map[String, String] = Map(
+    "q14_value_percentiles" ->
+      """SELECT event_type,
+        |  round(quantile_cont(value, 0.5), 4) AS p50,
+        |  round(quantile_cont(value, 0.95), 4) AS p95,
+        |  round(quantile_cont(value, 0.99), 4) AS p99,
+        |  count(*) AS n
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q13_user_sessions" ->
       s"""WITH b AS (SELECT user_id, event_id, ts, value, epoch_us(ts) AS us,
          |  CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000

@@ -197,7 +197,31 @@ object RelationalOps {
       .agg(count(lit(1)).as("n_orders"))
       .orderBy("n_items")
 
+  /** ROLLUP over the region→nation hierarchy: per-nation, per-region
+    * subtotal, and grand-total rows from one pass (grouping-sets surface;
+    * Catalyst expands the rollup before the single shuffle).
+    */
+  def regionRollup(s: SparkSession, dir: String): DataFrame = {
+    // via spark.sql: the Dataset-API rollup trips Spark's
+    // ambiguous-self-join detector when grouping columns are join
+    // attributes (the rollup's Expand duplicates them); the SQL path
+    // resolves by scope and plans identically.
+    t(s, dir, "customer").createOrReplaceTempView("g_customer")
+    t(s, dir, "nation").createOrReplaceTempView("g_nation")
+    t(s, dir, "region").createOrReplaceTempView("g_region")
+    s.sql(
+      """SELECT /*+ BROADCAST(g_nation, g_region) */
+        |  r_name, n_name, count(*) AS n_customers,
+        |  CAST(round(sum(CAST(c_acctbal AS DECIMAL(38,10))), 2) AS DOUBLE)
+        |    AS total_acctbal
+        |FROM g_customer JOIN g_nation ON c_nationkey = n_nationkey
+        |JOIN g_region ON n_regionkey = r_regionkey
+        |GROUP BY ROLLUP (r_name, n_name)
+        |ORDER BY r_name ASC NULLS FIRST, n_name ASC NULLS FIRST""".stripMargin)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q19_region_rollup" -> regionRollup,
     "q20_pricing_summary" -> pricingSummary,
     "q21_top_customer_revenue" -> topCustomerRevenue,
     "q22_region_revenue" -> regionRevenue,
@@ -213,6 +237,14 @@ object RelationalOps {
   private val disc = "l_extendedprice * (1.0 - l_discount)"
 
   val oracle: Map[String, String] = Map(
+    "q19_region_rollup" ->
+      """SELECT r_name, n_name, count(*) AS n_customers,
+        |  CAST(round(sum(CAST(c_acctbal AS DECIMAL(38,10))), 2) AS DOUBLE)
+        |    AS total_acctbal
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY ROLLUP (r_name, n_name)
+        |ORDER BY r_name ASC NULLS FIRST, n_name ASC NULLS FIRST""".stripMargin,
     "q20_pricing_summary" ->
       s"""SELECT l_returnflag, l_linestatus,
          |  ${sqlDsum("l_quantity")} AS sum_qty,
