@@ -200,9 +200,28 @@ object EventOps {
         count(lit(1)).as("n"))
       .orderBy("event_type")
 
+  /** Sketch twin of the exact distribution queries — the 100 TB path:
+    * approx_count_distinct (HyperLogLog++) and percentile_approx
+    * (KLL-style) are single-pass, mergeable, fixed-memory summaries, where
+    * their exact counterparts (q11/q14) need per-group distinct state or a
+    * full sort. Spark-only (sketch internals aren't reproducible in
+    * DuckDB); OpsSpec bounds the estimation error against the exact
+    * results instead.
+    */
+  def sketchStats(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .groupBy("event_type")
+      .agg(
+        countDistinct(col("user_id")).as("exact_users"),
+        approx_count_distinct(col("user_id"), 0.02).as("approx_users"),
+        expr("percentile(value, 0.5)").as("exact_p50"),
+        expr("percentile_approx(value, 0.5, 1000)").as("approx_p50"))
+      .orderBy("event_type")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q13_user_sessions" -> userSessions,
     "q14_value_percentiles" -> valuePercentiles,
+    "q15_sketch_stats" -> sketchStats,
     "q01_recent_events" -> recentEvents,
     "q02_kpi_overview" -> kpiOverview,
     "q03_type_distribution" -> typeDistribution,

@@ -1,0 +1,77 @@
+package graft
+
+import graft.functions.GraftFunctions
+import org.apache.spark.sql.functions._
+
+/** Behavioral properties of the native Catalyst expressions
+  * (functions/expressions.scala): estimation quality for the sketch
+  * kernels, bit-exactness for the dot product.
+  */
+class FunctionsSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  GraftFunctions.ensureRegistered(spark)
+
+  test("vec_dot matches a driver-side index-order dot exactly") {
+    val rnd = new scala.util.Random(7)
+    val rows = (1 to 50).map { i =>
+      (i.toLong, Array.fill(64)(rnd.nextGaussian().toFloat),
+        Array.fill(64)(rnd.nextGaussian().toFloat))
+    }
+    val got = rows.toDF("id", "a", "b")
+      .select(col("id"), call_function("graft_vec_dot", col("a"), col("b")))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    rows.foreach { case (id, a, b) =>
+      var acc = 0.0
+      (0 until 64).foreach(i => acc += a(i).toDouble * b(i).toDouble)
+      assert(got(id) === acc, s"row $id") // bit-exact, no tolerance
+    }
+  }
+
+  test("vec_dot accepts mixed float/double arrays") {
+    val one = Seq((Array(1.0f, 2.0f), Array(3.0, 4.0))).toDF("a", "b")
+      .select(call_function("graft_vec_dot", col("a"), col("b")))
+      .head().getDouble(0)
+    assert(one === 11.0)
+  }
+
+  test("minhash band-key agreement tracks Jaccard similarity") {
+    // identical sets → all bands equal; disjoint sets → (w.h.p.) none
+    val a = (1L to 300L).toArray
+    val same = a.clone()
+    val disjoint = (1001L to 1300L).toArray
+    // ~0.9-Jaccard overlap: 290 shared of ~310 union
+    val near = ((1L to 290L) ++ (2001L to 2020L)).toArray
+    val df = Seq(("a", a), ("same", same), ("dis", disjoint), ("near", near))
+      .toDF("name", "shs")
+      .select(col("name"),
+        call_function("graft_minhash_band_keys", col("shs"), lit(16)).as("bh"))
+    val keys = df.collect()
+      .map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    assert(keys("a") === keys("same"))
+    assert(keys("a").zip(keys("dis")).count { case (x, y) => x == y } === 0)
+    val nearMatches = keys("a").zip(keys("near"))
+      .count { case (x, y) => x == y }
+    // P(band match) = J^4 ≈ 0.66 per band at J≈0.9 → expect ~10/16; require ≥ 4
+    assert(nearMatches >= 4, s"only $nearMatches bands matched at J≈0.9")
+  }
+
+  test("simhash: identical sets collide, near sets are close, disjoint far") {
+    val a = (1L to 200L).toArray
+    val near = ((1L to 190L) ++ (5001L to 5010L)).toArray
+    val dis = (9001L to 9200L).toArray
+    // hash ids first, as the production path does — simhash votes expect
+    // well-mixed bits, not small sequential integers
+    val h = Seq(("a", a), ("same", a.clone()), ("near", near), ("dis", dis))
+      .toDF("name", "ids")
+      .select(col("name"), call_function("graft_simhash64",
+        expr("transform(ids, t -> xxhash64(t))")))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    def ham(x: Long, y: Long) = java.lang.Long.bitCount(x ^ y)
+    assert(ham(h("a"), h("same")) === 0)
+    assert(ham(h("a"), h("near")) < ham(h("a"), h("dis")),
+      "a 95%-overlapping set must be closer than a disjoint one")
+    assert(ham(h("a"), h("dis")) > 10, "disjoint sets should differ widely")
+  }
+}

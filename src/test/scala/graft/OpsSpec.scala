@@ -19,8 +19,22 @@ class OpsSpec extends SparkSpec {
 
   test("every query key has either an oracle or a documented omission") {
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    assert(noOracle === Set("q38_minhash_lsh_pairs", "q39_simhash_pairs",
-      "q42_ann_lsh", "q45_ann_ivf", "q51_media_features"))
+    assert(noOracle === Set("q15_sketch_stats", "q38_minhash_lsh_pairs",
+      "q39_simhash_pairs", "q42_ann_lsh", "q45_ann_ivf",
+      "q51_media_features"))
+  }
+
+  test("sketch stats track the exact aggregates within error bounds") {
+    val rows = ops.EventOps.sketchStats(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (exactU, approxU) = (r.getLong(1), r.getLong(2))
+      assert(math.abs(approxU - exactU) <= math.max(2.0, 0.1 * exactU),
+        s"HLL estimate $approxU too far from exact $exactU")
+      val (exactP, approxP) = (r.getDouble(3), r.getDouble(4))
+      assert(math.abs(approxP - exactP) <= math.max(0.5, 0.1 * math.abs(exactP)),
+        s"approx p50 $approxP too far from exact $exactP")
+    }
   }
 
   test("kpi overview internal consistency") {
