@@ -12,16 +12,16 @@ object Scratch {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val dir = "/root/testdata/sf0.1"
+    val dir = sys.env.getOrElse("SCRATCH_DIR", "/root/testdata/sf0.1")
     def time(name: String)(f: => Long): Unit = {
       val t0 = System.nanoTime()
       val n = f
       println(f"$name rows=$n ${(System.nanoTime() - t0) / 1e9}%.2f s")
     }
-    val queries: Map[String, DataFrame] =
-      SparkEntry.queries.map { case (k, fn) => k.take(3) -> fn(spark, dir) }
     val name = args.headOption.getOrElse("q37")
-    val df = queries(name)
+    val df = SparkEntry.queries
+      .collectFirst { case (k, fn) if k.startsWith(name) => fn(spark, dir) }
+      .getOrElse(sys.error(s"no query named $name"))
     if (args.length > 1 && args(1) == "explain") df.explain("formatted")
     time(name)(df.count())
     time(s"$name-again")(df.count())

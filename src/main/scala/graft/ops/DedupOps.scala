@@ -71,23 +71,45 @@ object DedupOps {
     * bit-for-bit with the oracle's double compare: for denominators ≤ 64
     * the only boundary fraction is 9/10, whose IEEE quotient equals the
     * 0.9 literal exactly).
+    *
+    * The pair scan runs over DISTINCT (lang, mask) groups, not documents —
+    * a ≤64-token vocabulary admits at most 2^|V| distinct token sets, and
+    * dense corpora collapse far below that, so the quadratic term is M²
+    * over distinct sets while everything per-document stays linear
+    * (group, then expand qualifying group pairs through the doc-id lists).
+    * Same-mask groups short-circuit as J = 1 exactly.
     */
   private def jaccardPairsMask(d: DataFrame, vocab: Array[String]): DataFrame = {
     val vocabSql = vocab.map(t => "'" + t.replace("'", "''") + "'")
       .mkString("array(", ",", ")")
-    val dm = d.withColumn("mask", expr(
-      s"aggregate(toks, 0L, (acc, t) -> " +
-        s"acc | shiftleft(1L, int(array_position($vocabSql, t)) - 1))"))
-    val a = dm.select(col("doc_id").as("a_id"), col("lang"),
-      col("mask").as("a_mask"))
-    val b = dm.select(col("doc_id").as("b_id"), col("lang").as("b_lang"),
-      col("mask").as("b_mask"))
+    val groups = d.withColumn("mask", expr(
+        s"aggregate(toks, 0L, (acc, t) -> " +
+          s"acc | shiftleft(1L, int(array_position($vocabSql, t)) - 1))"))
+      .groupBy(col("lang"), col("mask"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+    val a = groups.select(col("lang"), col("mask").as("a_mask"),
+      col("ids").as("a_ids"))
+    val b = groups.select(col("lang").as("b_lang"), col("mask").as("b_mask"),
+      col("ids").as("b_ids"))
     val inter = bit_count(col("a_mask").bitwiseAND(col("b_mask")))
     val uni = bit_count(col("a_mask").bitwiseOR(col("b_mask")))
-    a.join(b, col("lang") === col("b_lang"))
-      .filter(col("a_id") < col("b_id") && inter * 10 >= uni * 9)
-      .select(col("lang"), col("a_id"), col("b_id"),
+    // pairs within a group (same token set, J = 1): ordered combinations;
+    // pairs across two groups: full cross of the id lists, ordered per pair
+    val pairs = when(col("a_mask") === col("b_mask"),
+      expr("""flatten(transform(a_ids, (x, i) ->
+              |  transform(slice(a_ids, i + 2, size(a_ids)), y ->
+              |    struct(x AS a_id, y AS b_id))))""".stripMargin))
+      .otherwise(
+        expr("""flatten(transform(a_ids, x ->
+                |  transform(b_ids, y ->
+                |    struct(least(x, y) AS a_id, greatest(x, y) AS b_id))))"""
+          .stripMargin))
+    a.join(b, col("lang") === col("b_lang") &&
+        col("a_mask") <= col("b_mask") && inter * 10 >= uni * 9)
+      .select(col("lang"),
+        explode(pairs).as("p"),
         round(inter.cast("double") / uni, 6).as("jaccard"))
+      .select(col("lang"), col("p.a_id"), col("p.b_id"), col("jaccard"))
       .orderBy("a_id", "b_id")
   }
 
