@@ -259,11 +259,52 @@ object DedupOps {
       .orderBy("a_id", "b_id")
   }
 
+  /** Near-dup clustering: connected components over the exact Jaccard pair
+    * graph (q37), each document labeled with its component representative
+    * (minimum doc_id) — the step that turns pair mining into an actual
+    * keep-one dedup decision.
+    *
+    * Iterative min-label propagation on DataFrames: every round each node
+    * takes the min of its own label and its neighbors' labels; a driver-side
+    * convergence check (labels changed == 0) ends the loop. Similarity
+    * graphs are clique-dense, so convergence is 1–2 rounds; each round is
+    * one shuffle join sized by the edge list (the Hash-to-Min pattern —
+    * this is how components are computed at 100 TB, no driver-side graph).
+    */
+  def dedupClusters(s: SparkSession, dir: String): DataFrame = {
+    val pairs = jaccardPairs(s, dir).select(col("a_id"), col("b_id")).cache()
+    val edges = pairs
+      .union(pairs.select(col("b_id").as("a_id"), col("a_id").as("b_id")))
+      .toDF("src", "dst").cache()
+    var labels = edges.select(col("src").as("doc_id")).distinct()
+      .withColumn("rep", col("doc_id")).cache()
+    var converged = false
+    var rounds = 0
+    while (!converged && rounds < 25) {
+      val viaNeighbors = edges
+        .join(labels.withColumnRenamed("doc_id", "dst"), "dst")
+        .groupBy(col("src").as("doc_id"))
+        .agg(min(col("rep")).as("n_rep"))
+      val next = labels.join(viaNeighbors, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          least(col("rep"), coalesce(col("n_rep"), col("rep"))).as("rep"))
+        .cache()
+      next.count() // materialize before comparing
+      converged = next.join(labels.withColumnRenamed("rep", "old_rep"), "doc_id")
+        .filter(col("rep") < col("old_rep")).isEmpty
+      labels.unpersist()
+      labels = next
+      rounds += 1
+    }
+    labels.orderBy("doc_id").select("doc_id", "rep")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q36_exact_dedup" -> exactDedup,
     "q37_jaccard_pairs" -> jaccardPairs,
     "q38_minhash_lsh_pairs" -> minhashLshPairs,
-    "q39_simhash_pairs" -> simhashPairs)
+    "q39_simhash_pairs" -> simhashPairs,
+    "q46_dedup_clusters" -> dedupClusters)
 
   /** q38/q39 intentionally omitted: their signatures use Spark's xxhash64,
     * which DuckDB cannot reproduce — they get the driver's rows-only check
@@ -290,5 +331,26 @@ object DedupOps {
         |SELECT lang, a_id, b_id,
         |  round(inter / (a_n + b_n - inter), 6) AS jaccard
         |FROM p WHERE inter / (a_n + b_n - inter) >= 0.9e0
-        |ORDER BY a_id, b_id""".stripMargin)
+        |ORDER BY a_id, b_id""".stripMargin,
+    "q46_dedup_clusters" ->
+      """WITH RECURSIVE
+        |d AS (SELECT doc_id, lang,
+        |  list_distinct(string_split(trim(text), ' ')) AS toks
+        |  FROM documents),
+        |p AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |  len(list_intersect(a.toks, b.toks)) AS inter,
+        |  len(a.toks) AS a_n, len(b.toks) AS b_n
+        |  FROM d a JOIN d b ON a.lang = b.lang AND a.doc_id < b.doc_id
+        |    AND len(a.toks) * 10 >= len(b.toks) * 9
+        |    AND len(b.toks) * 10 >= len(a.toks) * 9),
+        |pr AS (SELECT a_id, b_id FROM p
+        |  WHERE inter / (a_n + b_n - inter) >= 0.9e0),
+        |e AS (SELECT a_id AS src, b_id AS dst FROM pr
+        |  UNION ALL SELECT b_id, a_id FROM pr),
+        |reach(src, dst) AS (
+        |  SELECT src, dst FROM e
+        |  UNION
+        |  SELECT r.src, e.dst FROM reach r JOIN e ON r.dst = e.src)
+        |SELECT src AS doc_id, least(src, min(dst)) AS rep
+        |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin)
 }

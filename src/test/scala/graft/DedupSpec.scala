@@ -53,6 +53,13 @@ class DedupSpec extends SparkSpec {
       "distinct doc must not pair")
   }
 
+  test("dedup clusters label every planted near-dup with the min doc_id") {
+    val reps = DedupOps.dedupClusters(spark, plantedDocsDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(reps === Map(0L -> 0L, 1L -> 0L, 3L -> 0L),
+      s"docs 0/1/3 form one component rooted at 0, got $reps")
+  }
+
   test("minhash LSH output is a subset of exact shingle-jaccard >= 0.8") {
     // On real testdata: every LSH-emitted pair must be verified-correct
     // (precision 1.0 by construction — candidates are exactly re-checked).
