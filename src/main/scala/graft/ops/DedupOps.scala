@@ -272,27 +272,35 @@ object DedupOps {
     * this is how components are computed at 100 TB, no driver-side graph).
     */
   def dedupClusters(s: SparkSession, dir: String): DataFrame = {
-    val pairs = jaccardPairs(s, dir).select(col("a_id"), col("b_id")).cache()
+    val pairs = jaccardPairs(s, dir).select(col("a_id"), col("b_id"))
     val edges = pairs
       .union(pairs.select(col("b_id").as("a_id"), col("a_id").as("b_id")))
-      .toDF("src", "dst").cache()
+      .toDF("src", "dst").localCheckpoint(true)
     var labels = edges.select(col("src").as("doc_id")).distinct()
-      .withColumn("rep", col("doc_id")).cache()
+      .withColumn("rep", col("doc_id")).localCheckpoint(true)
     var converged = false
     var rounds = 0
-    while (!converged && rounds < 25) {
+    while (!converged && rounds < 40) {
+      // propagate: each node takes min(own label, neighbors' labels)
       val viaNeighbors = edges
         .join(labels.withColumnRenamed("doc_id", "dst"), "dst")
         .groupBy(col("src").as("doc_id"))
         .agg(min(col("rep")).as("n_rep"))
-      val next = labels.join(viaNeighbors, Seq("doc_id"), "left")
+      val prop = labels.join(viaNeighbors, Seq("doc_id"), "left")
         .select(col("doc_id"),
           least(col("rep"), coalesce(col("n_rep"), col("rep"))).as("rep"))
-        .cache()
-      next.count() // materialize before comparing
+      // pointer-jump: follow rep one hop (rep := rep(rep)); labels only
+      // shrink, so each round squares the propagation distance — O(log d)
+      // rounds instead of O(diameter)
+      val next = prop
+        .join(prop.select(col("doc_id").as("rep"), col("rep").as("rep2")),
+          Seq("rep"))
+        .select(col("doc_id"), least(col("rep"), col("rep2")).as("rep"))
+        // truncate lineage per round — without this the logical plan nests one
+        // level per iteration and analysis time dwarfs execution
+        .localCheckpoint(true)
       converged = next.join(labels.withColumnRenamed("rep", "old_rep"), "doc_id")
         .filter(col("rep") < col("old_rep")).isEmpty
-      labels.unpersist()
       labels = next
       rounds += 1
     }
