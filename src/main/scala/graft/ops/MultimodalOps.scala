@@ -77,11 +77,23 @@ object MultimodalOps {
             val meanByte = math.round(sum * 10000.0 / n) / 10000.0
             val dominantBin = hist.indices.maxBy(j => (hist(j), -j))
             val sampled = (n + 1023) / 1024
-            (m.doc_id, n, meanByte, dominantBin, sampled)
+            // "resize": fixed-size downsample of the payload — 8 equal-width
+            // buckets of byte means (the thumbnail analogue of the stubbed
+            // pixel decode; fixed output width regardless of input size)
+            val thumb = Array.tabulate(8) { k =>
+              val lo = k * n / 8
+              val hi = math.max(lo + 1, (k + 1) * n / 8)
+              var s = 0L
+              var j = lo
+              while (j < hi) { s += bytes(j) & 0xFF; j += 1 }
+              (s / (hi - lo)).toInt
+            }
+            (m.doc_id, n, meanByte, dominantBin, sampled, thumb)
           }
         }
       }
-      .toDF("doc_id", "n_bytes", "mean_byte", "dominant_bin", "frames_sampled")
+      .toDF("doc_id", "n_bytes", "mean_byte", "dominant_bin", "frames_sampled",
+        "thumb8")
       .orderBy("doc_id")
   }
 

@@ -75,6 +75,12 @@ class OpsSpec extends SparkSpec {
       val mean = math.round(bytes.map(_ & 0xFF).map(_.toLong).sum
         * 10000.0 / bytes.length) / 10000.0
       assert(r.getAs[Double]("mean_byte") === mean)
+      val thumb = r.getSeq[Int](r.fieldIndex("thumb8"))
+      assert(thumb.length === 8, "resize output must be fixed-width")
+      assert(thumb.forall(v => v >= 0 && v <= 255))
+      val n = bytes.length
+      val b0 = bytes.slice(0, math.max(1, n / 8)).map(_ & 0xFF)
+      assert(thumb.head === b0.map(_.toLong).sum / b0.length)
     }
   }
 
