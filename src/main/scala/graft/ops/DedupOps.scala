@@ -276,8 +276,11 @@ object DedupOps {
     val edges = pairs
       .union(pairs.select(col("b_id").as("a_id"), col("a_id").as("b_id")))
       .toDF("src", "dst").localCheckpoint(true)
-    var labels = edges.select(col("src").as("doc_id")).distinct()
-      .withColumn("rep", col("doc_id")).localCheckpoint(true)
+    // round 0 fused into initialization: label = min(self, neighbors)
+    var labels = edges.groupBy(col("src"))
+      .agg(min(col("dst")).as("mn"))
+      .select(col("src").as("doc_id"), least(col("src"), col("mn")).as("rep"))
+      .localCheckpoint(true)
     var converged = false
     var rounds = 0
     while (!converged && rounds < 40) {
@@ -287,7 +290,7 @@ object DedupOps {
         .groupBy(col("src").as("doc_id"))
         .agg(min(col("rep")).as("n_rep"))
       val prop = labels.join(viaNeighbors, Seq("doc_id"), "left")
-        .select(col("doc_id"),
+        .select(col("doc_id"), col("rep").as("old"),
           least(col("rep"), coalesce(col("n_rep"), col("rep"))).as("rep"))
       // pointer-jump: follow rep one hop (rep := rep(rep)); labels only
       // shrink, so each round squares the propagation distance — O(log d)
@@ -295,13 +298,15 @@ object DedupOps {
       val next = prop
         .join(prop.select(col("doc_id").as("rep"), col("rep").as("rep2")),
           Seq("rep"))
-        .select(col("doc_id"), least(col("rep"), col("rep2")).as("rep"))
-        // truncate lineage per round — without this the logical plan nests one
-        // level per iteration and analysis time dwarfs execution
+        .select(col("doc_id"), least(col("rep"), col("rep2")).as("rep"),
+          col("old"))
+        // truncate lineage per round — without this the logical plan nests
+        // one level per iteration and analysis time dwarfs execution
         .localCheckpoint(true)
-      converged = next.join(labels.withColumnRenamed("rep", "old_rep"), "doc_id")
-        .filter(col("rep") < col("old_rep")).isEmpty
-      labels = next
+      // the change flag was carried through the round, so convergence reads
+      // checkpointed data instead of re-joining against the previous labels
+      converged = next.filter(col("rep") < col("old")).isEmpty
+      labels = next.select("doc_id", "rep")
       rounds += 1
     }
     labels.orderBy("doc_id").select("doc_id", "rep")
