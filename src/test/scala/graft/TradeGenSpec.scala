@@ -28,6 +28,25 @@ class TradeGenSpec extends SparkSpec {
     assert(orig.exceptAll(back).count() === 0)
   }
 
+  test("producer invariants hold for arbitrary seeds (ScalaCheck)") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    // one Spark job per sample — keep the sample count small but the seeds
+    // arbitrary; every invariant below must hold for EVERY seed
+    val prop = Prop.forAll(Gen.choose(1, 1000000)) { seed =>
+      val t = TradeGen.trades(spark, 300, seed = seed)
+      val bad = t.filter(
+        abs(col("notional_value") - round(col("quantity") * col("price"), 2)) > 0.011 ||
+          (col("priority") === "High") =!=
+            (col("status").contains("Break") || col("notional_value") > 1000000.0) ||
+          col("stp_eligible") === col("status").contains("Break") ||
+          !col("asset_class").isin(TradeGen.assetClasses: _*))
+      bad.count() == 0 && t.select("trade_id").distinct().count() == 300
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(5),
+      prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("derived columns satisfy producer invariants") {
     val bad = trades.filter(
       abs(col("notional_value") - round(col("quantity") * col("price"), 2)) > 0.011 ||
