@@ -123,14 +123,96 @@ object TextOps {
           / size(col("shingles")), 6).as("repetition_ratio"))
       .orderBy("doc_id")
 
+  /** Per-language quotas for the stratified sample (percent to keep) —
+    * rebalances the en-heavy corpus, the standard training-mix operation.
+    */
+  private val quotas = Seq("en" -> 40, "de" -> 80, "es" -> 80, "fr" -> 80,
+    "zh" -> 80)
+
+  /** Deterministic stratified sampling: keep a per-language fraction chosen
+    * by an arithmetic hash of doc_id ((id·48271+7) mod 100 — exact integer
+    * math, portable to any engine, reproducible on any cluster; `rand()`
+    * would be neither). The same primitive with a 90/10 split is the
+    * train/validation splitter. Output: per-language kept/total accounting.
+    */
+  def stratifiedSample(s: SparkSession, dir: String): DataFrame = {
+    val quotaCol = quotas.tail.foldLeft(
+      when(col("lang") === quotas.head._1, quotas.head._2)) {
+      case (acc, (l, p)) => acc.when(col("lang") === l, p)
+    }.otherwise(0)
+    docs(s, dir)
+      .withColumn("keep",
+        (col("doc_id") * 48271L + 7L) % 100L < quotaCol)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("keep").cast("long")).as("n_kept"),
+        round(sum(col("keep").cast("long")) * lit(100.0) / count(lit(1)), 2)
+          .as("kept_pct"))
+      .orderBy("lang")
+  }
+
+  /** Quality-based retention: the top-20 documents per language by the q33
+    * composite score (rank-within-partition + qualify — the "keep the best
+    * k per stratum" curation op). Deterministic tie-break on doc_id.
+    */
+  def qualityTopK(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scored = docs(s, dir)
+      .withColumn("toks", tokens)
+      .withColumn("n_tokens", size(col("toks")))
+      .withColumn("score", round(
+        lit(0.4) * (size(array_distinct(col("toks"))) / col("n_tokens"))
+          + lit(0.3) * least(
+            length(regexp_replace(col("text"), " ", "")) / col("n_tokens") / 10.0,
+            lit(1.0))
+          + lit(0.3) * (lit(1.0) -
+            size(regexp_extract_all(col("text"), lit("[^a-zA-Z0-9 ]"), lit(0)))
+              / col("n_tokens")), 6))
+    val w = Window.partitionBy("lang")
+      .orderBy(col("score").desc, col("doc_id").asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 20)
+      .select("lang", "rank", "doc_id", "score")
+      .orderBy("lang", "rank")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q31_token_stats" -> tokenStats,
     "q32_lang_profile" -> langProfile,
     "q33_quality_score" -> qualityScore,
     "q34_doc_fingerprint" -> docFingerprint,
-    "q35_shingle_profile" -> shingleProfile)
+    "q35_shingle_profile" -> shingleProfile,
+    "q47_stratified_sample" -> stratifiedSample,
+    "q48_quality_topk" -> qualityTopK)
 
   val oracle: Map[String, String] = Map(
+    "q47_stratified_sample" ->
+      """WITH k AS (SELECT lang,
+        |  (doc_id * 48271 + 7) % 100 <
+        |    (CASE lang WHEN 'en' THEN 40 WHEN 'de' THEN 80 WHEN 'es' THEN 80
+        |               WHEN 'fr' THEN 80 WHEN 'zh' THEN 80 ELSE 0 END) AS keep
+        |  FROM documents)
+        |SELECT lang, count(*) AS n_docs,
+        |  sum(CAST(keep AS BIGINT)) AS n_kept,
+        |  round(sum(CAST(keep AS BIGINT)) * CAST(100 AS DOUBLE) / count(*), 2)
+        |    AS kept_pct
+        |FROM k GROUP BY lang ORDER BY lang""".stripMargin,
+    "q48_quality_topk" ->
+      """WITH d AS (SELECT doc_id, lang, text,
+        |  string_split(trim(text), ' ') AS toks FROM documents),
+        |sc AS (SELECT doc_id, lang,
+        |  round(0.4e0 * (len(list_distinct(toks)) / len(toks))
+        |    + 0.3e0 * least(
+        |        length(regexp_replace(text, ' ', '', 'g')) / len(toks) / 10.0e0,
+        |        1.0e0)
+        |    + 0.3e0 * (1.0e0 - len(regexp_extract_all(text, '[^a-zA-Z0-9 ]'))
+        |        / len(toks)), 6) AS score
+        |  FROM d),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY lang
+        |  ORDER BY score DESC, doc_id ASC) AS rank FROM sc)
+        |SELECT lang, rank, doc_id, score FROM r WHERE rank <= 20
+        |ORDER BY lang, rank""".stripMargin,
     "q31_token_stats" ->
       """SELECT doc_id, lang, n_chars,
         |  len(string_split(trim(text), ' ')) AS ws_tokens,
