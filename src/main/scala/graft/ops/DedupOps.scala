@@ -79,20 +79,35 @@ object DedupOps {
     * (group, then expand qualifying group pairs through the doc-id lists).
     * Same-mask groups short-circuit as J = 1 exactly.
     */
-  private def jaccardPairsMask(d: DataFrame, vocab: Array[String]): DataFrame = {
+  /** Distinct (lang, token-set-mask) groups with sorted member lists. */
+  private def maskGroups(d: DataFrame, vocab: Array[String]): DataFrame = {
     val vocabSql = vocab.map(t => "'" + t.replace("'", "''") + "'")
       .mkString("array(", ",", ")")
-    val groups = d.withColumn("mask", expr(
+    d.withColumn("mask", expr(
         s"aggregate(toks, 0L, (acc, t) -> " +
           s"acc | shiftleft(1L, int(array_position($vocabSql, t)) - 1))"))
       .groupBy(col("lang"), col("mask"))
       .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+  }
+
+  /** Qualifying group pairs (same-mask groups join themselves once) with
+    * the group Jaccard. Output: lang, a_mask, a_ids, b_mask, b_ids, jaccard.
+    */
+  private def maskGroupEdges(groups: DataFrame): DataFrame = {
     val a = groups.select(col("lang"), col("mask").as("a_mask"),
       col("ids").as("a_ids"))
     val b = groups.select(col("lang").as("b_lang"), col("mask").as("b_mask"),
       col("ids").as("b_ids"))
     val inter = bit_count(col("a_mask").bitwiseAND(col("b_mask")))
     val uni = bit_count(col("a_mask").bitwiseOR(col("b_mask")))
+    a.join(b, col("lang") === col("b_lang") &&
+        col("a_mask") <= col("b_mask") && inter * 10 >= uni * 9)
+      .filter(col("a_mask") < col("b_mask") || size(col("a_ids")) >= 2)
+      .select(col("lang"), col("a_mask"), col("a_ids"), col("b_mask"),
+        col("b_ids"), round(inter.cast("double") / uni, 6).as("jaccard"))
+  }
+
+  private def jaccardPairsMask(d: DataFrame, vocab: Array[String]): DataFrame = {
     // pairs within a group (same token set, J = 1): ordered combinations;
     // pairs across two groups: full cross of the id lists, ordered per pair
     val pairs = when(col("a_mask") === col("b_mask"),
@@ -104,11 +119,8 @@ object DedupOps {
                 |  transform(b_ids, y ->
                 |    struct(least(x, y) AS a_id, greatest(x, y) AS b_id))))"""
           .stripMargin))
-    a.join(b, col("lang") === col("b_lang") &&
-        col("a_mask") <= col("b_mask") && inter * 10 >= uni * 9)
-      .select(col("lang"),
-        explode(pairs).as("p"),
-        round(inter.cast("double") / uni, 6).as("jaccard"))
+    maskGroupEdges(maskGroups(d, vocab))
+      .select(col("lang"), explode(pairs).as("p"), col("jaccard"))
       .select(col("lang"), col("p.a_id"), col("p.b_id"), col("jaccard"))
       .orderBy("a_id", "b_id")
   }
@@ -272,44 +284,87 @@ object DedupOps {
     * this is how components are computed at 100 TB, no driver-side graph).
     */
   def dedupClusters(s: SparkSession, dir: String): DataFrame = {
-    val pairs = jaccardPairs(s, dir).select(col("a_id"), col("b_id"))
-    val edges = pairs
-      .union(pairs.select(col("b_id").as("a_id"), col("a_id").as("b_id")))
-      .toDF("src", "dst").localCheckpoint(true)
+    val d = docs(s, dir)
+      .select(col("doc_id"), col("lang"),
+        array_distinct(split(trim(col("text")), " ")).as("toks"))
+      .withColumn("n_toks", size(col("toks")))
+    val vocab = d.select(explode(col("toks")).as("tok"))
+      .distinct().orderBy("tok").limit(65)
+      .collect().map(_.getString(0))
+    if (vocab.length <= 64) {
+      // contract before CC: all members of one (lang, mask) group are
+      // mutually J=1 connected, so the component structure lives entirely
+      // on the GROUP graph (one node per distinct token set, node id = min
+      // member). CC runs over thousands of supernodes instead of the
+      // expanded doc-pair graph, then membership lists expand the labels.
+      val groups = maskGroups(d, vocab).localCheckpoint(true)
+      val ge = maskGroupEdges(groups)
+        .select(col("a_mask"), col("b_mask"),
+          col("a_ids").getItem(0).as("a0"), col("b_ids").getItem(0).as("b0"))
+        .localCheckpoint(true)
+      val nodes = ge.select(col("a0").as("id"))
+        .union(ge.select(col("b0").as("id"))).distinct()
+      val edgesU = ge.filter(col("a_mask") < col("b_mask"))
+        .select(col("a0").as("src"), col("b0").as("dst"))
+      val cc = connectedComponents(nodes, edgesU)
+      groups
+        .select(col("ids").getItem(0).as("id"), explode(col("ids")).as("doc_id"))
+        .join(cc, "id")
+        .select(col("doc_id"), col("rep"))
+        .orderBy("doc_id")
+    } else {
+      val pairs = jaccardPairsPrefix(d).select(col("a_id"), col("b_id"))
+        .localCheckpoint(true)
+      val nodes = pairs.select(col("a_id").as("id"))
+        .union(pairs.select(col("b_id").as("id"))).distinct()
+      connectedComponents(nodes,
+        pairs.select(col("a_id").as("src"), col("b_id").as("dst")))
+        .select(col("id").as("doc_id"), col("rep"))
+        .orderBy("doc_id")
+    }
+  }
+
+  /** Connected components over an undirected edge list: min-label
+    * propagation with pointer jumping (rep := rep(rep) each round squares
+    * the propagation distance — O(log d) rounds instead of O(diameter)),
+    * lineage truncated per round via localCheckpoint (without it the
+    * nested logical plan makes analysis dwarf execution). Returns
+    * (id, rep) for every node, rep = component minimum.
+    */
+  private def connectedComponents(nodes: DataFrame,
+      undirected: DataFrame): DataFrame = {
+    val edges = undirected
+      .union(undirected.select(col("dst").as("src"), col("src").as("dst")))
+      .localCheckpoint(true)
     // round 0 fused into initialization: label = min(self, neighbors)
-    var labels = edges.groupBy(col("src"))
-      .agg(min(col("dst")).as("mn"))
-      .select(col("src").as("doc_id"), least(col("src"), col("mn")).as("rep"))
+    var labels = nodes
+      .join(edges.groupBy(col("src").as("id")).agg(min(col("dst")).as("mn")),
+        Seq("id"), "left")
+      .select(col("id"), least(col("id"), coalesce(col("mn"), col("id")))
+        .as("rep"))
       .localCheckpoint(true)
     var converged = false
     var rounds = 0
     while (!converged && rounds < 40) {
-      // propagate: each node takes min(own label, neighbors' labels)
       val viaNeighbors = edges
-        .join(labels.withColumnRenamed("doc_id", "dst"), "dst")
-        .groupBy(col("src").as("doc_id"))
+        .join(labels.withColumnRenamed("id", "dst"), "dst")
+        .groupBy(col("src").as("id"))
         .agg(min(col("rep")).as("n_rep"))
-      val prop = labels.join(viaNeighbors, Seq("doc_id"), "left")
-        .select(col("doc_id"), col("rep").as("old"),
+      val prop = labels.join(viaNeighbors, Seq("id"), "left")
+        .select(col("id"), col("rep").as("old"),
           least(col("rep"), coalesce(col("n_rep"), col("rep"))).as("rep"))
-      // pointer-jump: follow rep one hop (rep := rep(rep)); labels only
-      // shrink, so each round squares the propagation distance — O(log d)
-      // rounds instead of O(diameter)
       val next = prop
-        .join(prop.select(col("doc_id").as("rep"), col("rep").as("rep2")),
+        .join(prop.select(col("id").as("rep"), col("rep").as("rep2")),
           Seq("rep"))
-        .select(col("doc_id"), least(col("rep"), col("rep2")).as("rep"),
-          col("old"))
-        // truncate lineage per round — without this the logical plan nests
-        // one level per iteration and analysis time dwarfs execution
+        .select(col("id"), least(col("rep"), col("rep2")).as("rep"), col("old"))
         .localCheckpoint(true)
-      // the change flag was carried through the round, so convergence reads
-      // checkpointed data instead of re-joining against the previous labels
+      // change flag carried through the round: convergence reads
+      // checkpointed data, no extra join against the previous labels
       converged = next.filter(col("rep") < col("old")).isEmpty
-      labels = next.select("doc_id", "rep")
+      labels = next.select("id", "rep")
       rounds += 1
     }
-    labels.orderBy("doc_id").select("doc_id", "rep")
+    labels
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
