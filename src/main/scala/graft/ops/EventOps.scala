@@ -218,10 +218,27 @@ object EventOps {
         expr("percentile_approx(value, 0.5, 1000)").as("approx_p50"))
       .orderBy("event_type")
 
+  /** Pivot (rows→columns, the inverse of q07's unpivot): per-user value
+    * totals spread across one column per event type. The pivot value list
+    * is pinned (not inferred) so the plan is a single pass with no
+    * distinct-values pre-query and the output schema is deterministic.
+    */
+  def typePivot(s: SparkSession, dir: String): DataFrame = {
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    events(s, dir)
+      .filter(col("user_id") < 50)
+      .groupBy("user_id")
+      .pivot("event_type", types)
+      .agg(dsum(col("value")))
+      .toDF("user_id" +: types: _*)
+      .orderBy("user_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q13_user_sessions" -> userSessions,
     "q14_value_percentiles" -> valuePercentiles,
     "q15_sketch_stats" -> sketchStats,
+    "q16_type_pivot" -> typePivot,
     "q01_recent_events" -> recentEvents,
     "q02_kpi_overview" -> kpiOverview,
     "q03_type_distribution" -> typeDistribution,
@@ -236,6 +253,15 @@ object EventOps {
     "q12_dedup_events" -> dedupEvents)
 
   val oracle: Map[String, String] = Map(
+    "q16_type_pivot" ->
+      s"""SELECT user_id,
+         |  ${sqlDsum("CASE WHEN event_type = 'click' THEN value END")} AS click,
+         |  ${sqlDsum("CASE WHEN event_type = 'error' THEN value END")} AS error,
+         |  ${sqlDsum("CASE WHEN event_type = 'purchase' THEN value END")} AS purchase,
+         |  ${sqlDsum("CASE WHEN event_type = 'signup' THEN value END")} AS signup,
+         |  ${sqlDsum("CASE WHEN event_type = 'view' THEN value END")} AS view
+         |FROM events WHERE user_id < 50
+         |GROUP BY user_id ORDER BY user_id""".stripMargin,
     "q14_value_percentiles" ->
       """SELECT event_type,
         |  round(quantile_cont(value, 0.5), 4) AS p50,
