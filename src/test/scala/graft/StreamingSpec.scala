@@ -6,6 +6,9 @@ import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 import scala.jdk.CollectionConverters._
 
+/** Dashboard-stream test row (top-level for encoder derivation). */
+case class Ev(event_id: Long, user_id: Long, event_type: String, value: Double)
+
 /** Streaming-pipeline tests per SURVEY.md §5.2(4): MemoryStream in,
   * processAllAvailable, assert sink contents.
   */
@@ -79,6 +82,44 @@ class StreamingSpec extends SparkSpec {
         round(sum(col("notional_value")), 2).as("tn"))
       .collect().map(r => (r.get(0), r.getLong(1), r.getDouble(2))).toSet
     assert(got === want)
+  }
+
+  test("incremental dashboard aggregates equal batch results on same data") {
+    import graft.streaming.DashboardPipeline
+    implicit val sqlCtx = spark.sqlContext
+    val b1 = (1L to 40L).map(i =>
+      Ev(i, i % 7, Seq("click", "view", "error")((i % 3).toInt), i * 1.5))
+    val b2 = (41L to 90L).map(i =>
+      Ev(i, i % 7, Seq("click", "view", "purchase")((i % 3).toInt), i * 0.5))
+
+    val input = MemoryStream[Ev]
+    val stream = input.toDF()
+    val q1 = DashboardPipeline.typeDistributionStream(stream)
+      .writeStream.format("memory").queryName("dist")
+      .outputMode("complete").start()
+    val q2 = DashboardPipeline.topUsersStream(stream, 3)
+      .writeStream.format("memory").queryName("topu")
+      .outputMode("complete").start()
+    input.addData(b1)
+    q1.processAllAvailable(); q2.processAllAvailable()
+    val afterB1 = spark.table("dist").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(afterB1("click") + afterB1("view") + afterB1("error") === 40)
+    input.addData(b2)
+    q1.processAllAvailable(); q2.processAllAvailable()
+    q1.stop(); q2.stop()
+
+    val all = (b1 ++ b2).toDF()
+    val wantDist = DashboardPipeline.typeDistributionStream(all).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val gotDist = spark.table("dist").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(gotDist === wantDist)
+    val wantTop = DashboardPipeline.topUsersStream(all, 3).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val gotTop = spark.table("topu").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(gotTop === wantTop)
   }
 
   test("streaming sessionization closes sessions per the batch definition") {
