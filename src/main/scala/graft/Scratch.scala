@@ -23,7 +23,7 @@ object Scratch {
       .collectFirst { case (k, fn) if k.startsWith(name) => fn(spark, dir) }
       .getOrElse(sys.error(s"no query named $name"))
     if (args.length > 1 && args(1) == "explain") df.explain("formatted")
-    if (args.length > 1 && args(1) == "dump") {
+    else if (args.length > 1 && args(1) == "dump") {
       df.write.mode("overwrite").parquet(s"/tmp/scratch_out/$name.parquet")
       println(s"[info] dumped $name")
     } else {

@@ -165,7 +165,11 @@ case class VecDot(left: Expression, right: Expression)
   override protected def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData]
     val b = r.asInstanceOf[ArrayData]
-    val n = math.min(a.numElements(), b.numElements())
+    val n = a.numElements()
+    // a malformed vector must fail loudly — silently truncating to the
+    // shorter array would return a plausible but wrong similarity
+    require(b.numElements() == n,
+      s"vec_dot requires equal-length arrays, got $n and ${b.numElements()}")
     var acc = 0.0
     var i = 0
     while (i < n) {

@@ -146,7 +146,10 @@ object TradeGen {
           "High").otherwise("Normal"))
       .withColumn("stp_eligible", !col("status").contains("Break"))
       .withColumn("timestamp", timestamp_micros(
-        lit(java.sql.Timestamp.valueOf(s"$baseDate 09:00:00").getTime * 1000L)
+        // epoch derived in UTC explicitly — java.sql.Timestamp.valueOf reads
+        // the JVM default zone, which would shift fixtures across hosts
+        lit(java.time.LocalDate.parse(baseDate).atTime(9, 0)
+          .toInstant(java.time.ZoneOffset.UTC).toEpochMilli * 1000L)
           + col("id") * 900000L + (u(s + 13) * 600000).cast("long")))
       .withColumn("processed_by", pick(s + 14, analystNames))
       .drop("id")

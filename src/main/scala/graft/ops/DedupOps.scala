@@ -54,7 +54,10 @@ object DedupOps {
     * computes the identical pair set via the quadratic formulation (fine at
     * oracle scale).
     */
-  def jaccardPairs(s: SparkSession, dir: String): DataFrame = {
+  /** Tokenized docs + the ≤65-token vocabulary probe that drives the plan
+    * dispatch (shared by q37 and q46 so both branch identically).
+    */
+  private def tokenizedDocs(s: SparkSession, dir: String): (DataFrame, Array[String]) = {
     val d = docs(s, dir)
       .select(col("doc_id"), col("lang"),
         array_distinct(split(trim(col("text")), " ")).as("toks"))
@@ -62,6 +65,11 @@ object DedupOps {
     val vocab = d.select(explode(col("toks")).as("tok"))
       .distinct().orderBy("tok").limit(65)
       .collect().map(_.getString(0))
+    (d, vocab)
+  }
+
+  def jaccardPairs(s: SparkSession, dir: String): DataFrame = {
+    val (d, vocab) = tokenizedDocs(s, dir)
     if (vocab.length <= 64) jaccardPairsMask(d, vocab)
     else jaccardPairsPrefix(d)
   }
@@ -79,13 +87,17 @@ object DedupOps {
     * (group, then expand qualifying group pairs through the doc-id lists).
     * Same-mask groups short-circuit as J = 1 exactly.
     */
-  /** Distinct (lang, token-set-mask) groups with sorted member lists. */
+  /** Distinct (lang, token-set-mask) groups with sorted member lists.
+    * The vocab rides in as a typed array literal and the mask fold uses
+    * Column-level functions — no SQL-text embedding, so tokens containing
+    * quotes/backslashes/control characters need no escaping at all.
+    */
   private def maskGroups(d: DataFrame, vocab: Array[String]): DataFrame = {
-    val vocabSql = vocab.map(t => "'" + t.replace("'", "''") + "'")
-      .mkString("array(", ",", ")")
-    d.withColumn("mask", expr(
-        s"aggregate(toks, 0L, (acc, t) -> " +
-          s"acc | shiftleft(1L, int(array_position($vocabSql, t)) - 1))"))
+    val vocabLit = typedLit(vocab.toSeq)
+    d.withColumn("mask",
+        aggregate(col("toks"), lit(0L), (acc, t) =>
+          acc.bitwiseOR(call_function("shiftleft", lit(1L),
+            (call_function("array_position", vocabLit, t) - 1).cast("int")))))
       .groupBy(col("lang"), col("mask"))
       .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
   }
@@ -284,13 +296,7 @@ object DedupOps {
     * this is how components are computed at 100 TB, no driver-side graph).
     */
   def dedupClusters(s: SparkSession, dir: String): DataFrame = {
-    val d = docs(s, dir)
-      .select(col("doc_id"), col("lang"),
-        array_distinct(split(trim(col("text")), " ")).as("toks"))
-      .withColumn("n_toks", size(col("toks")))
-    val vocab = d.select(explode(col("toks")).as("tok"))
-      .distinct().orderBy("tok").limit(65)
-      .collect().map(_.getString(0))
+    val (d, vocab) = tokenizedDocs(s, dir)
     if (vocab.length <= 64) {
       // contract before CC: all members of one (lang, mask) group are
       // mutually J=1 connected, so the component structure lives entirely

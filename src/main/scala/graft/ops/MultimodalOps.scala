@@ -65,6 +65,8 @@ object MultimodalOps {
           batch.map { m =>
             val bytes = m.payload
             val n = bytes.length
+            if (n == 0) (m.doc_id, 0, 0.0, 0, 0, Array.fill(8)(0))
+            else {
             var sum = 0L
             val hist = new Array[Long](8)
             var i = 0
@@ -89,6 +91,7 @@ object MultimodalOps {
               (s / (hi - lo)).toInt
             }
             (m.doc_id, n, meanByte, dominantBin, sampled, thumb)
+            }
           }
         }
       }

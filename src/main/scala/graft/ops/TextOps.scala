@@ -61,8 +61,12 @@ object TextOps {
       .orderBy("doc_id")
   }
 
-  /** Quality scoring: lexical-diversity + length + punctuation composite. */
-  def qualityScore(s: SparkSession, dir: String): DataFrame =
+  /** Shared q33/q48 quality composite: adds n_tokens, distinct_ratio,
+    * avg_len, n_punct, and the rounded 0.4/0.3/0.3 `score` column — ONE
+    * definition so retention (q48) provably ranks by the same score q33
+    * reports.
+    */
+  private def scoredDocs(s: SparkSession, dir: String): DataFrame =
     docs(s, dir)
       .withColumn("toks", tokens)
       .withColumn("n_tokens", size(col("toks")))
@@ -76,6 +80,10 @@ object TextOps {
         lit(0.4) * col("distinct_ratio")
           + lit(0.3) * least(col("avg_len") / 10.0, lit(1.0))
           + lit(0.3) * (lit(1.0) - col("n_punct") / col("n_tokens")), 6))
+
+  /** Quality scoring: lexical-diversity + length + punctuation composite. */
+  def qualityScore(s: SparkSession, dir: String): DataFrame =
+    scoredDocs(s, dir)
       .select(
         col("doc_id"), col("n_tokens"),
         round(col("distinct_ratio"), 6).as("distinct_ratio"),
@@ -157,20 +165,9 @@ object TextOps {
     */
   def qualityTopK(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val scored = docs(s, dir)
-      .withColumn("toks", tokens)
-      .withColumn("n_tokens", size(col("toks")))
-      .withColumn("score", round(
-        lit(0.4) * (size(array_distinct(col("toks"))) / col("n_tokens"))
-          + lit(0.3) * least(
-            length(regexp_replace(col("text"), " ", "")) / col("n_tokens") / 10.0,
-            lit(1.0))
-          + lit(0.3) * (lit(1.0) -
-            size(regexp_extract_all(col("text"), lit("[^a-zA-Z0-9 ]"), lit(0)))
-              / col("n_tokens")), 6))
     val w = Window.partitionBy("lang")
       .orderBy(col("score").desc, col("doc_id").asc)
-    scored
+    scoredDocs(s, dir)
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= 20)
       .select("lang", "rank", "doc_id", "score")

@@ -48,9 +48,13 @@ object IngestPipeline {
     StructField("timestamp", TimestampType),
     StructField("processed_by", StringType)))
 
-  /** Wire timestamp format: Python `datetime.isoformat()` carries
-    * microseconds and no zone (producer.py:126); the default Spark JSON
-    * format is millisecond-only and would silently truncate.
+  /** WRITE-side wire timestamp format: Python `datetime.isoformat()` carries
+    * microseconds and no zone (producer.py:126); Spark's default `to_json`
+    * output is millisecond-only and would silently truncate. The READ side
+    * deliberately uses no format — the default parser accepts any
+    * fractional precision losslessly, including isoformat()'s bare
+    * `HH:mm:ss` when microsecond == 0 (a pinned `.SSSSSS` read format
+    * would null those ~1-in-1e6 records).
     */
   val wireOptions: Map[String, String] =
     Map("timestampFormat" -> "yyyy-MM-dd'T'HH:mm:ss.SSSSSS")
@@ -61,7 +65,7 @@ object IngestPipeline {
     * stream.
     */
   def parseTrades(raw: DataFrame, payload: Column = col("value")): DataFrame =
-    raw.select(from_json(payload.cast("string"), tradeSchema, wireOptions).as("t"))
+    raw.select(from_json(payload.cast("string"), tradeSchema).as("t"))
       .select(col("t.*"))
       .filter(col("trade_id").isNotNull)
 
@@ -100,14 +104,24 @@ object IngestPipeline {
       .outputMode("append")
       .trigger(trigger)
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        // dropDuplicates inside the batch + append mode + checkpointed
-        // offsets ⇒ idempotent writes (replayed batches rewrite the same
-        // task files, duplicate keys within a batch collapse)
-        batch.dropDuplicates("trade_id")
-          .write.mode("append")
-          .partitionBy("trade_date")
-          .parquet(sinkDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // Idempotence on micro-batch replay: a failure between a plain
+        // append and the offset commit would re-run the batch and duplicate
+        // every row (append writes fresh part files each attempt). Keying
+        // the output directory on batchId and OVERWRITING it makes a
+        // replayed batch rewrite the same location instead — replays
+        // converge to exactly-once table state, matching the reference's
+        // PK-upsert guarantee. Readers load the sink root; trade_date stays
+        // a partition column inside each batch directory for pruning.
+        // Empty micro-batches (trailing AvailableNow ticks, idle triggers)
+        // are skipped: writing one would clobber a same-numbered batch
+        // directory from an earlier pipeline incarnation with nothing.
+        val deduped = batch.dropDuplicates("trade_id")
+        if (!deduped.isEmpty) {
+          deduped.write.mode("overwrite")
+            .partitionBy("trade_date")
+            .parquet(s"$sinkDir/batch_id=$batchId")
+        }
         ()
       }
       .start()
