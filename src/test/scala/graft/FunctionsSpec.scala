@@ -29,6 +29,25 @@ class FunctionsSpec extends SparkSpec {
     }
   }
 
+  test("registered functions are callable from SQL text") {
+    val r = spark.sql(
+      """SELECT graft_vec_dot(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d,
+        |       graft_simhash64(array(3L, 3L)) AS s,
+        |       size(graft_minhash_band_keys(array(1L, 2L, 3L), 16)) AS b"""
+        .stripMargin).head()
+    assert(r.getDouble(0) === 11.0)
+    assert(r.getLong(1) === 3L) // both inputs have bits 0,1 set -> majority 1s there
+    assert(r.getInt(2) === 16)
+  }
+
+  test("registerAll exposes every testdata table as a SQL view") {
+    graft.Tables.registerAll(spark, sfDir)
+    graft.Tables.names.foreach { n =>
+      assert(spark.sql(s"SELECT count(*) FROM $n").head().getLong(0) > 0,
+        s"view $n must be queryable")
+    }
+  }
+
   test("vec_dot accepts mixed float/double arrays") {
     val one = Seq((Array(1.0f, 2.0f), Array(3.0, 4.0))).toDF("a", "b")
       .select(call_function("graft_vec_dot", col("a"), col("b")))
