@@ -19,9 +19,17 @@ object Scratch {
       println(f"$name rows=$n ${(System.nanoTime() - t0) / 1e9}%.2f s")
     }
     val name = args.headOption.getOrElse("q37")
-    val df = SparkEntry.queries
-      .collectFirst { case (k, fn) if k.startsWith(name) => fn(spark, dir) }
-      .getOrElse(sys.error(s"no query named $name"))
+    // exact key, else unique prefix (deterministic — ambiguity is an error)
+    val matches = SparkEntry.queries.filter { case (k, _) =>
+      k == name || k.startsWith(name)
+    }.toSeq.sortBy(_._1)
+    val df = matches match {
+      case Seq((_, fn)) => fn(spark, dir)
+      case Seq() => sys.error(s"no query named $name")
+      case ms => ms.find(_._1 == name).map(_._2(spark, dir))
+        .getOrElse(sys.error(
+          s"ambiguous prefix $name: ${ms.map(_._1).mkString(", ")}"))
+    }
     if (args.length > 1 && args(1) == "explain") df.explain("formatted")
     else if (args.length > 1 && args(1) == "dump") {
       df.write.mode("overwrite").parquet(s"/tmp/scratch_out/$name.parquet")

@@ -17,14 +17,19 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Li
   */
 object GraftFunctions {
 
-  private def intArg(e: Expression): Int =
-    e.asInstanceOf[Literal].value.asInstanceOf[Number].intValue()
+  private def intArg(fn: String, es: Seq[Expression], i: Int): Int = es.lift(i) match {
+    case Some(Literal(v: Number, _)) => v.intValue()
+    case other => throw new IllegalArgumentException(
+      s"$fn: argument ${i + 1} must be an integer literal, got " +
+        other.map(_.sql).getOrElse("nothing"))
+  }
 
   val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "graft_minhash_band_keys" ->
-      (es => MinHashBandKeys(es.head, intArg(es(1)))),
+      (es => MinHashBandKeys(es.head, intArg("graft_minhash_band_keys", es, 1))),
     "graft_simhash64" -> (es => SimHash64(es.head)),
-    "graft_vec_dot" -> (es => VecDot(es.head, es(1))))
+    "graft_vec_dot" -> (es => VecDot(es.head, es(1))),
+    "graft_code_points" -> (es => CodePoints(es.head)))
 
   /** Idempotently register all graft functions into `spark`'s registry. */
   def ensureRegistered(spark: SparkSession): Unit = {

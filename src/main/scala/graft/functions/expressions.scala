@@ -47,6 +47,9 @@ case class MinHashBandKeys(child: Expression, bands: Int)
   import MinHashBandKeys._
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case _ if bands < 1 || bands > NumHashes || NumHashes % bands != 0 =>
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName: bands must be a divisor of $NumHashes in [1, $NumHashes], got $bands")
     case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
     case _ => TypeCheckResult.TypeCheckFailure(
       s"$prettyName requires an array<bigint> argument")
@@ -54,7 +57,7 @@ case class MinHashBandKeys(child: Expression, bands: Int)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "minhash_band_keys"
 
-  private val rowsPerBand = NumHashes / bands
+  private val rowsPerBand = NumHashes / math.max(1, bands)
 
   override protected def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
@@ -136,6 +139,44 @@ case class SimHash64(child: Expression)
     copy(child = newChild)
 }
 
+/** code_points(s: string) → array<bigint> of Unicode code points.
+  *
+  * Spark's `ascii()` collapses every non-ASCII character to 63 ('?'), so a
+  * rolling hash built on it is NOT portable against engines that fold real
+  * code points (DuckDB `unicode()`). This kernel iterates the UTF8String's
+  * code points directly, so character-level fingerprints agree across
+  * engines for any text.
+  */
+case class CodePoints(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string argument")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "code_points"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val s = input.toString
+    val n = s.codePointCount(0, s.length)
+    val out = new Array[Long](n)
+    var i = 0
+    var k = 0
+    while (k < n) {
+      val cp = s.codePointAt(i)
+      out(k) = cp.toLong
+      i += Character.charCount(cp)
+      k += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** vec_dot(a: array<float|double>, b: array<float|double>) → double: dot
   * product accumulated in double, strictly in index order (foldLeft), so the
   * result is bit-identical to a left-associated SQL sum of products — the
@@ -173,6 +214,10 @@ case class VecDot(left: Expression, right: Expression)
     var acc = 0.0
     var i = 0
     while (i < n) {
+      // null elements would read as 0.0 from UnsafeArrayData — the same
+      // silent-corruption case as a length mismatch, so fail loudly too
+      require(!a.isNullAt(i) && !b.isNullAt(i),
+        s"vec_dot: null element at position $i")
       val x = if (leftFloat) a.getFloat(i).toDouble else a.getDouble(i)
       val y = if (rightFloat) b.getFloat(i).toDouble else b.getDouble(i)
       acc += x * y

@@ -34,6 +34,20 @@ object DedupOps {
         countDistinct(col("norm")).as("n_distinct"),
         (count(lit(1)) - countDistinct(col("norm"))).as("n_dupes"))
 
+  /** Tokenized docs + the ≤65-token vocabulary probe that drives the plan
+    * dispatch (shared by q37 and q46 so both branch identically).
+    */
+  private def tokenizedDocs(s: SparkSession, dir: String): (DataFrame, Array[String]) = {
+    val d = docs(s, dir)
+      .select(col("doc_id"), col("lang"),
+        array_distinct(split(trim(col("text")), " ")).as("toks"))
+      .withColumn("n_toks", size(col("toks")))
+    val vocab = d.select(explode(col("toks")).as("tok"))
+      .distinct().orderBy("tok").limit(65)
+      .collect().map(_.getString(0))
+    (d, vocab)
+  }
+
   /** Exact distinct-word Jaccard near-dup pairs (J ≥ 0.9), with a one-probe
     * cost-based plan choice (the kind of stats-driven dispatch a real engine
     * makes at optimize time):
@@ -54,39 +68,12 @@ object DedupOps {
     * computes the identical pair set via the quadratic formulation (fine at
     * oracle scale).
     */
-  /** Tokenized docs + the ≤65-token vocabulary probe that drives the plan
-    * dispatch (shared by q37 and q46 so both branch identically).
-    */
-  private def tokenizedDocs(s: SparkSession, dir: String): (DataFrame, Array[String]) = {
-    val d = docs(s, dir)
-      .select(col("doc_id"), col("lang"),
-        array_distinct(split(trim(col("text")), " ")).as("toks"))
-      .withColumn("n_toks", size(col("toks")))
-    val vocab = d.select(explode(col("toks")).as("tok"))
-      .distinct().orderBy("tok").limit(65)
-      .collect().map(_.getString(0))
-    (d, vocab)
-  }
-
   def jaccardPairs(s: SparkSession, dir: String): DataFrame = {
     val (d, vocab) = tokenizedDocs(s, dir)
     if (vocab.length <= 64) jaccardPairsMask(d, vocab)
     else jaccardPairsPrefix(d)
   }
 
-  /** Small-vocab plan: token set → 64-bit mask, Jaccard via popcounts.
-    * `10·inter ≥ 9·union` is the exact integer form of J ≥ 0.9 (and agrees
-    * bit-for-bit with the oracle's double compare: for denominators ≤ 64
-    * the only boundary fraction is 9/10, whose IEEE quotient equals the
-    * 0.9 literal exactly).
-    *
-    * The pair scan runs over DISTINCT (lang, mask) groups, not documents —
-    * a ≤64-token vocabulary admits at most 2^|V| distinct token sets, and
-    * dense corpora collapse far below that, so the quadratic term is M²
-    * over distinct sets while everything per-document stays linear
-    * (group, then expand qualifying group pairs through the doc-id lists).
-    * Same-mask groups short-circuit as J = 1 exactly.
-    */
   /** Distinct (lang, token-set-mask) groups with sorted member lists.
     * The vocab rides in as a typed array literal and the mask fold uses
     * Column-level functions — no SQL-text embedding, so tokens containing
@@ -119,6 +106,19 @@ object DedupOps {
         col("b_ids"), round(inter.cast("double") / uni, 6).as("jaccard"))
   }
 
+  /** Small-vocab plan: token set → 64-bit mask, Jaccard via popcounts.
+    * `10·inter ≥ 9·union` is the exact integer form of J ≥ 0.9 (and agrees
+    * bit-for-bit with the oracle's double compare: for denominators ≤ 64
+    * the only boundary fraction is 9/10, whose IEEE quotient equals the
+    * 0.9 literal exactly).
+    *
+    * The pair scan runs over DISTINCT (lang, mask) groups, not documents —
+    * a ≤64-token vocabulary admits at most 2^|V| distinct token sets, and
+    * dense corpora collapse far below that, so the quadratic term is M²
+    * over distinct sets while everything per-document stays linear
+    * (group, then expand qualifying group pairs through the doc-id lists).
+    * Same-mask groups short-circuit as J = 1 exactly.
+    */
   private def jaccardPairsMask(d: DataFrame, vocab: Array[String]): DataFrame = {
     // pairs within a group (same token set, J = 1): ordered combinations;
     // pairs across two groups: full cross of the id lists, ordered per pair
@@ -173,9 +173,9 @@ object DedupOps {
 
   // ---- MinHash + LSH (sub-quadratic scale path; Spark-only check) --------
 
-  private val NumHashes = 64
+  // signature width (64 minhash values) lives in the kernel:
+  // graft.functions.MinHashBandKeys.NumHashes
   private val Bands = 16
-  private val RowsPerBand = NumHashes / Bands
 
 
   /** doc_id, hashed shingle set (word 3-grams → xxhash64 longs), and the 16
@@ -214,7 +214,7 @@ object DedupOps {
     * size-ratio band. No cross join anywhere.
     */
   def minhashLshPairs(s: SparkSession, dir: String): DataFrame = {
-    val sigs = signatures(s, dir).cache()
+    val sigs = signatures(s, dir).localCheckpoint(true)
     val banded = sigs.select(col("doc_id"), col("bh"),
       posexplode(col("bh")).as(Seq("band", "band_key")))
     val firstMatch = expr(
@@ -261,7 +261,7 @@ object DedupOps {
     * no distinct() shuffle over candidates is needed.
     */
   def simhashPairs(s: SparkSession, dir: String): DataFrame = {
-    val sh = simhashed(s, dir).cache()
+    val sh = simhashed(s, dir).localCheckpoint(true)
     val chunked = sh.select(col("doc_id"), col("simhash"),
       posexplode(array((0 until 4).map(j =>
         shiftrightunsigned(col("simhash"), j * 16)

@@ -165,7 +165,7 @@ object EventOps {
     */
   def userSessions(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val GapMicros = 1800L * 1000000L
+    val GapMicros = graft.streaming.SessionPipeline.GapMicros
     val w = Window.partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
     events(s, dir)
       .withColumn("us", unix_micros(col("ts")))
@@ -252,6 +252,8 @@ object EventOps {
     "q11_hourly_users" -> hourlyUsers,
     "q12_dedup_events" -> dedupEvents)
 
+  private val gapMicros = graft.streaming.SessionPipeline.GapMicros
+
   val oracle: Map[String, String] = Map(
     "q16_type_pivot" ->
       s"""SELECT user_id,
@@ -271,7 +273,7 @@ object EventOps {
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q13_user_sessions" ->
       s"""WITH b AS (SELECT user_id, event_id, ts, value, epoch_us(ts) AS us,
-         |  CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+         |  CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > $gapMicros
          |         OR lag(epoch_us(ts)) OVER w IS NULL
          |       THEN 1 ELSE 0 END AS boundary
          |  FROM events

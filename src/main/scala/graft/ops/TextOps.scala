@@ -94,20 +94,25 @@ object TextOps {
           .otherwise("poor").as("bucket"))
       .orderBy("doc_id")
 
-  /** Document fingerprinting: 31-polynomial rolling hash over the character
-    * stream, mod 1e9+7 — deterministic and engine-portable (unlike
-    * xxhash64/murmur, which differ between Spark and DuckDB).
+  /** Document fingerprinting: 31-polynomial rolling hash over the Unicode
+    * code-point stream, mod 1e9+7 — deterministic and engine-portable
+    * (unlike xxhash64/murmur, which differ between Spark and DuckDB). Code
+    * points come from the native graft_code_points kernel: Spark's `ascii()`
+    * collapses every non-ASCII character to '?', which would silently
+    * diverge from the oracle's `unicode()` on non-ASCII text.
     */
-  def docFingerprint(s: SparkSession, dir: String): DataFrame =
+  def docFingerprint(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(s)
     docs(s, dir)
       .select(
         col("doc_id"),
         aggregate(
-          transform(split(col("text"), ""), c => ascii(c).cast("long")),
+          call_function("graft_code_points", col("text")),
           lit(0L),
           (acc, x) => (acc * lit(31L) + x) % lit(1000000007L)).as("fingerprint"),
         col("n_chars"))
       .orderBy("doc_id")
+  }
 
   /** Word-level 3-shingle profile: shingle count, distinct shingles,
     * internal-repetition ratio (the MinHash front-end, measured exactly).

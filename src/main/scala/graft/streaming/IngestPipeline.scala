@@ -116,13 +116,16 @@ object IngestPipeline {
         // Empty micro-batches (trailing AvailableNow ticks, idle triggers)
         // are skipped: writing one would clobber a same-numbered batch
         // directory from an earlier pipeline incarnation with nothing.
-        val deduped = batch.dropDuplicates("trade_id")
-        if (!deduped.isEmpty) {
-          deduped.write.mode("overwrite")
-            .partitionBy("trade_date")
-            .parquet(s"$sinkDir/batch_id=$batchId")
-        }
-        ()
+        // persist() so the emptiness probe and the write share one
+        // evaluation of the parse/dedup plan instead of running it twice.
+        val deduped = batch.dropDuplicates("trade_id").persist()
+        try {
+          if (!deduped.isEmpty) {
+            deduped.write.mode("overwrite")
+              .partitionBy("trade_date")
+              .parquet(s"$sinkDir/batch_id=$batchId")
+          }
+        } finally { deduped.unpersist(); () }
       }
       .start()
 }
