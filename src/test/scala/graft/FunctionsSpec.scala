@@ -48,6 +48,24 @@ class FunctionsSpec extends SparkSpec {
     }
   }
 
+  test("code_points returns true Unicode code points, incl. non-ASCII") {
+    val r = spark.sql(
+      "SELECT graft_code_points('aé中'), graft_code_points('')")
+      .head()
+    assert(r.getSeq[Long](0) === Seq(97L, 233L, 20013L),
+      "must not collapse non-ASCII to '?' (63) like ascii() does")
+    assert(r.getSeq[Long](1) === Seq.empty)
+    // the q34 rolling hash over those code points, hand-computed
+    val fp = Seq(97L, 233L, 20013L)
+      .foldLeft(0L)((acc, c) => (acc * 31 + c) % 1000000007L)
+    val got = spark.sql(
+      """SELECT aggregate(graft_code_points('aé中'), 0L,
+        |  (acc, x) -> (acc * 31L + x) % 1000000007L)""".stripMargin
+        )
+      .head().getLong(0)
+    assert(got === fp)
+  }
+
   test("vec_dot accepts mixed float/double arrays") {
     val one = Seq((Array(1.0f, 2.0f), Array(3.0, 4.0))).toDF("a", "b")
       .select(call_function("graft_vec_dot", col("a"), col("b")))
