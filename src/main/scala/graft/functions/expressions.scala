@@ -181,9 +181,14 @@ case class CodePoints(child: Expression)
   * product accumulated in double, strictly in index order (foldLeft), so the
   * result is bit-identical to a left-associated SQL sum of products — the
   * property the DuckDB oracle comparison depends on.
+  *
+  * Implements real `doGenCode` (unlike the other kernels, which process a
+  * handful of rows per document): this expression runs once per CANDIDATE
+  * PAIR in the similarity joins, so it stays inside whole-stage codegen —
+  * a primitive loop over the two ArrayData with no per-call boxing.
   */
 case class VecDot(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression {
 
   override def dataType: DataType = DoubleType
   override def prettyName: String = "vec_dot"
@@ -225,6 +230,35 @@ case class VecDot(left: Expression, right: Expression)
     }
     acc
   }
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      val getA = if (leftFloat) s"(double) $a.getFloat($i)" else s"$a.getDouble($i)"
+      val getB = if (rightFloat) s"(double) $b.getFloat($i)" else s"$b.getDouble($i)"
+      s"""
+         |final int $n = $a.numElements();
+         |if ($b.numElements() != $n) {
+         |  throw new IllegalArgumentException(
+         |    "vec_dot requires equal-length arrays, got " + $n +
+         |    " and " + $b.numElements());
+         |}
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if ($a.isNullAt($i) || $b.isNullAt($i)) {
+         |    throw new IllegalArgumentException(
+         |      "vec_dot: null element at position " + $i);
+         |  }
+         |  $acc += $getA * $getB;
+         |}
+         |${ev.value} = $acc;
+         |""".stripMargin
+    })
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): Expression =
