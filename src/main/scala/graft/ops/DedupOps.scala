@@ -373,18 +373,64 @@ object DedupOps {
     labels
   }
 
+  /** Train/eval contamination check: split the corpus deterministically
+    * (arithmetic hash, 90/10), then count eval documents whose normalized
+    * text also appears in train — the standard decontamination gate before
+    * an eval set is trusted. The probe is a left-semi join against the
+    * distinct train-side texts: no row data moves for matches, and at scale
+    * the train side is the big relation so the shuffle keys on the
+    * normalized-text hash (or a bloom-filter pre-pass) rather than
+    * broadcasting eval anywhere.
+    */
+  def contamination(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+      .withColumn("norm", normText)
+      .withColumn("split",
+        when((col("doc_id") * 48271L + 7L) % 100L < 90L, "train")
+          .otherwise("eval"))
+    val train = d.filter(col("split") === "train").select("norm").distinct()
+    val eval = d.filter(col("split") === "eval")
+    val contaminated = eval.join(train, Seq("norm"), "left_semi")
+      .groupBy("lang").agg(count(lit(1)).as("n_contaminated"))
+    eval.groupBy("lang").agg(count(lit(1)).as("n_eval"))
+      .join(contaminated, Seq("lang"), "left")
+      .select(col("lang"), col("n_eval"),
+        coalesce(col("n_contaminated"), lit(0L)).as("n_contaminated"),
+        round(coalesce(col("n_contaminated"), lit(0L)) * lit(100.0)
+          / col("n_eval"), 2).as("contaminated_pct"))
+      .orderBy("lang")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q36_exact_dedup" -> exactDedup,
     "q37_jaccard_pairs" -> jaccardPairs,
     "q38_minhash_lsh_pairs" -> minhashLshPairs,
     "q39_simhash_pairs" -> simhashPairs,
-    "q46_dedup_clusters" -> dedupClusters)
+    "q46_dedup_clusters" -> dedupClusters,
+    "q49_contamination" -> contamination)
 
   /** q38/q39 intentionally omitted: their signatures use Spark's xxhash64,
     * which DuckDB cannot reproduce — they get the driver's rows-only check
     * plus ScalaTest recall checks against the exact q37 ground truth.
     */
   val oracle: Map[String, String] = Map(
+    "q49_contamination" ->
+      """WITH d AS (SELECT doc_id, lang,
+        |  regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm,
+        |  CASE WHEN (doc_id * 48271 + 7) % 100 < 90 THEN 'train'
+        |       ELSE 'eval' END AS split
+        |  FROM documents),
+        |tr AS (SELECT DISTINCT norm FROM d WHERE split = 'train'),
+        |ev AS (SELECT lang, norm FROM d WHERE split = 'eval'),
+        |c AS (SELECT lang, count(*) AS n_contaminated FROM ev
+        |  WHERE EXISTS (SELECT 1 FROM tr WHERE tr.norm = ev.norm)
+        |  GROUP BY lang)
+        |SELECT ev.lang, count(*) AS n_eval,
+        |  coalesce(any_value(c.n_contaminated), 0) AS n_contaminated,
+        |  round(coalesce(any_value(c.n_contaminated), 0)
+        |    * CAST(100 AS DOUBLE) / count(*), 2) AS contaminated_pct
+        |FROM ev LEFT JOIN c ON ev.lang = c.lang
+        |GROUP BY ev.lang ORDER BY ev.lang""".stripMargin,
     "q36_exact_dedup" ->
       """SELECT count(*) AS n_docs,
         |  count(DISTINCT regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
