@@ -19,6 +19,29 @@ object Scratch {
       println(f"$name rows=$n ${(System.nanoTime() - t0) / 1e9}%.2f s")
     }
     val name = args.headOption.getOrElse("q37")
+    if (name == "ingest") {
+      // live end-to-end smoke: rate source → JSON wire → parse → dedup →
+      // idempotent parquet sink, running real micro-batches for a few
+      // seconds (the self-contained twin of the Kafka deployment)
+      val sink = java.nio.file.Files.createTempDirectory("live-sink").toString
+      val ckpt = java.nio.file.Files.createTempDirectory("live-ckpt").toString
+      val q = streaming.IngestPipeline.runIngest(spark,
+        streaming.TradeSource.rate(spark, rowsPerSecond = 200), sink, ckpt,
+        trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime("1 second"))
+      // poll for the first committed batch (processAllAvailable never
+      // returns on an unbounded rate source), then let one more tick land
+      val deadline = System.currentTimeMillis() + 60000
+      def committedBatches: Int = Option(new java.io.File(sink).listFiles())
+        .map(_.count(_.getName.startsWith("batch_id="))).getOrElse(0)
+      while (committedBatches < 2 && System.currentTimeMillis() < deadline)
+        Thread.sleep(500)
+      q.stop()
+      val out = spark.read.parquet(sink)
+      println(s"[live] rows=${out.count()} distinct=${out.select("trade_id").distinct().count()}" +
+        s" batches=${out.select("batch_id").distinct().count()}")
+      spark.stop()
+      return
+    }
     // exact key, else unique prefix (deterministic — ambiguity is an error)
     val matches = SparkEntry.queries.filter { case (k, _) =>
       k == name || k.startsWith(name)
