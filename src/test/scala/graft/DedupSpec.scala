@@ -30,6 +30,67 @@ class DedupSpec extends SparkSpec {
     dir
   }
 
+  /** Independent exact ground truth: all pairs with distinct-token Jaccard
+    * ≥ `t` within language, computed with plain Scala sets from the raw
+    * parquet — shares nothing with the DedupOps implementations.
+    */
+  private def exactTokenPairs(dir: String, t: Double)
+      : Map[(Long, Long), Double] = {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "lang", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        r.getString(2).trim.split(" ").toSet))
+    (for {
+      (a, la, sa) <- docs
+      (b, lb, sb) <- docs
+      if a < b && la == lb
+      inter = (sa & sb).size
+      jac = inter.toDouble / (sa.size + sb.size - inter)
+      if jac >= t
+    } yield (a, b) -> math.rint(jac * 1e6) / 1e6).toMap
+  }
+
+  test("q37 equals an independently computed exact pair set at sf0.001") {
+    val want = exactTokenPairs(sfDir, 0.9)
+    val got = DedupOps.jaccardPairs(spark, sfDir).collect()
+      .map(r => (r.getLong(1), r.getLong(2)) -> r.getDouble(3)).toMap
+    assert(got.keySet === want.keySet)
+    got.foreach { case (k, v) =>
+      assert(math.abs(v - want(k)) < 1e-9, s"pair $k: $v vs ${want(k)}") }
+  }
+
+  test("the general-vocab prefix path matches the exact pair set") {
+    import spark.implicits._
+    // >64 distinct tokens forces jaccardPairsPrefix + the prefix branch of
+    // dedupClusters — the production path for any realistic corpus
+    val rnd = new scala.util.Random(13)
+    val vocab = (0 until 120).map(i => s"w$i")
+    def doc(): Seq[String] = rnd.shuffle(vocab).take(30)
+    val d0 = doc()
+    val d1 = d0.updated(0, "w999") // 29/31 shared tokens → J ≈ 0.935
+    val rows = Seq((0L, d0), (1L, d1), (2L, d0.reverse)) ++ // 2 dups of 0
+      (3L until 40L).map(i => (i, doc()))
+    val dir = tmpDir("bigvocab-docs")
+    rows.map { case (id, toks) =>
+      (id, toks.mkString(" "), "en", "s", toks.mkString(" ").length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+    val want = exactTokenPairs(dir, 0.9)
+    assert(want.contains((0L, 1L)) && want.contains((0L, 2L)),
+      "fixture must contain planted near-dups")
+    val got = DedupOps.jaccardPairs(spark, dir).collect()
+      .map(r => (r.getLong(1), r.getLong(2)) -> r.getDouble(3)).toMap
+    assert(got.keySet === want.keySet)
+    got.foreach { case (k, v) =>
+      assert(math.abs(v - want(k)) < 1e-9, s"pair $k: $v vs ${want(k)}") }
+
+    // clusters on the same fixture: 0,1,2 form one component rooted at 0
+    val reps = DedupOps.dedupClusters(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(reps(0L) === 0L && reps(1L) === 0L && reps(2L) === 0L)
+  }
+
   test("minhash LSH finds planted exact and near duplicates, skips distinct") {
     val pairs = DedupOps.minhashLshPairs(spark, plantedDocsDir)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
@@ -61,10 +122,27 @@ class DedupSpec extends SparkSpec {
   }
 
   test("minhash LSH output is a subset of exact shingle-jaccard >= 0.8") {
-    // On real testdata: every LSH-emitted pair must be verified-correct
-    // (precision 1.0 by construction — candidates are exactly re-checked).
-    val lsh = DedupOps.minhashLshPairs(spark, sfDir)
-    assert(lsh.filter(col("jaccard") < 0.8).count() === 0)
+    // precision check against an INDEPENDENT shingle-Jaccard computation
+    // (plain Scala sets from the raw parquet — not the column the op
+    // filtered on itself)
+    val shingleSets = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map { r =>
+        val toks = r.getString(1).trim.split(" ")
+        r.getLong(0) -> toks.sliding(3).filter(_.length == 3)
+          .map(_.mkString(" ")).toSet
+      }.toMap
+    val lsh = DedupOps.minhashLshPairs(spark, sfDir).collect()
+    assert(lsh.nonEmpty)
+    lsh.foreach { r =>
+      val (a, b, jac) = (r.getLong(0), r.getLong(1), r.getDouble(2))
+      val (sa, sb) = (shingleSets(a), shingleSets(b))
+      val inter = (sa & sb).size
+      val exact = inter.toDouble / (sa.size + sb.size - inter)
+      assert(exact >= 0.8, s"pair ($a,$b) has true jaccard $exact < 0.8")
+      assert(math.abs(jac - math.rint(exact * 1e6) / 1e6) < 1e-9,
+        s"pair ($a,$b): emitted $jac vs exact $exact")
+    }
   }
 
   test("lsh ANN retrieves a planted near-duplicate vector") {
@@ -100,5 +178,38 @@ class DedupSpec extends SparkSpec {
     assert(nn(0L)._1 === 1L && nn(1L)._1 === 0L)
     assert(nn(0L)._2 > 0.99)
     assert(nn.size === 200)
+  }
+
+  test("IVF probes only the nearest cells — a decoy in a far cell is unseen") {
+    import spark.implicits._
+    val dim = SimilarityOps.Dim
+    def unit(axis: Int, scale: Float = 1f): Array[Float] = {
+      val v = new Array[Float](dim); v(axis) = scale; v
+    }
+    def mix(pairs: (Int, Float)*): Array[Float] = {
+      val v = new Array[Float](dim)
+      pairs.foreach { case (i, x) => v(i) = x }; v
+    }
+    // 8 cells; query q = e0 in cell 0. The decoy is IDENTICAL to q (cos=1,
+    // better than the planted neighbor) but sits in cell 7, whose other
+    // members point away from q — so cell 7's centroid is anti-correlated
+    // with q and a correct 3-probe search never sees the decoy. If probe
+    // selection were inverted (or pruning ignored), the decoy would rank
+    // first and the assertions below fail.
+    val rows =
+      Seq((0L, unit(0), 0), (1L, mix(0 -> 1f, 1 -> 0.05f), 0),
+        (2L, unit(0), 7)) ++ // the decoy
+      (10L until 20L).map(i => (i, mix(0 -> 0.5f, 3 -> 0.8f), 0)) ++
+      (for { c <- 1 to 6; i <- 0 until 10 }
+        yield ((100 * c + i).toLong, mix(c -> 1f, 8 -> (0.01f * i)), c)) ++
+      (900L until 920L).map(i => (i, mix(7 -> 1f, 0 -> -0.4f), 7))
+    val dir2 = tmpDir("ivf-cells")
+    rows.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir2/embeddings.parquet")
+
+    val ivf = SimilarityOps.annIvf(spark, dir2).collect()
+    val ids = ivf.map(_.getLong(0)).toSeq
+    assert(!ids.contains(2L), s"decoy in an unprobed cell must be unseen: $ids")
+    assert(ids.head === 1L, s"planted neighbor must rank first, got $ids")
   }
 }

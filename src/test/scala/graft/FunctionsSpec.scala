@@ -78,7 +78,7 @@ class FunctionsSpec extends SparkSpec {
     val a = (1L to 300L).toArray
     val same = a.clone()
     val disjoint = (1001L to 1300L).toArray
-    // ~0.9-Jaccard overlap: 290 shared of ~310 union
+    // 290 shared of 320 union -> J = 0.906
     val near = ((1L to 290L) ++ (2001L to 2020L)).toArray
     val df = Seq(("a", a), ("same", same), ("dis", disjoint), ("near", near))
       .toDF("name", "shs")
@@ -90,7 +90,8 @@ class FunctionsSpec extends SparkSpec {
     assert(keys("a").zip(keys("dis")).count { case (x, y) => x == y } === 0)
     val nearMatches = keys("a").zip(keys("near"))
       .count { case (x, y) => x == y }
-    // P(band match) = J^4 ≈ 0.66 per band at J≈0.9 → expect ~10/16; require ≥ 4
+    // P(band match) = J^4 = (290/320)^4 ≈ 0.674 per band → expect ~10.8/16;
+    // require ≥ 4 as a loose flake-proof floor
     assert(nearMatches >= 4, s"only $nearMatches bands matched at J≈0.9")
   }
 

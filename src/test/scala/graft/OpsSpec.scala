@@ -11,7 +11,6 @@ class OpsSpec extends SparkSpec {
   test("every registered query returns rows at sf0.001") {
     SparkEntry.queries.foreach { case (name, fn) =>
       val n = fn(spark, sfDir).count()
-      assert(n >= 0, s"$name failed")
       // q42 candidates can be empty at tiny SF; all others must be non-empty
       if (name != "q42_ann_lsh") assert(n > 0, s"$name returned no rows")
     }
@@ -58,6 +57,9 @@ class OpsSpec extends SparkSpec {
     assert(vals.sameElements(vals.sortBy(-_)), "must be sorted desc")
   }
 
+  // NOTE: q37 value-level correctness is asserted against an independent
+  // driver-side recomputation in DedupSpec ("q37 equals an independently
+  // computed exact pair set"); this checks only the output contract shape.
   test("jaccard pairs are symmetric-free and above threshold") {
     val p = DedupOps.jaccardPairs(spark, sfDir)
     assert(p.filter(col("a_id") >= col("b_id")).count() === 0)

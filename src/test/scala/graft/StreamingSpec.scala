@@ -21,7 +21,8 @@ class StreamingSpec extends SparkSpec {
     */
   private def tradeJson(n: Int): Seq[String] = {
     val rows = TradeGen.trades(spark, n, seed = 11)
-      .select(to_json(struct(col("*"))).as("j")).as[String].collect().toSeq
+      .select(to_json(struct(col("*")),
+        IngestPipeline.wireOptions.asJava).as("j")).as[String].collect().toSeq
     rows ++ rows.take(3) :+ "{not valid json" // dupes + poison pill
   }
 
@@ -51,8 +52,11 @@ class StreamingSpec extends SparkSpec {
     q2.processAllAvailable()
     q2.stop()
     val replayed = spark.read.parquet(sink)
-    // appended replay duplicates are collapsed by the analytics-side dedup
-    assert(replayed.dropDuplicates("trade_id").count() === 20)
+    // RAW count must still be 20: the per-batchId overwrite sink makes a
+    // rerun converge instead of appending duplicates (dropDuplicates here
+    // would mask an at-least-once sink entirely)
+    assert(replayed.count() === 20)
+    assert(replayed.select("trade_id").distinct().count() === 20)
   }
 
   test("streaming 1-minute windows match batch date_trunc on the same data") {
@@ -72,16 +76,22 @@ class StreamingSpec extends SparkSpec {
     q.processAllAvailable()
     q.stop()
 
+    // double sums aggregate in different orders between the streaming
+    // state merge and the batch shuffle — compare per window with an ulp
+    // tolerance rather than demanding identical 2dp rounding
     val got = spark.table("mw")
-      .select(col("minute"), col("n_trades"),
-        round(col("total_notional"), 2).as("tn"))
-      .collect().map(r => (r.get(0), r.getLong(1), r.getDouble(2))).toSet
+      .collect().map(r => r.get(0).toString ->
+        (r.getLong(1), r.getDouble(2))).toMap
     val want = trades
       .groupBy(date_trunc("minute", col("timestamp")).as("minute"))
       .agg(count(lit(1)).as("n_trades"),
-        round(sum(col("notional_value")), 2).as("tn"))
-      .collect().map(r => (r.get(0), r.getLong(1), r.getDouble(2))).toSet
-    assert(got === want)
+        sum(col("notional_value")).as("tn"))
+      .collect().map(r => r.get(0).toString ->
+        (r.getLong(1), r.getDouble(2))).toMap
+    assert(got.keySet === want.keySet)
+    got.foreach { case (k, (n, tn)) =>
+      assert(n === want(k)._1, s"window $k count")
+      assert(math.abs(tn - want(k)._2) < 0.01, s"window $k sum") }
   }
 
   test("incremental dashboard aggregates equal batch results on same data") {
@@ -156,7 +166,8 @@ class StreamingSpec extends SparkSpec {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[String]
     val json = TradeGen.trades(spark, 10, seed = 3)
-      .select(to_json(struct(col("*"))).as("j")).as[String].collect().toSeq
+      .select(to_json(struct(col("*")),
+        IngestPipeline.wireOptions.asJava).as("j")).as[String].collect().toSeq
 
     val deduped = IngestPipeline.dedupTrades(
       IngestPipeline.parseTrades(input.toDF().select(col("value"))))

@@ -11,6 +11,19 @@ class TradeGenSpec extends SparkSpec {
 
   private lazy val trades = TradeGen.trades(spark, 2000, seed = 42).cache()
 
+  /** Rows violating any producer invariant (one definition, used by both
+    * the fixed-seed tests and the ScalaCheck multi-seed property).
+    */
+  private def badRows(t: org.apache.spark.sql.DataFrame) =
+    t.filter(
+      abs(col("notional_value") - round(col("quantity") * col("price"), 2)) > 0.011 ||
+        abs(col("total_fees") - round(col("brokerage_fee") + col("clearing_fee")
+          + col("exchange_fee"), 2)) > 0.011 ||
+        (col("priority") === "High") =!=
+          (col("status").contains("Break") || col("notional_value") > 1000000.0) ||
+        col("stp_eligible") === col("status").contains("Break") ||
+        !col("asset_class").isin(TradeGen.assetClasses: _*))
+
   test("generates the requested row count with unique trade ids") {
     assert(trades.count() === 2000)
     assert(trades.select("trade_id").distinct().count() === 2000)
@@ -34,33 +47,15 @@ class TradeGenSpec extends SparkSpec {
     // arbitrary; every invariant below must hold for EVERY seed
     val prop = Prop.forAll(Gen.choose(1, 1000000)) { seed =>
       val t = TradeGen.trades(spark, 300, seed = seed)
-      val bad = t.filter(
-        abs(col("notional_value") - round(col("quantity") * col("price"), 2)) > 0.011 ||
-          (col("priority") === "High") =!=
-            (col("status").contains("Break") || col("notional_value") > 1000000.0) ||
-          col("stp_eligible") === col("status").contains("Break") ||
-          !col("asset_class").isin(TradeGen.assetClasses: _*))
-      bad.count() == 0 && t.select("trade_id").distinct().count() == 300
+      badRows(t).count() == 0 && t.select("trade_id").distinct().count() == 300
     }
     val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(5),
       prop)
     assert(res.passed, res.status.toString)
   }
 
-  test("derived columns satisfy producer invariants") {
-    val bad = trades.filter(
-      abs(col("notional_value") - round(col("quantity") * col("price"), 2)) > 0.011 ||
-        abs(col("total_fees") - round(col("brokerage_fee") + col("clearing_fee")
-          + col("exchange_fee"), 2)) > 0.011)
-    assert(bad.count() === 0)
-  }
-
-  test("priority and stp_eligible derive from status and notional") {
-    val bad = trades.filter(
-      (col("priority") === "High") =!=
-        (col("status").contains("Break") || col("notional_value") > 1000000.0) ||
-        col("stp_eligible") === col("status").contains("Break"))
-    assert(bad.count() === 0)
+  test("derived columns satisfy all producer invariants") {
+    assert(badRows(trades).count() === 0)
   }
 
   test("settlement date = trade date + per-class cycle") {
