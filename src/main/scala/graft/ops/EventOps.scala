@@ -234,7 +234,39 @@ object EventOps {
       .orderBy("user_id")
   }
 
+  /** Dataset profiling: one pass over the table produces per-column
+    * counts, null counts, exact distinct cardinalities, and numeric
+    * ranges — the survey every pipeline runs before trusting new data.
+    * All 18 aggregates compute in a single scan (one agg row, unpivoted
+    * via stack); at 100 TB the exact distincts swap for
+    * approx_count_distinct (q15 pattern) without changing the shape.
+    */
+  def columnProfile(s: SparkSession, dir: String): DataFrame = {
+    val e = events(s, dir)
+    def stats(c: String, numeric: Boolean) = Seq(
+      count(col(c)).as(s"cnt_$c"),
+      (count(lit(1)) - count(col(c))).as(s"null_$c"),
+      countDistinct(col(c)).as(s"dist_$c"),
+      (if (numeric) min(col(c)).cast("double") else lit(null).cast("double"))
+        .as(s"min_$c"),
+      (if (numeric) max(col(c)).cast("double") else lit(null).cast("double"))
+        .as(s"max_$c"))
+    val cols = Seq("event_id" -> true, "user_id" -> true, "value" -> true,
+      "event_type" -> false, "props" -> false)
+    val agged = e.agg(
+      stats(cols.head._1, cols.head._2).head,
+      (stats(cols.head._1, cols.head._2).tail ++
+        cols.tail.flatMap { case (c, n) => stats(c, n) }): _*)
+    val stacked = cols.map { case (c, _) =>
+      s"'$c', cnt_$c, null_$c, dist_$c, min_$c, max_$c"
+    }.mkString(", ")
+    agged.select(expr(
+      s"stack(${cols.size}, $stacked) AS (column, n, n_null, n_distinct, min_v, max_v)"))
+      .orderBy("column")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q17_column_profile" -> columnProfile,
     "q13_user_sessions" -> userSessions,
     "q14_value_percentiles" -> valuePercentiles,
     "q15_sketch_stats" -> sketchStats,
@@ -255,6 +287,19 @@ object EventOps {
   private val gapMicros = graft.streaming.SessionPipeline.GapMicros
 
   val oracle: Map[String, String] = Map(
+    "q17_column_profile" -> {
+      def row(c: String, numeric: Boolean) = {
+        val mn = if (numeric) s"CAST(min($c) AS DOUBLE)" else "CAST(NULL AS DOUBLE)"
+        val mx = if (numeric) s"CAST(max($c) AS DOUBLE)" else "CAST(NULL AS DOUBLE)"
+        s"""SELECT '$c' AS "column", count($c) AS n,
+           |  count(*) - count($c) AS n_null,
+           |  count(DISTINCT $c) AS n_distinct,
+           |  $mn AS min_v, $mx AS max_v FROM events""".stripMargin
+      }
+      Seq(row("event_id", true), row("user_id", true), row("value", true),
+        row("event_type", false), row("props", false))
+        .mkString("", "\nUNION ALL\n", "\nORDER BY \"column\"")
+    },
     "q16_type_pivot" ->
       s"""SELECT user_id,
          |  ${sqlDsum("CASE WHEN event_type = 'click' THEN value END")} AS click,
