@@ -1,0 +1,38 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Skew-mitigation utilities — the manual counterpart to AQE's runtime skew
+  * splitting, for the cases AQE cannot rewrite (e.g. a broadcast-ineligible
+  * dimension joined on a key where a handful of values carry most rows, on
+  * engines/stages where adaptive skew-join does not apply).
+  *
+  * The pattern: SALT the skewed fact side (append a uniform shard id to the
+  * join key) and REPLICATE the dimension side once per shard — every shard
+  * of a hot key lands in its own task, so the straggler task that held the
+  * whole hot key becomes `salts` parallel tasks. Results are identical to
+  * the unsalted join (each fact row still meets exactly one copy of its
+  * dimension row).
+  */
+object ScaleOps {
+
+  /** Inner equi-join of `fact ⋈ dim` on `key`, salted `salts` ways.
+    *
+    * The salt is derived from a hash of the fact row's whole tuple (stable,
+    * no rand()); dim is replicated via a literal-range explode. Use when
+    * `fact`'s key distribution is heavily skewed and `dim` is too large to
+    * broadcast but small enough that `salts`× replication is acceptable —
+    * the classic fallback when one task holds the hot key.
+    */
+  def saltedJoin(fact: DataFrame, dim: DataFrame, key: String,
+      salts: Int): DataFrame = {
+    require(salts >= 1, s"salts must be >= 1, got $salts")
+    val factCols: Array[Column] = fact.columns.map(col)
+    val salted = fact.withColumn("_salt",
+      pmod(xxhash64(factCols: _*), lit(salts.toLong)))
+    val replicated = dim
+      .withColumn("_salt", explode(sequence(lit(0L), lit(salts.toLong - 1))))
+    salted.join(replicated, Seq(key, "_salt")).drop("_salt")
+  }
+}

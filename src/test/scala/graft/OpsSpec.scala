@@ -66,6 +66,22 @@ class OpsSpec extends SparkSpec {
     assert(p.filter(col("jaccard") < 0.9).count() === 0)
   }
 
+  test("salted join equals the plain join on a skewed key") {
+    import spark.implicits._
+    // 10k facts, 95% on one hot key — the shape that makes one task the
+    // straggler in an unsalted shuffle join
+    val fact = spark.range(10000)
+      .select(when(col("id") % 20 =!= 0, lit(1L)).otherwise(col("id") % 7)
+        .as("k"), col("id").as("payload"))
+    val dim = Seq((0L, "zero"), (1L, "one"), (2L, "two"), (3L, "three"),
+      (4L, "four"), (5L, "five"), (6L, "six")).toDF("k", "name")
+    val plain = fact.join(dim, "k")
+    val salted = ops.ScaleOps.saltedJoin(fact, dim, "k", salts = 8)
+    assert(salted.count() === plain.count())
+    assert(salted.exceptAll(plain).count() === 0)
+    assert(plain.exceptAll(salted).count() === 0)
+  }
+
   test("media features match a hand-computed payload") {
     val feats = MultimodalOps.mediaFeatures(spark, sfDir).collect()
     val docs = Tables.t(spark, sfDir, "documents")
