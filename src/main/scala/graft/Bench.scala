@@ -14,7 +14,12 @@ object Bench {
     // Warm the session before timing: JVM/codegen JIT, parquet footer reads,
     // and shuffle machinery otherwise all land on whichever query runs first.
     spark.range(1000000).selectExpr("sum(id)").collect()
-    Tables.names.foreach(n => Tables.t(spark, sfDir, n).count())
+    Tables.names.foreach { n =>
+      // warmup must never kill the bench — a missing/odd table surfaces
+      // as that query's own -1 failure marker instead
+      try Tables.t(spark, sfDir, n).count()
+      catch { case _: Throwable => () }
+    }
     // Two timed iterations per query, best-of reported: per-query JIT and
     // allocation noise at these sub-second scales otherwise dominates the
     // comparison. Cached intermediates are dropped between iterations so

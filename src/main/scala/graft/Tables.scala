@@ -18,9 +18,16 @@ object Tables {
   def t(spark: SparkSession, dir: String, name: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = spark.read.parquet(s"$dir/$name.parquet")
-    if (name == "events")
-      df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-    else df
+    // normalize ts to a session-tz TIMESTAMP whatever the writer encoded:
+    // the driver stores raw TIMESTAMP(NANOS) (read as long under
+    // nanosAsLong), other writers may store TIMESTAMP or TIMESTAMP_NTZ
+    if (name == "events") df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => df
+    } else df
   }
 
   val names: Seq[String] = Seq(

@@ -370,6 +370,12 @@ object DedupOps {
       labels = next.select("id", "rep")
       rounds += 1
     }
+    if (!converged)
+      // pointer jumping converges in O(log d); 40 rounds covers any graph
+      // with diameter < 2^40 — reaching the cap means something is wrong,
+      // and labels would be silently incomplete
+      throw new IllegalStateException(
+        s"connectedComponents did not converge within $rounds rounds")
     labels
   }
 
