@@ -23,13 +23,22 @@ object EventOps {
   /** S6+P2+W2 — recency scan: filter, order by time desc, limit.
     * Ref: dashboard.py:23-29 (`WHERE status=… ORDER BY timestamp DESC LIMIT n`).
     * Spark plans TakeOrderedAndProject (top-k, no full sort).
+    *
+    * The knob surface mirrors the reference sidebar (dashboard.py:40-46):
+    * `status` is the 7-valued filter where `None` = "All" (no predicate —
+    * the branch vanishes from the plan, so the unfiltered scan still prunes
+    * columns and skips the filter operator entirely), `limit` the 100–5000
+    * row cap. The q01 registration pins (Some("click"), 500) so the oracle
+    * stays deterministic.
     */
-  def recentEvents(s: SparkSession, dir: String): DataFrame =
-    events(s, dir)
-      .filter(col("event_type") === "click")
+  def recentEvents(s: SparkSession, dir: String,
+      status: Option[String] = Some("click"), limit: Int = 500): DataFrame = {
+    val base = events(s, dir)
+    status.fold(base)(v => base.filter(col("event_type") === v))
       .orderBy(col("ts").desc, col("event_id").desc)
-      .limit(500)
+      .limit(limit)
       .select("event_id", "ts", "user_id", "event_type", "value")
+  }
 
   /** A2–A5 — the KPI header: global count/sums, filtered counts, ratio KPIs.
     * Ref: dashboard.py:74-100. One pass (conditional sums) vs pandas' many.
@@ -271,7 +280,7 @@ object EventOps {
     "q14_value_percentiles" -> valuePercentiles,
     "q15_sketch_stats" -> sketchStats,
     "q16_type_pivot" -> typePivot,
-    "q01_recent_events" -> recentEvents,
+    "q01_recent_events" -> ((s, d) => recentEvents(s, d, Some("click"), 500)),
     "q02_kpi_overview" -> kpiOverview,
     "q03_type_distribution" -> typeDistribution,
     "q04_value_by_type" -> valueByType,
@@ -323,9 +332,9 @@ object EventOps {
          |       THEN 1 ELSE 0 END AS boundary
          |  FROM events
          |  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)),
-         |s AS (SELECT *, sum(boundary) OVER (PARTITION BY user_id
+         |s AS (SELECT *, CAST(sum(boundary) OVER (PARTITION BY user_id
          |  ORDER BY ts ASC, event_id ASC
-         |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+         |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
          |  FROM b)
          |SELECT user_id, session_seq, min(ts) AS session_start,
          |  max(ts) AS session_end, count(*) AS n_events,
@@ -339,9 +348,9 @@ object EventOps {
     "q02_kpi_overview" ->
       s"""WITH a AS (SELECT count(*) AS n_events,
          |  ${sqlDsum("value")} AS total_value,
-         |  sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS n_clicks,
-         |  sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS n_views,
-         |  sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n_errors,
+         |  CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_clicks,
+         |  CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_views,
+         |  CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_errors,
          |  count(DISTINCT user_id) AS n_users FROM events)
          |SELECT n_events, total_value, n_clicks, n_views, n_errors, n_users,
          |  round(n_errors * CAST(100 AS DOUBLE) / n_events, 4) AS error_rate_pct,
@@ -381,7 +390,7 @@ object EventOps {
          |  count(*) AS n, ${sqlDsum("value")} AS total_value
          |FROM events GROUP BY 1, 2 ORDER BY priority, ok""".stripMargin,
     "q10_json_props" ->
-      """SELECT event_type, count(k) AS n, sum(k) AS sum_k,
+      """SELECT event_type, count(k) AS n, CAST(sum(k) AS BIGINT) AS sum_k,
         |  min(k) AS min_k, max(k) AS max_k
         |FROM (SELECT event_type,
         |        CAST(json_extract_string(props, '$.k') AS BIGINT) AS k

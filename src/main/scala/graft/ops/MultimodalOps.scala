@@ -65,7 +65,7 @@ object MultimodalOps {
           batch.map { m =>
             val bytes = m.payload
             val n = bytes.length
-            if (n == 0) (m.doc_id, 0, 0.0, 0, 0, Array.fill(8)(0))
+            if (n == 0) (m.doc_id, 0, 0.0, 0, 0, Array.fill(8)(0).mkString(","))
             else {
             var sum = 0L
             val hist = new Array[Long](8)
@@ -81,7 +81,9 @@ object MultimodalOps {
             val sampled = (n + 1023) / 1024
             // "resize": fixed-size downsample of the payload — 8 equal-width
             // buckets of byte means (the thumbnail analogue of the stubbed
-            // pixel decode; fixed output width regardless of input size)
+            // pixel decode; fixed output width regardless of input size).
+            // Serialized as a comma-joined string: a scalar column keeps the
+            // result sortable/hashable by any downstream engine.
             val thumb = Array.tabulate(8) { k =>
               val lo = k * n / 8
               val hi = math.max(lo + 1, (k + 1) * n / 8)
@@ -90,7 +92,7 @@ object MultimodalOps {
               while (j < hi) { s += bytes(j) & 0xFF; j += 1 }
               (s / (hi - lo)).toInt
             }
-            (m.doc_id, n, meanByte, dominantBin, sampled, thumb)
+            (m.doc_id, n, meanByte, dominantBin, sampled, thumb.mkString(","))
             }
           }
         }

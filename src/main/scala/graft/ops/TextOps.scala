@@ -196,7 +196,7 @@ object TextOps {
         |               WHEN 'fr' THEN 80 WHEN 'zh' THEN 80 ELSE 0 END) AS keep
         |  FROM documents)
         |SELECT lang, count(*) AS n_docs,
-        |  sum(CAST(keep AS BIGINT)) AS n_kept,
+        |  CAST(sum(CAST(keep AS BIGINT)) AS BIGINT) AS n_kept,
         |  round(sum(CAST(keep AS BIGINT)) * CAST(100 AS DOUBLE) / count(*), 2)
         |    AS kept_pct
         |FROM k GROUP BY lang ORDER BY lang""".stripMargin,

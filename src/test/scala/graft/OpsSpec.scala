@@ -50,6 +50,22 @@ class OpsSpec extends SparkSpec {
       once.dropDuplicates("user_id", "event_type").count())
   }
 
+  test("recent-events knob surface: All-status and non-default limit") {
+    // status=None ("All" in the reference sidebar) drops the predicate
+    val all = EventOps.recentEvents(spark, sfDir, None, 100)
+    assert(all.count() === 100)
+    assert(all.select("event_type").distinct().count() > 1,
+      "All-status scan must span multiple event types")
+    // non-default limit with a pinned filter
+    val clicks = EventOps.recentEvents(spark, sfDir, Some("click"), 7)
+    val rows = clicks.collect()
+    assert(rows.length === 7)
+    assert(rows.forall(_.getAs[String]("event_type") == "click"))
+    // the "All" plan must not contain a Filter operator at all
+    val plan = all.queryExecution.executedPlan.toString
+    assert(!plan.contains("Filter ("), "None status should elide the filter")
+  }
+
   test("top-k queries respect their limits and ordering") {
     val top = EventOps.topUsers(spark, sfDir).collect()
     assert(top.length <= 10)
@@ -93,7 +109,7 @@ class OpsSpec extends SparkSpec {
       val mean = math.round(bytes.map(_ & 0xFF).map(_.toLong).sum
         * 10000.0 / bytes.length) / 10000.0
       assert(r.getAs[Double]("mean_byte") === mean)
-      val thumb = r.getSeq[Int](r.fieldIndex("thumb8"))
+      val thumb = r.getAs[String]("thumb8").split(",").map(_.toInt).toSeq
       assert(thumb.length === 8, "resize output must be fixed-width")
       assert(thumb.forall(v => v >= 0 && v <= 255))
       val n = bytes.length
