@@ -3,6 +3,7 @@ package graft.functions
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
 
 /** Registration for the graft native expressions.
   *
@@ -18,7 +19,10 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Li
 object GraftFunctions {
 
   private def intArg(fn: String, es: Seq[Expression], i: Int): Int = es.lift(i) match {
-    case Some(Literal(v: Number, _)) => v.intValue()
+    // integral literal types only — a bare numeric match would silently
+    // truncate e.g. 2.5 to 2 via intValue()
+    case Some(Literal(v: Number, ByteType | ShortType | IntegerType |
+        LongType)) => v.intValue()
     case other => throw new IllegalArgumentException(
       s"$fn: argument ${i + 1} must be an integer literal, got " +
         other.map(_.sql).getOrElse("nothing"))

@@ -64,12 +64,15 @@ object TradeGen {
   private def randint(k: Int, lo: Int, hi: Int): Column =
     (u(k) * (hi - lo + 1)).cast("long") + lo
 
-  /** Per-asset-class branch helper. */
-  private def byClass(f: String => Column): Column =
-    assetClasses.tail.foldLeft(when(col("asset_class") === assetClasses.head,
-      f(assetClasses.head))) { (acc, ac) =>
-      acc.when(col("asset_class") === ac, f(ac))
-    }
+  /** Per-asset-class literal lookup, indexed by the 1-based class index
+    * column. Array element_at instead of a 5-branch CASE chain: each CASE
+    * branch re-expanded its full hash-draw expression, and with the whole
+    * derivation inlined into one whole-stage-codegen method (e.g. under an
+    * aggregate) the generated Java blew janino's 64 KB method limit. One
+    * array probe generates a few lines regardless of class count.
+    */
+  private def perClass[T](idx: Column)(f: String => T): Column =
+    element_at(array(assetClasses.map(ac => lit(f(ac))): _*), idx)
 
   /** Generate `n` trades. 20 columns per SURVEY.md §1.2; all values derive
     * from (id, seed) hashes — same output for any partitioning.
@@ -103,27 +106,50 @@ object TradeGen {
         }.get.otherwise(statusWeights.last._1)
     }
 
+    // one 1-based class index drives every per-class lookup below
+    val cls = (u(s + 1) * assetClasses.size).cast("int") + 1
+
+    val quantityRanges = Map(
+      "Equity" -> (100L, 50000L), "Fixed Income" -> (100000L, 10000000L),
+      "Derivative" -> (1L, 100L), "FX" -> (100000L, 5000000L),
+      "Commodity" -> (1L, 500L))
+    val priceRanges = Map( // (lo, hi, 10^round-digits)
+      "Equity" -> (10.0, 500.0, 1e2), "Fixed Income" -> (90.0, 110.0, 1e4),
+      "Derivative" -> (1.0, 50.0, 1e2), "FX" -> (0.5, 2.0, 1e6),
+      "Commodity" -> (20.0, 2000.0, 1e2))
+
+    // quantity: randint(lo, hi) with array-driven per-class bounds
+    val qLo = perClass(cls)(ac => quantityRanges(ac)._1)
+    val qSpan = perClass(cls) { ac =>
+      val (lo, hi) = quantityRanges(ac); (hi - lo + 1).toDouble
+    }
+    // price: uniform(lo, hi) rounded HALF_UP at the per-class scale
+    // (round(x*p)/p ≡ round(x, digits) with p = 10^digits, but the scale
+    // can come from a column — round(col, n) needs a foldable n)
+    val pLo = perClass(cls)(ac => priceRanges(ac)._1)
+    val pSpan = perClass(cls) { ac =>
+      val (lo, hi, _) = priceRanges(ac); hi - lo
+    }
+    val pScale = perClass(cls)(ac => priceRanges(ac)._3)
+
     ids
       // 12-char unique key (reference: uuid4()[:12]); id-based rather than
       // random so the key is unique by construction and reproducible
       .withColumn("trade_id", concat(lit("T"), lpad(col("id"), 11, "0")))
-      .withColumn("asset_class", pick(s + 1, assetClasses))
-      .withColumn("instrument", byClass(ac => pick(s + 2, instruments(ac))))
-      .withColumn("side", pick(s + 3, Seq("Buy", "Sell")))
-      .withColumn("quantity", byClass {
-        case "Equity" => randint(s + 4, 100, 50000)
-        case "Fixed Income" => randint(s + 4, 100000, 10000000)
-        case "Derivative" => randint(s + 4, 1, 100)
-        case "FX" => randint(s + 4, 100000, 5000000)
-        case _ => randint(s + 4, 1, 500)
-      }.cast("double"))
-      .withColumn("price", byClass {
-        case "Equity" => round(uniform(s + 5, 10, 500), 2)
-        case "Fixed Income" => round(uniform(s + 5, 90, 110), 4)
-        case "Derivative" => round(uniform(s + 5, 1, 50), 2)
-        case "FX" => round(uniform(s + 5, 0.5, 2.0), 6)
-        case _ => round(uniform(s + 5, 20, 2000), 2)
+      .withColumn("asset_class", perClass(cls)(identity))
+      .withColumn("instrument", {
+        // nested literal array: [class][instrument-slot], both probes O(1)
+        val universe = array(assetClasses.map(ac =>
+          array(instruments(ac).map(lit): _*)): _*)
+        val size = perClass(cls)(ac => instruments(ac).size)
+        element_at(element_at(universe, cls),
+          (u(s + 2) * size).cast("int") + 1)
       })
+      .withColumn("side", pick(s + 3, Seq("Buy", "Sell")))
+      .withColumn("quantity", ((u(s + 4) * qSpan).cast("long") + qLo)
+        .cast("double"))
+      .withColumn("price",
+        round((u(s + 5) * pSpan + pLo) * pScale, 0) / pScale)
       .withColumn("notional_value", round(col("quantity") * col("price"), 2))
       .withColumn("counterparty", pick(s + 6, counterparties))
       .withColumn("status", statusExpr)
@@ -132,7 +158,7 @@ object TradeGen {
         date_sub(to_date(lit(baseDate)), randint(s + 9, 0, 3).cast("int")))
       .withColumn("settlement_date",
         date_add(col("trade_date"),
-          byClass(ac => lit(settlementDays(ac))).cast("int")))
+          perClass(cls)(settlementDays).cast("int")))
       .withColumn("brokerage_fee",
         round(col("notional_value") * uniform(s + 10, 0.0001, 0.0015), 2))
       .withColumn("clearing_fee",

@@ -92,11 +92,29 @@ object IngestPipeline {
         sum(col("notional_value")).as("total_notional"))
       .select(col("w.start").as("minute"), col("n_trades"), col("total_notional"))
 
-  /** End-to-end ingest job: parse → dedup → idempotent parquet sink,
-    * partitioned by trade_date (partition pruning for the analytics side),
+  /** Sink configuration for [[runIngest]] — the reference's Postgres table
+    * (consumer.py:64-118) maps to either arm as a config swap, both carrying
+    * the same replay-idempotence contract.
+    */
+  sealed trait TradeSink
+  /** Parquet sink partitioned by trade_date, one overwritable directory per
+    * micro-batch (the harness/analytics arm).
+    */
+  final case class ParquetSink(dir: String) extends TradeSink
+  /** JDBC sink (the consumer.py parity arm — Postgres in the reference,
+    * any JDBC url here). Replay idempotence: each row carries its micro-batch
+    * id, and a replayed batch DELETEs its own rows before re-inserting — the
+    * same converge-on-rerun guarantee the parquet arm gets from directory
+    * overwrite and the reference gets from `ON CONFLICT DO NOTHING`.
+    */
+  final case class JdbcSink(url: String, table: String,
+      properties: java.util.Properties = new java.util.Properties)
+    extends TradeSink
+
+  /** End-to-end ingest job: parse → dedup → idempotent sink,
     * 5-second micro-batches (the reference's default poll interval).
     */
-  def runIngest(spark: SparkSession, raw: DataFrame, sinkDir: String,
+  def runIngest(spark: SparkSession, raw: DataFrame, sink: TradeSink,
       checkpointDir: String,
       trigger: Trigger = Trigger.ProcessingTime("5 seconds")): StreamingQuery =
     dedupTrades(parseTrades(raw))
@@ -107,25 +125,63 @@ object IngestPipeline {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         // Idempotence on micro-batch replay: a failure between a plain
         // append and the offset commit would re-run the batch and duplicate
-        // every row (append writes fresh part files each attempt). Keying
-        // the output directory on batchId and OVERWRITING it makes a
-        // replayed batch rewrite the same location instead — replays
+        // every row. Both arms key the written unit on batchId so a replayed
+        // batch rewrites its own output instead of appending — replays
         // converge to exactly-once table state, matching the reference's
-        // PK-upsert guarantee. Readers load the sink root; trade_date stays
-        // a partition column inside each batch directory for pruning.
+        // PK-upsert guarantee.
         // Empty micro-batches (trailing AvailableNow ticks, idle triggers)
         // are skipped: writing one would clobber a same-numbered batch
-        // directory from an earlier pipeline incarnation with nothing.
+        // unit from an earlier pipeline incarnation with nothing.
         // persist() so the emptiness probe and the write share one
         // evaluation of the parse/dedup plan instead of running it twice.
         val deduped = batch.dropDuplicates("trade_id").persist()
         try {
-          if (!deduped.isEmpty) {
-            deduped.write.mode("overwrite")
-              .partitionBy("trade_date")
-              .parquet(s"$sinkDir/batch_id=$batchId")
+          if (!deduped.isEmpty) sink match {
+            case ParquetSink(dir) =>
+              // batchId-keyed directory, overwritten on replay; trade_date
+              // stays a partition column inside each batch directory so the
+              // analytics side gets partition pruning off the sink root.
+              deduped.write.mode("overwrite")
+                .partitionBy("trade_date")
+                .parquet(s"$dir/batch_id=$batchId")
+            case JdbcSink(url, table, props) =>
+              // delete-own-rows-then-append keyed on batch_id: first attempt
+              // deletes nothing, a replay deletes the partial write. Spark's
+              // JDBC writer creates the table on first append.
+              deleteBatchRows(url, table, props, batchId)
+              deduped.withColumn("batch_id", lit(batchId))
+                .write.mode("append").jdbc(url, table, props)
           }
         } finally { deduped.unpersist(); () }
       }
       .start()
+
+  /** Back-compat parquet-path signature. */
+  def runIngest(spark: SparkSession, raw: DataFrame, sinkDir: String,
+      checkpointDir: String, trigger: Trigger): StreamingQuery =
+    runIngest(spark, raw, ParquetSink(sinkDir), checkpointDir, trigger)
+
+  /** Delete a replayed batch's rows; silently a no-op when the table does
+    * not exist yet (first batch creates it via the JDBC writer).
+    */
+  private def deleteBatchRows(url: String, table: String,
+      props: java.util.Properties, batchId: Long): Unit = {
+    val conn = java.sql.DriverManager.getConnection(url, props)
+    try {
+      val exists = {
+        val rs = conn.getMetaData.getTables(null, null, "%", null)
+        try {
+          var found = false
+          while (!found && rs.next())
+            found = rs.getString(3).equalsIgnoreCase(table)
+          found
+        } finally rs.close()
+      }
+      if (exists) {
+        val st = conn.createStatement()
+        try { st.executeUpdate(s"DELETE FROM $table WHERE batch_id = $batchId"); () }
+        finally st.close()
+      }
+    } finally conn.close()
+  }
 }

@@ -26,17 +26,49 @@ case class ClosedSession(user_id: Long, session_seq: Long,
   * close (StreamingSpec asserts this).
   *
   * Scale design: state is one small case class per active user (not per
-  * event); the shuffle keys on user_id only; with event-time watermarking a
-  * production deployment adds `GroupStateTimeout.EventTimeTimeout` to flush
-  * long-idle sessions and bound state. Events must arrive in event-time
-  * order per user within the feed (the reference's produce-time ordering
-  * guarantees this); an out-of-order-tolerant variant would buffer per-user
-  * until the watermark.
+  * event); the shuffle keys on user_id only. [[SessionPipeline.sessionize]]
+  * reproduces the reference's unbounded model (state never evicts — like its
+  * Postgres PK); [[SessionPipeline.sessionizeWithTimeout]] is the production
+  * variant: event-time watermark + `GroupStateTimeout.EventTimeTimeout`
+  * closes and emits long-idle sessions, so the final session of every user
+  * eventually flushes and state stays bounded by the ACTIVE user count, not
+  * the user universe. Events must arrive in event-time order per user within
+  * the feed (the reference's produce-time ordering guarantees this); an
+  * out-of-order-tolerant variant would buffer per-user until the watermark.
   */
 object SessionPipeline {
 
   val GapMicros: Long = 1800L * 1000000L
 
+  /** Fold one micro-batch of a user's events into the open-session state,
+    * returning the sessions this batch closed — shared by both the
+    * unbounded and the timeout variants.
+    */
+  private def foldEvents(userId: Long, evs: Iterator[SessionEvent],
+      st: GroupState[OpenSession]): Iterator[ClosedSession] = {
+    val closed = Seq.newBuilder[ClosedSession]
+    var open = st.getOption
+    evs.toSeq.sortBy(e => (e.tsMicros, e.event_id)).foreach { e =>
+      open match {
+        case Some(o) if e.tsMicros - o.lastMicros <= GapMicros =>
+          open = Some(o.copy(lastMicros = e.tsMicros,
+            nEvents = o.nEvents + 1, totalValue = o.totalValue + e.value))
+        case Some(o) =>
+          closed += ClosedSession(userId, o.seq, o.startMicros,
+            o.lastMicros, o.nEvents, o.totalValue)
+          open = Some(OpenSession(o.seq + 1, e.tsMicros, e.tsMicros, 1L,
+            e.value))
+        case None =>
+          open = Some(OpenSession(1L, e.tsMicros, e.tsMicros, 1L, e.value))
+      }
+    }
+    open.foreach(st.update)
+    closed.result().iterator
+  }
+
+  /** Unbounded-state sessionization (reference parity: state lives forever,
+    * a user's final session only closes when a later event arrives).
+    */
   def sessionize(events: Dataset[SessionEvent])(
       implicit spark: SparkSession): Dataset[ClosedSession] = {
     import spark.implicits._
@@ -45,24 +77,46 @@ object SessionPipeline {
       .flatMapGroupsWithState[OpenSession, ClosedSession](
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
         (userId: Long, evs: Iterator[SessionEvent], st: GroupState[OpenSession]) =>
-          val closed = Seq.newBuilder[ClosedSession]
-          var open = st.getOption
-          evs.toSeq.sortBy(e => (e.tsMicros, e.event_id)).foreach { e =>
-            open match {
-              case Some(o) if e.tsMicros - o.lastMicros <= GapMicros =>
-                open = Some(o.copy(lastMicros = e.tsMicros,
-                  nEvents = o.nEvents + 1, totalValue = o.totalValue + e.value))
-              case Some(o) =>
-                closed += ClosedSession(userId, o.seq, o.startMicros,
-                  o.lastMicros, o.nEvents, o.totalValue)
-                open = Some(OpenSession(o.seq + 1, e.tsMicros, e.tsMicros, 1L,
-                  e.value))
-              case None =>
-                open = Some(OpenSession(1L, e.tsMicros, e.tsMicros, 1L, e.value))
+          foldEvents(userId, evs, st)
+      }
+  }
+
+  /** Watermarked sessionization with idle-session eviction: once the
+    * event-time watermark passes `lastEvent + gap`, the open session times
+    * out, is emitted as closed, and its state is removed. `watermarkDelay`
+    * is the out-of-orderness budget; the timeout itself reuses the same
+    * 30-minute gap that defines a session boundary, so a timed-out session
+    * closes exactly where a subsequent event would have closed it.
+    */
+  def sessionizeWithTimeout(events: Dataset[SessionEvent],
+      watermarkDelay: String = "10 minutes")(
+      implicit spark: SparkSession): Dataset[ClosedSession] = {
+    import org.apache.spark.sql.functions.{col, timestamp_micros}
+    import spark.implicits._
+    events
+      .withColumn("event_ts", timestamp_micros(col("tsMicros")))
+      .withWatermark("event_ts", watermarkDelay)
+      .as[SessionEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[OpenSession, ClosedSession](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (userId: Long, evs: Iterator[SessionEvent], st: GroupState[OpenSession]) =>
+          if (st.hasTimedOut) {
+            val o = st.get
+            st.remove()
+            Iterator.single(ClosedSession(userId, o.seq, o.startMicros,
+              o.lastMicros, o.nEvents, o.totalValue))
+          } else {
+            val closed = foldEvents(userId, evs, st)
+            st.getOption.foreach { o =>
+              // fire once the watermark passes the session gap; clamp above
+              // the current watermark (Spark rejects timeouts at/behind it)
+              st.setTimeoutTimestamp(math.max(
+                (o.lastMicros + GapMicros) / 1000L,
+                st.getCurrentWatermarkMs + 1))
             }
+            closed
           }
-          open.foreach(st.update)
-          closed.result().iterator
       }
   }
 }

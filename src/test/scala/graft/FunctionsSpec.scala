@@ -40,6 +40,22 @@ class FunctionsSpec extends SparkSpec {
     assert(r.getInt(2) === 16)
   }
 
+  test("non-integer literal band count is rejected, not truncated") {
+    val e = intercept[Exception] {
+      spark.sql(
+        "SELECT graft_minhash_band_keys(array(1L, 2L), 2.5)").head()
+    }
+    // walk the cause chain: Spark wraps the builder failure in analysis errors
+    val msgs = Iterator.iterate(e: Throwable)(_.getCause)
+      .takeWhile(_ != null).map(_.getMessage).mkString(" | ")
+    assert(msgs.contains("must be an integer literal"),
+      s"2.5 must be rejected, not truncated to 2; got: $msgs")
+    // integral literal still accepted
+    val ok = spark.sql(
+      "SELECT size(graft_minhash_band_keys(array(1L, 2L), 8))").head().getInt(0)
+    assert(ok === 8)
+  }
+
   test("registerAll exposes every testdata table as a SQL view") {
     graft.Tables.registerAll(spark, sfDir)
     graft.Tables.names.foreach { n =>

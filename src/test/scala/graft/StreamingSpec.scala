@@ -162,6 +162,102 @@ class StreamingSpec extends SparkSpec {
       ClosedSession(2, 1, 50 * M, 50 * M, 1, 4.0)))
   }
 
+  test("file-source backpressure bounds each micro-batch of a pre-loaded dir") {
+    import graft.streaming.TradeSource
+    val drop = tmpDir("drop")
+    val sink = tmpDir("bp_sink")
+    // pre-load 3 files BEFORE the stream starts — the backlogged-topic
+    // scenario where an uncapped source would take everything in batch 0
+    val json = TradeGen.trades(spark, 9, seed = 21)
+      .select(to_json(struct(col("*")),
+        IngestPipeline.wireOptions.asJava).as("j")).as[String].collect()
+    json.grouped(3).zipWithIndex.foreach { case (lines, i) =>
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(s"$drop/f$i.json"),
+        lines.mkString("\n").getBytes("UTF-8"))
+    }
+    val q = IngestPipeline.runIngest(spark,
+      TradeSource.jsonFiles(spark, drop, maxFilesPerTrigger = 1),
+      sink, tmpDir("bp_ckpt"),
+      trigger = org.apache.spark.sql.streaming.Trigger.AvailableNow())
+    q.processAllAvailable()
+    q.stop()
+    // the cap must split the backlog into one bounded batch per file
+    val batchDirs = new java.io.File(sink).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("batch_id="))
+    assert(batchDirs.length === 3,
+      s"expected 3 capped micro-batches, got ${batchDirs.map(_.getName).toSeq}")
+    assert(spark.read.parquet(sink).count() === 9)
+  }
+
+  test("jdbc sink arm converges to exactly-once across replays") {
+    import graft.streaming.IngestPipeline.JdbcSink
+    implicit val sqlCtx = spark.sqlContext
+    // embedded Derby ships with Spark — the in-container stand-in for the
+    // reference's Postgres (consumer.py:64-118)
+    System.setProperty("derby.system.home", tmpDir("derby"))
+    val url = "jdbc:derby:memory:trades_jdbc;create=true"
+    val props = new java.util.Properties()
+
+    val input = MemoryStream[String]
+    input.addData(tradeJson(12)) // includes dupes + poison record
+    val q = IngestPipeline.runIngest(spark,
+      input.toDF().select(col("value")), JdbcSink(url, "trades"),
+      tmpDir("jdbc_ckpt"),
+      trigger = org.apache.spark.sql.streaming.Trigger.AvailableNow())
+    q.processAllAvailable()
+    q.stop()
+
+    val out = spark.read.jdbc(url, "trades", props)
+    assert(out.count() === 12)
+    assert(out.select("trade_id").distinct().count() === 12)
+
+    // replay with a fresh checkpoint: delete-own-batch-then-append must
+    // converge, not double the table
+    val q2 = IngestPipeline.runIngest(spark,
+      input.toDF().select(col("value")), JdbcSink(url, "trades"),
+      tmpDir("jdbc_ckpt2"),
+      trigger = org.apache.spark.sql.streaming.Trigger.AvailableNow())
+    q2.processAllAvailable()
+    q2.stop()
+    val replayed = spark.read.jdbc(url, "trades", props)
+    assert(replayed.count() === 12)
+    assert(replayed.select("trade_id").distinct().count() === 12)
+  }
+
+  test("event-time timeout flushes idle sessions without a closing event") {
+    import graft.streaming.{ClosedSession, SessionEvent, SessionPipeline}
+    implicit val sqlCtx = spark.sqlContext
+    implicit val sp = spark
+    val M = 1000000L
+    def ev(u: Long, id: Long, sec: Long, v: Double) =
+      SessionEvent(u, id, sec * M, v)
+
+    val input = MemoryStream[SessionEvent]
+    val q = SessionPipeline.sessionizeWithTimeout(input.toDS(), "10 minutes")
+      .writeStream.format("memory").queryName("sess_to")
+      .outputMode("append").start()
+
+    // batch 1: u1's session — never followed by another u1 event.
+    // (base offset keeps event times clear of the initial watermark at
+    // epoch 0, which drops rows at/behind it)
+    val T = 100000L
+    input.addData(ev(1, 1, T, 1.0), ev(1, 2, T + 100, 2.0))
+    q.processAllAvailable()
+    // batch 2 advances the watermark far past u1's gap+delay horizon…
+    input.addData(ev(2, 5, T + 10000, 4.0))
+    q.processAllAvailable()
+    // …and batch 3 runs with that watermark, firing u1's timeout
+    input.addData(ev(2, 6, T + 10010, 1.0))
+    q.processAllAvailable()
+    q.stop()
+
+    val got = spark.table("sess_to").as[ClosedSession].collect().toSet
+    // u1's session closed by TIMEOUT (no u1 event ever closed it);
+    // u2's session is still active → still open, not emitted
+    assert(got === Set(ClosedSession(1, 1, T * M, (T + 100) * M, 2, 3.0)))
+  }
+
   test("watermarked dedup drops cross-batch duplicates") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[String]

@@ -91,6 +91,21 @@ class TradeGenSpec extends SparkSpec {
     }
   }
 
+  test("derivation survives whole-stage codegen with fallback disabled") {
+    // aggregate-without-key over the full 20-column derivation inlines the
+    // whole chain into one generated method — the shape that used to blow
+    // janino's 64 KB limit (CASE-chain byClass) and silently fall back to
+    // interpreted eval. fallback=false turns any codegen failure into an
+    // exception, so this test fails loudly if the derivation regrows.
+    val strict = spark.newSession()
+    strict.conf.set("spark.sql.codegen.fallback", "false")
+    val r = TradeGen.trades(strict, 1000, seed = 42)
+      .agg(count(lit(1)).as("n"), sum(col("notional_value")).as("nv"))
+      .collect().head
+    assert(r.getAs[Long]("n") === 1000L)
+    assert(r.getAs[Double]("nv") > 0)
+  }
+
   test("generation is deterministic and partitioning-independent") {
     val a = TradeGen.trades(spark, 500, seed = 7)
     val b = TradeGen.trades(spark, 500, seed = 7).repartition(13)
