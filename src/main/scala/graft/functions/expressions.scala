@@ -21,10 +21,21 @@ import org.apache.spark.sql.types._
 object MinHashBandKeys {
   val NumHashes = 64
 
-  /** Fixed-seed splitmix64 stream → affine-permutation constants (a odd ⇒
-    * bijective mod 2^64; JVM long arithmetic wraps, unlike ANSI SQL).
+  /** Prime modulus shared by every portable hash in the engine (1e9+7, the
+    * q34 fingerprint modulus): all affine/fold products stay < 2^63, so the
+    * IDENTICAL arithmetic runs in any engine with 64-bit integers — the
+    * property that lets DuckDB re-derive the full minhash signature in the
+    * q38 oracle. (The previous wrapping-mod-2^64 family was JVM-only.)
     */
-  private[functions] val (permA: Array[Long], permB: Array[Long]) = {
+  val Mod: Long = 1000000007L
+
+  /** Polynomial fold base for band keys / shingle composition (< Mod). */
+  val FoldBase: Long = 1000003L
+
+  /** Fixed-seed splitmix64 stream → affine mod-p permutation constants
+    * (a ∈ [1, p-1] ⇒ bijective mod p, b ∈ [0, p-1]).
+    */
+  private[graft] val (permA: Array[Long], permB: Array[Long]) = {
     var state = 0x243F6A8885A308D3L
     def next(): Long = {
       state += 0x9E3779B97F4A7C15L
@@ -33,7 +44,8 @@ object MinHashBandKeys {
       z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
       z ^ (z >>> 31)
     }
-    (Array.fill(NumHashes)(next() | 1L), Array.fill(NumHashes)(next()))
+    (Array.fill(NumHashes)(java.lang.Math.floorMod(next(), Mod - 1L) + 1L),
+      Array.fill(NumHashes)(java.lang.Math.floorMod(next(), Mod)))
   }
 }
 
@@ -65,10 +77,12 @@ case class MinHashBandKeys(child: Expression, bands: Int)
     val mins = Array.fill(NumHashes)(Long.MaxValue)
     var s = 0
     while (s < n) {
-      val h = arr.getLong(s)
+      // inputs from the graft pipeline are already < Mod; floorMod keeps
+      // arbitrary 64-bit inputs safe from product overflow
+      val h = java.lang.Math.floorMod(arr.getLong(s), Mod)
       var i = 0
       while (i < NumHashes) {
-        val v = h * permA(i) + permB(i)
+        val v = (h * permA(i) + permB(i)) % Mod
         if (v < mins(i)) mins(i) = v
         i += 1
       }
@@ -77,14 +91,12 @@ case class MinHashBandKeys(child: Expression, bands: Int)
     val keys = new Array[Long](bands)
     var b = 0
     while (b < bands) {
-      // splitmix-style fold of the band's minima into one key
-      var acc = b * 0x9E3779B97F4A7C15L
+      // polynomial fold of the band's minima, seeded by the band index —
+      // engine-portable (every intermediate < Mod·FoldBase + Mod < 2^63)
+      var acc = b.toLong
       var r = 0
       while (r < rowsPerBand) {
-        var z = acc ^ mins(b * rowsPerBand + r)
-        z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
-        z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
-        acc = z ^ (z >>> 31)
+        acc = (acc * FoldBase + mins(b * rowsPerBand + r)) % Mod
         r += 1
       }
       keys(b) = acc

@@ -171,35 +171,58 @@ object DedupOps {
       .orderBy("a_id", "b_id")
   }
 
-  // ---- MinHash + LSH (sub-quadratic scale path; Spark-only check) --------
+  // ---- MinHash + LSH (sub-quadratic scale path) --------------------------
 
   // signature width (64 minhash values) lives in the kernel:
   // graft.functions.MinHashBandKeys.NumHashes
   private val Bands = 16
+  private val P = graft.functions.MinHashBandKeys.Mod
+  private val FB = graft.functions.MinHashBandKeys.FoldBase
 
+  /** Engine-portable token fingerprint: polynomial rolling hash over the
+    * token's Unicode code points mod 1e9+7 (the q34 scheme) — every product
+    * stays < 2^63, so DuckDB re-derives identical values in the oracle.
+    *
+    * Two hardening steps beyond the plain rolling hash, both needed by the
+    * SimHash consumer (per-bit votes want iid-looking bits):
+    *  - the accumulator starts at a large per-base seed, not 0: an unseeded
+    *    hash of a short token never exceeds p, leaving its high bits
+    *    structurally zero;
+    *  - the finish step squares mod p ((fp² + base) % p): a rolling hash
+    *    does not avalanche, so tokens sharing a prefix differ by a SMALL
+    *    additive delta (Δcp·baseᵏ, k near 0) and their bits correlate —
+    *    squaring turns an additive delta into 2·fp·Δ mod p, pseudo-random.
+    *    (Without these, q39's near-pair count inflated ~20×/~4×.)
+    */
+  private def tokFp(t: Column, base: Long, seed: Long): Column =
+    aggregate(call_function("graft_code_points", t), lit(seed),
+      (acc, c) => (acc * lit(base) + c) % lit(P),
+      a => (a * a + lit(base)) % lit(P))
 
-  /** doc_id, hashed shingle set (word 3-grams → xxhash64 longs), and the 16
+  /** doc_id, hashed shingle set (word 3-grams → mod-p longs), and the 16
     * per-band LSH keys derived from the 64-value minhash signature.
     *
-    * Shingles are hashed ONCE to a long (the only variable-length string
-    * hash); the 64 minhash values come from fixed 16-byte re-hashes of that
-    * long — ~an order of magnitude cheaper than xxhash64(shingle, seed=i)
-    * per function. Downstream verification runs on the hashed shingle sets
-    * (long arrays intersect far faster than string arrays; a 64-bit
-    * collision over this corpus has probability ≈ 1e-8 and would only
-    * perturb a Jaccard estimate by one shingle).
+    * Tokens are fingerprinted ONCE (the only per-character hash); shingle
+    * hashes compose the three token fingerprints with a polynomial fold, and
+    * the 64 minhash values are affine mod-p permutations of the shingle
+    * hash — all arithmetic engine-portable, which is what lets the DuckDB
+    * oracle replay the ENTIRE minhash+banding pipeline and hash-check q38.
+    * Downstream verification runs on the hashed shingle sets (long arrays
+    * intersect far faster than string arrays; a mod-p collision over this
+    * corpus only perturbs a Jaccard estimate by one shingle).
     */
   private def signatures(s: SparkSession, dir: String): DataFrame =
     docs(s, dir)
       .withColumn("toks", split(trim(col("text")), " "))
       .withColumn("n_tokens", size(col("toks")))
       .filter(col("n_tokens") >= 3)
+      .withColumn("tfs", transform(col("toks"), t =>
+        tokFp(t, 31L, 987654321L)))
       .withColumn("shs", array_distinct(
         transform(sequence(lit(1), col("n_tokens") - 2), i =>
-          xxhash64(concat_ws(" ",
-            element_at(col("toks"), i),
-            element_at(col("toks"), i + 1),
-            element_at(col("toks"), i + 2))))))
+          (((element_at(col("tfs"), i) * lit(FB)
+            + element_at(col("tfs"), i + 1)) % lit(P)) * lit(FB)
+            + element_at(col("tfs"), i + 2)) % lit(P))))
       // native kernel: 64 affine-permutation minima folded to 16 band keys
       // in one primitive pass (graft.functions.MinHashBandKeys)
       .withColumn("bh",
@@ -238,18 +261,26 @@ object DedupOps {
       .orderBy("a_id", "b_id")
   }
 
-  // ---- SimHash (Hamming-space scale path; Spark-only check) --------------
+  // ---- SimHash (Hamming-space scale path) ---------------------------------
 
-  /** 64-bit SimHash over distinct tokens: per-bit vote from each token's
-    * xxhash64, packed to a long via a bit fold.
+  /** SimHash over distinct tokens: per-bit vote from each token's 61-bit
+    * portable hash, packed to a long via a bit fold.
+    *
+    * The token hash pairs two independent mod-p rolling fingerprints
+    * (bases 31 and 37): h = fp31·2^31 + fp37 — ~61 well-spread bits from
+    * arithmetic DuckDB reproduces exactly, so the q39 oracle re-derives the
+    * identical simhash (bits 61-63 are structurally 0 for every document,
+    * which cancels in every Hamming distance).
     */
   private def simhashed(s: SparkSession, dir: String): DataFrame =
     docs(s, dir)
       .withColumn("toks", array_distinct(split(trim(col("text")), " ")))
-      // Hash each token once; the 64-bit vote/pack loop is a native kernel
-      // (graft.functions.SimHash64) — primitive arrays, no boxed
+      // Fingerprint each token once; the 64-bit vote/pack loop is a native
+      // kernel (graft.functions.SimHash64) — primitive arrays, no boxed
       // intermediate vote vectors.
-      .withColumn("tok_h", expr("transform(toks, t -> xxhash64(t))"))
+      .withColumn("tok_h", transform(col("toks"), t =>
+        tokFp(t, 31L, 987654321L) * lit(2147483648L)
+          + tokFp(t, 37L, 123456789L)))
       .withColumn("simhash", call_function("graft_simhash64", col("tok_h")))
       .select("doc_id", "lang", "simhash")
 
@@ -415,11 +446,106 @@ object DedupOps {
     "q46_dedup_clusters" -> dedupClusters,
     "q49_contamination" -> contamination)
 
-  /** q38/q39 intentionally omitted: their signatures use Spark's xxhash64,
-    * which DuckDB cannot reproduce — they get the driver's rows-only check
-    * plus ScalaTest recall checks against the exact q37 ground truth.
+  /** Shared SQL fragment: the portable token fingerprint (rolling hash over
+    * Unicode code points mod 1e9+7 — DuckDB `unicode()` ≡ graft_code_points).
     */
+  /** Raw (un-mixed) rolling fingerprint; callers apply the squaring finish
+    * `(x*x + base) % p` via a second list_transform so the reduce runs once.
+    */
+  private def sqlTokFpRaw(t: String, base: Long, seed: Long): String =
+    s"""list_reduce(list_prepend(CAST($seed AS BIGINT),
+       |      list_transform(generate_series(1, length($t)),
+       |        i -> CAST(unicode($t[i]) AS BIGINT))),
+       |      (a, b) -> (a * $base + b) % $P)""".stripMargin
+
+  /** The kernel's 64 affine mod-p permutation constants as a SQL literal —
+    * read from graft.functions.MinHashBandKeys so oracle and kernel cannot
+    * drift apart.
+    */
+  private def sqlPerms: String = {
+    import graft.functions.MinHashBandKeys.{permA, permB}
+    permA.zip(permB).map { case (a, b) => s"[$a, $b]" }
+      .mkString("[", ", ", "]")
+  }
+
   val oracle: Map[String, String] = Map(
+    // Replays the ENTIRE minhash pipeline in SQL: token fingerprints →
+    // 3-gram shingle hashes → 64 affine mod-p minima → 16 band keys →
+    // band-collision candidate pairs → exact-Jaccard verification. Every
+    // step is the same 64-bit-safe arithmetic the Spark kernel runs.
+    "q38_minhash_lsh_pairs" ->
+      s"""WITH d AS (SELECT doc_id, string_split(trim(text), ' ') AS toks
+         |  FROM documents WHERE len(string_split(trim(text), ' ')) >= 3),
+         |tr AS (SELECT doc_id,
+         |  list_transform(toks, t -> ${sqlTokFpRaw("t", 31L, 987654321L)})
+         |    AS tfs0
+         |  FROM d),
+         |tf AS (SELECT doc_id,
+         |  list_transform(tfs0, x -> (x * x + 31) % $P) AS tfs FROM tr),
+         |sg AS (SELECT doc_id,
+         |  list_distinct(list_transform(generate_series(1, len(tfs) - 2),
+         |    i -> ((tfs[i] * $FB + tfs[i+1]) % $P * $FB + tfs[i+2]) % $P))
+         |    AS shs
+         |  FROM tf),
+         |mh AS (SELECT doc_id, shs,
+         |  list_transform($sqlPerms,
+         |    ab -> list_min(list_transform(shs, h -> (ab[1] * h + ab[2]) % $P)))
+         |    AS mins
+         |  FROM sg),
+         |bh AS (SELECT doc_id, shs,
+         |  list_transform(generate_series(0, ${Bands - 1}),
+         |    b -> list_reduce(
+         |      list_prepend(CAST(b AS BIGINT), list_slice(mins, b*4+1, b*4+4)),
+         |      (acc, m) -> (acc * $FB + m) % $P)) AS bh
+         |  FROM mh),
+         |p AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+         |    len(list_intersect(a.shs, b.shs)) AS inter,
+         |    len(a.shs) AS a_n, len(b.shs) AS b_n
+         |  FROM bh a JOIN bh b ON a.doc_id < b.doc_id
+         |    AND len(list_filter(generate_series(1, $Bands),
+         |      i -> a.bh[i] = b.bh[i])) > 0
+         |    AND len(a.shs) * 5 >= len(b.shs) * 4
+         |    AND len(b.shs) * 5 >= len(a.shs) * 4)
+         |SELECT a_id, b_id,
+         |  round(inter / (a_n + b_n - inter), 6) AS jaccard
+         |FROM p WHERE inter / (a_n + b_n - inter) >= 0.8e0
+         |ORDER BY a_id, b_id""".stripMargin,
+    // Replays the simhash: 61-bit portable token hashes → per-bit majority
+    // vote (bits 61-63 structurally zero) → 16-bit-chunk blocking +
+    // Hamming ≤ 3 verification. Bit fold via `|` over disjoint bits keeps
+    // everything BIGINT (list_sum would widen to HUGEINT).
+    "q39_simhash_pairs" ->
+      s"""WITH d AS (SELECT doc_id,
+         |  list_distinct(string_split(trim(text), ' ')) AS toks
+         |  FROM documents),
+         |tr AS (SELECT doc_id,
+         |  list_transform(toks, t -> ${sqlTokFpRaw("t", 31L, 987654321L)})
+         |    AS r31,
+         |  list_transform(toks, t -> ${sqlTokFpRaw("t", 37L, 123456789L)})
+         |    AS r37
+         |  FROM d),
+         |tf AS (SELECT doc_id,
+         |  list_transform(generate_series(1, len(r31)), i ->
+         |    ((r31[i] * r31[i] + 31) % $P) * 2147483648
+         |      + ((r37[i] * r37[i] + 37) % $P)) AS th
+         |  FROM tr),
+         |sh AS (SELECT doc_id,
+         |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |    list_transform(generate_series(0, 60), k ->
+         |      CASE WHEN 2 * len(list_filter(th, h -> ((h >> k) & 1) = 1))
+         |             > len(th)
+         |           THEN (CAST(1 AS BIGINT) << k) ELSE CAST(0 AS BIGINT)
+         |      END)),
+         |    (a, b) -> a | b) AS simhash
+         |  FROM tf)
+         |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+         |  CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+         |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         |  AND bit_count(xor(a.simhash, b.simhash)) <= 3
+         |  AND len(list_filter(generate_series(0, 3), j ->
+         |    ((a.simhash >> (j*16)) & 65535) = ((b.simhash >> (j*16)) & 65535)
+         |    )) > 0
+         |ORDER BY a_id, b_id""".stripMargin,
     "q49_contamination" ->
       """WITH d AS (SELECT doc_id, lang,
         |  regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm,
