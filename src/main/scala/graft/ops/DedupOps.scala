@@ -326,7 +326,20 @@ object DedupOps {
     * one shuffle join sized by the edge list (the Hash-to-Min pattern —
     * this is how components are computed at 100 TB, no driver-side graph).
     */
-  def dedupClusters(s: SparkSession, dir: String): DataFrame = {
+  def dedupClusters(s: SparkSession, dir: String): DataFrame =
+    dedupClusters(s, dir, None)
+
+  /** `checkpointDir` selects the lineage-truncation mode for the iterative
+    * CC rounds: `None` (default) uses executor-local checkpoint blocks —
+    * fastest, right for local mode and the harness, but a lost executor
+    * kills the job; `Some(dfsPath)` writes reliable checkpoints to that
+    * (cluster-visible) directory, the 100 TB production mode where
+    * surviving executor loss matters more than the write cost.
+    */
+  def dedupClusters(s: SparkSession, dir: String,
+      checkpointDir: Option[String]): DataFrame = {
+    checkpointDir.foreach(s.sparkContext.setCheckpointDir)
+    val reliable = checkpointDir.isDefined
     val (d, vocab) = tokenizedDocs(s, dir)
     if (vocab.length <= 64) {
       // contract before CC: all members of one (lang, mask) group are
@@ -334,52 +347,62 @@ object DedupOps {
       // on the GROUP graph (one node per distinct token set, node id = min
       // member). CC runs over thousands of supernodes instead of the
       // expanded doc-pair graph, then membership lists expand the labels.
-      val groups = maskGroups(d, vocab).localCheckpoint(true)
-      val ge = maskGroupEdges(groups)
-        .select(col("a_mask"), col("b_mask"),
-          col("a_ids").getItem(0).as("a0"), col("b_ids").getItem(0).as("b0"))
-        .localCheckpoint(true)
+      val groups = truncateLineage(maskGroups(d, vocab), reliable)
+      val ge = truncateLineage(
+        maskGroupEdges(groups)
+          .select(col("a_mask"), col("b_mask"),
+            col("a_ids").getItem(0).as("a0"), col("b_ids").getItem(0).as("b0")),
+        reliable)
       val nodes = ge.select(col("a0").as("id"))
         .union(ge.select(col("b0").as("id"))).distinct()
       val edgesU = ge.filter(col("a_mask") < col("b_mask"))
         .select(col("a0").as("src"), col("b0").as("dst"))
-      val cc = connectedComponents(nodes, edgesU)
+      val cc = connectedComponents(nodes, edgesU, reliable)
       groups
         .select(col("ids").getItem(0).as("id"), explode(col("ids")).as("doc_id"))
         .join(cc, "id")
         .select(col("doc_id"), col("rep"))
         .orderBy("doc_id")
     } else {
-      val pairs = jaccardPairsPrefix(d).select(col("a_id"), col("b_id"))
-        .localCheckpoint(true)
+      val pairs = truncateLineage(
+        jaccardPairsPrefix(d).select(col("a_id"), col("b_id")), reliable)
       val nodes = pairs.select(col("a_id").as("id"))
         .union(pairs.select(col("b_id").as("id"))).distinct()
       connectedComponents(nodes,
-        pairs.select(col("a_id").as("src"), col("b_id").as("dst")))
+        pairs.select(col("a_id").as("src"), col("b_id").as("dst")), reliable)
         .select(col("id").as("doc_id"), col("rep"))
         .orderBy("doc_id")
     }
   }
 
+  /** Truncate a plan's lineage: executor-local blocks (fast, volatile) or a
+    * reliable checkpoint to the context's checkpoint dir.
+    */
+  private def truncateLineage(df: DataFrame, reliable: Boolean): DataFrame =
+    if (reliable) df.checkpoint(true) else df.localCheckpoint(true)
+
   /** Connected components over an undirected edge list: min-label
     * propagation with pointer jumping (rep := rep(rep) each round squares
     * the propagation distance — O(log d) rounds instead of O(diameter)),
-    * lineage truncated per round via localCheckpoint (without it the
-    * nested logical plan makes analysis dwarf execution). Returns
+    * lineage truncated per round (without it the nested logical plan makes
+    * analysis dwarf execution) — executor-local blocks by default, reliable
+    * DFS checkpoints when `reliable` (see [[dedupClusters]]). Returns
     * (id, rep) for every node, rep = component minimum.
     */
   private def connectedComponents(nodes: DataFrame,
-      undirected: DataFrame): DataFrame = {
-    val edges = undirected
-      .union(undirected.select(col("dst").as("src"), col("src").as("dst")))
-      .localCheckpoint(true)
+      undirected: DataFrame, reliable: Boolean = false): DataFrame = {
+    val edges = truncateLineage(
+      undirected
+        .union(undirected.select(col("dst").as("src"), col("src").as("dst"))),
+      reliable)
     // round 0 fused into initialization: label = min(self, neighbors)
-    var labels = nodes
-      .join(edges.groupBy(col("src").as("id")).agg(min(col("dst")).as("mn")),
-        Seq("id"), "left")
-      .select(col("id"), least(col("id"), coalesce(col("mn"), col("id")))
-        .as("rep"))
-      .localCheckpoint(true)
+    var labels = truncateLineage(
+      nodes
+        .join(edges.groupBy(col("src").as("id")).agg(min(col("dst")).as("mn")),
+          Seq("id"), "left")
+        .select(col("id"), least(col("id"), coalesce(col("mn"), col("id")))
+          .as("rep")),
+      reliable)
     var converged = false
     var rounds = 0
     while (!converged && rounds < 40) {
@@ -390,11 +413,13 @@ object DedupOps {
       val prop = labels.join(viaNeighbors, Seq("id"), "left")
         .select(col("id"), col("rep").as("old"),
           least(col("rep"), coalesce(col("n_rep"), col("rep"))).as("rep"))
-      val next = prop
-        .join(prop.select(col("id").as("rep"), col("rep").as("rep2")),
-          Seq("rep"))
-        .select(col("id"), least(col("rep"), col("rep2")).as("rep"), col("old"))
-        .localCheckpoint(true)
+      val next = truncateLineage(
+        prop
+          .join(prop.select(col("id").as("rep"), col("rep").as("rep2")),
+            Seq("rep"))
+          .select(col("id"), least(col("rep"), col("rep2")).as("rep"),
+            col("old")),
+        reliable)
       // change flag carried through the round: convergence reads
       // checkpointed data, no extra join against the previous labels
       converged = next.filter(col("rep") < col("old")).isEmpty

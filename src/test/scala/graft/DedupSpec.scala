@@ -121,6 +121,20 @@ class DedupSpec extends SparkSpec {
       s"docs 0/1/3 form one component rooted at 0, got $reps")
   }
 
+  test("dedup clusters with a reliable checkpoint dir match local mode") {
+    val ckpt = tmpDir("cc-ckpt")
+    val local = DedupOps.dedupClusters(spark, plantedDocsDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val reliable = DedupOps.dedupClusters(spark, plantedDocsDir, Some(ckpt))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(reliable === local)
+    // the reliable run must actually write checkpoint data to the dir
+    def files(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) f.listFiles().toSeq.flatMap(files) else Seq(f)
+    assert(files(new java.io.File(ckpt)).nonEmpty,
+      "reliable mode must persist checkpoint files")
+  }
+
   test("minhash LSH output is a subset of exact shingle-jaccard >= 0.8") {
     // precision check against an INDEPENDENT shingle-Jaccard computation
     // (plain Scala sets from the raw parquet — not the column the op
