@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 
@@ -13,8 +13,10 @@ import org.apache.spark.sql.types._
   *
   * Each expression consumes `ArrayData` directly with primitive `while`
   * loops — no boxing, no Scala-collection conversion (the overhead that
-  * makes a plain UDF slow). They are deterministic, null-safe, and foldable
-  * only through the standard Catalyst machinery. Registered via
+  * makes a plain UDF slow) — and implements real `doGenCode`, so the
+  * kernels stay inside whole-stage codegen (FunctionsSpec runs them with
+  * codegen fallback disabled). They are deterministic, null-safe, and
+  * foldable only through the standard Catalyst machinery. Registered via
   * [[GraftFunctions.ensureRegistered]] (runtime) or [[GraftExtensions]]
   * (config: spark.sql.extensions=graft.functions.GraftExtensions).
   */
@@ -55,7 +57,7 @@ object MinHashBandKeys {
   * into `bands` keys of 64/bands rows each.
   */
 case class MinHashBandKeys(child: Expression, bands: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   import MinHashBandKeys._
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
@@ -105,6 +107,50 @@ case class MinHashBandKeys(child: Expression, bands: Int)
     new GenericArrayData(keys)
   }
 
+  /** Real codegen (same loop as nullSafeEval): the kernel runs once per
+    * document inside the signature projection — staying in whole-stage
+    * codegen avoids the per-row boxing of the interpreted fallback path.
+    * The permutation tables ride in as reference objects.
+    */
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, arr => {
+      val pa = ctx.addReferenceObj("permA", permA, "long[]")
+      val pb = ctx.addReferenceObj("permB", permB, "long[]")
+      val n = ctx.freshName("n")
+      val mins = ctx.freshName("mins")
+      val keys = ctx.freshName("keys")
+      val h = ctx.freshName("h")
+      val v = ctx.freshName("v")
+      val acc = ctx.freshName("acc")
+      val s = ctx.freshName("s")
+      val i = ctx.freshName("i")
+      val b = ctx.freshName("b")
+      val r = ctx.freshName("r")
+      s"""
+         |final int $n = $arr.numElements();
+         |final long[] $mins = new long[$NumHashes];
+         |java.util.Arrays.fill($mins, Long.MAX_VALUE);
+         |for (int $s = 0; $s < $n; $s++) {
+         |  final long $h = java.lang.Math.floorMod($arr.getLong($s), ${Mod}L);
+         |  for (int $i = 0; $i < $NumHashes; $i++) {
+         |    final long $v = ($h * $pa[$i] + $pb[$i]) % ${Mod}L;
+         |    if ($v < $mins[$i]) $mins[$i] = $v;
+         |  }
+         |}
+         |final long[] $keys = new long[$bands];
+         |for (int $b = 0; $b < $bands; $b++) {
+         |  long $acc = (long) $b;
+         |  for (int $r = 0; $r < $rowsPerBand; $r++) {
+         |    $acc = ($acc * ${FoldBase}L + $mins[$b * $rowsPerBand + $r])
+         |      % ${Mod}L;
+         |  }
+         |  $keys[$b] = $acc;
+         |}
+         |${ev.value} =
+         |  new org.apache.spark.sql.catalyst.util.GenericArrayData($keys);
+         |""".stripMargin
+    })
+
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
@@ -114,7 +160,7 @@ case class MinHashBandKeys(child: Expression, bands: Int)
   * result is 1 iff more tokens have bit k set than unset).
   */
 case class SimHash64(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
@@ -147,6 +193,32 @@ case class SimHash64(child: Expression)
     sim
   }
 
+  /** Real codegen twin of nullSafeEval — one primitive vote loop per doc. */
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, arr => {
+      val n = ctx.freshName("n")
+      val votes = ctx.freshName("votes")
+      val h = ctx.freshName("h")
+      val sim = ctx.freshName("sim")
+      val t = ctx.freshName("t")
+      val k = ctx.freshName("k")
+      s"""
+         |final int $n = $arr.numElements();
+         |final int[] $votes = new int[64];
+         |for (int $t = 0; $t < $n; $t++) {
+         |  final long $h = $arr.getLong($t);
+         |  for (int $k = 0; $k < 64; $k++) {
+         |    if ((($h >>> $k) & 1L) == 1L) $votes[$k]++; else $votes[$k]--;
+         |  }
+         |}
+         |long $sim = 0L;
+         |for (int $k = 63; $k >= 0; $k--) {
+         |  $sim = ($sim << 1) | ($votes[$k] > 0 ? 1L : 0L);
+         |}
+         |${ev.value} = $sim;
+         |""".stripMargin
+    })
+
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
@@ -160,7 +232,7 @@ case class SimHash64(child: Expression)
   * engines for any text.
   */
 case class CodePoints(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case StringType => TypeCheckResult.TypeCheckSuccess
@@ -185,6 +257,33 @@ case class CodePoints(child: Expression)
     new GenericArrayData(out)
   }
 
+  /** Real codegen: this kernel runs per TOKEN (twice in the portable
+    * fingerprint path), the hottest of the string kernels — the generated
+    * loop avoids the interpreted-eval dispatch per call.
+    */
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, in => {
+      val s = ctx.freshName("s")
+      val n = ctx.freshName("n")
+      val out = ctx.freshName("out")
+      val cp = ctx.freshName("cp")
+      val i = ctx.freshName("i")
+      val k = ctx.freshName("k")
+      s"""
+         |final String $s = $in.toString();
+         |final int $n = $s.codePointCount(0, $s.length());
+         |final long[] $out = new long[$n];
+         |int $i = 0;
+         |for (int $k = 0; $k < $n; $k++) {
+         |  final int $cp = $s.codePointAt($i);
+         |  $out[$k] = (long) $cp;
+         |  $i += Character.charCount($cp);
+         |}
+         |${ev.value} =
+         |  new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+         |""".stripMargin
+    })
+
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
@@ -194,9 +293,8 @@ case class CodePoints(child: Expression)
   * result is bit-identical to a left-associated SQL sum of products — the
   * property the DuckDB oracle comparison depends on.
   *
-  * Implements real `doGenCode` (unlike the other kernels, which process a
-  * handful of rows per document): this expression runs once per CANDIDATE
-  * PAIR in the similarity joins, so it stays inside whole-stage codegen —
+  * Hottest kernel of the four (runs once per CANDIDATE PAIR in the
+  * similarity joins); like the others it implements real `doGenCode` —
   * a primitive loop over the two ArrayData with no per-call boxing.
   */
 case class VecDot(left: Expression, right: Expression)

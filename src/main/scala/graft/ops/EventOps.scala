@@ -141,6 +141,26 @@ object EventOps {
         max(col("k")).as("max_k"))
       .orderBy("event_type")
 
+  /** F14 — currency display format (dashboard.py:284-286 `f"${x:,.2f}"`):
+    * thousands-grouped, 2dp, '$'-prefixed string column over per-type value
+    * totals. Built from exact integer cents so grouping and rounding are
+    * engine-portable: `format_number` only ever formats the INTEGER part
+    * (no fractional rounding mode to disagree on), and the 2-digit fraction
+    * is integer arithmetic on the cents.
+    */
+  def displayFormat(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .groupBy("event_type")
+      .agg(dsum(col("value")).as("total_value"))
+      .withColumn("cents", round(col("total_value") * 100).cast("long"))
+      .select(
+        col("event_type"), col("total_value"),
+        concat(lit("$"),
+          format_number(expr("cents div 100"), 0),
+          lit("."),
+          lpad(expr("CAST(cents % 100 AS STRING)"), 2, "0")).as("display"))
+      .orderBy("event_type")
+
   /** A8 variant — hourly distinct users (exact distinct under shuffle). */
   def hourlyUsers(s: SparkSession, dir: String): DataFrame =
     events(s, dir)
@@ -291,7 +311,8 @@ object EventOps {
     "q09_priority_case" -> priorityCase,
     "q10_json_props" -> jsonProps,
     "q11_hourly_users" -> hourlyUsers,
-    "q12_dedup_events" -> dedupEvents)
+    "q12_dedup_events" -> dedupEvents,
+    "q18_display_format" -> displayFormat)
 
   private val gapMicros = graft.streaming.SessionPipeline.GapMicros
 
@@ -405,5 +426,14 @@ object EventOps {
         |  SELECT *, row_number() OVER (
         |    PARTITION BY user_id, event_type
         |    ORDER BY ts ASC, event_id ASC) AS rn FROM events)
-        |WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin)
+        |WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin,
+    "q18_display_format" ->
+      s"""WITH a AS (SELECT event_type, ${sqlDsum("value")} AS total_value
+         |  FROM events GROUP BY event_type),
+         |c AS (SELECT *, CAST(round(total_value * 100) AS BIGINT) AS cents
+         |  FROM a)
+         |SELECT event_type, total_value,
+         |  '$$' || format('{:,}', cents // 100) || '.' ||
+         |    lpad(CAST(cents % 100 AS VARCHAR), 2, '0') AS display
+         |FROM c ORDER BY event_type""".stripMargin)
 }

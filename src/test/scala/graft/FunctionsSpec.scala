@@ -56,6 +56,34 @@ class FunctionsSpec extends SparkSpec {
     assert(ok === 8)
   }
 
+  test("native kernels survive whole-stage codegen with fallback disabled") {
+    // all four kernels now implement doGenCode; fallback=false turns any
+    // generated-code compile failure into an exception instead of a silent
+    // interpreted fallback
+    val strict = spark.newSession()
+    strict.conf.set("spark.sql.codegen.fallback", "false")
+    GraftFunctions.ensureRegistered(strict)
+    val r = strict.sql(
+      """SELECT
+        |  graft_simhash64(transform(sequence(1, 50), x -> x * 1234567L)) AS s,
+        |  size(graft_minhash_band_keys(array(1L, 2L, 3L), 16)) AS b,
+        |  size(graft_code_points('héllo wörld')) AS c,
+        |  graft_vec_dot(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d
+        |FROM range(1, 4)""".stripMargin).collect()
+    assert(r.length === 3)
+    assert(r.head.getInt(1) === 16)
+    assert(r.head.getInt(2) === 11)
+    assert(r.head.getDouble(3) === 11.0)
+    // codegen result must equal the interpreted (nullSafeEval) result
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    val interp = graft.functions.SimHash64(Literal(new GenericArrayData(
+      (1L to 50L).map(_ * 1234567L).toArray),
+      org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.LongType))).eval(null)
+    assert(r.head.getLong(0) === interp.asInstanceOf[Long])
+  }
+
   test("registerAll exposes every testdata table as a SQL view") {
     graft.Tables.registerAll(spark, sfDir)
     graft.Tables.names.foreach { n =>
