@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Skew-mitigation utilities — the manual counterpart to AQE's runtime skew
@@ -35,4 +35,29 @@ object ScaleOps {
       .withColumn("_salt", explode(sequence(lit(0L), lit(salts.toLong - 1))))
     salted.join(replicated, Seq(key, "_salt")).drop("_salt")
   }
+
+  // ---- bucketing: pre-shuffled storage for co-located joins ---------------
+  // At 100 TB the dominant cost of a repeated fact⋈fact join (lineitem ⋈
+  // orders every run) is re-shuffling both sides on the key each time.
+  // Bucketed tables pay that shuffle ONCE at write: both sides hash-bucketed
+  // (and sorted) on the join key with equal bucket counts join with ZERO
+  // Exchange in the plan — each task zips bucket i ⋈ bucket i.
+
+  /** Write `df` as a parquet table bucketed (and sorted) on `key` —
+    * the one-time pre-shuffle that makes every later join on `key`
+    * exchange-free.
+    */
+  def writeBucketed(df: DataFrame, table: String, key: String,
+      buckets: Int): Unit =
+    df.write.mode("overwrite").format("parquet")
+      .bucketBy(buckets, key).sortBy(key)
+      .saveAsTable(table)
+
+  /** Inner equi-join of two tables bucketed on `key` with the same bucket
+    * count: planned as a sort-merge join over matching buckets with no
+    * Exchange on either side (asserted in OpsSpec).
+    */
+  def bucketedJoin(spark: SparkSession, left: String, right: String,
+      key: String): DataFrame =
+    spark.table(left).join(spark.table(right), key)
 }

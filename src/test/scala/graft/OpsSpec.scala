@@ -97,6 +97,34 @@ class OpsSpec extends SparkSpec {
     assert(plain.exceptAll(salted).count() === 0)
   }
 
+  test("bucketed join runs with zero exchanges and matches the plain join") {
+    val lineitem = Tables.t(spark, sfDir, "lineitem")
+      .select(col("l_orderkey").as("okey"), col("l_extendedprice"))
+    val orders = Tables.t(spark, sfDir, "orders")
+      .select(col("o_orderkey").as("okey"), col("o_orderdate"))
+    ScaleOps.writeBucketed(lineitem, "li_bkt", "okey", 8)
+    ScaleOps.writeBucketed(orders, "ord_bkt", "okey", 8)
+    try {
+      // at sf0.001 the planner would broadcast the tiny side and never
+      // exercise bucketing; disabling broadcast simulates the two-big-tables
+      // case bucketing exists for (both sides too large to broadcast)
+      val big = spark.newSession()
+      big.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = ScaleOps.bucketedJoin(big, "li_bkt", "ord_bkt", "okey")
+      // both sides pre-bucketed on the key → no shuffle anywhere in the plan
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"bucketed join must not shuffle:\n$plan")
+      // same rows as the straight shuffle join
+      val plain = lineitem.join(orders, "okey")
+      assert(joined.count() === plain.count())
+      assert(joined.exceptAll(plain).count() === 0)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS li_bkt")
+      spark.sql("DROP TABLE IF EXISTS ord_bkt")
+    }
+  }
+
   test("media features match a hand-computed payload") {
     val feats = MultimodalOps.mediaFeatures(spark, sfDir).collect()
     val docs = Tables.t(spark, sfDir, "documents")
