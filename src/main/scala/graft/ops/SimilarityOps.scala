@@ -134,7 +134,7 @@ object SimilarityOps {
       .limit(k)
   }
 
-  // ---- LSH-bucketed ANN (scale path; Spark-only check) -------------------
+  // ---- LSH-bucketed ANN (scale path) -------------------------------------
 
   private val Planes = 16
 
@@ -229,9 +229,20 @@ object SimilarityOps {
   def annIvf(s: SparkSession, dir: String): DataFrame = {
     val nProbe = 3
     val e = emb(s, dir)
-    val cent = e.groupBy("label").agg(
-      array((0 until Dim).map(i =>
-        avg(element_at(col("embedding"), i + 1))): _*).as("centroid"))
+    // centroid = decimal-exact per-dim mean rounded 6dp (the q43 definition):
+    // order-independent, so the probe choice is reproducible on any cluster
+    // AND re-derivable by the oracle (a float avg() would make the top-3
+    // probe set depend on partition order near ties)
+    val cent = e
+      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .groupBy("label", "pos")
+      .agg(round(
+        sum(col("v").cast("decimal(38,10)")).cast("double") / count(lit(1)), 6)
+        .as("cv"))
+      .groupBy("label")
+      .agg(transform(
+        array_sort(collect_list(struct(col("pos"), col("cv")))),
+        x => x.getField("cv")).as("centroid"))
     val q = broadcast(e.filter(col("vec_id") === 0)
       .select(col("embedding").as("q_emb")))
     val probed = broadcast(
@@ -271,11 +282,62 @@ object SimilarityOps {
     "q44_nn_dedup" -> nnDedup,
     "q45_ann_ivf" -> annIvf)
 
-  /** q42/q45 omitted: q42's signature planes are not reproducible in DuckDB,
-    * and q45's probe selection depends on float centroid math — both get the
-    * driver's rows-only check plus ScalaTest recall vs the exact q40 ranking.
+  /** The hyperplane constants as full-precision SQL literals (Java's
+    * Double.toString round-trips, and DuckDB parses to the same IEEE
+    * double), so the oracle computes bit-identical signatures.
     */
+  private def sqlSignature(e: String): String =
+    planes.map { p =>
+      val d = p.zipWithIndex
+        .map { case (v, i) => s"CAST($e[${i + 1}] AS DOUBLE) * $v" }
+        .mkString(" + ")
+      s"(CASE WHEN $d >= 0 THEN 1 ELSE 0 END)"
+    }.reduce((acc, bit) => s"($acc * 2 + $bit)")
+
   val oracle: Map[String, String] = Map(
+    // Replays the full LSH pipeline: 16 plane dots (literal planes,
+    // index-order accumulation = bit-exact vs VecDot) → sign-bit signature →
+    // two-table Hamming≤2 multi-probe → exact cosine re-rank.
+    "q42_ann_lsh" ->
+      s"""WITH s AS (SELECT vec_id, label, embedding,
+         |  CAST(${sqlSignature("embedding")} AS BIGINT) AS sig
+         |  FROM embeddings),
+         |q AS (SELECT embedding AS q_emb, sig AS q_sig FROM s
+         |  WHERE vec_id = 0)
+         |SELECT e.vec_id, e.label,
+         |  round((${sqlDot("e.embedding", "q.q_emb")})
+         |    / (${sqlNorm("e.embedding")} * ${sqlNorm("q.q_emb")}), 6)
+         |    AS cos_sim
+         |FROM s e CROSS JOIN q
+         |WHERE e.vec_id <> 0 AND (
+         |  bit_count(xor(e.sig >> 8, q.q_sig >> 8)) <= 2 OR
+         |  bit_count(xor(e.sig & 255, q.q_sig & 255)) <= 2)
+         |ORDER BY cos_sim DESC, e.vec_id ASC LIMIT 10""".stripMargin,
+    // Replays IVF: decimal-exact rounded per-dim centroids (the q43
+    // definition) → centroid-vs-query cosine (index-order, bit-exact) →
+    // top-3 probe → exact re-rank within the probed cells.
+    "q45_ann_ivf" ->
+      s"""WITH c0 AS (SELECT label, s.i AS dim,
+         |    round(CAST(sum(CAST(embedding[s.i] AS DECIMAL(38,10)))
+         |      AS DOUBLE) / count(*), 6) AS cv
+         |  FROM embeddings
+         |  CROSS JOIN (SELECT unnest(generate_series(1, $Dim)) AS i) s
+         |  GROUP BY label, s.i),
+         |c AS (SELECT label, list(cv ORDER BY dim) AS carr FROM c0
+         |  GROUP BY label),
+         |q AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0),
+         |pr AS (SELECT c.label,
+         |    (${sqlDot("c.carr", "q.q_emb")})
+         |      / (${sqlNorm("c.carr")} * ${sqlNorm("q.q_emb")}) AS c_cos
+         |  FROM c CROSS JOIN q
+         |  ORDER BY c_cos DESC, c.label ASC LIMIT 3)
+         |SELECT e.vec_id, e.label,
+         |  round((${sqlDot("e.embedding", "q.q_emb")})
+         |    / (${sqlNorm("e.embedding")} * ${sqlNorm("q.q_emb")}), 6)
+         |    AS cos_sim
+         |FROM embeddings e JOIN pr ON e.label = pr.label CROSS JOIN q
+         |WHERE e.vec_id <> 0
+         |ORDER BY cos_sim DESC, e.vec_id ASC LIMIT 10""".stripMargin,
     "q40_ann_topk" ->
       s"""SELECT e.vec_id, e.label,
          |  round((${sqlDot("e.embedding", "q.q_emb")})

@@ -18,8 +18,7 @@ class OpsSpec extends SparkSpec {
 
   test("every query key has either an oracle or a documented omission") {
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    assert(noOracle === Set("q15_sketch_stats", "q42_ann_lsh", "q45_ann_ivf",
-      "q51_media_features"))
+    assert(noOracle === Set("q15_sketch_stats", "q51_media_features"))
   }
 
   test("sketch stats track the exact aggregates within error bounds") {
