@@ -102,9 +102,34 @@ object MultimodalOps {
       .orderBy("doc_id")
   }
 
+  /** Frame sampling: every 4th fixed-size frame of each payload, with
+    * per-frame digest and length — the "decode every k-th video frame"
+    * access pattern as pure relational plumbing (explode a stride sequence,
+    * slice, digest; no shuffle until the output sort). Frames are 64-unit
+    * chunks of the text payload standing in for fixed-byte media frames,
+    * like q50/q51's stub payloads.
+    */
+  def frameSample(s: SparkSession, dir: String): DataFrame = {
+    val FrameLen = 64
+    val Stride = 4
+    docs(s, dir)
+      .withColumn("max_frame",
+        floor((greatest(length(col("text")), lit(1)) - 1) / FrameLen))
+      .select(col("doc_id"), col("text"),
+        explode(expr(s"sequence(0L, max_frame, $Stride)")).as("frame_idx"))
+      .withColumn("frame",
+        expr(s"substring(text, CAST(frame_idx * $FrameLen + 1 AS INT), $FrameLen)"))
+      .select(
+        col("doc_id"), col("frame_idx"),
+        length(col("frame")).as("frame_len"),
+        substring(md5(encode(col("frame"), "UTF-8")), 1, 16).as("frame_digest"))
+      .orderBy("doc_id", "frame_idx")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q50_media_meta" -> mediaMeta,
-    "q51_media_features" -> mediaFeatures)
+    "q51_media_features" -> mediaFeatures,
+    "q52_frame_sample" -> frameSample)
 
   /** q51 omitted: the stub decode kernel runs in JVM code the oracle cannot
     * reproduce — rows-only check + ScalaTest over literal payloads.
@@ -119,5 +144,16 @@ object MultimodalOps {
         |  64 + (octet_length(encode(text)) % 5) * 16 AS height,
         |  octet_length(encode(text)) // 64 + 1 AS n_frames,
         |  substring(md5(text), 1, 16) AS digest
-        |FROM documents ORDER BY doc_id""".stripMargin)
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q52_frame_sample" ->
+      """WITH f AS (SELECT doc_id, text,
+        |  CAST(floor((greatest(length(text), 1) - 1) / 64) AS BIGINT)
+        |    AS max_frame
+        |  FROM documents)
+        |SELECT doc_id, s.i AS frame_idx,
+        |  length(substring(text, CAST(s.i * 64 + 1 AS INT), 64)) AS frame_len,
+        |  substring(md5(substring(text, CAST(s.i * 64 + 1 AS INT), 64)), 1, 16)
+        |    AS frame_digest
+        |FROM f, unnest(generate_series(0, f.max_frame, 4)) AS s(i)
+        |ORDER BY doc_id, frame_idx""".stripMargin)
 }
