@@ -179,6 +179,25 @@ object TextOps {
       .orderBy("lang", "rank")
   }
 
+  /** Corpus mixture report: per (source, lang) document and token counts
+    * plus each cell's share of all corpus tokens — the numbers behind every
+    * training-mix / up-sampling decision. One aggregation plus an
+    * unpartitioned window over the (small) group table; the full-corpus
+    * token total never reshuffles the documents themselves.
+    */
+  def sourceMix(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    docs(s, dir)
+      .withColumn("n_toks", size(tokens))
+      .groupBy("source", "lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_toks")).as("n_tokens"))
+      .withColumn("token_share_pct",
+        round(col("n_tokens") * lit(100.0)
+          / sum(col("n_tokens")).over(Window.partitionBy()), 4))
+      .orderBy("source", "lang")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q31_token_stats" -> tokenStats,
     "q32_lang_profile" -> langProfile,
@@ -186,9 +205,20 @@ object TextOps {
     "q34_doc_fingerprint" -> docFingerprint,
     "q35_shingle_profile" -> shingleProfile,
     "q47_stratified_sample" -> stratifiedSample,
-    "q48_quality_topk" -> qualityTopK)
+    "q48_quality_topk" -> qualityTopK,
+    "q53_source_mix" -> sourceMix)
 
   val oracle: Map[String, String] = Map(
+    "q53_source_mix" ->
+      """WITH d AS (SELECT source, lang,
+        |  len(string_split(trim(text), ' ')) AS n_toks FROM documents),
+        |g AS (SELECT source, lang, count(*) AS n_docs,
+        |  CAST(sum(n_toks) AS BIGINT) AS n_tokens
+        |  FROM d GROUP BY source, lang)
+        |SELECT source, lang, n_docs, n_tokens,
+        |  round(n_tokens * CAST(100 AS DOUBLE)
+        |    / sum(n_tokens) OVER (), 4) AS token_share_pct
+        |FROM g ORDER BY source, lang""".stripMargin,
     "q47_stratified_sample" ->
       """WITH k AS (SELECT lang,
         |  (doc_id * 48271 + 7) % 100 <
