@@ -381,15 +381,18 @@ object DedupOps {
   private def truncateLineage(df: DataFrame, reliable: Boolean): DataFrame =
     if (reliable) df.checkpoint(true) else df.localCheckpoint(true)
 
-  /** Connected components over an undirected edge list: min-label
-    * propagation with pointer jumping (rep := rep(rep) each round squares
-    * the propagation distance — O(log d) rounds instead of O(diameter)),
-    * lineage truncated per round (without it the nested logical plan makes
-    * analysis dwarf execution) — executor-local blocks by default, reliable
-    * DFS checkpoints when `reliable` (see [[dedupClusters]]). Returns
+  /** Connected components over an undirected edge list — public library
+    * operator (callers supply `nodes(id)` and `undirected(src, dst)`).
+    * Min-label propagation with pointer jumping (rep := rep(rep) each round
+    * squares the propagation distance — O(log d) rounds instead of
+    * O(diameter); a 200-node path converges well inside the cap, asserted
+    * in DedupSpec), lineage truncated per round (without it the nested
+    * logical plan makes analysis dwarf execution) — executor-local blocks
+    * by default, reliable DFS checkpoints when `reliable` (see
+    * [[dedupClusters]]; callers must have set a checkpoint dir). Returns
     * (id, rep) for every node, rep = component minimum.
     */
-  private def connectedComponents(nodes: DataFrame,
+  def connectedComponents(nodes: DataFrame,
       undirected: DataFrame, reliable: Boolean = false): DataFrame = {
     val edges = truncateLineage(
       undirected

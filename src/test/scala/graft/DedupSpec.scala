@@ -121,6 +121,24 @@ class DedupSpec extends SparkSpec {
       s"docs 0/1/3 form one component rooted at 0, got $reps")
   }
 
+  test("connected components handle long paths and disjoint components") {
+    import spark.implicits._
+    // a 200-node path (diameter 199) — naive label propagation needs ~200
+    // rounds, pointer jumping ~8; the 40-round cap would throw if jumping
+    // regressed — plus a disjoint 3-clique and an isolated node
+    val n = 200L
+    val pathEdges = (0L until n - 1).map(i => (i, i + 1))
+    val cliqueEdges = Seq((500L, 501L), (501L, 502L), (500L, 502L))
+    val nodes = ((0L until n) ++ Seq(500L, 501L, 502L, 900L)).toDF("id")
+    val edges = (pathEdges ++ cliqueEdges).toDF("src", "dst")
+    val reps = DedupOps.connectedComponents(nodes, edges).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((0L until n).forall(reps(_) == 0L), "path collapses to node 0")
+    assert(Seq(500L, 501L, 502L).forall(reps(_) == 500L))
+    assert(reps(900L) === 900L, "isolated node is its own component")
+    assert(reps.size === n.toInt + 4)
+  }
+
   test("dedup clusters with a reliable checkpoint dir match local mode") {
     val ckpt = tmpDir("cc-ckpt")
     val local = DedupOps.dedupClusters(spark, plantedDocsDir)
