@@ -166,11 +166,13 @@ object RelationalOps {
   def topOrdersPerSegment(s: SparkSession, dir: String): DataFrame = {
     val c = t(s, dir, "customer")
     val o = t(s, dir, "orders")
-    val w = Window.partitionBy("c_mktsegment")
-      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
-    o.join(c, o("o_custkey") === c("c_custkey"))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= 3)
+    // two-phase salted top-k (ScaleOps.topKPerGroup): the 5-valued segment
+    // key would otherwise cap the rank window at 5-task parallelism
+    ScaleOps.topKPerGroup(
+        o.join(c, o("o_custkey") === c("c_custkey")),
+        Seq("c_mktsegment"),
+        Seq(col("o_totalprice").desc, col("o_orderkey").asc),
+        3, col("o_orderkey"))
       .select("c_mktsegment", "rank", "o_orderkey", "o_totalprice")
       .orderBy("c_mktsegment", "rank")
   }

@@ -60,4 +60,29 @@ object ScaleOps {
   def bucketedJoin(spark: SparkSession, left: String, right: String,
       key: String): DataFrame =
     spark.table(left).join(spark.table(right), key)
+
+  /** Scalable exact top-k per group, for LOW-CARDINALITY grouping keys.
+    *
+    * A single rank window partitioned by such a key runs at |groups|
+    * parallelism — 5 languages means 5 tasks sort the whole corpus, however
+    * large. Phase 1 ranks within (group, salt(row)) — |groups|·`salts`-way
+    * parallel — and keeps k per cell; phase 2 ranks the ≤ k·`salts`
+    * survivors per group. Any global top-k row is also top-k within its
+    * salt cell, so the result is IDENTICAL to the single-window form for
+    * any deterministic total order (`order` must tie-break on a unique
+    * column). Appends the final rank as `rank`.
+    */
+  def topKPerGroup(df: DataFrame, group: Seq[String], order: Seq[Column],
+      k: Int, salt: Column, salts: Int = 32): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val local = Window
+      .partitionBy(group.map(col) :+ pmod(salt, lit(salts)): _*)
+      .orderBy(order: _*)
+    val global = Window.partitionBy(group.map(col): _*).orderBy(order: _*)
+    df.withColumn("_lrk", row_number().over(local))
+      .filter(col("_lrk") <= k)
+      .drop("_lrk")
+      .withColumn("rank", row_number().over(global))
+      .filter(col("rank") <= k)
+  }
 }

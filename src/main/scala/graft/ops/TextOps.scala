@@ -165,19 +165,16 @@ object TextOps {
   }
 
   /** Quality-based retention: the top-20 documents per language by the q33
-    * composite score (rank-within-partition + qualify — the "keep the best
-    * k per stratum" curation op). Deterministic tie-break on doc_id.
+    * composite score (the "keep the best k per stratum" curation op).
+    * Deterministic tie-break on doc_id. Uses the two-phase salted top-k
+    * ([[ScaleOps.topKPerGroup]]): a plain rank window partitioned by the
+    * ~5-valued `lang` would sort the whole corpus in 5 tasks at any scale.
     */
-  def qualityTopK(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy("lang")
-      .orderBy(col("score").desc, col("doc_id").asc)
-    scoredDocs(s, dir)
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= 20)
+  def qualityTopK(s: SparkSession, dir: String): DataFrame =
+    ScaleOps.topKPerGroup(scoredDocs(s, dir), Seq("lang"),
+        Seq(col("score").desc, col("doc_id").asc), 20, col("doc_id"))
       .select("lang", "rank", "doc_id", "score")
       .orderBy("lang", "rank")
-  }
 
   /** Corpus mixture report: per (source, lang) document and token counts
     * plus each cell's share of all corpus tokens — the numbers behind every
