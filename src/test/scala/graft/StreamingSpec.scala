@@ -110,14 +110,25 @@ class StreamingSpec extends SparkSpec {
     val q2 = DashboardPipeline.topUsersStream(stream, 3)
       .writeStream.format("memory").queryName("topu")
       .outputMode("complete").start()
+    val q3 = DashboardPipeline.kpiStream(stream)
+      .writeStream.format("memory").queryName("kpi")
+      .outputMode("complete").start()
     input.addData(b1)
     q1.processAllAvailable(); q2.processAllAvailable()
     val afterB1 = spark.table("dist").collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(afterB1("click") + afterB1("view") + afterB1("error") === 40)
     input.addData(b2)
-    q1.processAllAvailable(); q2.processAllAvailable()
-    q1.stop(); q2.stop()
+    q1.processAllAvailable(); q2.processAllAvailable(); q3.processAllAvailable()
+    q1.stop(); q2.stop(); q3.stop()
+
+    // the incrementally-updated KPI header equals the batch aggregate
+    val wantKpi = DashboardPipeline.kpiStream((b1 ++ b2).toDF()).collect().head
+    val gotKpi = spark.table("kpi").collect().head
+    assert(gotKpi.getLong(0) === wantKpi.getLong(0))   // n_events
+    assert(gotKpi.getDouble(1) === wantKpi.getDouble(1)) // total_value (2dp)
+    assert(gotKpi.getLong(2) === wantKpi.getLong(2))   // n_clicks
+    assert(gotKpi.getLong(3) === wantKpi.getLong(3))   // n_errors
 
     val all = (b1 ++ b2).toDF()
     val wantDist = DashboardPipeline.typeDistributionStream(all).collect()
