@@ -83,7 +83,9 @@ object IngestPipeline {
 
   /** Tumbling 1-minute aggregation (dashboard.py:236-243 as a stream):
     * per-window trade count + notional sum, update-incrementally instead of
-    * the reference's full recompute per poll.
+    * the reference's full recompute per poll. No watermark — faithful to
+    * the reference's unbounded retroactive updates (complete/update mode;
+    * state grows with the window count).
     */
   def minuteAggs(trades: DataFrame): DataFrame =
     trades
@@ -91,6 +93,17 @@ object IngestPipeline {
       .agg(count(lit(1)).as("n_trades"),
         sum(col("notional_value")).as("total_notional"))
       .select(col("w.start").as("minute"), col("n_trades"), col("total_notional"))
+
+  /** Watermarked twin of [[minuteAggs]] — the production mode (SURVEY §2.5
+    * semantic delta): with an event-time watermark the query runs in APPEND
+    * mode, each window is emitted exactly once after the watermark passes
+    * its end + `delay`, finalized windows evict from the state store
+    * (bounded state), and events arriving later than the horizon are
+    * dropped instead of retroactively rewriting history.
+    */
+  def minuteAggsWatermarked(trades: DataFrame,
+      delay: String = "2 minutes"): DataFrame =
+    minuteAggs(trades.withWatermark("timestamp", delay))
 
   /** Sink configuration for [[runIngest]] — the reference's Postgres table
     * (consumer.py:64-118) maps to either arm as a config swap, both carrying

@@ -269,6 +269,39 @@ class StreamingSpec extends SparkSpec {
     assert(got === Set(ClosedSession(1, 1, T * M, (T + 100) * M, 2, 3.0)))
   }
 
+  test("watermarked windows finalize once and drop late data") {
+    implicit val sqlCtx = spark.sqlContext
+    def ts(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+
+    val input = MemoryStream[(java.sql.Timestamp, Double)]
+    val trades = input.toDF().toDF("timestamp", "notional_value")
+    val q = IngestPipeline.minuteAggsWatermarked(trades, "2 minutes")
+      .writeStream.format("memory").queryName("wm")
+      .outputMode("append").start()
+
+    // batch 1: two windows' worth of on-time events (minute 100 and 101)
+    input.addData((ts(6000), 10.0), (ts(6010), 5.0), (ts(6070), 7.0))
+    q.processAllAvailable()
+    // batch 2 advances the watermark far past both windows' horizon…
+    input.addData((ts(7000), 1.0))
+    q.processAllAvailable()
+    // …batch 3: a LATE event for minute 100 (behind the watermark) plus a
+    // fresh event; the late one must be dropped, not rewrite history
+    input.addData((ts(6020), 99.0), (ts(7010), 2.0))
+    q.processAllAvailable()
+    q.stop()
+
+    val rows = spark.table("wm").collect()
+      .map(r => r.getTimestamp(0).getTime / 1000 ->
+        (r.getLong(1), r.getDouble(2))).toMap
+    // finalized exactly once, with on-time contents only
+    assert(rows(6000) === (2L, 15.0), s"minute-100 window: $rows")
+    assert(rows(6060) === (1L, 7.0), s"minute-101 window: $rows")
+    // each finalized window appears exactly once (no retroactive update row)
+    assert(spark.table("wm").count() ===
+      spark.table("wm").select("minute").distinct().count())
+  }
+
   test("watermarked dedup drops cross-batch duplicates") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[String]
