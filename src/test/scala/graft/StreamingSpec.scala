@@ -269,6 +269,34 @@ class StreamingSpec extends SparkSpec {
     assert(got === Set(ClosedSession(1, 1, T * M, (T + 100) * M, 2, 3.0)))
   }
 
+  test("stream-static broadcast join enriches the trade stream") {
+    implicit val sqlCtx = spark.sqlContext
+    // static dimension: settlement venue → clearing region (broadcast to
+    // every micro-batch; the streaming side never shuffles for the join)
+    val venueRegion = Seq(
+      "DTC" -> "US", "Euroclear" -> "EU", "Clearstream" -> "EU",
+      "CME" -> "US", "ICE" -> "US", "OCC" -> "US")
+      .toDF("settlement_venue", "region")
+
+    val input = MemoryStream[String]
+    input.addData(tradeJson(30))
+    val enriched = IngestPipeline
+      .parseTrades(input.toDF().select(col("value")))
+      .join(broadcast(venueRegion), "settlement_venue")
+    val q = enriched.writeStream.format("memory").queryName("enr")
+      .outputMode("append").trigger(
+        org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.processAllAvailable()
+    q.stop()
+
+    val out = spark.table("enr")
+    // every venue is in the dim → no rows lost; every row gained a region
+    assert(out.count() === 33) // 30 trades + 3 dupes; poison already dropped
+    assert(out.filter(col("region").isNull).count() === 0)
+    assert(out.select("region").distinct()
+      .collect().map(_.getString(0)).toSet.subsetOf(Set("US", "EU")))
+  }
+
   test("watermarked windows finalize once and drop late data") {
     implicit val sqlCtx = spark.sqlContext
     def ts(sec: Long) = new java.sql.Timestamp(sec * 1000L)
