@@ -60,11 +60,19 @@ object ScaleUp {
       out.write.mode("overwrite").parquet(s"$dst/$name.parquet")
       println(s"[scaleup] $name x$f written")
     }
+    /** Fixed-cardinality dimension: written ONCE, never replicated —
+      * repeating it would duplicate every key f times and explode each
+      * dim join f× (a 100× corpus once inflated q22 10,000× this way).
+      */
+    def fixed(name: String): Unit = {
+      t(name).write.mode("overwrite").parquet(s"$dst/$name.parquet")
+      println(s"[scaleup] $name x1 (fixed dim) written")
+    }
     def shift(c: String, span: Long, i: Int): Column =
       col(c) + lit(span * i)
 
-    rep("region")((df, _) => df)
-    rep("nation")((df, _) => df)
+    fixed("region")
+    fixed("nation")
     rep("customer")((df, i) =>
       df.withColumn("c_custkey", shift("c_custkey", custSpan, i)))
     rep("supplier")((df, i) =>

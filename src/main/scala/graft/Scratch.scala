@@ -5,9 +5,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 /** Dev scratchpad for plan inspection (not part of the driver contract). */
 object Scratch {
   def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
-      .master("local[4]")
-      .config("spark.sql.shuffle.partitions", "4")
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
@@ -43,23 +44,29 @@ object Scratch {
       return
     }
     // exact key, else unique prefix (deterministic — ambiguity is an error)
-    val matches = SparkEntry.queries.filter { case (k, _) =>
-      k == name || k.startsWith(name)
-    }.toSeq.sortBy(_._1)
-    val df = matches match {
-      case Seq((_, fn)) => fn(spark, dir)
-      case Seq() => sys.error(s"no query named $name")
-      case ms => ms.find(_._1 == name).map(_._2(spark, dir))
-        .getOrElse(sys.error(
-          s"ambiguous prefix $name: ${ms.map(_._1).mkString(", ")}"))
+    def resolve(n: String) = {
+      val ms = SparkEntry.queries.filter { case (k, _) =>
+        k == n || k.startsWith(n)
+      }.toSeq.sortBy(_._1)
+      ms match {
+        case Seq((_, fn)) => fn(spark, dir)
+        case Seq() => sys.error(s"no query named $n")
+        case many => many.find(_._1 == n).map(_._2(spark, dir))
+          .getOrElse(sys.error(
+            s"ambiguous prefix $n: ${many.map(_._1).mkString(", ")}"))
+      }
     }
+    val df = resolve(name)
     if (args.length > 1 && args(1) == "explain") df.explain("formatted")
     else if (args.length > 1 && args(1) == "dump") {
       df.write.mode("overwrite").parquet(s"/tmp/scratch_out/$name.parquet")
       println(s"[info] dumped $name")
     } else {
-      time(name)(df.count())
-      time(s"$name-again")(df.count())
+      // one JVM, many queries: `runMain graft.Scratch q20 q21 q22`
+      (name +: args.drop(1).toSeq).foreach { n =>
+        time(n)(resolve(n).count())
+        time(s"$n-again")(resolve(n).count())
+      }
     }
     spark.stop()
   }

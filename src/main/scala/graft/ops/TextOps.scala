@@ -171,7 +171,11 @@ object TextOps {
     * ~5-valued `lang` would sort the whole corpus in 5 tasks at any scale.
     */
   def qualityTopK(s: SparkSession, dir: String): DataFrame =
-    ScaleOps.topKPerGroup(scoredDocs(s, dir), Seq("lang"),
+    ScaleOps.topKPerGroup(
+        // project BEFORE the windows: only (lang, doc_id, score) shuffles —
+        // without this the rank exchanges carry text + token arrays
+        scoredDocs(s, dir).select("lang", "doc_id", "score"),
+        Seq("lang"),
         Seq(col("score").desc, col("doc_id").asc), 20, col("doc_id"))
       .select("lang", "rank", "doc_id", "score")
       .orderBy("lang", "rank")
