@@ -24,7 +24,6 @@ object ScaleUp {
   def main(args: Array[String]): Unit = {
     val Array(src, dst, fStr) = args
     val f = fStr.toInt
-    require(f >= 1, s"factor must be >= 1, got $f")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       Runtime.getRuntime.availableProcessors().toString)
     val spark = SparkSession.builder()
@@ -34,6 +33,12 @@ object ScaleUp {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    scale(spark, src, dst, f)
+    spark.stop()
+  }
+
+  def scale(spark: SparkSession, src: String, dst: String, f: Int): Unit = {
+    require(f >= 1, s"factor must be >= 1, got $f")
 
     def t(name: String): DataFrame = Tables.t(spark, src, name)
     def keySpan(df: DataFrame, key: String): Long =
@@ -95,7 +100,5 @@ object ScaleUp {
       df.withColumn("doc_id", shift("doc_id", docSpan, i)))
     rep("embeddings")((df, i) =>
       df.withColumn("vec_id", shift("vec_id", vecSpan, i)))
-
-    spark.stop()
   }
 }

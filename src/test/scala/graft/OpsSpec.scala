@@ -96,6 +96,27 @@ class OpsSpec extends SparkSpec {
     assert(plain.exceptAll(salted).count() === 0)
   }
 
+  test("ScaleUp preserves join structure and never duplicates fixed dims") {
+    val dst = tmpDir("scaleup3")
+    ScaleUp.scale(spark, sfDir, dst, 3)
+    def cnt(dir: String, t: String) = Tables.t(spark, dir, t).count()
+    // facts scale exactly 3x; fixed dims stay single-copy
+    assert(cnt(dst, "lineitem") === 3 * cnt(sfDir, "lineitem"))
+    assert(cnt(dst, "orders") === 3 * cnt(sfDir, "orders"))
+    assert(cnt(dst, "nation") === cnt(sfDir, "nation"))
+    assert(cnt(dst, "region") === cnt(sfDir, "region"))
+    // join keys shift consistently: the fact join yields exactly 3x rows
+    // (every lineitem still finds its one order — no cross-copy matches)
+    def joined(dir: String) = Tables.t(spark, dir, "lineitem")
+      .join(Tables.t(spark, dir, "orders"),
+        col("l_orderkey") === col("o_orderkey")).count()
+    assert(joined(dst) === 3 * joined(sfDir))
+    // keys stay unique per copy
+    assert(Tables.t(spark, dst, "orders")
+      .select("o_orderkey").distinct().count() ===
+      3 * cnt(sfDir, "orders"))
+  }
+
   test("bucketed join runs with zero exchanges and matches the plain join") {
     val lineitem = Tables.t(spark, sfDir, "lineitem")
       .select(col("l_orderkey").as("okey"), col("l_extendedprice"))
