@@ -132,6 +132,11 @@ object DedupOps {
                 |    struct(least(x, y) AS a_id, greatest(x, y) AS b_id))))"""
           .stripMargin))
     maskGroupEdges(maskGroups(d, vocab))
+      // the group-pair join keys on lang (≤ a handful of values), so its
+      // output lands in that many partitions; round-robin repartition before
+      // the doc-pair expansion so the output-bound explode runs at full
+      // parallelism instead of |lang|-way
+      .repartition()
       .select(col("lang"), explode(pairs).as("p"), col("jaccard"))
       .select(col("lang"), col("p.a_id"), col("p.b_id"), col("jaccard"))
       .orderBy("a_id", "b_id")
