@@ -25,20 +25,27 @@ object DedupOps {
   private val normText: Column =
     regexp_replace(lower(trim(col("text"))), "\\s+", " ")
 
-  /** Exact dedup summary after whitespace/case normalization. */
-  def exactDedup(s: SparkSession, dir: String): DataFrame =
-    docs(s, dir)
+  /** Exact dedup summary after whitespace/case normalization.
+    * `docsDf` needs a `text` column (the `On` variants form the
+    * DataFrame-in/DataFrame-out library API; the `(session, dir)` twins are
+    * the testdata-bound query catalog).
+    */
+  def exactDedupOn(docsDf: DataFrame): DataFrame =
+    docsDf
       .withColumn("norm", normText)
       .agg(
         count(lit(1)).as("n_docs"),
         countDistinct(col("norm")).as("n_distinct"),
         (count(lit(1)) - countDistinct(col("norm"))).as("n_dupes"))
 
+  def exactDedup(s: SparkSession, dir: String): DataFrame =
+    exactDedupOn(docs(s, dir))
+
   /** Tokenized docs + the ≤65-token vocabulary probe that drives the plan
     * dispatch (shared by q37 and q46 so both branch identically).
     */
-  private def tokenizedDocs(s: SparkSession, dir: String): (DataFrame, Array[String]) = {
-    val d = docs(s, dir)
+  private def tokenizedDocs(docsDf: DataFrame): (DataFrame, Array[String]) = {
+    val d = docsDf
       .select(col("doc_id"), col("lang"),
         array_distinct(split(trim(col("text")), " ")).as("toks"))
       .withColumn("n_toks", size(col("toks")))
@@ -68,11 +75,15 @@ object DedupOps {
     * computes the identical pair set via the quadratic formulation (fine at
     * oracle scale).
     */
-  def jaccardPairs(s: SparkSession, dir: String): DataFrame = {
-    val (d, vocab) = tokenizedDocs(s, dir)
+  /** `docsDf` needs (doc_id, lang, text). */
+  def jaccardPairsOn(docsDf: DataFrame): DataFrame = {
+    val (d, vocab) = tokenizedDocs(docsDf)
     if (vocab.length <= 64) jaccardPairsMask(d, vocab)
     else jaccardPairsPrefix(d)
   }
+
+  def jaccardPairs(s: SparkSession, dir: String): DataFrame =
+    jaccardPairsOn(docs(s, dir))
 
   /** Distinct (lang, token-set-mask) groups with sorted member lists.
     * The vocab rides in as a typed array literal and the mask fold uses
@@ -216,8 +227,8 @@ object DedupOps {
     * intersect far faster than string arrays; a mod-p collision over this
     * corpus only perturbs a Jaccard estimate by one shingle).
     */
-  private def signatures(s: SparkSession, dir: String): DataFrame =
-    docs(s, dir)
+  private def signatures(docsDf: DataFrame): DataFrame =
+    docsDf
       .withColumn("toks", split(trim(col("text")), " "))
       .withColumn("n_tokens", size(col("toks")))
       .filter(col("n_tokens") >= 3)
@@ -241,8 +252,9 @@ object DedupOps {
     * verify candidates with exact shingle Jaccard ≥ 0.8 behind a lossless
     * size-ratio band. No cross join anywhere.
     */
-  def minhashLshPairs(s: SparkSession, dir: String): DataFrame = {
-    val sigs = signatures(s, dir).localCheckpoint(true)
+  /** `docsDf` needs (doc_id, text). */
+  def minhashLshPairsOn(docsDf: DataFrame): DataFrame = {
+    val sigs = signatures(docsDf).localCheckpoint(true)
     val banded = sigs.select(col("doc_id"), col("bh"),
       posexplode(col("bh")).as(Seq("band", "band_key")))
     val firstMatch = expr(
@@ -266,6 +278,9 @@ object DedupOps {
       .orderBy("a_id", "b_id")
   }
 
+  def minhashLshPairs(s: SparkSession, dir: String): DataFrame =
+    minhashLshPairsOn(docs(s, dir))
+
   // ---- SimHash (Hamming-space scale path) ---------------------------------
 
   /** SimHash over distinct tokens: per-bit vote from each token's 61-bit
@@ -277,8 +292,8 @@ object DedupOps {
     * identical simhash (bits 61-63 are structurally 0 for every document,
     * which cancels in every Hamming distance).
     */
-  private def simhashed(s: SparkSession, dir: String): DataFrame =
-    docs(s, dir)
+  private def simhashed(docsDf: DataFrame): DataFrame =
+    docsDf
       .withColumn("toks", array_distinct(split(trim(col("text")), " ")))
       // Fingerprint each token once; the 64-bit vote/pack loop is a native
       // kernel (graft.functions.SimHash64) — primitive arrays, no boxed
@@ -296,8 +311,9 @@ object DedupOps {
     * in the join condition, so the verification happens inside the join and
     * no distinct() shuffle over candidates is needed.
     */
-  def simhashPairs(s: SparkSession, dir: String): DataFrame = {
-    val sh = simhashed(s, dir).localCheckpoint(true)
+  /** `docsDf` needs (doc_id, lang, text). */
+  def simhashPairsOn(docsDf: DataFrame): DataFrame = {
+    val sh = simhashed(docsDf).localCheckpoint(true)
     val chunked = sh.select(col("doc_id"), col("simhash"),
       posexplode(array((0 until 4).map(j =>
         shiftrightunsigned(col("simhash"), j * 16)
@@ -319,6 +335,9 @@ object DedupOps {
       .orderBy("a_id", "b_id")
   }
 
+  def simhashPairs(s: SparkSession, dir: String): DataFrame =
+    simhashPairsOn(docs(s, dir))
+
   /** Near-dup clustering: connected components over the exact Jaccard pair
     * graph (q37), each document labeled with its component representative
     * (minimum doc_id) — the step that turns pair mining into an actual
@@ -334,18 +353,23 @@ object DedupOps {
   def dedupClusters(s: SparkSession, dir: String): DataFrame =
     dedupClusters(s, dir, None)
 
-  /** `checkpointDir` selects the lineage-truncation mode for the iterative
-    * CC rounds: `None` (default) uses executor-local checkpoint blocks —
-    * fastest, right for local mode and the harness, but a lost executor
-    * kills the job; `Some(dfsPath)` writes reliable checkpoints to that
-    * (cluster-visible) directory, the 100 TB production mode where
-    * surviving executor loss matters more than the write cost.
-    */
   def dedupClusters(s: SparkSession, dir: String,
       checkpointDir: Option[String]): DataFrame = {
     checkpointDir.foreach(s.sparkContext.setCheckpointDir)
-    val reliable = checkpointDir.isDefined
-    val (d, vocab) = tokenizedDocs(s, dir)
+    dedupClustersOn(docs(s, dir), reliable = checkpointDir.isDefined)
+  }
+
+  /** `docsDf` needs (doc_id, lang, text). `reliable` selects the
+    * lineage-truncation mode for the iterative CC rounds: `false` (default)
+    * uses executor-local checkpoint blocks — fastest, right for local mode
+    * and the harness, but a lost executor kills the job; `true` writes
+    * reliable checkpoints to the SparkContext's checkpoint dir (callers set
+    * it), the 100 TB production mode where surviving executor loss matters
+    * more than the write cost.
+    */
+  def dedupClustersOn(docsDf: DataFrame,
+      reliable: Boolean = false): DataFrame = {
+    val (d, vocab) = tokenizedDocs(docsDf)
     if (vocab.length <= 64) {
       // contract before CC: all members of one (lang, mask) group are
       // mutually J=1 connected, so the component structure lives entirely
@@ -452,8 +476,12 @@ object DedupOps {
     * normalized-text hash (or a bloom-filter pre-pass) rather than
     * broadcasting eval anywhere.
     */
-  def contamination(s: SparkSession, dir: String): DataFrame = {
-    val d = docs(s, dir)
+  def contamination(s: SparkSession, dir: String): DataFrame =
+    contaminationOn(docs(s, dir))
+
+  /** `docsDf` needs (doc_id, lang, text). */
+  def contaminationOn(docsDf: DataFrame): DataFrame = {
+    val d = docsDf
       .withColumn("norm", normText)
       .withColumn("split",
         when((col("doc_id") * 48271L + 7L) % 100L < 90L, "train")

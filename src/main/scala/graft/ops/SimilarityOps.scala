@@ -49,16 +49,22 @@ object SimilarityOps {
   /** Brute-force cosine top-k for one query vector (vec_id 0): broadcast the
     * query row, one scan, TakeOrderedAndProject top-10.
     */
-  def annTopK(s: SparkSession, dir: String): DataFrame = {
-    val e = emb(s, dir)
-    val q = broadcast(e.filter(col("vec_id") === 0)
+  def annTopK(s: SparkSession, dir: String): DataFrame =
+    annTopKOn(emb(s, dir))
+
+  /** `embDf` needs (vec_id, label, embedding); `queryId` selects the query
+    * vector (the q40 registration pins (0, 10) for the oracle).
+    */
+  def annTopKOn(embDf: DataFrame, queryId: Long = 0L, k: Int = 10): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(embDf.sparkSession)
+    val q = broadcast(embDf.filter(col("vec_id") === queryId)
       .select(col("embedding").as("q_emb")))
-    e.crossJoin(q)
-      .filter(col("vec_id") =!= 0)
+    embDf.crossJoin(q)
+      .filter(col("vec_id") =!= queryId)
       .select(col("vec_id"), col("label"),
         round(cosine(col("embedding"), col("q_emb")), 6).as("cos_sim"))
       .orderBy(col("cos_sim").desc, col("vec_id").asc)
-      .limit(10)
+      .limit(k)
   }
 
   /** Top-50 most-similar pairs within each label block (exact, pairwise).
@@ -172,20 +178,25 @@ object SimilarityOps {
     * tables trade a ~29% candidate rate for much better recall than one
     * table at the same budget.
     */
-  def annLsh(s: SparkSession, dir: String): DataFrame = {
-    val e = emb(s, dir).withColumn("sig", signature(col("embedding")))
-    val q = broadcast(e.filter(col("vec_id") === 0)
+  def annLsh(s: SparkSession, dir: String): DataFrame =
+    annLshOn(emb(s, dir))
+
+  /** `embDf` needs (vec_id, label, embedding). */
+  def annLshOn(embDf: DataFrame, queryId: Long = 0L, k: Int = 10): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(embDf.sparkSession)
+    val e = embDf.withColumn("sig", signature(col("embedding")))
+    val q = broadcast(e.filter(col("vec_id") === queryId)
       .select(col("embedding").as("q_emb"), col("sig").as("q_sig")))
     val hi = bit_count(shiftrightunsigned(col("sig"), 8)
       .bitwiseXOR(shiftrightunsigned(col("q_sig"), 8)))
     val lo = bit_count(col("sig").bitwiseAND(lit(0xFFL))
       .bitwiseXOR(col("q_sig").bitwiseAND(lit(0xFFL))))
     e.crossJoin(q)
-      .filter(col("vec_id") =!= 0 && (hi <= 2 || lo <= 2))
+      .filter(col("vec_id") =!= queryId && (hi <= 2 || lo <= 2))
       .select(col("vec_id"), col("label"),
         round(cosine(col("embedding"), col("q_emb")), 6).as("cos_sim"))
       .orderBy(col("cos_sim").desc, col("vec_id").asc)
-      .limit(10)
+      .limit(k)
   }
 
   /** All-nearest-neighbor table — the embedding-cosine near-dup primitive:
@@ -196,8 +207,13 @@ object SimilarityOps {
     * in q41; at scale the block key becomes an LSH bucket (q42) instead of
     * a label.
     */
-  def nnDedup(s: SparkSession, dir: String): DataFrame = {
-    val d = emb(s, dir).withColumn("nrm", norm(col("embedding")))
+  def nnDedup(s: SparkSession, dir: String): DataFrame =
+    nnDedupOn(emb(s, dir))
+
+  /** `embDf` needs (vec_id, label, embedding). */
+  def nnDedupOn(embDf: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(embDf.sparkSession)
+    val d = embDf.withColumn("nrm", norm(col("embedding")))
     val a = d.select(col("vec_id").as("vec_id"), col("label"),
       col("embedding").as("a_emb"), col("nrm").as("a_nrm"))
     val b = d.select(col("vec_id").as("nn_id"), col("label").as("b_label"),
@@ -226,9 +242,14 @@ object SimilarityOps {
     * centroid table and the probe list are broadcast (no shuffle of the
     * corpus at any point).
     */
-  def annIvf(s: SparkSession, dir: String): DataFrame = {
-    val nProbe = 3
-    val e = emb(s, dir)
+  def annIvf(s: SparkSession, dir: String): DataFrame =
+    annIvfOn(emb(s, dir))
+
+  /** `embDf` needs (vec_id, label, embedding). */
+  def annIvfOn(embDf: DataFrame, queryId: Long = 0L, k: Int = 10,
+      nProbe: Int = 3): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(embDf.sparkSession)
+    val e = embDf
     // centroid = decimal-exact per-dim mean rounded 6dp (the q43 definition):
     // order-independent, so the probe choice is reproducible on any cluster
     // AND re-derivable by the oracle (a float avg() would make the top-3
@@ -243,7 +264,7 @@ object SimilarityOps {
       .agg(transform(
         array_sort(collect_list(struct(col("pos"), col("cv")))),
         x => x.getField("cv")).as("centroid"))
-    val q = broadcast(e.filter(col("vec_id") === 0)
+    val q = broadcast(e.filter(col("vec_id") === queryId)
       .select(col("embedding").as("q_emb")))
     val probed = broadcast(
       cent.crossJoin(q)
@@ -254,12 +275,12 @@ object SimilarityOps {
         .limit(nProbe)
         .select(col("label")))
     e.join(probed, "label")
-      .filter(col("vec_id") =!= 0)
+      .filter(col("vec_id") =!= queryId)
       .crossJoin(q)
       .select(col("vec_id"), col("label"),
         round(cosine(col("embedding"), col("q_emb")), 6).as("cos_sim"))
       .orderBy(col("cos_sim").desc, col("vec_id").asc)
-      .limit(10)
+      .limit(k)
   }
 
   /** Per-label centroids, one row per (label, dim): posexplode + exact
