@@ -212,6 +212,27 @@ class DedupSpec extends SparkSpec {
     assert(nn.size === 200)
   }
 
+  test("ANN On-variants honor caller query id and k") {
+    import spark.implicits._
+    val dim = SimilarityOps.Dim
+    val rnd = new scala.util.Random(42)
+    def vec(): Array[Float] = Array.fill(dim)(rnd.nextGaussian().toFloat)
+    val q = vec()
+    val near = q.map(x => x + 0.02f * rnd.nextGaussian().toFloat)
+    val rows = (0L, q, 0) +: (1L, near, 0) +:
+      (2L until 100L).map(i => (i, vec(), (i % 3).toInt))
+    val embDf = rows.toDF("vec_id", "embedding", "label")
+
+    // query from vector 1 instead of the pinned 0: its nearest must be 0
+    val fromOne = SimilarityOps.annTopKOn(embDf, queryId = 1L, k = 5).collect()
+    assert(fromOne.length === 5)
+    assert(fromOne.head.getLong(0) === 0L,
+      "vector 0 must be vector 1's nearest neighbor")
+    assert(!fromOne.exists(_.getLong(0) == 1L), "query excluded from results")
+    val ivf = SimilarityOps.annIvfOn(embDf, queryId = 1L, k = 3)
+    assert(ivf.collect().head.getLong(0) === 0L)
+  }
+
   test("IVF probes only the nearest cells — a decoy in a far cell is unseen") {
     import spark.implicits._
     val dim = SimilarityOps.Dim
