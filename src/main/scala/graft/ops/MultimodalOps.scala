@@ -32,7 +32,11 @@ object MultimodalOps {
     * metadata extraction must not break codegen or pushdown.
     */
   def mediaMeta(s: SparkSession, dir: String): DataFrame =
-    docs(s, dir)
+    mediaMetaOn(docs(s, dir))
+
+  /** `docsDf` needs (doc_id, text). */
+  def mediaMetaOn(docsDf: DataFrame): DataFrame =
+    docsDf
       .withColumn("payload", encode(col("text"), "UTF-8"))
       .withColumn("n_bytes", length(col("payload")))
       .select(
@@ -54,10 +58,15 @@ object MultimodalOps {
     * partition iterator is consumed in fixed-size batches (as a vectorized
     * decoder would), each record yielding a fixed-width feature row.
     */
-  def mediaFeatures(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
+  def mediaFeatures(s: SparkSession, dir: String): DataFrame =
+    mediaFeaturesOn(docs(s, dir))
+
+  /** `docsDf` needs (doc_id, text). */
+  def mediaFeaturesOn(docsDf: DataFrame): DataFrame = {
+    val session = docsDf.sparkSession
+    import session.implicits._
     val BatchSize = 32
-    docs(s, dir)
+    docsDf
       .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
       .as[MediaIn]
       .mapPartitions { it =>
@@ -109,10 +118,14 @@ object MultimodalOps {
     * chunks of the text payload standing in for fixed-byte media frames,
     * like q50/q51's stub payloads.
     */
-  def frameSample(s: SparkSession, dir: String): DataFrame = {
+  def frameSample(s: SparkSession, dir: String): DataFrame =
+    frameSampleOn(docs(s, dir))
+
+  /** `docsDf` needs (doc_id, text). */
+  def frameSampleOn(docsDf: DataFrame): DataFrame = {
     val FrameLen = 64
     val Stride = 4
-    docs(s, dir)
+    docsDf
       .withColumn("max_frame",
         floor((greatest(length(col("text")), lit(1)) - 1) / FrameLen))
       .select(col("doc_id"), col("text"),

@@ -81,11 +81,14 @@ object SimilarityOps {
     * matches Spark's `round` (HALF_UP), so the DuckDB oracle still
     * hash-matches exactly.
     */
-  def cosineTopPairs(s: SparkSession, dir: String): DataFrame = {
-    val session = s
+  def cosineTopPairs(s: SparkSession, dir: String): DataFrame =
+    cosineTopPairsOn(emb(s, dir))
+
+  /** `embDf` needs (vec_id, label, embedding). */
+  def cosineTopPairsOn(embDf: DataFrame, k: Int = 50): DataFrame = {
+    val session = embDf.sparkSession
     import session.implicits._
-    val k = 50
-    val topPerLabel = emb(s, dir)
+    val topPerLabel = embDf
       .select(col("label").cast("int"), col("vec_id"), col("embedding"))
       .as[(Int, Long, Array[Float])]
       .groupByKey(_._1)
@@ -287,7 +290,11 @@ object SimilarityOps {
     * decimal mean (order-independent, oracle-stable).
     */
   def labelCentroids(s: SparkSession, dir: String): DataFrame =
-    emb(s, dir)
+    labelCentroidsOn(emb(s, dir))
+
+  /** `embDf` needs (label, embedding). */
+  def labelCentroidsOn(embDf: DataFrame): DataFrame =
+    embDf
       .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
       .groupBy(col("label"), (col("pos") + 1).as("dim"))
       .agg(round(

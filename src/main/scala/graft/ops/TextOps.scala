@@ -31,7 +31,11 @@ object TextOps {
     * tokens, average token length.
     */
   def tokenStats(s: SparkSession, dir: String): DataFrame =
-    docs(s, dir)
+    tokenStatsOn(docs(s, dir))
+
+  /** `docsDf` needs (doc_id, lang, text, n_chars). */
+  def tokenStatsOn(docsDf: DataFrame): DataFrame =
+    docsDf
       .withColumn("toks", tokens)
       .select(
         col("doc_id"), col("lang"), col("n_chars"),
@@ -46,9 +50,13 @@ object TextOps {
   /** Language ID via stopword-hit heuristic: ratio of English function words
     * to total tokens; threshold labels the document.
     */
-  def langProfile(s: SparkSession, dir: String): DataFrame = {
+  def langProfile(s: SparkSession, dir: String): DataFrame =
+    langProfileOn(docs(s, dir))
+
+  /** `docsDf` needs (doc_id, lang, text). */
+  def langProfileOn(docsDf: DataFrame): DataFrame = {
     val stopArr = array(enStops.map(lit): _*)
-    docs(s, dir)
+    docsDf
       .withColumn("toks", tokens)
       .withColumn("n_tokens", size(col("toks")))
       .withColumn("en_hits",
@@ -67,7 +75,10 @@ object TextOps {
     * reports.
     */
   private def scoredDocs(s: SparkSession, dir: String): DataFrame =
-    docs(s, dir)
+    scoredDocsOn(docs(s, dir))
+
+  private def scoredDocsOn(docsDf: DataFrame): DataFrame =
+    docsDf
       .withColumn("toks", tokens)
       .withColumn("n_tokens", size(col("toks")))
       .withColumn("distinct_ratio",
@@ -83,7 +94,11 @@ object TextOps {
 
   /** Quality scoring: lexical-diversity + length + punctuation composite. */
   def qualityScore(s: SparkSession, dir: String): DataFrame =
-    scoredDocs(s, dir)
+    qualityScoreOn(docs(s, dir))
+
+  /** `docsDf` needs (doc_id, text). */
+  def qualityScoreOn(docsDf: DataFrame): DataFrame =
+    scoredDocsOn(docsDf)
       .select(
         col("doc_id"), col("n_tokens"),
         round(col("distinct_ratio"), 6).as("distinct_ratio"),
@@ -101,9 +116,13 @@ object TextOps {
     * collapses every non-ASCII character to '?', which would silently
     * diverge from the oracle's `unicode()` on non-ASCII text.
     */
-  def docFingerprint(s: SparkSession, dir: String): DataFrame = {
-    graft.functions.GraftFunctions.ensureRegistered(s)
-    docs(s, dir)
+  def docFingerprint(s: SparkSession, dir: String): DataFrame =
+    docFingerprintOn(docs(s, dir))
+
+  /** `docsDf` needs (doc_id, text, n_chars). */
+  def docFingerprintOn(docsDf: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(docsDf.sparkSession)
+    docsDf
       .select(
         col("doc_id"),
         aggregate(
@@ -118,7 +137,11 @@ object TextOps {
     * internal-repetition ratio (the MinHash front-end, measured exactly).
     */
   def shingleProfile(s: SparkSession, dir: String): DataFrame =
-    docs(s, dir)
+    shingleProfileOn(docs(s, dir))
+
+  /** `docsDf` needs (doc_id, text). */
+  def shingleProfileOn(docsDf: DataFrame): DataFrame =
+    docsDf
       .withColumn("toks", tokens)
       .withColumn("n_tokens", size(col("toks")))
       .filter(col("n_tokens") >= 3)
@@ -148,12 +171,16 @@ object TextOps {
     * would be neither). The same primitive with a 90/10 split is the
     * train/validation splitter. Output: per-language kept/total accounting.
     */
-  def stratifiedSample(s: SparkSession, dir: String): DataFrame = {
+  def stratifiedSample(s: SparkSession, dir: String): DataFrame =
+    stratifiedSampleOn(docs(s, dir))
+
+  /** `docsDf` needs (doc_id, lang). */
+  def stratifiedSampleOn(docsDf: DataFrame): DataFrame = {
     val quotaCol = quotas.tail.foldLeft(
       when(col("lang") === quotas.head._1, quotas.head._2)) {
       case (acc, (l, p)) => acc.when(col("lang") === l, p)
     }.otherwise(0)
-    docs(s, dir)
+    docsDf
       .withColumn("keep",
         (col("doc_id") * 48271L + 7L) % 100L < quotaCol)
       .groupBy("lang")
@@ -171,10 +198,14 @@ object TextOps {
     * ~5-valued `lang` would sort the whole corpus in 5 tasks at any scale.
     */
   def qualityTopK(s: SparkSession, dir: String): DataFrame =
+    qualityTopKOn(docs(s, dir))
+
+  /** `docsDf` needs (doc_id, lang, text). */
+  def qualityTopKOn(docsDf: DataFrame): DataFrame =
     ScaleOps.topKPerGroup(
         // project BEFORE the windows: only (lang, doc_id, score) shuffles —
         // without this the rank exchanges carry text + token arrays
-        scoredDocs(s, dir).select("lang", "doc_id", "score"),
+        scoredDocsOn(docsDf).select("lang", "doc_id", "score"),
         Seq("lang"),
         Seq(col("score").desc, col("doc_id").asc), 20, col("doc_id"))
       .select("lang", "rank", "doc_id", "score")
@@ -186,9 +217,13 @@ object TextOps {
     * unpartitioned window over the (small) group table; the full-corpus
     * token total never reshuffles the documents themselves.
     */
-  def sourceMix(s: SparkSession, dir: String): DataFrame = {
+  def sourceMix(s: SparkSession, dir: String): DataFrame =
+    sourceMixOn(docs(s, dir))
+
+  /** `docsDf` needs (source, lang, text). */
+  def sourceMixOn(docsDf: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    docs(s, dir)
+    docsDf
       .withColumn("n_toks", size(tokens))
       .groupBy("source", "lang")
       .agg(count(lit(1)).as("n_docs"),
