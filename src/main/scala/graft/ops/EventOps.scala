@@ -32,9 +32,12 @@ object EventOps {
     * stays deterministic.
     */
   def recentEvents(s: SparkSession, dir: String,
+      status: Option[String] = Some("click"), limit: Int = 500): DataFrame =
+    recentEventsOn(events(s, dir), status, limit)
+
+  def recentEventsOn(eventsDf: DataFrame,
       status: Option[String] = Some("click"), limit: Int = 500): DataFrame = {
-    val base = events(s, dir)
-    status.fold(base)(v => base.filter(col("event_type") === v))
+    status.fold(eventsDf)(v => eventsDf.filter(col("event_type") === v))
       .orderBy(col("ts").desc, col("event_id").desc)
       .limit(limit)
       .select("event_id", "ts", "user_id", "event_type", "value")
@@ -44,7 +47,10 @@ object EventOps {
     * Ref: dashboard.py:74-100. One pass (conditional sums) vs pandas' many.
     */
   def kpiOverview(s: SparkSession, dir: String): DataFrame =
-    events(s, dir)
+    kpiOverviewOn(events(s, dir))
+
+  def kpiOverviewOn(eventsDf: DataFrame): DataFrame =
+    eventsDf
       .agg(
         count(lit(1)).as("n_events"),
         dsum(col("value")).as("total_value"),
@@ -62,14 +68,20 @@ object EventOps {
     * Ref: dashboard.py:131,181 (status / venue distributions).
     */
   def typeDistribution(s: SparkSession, dir: String): DataFrame =
-    events(s, dir)
+    typeDistributionOn(events(s, dir))
+
+  def typeDistributionOn(eventsDf: DataFrame): DataFrame =
+    eventsDf
       .groupBy("event_type")
       .agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("event_type").asc)
 
   /** A6 — single-key group-by + sum. Ref: dashboard.py:145,164,220. */
   def valueByType(s: SparkSession, dir: String): DataFrame =
-    events(s, dir)
+    valueByTypeOn(events(s, dir))
+
+  def valueByTypeOn(eventsDf: DataFrame): DataFrame =
+    eventsDf
       .groupBy("event_type")
       .agg(dsum(col("value")).as("total_value"), count(lit(1)).as("n"))
       .orderBy("event_type")
@@ -78,7 +90,10 @@ object EventOps {
     * Ref: dashboard.py:164-165 (counterparty exposure top-10).
     */
   def topUsers(s: SparkSession, dir: String): DataFrame =
-    events(s, dir)
+    topUsersOn(events(s, dir))
+
+  def topUsersOn(eventsDf: DataFrame): DataFrame =
+    eventsDf
       .groupBy("user_id")
       .agg(dsum(col("value")).as("total_value"), count(lit(1)).as("n"))
       .orderBy(col("total_value").desc, col("user_id").asc)
@@ -88,7 +103,10 @@ object EventOps {
     * Ref: dashboard.py:236-243 (`dt.floor("1min")` + multi-agg).
     */
   def minutelyTimeseries(s: SparkSession, dir: String): DataFrame =
-    events(s, dir)
+    minutelyTimeseriesOn(events(s, dir))
+
+  def minutelyTimeseriesOn(eventsDf: DataFrame): DataFrame =
+    eventsDf
       .groupBy(date_trunc("minute", col("ts")).as("minute"))
       .agg(count(lit(1)).as("n"), dsum(col("value")).as("total_value"))
       .orderBy("minute")
@@ -96,8 +114,11 @@ object EventOps {
   /** F7 — unpivot: columns→rows from three conditional sums.
     * Ref: dashboard.py:200-207 (fee-breakdown frame).
     */
-  def valueUnpivot(s: SparkSession, dir: String): DataFrame = {
-    val agged = events(s, dir).agg(
+  def valueUnpivot(s: SparkSession, dir: String): DataFrame =
+    valueUnpivotOn(events(s, dir))
+
+  def valueUnpivotOn(eventsDf: DataFrame): DataFrame = {
+    val agged = eventsDf.agg(
       dsum(when(col("event_type") === "click", col("value"))).as("click_v"),
       dsum(when(col("event_type") === "view", col("value"))).as("view_v"),
       dsum(when(col("event_type") === "error", col("value"))).as("error_v"))
@@ -108,7 +129,10 @@ object EventOps {
 
   /** P4 — substring predicate (`status.str.contains`), ref dashboard.py:80,119. */
   def containsFilter(s: SparkSession, dir: String): DataFrame =
-    events(s, dir)
+    containsFilterOn(events(s, dir))
+
+  def containsFilterOn(eventsDf: DataFrame): DataFrame =
+    eventsDf
       .filter(col("event_type").contains("e"))
       .groupBy("event_type")
       .agg(count(lit(1)).as("n"), dsum(col("value")).as("total_value"))
@@ -118,7 +142,10 @@ object EventOps {
     * Ref: producer.py:100-105 (priority / stp_eligible derivations).
     */
   def priorityCase(s: SparkSession, dir: String): DataFrame =
-    events(s, dir)
+    priorityCaseOn(events(s, dir))
+
+  def priorityCaseOn(eventsDf: DataFrame): DataFrame =
+    eventsDf
       .withColumn("priority",
         when(col("event_type") === "error" || col("value") > 50, "High")
           .otherwise("Normal"))
@@ -131,7 +158,10 @@ object EventOps {
     * Ref: consumer.py:17 (json.loads on the wire payload).
     */
   def jsonProps(s: SparkSession, dir: String): DataFrame =
-    events(s, dir)
+    jsonPropsOn(events(s, dir))
+
+  def jsonPropsOn(eventsDf: DataFrame): DataFrame =
+    eventsDf
       .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
       .groupBy("event_type")
       .agg(
@@ -149,7 +179,10 @@ object EventOps {
     * is integer arithmetic on the cents.
     */
   def displayFormat(s: SparkSession, dir: String): DataFrame =
-    events(s, dir)
+    displayFormatOn(events(s, dir))
+
+  def displayFormatOn(eventsDf: DataFrame): DataFrame =
+    eventsDf
       .groupBy("event_type")
       .agg(dsum(col("value")).as("total_value"))
       .withColumn("cents", round(col("total_value") * 100).cast("long"))
@@ -163,7 +196,10 @@ object EventOps {
 
   /** A8 variant — hourly distinct users (exact distinct under shuffle). */
   def hourlyUsers(s: SparkSession, dir: String): DataFrame =
-    events(s, dir)
+    hourlyUsersOn(events(s, dir))
+
+  def hourlyUsersOn(eventsDf: DataFrame): DataFrame =
+    eventsDf
       .groupBy(date_trunc("hour", col("ts")).as("hour"))
       .agg(countDistinct(col("user_id")).as("n_users"), count(lit(1)).as("n"))
       .orderBy("hour")
@@ -172,11 +208,14 @@ object EventOps {
     * the earliest event (row_number over (ts, event_id)). Ref: consumer.py:78
     * (`ON CONFLICT (trade_id) DO NOTHING` — first write wins).
     */
-  def dedupEvents(s: SparkSession, dir: String): DataFrame = {
+  def dedupEvents(s: SparkSession, dir: String): DataFrame =
+    dedupEventsOn(events(s, dir))
+
+  def dedupEventsOn(eventsDf: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("user_id", "event_type")
       .orderBy(col("ts").asc, col("event_id").asc)
-    events(s, dir)
+    eventsDf
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
       .select("event_id", "user_id", "event_type", "ts", "value")
@@ -192,11 +231,14 @@ object EventOps {
     * session in flatMapGroupsWithState state and must produce exactly
     * these rows once sessions close — asserted in StreamingSpec.
     */
-  def userSessions(s: SparkSession, dir: String): DataFrame = {
+  def userSessions(s: SparkSession, dir: String): DataFrame =
+    userSessionsOn(events(s, dir))
+
+  def userSessionsOn(eventsDf: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val GapMicros = graft.streaming.SessionPipeline.GapMicros
     val w = Window.partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
-    events(s, dir)
+    eventsDf
       .withColumn("us", unix_micros(col("ts")))
       .withColumn("boundary",
         when(col("us") - lag(col("us"), 1).over(w) > GapMicros ||
@@ -220,7 +262,10 @@ object EventOps {
     * trades exactness for a mergeable sketch.
     */
   def valuePercentiles(s: SparkSession, dir: String): DataFrame =
-    events(s, dir)
+    valuePercentilesOn(events(s, dir))
+
+  def valuePercentilesOn(eventsDf: DataFrame): DataFrame =
+    eventsDf
       .groupBy("event_type")
       .agg(
         round(expr("percentile(value, 0.5)"), 4).as("p50"),
@@ -238,7 +283,10 @@ object EventOps {
     * results instead.
     */
   def sketchStats(s: SparkSession, dir: String): DataFrame =
-    events(s, dir)
+    sketchStatsOn(events(s, dir))
+
+  def sketchStatsOn(eventsDf: DataFrame): DataFrame =
+    eventsDf
       .groupBy("event_type")
       .agg(
         countDistinct(col("user_id")).as("exact_users"),
@@ -252,9 +300,12 @@ object EventOps {
     * is pinned (not inferred) so the plan is a single pass with no
     * distinct-values pre-query and the output schema is deterministic.
     */
-  def typePivot(s: SparkSession, dir: String): DataFrame = {
+  def typePivot(s: SparkSession, dir: String): DataFrame =
+    typePivotOn(events(s, dir))
+
+  def typePivotOn(eventsDf: DataFrame): DataFrame = {
     val types = Seq("click", "error", "purchase", "signup", "view")
-    events(s, dir)
+    eventsDf
       .filter(col("user_id") < 50)
       .groupBy("user_id")
       .pivot("event_type", types)
@@ -270,8 +321,11 @@ object EventOps {
     * via stack); at 100 TB the exact distincts swap for
     * approx_count_distinct (q15 pattern) without changing the shape.
     */
-  def columnProfile(s: SparkSession, dir: String): DataFrame = {
-    val e = events(s, dir)
+  def columnProfile(s: SparkSession, dir: String): DataFrame =
+    columnProfileOn(events(s, dir))
+
+  def columnProfileOn(eventsDf: DataFrame): DataFrame = {
+    val e = eventsDf
     def stats(c: String, numeric: Boolean) = Seq(
       count(col(c)).as(s"cnt_$c"),
       (count(lit(1)) - count(col(c))).as(s"null_$c"),

@@ -28,7 +28,10 @@ object RelationalOps {
     * Partial aggregation (map-side combine) keeps the shuffle at 6 rows.
     */
   def pricingSummary(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "lineitem")
+    pricingSummaryOn(t(s, dir, "lineitem"))
+
+  def pricingSummaryOn(lineitem: DataFrame): DataFrame =
+    lineitem
       .filter(col("l_shipdate") <= lit("2000-01-01"))
       .groupBy("l_returnflag", "l_linestatus")
       .agg(
@@ -54,10 +57,12 @@ object RelationalOps {
     * shuffling a 4× smaller pre-reduced stream. Customer attributes join
     * last, onto already-aggregated per-customer rows.
     */
-  def topCustomerRevenue(s: SparkSession, dir: String): DataFrame = {
-    val li = t(s, dir, "lineitem")
-    val o = t(s, dir, "orders")
-    val c = t(s, dir, "customer")
+  def topCustomerRevenue(s: SparkSession, dir: String): DataFrame =
+    topCustomerRevenueOn(t(s, dir, "lineitem"), t(s, dir, "orders"),
+      t(s, dir, "customer"))
+
+  def topCustomerRevenueOn(li: DataFrame, o: DataFrame,
+      c: DataFrame): DataFrame = {
     val dec = org.apache.spark.sql.types.DecimalType(38, 10)
     val perOrder = li.groupBy("l_orderkey").agg(
       sum((col("l_extendedprice") * (lit(1.0) - col("l_discount"))).cast(dec))
@@ -75,12 +80,14 @@ object RelationalOps {
   /** Q5-style: 5-way join down the region→nation→customer→orders→lineitem
     * chain. nation (25 rows) and region (5 rows) are always broadcast.
     */
-  def regionRevenue(s: SparkSession, dir: String): DataFrame = {
-    val li = t(s, dir, "lineitem")
-    val o = t(s, dir, "orders")
-    val c = t(s, dir, "customer")
-    val n = broadcast(t(s, dir, "nation"))
-    val r = broadcast(t(s, dir, "region"))
+  def regionRevenue(s: SparkSession, dir: String): DataFrame =
+    regionRevenueOn(t(s, dir, "lineitem"), t(s, dir, "orders"),
+      t(s, dir, "customer"), t(s, dir, "nation"), t(s, dir, "region"))
+
+  def regionRevenueOn(li: DataFrame, o: DataFrame, c: DataFrame,
+      nation: DataFrame, region: DataFrame): DataFrame = {
+    val n = broadcast(nation)
+    val r = broadcast(region)
     val dec = org.apache.spark.sql.types.DecimalType(38, 10)
     // Same pre-reduce-before-join shape as q21: per-order partials join
     // orders, collapse to per-customer partials, and only then touch the
@@ -102,10 +109,11 @@ object RelationalOps {
   }
 
   /** Left-anti join: customers with no orders since 2001 (churn scan). */
-  def inactiveCustomers(s: SparkSession, dir: String): DataFrame = {
-    val c = t(s, dir, "customer")
-    val o = t(s, dir, "orders")
-      .filter(col("o_orderdate") >= lit("2001-01-01"))
+  def inactiveCustomers(s: SparkSession, dir: String): DataFrame =
+    inactiveCustomersOn(t(s, dir, "customer"), t(s, dir, "orders"))
+
+  def inactiveCustomersOn(c: DataFrame, orders: DataFrame): DataFrame = {
+    val o = orders.filter(col("o_orderdate") >= lit("2001-01-01"))
     c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
       .groupBy("c_mktsegment")
       .agg(count(lit(1)).as("n_inactive"),
@@ -115,10 +123,11 @@ object RelationalOps {
   }
 
   /** Left-semi join: orders having at least one premium line item. */
-  def premiumOrders(s: SparkSession, dir: String): DataFrame = {
-    val o = t(s, dir, "orders")
-    val li = t(s, dir, "lineitem")
-      .filter(col("l_extendedprice") > lit(95000.0))
+  def premiumOrders(s: SparkSession, dir: String): DataFrame =
+    premiumOrdersOn(t(s, dir, "orders"), t(s, dir, "lineitem"))
+
+  def premiumOrdersOn(o: DataFrame, lineitem: DataFrame): DataFrame = {
+    val li = lineitem.filter(col("l_extendedprice") > lit(95000.0))
     o.join(li, o("o_orderkey") === li("l_orderkey"), "left_semi")
       .groupBy("o_orderstatus")
       .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("total"))
@@ -126,9 +135,10 @@ object RelationalOps {
   }
 
   /** Dimension rollup: customer⋈orders by market segment. */
-  def segmentOrders(s: SparkSession, dir: String): DataFrame = {
-    val c = t(s, dir, "customer")
-    val o = t(s, dir, "orders")
+  def segmentOrders(s: SparkSession, dir: String): DataFrame =
+    segmentOrdersOn(t(s, dir, "customer"), t(s, dir, "orders"))
+
+  def segmentOrdersOn(c: DataFrame, o: DataFrame): DataFrame = {
     o.join(c, o("o_custkey") === c("c_custkey"))
       .groupBy("c_mktsegment")
       .agg(count(lit(1)).as("n_orders"),
@@ -138,9 +148,10 @@ object RelationalOps {
   }
 
   /** Part-dimension top-k: revenue by brand (AQE broadcasts part). */
-  def brandRevenue(s: SparkSession, dir: String): DataFrame = {
-    val li = t(s, dir, "lineitem")
-    val p = t(s, dir, "part")
+  def brandRevenue(s: SparkSession, dir: String): DataFrame =
+    brandRevenueOn(t(s, dir, "lineitem"), t(s, dir, "part"))
+
+  def brandRevenueOn(li: DataFrame, p: DataFrame): DataFrame = {
     li.join(p, li("l_partkey") === p("p_partkey"))
       .groupBy("p_brand")
       .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
@@ -150,10 +161,14 @@ object RelationalOps {
   }
 
   /** Supplier-side rollup: revenue attributed to supplier nations. */
-  def supplierNationRevenue(s: SparkSession, dir: String): DataFrame = {
-    val li = t(s, dir, "lineitem")
-    val sup = broadcast(t(s, dir, "supplier"))
-    val n = broadcast(t(s, dir, "nation"))
+  def supplierNationRevenue(s: SparkSession, dir: String): DataFrame =
+    supplierNationRevenueOn(t(s, dir, "lineitem"), t(s, dir, "supplier"),
+      t(s, dir, "nation"))
+
+  def supplierNationRevenueOn(li: DataFrame, supplier: DataFrame,
+      nation: DataFrame): DataFrame = {
+    val sup = broadcast(supplier)
+    val n = broadcast(nation)
     li.join(sup, li("l_suppkey") === sup("s_suppkey"))
       .join(n, sup("s_nationkey") === n("n_nationkey"))
       .groupBy("n_name")
@@ -163,9 +178,10 @@ object RelationalOps {
   }
 
   /** SQL window function: top-3 orders per market segment (rank + qualify). */
-  def topOrdersPerSegment(s: SparkSession, dir: String): DataFrame = {
-    val c = t(s, dir, "customer")
-    val o = t(s, dir, "orders")
+  def topOrdersPerSegment(s: SparkSession, dir: String): DataFrame =
+    topOrdersPerSegmentOn(t(s, dir, "customer"), t(s, dir, "orders"))
+
+  def topOrdersPerSegmentOn(c: DataFrame, o: DataFrame): DataFrame = {
     // two-phase salted top-k (ScaleOps.topKPerGroup): the 5-valued segment
     // key would otherwise cap the rank window at 5-task parallelism
     ScaleOps.topKPerGroup(
@@ -178,9 +194,12 @@ object RelationalOps {
   }
 
   /** Running/lag window over the event stream (per-user sequential state). */
-  def userRunningValue(s: SparkSession, dir: String): DataFrame = {
+  def userRunningValue(s: SparkSession, dir: String): DataFrame =
+    userRunningValueOn(t(s, dir, "events"))
+
+  def userRunningValueOn(events: DataFrame): DataFrame = {
     val w = Window.partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
-    t(s, dir, "events")
+    events
       .filter(col("user_id") < 10)
       .withColumn("prev_value", lag(col("value"), 1).over(w))
       .withColumn("running_value",
@@ -192,7 +211,10 @@ object RelationalOps {
 
   /** Two-level aggregation: distribution of order sizes (items per order). */
   def orderSizeDistribution(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "lineitem")
+    orderSizeDistributionOn(t(s, dir, "lineitem"))
+
+  def orderSizeDistributionOn(lineitem: DataFrame): DataFrame =
+    lineitem
       .groupBy("l_orderkey")
       .agg(count(lit(1)).as("n_items"))
       .groupBy("n_items")
