@@ -11,6 +11,13 @@ case class SessionEvent(user_id: Long, event_id: Long, tsMicros: Long,
 case class OpenSession(seq: Long, startMicros: Long, lastMicros: Long,
     nEvents: Long, totalValue: Double)
 
+/** Per-user state of the out-of-order-tolerant variant: events newer than
+  * the watermark wait in `buffer` until no earlier event can still arrive;
+  * `nextSeq` preserves session numbering across watermark-closed sessions.
+  */
+case class BufferedSession(buffer: Seq[SessionEvent],
+    open: Option[OpenSession], nextSeq: Long)
+
 /** A closed session — matches the batch q13_user_sessions row shape. */
 case class ClosedSession(user_id: Long, session_seq: Long,
     startMicros: Long, endMicros: Long, n_events: Long, total_value: Double)
@@ -78,6 +85,83 @@ object SessionPipeline {
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
         (userId: Long, evs: Iterator[SessionEvent], st: GroupState[OpenSession]) =>
           foldEvents(userId, evs, st)
+      }
+  }
+
+  /** Out-of-order-tolerant sessionization: events buffer per user until the
+    * event-time watermark passes them — only then is their relative order
+    * final — and are folded into the open session in (ts, event_id) order,
+    * so the closed sessions are IDENTICAL to the batch q13 definition even
+    * when the feed delivers a user's events out of order across
+    * micro-batches (the in-order variants would mis-split sessions).
+    *
+    * Closing rule: once `watermark − lastEvent > gap`, no admissible future
+    * event (all have ts > watermark) can extend the session, so it closes
+    * exactly where a later event would have closed it. State per user =
+    * the not-yet-final buffer + one open session; buffered events drain as
+    * the watermark advances, so state is bounded by the out-of-orderness
+    * budget (`watermarkDelay`), not history.
+    */
+  def sessionizeBuffered(events: Dataset[SessionEvent],
+      watermarkDelay: String = "10 minutes")(
+      implicit spark: SparkSession): Dataset[ClosedSession] = {
+    import org.apache.spark.sql.functions.{col, timestamp_micros}
+    import spark.implicits._
+    events
+      .withColumn("event_ts", timestamp_micros(col("tsMicros")))
+      .withWatermark("event_ts", watermarkDelay)
+      .as[SessionEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[BufferedSession, ClosedSession](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (userId: Long, evs: Iterator[SessionEvent],
+            st: GroupState[BufferedSession]) =>
+          val prior = st.getOption.getOrElse(BufferedSession(Nil, None, 1L))
+          val wmMicros = st.getCurrentWatermarkMs * 1000L
+          val all = prior.buffer ++ evs
+          // events at/behind the watermark are final — no earlier event can
+          // still arrive, so their order is settled
+          val (ready, pending) = all.partition(_.tsMicros <= wmMicros)
+          val closed = Seq.newBuilder[ClosedSession]
+          var open = prior.open
+          var nextSeq = prior.nextSeq
+          ready.sortBy(e => (e.tsMicros, e.event_id)).foreach { e =>
+            open match {
+              case Some(o) if e.tsMicros - o.lastMicros <= GapMicros =>
+                open = Some(o.copy(lastMicros = e.tsMicros,
+                  nEvents = o.nEvents + 1, totalValue = o.totalValue + e.value))
+              case Some(o) =>
+                closed += ClosedSession(userId, o.seq, o.startMicros,
+                  o.lastMicros, o.nEvents, o.totalValue)
+                open = Some(OpenSession(o.seq + 1, e.tsMicros, e.tsMicros, 1L,
+                  e.value))
+              case None =>
+                open = Some(OpenSession(nextSeq, e.tsMicros, e.tsMicros, 1L,
+                  e.value))
+            }
+          }
+          // any future event has ts > watermark: if even the watermark is
+          // past the gap horizon, nothing can extend this session
+          open.foreach { o =>
+            if (wmMicros - o.lastMicros > GapMicros) {
+              closed += ClosedSession(userId, o.seq, o.startMicros,
+                o.lastMicros, o.nEvents, o.totalValue)
+              nextSeq = o.seq + 1
+              open = None
+            }
+          }
+          if (pending.isEmpty && open.isEmpty) st.remove()
+          else {
+            st.update(BufferedSession(pending, open, nextSeq))
+            // wake when the watermark can settle more work: the open
+            // session's gap horizon or the oldest buffered event
+            val targets =
+              open.map(o => (o.lastMicros + GapMicros) / 1000L).toSeq ++
+                pending.map(_.tsMicros / 1000L)
+            st.setTimeoutTimestamp(
+              math.max(targets.min + 1L, st.getCurrentWatermarkMs + 1L))
+          }
+          closed.result().iterator
       }
   }
 

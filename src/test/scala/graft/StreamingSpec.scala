@@ -269,6 +269,41 @@ class StreamingSpec extends SparkSpec {
     assert(got === Set(ClosedSession(1, 1, T * M, (T + 100) * M, 2, 3.0)))
   }
 
+  test("buffered sessionization reorders out-of-order events per user") {
+    import graft.streaming.{ClosedSession, SessionEvent, SessionPipeline}
+    implicit val sqlCtx = spark.sqlContext
+    implicit val sp = spark
+    val M = 1000000L
+    def ev(u: Long, id: Long, sec: Long, v: Double) =
+      SessionEvent(u, id, sec * M, v)
+
+    val input = MemoryStream[SessionEvent]
+    val q = SessionPipeline.sessionizeBuffered(input.toDS(), "10 minutes")
+      .writeStream.format("memory").queryName("sess_buf")
+      .outputMode("append").start()
+
+    // u1's two sessions arrive SCRAMBLED across batches: the second event
+    // of session 1 first, then the session-2 event, then session 1's FIRST
+    // event — an in-order folder would split/mis-order all of them
+    val T = 100000L
+    input.addData(ev(1, 2, T + 100, 2.0))
+    q.processAllAvailable()
+    input.addData(ev(1, 3, T + 5000, 7.0), ev(1, 1, T, 1.0))
+    q.processAllAvailable()
+    // advance the watermark far past everything, then tick so timeouts fire
+    input.addData(ev(2, 9, T + 50000, 0.0))
+    q.processAllAvailable()
+    input.addData(ev(2, 10, T + 50010, 0.0))
+    q.processAllAvailable()
+    q.stop()
+
+    val got = spark.table("sess_buf").as[ClosedSession].collect().toSet
+    // exactly the batch q13 sessions: (ev1, ev2) then a >30min gap, ev3
+    assert(got === Set(
+      ClosedSession(1, 1, T * M, (T + 100) * M, 2, 3.0),
+      ClosedSession(1, 2, (T + 5000) * M, (T + 5000) * M, 1, 7.0)))
+  }
+
   test("stream-static broadcast join enriches the trade stream") {
     implicit val sqlCtx = spark.sqlContext
     // static dimension: settlement venue → clearing region (broadcast to
