@@ -84,12 +84,18 @@ object SimilarityOps {
   def cosineTopPairs(s: SparkSession, dir: String): DataFrame =
     cosineTopPairsOn(emb(s, dir))
 
-  /** `embDf` needs (vec_id, label, embedding). */
-  def cosineTopPairsOn(embDf: DataFrame, k: Int = 50): DataFrame = {
+  /** `embDf` needs (vec_id, embedding) plus whatever `blockCol` reads.
+    * `blockCol` is the comparison-blocking key (default: the `label`
+    * column). At scale, pass an LSH bucket instead — e.g. the 16-bit
+    * hyperplane signature via [[lshBlock]] — and the same bounded-top-k
+    * kernel runs per bucket with block sizes the caller controls.
+    */
+  def cosineTopPairsOn(embDf: DataFrame, k: Int = 50,
+      blockCol: Column = col("label")): DataFrame = {
     val session = embDf.sparkSession
     import session.implicits._
     val topPerLabel = embDf
-      .select(col("label").cast("int"), col("vec_id"), col("embedding"))
+      .select(blockCol.cast("int").as("label"), col("vec_id"), col("embedding"))
       .as[(Int, Long, Array[Float])]
       .groupByKey(_._1)
       .flatMapGroups { (label: Int, it: Iterator[(Int, Long, Array[Float])]) =>
@@ -164,6 +170,13 @@ object SimilarityOps {
     }
     Array.fill(Planes, Dim)(next())
   }
+
+  /** Public blocking helper: the 16-bit hyperplane signature as a bucket
+    * key — same-bucket vectors are near-neighbor candidates. Pass as
+    * `blockCol` to [[cosineTopPairsOn]] (or group [[nnDedupOn]] inputs by
+    * it) when no label-like natural block exists or blocks outgrow memory.
+    */
+  def lshBlock(e: Column): Column = signature(e)
 
   /** Signature: one native vec_dot against each constant plane (array
     * literals evaluate once, the dot is a primitive loop), bits folded with

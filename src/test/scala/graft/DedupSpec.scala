@@ -233,6 +233,27 @@ class DedupSpec extends SparkSpec {
     assert(ivf.collect().head.getLong(0) === 0L)
   }
 
+  test("cosine top pairs block by LSH bucket when no label exists") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val dim = SimilarityOps.Dim
+    val rnd = new scala.util.Random(7)
+    def vec(): Array[Float] = Array.fill(dim)(rnd.nextGaussian().toFloat)
+    val base = vec()
+    val nearDup = base.map(x => x + 0.01f * rnd.nextGaussian().toFloat)
+    // labels are all 0 — blocking must come from the LSH signature instead
+    val rows = (0L, base, 0) +: (1L, nearDup, 0) +:
+      (2L until 150L).map(i => (i, vec(), 0))
+    val embDf = rows.toDF("vec_id", "embedding", "label")
+    val top = SimilarityOps.cosineTopPairsOn(embDf, k = 5,
+      blockCol = SimilarityOps.lshBlock(col("embedding"))).collect()
+    // the planted near-dup pair shares its bucket and must rank first
+    assert(top.head.getLong(1) === 0L && top.head.getLong(2) === 1L,
+      s"planted pair must top the list, got ${top.map(r =>
+        (r.getLong(1), r.getLong(2))).toSeq}")
+    assert(top.head.getDouble(3) > 0.99)
+  }
+
   test("IVF probes only the nearest cells — a decoy in a far cell is unseen") {
     import spark.implicits._
     val dim = SimilarityOps.Dim
