@@ -96,6 +96,25 @@ class OpsSpec extends SparkSpec {
     assert(plain.exceptAll(salted).count() === 0)
   }
 
+  test("two-phase salted top-k equals the single-window form") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val rnd = new scala.util.Random(31)
+    // few groups, many ties — the adversarial case for a rank cutoff
+    val df = (1L to 2000L).map(i =>
+      (s"g${i % 3}", rnd.nextInt(40).toDouble, i)).toDF("g", "v", "id")
+    val order = Seq(col("v").desc, col("id").asc)
+    val got = ScaleOps.topKPerGroup(df, Seq("g"), order, 25, col("id"))
+      .select("g", "rank", "id", "v").collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2))).toSet
+    val w = Window.partitionBy("g").orderBy(order: _*)
+    val want = df.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 25)
+      .select("g", "rank", "id", "v").collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2))).toSet
+    assert(got === want)
+  }
+
   test("ScaleUp preserves join structure and never duplicates fixed dims") {
     val dst = tmpDir("scaleup3")
     ScaleUp.scale(spark, sfDir, dst, 3)
