@@ -43,6 +43,16 @@ object Scratch {
       spark.stop()
       return
     }
+    if (name == "q41lsh") {
+      // the q41 kernel blocked by LSH bucket instead of label — the
+      // documented handoff once label blocks outgrow memory
+      import org.apache.spark.sql.functions.col
+      time("q41lsh")(ops.SimilarityOps.cosineTopPairsOn(
+        Tables.t(spark, dir, "embeddings"), 50,
+        ops.SimilarityOps.lshBlock(col("embedding"))).count())
+      spark.stop()
+      return
+    }
     // exact key, else unique prefix (deterministic — ambiguity is an error)
     def resolve(n: String) = {
       val ms = SparkEntry.queries.filter { case (k, _) =>

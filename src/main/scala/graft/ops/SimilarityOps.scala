@@ -93,6 +93,8 @@ object SimilarityOps {
   def cosineTopPairsOn(embDf: DataFrame, k: Int = 50,
       blockCol: Column = col("label")): DataFrame = {
     val session = embDf.sparkSession
+    // blockCol may reference the graft kernels (lshBlock → vec_dot)
+    graft.functions.GraftFunctions.ensureRegistered(session)
     import session.implicits._
     val topPerLabel = embDf
       .select(blockCol.cast("int").as("label"), col("vec_id"), col("embedding"))
