@@ -227,7 +227,10 @@ object DedupOps {
     * intersect far faster than string arrays; a mod-p collision over this
     * corpus only perturbs a Jaccard estimate by one shingle).
     */
-  private def signatures(docsDf: DataFrame): DataFrame =
+  private def signatures(docsDf: DataFrame): DataFrame = {
+    // the fingerprint/minhash kernels must resolve when the caller enters
+    // through the DataFrame API (the catalog path registers via docs())
+    graft.functions.GraftFunctions.ensureRegistered(docsDf.sparkSession)
     docsDf
       .withColumn("toks", split(trim(col("text")), " "))
       .withColumn("n_tokens", size(col("toks")))
@@ -244,6 +247,7 @@ object DedupOps {
       .withColumn("bh",
         call_function("graft_minhash_band_keys", col("shs"), lit(Bands)))
       .select("doc_id", "shs", "bh")
+  }
 
   /** MinHash+LSH near-dup pairs: band the signature, shuffle on
     * (band, band-key), emit each candidate pair from its FIRST matching band
@@ -292,7 +296,8 @@ object DedupOps {
     * identical simhash (bits 61-63 are structurally 0 for every document,
     * which cancels in every Hamming distance).
     */
-  private def simhashed(docsDf: DataFrame): DataFrame =
+  private def simhashed(docsDf: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(docsDf.sparkSession)
     docsDf
       .withColumn("toks", array_distinct(split(trim(col("text")), " ")))
       // Fingerprint each token once; the 64-bit vote/pack loop is a native
@@ -303,6 +308,7 @@ object DedupOps {
           + tokFp(t, 37L, 123456789L)))
       .withColumn("simhash", call_function("graft_simhash64", col("tok_h")))
       .select("doc_id", "lang", "simhash")
+  }
 
   /** SimHash near-dup pairs: block on 4×16-bit signature chunks (pigeonhole:
     * any pair within Hamming distance 3 shares at least one exact chunk),

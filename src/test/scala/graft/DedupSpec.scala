@@ -233,6 +233,22 @@ class DedupSpec extends SparkSpec {
     assert(ivf.collect().head.getLong(0) === 0L)
   }
 
+  test("DataFrame-API entry points self-register kernels on a fresh session") {
+    import org.apache.spark.sql.functions.col
+    // a brand-new session has NO graft functions registered — every
+    // On-variant that builds kernel calls must register on entry, not rely
+    // on the catalog path having run first
+    val fresh = spark.newSession()
+    val docs = fresh.read.parquet(s"$sfDir/documents.parquet")
+    val embs = fresh.read.parquet(s"$sfDir/embeddings.parquet")
+    assert(ops.DedupOps.minhashLshPairsOn(docs).count() > 0)
+    assert(ops.DedupOps.simhashPairsOn(docs).count() > 0)
+    assert(ops.TextOps.docFingerprintOn(docs).count() > 0)
+    assert(SimilarityOps.cosineTopPairsOn(embs, 5,
+      SimilarityOps.lshBlock(col("embedding"))).count() > 0)
+    assert(SimilarityOps.annTopKOn(embs).count() > 0)
+  }
+
   test("cosine top pairs block by LSH bucket when no label exists") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
