@@ -59,6 +59,37 @@ class StreamingSpec extends SparkSpec {
     assert(replayed.select("trade_id").distinct().count() === 20)
   }
 
+  test("reference journey: stream → idempotent sink → trade KPIs") {
+    // the whole reference pipeline in one pass (producer→kafka→consumer→
+    // postgres→dashboard): generated wire JSON → parse/dedup/sink → batch
+    // KPI block over the sink table (dashboard.py:74-100), cross-checked
+    // against the generator's own columns
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[String]
+    val sink = tmpDir("journey_sink")
+    input.addData(tradeJson(50)) // + 3 dupes + 1 poison record
+    val q = IngestPipeline.runIngest(spark,
+      input.toDF().select(col("value")), sink, tmpDir("journey_ckpt"),
+      trigger = org.apache.spark.sql.streaming.Trigger.AvailableNow())
+    q.processAllAvailable()
+    q.stop()
+
+    val trades = spark.read.parquet(sink)
+    assert(trades.count() === 50) // dupes collapsed, poison skipped
+    val kpi = trades.agg(
+      count(lit(1)).as("total"),
+      sum(when(col("status") === "Settled", 1).otherwise(0)).as("settled"),
+      sum(when(col("status").contains("Break"), 1).otherwise(0)).as("breaks"),
+      sum(when(col("stp_eligible"), 1).otherwise(0)).as("stp")).head()
+    val direct = TradeGen.trades(spark, 50, seed = 11)
+    assert(kpi.getLong(0) === 50)
+    assert(kpi.getLong(1) ===
+      direct.filter(col("status") === "Settled").count())
+    assert(kpi.getLong(2) ===
+      direct.filter(col("status").contains("Break")).count())
+    assert(kpi.getLong(3) === direct.filter(col("stp_eligible")).count())
+  }
+
   test("streaming 1-minute windows match batch date_trunc on the same data") {
     implicit val sqlCtx = spark.sqlContext
     val trades = TradeGen.trades(spark, 200, seed = 5).cache()
