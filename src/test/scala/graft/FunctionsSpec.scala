@@ -92,6 +92,33 @@ class FunctionsSpec extends SparkSpec {
     }
   }
 
+  test("rolling fingerprint matches an independent model on arbitrary Unicode") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    import spark.implicits._
+    val P = 1000000007L
+    // arbitrary scalar values including astral planes (surrogate range
+    // excluded — not valid scalar values); exercises the codegen'd
+    // CodePoints kernel + the aggregate fold against plain-JVM math
+    val cpGen = Gen.frequency(
+      6 -> Gen.choose(0x20, 0x7E),
+      2 -> Gen.choose(0xA0, 0xFFFD).suchThat(c => c < 0xD800 || c > 0xDFFF),
+      1 -> Gen.choose(0x10000, 0x10FFFF))
+    val strGen = Gen.listOfN(24, cpGen)
+      .map(cps => new String(cps.toArray, 0, cps.length))
+    val prop = Prop.forAll(Gen.listOfN(8, strGen)) { strs =>
+      val got = strs.toDF("t")
+        .select(aggregate(call_function("graft_code_points", col("t")),
+          lit(987654321L), (a, c) => (a * lit(31L) + c) % lit(P)))
+        .collect().map(_.getLong(0)).toSeq
+      val want = strs.map(_.codePoints().toArray.foldLeft(987654321L)(
+        (a, c) => (a * 31L + c) % P))
+      got == want
+    }
+    val res = SCTest.check(SCTest.Parameters.default
+      .withMinSuccessfulTests(10), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("code_points returns true Unicode code points, incl. non-ASCII") {
     val r = spark.sql(
       "SELECT graft_code_points('aé中'), graft_code_points('')")
