@@ -21,7 +21,8 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     ops.EventOps.queries ++ ops.RelationalOps.queries ++
       ops.TextOps.queries ++ ops.DedupOps.queries ++
-      ops.SimilarityOps.queries ++ ops.MultimodalOps.queries
+      ops.SimilarityOps.queries ++ ops.MultimodalOps.queries ++
+      ops.TemporalOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys → weaker rows-only check.
@@ -29,5 +30,6 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     ops.EventOps.oracle ++ ops.RelationalOps.oracle ++
       ops.TextOps.oracle ++ ops.DedupOps.oracle ++
-      ops.SimilarityOps.oracle ++ ops.MultimodalOps.oracle
+      ops.SimilarityOps.oracle ++ ops.MultimodalOps.oracle ++
+      ops.TemporalOps.oracle
 }

@@ -1,0 +1,169 @@
+package graft.ops
+
+import graft.Tables
+import graft.Tables.dsum
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Temporal join operators Spark lacks natively: as-of join and
+  * point-in-interval (range) join over the event stream.
+  *
+  * Both are implemented as shuffle-bounded compositions rather than
+  * inequality joins — Spark plans a bare non-equi join condition as a
+  * broadcast-nested-loop / cartesian product, which is exactly the plan that
+  * dies at 100 TB. The as-of join is one shuffle + per-partition sort; the
+  * range join turns the interval predicate into an equi-join on
+  * interval-aligned buckets.
+  */
+object TemporalOps {
+
+  private def ev(s: SparkSession, dir: String): DataFrame =
+    Tables.t(s, dir, "events")
+
+  /** As-of join: for every left row, attach the latest right row with
+    * `rightTime <= leftTime` in the same key group (the time-series join of
+    * kdb/Pandas `merge_asof`/DuckDB `ASOF JOIN`; Spark has no native
+    * operator).
+    *
+    * Implementation — union-and-carry: tag each side, union them, shuffle
+    * once on `keys`, sort each group by (time, side) with right rows first
+    * at equal times (inclusive `<=` semantics), and carry the most recent
+    * right payload forward with `last(ignoreNulls)` over a running window.
+    * Unmatched left rows keep null right columns (left-outer semantics).
+    *
+    * Scale: ONE shuffle of |left|+|right| rows and a linear scan per group —
+    * no candidate-pair expansion, unlike the naive inequality-join +
+    * max-window formulation which materializes every (left, earlier-right)
+    * pair. Parallelism is the key cardinality (here: users), which at
+    * 100 TB is millions of groups — far above any executor count.
+    *
+    * Requirements: `left` and `right` share exactly the `keys` column names
+    * and nothing else; `right` must be unique per (keys, rightTime) —
+    * pre-aggregate duplicates, otherwise which duplicate wins is
+    * nondeterministic (same caveat as DuckDB ASOF).
+    */
+  def asofJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+      leftTime: String, rightTime: String): DataFrame = {
+    val lPayload = left.columns.filterNot(keys.contains)
+    val rPayload = right.columns.filterNot(keys.contains)
+    val clash = lPayload.intersect(rPayload)
+    require(clash.isEmpty,
+      s"asofJoin: non-key columns must be disjoint; both sides have: " +
+        clash.mkString(", "))
+    val lTagged = left.select(
+      keys.map(col) ++ Seq(col(leftTime).as("__t"), lit(1).as("__side")) ++
+        lPayload.map(col) ++
+        rPayload.map(c => lit(null).cast(right.schema(c).dataType).as(c)): _*)
+    val rTagged = right.select(
+      keys.map(col) ++ Seq(col(rightTime).as("__t"), lit(0).as("__side")) ++
+        lPayload.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
+        rPayload.map(col): _*)
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("__t").asc, col("__side").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    lTagged.unionByName(rTagged)
+      .select(
+        keys.map(col) ++ lPayload.map(col) ++ Seq(col("__side")) ++
+          rPayload.map(c => last(col(c), ignoreNulls = true).over(w).as(c)): _*)
+      .filter(col("__side") === 1)
+      .drop("__side")
+  }
+
+  /** q54: click→view as-of attribution — every click joined to the latest
+    * preceding (or simultaneous) view by the same user, with the
+    * click-to-view gap in microseconds; clicks with no prior view keep
+    * nulls. Views are pre-deduplicated to one per (user, ts) (max event_id)
+    * so the match is deterministic. Oracle: DuckDB's native ASOF LEFT JOIN.
+    */
+  def clickAsofView(s: SparkSession, dir: String): DataFrame =
+    clickAsofViewOn(ev(s, dir))
+
+  /** `events` needs (event_id, user_id, ts, event_type, value). */
+  def clickAsofViewOn(events: DataFrame): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select("event_id", "user_id", "ts", "value")
+    val views = events.filter(col("event_type") === "view")
+      .groupBy(col("user_id"), col("ts").as("view_ts"))
+      .agg(max("event_id").as("view_id"))
+    asofJoin(clicks, views, Seq("user_id"), "ts", "view_ts")
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"),
+        col("view_id"),
+        (unix_micros(col("ts")) - unix_micros(col("view_ts"))).as("gap_us"))
+      .orderBy("event_id")
+  }
+
+  private val WindowUs = 300000000L // 5-minute incident window, in micros
+
+  /** q55: point-in-interval range join — every `error` event opens a
+    * 5-minute incident window [ts, ts+5min); count and sum the same user's
+    * clicks inside each window (zero-click incidents kept, left-outer).
+    *
+    * Scale design: Spark would plan the raw interval predicate as a
+    * broadcast-nested-loop join (O(|errors|·|clicks|) comparisons per key).
+    * Instead the interval is decomposed onto window-aligned buckets: each
+    * incident explodes to the (at most 2) buckets it overlaps, each click
+    * maps to exactly 1 bucket, and the join becomes an equi-join on
+    * (user, bucket) with the exact containment predicate as a residual
+    * filter. Each (click, incident) pair can only meet in the click's
+    * single bucket, so no dedup pass is needed. Cost: one hash shuffle and
+    * ≤2× expansion of the (much smaller) interval side.
+    */
+  def incidentWindows(s: SparkSession, dir: String): DataFrame =
+    incidentWindowsOn(ev(s, dir))
+
+  /** `events` needs (event_id, user_id, ts, event_type, value). */
+  def incidentWindowsOn(events: DataFrame): DataFrame = {
+    val err = events.filter(col("event_type") === "error")
+      .select(col("event_id").as("incident_id"), col("user_id").as("i_user"),
+        col("ts").as("incident_ts"), unix_micros(col("ts")).as("start_us"))
+      .withColumn("end_us", col("start_us") + lit(WindowUs))
+      // integral `div`, not `/`: long division must not round-trip a double
+      .withColumn("bucket",
+        explode(sequence(expr(s"start_us div ${WindowUs}L"),
+          expr(s"(end_us - 1L) div ${WindowUs}L"))))
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), unix_micros(col("ts")).as("c_us"),
+        col("value"))
+      .withColumn("bucket", expr(s"c_us div ${WindowUs}L"))
+    err.join(clicks,
+        col("i_user") === col("c_user") && err("bucket") === clicks("bucket") &&
+          col("c_us") >= col("start_us") && col("c_us") < col("end_us"),
+        "left")
+      .groupBy(col("incident_id"), col("i_user").as("user_id"),
+        col("incident_ts"))
+      .agg(count(col("c_us")).as("n_clicks"),
+        coalesce(dsum(col("value")), lit(0.0)).as("click_value"))
+      .orderBy("incident_id")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q54_click_asof_view" -> clickAsofView,
+    "q55_incident_windows" -> incidentWindows)
+
+  val oracle: Map[String, String] = Map(
+    "q54_click_asof_view" ->
+      """WITH clicks AS (SELECT event_id, user_id, ts, value FROM events
+        |  WHERE event_type = 'click'),
+        |views AS (SELECT user_id, ts AS view_ts, max(event_id) AS view_id
+        |  FROM events WHERE event_type = 'view' GROUP BY user_id, ts)
+        |SELECT c.event_id, c.user_id, c.ts, c.value, v.view_id,
+        |  epoch_us(c.ts) - epoch_us(v.view_ts) AS gap_us
+        |FROM clicks c ASOF LEFT JOIN views v
+        |  ON c.user_id = v.user_id AND c.ts >= v.view_ts
+        |ORDER BY c.event_id""".stripMargin,
+    "q55_incident_windows" ->
+      """WITH err AS (SELECT event_id AS incident_id, user_id,
+        |    ts AS incident_ts, epoch_us(ts) AS start_us
+        |  FROM events WHERE event_type = 'error'),
+        |c AS (SELECT user_id, epoch_us(ts) AS c_us, value FROM events
+        |  WHERE event_type = 'click')
+        |SELECT e.incident_id, e.user_id, e.incident_ts,
+        |  count(c.c_us) AS n_clicks,
+        |  coalesce(CAST(round(sum(CAST(c.value AS DECIMAL(38,10))), 2)
+        |    AS DOUBLE), 0.0) AS click_value
+        |FROM err e LEFT JOIN c ON c.user_id = e.user_id
+        |  AND c.c_us >= e.start_us AND c.c_us < e.start_us + 300000000
+        |GROUP BY e.incident_id, e.user_id, e.incident_ts
+        |ORDER BY e.incident_id""".stripMargin)
+}

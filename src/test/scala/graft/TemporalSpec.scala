@@ -1,0 +1,94 @@
+package graft
+
+import graft.ops.TemporalOps
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+/** Semantics of the temporal joins (TemporalOps): as-of matching rules and
+  * the bucketed range join's equivalence to the naive inequality join.
+  */
+class TemporalSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  test("asofJoin picks the latest right row at or before the left time") {
+    val left = Seq(
+      (1L, 1L, ts("2024-01-01 10:00:00"), "l1"),
+      (1L, 2L, ts("2024-01-01 10:05:00"), "l2"),
+      (2L, 3L, ts("2024-01-01 10:00:00"), "l3")) // key 2: no right rows
+      .toDF("k", "lid", "lt", "lpay")
+    val right = Seq(
+      (1L, ts("2024-01-01 09:58:00"), "early"),
+      (1L, ts("2024-01-01 10:00:00"), "equal"), // inclusive: matches l1
+      (1L, ts("2024-01-01 10:03:00"), "mid"),
+      (1L, ts("2024-01-01 10:06:00"), "late")) // after both lefts
+      .toDF("k", "rt", "rpay")
+    val out = TemporalOps.asofJoin(left, right, Seq("k"), "lt", "rt")
+      .select("lid", "rpay").orderBy("lid").collect()
+    assert(out.toSeq === Seq(
+      Row(1L, "equal"), // ties are inclusive (<=), right row wins at equal ts
+      Row(2L, "mid"),   // latest <= 10:05 is 10:03, not 09:58
+      Row(3L, null)))   // left-outer: key with no right rows keeps null
+  }
+
+  test("asofJoin never matches a later right row") {
+    val left = Seq((1L, 1L, ts("2024-01-01 00:00:00"))).toDF("k", "lid", "lt")
+    val right = Seq((1L, ts("2024-01-01 00:00:01"), 9L)).toDF("k", "rt", "rid")
+    val out = TemporalOps.asofJoin(left, right, Seq("k"), "lt", "rt")
+    assert(out.select("rid").collect() === Array(Row(null)))
+  }
+
+  test("asofJoin plans one shuffle (no join, no candidate expansion)") {
+    val left = Seq((1L, 1L, ts("2024-01-01 00:00:00"))).toDF("k", "lid", "lt")
+    val right = Seq((1L, ts("2024-01-01 00:00:01"), 9L)).toDF("k", "rt", "rid")
+    val plan = TemporalOps.asofJoin(left, right, Seq("k"), "lt", "rt")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"as-of must not plan a join:\n$plan")
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size === 1, plan)
+  }
+
+  test("bucketed range join matches the naive inequality join") {
+    val events = Tables.t(spark, sfDir, "events")
+    val got = TemporalOps.incidentWindowsOn(events)
+    // naive formulation: raw interval predicate (plans a nested-loop join —
+    // the correctness ground truth, not the scale path)
+    val err = events.filter(col("event_type") === "error")
+      .select(col("event_id").as("incident_id"), col("user_id").as("i_user"),
+        col("ts").as("incident_ts"), unix_micros(col("ts")).as("start_us"))
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), unix_micros(col("ts")).as("c_us"),
+        col("value"))
+    val naive = err.join(clicks,
+        col("i_user") === col("c_user") &&
+          col("c_us") >= col("start_us") &&
+          col("c_us") < col("start_us") + lit(300000000L), "left")
+      .groupBy(col("incident_id"), col("i_user").as("user_id"),
+        col("incident_ts"))
+      .agg(count(col("c_us")).as("n_clicks"),
+        coalesce(Tables.dsum(col("value")), lit(0.0)).as("click_value"))
+    assert(got.count() === naive.count())
+    assert(got.exceptAll(naive).isEmpty && naive.exceptAll(got).isEmpty)
+  }
+
+  test("range join plans an equi-join on buckets, not a nested loop") {
+    val plan = TemporalOps.incidentWindows(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"),
+      s"range join must not plan a nested loop:\n$plan")
+  }
+
+  test("range join keeps zero-click incidents with 0 counts") {
+    val events = Seq(
+      (1L, ts("2024-01-01 00:00:00"), 1L, "error", 0.0),
+      (2L, ts("2024-01-01 00:04:59"), 1L, "click", 2.5), // inside window
+      (3L, ts("2024-01-01 00:05:00"), 1L, "click", 9.9), // boundary: excluded
+      (4L, ts("2024-01-01 00:00:01"), 2L, "error", 0.0)) // no clicks at all
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val out = TemporalOps.incidentWindowsOn(events)
+      .select("incident_id", "n_clicks", "click_value").collect()
+    assert(out.toSeq === Seq(Row(1L, 1L, 2.5), Row(4L, 0L, 0.0)))
+  }
+}
