@@ -1,0 +1,310 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation operators — the training-data-pipeline steps that sit
+  * between raw ingestion (TextOps profiling) and the final training mix:
+  * benchmark decontamination by n-gram overlap, denylist term scrubbing,
+  * deterministic mixture rebalancing, and embedding scalar quantization.
+  *
+  * Scale discipline shared by all four: the only shuffles are keyed by
+  * document / vector id (millions of groups at 100 TB — full parallelism),
+  * every dimension-stats or benchmark side is contracted to a small frame
+  * first and broadcast, and all text math stays inside codegen'd built-in
+  * expressions with exact DuckDB oracle twins.
+  */
+object CurationOps {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables.t(s, dir, "documents")
+
+  private def emb(s: SparkSession, dir: String): DataFrame =
+    Tables.t(s, dir, "embeddings")
+
+  private val toks: Column = split(trim(col("text")), " ")
+
+  // ---- q56: n-gram decontamination ----------------------------------------
+
+  /** Word-5-gram shingles of `text` (empty if fewer than 5 tokens). */
+  private def shingles5(t: Column): Column = {
+    val n = size(t)
+    when(n >= 5,
+      transform(sequence(lit(1), n - 4), i =>
+        concat_ws(" ", (0 to 4).map(o => element_at(t, i + o)): _*)))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Benchmark decontamination by n-gram overlap (the GPT-3-style 13-gram
+    * check, at word-5-gram granularity for this corpus): every training
+    * document is scored by how many of its distinct 5-grams also appear in
+    * the held-out benchmark set, and flagged if any do. Exact-text
+    * decontamination (q49) misses paraphrased or partially-quoted leakage;
+    * n-gram overlap is the standard stronger test.
+    *
+    * Scale: the benchmark set is tiny next to the corpus (here: the `src9`
+    * slice), so its distinct n-gram table is contracted first and BROADCAST —
+    * the 100 TB training side never shuffles for the probe; the only
+    * exchange is the per-doc_id count aggregation (map-side partial).
+    */
+  def ngramDecontamination(s: SparkSession, dir: String): DataFrame =
+    ngramDecontaminationOn(docs(s, dir), col("source") === "src9")
+
+  /** `docsDf` needs (doc_id, source, text); `isBenchmark` splits it into the
+    * held-out benchmark slice vs the training corpus.
+    */
+  def ngramDecontaminationOn(docsDf: DataFrame,
+      isBenchmark: Column): DataFrame = {
+    val withSh = docsDf.withColumn("sh", array_distinct(shingles5(toks)))
+    val benchNgrams = broadcast(
+      withSh.filter(isBenchmark)
+        .select(explode(col("sh")).as("ngram")).distinct())
+    val train = withSh.filter(!isBenchmark)
+      .select(col("doc_id"), col("source"), size(col("sh")).as("n_5grams"),
+        col("sh"))
+    val shared = train
+      .select(col("doc_id"), explode(col("sh")).as("ngram"))
+      .join(benchNgrams, "ngram")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shared"))
+    train.drop("sh")
+      .join(shared, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("source"), col("n_5grams"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared_5grams"),
+        (coalesce(col("n_shared"), lit(0L)) > 0).as("contaminated"))
+      .orderBy("doc_id")
+  }
+
+  // ---- q57: embedding scalar quantization ---------------------------------
+
+  private val Dim = SimilarityOps.Dim
+
+  /** Int8 scalar quantization of the embedding column (the standard vector
+    * compression before ANN serving / training shards): per-dimension
+    * [min, max] over the corpus maps each float to a code in [-127, 127];
+    * the report grades reconstruction per vector (distinct codes, max
+    * absolute error, MSE).
+    *
+    * Scale: pass one computes per-dimension stats via posexplode + hash
+    * aggregation (map-side partial — the shuffle carries `dim` rows per
+    * partition, not the corpus) and contracts them to a SINGLE broadcast row
+    * of [mn, mx] arrays; pass two is per-row arithmetic, shuffle-free.
+    * Error sums run in index order over the array (lambda `aggregate`), the
+    * same left-fold the DuckDB oracle's `list_reduce` computes, so the
+    * float math is bit-identical — no order-dependent double shuffle sums.
+    */
+  def embeddingQuantization(s: SparkSession, dir: String): DataFrame =
+    embeddingQuantizationOn(emb(s, dir))
+
+  /** `embDf` needs (vec_id, label, embedding: array<float|double>). */
+  def embeddingQuantizationOn(embDf: DataFrame): DataFrame = {
+    val stats = embDf
+      .select(posexplode(col("embedding")).as(Seq("dim", "x")))
+      .groupBy("dim")
+      .agg(min(col("x").cast("double")).as("mn"),
+        max(col("x").cast("double")).as("mx"))
+      .groupBy()
+      .agg(collect_list(struct(col("dim"), col("mn"), col("mx"))).as("sts"))
+      .select(
+        transform(array_sort(col("sts")), s => s("mn")).as("mn_arr"),
+        transform(array_sort(col("sts")), s => s("mx")).as("mx_arr"))
+    val mn = (i: Column) => element_at(col("mn_arr"), i + 1)
+    val mx = (i: Column) => element_at(col("mx_arr"), i + 1)
+    // code_i in [-127,127]; degenerate dims (mx==mn) pin to code 0, err 0
+    val codes = transform(col("embedding"), (e, i) =>
+      when(mx(i) > mn(i),
+        round((e.cast("double") - mn(i)) * 254.0 / (mx(i) - mn(i)))
+          .cast("int") - 127)
+        .otherwise(0))
+    val errs = transform(col("embedding"), (e, i) =>
+      when(mx(i) > mn(i),
+        abs(e.cast("double") -
+          ((element_at(col("codes"), i + 1) + 127).cast("double")
+            * (mx(i) - mn(i)) / 254.0 + mn(i))))
+        .otherwise(lit(0.0)))
+    embDf.crossJoin(broadcast(stats))
+      .withColumn("codes", codes)
+      .withColumn("errs", errs)
+      .select(col("vec_id"), col("label"),
+        size(array_distinct(col("codes"))).as("n_distinct_codes"),
+        round(array_max(col("errs")), 9).as("max_abs_err"),
+        round(
+          aggregate(col("errs"), lit(0.0), (a, e) => a + e * e) / Dim,
+          12).as("mse"))
+      .orderBy("vec_id")
+  }
+
+  // ---- q58: deterministic mixture rebalance -------------------------------
+
+  /** Per-source up/down-sampling factors for the target training mix:
+    * fractional factors take floor(f) full copies plus one more for a
+    * deterministic hash-chosen fraction of docs; factors < 1 down-sample.
+    */
+  private val mixFactors: Seq[(String, Double)] =
+    Seq("src0" -> 3.0, "src3" -> 2.5, "src7" -> 0.5)
+
+  /** Deterministic corpus rebalancing to a target mixture ("up-sample wiki
+    * 3x, halve low-quality crawl"): each document is replicated
+    * floor(f) times, plus one extra copy when an arithmetic doc_id hash
+    * falls under the fractional part — exact integer math, so the sample is
+    * reproducible on any cluster and engine (`rand()` would be neither; see
+    * q47). Output is the per-source in/out accounting a mixture report
+    * needs.
+    *
+    * Scale: replication is a per-row `explode` (linear, shuffle-free); the
+    * only exchange aggregates the ~|sources| accounting rows. The exploded
+    * stream itself is what a real pipeline writes to training shards.
+    */
+  def corpusRebalance(s: SparkSession, dir: String): DataFrame =
+    corpusRebalanceOn(docs(s, dir))
+
+  /** `docsDf` needs (doc_id, source, text). */
+  def corpusRebalanceOn(docsDf: DataFrame,
+      factors: Seq[(String, Double)] = mixFactors): DataFrame = {
+    val factor = factors.tail.foldLeft(
+      when(col("source") === factors.head._1, factors.head._2)) {
+      case (acc, (src, f)) => acc.when(col("source") === src, f)
+    }.otherwise(1.0)
+    val out = docsDf
+      .select(col("doc_id"), col("source"), size(toks).as("n_toks"),
+        factor.as("f"))
+      // floor(f) whole copies + 1 when hash(doc_id) < fractional-part · 100
+      .withColumn("replicas",
+        floor(col("f")).cast("long") +
+          when((col("doc_id") * 48271L + 11L) % 100L
+            < round(col("f") * 100).cast("long") % 100L, 1L).otherwise(0L))
+      .filter(col("replicas") >= 1)
+      // the training-shard stream: one row per replica
+      .select(col("doc_id"), col("source"), col("n_toks"),
+        explode(sequence(lit(1L), col("replicas"))).as("replica_idx"))
+    out.groupBy("source")
+      .agg(count_distinct(col("doc_id")).as("n_docs_kept"),
+        count(lit(1)).as("n_docs_out"),
+        sum(col("n_toks")).as("n_tokens_out"))
+      .orderBy("source")
+  }
+
+  // ---- q59: denylist term scrubbing ---------------------------------------
+
+  private val denylist = Seq("table", "value", "key")
+
+  /** Word-boundary regex over the denylist — identical syntax/semantics in
+    * Java regex (Spark) and RE2 (DuckDB): alternation, `\b`, no lookaround.
+    */
+  private val denyPattern = s"\\b(${denylist.mkString("|")})\\b"
+
+  /** Denylist term scrubbing (PII/bad-word masking): replace every
+    * word-boundary occurrence of a denylist term with `[MASKED]` and account
+    * per document. The same `regexp_replace` with PII patterns (emails,
+    * phone numbers) is the redaction pass of a real pipeline — patterns stay
+    * within the Java-regex ∩ RE2 dialect so any engine replays them.
+    *
+    * Scale: per-row regex inside whole-stage codegen, shuffle-free.
+    */
+  def termScrub(s: SparkSession, dir: String): DataFrame =
+    termScrubOn(docs(s, dir))
+
+  /** `docsDf` needs (doc_id, text). */
+  def termScrubOn(docsDf: DataFrame,
+      pattern: String = denyPattern): DataFrame =
+    docsDf
+      .select(col("doc_id"),
+        size(regexp_extract_all(col("text"), lit(pattern), lit(0)))
+          .as("n_masked"),
+        length(col("text")).as("len_before"),
+        length(regexp_replace(col("text"), pattern, "[MASKED]"))
+          .as("len_after"))
+      .withColumn("clean", col("n_masked") === 0)
+      .orderBy("doc_id")
+
+  // ---- registration -------------------------------------------------------
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q56_ngram_decontamination" -> ngramDecontamination,
+    "q57_embedding_quantization" -> embeddingQuantization,
+    "q58_corpus_rebalance" -> corpusRebalance,
+    "q59_term_scrub" -> termScrub)
+
+  // single line: the enclosing oracle string's stripMargin would otherwise
+  // truncate a continuation line starting with the `||` concat operator
+  private val sqlShingles5 =
+    "list_transform(generate_series(1, len(toks) - 4), i -> " +
+      (0 to 4).map(o => s"toks[i+$o]").mkString(" || ' ' || ") + ")"
+
+  val oracle: Map[String, String] = Map(
+    "q56_ngram_decontamination" ->
+      s"""WITH d AS (SELECT doc_id, source,
+         |  string_split(trim(text), ' ') AS toks FROM documents),
+         |sh AS (SELECT doc_id, source,
+         |  CASE WHEN len(toks) >= 5 THEN list_distinct($sqlShingles5)
+         |       ELSE [] END AS sh FROM d),
+         |bench AS (SELECT DISTINCT unnest(sh) AS ngram FROM sh
+         |  WHERE source = 'src9'),
+         |train AS (SELECT doc_id, source, len(sh) AS n_5grams, sh FROM sh
+         |  WHERE source <> 'src9'),
+         |m AS (SELECT t.doc_id, count(*) AS n_shared
+         |  FROM (SELECT doc_id, unnest(sh) AS ngram FROM train) t
+         |  JOIN bench USING (ngram) GROUP BY t.doc_id)
+         |SELECT tr.doc_id, tr.source, tr.n_5grams,
+         |  coalesce(m.n_shared, 0) AS n_shared_5grams,
+         |  coalesce(m.n_shared, 0) > 0 AS contaminated
+         |FROM train tr LEFT JOIN m ON tr.doc_id = m.doc_id
+         |ORDER BY tr.doc_id""".stripMargin,
+    "q57_embedding_quantization" ->
+      s"""WITH st AS (SELECT i AS dim,
+         |    min(CAST(e.embedding[i] AS DOUBLE)) AS mn,
+         |    max(CAST(e.embedding[i] AS DOUBLE)) AS mx
+         |  FROM embeddings e, generate_series(1, $Dim) AS g(i) GROUP BY i),
+         |arrs AS (SELECT list(mn ORDER BY dim) AS mn_arr,
+         |    list(mx ORDER BY dim) AS mx_arr FROM st),
+         |q AS (SELECT vec_id, label,
+         |  list_transform(generate_series(1, $Dim), i ->
+         |    CASE WHEN mx_arr[i] > mn_arr[i] THEN
+         |      CAST(round((CAST(embedding[i] AS DOUBLE) - mn_arr[i]) * 254
+         |        / (mx_arr[i] - mn_arr[i])) AS INT) - 127
+         |    ELSE 0 END) AS codes,
+         |  embedding, mn_arr, mx_arr FROM embeddings, arrs),
+         |er AS (SELECT vec_id, label, codes,
+         |  list_transform(generate_series(1, $Dim), i ->
+         |    CASE WHEN mx_arr[i] > mn_arr[i] THEN
+         |      abs(CAST(embedding[i] AS DOUBLE)
+         |        - (CAST(codes[i] + 127 AS DOUBLE)
+         |           * (mx_arr[i] - mn_arr[i]) / 254 + mn_arr[i]))
+         |    ELSE 0.0 END) AS errs FROM q)
+         |SELECT vec_id, label,
+         |  len(list_distinct(codes)) AS n_distinct_codes,
+         |  round(list_max(errs), 9) AS max_abs_err,
+         |  round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |    list_transform(errs, e -> e * e)), (a, b) -> a + b) / $Dim, 12)
+         |    AS mse
+         |FROM er ORDER BY vec_id""".stripMargin,
+    "q58_corpus_rebalance" ->
+      """WITH d AS (SELECT doc_id, source,
+        |  len(string_split(trim(text), ' ')) AS n_toks,
+        |  CASE source WHEN 'src0' THEN 3.0 WHEN 'src3' THEN 2.5
+        |              WHEN 'src7' THEN 0.5 ELSE 1.0 END AS f
+        |  FROM documents),
+        |r AS (SELECT doc_id, source, n_toks,
+        |  CAST(floor(f) AS BIGINT) +
+        |    CASE WHEN (doc_id * 48271 + 11) % 100
+        |      < CAST(round(f * 100) AS BIGINT) % 100 THEN 1 ELSE 0 END
+        |    AS replicas FROM d),
+        |o AS (SELECT doc_id, source, n_toks,
+        |  unnest(generate_series(1, replicas)) AS replica_idx
+        |  FROM r WHERE replicas >= 1)
+        |SELECT source, count(DISTINCT doc_id) AS n_docs_kept,
+        |  count(*) AS n_docs_out,
+        |  CAST(sum(n_toks) AS BIGINT) AS n_tokens_out
+        |FROM o GROUP BY source ORDER BY source""".stripMargin,
+    "q59_term_scrub" ->
+      """SELECT doc_id,
+        |  len(regexp_extract_all(text, '\b(table|value|key)\b'))
+        |    AS n_masked,
+        |  length(text) AS len_before,
+        |  length(regexp_replace(text, '\b(table|value|key)\b',
+        |    '[MASKED]', 'g')) AS len_after,
+        |  len(regexp_extract_all(text, '\b(table|value|key)\b')) = 0
+        |    AS clean
+        |FROM documents ORDER BY doc_id""".stripMargin)
+}

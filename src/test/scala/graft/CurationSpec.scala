@@ -1,0 +1,125 @@
+package graft
+
+import graft.ops.CurationOps
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+/** Semantics of the corpus-curation operators (CurationOps): n-gram
+  * decontamination, scalar quantization, mixture rebalance, term scrubbing.
+  */
+class CurationSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("ngram decontamination flags 5-gram overlap, not shorter overlap") {
+    val docs = Seq(
+      // benchmark doc: one 6-token text → two 5-grams
+      (1L, "bench", "a b c d e f"),
+      // shares the 5-gram "b c d e f" → contaminated
+      (2L, "train", "x b c d e f y"),
+      // shares only a 4-gram run (c d e f broken by z) → clean
+      (3L, "train", "b c d e z f g h i j"),
+      // no overlap at all
+      (4L, "train", "p q r s t u v"),
+      // too short for any 5-gram
+      (5L, "train", "a b c")) .toDF("doc_id", "source", "text")
+    val out = CurationOps
+      .ngramDecontaminationOn(docs, col("source") === "bench")
+      .select("doc_id", "n_shared_5grams", "contaminated").collect()
+    assert(out.toSeq === Seq(
+      Row(2L, 1L, true), Row(3L, 0L, false), Row(4L, 0L, false),
+      Row(5L, 0L, false)))
+  }
+
+  test("ngram decontamination counts distinct shared 5-grams once") {
+    val docs = Seq(
+      (1L, "bench", "a b c d e"),
+      // the shared 5-gram occurs twice in the train doc → still counts 1
+      (2L, "train", "a b c d e a b c d e")).toDF("doc_id", "source", "text")
+    val out = CurationOps
+      .ngramDecontaminationOn(docs, col("source") === "bench")
+      .select("n_shared_5grams").collect()
+    assert(out === Array(Row(1L)))
+  }
+
+  test("ngram decontamination broadcasts the benchmark side") {
+    val docs = Tables.t(spark, sfDir, "documents")
+    val plan = CurationOps
+      .ngramDecontaminationOn(docs, col("source") === "src9")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("quantization round-trips within half a quantization step") {
+    val embDf = Tables.t(spark, sfDir, "embeddings")
+    // worst-case reconstruction error is (mx-mn)/254/2 per dimension; find
+    // the widest dimension's bound and assert every vector is inside it
+    val widest = embDf
+      .select(posexplode(col("embedding")).as(Seq("dim", "x")))
+      .groupBy("dim").agg((max("x") - min("x")).as("range"))
+      .agg(max("range")).as[Double].head()
+    val bound = widest / 254.0 / 2.0 + 1e-12
+    val bad = CurationOps.embeddingQuantizationOn(embDf)
+      .filter(col("max_abs_err") > bound).count()
+    assert(bad === 0)
+  }
+
+  test("quantization is exact on a two-value dimension and 0 on a constant") {
+    val embDf = Seq(
+      (1L, 0, Array(0.0f, 5.0f)),
+      (2L, 0, Array(1.0f, 5.0f))).toDF("vec_id", "label", "embedding")
+    // dim 1 spans [0,1] → codes ±127 exactly recover endpoints; dim 2 is
+    // degenerate (mx==mn) → code 0, error 0
+    val out = CurationOps.embeddingQuantizationOn(embDf)
+      .select("vec_id", "max_abs_err", "mse").collect()
+    assert(out.toSeq === Seq(Row(1L, 0.0, 0.0), Row(2L, 0.0, 0.0)))
+  }
+
+  test("rebalance: whole, fractional, and down-sampling factors") {
+    // doc_ids chosen so (id*48271+11) % 100 lands on both sides of 50:
+    // id=1 → 48282%100=82 (≥50, no extra); id=3 → 144824%100=24 (<50, extra)
+    val docs = Seq(
+      (1L, "w", "t t"), (3L, "w", "t"),   // f=2.5 → 2 and 3 copies
+      (1L, "d", "t"), (3L, "d", "t"),     // f=0.5 → drop and keep
+      (7L, "u", "t t t"))                 // f=1.0 default → 1 copy
+      .toDF("doc_id", "source", "text")
+    val out = CurationOps.corpusRebalanceOn(docs,
+        factors = Seq("w" -> 2.5, "d" -> 0.5))
+      .collect()
+    assert(out.toSeq === Seq(
+      Row("d", 1L, 1L, 1L),   // id=1 dropped, id=3 kept once
+      Row("u", 1L, 1L, 3L),
+      Row("w", 2L, 5L, 7L))) // 2 + 3 copies; tokens 2·2 + 1·3
+  }
+
+  test("rebalance replica stream carries a per-copy index") {
+    val docs = Seq((3L, "w", "t")).toDF("doc_id", "source", "text")
+    // intermediate stream check via the public surface: n_docs_out counts
+    // each replica row exactly once
+    val out = CurationOps.corpusRebalanceOn(docs, factors = Seq("w" -> 3.0))
+      .select("n_docs_out").as[Long].head()
+    assert(out === 3L)
+  }
+
+  test("term scrub masks whole words only") {
+    val docs = Seq(
+      (1L, "the table has a value"),   // 2 hits
+      (2L, "tables are valuable"),     // substrings only → clean
+      (3L, "key key key"),             // repeated term → 3 hits
+      (4L, "no denied words here")).toDF("doc_id", "text")
+    val out = CurationOps.termScrubOn(docs)
+      .select("doc_id", "n_masked", "clean").collect()
+    assert(out.toSeq === Seq(
+      Row(1L, 2, false), Row(2L, 0, true), Row(3L, 3, false),
+      Row(4L, 0, true)))
+  }
+
+  test("term scrub length accounting matches the replacement") {
+    val docs = Seq((1L, "a value b")).toDF("doc_id", "text")
+    val Row(before: Int, after: Int) = CurationOps.termScrubOn(docs)
+      .select("len_before", "len_after").head()
+    // "value"(5) → "[MASKED]"(8): +3 chars
+    assert(before === 9 && after === 12)
+  }
+}
