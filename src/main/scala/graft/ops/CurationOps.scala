@@ -218,13 +218,87 @@ object CurationOps {
       .withColumn("clean", col("n_masked") === 0)
       .orderBy("doc_id")
 
+  // ---- q60: canonical keep after near-dup clustering ----------------------
+
+  /** The dedup DECISION: near-dup clusters (q46's connected components over
+    * the exact-Jaccard pair graph) each keep their highest-quality member by
+    * the q33 composite score (tie → lowest doc_id) and drop the rest — the
+    * step that turns pair mining into the list of documents that actually
+    * survive into training. Composes the library's own operators
+    * ([[DedupOps.dedupClustersOn]] × [[TextOps.qualityScoreOn]]), so the
+    * keep rule provably ranks by the same score q33 reports.
+    *
+    * Scale: clusters are small (near-dup groups), so the per-cluster
+    * row_number window shuffles by `rep` with full parallelism across
+    * millions of clusters; the quality join is doc_id-keyed.
+    */
+  def dedupCanonical(s: SparkSession, dir: String): DataFrame =
+    dedupCanonicalOn(docs(s, dir))
+
+  /** `docsDf` needs (doc_id, lang, text). */
+  def dedupCanonicalOn(docsDf: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val clusters = DedupOps.dedupClustersOn(docsDf)
+    val scored = clusters.join(
+      TextOps.qualityScoreOn(docsDf).select("doc_id", "score"), "doc_id")
+    val w = Window.partitionBy("rep")
+      .orderBy(col("score").desc, col("doc_id").asc)
+    val kept = scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("rep"), col("doc_id").as("kept_doc_id"),
+        col("score").as("kept_score"))
+    clusters.groupBy("rep").agg(count(lit(1)).as("n_members"))
+      .join(kept, "rep")
+      .select(col("rep"), col("n_members"), col("kept_doc_id"),
+        col("kept_score"), (col("n_members") - 1).as("n_dropped"))
+      .orderBy("rep")
+  }
+
+  // ---- q61: token-budget packing ------------------------------------------
+
+  private val PackBudget = 512L
+
+  /** Token-budget packing: assign documents, in deterministic doc_id order
+    * within each source, to consecutive training shards of ~`PackBudget`
+    * tokens (a document starts a new pack when the running total crosses the
+    * budget — the contiguous sharding a sequence-packing writer performs).
+    * Output is the per-pack manifest (doc count, token count).
+    *
+    * Scale: one running-sum window per source — parallelism is the source
+    * (or at 100 TB: source × shard-range) partition key, and only
+    * (doc_id, n_toks) pairs shuffle, never text. The pack assignment is
+    * pure arithmetic on the running sum, so any engine reproduces the same
+    * shard layout.
+    */
+  def tokenPacking(s: SparkSession, dir: String): DataFrame =
+    tokenPackingOn(docs(s, dir))
+
+  /** `docsDf` needs (doc_id, source, text). */
+  def tokenPackingOn(docsDf: DataFrame,
+      budget: Long = PackBudget): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("source").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docsDf
+      .select(col("doc_id"), col("source"), size(toks).as("n_toks"))
+      .withColumn("cum", sum(col("n_toks")).over(w))
+      // the pack a doc STARTS in: floor(preceding-tokens / budget)
+      .withColumn("pack_id",
+        floor((col("cum") - col("n_toks")) / lit(budget)).cast("long"))
+      .groupBy("source", "pack_id")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("n_tokens"))
+      .orderBy("source", "pack_id")
+  }
+
   // ---- registration -------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q56_ngram_decontamination" -> ngramDecontamination,
     "q57_embedding_quantization" -> embeddingQuantization,
     "q58_corpus_rebalance" -> corpusRebalance,
-    "q59_term_scrub" -> termScrub)
+    "q59_term_scrub" -> termScrub,
+    "q60_dedup_canonical" -> dedupCanonical,
+    "q61_token_packing" -> tokenPacking)
 
   // single line: the enclosing oracle string's stripMargin would otherwise
   // truncate a continuation line starting with the `||` concat operator
@@ -297,6 +371,54 @@ object CurationOps {
         |  count(*) AS n_docs_out,
         |  CAST(sum(n_toks) AS BIGINT) AS n_tokens_out
         |FROM o GROUP BY source ORDER BY source""".stripMargin,
+    "q60_dedup_canonical" ->
+      """WITH RECURSIVE
+        |d AS (SELECT doc_id, lang,
+        |  list_distinct(string_split(trim(text), ' ')) AS toks
+        |  FROM documents),
+        |p AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |  len(list_intersect(a.toks, b.toks)) AS inter,
+        |  len(a.toks) AS a_n, len(b.toks) AS b_n
+        |  FROM d a JOIN d b ON a.lang = b.lang AND a.doc_id < b.doc_id
+        |    AND len(a.toks) * 10 >= len(b.toks) * 9
+        |    AND len(b.toks) * 10 >= len(a.toks) * 9),
+        |pr AS (SELECT a_id, b_id FROM p
+        |  WHERE inter / (a_n + b_n - inter) >= 0.9e0),
+        |e AS (SELECT a_id AS src, b_id AS dst FROM pr
+        |  UNION ALL SELECT b_id, a_id FROM pr),
+        |reach(src, dst) AS (
+        |  SELECT src, dst FROM e
+        |  UNION
+        |  SELECT r.src, e.dst FROM reach r JOIN e ON r.dst = e.src),
+        |cl AS (SELECT src AS doc_id, least(src, min(dst)) AS rep
+        |  FROM reach GROUP BY src),
+        |sc AS (SELECT doc_id,
+        |  round(0.4e0 * (len(list_distinct(toks)) / len(toks))
+        |    + 0.3e0 * least(
+        |        length(regexp_replace(text, ' ', '', 'g')) / len(toks) / 10.0e0,
+        |        1.0e0)
+        |    + 0.3e0 * (1.0e0 - len(regexp_extract_all(text, '[^a-zA-Z0-9 ]'))
+        |        / len(toks)), 6) AS score
+        |  FROM (SELECT doc_id, text,
+        |    string_split(trim(text), ' ') AS toks FROM documents)),
+        |r AS (SELECT cl.rep, cl.doc_id, sc.score,
+        |  row_number() OVER (PARTITION BY cl.rep
+        |    ORDER BY sc.score DESC, cl.doc_id ASC) AS rn
+        |  FROM cl JOIN sc USING (doc_id)),
+        |m AS (SELECT rep, count(*) AS n_members FROM cl GROUP BY rep)
+        |SELECT m.rep, m.n_members, r.doc_id AS kept_doc_id,
+        |  r.score AS kept_score, m.n_members - 1 AS n_dropped
+        |FROM m JOIN r ON m.rep = r.rep AND r.rn = 1
+        |ORDER BY m.rep""".stripMargin,
+    "q61_token_packing" ->
+      """WITH d AS (SELECT doc_id, source,
+        |  len(string_split(trim(text), ' ')) AS n_toks FROM documents),
+        |c AS (SELECT doc_id, source, n_toks,
+        |  sum(n_toks) OVER (PARTITION BY source ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM d)
+        |SELECT source, CAST(floor((cum - n_toks) / 512) AS BIGINT) AS pack_id,
+        |  count(*) AS n_docs, CAST(sum(n_toks) AS BIGINT) AS n_tokens
+        |FROM c GROUP BY source, pack_id ORDER BY source, pack_id""".stripMargin,
     "q59_term_scrub" ->
       """SELECT doc_id,
         |  len(regexp_extract_all(text, '\b(table|value|key)\b'))

@@ -102,6 +102,58 @@ class CurationSpec extends SparkSpec {
     assert(out === 3L)
   }
 
+  test("canonical keep picks the highest-scoring cluster member") {
+    // docs 1+2 share the same token SET (Jaccard 1 → one cluster) but doc 2
+    // repeats a token → lower distinct_ratio → doc 1 must survive; doc 9 is
+    // unrelated and forms no cluster
+    val docs = Seq(
+      (1L, "en", "a b c d e f g h i j"),
+      (2L, "en", "a b c d e f g h i j a"),
+      (9L, "en", "one two three four five six seven eight"))
+      .toDF("doc_id", "lang", "text")
+    val out = CurationOps.dedupCanonicalOn(docs).collect()
+    assert(out.toSeq === Seq(Row(1L, 2L, 1L, out.head.getDouble(3), 1L)))
+    // doc 1's score strictly beats doc 2's (6 distinct vs 5-of-6 tokens)
+    val scores = graft.ops.TextOps.qualityScoreOn(docs)
+      .select("doc_id", "score").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(scores(1L) > scores(2L))
+    assert(out.head.getDouble(3) === scores(1L))
+  }
+
+  test("canonical keep breaks score ties on the lowest doc_id") {
+    // identical docs → identical scores → tie-break keeps the lowest id
+    val docs = Seq(
+      (5L, "en", "a b c d e"), (3L, "en", "a b c d e"),
+      (7L, "en", "a b c d e")).toDF("doc_id", "lang", "text")
+    val out = CurationOps.dedupCanonicalOn(docs)
+      .select("rep", "n_members", "kept_doc_id", "n_dropped").collect()
+    assert(out.toSeq === Seq(Row(3L, 3L, 3L, 2L)))
+  }
+
+  test("token packing splits a source at the running-token budget") {
+    val docs = Seq(
+      (1L, "s", Seq.fill(300)("t").mkString(" ")),  // cum 300 → pack 0
+      (2L, "s", Seq.fill(300)("t").mkString(" ")),  // starts at 300 → pack 0
+      (3L, "s", Seq.fill(300)("t").mkString(" ")),  // starts at 600 → pack 1
+      (4L, "x", Seq.fill(10)("t").mkString(" ")))   // other source → pack 0
+      .toDF("doc_id", "source", "text")
+    val out = CurationOps.tokenPackingOn(docs, budget = 512L).collect()
+    assert(out.toSeq === Seq(
+      Row("s", 0L, 2L, 600L), Row("s", 1L, 1L, 300L),
+      Row("x", 0L, 1L, 10L)))
+  }
+
+  test("token packing is deterministic in doc_id order, not input order") {
+    val fwd = Seq((1L, "s", "a b"), (2L, "s", "c d"), (3L, "s", "e f"))
+    val docs = spark.createDataFrame(fwd.reverse)
+      .toDF("doc_id", "source", "text").repartition(3)
+    val out = CurationOps.tokenPackingOn(docs, budget = 4L)
+      .collect()
+    // docs 1,2 fill pack 0 (4 tokens), doc 3 starts pack 1
+    assert(out.toSeq === Seq(Row("s", 0L, 2L, 4L), Row("s", 1L, 1L, 2L)))
+  }
+
   test("term scrub masks whole words only") {
     val docs = Seq(
       (1L, "the table has a value"),   // 2 hits
