@@ -43,6 +43,27 @@ object Scratch {
       spark.stop()
       return
     }
+    if (name == "prof48") {
+      // component timing of the q33/q48 scoring pass: which term costs?
+      import org.apache.spark.sql.functions._
+      val d = Tables.t(spark, dir, "documents")
+      def probe(label: String)(c: org.apache.spark.sql.Column): Unit =
+        time(label) {
+          d.withColumn("toks", split(trim(col("text")), " "))
+            .agg(sum(c)).head()
+          0L
+        }
+      probe("baseline_len")(length(col("text")))
+      probe("split_size")(size(col("toks")))
+      probe("distinct")(size(array_distinct(col("toks"))))
+      probe("translate")(length(translate(col("text"), " ", "")))
+      probe("punct_regex")(
+        length(regexp_replace(col("text"), "[^a-zA-Z0-9 ]", "")))
+      probe("extract_all")(
+        size(regexp_extract_all(col("text"), lit("[^a-zA-Z0-9 ]"), lit(0))))
+      spark.stop()
+      return
+    }
     if (name == "q41lsh") {
       // the q41 kernel blocked by LSH bucket instead of label — the
       // documented handoff once label blocks outgrow memory

@@ -239,8 +239,12 @@ object CurationOps {
   def dedupCanonicalOn(docsDf: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val clusters = DedupOps.dedupClustersOn(docsDf)
+    // score only cluster MEMBERS: the quality pass is the expensive leg
+    // (regex + tokenization over text) and non-clustered docs — most of a
+    // real corpus — never need a score here
+    val members = docsDf.join(clusters.select("doc_id"), "doc_id")
     val scored = clusters.join(
-      TextOps.qualityScoreOn(docsDf).select("doc_id", "score"), "doc_id")
+      TextOps.scoredDocsOn(members).select("doc_id", "score"), "doc_id")
     val w = Window.partitionBy("rep")
       .orderBy(col("score").desc, col("doc_id").asc)
     val kept = scored.withColumn("rn", row_number().over(w))

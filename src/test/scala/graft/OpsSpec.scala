@@ -21,6 +21,22 @@ class OpsSpec extends SparkSpec {
     assert(noOracle === Set("q15_sketch_stats", "q51_media_features"))
   }
 
+  test("quality score counts punctuation chars exactly") {
+    // regression: the regex-free translate counting must count PUNCT chars,
+    // not the alphanumeric complement (the testdata corpus has zero punct,
+    // so only a fixture with real punctuation exercises the branch)
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "hello, world! (it works)"), // , ! ( ) → 4 punct chars
+      (2L, "no punct at all here"),
+      (3L, "a-b c.d e_f")) // - . _ → 3
+      .toDF("doc_id", "text")
+    val out = TextOps.qualityScoreOn(docs)
+      .select("doc_id", "n_punct").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(out === Map(1L -> 4, 2L -> 0, 3L -> 3))
+  }
+
   test("sketch stats track the exact aggregates within error bounds") {
     val rows = ops.EventOps.sketchStats(spark, sfDir).collect()
     assert(rows.nonEmpty)
