@@ -61,6 +61,17 @@ object Scratch {
         length(regexp_replace(col("text"), "[^a-zA-Z0-9 ]", "")))
       probe("extract_all")(
         size(regexp_extract_all(col("text"), lit("[^a-zA-Z0-9 ]"), lit(0))))
+      probe("q31_re_tokens")(
+        size(regexp_extract_all(col("text"),
+          lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"), lit(0))))
+      probe("q59_extract")(
+        size(regexp_extract_all(col("text"),
+          lit("\\b(table|value|key)\\b"), lit(0))))
+      probe("q59_replace")(
+        length(regexp_replace(col("text"),
+          "\\b(table|value|key)\\b", "[MASKED]")))
+      probe("q36_norm")(
+        length(regexp_replace(lower(trim(col("text"))), "\\s+", " ")))
       spark.stop()
       return
     }
