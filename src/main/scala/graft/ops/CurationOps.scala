@@ -294,6 +294,50 @@ object CurationOps {
       .orderBy("source", "pack_id")
   }
 
+  // ---- q62: incremental delta dedup ---------------------------------------
+
+  /** Incremental (delta) dedup: an incoming snapshot is deduplicated against
+    * the already-ingested corpus by normalized text — the every-crawl
+    * operation of a continuously-fed pipeline (full re-clustering of 100 TB
+    * per increment would be absurd; the increment only probes the existing
+    * key set). Here the corpus splits deterministically into "existing"
+    * (80%, by the q47-style arithmetic doc_id hash) and "incoming"; output
+    * is the per-source accounting: rows that collide with the existing
+    * corpus, distinct new texts, and the within-batch duplicate remainder.
+    *
+    * Scale: one hash shuffle on the normalized-text key (the existing side
+    * contracts to distinct norms first — in production that's the stored
+    * fingerprint table, not a re-scan); count aggregates are map-side
+    * partial. Uses the SAME normalizer as exact dedup (q36) so "duplicate"
+    * means the same thing across batch and incremental paths.
+    */
+  def deltaDedup(s: SparkSession, dir: String): DataFrame =
+    deltaDedupOn(docs(s, dir),
+      (col("doc_id") * 48271L + 23L) % 100L < 80L)
+
+  /** `docsDf` needs (doc_id, source, text); `isExisting` marks the
+    * already-ingested slice.
+    */
+  def deltaDedupOn(docsDf: DataFrame, isExisting: Column): DataFrame = {
+    val normed = docsDf.withColumn("norm", DedupOps.normText)
+    val existing = normed.filter(isExisting).select("norm").distinct()
+    val incoming = normed.filter(!isExisting)
+      .select(col("doc_id"), col("source"), col("norm"))
+    val fresh = incoming.join(existing, Seq("norm"), "left_anti")
+    incoming.groupBy("source").agg(count(lit(1)).as("n_incoming"))
+      .join(fresh.groupBy("source")
+          .agg(count(lit(1)).as("n_fresh"),
+            countDistinct(col("norm")).as("n_new_unique")),
+        Seq("source"), "left")
+      .select(col("source"), col("n_incoming"),
+        (col("n_incoming") - coalesce(col("n_fresh"), lit(0L)))
+          .as("n_dup_vs_existing"),
+        coalesce(col("n_new_unique"), lit(0L)).as("n_new_unique"),
+        (coalesce(col("n_fresh"), lit(0L))
+          - coalesce(col("n_new_unique"), lit(0L))).as("n_dup_within_batch"))
+      .orderBy("source")
+  }
+
   // ---- registration -------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -302,7 +346,8 @@ object CurationOps {
     "q58_corpus_rebalance" -> corpusRebalance,
     "q59_term_scrub" -> termScrub,
     "q60_dedup_canonical" -> dedupCanonical,
-    "q61_token_packing" -> tokenPacking)
+    "q61_token_packing" -> tokenPacking,
+    "q62_delta_dedup" -> deltaDedup)
 
   // single line: the enclosing oracle string's stripMargin would otherwise
   // truncate a continuation line starting with the `||` concat operator
@@ -423,6 +468,24 @@ object CurationOps {
         |SELECT source, CAST(floor((cum - n_toks) / 512) AS BIGINT) AS pack_id,
         |  count(*) AS n_docs, CAST(sum(n_toks) AS BIGINT) AS n_tokens
         |FROM c GROUP BY source, pack_id ORDER BY source, pack_id""".stripMargin,
+    "q62_delta_dedup" ->
+      """WITH d AS (SELECT doc_id, source,
+        |  regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm,
+        |  (doc_id * 48271 + 23) % 100 < 80 AS existing FROM documents),
+        |ex AS (SELECT DISTINCT norm FROM d WHERE existing),
+        |inc AS (SELECT doc_id, source, norm FROM d WHERE NOT existing),
+        |fr AS (SELECT * FROM inc
+        |  WHERE NOT EXISTS (SELECT 1 FROM ex WHERE ex.norm = inc.norm)),
+        |i AS (SELECT source, count(*) AS n_incoming FROM inc GROUP BY source),
+        |f AS (SELECT source, count(*) AS n_fresh,
+        |  count(DISTINCT norm) AS n_new_unique FROM fr GROUP BY source)
+        |SELECT i.source, i.n_incoming,
+        |  i.n_incoming - coalesce(f.n_fresh, 0) AS n_dup_vs_existing,
+        |  coalesce(f.n_new_unique, 0) AS n_new_unique,
+        |  coalesce(f.n_fresh, 0) - coalesce(f.n_new_unique, 0)
+        |    AS n_dup_within_batch
+        |FROM i LEFT JOIN f ON i.source = f.source
+        |ORDER BY i.source""".stripMargin,
     "q59_term_scrub" ->
       """SELECT doc_id,
         |  len(regexp_extract_all(text, '\b(table|value|key)\b'))

@@ -154,6 +154,29 @@ class CurationSpec extends SparkSpec {
     assert(out.toSeq === Seq(Row("s", 0L, 2L, 4L), Row("s", 1L, 1L, 2L)))
   }
 
+  test("delta dedup classifies incoming rows against the existing corpus") {
+    // existing: docs 1-2; incoming: 3 (dup of existing after normalization),
+    // 4+5 (same NEW text — one unique + one within-batch dup), 6 (new)
+    val docs = Seq(
+      (1L, "s", "Hello  World"), (2L, "s", "other text"),
+      (3L, "s", "hello world"),   // normalizes to doc 1's text
+      (4L, "s", "brand new"), (5L, "s", "brand  NEW"),
+      (6L, "t", "also new")).toDF("doc_id", "source", "text")
+    val out = CurationOps.deltaDedupOn(docs, col("doc_id") <= 2L).collect()
+    assert(out.toSeq === Seq(
+      Row("s", 3L, 1L, 1L, 1L),   // 3 incoming: 1 existing-dup, 1 unique, 1 batch-dup
+      Row("t", 1L, 0L, 1L, 0L)))
+  }
+
+  test("delta dedup reports sources with zero surviving rows") {
+    val docs = Seq(
+      (1L, "s", "a"), (2L, "s", "a"), (3L, "s", "a"))
+      .toDF("doc_id", "source", "text")
+    val out = CurationOps.deltaDedupOn(docs, col("doc_id") === 1L).collect()
+    // both incoming rows collide with the existing text
+    assert(out.toSeq === Seq(Row("s", 2L, 2L, 0L, 0L)))
+  }
+
   test("term scrub masks whole words only") {
     val docs = Seq(
       (1L, "the table has a value"),   // 2 hits
