@@ -76,6 +76,51 @@ object CurationOps {
       .orderBy("doc_id")
   }
 
+  // ---- q65: substring-containment decontamination -------------------------
+
+  /** Substring-containment decontamination — the third leakage test next to
+    * exact match (q49) and n-gram overlap (q56): each benchmark document
+    * contributes a probe needle (its first 8 normalized tokens), and a
+    * training document is a hit if the needle occurs VERBATIM anywhere
+    * inside it — catching quoted spans that token-shingle overlap dilutes
+    * and exact match misses entirely.
+    *
+    * Scale: the probe set is the benchmark slice (tiny, fixed), so it is
+    * BROADCAST and the training corpus is scanned once with a nested-loop
+    * contains per (doc, needle) — no shuffle of the corpus at all; the only
+    * exchange is the per-needle hit count (map-side partial). With many
+    * thousands of needles the per-doc scan becomes one Aho–Corasick
+    * automaton pass instead of |needles| contains calls — same broadcast
+    * shape, swap the predicate.
+    */
+  def substringContamination(s: SparkSession, dir: String): DataFrame =
+    substringContaminationOn(docs(s, dir), col("source") === "src9")
+
+  /** `docsDf` needs (doc_id, source, text); `isBenchmark` splits it into
+    * the held-out benchmark slice vs the training corpus.
+    */
+  def substringContaminationOn(docsDf: DataFrame,
+      isBenchmark: Column): DataFrame = {
+    val d = docsDf.withColumn("norm", DedupOps.normText)
+    val probes = broadcast(
+      d.filter(isBenchmark)
+        .withColumn("ntoks", split(col("norm"), " "))
+        .filter(size(col("ntoks")) >= 8)
+        .select(col("doc_id").as("eval_id"),
+          array_join(slice(col("ntoks"), 1, 8), " ").as("needle")))
+    val hits = d.filter(!isBenchmark)
+      .crossJoin(probes)
+      .filter(col("norm").contains(col("needle")))
+      .groupBy("eval_id")
+      .agg(count(lit(1)).as("n_hits"))
+    probes
+      .join(hits, Seq("eval_id"), "left")
+      .select(col("eval_id"), col("needle"),
+        coalesce(col("n_hits"), lit(0L)).as("n_train_hits"),
+        (coalesce(col("n_hits"), lit(0L)) > 0).as("contaminated"))
+      .orderBy("eval_id")
+  }
+
   // ---- q57: embedding scalar quantization ---------------------------------
 
   private val Dim = SimilarityOps.Dim
@@ -347,7 +392,8 @@ object CurationOps {
     "q59_term_scrub" -> termScrub,
     "q60_dedup_canonical" -> dedupCanonical,
     "q61_token_packing" -> tokenPacking,
-    "q62_delta_dedup" -> deltaDedup)
+    "q62_delta_dedup" -> deltaDedup,
+    "q65_substring_contamination" -> substringContamination)
 
   // single line: the enclosing oracle string's stripMargin would otherwise
   // truncate a continuation line starting with the `||` concat operator
@@ -356,6 +402,22 @@ object CurationOps {
       (0 to 4).map(o => s"toks[i+$o]").mkString(" || ' ' || ") + ")"
 
   val oracle: Map[String, String] = Map(
+    "q65_substring_contamination" ->
+      """WITH d AS (SELECT doc_id, source,
+        |  regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm
+        |  FROM documents),
+        |p AS (SELECT doc_id AS eval_id,
+        |  array_to_string((string_split(norm, ' '))[1:8], ' ') AS needle
+        |  FROM d WHERE source = 'src9'
+        |    AND len(string_split(norm, ' ')) >= 8),
+        |h AS (SELECT p.eval_id, count(*) AS n_hits
+        |  FROM p JOIN d ON d.source <> 'src9'
+        |    AND contains(d.norm, p.needle)
+        |  GROUP BY p.eval_id)
+        |SELECT p.eval_id, p.needle,
+        |  CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_train_hits,
+        |  coalesce(h.n_hits, 0) > 0 AS contaminated
+        |FROM p LEFT JOIN h USING (eval_id) ORDER BY eval_id""".stripMargin,
     "q56_ngram_decontamination" ->
       s"""WITH d AS (SELECT doc_id, source,
          |  string_split(trim(text), ' ') AS toks FROM documents),

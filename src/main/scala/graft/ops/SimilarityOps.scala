@@ -317,13 +317,53 @@ object SimilarityOps {
         .as("centroid"), count(lit(1)).as("n"))
       .orderBy("label", "dim")
 
+  /** SemDeDup-style semantic dedup (Abbas et al. 2023): bucket every vector
+    * by the high byte of the hyperplane signature — 256 coarse cells, the
+    * deterministic stand-in for a k-means cluster assignment (a trained
+    * codebook drops into the same shape) — elect the lowest-id member of
+    * each cell as its representative, and flag members whose cosine to the
+    * representative clears the near-duplicate threshold.
+    *
+    * Scale: the signature is a codegen'd multiply-add chain (no shuffle to
+    * assign); representatives contract to ONE row per occupied bucket
+    * (≤ 2^16 regardless of corpus size) and are BROADCAST back, so the
+    * corpus shuffles once on the bucket key and is never compared pairwise —
+    * each vector does exactly one cosine, against its representative.
+    * Contrast q44 (all pairs within a block): that is O(block²) exact
+    * nearest-neighbor; this is the O(n) screening pass run first at 100 TB.
+    */
+  def semanticDedup(s: SparkSession, dir: String): DataFrame =
+    semanticDedupOn(emb(s, dir))
+
+  /** `embDf` needs (vec_id, embedding); `threshold` is corpus-dependent
+    * (the q64 registration pins 0.995 for the oracle).
+    */
+  def semanticDedupOn(embDf: DataFrame,
+      threshold: Double = 0.995): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(embDf.sparkSession)
+    val e = embDf.select(col("vec_id"), col("embedding"))
+      .withColumn("sig",
+        shiftrightunsigned(signature(col("embedding")), 8))
+    val reps = e.groupBy("sig").agg(min("vec_id").as("rep_id"))
+    val repEmb = broadcast(
+      e.select(col("vec_id").as("rep_id"), col("embedding").as("rep_emb"))
+        .join(broadcast(reps), "rep_id"))
+    e.join(repEmb, "sig")
+      .select(col("vec_id"), col("sig"), col("rep_id"),
+        round(cosine(col("embedding"), col("rep_emb")), 6).as("rep_cos"))
+      .withColumn("is_dup",
+        col("vec_id") =!= col("rep_id") && col("rep_cos") >= threshold)
+      .orderBy("vec_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q40_ann_topk" -> annTopK,
     "q41_cosine_top_pairs" -> cosineTopPairs,
     "q42_ann_lsh" -> annLsh,
     "q43_label_centroids" -> labelCentroids,
     "q44_nn_dedup" -> nnDedup,
-    "q45_ann_ivf" -> annIvf)
+    "q45_ann_ivf" -> annIvf,
+    "q64_semantic_dedup" -> semanticDedup)
 
   /** The hyperplane constants as full-precision SQL literals (Java's
     * Double.toString round-trips, and DuckDB parses to the same IEEE
@@ -338,6 +378,24 @@ object SimilarityOps {
     }.reduce((acc, bit) => s"($acc * 2 + $bit)")
 
   val oracle: Map[String, String] = Map(
+    // Replays semantic dedup: literal-plane signatures (bit-exact vs the
+    // codegen'd chain) → min-id representative per bucket → one cosine per
+    // vector against its representative.
+    "q64_semantic_dedup" ->
+      s"""WITH s AS (SELECT vec_id, embedding,
+         |  CAST(${sqlSignature("embedding")} AS BIGINT) >> 8 AS sig
+         |  FROM embeddings),
+         |r AS (SELECT sig, min(vec_id) AS rep_id FROM s GROUP BY sig),
+         |re AS (SELECT r.sig, r.rep_id, s.embedding AS rep_emb
+         |  FROM r JOIN s ON s.vec_id = r.rep_id),
+         |j AS (SELECT e.vec_id, e.sig, re.rep_id,
+         |  round((${sqlDot("e.embedding", "re.rep_emb")})
+         |    / (${sqlNorm("e.embedding")} * ${sqlNorm("re.rep_emb")}), 6)
+         |    AS rep_cos
+         |  FROM s e JOIN re ON e.sig = re.sig)
+         |SELECT vec_id, sig, rep_id, rep_cos,
+         |  (vec_id <> rep_id AND rep_cos >= 0.995e0) AS is_dup
+         |FROM j ORDER BY vec_id""".stripMargin,
     // Replays the full LSH pipeline: 16 plane dots (literal planes,
     // index-order accumulation = bit-exact vs VecDot) → sign-bit signature →
     // two-table Hamming≤2 multi-probe → exact cosine re-rank.

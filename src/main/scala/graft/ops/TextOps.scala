@@ -250,6 +250,54 @@ object TextOps {
       .orderBy("source", "lang")
   }
 
+  /** Repetition profile — the Gopher-style repetition filters: per document,
+    * the most-frequent-token share and bigram-duplication stats that flag
+    * boilerplate / degenerate text before training (Rae et al. 2021 §A1.1
+    * filter on "fraction of tokens in the most common n-gram").
+    *
+    * Scale: entirely per-row higher-order array functions — no shuffle, no
+    * explode (an explode + groupBy(doc_id, token) formulation would shuffle
+    * one row per TOKEN of the corpus; this keeps each document's counting
+    * inside its own array). The nested filter-count is O(distinct·n) per
+    * document, bounded by document length, embarrassingly parallel.
+    */
+  def repetitionProfile(s: SparkSession, dir: String): DataFrame =
+    repetitionProfileOn(docs(s, dir))
+
+  /** `docsDf` needs (doc_id, text). */
+  def repetitionProfileOn(docsDf: DataFrame): DataFrame = {
+    // count of the most frequent element: max over distinct values of the
+    // occurrence count (empty array → 0)
+    def topCount(xs: Column): Column = coalesce(
+      array_max(transform(array_distinct(xs),
+        v => size(filter(xs, y => y === v)))), lit(0))
+    docsDf
+      .withColumn("toks", tokens)
+      .withColumn("n_tokens", size(col("toks")))
+      // guard: sequence(1, 0) would DESCEND ([1, 0]); emit [] for 1-token docs
+      .withColumn("bigrams",
+        when(col("n_tokens") >= 2,
+          transform(sequence(lit(1), col("n_tokens") - 1), i =>
+            concat_ws(" ", element_at(col("toks"), i),
+              element_at(col("toks"), i + 1))))
+          .otherwise(array().cast("array<string>")))
+      .withColumn("top_tok_count", topCount(col("toks")))
+      .withColumn("n_bigrams", size(col("bigrams")))
+      .withColumn("top_bigram_count", topCount(col("bigrams")))
+      .select(
+        col("doc_id"), col("n_tokens"), col("top_tok_count"),
+        round(col("top_tok_count") / col("n_tokens"), 6).as("top_tok_ratio"),
+        col("n_bigrams"),
+        (col("n_bigrams") - size(array_distinct(col("bigrams"))))
+          .as("dup_bigrams"),
+        col("top_bigram_count"),
+        (col("top_tok_count") / col("n_tokens") > 0.2 ||
+          (col("n_bigrams") > 0 &&
+            col("top_bigram_count") / col("n_bigrams") > 0.18))
+          .as("flagged"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q31_token_stats" -> tokenStats,
     "q32_lang_profile" -> langProfile,
@@ -258,9 +306,32 @@ object TextOps {
     "q35_shingle_profile" -> shingleProfile,
     "q47_stratified_sample" -> stratifiedSample,
     "q48_quality_topk" -> qualityTopK,
-    "q53_source_mix" -> sourceMix)
+    "q53_source_mix" -> sourceMix,
+    "q63_repetition_profile" -> repetitionProfile)
 
   val oracle: Map[String, String] = Map(
+    "q63_repetition_profile" ->
+      """WITH d AS (SELECT doc_id,
+        |  string_split(trim(text), ' ') AS toks FROM documents),
+        |b AS (SELECT doc_id, toks, len(toks) AS n_tokens,
+        |  list_transform(range(1, len(toks)),
+        |    i -> toks[i] || ' ' || toks[i+1]) AS bigrams FROM d),
+        |m AS (SELECT doc_id, n_tokens,
+        |  coalesce(list_max(list_transform(list_distinct(toks),
+        |    v -> len(list_filter(toks, y -> y = v)))), 0) AS top_tok_count,
+        |  len(bigrams) AS n_bigrams,
+        |  len(bigrams) - len(list_distinct(bigrams)) AS dup_bigrams,
+        |  coalesce(list_max(list_transform(list_distinct(bigrams),
+        |    v -> len(list_filter(bigrams, y -> y = v)))), 0)
+        |    AS top_bigram_count
+        |  FROM b)
+        |SELECT doc_id, n_tokens, top_tok_count,
+        |  round(top_tok_count / n_tokens, 6) AS top_tok_ratio,
+        |  n_bigrams, dup_bigrams, top_bigram_count,
+        |  (top_tok_count / n_tokens > 0.2e0 OR
+        |   (n_bigrams > 0 AND top_bigram_count / n_bigrams > 0.18e0))
+        |    AS flagged
+        |FROM m ORDER BY doc_id""".stripMargin,
     "q53_source_mix" ->
       """WITH d AS (SELECT source, lang,
         |  len(string_split(trim(text), ' ')) AS n_toks FROM documents),

@@ -51,6 +51,23 @@ class CurationSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
+  test("substring contamination finds verbatim quoted spans only") {
+    val docs = Seq(
+      // benchmark: needle = its first 8 normalized tokens
+      (1L, "bench", "The Quick brown fox jumps over the lazy dog today"),
+      (2L, "bench", "never quoted anywhere in the training corpus at all"),
+      (3L, "bench", "too short for a probe"), // < 8 tokens → excluded
+      // quotes doc 1's needle verbatim (case/space-normalized) → hit
+      (4L, "train", "prefix THE  QUICK BROWN fox jumps over the lazy suffix"),
+      // breaks the span at token 5 → clean
+      (5L, "train", "the quick brown fox leaps over the lazy dog"))
+      .toDF("doc_id", "source", "text")
+    val out = CurationOps
+      .substringContaminationOn(docs, col("source") === "bench")
+      .select("eval_id", "n_train_hits", "contaminated").collect()
+    assert(out.toSeq === Seq(Row(1L, 1L, true), Row(2L, 0L, false)))
+  }
+
   test("quantization round-trips within half a quantization step") {
     val embDf = Tables.t(spark, sfDir, "embeddings")
     // worst-case reconstruction error is (mx-mn)/254/2 per dimension; find

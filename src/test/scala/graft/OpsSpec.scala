@@ -37,6 +37,41 @@ class OpsSpec extends SparkSpec {
     assert(out === Map(1L -> 4, 2L -> 0, 3L -> 3))
   }
 
+  test("repetition profile counts top token and bigram runs exactly") {
+    import spark.implicits._
+    val docs = Seq(
+      // toks: a a a a b → top token 4; bigrams: [a a, a a, a a, a b] →
+      // top bigram 3, dup = 4 - 2 distinct = 2; ratios trip both flags
+      (1L, "a a a a b"),
+      // 7 unique tokens → ratios 1/7 and 1/6 stay under both thresholds
+      (2L, "all seven tokens here are fully unique"),
+      (3L, "solo")) // 1 token → top ratio 1.0, degenerate doc flags
+      .toDF("doc_id", "text")
+    val out = TextOps.repetitionProfileOn(docs)
+      .select("doc_id", "n_tokens", "top_tok_count", "n_bigrams",
+        "dup_bigrams", "top_bigram_count", "flagged").collect()
+    assert(out.map(_.toSeq).toSeq === Seq(
+      Seq(1L, 5, 4, 4, 2, 3, true),
+      Seq(2L, 7, 1, 6, 0, 1, false),
+      Seq(3L, 1, 1, 0, 0, 0, true)))
+  }
+
+  test("semantic dedup flags a planted duplicate of its representative") {
+    import spark.implicits._
+    val base = Array.tabulate(64)(i => math.sin(i + 1).toFloat)
+    val dup = base.map(_ * 2.0f) // same direction → same bucket, cos 1.0
+    val far = base.map(-_) // opposite half-space → different bucket
+    val emb = Seq((0L, base), (1L, dup), (2L, far))
+      .toDF("vec_id", "embedding")
+    val out = SimilarityOps.semanticDedupOn(emb)
+      .select("vec_id", "rep_id", "is_dup").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+    assert(out(0L) === ((0L, false))) // representative, never a dup
+    assert(out(1L) === ((0L, true))) // planted dup collapses onto rep 0
+    assert(out(2L)._1 === 2L) // own bucket → its own representative
+    assert(out(2L)._2 === false)
+  }
+
   test("sketch stats track the exact aggregates within error bounds") {
     val rows = ops.EventOps.sketchStats(spark, sfDir).collect()
     assert(rows.nonEmpty)
