@@ -98,8 +98,22 @@ object Scratch {
             s"ambiguous prefix $n: ${many.map(_._1).mkString(", ")}"))
       }
     }
+    // force FULL evaluation of every output column (a bare count() lets
+    // Spark prune computed columns out of projection-only queries)
+    def force(d: DataFrame): Long = {
+      import org.apache.spark.sql.functions.{expr, xxhash64, struct}
+      d.select(xxhash64(struct(d.columns.map(d.col): _*)).as("h"))
+        .agg(expr("bit_xor(h)")).head()
+      d.count()
+    }
     val df = resolve(name)
     if (args.length > 1 && args(1) == "explain") df.explain("formatted")
+    else if (args.length > 1 && args(1) == "force") {
+      (name +: args.drop(2).toSeq).foreach { n =>
+        time(n)(force(resolve(n)))
+        time(s"$n-again")(force(resolve(n)))
+      }
+    }
     else if (args.length > 1 && args(1) == "dump") {
       df.write.mode("overwrite").parquet(s"/tmp/scratch_out/$name.parquet")
       println(s"[info] dumped $name")

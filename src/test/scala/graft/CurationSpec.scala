@@ -68,6 +68,37 @@ class CurationSpec extends SparkSpec {
     assert(out.toSeq === Seq(Row(1L, 1L, true), Row(2L, 0L, false)))
   }
 
+  test("aho-corasick kernel path equals the declarative contains path") {
+    // real corpus slice, both dispatch arms forced: acThreshold=0 sends
+    // every probe through the automaton, MaxValue keeps the contains loop
+    val docs = graft.Tables.t(spark, sfDir, "documents")
+    val bench = col("source") === "src9"
+    val declarative = CurationOps
+      .substringContaminationOn(docs, bench, acThreshold = Int.MaxValue)
+      .collect().toSeq
+    val kernel = CurationOps
+      .substringContaminationOn(docs, bench, acThreshold = 0)
+      .collect().toSeq
+    assert(kernel === declarative)
+    assert(declarative.nonEmpty)
+  }
+
+  test("aho-corasick matches mid-token and duplicate needles like contains") {
+    // mid-token occurrence: needle "he quick..." starts inside "the";
+    // duplicate needle strings keep one output row per probe id
+    val docs = Seq(
+      (1L, "bench", "he quick brown fox jumps over the lazy dog"),
+      (2L, "bench", "he quick brown fox jumps over the lazy dog"),
+      (3L, "train", "xthe quick brown fox jumps over the lazy dog"),
+      (4L, "train", "nothing shared here at all with anyone today"))
+      .toDF("doc_id", "source", "text")
+    val out = CurationOps
+      .substringContaminationOn(docs, col("source") === "bench",
+        acThreshold = 0)
+      .select("eval_id", "n_train_hits", "contaminated").collect()
+    assert(out.toSeq === Seq(Row(1L, 1L, true), Row(2L, 1L, true)))
+  }
+
   test("quantization round-trips within half a quantization step") {
     val embDf = Tables.t(spark, sfDir, "embeddings")
     // worst-case reconstruction error is (mx-mn)/254/2 per dimension; find
