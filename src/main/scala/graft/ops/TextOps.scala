@@ -298,6 +298,38 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Corpus vocabulary statistics — the inverted-index / IDF primitive: per
+    * token, document frequency (docs containing it), collection frequency
+    * (total occurrences), and corpus share; top-100 by df. The df table IS
+    * the posting-list length column of an inverted index, and the standard
+    * input to IDF weighting, stopword induction, and vocab pruning.
+    *
+    * Scale: two explode → hash-agg passes (cf over raw tokens, df over
+    * per-doc distinct tokens). Each aggregation partial-aggregates map-side,
+    * so the shuffle carries ~|vocab| rows per partition, not the corpus's
+    * token stream; the final top-100 is TakeOrderedAndProject (no global
+    * sort). A (doc_id, token) pair shuffle — the naive formulation of df —
+    * never happens.
+    */
+  def vocabStats(s: SparkSession, dir: String): DataFrame =
+    vocabStatsOn(docs(s, dir))
+
+  /** `docsDf` needs (doc_id, text). */
+  def vocabStatsOn(docsDf: DataFrame): DataFrame = {
+    val d = docsDf.withColumn("toks", tokens)
+    val total = d.agg(count(lit(1)).as("n_docs"))
+    val cf = d.select(explode(col("toks")).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("cf"))
+    val df = d.select(explode(array_distinct(col("toks"))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("df"))
+    df.join(cf, "token")
+      .crossJoin(broadcast(total))
+      .select(col("token"), col("df"), col("cf"),
+        round(col("df") * lit(100.0) / col("n_docs"), 4).as("df_pct"))
+      .orderBy(col("df").desc, col("token").asc)
+      .limit(100)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q31_token_stats" -> tokenStats,
     "q32_lang_profile" -> langProfile,
@@ -307,9 +339,23 @@ object TextOps {
     "q47_stratified_sample" -> stratifiedSample,
     "q48_quality_topk" -> qualityTopK,
     "q53_source_mix" -> sourceMix,
-    "q63_repetition_profile" -> repetitionProfile)
+    "q63_repetition_profile" -> repetitionProfile,
+    "q66_vocab_stats" -> vocabStats)
 
   val oracle: Map[String, String] = Map(
+    "q66_vocab_stats" ->
+      """WITH d AS (SELECT doc_id,
+        |  string_split(trim(text), ' ') AS toks FROM documents),
+        |n AS (SELECT count(*) AS n_docs FROM d),
+        |cf AS (SELECT tok AS token, count(*) AS cf
+        |  FROM (SELECT unnest(toks) AS tok FROM d) GROUP BY tok),
+        |df AS (SELECT tok AS token, count(*) AS df
+        |  FROM (SELECT unnest(list_distinct(toks)) AS tok FROM d)
+        |  GROUP BY tok)
+        |SELECT token, df.df, cf.cf,
+        |  round(df.df * CAST(100 AS DOUBLE) / n.n_docs, 4) AS df_pct
+        |FROM df JOIN cf USING (token) CROSS JOIN n
+        |ORDER BY df.df DESC, token ASC LIMIT 100""".stripMargin,
     "q63_repetition_profile" ->
       """WITH d AS (SELECT doc_id,
         |  string_split(trim(text), ' ') AS toks FROM documents),

@@ -56,6 +56,17 @@ class OpsSpec extends SparkSpec {
       Seq(3L, 1, 1, 0, 0, 0, true)))
   }
 
+  test("vocab stats separate document from collection frequency") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b a"), (2L, "b c")).toDF("doc_id", "text")
+    val out = TextOps.vocabStatsOn(docs)
+      .select("token", "df", "cf", "df_pct").collect()
+    assert(out.map(_.toSeq).toSeq === Seq(
+      Seq("b", 2L, 2L, 100.0), // in both docs
+      Seq("a", 1L, 2L, 50.0), // twice in one doc: cf 2, df 1
+      Seq("c", 1L, 1L, 50.0)))
+  }
+
   test("semantic dedup flags a planted duplicate of its representative") {
     import spark.implicits._
     val base = Array.tabulate(64)(i => math.sin(i + 1).toFloat)
