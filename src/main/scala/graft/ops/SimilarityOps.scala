@@ -356,6 +356,70 @@ object SimilarityOps {
       .orderBy("vec_id")
   }
 
+  /** Lloyd's k-means coarse-codebook builder — the trained-cluster path the
+    * IVF cells (q45) and semantic-dedup buckets (q64) document as
+    * "precomputed in production". Deterministic end to end, so a rebuilt
+    * codebook on any cluster layout is bit-identical: init picks the k
+    * vectors with the lowest arithmetic hash of vec_id (reproducible, no
+    * rand()), assignment breaks distance ties on the lower cluster index,
+    * and centroid updates are decimal-exact means (partition-order
+    * independent, the q43 discipline).
+    *
+    * Scale per iteration: the k×dim codebook rides into the plan as
+    * literals (broadcast by value), assignment is per-row arithmetic
+    * (k native vec_dot calls), and the update aggregation contracts
+    * map-side to ≤ k·dim partial rows per partition — the corpus never
+    * shuffles. Driver holds only the k×dim codebook between iterations
+    * (same bounded footprint as the IVF probe list).
+    */
+  def kmeansCentroids(embDf: DataFrame, k: Int = 8,
+      iters: Int = 5): Array[Array[Double]] = {
+    graft.functions.GraftFunctions.ensureRegistered(embDf.sparkSession)
+    var centroids: Array[Array[Double]] = embDf
+      .orderBy(((col("vec_id") * 48271L + 11L) % 1000000007L).asc,
+        col("vec_id").asc)
+      .limit(k)
+      .select(col("embedding").cast("array<double>"))
+      .collect().map(_.getSeq[Double](0).toArray)
+    var it = 0
+    while (it < iters) {
+      val upd = assignClusters(embDf, centroids)
+        .select(col("cluster"), posexplode(col("embedding")).as(Seq("pos", "v")))
+        .groupBy("cluster", "pos")
+        .agg(sum(col("v").cast("decimal(38,10)")).as("s"),
+          count(lit(1)).as("n"))
+        .collect()
+      val next = centroids.map(_.clone()) // empty cluster keeps its centroid
+      upd.foreach { r =>
+        next(r.getInt(0))(r.getInt(1)) =
+          (r.getDecimal(2).doubleValue() / r.getLong(3))
+      }
+      centroids = next
+      it += 1
+    }
+    centroids
+  }
+
+  /** Nearest-centroid assignment for a literal codebook: squared-L2 argmin
+    * entirely in per-row arithmetic (|x|² shared across the k distances),
+    * deterministic tie-break on the lower cluster index via struct
+    * `array_min`. Adds a `cluster` column.
+    */
+  def assignClusters(embDf: DataFrame,
+      centroids: Array[Array[Double]]): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(embDf.sparkSession)
+    val x2 = dot(col("embedding"), col("embedding"))
+    val scored = centroids.zipWithIndex.map { case (c, i) =>
+      val c2 = c.map(v => v * v).sum
+      struct(
+        (x2 - lit(2.0) * dot(col("embedding"), typedLit(c.toSeq)) + lit(c2))
+          .as("d"),
+        lit(i).as("c"))
+    }
+    embDf.withColumn("cluster",
+      array_min(array(scored: _*)).getField("c"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q40_ann_topk" -> annTopK,
     "q41_cosine_top_pairs" -> cosineTopPairs,

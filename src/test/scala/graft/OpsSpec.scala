@@ -83,6 +83,30 @@ class OpsSpec extends SparkSpec {
     assert(out(2L)._2 === false)
   }
 
+  test("k-means recovers planted clusters with a deterministic codebook") {
+    import spark.implicits._
+    // 3 planted clusters on orthogonal axes, small deterministic jitter
+    val emb = (0 until 30).map { i =>
+      val g = i % 3
+      val v = Array.fill(64)(0.0f)
+      v(g * 5) = 1.0f
+      v(50 + g) = (0.05 * math.sin(i.toDouble)).toFloat
+      (i.toLong, v)
+    }.toDF("vec_id", "embedding")
+    val codebook = SimilarityOps.kmeansCentroids(emb, k = 3, iters = 4)
+    val assigned = SimilarityOps.assignClusters(emb, codebook)
+      .select("vec_id", "cluster").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    // every planted group lands in one cluster, and the groups separate
+    val byGroup = (0 until 3).map(g =>
+      (0 until 30).filter(_ % 3 == g).map(i => assigned(i.toLong)).distinct)
+    assert(byGroup.forall(_.size === 1), s"split cluster: $byGroup")
+    assert(byGroup.flatten.distinct.size === 3, s"merged clusters: $byGroup")
+    // rebuild is bit-identical (determinism contract)
+    assert(SimilarityOps.kmeansCentroids(emb, k = 3, iters = 4)
+      .map(_.toSeq) === codebook.map(_.toSeq))
+  }
+
   test("sketch stats track the exact aggregates within error bounds") {
     val rows = ops.EventOps.sketchStats(spark, sfDir).collect()
     assert(rows.nonEmpty)
