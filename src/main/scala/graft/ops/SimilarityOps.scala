@@ -336,14 +336,18 @@ object SimilarityOps {
     semanticDedupOn(emb(s, dir))
 
   /** `embDf` needs (vec_id, embedding); `threshold` is corpus-dependent
-    * (the q64 registration pins 0.995 for the oracle).
+    * (the q64 registration pins 0.995 for the oracle). `bucketCol` is the
+    * cluster assignment — default: the hyperplane-signature high byte; with
+    * a trained codebook pass
+    * `assignClusters(embDf, codebook)` and `col("cluster")` instead (same
+    * plan shape: reps contract per bucket and broadcast).
     */
-  def semanticDedupOn(embDf: DataFrame,
-      threshold: Double = 0.995): DataFrame = {
+  def semanticDedupOn(embDf: DataFrame, threshold: Double = 0.995,
+      bucketCol: Column =
+        shiftrightunsigned(signature(col("embedding")), 8)): DataFrame = {
     graft.functions.GraftFunctions.ensureRegistered(embDf.sparkSession)
-    val e = embDf.select(col("vec_id"), col("embedding"))
-      .withColumn("sig",
-        shiftrightunsigned(signature(col("embedding")), 8))
+    val e = embDf.select(col("vec_id"), col("embedding"),
+      bucketCol.cast("long").as("sig"))
     val reps = e.groupBy("sig").agg(min("vec_id").as("rep_id"))
     val repEmb = broadcast(
       e.select(col("vec_id").as("rep_id"), col("embedding").as("rep_emb"))

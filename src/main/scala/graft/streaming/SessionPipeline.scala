@@ -203,4 +203,37 @@ object SessionPipeline {
           }
       }
   }
+
+  /** Declarative twin via the built-in `session_window` aggregate: Spark's
+    * streaming session-window state store does the merging, closing, and
+    * eviction that [[sessionizeWithTimeout]] hand-rolls — and it handles
+    * out-of-order events within the watermark for free. Boundary semantics
+    * match the custom operator exactly (probed: an event at precisely
+    * lastEvent + gap MERGES; gap-exceeding splits — i.e. `<= gap` extends,
+    * like `foldEvents`), with `end = lastEvent + gap` instead of the last
+    * event time. What it CANNOT express is per-user session NUMBERING
+    * (session_seq) — the reason the custom-state operators exist.
+    *
+    * Also runs in batch (same aggregate, no watermark needed), where
+    * StreamingSpec pins it row-for-row against the q13 window definition.
+    */
+  def sessionizeDeclarative(events: Dataset[SessionEvent],
+      watermarkDelay: String = "10 minutes",
+      streaming: Boolean = true): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    val withTs = events.toDF()
+      .withColumn("event_ts", timestamp_micros(col("tsMicros")))
+    val src =
+      if (streaming) withTs.withWatermark("event_ts", watermarkDelay)
+      else withTs
+    src
+      .groupBy(col("user_id"),
+        session_window(col("event_ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n_events"),
+        graft.Tables.dsum(col("value")).as("total_value"))
+      .select(col("user_id"),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n_events"), col("total_value"))
+  }
 }

@@ -105,6 +105,16 @@ class OpsSpec extends SparkSpec {
     // rebuild is bit-identical (determinism contract)
     assert(SimilarityOps.kmeansCentroids(emb, k = 3, iters = 4)
       .map(_.toSeq) === codebook.map(_.toSeq))
+    // the trained codebook drives semantic dedup: within each k-means
+    // bucket everything near-dups onto the lowest-id representative
+    val dedup = SimilarityOps.semanticDedupOn(
+      SimilarityOps.assignClusters(emb, codebook),
+      threshold = 0.99, bucketCol = col("cluster"))
+      .select("vec_id", "is_dup").collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    // vec 0/1/2 are the min ids of their planted groups → representatives
+    assert(!dedup(0L) && !dedup(1L) && !dedup(2L))
+    assert((3L until 30L).forall(dedup(_)), "jittered copies must collapse")
   }
 
   test("sketch stats track the exact aggregates within error bounds") {

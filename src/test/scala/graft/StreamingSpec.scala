@@ -204,6 +204,64 @@ class StreamingSpec extends SparkSpec {
       ClosedSession(2, 1, 50 * M, 50 * M, 1, 4.0)))
   }
 
+  test("declarative session_window equals the q13 window definition in batch") {
+    import graft.streaming.{SessionEvent, SessionPipeline}
+    val ev = graft.Tables.t(spark, sfDir, "events")
+    val asSessions = ev
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("tsMicros"), col("value"))
+      .as[SessionEvent]
+    val declarative = SessionPipeline
+      .sessionizeDeclarative(asSessions, streaming = false)
+      .select(col("user_id"), unix_micros(col("session_start")).as("s"),
+        // built-in end = last event + gap; shift back to compare
+        (unix_micros(col("session_end")) - SessionPipeline.GapMicros).as("e"),
+        col("n_events"), col("total_value"))
+      .collect().map(_.toSeq).toSet
+    val batch = ops.EventOps.userSessionsOn(ev)
+      .select(col("user_id"), unix_micros(col("session_start")).as("s"),
+        unix_micros(col("session_end")).as("e"),
+        col("n_events"), col("total_value"))
+      .collect().map(_.toSeq).toSet
+    assert(declarative === batch)
+    assert(batch.nonEmpty)
+  }
+
+  test("streaming session_window emits watermark-closed sessions") {
+    import graft.streaming.{SessionEvent, SessionPipeline}
+    implicit val sqlCtx = spark.sqlContext
+    val M = 1000000L
+    def ev(u: Long, id: Long, sec: Long, v: Double) =
+      SessionEvent(u, id, sec * M, v)
+    val input = MemoryStream[SessionEvent]
+    val q = SessionPipeline
+      .sessionizeDeclarative(input.toDS(), watermarkDelay = "0 seconds")
+      .writeStream.format("memory").queryName("sess_decl")
+      .outputMode("append").start()
+    input.addData(ev(1, 1, 0, 1.0), ev(1, 2, 100, 2.0), ev(2, 5, 50, 4.0))
+    q.processAllAvailable()
+    input.addData(ev(1, 3, 1901, 0.75), ev(1, 4, 2001, 0.75),
+      ev(1, 9, 999999, 0.0), ev(2, 9, 999999, 0.0))
+    q.processAllAvailable()
+    // third batch: watermark (set by 999999) finalizes the real sessions
+    input.addData(ev(3, 99, 1999999, 0.0))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("sess_decl")
+      .select(col("user_id"), unix_micros(col("session_start")).as("s"),
+        unix_micros(col("session_end")).as("e"), col("n_events"),
+        col("total_value"))
+      .collect().map(_.toSeq).toSet
+    val Gap = SessionPipeline.GapMicros
+    assert(got === Set(
+      Seq(1L, 0L, 100 * M + Gap, 2L, 3.0),
+      Seq(1L, 1901 * M, 2001 * M + Gap, 2L, 1.5),
+      Seq(2L, 50 * M, 50 * M + Gap, 1L, 4.0),
+      // the flush batch's watermark also closes both 999999 sessions
+      Seq(1L, 999999 * M, 999999 * M + Gap, 1L, 0.0),
+      Seq(2L, 999999 * M, 999999 * M + Gap, 1L, 0.0)))
+  }
+
   test("file-source backpressure bounds each micro-batch of a pre-loaded dir") {
     import graft.streaming.TradeSource
     val drop = tmpDir("drop")
