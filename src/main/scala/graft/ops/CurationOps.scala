@@ -155,6 +155,92 @@ object CurationOps {
       .orderBy("eval_id")
   }
 
+  // ---- q67: cross-source n-gram overlap matrix ----------------------------
+
+  /** Cross-source 5-gram overlap matrix — the provenance-dedup question
+    * ("which crawls/sources repeat each other?") that decides whether two
+    * sources should be deduplicated jointly or kept independent. Per source
+    * pair: distinct-5-gram set sizes, shared count, and Jaccard.
+    *
+    * Scale (three designs measured at the 100× corpus, identical rows):
+    * a self-join on the distinct (source, shingle) table pushes every
+    * shared pair through a join exchange — 121 s; collect_set of sources
+    * per shingle halves that (55 s) but still shuffles 25M ~100-byte
+    * shingle STRINGS into an object-hash aggregate. The shipped plan keys
+    * everything on integers: shingles become packed double mod-p hashes
+    * (the engine-portable q38 scheme — a false merge needs both 30-bit
+    * hashes to collide), sources become BITS of a ≤62-bit mask, and the
+    * corpus does ONE codegen'd `bit_or` long aggregation; per-mask counts
+    * then contract to ≤ 2^S tiny rows whose in-row bit-pair expansion
+    * yields the matrix — **9 s** (remaining cost is the per-character token
+    * fingerprinting itself). The source→bit table is a bounded
+    * optimizer-style probe (sources are finite by design, like q37's
+    * vocab probe).
+    */
+  def sourceOverlap(s: SparkSession, dir: String): DataFrame =
+    sourceOverlapOn(docs(s, dir))
+
+  /** `docsDf` needs (source, text). Requires ≤ 62 distinct sources (chunk
+    * the mask for more).
+    */
+  def sourceOverlapOn(docsDf: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(docsDf.sparkSession)
+    val sources = docsDf.select("source").distinct()
+      .collect().map(_.getString(0)).sorted
+    require(sources.length <= 62,
+      s"source bitmask supports <= 62 sources, got ${sources.length}")
+    // one 5-token polynomial fold per base over the token fingerprints
+    def fold(tfs: Column, i: Column): Column =
+      (1 until 5).foldLeft(element_at(tfs, i): Column)((acc, o) =>
+        (acc * lit(DedupOps.FB) + element_at(tfs, i + o)) % lit(DedupOps.P))
+    val bitCol = sources.zipWithIndex.tail.foldLeft(
+      when(col("source") === sources.head, lit(1L))) {
+      case (acc, (s2, i)) => acc.when(col("source") === s2, lit(1L << i))
+    }
+    val masks = docsDf
+      .withColumn("toks", toks)
+      .withColumn("n", size(col("toks")))
+      .filter(col("n") >= 5)
+      .withColumn("tf31",
+        transform(col("toks"), t => DedupOps.tokFp(t, 31L, 987654321L)))
+      .withColumn("tf37",
+        transform(col("toks"), t => DedupOps.tokFp(t, 37L, 123456789L)))
+      .select(explode(array_distinct(
+        transform(sequence(lit(1), col("n") - 4), i =>
+          fold(col("tf31"), i) * lit(2147483648L) + fold(col("tf37"), i))))
+        .as("h"), bitCol.as("bit"))
+      .groupBy("h").agg(expr("bit_or(bit)").as("mask"))
+    val combos = masks.groupBy("mask").agg(count(lit(1)).as("cnt"))
+    // bit i set → source index i (plan-time literals; S is known and tiny)
+    val bitsArr = filter(
+      array(sources.indices.map(i =>
+        when(col("mask").bitwiseAND(lit(1L << i)) =!= 0L, lit(i))
+          .otherwise(lit(-1))): _*),
+      x => x =!= -1)
+    val srcName = (i: Column) => element_at(typedLit(sources.toSeq), i + 1)
+    val sizes = combos
+      .select(explode(bitsArr).as("idx"), col("cnt"))
+      .groupBy("idx").agg(sum("cnt").as("n"))
+    val shared = combos
+      .select(bitsArr.as("bs"), col("cnt"))
+      .select(explode(flatten(transform(col("bs"), (a, i) =>
+        transform(
+          slice(col("bs"), i + lit(2), size(col("bs")) - i - lit(1)),
+          b => struct(a.as("ia"), b.as("ib")))))).as("p"), col("cnt"))
+      .groupBy(col("p.ia").as("ia"), col("p.ib").as("ib"))
+      .agg(sum("cnt").as("n_shared"))
+    shared
+      .join(broadcast(sizes.select(col("idx").as("ia"), col("n").as("n_a"))),
+        "ia")
+      .join(broadcast(sizes.select(col("idx").as("ib"), col("n").as("n_b"))),
+        "ib")
+      .select(srcName(col("ia")).as("src_a"), srcName(col("ib")).as("src_b"),
+        col("n_a"), col("n_b"), col("n_shared"),
+        round(col("n_shared")
+          / (col("n_a") + col("n_b") - col("n_shared")), 6).as("jaccard"))
+      .orderBy("src_a", "src_b")
+  }
+
   // ---- q57: embedding scalar quantization ---------------------------------
 
   private val Dim = SimilarityOps.Dim
@@ -427,7 +513,8 @@ object CurationOps {
     "q60_dedup_canonical" -> dedupCanonical,
     "q61_token_packing" -> tokenPacking,
     "q62_delta_dedup" -> deltaDedup,
-    "q65_substring_contamination" -> substringContamination)
+    "q65_substring_contamination" -> substringContamination,
+    "q67_source_overlap" -> sourceOverlap)
 
   // single line: the enclosing oracle string's stripMargin would otherwise
   // truncate a continuation line starting with the `||` concat operator
@@ -435,7 +522,52 @@ object CurationOps {
     "list_transform(generate_series(1, len(toks) - 4), i -> " +
       (0 to 4).map(o => s"toks[i+$o]").mkString(" || ' ' || ") + ")"
 
+  /** Full SQL replay of the q67 pipeline: token fingerprints (squaring
+    * finish, as tokFp) → packed double mod-p 5-gram hashes → source bitmask
+    * `bit_or` per hash → per-mask counts → bit-pair expansion. Bit indexes
+    * come from the same sorted-distinct-source order the Spark probe uses.
+    */
+  private def sqlQ67: String = {
+    val P = DedupOps.P
+    val FB = DedupOps.FB
+    def fp(base: Long, seed: Long): String =
+      s"list_transform(list_transform(toks, t -> " +
+        s"${DedupOps.sqlTokFpRaw("t", base, seed)}), " +
+        s"a -> (a * a + $base) % $P)"
+    def fold(arr: String): String =
+      (1 until 5).foldLeft(s"$arr[i]")((acc, o) =>
+        s"(($acc) * $FB + $arr[i+$o]) % $P")
+    s"""WITH d AS (SELECT doc_id, source,
+       |  string_split(trim(text), ' ') AS toks FROM documents),
+       |f AS (SELECT doc_id, source, len(toks) AS n,
+       |  ${fp(31, 987654321L)} AS f31,
+       |  ${fp(37, 123456789L)} AS f37
+       |  FROM d WHERE len(toks) >= 5),
+       |hs AS (SELECT source, unnest(list_distinct(
+       |    list_transform(generate_series(1, n - 4), i ->
+       |      (${fold("f31")}) * 2147483648 + (${fold("f37")})))) AS h
+       |  FROM f),
+       |idx AS (SELECT source, row_number() OVER (ORDER BY source) - 1 AS i
+       |  FROM (SELECT DISTINCT source FROM documents)),
+       |b AS (SELECT h, bit_or(CAST(1 AS BIGINT) << idx.i) AS mask
+       |  FROM hs JOIN idx USING (source) GROUP BY h),
+       |c AS (SELECT mask, count(*) AS cnt FROM b GROUP BY mask),
+       |sz AS (SELECT i.source, CAST(sum(c.cnt) AS BIGINT) AS n
+       |  FROM c JOIN idx i ON (c.mask >> i.i) & 1 = 1 GROUP BY i.source),
+       |p AS (SELECT a.source AS src_a, b2.source AS src_b,
+       |    CAST(sum(c.cnt) AS BIGINT) AS n_shared
+       |  FROM c JOIN idx a ON (c.mask >> a.i) & 1 = 1
+       |  JOIN idx b2 ON (c.mask >> b2.i) & 1 = 1 AND a.i < b2.i
+       |  GROUP BY 1, 2)
+       |SELECT src_a, src_b, sa.n AS n_a, sb.n AS n_b, n_shared,
+       |  round(n_shared / (sa.n + sb.n - n_shared), 6) AS jaccard
+       |FROM p JOIN sz sa ON p.src_a = sa.source
+       |  JOIN sz sb ON p.src_b = sb.source
+       |ORDER BY src_a, src_b""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
+    "q67_source_overlap" -> sqlQ67,
     "q65_substring_contamination" ->
       """WITH d AS (SELECT doc_id, source,
         |  regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm

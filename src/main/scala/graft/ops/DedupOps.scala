@@ -192,8 +192,8 @@ object DedupOps {
   // signature width (64 minhash values) lives in the kernel:
   // graft.functions.MinHashBandKeys.NumHashes
   private val Bands = 16
-  private val P = graft.functions.MinHashBandKeys.Mod
-  private val FB = graft.functions.MinHashBandKeys.FoldBase
+  private[ops] val P = graft.functions.MinHashBandKeys.Mod
+  private[ops] val FB = graft.functions.MinHashBandKeys.FoldBase
 
   /** Engine-portable token fingerprint: polynomial rolling hash over the
     * token's Unicode code points mod 1e9+7 (the q34 scheme) — every product
@@ -210,7 +210,7 @@ object DedupOps {
     *    squaring turns an additive delta into 2·fp·Δ mod p, pseudo-random.
     *    (Without these, q39's near-pair count inflated ~20×/~4×.)
     */
-  private def tokFp(t: Column, base: Long, seed: Long): Column =
+  private[ops] def tokFp(t: Column, base: Long, seed: Long): Column =
     aggregate(call_function("graft_code_points", t), lit(seed),
       (acc, c) => (acc * lit(base) + c) % lit(P),
       a => (a * a + lit(base)) % lit(P))
@@ -519,7 +519,7 @@ object DedupOps {
   /** Raw (un-mixed) rolling fingerprint; callers apply the squaring finish
     * `(x*x + base) % p` via a second list_transform so the reduce runs once.
     */
-  private def sqlTokFpRaw(t: String, base: Long, seed: Long): String =
+  private[ops] def sqlTokFpRaw(t: String, base: Long, seed: Long): String =
     s"""list_reduce(list_prepend(CAST($seed AS BIGINT),
        |      list_transform(generate_series(1, length($t)),
        |        i -> CAST(unicode($t[i]) AS BIGINT))),

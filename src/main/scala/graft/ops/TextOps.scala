@@ -341,6 +341,53 @@ object TextOps {
       .limit(100)
   }
 
+  /** Approximate heavy-hitters vocabulary (Misra–Gries 1982) — the
+    * bounded-memory twin of q66's exact cf table. Each partition keeps at
+    * most `capacity` counters over its token stream (decrement-all when
+    * full), partial summaries merge by token sum. Guarantee (survives the
+    * merge): every token with true collection frequency > N/capacity is
+    * present, with its estimate underestimating by at most N/capacity and
+    * never overestimating.
+    *
+    * Why it exists: q66's exact shuffle carries ~|vocab| rows — fine for a
+    * word vocabulary, unbounded for URL / n-gram / id-like token spaces at
+    * 100 TB. This path shuffles ≤ capacity rows per partition no matter
+    * what the data does, the same exact→sketch handoff as q14→q15's
+    * percentile sketch. OpsSpec pins exactness when capacity exceeds the
+    * vocabulary and the survival guarantee under heavy skew.
+    */
+  def vocabHeavyHittersOn(docsDf: DataFrame, capacity: Int = 4096,
+      k: Int = 100): DataFrame = {
+    val session = docsDf.sparkSession
+    import session.implicits._
+    docsDf.select(col("text")).as[String]
+      .mapPartitions { it =>
+        val counts = scala.collection.mutable.HashMap.empty[String, Long]
+        it.foreach { text =>
+          val toks = text.trim.split(" ", -1)
+          var i = 0
+          while (i < toks.length) {
+            val t = toks(i)
+            counts.get(t) match {
+              case Some(c) => counts.update(t, c + 1)
+              case None if counts.size < capacity => counts.update(t, 1L)
+              case None => // decrement-all, dropping zeroed counters
+                counts.keysIterator.toArray.foreach { key =>
+                  val c = counts(key) - 1
+                  if (c == 0) counts.remove(key) else counts.update(key, c)
+                }
+            }
+            i += 1
+          }
+        }
+        counts.iterator
+      }
+      .toDF("token", "cf_est")
+      .groupBy("token").agg(sum("cf_est").as("cf_est"))
+      .orderBy(col("cf_est").desc, col("token").asc)
+      .limit(k)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q31_token_stats" -> tokenStats,
     "q32_lang_profile" -> langProfile,

@@ -99,6 +99,18 @@ class CurationSpec extends SparkSpec {
     assert(out.toSeq === Seq(Row(1L, 1L, true), Row(2L, 1L, true)))
   }
 
+  test("source overlap counts shared distinct 5-grams per pair") {
+    val docs = Seq(
+      ("sA", "a b c d e f"), // 5-grams: {a b c d e, b c d e f}
+      ("sB", "a b c d e x"), // shares exactly "a b c d e" with sA
+      ("sB", "a b c d e x"), // duplicate doc: distinct sets unchanged
+      ("sC", "q r s t u v")) // disjoint → no pair row emitted
+      .toDF("source", "text")
+    val out = CurationOps.sourceOverlapOn(docs).collect()
+    assert(out.map(_.toSeq).toSeq === Seq(
+      Seq("sA", "sB", 2L, 2L, 1L, 0.333333)))
+  }
+
   test("quantization round-trips within half a quantization step") {
     val embDf = Tables.t(spark, sfDir, "embeddings")
     // worst-case reconstruction error is (mx-mn)/254/2 per dimension; find

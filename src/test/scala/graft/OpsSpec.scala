@@ -67,6 +67,30 @@ class OpsSpec extends SparkSpec {
       Seq("c", 1L, 1L, 50.0)))
   }
 
+  test("misra-gries vocab is exact under capacity and keeps heavy hitters") {
+    import spark.implicits._
+    // 40 docs: "hh" dominates (2 per doc), fillers mostly unique
+    val docs = (0 until 40)
+      .map(i => (i.toLong, s"hh f$i hh f${i % 7} x$i"))
+      .toDF("doc_id", "text")
+    val exact = TextOps.vocabStatsOn(docs)
+      .select("token", "cf").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // capacity above the vocabulary size → no decrements, counts exact
+    val wide = TextOps.vocabHeavyHittersOn(docs, capacity = 1000)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(wide === exact)
+    // tight capacity: N = 200 tokens, cap 8 → anything over 25 survives;
+    // estimates never exceed the truth
+    val tight = TextOps.vocabHeavyHittersOn(docs, capacity = 8)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val n = exact.values.sum
+    exact.filter(_._2 > n / 8).keys.foreach { t =>
+      assert(tight.contains(t), s"heavy hitter $t evicted")
+    }
+    tight.foreach { case (t, c) => assert(c <= exact(t), s"$t overestimated") }
+  }
+
   test("semantic dedup flags a planted duplicate of its representative") {
     import spark.implicits._
     val base = Array.tabulate(64)(i => math.sin(i + 1).toFloat)
