@@ -101,10 +101,10 @@ object Scratch {
     // force FULL evaluation of every output column (a bare count() lets
     // Spark prune computed columns out of projection-only queries)
     def force(d: DataFrame): Long = {
-      import org.apache.spark.sql.functions.{expr, xxhash64, struct}
+      import org.apache.spark.sql.functions.{count, expr, lit, struct, xxhash64}
       d.select(xxhash64(struct(d.columns.map(d.col): _*)).as("h"))
-        .agg(expr("bit_xor(h)")).head()
-      d.count()
+        .agg(count(lit(1)).as("n"), expr("bit_xor(h)").as("x"))
+        .head().getLong(0)
     }
     val df = resolve(name)
     if (args.length > 1 && args(1) == "explain") df.explain("formatted")

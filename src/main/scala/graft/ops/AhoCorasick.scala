@@ -6,7 +6,7 @@ import scala.collection.mutable
   * substring-containment decontamination (q65): one automaton pass per
   * document costs O(|doc| + matches) regardless of the needle count, where
   * the naive broadcast-contains loop costs O(|needles| · |doc|). Measured at
-  * the 100× corpus (500k docs × 25k needles): 227 s naive → ~3 s automaton.
+  * the 100× corpus (500k docs × 25k needles): ~110 s naive → ~1 s automaton.
   *
   * Built per partition from the broadcast needle array (never serialized);
   * goto edges are open-addressed in a per-node char→child map, fail links

@@ -93,7 +93,7 @@ object CurationOps {
     * it, ONE Aho–Corasick automaton pass per document (built per partition
     * from the broadcast needle array), O(|doc| + matches) per document
     * instead of O(|needles|·|doc|) — measured at the 100× corpus
-    * (500k docs × 25k needles): 227 s naive → ~3 s automaton, identical
+    * (500k docs × 25k needles): ~110 s naive → ~1 s automaton, identical
     * output. The probe-side collect is the bounded benchmark slice (the
     * same rows the declarative path broadcasts).
     */
@@ -164,16 +164,16 @@ object CurationOps {
     *
     * Scale (three designs measured at the 100× corpus, identical rows):
     * a self-join on the distinct (source, shingle) table pushes every
-    * shared pair through a join exchange — 121 s; collect_set of sources
-    * per shingle halves that (55 s) but still shuffles 25M ~100-byte
+    * shared pair through a join exchange — ~60 s; collect_set of sources
+    * per shingle halves that (~28 s) but still shuffles 25M ~100-byte
     * shingle STRINGS into an object-hash aggregate. The shipped plan keys
     * everything on integers: shingles become packed double mod-p hashes
     * (the engine-portable q38 scheme — a false merge needs both 30-bit
     * hashes to collide), sources become BITS of a ≤62-bit mask, and the
     * corpus does ONE codegen'd `bit_or` long aggregation; per-mask counts
     * then contract to ≤ 2^S tiny rows whose in-row bit-pair expansion
-    * yields the matrix — **9 s** (remaining cost is the per-character token
-    * fingerprinting itself). The source→bit table is a bounded
+    * yields the matrix — **5.4 s** (remaining cost is the per-character
+    * token fingerprinting itself). The source→bit table is a bounded
     * optimizer-style probe (sources are finite by design, like q37's
     * vocab probe).
     */

@@ -244,7 +244,36 @@ object RelationalOps {
         |ORDER BY r_name ASC NULLS FIRST, n_name ASC NULLS FIRST""".stripMargin)
   }
 
+  /** TPC-H Q17 analog — revenue in "small" orders: line items whose
+    * quantity is below 20% of their part's average order quantity, rolled
+    * up per brand. The textbook correlated-aggregate query, decorrelated
+    * the Spark-first way: per-part averages are ONE pre-aggregation of the
+    * fact table (map-side partials contract it to ~|part| rows) joined back
+    * on l_partkey — a correlated subquery would rescan lineitem per part,
+    * and a window-avg formulation would shuffle every line item into a
+    * per-part sort instead of aggregating before the join. Threshold math
+    * rides the decimal-exact davg, so the DuckDB twin agrees bit-for-bit.
+    */
+  def smallQuantityRevenue(s: SparkSession, dir: String): DataFrame =
+    smallQuantityRevenueOn(t(s, dir, "lineitem"), t(s, dir, "part"))
+
+  def smallQuantityRevenueOn(li: DataFrame, part: DataFrame): DataFrame = {
+    val avgq = li.groupBy("l_partkey")
+      .agg(davg(col("l_quantity")).as("avg_qty"))
+    li.join(avgq, "l_partkey")
+      .filter(col("l_quantity") < lit(0.2) * col("avg_qty"))
+      .join(broadcast(part.select("p_partkey", "p_brand")),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy("p_brand")
+      .agg(
+        countDistinct(col("l_partkey")).as("n_parts"),
+        count(lit(1)).as("n_small_lines"),
+        dsum(col("l_extendedprice")).as("lost_revenue"))
+      .orderBy("p_brand")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q68_small_quantity_revenue" -> smallQuantityRevenue,
     "q19_region_rollup" -> regionRollup,
     "q20_pricing_summary" -> pricingSummary,
     "q21_top_customer_revenue" -> topCustomerRevenue,
@@ -261,6 +290,18 @@ object RelationalOps {
   private val disc = "l_extendedprice * (1.0 - l_discount)"
 
   val oracle: Map[String, String] = Map(
+    "q68_small_quantity_revenue" ->
+      s"""WITH a AS (SELECT l_partkey,
+         |  ${sqlDavg("l_quantity")} AS avg_qty
+         |  FROM lineitem GROUP BY l_partkey)
+         |SELECT p.p_brand AS p_brand,
+         |  count(DISTINCT l.l_partkey) AS n_parts,
+         |  count(*) AS n_small_lines,
+         |  ${sqlDsum("l_extendedprice")} AS lost_revenue
+         |FROM lineitem l JOIN a USING (l_partkey)
+         |JOIN part p ON l.l_partkey = p.p_partkey
+         |WHERE l.l_quantity < 0.2e0 * a.avg_qty
+         |GROUP BY p.p_brand ORDER BY p_brand""".stripMargin,
     "q19_region_rollup" ->
       """SELECT r_name, n_name, count(*) AS n_customers,
         |  CAST(round(sum(CAST(c_acctbal AS DECIMAL(38,10))), 2) AS DOUBLE)

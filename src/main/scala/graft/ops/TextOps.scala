@@ -268,7 +268,7 @@ object TextOps {
   def repetitionProfileOn(docsDf: DataFrame): DataFrame = {
     // count of the most frequent element = longest run in the sorted array,
     // via a single fold — O(n log n) per doc vs O(distinct·n) for the naive
-    // nested filter-count (measured 9.1s → 4.0s warm for the full profile
+    // nested filter-count (measured 6.4s → 2.9s warm for the full profile
     // at the 100× corpus; the DuckDB oracle keeps the nested-lambda form,
     // values are identical). Run starts at 0, so the "" init can never
     // overcount: the first element always begins run 1. Empty array → 0.
