@@ -139,15 +139,67 @@ object MultimodalOps {
       .orderBy("doc_id", "frame_idx")
   }
 
+  /** Cross-modality reconciliation report — the feature-store drift check a
+    * multimodal pipeline runs before training: which documents have an
+    * embedding, which embeddings have a document, per stratum. Two
+    * left-join coverage counts, unioned with a `side` discriminator (the
+    * testdata is fully covered docs-side at sf0.01 and embedding-heavy at
+    * sf0.1, so both directions carry signal).
+    *
+    * Scale: each direction is one id-keyed equi-join whose aggregation
+    * contracts map-side to |sources| / |labels| rows; at production scale
+    * the id join is where bucketing both tables by id
+    * ([[ScaleOps.writeBucketed]]) removes the exchanges entirely.
+    */
+  def modalityCoverage(s: SparkSession, dir: String): DataFrame =
+    modalityCoverageOn(docs(s, dir), Tables.t(s, dir, "embeddings"))
+
+  /** `docsDf` needs (doc_id, source); `embDf` needs (vec_id, label). */
+  def modalityCoverageOn(docsDf: DataFrame, embDf: DataFrame): DataFrame = {
+    def cover(left: DataFrame, leftKey: String, right: DataFrame,
+        rightKey: String, keyCol: org.apache.spark.sql.Column,
+        side: String): DataFrame =
+      left
+        .join(right.select(col(rightKey).as(leftKey), lit(1).as("m")),
+          Seq(leftKey), "left")
+        .groupBy(keyCol.cast("string").as("key"))
+        .agg(count(lit(1)).as("n_rows"), count(col("m")).as("n_matched"))
+        .select(lit(side).as("side"), col("key"), col("n_rows"),
+          col("n_matched"),
+          round(col("n_matched") * lit(100.0) / col("n_rows"), 2).as("pct"))
+    cover(docsDf.select("doc_id", "source"), "doc_id",
+      embDf, "vec_id", col("source"), "docs_by_source")
+      .unionAll(cover(embDf.select("vec_id", "label"), "vec_id",
+        docsDf, "doc_id", col("label"), "vecs_by_label"))
+      .orderBy("side", "key")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q50_media_meta" -> mediaMeta,
     "q51_media_features" -> mediaFeatures,
-    "q52_frame_sample" -> frameSample)
+    "q52_frame_sample" -> frameSample,
+    "q69_modality_coverage" -> modalityCoverage)
 
   /** q51 omitted: the stub decode kernel runs in JVM code the oracle cannot
     * reproduce — rows-only check + ScalaTest over literal payloads.
     */
   val oracle: Map[String, String] = Map(
+    "q69_modality_coverage" ->
+      """WITH ds AS (SELECT d.source AS key, count(*) AS n_rows,
+        |  count(e.vec_id) AS n_matched
+        |  FROM documents d LEFT JOIN embeddings e ON d.doc_id = e.vec_id
+        |  GROUP BY 1),
+        |vs AS (SELECT CAST(e.label AS VARCHAR) AS key, count(*) AS n_rows,
+        |  count(d.doc_id) AS n_matched
+        |  FROM embeddings e LEFT JOIN documents d ON e.vec_id = d.doc_id
+        |  GROUP BY 1)
+        |SELECT * FROM (
+        |  SELECT 'docs_by_source' AS side, key, n_rows, n_matched,
+        |    round(n_matched * 100.0e0 / n_rows, 2) AS pct FROM ds
+        |  UNION ALL
+        |  SELECT 'vecs_by_label', key, n_rows, n_matched,
+        |    round(n_matched * 100.0e0 / n_rows, 2) FROM vs)
+        |ORDER BY side, key""".stripMargin,
     "q50_media_meta" ->
       """SELECT doc_id,
         |  (['image', 'audio', 'video'])[CAST(doc_id % 3 + 1 AS INT)]

@@ -53,6 +53,18 @@ object ScaleOps {
       .bucketBy(buckets, key).sortBy(key)
       .saveAsTable(table)
 
+  /** Hive-style partitioned parquet layout (`dir/<key>=<value>/…`) — the
+    * directory-pruning twin of [[writeBucketed]]: bucketing co-locates JOIN
+    * keys, partitioning prunes SCANS. A predicate on the partition column
+    * never touches non-matching directories (OpsSpec asserts the scan's
+    * PartitionFilters carries the predicate and the scanned row count
+    * drops); use for the coarse, low-cardinality routing columns a 100 TB
+    * corpus is always filtered by (lang, source, date), never high-card ids
+    * (one directory per value).
+    */
+  def writePartitioned(df: DataFrame, dir: String, keys: String*): Unit =
+    df.write.mode("overwrite").partitionBy(keys: _*).parquet(dir)
+
   /** Inner equi-join of two tables bucketed on `key` with the same bucket
     * count: planned as a sort-merge join over matching buckets with no
     * Exchange on either side (asserted in OpsSpec).

@@ -284,6 +284,25 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("partitioned layout prunes non-matching directories from the scan") {
+    val dir = tmpDir("part_docs")
+    ScaleOps.writePartitioned(
+      graft.Tables.t(spark, sfDir, "documents"), dir, "lang")
+    val filtered = spark.read.parquet(dir).filter(col("lang") === "en")
+    // the predicate must land in PartitionFilters (directory pruning),
+    // not a post-scan Filter over all rows
+    val scan = filtered.queryExecution.executedPlan.collectLeaves().head
+    val scanStr = scan.toString
+    assert(scanStr.contains("PartitionFilters") &&
+      scanStr.replaceAll("(?s).*PartitionFilters: \\[([^\\]]*)\\].*", "$1")
+        .contains("lang"),
+      s"predicate not pushed to partition pruning:\n$scanStr")
+    val all = spark.read.parquet(dir)
+    assert(filtered.count() ===
+      all.filter(col("lang") === "en").count())
+    assert(filtered.count() < all.count())
+  }
+
   test("media features match a hand-computed payload") {
     val feats = MultimodalOps.mediaFeatures(spark, sfDir).collect()
     val docs = Tables.t(spark, sfDir, "documents")
