@@ -14,7 +14,7 @@ import scala.collection.mutable
   * there (duplicate needle strings keep their distinct ids, matching the
   * one-row-per-probe output contract).
   */
-private[ops] object AhoCorasick {
+private[graft] object AhoCorasick {
 
   final class Node {
     val next = new mutable.HashMap[Char, Node]()

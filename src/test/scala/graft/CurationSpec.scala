@@ -111,6 +111,27 @@ class CurationSpec extends SparkSpec {
       Seq("sA", "sB", 2L, 2L, 1L, 0.333333)))
   }
 
+  test("aho-corasick agrees with String.contains on arbitrary inputs") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    // tiny alphabet → dense overlaps, shared prefixes/suffixes, duplicate
+    // patterns — the cases where fail links and output chains go wrong
+    val s = Gen.choose(1, 6).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf('a', 'b', 'c')).map(_.mkString))
+    val prop = Prop.forAll(
+      Gen.nonEmptyListOf(s).map(_.take(12).toArray),
+      Gen.listOfN(20, Gen.oneOf('a', 'b', 'c')).map(_.mkString)) {
+      (pats, text) =>
+        val ac = graft.ops.AhoCorasick.build(pats)
+        val got = graft.ops.AhoCorasick
+          .matchedIds(ac, text, pats.length).toSet
+        val want = pats.indices.filter(i => text.contains(pats(i))).toSet
+        got == want
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(300), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("quantization round-trips within half a quantization step") {
     val embDf = Tables.t(spark, sfDir, "embeddings")
     // worst-case reconstruction error is (mx-mn)/254/2 per dimension; find

@@ -91,6 +91,33 @@ class OpsSpec extends SparkSpec {
     tight.foreach { case (t, c) => assert(c <= exact(t), s"$t overestimated") }
   }
 
+  test("misra-gries guarantees hold on arbitrary skewed streams") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    import spark.implicits._
+    val tok = Gen.frequency(5 -> Gen.const("hot"), 3 -> Gen.oneOf("w1", "w2"),
+      2 -> Gen.choose(0, 50).map("r" + _))
+    val docGen = Gen.choose(3, 12).flatMap(n =>
+      Gen.listOfN(n, tok).map(_.mkString(" ")))
+    val prop = Prop.forAll(Gen.listOfN(12, docGen)) { texts =>
+      val docs = texts.zipWithIndex
+        .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+        .repartition(3) // multiple partitions → summaries really merge
+      val cap = 6
+      val est = TextOps.vocabHeavyHittersOn(docs, capacity = cap)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val exact = texts.flatMap(_.trim.split(" ", -1))
+        .groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val n = exact.values.sum
+      val survive = exact.filter(_._2 > n / cap).keys
+        .forall(est.contains)
+      val noOver = est.forall { case (t, c) => c <= exact.getOrElse(t, 0L) }
+      survive && noOver
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(10), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("semantic dedup flags a planted duplicate of its representative") {
     import spark.implicits._
     val base = Array.tabulate(64)(i => math.sin(i + 1).toFloat)
