@@ -22,7 +22,7 @@ object DedupOps {
     Tables.t(s, dir, "documents")
   }
 
-  private[ops] val normText: Column =
+  private[graft] val normText: Column =
     regexp_replace(lower(trim(col("text"))), "\\s+", " ")
 
   /** Exact dedup summary after whitespace/case normalization.

@@ -348,7 +348,51 @@ object EventOps {
       .orderBy("column")
   }
 
+  /** Ordered conversion funnel view → click → purchase: a user advances a
+    * stage only with an event STRICTLY AFTER their first event of the
+    * previous stage (the product-analytics definition — a purchase before
+    * the first view does not count).
+    *
+    * Scale: ONE user-keyed exchange. The three first-times are chained
+    * whole-partition window minima over the same partitioning (Catalyst
+    * plans one Exchange + stacked WindowExecs, each conditional on the
+    * previous column), then per-user rows contract via first() and three
+    * counts make the funnel. The join-per-stage formulation would shuffle
+    * the event stream once per funnel stage.
+    */
+  def conversionFunnel(s: SparkSession, dir: String): DataFrame =
+    conversionFunnelOn(events(s, dir))
+
+  /** `eventsDf` needs (user_id, event_type, ts). */
+  def conversionFunnelOn(eventsDf: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id")
+    val perUser = eventsDf
+      .withColumn("fv",
+        min(when(col("event_type") === "view", col("ts"))).over(w))
+      .withColumn("fc",
+        min(when(col("event_type") === "click" && col("ts") > col("fv"),
+          col("ts"))).over(w))
+      .withColumn("fp",
+        min(when(col("event_type") === "purchase" && col("ts") > col("fc"),
+          col("ts"))).over(w))
+      .groupBy("user_id")
+      .agg(first(col("fv")).as("fv"), first(col("fc")).as("fc"),
+        first(col("fp")).as("fp"))
+    val s = perUser.agg(
+      count(col("fv")).as("n1"), count(col("fc")).as("n2"),
+      count(col("fp")).as("n3"))
+    s.select(lit("1_view").as("stage"), col("n1").as("n_users"),
+        lit(100.0).as("pct_prev"))
+      .unionAll(s.select(lit("2_click"), col("n2"),
+        when(col("n1") > 0, round(col("n2") * lit(100.0) / col("n1"), 2))))
+      .unionAll(s.select(lit("3_purchase"), col("n3"),
+        when(col("n2") > 0, round(col("n3") * lit(100.0) / col("n2"), 2))))
+      .orderBy("stage")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q70_conversion_funnel" -> conversionFunnel,
     "q17_column_profile" -> columnProfile,
     "q13_user_sessions" -> userSessions,
     "q14_value_percentiles" -> valuePercentiles,
@@ -371,6 +415,26 @@ object EventOps {
   private val gapMicros = graft.streaming.SessionPipeline.GapMicros
 
   val oracle: Map[String, String] = Map(
+    "q70_conversion_funnel" ->
+      """WITH w1 AS (SELECT user_id, event_type, ts,
+        |  min(CASE WHEN event_type = 'view' THEN ts END)
+        |    OVER (PARTITION BY user_id) AS fv FROM events),
+        |w2 AS (SELECT *, min(CASE WHEN event_type = 'click' AND ts > fv
+        |    THEN ts END) OVER (PARTITION BY user_id) AS fc FROM w1),
+        |w3 AS (SELECT *, min(CASE WHEN event_type = 'purchase' AND ts > fc
+        |    THEN ts END) OVER (PARTITION BY user_id) AS fp FROM w2),
+        |g AS (SELECT user_id, any_value(fv) AS fv, any_value(fc) AS fc,
+        |  any_value(fp) AS fp FROM w3 GROUP BY user_id),
+        |s AS (SELECT count(fv) AS n1, count(fc) AS n2, count(fp) AS n3
+        |  FROM g)
+        |SELECT * FROM (
+        |  SELECT '1_view' AS stage, n1 AS n_users, 100.0e0 AS pct_prev
+        |    FROM s
+        |  UNION ALL SELECT '2_click', n2,
+        |    CASE WHEN n1 > 0 THEN round(n2 * 100.0e0 / n1, 2) END FROM s
+        |  UNION ALL SELECT '3_purchase', n3,
+        |    CASE WHEN n2 > 0 THEN round(n3 * 100.0e0 / n2, 2) END FROM s)
+        |ORDER BY stage""".stripMargin,
     "q17_column_profile" -> {
       def row(c: String, numeric: Boolean) = {
         val mn = if (numeric) s"CAST(min($c) AS DOUBLE)" else "CAST(NULL AS DOUBLE)"

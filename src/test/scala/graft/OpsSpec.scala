@@ -168,6 +168,27 @@ class OpsSpec extends SparkSpec {
     assert((3L until 30L).forall(dedup(_)), "jittered copies must collapse")
   }
 
+  test("conversion funnel requires strictly-ordered stages") {
+    import spark.implicits._
+    def ts(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    val evs = Seq(
+      // u1 converts fully in order
+      (1L, "view", ts(0)), (1L, "click", ts(10)), (1L, "purchase", ts(20)),
+      // u2: purchase BEFORE the first view → stops at click
+      (2L, "purchase", ts(0)), (2L, "view", ts(5)), (2L, "click", ts(9)),
+      // u3: click before view → never advances past view
+      (3L, "click", ts(1)), (3L, "view", ts(2)),
+      // u4: no view at all → not even stage 1
+      (4L, "click", ts(1)), (4L, "purchase", ts(2)))
+      .toDF("user_id", "event_type", "ts")
+    val out = ops.EventOps.conversionFunnelOn(evs)
+      .collect().map(_.toSeq).toSeq
+    assert(out === Seq(
+      Seq("1_view", 3L, 100.0), // u1 u2 u3
+      Seq("2_click", 2L, 66.67), // u1 u2
+      Seq("3_purchase", 1L, 50.0))) // u1 only
+  }
+
   test("sketch stats track the exact aggregates within error bounds") {
     val rows = ops.EventOps.sketchStats(spark, sfDir).collect()
     assert(rows.nonEmpty)

@@ -262,6 +262,29 @@ class StreamingSpec extends SparkSpec {
       Seq(2L, 999999 * M, 999999 * M + Gap, 1L, 0.0)))
   }
 
+  test("streaming delta dedup admits only corpus-fresh, first-seen docs") {
+    import graft.streaming.DeltaDedupPipeline
+    implicit val sqlCtx = spark.sqlContext
+    val corpus = Seq((100L, "Existing Doc one"), (101L, "existing doc two"))
+      .toDF("doc_id", "text")
+    def ts(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    val input = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val q = DeltaDedupPipeline.freshDocs(
+      input.toDS().toDF("doc_id", "text", "event_ts"), corpus)
+      .writeStream.format("memory").queryName("delta_sink")
+      .outputMode("append").start()
+    // batch 1: one corpus dup (case/space-normalized), one fresh
+    input.addData((1L, "EXISTING  doc one", ts(0)), (2L, "brand new", ts(1)))
+    q.processAllAvailable()
+    // batch 2: cross-batch stream dup of doc 2, plus another fresh
+    input.addData((3L, "Brand New", ts(2)), (4L, "also fresh", ts(3)))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("delta_sink").select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(got === Set(2L, 4L))
+  }
+
   test("file-source backpressure bounds each micro-batch of a pre-loaded dir") {
     import graft.streaming.TradeSource
     val drop = tmpDir("drop")
