@@ -388,6 +388,102 @@ object TextOps {
       .limit(k)
   }
 
+  /** Fixed-size overlapping token-window chunking — the document→
+    * training-sample step of every LLM data pipeline (context packing,
+    * RAG indexing, long-doc splitting). Each document yields
+    * `1 + ceil(max(n-window,0)/stride)` chunks of up to `window` tokens
+    * starting every `stride` tokens, so consecutive chunks overlap by
+    * `window - stride` tokens and every token is covered.
+    *
+    * Scale: chunk boundaries are computed per-row from the token array
+    * (transform over a sequence), then a single generator explode — no
+    * shuffle at all; output size is corpus tokens × window/stride, the
+    * same linear blow-up any chunker pays.
+    */
+  def docChunks(s: SparkSession, dir: String): DataFrame =
+    docChunksOn(docs(s, dir))
+
+  /** `docsDf` needs (doc_id, text). `window` > `stride` > 0. */
+  def docChunksOn(docsDf: DataFrame, window: Int = 32,
+      stride: Int = 24): DataFrame = {
+    require(window > 0 && stride > 0 && stride <= window)
+    val d = docsDf
+      .withColumn("toks", tokens)
+      .withColumn("n_tokens", size(col("toks")))
+      // 1 + ceil((n - window)/stride) via integer-exact floor arithmetic
+      .withColumn("n_chunks",
+        when(col("n_tokens") > window,
+          floor((col("n_tokens") - window + stride - 1)
+            / lit(stride.toDouble)) + 1L)
+          .otherwise(1L))
+    d.select(col("doc_id"), col("n_tokens"), col("n_chunks"),
+        posexplode(transform(
+          sequence(lit(0), (col("n_chunks") - 1).cast("int")), i =>
+          struct(
+            (i * stride + 1).as("start_tok"),
+            size(slice(col("toks"), i * stride + 1, lit(window)))
+              .as("n_chunk_toks"),
+            array_join(slice(col("toks"), i * stride + 1, lit(window)), " ")
+              .as("chunk_text")))))
+      .select(col("doc_id"), col("n_tokens"), col("n_chunks"),
+        col("pos").as("chunk_id"), col("col.start_tok"),
+        col("col.n_chunk_toks"), col("col.chunk_text"))
+      .orderBy("doc_id", "chunk_id")
+  }
+
+  /** Per-document top-k TF-IDF keywords — the standard keyword-extraction /
+    * relevance primitive built on q66's df table (IDF weighting over the
+    * corpus posting lists).
+    *
+    * Scale: term frequencies come from an in-row run-length encode of the
+    * SORTED token array (starts/ends of equal runs via two filters + one
+    * zip_with), so the explode emits one row per DISTINCT (doc, term) —
+    * never the raw token stream — and there is no (doc_id, token) groupBy
+    * shuffle. The df side contracts to ~|vocab| rows (map-side partial agg)
+    * and AQE broadcasts it; the final top-k rank windows over doc_id —
+    * millions of partitions, full parallelism.
+    */
+  def tfidfKeywords(s: SparkSession, dir: String): DataFrame =
+    tfidfKeywordsOn(docs(s, dir))
+
+  /** `docsDf` needs (doc_id, text). */
+  def tfidfKeywordsOn(docsDf: DataFrame, k: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = docsDf
+      .withColumn("toks", tokens)
+      .withColumn("n_tokens", size(col("toks")))
+    // run-length encode the sorted tokens: run starts / run ends by index
+    // (indexes clamped: ANSI element_at faults on out-of-range)
+    val n = col("n_tokens")
+    val st = col("sorted")
+    val rle = d
+      .withColumn("sorted", array_sort(col("toks")))
+      .withColumn("starts", filter(sequence(lit(1), n), i =>
+        (i === 1) ||
+          element_at(st, greatest(i - 1, lit(1))) =!= element_at(st, i)))
+      .withColumn("ends", filter(sequence(lit(1), n), i =>
+        (i === n) ||
+          element_at(st, least(i + 1, n)) =!= element_at(st, i)))
+      .select(col("doc_id"), n,
+        explode(zip_with(col("starts"), col("ends"), (s0, e0) =>
+          struct(element_at(st, s0).as("term"),
+            (e0 - s0 + 1).as("tf")))).as("t"))
+      .select(col("doc_id"), n, col("t.term"), col("t.tf"))
+    val dfTab = d.select(explode(array_distinct(col("toks"))).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("df"))
+    val nDocs = docsDf.agg(count(lit(1)).as("n_docs"))
+    val scored = rle.join(dfTab, "term").crossJoin(broadcast(nDocs))
+      .withColumn("score",
+        col("tf") / col("n_tokens") * log(col("n_docs") / col("df")))
+    scored
+      .withColumn("rank", row_number().over(Window.partitionBy("doc_id")
+        .orderBy(col("score").desc, col("term").asc)))
+      .filter(col("rank") <= k)
+      .select(col("doc_id"), col("rank"), col("term"), col("tf"),
+        col("df"), round(col("score"), 6).as("tfidf"))
+      .orderBy("doc_id", "rank")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q31_token_stats" -> tokenStats,
     "q32_lang_profile" -> langProfile,
@@ -398,9 +494,46 @@ object TextOps {
     "q48_quality_topk" -> qualityTopK,
     "q53_source_mix" -> sourceMix,
     "q63_repetition_profile" -> repetitionProfile,
-    "q66_vocab_stats" -> vocabStats)
+    "q66_vocab_stats" -> vocabStats,
+    "q71_doc_chunks" -> docChunks,
+    "q72_tfidf_keywords" -> tfidfKeywords)
 
   val oracle: Map[String, String] = Map(
+    "q71_doc_chunks" ->
+      """WITH d AS (SELECT doc_id,
+        |  string_split(trim(text), ' ') AS toks FROM documents),
+        |c AS (SELECT doc_id, toks, len(toks) AS n_tokens,
+        |  CASE WHEN len(toks) > 32
+        |    THEN CAST(floor((len(toks) - 32 + 23) / 24.0) AS BIGINT) + 1
+        |    ELSE 1 END AS n_chunks FROM d),
+        |e AS (SELECT doc_id, n_tokens, n_chunks, toks,
+        |  unnest(range(0, n_chunks)) AS chunk_id FROM c)
+        |SELECT doc_id, CAST(n_tokens AS INT) AS n_tokens, n_chunks,
+        |  CAST(chunk_id AS INT) AS chunk_id,
+        |  CAST(chunk_id * 24 + 1 AS INT) AS start_tok,
+        |  CAST(len(toks[chunk_id*24+1 : chunk_id*24+32]) AS INT)
+        |    AS n_chunk_toks,
+        |  array_to_string(toks[chunk_id*24+1 : chunk_id*24+32], ' ')
+        |    AS chunk_text
+        |FROM e ORDER BY doc_id, chunk_id""".stripMargin,
+    "q72_tfidf_keywords" ->
+      """WITH d AS (SELECT doc_id,
+        |  string_split(trim(text), ' ') AS toks FROM documents),
+        |n AS (SELECT count(*) AS n_docs FROM d),
+        |tf AS (SELECT doc_id, len(toks) AS n_tokens, term, count(*) AS tf
+        |  FROM (SELECT doc_id, toks, unnest(toks) AS term FROM d)
+        |  GROUP BY doc_id, len(toks), term),
+        |df AS (SELECT term, count(*) AS df
+        |  FROM (SELECT doc_id, unnest(list_distinct(toks)) AS term FROM d)
+        |  GROUP BY term),
+        |sc AS (SELECT tf.doc_id, tf.term, tf.tf, df.df,
+        |  (tf.tf / tf.n_tokens) * ln(n.n_docs / df.df) AS score
+        |  FROM tf JOIN df USING (term) CROSS JOIN n),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+        |  ORDER BY score DESC, term ASC) AS rank FROM sc)
+        |SELECT doc_id, rank, term, CAST(tf AS INT) AS tf, df,
+        |  round(score, 6) AS tfidf
+        |FROM r WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
     "q66_vocab_stats" ->
       """WITH d AS (SELECT doc_id,
         |  string_split(trim(text), ' ') AS toks FROM documents),

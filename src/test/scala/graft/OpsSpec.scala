@@ -56,6 +56,50 @@ class OpsSpec extends SparkSpec {
       Seq(3L, 1, 1, 0, 0, 0, true)))
   }
 
+  test("doc chunks cover every token with the declared overlap") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, (1 to 10).map(i => s"t$i").mkString(" ")), // 10 toks → 3 chunks
+      (2L, "a b c"), // shorter than the window → 1 whole-doc chunk
+      (3L, (1 to 4).map(i => s"u$i").mkString(" "))) // == window → 1 chunk
+      .toDF("doc_id", "text")
+    val out = TextOps.docChunksOn(docs, window = 4, stride = 3)
+      .orderBy("doc_id", "chunk_id").collect()
+    val d1 = out.filter(_.getLong(0) == 1L)
+    assert(d1.map(_.getAs[String]("chunk_text")).toSeq === Seq(
+      "t1 t2 t3 t4", "t4 t5 t6 t7", "t7 t8 t9 t10"))
+    assert(d1.map(_.getAs[Int]("start_tok")).toSeq === Seq(1, 4, 7))
+    assert(d1.forall(_.getAs[Long]("n_chunks") == 3L))
+    assert(out.filter(_.getLong(0) == 2L).map(
+      _.getAs[String]("chunk_text")).toSeq === Seq("a b c"))
+    assert(out.filter(_.getLong(0) == 3L).length === 1)
+    // every token of doc 1 appears in some chunk (full coverage)
+    val covered = d1.flatMap(_.getAs[String]("chunk_text").split(" ")).toSet
+    assert(covered === (1 to 10).map(i => s"t$i").toSet)
+  }
+
+  test("tfidf keywords rank corpus-rare terms first") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "apple apple banana"),
+      (2L, "banana cherry cherry cherry"),
+      (3L, "apple banana cherry"))
+      .toDF("doc_id", "text")
+    val out = TextOps.tfidfKeywordsOn(docs, k = 3)
+      .orderBy("doc_id", "rank").collect()
+    val top = out.filter(_.getAs[Int]("rank") == 1)
+      .map(r => r.getLong(0) -> r.getAs[String]("term")).toMap
+    // banana is in every doc → idf 0 → never a keyword
+    assert(top === Map(1L -> "apple", 2L -> "cherry", 3L -> "apple"))
+    val d1Apple = out.find(r =>
+      r.getLong(0) == 1L && r.getAs[String]("term") == "apple").get
+    assert(d1Apple.getAs[Int]("tf") === 2)
+    assert(d1Apple.getAs[Long]("df") === 2L)
+    // doc 3: apple and cherry tie exactly → term-asc tie-break
+    val d3 = out.filter(_.getLong(0) == 3L).map(_.getAs[String]("term"))
+    assert(d3.toSeq === Seq("apple", "cherry", "banana"))
+  }
+
   test("vocab stats separate document from collection frequency") {
     import spark.implicits._
     val docs = Seq((1L, "a b a"), (2L, "b c")).toDF("doc_id", "text")
