@@ -137,9 +137,151 @@ object TemporalOps {
       .orderBy("incident_id")
   }
 
+  private val WeekUs = 604800000000L // 7 days in micros
+
+  /** q73: weekly retention cohorts — every user is assigned to the cohort of
+    * their first active week, and each cell counts how many of that cohort's
+    * users were active again `week_offset` weeks later (offset 0 = cohort
+    * size). The standard product-analytics retention triangle.
+    *
+    * Scale: user activity first contracts to DISTINCT (user, week) — one
+    * hash aggregation keyed by millions of (user, week) pairs — and the
+    * cohort week attaches with a min-window over `user_id` (a second keyed
+    * exchange, no self-join). The final cell aggregation is tiny
+    * (weeks × offsets). Nothing is ever keyed by fewer than |users| groups,
+    * and no row carries more than three columns into a shuffle.
+    */
+  def retentionCohorts(s: SparkSession, dir: String): DataFrame =
+    retentionCohortsOn(ev(s, dir))
+
+  /** `events` needs (user_id, ts). */
+  def retentionCohortsOn(events: DataFrame): DataFrame = {
+    val weekly = events
+      .select(col("user_id"), date_trunc("week", col("ts")).as("week"))
+      .distinct()
+    val w = Window.partitionBy("user_id")
+    weekly
+      .withColumn("cohort_week", min("week").over(w))
+      .select(col("cohort_week"),
+        expr(s"(unix_micros(week) - unix_micros(cohort_week)) div ${WeekUs}L")
+          .as("week_offset"))
+      .groupBy("cohort_week", "week_offset")
+      .agg(count(lit(1)).as("n_users")) // rows are distinct (user, week)
+      .orderBy("cohort_week", "week_offset")
+  }
+
+  /** q74: dense per-minute event counts — the q06 timeseries with the gaps
+    * filled in: one row for EVERY minute between the first and last event,
+    * zero-count minutes included (dashboards and the q75 anomaly scan both
+    * need the dense spine; a sparse series silently stretches trailing
+    * windows across gaps).
+    *
+    * Scale: the heavy side (per-minute counts) is a map-side partial
+    * aggregation whose output is bounded by the time range, not the event
+    * count. The spine is generated from the 2-row min/max aggregate and
+    * exploded — bounded by minutes-in-range (~526k rows/year), then
+    * re-partitioned so the join against the counts distributes instead of
+    * running in the explode's single task.
+    */
+  def minutelyGapfill(s: SparkSession, dir: String): DataFrame =
+    minutelyGapfillOn(ev(s, dir))
+
+  /** `events` needs (ts). */
+  def minutelyGapfillOn(events: DataFrame): DataFrame = {
+    val perMin = events
+      .groupBy(date_trunc("minute", col("ts")).as("minute"))
+      .agg(count(lit(1)).as("n_events"))
+    val spine = events
+      .agg(date_trunc("minute", min("ts")).as("t0"),
+        date_trunc("minute", max("ts")).as("t1"))
+      .select(explode(sequence(col("t0"), col("t1"),
+        expr("interval 1 minute"))).as("minute"))
+      .repartition(col("minute"))
+    spine.join(perMin, Seq("minute"), "left")
+      .select(col("minute"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"))
+      .orderBy("minute")
+  }
+
+  private val TrailMin = 60 // trailing window length, minutes
+
+  /** q75: trailing-window anomaly detection over the dense minute series —
+    * each minute's event count is z-scored against the mean/variance of the
+    * PREVIOUS 60 minutes (the current minute never sees itself), and flagged
+    * when |z| > 3. Warm-up minutes (fewer than 60 predecessors) and
+    * flat-history minutes (zero variance) carry null z — no fake scores.
+    *
+    * Determinism: mean and variance come from integer window sums
+    * (Σn, Σn², both exact), combined by ONE double expression evaluated
+    * identically by Spark and the DuckDB oracle — no engine-internal
+    * streaming variance whose rounding differs.
+    *
+    * Scale: a single global ordered window would sort the whole series in
+    * one task. Instead the series is partitioned BY DAY and each day's first
+    * 60 minutes borrow the previous day's tail via a carry-forward copy
+    * (tagged, used for sums, never emitted) — parallelism is #days while
+    * every window still sees its full 60-minute history.
+    */
+  def anomalyZscore(s: SparkSession, dir: String): DataFrame =
+    anomalyZscoreOn(ev(s, dir))
+
+  /** `events` needs (ts). */
+  def anomalyZscoreOn(events: DataFrame): DataFrame = {
+    val dense = minutelyGapfillOn(events)
+      .withColumn("day", date_trunc("day", col("minute")))
+    // previous day's last TrailMin minutes, re-tagged onto the next day
+    val carry = dense
+      .filter(unix_micros(col("minute")) >=
+        unix_micros(col("day")) + (1440L - TrailMin) * 60000000L)
+      .withColumn("day", col("day") + expr("interval 1 day"))
+      .withColumn("carry", lit(1))
+    val all = dense.withColumn("carry", lit(0)).unionByName(carry)
+    val w = Window.partitionBy("day").orderBy("minute")
+      .rowsBetween(-TrailMin, -1)
+    val stats = all
+      .withColumn("s", sum("n_events").over(w))
+      .withColumn("s2", sum(col("n_events") * col("n_events")).over(w))
+      .withColumn("k", count(lit(1)).over(w))
+      .filter(col("carry") === 0)
+    // one shared double expression — the DuckDB oracle repeats it verbatim
+    stats.select(col("minute"), col("n_events"),
+        expr(ZExpr).as("z"))
+      .withColumn("is_anomaly", abs(col("z")) > 3.0)
+      .orderBy("minute")
+  }
+
+  /** z-score expression, engine-portable: integer sums in, one double
+    * expression out. Kept as a constant so the oracle repeats it verbatim.
+    */
+  private[graft] val ZExpr: String =
+    s"""CASE WHEN k = $TrailMin
+       |  AND (CAST(s2 AS DOUBLE) -
+       |       CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / $TrailMin.0)
+       |      / $TrailMin.0 > 0.0
+       |THEN (CAST(n_events AS DOUBLE) - CAST(s AS DOUBLE) / $TrailMin.0)
+       |  / sqrt((CAST(s2 AS DOUBLE) -
+       |          CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / $TrailMin.0)
+       |         / $TrailMin.0)
+       |ELSE NULL END""".stripMargin
+
+  /** DuckDB twin of [[minutelyGapfillOn]], shared by q74 and q75's oracle. */
+  private val GapfillSql: String =
+    """SELECT s.minute, coalesce(pm.n_events, 0) AS n_events
+      |FROM (SELECT unnest(generate_series(
+      |        date_trunc('minute', (SELECT min(ts) FROM events)),
+      |        date_trunc('minute', (SELECT max(ts) FROM events)),
+      |        INTERVAL 1 MINUTE)) AS minute) s
+      |LEFT JOIN (SELECT date_trunc('minute', ts) AS minute,
+      |    count(*) AS n_events FROM events GROUP BY 1) pm
+      |  USING (minute)
+      |ORDER BY minute""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q54_click_asof_view" -> clickAsofView,
-    "q55_incident_windows" -> incidentWindows)
+    "q55_incident_windows" -> incidentWindows,
+    "q73_retention_cohorts" -> retentionCohorts,
+    "q74_minutely_gapfill" -> minutelyGapfill,
+    "q75_anomaly_zscore" -> anomalyZscore)
 
   val oracle: Map[String, String] = Map(
     "q54_click_asof_view" ->
@@ -165,5 +307,29 @@ object TemporalOps {
         |FROM err e LEFT JOIN c ON c.user_id = e.user_id
         |  AND c.c_us >= e.start_us AND c.c_us < e.start_us + 300000000
         |GROUP BY e.incident_id, e.user_id, e.incident_ts
-        |ORDER BY e.incident_id""".stripMargin)
+        |ORDER BY e.incident_id""".stripMargin,
+    "q73_retention_cohorts" ->
+      """WITH weekly AS (SELECT DISTINCT user_id,
+        |    CAST(date_trunc('week', ts) AS TIMESTAMP) AS week FROM events),
+        |w2 AS (SELECT user_id, week,
+        |    min(week) OVER (PARTITION BY user_id) AS cohort_week FROM weekly)
+        |SELECT cohort_week,
+        |  (epoch_us(week) - epoch_us(cohort_week)) // 604800000000
+        |    AS week_offset,
+        |  count(*) AS n_users
+        |FROM w2 GROUP BY cohort_week, week_offset
+        |ORDER BY cohort_week, week_offset""".stripMargin,
+    "q74_minutely_gapfill" -> GapfillSql,
+    "q75_anomaly_zscore" ->
+      s"""WITH dense AS ($GapfillSql),
+         |stats AS (SELECT minute, n_events,
+         |    sum(n_events) OVER win AS s,
+         |    sum(n_events * n_events) OVER win AS s2,
+         |    count(*) OVER win AS k
+         |  FROM dense
+         |  WINDOW win AS (ORDER BY minute
+         |    ROWS BETWEEN $TrailMin PRECEDING AND 1 PRECEDING))
+         |SELECT minute, n_events, z, abs(z) > 3.0 AS is_anomaly
+         |FROM (SELECT minute, n_events, $ZExpr AS z FROM stats)
+         |ORDER BY minute""".stripMargin)
 }

@@ -80,6 +80,74 @@ class TemporalSpec extends SparkSpec {
       s"range join must not plan a nested loop:\n$plan")
   }
 
+  test("retention cohorts: first week is the cohort, offsets count returns") {
+    val events = Seq(
+      (1L, ts("2024-01-01 10:00:00")), // u1: cohort W0, active W0+W1
+      (1L, ts("2024-01-08 10:00:00")),
+      (1L, ts("2024-01-08 11:00:00")), // same week twice: counted once
+      (2L, ts("2024-01-01 12:00:00")), // u2: cohort W0 only
+      (3L, ts("2024-01-08 09:00:00"))) // u3: cohort W1 only
+      .toDF("user_id", "ts")
+    val out = TemporalOps.retentionCohortsOn(events)
+      .select("cohort_week", "week_offset", "n_users").collect()
+    assert(out.toSeq === Seq(
+      Row(ts("2024-01-01 00:00:00"), 0L, 2L), // u1+u2 in cohort W0
+      Row(ts("2024-01-01 00:00:00"), 1L, 1L), // only u1 returned at +1
+      Row(ts("2024-01-08 00:00:00"), 0L, 1L))) // u3's own cohort
+  }
+
+  test("gapfill emits every minute in range, zeros for silent minutes") {
+    val events = Seq(
+      (ts("2024-01-01 00:00:30"), 1L),
+      (ts("2024-01-01 00:00:45"), 2L), // minute 0: 2 events
+      (ts("2024-01-01 00:03:10"), 3L)) // minutes 1,2 silent
+      .toDF("ts", "event_id")
+    val out = TemporalOps.minutelyGapfillOn(events)
+      .select("minute", "n_events").collect()
+    assert(out.toSeq === Seq(
+      Row(ts("2024-01-01 00:00:00"), 2L),
+      Row(ts("2024-01-01 00:01:00"), 0L),
+      Row(ts("2024-01-01 00:02:00"), 0L),
+      Row(ts("2024-01-01 00:03:00"), 1L)))
+  }
+
+  test("anomaly z-score flags a planted spike, nulls the warm-up") {
+    // 26h alternating 1/2 events per minute (so trailing variance is
+    // nonzero), plus a 100-event spike mid-day-2: the spike is the only
+    // anomaly, and its window crosses the day boundary's carry rows
+    val base = (0 until 26 * 60).flatMap { i =>
+      val t = new java.sql.Timestamp(
+        ts("2024-01-01 00:00:00").getTime + i * 60000L)
+      Seq.fill(1 + i % 2)((t, i.toLong))
+    }
+    val spikeTs = ts("2024-01-02 01:30:00")
+    val events = (base ++ Seq.fill(99)((spikeTs, 99999L)))
+      .toDF("ts", "event_id")
+    val out = TemporalOps.anomalyZscoreOn(events)
+    val flagged = out.filter(col("is_anomaly")).collect()
+    assert(flagged.map(_.getAs[java.sql.Timestamp]("minute")).toSeq ===
+      Seq(spikeTs))
+    // warm-up minutes (first 60) have null z
+    assert(out.orderBy("minute").limit(60)
+      .filter(col("z").isNotNull).count() === 0)
+  }
+
+  test("day-partitioned anomaly scan equals the single global window") {
+    val events = Tables.t(spark, sfDir, "events")
+    val got = TemporalOps.anomalyZscoreOn(events)
+    val dense = TemporalOps.minutelyGapfillOn(events)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy("minute").rowsBetween(-60, -1)
+    val naive = dense
+      .withColumn("s", sum("n_events").over(w))
+      .withColumn("s2", sum(col("n_events") * col("n_events")).over(w))
+      .withColumn("k", count(lit(1)).over(w))
+      .select(col("minute"), col("n_events"), expr(TemporalOps.ZExpr).as("z"))
+      .withColumn("is_anomaly", abs(col("z")) > 3.0)
+    assert(got.count() === naive.count())
+    assert(got.exceptAll(naive).isEmpty && naive.exceptAll(got).isEmpty)
+  }
+
   test("range join keeps zero-click incidents with 0 counts") {
     val events = Seq(
       (1L, ts("2024-01-01 00:00:00"), 1L, "error", 0.0),
