@@ -272,7 +272,97 @@ object RelationalOps {
       .orderBy("p_brand")
   }
 
+  /** q76: revenue CUBE over (region, order status) with `grouping_id` —
+    * grouping-sets capability beyond q19's plain ROLLUP: one pass produces
+    * detail cells, both one-dimension margins, and the grand total, each
+    * tagged with the standard grouping-id bitmask (region bit high).
+    *
+    * Scale: same pre-reduce discipline as q21/q22 — lineitem collapses to
+    * per-order decimal partials BEFORE any join, dimensions broadcast, and
+    * the cube expansion (4 grouping sets) runs on already-reduced rows, so
+    * the multi-set expansion never touches fact-table cardinality.
+    */
+  def revenueCube(s: SparkSession, dir: String): DataFrame =
+    revenueCubeOn(t(s, dir, "lineitem"), t(s, dir, "orders"),
+      t(s, dir, "customer"), t(s, dir, "nation"), t(s, dir, "region"))
+
+  def revenueCubeOn(li: DataFrame, o: DataFrame, c: DataFrame,
+      nation: DataFrame, region: DataFrame): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 10)
+    val perOrder = li.groupBy("l_orderkey").agg(
+      sum((col("l_extendedprice") * (lit(1.0) - col("l_discount"))).cast(dec))
+        .as("rev_part"))
+    val cells = perOrder.join(o, col("l_orderkey") === o("o_orderkey"))
+      .join(c, col("o_custkey") === c("c_custkey"))
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+      .select("r_name", "o_orderstatus", "rev_part")
+      // cube(String*) resolves through the Dataset and tags the grouping
+      // columns with its id; expand then duplicates them and the
+      // ambiguous-self-join check throws. Untagged col() refs avoid it.
+      .cube(col("r_name"), col("o_orderstatus"))
+      .agg(grouping_id().cast("long").as("gid"),
+        count(lit(1)).as("n_orders"),
+        round(sum(col("rev_part")), 2).cast("double").as("revenue"))
+    // positional re-alias: above a cube, NAME resolution sees both the
+    // expand's output attribute and the original it duplicates and throws
+    // AMBIGUOUS_SELF_JOIN — toDF sidesteps resolution entirely
+    cells.toDF("r_name", "o_orderstatus", "gid", "n_orders", "revenue")
+      .orderBy("gid", "r_name", "o_orderstatus")
+  }
+
+  /** q77: SCD-type-2 dimension build — each customer's order stream becomes
+    * an effective-dated history: row N is valid from its order date until
+    * the next order's date (null = still current), with a per-customer
+    * version number. The standard warehouse "latest snapshot + history"
+    * structure, built with one keyed window (no self-join).
+    *
+    * Scale: one shuffle keyed by `o_custkey` (millions of groups), linear
+    * per-group scan; ties on order date break by order key so versioning is
+    * deterministic under any executor schedule.
+    */
+  def orderHistoryScd(s: SparkSession, dir: String): DataFrame =
+    orderHistoryScdOn(t(s, dir, "orders"))
+
+  /** `orders` needs (o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+    * o_orderdate).
+    */
+  def orderHistoryScdOn(orders: DataFrame): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("valid_from").asc, col("o_orderkey").asc)
+    orders
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderstatus"),
+        col("o_totalprice"), col("o_orderdate").as("valid_from"))
+      .withColumn("version", row_number().over(w))
+      .withColumn("valid_to", lead("valid_from", 1).over(w))
+      .withColumn("is_current", col("valid_to").isNull)
+      .orderBy("o_custkey", "version")
+  }
+
+  /** q78: key-skew profile — the diagnostic that decides between a plain
+    * shuffle join, AQE skew splitting, and `ScaleOps.saltedJoin`: per-key
+    * row counts bucketed by integer log2 (via binary-string length — no
+    * floating log whose last-bit rounding differs across engines), with
+    * key/row totals per bucket. A heavy tail at high buckets = salt.
+    *
+    * Scale: two-level aggregation — per-key counts shuffle at full key
+    * cardinality with map-side partials; the bucket rollup is ≤64 rows.
+    */
+  def keySkewProfile(s: SparkSession, dir: String): DataFrame =
+    keySkewProfileOn(t(s, dir, "lineitem"), "l_partkey")
+
+  /** Profile the frequency distribution of `key` in `df`. */
+  def keySkewProfileOn(df: DataFrame, key: String): DataFrame =
+    df.groupBy(col(key)).agg(count(lit(1)).as("cnt"))
+      .groupBy((length(bin(col("cnt"))) - 1).cast("long").as("log2_bucket"))
+      .agg(count(lit(1)).as("n_keys"), min("cnt").as("min_rows"),
+        max("cnt").as("max_rows"), sum("cnt").as("n_rows"))
+      .orderBy("log2_bucket")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q76_revenue_cube" -> revenueCube,
+    "q77_order_history_scd" -> orderHistoryScd,
+    "q78_key_skew_profile" -> keySkewProfile,
     "q68_small_quantity_revenue" -> smallQuantityRevenue,
     "q19_region_rollup" -> regionRollup,
     "q20_pricing_summary" -> pricingSummary,
@@ -290,6 +380,37 @@ object RelationalOps {
   private val disc = "l_extendedprice * (1.0 - l_discount)"
 
   val oracle: Map[String, String] = Map(
+    "q76_revenue_cube" ->
+      s"""WITH per_order AS (SELECT l_orderkey,
+         |    sum(CAST($disc AS DECIMAL(38,10))) AS rev_part
+         |  FROM lineitem GROUP BY l_orderkey)
+         |SELECT r_name, o_orderstatus,
+         |  CAST(GROUPING(r_name, o_orderstatus) AS BIGINT) AS gid,
+         |  count(*) AS n_orders,
+         |  CAST(round(sum(rev_part), 2) AS DOUBLE) AS revenue
+         |FROM per_order JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN nation ON c_nationkey = n_nationkey
+         |JOIN region ON n_regionkey = r_regionkey
+         |GROUP BY CUBE (r_name, o_orderstatus)
+         |ORDER BY gid, r_name, o_orderstatus""".stripMargin,
+    "q77_order_history_scd" ->
+      """SELECT o_custkey, o_orderkey, o_orderstatus, o_totalprice,
+        |  o_orderdate AS valid_from,
+        |  CAST(row_number() OVER w AS INTEGER) AS version,
+        |  lead(o_orderdate, 1) OVER w AS valid_to,
+        |  lead(o_orderdate, 1) OVER w IS NULL AS is_current
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey
+        |  ORDER BY o_orderdate ASC, o_orderkey ASC)
+        |ORDER BY o_custkey, version""".stripMargin,
+    "q78_key_skew_profile" ->
+      """WITH per_key AS (SELECT l_partkey, count(*) AS cnt
+        |  FROM lineitem GROUP BY l_partkey)
+        |SELECT CAST(length(bin(cnt)) - 1 AS BIGINT) AS log2_bucket,
+        |  count(*) AS n_keys, min(cnt) AS min_rows, max(cnt) AS max_rows,
+        |  CAST(sum(cnt) AS BIGINT) AS n_rows
+        |FROM per_key GROUP BY 1 ORDER BY log2_bucket""".stripMargin,
     "q68_small_quantity_revenue" ->
       s"""WITH a AS (SELECT l_partkey,
          |  ${sqlDavg("l_quantity")} AS avg_qty

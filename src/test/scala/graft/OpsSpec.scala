@@ -276,6 +276,45 @@ class OpsSpec extends SparkSpec {
     assert(!plan.contains("Filter ("), "None status should elide the filter")
   }
 
+  test("revenue cube margins equal the sum of their detail cells") {
+    val cube = RelationalOps.revenueCube(spark, sfDir)
+    val detail = cube.filter(col("gid") === 0)
+    val grand = cube.filter(col("gid") === 3).collect()
+    assert(grand.length === 1)
+    assert(grand.head.getAs[Long]("n_orders") ===
+      detail.agg(sum("n_orders")).head().getLong(0))
+    // region margin (o_orderstatus nulled): one row per region, counts add up
+    val regionMargin = cube.filter(col("gid") === 1)
+    assert(regionMargin.count() === detail.select("r_name").distinct().count())
+    assert(regionMargin.agg(sum("n_orders")).head().getLong(0) ===
+      grand.head.getAs[Long]("n_orders"))
+  }
+
+  test("SCD2 history: versions are dense, exactly one current row per key") {
+    val h = RelationalOps.orderHistoryScd(spark, sfDir)
+    val perKey = h.groupBy("o_custkey").agg(
+      count(lit(1)).as("n"), max("version").as("maxv"),
+      sum(when(col("is_current"), 1L).otherwise(0L)).as("n_current"),
+      sum(when(col("valid_to").isNull, 1L).otherwise(0L)).as("n_open"))
+    assert(perKey.filter(col("n") =!= col("maxv")).count() === 0)
+    assert(perKey.filter(col("n_current") =!= 1L).count() === 0)
+    assert(perKey.filter(col("n_open") =!= 1L).count() === 0)
+    // each non-current row's valid_to is a later or equal order date
+    assert(h.filter(col("valid_to").isNotNull &&
+      col("valid_to") < col("valid_from")).count() === 0)
+  }
+
+  test("key-skew profile buckets counts by integer log2") {
+    import spark.implicits._
+    // key frequencies: 1 (bucket 0), 3 (bucket 1), 8 (bucket 3)
+    val df = (Seq.fill(1)("a") ++ Seq.fill(3)("b") ++ Seq.fill(8)("c"))
+      .toDF("k")
+    val out = RelationalOps.keySkewProfileOn(df, "k")
+      .select("log2_bucket", "n_keys", "n_rows").collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq ===
+      Seq((0L, 1L, 1L), (1L, 1L, 3L), (3L, 1L, 8L)))
+  }
+
   test("top-k queries respect their limits and ordering") {
     val top = EventOps.topUsers(spark, sfDir).collect()
     assert(top.length <= 10)
