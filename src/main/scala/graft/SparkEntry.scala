@@ -22,7 +22,8 @@ object SparkEntry {
     ops.EventOps.queries ++ ops.RelationalOps.queries ++
       ops.TextOps.queries ++ ops.DedupOps.queries ++
       ops.SimilarityOps.queries ++ ops.MultimodalOps.queries ++
-      ops.TemporalOps.queries ++ ops.CurationOps.queries
+      ops.TemporalOps.queries ++ ops.CurationOps.queries ++
+      ops.SearchOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys → weaker rows-only check.
@@ -31,5 +32,6 @@ object SparkEntry {
     ops.EventOps.oracle ++ ops.RelationalOps.oracle ++
       ops.TextOps.oracle ++ ops.DedupOps.oracle ++
       ops.SimilarityOps.oracle ++ ops.MultimodalOps.oracle ++
-      ops.TemporalOps.oracle ++ ops.CurationOps.oracle
+      ops.TemporalOps.oracle ++ ops.CurationOps.oracle ++
+      ops.SearchOps.oracle
 }

@@ -1,0 +1,67 @@
+package graft
+
+import graft.ops.SearchOps
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+/** Semantics of the search structures (SearchOps): inverted-index lexicon
+  * stats, the bounded posting head, and co-occurrence pair normalization.
+  */
+class SearchSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("inverted index: df counts docs, cf counts occurrences") {
+    val docs = Seq(
+      (1L, "a b a"), // a twice here
+      (2L, "a c"),
+      (3L, "c c c")).toDF("doc_id", "text")
+    val out = SearchOps.invertedIndexOn(docs, cap = 10)
+      .select("token", "df", "cf", "postings").collect()
+    assert(out.toSeq === Seq(
+      Row("a", 2L, 3L, "1,2"),
+      Row("b", 1L, 1L, "1"),
+      Row("c", 2L, 4L, "2,3")))
+  }
+
+  test("posting head is capped to the smallest doc ids") {
+    val docs = (1L to 15L).map(i => (i, s"shared only$i"))
+      .toDF("doc_id", "text")
+    val row = SearchOps.invertedIndexOn(docs, cap = 10)
+      .filter(col("token") === "shared").head()
+    assert(row.getAs[Long]("df") === 15L)
+    assert(row.getAs[String]("postings") === (1L to 10L).mkString(","))
+  }
+
+  test("capped postings equal the naive collect-sort-slice on real data") {
+    val docs = Tables.t(spark, sfDir, "documents")
+    val got = SearchOps.invertedIndexOn(docs, cap = 3)
+      .select("token", "postings")
+    val naive = docs
+      .select(col("doc_id"),
+        explode(array_distinct(split(trim(col("text")), " "))).as("token"))
+      .groupBy("token")
+      .agg(concat_ws(",",
+        slice(sort_array(collect_list(col("doc_id"))), 1, 3)).as("postings"))
+    assert(got.count() === naive.count())
+    assert(got.exceptAll(naive).isEmpty && naive.exceptAll(got).isEmpty)
+  }
+
+  test("co-occurrence counts each document once and normalizes pair order") {
+    val docs = Seq(
+      (1L, "b a b a"), // duplicates inside a doc count once
+      (2L, "a b"),
+      (3L, "a c")).toDF("doc_id", "text")
+    val out = SearchOps.tokenCooccurrenceOn(docs, topK = 10)
+      .select("t1", "t2", "n_docs").collect()
+    assert(out.toSeq === Seq(
+      Row("a", "b", 2L), // docs 1+2, pair normalized to (a,b)
+      Row("a", "c", 1L)))
+  }
+
+  test("co-occurrence top-k plans as TakeOrderedAndProject, no global sort") {
+    val plan = SearchOps.tokenCooccurrence(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+}
