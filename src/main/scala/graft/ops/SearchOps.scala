@@ -94,9 +94,85 @@ object SearchOps {
       .limit(topK)
   }
 
+  // ---- q81: BM25 ranked retrieval ------------------------------------------
+
+  /** The pinned q81 query — three corpus terms with distinct tf patterns. */
+  private[ops] val Q81Terms = Seq("table", "vector", "spark")
+  private val K1 = "1.2"
+  private val B = "0.75"
+
+  /** Per-term BM25 partial (Lucene's +1 idf variant, k1/b pinned above), as
+    * ONE expression string both Spark and the DuckDB oracle evaluate — like
+    * TemporalOps.ZExpr, the only float math is a fixed tree over exact
+    * integer aggregates, so scores agree bit-for-bit before the final
+    * 6 dp round. `tf` is 0 (not null) for a missing term: the whole term
+    * drops to exactly 0.0 without a CASE.
+    */
+  private[ops] def bm25TermExpr(i: Int): String =
+    s"""ln((CAST(n_docs AS DOUBLE) - CAST(df$i AS DOUBLE) + 0.5)
+       |    / (CAST(df$i AS DOUBLE) + 0.5) + 1.0)
+       |  * (CAST(tf$i AS DOUBLE) * ($K1 + 1.0))
+       |  / (CAST(tf$i AS DOUBLE) + $K1 * (1.0 - $B + $B * CAST(dl AS DOUBLE)
+       |     / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))))"""
+      .stripMargin
+
+  /** Fixed-order sum over the query terms, 6 dp rounded: addition order is
+    * part of the expression (never a shuffle-order-dependent double sum).
+    */
+  private[ops] def bm25Expr(nTerms: Int): String =
+    s"round(${(1 to nTerms).map(i => s"(${bm25TermExpr(i)})")
+      .mkString(" + ")}, 6)"
+
+  /** q81: BM25 ranked retrieval — top-20 documents for a pinned 3-term
+    * query, scored with the standard BM25 saturation (k1=1.2) and length
+    * normalization (b=0.75), Lucene's always-positive idf.
+    *
+    * Scale: the corpus-sized legs are one filtered explode (only query-term
+    * tokens survive the scan — the posting fetch) aggregated per (doc, dl),
+    * and two single-row broadcast sides (per-term document frequencies,
+    * corpus length stats). Scoring is per-row arithmetic; the cut plans as
+    * TakeOrderedAndProject on the ROUNDED score (so the top-k boundary is
+    * decided by engine-identical values), tie-broken by doc_id.
+    */
+  def bm25Search(s: SparkSession, dir: String): DataFrame =
+    bm25SearchOn(docs(s, dir), Q81Terms, 20)
+
+  /** `docsDf` needs (doc_id, text); `terms` must be distinct. */
+  def bm25SearchOn(docsDf: DataFrame, terms: Seq[String],
+      topK: Int): DataFrame = {
+    require(terms.nonEmpty && terms.distinct == terms,
+      s"terms must be non-empty and distinct: $terms")
+    val d = docsDf.withColumn("dl", size(toks))
+    val hits = d
+      .select(col("doc_id"), col("dl"), explode(toks).as("term"))
+      .filter(col("term").isin(terms: _*))
+    val tfAggs = terms.zipWithIndex.map { case (t, i) =>
+      sum(when(col("term") === t, 1L).otherwise(0L)).as(s"tf${i + 1}")
+    }
+    val perDoc = hits.groupBy("doc_id", "dl")
+      .agg(tfAggs.head, tfAggs.tail: _*)
+    val dfAggs = terms.zipWithIndex.map { case (t, i) =>
+      sum(when(col("term") === t, 1L).otherwise(0L)).as(s"df${i + 1}")
+    }
+    val dfRow = d
+      .select(explode(array_distinct(toks)).as("term"))
+      .filter(col("term").isin(terms: _*))
+      .agg(dfAggs.head, dfAggs.tail: _*)
+    val stats = d.agg(count(lit(1)).as("n_docs"), sum("dl").as("sum_dl"))
+    perDoc
+      .crossJoin(broadcast(dfRow))
+      .crossJoin(broadcast(stats))
+      .withColumn("bm25", expr(bm25Expr(terms.size)))
+      .select(Seq(col("doc_id")) ++
+        terms.indices.map(i => col(s"tf${i + 1}")) :+ col("bm25"): _*)
+      .orderBy(col("bm25").desc, col("doc_id").asc)
+      .limit(topK)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q79_inverted_index" -> invertedIndex,
-    "q80_token_cooccurrence" -> tokenCooccurrence)
+    "q80_token_cooccurrence" -> tokenCooccurrence,
+    "q81_bm25_search" -> bm25Search)
 
   val oracle: Map[String, String] = Map(
     "q79_inverted_index" ->
@@ -114,5 +190,34 @@ object SearchOps {
         |SELECT a.t AS t1, b.t AS t2, count(*) AS n_docs
         |FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND a.t < b.t
         |GROUP BY t1, t2
-        |ORDER BY n_docs DESC, t1, t2 LIMIT 50""".stripMargin)
+        |ORDER BY n_docs DESC, t1, t2 LIMIT 50""".stripMargin,
+    "q81_bm25_search" -> {
+      val inList = Q81Terms.map(t => s"'$t'").mkString(", ")
+      val tfCols = Q81Terms.zipWithIndex.map { case (t, i) =>
+        s"CAST(sum(CASE WHEN term = '$t' THEN 1 ELSE 0 END) AS BIGINT)" +
+          s" AS tf${i + 1}"
+      }.mkString(",\n    ")
+      val dfCols = Q81Terms.zipWithIndex.map { case (t, i) =>
+        s"CAST(sum(CASE WHEN term = '$t' THEN 1 ELSE 0 END) AS BIGINT)" +
+          s" AS df${i + 1}"
+      }.mkString(",\n    ")
+      val tfNames = Q81Terms.indices.map(i => s"tf${i + 1}").mkString(", ")
+      s"""WITH d AS (SELECT doc_id,
+         |    len(string_split(trim(text), ' ')) AS dl, text FROM documents),
+         |hits AS (SELECT doc_id, dl,
+         |    unnest(string_split(trim(text), ' ')) AS term FROM d),
+         |per_doc AS (SELECT doc_id, dl,
+         |    $tfCols
+         |  FROM hits WHERE term IN ($inList) GROUP BY doc_id, dl),
+         |dfs AS (SELECT
+         |    $dfCols
+         |  FROM (SELECT DISTINCT * FROM (SELECT doc_id,
+         |      unnest(string_split(trim(text), ' ')) AS term
+         |    FROM documents)) WHERE term IN ($inList)),
+         |stats AS (SELECT count(*) AS n_docs,
+         |    CAST(sum(dl) AS BIGINT) AS sum_dl FROM d)
+         |SELECT doc_id, $tfNames, ${bm25Expr(Q81Terms.size)} AS bm25
+         |FROM per_doc, dfs, stats
+         |ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin
+    })
 }

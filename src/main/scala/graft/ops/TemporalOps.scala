@@ -264,6 +264,38 @@ object TemporalOps {
        |         / $TrailMin.0)
        |ELSE NULL END""".stripMargin
 
+  /** q82: session transition matrix — within-session event-type bigrams
+    * (view→click, click→purchase, …) counted across all users, the Markov
+    * input for funnel diagnosis and next-action prediction. Session
+    * boundaries reuse the q13 convention (>30-minute gap, ties broken by
+    * event_id, [[graft.streaming.SessionPipeline.GapMicros]]) so "session"
+    * means the same thing across the batch, streaming, and path layers.
+    *
+    * Scale: one shuffle keyed by user_id; both the boundary flag and the
+    * transition source come from the same ordered window pass (no
+    * sessionize-then-self-join). The (from, to) aggregation is ≤
+    * |event_types|² rows with map-side partials.
+    */
+  def sessionTransitions(s: SparkSession, dir: String): DataFrame =
+    sessionTransitionsOn(ev(s, dir))
+
+  /** `events` needs (event_id, user_id, ts, event_type). */
+  def sessionTransitionsOn(events: DataFrame): DataFrame = {
+    val gapUs = graft.streaming.SessionPipeline.GapMicros
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts").asc, col("event_id").asc)
+    events
+      .withColumn("us", unix_micros(col("ts")))
+      .withColumn("prev_us", lag(col("us"), 1).over(w))
+      .withColumn("from_type", lag(col("event_type"), 1).over(w))
+      // a transition needs a previous event within the same session
+      .filter(col("prev_us").isNotNull &&
+        col("us") - col("prev_us") <= gapUs)
+      .groupBy(col("from_type"), col("event_type").as("to_type"))
+      .agg(count(lit(1)).as("n_transitions"))
+      .orderBy("from_type", "to_type")
+  }
+
   /** DuckDB twin of [[minutelyGapfillOn]], shared by q74 and q75's oracle. */
   private val GapfillSql: String =
     """SELECT s.minute, coalesce(pm.n_events, 0) AS n_events
@@ -281,7 +313,8 @@ object TemporalOps {
     "q55_incident_windows" -> incidentWindows,
     "q73_retention_cohorts" -> retentionCohorts,
     "q74_minutely_gapfill" -> minutelyGapfill,
-    "q75_anomaly_zscore" -> anomalyZscore)
+    "q75_anomaly_zscore" -> anomalyZscore,
+    "q82_session_transitions" -> sessionTransitions)
 
   val oracle: Map[String, String] = Map(
     "q54_click_asof_view" ->
@@ -331,5 +364,18 @@ object TemporalOps {
          |    ROWS BETWEEN $TrailMin PRECEDING AND 1 PRECEDING))
          |SELECT minute, n_events, z, abs(z) > 3.0 AS is_anomaly
          |FROM (SELECT minute, n_events, $ZExpr AS z FROM stats)
-         |ORDER BY minute""".stripMargin)
+         |ORDER BY minute""".stripMargin,
+    "q82_session_transitions" ->
+      s"""WITH seq AS (SELECT event_type, epoch_us(ts) AS us,
+         |    lag(epoch_us(ts)) OVER w AS prev_us,
+         |    lag(event_type) OVER w AS from_type
+         |  FROM events
+         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC))
+         |SELECT from_type, event_type AS to_type,
+         |  count(*) AS n_transitions
+         |FROM seq
+         |WHERE prev_us IS NOT NULL
+         |  AND us - prev_us <= ${graft.streaming.SessionPipeline.GapMicros}
+         |GROUP BY from_type, to_type
+         |ORDER BY from_type, to_type""".stripMargin)
 }

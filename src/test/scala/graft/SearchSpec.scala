@@ -59,6 +59,31 @@ class SearchSpec extends SparkSpec {
       Row("a", "c", 1L)))
   }
 
+  test("bm25 ranks rare-term matches above common-term matches") {
+    // 'rare' appears in 1 of 12 docs, 'common' in 11 of 12; equal length
+    val docs = (
+      Seq((1L, "rare pad pad pad"), (2L, "common pad pad pad")) ++
+        (3L to 12L).map(i => (i, "common filler filler filler")))
+      .toDF("doc_id", "text")
+    val out = SearchOps.bm25SearchOn(docs, Seq("rare", "common"), 12)
+      .select("doc_id", "bm25").collect()
+    val score = out.map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(score(1L) > score(2L))
+  }
+
+  test("bm25 length normalization: same tf, longer doc scores lower") {
+    val docs = Seq(
+      (1L, "hit pad"),
+      (2L, "hit pad pad pad pad pad pad pad"),
+      (3L, "other other other")) // keeps df < n_docs
+      .toDF("doc_id", "text")
+    val out = SearchOps.bm25SearchOn(docs, Seq("hit"), 10)
+      .select("doc_id", "bm25").collect()
+    val score = out.map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(score(1L) > score(2L))
+    assert(!score.contains(3L)) // no query term → not retrieved
+  }
+
   test("co-occurrence top-k plans as TakeOrderedAndProject, no global sort") {
     val plan = SearchOps.tokenCooccurrence(spark, sfDir)
       .queryExecution.executedPlan.toString

@@ -148,6 +148,23 @@ class TemporalSpec extends SparkSpec {
     assert(got.exceptAll(naive).isEmpty && naive.exceptAll(got).isEmpty)
   }
 
+  test("session transitions skip gaps and count within-session bigrams") {
+    val events = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 1L, "view"),
+      (2L, ts("2024-01-01 10:01:00"), 1L, "click"),   // view→click
+      (3L, ts("2024-01-01 11:00:00"), 1L, "purchase"),// >30min gap: none
+      (4L, ts("2024-01-01 11:05:00"), 1L, "click"),   // purchase→click
+      (5L, ts("2024-01-01 10:00:00"), 2L, "view"),
+      (6L, ts("2024-01-01 10:10:00"), 2L, "view")) // view→view, other user
+      .toDF("event_id", "ts", "user_id", "event_type")
+    val out = TemporalOps.sessionTransitionsOn(events)
+      .select("from_type", "to_type", "n_transitions").collect()
+    assert(out.toSeq === Seq(
+      Row("purchase", "click", 1L),
+      Row("view", "click", 1L),
+      Row("view", "view", 1L)))
+  }
+
   test("range join keeps zero-click incidents with 0 counts") {
     val events = Seq(
       (1L, ts("2024-01-01 00:00:00"), 1L, "error", 0.0),
