@@ -169,10 +169,51 @@ object SearchOps {
       .limit(topK)
   }
 
+  // ---- q83: bigram language-model counts -----------------------------------
+
+  /** q83: bigram language-model table — adjacent token pairs with counts
+    * and the conditional next-token probability P(to|from), the classic
+    * n-gram LM / autocomplete / perplexity-filter primitive. Top-100 by
+    * count, deterministically tie-broken.
+    *
+    * Determinism: P(to|from) is ONE division of two exact integer counts —
+    * no accumulated float math anywhere, so no rounding shim is needed.
+    *
+    * Scale: bigrams are generated per row with `zip_with` over the token
+    * array (shuffle-free; no positional self-join), so the only shuffled
+    * data is the contracted (from, to) count table; the denominator
+    * attaches with a window over `from_tok` — group sizes bounded by
+    * vocabulary, never by corpus. The cut is TakeOrderedAndProject.
+    */
+  def bigramLm(s: SparkSession, dir: String): DataFrame =
+    bigramLmOn(docs(s, dir), 100)
+
+  /** `docsDf` needs (text). */
+  def bigramLmOn(docsDf: DataFrame, topK: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val n = size(col("toks"))
+    val bg = docsDf.withColumn("toks", toks)
+      .filter(n >= 2)
+      .select(explode(zip_with(
+        slice(col("toks"), lit(1), n - 1),
+        slice(col("toks"), lit(2), n - 1),
+        (a, b) => struct(a.as("from_tok"), b.as("to_tok")))).as("p"))
+      .select(col("p.from_tok"), col("p.to_tok"))
+    val counts = bg.groupBy("from_tok", "to_tok")
+      .agg(count(lit(1)).as("n_pairs"))
+    counts
+      .withColumn("from_total",
+        sum("n_pairs").over(Window.partitionBy("from_tok")))
+      .withColumn("p_next", col("n_pairs") / col("from_total"))
+      .orderBy(col("n_pairs").desc, col("from_tok").asc, col("to_tok").asc)
+      .limit(topK)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q79_inverted_index" -> invertedIndex,
     "q80_token_cooccurrence" -> tokenCooccurrence,
-    "q81_bm25_search" -> bm25Search)
+    "q81_bm25_search" -> bm25Search,
+    "q83_bigram_lm" -> bigramLm)
 
   val oracle: Map[String, String] = Map(
     "q79_inverted_index" ->
@@ -219,5 +260,19 @@ object SearchOps {
          |SELECT doc_id, $tfNames, ${bm25Expr(Q81Terms.size)} AS bm25
          |FROM per_doc, dfs, stats
          |ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin
-    })
+    },
+    "q83_bigram_lm" ->
+      """WITH d AS (SELECT string_split(trim(text), ' ') AS toks
+        |  FROM documents),
+        |bg AS (SELECT unnest(list_zip(toks[1:len(toks)-1],
+        |    toks[2:len(toks)])) AS p FROM d WHERE len(toks) >= 2),
+        |counts AS (SELECT p[1] AS from_tok, p[2] AS to_tok,
+        |    count(*) AS n_pairs FROM bg GROUP BY from_tok, to_tok)
+        |SELECT from_tok, to_tok, n_pairs,
+        |  CAST(sum(n_pairs) OVER (PARTITION BY from_tok) AS BIGINT)
+        |    AS from_total,
+        |  n_pairs / CAST(sum(n_pairs) OVER (PARTITION BY from_tok)
+        |    AS BIGINT) AS p_next
+        |FROM counts
+        |ORDER BY n_pairs DESC, from_tok, to_tok LIMIT 100""".stripMargin)
 }

@@ -1,0 +1,137 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** One typed event on the wire (events-table shape, minus payload). */
+case class TypedEvent(event_type: String, event_id: Long, tsMicros: Long)
+
+/** Per-metric detector state: the still-open minute bucket plus the EWMA
+  * baseline learned from every CLOSED minute so far.
+  */
+case class EwmaState(openMinute: Long, openCount: Long,
+    mean: Double, variance: Double, nClosed: Long)
+
+/** One scored minute — the streaming twin of a q75_anomaly_zscore row
+  * (EWMA baseline instead of a trailing window; same dense-series
+  * semantics: silent minutes score as explicit zeros).
+  */
+case class ScoredMinute(event_type: String, minuteMicros: Long,
+    n_events: Long, z: Option[Double], is_anomaly: Option[Boolean])
+
+/** Streaming anomaly detection — the incremental twin of the batch q75
+  * scan. Per event type, minute buckets close as later events arrive; each
+  * closed minute is z-scored against an exponentially-weighted baseline
+  * (mean + variance) and then folded into it. Gap minutes between events
+  * are closed as ZERO-count minutes, exactly like q74's dense gap-filled
+  * spine — an EWMA that never sees the quiet minutes would learn the wrong
+  * baseline.
+  *
+  * Why custom state: a trailing-window z-score needs the last N closed
+  * buckets per key; chaining a windowed aggregation into a second stateful
+  * operator is unsupported after aggregation, and keeping N buckets per key
+  * is exactly the state the EWMA recursion compresses to two doubles. State
+  * per key is ONE small case class — bounded by the metric universe, not
+  * history.
+  *
+  * Scale: the shuffle keys on event_type here (the testdata's metric
+  * space); in production the group key is the full metric identity
+  * (entity × type), giving millions of groups. Warm-up minutes
+  * (fewer than [[AnomalyPipeline.Warmup]] closed minutes) and flat-history
+  * minutes (zero variance) emit null z — no fake scores, matching q75.
+  *
+  * Ordering: like [[SessionPipeline.sessionize]], events must arrive in
+  * event-time order per key across triggers (produce-time ordering); the
+  * buffered-until-watermark pattern of `sessionizeBuffered` composes the
+  * same way here if the feed reorders.
+  */
+object AnomalyPipeline {
+
+  val MinuteUs: Long = 60L * 1000000L
+
+  /** EWMA smoothing factor (weight of the newest closed minute). */
+  val Alpha: Double = 0.125
+
+  /** Closed minutes before z-scores are emitted. */
+  val Warmup: Long = 30L
+
+  /** Score one closed minute against the state's baseline, then absorb it
+    * (Welford-style EWMA update: mean' = mean + a·d; var' = (1−a)·(var +
+    * a·d²)). Shared by the streaming operator and the test's batch fold.
+    */
+  private[streaming] def closeMinute(eventType: String, minute: Long,
+      count: Long, st: EwmaState): (ScoredMinute, EwmaState) = {
+    val z = if (st.nClosed >= Warmup && st.variance > 0.0)
+      Some((count.toDouble - st.mean) / math.sqrt(st.variance))
+    else None
+    val d = count.toDouble - st.mean
+    val next = st.copy(
+      mean = st.mean + Alpha * d,
+      variance = (1.0 - Alpha) * (st.variance + Alpha * d * d),
+      nClosed = st.nClosed + 1)
+    (ScoredMinute(eventType, minute, count, z, z.map(v => math.abs(v) > 3.0)),
+      next)
+  }
+
+  /** Fold a batch of one key's events into the detector state, emitting a
+    * scored row per minute that closed (silent minutes close as zeros).
+    */
+  private def foldEvents(eventType: String, evs: Iterator[TypedEvent],
+      st: GroupState[EwmaState]): Iterator[ScoredMinute] = {
+    val out = Seq.newBuilder[ScoredMinute]
+    var state = st.getOption.getOrElse(
+      EwmaState(Long.MinValue, 0L, 0.0, 0.0, 0L))
+    evs.toSeq.sortBy(e => (e.tsMicros, e.event_id)).foreach { e =>
+      val m = Math.floorDiv(e.tsMicros, MinuteUs)
+      if (state.openMinute == Long.MinValue)
+        state = state.copy(openMinute = m, openCount = 1L)
+      else if (m == state.openMinute)
+        state = state.copy(openCount = state.openCount + 1L)
+      else {
+        // close the open minute, then every silent minute up to m
+        var cur = state
+        var minute = cur.openMinute
+        var count = cur.openCount
+        while (minute < m) {
+          val (row, next) = closeMinute(eventType, minute * MinuteUs,
+            count, cur)
+          out += row
+          cur = next
+          minute += 1
+          count = 0L // minutes between events closed as zeros
+        }
+        state = cur.copy(openMinute = m, openCount = 1L)
+      }
+    }
+    st.update(state)
+    out.result().iterator
+  }
+
+  /** The streaming detector: one EWMA state per event type, scored rows in
+    * append mode as minutes close.
+    */
+  def detect(events: Dataset[TypedEvent])(
+      implicit spark: SparkSession): Dataset[ScoredMinute] = {
+    import spark.implicits._
+    events
+      .groupByKey(_.event_type)
+      .flatMapGroupsWithState[EwmaState, ScoredMinute](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (k: String, evs: Iterator[TypedEvent], st: GroupState[EwmaState]) =>
+          foldEvents(k, evs, st)
+      }
+  }
+
+  /** Batch reference fold (same algorithm over an in-memory series) — the
+    * test oracle for [[detect]].
+    */
+  private[graft] def batchFold(eventType: String,
+      minuteCounts: Seq[(Long, Long)]): Seq[ScoredMinute] = {
+    var st = EwmaState(Long.MinValue, 0L, 0.0, 0.0, 0L)
+    minuteCounts.flatMap { case (minuteMicros, n) =>
+      val (row, next) = closeMinute(eventType, minuteMicros, n, st)
+      st = next
+      Some(row)
+    }
+  }
+}

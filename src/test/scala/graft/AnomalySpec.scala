@@ -1,0 +1,61 @@
+package graft
+
+import graft.streaming.{AnomalyPipeline, TypedEvent}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+/** Streaming anomaly detector (AnomalyPipeline): MemoryStream in, closed
+  * minutes scored against the EWMA baseline, equal to the batch reference
+  * fold even when events arrive across micro-batches.
+  */
+class AnomalySpec extends SparkSpec {
+
+  import spark.implicits._
+  import AnomalyPipeline.MinuteUs
+
+  /** Deterministic series: minute i carries 2 + i%3 events, minutes 40–44
+    * are silent, minute 80 carries a +50 spike. One trailing event at
+    * minute 101 closes minute 100.
+    */
+  private val counts: Seq[(Long, Long)] = (0L to 100L).map { i =>
+    val base = if (i >= 40 && i <= 44) 0L else 2L + i % 3
+    i -> (if (i == 80) base + 50L else base)
+  }
+
+  private val events: Seq[TypedEvent] = counts.flatMap { case (i, n) =>
+    (0L until n).map(j => TypedEvent("click", i * 1000 + j,
+      i * MinuteUs + j * 1000L))
+  } :+ TypedEvent("click", 999999L, 101L * MinuteUs)
+
+  private val expected = AnomalyPipeline.batchFold("click",
+    counts.map { case (i, n) => (i * MinuteUs, n) })
+
+  test("streaming detector equals the batch fold and flags the spike") {
+    implicit val s = spark
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[TypedEvent]
+    // two micro-batches: state must carry across triggers (split lands
+    // mid-silent-gap so the zero-fill also spans a trigger boundary)
+    val (first, second) = events.span(_.tsMicros < 42 * MinuteUs)
+    val q = AnomalyPipeline.detect(input.toDS())
+      .writeStream.format("memory").queryName("anom").start()
+    input.addData(first)
+    q.processAllAvailable()
+    input.addData(second)
+    q.processAllAvailable()
+    val got = spark.table("anom").as[graft.streaming.ScoredMinute]
+      .collect().sortBy(_.minuteMicros)
+    q.stop()
+    assert(got.toSeq === expected)
+    // two true anomalies: the outage onset (minute 40 drops to zero) and
+    // the spike (minute 80); the rest of the gap is absorbed as the EWMA
+    // variance inflates
+    val flagged = got.filter(_.is_anomaly.contains(true))
+    assert(flagged.map(_.minuteMicros).toSeq ===
+      Seq(40L * MinuteUs, 80L * MinuteUs))
+    // silent minutes surfaced as explicit zero rows
+    assert(got.filter(m => m.minuteMicros >= 40 * MinuteUs &&
+      m.minuteMicros <= 44 * MinuteUs).forall(_.n_events === 0L))
+    // warm-up minutes carry no score
+    assert(got.take(AnomalyPipeline.Warmup.toInt).forall(_.z.isEmpty))
+  }
+}

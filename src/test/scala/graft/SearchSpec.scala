@@ -84,6 +84,22 @@ class SearchSpec extends SparkSpec {
     assert(!score.contains(3L)) // no query term → not retrieved
   }
 
+  test("bigram LM: counts adjacent pairs, P(to|from) sums to 1 per from") {
+    val docs = Seq(
+      (1L, "a b x"), // a→b, b→x
+      (2L, "a b"),   // a→b
+      (3L, "a c"),   // a→c
+      (4L, "solo"))  // <2 tokens: no bigrams
+      .toDF("doc_id", "text")
+    val out = SearchOps.bigramLmOn(docs, topK = 10)
+      .select("from_tok", "to_tok", "n_pairs", "from_total", "p_next")
+      .collect()
+    assert(out.toSeq === Seq(
+      Row("a", "b", 2L, 3L, 2.0 / 3),
+      Row("a", "c", 1L, 3L, 1.0 / 3),
+      Row("b", "x", 1L, 1L, 1.0)))
+  }
+
   test("co-occurrence top-k plans as TakeOrderedAndProject, no global sort") {
     val plan = SearchOps.tokenCooccurrence(spark, sfDir)
       .queryExecution.executedPlan.toString
