@@ -100,6 +100,48 @@ class SearchSpec extends SparkSpec {
       Row("b", "x", 1L, 1L, 1.0)))
   }
 
+  test("bm25 agrees with a naive in-memory model on arbitrary corpora") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val terms = Seq("a", "b")
+    val k1 = 1.2
+    val b = 0.75
+    def naive(docs: Seq[(Long, String)]): Map[Long, Double] = {
+      val toks = docs.map { case (id, t) => id -> t.trim.split(" ", -1).toSeq }
+      val n = docs.size
+      val sumDl = toks.map(_._2.length.toLong).sum
+      val avgdl = sumDl.toDouble / n.toDouble
+      val dfs = terms.map(t => toks.count(_._2.contains(t)).toLong)
+      toks.collect { case (id, ts) if ts.exists(terms.contains) =>
+        val dl = ts.length
+        val score = terms.zip(dfs).map { case (t, df) =>
+          val tf = ts.count(_ == t).toLong
+          // mirrors bm25TermExpr's exact tree, incl. (k1 + 1.0) unfolded
+          math.log((n.toDouble - df.toDouble + 0.5) / (df.toDouble + 0.5)
+            + 1.0) *
+            (tf.toDouble * (k1 + 1.0)) /
+            (tf.toDouble + k1 * (1.0 - b + b * dl.toDouble / avgdl))
+        }.sum
+        id -> BigDecimal(score)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      }.toMap
+    }
+    val docGen = Gen.choose(1, 8).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf("a", "b", "c", "x")).map(_.mkString(" ")))
+    val prop = Prop.forAll(Gen.choose(2, 15).flatMap(n =>
+      Gen.listOfN(n, docGen).map(_.zipWithIndex.map {
+        case (t, i) => (i.toLong, t)
+      }))) { docs =>
+      val got = SearchOps
+        .bm25SearchOn(docs.toDF("doc_id", "text"), terms, docs.size)
+        .select("doc_id", "bm25").collect()
+        .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      got == naive(docs)
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(30), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("co-occurrence top-k plans as TakeOrderedAndProject, no global sort") {
     val plan = SearchOps.tokenCooccurrence(spark, sfDir)
       .queryExecution.executedPlan.toString
