@@ -505,7 +505,49 @@ object CurationOps {
 
   // ---- registration -------------------------------------------------------
 
+  // ---- q84: per-source dataset card ----------------------------------------
+
+  /** q84: the dataset card — the one report a curator runs before signing
+    * off a training mix: per source, document and token volume, language
+    * spread, quality profile (q33's composite, the same definition q48
+    * retains by and q60 keeps by), and exact-duplicate exposure (q36's
+    * normalization) with global duplicates attributed to every source that
+    * carries a copy.
+    *
+    * Scale: three corpus passes, each already scale-shaped — the per-row
+    * quality scoring (regex-free), a norm-keyed count window for duplicate
+    * flags (full key parallelism; text itself never shuffles twice — the
+    * flag join is doc_id-keyed), and the final ≤|sources| aggregation with
+    * map-side partials. Quality average rides the decimal-exact `davg`;
+    * dup_share is one integer division.
+    */
+  def datasetCard(s: SparkSession, dir: String): DataFrame =
+    datasetCardOn(docs(s, dir))
+
+  /** `docsDf` needs (doc_id, source, lang, text). */
+  def datasetCardOn(docsDf: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scored = TextOps.scoredDocsOn(docsDf)
+      .select("doc_id", "source", "lang", "n_tokens", "score")
+    val dupFlags = docsDf
+      .withColumn("norm", DedupOps.normText)
+      .withColumn("n_same", count(lit(1)).over(Window.partitionBy("norm")))
+      .select(col("doc_id"), (col("n_same") > 1).as("is_dup"))
+    scored.join(dupFlags, "doc_id")
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("n_tokens").as("n_tokens"),
+        countDistinct("lang").as("n_langs"),
+        sum(when(col("score") >= 0.55, 1L).otherwise(0L)).as("n_good"),
+        graft.Tables.davg(col("score")).as("avg_quality"),
+        sum(when(col("is_dup"), 1L).otherwise(0L)).as("n_dup_docs"))
+      .withColumn("dup_share", col("n_dup_docs") / col("n_docs"))
+      .orderBy("source")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q84_dataset_card" -> datasetCard,
     "q56_ngram_decontamination" -> ngramDecontamination,
     "q57_embedding_quantization" -> embeddingQuantization,
     "q58_corpus_rebalance" -> corpusRebalance,
@@ -567,6 +609,37 @@ object CurationOps {
   }
 
   val oracle: Map[String, String] = Map(
+    "q84_dataset_card" ->
+      s"""WITH d AS (SELECT doc_id, source, lang, text,
+         |    string_split(trim(text), ' ') AS toks FROM documents),
+         |m AS (SELECT doc_id, source, lang, len(toks) AS n_tokens,
+         |    len(list_distinct(toks)) / len(toks) AS distinct_ratio,
+         |    length(regexp_replace(text, ' ', '', 'g')) / len(toks)
+         |      AS avg_len,
+         |    len(regexp_extract_all(text, '[^a-zA-Z0-9 ]')) AS n_punct
+         |  FROM d),
+         |sc AS (SELECT doc_id, source, lang, n_tokens,
+         |    round(0.4e0 * distinct_ratio
+         |      + 0.3e0 * least(avg_len / 10.0e0, 1.0e0)
+         |      + 0.3e0 * (1.0e0 - n_punct / n_tokens), 6) AS score FROM m),
+         |norms AS (SELECT doc_id,
+         |    regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS norm
+         |  FROM documents),
+         |dupn AS (SELECT norm, count(*) AS n_same FROM norms GROUP BY norm),
+         |flags AS (SELECT n.doc_id, (dupn.n_same > 1) AS is_dup
+         |  FROM norms n JOIN dupn USING (norm))
+         |SELECT source, count(*) AS n_docs,
+         |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+         |  count(DISTINCT lang) AS n_langs,
+         |  CAST(sum(CASE WHEN score >= 0.55e0 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_good,
+         |  ${graft.Tables.sqlDavg("score")} AS avg_quality,
+         |  CAST(sum(CASE WHEN is_dup THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_dup_docs,
+         |  CAST(sum(CASE WHEN is_dup THEN 1 ELSE 0 END) AS BIGINT)
+         |    / count(*) AS dup_share
+         |FROM sc JOIN flags USING (doc_id)
+         |GROUP BY source ORDER BY source""".stripMargin,
     "q67_source_overlap" -> sqlQ67,
     "q65_substring_contamination" ->
       """WITH d AS (SELECT doc_id, source,

@@ -11,6 +11,36 @@ class CurationSpec extends SparkSpec {
 
   import spark.implicits._
 
+  test("dataset card: volumes, quality split, cross-source dup attribution") {
+    import graft.ops.CurationOps
+    val docs = Seq(
+      // srcA: diverse text (good quality), one copy of the shared dup
+      (1L, "srcA", "en", "alpha beta gamma delta epsilon zeta"),
+      (2L, "srcA", "en", "Shared  Boilerplate"), // normalizes to the dup
+      // srcB: the same boilerplate twice (case/ws-insensitive) + one unique
+      (3L, "srcB", "en", "shared boilerplate"),
+      (4L, "srcB", "de", "shared boilerplate"),
+      (5L, "srcB", "en", "x x x x x x x x")) // repetitive → low quality
+      .toDF("doc_id", "source", "lang", "text")
+    val out = CurationOps.datasetCardOn(docs).collect()
+    val bySrc = out.map(r => r.getAs[String]("source") -> r).toMap
+    val a = bySrc("srcA")
+    assert(a.getAs[Long]("n_docs") === 2L)
+    // 6 + 3: the double space yields an empty token under the corpus's
+    // single-space split convention
+    assert(a.getAs[Long]("n_tokens") === 9L)
+    assert(a.getAs[Long]("n_langs") === 1L)
+    assert(a.getAs[Long]("n_dup_docs") === 1L) // the shared boilerplate copy
+    assert(a.getAs[Double]("dup_share") === 0.5)
+    val b = bySrc("srcB")
+    assert(b.getAs[Long]("n_docs") === 3L)
+    assert(b.getAs[Long]("n_langs") === 2L)
+    assert(b.getAs[Long]("n_dup_docs") === 2L) // both copies flagged
+    // the diverse doc scores 'good'; the x-run does not
+    assert(a.getAs[Long]("n_good") >= 1L)
+    assert(b.getAs[Double]("avg_quality") < a.getAs[Double]("avg_quality"))
+  }
+
   test("ngram decontamination flags 5-gram overlap, not shorter overlap") {
     val docs = Seq(
       // benchmark doc: one 6-token text → two 5-grams
