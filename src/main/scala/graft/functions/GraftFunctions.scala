@@ -32,6 +32,9 @@ object GraftFunctions {
     "graft_minhash_band_keys" ->
       (es => MinHashBandKeys(es.head, intArg("graft_minhash_band_keys", es, 1))),
     "graft_simhash64" -> (es => SimHash64(es.head)),
+    "graft_min_k" ->
+      (es => MinKLongs(es.head, intArg("graft_min_k", es, 1))
+        .toAggregateExpression()),
     "graft_vec_dot" -> (es => VecDot(es.head, es(1))),
     "graft_code_points" -> (es => CodePoints(es.head)))
 

@@ -33,18 +33,39 @@ object SearchOps {
     *
     * Scale: tokens first contract to (token, doc_id, tf) — keyed by the
     * (token, doc) pair, so even a stopword's rows spread across the
-    * cluster. The lexicon stats are one further keyed aggregation. The
-    * capped posting head does NOT collect_list the group (a stopword's
-    * group is the corpus): it rides the two-phase salted top-k
-    * ([[ScaleOps.topKPerGroup]]) — every task buffers at most
-    * `cap · salts` rows per token — and only then collapses ≤cap survivors
-    * to a string.
+    * cluster. Everything else is ONE token-keyed aggregation: the posting
+    * head rides the native bounded top-k aggregate
+    * ([[graft.functions.MinKLongs]] — O(cap) heap per group, associative
+    * partial merge, ObjectHashAggregate with map-side combine), so a
+    * stopword's corpus-sized posting group never exceeds `cap` values in
+    * any buffer and the df/cf stats come for free in the same pass.
+    * [[invertedIndexWindowedOn]] is the built-ins-only twin (two-phase
+    * salted top-k window); SearchSpec pins the two equal.
     */
   def invertedIndex(s: SparkSession, dir: String): DataFrame =
     invertedIndexOn(docs(s, dir), PostingCap)
 
   /** `docsDf` needs (doc_id, text). */
   def invertedIndexOn(docsDf: DataFrame, cap: Int): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(docsDf.sparkSession)
+    docsDf
+      .select(col("doc_id"), explode(toks).as("token"))
+      .groupBy("token", "doc_id")
+      .agg(count(lit(1)).as("tf"))
+      .groupBy("token")
+      .agg(count(lit(1)).as("df"), sum("tf").as("cf"),
+        expr(s"array_join(transform(graft_min_k(doc_id, $cap), " +
+          "x -> cast(x AS string)), ',')").as("postings"))
+      .orderBy("token")
+  }
+
+  /** Built-ins-only formulation of [[invertedIndexOn]]: posting heads via
+    * the two-phase salted top-k window ([[ScaleOps.topKPerGroup]] — every
+    * task buffers at most `cap · salts` rows per token), then a join back
+    * onto the lexicon stats. Same output; one extra exchange + window pass
+    * vs the native aggregate.
+    */
+  def invertedIndexWindowedOn(docsDf: DataFrame, cap: Int): DataFrame = {
     val perDoc = docsDf
       .select(col("doc_id"), explode(toks).as("token"))
       .groupBy("token", "doc_id")

@@ -29,6 +29,44 @@ class FunctionsSpec extends SparkSpec {
     }
   }
 
+  test("graft_min_k keeps the k smallest, skips nulls, merges partials") {
+    // force many partitions so partial buffers must serialize and merge
+    val df = spark.range(1000).select(
+      (col("id") % 7).as("g"),
+      when(col("id") % 13 === 0, lit(null).cast("long"))
+        .otherwise((col("id") * 48271L) % 1009L).as("v"))
+      .repartition(8)
+    val got = df.groupBy("g")
+      .agg(expr("graft_min_k(v, 5)").as("mk"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val naive = df.collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getLong(1))))
+      .groupBy(_._1)
+      .map { case (g, vs) => g -> vs.flatMap(_._2).sorted.take(5).toSeq }
+    naive.foreach { case (g, want) => assert(got(g) === want, s"group $g") }
+  }
+
+  test("graft_min_k: empty/all-null group yields an empty array") {
+    val r = spark.sql(
+      "SELECT graft_min_k(v, 3) FROM (SELECT CAST(NULL AS BIGINT) v)")
+      .head().getSeq[Long](0)
+    assert(r === Seq.empty[Long])
+  }
+
+  test("graft_min_k agrees with sorted-take on arbitrary data") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val prop = Prop.forAll(
+      Gen.nonEmptyListOf(Gen.choose(-1000L, 1000L)),
+      Gen.choose(1, 8)) { (vs, k) =>
+      val got = vs.toDF("v").repartition(4)
+        .agg(expr(s"graft_min_k(v, $k)")).head().getSeq[Long](0)
+      got == vs.sorted.take(k)
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(25), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("registered functions are callable from SQL text") {
     val r = spark.sql(
       """SELECT graft_vec_dot(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d,

@@ -47,6 +47,14 @@ class SearchSpec extends SparkSpec {
     assert(got.exceptAll(naive).isEmpty && naive.exceptAll(got).isEmpty)
   }
 
+  test("native-aggregate index equals the salted-window formulation") {
+    val docs = Tables.t(spark, sfDir, "documents")
+    val agg = SearchOps.invertedIndexOn(docs, cap = 3)
+    val win = SearchOps.invertedIndexWindowedOn(docs, cap = 3)
+    assert(agg.count() === win.count())
+    assert(agg.exceptAll(win).isEmpty && win.exceptAll(agg).isEmpty)
+  }
+
   test("co-occurrence counts each document once and normalizes pair order") {
     val docs = Seq(
       (1L, "b a b a"), // duplicates inside a doc count once
