@@ -23,7 +23,7 @@ object SparkEntry {
       ops.TextOps.queries ++ ops.DedupOps.queries ++
       ops.SimilarityOps.queries ++ ops.MultimodalOps.queries ++
       ops.TemporalOps.queries ++ ops.CurationOps.queries ++
-      ops.SearchOps.queries
+      ops.SearchOps.queries ++ ops.StatOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys → weaker rows-only check.
@@ -33,5 +33,5 @@ object SparkEntry {
       ops.TextOps.oracle ++ ops.DedupOps.oracle ++
       ops.SimilarityOps.oracle ++ ops.MultimodalOps.oracle ++
       ops.TemporalOps.oracle ++ ops.CurationOps.oracle ++
-      ops.SearchOps.oracle
+      ops.SearchOps.oracle ++ ops.StatOps.oracle
 }

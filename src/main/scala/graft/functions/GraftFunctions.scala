@@ -36,7 +36,11 @@ object GraftFunctions {
       (es => MinKLongs(es.head, intArg("graft_min_k", es, 1))
         .toAggregateExpression()),
     "graft_vec_dot" -> (es => VecDot(es.head, es(1))),
-    "graft_code_points" -> (es => CodePoints(es.head)))
+    "graft_code_points" -> (es => CodePoints(es.head)),
+    "graft_bloom_agg" ->
+      (es => BloomLongs(es.head, intArg("graft_bloom_agg", es, 1),
+        intArg("graft_bloom_agg", es, 2)).toAggregateExpression()),
+    "graft_bloom_contains" -> (es => BloomMightContain(es.head, es(1))))
 
   /** Idempotently register all graft functions into `spark`'s registry. */
   def ensureRegistered(spark: SparkSession): Unit = {

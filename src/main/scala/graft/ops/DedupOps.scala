@@ -505,13 +505,78 @@ object DedupOps {
       .orderBy("lang")
   }
 
+  /** How many bits / probes the q90 registration pins (the function needs
+    * literal args). Sizing rule: nBits ≈ 10 bits per expected key gives
+    * ~1% false positives at k = 7; FPs only cost confirm-join work, never
+    * correctness.
+    */
+  private[ops] val BloomBits = 1 << 17
+  private[ops] val BloomK = 7
+
+  /** Per-source leakage profile, computed through the bloom-pruned
+    * decontamination pipeline (the reverse direction of q49: which TRAIN
+    * documents also appear in eval — the rows that must be dropped before
+    * training). Semantically identical to a plain exact semi-join; the
+    * bloom changes WHERE the work happens:
+    *
+    *   1. one pass over the small (eval) side folds its distinct norm keys
+    *      into a [[graft.functions.BloomLongs]] filter — partials are byte
+    *      arrays, merged by OR, so the build is one ordinary aggregation;
+    *   2. the single-row filter broadcasts (like q40's query vector — it
+    *      never lands on the driver) and the big train side keeps only
+    *      rows with `graft_bloom_contains(filter, xxhash64(norm))` — a
+    *      codegen'd per-row bit test;
+    *   3. only the surviving candidates (true matches + ~1% false
+    *      positives — the filter has NO false negatives) pay the exact
+    *      confirm semi-join shuffle.
+    *
+    * At 100 TB of train data the pre-filter cuts the confirm join's
+    * shuffle from the full corpus to just above the true-leak volume, and
+    * the filter bytes can be persisted and reused by every later batch
+    * (this is Spark's own InjectRuntimeFilter pattern, made explicit and
+    * cross-job). DedupSpec pins the result to the bloom-free exact join.
+    */
+  def bloomLeakProfile(s: SparkSession, dir: String): DataFrame =
+    bloomLeakProfileOn(docs(s, dir))
+
+  /** `docsDf` needs (doc_id, source, text). */
+  def bloomLeakProfileOn(docsDf: DataFrame,
+      nBits: Int = BloomBits, k: Int = BloomK): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(docsDf.sparkSession)
+    val d = docsDf
+      .withColumn("norm", normText)
+      .withColumn("split",
+        when((col("doc_id") * 48271L + 7L) % 100L < 90L, "train")
+          .otherwise("eval"))
+    val evalNorms = d.filter(col("split") === "eval")
+      .select("norm").distinct()
+    val filter = broadcast(evalNorms
+      .agg(expr(s"graft_bloom_agg(xxhash64(norm), $nBits, $k)")
+        .as("bloom")))
+    val train = d.filter(col("split") === "train")
+      .select("source", "norm")
+    val candidates = train.crossJoin(filter)
+      .filter(expr("graft_bloom_contains(bloom, xxhash64(norm))"))
+      .drop("bloom")
+    val leaked = candidates.join(evalNorms, Seq("norm"), "left_semi")
+      .groupBy("source").agg(count(lit(1)).as("n_leaked"))
+    train.groupBy("source").agg(count(lit(1)).as("n_train"))
+      .join(leaked, Seq("source"), "left")
+      .select(col("source"), col("n_train"),
+        coalesce(col("n_leaked"), lit(0L)).as("n_leaked"),
+        round(coalesce(col("n_leaked"), lit(0L)) * lit(100.0)
+          / col("n_train"), 2).as("leak_pct"))
+      .orderBy("source")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q36_exact_dedup" -> exactDedup,
     "q37_jaccard_pairs" -> jaccardPairs,
     "q38_minhash_lsh_pairs" -> minhashLshPairs,
     "q39_simhash_pairs" -> simhashPairs,
     "q46_dedup_clusters" -> dedupClusters,
-    "q49_contamination" -> contamination)
+    "q49_contamination" -> contamination,
+    "q90_bloom_decontamination" -> bloomLeakProfile)
 
   /** Shared SQL fragment: the portable token fingerprint (rolling hash over
     * Unicode code points mod 1e9+7 — DuckDB `unicode()` ≡ graft_code_points).
@@ -630,6 +695,25 @@ object DedupOps {
         |    * CAST(100 AS DOUBLE) / count(*), 2) AS contaminated_pct
         |FROM ev LEFT JOIN c ON ev.lang = c.lang
         |GROUP BY ev.lang ORDER BY ev.lang""".stripMargin,
+    // the bloom is an executor-side pre-filter with no false negatives, so
+    // the reference semantics are the plain exact semi-join below
+    "q90_bloom_decontamination" ->
+      """WITH d AS (SELECT doc_id, source,
+        |  regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm,
+        |  CASE WHEN (doc_id * 48271 + 7) % 100 < 90 THEN 'train'
+        |       ELSE 'eval' END AS split
+        |  FROM documents),
+        |ev AS (SELECT DISTINCT norm FROM d WHERE split = 'eval'),
+        |tr AS (SELECT source, norm FROM d WHERE split = 'train'),
+        |lk AS (SELECT source, count(*) AS n_leaked FROM tr
+        |  WHERE EXISTS (SELECT 1 FROM ev WHERE ev.norm = tr.norm)
+        |  GROUP BY source)
+        |SELECT tr.source, count(*) AS n_train,
+        |  coalesce(any_value(lk.n_leaked), 0) AS n_leaked,
+        |  round(coalesce(any_value(lk.n_leaked), 0)
+        |    * CAST(100 AS DOUBLE) / count(*), 2) AS leak_pct
+        |FROM tr LEFT JOIN lk ON tr.source = lk.source
+        |GROUP BY tr.source ORDER BY tr.source""".stripMargin,
     "q36_exact_dedup" ->
       """SELECT count(*) AS n_docs,
         |  count(DISTINCT regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))

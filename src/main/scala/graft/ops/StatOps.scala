@@ -1,0 +1,225 @@
+package graft.ops
+
+import graft.Tables
+import graft.Tables.{dsum, sqlDsum}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Distribution / set-algebra analytics over the events stream — the
+  * dashboard-style statistics layer (reference: dashboard.py's KPI panels)
+  * generalized to the SQL surface a warehouse user expects: equal-frequency
+  * deciles (NTILE), correlated-subquery filters, bag set operations
+  * (EXCEPT / INTERSECT), and equal-width histograms.
+  *
+  * Scale discipline: nothing here runs a single-task global sort. The
+  * exact global NTILE — the one operator that *looks* like it needs one —
+  * is computed with the classic distributed-ranking decomposition
+  * (range-repartition, per-partition local ranks, a ≤|partitions|-row
+  * offset ladder), so every stage is as parallel as the shuffle width.
+  */
+object StatOps {
+
+  private def ev(s: SparkSession, dir: String): DataFrame =
+    Tables.t(s, dir, "events")
+
+  /** Exact decimal cast for `value` (2-dp prices): predicate arithmetic on
+    * it is bit-exact and engine-portable, unlike float comparisons.
+    */
+  private val Dec6 = DecimalType(18, 6)
+
+  // ---------------------------------------------------------------- q85
+
+  /** q85: equal-frequency deciles of event value — exact global
+    * `NTILE(10) OVER (ORDER BY value, event_id)` plus per-decile stats.
+    *
+    * A literal window would be `Window.orderBy(...)` with NO partition
+    * key: one task sorts the whole table (Spark even warns). Instead the
+    * global rank is assembled from parallel pieces:
+    *
+    *   1. `repartitionByRange(value, event_id)` — partition p holds keys
+    *      strictly below partition p+1 (total order across partitions).
+    *   2. `row_number` partitioned by `spark_partition_id()` — each
+    *      partition sorts only its own slice, all in parallel.
+    *   3. global rank = local rank + offset(pid), where the offset ladder
+    *      is a running sum over the ≤|partitions| per-pid counts — a
+    *      single-partition window over a HANDFUL of rows, not the data.
+    *   4. NTILE's bucket rule from the rank in pure integer arithmetic.
+    *
+    * Every stage is bounded: the only single-task step touches one row
+    * per shuffle partition. This is how a 100 TB global rank/ntile has to
+    * run; StatSpec pins it row-for-row to Spark's built-in `ntile`.
+    */
+  def valueDeciles(s: SparkSession, dir: String): DataFrame =
+    decileSummaryOn(ev(s, dir), k = 10)
+
+  /** `df` needs (event_id, value). Emits one row per non-empty tile. */
+  def decileSummaryOn(df: DataFrame, k: Int): DataFrame =
+    withNtileOn(df.select(col("event_id"), col("value")), k)
+      .groupBy(col("tile").as("decile"))
+      .agg(count(lit(1)).as("n"),
+        min("value").as("min_v"), max("value").as("max_v"),
+        dsum(col("value")).as("total_v"))
+      .orderBy("decile")
+
+  /** The distributed exact-NTILE kernel: input rows plus a `tile` column
+    * (1-based), totally ordered by `(value, event_id)`. Exposed for reuse
+    * and for StatSpec's equivalence proof against the built-in window.
+    */
+  def withNtileOn(df: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, s"ntile k must be >= 1, got $k")
+    val ranged = df
+      .repartitionByRange(col("value"), col("event_id"))
+      .withColumn("pid", spark_partition_id())
+    // per-partition counts -> running-sum offset ladder (+ grand total n).
+    // The orderBy-only window is safe HERE: it sees one row per shuffle
+    // partition (tens), never the data itself.
+    val counts = ranged.groupBy("pid").agg(count(lit(1)).as("cnt"))
+    val offs = counts
+      .withColumn("off",
+        coalesce(sum("cnt").over(Window.orderBy("pid")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("n", sum("cnt").over())
+      .select("pid", "off", "n")
+    // local rank within each range partition + offset = exact global rank
+    val ranked = ranged
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("pid").orderBy("value", "event_id")))
+      .join(broadcast(offs), "pid")
+      .withColumn("r", col("off") + col("rn"))
+    // NTILE bucket rule, integer-exact: with n rows and k tiles the first
+    // n%k tiles hold n/k+1 rows, the rest n/k. (CASE short-circuits, so
+    // the `div qq` arm never evaluates when qq = 0, i.e. n < k.)
+    ranked
+      .withColumn("qq", expr(s"n div $k"))
+      .withColumn("rem", expr(s"n % $k"))
+      .withColumn("cut", expr("rem * (qq + 1)"))
+      .withColumn("tile", expr(
+        """CASE WHEN r <= cut THEN (r + qq) div (qq + 1)
+          |     ELSE rem + (r - cut + qq - 1) div qq END""".stripMargin))
+      .drop("pid", "rn", "off", "qq", "rem", "cut")
+  }
+
+  // ---------------------------------------------------------------- q86
+
+  /** q86: events strictly above their own type's mean value — the
+    * canonical correlated scalar subquery
+    * (`WHERE value > (SELECT avg(value) ... WHERE type = e.type)`),
+    * decorrelated the way an optimizer does: one tiny per-type aggregate,
+    * broadcast back onto the fact table. One scan + one broadcast join;
+    * no per-row subquery execution.
+    *
+    * Determinism: `value > avg` compares a float against an
+    * order-dependent float sum. The predicate here is the algebraically
+    * equal `value * n > sum` over EXACT decimals — both engines (and any
+    * aggregation order) agree on every boundary row.
+    */
+  def aboveTypeAverage(s: SparkSession, dir: String): DataFrame =
+    aboveTypeAverageOn(ev(s, dir))
+
+  /** `df` needs (event_type, value). */
+  def aboveTypeAverageOn(df: DataFrame): DataFrame = {
+    val stats = df.groupBy("event_type").agg(
+      count(lit(1)).cast(DecimalType(12, 0)).as("n_t"),
+      sum(col("value").cast(Dec6)).as("tot_t"))
+    df.join(broadcast(stats), "event_type")
+      .filter(col("value").cast(Dec6) * col("n_t") > col("tot_t"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_above"), dsum(col("value")).as("sum_above"))
+      .orderBy("event_type")
+  }
+
+  // ---------------------------------------------------------------- q87
+
+  /** q87: audience set algebra — of the distinct users who ever viewed,
+    * how many never purchased (EXCEPT) vs also purchased (INTERSECT).
+    * Both set ops reduce to hash-partitioned distinct + anti/semi joins
+    * on user_id: linear, no driver materialization, skew-safe under AQE.
+    */
+  def viewerSegments(s: SparkSession, dir: String): DataFrame =
+    viewerSegmentsOn(ev(s, dir))
+
+  /** `df` needs (user_id, event_type). */
+  def viewerSegmentsOn(df: DataFrame): DataFrame = {
+    val viewers = df.filter(col("event_type") === "view")
+      .select("user_id").distinct()
+    val buyers = df.filter(col("event_type") === "purchase")
+      .select("user_id").distinct()
+    val viewOnly = viewers.except(buyers)
+      .agg(count(lit(1)).as("n_users")).select(
+        lit("view_only").as("segment"), col("n_users"))
+    val both = viewers.intersect(buyers)
+      .agg(count(lit(1)).as("n_users")).select(
+        lit("view_and_purchase").as("segment"), col("n_users"))
+    viewOnly.unionAll(both).orderBy("segment")
+  }
+
+  // ---------------------------------------------------------------- q88
+
+  /** q88: equal-width value histogram (25.0-wide bins) — the pairing of
+    * q85's equal-frequency cut. Pure map + ≤|bins| group agg; the bin id
+    * comes from integer cents (`round(value*100) div 2500`), so bucket
+    * edges are exact in both engines (float `floor(value/25)` would ride
+    * on division rounding).
+    */
+  def valueHistogram(s: SparkSession, dir: String): DataFrame =
+    valueHistogramOn(ev(s, dir))
+
+  /** `df` needs (value). */
+  def valueHistogramOn(df: DataFrame): DataFrame =
+    df.withColumn("cents", round(col("value") * 100).cast("long"))
+      .withColumn("bin", expr("cents div 2500"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n"),
+        min("value").as("min_v"), max("value").as("max_v"),
+        dsum(col("value")).as("total_v"))
+      .withColumn("bin_lo", (col("bin") * 25).cast("double"))
+      .select("bin", "bin_lo", "n", "min_v", "max_v", "total_v")
+      .orderBy("bin")
+
+  // ------------------------------------------------------------ registry
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q85_value_deciles" -> valueDeciles,
+    "q86_above_type_average" -> aboveTypeAverage,
+    "q87_viewer_segments" -> viewerSegments,
+    "q88_value_histogram" -> valueHistogram)
+
+  val oracle: Map[String, String] = Map(
+    "q85_value_deciles" ->
+      s"""WITH t AS (SELECT CAST(ntile(10) OVER (ORDER BY value, event_id)
+         |    AS BIGINT) AS decile, value FROM events)
+         |SELECT decile, count(*) AS n, min(value) AS min_v,
+         |  max(value) AS max_v, ${sqlDsum("value")} AS total_v
+         |FROM t GROUP BY decile ORDER BY decile""".stripMargin,
+    "q86_above_type_average" ->
+      s"""WITH s AS (SELECT event_type,
+         |    CAST(count(*) AS DECIMAL(12,0)) AS n_t,
+         |    sum(CAST(value AS DECIMAL(18,6))) AS tot_t
+         |  FROM events GROUP BY event_type)
+         |SELECT e.event_type, count(*) AS n_above,
+         |  ${sqlDsum("e.value")} AS sum_above
+         |FROM events e JOIN s USING (event_type)
+         |WHERE CAST(e.value AS DECIMAL(18,6)) * n_t > tot_t
+         |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin,
+    "q87_viewer_segments" ->
+      """WITH v AS (SELECT DISTINCT user_id FROM events
+        |    WHERE event_type = 'view'),
+        |p AS (SELECT DISTINCT user_id FROM events
+        |    WHERE event_type = 'purchase')
+        |SELECT 'view_only' AS segment, count(*) AS n_users
+        |  FROM (SELECT user_id FROM v EXCEPT SELECT user_id FROM p)
+        |UNION ALL
+        |SELECT 'view_and_purchase' AS segment, count(*) AS n_users
+        |  FROM (SELECT user_id FROM v INTERSECT SELECT user_id FROM p)
+        |ORDER BY segment""".stripMargin,
+    "q88_value_histogram" ->
+      s"""WITH b AS (SELECT value,
+         |    CAST(round(value * 100) AS BIGINT) // 2500 AS bin
+         |  FROM events)
+         |SELECT bin, CAST(bin * 25 AS DOUBLE) AS bin_lo, count(*) AS n,
+         |  min(value) AS min_v, max(value) AS max_v,
+         |  ${sqlDsum("value")} AS total_v
+         |FROM b GROUP BY bin ORDER BY bin""".stripMargin)
+}

@@ -1,0 +1,108 @@
+package graft
+
+import graft.functions.{Bloom, GraftFunctions}
+import graft.ops.DedupOps
+import org.apache.spark.sql.functions._
+
+/** Semantics of the distributed bloom filter (functions/bloom.scala) and
+  * the bloom-pruned decontamination pipeline built on it (q90).
+  */
+class BloomSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("no false negatives: every inserted key is reported present") {
+    val keys = (1L to 5000L).map(i => Bloom.mix64(i * 31 + 7))
+    val df = keys.toDF("k")
+    GraftFunctions.ensureRegistered(spark)
+    val bf = df.agg(expr("graft_bloom_agg(k, 65536, 7)").as("b"))
+      .head().getAs[Array[Byte]]("b")
+    assert(keys.forall(Bloom.mightContain(bf, _)))
+  }
+
+  test("false-positive rate is near the design point, never 100%") {
+    GraftFunctions.ensureRegistered(spark)
+    // 5000 keys in 2^16 bits = 13 bits/key -> well under 1% FPs at k=7
+    val bf = (1L to 5000L).toDF("k")
+      .agg(expr("graft_bloom_agg(k, 65536, 7)").as("b"))
+      .head().getAs[Array[Byte]]("b")
+    val fps = (1_000_001L to 1_010_000L).count(Bloom.mightContain(bf, _))
+    assert(fps < 100, s"expected <1% false positives, got $fps/10000")
+  }
+
+  test("filter bytes are partitioning-invariant (OR-merge is commutative)") {
+    GraftFunctions.ensureRegistered(spark)
+    def build(parts: Int): Array[Byte] =
+      (1L to 2000L).toDF("k").repartition(parts)
+        .agg(expr("graft_bloom_agg(k, 4096, 5)").as("b"))
+        .head().getAs[Array[Byte]]("b")
+    assert(java.util.Arrays.equals(build(1), build(7)))
+  }
+
+  test("empty input yields a filter that contains nothing") {
+    GraftFunctions.ensureRegistered(spark)
+    val bf = Seq.empty[Long].toDF("k")
+      .agg(expr("graft_bloom_agg(k, 1024, 4)").as("b"))
+      .head().getAs[Array[Byte]]("b")
+    assert((1L to 100L).forall(!Bloom.mightContain(bf, _)))
+  }
+
+  test("bloom_contains survives whole-stage codegen with fallback disabled") {
+    val strict = spark.newSession()
+    strict.conf.set("spark.sql.codegen.fallback", "false")
+    GraftFunctions.ensureRegistered(strict)
+    val bf = Bloom.empty(1024, 3)
+    Bloom.add(bf, 1024, 3, 42L)
+    import strict.implicits._
+    val hits = strict.range(1, 100).toDF("id")
+      .withColumn("b", lit(bf))
+      .filter(expr("graft_bloom_contains(b, id)"))
+      .select("id").as[Long].collect()
+    assert(hits.contains(42L)) // present key always survives
+    assert(hits.length < 20) // and the sparse filter rejects most others
+  }
+
+  test("non-literal nBits/k arguments are rejected, not mis-planned") {
+    GraftFunctions.ensureRegistered(spark)
+    val e = intercept[Exception] {
+      spark.sql("SELECT graft_bloom_agg(id, id, 3) FROM range(5)").collect()
+    }
+    assert(e.getMessage.toLowerCase.contains("literal"), e.getMessage)
+  }
+
+  test("q90 bloom-pruned pipeline equals the bloom-free exact semi-join") {
+    val docs = Tables.t(spark, sfDir, "documents")
+    val got = DedupOps.bloomLeakProfileOn(docs)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    // reference: identical split + plain exact semi-join, no bloom stage
+    val d = docs
+      .withColumn("norm",
+        regexp_replace(lower(trim(col("text"))), "\\s+", " "))
+      .withColumn("split",
+        when((col("doc_id") * 48271L + 7L) % 100L < 90L, "train")
+          .otherwise("eval"))
+    val evalNorms = d.filter($"split" === "eval").select("norm").distinct()
+    val train = d.filter($"split" === "train").select("source", "norm")
+    val leaked = train.join(evalNorms, Seq("norm"), "left_semi")
+      .groupBy("source").agg(count(lit(1)).as("n_leaked"))
+    val want = train.groupBy("source").agg(count(lit(1)).as("n_train"))
+      .join(leaked, Seq("source"), "left")
+      .select(col("source"), col("n_train"),
+        coalesce(col("n_leaked"), lit(0L)).as("n_leaked"))
+      .orderBy("source")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq === want.toSeq)
+    assert(got.map(_._2).sum > 0)
+  }
+
+  test("a tiny (collision-heavy) filter still loses no true matches") {
+    // 64-bit filter with 400 keys: nearly every probe is a false positive,
+    // so the confirm join does all the work — result must be unchanged
+    val docs = Tables.t(spark, sfDir, "documents")
+    val tight = DedupOps.bloomLeakProfileOn(docs, nBits = 64, k = 2)
+      .collect().map(r => (r.getString(0), r.getLong(2)))
+    val normal = DedupOps.bloomLeakProfileOn(docs)
+      .collect().map(r => (r.getString(0), r.getLong(2)))
+    assert(tight.toSeq === normal.toSeq)
+  }
+}

@@ -1,0 +1,131 @@
+package graft
+
+import graft.ops.StatOps
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+
+/** Semantics of the distribution/set-algebra layer (StatOps): the
+  * distributed exact NTILE vs Spark's built-in window, the decorrelated
+  * above-average filter vs a genuine correlated subquery, set ops vs their
+  * join formulations, and histogram invariants.
+  */
+class StatSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def events = Tables.t(spark, sfDir, "events")
+
+  // ---------------------------------------------------------------- q85
+
+  test("distributed ntile equals the built-in single-window ntile") {
+    val df = events.select("event_id", "value")
+    val got = StatOps.withNtileOn(df, 10)
+      .select("event_id", "tile")
+    val want = df.withColumn("tile",
+      ntile(10).over(Window.orderBy("value", "event_id")).cast("long"))
+      .select("event_id", "tile")
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+  }
+
+  test("distributed ntile matches built-in on adversarial shapes") {
+    // n < k (every row its own tile), heavy ties, k = 1
+    val shapes = Seq(
+      (Seq(5.0, 5.0, 5.0), 10),
+      (Seq(1.0), 7),
+      (Seq.fill(17)(2.5) ++ Seq.fill(5)(1.0), 4),
+      ((1 to 23).map(_.toDouble / 7), 1))
+    for ((vals, k) <- shapes) {
+      val df = vals.zipWithIndex
+        .map { case (v, i) => (i.toLong, v) }.toDF("event_id", "value")
+      val got = StatOps.withNtileOn(df, k).select("event_id", "tile")
+      val want = df.withColumn("tile",
+        ntile(k).over(Window.orderBy("value", "event_id")).cast("long"))
+        .select("event_id", "tile")
+      assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
+        s"shape n=${vals.size} k=$k")
+    }
+  }
+
+  test("ntile bucket rule property: first n%k tiles get the extra row") {
+    val prop = Prop.forAll(
+      Gen.chooseNum(1, 60), Gen.chooseNum(1, 12)) { (n: Int, k: Int) =>
+      val df = (1 to n).map(i => (i.toLong, (i * 37 % 11).toDouble))
+        .toDF("event_id", "value")
+      val sizes = StatOps.withNtileOn(df, k)
+        .groupBy("tile").count().orderBy("tile")
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      val expTiles = math.min(n, k)
+      sizes.map(_._1).toSeq == (1L to expTiles) &&
+        sizes.map(_._2).sum == n &&
+        (if (n % k == 0) sizes.forall(_._2 == n / k)
+         else sizes.filter(_._2 == n / k + 1).map(_._1).toSeq
+           == (1L to (n % k).toLong)) &&
+        sizes.forall(s => s._2 == n / k || s._2 == n / k + 1)
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(8), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  // ---------------------------------------------------------------- q86
+
+  test("decorrelated above-average equals Spark's correlated subquery") {
+    events.createOrReplaceTempView("ev_q86")
+    val correlated = spark.sql(
+      """SELECT event_type, count(*) AS n_above
+        |FROM ev_q86 e
+        |WHERE CAST(value AS DECIMAL(18,6))
+        |    * (SELECT CAST(count(*) AS DECIMAL(12,0)) FROM ev_q86 x
+        |       WHERE x.event_type = e.event_type)
+        |  > (SELECT sum(CAST(value AS DECIMAL(18,6))) FROM ev_q86 x
+        |     WHERE x.event_type = e.event_type)
+        |GROUP BY event_type ORDER BY event_type""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val got = StatOps.aboveTypeAverageOn(events)
+      .collect().map(r => (r.getString(0), r.getAs[Long]("n_above")))
+    assert(got.toSeq === correlated.toSeq)
+  }
+
+  test("above-average boundary: a row exactly at the mean is excluded") {
+    val df = Seq(("a", 1.0), ("a", 2.0), ("a", 3.0), ("b", 5.0))
+      .toDF("event_type", "value")
+    val got = StatOps.aboveTypeAverageOn(df).collect()
+    // type a: mean 2.0 -> only 3.0 strictly above; type b: 5.0 == mean
+    assert(got.toSeq === Seq(Row("a", 1L, 3.0)))
+  }
+
+  // ---------------------------------------------------------------- q87
+
+  test("viewer segments equal the anti/semi-join formulation") {
+    val viewers = events.filter($"event_type" === "view")
+      .select("user_id").distinct()
+    val buyers = events.filter($"event_type" === "purchase")
+      .select("user_id").distinct()
+    val nViewOnly =
+      viewers.join(buyers, Seq("user_id"), "left_anti").count()
+    val nBoth = viewers.join(buyers, Seq("user_id"), "left_semi").count()
+    val got = StatOps.viewerSegmentsOn(events)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(got === Map(
+      "view_only" -> nViewOnly, "view_and_purchase" -> nBoth))
+  }
+
+  // ---------------------------------------------------------------- q88
+
+  test("histogram: bins partition the data and edges are exact") {
+    val hist = StatOps.valueHistogramOn(events).collect()
+    assert(hist.map(_.getAs[Long]("n")).sum === events.count())
+    for (r <- hist) {
+      val lo = r.getAs[Double]("bin_lo")
+      assert(r.getAs[Double]("min_v") >= lo)
+      assert(r.getAs[Double]("max_v") < lo + 25.0)
+    }
+    // boundary value lands in the upper bin (edges are [lo, hi))
+    val b = StatOps.valueHistogramOn(
+      Seq(24.99, 25.0, 25.01).toDF("value")).collect()
+    assert(b.map(r => (r.getAs[Long]("bin"), r.getAs[Long]("n"))).toSeq
+      === Seq((0L, 1L), (1L, 2L)))
+  }
+}
