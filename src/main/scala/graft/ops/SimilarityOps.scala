@@ -424,6 +424,41 @@ object SimilarityOps {
       array_min(array(scored: _*)).getField("c"))
   }
 
+  /** q89: cross-modal curation — the documents table (lexical quality,
+    * the q33 composite score) joined with the embeddings table (the same
+    * corpus's vector modality, doc_id = vec_id) to rank documents by a
+    * combined lexical×semantic signal: `score × ||embedding||`. This is
+    * the join every curation pipeline runs once embeddings exist — text
+    * heuristics alone keep boilerplate with confident embeddings, vector
+    * signals alone keep fluent spam; the product requires both.
+    *
+    * Scale: both sides are corpus-sized, co-keyed on the document id —
+    * ONE id-keyed shuffle equi-join (AQE picks sort-merge vs broadcast by
+    * actual size); quality scoring and the norm are per-row codegen'd
+    * maps; the final cut is TakeOrderedAndProject. Determinism: the score
+    * is the oracle-proven q33 expression, the norm is the index-order
+    * VecDot accumulation (bit-exact vs the oracle's unrolled SQL), and
+    * the ordering key rounds before comparing.
+    */
+  def crossmodalCuration(s: SparkSession, dir: String): DataFrame =
+    crossmodalCurationOn(Tables.t(s, dir, "documents"), emb(s, dir))
+
+  /** `docsDf` needs (doc_id, source, text); `embDf` (vec_id, embedding). */
+  def crossmodalCurationOn(docsDf: DataFrame, embDf: DataFrame,
+      k: Int = 20): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(docsDf.sparkSession)
+    val scored = TextOps.scoredDocsOn(docsDf)
+      .select(col("doc_id"), col("source"), col("score"))
+    val norms = embDf.select(col("vec_id").as("doc_id"),
+      norm(col("embedding")).as("raw_norm"))
+    scored.join(norms, "doc_id")
+      .select(col("doc_id"), col("source"), col("score"),
+        round(col("raw_norm"), 6).as("emb_norm"),
+        round(col("score") * col("raw_norm"), 6).as("combined"))
+      .orderBy(col("combined").desc, col("doc_id").asc)
+      .limit(k)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q40_ann_topk" -> annTopK,
     "q41_cosine_top_pairs" -> cosineTopPairs,
@@ -431,7 +466,8 @@ object SimilarityOps {
     "q43_label_centroids" -> labelCentroids,
     "q44_nn_dedup" -> nnDedup,
     "q45_ann_ivf" -> annIvf,
-    "q64_semantic_dedup" -> semanticDedup)
+    "q64_semantic_dedup" -> semanticDedup,
+    "q89_crossmodal_curation" -> crossmodalCuration)
 
   /** The hyperplane constants as full-precision SQL literals (Java's
     * Double.toString round-trips, and DuckDB parses to the same IEEE
@@ -446,6 +482,25 @@ object SimilarityOps {
     }.reduce((acc, bit) => s"($acc * 2 + $bit)")
 
   val oracle: Map[String, String] = Map(
+    // Cross-modal curation: the q33 quality-score expression (inlined, raw
+    // components) joined to the unrolled index-order embedding norm.
+    "q89_crossmodal_curation" ->
+      s"""WITH m AS (SELECT doc_id, source, text,
+         |    string_split(trim(text), ' ') AS toks FROM documents),
+         |sc AS (SELECT doc_id, source,
+         |    round(0.4e0 * (len(list_distinct(toks)) / len(toks))
+         |      + 0.3e0 * least((length(regexp_replace(text, ' ', '', 'g'))
+         |          / len(toks)) / 10.0e0, 1.0e0)
+         |      + 0.3e0 * (1.0e0 - len(regexp_extract_all(text,
+         |          '[^a-zA-Z0-9 ]')) / len(toks)), 6) AS score
+         |  FROM m),
+         |n AS (SELECT vec_id AS doc_id,
+         |    ${sqlNorm("embedding")} AS raw_norm FROM embeddings)
+         |SELECT sc.doc_id, source, score,
+         |  round(raw_norm, 6) AS emb_norm,
+         |  round(score * raw_norm, 6) AS combined
+         |FROM sc JOIN n ON sc.doc_id = n.doc_id
+         |ORDER BY combined DESC, sc.doc_id LIMIT 20""".stripMargin,
     // Replays semantic dedup: literal-plane signatures (bit-exact vs the
     // codegen'd chain) → min-id representative per bucket → one cosine per
     // vector against its representative.

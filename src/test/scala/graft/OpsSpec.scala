@@ -505,4 +505,23 @@ class OpsSpec extends SparkSpec {
       .select("label").distinct().count()
     assert(c.count() === labels * SimilarityOps.Dim)
   }
+
+  test("crossmodal curation: combined = score x norm, ranked and capped") {
+    val out = SimilarityOps.crossmodalCuration(spark, sfDir).collect()
+    assert(out.length === 20)
+    // ordering key descends, ties broken by doc_id
+    val keys = out.map(r =>
+      (-r.getAs[Double]("combined"), r.getAs[Long]("doc_id"))).toSeq
+    assert(keys === keys.sorted)
+    // the combined signal is the product of the two modality signals
+    // (recomputed from the row's own rounded columns within rounding slack)
+    out.foreach { r =>
+      val prod = r.getAs[Double]("score") * r.getAs[Double]("emb_norm")
+      assert(math.abs(prod - r.getAs[Double]("combined")) < 1e-5)
+    }
+    // every emitted doc exists in both modalities
+    val embIds = Tables.t(spark, sfDir, "embeddings")
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(out.forall(r => embIds.contains(r.getAs[Long]("doc_id"))))
+  }
 }
