@@ -558,7 +558,15 @@ object DedupOps {
     val candidates = train.crossJoin(filter)
       .filter(expr("graft_bloom_contains(bloom, xxhash64(norm))"))
       .drop("bloom")
-    val leaked = candidates.join(evalNorms, Seq("norm"), "left_semi")
+    // the confirm join is INNER against the distinct eval norms (row-
+    // count-identical to a semi join here) and deliberately NOT a
+    // left-semi: PushDownLeftSemiAntiJoin pushes semi joins through any
+    // pushable unary node AND through other joins, which would re-key
+    // the confirm onto the FULL train side and hoist the bloom test
+    // above it (= dead weight). Inner joins keep their written order
+    // (no CBO), so the bloom provably prunes before the confirm
+    // shuffle — DedupSpec asserts the plan shape.
+    val leaked = candidates.join(evalNorms, Seq("norm"))
       .groupBy("source").agg(count(lit(1)).as("n_leaked"))
     train.groupBy("source").agg(count(lit(1)).as("n_train"))
       .join(leaked, Seq("source"), "left")

@@ -95,6 +95,28 @@ class BloomSpec extends SparkSpec {
     assert(got.map(_._2).sum > 0)
   }
 
+  test("q90 plan: the bloom prunes BELOW the confirm join, not above it") {
+    // regression guard for a real optimizer interaction: with a left-semi
+    // confirm, PushDownLeftSemiAntiJoin re-keys the confirm onto the full
+    // train side and hoists the bloom test above it (dead weight at
+    // scale). The inner-join formulation must keep the bloom join inside
+    // the confirm join's LEFT subtree.
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    val docs = Tables.t(spark, sfDir, "documents")
+    val plan = DedupOps.bloomLeakProfileOn(docs)
+      .queryExecution.optimizedPlan
+    val joins = plan.collect { case j: Join => j }
+    val bloomJoin = joins.filter(
+      _.condition.exists(_.sql.contains("bloom_contains")))
+    assert(bloomJoin.size === 1, "bloom test must live in a join condition")
+    val confirm = joins.filter(j =>
+      j.condition.exists(_.sql.contains("norm")) &&
+        !j.condition.exists(_.sql.contains("bloom_contains")) &&
+        j.left.collect { case b: Join if b eq bloomJoin.head => b }.nonEmpty)
+    assert(confirm.nonEmpty,
+      s"confirm join must sit ABOVE the bloom join; got:\n$plan")
+  }
+
   test("a tiny (collision-heavy) filter still loses no true matches") {
     // 64-bit filter with 400 keys: nearly every probe is a false positive,
     // so the confirm join does all the work — result must be unchanged
