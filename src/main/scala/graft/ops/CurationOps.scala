@@ -546,7 +546,48 @@ object CurationOps {
       .orderBy("source")
   }
 
+  // ---- q92: corpus version diff -------------------------------------------
+
+  /** q92: corpus snapshot diff — the governance report run whenever a new
+    * corpus version lands: how many documents were added, removed,
+    * modified, or untouched versus the previous version. The registered
+    * query derives v2 from v1 with pinned deterministic edits (drop
+    * id%7=0, revise id%11=0, add a shifted-id doc per id%13=0) so the
+    * oracle can rebuild the identical pair; [[corpusDiffOn]] is the
+    * general two-snapshot library form.
+    *
+    * Scale: ONE full-outer equi-join on the document id (both snapshots
+    * id-keyed — bucket both by id at 100 TB and the join is
+    * exchange-free), per-row classification, ≤4-row final agg with
+    * map-side partials. Text crosses the wire once per side.
+    */
+  def corpusDiff(s: SparkSession, dir: String): DataFrame = {
+    val v1 = docs(s, dir).select(col("doc_id"), col("text"))
+    val id = col("doc_id")
+    val revised = v1.filter(id % 7 =!= 0 && id % 11 === 0)
+      .select(id, concat(col("text"), lit(" (rev2)")).as("text"))
+    val untouched = v1.filter(id % 7 =!= 0 && id % 11 =!= 0)
+    val added = v1.filter(id % 13 === 0)
+      .select((id + 1000000000L).as("doc_id"),
+        concat(lit("added doc "), id.cast("string")).as("text"))
+    corpusDiffOn(v1, revised.unionByName(untouched).unionByName(added))
+  }
+
+  /** Both snapshots need (doc_id, text). Emits (status, n_docs). */
+  def corpusDiffOn(v1: DataFrame, v2: DataFrame): DataFrame = {
+    val a = v1.select(col("doc_id"), col("text").as("t1"))
+    val b = v2.select(col("doc_id"), col("text").as("t2"))
+    a.join(b, Seq("doc_id"), "full_outer")
+      .select(when(col("t1").isNull, "added")
+        .when(col("t2").isNull, "removed")
+        .when(col("t1") =!= col("t2"), "modified")
+        .otherwise("unchanged").as("status"))
+      .groupBy("status").agg(count(lit(1)).as("n_docs"))
+      .orderBy("status")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q92_corpus_diff" -> corpusDiff,
     "q84_dataset_card" -> datasetCard,
     "q56_ngram_decontamination" -> ngramDecontamination,
     "q57_embedding_quantization" -> embeddingQuantization,
@@ -609,6 +650,25 @@ object CurationOps {
   }
 
   val oracle: Map[String, String] = Map(
+    "q92_corpus_diff" ->
+      """WITH v2 AS (
+        |  SELECT doc_id, text || ' (rev2)' AS text FROM documents
+        |    WHERE doc_id % 7 <> 0 AND doc_id % 11 = 0
+        |  UNION ALL
+        |  SELECT doc_id, text FROM documents
+        |    WHERE doc_id % 7 <> 0 AND doc_id % 11 <> 0
+        |  UNION ALL
+        |  SELECT doc_id + 1000000000,
+        |      'added doc ' || CAST(doc_id AS VARCHAR) FROM documents
+        |    WHERE doc_id % 13 = 0),
+        |j AS (SELECT a.text AS t1, b.text AS t2
+        |  FROM documents a FULL JOIN v2 b ON a.doc_id = b.doc_id)
+        |SELECT CASE WHEN t1 IS NULL THEN 'added'
+        |            WHEN t2 IS NULL THEN 'removed'
+        |            WHEN t1 <> t2 THEN 'modified'
+        |            ELSE 'unchanged' END AS status,
+        |  count(*) AS n_docs
+        |FROM j GROUP BY status ORDER BY status""".stripMargin,
     "q84_dataset_card" ->
       s"""WITH d AS (SELECT doc_id, source, lang, text,
          |    string_split(trim(text), ' ') AS toks FROM documents),

@@ -308,15 +308,71 @@ object TemporalOps {
       |  USING (minute)
       |ORDER BY minute""".stripMargin
 
+  /** q91: interval concurrency — for every calendar day, how many order
+    * lines are in fulfillment (order placed, line not yet shipped). The
+    * classic interval-overlap aggregation, done as a boundary sweep
+    * instead of a per-day interval join: each line's interval
+    * [o_orderdate, l_shipdate) contributes +1 at its start and −1 at its
+    * end, the deltas CONTRACT to one row per date (a ~2.5k-row table for
+    * ANY corpus size — TPC-H's date domain is constant), and the running
+    * sum over that contracted table is the concurrency curve. The naive
+    * form — join every interval to every day it spans — expands 100 TB of
+    * intervals ~50× before aggregating; the sweep shuffles |dates| rows.
+    * The interval endpoints live on two tables, so the only data-sized
+    * work is the id-keyed lineitem⋈orders equi-join (bucketable at
+    * scale). The orderBy-only window is safe here for the same reason as
+    * q85's offset ladder: it runs on the contracted date table, never
+    * the data.
+    */
+  def openOrderLines(s: SparkSession, dir: String): DataFrame =
+    openOrderLinesOn(
+      Tables.t(s, dir, "lineitem"), Tables.t(s, dir, "orders"))
+
+  /** `lineitemDf` needs (l_orderkey, l_shipdate); `ordersDf` (o_orderkey,
+    * o_orderdate).
+    */
+  def openOrderLinesOn(lineitemDf: DataFrame,
+      ordersDf: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spans = lineitemDf.select(col("l_orderkey"), col("l_shipdate"))
+      .join(ordersDf.select(col("o_orderkey"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"))
+      // only positive fulfillment spans define an open interval (the
+      // synthetic data draws ship dates independently of order dates)
+      .filter(col("l_shipdate") > col("o_orderdate"))
+    val deltas = spans
+      .select(col("o_orderdate").as("d"), lit(1L).as("delta"))
+      .unionAll(spans
+        .select(col("l_shipdate").as("d"), lit(-1L).as("delta")))
+      .groupBy("d").agg(sum("delta").as("delta"))
+    deltas
+      .withColumn("n_open", sum("delta").over(Window.orderBy("d")))
+      .select("d", "n_open")
+      .orderBy("d")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q54_click_asof_view" -> clickAsofView,
     "q55_incident_windows" -> incidentWindows,
     "q73_retention_cohorts" -> retentionCohorts,
     "q74_minutely_gapfill" -> minutelyGapfill,
     "q75_anomaly_zscore" -> anomalyZscore,
-    "q82_session_transitions" -> sessionTransitions)
+    "q82_session_transitions" -> sessionTransitions,
+    "q91_open_orderlines" -> openOrderLines)
 
   val oracle: Map[String, String] = Map(
+    "q91_open_orderlines" ->
+      """WITH s AS (SELECT o_orderdate, l_shipdate
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  WHERE l_shipdate > o_orderdate),
+        |b AS (SELECT d, sum(delta) AS delta FROM (
+        |    SELECT o_orderdate AS d, 1 AS delta FROM s
+        |    UNION ALL
+        |    SELECT l_shipdate AS d, -1 AS delta FROM s)
+        |  GROUP BY d)
+        |SELECT d, CAST(sum(delta) OVER (ORDER BY d) AS BIGINT)
+        |  AS n_open
+        |FROM b ORDER BY d""".stripMargin,
     "q54_click_asof_view" ->
       """WITH clicks AS (SELECT event_id, user_id, ts, value FROM events
         |  WHERE event_type = 'click'),

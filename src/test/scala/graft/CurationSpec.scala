@@ -308,4 +308,20 @@ class CurationSpec extends SparkSpec {
     // "value"(5) → "[MASKED]"(8): +3 chars
     assert(before === 9 && after === 12)
   }
+
+  test("corpus diff classifies added/removed/modified/unchanged") {
+    val v1 = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("doc_id", "text")
+    val v2 = Seq((2L, "b"), (3L, "c2"), (4L, "d")).toDF("doc_id", "text")
+    val out = CurationOps.corpusDiffOn(v1, v2).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out === Map("added" -> 1L, "removed" -> 1L,
+      "modified" -> 1L, "unchanged" -> 1L))
+  }
+
+  test("corpus diff: identical snapshots are all unchanged") {
+    val v = Seq((1L, "a"), (2L, "b")).toDF("doc_id", "text")
+    val out = CurationOps.corpusDiffOn(v, v).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out === Map("unchanged" -> 2L))
+  }
 }

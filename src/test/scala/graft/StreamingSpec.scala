@@ -285,6 +285,32 @@ class StreamingSpec extends SparkSpec {
     assert(got === Set(2L, 4L))
   }
 
+  test("bloom-accelerated delta dedup admits the same docs as the exact path") {
+    import graft.streaming.DeltaDedupPipeline
+    implicit val sqlCtx = spark.sqlContext
+    val corpus = Seq((100L, "Existing Doc one"), (101L, "existing doc two"))
+      .toDF("doc_id", "text")
+    def ts(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    val input = MemoryStream[(Long, String, java.sql.Timestamp)]
+    // a deliberately tiny, collision-heavy filter (64 bits for 2 norms):
+    // false positives only route rows through the exact confirm join,
+    // admissions must not change
+    val q = DeltaDedupPipeline.freshDocsBloom(
+      input.toDS().toDF("doc_id", "text", "event_ts"), corpus,
+      nBits = 64, k = 2)
+      .writeStream.format("memory").queryName("bloom_delta_sink")
+      .outputMode("append").start()
+    input.addData((1L, "EXISTING  doc one", ts(0)), (2L, "brand new", ts(1)))
+    q.processAllAvailable()
+    input.addData((3L, "Brand New", ts(2)), (4L, "also fresh", ts(3)),
+      (5L, "existing doc TWO", ts(4)))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("bloom_delta_sink").select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(got === Set(2L, 4L))
+  }
+
   test("file-source backpressure bounds each micro-batch of a pre-loaded dir") {
     import graft.streaming.TradeSource
     val drop = tmpDir("drop")

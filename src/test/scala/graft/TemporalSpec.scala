@@ -176,4 +176,30 @@ class TemporalSpec extends SparkSpec {
       .select("incident_id", "n_clicks", "click_value").collect()
     assert(out.toSeq === Seq(Row(1L, 1L, 2.5), Row(4L, 0L, 0.0)))
   }
+
+  test("interval sweep equals the naive per-day interval count") {
+    val li = Tables.t(spark, sfDir, "lineitem")
+    val ord = Tables.t(spark, sfDir, "orders")
+    val spans = li.select(col("l_orderkey"), col("l_shipdate"))
+      .join(ord.select(col("o_orderkey"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"))
+      .filter(col("l_shipdate") > col("o_orderdate"))
+    val sweep = TemporalOps.openOrderLinesOn(li, ord).collect()
+      .map(r => r.getAs[java.time.LocalDateTime](0)
+        -> r.getAs[Long]("n_open")).toMap
+    // spot-check a spread of days against the quadratic definition:
+    // open on d = ordered on or before d AND shipped after d
+    implicit val ldtOrd: Ordering[java.time.LocalDateTime] =
+      Ordering.fromLessThan(_ isBefore _)
+    val days = sweep.keys.toSeq.sorted
+    val sample = Seq(days.head, days(days.size / 3),
+      days(2 * days.size / 3), days.last)
+    for (d <- sample) {
+      val naive = spans.filter(col("o_orderdate") <= lit(d) &&
+        col("l_shipdate") > lit(d)).count()
+      assert(sweep(d) === naive, s"day $d")
+    }
+    // every interval that opens also closes: the sweep ends drained
+    assert(sweep(days.last) === 0L)
+  }
 }
