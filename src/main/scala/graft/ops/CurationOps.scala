@@ -503,6 +503,46 @@ object CurationOps {
       .orderBy("source")
   }
 
+  // ---- fingerprint store: the persisted face of delta dedup ---------------
+
+  /** Materialize the corpus's distinct normalized-text fingerprint table —
+    * the table production delta dedup probes instead of re-scanning the
+    * raw corpus (the promise in q62's and `freshDocs`'s scaladoc, made
+    * concrete). Rows are (norm, fp = xxhash64(norm)), laid out
+    * hash-partitioned on fp so a fingerprint-keyed probe reads a balanced
+    * store. The store is tiny relative to the corpus (norms only, no
+    * doc payload) and append-only across crawls.
+    */
+  def writeFingerprintStore(docsDf: DataFrame, path: String): Unit =
+    docsDf.select(DedupOps.normText.as("norm")).distinct()
+      .withColumn("fp", xxhash64(col("norm")))
+      .repartition(col("fp"))
+      .write.mode("overwrite").parquet(path)
+
+  /** Admit only the incoming docs whose normalized text is absent from
+    * the stored fingerprint table — q62's probe against the STORE rather
+    * than the corpus (the raw corpus is never re-read). One anti-join
+    * keyed on the norm; the store side scans two thin columns.
+    */
+  def freshAgainstStore(incoming: DataFrame, storePath: String): DataFrame = {
+    val store = incoming.sparkSession.read.parquet(storePath)
+      .select("norm")
+    incoming.withColumn("norm", DedupOps.normText)
+      .join(store, Seq("norm"), "left_anti")
+      .drop("norm")
+  }
+
+  /** Fold a batch of ADMITTED docs (output of [[freshAgainstStore]], so
+    * their norms are disjoint from the store) into the store. Append-only:
+    * replaying the same batch adds duplicate norms, which keeps probes
+    * correct (anti-join semantics) at the cost of store bloat — compact
+    * by rewriting with [[writeFingerprintStore]] when it matters.
+    */
+  def appendToFingerprintStore(admitted: DataFrame, path: String): Unit =
+    admitted.select(DedupOps.normText.as("norm")).distinct()
+      .withColumn("fp", xxhash64(col("norm")))
+      .write.mode("append").parquet(path)
+
   // ---- registration -------------------------------------------------------
 
   // ---- q84: per-source dataset card ----------------------------------------

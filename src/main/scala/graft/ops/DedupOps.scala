@@ -577,6 +577,25 @@ object DedupOps {
       .orderBy("source")
   }
 
+  /** q93: duplicate multiplicity histogram — how many normalized-text
+    * groups occur exactly m times. The shape of the duplication tail
+    * decides the dedup strategy (a few giant clusters → canonical-keep
+    * with CC; a long tail of pairs → plain first-write-wins), so this is
+    * the diagnostic run before q36/q46/q60. Two keyed aggregations, both
+    * with map-side partials; output is ≤ max-multiplicity rows.
+    */
+  def dupMultiplicity(s: SparkSession, dir: String): DataFrame =
+    dupMultiplicityOn(docs(s, dir))
+
+  /** `docsDf` needs (text). */
+  def dupMultiplicityOn(docsDf: DataFrame): DataFrame =
+    docsDf.select(normText.as("norm"))
+      .groupBy("norm").agg(count(lit(1)).as("multiplicity"))
+      .groupBy("multiplicity")
+      .agg(count(lit(1)).as("n_groups"),
+        sum("multiplicity").as("n_docs"))
+      .orderBy("multiplicity")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q36_exact_dedup" -> exactDedup,
     "q37_jaccard_pairs" -> jaccardPairs,
@@ -584,7 +603,8 @@ object DedupOps {
     "q39_simhash_pairs" -> simhashPairs,
     "q46_dedup_clusters" -> dedupClusters,
     "q49_contamination" -> contamination,
-    "q90_bloom_decontamination" -> bloomLeakProfile)
+    "q90_bloom_decontamination" -> bloomLeakProfile,
+    "q93_dup_multiplicity" -> dupMultiplicity)
 
   /** Shared SQL fragment: the portable token fingerprint (rolling hash over
     * Unicode code points mod 1e9+7 — DuckDB `unicode()` ≡ graft_code_points).
@@ -722,6 +742,14 @@ object DedupOps {
         |    * CAST(100 AS DOUBLE) / count(*), 2) AS leak_pct
         |FROM tr LEFT JOIN lk ON tr.source = lk.source
         |GROUP BY tr.source ORDER BY tr.source""".stripMargin,
+    "q93_dup_multiplicity" ->
+      """WITH g AS (SELECT
+        |    regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm,
+        |    count(*) AS multiplicity
+        |  FROM documents GROUP BY norm)
+        |SELECT multiplicity, count(*) AS n_groups,
+        |  CAST(sum(multiplicity) AS BIGINT) AS n_docs
+        |FROM g GROUP BY multiplicity ORDER BY multiplicity""".stripMargin,
     "q36_exact_dedup" ->
       """SELECT count(*) AS n_docs,
         |  count(DISTINCT regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))

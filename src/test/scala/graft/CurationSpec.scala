@@ -324,4 +324,27 @@ class CurationSpec extends SparkSpec {
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(out === Map("unchanged" -> 2L))
   }
+
+  test("fingerprint store: write, probe, append, re-probe") {
+    val store = tmpDir("fp_store") + "/store"
+    val corpus = Seq((1L, "Known Doc one"), (2L, "known doc two"))
+      .toDF("doc_id", "text")
+    CurationOps.writeFingerprintStore(corpus, store)
+    // probe: normalized corpus dup rejected, fresh admitted
+    val batch1 = Seq((10L, "KNOWN  doc one"), (11L, "new doc"))
+      .toDF("doc_id", "text")
+    val admitted1 = CurationOps.freshAgainstStore(batch1, store)
+    assert(admitted1.select("doc_id").collect().map(_.getLong(0)).toSeq
+      === Seq(11L))
+    // fold the admission in; the same text must now be rejected
+    CurationOps.appendToFingerprintStore(admitted1, store)
+    val batch2 = Seq((20L, "New Doc"), (21L, "still newer"))
+      .toDF("doc_id", "text")
+    val admitted2 = CurationOps.freshAgainstStore(batch2, store)
+    assert(admitted2.select("doc_id").collect().map(_.getLong(0)).toSeq
+      === Seq(21L))
+    // replaying an append keeps probes correct (append-only contract)
+    CurationOps.appendToFingerprintStore(admitted1, store)
+    assert(CurationOps.freshAgainstStore(batch1, store).count() === 0)
+  }
 }

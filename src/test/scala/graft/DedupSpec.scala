@@ -302,4 +302,16 @@ class DedupSpec extends SparkSpec {
     assert(!ids.contains(2L), s"decoy in an unprobed cell must be unseen: $ids")
     assert(ids.head === 1L, s"planted neighbor must rank first, got $ids")
   }
+
+  test("dup multiplicity histogram partitions groups and docs") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a"), (2L, "A "), (3L, "a"), // one group of 3 (normalized)
+      (4L, "b"), (5L, "B"), // one group of 2
+      (6L, "c"), (7L, "d")) // two singletons
+      .toDF("doc_id", "text")
+    val out = ops.DedupOps.dupMultiplicityOn(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq === Seq((1L, 2L, 2L), (2L, 1L, 2L), (3L, 1L, 3L)))
+  }
 }
