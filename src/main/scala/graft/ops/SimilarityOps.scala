@@ -459,6 +459,44 @@ object SimilarityOps {
       .limit(k)
   }
 
+  /** q95: cluster-purity / confusion matrix — every vector assigned to
+    * its nearest label centroid (squared-L2, deterministic low-index
+    * tie-break), tabulated against its true label. The vector-side
+    * quality gate a curation pipeline runs on a new embedding batch:
+    * off-diagonal mass = vectors that disagree with their label's
+    * centroid (mislabeled or drifted).
+    *
+    * Scale: the codebook is |labels|×dim values — it contracts through
+    * the same decimal-exact aggregation as q43 and rides the plan as
+    * LITERALS (the bounded driver hop every codebook/IVF system makes);
+    * assignment is per-row codegen'd arithmetic (|x|² shared across the
+    * k distances), and the confusion matrix is a ≤|labels|² aggregation.
+    * The corpus never shuffles. Determinism: centroids are the q43
+    * rounded values (hash-proven), every distance accumulates in index
+    * order (VecDot), so the DuckDB oracle re-derives identical
+    * assignments.
+    */
+  def clusterPurity(s: SparkSession, dir: String): DataFrame =
+    clusterPurityOn(emb(s, dir))
+
+  /** `embDf` needs (vec_id, label, embedding). */
+  def clusterPurityOn(embDf: DataFrame): DataFrame = {
+    val centRows = labelCentroidsOn(embDf)
+      .select("label", "dim", "centroid").collect()
+    val labels = centRows.map(_.getAs[Int]("label")).distinct.sorted
+    val byLabel = centRows.groupBy(_.getAs[Int]("label"))
+    val codebook = labels.map(l => byLabel(l)
+      .sortBy(_.getAs[Int]("dim"))
+      .map(_.getAs[Double]("centroid")))
+    assignClusters(embDf, codebook)
+      .select(col("label"),
+        element_at(typedLit(labels.toSeq), col("cluster") + 1)
+          .as("assigned_label"))
+      .groupBy("label", "assigned_label")
+      .agg(count(lit(1)).as("n_vectors"))
+      .orderBy("label", "assigned_label")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q40_ann_topk" -> annTopK,
     "q41_cosine_top_pairs" -> cosineTopPairs,
@@ -467,7 +505,8 @@ object SimilarityOps {
     "q44_nn_dedup" -> nnDedup,
     "q45_ann_ivf" -> annIvf,
     "q64_semantic_dedup" -> semanticDedup,
-    "q89_crossmodal_curation" -> crossmodalCuration)
+    "q89_crossmodal_curation" -> crossmodalCuration,
+    "q95_cluster_purity" -> clusterPurity)
 
   /** The hyperplane constants as full-precision SQL literals (Java's
     * Double.toString round-trips, and DuckDB parses to the same IEEE
@@ -596,5 +635,35 @@ object SimilarityOps {
         |  count(*) AS n
         |FROM embeddings
         |CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i) s
-        |GROUP BY label, s.i ORDER BY label, dim""".stripMargin)
+        |GROUP BY label, s.i ORDER BY label, dim""".stripMargin,
+    // Replays the nearest-centroid assignment: q43's rounded centroids →
+    // per-label list → |x|² − 2·x·c + |c|² with every accumulation in
+    // index order (c² as a left fold, matching the JVM's Array.sum) →
+    // argmin with the low-label tie-break.
+    "q95_cluster_purity" ->
+      s"""WITH c AS (SELECT label AS c_label, s.i AS dim,
+         |    round(CAST(sum(CAST(embedding[s.i] AS DECIMAL(38,10)))
+         |      AS DOUBLE) / count(*), 6) AS cv
+         |  FROM embeddings
+         |  CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i) s
+         |  GROUP BY c_label, s.i),
+         |ca AS (SELECT c_label, list(cv ORDER BY dim) AS c_arr
+         |  FROM c GROUP BY c_label),
+         |cs AS (SELECT c_label, c_arr,
+         |    list_reduce(list_transform(c_arr, v -> v * v),
+         |      (a, b) -> a + b) AS c2
+         |  FROM ca),
+         |d AS (SELECT e.vec_id, e.label, cs.c_label,
+         |    (${sqlDot("e.embedding", "e.embedding")})
+         |      - 2 * (${sqlDot("e.embedding", "cs.c_arr")}) + cs.c2
+         |      AS dist
+         |  FROM embeddings e CROSS JOIN cs),
+         |pick AS (SELECT vec_id, label, c_label,
+         |    row_number() OVER (PARTITION BY vec_id
+         |      ORDER BY dist, c_label) AS rn
+         |  FROM d)
+         |SELECT label, c_label AS assigned_label, count(*) AS n_vectors
+         |FROM pick WHERE rn = 1
+         |GROUP BY label, assigned_label
+         |ORDER BY label, assigned_label""".stripMargin)
 }

@@ -351,6 +351,44 @@ object TemporalOps {
       .orderBy("d")
   }
 
+  /** q94: rolling 7-day distinct active users per day — the sliding-
+    * window COUNT(DISTINCT) no engine computes incrementally (distinct
+    * doesn't decompose over window slides). The scale-shaped plan:
+    *
+    *   1. contract the event stream to DISTINCT (day, user) pairs — the
+    *      only data-sized aggregation, map-side combined;
+    *   2. each pair votes into the 7 window-days it influences (a 7×
+    *      explode of the CONTRACTED pairs, not the events);
+    *   3. distinct again (a user active on several days in one window
+    *      must count once) and count per window-day.
+    *
+    * Shuffle volume is bounded by |days|·|users|·7, independent of event
+    * count. The windowed-rank alternative — count(distinct) over a RANGE
+    * window — isn't supported by Spark (or most engines) precisely
+    * because distinct state can't slide; this decomposition is the
+    * standard rewrite.
+    */
+  def rollingActiveUsers(s: SparkSession, dir: String): DataFrame =
+    rollingActiveUsersOn(ev(s, dir), windowDays = 7)
+
+  /** `eventsDf` needs (ts, user_id). */
+  def rollingActiveUsersOn(eventsDf: DataFrame,
+      windowDays: Int): DataFrame = {
+    val du = eventsDf
+      .select(to_date(col("ts")).as("d"), col("user_id"))
+      .distinct()
+    val bounds = du.agg(min("d").as("lo"), max("d").as("hi"))
+    du.select(explode(sequence(lit(0), lit(windowDays - 1))).as("i"),
+        col("d"), col("user_id"))
+      .select(expr("date_add(d, i)").as("wd"), col("user_id"))
+      .distinct()
+      .crossJoin(broadcast(bounds))
+      .filter(col("wd") >= col("lo") && col("wd") <= col("hi"))
+      .groupBy(col("wd").as("d"))
+      .agg(count(lit(1)).as("n_active_7d"))
+      .orderBy("d")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q54_click_asof_view" -> clickAsofView,
     "q55_incident_windows" -> incidentWindows,
@@ -358,7 +396,8 @@ object TemporalOps {
     "q74_minutely_gapfill" -> minutelyGapfill,
     "q75_anomaly_zscore" -> anomalyZscore,
     "q82_session_transitions" -> sessionTransitions,
-    "q91_open_orderlines" -> openOrderLines)
+    "q91_open_orderlines" -> openOrderLines,
+    "q94_rolling_active_users" -> rollingActiveUsers)
 
   val oracle: Map[String, String] = Map(
     "q91_open_orderlines" ->
@@ -373,6 +412,17 @@ object TemporalOps {
         |SELECT d, CAST(sum(delta) OVER (ORDER BY d) AS BIGINT)
         |  AS n_open
         |FROM b ORDER BY d""".stripMargin,
+    "q94_rolling_active_users" ->
+      """WITH du AS (SELECT DISTINCT
+        |    CAST(date_trunc('day', ts) AS DATE) AS d, user_id
+        |  FROM events),
+        |bounds AS (SELECT min(d) AS lo, max(d) AS hi FROM du),
+        |win AS (SELECT DISTINCT d + CAST(i AS INTEGER) AS wd, user_id
+        |  FROM du CROSS JOIN
+        |    (SELECT unnest(generate_series(0, 6)) AS i) g)
+        |SELECT wd AS d, count(*) AS n_active_7d
+        |FROM win, bounds WHERE wd BETWEEN lo AND hi
+        |GROUP BY wd ORDER BY wd""".stripMargin,
     "q54_click_asof_view" ->
       """WITH clicks AS (SELECT event_id, user_id, ts, value FROM events
         |  WHERE event_type = 'click'),

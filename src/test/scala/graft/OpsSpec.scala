@@ -506,6 +506,25 @@ class OpsSpec extends SparkSpec {
     assert(c.count() === labels * SimilarityOps.Dim)
   }
 
+  test("cluster purity: diagonal dominates; a planted outlier crosses") {
+    import spark.implicits._
+    // two tight label clusters + one vector labeled 0 but sitting on
+    // cluster 1's centroid — it must land off-diagonal
+    def v(hot: Int, w: Float): Seq[Float] =
+      (0 until 64).map(i => if (i == hot) w else 0.0f)
+    val rows: Seq[(Long, Seq[Float], Int)] =
+      (1L to 5L).map(i => (i, v(0, 1.0f + 0.01f * i), 0)) ++
+        (11L to 15L).map(i => (i, v(1, 1.0f + 0.01f * i), 1)) ++
+        Seq((99L, v(1, 1.02f), 0)) // mislabeled
+    val emb = rows.toDF("vec_id", "embedding", "label")
+    val out = SimilarityOps.clusterPurityOn(emb).collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(out((0, 0)) === 5L)
+    assert(out((1, 1)) === 5L)
+    assert(out((0, 1)) === 1L) // the planted outlier
+    assert(!out.contains((1, 0)))
+  }
+
   test("crossmodal curation: combined = score x norm, ranked and capped") {
     val out = SimilarityOps.crossmodalCuration(spark, sfDir).collect()
     assert(out.length === 20)

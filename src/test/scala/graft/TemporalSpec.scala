@@ -202,4 +202,25 @@ class TemporalSpec extends SparkSpec {
     // every interval that opens also closes: the sweep ends drained
     assert(sweep(days.last) === 0L)
   }
+
+  test("rolling 7-day active users equals the naive per-day distinct") {
+    val events = Tables.t(spark, sfDir, "events")
+    val out = TemporalOps.rollingActiveUsersOn(events, windowDays = 7)
+      .collect()
+      .map(r => r.getDate(0) -> r.getAs[Long]("n_active_7d"))
+    assert(out.nonEmpty)
+    val sample = Seq(out.head, out(out.length / 2), out.last)
+    for ((d, n) <- sample) {
+      val naive = events
+        .filter(to_date(col("ts")) <= lit(d) &&
+          to_date(col("ts")) >= date_sub(lit(d), 6))
+        .select("user_id").distinct().count()
+      assert(n === naive, s"day $d")
+    }
+    // window days cover exactly the data span (one row per day)
+    val days = out.map(_._1.toLocalDate)
+    assert(days.length ===
+      java.time.temporal.ChronoUnit.DAYS.between(
+        days.head, days.last) + 1)
+  }
 }
