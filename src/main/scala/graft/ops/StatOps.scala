@@ -178,13 +178,51 @@ object StatOps {
       .select("bin", "bin_lo", "n", "min_v", "max_v", "total_v")
       .orderBy("bin")
 
+  // ---------------------------------------------------------------- q96
+
+  /** q96: robust outlier profile — per type, the median/MAD (median
+    * absolute deviation) outlier count. Mean/σ outlier gates (q75's
+    * z-score) break down when the outliers themselves inflate σ; the
+    * median/MAD pair is the standard robust replacement for quality
+    * filtering over skewed pipeline metrics.
+    *
+    * Two passes by construction (MAD is a median OF deviations from the
+    * median — not decomposable into one aggregation): each pass is a
+    * per-type exact `percentile` + a tiny broadcast join back. Both
+    * engines compare against the ROUNDED (6 dp) median/MAD — exact
+    * interpolated percentiles agree across engines only to rounding, so
+    * an unrounded threshold could flip boundary rows between engines.
+    * At true scale the exact percentile swaps for `percentile_approx`
+    * (the q14 note); the two-pass shape is unchanged.
+    */
+  def robustOutliers(s: SparkSession, dir: String): DataFrame =
+    robustOutliersOn(ev(s, dir))
+
+  /** `df` needs (event_type, value). */
+  def robustOutliersOn(df: DataFrame): DataFrame = {
+    val med = df.groupBy("event_type")
+      .agg(round(expr("percentile(value, 0.5)"), 6).as("med"))
+    val mad = df.join(broadcast(med), "event_type")
+      .groupBy("event_type")
+      .agg(round(expr("percentile(abs(value - med), 0.5)"), 6).as("mad"),
+        max("med").as("med"))
+    df.join(broadcast(mad), "event_type")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(when(abs(col("value") - col("med")) > col("mad") * 3, 1L)
+          .otherwise(0L)).as("n_outliers"),
+        max("med").as("med"), max("mad").as("mad"))
+      .orderBy("event_type")
+  }
+
   // ------------------------------------------------------------ registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q85_value_deciles" -> valueDeciles,
     "q86_above_type_average" -> aboveTypeAverage,
     "q87_viewer_segments" -> viewerSegments,
-    "q88_value_histogram" -> valueHistogram)
+    "q88_value_histogram" -> valueHistogram,
+    "q96_robust_outliers" -> robustOutliers)
 
   val oracle: Map[String, String] = Map(
     "q85_value_deciles" ->
@@ -221,5 +259,20 @@ object StatOps {
          |SELECT bin, CAST(bin * 25 AS DOUBLE) AS bin_lo, count(*) AS n,
          |  min(value) AS min_v, max(value) AS max_v,
          |  ${sqlDsum("value")} AS total_v
-         |FROM b GROUP BY bin ORDER BY bin""".stripMargin)
+         |FROM b GROUP BY bin ORDER BY bin""".stripMargin,
+    "q96_robust_outliers" ->
+      """WITH med AS (SELECT event_type,
+        |    round(quantile_cont(value, 0.5), 6) AS med
+        |  FROM events GROUP BY event_type),
+        |mad AS (SELECT e.event_type,
+        |    round(quantile_cont(abs(e.value - m.med), 0.5), 6) AS mad,
+        |    max(m.med) AS med
+        |  FROM events e JOIN med m USING (event_type)
+        |  GROUP BY e.event_type)
+        |SELECT e.event_type, count(*) AS n,
+        |  CAST(sum(CASE WHEN abs(e.value - m.med) > m.mad * 3
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+        |  max(m.med) AS med, max(m.mad) AS mad
+        |FROM events e JOIN mad m USING (event_type)
+        |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin)
 }

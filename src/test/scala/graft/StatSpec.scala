@@ -112,6 +112,29 @@ class StatSpec extends SparkSpec {
       "view_only" -> nViewOnly, "view_and_purchase" -> nBoth))
   }
 
+  // ---------------------------------------------------------------- q96
+
+  test("robust outliers: MAD gate catches the planted spike, not the bulk") {
+    // bulk at 10±1 (median 10, MAD 1), spikes far outside 3*MAD
+    val bulk = (1 to 20).map(i => ("a", 9.0 + (i % 3))) // 9,10,11
+    val spikes = Seq(("a", 100.0), ("a", -50.0))
+    val df = (bulk ++ spikes).toDF("event_type", "value")
+    val r = StatOps.robustOutliersOn(df).head()
+    assert(r.getAs[Long]("n") === 22L)
+    assert(r.getAs[Long]("n_outliers") === 2L)
+    assert(r.getAs[Double]("med") === 10.0)
+    assert(r.getAs[Double]("mad") === 1.0)
+  }
+
+  test("robust outliers: constant group has MAD 0 and flags any deviation") {
+    val df = (Seq.fill(5)(("c", 7.0)) :+ (("c", 7.5)))
+      .toDF("event_type", "value")
+    val r = StatOps.robustOutliersOn(df).head()
+    // med 7.0, MAD 0 -> the single 7.5 exceeds 3*0
+    assert(r.getAs[Long]("n_outliers") === 1L)
+    assert(r.getAs[Double]("mad") === 0.0)
+  }
+
   // ---------------------------------------------------------------- q88
 
   test("histogram: bins partition the data and edges are exact") {
