@@ -484,6 +484,35 @@ object TextOps {
       .orderBy("doc_id", "rank")
   }
 
+  /** q97: deterministic k-per-stratum sample — the bounded-memory way to
+    * draw a reproducible uniform sample from every group: rank rows by a
+    * portable arithmetic hash of the id and keep the k smallest, with
+    * the selection running through the native bounded top-k aggregate
+    * ([[graft.functions.MinKLongs]] — O(k) buffer per stratum, map-side
+    * combined). The window-rank formulation sorts every stratum; a
+    * `TABLESAMPLE`/`rand()` draw is neither per-stratum-exact nor
+    * reproducible across runs/engines. The hash and doc id pack into one
+    * long (hash · 2³¹ + id, exact while ids < 2³¹), so ranking and
+    * recovery ride a single aggregate column.
+    */
+  def groupSample(s: SparkSession, dir: String): DataFrame =
+    groupSampleOn(docs(s, dir), k = 3)
+
+  /** `docsDf` needs (doc_id < 2^31, source). */
+  def groupSampleOn(docsDf: DataFrame, k: Int): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(docsDf.sparkSession)
+    docsDf
+      .select(col("source"),
+        ((col("doc_id") * 48271L + 11L) % 1000000007L
+          * 2147483648L + col("doc_id")).as("e"))
+      .groupBy("source")
+      .agg(expr(s"graft_min_k(e, $k)").as("es"))
+      .select(col("source"), posexplode(col("es")).as(Seq("pos", "e")))
+      .select(col("source"), (col("pos") + 1).cast("long").as("rank"),
+        (col("e") % 2147483648L).as("doc_id"))
+      .orderBy("source", "rank")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q31_token_stats" -> tokenStats,
     "q32_lang_profile" -> langProfile,
@@ -496,9 +525,22 @@ object TextOps {
     "q63_repetition_profile" -> repetitionProfile,
     "q66_vocab_stats" -> vocabStats,
     "q71_doc_chunks" -> docChunks,
-    "q72_tfidf_keywords" -> tfidfKeywords)
+    "q72_tfidf_keywords" -> tfidfKeywords,
+    "q97_group_sample" -> groupSample)
 
   val oracle: Map[String, String] = Map(
+    "q97_group_sample" ->
+      """WITH enc AS (SELECT source,
+        |    ((doc_id * 48271 + 11) % 1000000007)
+        |      * 2147483648 + doc_id AS e
+        |  FROM documents),
+        |s AS (SELECT source, list_sort(list(e))[1:3] AS es
+        |  FROM enc GROUP BY source)
+        |SELECT source, CAST(g.i AS BIGINT) AS rank,
+        |  es[g.i] % 2147483648 AS doc_id
+        |FROM s CROSS JOIN (SELECT unnest(generate_series(1, 3)) AS i) g
+        |WHERE g.i <= len(es)
+        |ORDER BY source, rank""".stripMargin,
     "q71_doc_chunks" ->
       """WITH d AS (SELECT doc_id,
         |  string_split(trim(text), ' ') AS toks FROM documents),

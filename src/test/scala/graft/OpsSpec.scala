@@ -506,6 +506,24 @@ class OpsSpec extends SparkSpec {
     assert(c.count() === labels * SimilarityOps.Dim)
   }
 
+  test("group sample: k per stratum, deterministic under repartitioning") {
+    import spark.implicits._
+    val docs = Tables.t(spark, sfDir, "documents")
+    val a = ops.TextOps.groupSampleOn(docs, k = 3).collect()
+    val b = ops.TextOps.groupSampleOn(docs.repartition(13), k = 3).collect()
+    assert(a.toSeq === b.toSeq, "sample must not depend on partitioning")
+    // exactly k rows per source (every source has >= 3 docs here), ranks 1..3
+    val bySource = a.groupBy(_.getString(0))
+    assert(bySource.values.forall(_.length === 3))
+    assert(bySource.values.forall(
+      _.map(_.getAs[Long]("rank")).sorted.toSeq === Seq(1L, 2L, 3L)))
+    // sampled ids really belong to their stratum
+    val pairs = docs.select("source", "doc_id").as[(String, Long)]
+      .collect().toSet
+    assert(a.forall(r =>
+      pairs.contains((r.getString(0), r.getAs[Long]("doc_id")))))
+  }
+
   test("cluster purity: diagonal dominates; a planted outlier crosses") {
     import spark.implicits._
     // two tight label clusters + one vector labeled 0 but sitting on
