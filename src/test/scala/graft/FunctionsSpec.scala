@@ -122,6 +122,33 @@ class FunctionsSpec extends SparkSpec {
     assert(r.head.getLong(0) === interp.asInstanceOf[Long])
   }
 
+  test("GraftExtensions injection path registers every graft function") {
+    import org.apache.spark.sql.SparkSession
+    // `spark.sql.extensions` is a STATIC conf — on a shared SparkContext
+    // it can't be set per-session, so exercise the same injection hook
+    // through the public builder API (what the config resolves to)
+    val prev = spark
+    SparkSession.clearDefaultSession()
+    SparkSession.clearActiveSession()
+    try {
+      val s = SparkSession.builder()
+        .withExtensions(new graft.functions.GraftExtensions())
+        .getOrCreate()
+      assert(s ne prev)
+      assert(s.sql("SELECT size(graft_minhash_band_keys(array(1L), 8)) n")
+        .head().getInt(0) === 8)
+      // aggregate + scalar pair came through the same injection
+      val bf = s.sql("SELECT graft_bloom_agg(id, 64, 2) AS b FROM range(5)")
+        .head().getAs[Array[Byte]]("b")
+      assert(graft.functions.Bloom.mightContain(bf, 3L))
+      assert(!s.sql("SELECT graft_bloom_contains(X'00000002000000080000000000000000', 3L) AS c")
+        .head().getBoolean(0))
+    } finally {
+      SparkSession.setDefaultSession(prev)
+      SparkSession.setActiveSession(prev)
+    }
+  }
+
   test("registerAll exposes every testdata table as a SQL view") {
     graft.Tables.registerAll(spark, sfDir)
     graft.Tables.names.foreach { n =>

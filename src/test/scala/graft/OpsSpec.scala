@@ -347,6 +347,22 @@ class OpsSpec extends SparkSpec {
     assert(plain.exceptAll(salted).count() === 0)
   }
 
+  test("compact rewrites a many-file directory into few, data intact") {
+    val dir = tmpDir("compact") + "/t"
+    spark.range(0, 10000).selectExpr("id", "id % 7 AS k")
+      .repartition(40).write.parquet(dir)
+    def files = new java.io.File(dir).listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(files === 40)
+    ScaleOps.compact(spark, dir, targetBytes = Long.MaxValue)
+    assert(files === 1, "everything fits one target-sized file")
+    val back = spark.read.parquet(dir)
+    assert(back.count() === 10000)
+    assert(back.agg(sum("id")).head().getLong(0) === 49995000L)
+    assert(!new java.io.File(dir + ".compacting").exists(),
+      "staging dir must be swapped away")
+  }
+
   test("two-phase salted top-k equals the single-window form") {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
