@@ -108,6 +108,70 @@ object RelationalOps {
       .orderBy("r_name", "n_name")
   }
 
+  /** q98: percent-of-total (RATIO_TO_REPORT) — each nation's share of its
+    * region's revenue. Same pre-reduced chain as q22; the share divides
+    * per-nation DECIMAL partials by a decimal window total (decimal
+    * addition is exact and order-independent, so the window needs no
+    * ordering discipline — a double window sum would be
+    * accumulation-order-sensitive), then rounds. The window runs on the
+    * ≤25-row contracted rollup, never the facts.
+    */
+  def revenueShare(s: SparkSession, dir: String): DataFrame =
+    revenueShareOn(t(s, dir, "lineitem"), t(s, dir, "orders"),
+      t(s, dir, "customer"), t(s, dir, "nation"), t(s, dir, "region"))
+
+  def revenueShareOn(li: DataFrame, o: DataFrame, c: DataFrame,
+      nation: DataFrame, region: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val n = broadcast(nation)
+    val r = broadcast(region)
+    val dec = org.apache.spark.sql.types.DecimalType(38, 10)
+    val perOrder = li.groupBy("l_orderkey").agg(
+      sum((col("l_extendedprice") * (lit(1.0) - col("l_discount"))).cast(dec))
+        .as("rev_part"))
+    val perNation = perOrder
+      .join(o, col("l_orderkey") === o("o_orderkey"))
+      .groupBy("o_custkey").agg(sum(col("rev_part")).as("rev_part"))
+      .join(c, col("o_custkey") === c("c_custkey"))
+      .join(n, c("c_nationkey") === n("n_nationkey"))
+      .join(r, n("n_regionkey") === r("r_regionkey"))
+      .groupBy("r_name", "n_name")
+      .agg(sum(col("rev_part")).as("nat_dec"))
+    perNation
+      .withColumn("reg_dec",
+        sum("nat_dec").over(Window.partitionBy("r_name")))
+      .select(col("r_name"), col("n_name"),
+        round(col("nat_dec"), 2).cast("double").as("revenue"),
+        round(col("nat_dec").cast("double")
+          / col("reg_dec").cast("double"), 6).as("region_share"))
+      .orderBy("r_name", "n_name")
+  }
+
+  /** q99: referential-integrity audit — orphan counts along the key
+    * chain (lineitem→orders→customer→nation). The data-quality gate run
+    * after every load: each check is one keyed left-anti join (linear,
+    * AQE-planned), unioned into a fixed 3-row report.
+    */
+  def integrityAudit(s: SparkSession, dir: String): DataFrame =
+    integrityAuditOn(t(s, dir, "lineitem"), t(s, dir, "orders"),
+      t(s, dir, "customer"), t(s, dir, "nation"))
+
+  def integrityAuditOn(li: DataFrame, o: DataFrame, c: DataFrame,
+      nation: DataFrame): DataFrame = {
+    def orphanCount(name: String, child: DataFrame, childKey: String,
+        parent: DataFrame, parentKey: String): DataFrame =
+      child.join(parent.select(col(parentKey)),
+          child(childKey) === col(parentKey), "left_anti")
+        .agg(count(lit(1)).as("n_orphans"))
+        .select(lit(name).as("check_name"), col("n_orphans"))
+    orphanCount("customer_no_nation", c, "c_nationkey", nation, "n_nationkey")
+      .unionAll(orphanCount(
+        "lineitem_no_order", li, "l_orderkey", o, "o_orderkey"))
+      .unionAll(orphanCount(
+        "order_no_customer", o, "o_custkey", c, "c_custkey"))
+      .orderBy("check_name")
+  }
+
   /** Left-anti join: customers with no orders since 2001 (churn scan). */
   def inactiveCustomers(s: SparkSession, dir: String): DataFrame =
     inactiveCustomersOn(t(s, dir, "customer"), t(s, dir, "orders"))
@@ -390,11 +454,40 @@ object RelationalOps {
     "q27_supplier_nation_revenue" -> supplierNationRevenue,
     "q28_top_orders_per_segment" -> topOrdersPerSegment,
     "q29_user_running_value" -> userRunningValue,
-    "q30_order_size_distribution" -> orderSizeDistribution)
+    "q30_order_size_distribution" -> orderSizeDistribution,
+    "q98_revenue_share" -> revenueShare,
+    "q99_integrity_audit" -> integrityAudit)
 
   private val disc = "l_extendedprice * (1.0 - l_discount)"
 
   val oracle: Map[String, String] = Map(
+    "q98_revenue_share" ->
+      s"""WITH pn AS (SELECT r_name, n_name,
+         |    sum(CAST($disc AS DECIMAL(38,10))) AS nat_dec
+         |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |  JOIN customer ON o_custkey = c_custkey
+         |  JOIN nation ON c_nationkey = n_nationkey
+         |  JOIN region ON n_regionkey = r_regionkey
+         |  GROUP BY r_name, n_name)
+         |SELECT r_name, n_name,
+         |  CAST(round(nat_dec, 2) AS DOUBLE) AS revenue,
+         |  round(CAST(nat_dec AS DOUBLE)
+         |    / CAST(sum(nat_dec) OVER (PARTITION BY r_name) AS DOUBLE), 6)
+         |    AS region_share
+         |FROM pn ORDER BY r_name, n_name""".stripMargin,
+    "q99_integrity_audit" ->
+      """SELECT 'customer_no_nation' AS check_name, count(*) AS n_orphans
+        |FROM customer c WHERE NOT EXISTS
+        |  (SELECT 1 FROM nation n WHERE n.n_nationkey = c.c_nationkey)
+        |UNION ALL
+        |SELECT 'lineitem_no_order' AS check_name, count(*) AS n_orphans
+        |FROM lineitem l WHERE NOT EXISTS
+        |  (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+        |UNION ALL
+        |SELECT 'order_no_customer' AS check_name, count(*) AS n_orphans
+        |FROM orders o WHERE NOT EXISTS
+        |  (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+        |ORDER BY check_name""".stripMargin,
     "q76_revenue_cube" ->
       s"""WITH per_order AS (SELECT l_orderkey,
          |    sum(CAST($disc AS DECIMAL(38,10))) AS rev_part

@@ -347,6 +347,29 @@ class OpsSpec extends SparkSpec {
     assert(plain.exceptAll(salted).count() === 0)
   }
 
+  test("revenue shares are positive and sum to ~1 within each region") {
+    val out = RelationalOps.revenueShare(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    val byRegion = out.groupBy(_.getString(0))
+    for ((region, rows) <- byRegion) {
+      val shares = rows.map(_.getAs[Double]("region_share"))
+      assert(shares.forall(s => s > 0.0 && s <= 1.0), region)
+      assert(math.abs(shares.sum - 1.0) < 1e-5, s"$region: ${shares.sum}")
+    }
+  }
+
+  test("integrity audit counts exactly the planted orphans") {
+    import spark.implicits._
+    val nation = Seq((1, "a"), (2, "b")).toDF("n_nationkey", "n_name")
+    val cust = Seq((10L, 1), (11L, 9)).toDF("c_custkey", "c_nationkey")
+    val orders = Seq((100L, 10L), (101L, 77L)).toDF("o_orderkey", "o_custkey")
+    val li = Seq((100L, 1), (999L, 2)).toDF("l_orderkey", "l_linenumber")
+    val out = RelationalOps.integrityAuditOn(li, orders, cust, nation)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out === Map("customer_no_nation" -> 1L,
+      "lineitem_no_order" -> 1L, "order_no_customer" -> 1L))
+  }
+
   test("compact rewrites a many-file directory into few, data intact") {
     val dir = tmpDir("compact") + "/t"
     spark.range(0, 10000).selectExpr("id", "id % 7 AS k")
