@@ -503,6 +503,60 @@ object CurationOps {
       .orderBy("source")
   }
 
+  // ---- q100: the curation funnel ------------------------------------------
+
+  /** q100: the end-to-end curation funnel — the whole training-data
+    * pipeline as ONE declarative plan, reporting document/token survivors
+    * after each stage:
+    *
+    *   raw → exact dedup (first-write-wins by normalized text)
+    *       → quality gate (q33 score ≥ 0.45, i.e. not 'poor')
+    *       → decontamination (drop train docs whose norm appears in the
+    *         held-out 10% eval split — the q49/q90 convention)
+    *       → 50% stratified keep (independent arithmetic hash)
+    *
+    * This is the composition proof for the whole library: every stage is
+    * a primitive that is individually oracle-checked (q36's normalizer,
+    * q33's score, q49's split, q47's hash sampling), chained without any
+    * imperative glue; Catalyst sees one tree per stage report and shares
+    * the scan. Each stage is norm-/id-keyed (dedup window parallelism =
+    * |distinct norms|; the decontamination probe anti-joins a contracted
+    * norm set), so the funnel scales exactly as its parts do.
+    */
+  def curationFunnel(s: SparkSession, dir: String): DataFrame =
+    curationFunnelOn(docs(s, dir))
+
+  /** `docsDf` needs (doc_id, lang, text). */
+  def curationFunnelOn(docsDf: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = docsDf
+      .withColumn("norm", DedupOps.normText)
+      .withColumn("n_toks", size(split(trim(col("text")), " ")))
+    val deduped = d
+      .withColumn("rn",
+        row_number().over(Window.partitionBy("norm").orderBy("doc_id")))
+      .filter(col("rn") === 1).drop("rn")
+    val quality = TextOps.scoredDocsOn(deduped)
+      .filter(col("score") >= 0.45)
+      .select(d.columns.map(col): _*)
+    val evalNorms = d
+      .filter((col("doc_id") * 48271L + 7L) % 100L >= 90L)
+      .select("norm").distinct()
+    val clean = quality
+      .filter((col("doc_id") * 48271L + 7L) % 100L < 90L)
+      .join(evalNorms, Seq("norm"), "left_anti")
+    val sampled = clean
+      .filter((col("doc_id") * 9301L + 49297L) % 100L < 50L)
+    val stages = Seq(
+      "0_raw" -> d, "1_dedup" -> deduped, "2_quality" -> quality,
+      "3_decontaminated" -> clean, "4_sampled" -> sampled)
+    stages.map { case (name, df) =>
+      df.agg(count(lit(1)).as("n_docs"),
+          sum(col("n_toks").cast("long")).as("n_tokens"))
+        .select(lit(name).as("stage"), col("n_docs"), col("n_tokens"))
+    }.reduce(_ unionAll _).orderBy("stage")
+  }
+
   // ---- fingerprint store: the persisted face of delta dedup ---------------
 
   /** Materialize the corpus's distinct normalized-text fingerprint table —
@@ -627,6 +681,7 @@ object CurationOps {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q100_curation_funnel" -> curationFunnel,
     "q92_corpus_diff" -> corpusDiff,
     "q84_dataset_card" -> datasetCard,
     "q56_ngram_decontamination" -> ngramDecontamination,
@@ -690,6 +745,42 @@ object CurationOps {
   }
 
   val oracle: Map[String, String] = Map(
+    // Replays the funnel stage by stage: q36's normalizer, q33's score
+    // expression (raw components, rounded once), the q49 split, and the
+    // independent sampling hash.
+    "q100_curation_funnel" ->
+      """WITH d AS (SELECT doc_id, lang, text,
+        |    regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm,
+        |    string_split(trim(text), ' ') AS toks,
+        |    len(string_split(trim(text), ' ')) AS n_toks
+        |  FROM documents),
+        |dd AS (SELECT * FROM (SELECT *,
+        |    row_number() OVER (PARTITION BY norm ORDER BY doc_id) AS rn
+        |  FROM d) WHERE rn = 1),
+        |q AS (SELECT * FROM dd WHERE
+        |    round(0.4e0 * (len(list_distinct(toks)) / len(toks))
+        |      + 0.3e0 * least((length(regexp_replace(text, ' ', '', 'g'))
+        |          / len(toks)) / 10.0e0, 1.0e0)
+        |      + 0.3e0 * (1.0e0 - len(regexp_extract_all(text,
+        |          '[^a-zA-Z0-9 ]')) / len(toks)), 6) >= 0.45e0),
+        |ev AS (SELECT DISTINCT norm FROM d
+        |  WHERE (doc_id * 48271 + 7) % 100 >= 90),
+        |cl AS (SELECT * FROM q
+        |  WHERE (doc_id * 48271 + 7) % 100 < 90
+        |    AND NOT EXISTS (SELECT 1 FROM ev WHERE ev.norm = q.norm)),
+        |sm AS (SELECT * FROM cl
+        |  WHERE (doc_id * 9301 + 49297) % 100 < 50)
+        |SELECT '0_raw' AS stage, count(*) AS n_docs,
+        |  CAST(sum(n_toks) AS BIGINT) AS n_tokens FROM d
+        |UNION ALL SELECT '1_dedup', count(*),
+        |  CAST(sum(n_toks) AS BIGINT) FROM dd
+        |UNION ALL SELECT '2_quality', count(*),
+        |  CAST(sum(n_toks) AS BIGINT) FROM q
+        |UNION ALL SELECT '3_decontaminated', count(*),
+        |  CAST(sum(n_toks) AS BIGINT) FROM cl
+        |UNION ALL SELECT '4_sampled', count(*),
+        |  CAST(sum(n_toks) AS BIGINT) FROM sm
+        |ORDER BY stage""".stripMargin,
     "q92_corpus_diff" ->
       """WITH v2 AS (
         |  SELECT doc_id, text || ' (rev2)' AS text FROM documents

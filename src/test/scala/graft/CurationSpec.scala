@@ -325,6 +325,24 @@ class CurationSpec extends SparkSpec {
     assert(out === Map("unchanged" -> 2L))
   }
 
+  test("curation funnel: stages shrink monotonically and agree with q36") {
+    val docs = Tables.t(spark, sfDir, "documents")
+    val out = CurationOps.curationFunnelOn(docs).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val order = Seq("0_raw", "1_dedup", "2_quality",
+      "3_decontaminated", "4_sampled")
+    assert(out.keySet === order.toSet)
+    for (Seq(a, b) <- order.sliding(2)) {
+      assert(out(b)._1 <= out(a)._1, s"$b docs must not exceed $a")
+      assert(out(b)._2 <= out(a)._2, s"$b tokens must not exceed $a")
+    }
+    assert(out("4_sampled")._1 > 0, "the funnel must not drain completely")
+    // stage 1 = q36's distinct-normalized count on the same corpus
+    val nDistinct = graft.ops.DedupOps.exactDedupOn(docs)
+      .head().getAs[Long]("n_distinct")
+    assert(out("1_dedup")._1 === nDistinct)
+  }
+
   test("fingerprint store: write, probe, append, re-probe") {
     val store = tmpDir("fp_store") + "/store"
     val corpus = Seq((1L, "Known Doc one"), (2L, "known doc two"))
