@@ -56,10 +56,33 @@ object Bloom {
 
   /** Membership test against serialized filter bytes (static so codegen
     * can call it directly). False positives possible, negatives never.
+    *
+    * `graft_bloom_contains` accepts arbitrary BINARY (persisted filters are
+    * just bytes), so the layout is validated before probing: a truncated
+    * buffer would index out of bounds inside codegen'd executor code, and a
+    * corrupted non-power-of-two bit length would probe with a different
+    * mask than the build — silent FALSE NEGATIVES, breaking the filter's
+    * one hard guarantee. Both fail fast with the actual defect named.
     */
   def mightContain(bf: Array[Byte], key: Long): Boolean = {
+    if (bf.length < 9)
+      throw new IllegalArgumentException(
+        s"bloom filter too short: ${bf.length} bytes (need 8-byte header + bits)")
     val k = ((bf(0) & 0xff) << 24) | ((bf(1) & 0xff) << 16) |
       ((bf(2) & 0xff) << 8) | (bf(3) & 0xff)
+    val hdrBytes = ((bf(4) & 0xff) << 24) | ((bf(5) & 0xff) << 16) |
+      ((bf(6) & 0xff) << 8) | (bf(7) & 0xff)
+    if (hdrBytes != bf.length - 8)
+      throw new IllegalArgumentException(
+        s"bloom filter corrupt: header says $hdrBytes payload bytes, " +
+          s"buffer has ${bf.length - 8}")
+    if (k < 1 || k > 16)
+      throw new IllegalArgumentException(
+        s"bloom filter corrupt: header k=$k outside [1, 16]")
+    if (java.lang.Integer.bitCount(bf.length - 8) != 1)
+      throw new IllegalArgumentException(
+        s"bloom filter corrupt: bit length ${(bf.length - 8) << 3} is not a " +
+          "power of two (probe mask would differ from the build mask)")
     val nBits = (bf.length - 8).toLong << 3
     val h1 = mix64(key)
     val h2 = mix64(h1) | 1L

@@ -94,8 +94,9 @@ object CurationOps {
     * from the broadcast needle array), O(|doc| + matches) per document
     * instead of O(|needles|·|doc|) — measured at the 100× corpus
     * (500k docs × 25k needles): ~110 s naive → ~1 s automaton, identical
-    * output. The probe-side collect is the bounded benchmark slice (the
-    * same rows the declarative path broadcasts).
+    * output. The dispatch itself reads only a capped COUNT of the probe
+    * side; needle strings reach the driver only on the automaton arm,
+    * where the AC build requires them.
     */
   def substringContamination(s: SparkSession, dir: String): DataFrame =
     substringContaminationOn(docs(s, dir), col("source") === "src9")
@@ -122,15 +123,22 @@ object CurationOps {
         .select(col("doc_id").as("eval_id"),
           array_join(slice(col("ntoks"), 1, 8), " ").as("needle"))
     val train = d.filter(!isBenchmark)
-    val probes = probesDf.as[(Long, String)].collect().sortBy(_._1)
+    // the dispatch probe is a COUNT, capped at threshold+1 — the needle
+    // strings only ever reach the driver on the automaton arm (where the
+    // AC build genuinely needs them); the declarative arm broadcasts
+    // probesDf executor-side and the driver materializes nothing, so an
+    // unexpectedly huge benchmark slice cannot OOM the driver before the
+    // dispatch even decides
+    val nProbes = probesDf.limit(acThreshold + 1).count()
     val hits =
-      if (probes.length <= acThreshold)
+      if (nProbes <= acThreshold)
         train
           .crossJoin(broadcast(probesDf))
           .filter(col("norm").contains(col("needle")))
           .groupBy("eval_id")
           .agg(count(lit(1)).as("n_hits"))
       else {
+        val probes = probesDf.as[(Long, String)].collect().sortBy(_._1)
         val bcNeedles =
           session.sparkContext.broadcast(probes.map(_._2))
         val evalIds = probes.map(_._1)

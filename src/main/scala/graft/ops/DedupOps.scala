@@ -75,46 +75,94 @@ object DedupOps {
     * computes the identical pair set via the quadratic formulation (fine at
     * oracle scale).
     */
-  /** `docsDf` needs (doc_id, lang, text). */
-  def jaccardPairsOn(docsDf: DataFrame): DataFrame = {
-    val (d, vocab) = tokenizedDocs(docsDf)
-    if (vocab.length <= 64) jaccardPairsMask(d, vocab)
-    else jaccardPairsPrefix(d)
+  /** `docsDf` needs (doc_id, lang, text).
+    *
+    * Default entry point is DENSITY-DISPATCHED (the executable form of the
+    * "listing is Ω(output)" caveat): a one-agg probe computes the exact-
+    * duplicate pair floor Σ m·(m−1)/2 over normalized-text multiplicity
+    * groups (the q93 diagnostic). Corpora whose floor exceeds
+    * `maxListedPairs` would emit billions of (a, b, 1.0) rows from the
+    * duplicate cliques alone, so they return the cluster→canonical
+    * decision (doc_id, rep — the q46 output, what a dedup pass actually
+    * consumes) instead of the listing. `fullPairs = true` forces the
+    * full pair listing — the validation mode for corpora where the
+    * caller has decided the output volume is acceptable.
+    */
+  def jaccardPairsOn(docsDf: DataFrame, fullPairs: Boolean = false,
+      maxListedPairs: Long = MaxListedPairs): DataFrame = {
+    if (!fullPairs && estExactDupPairs(docsDf) > maxListedPairs)
+      dedupClustersOn(docsDf)
+    else {
+      val (d, vocab) = tokenizedDocs(docsDf)
+      if (vocab.length <= 64) jaccardPairsMask(d, vocab)
+      else jaccardPairsPrefix(d)
+    }
   }
 
   def jaccardPairs(s: SparkSession, dir: String): DataFrame =
     jaccardPairsOn(docs(s, dir))
 
-  /** Distinct (lang, token-set-mask) groups with sorted member lists.
-    * The vocab rides in as a typed array literal and the mask fold uses
-    * Column-level functions — no SQL-text embedding, so tokens containing
-    * quotes/backslashes/control characters need no escaping at all.
+  /** Listed pair counts above this (by the exact-dup floor probe) leave
+    * the Ω(output) pair listing for the cluster→canonical decision. Both
+    * harness scales sit far below it (sf0.01: 0, sf0.1: 8 — the corpus is
+    * near-unique), so the oracle-checked arm is the listing; the 100×
+    * dup-dense sweep (~25M floor) dispatches.
     */
-  private def maskGroups(d: DataFrame, vocab: Array[String]): DataFrame = {
+  private[ops] val MaxListedPairs = 2L * 1000 * 1000
+
+  /** The duplicate-density probe: Σ m·(m−1)/2 over normalized-text
+    * multiplicity groups — a LOWER BOUND on any near-dup pair listing
+    * (exact duplicates are pairs at every threshold). One hash aggregation
+    * over text hashes; the driver receives a single long.
+    */
+  private[ops] def estExactDupPairs(docsDf: DataFrame): Long =
+    docsDf.select(xxhash64(normText).as("h"))
+      .groupBy("h").agg(count(lit(1)).as("m"))
+      .agg(coalesce(sum(expr("m * (m - 1) div 2")), lit(0L)).as("p"))
+      .head.getLong(0)
+
+  /** Per-document (doc_id, lang, mask): the token set dictionary-encoded
+    * into one 64-bit mask. The vocab rides in as a typed array literal and
+    * the mask fold uses Column-level functions — no SQL-text embedding, so
+    * tokens containing quotes/backslashes/control characters need no
+    * escaping at all.
+    */
+  private def maskedDocs(d: DataFrame, vocab: Array[String]): DataFrame = {
     val vocabLit = typedLit(vocab.toSeq)
     d.withColumn("mask",
         aggregate(col("toks"), lit(0L), (acc, t) =>
           acc.bitwiseOR(call_function("shiftleft", lit(1L),
             (call_function("array_position", vocabLit, t) - 1).cast("int")))))
-      .groupBy(col("lang"), col("mask"))
-      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .select(col("doc_id"), col("lang"), col("mask"))
   }
 
-  /** Qualifying group pairs (same-mask groups join themselves once) with
-    * the group Jaccard. Output: lang, a_mask, a_ids, b_mask, b_ids, jaccard.
+  /** Distinct (lang, token-set-mask) groups, CONTRACTED to bounded-width
+    * rows: representative (minimum member id) + member count. Membership
+    * stays in the per-doc [[maskedDocs]] frame and is joined back lazily —
+    * a pathological mask duplicated millions of times contributes one
+    * (rep, n) row here, never a million-element array in a single row
+    * (the round-3 `collect_list` would).
+    */
+  private def maskGroups(md: DataFrame): DataFrame =
+    md.groupBy(col("lang"), col("mask"))
+      .agg(min(col("doc_id")).as("rep"), count(lit(1)).as("n"))
+
+  /** Qualifying group pairs (same-mask groups join themselves once, when
+    * they have ≥ 2 members) with the group Jaccard.
+    * Output: lang, a_mask, a_rep, b_mask, b_rep, jaccard.
     */
   private def maskGroupEdges(groups: DataFrame): DataFrame = {
     val a = groups.select(col("lang"), col("mask").as("a_mask"),
-      col("ids").as("a_ids"))
+      col("rep").as("a_rep"), col("n").as("a_n"))
     val b = groups.select(col("lang").as("b_lang"), col("mask").as("b_mask"),
-      col("ids").as("b_ids"))
+      col("rep").as("b_rep"))
     val inter = bit_count(col("a_mask").bitwiseAND(col("b_mask")))
     val uni = bit_count(col("a_mask").bitwiseOR(col("b_mask")))
     a.join(b, col("lang") === col("b_lang") &&
         col("a_mask") <= col("b_mask") && inter * 10 >= uni * 9)
-      .filter(col("a_mask") < col("b_mask") || size(col("a_ids")) >= 2)
-      .select(col("lang"), col("a_mask"), col("a_ids"), col("b_mask"),
-        col("b_ids"), round(inter.cast("double") / uni, 6).as("jaccard"))
+      .filter(col("a_mask") < col("b_mask") || col("a_n") >= 2)
+      .select(col("lang"), col("a_mask"), col("a_rep"), col("b_mask"),
+        col("b_rep"), round(inter.cast("double") / uni, 6).as("jaccard"))
   }
 
   /** Small-vocab plan: token set → 64-bit mask, Jaccard via popcounts.
@@ -126,31 +174,38 @@ object DedupOps {
     * The pair scan runs over DISTINCT (lang, mask) groups, not documents —
     * a ≤64-token vocabulary admits at most 2^|V| distinct token sets, and
     * dense corpora collapse far below that, so the quadratic term is M²
-    * over distinct sets while everything per-document stays linear
-    * (group, then expand qualifying group pairs through the doc-id lists).
+    * over distinct sets while everything per-document stays linear.
     * Same-mask groups short-circuit as J = 1 exactly.
+    *
+    * Expansion from group edges to document pairs is JOIN-based: the edge
+    * table joins back to the per-doc mask frame on (lang, mask) for each
+    * side. Row width stays constant however dense a mask group is (no
+    * membership arrays anywhere), and the output-bound work distributes
+    * across tasks keyed by (lang, mask) instead of |lang|-way or
+    * one-giant-row-per-group-pair.
     */
   private def jaccardPairsMask(d: DataFrame, vocab: Array[String]): DataFrame = {
-    // pairs within a group (same token set, J = 1): ordered combinations;
-    // pairs across two groups: full cross of the id lists, ordered per pair
-    val pairs = when(col("a_mask") === col("b_mask"),
-      expr("""flatten(transform(a_ids, (x, i) ->
-              |  transform(slice(a_ids, i + 2, size(a_ids)), y ->
-              |    struct(x AS a_id, y AS b_id))))""".stripMargin))
-      .otherwise(
-        expr("""flatten(transform(a_ids, x ->
-                |  transform(b_ids, y ->
-                |    struct(least(x, y) AS a_id, greatest(x, y) AS b_id))))"""
-          .stripMargin))
-    maskGroupEdges(maskGroups(d, vocab))
-      // the group-pair join keys on lang (≤ a handful of values), so its
-      // output lands in that many partitions; round-robin repartition before
-      // the doc-pair expansion so the output-bound explode runs at full
-      // parallelism instead of |lang|-way
-      .repartition()
-      .select(col("lang"), explode(pairs).as("p"), col("jaccard"))
-      .select(col("lang"), col("p.a_id"), col("p.b_id"), col("jaccard"))
-      .orderBy("a_id", "b_id")
+    val md = maskedDocs(d, vocab)
+    val edges = maskGroupEdges(maskGroups(md))
+    val xs = md.select(col("lang").as("x_lang"), col("mask").as("x_mask"),
+      col("doc_id").as("x_id"))
+    val ys = md.select(col("lang").as("y_lang"), col("mask").as("y_mask"),
+      col("doc_id").as("y_id"))
+    // pairs across two groups: cross of the two memberships, ordered per
+    // pair; pairs within a group (same token set, J = 1): ordered
+    // combinations via the id inequality in the second join
+    val cross = edges.filter(col("a_mask") < col("b_mask"))
+      .join(xs, col("lang") === col("x_lang") && col("a_mask") === col("x_mask"))
+      .join(ys, col("lang") === col("y_lang") && col("b_mask") === col("y_mask"))
+      .select(col("lang"), least(col("x_id"), col("y_id")).as("a_id"),
+        greatest(col("x_id"), col("y_id")).as("b_id"), col("jaccard"))
+    val same = edges.filter(col("a_mask") === col("b_mask"))
+      .join(xs, col("lang") === col("x_lang") && col("a_mask") === col("x_mask"))
+      .join(ys, col("lang") === col("y_lang") &&
+        col("a_mask") === col("y_mask") && col("x_id") < col("y_id"))
+      .select(col("lang"), col("x_id").as("a_id"), col("y_id").as("b_id"),
+        col("jaccard"))
+    cross.unionAll(same).orderBy("a_id", "b_id")
   }
 
   /** General-vocab plan: prefix-filtered similarity join (PPJoin-lite) —
@@ -256,9 +311,30 @@ object DedupOps {
     * verify candidates with exact shingle Jaccard ≥ 0.8 behind a lossless
     * size-ratio band. No cross join anywhere.
     */
-  /** `docsDf` needs (doc_id, text). */
-  def minhashLshPairsOn(docsDf: DataFrame): DataFrame = {
-    val sigs = signatures(docsDf).localCheckpoint(true)
+  /** `docsDf` needs (doc_id, text). `reliable` selects the lineage-
+    * truncation mode for the reused signature table, exactly as in
+    * [[dedupClustersOn]]: executor-local blocks by default (local mode /
+    * harness), reliable checkpoints to the context's checkpoint dir when
+    * surviving executor loss matters (callers set the dir).
+    *
+    * Density-dispatched like [[jaccardPairsOn]]: past `maxListedPairs`
+    * (exact-dup floor probe) the default arm contracts exact duplicates
+    * first, mines LSH pairs over the DISTINCT texts only, and returns the
+    * cluster→canonical decision (doc_id, rep) — identical components to
+    * clustering the full listing, because exact duplicates share shingle
+    * sets and therefore band keys. `fullPairs = true` forces the listing.
+    */
+  def minhashLshPairsOn(docsDf: DataFrame, reliable: Boolean = false,
+      fullPairs: Boolean = false,
+      maxListedPairs: Long = MaxListedPairs): DataFrame =
+    if (!fullPairs && estExactDupPairs(docsDf) > maxListedPairs)
+      contractedClusters(docsDf, dd => minhashLshPairsList(dd, reliable),
+        reliable)
+    else minhashLshPairsList(docsDf, reliable)
+
+  private def minhashLshPairsList(docsDf: DataFrame,
+      reliable: Boolean): DataFrame = {
+    val sigs = truncateLineage(signatures(docsDf), reliable)
     val banded = sigs.select(col("doc_id"), col("bh"),
       posexplode(col("bh")).as(Seq("band", "band_key")))
     val firstMatch = expr(
@@ -317,9 +393,27 @@ object DedupOps {
     * in the join condition, so the verification happens inside the join and
     * no distinct() shuffle over candidates is needed.
     */
-  /** `docsDf` needs (doc_id, lang, text). */
-  def simhashPairsOn(docsDf: DataFrame): DataFrame = {
-    val sh = simhashed(docsDf).localCheckpoint(true)
+  /** `docsDf` needs (doc_id, lang, text). `reliable` as in
+    * [[minhashLshPairsOn]]: local checkpoint blocks vs reliable
+    * checkpoints for the reused simhash table.
+    *
+    * Density-dispatched like [[jaccardPairsOn]]/[[minhashLshPairsOn]]:
+    * identical texts hash to identical simhashes (Hamming 0, same chunks),
+    * so contracting exact duplicates before mining preserves the component
+    * structure exactly; past the probe threshold the default arm returns
+    * cluster→canonical (doc_id, rep). `fullPairs = true` forces the
+    * listing.
+    */
+  def simhashPairsOn(docsDf: DataFrame, reliable: Boolean = false,
+      fullPairs: Boolean = false,
+      maxListedPairs: Long = MaxListedPairs): DataFrame =
+    if (!fullPairs && estExactDupPairs(docsDf) > maxListedPairs)
+      contractedClusters(docsDf, dd => simhashPairsList(dd, reliable), reliable)
+    else simhashPairsList(docsDf, reliable)
+
+  private def simhashPairsList(docsDf: DataFrame,
+      reliable: Boolean): DataFrame = {
+    val sh = truncateLineage(simhashed(docsDf), reliable)
     val chunked = sh.select(col("doc_id"), col("simhash"),
       posexplode(array((0 until 4).map(j =>
         shiftrightunsigned(col("simhash"), j * 16)
@@ -343,6 +437,39 @@ object DedupOps {
 
   def simhashPairs(s: SparkSession, dir: String): DataFrame =
     simhashPairsOn(docs(s, dir))
+
+  /** The dense-corpus arm shared by the q38/q39 dispatch: contract exact
+    * duplicates (normalized text → min-id representative), mine near-dup
+    * pair EDGES over the distinct representatives only with `minePairs`
+    * (a listing function returning a_id/b_id columns), run connected
+    * components over representatives, and expand labels back through the
+    * membership join. Every document gets a row — singleton reps label
+    * themselves — so the output is the complete keep/drop decision
+    * (doc_id, rep), q60-consumable directly.
+    *
+    * Scale shape: the contraction is one hash aggregation; the mining runs
+    * over |distinct texts| documents (on a duplicate-dense corpus that is
+    * the small fraction); CC is the bounded pointer-jumping loop; the
+    * expansion is one (norm-hash) equi-join. Nothing is ever quadratic in
+    * duplicate multiplicity.
+    */
+  private def contractedClusters(docsDf: DataFrame,
+      minePairs: DataFrame => DataFrame, reliable: Boolean): DataFrame = {
+    val withNorm = docsDf.withColumn("__nh", xxhash64(normText))
+    val groups = truncateLineage(
+      withNorm.groupBy(col("__nh")).agg(min(col("doc_id")).as("rep_id")),
+      reliable)
+    val reps = docsDf.join(groups.select(col("rep_id").as("doc_id")),
+      Seq("doc_id"))
+    val edges = minePairs(reps)
+      .select(col("a_id").as("src"), col("b_id").as("dst"))
+    val nodes = groups.select(col("rep_id").as("id"))
+    val cc = connectedComponents(nodes, edges, reliable)
+    withNorm.join(groups, Seq("__nh"))
+      .join(cc.select(col("id").as("rep_id"), col("rep")), Seq("rep_id"))
+      .select(col("doc_id"), col("rep"))
+      .orderBy("doc_id")
+  }
 
   /** Near-dup clustering: connected components over the exact Jaccard pair
     * graph (q37), each document labeled with its component representative
@@ -381,20 +508,23 @@ object DedupOps {
       // mutually J=1 connected, so the component structure lives entirely
       // on the GROUP graph (one node per distinct token set, node id = min
       // member). CC runs over thousands of supernodes instead of the
-      // expanded doc-pair graph, then membership lists expand the labels.
-      val groups = truncateLineage(maskGroups(d, vocab), reliable)
+      // expanded doc-pair graph; labels then expand to members through a
+      // (lang, mask) join against the per-doc frame — bounded row width,
+      // no membership arrays (see maskGroups).
+      val md = truncateLineage(maskedDocs(d, vocab), reliable)
+      val groups = maskGroups(md)
       val ge = truncateLineage(
         maskGroupEdges(groups)
           .select(col("a_mask"), col("b_mask"),
-            col("a_ids").getItem(0).as("a0"), col("b_ids").getItem(0).as("b0")),
+            col("a_rep").as("a0"), col("b_rep").as("b0")),
         reliable)
       val nodes = ge.select(col("a0").as("id"))
         .union(ge.select(col("b0").as("id"))).distinct()
       val edgesU = ge.filter(col("a_mask") < col("b_mask"))
         .select(col("a0").as("src"), col("b0").as("dst"))
       val cc = connectedComponents(nodes, edgesU, reliable)
-      groups
-        .select(col("ids").getItem(0).as("id"), explode(col("ids")).as("doc_id"))
+      md.join(groups.select(col("lang"), col("mask"), col("rep").as("id")),
+          Seq("lang", "mask"))
         .join(cc, "id")
         .select(col("doc_id"), col("rep"))
         .orderBy("doc_id")

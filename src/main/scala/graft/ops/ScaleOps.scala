@@ -140,9 +140,15 @@ object ScaleOps {
     * bytes (compressed) via the filesystem — no data pass — then one
     * round-robin repartition to ceil(bytes / target) writers.
     *
-    * The rewrite goes to `<dir>.compacting`, then swaps in atomically
-    * (rename) — the source is never read-while-overwritten, and a crash
-    * mid-compact leaves the original intact.
+    * The rewrite goes to `<dir>.compacting`; the swap is two renames with
+    * the original parked at `<dir>.old` in between — every crash point
+    * leaves a complete copy of the data under a discoverable name (before
+    * the first rename: original at `dir`; between renames: original at
+    * `dir.old`, new data at `dir.compacting`; after: new data at `dir`,
+    * original at `dir.old` until the final cleanup delete). The window in
+    * which `dir` itself does not exist is two metadata renames, not a
+    * recursive delete; concurrent readers must still be drained externally,
+    * as with any in-place rewrite.
     */
   def compact(spark: SparkSession, dir: String,
       targetBytes: Long = 128L << 20): Unit = {
@@ -154,8 +160,14 @@ object ScaleOps {
     spark.read.parquet(dir)
       .repartition(nFiles)
       .write.mode("overwrite").parquet(tmp.toString)
-    fs.delete(hPath, true)
-    if (!fs.rename(tmp, hPath))
+    val old = new org.apache.hadoop.fs.Path(dir + ".old")
+    fs.delete(old, true) // leftover from a previous crashed compact
+    if (!fs.rename(hPath, old))
+      throw new java.io.IOException(s"compact: rename $hPath -> $old failed")
+    if (!fs.rename(tmp, hPath)) {
+      fs.rename(old, hPath) // roll back so `dir` stays populated
       throw new java.io.IOException(s"compact: rename $tmp -> $hPath failed")
+    }
+    fs.delete(old, true)
   }
 }

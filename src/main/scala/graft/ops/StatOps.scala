@@ -159,9 +159,13 @@ object StatOps {
 
   /** q88: equal-width value histogram (25.0-wide bins) — the pairing of
     * q85's equal-frequency cut. Pure map + ≤|bins| group agg; the bin id
-    * comes from integer cents (`round(value*100) div 2500`), so bucket
-    * edges are exact in both engines (float `floor(value/25)` would ride
-    * on division rounding).
+    * comes from integer cents (`round(value*100)` floor-divided by 2500),
+    * so bucket edges are exact in both engines (float `floor(value/25)`
+    * would ride on division rounding). The floor correction matters for
+    * SIGN safety: Spark's `div` truncates toward zero while DuckDB's `//`
+    * floors, so a bare `div` would put −1 cents in bin 0 (DuckDB: bin −1);
+    * the corpus is non-negative today, but a refund/credit column must not
+    * silently split the engines.
     */
   def valueHistogram(s: SparkSession, dir: String): DataFrame =
     valueHistogramOn(ev(s, dir))
@@ -169,7 +173,8 @@ object StatOps {
   /** `df` needs (value). */
   def valueHistogramOn(df: DataFrame): DataFrame =
     df.withColumn("cents", round(col("value") * 100).cast("long"))
-      .withColumn("bin", expr("cents div 2500"))
+      .withColumn("bin", expr(
+        "cents div 2500 - (CASE WHEN cents % 2500 < 0 THEN 1 ELSE 0 END)"))
       .groupBy("bin")
       .agg(count(lit(1)).as("n"),
         min("value").as("min_v"), max("value").as("max_v"),

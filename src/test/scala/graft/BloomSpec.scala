@@ -47,6 +47,32 @@ class BloomSpec extends SparkSpec {
     assert((1L to 100L).forall(!Bloom.mightContain(bf, _)))
   }
 
+  test("corrupted filter bytes fail fast with the defect named — never a " +
+      "silent wrong-mask probe") {
+    val good = Bloom.empty(1024, 3)
+    Bloom.add(good, 1024, 3, 42L)
+    assert(Bloom.mightContain(good, 42L))
+    // truncated below the header: would have indexed out of bounds
+    val short = Array[Byte](1, 2, 3)
+    val e1 = intercept[IllegalArgumentException](Bloom.mightContain(short, 1L))
+    assert(e1.getMessage.contains("too short"))
+    // header/payload length mismatch (a truncated persisted filter)
+    val trunc = java.util.Arrays.copyOf(good, good.length - 16)
+    val e2 = intercept[IllegalArgumentException](Bloom.mightContain(trunc, 1L))
+    assert(e2.getMessage.contains("header says"))
+    // non-power-of-two bit length: the probe mask would differ from the
+    // build mask => false negatives; must be rejected, not probed
+    val odd = new Array[Byte](8 + 100)
+    System.arraycopy(good, 0, odd, 0, 8)
+    odd(5) = 0; odd(6) = 0; odd(7) = 100 // header says 100 payload bytes
+    val e3 = intercept[IllegalArgumentException](Bloom.mightContain(odd, 1L))
+    assert(e3.getMessage.contains("power of two"))
+    // nonsense k in the header
+    val badK = good.clone(); badK(0) = 1 // k = 1<<24
+    val e4 = intercept[IllegalArgumentException](Bloom.mightContain(badK, 1L))
+    assert(e4.getMessage.contains("k="))
+  }
+
   test("bloom_contains survives whole-stage codegen with fallback disabled") {
     val strict = spark.newSession()
     strict.conf.set("spark.sql.codegen.fallback", "false")

@@ -303,6 +303,132 @@ class DedupSpec extends SparkSpec {
     assert(ids.head === 1L, s"planted neighbor must rank first, got $ids")
   }
 
+  // ---- round-4: density dispatch + bounded-width listing ------------------
+
+  /** Dup-dense fixture: one 22-token base text duplicated 30×, a 1-token
+    * near-dup duplicated 5×, three distinct docs, and a short doc (< 3
+    * tokens, invisible to the minhash listing) duplicated 2×. Exact-dup
+    * pair floor = C(30,2) + C(5,2) + C(2,2·) = 446.
+    */
+  private lazy val denseDocs = {
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog and runs far " +
+      "away into the deep green forest near the old stone bridge today"
+    val near = base.replace("today", "tonight")
+    val rows =
+      (0L until 30L).map(i => (i, base, "en", "s0")) ++
+        (30L until 35L).map(i => (i, near, "en", "s0")) ++
+        Seq((40L, "completely different words about spark catalyst " +
+          "optimizer plans shuffles partitions and codegen stages here",
+          "en", "s1"),
+          (41L, "another unrelated document troubleshooting watermark " +
+            "state timeouts and session windows in streaming jobs", "en", "s1"),
+          (42L, "third distinct text covering parquet footers row groups " +
+            "statistics and predicate pushdown behavior", "en", "s1")) ++
+        Seq((50L, "tiny doc", "en", "s2"), (51L, "tiny doc", "en", "s2"))
+    rows.toDF("doc_id", "text", "lang", "source")
+  }
+
+  /** Union-find ground truth: components over (near-dup pairs ∪ exact-dup
+    * groups), every doc labeled with its component minimum.
+    */
+  private def expectedClusters(pairs: Seq[(Long, Long)]): Map[Long, Long] = {
+    val ids = denseDocs.collect().map(r => r.getLong(0)).sorted
+    val byText = denseDocs.collect()
+      .groupBy(_.getString(1)).values
+      .flatMap { g =>
+        val m = g.map(_.getLong(0)).min
+        g.map(r => (r.getLong(0), m))
+      }
+    val parent = scala.collection.mutable.Map(ids.map(i => i -> i): _*)
+    def find(x: Long): Long =
+      if (parent(x) == x) x else { val r = find(parent(x)); parent(x) = r; r }
+    def union(a: Long, b: Long): Unit = {
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) { val m = math.min(ra, rb); parent(ra) = m; parent(rb) = m }
+    }
+    (pairs ++ byText).foreach { case (a, b) => union(a, b) }
+    ids.map(i => i -> find(i)).toMap
+  }
+
+  test("q37/q38/q39 density dispatch: dense corpora return cluster-canonical" +
+      " and the arms agree") {
+    // probe straddling: the same corpus lists below the threshold …
+    val listed = DedupOps.jaccardPairsOn(denseDocs, maxListedPairs = 1000)
+    assert(listed.columns.contains("jaccard"), "below threshold => listing")
+    // … and contracts above it (446 exact-dup floor > 100)
+    val auto = DedupOps.jaccardPairsOn(denseDocs, maxListedPairs = 100)
+    assert(auto.columns.toSeq === Seq("doc_id", "rep"),
+      "above threshold => cluster-canonical decision")
+    // fullPairs overrides the probe entirely
+    val forced = DedupOps.jaccardPairsOn(denseDocs, fullPairs = true,
+      maxListedPairs = 100)
+    assert(forced.columns.contains("jaccard"))
+
+    // q37 arms agree: clusters from the dispatched arm == union-find over
+    // the forced full listing (q46 semantics: only edge components appear)
+    val pairs37 = forced.collect().map(r => (r.getLong(1), r.getLong(2))).toSeq
+    val all37 = expectedClusters(pairs37)
+    val want37 = all37.filter { case (_, rep) => all37.count(_._2 == rep) >= 2 }
+    assert(auto.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      === want37)
+
+    // q38/q39 arms agree: contracted clusters == union-find over their own
+    // full listings plus exact-dup groups, every doc labeled (singletons
+    // label themselves)
+    for ((name, full, contracted) <- Seq(
+      ("minhash",
+        DedupOps.minhashLshPairsOn(denseDocs, fullPairs = true),
+        DedupOps.minhashLshPairsOn(denseDocs, maxListedPairs = 100)),
+      ("simhash",
+        DedupOps.simhashPairsOn(denseDocs, fullPairs = true),
+        DedupOps.simhashPairsOn(denseDocs, maxListedPairs = 100)))) {
+      assert(contracted.columns.toSeq === Seq("doc_id", "rep"), name)
+      val pairs = full.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(pairs.nonEmpty, s"$name listing must find the planted dups")
+      val got = contracted.collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toMap
+      assert(got === expectedClusters(pairs), name)
+    }
+  }
+
+  test("q37 listing plans without collect_list and survives a hot mask group") {
+    import spark.implicits._
+    // one text duplicated 400× — the round-3 plan would build a single
+    // 400-element array row per mask group; the join-based expansion keeps
+    // row width constant and still emits every pair
+    val hot = (0L until 400L).map(i => (i, "same exact text every time", "en"))
+      .toDF("doc_id", "text", "lang")
+    val listing = DedupOps.jaccardPairsOn(hot, fullPairs = true)
+    val plan = listing.queryExecution.optimizedPlan.toString
+    assert(!plan.toLowerCase.contains("collect_list"),
+      "membership must never materialize as an in-row array")
+    assert(listing.count() === 400L * 399L / 2)
+    // the cluster path over the same corpus: one component rooted at 0
+    val reps = DedupOps.dedupClustersOn(hot).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(reps.length === 400 && reps.forall(_._2 == 0L))
+  }
+
+  test("minhash/simhash pairs support reliable checkpoint mode") {
+    val ckpt = tmpDir("pairs-ckpt")
+    spark.sparkContext.setCheckpointDir(ckpt)
+    val docs = spark.read.parquet(s"$plantedDocsDir/documents.parquet")
+    val mhLocal = DedupOps.minhashLshPairsOn(docs)
+      .collect().map(_.toSeq).toSet
+    val mhRel = DedupOps.minhashLshPairsOn(docs, reliable = true)
+      .collect().map(_.toSeq).toSet
+    assert(mhRel === mhLocal)
+    val shLocal = DedupOps.simhashPairsOn(docs).collect().map(_.toSeq).toSet
+    val shRel = DedupOps.simhashPairsOn(docs, reliable = true)
+      .collect().map(_.toSeq).toSet
+    assert(shRel === shLocal)
+    def files(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) f.listFiles().toSeq.flatMap(files) else Seq(f)
+    assert(files(new java.io.File(ckpt)).nonEmpty,
+      "reliable mode must persist checkpoint files")
+  }
+
   test("dup multiplicity histogram partitions groups and docs") {
     import spark.implicits._
     val docs = Seq(

@@ -151,4 +151,22 @@ class StatSpec extends SparkSpec {
     assert(b.map(r => (r.getAs[Long]("bin"), r.getAs[Long]("n"))).toSeq
       === Seq((0L, 1L), (1L, 2L)))
   }
+
+  test("histogram: negative values bin by FLOOR division (DuckDB // parity)") {
+    // Spark's `div` truncates toward zero; DuckDB's `//` floors. A refund
+    // of −0.01 must land in bin −1 (interval [−25, 0)), not bin 0 — and
+    // the exact multiple −25.0 in bin −1, not −2.
+    val b = StatOps.valueHistogramOn(
+      Seq(-0.01, -24.99, -25.0, -25.01, 0.0, -50.0).toDF("value")).collect()
+      .map(r => (r.getAs[Long]("bin"), r.getAs[Long]("n"),
+        r.getAs[Double]("bin_lo"))).toSeq
+    // −25.01 and −50.0 → bin −2 [−50, −25); −0.01, −24.99 and the exact
+    // multiple −25.0 → bin −1 [−25, 0); 0.0 → bin 0
+    assert(b === Seq((-2L, 2L, -50.0), (-1L, 3L, -25.0), (0L, 1L, 0.0)))
+    for (r <- StatOps.valueHistogramOn(
+        Seq(-0.01, -24.99, -25.0, -60.0, 13.0).toDF("value")).collect()) {
+      val lo = r.getAs[Double]("bin_lo")
+      assert(r.getAs[Double]("min_v") >= lo && r.getAs[Double]("max_v") < lo + 25)
+    }
+  }
 }
