@@ -67,6 +67,17 @@ object SimilarityOps {
       .limit(k)
   }
 
+  /** Exact-block-scan sizes above this leave the exact all-pairs kernel
+    * for LSH-bucket subdivision (the q65 `AcThreshold` pattern made
+    * executable for the similarity family): an exact block is O(block²)
+    * cosines, so a 50k-vector block is ~1.25B pairs in ONE task — the
+    * 787 s / 212 s entries of the round-3 100× sweep. Both harness scales
+    * sit far below the gate (sf0.1's largest label block is 218 vectors),
+    * so the oracle-checked arm is the exact scan; the 100× sweep's
+    * ~20k-vector blocks dispatch.
+    */
+  private[ops] val MaxExactBlock = 4096
+
   /** Top-50 most-similar pairs within each label block (exact, pairwise).
     *
     * Implemented as a per-label `flatMapGroups` kernel rather than a
@@ -74,33 +85,53 @@ object SimilarityOps {
     * float matrix with a bounded top-k buffer per block, so only ≤50 rows
     * per label ever leave the executor — a join would materialize every
     * candidate pair through the operator pipeline (~60× slower at the 10×
-    * corpus). Applies while a label block fits in executor memory (vectors
-    * × dim floats); beyond that the blocks themselves come from LSH
-    * bucketing (q42) and the same kernel runs per bucket. Cosine math is
-    * identical to [[dot]] (index-order double accumulation) and rounding
-    * matches Spark's `round` (HALF_UP), so the DuckDB oracle still
-    * hash-matches exactly.
+    * corpus). Cosine math is identical to [[dot]] (index-order double
+    * accumulation) and rounding matches Spark's `round` (HALF_UP), so the
+    * DuckDB oracle still hash-matches exactly.
+    *
+    * SIZE-GATED (executable, not prose): a per-block count rides in via a
+    * broadcast join, and blocks above `maxExactBlock` are subdivided by
+    * the 16-bit hyperplane signature — the q42 screen — so the kernel's
+    * quadratic term is bounded by the bucket size the caller chose, not
+    * by the corpus's largest natural block. Blocks at or below the gate
+    * are scanned exactly, so small-block results (and the oracle corpus)
+    * are bit-identical to the exact form; `exact = true` forces the
+    * exact scan everywhere (validation mode).
     */
   def cosineTopPairs(s: SparkSession, dir: String): DataFrame =
     cosineTopPairsOn(emb(s, dir))
 
   /** `embDf` needs (vec_id, embedding) plus whatever `blockCol` reads.
     * `blockCol` is the comparison-blocking key (default: the `label`
-    * column). At scale, pass an LSH bucket instead — e.g. the 16-bit
-    * hyperplane signature via [[lshBlock]] — and the same bounded-top-k
-    * kernel runs per bucket with block sizes the caller controls.
+    * column); oversized blocks subdivide by LSH signature per the gate
+    * above.
     */
   def cosineTopPairsOn(embDf: DataFrame, k: Int = 50,
-      blockCol: Column = col("label")): DataFrame = {
+      blockCol: Column = col("label"),
+      maxExactBlock: Int = MaxExactBlock,
+      exact: Boolean = false): DataFrame = {
     val session = embDf.sparkSession
     // blockCol may reference the graft kernels (lshBlock → vec_dot)
     graft.functions.GraftFunctions.ensureRegistered(session)
     import session.implicits._
-    val topPerLabel = embDf
+    val blocked = embDf
       .select(blockCol.cast("int").as("label"), col("vec_id"), col("embedding"))
-      .as[(Int, Long, Array[Float])]
-      .groupByKey(_._1)
-      .flatMapGroups { (label: Int, it: Iterator[(Int, Long, Array[Float])]) =>
+    // block sizes contract to ≤|blocks| rows and broadcast back — the same
+    // bounded side-table shape as the IVF probe list, never a driver hop
+    val sizes = blocked.groupBy("label").agg(count(lit(1)).as("_bn"))
+    val sub =
+      if (exact) lit(0L)
+      else when(col("_bn") > maxExactBlock,
+        signature(col("embedding"))).otherwise(lit(0L))
+    val topPerLabel = blocked
+      .join(broadcast(sizes), "label")
+      .select(col("label"), sub.as("_sub"), col("vec_id"), col("embedding"))
+      .as[(Int, Long, Long, Array[Float])]
+      .groupByKey(t => (t._1, t._2))
+      .flatMapGroups { (key: (Int, Long),
+          rs: Iterator[(Int, Long, Long, Array[Float])]) =>
+        val label = key._1
+        val it = rs.map(t => (t._1, t._3, t._4))
         val rows = it.toArray.sortBy(_._2)
         val n = rows.length
         val nrm = rows.map { r =>
@@ -221,28 +252,45 @@ object SimilarityOps {
     * for every vector, its most-similar neighbor within the label block and
     * the cosine score (a dedup pass keeps `nn_cos < threshold` rows or
     * collapses clusters; threshold stays a caller decision since it is
-    * corpus-dependent). Label blocking bounds the quadratic term exactly as
-    * in q41; at scale the block key becomes an LSH bucket (q42) instead of
-    * a label.
+    * corpus-dependent).
+    *
+    * SIZE-GATED like [[cosineTopPairsOn]]: label blocks at or below
+    * `maxExactBlock` run the exact all-pairs comparison (bit-identical to
+    * the oracle form); blocks above it subdivide by the 16-bit hyperplane
+    * signature, so each vector's neighbor search is confined to its LSH
+    * bucket — the O(n) screening semantics of q64, applied only where the
+    * exact scan would be O(block²). A vector alone in its bucket emits no
+    * row on the screened arm (it has no candidate neighbor — at dedup
+    * thresholds, "no bucket-mate" already means "not a near-duplicate").
+    * `exact = true` forces the exact scan everywhere.
     */
   def nnDedup(s: SparkSession, dir: String): DataFrame =
     nnDedupOn(emb(s, dir))
 
   /** `embDf` needs (vec_id, label, embedding). */
-  def nnDedupOn(embDf: DataFrame): DataFrame = {
+  def nnDedupOn(embDf: DataFrame, maxExactBlock: Int = MaxExactBlock,
+      exact: Boolean = false): DataFrame = {
     graft.functions.GraftFunctions.ensureRegistered(embDf.sparkSession)
-    val d = embDf.withColumn("nrm", norm(col("embedding")))
-    val a = d.select(col("vec_id").as("vec_id"), col("label"),
+    val d0 = embDf.withColumn("nrm", norm(col("embedding")))
+    val sizes = d0.groupBy("label").agg(count(lit(1)).as("_bn"))
+    val sub =
+      if (exact) lit(0L)
+      else when(col("_bn") > maxExactBlock,
+        signature(col("embedding"))).otherwise(lit(0L))
+    val d = d0.join(broadcast(sizes), "label").withColumn("_sub", sub)
+    val a = d.select(col("vec_id").as("vec_id"), col("label"), col("_sub"),
       col("embedding").as("a_emb"), col("nrm").as("a_nrm"))
     val b = d.select(col("vec_id").as("nn_id"), col("label").as("b_label"),
-      col("embedding").as("b_emb"), col("nrm").as("b_nrm"))
+      col("_sub").as("b_sub"), col("embedding").as("b_emb"),
+      col("nrm").as("b_nrm"))
     val cos = dot(col("a_emb"), col("b_emb")) / (col("a_nrm") * col("b_nrm"))
     // arg-max via max_by with a (cos, -nn_id) key — ties break to the lowest
     // neighbor id, matching the oracle's `ORDER BY cos DESC, nn_id ASC`.
     // Unlike a window rank (which shuffles every candidate pair), max_by
     // partial-aggregates map-side: only one row per vector reaches the
     // shuffle, so the plan is insensitive to block size.
-    a.join(b, col("label") === col("b_label") && col("vec_id") =!= col("nn_id"))
+    a.join(b, col("label") === col("b_label") && col("_sub") === col("b_sub") &&
+        col("vec_id") =!= col("nn_id"))
       .withColumn("cos", cos)
       .groupBy("vec_id", "label")
       .agg(max_by(struct(col("nn_id"), col("cos")),

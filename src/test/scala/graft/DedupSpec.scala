@@ -429,6 +429,46 @@ class DedupSpec extends SparkSpec {
       "reliable mode must persist checkpoint files")
   }
 
+  test("q41/q44 block-size gate: oversized blocks dispatch to the LSH " +
+      "screen, small blocks stay exact") {
+    import spark.implicits._
+    val dim = SimilarityOps.Dim
+    val rnd = new scala.util.Random(99)
+    def vec(): Array[Float] = Array.fill(dim)(rnd.nextGaussian().toFloat)
+    // label 0: 60 vectors = 30 identical twin pairs — every vector's true
+    // nearest neighbor is its twin, and a twin shares its LSH bucket by
+    // construction, so the screened arm must reproduce the exact arm
+    // bit-for-bit; label 1: 10 vectors, below the gate on both arms
+    val pairs = (0 until 30).map(_ => vec())
+    val rows = pairs.zipWithIndex.flatMap { case (v, i) =>
+      Seq((2L * i, v, 0), (2L * i + 1, v.clone(), 0)) } ++
+      (100L until 110L).map(i => (i, vec(), 1))
+    val embDf = rows.toDF("vec_id", "embedding", "label")
+
+    // straddling: threshold 20 puts label 0 (60 vectors) on the screened
+    // arm and label 1 (10) on the exact arm
+    val nnExact = SimilarityOps.nnDedupOn(embDf, exact = true)
+      .collect().map(_.toSeq).toSeq
+    val nnAuto = SimilarityOps.nnDedupOn(embDf, maxExactBlock = 20)
+      .collect().map(_.toSeq).toSeq
+    assert(nnAuto === nnExact)
+    assert(nnExact.size === 70, "exact arm covers every vector")
+
+    val tpExact = SimilarityOps.cosineTopPairsOn(embDf, k = 10, exact = true)
+      .collect().map(_.toSeq).toSeq
+    val tpAuto = SimilarityOps.cosineTopPairsOn(embDf, k = 10,
+      maxExactBlock = 20).collect().map(_.toSeq).toSeq
+    assert(tpAuto === tpExact)
+
+    // the screen is genuinely active: random vectors in one oversized
+    // block scatter into singleton buckets, which emit no q44 row —
+    // the exact arm still scans all pairs
+    val lone = (0L until 60L).map(i => (i, vec(), 0))
+      .toDF("vec_id", "embedding", "label")
+    assert(SimilarityOps.nnDedupOn(lone, exact = true).count() === 60L)
+    assert(SimilarityOps.nnDedupOn(lone, maxExactBlock = 20).count() < 60L)
+  }
+
   test("dup multiplicity histogram partitions groups and docs") {
     import spark.implicits._
     val docs = Seq(
