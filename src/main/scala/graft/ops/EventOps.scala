@@ -295,6 +295,36 @@ object EventOps {
         expr("percentile_approx(value, 0.5, 1000)").as("approx_p50"))
       .orderBy("event_type")
 
+  /** The ORACLE-CHECKED form of the sketch twin (the q15 registration):
+    * exact columns carry the values; the sketch estimates fold into
+    * within-error-bound BOOLEANS that the oracle asserts as literal
+    * `true` — so the full row STILL hash-checks against DuckDB, and a
+    * sketch drifting outside its documented bound flips a boolean and
+    * fails the gate. Bounds are deliberately loose multiples of the
+    * configured accuracy (HLL rsd 0.02 → 10% + 5 absolute slack;
+    * percentile_approx accuracy 1000 → the p35..p65 exact band), so the
+    * check pins "the sketch works", not one build's bit pattern.
+    */
+  def sketchChecked(s: SparkSession, dir: String): DataFrame =
+    sketchCheckedOn(events(s, dir))
+
+  def sketchCheckedOn(eventsDf: DataFrame): DataFrame =
+    eventsDf
+      .groupBy("event_type")
+      .agg(
+        countDistinct(col("user_id")).as("exact_users"),
+        approx_count_distinct(col("user_id"), 0.02).as("approx_users"),
+        round(expr("percentile(value, 0.5)"), 4).as("exact_p50"),
+        expr("percentile_approx(value, 0.5, 1000)").as("approx_p50"),
+        expr("percentile(value, 0.35)").as("p35"),
+        expr("percentile(value, 0.65)").as("p65"))
+      .select(col("event_type"), col("exact_users"), col("exact_p50"),
+        (abs(col("approx_users") - col("exact_users"))
+          <= col("exact_users") * 0.1 + 5).as("approx_users_ok"),
+        (col("approx_p50") >= col("p35") && col("approx_p50") <= col("p65"))
+          .as("approx_p50_ok"))
+      .orderBy("event_type")
+
   /** Pivot (rows→columns, the inverse of q07's unpivot): per-user value
     * totals spread across one column per event type. The pivot value list
     * is pinned (not inferred) so the plan is a single pass with no
@@ -396,7 +426,7 @@ object EventOps {
     "q17_column_profile" -> columnProfile,
     "q13_user_sessions" -> userSessions,
     "q14_value_percentiles" -> valuePercentiles,
-    "q15_sketch_stats" -> sketchStats,
+    "q15_sketch_stats" -> sketchChecked,
     "q16_type_pivot" -> typePivot,
     "q01_recent_events" -> ((s, d) => recentEvents(s, d, Some("click"), 500)),
     "q02_kpi_overview" -> kpiOverview,
@@ -463,6 +493,16 @@ object EventOps {
         |  round(quantile_cont(value, 0.95), 4) AS p95,
         |  round(quantile_cont(value, 0.99), 4) AS p99,
         |  count(*) AS n
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // the exact columns are recomputed; the sketch-estimate columns are
+    // within-bound booleans the oracle asserts as literal TRUE (a sketch
+    // outside its documented error bound flips the boolean => hash fail)
+    "q15_sketch_stats" ->
+      """SELECT event_type,
+        |  count(DISTINCT user_id) AS exact_users,
+        |  round(quantile_cont(value, 0.5), 4) AS exact_p50,
+        |  true AS approx_users_ok,
+        |  true AS approx_p50_ok
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q13_user_sessions" ->
       s"""WITH b AS (SELECT user_id, event_id, ts, value, epoch_us(ts) AS us,

@@ -180,10 +180,37 @@ object MultimodalOps {
     "q52_frame_sample" -> frameSample,
     "q69_modality_coverage" -> modalityCoverage)
 
-  /** q51 omitted: the stub decode kernel runs in JVM code the oracle cannot
-    * reproduce — rows-only check + ScalaTest over literal payloads.
-    */
   val oracle: Map[String, String] = Map(
+    // Replays the stub decode kernel relationally: the payload is the
+    // UTF-8 encoding of `text`, and the testdata corpus is pure ASCII
+    // (octet_length(encode(text)) = length(text) for every row — verified
+    // per scale), so per-character `unicode()` IS the byte value. The SQL
+    // re-derives byte sum / 8-bin histogram argmax (first-max tie = lowest
+    // bin, like the kernel's maxBy on (count, -j)) / 1024-byte frame count
+    // / the 8-bucket integer-mean thumbnail with the kernel's exact floor
+    // arithmetic (lo = k·n/8, hi = max(lo+1, (k+1)·n/8), mean = sum//(hi−lo)).
+    "q51_media_features" ->
+      """WITH b AS (SELECT doc_id, length(text) AS n,
+        |  list_transform(generate_series(1, length(text)),
+        |    i -> CAST(unicode(text[i]) AS BIGINT)) AS bys
+        |  FROM documents),
+        |h AS (SELECT doc_id, n, bys,
+        |  list_transform(generate_series(0, 7), j ->
+        |    len(list_filter(bys, x -> x // 32 = j))) AS hist
+        |  FROM b)
+        |SELECT doc_id,
+        |  CAST(n AS INT) AS n_bytes,
+        |  floor((CAST(list_sum(bys) AS DOUBLE) * 10000 / n) + 0.5) / 10000
+        |    AS mean_byte,
+        |  CAST(list_position(hist, list_max(hist)) - 1 AS INT)
+        |    AS dominant_bin,
+        |  CAST((n + 1023) // 1024 AS INT) AS frames_sampled,
+        |  array_to_string(list_transform(generate_series(0, 7), k ->
+        |    CAST(list_sum(list_slice(bys, (k * n) // 8 + 1,
+        |        greatest((k * n) // 8 + 1, ((k + 1) * n) // 8)))
+        |      // greatest(((k + 1) * n) // 8 - (k * n) // 8, 1) AS VARCHAR)),
+        |    ',') AS thumb8
+        |FROM h ORDER BY doc_id""".stripMargin,
     "q69_modality_coverage" ->
       """WITH ds AS (SELECT d.source AS key, count(*) AS n_rows,
         |  count(e.vec_id) AS n_matched

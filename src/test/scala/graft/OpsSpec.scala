@@ -16,9 +16,9 @@ class OpsSpec extends SparkSpec {
     }
   }
 
-  test("every query key has either an oracle or a documented omission") {
+  test("every query key has an oracle — the catalog is 100% hash-checked") {
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    assert(noOracle === Set("q15_sketch_stats", "q51_media_features"))
+    assert(noOracle === Set.empty[String])
   }
 
   test("quality score counts punctuation chars exactly") {
