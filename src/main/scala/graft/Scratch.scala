@@ -11,6 +11,11 @@ object Scratch {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // static conf — saved-table modes (bucketchain) park their metastore
+      // and data under /tmp, never the repo working dir
+      .config("spark.sql.warehouse.dir",
+        java.nio.file.Files.createTempDirectory("scratch-wh").toString)
+      .config("spark.sql.catalogImplementation", "in-memory")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val dir = sys.env.getOrElse("SCRATCH_DIR", "/root/testdata/sf0.1")
@@ -72,6 +77,42 @@ object Scratch {
           "\\b(table|value|key)\\b", "[MASKED]")))
       probe("q36_norm")(
         length(regexp_replace(lower(trim(col("text"))), "\\s+", " ")))
+      spark.stop()
+      return
+    }
+    if (name == "bucketchain") {
+      // the TPC-H chain (q21/q22/q76/q98 all re-derive the lineitem →
+      // per-order contraction) on plain parquet vs the bucketed layout:
+      // lineitem bucketed on l_orderkey + orders on o_orderkey pays the
+      // fact shuffles once at write; every chain query then plans its
+      // contraction and fact join exchange-free. Reports write cost and
+      // per-query warm timings for both layouts.
+      import ops.{RelationalOps, ScaleOps}
+      val li = Tables.t(spark, dir, "lineitem")
+      val o = Tables.t(spark, dir, "orders")
+      val c = Tables.t(spark, dir, "customer")
+      val n = Tables.t(spark, dir, "nation")
+      val r = Tables.t(spark, dir, "region")
+      val buckets = sys.env.getOrElse("SPARK_GRAFT_BUCKETS", "32").toInt
+      time("write_bucketed") {
+        ScaleOps.writeBucketed(li, "li_bkt", "l_orderkey", buckets)
+        ScaleOps.writeBucketed(o, "ord_bkt", "o_orderkey", buckets)
+        0L
+      }
+      val (lb, ob) = (spark.table("li_bkt"), spark.table("ord_bkt"))
+      def chain(liT: DataFrame, oT: DataFrame): Seq[(String, DataFrame)] = Seq(
+        "q21" -> RelationalOps.topCustomerRevenueOn(liT, oT, c),
+        "q22" -> RelationalOps.regionRevenueOn(liT, oT, c, n, r),
+        "q76" -> RelationalOps.revenueCubeOn(liT, oT, c, n, r),
+        "q98" -> RelationalOps.revenueShareOn(liT, oT, c, n, r))
+      for ((qn, df) <- chain(li, o)) {
+        df.count() // warm
+        time(s"${qn}_plain")(df.count())
+      }
+      for ((qn, df) <- chain(lb, ob)) {
+        df.count() // warm
+        time(s"${qn}_bucketed")(df.count())
+      }
       spark.stop()
       return
     }

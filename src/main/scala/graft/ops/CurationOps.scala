@@ -129,7 +129,9 @@ object CurationOps {
     // probesDf executor-side and the driver materializes nothing, so an
     // unexpectedly huge benchmark slice cannot OOM the driver before the
     // dispatch even decides
-    val nProbes = probesDf.limit(acThreshold + 1).count()
+    val nProbes = probesDf
+      .limit(if (acThreshold >= Int.MaxValue) Int.MaxValue else acThreshold + 1)
+      .count()
     val hits =
       if (nProbes <= acThreshold)
         train

@@ -454,6 +454,45 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("TPC-H chain on the bucketed layout: the per-order contraction and " +
+      "the fact join shuffle ZERO bytes") {
+    // The q21/q22/q76/q98 family each re-derives the same lineitem→per-order
+    // contraction; bucketing lineitem on l_orderkey and orders on o_orderkey
+    // (equal bucket counts) pays that shuffle once at write time. The SAME
+    // query code (topCustomerRevenueOn) then plans its groupBy(l_orderkey)
+    // and the fact⋈fact join with no Exchange — only the post-contraction
+    // per-customer rollup still shuffles.
+    val li = Tables.t(spark, sfDir, "lineitem")
+    val ord = Tables.t(spark, sfDir, "orders")
+    val cust = Tables.t(spark, sfDir, "customer")
+    ScaleOps.writeBucketed(li, "li_chain_bkt", "l_orderkey", 8)
+    ScaleOps.writeBucketed(ord, "ord_chain_bkt", "o_orderkey", 8)
+    try {
+      val big = spark.newSession()
+      big.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      def exchanges(df: org.apache.spark.sql.DataFrame): Int =
+        "Exchange".r.findAllIn(df.queryExecution.executedPlan.toString).length
+      val bucketed = RelationalOps.topCustomerRevenueOn(
+        big.table("li_chain_bkt"), big.table("ord_chain_bkt"),
+        Tables.t(big, sfDir, "customer"))
+      val plain = RelationalOps.topCustomerRevenueOn(
+        Tables.t(big, sfDir, "lineitem"), Tables.t(big, sfDir, "orders"),
+        Tables.t(big, sfDir, "customer"))
+      // saved: the per-order agg's fact-sized shuffle AND the orders-side
+      // join shuffle (the two fact-table exchanges of the chain)
+      assert(exchanges(bucketed) <= exchanges(plain) - 2,
+        s"bucketed chain must drop the fact exchanges: " +
+          s"${exchanges(bucketed)} vs ${exchanges(plain)}")
+      // identical rows to the plain layout (same query code, same result)
+      assert(bucketed.collect().map(_.toSeq).toSeq ===
+        RelationalOps.topCustomerRevenueOn(li, ord, cust)
+          .collect().map(_.toSeq).toSeq)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS li_chain_bkt")
+      spark.sql("DROP TABLE IF EXISTS ord_chain_bkt")
+    }
+  }
+
   test("partitioned layout prunes non-matching directories from the scan") {
     val dir = tmpDir("part_docs")
     ScaleOps.writePartitioned(
