@@ -53,27 +53,69 @@ object CurationOps {
 
   /** `docsDf` needs (doc_id, source, text); `isBenchmark` splits it into the
     * held-out benchmark slice vs the training corpus.
+    *
+    * DENSITY-DISPATCHED like the q37/q38/q39 family: the shingle scores
+    * depend only on the TEXT, so a duplicate-dense corpus recomputing the
+    * identical (doc, shingle) explode once per copy wastes exactly the
+    * duplication factor (the round-3 100× sweep's 119 s entry). Past a
+    * duplicate-fraction probe (one countDistinct agg) the contracted arm
+    * scores each DISTINCT text once and attaches the counts back to
+    * members through a text-key join — identical rows at any density
+    * (CurationSpec pins both arms). Below the probe the single-pass
+    * explode wins (contracting shuffles distinct texts once; pointless
+    * when nearly all texts are unique). The text key is md5 (128-bit):
+    * at 10^11 documents a 64-bit key would expect hundreds of colliding
+    * text pairs, silently cross-wiring scores; 2^-128 per pair never
+    * fires.
     */
-  def ngramDecontaminationOn(docsDf: DataFrame,
-      isBenchmark: Column): DataFrame = {
-    val withSh = docsDf.withColumn("sh", array_distinct(shingles5(toks)))
-    val benchNgrams = broadcast(
-      withSh.filter(isBenchmark)
-        .select(explode(col("sh")).as("ngram")).distinct())
-    val train = withSh.filter(!isBenchmark)
-      .select(col("doc_id"), col("source"), size(col("sh")).as("n_5grams"),
-        col("sh"))
-    val shared = train
-      .select(col("doc_id"), explode(col("sh")).as("ngram"))
-      .join(benchNgrams, "ngram")
-      .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_shared"))
-    train.drop("sh")
-      .join(shared, Seq("doc_id"), "left")
-      .select(col("doc_id"), col("source"), col("n_5grams"),
-        coalesce(col("n_shared"), lit(0L)).as("n_shared_5grams"),
-        (coalesce(col("n_shared"), lit(0L)) > 0).as("contaminated"))
-      .orderBy("doc_id")
+  def ngramDecontaminationOn(docsDf: DataFrame, isBenchmark: Column,
+      contractDuplicates: Option[Boolean] = None): DataFrame = {
+    val contracted = contractDuplicates
+      .getOrElse(DedupOps.dupFraction(docsDf) > 0.5)
+    if (!contracted) {
+      val withSh = docsDf.withColumn("sh", array_distinct(shingles5(toks)))
+      val benchNgrams = broadcast(
+        withSh.filter(isBenchmark)
+          .select(explode(col("sh")).as("ngram")).distinct())
+      val train = withSh.filter(!isBenchmark)
+        .select(col("doc_id"), col("source"), size(col("sh")).as("n_5grams"),
+          col("sh"))
+      val shared = train
+        .select(col("doc_id"), explode(col("sh")).as("ngram"))
+        .join(benchNgrams, "ngram")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_shared"))
+      train.drop("sh")
+        .join(shared, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("source"), col("n_5grams"),
+          coalesce(col("n_shared"), lit(0L)).as("n_shared_5grams"),
+          (coalesce(col("n_shared"), lit(0L)) > 0).as("contaminated"))
+        .orderBy("doc_id")
+    } else {
+      val keyed = docsDf.withColumn("__tk", md5(col("text")))
+      def distinctTexts(df: DataFrame): DataFrame = df
+        .select(col("__tk"), col("text"))
+        .groupBy("__tk").agg(first(col("text")).as("text"))
+        .withColumn("sh", array_distinct(shingles5(toks)))
+      val benchNgrams = broadcast(
+        distinctTexts(keyed.filter(isBenchmark))
+          .select(explode(col("sh")).as("ngram")).distinct())
+      val train = keyed.filter(!isBenchmark)
+      val perText = distinctTexts(train)
+        .select(col("__tk"), size(col("sh")).as("n_5grams"), col("sh"))
+      val sharedPerText = perText
+        .select(col("__tk"), explode(col("sh")).as("ngram"))
+        .join(benchNgrams, "ngram")
+        .groupBy("__tk")
+        .agg(count(lit(1)).as("n_shared"))
+      train.select(col("doc_id"), col("source"), col("__tk"))
+        .join(perText.select("__tk", "n_5grams"), "__tk")
+        .join(sharedPerText, Seq("__tk"), "left")
+        .select(col("doc_id"), col("source"), col("n_5grams"),
+          coalesce(col("n_shared"), lit(0L)).as("n_shared_5grams"),
+          (coalesce(col("n_shared"), lit(0L)) > 0).as("contaminated"))
+        .orderBy("doc_id")
+    }
   }
 
   // ---- q65: substring-containment decontamination -------------------------

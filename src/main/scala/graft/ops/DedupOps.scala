@@ -121,6 +121,17 @@ object DedupOps {
       .agg(coalesce(sum(expr("m * (m - 1) div 2")), lit(0L)).as("p"))
       .head.getLong(0)
 
+  /** Fraction of documents that are exact-text duplicates of another — the
+    * q56-style dispatch probe (one count + countDistinct agg; the 64-bit
+    * hash only biases the ESTIMATE, never correctness).
+    */
+  private[ops] def dupFraction(docsDf: DataFrame): Double = {
+    val r = docsDf.agg(count(lit(1)).as("n"),
+      countDistinct(xxhash64(col("text"))).as("d")).head
+    if (r.getLong(0) == 0L) 0.0
+    else 1.0 - r.getLong(1).toDouble / r.getLong(0)
+  }
+
   /** Per-document (doc_id, lang, mask): the token set dictionary-encoded
     * into one 64-bit mask. The vocab rides in as a typed array literal and
     * the mask fold uses Column-level functions — no SQL-text embedding, so
@@ -450,12 +461,15 @@ object DedupOps {
     * Scale shape: the contraction is one hash aggregation; the mining runs
     * over |distinct texts| documents (on a duplicate-dense corpus that is
     * the small fraction); CC is the bounded pointer-jumping loop; the
-    * expansion is one (norm-hash) equi-join. Nothing is ever quadratic in
-    * duplicate multiplicity.
+    * expansion is one (norm-key) equi-join. Nothing is ever quadratic in
+    * duplicate multiplicity. The group key is md5 of the normalized text
+    * (128-bit): membership rides on key equality, and a 64-bit key at
+    * 10^11 documents would expect hundreds of colliding pairs — each one
+    * silently merging two unrelated clusters; 2^-128 per pair never fires.
     */
   private def contractedClusters(docsDf: DataFrame,
       minePairs: DataFrame => DataFrame, reliable: Boolean): DataFrame = {
-    val withNorm = docsDf.withColumn("__nh", xxhash64(normText))
+    val withNorm = docsDf.withColumn("__nh", md5(normText))
     val groups = truncateLineage(
       withNorm.groupBy(col("__nh")).agg(min(col("doc_id")).as("rep_id")),
       reliable)

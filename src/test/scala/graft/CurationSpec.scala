@@ -81,6 +81,34 @@ class CurationSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
+  test("ngram decontamination: the contracted arm equals the explode arm " +
+      "on a dup-dense corpus, and the probe dispatches it") {
+    import spark.implicits._
+    val leak = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val clean = "one two three four five six seven eight nine ten"
+    // benchmark doc duplicated 3x, leaking train doc 40x, clean doc 60x,
+    // plus a short (<5 tokens) doc — dup fraction ≈ 0.97 > 0.5
+    val rows = (0L until 3L).map(i => (i, "src9", leak)) ++
+      (10L until 50L).map(i => (i, "src0", "prefix " + leak + " suffix")) ++
+      (100L until 160L).map(i => (i, "src1", clean)) ++
+      Seq((200L, "src0", "too short here"))
+    val docs = rows.toDF("doc_id", "source", "text")
+    val bench = col("source") === "src9"
+    val exploded = CurationOps
+      .ngramDecontaminationOn(docs, bench, contractDuplicates = Some(false))
+      .collect().map(_.toSeq).toSeq
+    val contracted = CurationOps
+      .ngramDecontaminationOn(docs, bench, contractDuplicates = Some(true))
+      .collect().map(_.toSeq).toSeq
+    assert(contracted === exploded)
+    val auto = CurationOps.ngramDecontaminationOn(docs, bench)
+      .collect().map(_.toSeq).toSeq
+    assert(auto === exploded, "the density probe must pick the same rows")
+    // sanity on content: every leaking copy flagged, clean/short never
+    val flagged = exploded.filter(_(4) == true).map(_(0)).toSet
+    assert(flagged === (10L until 50L).toSet)
+  }
+
   test("substring contamination finds verbatim quoted spans only") {
     val docs = Seq(
       // benchmark: needle = its first 8 normalized tokens
