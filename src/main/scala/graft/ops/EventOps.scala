@@ -268,10 +268,16 @@ object EventOps {
     eventsDf
       .groupBy("event_type")
       .agg(
-        round(expr("percentile(value, 0.5)"), 4).as("p50"),
-        round(expr("percentile(value, 0.95)"), 4).as("p95"),
-        round(expr("percentile(value, 0.99)"), 4).as("p99"),
+        // single array-argument percentile: one sorted value buffer per
+        // group serves all three ranks (three separate aggs would keep —
+        // and sort — three copies of every group's values)
+        expr("percentile(value, array(0.5D, 0.95D, 0.99D))").as("ps"),
         count(lit(1)).as("n"))
+      .select(col("event_type"),
+        round(element_at(col("ps"), 1), 4).as("p50"),
+        round(element_at(col("ps"), 2), 4).as("p95"),
+        round(element_at(col("ps"), 3), 4).as("p99"),
+        col("n"))
       .orderBy("event_type")
 
   /** Sketch twin of the exact distribution queries — the 100 TB path:
@@ -308,22 +314,35 @@ object EventOps {
   def sketchChecked(s: SparkSession, dir: String): DataFrame =
     sketchCheckedOn(events(s, dir))
 
-  def sketchCheckedOn(eventsDf: DataFrame): DataFrame =
-    eventsDf
+  def sketchCheckedOn(eventsDf: DataFrame): DataFrame = {
+    // Two aggregations joined on the 5-row group key instead of ONE agg
+    // mixing countDistinct with plain aggregates: the mixed form plans an
+    // Expand that replays every input row once per distinct branch (3×
+    // the corpus through one shuffle at 100×). Here the user side
+    // pre-distincts (map-side partial) and the value side aggregates
+    // plain; HLL over the pre-distinct rows is bit-identical to HLL over
+    // the raw stream (a cardinality sketch is duplicate-insensitive), so
+    // the checked booleans are unchanged.
+    val users = eventsDf.select("event_type", "user_id").distinct()
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("exact_users"),
+        approx_count_distinct(col("user_id"), 0.02).as("approx_users"))
+    val vals = eventsDf
       .groupBy("event_type")
       .agg(
-        countDistinct(col("user_id")).as("exact_users"),
-        approx_count_distinct(col("user_id"), 0.02).as("approx_users"),
-        round(expr("percentile(value, 0.5)"), 4).as("exact_p50"),
-        expr("percentile_approx(value, 0.5, 1000)").as("approx_p50"),
-        expr("percentile(value, 0.35)").as("p35"),
-        expr("percentile(value, 0.65)").as("p65"))
-      .select(col("event_type"), col("exact_users"), col("exact_p50"),
+        // one percentile aggregate with an array argument — a single
+        // per-group value buffer serves all three ranks
+        expr("percentile(value, array(0.35D, 0.5D, 0.65D))").as("ps"),
+        expr("percentile_approx(value, 0.5, 1000)").as("approx_p50"))
+    users.join(vals, "event_type")
+      .select(col("event_type"), col("exact_users"),
+        round(element_at(col("ps"), 2), 4).as("exact_p50"),
         (abs(col("approx_users") - col("exact_users"))
           <= col("exact_users") * 0.1 + 5).as("approx_users_ok"),
-        (col("approx_p50") >= col("p35") && col("approx_p50") <= col("p65"))
-          .as("approx_p50_ok"))
+        (col("approx_p50") >= element_at(col("ps"), 1) &&
+          col("approx_p50") <= element_at(col("ps"), 3)).as("approx_p50_ok"))
       .orderBy("event_type")
+  }
 
   /** Pivot (rows→columns, the inverse of q07's unpivot): per-user value
     * totals spread across one column per event type. The pivot value list
