@@ -542,6 +542,24 @@ object DedupOps {
         .join(cc, "id")
         .select(col("doc_id"), col("rep"))
         .orderBy("doc_id")
+    } else if (dupFraction(docsDf) > 0.5) {
+      // dup-dense general-vocab corpus: the prefix candidate join is
+      // quadratic in duplicate multiplicity (every copy of a hot text
+      // joins every copy of its neighbors), so contract exact duplicates
+      // first and prefix-mine over the DISTINCT texts only — identical
+      // token sets have identical Jaccard relations, so components over
+      // (rep pairs ∪ exact-dup groups) equal components over all pairs.
+      // The ≥2-document filter restores q46's exact semantics (only docs
+      // that participate in at least one qualifying pair appear).
+      val all = contractedClusters(docsDf,
+        dd => jaccardPairsPrefix(tokenizedDocs(dd)._1)
+          .select(col("a_id"), col("b_id")),
+        reliable)
+      val paired = all.groupBy("rep").agg(count(lit(1)).as("_cn"))
+        .filter(col("_cn") >= 2).select("rep")
+      all.join(paired, "rep")
+        .select(col("doc_id"), col("rep"))
+        .orderBy("doc_id")
     } else {
       val pairs = truncateLineage(
         jaccardPairsPrefix(d).select(col("a_id"), col("b_id")), reliable)

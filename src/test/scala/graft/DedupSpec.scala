@@ -429,6 +429,38 @@ class DedupSpec extends SparkSpec {
       "reliable mode must persist checkpoint files")
   }
 
+  test("general-vocab clusters contract exact duplicates on a dup-dense " +
+      "corpus and still match the pair-graph ground truth") {
+    import spark.implicits._
+    // > 64 distinct tokens forces the PREFIX branch; heavy duplication
+    // trips the dup-fraction probe, so mining runs over distinct texts
+    val rnd = new scala.util.Random(21)
+    val vocab = (0 until 120).map(i => s"w$i")
+    def doc(): Seq[String] = rnd.shuffle(vocab).take(30)
+    val d0 = doc()
+    val d1 = d0.updated(0, "w999") // near-dup of d0 (J ≈ 0.935)
+    val dX = doc() // unrelated, also duplicated
+    val rows =
+      (0L until 25L).map(i => (i, d0.mkString(" "))) ++ // 25 copies of d0
+        (30L until 35L).map(i => (i, d1.mkString(" "))) ++ // 5 copies of d1
+        (50L until 70L).map(i => (i, dX.mkString(" "))) ++ // 20 copies of dX
+        Seq((100L, doc().mkString(" "))) // true singleton
+    val docs = rows.map { case (id, t) => (id, t, "en", "s", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = tmpDir("dense-bigvocab")
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+    val want = exactTokenPairs(dir, 0.9) // independent ground truth
+    assert(want.contains((0L, 30L)), "planted near-dup must qualify")
+    val got = DedupOps.dedupClusters(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // d0+d1 copies form one component rooted at 0; dX copies at 50;
+    // the singleton never appears (no qualifying pair)
+    val expect = ((0L until 25L) ++ (30L until 35L)).map(_ -> 0L).toMap ++
+      (50L until 70L).map(_ -> 50L).toMap
+    assert(got === expect)
+  }
+
   test("q41/q44 block-size gate: oversized blocks dispatch to the LSH " +
       "screen, small blocks stay exact") {
     import spark.implicits._
