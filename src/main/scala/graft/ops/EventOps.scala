@@ -323,9 +323,11 @@ object EventOps {
     // plain; HLL over the pre-distinct rows is bit-identical to HLL over
     // the raw stream (a cardinality sketch is duplicate-insensitive), so
     // the checked booleans are unchanged.
+    // count(user_id) over the distinct pairs, not count(*): countDistinct
+    // excludes nulls, and the decomposed form must keep that contract
     val users = eventsDf.select("event_type", "user_id").distinct()
       .groupBy("event_type")
-      .agg(count(lit(1)).as("exact_users"),
+      .agg(count(col("user_id")).as("exact_users"),
         approx_count_distinct(col("user_id"), 0.02).as("approx_users"))
     val vals = eventsDf
       .groupBy("event_type")
