@@ -384,6 +384,14 @@ class OpsSpec extends SparkSpec {
     assert(back.agg(sum("id")).head().getLong(0) === 49995000L)
     assert(!new java.io.File(dir + ".compacting").exists(),
       "staging dir must be swapped away")
+    assert(!new java.io.File(dir + ".old").exists(),
+      "parked original must be cleaned up after a successful swap")
+    // a leftover .old from a previously crashed compact must not block the
+    // next run (it is deleted before the swap, not collided with)
+    new java.io.File(dir + ".old").mkdirs()
+    ScaleOps.compact(spark, dir, targetBytes = Long.MaxValue)
+    assert(spark.read.parquet(dir).count() === 10000)
+    assert(!new java.io.File(dir + ".old").exists())
   }
 
   test("two-phase salted top-k equals the single-window form") {
