@@ -56,6 +56,24 @@ class OpsSpec extends SparkSpec {
       Seq(3L, 1, 1, 0, 0, 0, true)))
   }
 
+  test("repetition profile: contracted arm equals the per-row arm on a " +
+      "dup-dense corpus and the probe dispatches it") {
+    import spark.implicits._
+    val rows = (0L until 40L).map(i => (i, "a a a a b spam spam spam")) ++
+      (100L until 110L).map(i => (i, "all seven tokens here are unique")) ++
+      Seq((200L, "one of a kind document right here"))
+    val docs = rows.toDF("doc_id", "text")
+    val perRow = TextOps
+      .repetitionProfileOn(docs, contractDuplicates = Some(false))
+      .collect().map(_.toSeq).toSeq
+    val contracted = TextOps
+      .repetitionProfileOn(docs, contractDuplicates = Some(true))
+      .collect().map(_.toSeq).toSeq
+    assert(contracted === perRow)
+    val auto = TextOps.repetitionProfileOn(docs).collect().map(_.toSeq).toSeq
+    assert(auto === perRow, "dup fraction ≈ 0.96 must dispatch identically")
+  }
+
   test("doc chunks cover every token with the declared overlap") {
     import spark.implicits._
     val docs = Seq(
