@@ -85,12 +85,7 @@ object CurationOps {
         .join(benchNgrams, "ngram")
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_shared"))
-      train.drop("sh")
-        .join(shared, Seq("doc_id"), "left")
-        .select(col("doc_id"), col("source"), col("n_5grams"),
-          coalesce(col("n_shared"), lit(0L)).as("n_shared_5grams"),
-          (coalesce(col("n_shared"), lit(0L)) > 0).as("contaminated"))
-        .orderBy("doc_id")
+      decontaminationRows(train.drop("sh").join(shared, Seq("doc_id"), "left"))
     } else {
       val keyed = docsDf.withColumn("__tk", md5(col("text")))
       def distinctTexts(df: DataFrame): DataFrame = df
@@ -108,15 +103,21 @@ object CurationOps {
         .join(benchNgrams, "ngram")
         .groupBy("__tk")
         .agg(count(lit(1)).as("n_shared"))
-      train.select(col("doc_id"), col("source"), col("__tk"))
-        .join(perText.select("__tk", "n_5grams"), "__tk")
-        .join(sharedPerText, Seq("__tk"), "left")
-        .select(col("doc_id"), col("source"), col("n_5grams"),
-          coalesce(col("n_shared"), lit(0L)).as("n_shared_5grams"),
-          (coalesce(col("n_shared"), lit(0L)) > 0).as("contaminated"))
-        .orderBy("doc_id")
+      decontaminationRows(
+        train.select(col("doc_id"), col("source"), col("__tk"))
+          .join(perText.select("__tk", "n_5grams"), "__tk")
+          .join(sharedPerText, Seq("__tk"), "left"))
     }
   }
+
+  /** Shared closing projection of both q56 dispatch arms — one definition
+    * so the arms CurationSpec pins as equal cannot drift apart.
+    */
+  private def decontaminationRows(joined: DataFrame): DataFrame =
+    joined.select(col("doc_id"), col("source"), col("n_5grams"),
+      coalesce(col("n_shared"), lit(0L)).as("n_shared_5grams"),
+      (coalesce(col("n_shared"), lit(0L)) > 0).as("contaminated"))
+      .orderBy("doc_id")
 
   // ---- q65: substring-containment decontamination -------------------------
 

@@ -110,24 +110,30 @@ object DedupOps {
     */
   private[ops] val MaxListedPairs = 2L * 1000 * 1000
 
-  /** The duplicate-density probe: Σ m·(m−1)/2 over normalized-text
-    * multiplicity groups — a LOWER BOUND on any near-dup pair listing
-    * (exact duplicates are pairs at every threshold). One hash aggregation
-    * over text hashes; the driver receives a single long.
+  /** The duplicate-density probe: Σ m·(m−1)/2 over RAW-text multiplicity
+    * groups — a true LOWER BOUND on any near-dup pair listing (byte-equal
+    * texts have identical token streams, so they pair at every threshold;
+    * a normalized key would count case-variant pairs the listings might
+    * not emit). One hash aggregation over text hashes; the driver receives
+    * a single long.
     */
   private[ops] def estExactDupPairs(docsDf: DataFrame): Long =
-    docsDf.select(xxhash64(normText).as("h"))
+    docsDf.select(xxhash64(col("text")).as("h"))
       .groupBy("h").agg(count(lit(1)).as("m"))
       .agg(coalesce(sum(expr("m * (m - 1) div 2")), lit(0L)).as("p"))
       .head.getLong(0)
 
   /** Fraction of documents that are exact-text duplicates of another — the
-    * q56-style dispatch probe (one count + countDistinct agg; the 64-bit
-    * hash only biases the ESTIMATE, never correctness).
+    * q56-style dispatch probe. Uses approx_count_distinct, NOT exact
+    * countDistinct: mixing an exact distinct with count(*) plans the
+    * multi-distinct Expand (2× row replay through the probe's shuffle —
+    * the q15 trap), while the HLL sketch aggregates in one plain pass;
+    * a ±2% cardinality error cannot matter to a 0.5-fraction gate (and
+    * the 64-bit hash input only biases the estimate, never correctness).
     */
   private[ops] def dupFraction(docsDf: DataFrame): Double = {
     val r = docsDf.agg(count(lit(1)).as("n"),
-      countDistinct(xxhash64(col("text"))).as("d")).head
+      approx_count_distinct(xxhash64(col("text")), 0.02).as("d")).head
     if (r.getLong(0) == 0L) 0.0
     else 1.0 - r.getLong(1).toDouble / r.getLong(0)
   }
@@ -449,8 +455,8 @@ object DedupOps {
   def simhashPairs(s: SparkSession, dir: String): DataFrame =
     simhashPairsOn(docs(s, dir))
 
-  /** The dense-corpus arm shared by the q38/q39 dispatch: contract exact
-    * duplicates (normalized text → min-id representative), mine near-dup
+  /** The dense-corpus arm shared by the q37/q38/q39 dispatch: contract
+    * exact duplicates (group key → min-id representative), mine near-dup
     * pair EDGES over the distinct representatives only with `minePairs`
     * (a listing function returning a_id/b_id columns), run connected
     * components over representatives, and expand labels back through the
@@ -458,20 +464,30 @@ object DedupOps {
     * themselves — so the output is the complete keep/drop decision
     * (doc_id, rep), q60-consumable directly.
     *
+    * `groupKey` defaults to md5 of the RAW text — deliberately NOT the
+    * normalized text: the pair miners hash the raw token stream, so a
+    * normalized key would force-merge case/whitespace variants the full
+    * listing never pairs (breaking arm equality). Under-contraction is
+    * always safe — two groups whose raw texts differ but whose token
+    * streams coincide still merge through the mined rep pair. Callers
+    * whose miner blocks on extra columns (q46's per-lang Jaccard) pass a
+    * composite key so cross-block identical texts are never merged.
+    *
     * Scale shape: the contraction is one hash aggregation; the mining runs
     * over |distinct texts| documents (on a duplicate-dense corpus that is
     * the small fraction); CC is the bounded pointer-jumping loop; the
-    * expansion is one (norm-key) equi-join. Nothing is ever quadratic in
-    * duplicate multiplicity. The group key is md5 of the normalized text
-    * (128-bit): membership rides on key equality, and a 64-bit key at
-    * 10^11 documents would expect hundreds of colliding pairs — each one
-    * silently merging two unrelated clusters; 2^-128 per pair never fires.
+    * expansion is one key equi-join. Nothing is ever quadratic in
+    * duplicate multiplicity. The key is 128-bit (md5): membership rides on
+    * key equality, and a 64-bit key at 10^11 documents would expect
+    * hundreds of colliding pairs — each one silently merging two unrelated
+    * clusters; 2^-128 per pair never fires.
     */
   private def contractedClusters(docsDf: DataFrame,
-      minePairs: DataFrame => DataFrame, reliable: Boolean): DataFrame = {
-    val withNorm = docsDf.withColumn("__nh", md5(normText))
+      minePairs: DataFrame => DataFrame, reliable: Boolean,
+      groupKey: Column = md5(col("text"))): DataFrame = {
+    val withKey = docsDf.withColumn("__nh", groupKey)
     val groups = truncateLineage(
-      withNorm.groupBy(col("__nh")).agg(min(col("doc_id")).as("rep_id")),
+      withKey.groupBy(col("__nh")).agg(min(col("doc_id")).as("rep_id")),
       reliable)
     val reps = docsDf.join(groups.select(col("rep_id").as("doc_id")),
       Seq("doc_id"))
@@ -479,7 +495,7 @@ object DedupOps {
       .select(col("a_id").as("src"), col("b_id").as("dst"))
     val nodes = groups.select(col("rep_id").as("id"))
     val cc = connectedComponents(nodes, edges, reliable)
-    withNorm.join(groups, Seq("__nh"))
+    withKey.join(groups, Seq("__nh"))
       .join(cc.select(col("id").as("rep_id"), col("rep")), Seq("rep_id"))
       .select(col("doc_id"), col("rep"))
       .orderBy("doc_id")
@@ -542,19 +558,26 @@ object DedupOps {
         .join(cc, "id")
         .select(col("doc_id"), col("rep"))
         .orderBy("doc_id")
-    } else if (dupFraction(docsDf) > 0.5) {
+    } else if (estExactDupPairs(docsDf) > MaxListedPairs) {
       // dup-dense general-vocab corpus: the prefix candidate join is
       // quadratic in duplicate multiplicity (every copy of a hot text
       // joins every copy of its neighbors), so contract exact duplicates
       // first and prefix-mine over the DISTINCT texts only — identical
       // token sets have identical Jaccard relations, so components over
       // (rep pairs ∪ exact-dup groups) equal components over all pairs.
-      // The ≥2-document filter restores q46's exact semantics (only docs
-      // that participate in at least one qualifying pair appear).
+      // Gate = the same pair floor jaccardPairsOn dispatches on (the floor
+      // measures the quadratic term directly; a dup FRACTION gate would
+      // miss a corpus whose duplicates concentrate in few huge groups).
+      // The group key includes lang: the prefix miner only pairs within a
+      // language, so cross-language identical texts must stay separate
+      // groups (they merge in neither arm). The ≥2-document filter
+      // restores q46's exact semantics (only docs that participate in at
+      // least one qualifying pair appear).
       val all = contractedClusters(docsDf,
         dd => jaccardPairsPrefix(tokenizedDocs(dd)._1)
           .select(col("a_id"), col("b_id")),
-        reliable)
+        reliable,
+        groupKey = struct(col("lang"), md5(col("text"))))
       val paired = all.groupBy("rep").agg(count(lit(1)).as("_cn"))
         .filter(col("_cn") >= 2).select("rep")
       all.join(paired, "rep")

@@ -165,8 +165,15 @@ object ScaleOps {
     if (!fs.rename(hPath, old))
       throw new java.io.IOException(s"compact: rename $hPath -> $old failed")
     if (!fs.rename(tmp, hPath)) {
-      fs.rename(old, hPath) // roll back so `dir` stays populated
-      throw new java.io.IOException(s"compact: rename $tmp -> $hPath failed")
+      // roll back so `dir` stays populated; if even that fails, say WHERE
+      // the data survives — a silent rollback failure would present as
+      // total data loss to the next reader
+      if (fs.rename(old, hPath))
+        throw new java.io.IOException(s"compact: rename $tmp -> $hPath " +
+          "failed (original restored)")
+      else
+        throw new java.io.IOException(s"compact: rename $tmp -> $hPath " +
+          s"failed AND rollback failed — original data is intact at $old")
     }
     fs.delete(old, true)
   }

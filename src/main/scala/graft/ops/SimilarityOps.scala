@@ -117,15 +117,23 @@ object SimilarityOps {
     val blocked = embDf
       .select(blockCol.cast("int").as("label"), col("vec_id"), col("embedding"))
     // block sizes contract to ≤|blocks| rows and broadcast back — the same
-    // bounded side-table shape as the IVF probe list, never a driver hop
-    val sizes = blocked.groupBy("label").agg(count(lit(1)).as("_bn"))
-    val sub =
-      if (exact) lit(0L)
-      else when(col("_bn") > maxExactBlock,
-        signature(col("embedding"))).otherwise(lit(0L))
-    val topPerLabel = blocked
-      .join(broadcast(sizes), "label")
-      .select(col("label"), sub.as("_sub"), col("vec_id"), col("embedding"))
+    // bounded side-table shape as the IVF probe list, never a driver hop.
+    // exact mode skips the sizes pass entirely (the gate column would be a
+    // constant), keeping the validation arm's plan identical to the
+    // ungated form.
+    val keyed =
+      if (exact)
+        blocked.select(col("label"), lit(0L).as("_sub"), col("vec_id"),
+          col("embedding"))
+      else {
+        val sizes = blocked.groupBy("label").agg(count(lit(1)).as("_bn"))
+        blocked.join(broadcast(sizes), "label")
+          .select(col("label"),
+            when(col("_bn") > maxExactBlock, signature(col("embedding")))
+              .otherwise(lit(0L)).as("_sub"),
+            col("vec_id"), col("embedding"))
+      }
+    val topPerLabel = keyed
       .as[(Int, Long, Long, Array[Float])]
       .groupByKey(t => (t._1, t._2))
       .flatMapGroups { (key: (Int, Long),
@@ -272,12 +280,16 @@ object SimilarityOps {
       exact: Boolean = false): DataFrame = {
     graft.functions.GraftFunctions.ensureRegistered(embDf.sparkSession)
     val d0 = embDf.withColumn("nrm", norm(col("embedding")))
-    val sizes = d0.groupBy("label").agg(count(lit(1)).as("_bn"))
-    val sub =
-      if (exact) lit(0L)
-      else when(col("_bn") > maxExactBlock,
-        signature(col("embedding"))).otherwise(lit(0L))
-    val d = d0.join(broadcast(sizes), "label").withColumn("_sub", sub)
+    // exact mode: no sizes pass, constant bucket (see cosineTopPairsOn)
+    val d =
+      if (exact) d0.withColumn("_sub", lit(0L))
+      else {
+        val sizes = d0.groupBy("label").agg(count(lit(1)).as("_bn"))
+        d0.join(broadcast(sizes), "label")
+          .withColumn("_sub",
+            when(col("_bn") > maxExactBlock, signature(col("embedding")))
+              .otherwise(lit(0L)))
+      }
     val a = d.select(col("vec_id").as("vec_id"), col("label"), col("_sub"),
       col("embedding").as("a_emb"), col("nrm").as("a_nrm"))
     val b = d.select(col("vec_id").as("nn_id"), col("label").as("b_label"),

@@ -461,6 +461,59 @@ class DedupSpec extends SparkSpec {
     assert(got === expect)
   }
 
+  test("contracted q38/q39 arms never merge case-variant texts the " +
+      "listing would not pair") {
+    import spark.implicits._
+    // raw-distinct, normalized-equal: the miners hash the RAW token
+    // stream, so the two case groups share no shingle fingerprints and
+    // the full listing pairs neither across groups — the contraction key
+    // must therefore be raw text, or the dispatched arm force-merges them
+    val upper = "The Quick Brown Fox Jumps Over The Lazy Dog And Runs " +
+      "Far Away Into The Deep Green Forest Tonight"
+    val lower = upper.toLowerCase
+    val rows = (0L until 20L).map(i => (i, upper, "en")) ++
+      (100L until 120L).map(i => (i, lower, "en"))
+    val docs = rows.toDF("doc_id", "text", "lang")
+    for ((name, full, contracted) <- Seq(
+      ("minhash",
+        DedupOps.minhashLshPairsOn(docs, fullPairs = true),
+        DedupOps.minhashLshPairsOn(docs, maxListedPairs = 10)),
+      ("simhash",
+        DedupOps.simhashPairsOn(docs, fullPairs = true),
+        DedupOps.simhashPairsOn(docs, maxListedPairs = 10)))) {
+      val pairs = full.collect().map(r => (r.getLong(0), r.getLong(1)))
+      assert(!pairs.exists(p => p._1 < 100 && p._2 >= 100),
+        s"$name listing must not pair across case groups")
+      val got = contracted.collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toMap
+      assert((0L until 20L).forall(got(_) == 0L), name)
+      assert((100L until 120L).forall(got(_) == 100L),
+        s"$name contracted arm must keep case groups separate clusters")
+    }
+  }
+
+  test("prefix-branch contraction keeps cross-language identical texts " +
+      "apart (floor-gated)") {
+    import spark.implicits._
+    // >64-token vocab forces the prefix branch; 2100 copies per group push
+    // the exact-dup pair floor past MaxListedPairs (2·C(2100,2) ≈ 4.4M),
+    // so the contracted path runs. The same text in two languages must
+    // form TWO clusters — the prefix miner never pairs across languages.
+    val rnd = new scala.util.Random(5)
+    val vocab = (0 until 120).map(i => s"w$i")
+    val d0 = rnd.shuffle(vocab).take(30).mkString(" ")
+    val rows = (0L until 2100L).map(i => (i, d0, "en")) ++
+      (10000L until 12100L).map(i => (i, d0, "fr"))
+    val docs = rows.toDF("doc_id", "text", "lang")
+      .withColumn("source", lit("s")).withColumn("n_chars", length(col("text")))
+    val got = DedupOps.dedupClustersOn(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got.size === 4200)
+    assert((0L until 2100L).forall(got(_) == 0L))
+    assert((10000L until 12100L).forall(got(_) == 10000L),
+      "cross-language identical texts must stay separate components")
+  }
+
   test("q41/q44 block-size gate: oversized blocks dispatch to the LSH " +
       "screen, small blocks stay exact") {
     import spark.implicits._
