@@ -1,0 +1,90 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Corpus-level statistics backing the cost-based dispatch in the dedup /
+  * curation family (q37/q38/q39 density gate, q46's prefix-branch gate,
+  * q56/q63's duplicate-fraction gate). A real engine ANALYZEs a table once
+  * and reuses the stats at plan time; this is that object, made explicit:
+  * compute it in one pass, keep it memoized per corpus directory (or persist
+  * it beside the fingerprint store) and hand it to the dispatched operators,
+  * which then decide their plan without re-probing the corpus per call.
+  *
+  * `distinctTexts` counts distinct 64-bit text hashes, so a hash collision
+  * undercounts by one — irrelevant to a 0.5-fraction gate. The same caveat
+  * makes `exactDupPairFloor` an estimate that can only OVERcount (colliding
+  * groups merge, inflating m·(m−1)/2); it drives a dispatch threshold, never
+  * result rows, and an overcount only moves work to the bounded arm.
+  */
+final case class CorpusStats(rows: Long, distinctTexts: Long,
+    exactDupPairFloor: Long) {
+
+  /** Fraction of documents that are exact-text duplicates of another. */
+  def dupFraction: Double =
+    if (rows == 0L) 0.0 else 1.0 - distinctTexts.toDouble / rows
+}
+
+object CorpusStats {
+
+  /** One aggregation pass over the corpus: group text hashes, then fold the
+    * group sizes into (row count, distinct count, exact-dup pair floor
+    * Σ m·(m−1)/2). Both stages keep map-side partials; the driver receives
+    * a single row. This is the union of the former per-query probes
+    * (`estExactDupPairs` + `dupFraction`), paid once instead of per call.
+    */
+  def compute(docsDf: DataFrame): CorpusStats = {
+    val r = docsDf.select(xxhash64(col("text")).as("h"))
+      .groupBy("h").agg(count(lit(1)).as("m"))
+      .agg(
+        coalesce(sum(col("m")), lit(0L)).as("n_rows"),
+        count(lit(1)).as("n_distinct"),
+        coalesce(sum(expr("m * (m - 1) div 2")), lit(0L)).as("floor"))
+      .head
+    CorpusStats(r.getLong(0), r.getLong(1), r.getLong(2))
+  }
+
+  // Memoized per corpus directory — the catalog's snapshot semantics: the
+  // testdata directories are immutable within a run, so every catalog query
+  // in a JVM shares ONE stats job per directory. Mutating a corpus in place
+  // requires invalidate() (or a fresh path, the usual lake convention).
+  private val dirCache =
+    scala.collection.concurrent.TrieMap.empty[String, CorpusStats]
+
+  /** Stats for `dir`'s documents table, computed at most once per JVM. */
+  def forDir(s: SparkSession, dir: String): CorpusStats =
+    dirCache.getOrElseUpdate(dir,
+      compute(graft.Tables.t(s, dir, "documents")))
+
+  def invalidate(dir: String): Unit = dirCache.remove(dir)
+
+  private[graft] def clearCache(): Unit = dirCache.clear()
+
+  /** Persist stats as a single-row parquet table (the convention: a
+    * `corpus_stats` directory beside the fingerprint store, written by the
+    * same ANALYZE-style maintenance job that refreshes the store).
+    */
+  def write(stats: CorpusStats, s: SparkSession, path: String): Unit = {
+    import s.implicits._
+    Seq((stats.rows, stats.distinctTexts, stats.exactDupPairFloor))
+      .toDF("n_rows", "n_distinct", "exact_dup_pair_floor")
+      .coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  /** Read previously-persisted stats; None if absent/unreadable (callers
+    * fall back to [[compute]] or let the operators probe).
+    */
+  def read(s: SparkSession, path: String): Option[CorpusStats] =
+    try {
+      val r = s.read.parquet(path)
+        .select("n_rows", "n_distinct", "exact_dup_pair_floor").head
+      Some(CorpusStats(r.getLong(0), r.getLong(1), r.getLong(2)))
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** ANALYZE: compute and persist in one step. */
+  def analyze(docsDf: DataFrame, path: String): CorpusStats = {
+    val st = compute(docsDf)
+    write(st, docsDf.sparkSession, path)
+    st
+  }
+}

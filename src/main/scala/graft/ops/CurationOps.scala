@@ -49,7 +49,10 @@ object CurationOps {
     * exchange is the per-doc_id count aggregation (map-side partial).
     */
   def ngramDecontamination(s: SparkSession, dir: String): DataFrame =
-    ngramDecontaminationOn(docs(s, dir), col("source") === "src9")
+    // per-directory memoized stats: the dup-fraction gate reads a cached
+    // single row; one ANALYZE job per corpus per JVM, shared with q46/q63
+    ngramDecontaminationOn(docs(s, dir), col("source") === "src9",
+      stats = Some(CorpusStats.forDir(s, dir)))
 
   /** `docsDf` needs (doc_id, source, text); `isBenchmark` splits it into the
     * held-out benchmark slice vs the training corpus.
@@ -67,10 +70,16 @@ object CurationOps {
     * at 10^11 documents a 64-bit key would expect hundreds of colliding
     * text pairs, silently cross-wiring scores; 2^-128 per pair never
     * fires.
+    *
+    * Gate evidence, cheapest first: explicit `contractDuplicates`, then a
+    * caller-provided [[CorpusStats]] (no job — the ANALYZE-once path),
+    * then the per-call dup-fraction probe as the last resort.
     */
   def ngramDecontaminationOn(docsDf: DataFrame, isBenchmark: Column,
-      contractDuplicates: Option[Boolean] = None): DataFrame = {
+      contractDuplicates: Option[Boolean] = None,
+      stats: Option[CorpusStats] = None): DataFrame = {
     val contracted = contractDuplicates
+      .orElse(stats.map(_.dupFraction > 0.5))
       .getOrElse(DedupOps.dupFraction(docsDf) > 0.5)
     if (!contracted) {
       val withSh = docsDf.withColumn("sh", array_distinct(shingles5(toks)))

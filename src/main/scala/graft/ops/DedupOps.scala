@@ -77,30 +77,41 @@ object DedupOps {
     */
   /** `docsDf` needs (doc_id, lang, text).
     *
-    * Default entry point is DENSITY-DISPATCHED (the executable form of the
-    * "listing is Ω(output)" caveat): a one-agg probe computes the exact-
-    * duplicate pair floor Σ m·(m−1)/2 over normalized-text multiplicity
-    * groups (the q93 diagnostic). Corpora whose floor exceeds
-    * `maxListedPairs` would emit billions of (a, b, 1.0) rows from the
-    * duplicate cliques alone, so they return the cluster→canonical
-    * decision (doc_id, rep — the q46 output, what a dedup pass actually
-    * consumes) instead of the listing. `fullPairs = true` forces the
-    * full pair listing — the validation mode for corpora where the
-    * caller has decided the output volume is acceptable.
+    * Default entry point is DENSITY-GATED (the executable form of the
+    * "listing is Ω(output)" caveat), with a SCHEMA-STABLE contract: the
+    * exact-duplicate pair floor Σ m·(m−1)/2 over RAW-text multiplicity
+    * groups (the q93 diagnostic) bounds the listing from below; corpora
+    * whose floor exceeds `maxListedPairs` would emit billions of
+    * (a, b, 1.0) rows from the duplicate cliques alone, so the call FAILS
+    * FAST with an error naming the floor and the two escapes — rather than
+    * silently switching output shape under a consumer pointed at a growing
+    * corpus. `fullPairs = true` skips the gate and forces the listing (the
+    * caller accepts the output volume); [[dedupDecision]] is the bounded
+    * (doc_id, rep) keep/drop entry point a dedup pass actually consumes.
+    *
+    * Gate evidence, cheapest first: caller-provided [[CorpusStats]] (no
+    * job — the ANALYZE-once path), then a capped row count (a corpus of
+    * n ≤ [[maxRowsListable]] rows cannot trip the floor at all, decided by
+    * scanning at most n+1 rows of no columns), then the one-agg floor
+    * probe as the last resort.
     */
   def jaccardPairsOn(docsDf: DataFrame, fullPairs: Boolean = false,
-      maxListedPairs: Long = MaxListedPairs): DataFrame = {
-    if (!fullPairs && estExactDupPairs(docsDf) > maxListedPairs)
-      dedupClustersOn(docsDf)
-    else {
-      val (d, vocab) = tokenizedDocs(docsDf)
-      if (vocab.length <= 64) jaccardPairsMask(d, vocab)
-      else jaccardPairsPrefix(d)
-    }
+      maxListedPairs: Long = MaxListedPairs,
+      stats: Option[CorpusStats] = None): DataFrame = {
+    if (!fullPairs)
+      requirePairFloorBelow(docsDf, maxListedPairs, stats, "jaccardPairsOn")
+    val (d, vocab) = tokenizedDocs(docsDf)
+    if (vocab.length <= 64) jaccardPairsMask(d, vocab)
+    else jaccardPairsPrefix(d)
   }
 
+  /** Catalog binding: `fullPairs = true` pins the oracle-checked listing
+    * unconditionally (the registered DuckDB SQL always computes the
+    * listing, so the catalog entry must too) — and skips the gate probe,
+    * so the catalog pays zero dispatch overhead per invocation.
+    */
   def jaccardPairs(s: SparkSession, dir: String): DataFrame =
-    jaccardPairsOn(docs(s, dir))
+    jaccardPairsOn(docs(s, dir), fullPairs = true)
 
   /** Listed pair counts above this (by the exact-dup floor probe) leave
     * the Ω(output) pair listing for the cluster→canonical decision. Both
@@ -111,11 +122,15 @@ object DedupOps {
   private[ops] val MaxListedPairs = 2L * 1000 * 1000
 
   /** The duplicate-density probe: Σ m·(m−1)/2 over RAW-text multiplicity
-    * groups — a true LOWER BOUND on any near-dup pair listing (byte-equal
+    * groups — a lower bound on any near-dup pair listing (byte-equal
     * texts have identical token streams, so they pair at every threshold;
     * a normalized key would count case-variant pairs the listings might
     * not emit). One hash aggregation over text hashes; the driver receives
-    * a single long.
+    * a single long. Grouping on xxhash64 means a 64-bit collision between
+    * distinct texts merges their groups and OVERcounts the floor — so
+    * "lower bound" holds modulo collisions; the value only drives a
+    * dispatch threshold (never result rows), and an overcount only moves
+    * work to the bounded arm.
     */
   private[ops] def estExactDupPairs(docsDf: DataFrame): Long =
     docsDf.select(xxhash64(col("text")).as("h"))
@@ -131,12 +146,58 @@ object DedupOps {
     * a ±2% cardinality error cannot matter to a 0.5-fraction gate (and
     * the 64-bit hash input only biases the estimate, never correctness).
     */
-  private[ops] def dupFraction(docsDf: DataFrame): Double = {
+  private[graft] def dupFraction(docsDf: DataFrame): Double = {
     val r = docsDf.agg(count(lit(1)).as("n"),
       approx_count_distinct(xxhash64(col("text")), 0.02).as("d")).head
     if (r.getLong(0) == 0L) 0.0
     else 1.0 - r.getLong(1).toDouble / r.getLong(0)
   }
+
+  /** Largest row count n whose COMPLETE pair listing n·(n−1)/2 still fits
+    * in `maxListedPairs`. The exact-dup floor is bounded above by the full
+    * listing, so a corpus at or below this many rows provably cannot trip
+    * the density gate — the short-circuit that spares small corpora (the
+    * oracle harness among them) the full-corpus floor probe.
+    */
+  private[graft] def maxRowsListable(maxListedPairs: Long): Long = {
+    // past this, (n+1)·n/2 overflows Long before exceeding any threshold
+    if (maxListedPairs >= Long.MaxValue / 2 - 1) return 3037000499L
+    var n = ((1.0 + math.sqrt(1.0 + 8.0 * maxListedPairs.toDouble)) / 2.0)
+      .toLong
+    // the sqrt can land a few off at the far end of the double range; walk
+    // to the exact integer boundary from either side
+    while (n > 0 && n * (n - 1) / 2 > maxListedPairs) n -= 1
+    while ((n + 1) * n / 2 <= maxListedPairs) n += 1
+    n
+  }
+
+  /** Density-gate decision, cheapest evidence first: caller-provided stats
+    * (no job), then a capped count (LocalLimit stops each scan task at
+    * n_max + 1 rows of no columns), then the full floor probe. Returns the
+    * floor when it exceeds `maxListedPairs`, None when the listing is safe.
+    */
+  private[graft] def pairFloorIfExceeds(docsDf: DataFrame, maxListedPairs: Long,
+      stats: Option[CorpusStats]): Option[Long] = stats match {
+    case Some(st) =>
+      Some(st.exactDupPairFloor).filter(_ > maxListedPairs)
+    case None =>
+      val nMax = maxRowsListable(maxListedPairs)
+      val cap = math.min(nMax, Int.MaxValue.toLong - 1L).toInt
+      val counted = docsDf.select(lit(1)).limit(cap + 1).count()
+      if (counted <= cap) None
+      else Some(estExactDupPairs(docsDf)).filter(_ > maxListedPairs)
+  }
+
+  private def requirePairFloorBelow(docsDf: DataFrame, maxListedPairs: Long,
+      stats: Option[CorpusStats], op: String): Unit =
+    pairFloorIfExceeds(docsDf, maxListedPairs, stats).foreach { floor =>
+      throw new IllegalArgumentException(
+        s"$op: the corpus's exact-duplicate pair floor ($floor) exceeds " +
+          s"maxListedPairs ($maxListedPairs) — the full pair listing is " +
+          "output-bound by duplicate cliques alone. Pass fullPairs = true " +
+          "to force the listing anyway, or call dedupDecision(...) for " +
+          "the bounded (doc_id, rep) keep/drop decision.")
+    }
 
   /** Per-document (doc_id, lang, mask): the token set dictionary-encoded
     * into one 64-bit mask. The vocab rides in as a typed array literal and
@@ -334,20 +395,23 @@ object DedupOps {
     * harness), reliable checkpoints to the context's checkpoint dir when
     * surviving executor loss matters (callers set the dir).
     *
-    * Density-dispatched like [[jaccardPairsOn]]: past `maxListedPairs`
-    * (exact-dup floor probe) the default arm contracts exact duplicates
-    * first, mines LSH pairs over the DISTINCT texts only, and returns the
-    * cluster→canonical decision (doc_id, rep) — identical components to
-    * clustering the full listing, because exact duplicates share shingle
-    * sets and therefore band keys. `fullPairs = true` forces the listing.
+    * Density-GATED like [[jaccardPairsOn]] (same evidence ladder: stats →
+    * capped count → floor probe): past `maxListedPairs` the call fails
+    * fast naming the exact-dup pair floor and the escapes, because the
+    * listing is Ω(output) from duplicate cliques alone. `fullPairs = true`
+    * forces the listing; `dedupDecision(docsDf, method = "minhash")` is
+    * the bounded (doc_id, rep) form — identical components to clustering
+    * the full listing, because exact duplicates share shingle sets and
+    * therefore band keys.
     */
   def minhashLshPairsOn(docsDf: DataFrame, reliable: Boolean = false,
       fullPairs: Boolean = false,
-      maxListedPairs: Long = MaxListedPairs): DataFrame =
-    if (!fullPairs && estExactDupPairs(docsDf) > maxListedPairs)
-      contractedClusters(docsDf, dd => minhashLshPairsList(dd, reliable),
-        reliable)
-    else minhashLshPairsList(docsDf, reliable)
+      maxListedPairs: Long = MaxListedPairs,
+      stats: Option[CorpusStats] = None): DataFrame = {
+    if (!fullPairs)
+      requirePairFloorBelow(docsDf, maxListedPairs, stats, "minhashLshPairsOn")
+    minhashLshPairsList(docsDf, reliable)
+  }
 
   private def minhashLshPairsList(docsDf: DataFrame,
       reliable: Boolean): DataFrame = {
@@ -375,8 +439,9 @@ object DedupOps {
       .orderBy("a_id", "b_id")
   }
 
+  /** Catalog binding: `fullPairs = true` — see [[jaccardPairs]]. */
   def minhashLshPairs(s: SparkSession, dir: String): DataFrame =
-    minhashLshPairsOn(docs(s, dir))
+    minhashLshPairsOn(docs(s, dir), fullPairs = true)
 
   // ---- SimHash (Hamming-space scale path) ---------------------------------
 
@@ -414,19 +479,22 @@ object DedupOps {
     * [[minhashLshPairsOn]]: local checkpoint blocks vs reliable
     * checkpoints for the reused simhash table.
     *
-    * Density-dispatched like [[jaccardPairsOn]]/[[minhashLshPairsOn]]:
-    * identical texts hash to identical simhashes (Hamming 0, same chunks),
-    * so contracting exact duplicates before mining preserves the component
-    * structure exactly; past the probe threshold the default arm returns
-    * cluster→canonical (doc_id, rep). `fullPairs = true` forces the
-    * listing.
+    * Density-GATED like [[jaccardPairsOn]]/[[minhashLshPairsOn]] (same
+    * evidence ladder): past `maxListedPairs` the call fails fast naming
+    * the floor and the escapes. `fullPairs = true` forces the listing;
+    * `dedupDecision(docsDf, method = "simhash")` is the bounded
+    * (doc_id, rep) form — identical texts hash to identical simhashes
+    * (Hamming 0, same chunks), so contracting exact duplicates before
+    * mining preserves the component structure exactly.
     */
   def simhashPairsOn(docsDf: DataFrame, reliable: Boolean = false,
       fullPairs: Boolean = false,
-      maxListedPairs: Long = MaxListedPairs): DataFrame =
-    if (!fullPairs && estExactDupPairs(docsDf) > maxListedPairs)
-      contractedClusters(docsDf, dd => simhashPairsList(dd, reliable), reliable)
-    else simhashPairsList(docsDf, reliable)
+      maxListedPairs: Long = MaxListedPairs,
+      stats: Option[CorpusStats] = None): DataFrame = {
+    if (!fullPairs)
+      requirePairFloorBelow(docsDf, maxListedPairs, stats, "simhashPairsOn")
+    simhashPairsList(docsDf, reliable)
+  }
 
   private def simhashPairsList(docsDf: DataFrame,
       reliable: Boolean): DataFrame = {
@@ -452,8 +520,51 @@ object DedupOps {
       .orderBy("a_id", "b_id")
   }
 
+  /** Catalog binding: `fullPairs = true` — see [[jaccardPairs]]. */
   def simhashPairs(s: SparkSession, dir: String): DataFrame =
-    simhashPairsOn(docs(s, dir))
+    simhashPairsOn(docs(s, dir), fullPairs = true)
+
+  /** The schema-stable dedup DECISION — the documented entry point for a
+    * consumer pointed at a growing corpus: ALWAYS returns (doc_id, rep),
+    * one row per document (singletons label themselves), rep = component
+    * minimum — q60-consumable directly, at any duplicate density. The pair
+    * listings ([[jaccardPairsOn]] etc.) stay gated validation surfaces;
+    * this is the production form whose output is O(corpus), never
+    * Ω(pairs).
+    *
+    * `method` picks the near-dup pair miner that defines the edges:
+    * "jaccard" (exact token-set Jaccard ≥ 0.9, mask or prefix plan by
+    * vocab size, per-language), "minhash" (MinHash+LSH verified shingle
+    * Jaccard ≥ 0.8), "simhash" (Hamming ≤ 3). Every arm contracts exact
+    * duplicates first — on a dup-dense corpus mining runs over the small
+    * distinct fraction; on a near-unique corpus the contraction is one
+    * extra hash aggregation, the flat cost of density-independence. The
+    * jaccard arm's contraction key includes lang (its miners only pair
+    * within a language, so cross-language identical texts must not
+    * force-merge — the 872a352 invariant); minhash/simhash mine over raw
+    * text alone and use the raw-text key.
+    */
+  def dedupDecision(docsDf: DataFrame, method: String = "jaccard",
+      reliable: Boolean = false): DataFrame = method match {
+    case "jaccard" =>
+      contractedClusters(docsDf, dd => {
+        val (d, vocab) = tokenizedDocs(dd)
+        (if (vocab.length <= 64) jaccardPairsMask(d, vocab)
+         else jaccardPairsPrefix(d)).select(col("a_id"), col("b_id"))
+      }, reliable, groupKey = struct(col("lang"), md5(col("text"))))
+    case "minhash" =>
+      contractedClusters(docsDf,
+        dd => minhashLshPairsList(dd, reliable).select(
+          col("a_id"), col("b_id")),
+        reliable)
+    case "simhash" =>
+      contractedClusters(docsDf,
+        dd => simhashPairsList(dd, reliable).select(col("a_id"), col("b_id")),
+        reliable)
+    case other => throw new IllegalArgumentException(
+      s"dedupDecision: unknown method '$other' " +
+        "(expected jaccard | minhash | simhash)")
+  }
 
   /** The dense-corpus arm shared by the q37/q38/q39 dispatch: contract
     * exact duplicates (group key → min-id representative), mine near-dup
@@ -519,7 +630,10 @@ object DedupOps {
   def dedupClusters(s: SparkSession, dir: String,
       checkpointDir: Option[String]): DataFrame = {
     checkpointDir.foreach(s.sparkContext.setCheckpointDir)
-    dedupClustersOn(docs(s, dir), reliable = checkpointDir.isDefined)
+    // catalog binding shares the per-directory memoized stats: the dense-
+    // branch gate reads a cached single row instead of probing the corpus
+    dedupClustersOn(docs(s, dir), reliable = checkpointDir.isDefined,
+      stats = Some(CorpusStats.forDir(s, dir)))
   }
 
   /** `docsDf` needs (doc_id, lang, text). `reliable` selects the
@@ -529,9 +643,15 @@ object DedupOps {
     * reliable checkpoints to the SparkContext's checkpoint dir (callers set
     * it), the 100 TB production mode where surviving executor loss matters
     * more than the write cost.
+    *
+    * `stats`: optional pre-computed [[CorpusStats]] for the general-vocab
+    * dense-branch gate (same evidence ladder as [[jaccardPairsOn]]:
+    * stats → capped count → floor probe), so an ANALYZEd corpus never
+    * pays a per-call probe job.
     */
   def dedupClustersOn(docsDf: DataFrame,
-      reliable: Boolean = false): DataFrame = {
+      reliable: Boolean = false,
+      stats: Option[CorpusStats] = None): DataFrame = {
     val (d, vocab) = tokenizedDocs(docsDf)
     if (vocab.length <= 64) {
       // contract before CC: all members of one (lang, mask) group are
@@ -558,7 +678,7 @@ object DedupOps {
         .join(cc, "id")
         .select(col("doc_id"), col("rep"))
         .orderBy("doc_id")
-    } else if (estExactDupPairs(docsDf) > MaxListedPairs) {
+    } else if (pairFloorIfExceeds(docsDf, MaxListedPairs, stats).isDefined) {
       // dup-dense general-vocab corpus: the prefix candidate join is
       // quadratic in duplicate multiplicity (every copy of a hot text
       // joins every copy of its neighbors), so contract exact duplicates

@@ -262,7 +262,10 @@ object TextOps {
     * document, bounded by document length, embarrassingly parallel.
     */
   def repetitionProfile(s: SparkSession, dir: String): DataFrame =
-    repetitionProfileOn(docs(s, dir))
+    // per-directory memoized stats: the dup-fraction gate reads a cached
+    // single row; one ANALYZE job per corpus per JVM, shared with q46/q56
+    repetitionProfileOn(docs(s, dir),
+      stats = Some(graft.ops.CorpusStats.forDir(s, dir)))
 
   /** `docsDf` needs (doc_id, text).
     *
@@ -272,10 +275,16 @@ object TextOps {
     * key — the per-row token/bigram folds run |distinct| times instead of
     * |corpus| times (100× dup-dense corpus: 10.1 s → profile work ÷ ~100).
     * Below the probe the straight per-row form wins (no text shuffle).
+    *
+    * Gate evidence, cheapest first: explicit `contractDuplicates`, then a
+    * caller-provided [[CorpusStats]] (no job — the ANALYZE-once path),
+    * then the per-call dup-fraction probe as the last resort.
     */
   def repetitionProfileOn(docsDf: DataFrame,
-      contractDuplicates: Option[Boolean] = None): DataFrame = {
+      contractDuplicates: Option[Boolean] = None,
+      stats: Option[CorpusStats] = None): DataFrame = {
     val contracted = contractDuplicates
+      .orElse(stats.map(_.dupFraction > 0.5))
       .getOrElse(DedupOps.dupFraction(docsDf) > 0.5)
     if (!contracted)
       repetitionProfileRows(docsDf, col("doc_id").as("doc_id"))

@@ -351,44 +351,57 @@ class DedupSpec extends SparkSpec {
     ids.map(i => i -> find(i)).toMap
   }
 
-  test("q37/q38/q39 density dispatch: dense corpora return cluster-canonical" +
-      " and the arms agree") {
-    // probe straddling: the same corpus lists below the threshold …
+  test("q37/q38/q39 density gate: dense corpora fail fast with the floor " +
+      "named, fullPairs escapes, and dedupDecision matches union-find") {
+    // gate straddling: the same corpus lists below the threshold …
     val listed = DedupOps.jaccardPairsOn(denseDocs, maxListedPairs = 1000)
     assert(listed.columns.contains("jaccard"), "below threshold => listing")
-    // … and contracts above it (446 exact-dup floor > 100)
-    val auto = DedupOps.jaccardPairsOn(denseDocs, maxListedPairs = 100)
-    assert(auto.columns.toSeq === Seq("doc_id", "rep"),
-      "above threshold => cluster-canonical decision")
-    // fullPairs overrides the probe entirely
+    // … and FAILS FAST above it (446 exact-dup floor > 100) — schema-
+    // stable contract: the listing never silently changes shape
+    val ex = intercept[IllegalArgumentException] {
+      DedupOps.jaccardPairsOn(denseDocs, maxListedPairs = 100)
+    }
+    assert(ex.getMessage.contains("446"), "error must name the floor")
+    assert(ex.getMessage.contains("fullPairs") &&
+      ex.getMessage.contains("dedupDecision"), "error must name the escapes")
+    for (name <- Seq("minhashLshPairsOn", "simhashPairsOn")) {
+      val e = intercept[IllegalArgumentException] {
+        if (name.startsWith("minhash"))
+          DedupOps.minhashLshPairsOn(denseDocs, maxListedPairs = 100)
+        else DedupOps.simhashPairsOn(denseDocs, maxListedPairs = 100)
+      }
+      assert(e.getMessage.contains(name), name)
+    }
+    // fullPairs overrides the gate entirely
     val forced = DedupOps.jaccardPairsOn(denseDocs, fullPairs = true,
       maxListedPairs = 100)
     assert(forced.columns.contains("jaccard"))
+    // caller-provided stats decide without probing, same decision
+    val st = Some(ops.CorpusStats.compute(denseDocs))
+    intercept[IllegalArgumentException] {
+      DedupOps.jaccardPairsOn(denseDocs, maxListedPairs = 100, stats = st)
+    }
+    assert(DedupOps.jaccardPairsOn(denseDocs, maxListedPairs = 1000,
+      stats = st).columns.contains("jaccard"))
 
-    // q37 arms agree: clusters from the dispatched arm == union-find over
-    // the forced full listing (q46 semantics: only edge components appear)
+    // dedupDecision arms agree with union-find over each family's forced
+    // full listing plus exact-dup groups, every doc labeled (singletons
+    // label themselves) — the schema-stable (doc_id, rep) contract
     val pairs37 = forced.collect().map(r => (r.getLong(1), r.getLong(2))).toSeq
-    val all37 = expectedClusters(pairs37)
-    val want37 = all37.filter { case (_, rep) => all37.count(_._2 == rep) >= 2 }
-    assert(auto.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
-      === want37)
-
-    // q38/q39 arms agree: contracted clusters == union-find over their own
-    // full listings plus exact-dup groups, every doc labeled (singletons
-    // label themselves)
-    for ((name, full, contracted) <- Seq(
-      ("minhash",
-        DedupOps.minhashLshPairsOn(denseDocs, fullPairs = true),
-        DedupOps.minhashLshPairsOn(denseDocs, maxListedPairs = 100)),
-      ("simhash",
-        DedupOps.simhashPairsOn(denseDocs, fullPairs = true),
-        DedupOps.simhashPairsOn(denseDocs, maxListedPairs = 100)))) {
-      assert(contracted.columns.toSeq === Seq("doc_id", "rep"), name)
-      val pairs = full.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    for ((name, pairs) <- Seq(
+      ("jaccard", pairs37),
+      ("minhash", DedupOps.minhashLshPairsOn(denseDocs, fullPairs = true)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq),
+      ("simhash", DedupOps.simhashPairsOn(denseDocs, fullPairs = true)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq))) {
       assert(pairs.nonEmpty, s"$name listing must find the planted dups")
-      val got = contracted.collect()
-        .map(r => (r.getLong(0), r.getLong(1))).toMap
+      val decision = DedupOps.dedupDecision(denseDocs, method = name)
+      assert(decision.columns.toSeq === Seq("doc_id", "rep"), name)
+      val got = decision.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
       assert(got === expectedClusters(pairs), name)
+    }
+    intercept[IllegalArgumentException] {
+      DedupOps.dedupDecision(denseDocs, method = "nope")
     }
   }
 
@@ -477,10 +490,10 @@ class DedupSpec extends SparkSpec {
     for ((name, full, contracted) <- Seq(
       ("minhash",
         DedupOps.minhashLshPairsOn(docs, fullPairs = true),
-        DedupOps.minhashLshPairsOn(docs, maxListedPairs = 10)),
+        DedupOps.dedupDecision(docs, method = "minhash")),
       ("simhash",
         DedupOps.simhashPairsOn(docs, fullPairs = true),
-        DedupOps.simhashPairsOn(docs, maxListedPairs = 10)))) {
+        DedupOps.dedupDecision(docs, method = "simhash")))) {
       val pairs = full.collect().map(r => (r.getLong(0), r.getLong(1)))
       assert(!pairs.exists(p => p._1 < 100 && p._2 >= 100),
         s"$name listing must not pair across case groups")
