@@ -39,10 +39,19 @@ object Bench {
       }
       name -> (if (times.exists(_ < 0)) -1.0 else times.min)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // The harness records a bounded TAIL of stdout, so the one JSON line
+    // must fit inside it or the leading total is lost: keys shrink to the
+    // qNN prefix and times to milliseconds (~1.5 KB for 100 queries vs
+    // ~3.5 KB with full names — sub-ms digits are noise at these scales
+    // anyway). Sorted by number so per-round diffs line up.
+    def ms(v: Double): Double = math.rint(v * 1000) / 1000
+    val qs = results.toSeq
+      .map { case (k, v) => (k.takeWhile(_ != '_'), v) }
+      .sortBy { case (k, _) => k.drop(1).toInt }
+      .map { case (k, v) => "\"" + k + "\":" + ms(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -336,8 +336,12 @@ object EventOps {
         // per-group value buffer serves all three ranks
         expr("percentile(value, array(0.35D, 0.5D, 0.65D))").as("ps"),
         expr("percentile_approx(value, 0.5, 1000)").as("approx_p50"))
-    users.join(vals, "event_type")
-      .select(col("event_type"), col("exact_users"),
+    // null-safe key: a plain equi-join would silently drop a null
+    // event_type group that the single-aggregation form (and the oracle's
+    // GROUP BY) retains — both sides group the same input, so <=> keeps
+    // the decomposition row-equivalent even with null keys
+    users.join(vals, users("event_type") <=> vals("event_type"))
+      .select(users("event_type").as("event_type"), col("exact_users"),
         round(element_at(col("ps"), 2), 4).as("exact_p50"),
         (abs(col("approx_users") - col("exact_users"))
           <= col("exact_users") * 0.1 + 5).as("approx_users_ok"),

@@ -169,4 +169,23 @@ class StatSpec extends SparkSpec {
       assert(r.getAs[Double]("min_v") >= lo && r.getAs[Double]("max_v") < lo + 25)
     }
   }
+
+  // ---------------------------------------------------------------- q15
+  test("q15 decomposition keeps a null event_type group (null-safe join)") {
+    // the two-aggregation rewrite joins user and value sides on the group
+    // key; a plain equi-join would silently drop the null group the
+    // single-aggregation form (and the oracle's GROUP BY) retains
+    val ev = Seq(
+      (Option("a"), Option(1L), 10.0), (Option("a"), Option(2L), 20.0),
+      (Option.empty[String], Option(3L), 5.0),
+      (Option.empty[String], Option(4L), 7.0),
+      (Option.empty[String], Option.empty[Long], 9.0))
+      .toDF("event_type", "user_id", "value")
+    val got = ops.EventOps.sketchCheckedOn(ev).collect()
+    assert(got.length === 2, "null event_type group must survive the join")
+    val nullRow = got.find(_.isNullAt(0)).get
+    // count(user_id) over distinct pairs: the null USER is still excluded
+    assert(nullRow.getLong(1) === 2L)
+    assert(got.find(!_.isNullAt(0)).get.getLong(1) === 2L)
+  }
 }
