@@ -116,6 +116,61 @@ object Scratch {
       spark.stop()
       return
     }
+    if (name == "datechain") {
+      // the scan-side twin of bucketchain: events partitioned by event day
+      // (ScaleOps.writePartitioned), then the dashboard-style recent-window
+      // queries — the reference re-scans the WHOLE table ordered by
+      // timestamp on every poll (dashboard.py:28); with a date-partitioned
+      // layout the same queries prune to the matching directories and the
+      // scan cost tracks the window, not the corpus. Reports the one-time
+      // write cost and warm plain-vs-pruned timings; row equality asserted.
+      import org.apache.spark.sql.functions._
+      import ops.EventOps
+      val ev = Tables.t(spark, dir, "events")
+      val pdir = java.nio.file.Files.createTempDirectory("events-bydate")
+        .toString
+      time("write_partitioned") {
+        ops.ScaleOps.writePartitioned(
+          ev.withColumn("event_date", to_date(col("ts"))), pdir, "event_date")
+        0L
+      }
+      val part = spark.read.parquet(pdir)
+      val maxDay = ev.agg(max(to_date(col("ts")))).head.getDate(0)
+      println(s"last day = $maxDay, " +
+        s"days = ${part.select("event_date").distinct().count()}")
+      val cases: Seq[(String, DataFrame => DataFrame)] = Seq(
+        "q01_recent" -> (df => EventOps.recentEventsOn(df)),
+        "q06_minutely" -> (df => EventOps.minutelyTimeseriesOn(df)),
+        "q02_kpi" -> (df => EventOps.kpiOverviewOn(df)))
+      // scan volume is the scale-invariant evidence (wall-clock at 10M
+      // rows understates a 100 TB win): execute the query's OWN plan and
+      // read the scan node's numFiles/filesSize metrics
+      // by-name: the plan must be BUILT with AQE off or the adaptive root
+      // hides the scan node (and its metrics) from collectLeaves
+      def scanned(build: => DataFrame): String = {
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        try {
+          val qe = build.queryExecution
+          qe.executedPlan.execute().count()
+          val m = qe.executedPlan.collectLeaves().head.metrics
+          def v(k: String) = m.get(k).map(_.value).getOrElse(-1L)
+          s"files=${v("numFiles")} bytes=${v("filesSize")}"
+        } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+      }
+      for ((qn, f) <- cases) {
+        val plain = f(ev.filter(to_date(col("ts")) === lit(maxDay)))
+        val pruned = f(part.filter(col("event_date") === lit(maxDay)))
+        assert(plain.count() == pruned.count(), qn) // also warms both
+        time(s"${qn}_lastday_plain")(plain.count())
+        time(s"${qn}_lastday_pruned")(pruned.count())
+        println(s"${qn} scan: plain " +
+          scanned(f(ev.filter(to_date(col("ts")) === lit(maxDay)))) +
+          " | pruned " +
+          scanned(f(part.filter(col("event_date") === lit(maxDay)))))
+      }
+      spark.stop()
+      return
+    }
     if (name == "q41lsh") {
       // the q41 kernel blocked by LSH bucket instead of label — the
       // documented handoff once label blocks outgrow memory

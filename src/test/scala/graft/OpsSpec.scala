@@ -538,6 +538,35 @@ class OpsSpec extends SparkSpec {
     assert(filtered.count() < all.count())
   }
 
+  test("catalog queries over date-partitioned events prune the scan and " +
+      "match the plain-layout rows") {
+    // the datechain demo's mechanism, pinned on real catalog On-variants:
+    // a last-day window over events partitioned by event day must land in
+    // PartitionFilters (directory pruning — scan cost tracks the window,
+    // not the corpus) and return exactly the plain layout's rows
+    val ev = graft.Tables.t(spark, sfDir, "events")
+    val pdir = tmpDir("events_bydate")
+    ScaleOps.writePartitioned(
+      ev.withColumn("event_date", to_date(col("ts"))), pdir, "event_date")
+    val part = spark.read.parquet(pdir)
+    val maxDay = ev.agg(max(to_date(col("ts")))).head.getDate(0)
+    for ((name, q) <- Seq[(String, org.apache.spark.sql.DataFrame =>
+        org.apache.spark.sql.DataFrame)](
+      "q01" -> (df => EventOps.recentEventsOn(df)),
+      "q06" -> (df => EventOps.minutelyTimeseriesOn(df)))) {
+      val pruned = q(part.filter(col("event_date") === lit(maxDay)))
+      val scanStr = pruned.queryExecution.executedPlan
+        .collectLeaves().head.toString
+      assert(scanStr.contains("PartitionFilters") &&
+        scanStr.replaceAll("(?s).*PartitionFilters: \\[([^\\]]*)\\].*", "$1")
+          .contains("event_date"),
+        s"$name: date predicate not pruned:\n$scanStr")
+      val plain = q(ev.filter(to_date(col("ts")) === lit(maxDay)))
+      assert(pruned.collect().map(_.toSeq) === plain.collect().map(_.toSeq),
+        name)
+    }
+  }
+
   test("zValue interleaves bits (x odd, y even)") {
     import spark.implicits._
     // exhaustive 8x8 against a reference interleave
