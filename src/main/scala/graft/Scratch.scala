@@ -171,6 +171,42 @@ object Scratch {
       spark.stop()
       return
     }
+    if (name == "skewjoin") {
+      // joinSkewAware under real skew: ~80% of event rows collapse onto one
+      // hot key (deterministic, no rand), dim = one row per key. Broadcast
+      // is disabled to simulate the non-broadcastable-dim regime — the only
+      // one where salting matters (a broadcast join never shuffles the
+      // fact, so a hot key spreads across map tasks for free). Compares the
+      // straggler (plain sort-merge, AQE off), AQE's runtime skew split,
+      // and the stats-dispatched salted join.
+      import org.apache.spark.sql.functions._
+      import ops.ScaleOps
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val ev = Tables.t(spark, dir, "events")
+      val fact = ev.select(
+        when(pmod(col("user_id"), lit(10)) < 8, lit(0L))
+          .otherwise(col("user_id")).as("k"),
+        col("value")).localCheckpoint(true)
+      val dim = fact.select("k").distinct()
+        .withColumn("attr", col("k") * 2).localCheckpoint(true)
+      val st = ScaleOps.KeySkewStats.compute(fact, "k")
+      println(f"stats = $st skewRatio=${st.skewRatio}%.1f " +
+        s"salts=${ScaleOps.saltsFor(st, 200000, 32)}")
+      def measure(label: String)(df: => DataFrame): Unit = {
+        df.count() // warm
+        time(label)(df.count())
+      }
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      measure("plain_noaqe")(fact.join(dim, "k"))
+      measure("salted_noaqe")(ScaleOps.joinSkewAware(fact, dim, "k",
+        hotKeyRows = 200000, stats = Some(st)))
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      measure("plain_aqe")(fact.join(dim, "k"))
+      measure("salted_aqe")(ScaleOps.joinSkewAware(fact, dim, "k",
+        hotKeyRows = 200000, stats = Some(st)))
+      spark.stop()
+      return
+    }
     if (name == "q41lsh") {
       // the q41 kernel blocked by LSH bucket instead of label — the
       // documented handoff once label blocks outgrow memory

@@ -36,6 +36,66 @@ object ScaleOps {
     salted.join(replicated, Seq(key, "_salt")).drop("_salt")
   }
 
+  /** Key-frequency summary of a join's fact side — the single-row form of
+    * the q78 skew profile, consumed by [[joinSkewAware]]. Compute once per
+    * (table, key) snapshot and reuse, like [[CorpusStats]] for the dedup
+    * gates: one two-level aggregation (per-key counts with map-side
+    * partials, then a 1-row rollup).
+    */
+  final case class KeySkewStats(rows: Long, distinctKeys: Long,
+      maxKeyRows: Long) {
+
+    /** Rows of the hottest key relative to a perfectly uniform spread. */
+    def skewRatio: Double =
+      if (rows == 0L || distinctKeys == 0L) 0.0
+      else maxKeyRows.toDouble * distinctKeys / rows
+  }
+
+  object KeySkewStats {
+    def compute(df: DataFrame, key: String): KeySkewStats = {
+      val r = df.groupBy(col(key)).agg(count(lit(1)).as("cnt"))
+        .agg(coalesce(sum(col("cnt")), lit(0L)),
+          count(lit(1)), coalesce(max(col("cnt")), lit(0L))).head
+      KeySkewStats(r.getLong(0), r.getLong(1), r.getLong(2))
+    }
+  }
+
+  /** Stats-driven join dispatch — the consumer that closes the q78 loop:
+    * profile the fact side's key distribution (or take a precomputed
+    * [[KeySkewStats]], the ANALYZE-once path) and pick the join plan.
+    *
+    * Decision: the join is SKEWED when the hottest key exceeds
+    * `hotKeyRows` — the per-task row budget past which one reducer
+    * becomes the stage's straggler — AND exceeds 8× the uniform share
+    * (so a uniformly-heavy key set never salts: replication would cost
+    * without spreading anything). Skewed → [[saltedJoin]] with enough
+    * salts to bring the hot key back under budget (capped at `maxSalts`
+    * — dim replication is `salts`×); otherwise the plain equi-join,
+    * where AQE's runtime skew splitting already handles moderate cases.
+    * Either arm returns identical rows (spec-pinned).
+    */
+  def joinSkewAware(fact: DataFrame, dim: DataFrame, key: String,
+      hotKeyRows: Long = 2L * 1000 * 1000, maxSalts: Int = 32,
+      stats: Option[KeySkewStats] = None): DataFrame = {
+    val st = stats.getOrElse(KeySkewStats.compute(fact, key))
+    val salts = saltsFor(st, hotKeyRows, maxSalts)
+    if (salts <= 1) fact.join(dim, key)
+    else saltedJoin(fact, dim, key, salts)
+  }
+
+  /** Salt count for a profile: 1 = plain join. Exposed for spec pinning. */
+  private[graft] def saltsFor(st: KeySkewStats, hotKeyRows: Long,
+      maxSalts: Int): Int = {
+    require(hotKeyRows >= 1, s"hotKeyRows must be >= 1, got $hotKeyRows")
+    val uniformShare =
+      if (st.distinctKeys == 0L) 0L else st.rows / st.distinctKeys
+    if (st.maxKeyRows <= hotKeyRows || st.maxKeyRows <= 8L * uniformShare) 1
+    else {
+      val needed = (st.maxKeyRows + hotKeyRows - 1) / hotKeyRows
+      math.min(maxSalts.toLong, math.max(2L, needed)).toInt
+    }
+  }
+
   // ---- bucketing: pre-shuffled storage for co-located joins ---------------
   // At 100 TB the dominant cost of a repeated fact⋈fact join (lineitem ⋈
   // orders every run) is re-shuffling both sides on the key each time.

@@ -538,6 +538,48 @@ class OpsSpec extends SparkSpec {
     assert(filtered.count() < all.count())
   }
 
+  test("joinSkewAware salts exactly the skewed corpora and returns the " +
+      "plain join's rows") {
+    import spark.implicits._
+    import ScaleOps.KeySkewStats
+    // decision table: hot-key AND relative-skew conditions must both hold
+    assert(ScaleOps.saltsFor(KeySkewStats(1000, 1000, 1), 100, 32) === 1,
+      "uniform corpus must not salt")
+    assert(ScaleOps.saltsFor(KeySkewStats(10000, 10, 1000), 100, 32) === 1,
+      "uniformly-heavy keys must not salt (replication spreads nothing)")
+    assert(ScaleOps.saltsFor(KeySkewStats(10000, 1000, 950), 100, 32) === 10,
+      "hot key salts to ceil(max/hotKeyRows)")
+    assert(ScaleOps.saltsFor(KeySkewStats(100000, 1000, 99000), 100, 32)
+      === 32, "salt count is capped by maxSalts")
+    assert(ScaleOps.saltsFor(KeySkewStats(0, 0, 0), 100, 32) === 1)
+
+    // skewed fact: one key holds 500 of 560 rows; dim has one row per key
+    val fact = ((0L until 500L).map(i => (7L, i)) ++
+      (0L until 60L).map(i => (i + 100L, i)))
+      .toDF("k", "payload")
+    val dim = (Seq(7L) ++ (100L until 160L)).map(k => (k, s"attr$k"))
+      .toDF("k", "attr")
+    val plain = fact.join(dim, "k")
+    val auto = ScaleOps.joinSkewAware(fact, dim, "k", hotKeyRows = 100)
+    // the probe must route to the salted form …
+    assert(auto.queryExecution.analyzed.toString.contains("_salt"),
+      "skewed corpus must dispatch to saltedJoin")
+    // … with identical rows, and the stats path must agree with the probe
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).sortBy(_.mkString(",")).toSeq
+    assert(rows(auto) === rows(plain))
+    val st = KeySkewStats.compute(fact, "k")
+    assert(st === KeySkewStats(560, 61, 500))
+    val viaStats = ScaleOps.joinSkewAware(fact, dim, "k", hotKeyRows = 100,
+      stats = Some(st))
+    assert(viaStats.queryExecution.analyzed.toString.contains("_salt"))
+    assert(rows(viaStats) === rows(plain))
+    // an unskewed fact goes through the plain arm
+    val uni = ScaleOps.joinSkewAware(dim, dim.select(col("k"),
+      col("attr").as("b")), "k", hotKeyRows = 100)
+    assert(!uni.queryExecution.analyzed.toString.contains("_salt"))
+  }
+
   test("catalog queries over date-partitioned events prune the scan and " +
       "match the plain-layout rows") {
     // the datechain demo's mechanism, pinned on real catalog On-variants:
