@@ -22,8 +22,12 @@ import org.apache.spark.sql.functions._
 object ScaleUp {
 
   def main(args: Array[String]): Unit = {
-    val Array(src, dst, fStr) = args
+    // optional 4th arg: comma-separated table subset (e.g. a 1000× corpus
+    // of documents,embeddings only — the dedup/ANN spot-check inputs —
+    // without paying for 600M lineitem rows)
+    val Array(src, dst, fStr) = args.take(3)
     val f = fStr.toInt
+    val only = args.drop(3).headOption.map(_.split(",").toSet)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       Runtime.getRuntime.availableProcessors().toString)
     val spark = SparkSession.builder()
@@ -33,33 +37,37 @@ object ScaleUp {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    scale(spark, src, dst, f)
+    scale(spark, src, dst, f, only)
     spark.stop()
   }
 
-  def scale(spark: SparkSession, src: String, dst: String, f: Int): Unit = {
+  def scale(spark: SparkSession, src: String, dst: String, f: Int,
+      only: Option[Set[String]] = None): Unit = {
     require(f >= 1, s"factor must be >= 1, got $f")
+    def wanted(name: String): Boolean = only.forall(_.contains(name))
 
     def t(name: String): DataFrame = Tables.t(spark, src, name)
     def keySpan(df: DataFrame, key: String): Long =
       df.agg(max(col(key))).head().getLong(0) + 1L
 
-    val custSpan = keySpan(t("customer"), "c_custkey")
-    val suppSpan = keySpan(t("supplier"), "s_suppkey")
-    val partSpan = keySpan(t("part"), "p_partkey")
-    val orderSpan = keySpan(t("orders"), "o_orderkey")
-    val eventSpan = keySpan(t("events"), "event_id")
-    val userSpan = keySpan(t("events"), "user_id")
-    val docSpan = keySpan(t("documents"), "doc_id")
-    val vecSpan = keySpan(t("embeddings"), "vec_id")
-    val tsSpanMicros = {
+    // lazy: a table-subset run must not probe spans of unselected tables
+    lazy val custSpan = keySpan(t("customer"), "c_custkey")
+    lazy val suppSpan = keySpan(t("supplier"), "s_suppkey")
+    lazy val partSpan = keySpan(t("part"), "p_partkey")
+    lazy val orderSpan = keySpan(t("orders"), "o_orderkey")
+    lazy val eventSpan = keySpan(t("events"), "event_id")
+    lazy val userSpan = keySpan(t("events"), "user_id")
+    lazy val docSpan = keySpan(t("documents"), "doc_id")
+    lazy val vecSpan = keySpan(t("embeddings"), "vec_id")
+    lazy val tsSpanMicros = {
       val r = t("events")
         .agg(min(unix_micros(col("ts"))), max(unix_micros(col("ts")))).head()
       r.getLong(1) - r.getLong(0) + 60L * 1000000L
     }
 
     /** Union `f` remapped copies of one table and write it. */
-    def rep(name: String)(remap: (DataFrame, Int) => DataFrame): Unit = {
+    def rep(name: String)(remap: (DataFrame, Int) => DataFrame): Unit =
+        if (wanted(name)) {
       val base = t(name)
       val out = (0 until f).map(i => remap(base, i)).reduce(_ unionAll _)
       out.write.mode("overwrite").parquet(s"$dst/$name.parquet")
@@ -69,7 +77,7 @@ object ScaleUp {
       * repeating it would duplicate every key f times and explode each
       * dim join f× (a 100× corpus once inflated q22 10,000× this way).
       */
-    def fixed(name: String): Unit = {
+    def fixed(name: String): Unit = if (wanted(name)) {
       t(name).write.mode("overwrite").parquet(s"$dst/$name.parquet")
       println(s"[scaleup] $name x1 (fixed dim) written")
     }

@@ -171,6 +171,27 @@ object Scratch {
       spark.stop()
       return
     }
+    if (name == "decision") {
+      // 1000×-extrapolation spot check for the contracted dedup arms:
+      // dedupDecision (the schema-stable dispatch target) per method, on
+      // whatever SCRATCH_DIR points at (built via ScaleUp with the
+      // documents,embeddings subset). Reports wall-clock + cluster count;
+      // compare against the 100× sweep for linear-ish scaling.
+      graft.functions.GraftFunctions.ensureRegistered(spark)
+      val d = Tables.t(spark, dir, "documents")
+      println(s"docs = ${d.count()}")
+      for (m <- args.drop(1) match {
+        case Array() => Seq("jaccard", "simhash", "minhash")
+        case ms => ms.toSeq
+      }) {
+        val out = ops.DedupOps.dedupDecision(d, method = m)
+        time(s"decision_$m")(out.count())
+        time(s"decision_${m}_again")(
+          ops.DedupOps.dedupDecision(d, method = m).count())
+      }
+      spark.stop()
+      return
+    }
     if (name == "skewjoin") {
       // joinSkewAware under real skew: ~80% of event rows collapse onto one
       // hot key (deterministic, no rand), dim = one row per key. Broadcast

@@ -567,6 +567,68 @@ class DedupSpec extends SparkSpec {
     assert(SimilarityOps.nnDedupOn(lone, maxExactBlock = 20).count() < 60L)
   }
 
+  test("q44 multiplicity dispatch: contracted arm equals the exact scan " +
+      "on a dup-dense embedding corpus") {
+    import spark.implicits._
+    val dim = SimilarityOps.Dim
+    val rnd = new scala.util.Random(123)
+    def vec(): Array[Float] = Array.fill(dim)(rnd.nextGaussian().toFloat)
+    // label 0: one vector duplicated 40×, a second duplicated 3×, and 6
+    // distinct singletons; label 1: 5 distinct singletons — straddles a
+    // maxDupMult of 8 (40 > 8 dispatches; the default 256 does not)
+    val hot = vec()
+    val warm = vec()
+    val rows = (0L until 40L).map(i => (i, hot.clone(), 0)) ++
+      (100L until 103L).map(i => (i, warm.clone(), 0)) ++
+      (200L until 206L).map(i => (i, vec(), 0)) ++
+      (300L until 305L).map(i => (i, vec(), 1))
+    val embDf = rows.toDF("vec_id", "embedding", "label")
+
+    val exact = SimilarityOps.nnDedupOn(embDf, exact = true)
+      .collect().map(_.toSeq).toSeq
+    val contracted = SimilarityOps.nnDedupOn(embDf, maxDupMult = 8)
+      .collect().map(_.toSeq).toSeq
+    assert(contracted === exact,
+      "contracted arm must reproduce the exact scan row-for-row")
+    assert(exact.size === 54, "every vector gets a row")
+    // spot the group structure: copy 5's neighbor is the group minimum,
+    // the minimum's neighbor is the second member, both at cos 1.0
+    val byId = exact.map(r => r.head -> (r(2), r(3))).toMap
+    assert(byId(5L) === ((0L, 1.0)))
+    assert(byId(0L) === ((1L, 1.0)))
+    assert(byId(100L) === ((101L, 1.0)))
+    // default threshold (256) keeps this corpus on the direct arm — the
+    // probe dispatches, it never changes results
+    assert(SimilarityOps.nnDedupOn(embDf)
+      .collect().map(_.toSeq).toSeq === exact)
+  }
+
+  test("q41 kernel contraction: clique-heavy blocks expand top-k pairs in " +
+      "exact tie order") {
+    import spark.implicits._
+    val dim = SimilarityOps.Dim
+    val rnd = new scala.util.Random(321)
+    def vec(): Array[Float] = Array.fill(dim)(rnd.nextGaussian().toFloat)
+    // one vector 40×, one 3×, 5 distinct — the top-k is dominated by the
+    // cos-1.0 duplicate cliques, whose pairs must come out ordered by
+    // (a_id, b_id) across groups exactly as the uncontracted scan orders
+    val hot = vec()
+    val warm = vec()
+    val all = ((0L until 40L).map(i => (i, hot.clone(), 0)) ++
+      (50L until 53L).map(i => (i, warm.clone(), 0)) ++
+      (100L until 105L).map(i => (i, vec(), 0)))
+      .toDF("vec_id", "embedding", "label")
+    val exact = SimilarityOps.cosineTopPairsOn(all, k = 10, exact = true)
+      .collect().map(_.toSeq).toSeq
+    val contracted = SimilarityOps.cosineTopPairsOn(all, k = 10)
+      .collect().map(_.toSeq).toSeq
+    assert(contracted === exact)
+    // ground truth: ten smallest (a, b) pairs at cos 1.0 all start at a=0
+    assert(exact.map(r => (r(1), r(2))) ===
+      (1L to 10L).map(b => (0L, b)))
+    assert(exact.forall(_.apply(3) === 1.0))
+  }
+
   test("dup multiplicity histogram partitions groups and docs") {
     import spark.implicits._
     val docs = Seq(
