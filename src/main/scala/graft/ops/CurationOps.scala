@@ -460,12 +460,17 @@ object CurationOps {
     * millions of clusters; the quality join is doc_id-keyed.
     */
   def dedupCanonical(s: SparkSession, dir: String): DataFrame =
-    dedupCanonicalOn(docs(s, dir))
+    // per-directory memoized stats — q46's gate evidence, shared with
+    // q46/q56/q63 (one ANALYZE job per corpus per JVM)
+    dedupCanonicalOn(docs(s, dir), stats = Some(CorpusStats.forDir(s, dir)))
 
-  /** `docsDf` needs (doc_id, lang, text). */
-  def dedupCanonicalOn(docsDf: DataFrame): DataFrame = {
+  /** `docsDf` needs (doc_id, lang, text). `stats` feeds the clustering
+    * gate's evidence ladder (see [[DedupOps.dedupClustersOn]]).
+    */
+  def dedupCanonicalOn(docsDf: DataFrame,
+      stats: Option[CorpusStats] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val clusters = DedupOps.dedupClustersOn(docsDf)
+    val clusters = DedupOps.dedupClustersOn(docsDf, stats = stats)
     // score only cluster MEMBERS: the quality pass is the expensive leg
     // (regex + tokenization over text) and non-clustered docs — most of a
     // real corpus — never need a score here
@@ -658,6 +663,19 @@ object CurationOps {
     admitted.select(DedupOps.normText.as("norm")).distinct()
       .withColumn("fp", xxhash64(col("norm")))
       .write.mode("append").parquet(path)
+
+  /** The ANALYZE-style maintenance entry, run whenever the corpus snapshot
+    * changes (the same cadence as a fingerprint-store rebuild): refreshes
+    * BOTH persisted artifacts under one root — `<root>/fingerprints` (the
+    * delta-dedup probe table) and `<root>/corpus_stats` (the dispatch-gate
+    * evidence every density/duplicate-fraction gate reads instead of
+    * probing per call). Returns the stats so a caller can thread them into
+    * the dispatched operators in the same job.
+    */
+  def analyzeCorpus(docsDf: DataFrame, root: String): CorpusStats = {
+    writeFingerprintStore(docsDf, s"$root/fingerprints")
+    CorpusStats.analyze(docsDf, s"$root/corpus_stats")
+  }
 
   // ---- registration -------------------------------------------------------
 

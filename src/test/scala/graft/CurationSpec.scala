@@ -393,4 +393,25 @@ class CurationSpec extends SparkSpec {
     CurationOps.appendToFingerprintStore(admitted1, store)
     assert(CurationOps.freshAgainstStore(batch1, store).count() === 0)
   }
+
+  test("analyzeCorpus refreshes fingerprints and dispatch stats under one " +
+      "root, and the persisted stats drive the gates") {
+    val root = tmpDir("analyze_root")
+    val corpus = Seq((1L, "dup text"), (2L, "dup text"), (3L, "dup text"),
+      (4L, "unique one"), (5L, "unique two"))
+      .toDF("doc_id", "text")
+    val st = CurationOps.analyzeCorpus(corpus, root)
+    // floor = C(3,2) over raw text; dupFraction = 1 - 3/5
+    assert(st === graft.ops.CorpusStats(5, 3, 3))
+    // both artifacts landed and agree with the returned value
+    assert(graft.ops.CorpusStats.read(spark, s"$root/corpus_stats")
+      === Some(st))
+    assert(CurationOps.freshAgainstStore(
+      Seq((9L, "DUP  text"), (10L, "fresh")).toDF("doc_id", "text"),
+      s"$root/fingerprints").select("doc_id").collect()
+      .map(_.getLong(0)).toSeq === Seq(10L))
+    // the persisted stats decide the gates identically to a live probe
+    assert(graft.ops.DedupOps.pairFloorIfExceeds(corpus, 2L, Some(st))
+      === graft.ops.DedupOps.pairFloorIfExceeds(corpus, 2L, None))
+  }
 }
