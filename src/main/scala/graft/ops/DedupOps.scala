@@ -909,7 +909,9 @@ object DedupOps {
     "q46_dedup_clusters" -> dedupClusters,
     "q49_contamination" -> contamination,
     "q90_bloom_decontamination" -> bloomLeakProfile,
-    "q93_dup_multiplicity" -> dupMultiplicity)
+    "q93_dup_multiplicity" -> dupMultiplicity,
+    "q101_dedup_decision" ->
+      ((s: SparkSession, dir: String) => dedupDecision(docs(s, dir))))
 
   /** Shared SQL fragment: the portable token fingerprint (rolling hash over
     * Unicode code points mod 1e9+7 — DuckDB `unicode()` ≡ graft_code_points).
@@ -1096,5 +1098,35 @@ object DedupOps {
         |  UNION
         |  SELECT r.src, e.dst FROM reach r JOIN e ON r.dst = e.src)
         |SELECT src AS doc_id, least(src, min(dst)) AS rep
-        |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin)
+        |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin,
+
+    // q46's component CTE, left-joined back to the corpus: every document
+    // gets a row, singletons label themselves — the dedupDecision contract
+    // (mined-pairs-over-distinct-texts ∪ exact-dup groups has the same
+    // components as the full J ≥ 0.9 pair graph: byte-equal texts are J=1
+    // pairs of it)
+    "q101_dedup_decision" ->
+      """WITH RECURSIVE
+        |d AS (SELECT doc_id, lang,
+        |  list_distinct(string_split(trim(text), ' ')) AS toks
+        |  FROM documents),
+        |p AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |  len(list_intersect(a.toks, b.toks)) AS inter,
+        |  len(a.toks) AS a_n, len(b.toks) AS b_n
+        |  FROM d a JOIN d b ON a.lang = b.lang AND a.doc_id < b.doc_id
+        |    AND len(a.toks) * 10 >= len(b.toks) * 9
+        |    AND len(b.toks) * 10 >= len(a.toks) * 9),
+        |pr AS (SELECT a_id, b_id FROM p
+        |  WHERE inter / (a_n + b_n - inter) >= 0.9e0),
+        |e AS (SELECT a_id AS src, b_id AS dst FROM pr
+        |  UNION ALL SELECT b_id, a_id FROM pr),
+        |reach(src, dst) AS (
+        |  SELECT src, dst FROM e
+        |  UNION
+        |  SELECT r.src, e.dst FROM reach r JOIN e ON r.dst = e.src),
+        |comp AS (SELECT src AS doc_id, least(src, min(dst)) AS rep
+        |  FROM reach GROUP BY src)
+        |SELECT doc.doc_id, COALESCE(comp.rep, doc.doc_id) AS rep
+        |FROM documents doc LEFT JOIN comp ON doc.doc_id = comp.doc_id
+        |ORDER BY doc.doc_id""".stripMargin)
 }
