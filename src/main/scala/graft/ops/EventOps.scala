@@ -381,24 +381,35 @@ object EventOps {
 
   def columnProfileOn(eventsDf: DataFrame): DataFrame = {
     val e = eventsDf
+    // count / null / min / max ride in ONE plain pass; the five distinct
+    // counts are decomposed into per-column pre-distinct aggregations —
+    // five countDistinct branches in the main agg would plan the
+    // multi-distinct Expand (6× row replay through a single shuffle, the
+    // q15 trap at five columns), while each decomposed pass is a plain
+    // two-phase distinct with map-side partials, and the five 1-row
+    // results broadcast-cross back in. countDistinct excludes nulls, so
+    // the decomposed form filters them before the distinct.
     def stats(c: String, numeric: Boolean) = Seq(
       count(col(c)).as(s"cnt_$c"),
       (count(lit(1)) - count(col(c))).as(s"null_$c"),
-      countDistinct(col(c)).as(s"dist_$c"),
       (if (numeric) min(col(c)).cast("double") else lit(null).cast("double"))
         .as(s"min_$c"),
       (if (numeric) max(col(c)).cast("double") else lit(null).cast("double"))
         .as(s"max_$c"))
     val cols = Seq("event_id" -> true, "user_id" -> true, "value" -> true,
       "event_type" -> false, "props" -> false)
-    val agged = e.agg(
-      stats(cols.head._1, cols.head._2).head,
-      (stats(cols.head._1, cols.head._2).tail ++
-        cols.tail.flatMap { case (c, n) => stats(c, n) }): _*)
+    val first = stats(cols.head._1, cols.head._2)
+    val agged = e.agg(first.head,
+      (first.tail ++ cols.tail.flatMap { case (c, n) => stats(c, n) }): _*)
+    val joined = cols.foldLeft(agged) { case (acc, (c, _)) =>
+      acc.crossJoin(broadcast(
+        e.filter(col(c).isNotNull).select(col(c)).distinct()
+          .agg(count(lit(1)).as(s"dist_$c"))))
+    }
     val stacked = cols.map { case (c, _) =>
       s"'$c', cnt_$c, null_$c, dist_$c, min_$c, max_$c"
     }.mkString(", ")
-    agged.select(expr(
+    joined.select(expr(
       s"stack(${cols.size}, $stacked) AS (column, n, n_null, n_distinct, min_v, max_v)"))
       .orderBy("column")
   }
