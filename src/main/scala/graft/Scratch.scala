@@ -135,7 +135,7 @@ object Scratch {
         0L
       }
       val part = spark.read.parquet(pdir)
-      val maxDay = ev.agg(max(to_date(col("ts")))).head.getDate(0)
+      val maxDay = ev.agg(max(to_date(col("ts")))).head().getDate(0)
       println(s"last day = $maxDay, " +
         s"days = ${part.select("event_date").distinct().count()}")
       val cases: Seq[(String, DataFrame => DataFrame)] = Seq(

@@ -79,7 +79,7 @@ object TradeGen {
     */
   def trades(spark: SparkSession, n: Long, seed: Int = 42,
       baseDate: String = "2026-01-15"): DataFrame =
-    derive(spark.range(n).toDF, seed, baseDate)
+    derive(spark.range(n).toDF(), seed, baseDate)
 
   /** Streaming twin (SURVEY.md §2.1 S1): the rate source supplies the
     * monotonically increasing id, the identical derivation chain supplies

@@ -40,7 +40,7 @@ object CorpusStats {
         coalesce(sum(col("m")), lit(0L)).as("n_rows"),
         count(lit(1)).as("n_distinct"),
         coalesce(sum(expr("m * (m - 1) div 2")), lit(0L)).as("floor"))
-      .head
+      .head()
     CorpusStats(r.getLong(0), r.getLong(1), r.getLong(2))
   }
 
@@ -77,7 +77,7 @@ object CorpusStats {
   def read(s: SparkSession, path: String): Option[CorpusStats] =
     try {
       val r = s.read.parquet(path)
-        .select("n_rows", "n_distinct", "exact_dup_pair_floor").head
+        .select("n_rows", "n_distinct", "exact_dup_pair_floor").head()
       Some(CorpusStats(r.getLong(0), r.getLong(1), r.getLong(2)))
     } catch { case scala.util.control.NonFatal(_) => None }
 

@@ -136,7 +136,7 @@ object DedupOps {
     docsDf.select(xxhash64(col("text")).as("h"))
       .groupBy("h").agg(count(lit(1)).as("m"))
       .agg(coalesce(sum(expr("m * (m - 1) div 2")), lit(0L)).as("p"))
-      .head.getLong(0)
+      .head().getLong(0)
 
   /** Fraction of documents that are exact-text duplicates of another — the
     * q56-style dispatch probe. Uses approx_count_distinct, NOT exact
@@ -148,7 +148,7 @@ object DedupOps {
     */
   private[graft] def dupFraction(docsDf: DataFrame): Double = {
     val r = docsDf.agg(count(lit(1)).as("n"),
-      approx_count_distinct(xxhash64(col("text")), 0.02).as("d")).head
+      approx_count_distinct(xxhash64(col("text")), 0.02).as("d")).head()
     if (r.getLong(0) == 0L) 0.0
     else 1.0 - r.getLong(1).toDouble / r.getLong(0)
   }

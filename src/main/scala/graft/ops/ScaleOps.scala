@@ -55,7 +55,7 @@ object ScaleOps {
     def compute(df: DataFrame, key: String): KeySkewStats = {
       val r = df.groupBy(col(key)).agg(count(lit(1)).as("cnt"))
         .agg(coalesce(sum(col("cnt")), lit(0L)),
-          count(lit(1)), coalesce(max(col("cnt")), lit(0L))).head
+          count(lit(1)), coalesce(max(col("cnt")), lit(0L))).head()
       KeySkewStats(r.getLong(0), r.getLong(1), r.getLong(2))
     }
   }

@@ -364,7 +364,7 @@ object SimilarityOps {
   private def estMaxDupMult(embDf: DataFrame): Long =
     embDf.groupBy(col("label"), xxhash64(col("embedding")))
       .agg(count(lit(1)).as("m"))
-      .agg(coalesce(max(col("m")), lit(0L))).head.getLong(0)
+      .agg(coalesce(max(col("m")), lit(0L))).head().getLong(0)
 
   /** `embDf` needs (vec_id, label, embedding).
     *

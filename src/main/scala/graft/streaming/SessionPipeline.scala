@@ -117,7 +117,7 @@ object SessionPipeline {
         (userId: Long, evs: Iterator[SessionEvent],
             st: GroupState[BufferedSession]) =>
           val prior = st.getOption.getOrElse(BufferedSession(Nil, None, 1L))
-          val wmMicros = st.getCurrentWatermarkMs * 1000L
+          val wmMicros = st.getCurrentWatermarkMs() * 1000L
           val all = prior.buffer ++ evs
           // events at/behind the watermark are final — no earlier event can
           // still arrive, so their order is settled
@@ -159,7 +159,7 @@ object SessionPipeline {
               open.map(o => (o.lastMicros + GapMicros) / 1000L).toSeq ++
                 pending.map(_.tsMicros / 1000L)
             st.setTimeoutTimestamp(
-              math.max(targets.min + 1L, st.getCurrentWatermarkMs + 1L))
+              math.max(targets.min + 1L, st.getCurrentWatermarkMs() + 1L))
           }
           closed.result().iterator
       }
@@ -197,7 +197,7 @@ object SessionPipeline {
               // the current watermark (Spark rejects timeouts at/behind it)
               st.setTimeoutTimestamp(math.max(
                 (o.lastMicros + GapMicros) / 1000L,
-                st.getCurrentWatermarkMs + 1))
+                st.getCurrentWatermarkMs() + 1))
             }
             closed
           }
