@@ -246,7 +246,11 @@ object Scratch {
       ms match {
         case Seq((_, fn)) => fn(spark, dir)
         case Seq() => sys.error(s"no query named $n")
-        case many => many.find(_._1 == n).map(_._2(spark, dir))
+        case many => many.find(_._1 == n)
+          // "q10" must keep meaning q10_json_props now that q100/q101
+          // exist: a qNN_ boundary match beats the bare prefix
+          .orElse(many.find(_._1.startsWith(n + "_")))
+          .map(_._2(spark, dir))
           .getOrElse(sys.error(
             s"ambiguous prefix $n: ${many.map(_._1).mkString(", ")}"))
       }
