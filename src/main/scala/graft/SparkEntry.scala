@@ -23,7 +23,8 @@ object SparkEntry {
       ops.TextOps.queries ++ ops.DedupOps.queries ++
       ops.SimilarityOps.queries ++ ops.MultimodalOps.queries ++
       ops.TemporalOps.queries ++ ops.CurationOps.queries ++
-      ops.SearchOps.queries ++ ops.StatOps.queries
+      ops.SearchOps.queries ++ ops.StatOps.queries ++
+      ops.SpanOps.queries ++ ops.ScrubOps.queries ++ ops.BpeOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys → weaker rows-only check.
@@ -33,5 +34,6 @@ object SparkEntry {
       ops.TextOps.oracle ++ ops.DedupOps.oracle ++
       ops.SimilarityOps.oracle ++ ops.MultimodalOps.oracle ++
       ops.TemporalOps.oracle ++ ops.CurationOps.oracle ++
-      ops.SearchOps.oracle ++ ops.StatOps.oracle
+      ops.SearchOps.oracle ++ ops.StatOps.oracle ++
+      ops.SpanOps.oracle ++ ops.ScrubOps.oracle ++ ops.BpeOps.oracle
 }

@@ -1,0 +1,94 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** PII detection and scrubbing over document text — the compliance pass a
+  * training-data pipeline runs before anything else ships. Four pattern
+  * families (email, IPv4, US-SSN-shaped ids, international-phone-shaped
+  * digit runs), each implemented as a codegen'd `regexp_*` expression —
+  * per-row, shuffle-free, so the scan cost is the whole cost at any scale.
+  *
+  * Pattern dialect note: every regex here is written in the common subset
+  * of Java regex (Spark) and RE2 (the DuckDB oracle) — character classes,
+  * bounded repetition and `\b` only; no lookaround, no backreferences —
+  * so both engines provably match the same spans.
+  */
+object ScrubOps {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables.t(s, dir, "documents")
+
+  /** (name, pattern, replacement token) per PII family. Order matters for
+    * scrubbing: emails first (their local part may contain digits that the
+    * phone pattern would otherwise mangle), then IPs (dotted digit runs
+    * that the phone pattern could swallow), then SSNs, then phones. */
+  val patterns: Seq[(String, String, String)] = Seq(
+    ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b",
+      "<IP>"),
+    ("ssn", "\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b", "<SSN>"),
+    ("phone", "\\+[0-9][0-9()\\- ]{6,}[0-9]", "<PHONE>"))
+
+  private def hits(name: String, pattern: String): Column =
+    size(regexp_extract_all(col("text"), lit(pattern), lit(0)))
+
+  /** q104: per-source PII audit — documents scanned, documents containing
+    * any PII, and per-family hit totals. On a clean corpus every counter
+    * is 0 — which is exactly what the audit exists to prove. */
+  def piiAuditOn(docsDf: DataFrame): DataFrame = {
+    val withHits = patterns.foldLeft(docsDf) { case (df, (name, pat, _)) =>
+      df.withColumn(s"${name}_hits", hits(name, pat))
+    }
+    val anyPii = patterns.map { case (n, _, _) => col(s"${n}_hits") > 0 }
+      .reduce(_ || _)
+    withHits
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(anyPii, 1L).otherwise(0L)).as("n_pii_docs") +:
+          patterns.map { case (n, _, _) =>
+            sum(col(s"${n}_hits").cast("long")).as(s"n_$n")
+          }: _*)
+      .orderBy("source")
+  }
+
+  def piiAudit(s: SparkSession, dir: String): DataFrame =
+    piiAuditOn(docs(s, dir))
+
+  /** Scrub library: replace every PII match with its family token, in the
+    * documented pattern order. Returns the input with `text` rewritten and
+    * an `n_scrubbed` count of replaced spans. */
+  def scrubOn(docsDf: DataFrame): DataFrame = {
+    val total = patterns.map { case (n, pat, _) => hits(n, pat) }
+      .reduce(_ + _)
+    val cleaned = patterns.foldLeft(col("text")) {
+      case (c, (_, pat, token)) => regexp_replace(c, pat, token)
+    }
+    docsDf
+      .withColumn("n_scrubbed", total)
+      .withColumn("text", cleaned)
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q104_pii_audit" -> piiAudit)
+
+  val oracle: Map[String, String] = Map(
+    "q104_pii_audit" -> {
+      // DuckDB single-quoted strings are escape-free: emit the pattern's
+      // backslashes verbatim, escape only embedded quotes.
+      val fams = patterns.map { case (n, pat, _) =>
+        val lit = pat.replace("'", "''")
+        (n, s"len(regexp_extract_all(text, '$lit'))")
+      }
+      val any = fams.map { case (_, e) => s"$e > 0" }.mkString(" OR ")
+      val sums = fams.map { case (n, e) =>
+        s"CAST(sum($e) AS BIGINT) AS n_$n" }.mkString(",\n  ")
+      s"""SELECT source, count(*) AS n_docs,
+         |  CAST(sum(CASE WHEN $any THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_pii_docs,
+         |  $sums
+         |FROM documents GROUP BY source ORDER BY source""".stripMargin
+    })
+}

@@ -1,0 +1,65 @@
+package graft
+
+import graft.ops.ScrubOps
+import org.apache.spark.sql.functions._
+
+/** PII audit + scrub (q104): per-family detection counts, replacement
+  * tokens, pattern-order interactions (emails with digits vs the phone
+  * pattern), and the clean-corpus zero contract.
+  */
+class ScrubSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def corpus(rows: (Long, String, String)*) =
+    rows.map { case (id, t, src) => (id, t, "en", src) }
+      .toDF("doc_id", "text", "lang", "source")
+
+  test("scrub replaces each PII family with its token and counts spans") {
+    val df = corpus(
+      (1L, "mail bob.smith+x@ex-co.io now", "web"),
+      (2L, "server 10.0.255.7 down, backup 192.168.1.1 up", "web"),
+      (3L, "ssn 123-45-6789 leaked", "crawl"),
+      (4L, "call +1 (415) 555-0199 today", "crawl"),
+      (5L, "clean document with no pii at all", "crawl"))
+    val got = ScrubOps.scrubOn(df).orderBy("doc_id")
+      .select("doc_id", "text", "n_scrubbed").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSeq
+    assert(got === Seq(
+      (1L, "mail <EMAIL> now", 1),
+      (2L, "server <IP> down, backup <IP> up", 2),
+      (3L, "ssn <SSN> leaked", 1),
+      (4L, "call <PHONE> today", 1),
+      (5L, "clean document with no pii at all", 0)))
+  }
+
+  test("an email's digits are not double-counted by the phone pattern " +
+      "and an SSN inside a sentence stays an SSN") {
+    val df = corpus(
+      (1L, "reach bob99@ex.co or +44 20 7946 0958 now", "web"),
+      (2L, "id 987-65-4321 phone +1 4155550199", "web"))
+    val audited = ScrubOps.piiAuditOn(df).collect()
+    assert(audited.length === 1)
+    val r = audited(0)
+    // columns: source, n_docs, n_pii_docs, n_email, n_ipv4, n_ssn, n_phone
+    assert((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+      r.getLong(5), r.getLong(6)) === ((2L, 2L, 1L, 0L, 1L, 2L)))
+    val scrubbed = ScrubOps.scrubOn(df).orderBy("doc_id")
+      .select("text").as[String].collect().toSeq
+    assert(scrubbed === Seq(
+      "reach <EMAIL> or <PHONE> now",
+      "id <SSN> phone <PHONE>"))
+  }
+
+  test("audit over a clean corpus reports zeros per source") {
+    val df = corpus(
+      (1L, "alpha beta gamma", "web"),
+      (2L, "delta epsilon", "books"))
+    val got = ScrubOps.piiAuditOn(df).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6))).toSeq
+    assert(got === Seq(
+      ("books", 1L, 0L, 0L, 0L, 0L, 0L),
+      ("web", 1L, 0L, 0L, 0L, 0L, 0L)))
+  }
+}

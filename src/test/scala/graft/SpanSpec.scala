@@ -1,0 +1,106 @@
+package graft
+
+import graft.ops.SpanOps
+
+/** Substring-level dedup (q102/q103): span detection boundaries (overlap
+  * merge, adjacency merge, self-repeats), the masked rewrite's keep/drop
+  * contract, and a brute-force reference cross-check on a randomized
+  * corpus.
+  */
+class SpanSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def corpus(rows: (Long, String)*) =
+    rows.map { case (id, t) => (id, t, "en", "web") }
+      .toDF("doc_id", "text", "lang", "source")
+
+  private def spans(df: org.apache.spark.sql.DataFrame, k: Int) =
+    SpanOps.dupSpansOn(df, k).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3)))
+
+  test("cross-doc shared passage yields one span per side") {
+    val df = corpus(1L -> "a b c d e f", 2L -> "x y a b c z")
+    assert(spans(df, 3).toSeq ===
+      Seq((1L, 0, 2, 3), (2L, 2, 4, 3)))
+  }
+
+  test("self-repeated passage is flagged; non-touching repeats stay " +
+      "separate spans") {
+    val df = corpus(3L -> "p q r s p q r")
+    // "p q r" occurs at 0 and 4: intervals [0,2] and [4,6] have a gap at 3
+    assert(spans(df, 3).toSeq === Seq((3L, 0, 2, 3), (3L, 4, 6, 3)))
+  }
+
+  test("overlapping and adjacent duplicated shingles merge into maximal " +
+      "spans") {
+    // d6: dup occurrences at pos 0 (shared with d7) and pos 3 (shared
+    // with d8) — intervals [0,2] and [3,5] touch, so one span [0,5]
+    val df = corpus(
+      6L -> "a1 a2 a3 b1 b2 b3",
+      7L -> "a1 a2 a3 c",
+      8L -> "q b1 b2 b3")
+    val got = spans(df, 3)
+    assert(got.filter(_._1 == 6L).toSeq === Seq((6L, 0, 5, 6)))
+    assert(got.filter(_._1 == 7L).toSeq === Seq((7L, 0, 2, 3)))
+    assert(got.filter(_._1 == 8L).toSeq === Seq((8L, 1, 3, 3)))
+  }
+
+  test("docs shorter than K and all-unique docs yield no spans") {
+    val df = corpus(9L -> "a b", 10L -> "u v w x y z")
+    assert(spans(df, 3).isEmpty)
+  }
+
+  test("masked rewrite keeps uncovered words in order, passes clean docs " +
+      "verbatim, and empties fully-covered docs") {
+    val df = corpus(
+      1L -> "a b c d e f",   // span [0,2] → keep "d e f"
+      2L -> "x y a b c z",   // span [2,4] → keep "x y z"
+      5L -> "u v w q r s",   // no dups → verbatim
+      11L -> "a b c",        // fully covered (= d1 prefix) → empty
+      12L -> "a b c")
+    val got = SpanOps.substrDedupOn(df, 3).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3),
+        r.getString(4))).toSeq
+    assert(got === Seq(
+      (1L, 6, 3, 3, "d e f"),
+      (2L, 6, 3, 3, "x y z"),
+      (5L, 6, 6, 0, "u v w q r s"),
+      (11L, 3, 0, 3, ""),
+      (12L, 3, 0, 3, "")))
+  }
+
+  test("randomized corpus matches a brute-force reference") {
+    val k = 4
+    val rnd = new scala.util.Random(20260813L)
+    val vocab = Vector("t0", "t1", "t2", "t3", "t4")
+    val texts = (0L until 60L).map { id =>
+      id -> Seq.fill(6 + rnd.nextInt(20))(vocab(rnd.nextInt(vocab.size)))
+        .mkString(" ")
+    }
+    val expected = bruteSpans(texts.toMap, k)
+    val got = spans(corpus(texts: _*), k).toSeq
+      .map { case (d, s, e, _) => (d, s, e) }.sorted
+    assert(got === expected)
+  }
+
+  /** Reference: count shingles, flag ≥2, merge intervals sequentially. */
+  private def bruteSpans(texts: Map[Long, String],
+      k: Int): Seq[(Long, Int, Int)] = {
+    val toks = texts.map { case (id, t) => id -> t.trim.split(" ").toSeq }
+    val occ = for {
+      (id, ws) <- toks.toSeq; p <- 0 to ws.length - k
+    } yield (id, p, ws.slice(p, p + k).mkString(" "))
+    val counts = occ.groupBy(_._3).map { case (s, os) => s -> os.size }
+    val dup = occ.filter(o => counts(o._3) >= 2)
+    dup.groupBy(_._1).toSeq.flatMap { case (id, os) =>
+      val sorted = os.map(_._2).sorted
+      val merged = sorted.foldLeft(List.empty[(Int, Int)]) {
+        case ((s, e) :: rest, p) if p <= e + 1 =>
+          (s, math.max(e, p + k - 1)) :: rest
+        case (acc, p) => (p, p + k - 1) :: acc
+      }
+      merged.reverse.map { case (s, e) => (id, s, e) }
+    }.sorted
+  }
+}
