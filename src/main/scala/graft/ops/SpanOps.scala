@@ -17,20 +17,18 @@ import org.apache.spark.sql.functions._
   *  1. shingle pass — each doc emits its K-word shingles with positions
   *     (`posexplode` over a `transform`/`slice` array expression; stays in
   *     whole-stage codegen);
-  *  2. one hash aggregation flags shingles with global occurrence ≥ 2 (no
-  *     pair expansion — a shingle occurring m times costs one counter, not
-  *     m² rows);
-  *  3. a left-semi join keys duplicated occurrences back to (doc, pos);
-  *  4. per-doc interval merge (gaps-and-islands over a doc-partitioned
+  *  2. one shingle-keyed window count flags occurrences whose shingle
+  *     appears ≥ 2 times globally (no pair expansion — a shingle occurring
+  *     m times costs m flagged rows, not m² pairs);
+  *  3. per-doc interval merge (gaps-and-islands over a doc-partitioned
   *     window — partitions are doc-sized, never corpus-sized);
-  *  5. (rewrite only) spans explode to covered positions — bounded by
-  *     corpus token count — and an anti-join keeps the surviving words.
+  *  4. (rewrite only) spans collect to a per-doc sorted array — bounded by
+  *     doc size — and a row-local slice expression rebuilds the text.
   *
-  * The shuffles are: shingle-keyed agg + semi join (both keyed on the
-  * shingle string, partial-aggregated map-side) and one doc-keyed window.
-  * Hot shingles (corpus-wide boilerplate) are absorbed by map-side combine
-  * in step 2; step 3's semi join build side is the *distinct duplicated*
-  * shingle set, not the occurrence list.
+  * The data-sized shuffles are exactly two: one on the 16-byte md5 shingle
+  * key (step 2) and one on doc_id (step 3) — every candidate formulation
+  * with more (groupBy + self-semi-join, explode-words + anti-join) measured
+  * 2–3× slower at 100× and recomputed the shingle explode to boot.
   */
 object SpanOps {
 
@@ -41,29 +39,39 @@ object SpanOps {
     * non-degenerate; production corpora would use ~50 tokens. */
   val DefaultK = 8
 
-  /** (doc_id, pos, shingle) for every K-word window; docs shorter than K
-    * emit nothing. pos is the 0-based word index of the shingle start. */
+  /** (doc_id, pos, h) for every K-word window; docs shorter than K emit
+    * nothing. pos is the 0-based word index of the shingle start; h is the
+    * 128-bit md5 of the shingle text — the key every downstream shuffle
+    * rides on. 16-byte binary keys shuffle at a third of the raw shingle
+    * strings' width, and at 128 bits a collision (which would falsely
+    * flag a span as duplicated) stays negligible past 10^12 shingles —
+    * the same key-width reasoning as the dedup family's md5 membership
+    * keys. */
   private def shingleOcc(docsDf: DataFrame, k: Int): DataFrame =
     docsDf
       .select(col("doc_id"), split(trim(col("text")), " ").as("toks"))
       .where(size(col("toks")) >= k)
       .select(col("doc_id"), posexplode(expr(
         s"transform(sequence(0, size(toks) - $k)," +
-          s" i -> array_join(slice(toks, i + 1, $k), ' '))"))
-        .as(Seq("pos", "shingle")))
+          s" i -> unhex(md5(array_join(slice(toks, i + 1, $k), ' '))))"))
+        .as(Seq("pos", "h")))
 
   /** Duplicated (doc_id, pos) shingle occurrences: the shingle starting at
     * `pos` occurs ≥ 2 times corpus-wide (same doc or another doc — an
     * internally-repeated passage is just as removable as a cross-doc one).
-    */
-  private def dupOcc(docsDf: DataFrame, k: Int): DataFrame = {
-    val sh = shingleOcc(docsDf, k)
-    val dup = sh.groupBy("shingle")
-      .agg(count(lit(1)).as("cnt"))
+    *
+    * A window count over the shingle key, not groupBy + self-semi-join:
+    * the join form shuffles the occurrence table twice AND recomputes the
+    * shingle explode for the probe side (measured 17.7 s vs 6.5 s at 100×);
+    * the window pays one shuffle + sort and reads the explode once. Hot
+    * boilerplate shingles are safe — sort-based windows spill, where a
+    * collect_list-based contraction would hold a corpus-wide shingle's
+    * occurrence list in one row. */
+  private def dupOcc(docsDf: DataFrame, k: Int): DataFrame =
+    shingleOcc(docsDf, k)
+      .withColumn("cnt", count(lit(1)).over(Window.partitionBy("h")))
       .where(col("cnt") >= 2)
-      .select("shingle")
-    sh.join(dup, Seq("shingle"), "left_semi").select("doc_id", "pos")
-  }
+      .select("doc_id", "pos")
 
   /** q102: duplicated spans per document — maximal word-index intervals
     * covered by shingles that occur ≥ 2 times in the corpus. Overlapping
@@ -107,25 +115,33 @@ object SpanOps {
   def substrDedupOn(docsDf: DataFrame, k: Int = DefaultK): DataFrame = {
     val toks = docsDf.select(col("doc_id"),
       split(trim(col("text")), " ").as("toks"))
-    val words = toks.select(col("doc_id"), size(col("toks")).as("n_tokens"),
-      posexplode(col("toks")).as(Seq("pos", "word")))
-    val covered = dupSpansOn(docsDf, k)
+    // Per-doc sorted span arrays, then a row-local array rebuild: the
+    // span list is doc-bounded, so the only data-sized shuffles are the
+    // span pipeline itself plus one doc-keyed join of two doc-count-sized
+    // sides. (The explode-words ∕ anti-join ∕ collect_list formulation
+    // shuffles every TOKEN three times — measured 3× slower at 100×.)
+    val sp = dupSpansOn(docsDf, k)
+      .groupBy("doc_id")
+      .agg(array_sort(collect_list(
+        struct(col("span_start"), col("span_end")))).as("sp"))
+    // kept = the between-span slices (spans are sorted, merged, and
+    // non-overlapping by construction, so the gaps tile the doc)
+    toks.join(sp, Seq("doc_id"), "left")
+      .withColumn("kept", expr(
+        """CASE WHEN sp IS NULL THEN toks ELSE
+          |flatten(transform(sequence(0, size(sp)), j ->
+          |  slice(toks,
+          |    IF(j = 0, 1, element_at(sp, j).span_end + 2),
+          |    greatest(0,
+          |      IF(j = size(sp), size(toks),
+          |         element_at(sp, j + 1).span_start)
+          |        - IF(j = 0, 0, element_at(sp, j).span_end + 1)))))
+          |END""".stripMargin))
       .select(col("doc_id"),
-        explode(sequence(col("span_start"), col("span_end"))).as("pos"))
-    val kept = words.join(covered, Seq("doc_id", "pos"), "left_anti")
-    val rebuilt = kept
-      .groupBy(col("doc_id"), col("n_tokens"))
-      .agg(count(lit(1)).cast("int").as("n_kept"),
-        array_join(transform(
-          array_sort(collect_list(struct(col("pos"), col("word")))),
-          x => x.getField("word")), " ").as("clean_text"))
-    toks.select(col("doc_id"), size(col("toks")).as("n_tokens"))
-      .join(rebuilt, Seq("doc_id", "n_tokens"), "left")
-      .select(col("doc_id"), col("n_tokens"),
-        coalesce(col("n_kept"), lit(0)).as("n_kept"),
-        (col("n_tokens") - coalesce(col("n_kept"), lit(0)))
-          .cast("int").as("n_removed"),
-        coalesce(col("clean_text"), lit("")).as("clean_text"))
+        size(col("toks")).as("n_tokens"),
+        size(col("kept")).as("n_kept"),
+        (size(col("toks")) - size(col("kept"))).as("n_removed"),
+        array_join(col("kept"), " ").as("clean_text"))
       .orderBy("doc_id")
   }
 
