@@ -148,9 +148,94 @@ object SpanOps {
   def substrDedup(s: SparkSession, dir: String): DataFrame =
     substrDedupOn(docs(s, dir))
 
+  // ---- content-defined chunking --------------------------------------
+
+  /** CDC window (words) and boundary divisor: a position ends a chunk when
+    * the rolling hash of the last [[CdcW]] words ≡ 0 (mod [[CdcD]]), so
+    * chunks average ~CdcD words and boundaries depend only on LOCAL
+    * content — an insertion early in a doc shifts every fixed-stride chunk
+    * (q71) but re-synchronizes CDC chunks within a window. */
+  val CdcW = 4
+  val CdcD = 16
+  private val P = 1000000007L
+  private val B = 1000003L
+  private val B2 = B * B % P
+  private val B3 = B2 * B % P
+
+  /** Boundary positions (0-based, ascending, always ending at the last
+    * token): position i ends a chunk when the rolling hash of words
+    * i−W+1..i ≡ 0 (mod D). The polynomial rides the per-word portable
+    * hashes, so both engines compute identical BIGINT arithmetic. Docs
+    * shorter than the window are one chunk (also guards Spark's
+    * descending-`sequence` behavior and ANSI `element_at` bounds). */
+  private def boundsExpr: org.apache.spark.sql.Column = expr(
+    s"""IF(size(toks) < $CdcW,
+       |  array(size(toks) - 1),
+       |  array_distinct(concat(
+       |    filter(sequence(${CdcW - 1}, size(toks) - 1), i ->
+       |      (element_at(wh, i - 2) * $B3 + element_at(wh, i - 1) * $B2
+       |        + element_at(wh, i) * $B + element_at(wh, i + 1))
+       |        % $P % $CdcD = 0),
+       |    array(size(toks) - 1))))""".stripMargin)
+
+  /** Chunk table: (doc_id, chunk_id, start_tok, n_chunk_toks, chunk_text)
+    * with content-defined boundaries. start_tok is 0-based; every doc is
+    * fully tiled (the last boundary is forced at the doc end). Per-word
+    * hashes are q34's code-point fold — DuckDB replays them via
+    * `unicode()`; everything here is a row-local array expression, the
+    * corpus never shuffles. */
+  def cdcChunksOn(docsDf: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(docsDf.sparkSession)
+    docsDf
+      .select(col("doc_id"), split(trim(col("text")), " ").as("toks"))
+      .withColumn("wh", expr(
+        s"""transform(toks, word -> aggregate(
+           |  graft_code_points(word), 0L, (a, c) -> (a * 31 + c) % $P))"""
+          .stripMargin))
+      .withColumn("bounds", boundsExpr)
+      .select(col("doc_id"), col("toks"), posexplode(expr(
+        """transform(sequence(0, size(bounds) - 1), j -> struct(
+          |  IF(j = 0, 0, element_at(bounds, j) + 1) AS start_tok,
+          |  element_at(bounds, j + 1) AS end_tok))""".stripMargin))
+        .as(Seq("chunk_id", "c")))
+      .select(col("doc_id"), col("chunk_id"),
+        col("c.start_tok").as("start_tok"),
+        (col("c.end_tok") - col("c.start_tok") + 1).as("n_chunk_toks"),
+        array_join(slice(col("toks"), col("c.start_tok") + 1,
+          col("c.end_tok") - col("c.start_tok") + 1), " ").as("chunk_text"))
+  }
+
+  /** q106: chunk-level dedup savings — what a content-addressed chunk
+    * store would deduplicate. One row: chunk counts, duplicate
+    * occurrences, and the token volume the duplicates represent. The
+    * chunk key is a 16-byte md5 of the chunk text (the oracle groups on
+    * the text itself — same cardinality, collision-negligible).
+    */
+  def chunkDedupOn(docsDf: DataFrame): DataFrame =
+    cdcChunksOn(docsDf)
+      .select(unhex(md5(col("chunk_text"))).as("ch"),
+        col("n_chunk_toks").cast("long").as("tok"))
+      .groupBy("ch")
+      .agg(count(lit(1)).as("cnt"), max(col("tok")).as("tok"))
+      .agg(
+        sum(col("cnt")).as("n_chunks"),
+        count(lit(1)).as("n_distinct_chunks"),
+        sum(col("cnt") - 1).as("n_dup_occurrences"),
+        sum(col("cnt") * col("tok")).as("chunk_tokens_total"),
+        sum((col("cnt") - 1) * col("tok")).as("tokens_saved"))
+      .select(col("n_chunks"), col("n_distinct_chunks"),
+        col("n_dup_occurrences"), col("chunk_tokens_total"),
+        col("tokens_saved"),
+        round(col("tokens_saved") * 100.0 / col("chunk_tokens_total"), 4)
+          .as("savings_pct"))
+
+  def chunkDedup(s: SparkSession, dir: String): DataFrame =
+    chunkDedupOn(docs(s, dir))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q102_dup_spans" -> dupSpans,
-    "q103_substr_dedup" -> substrDedup)
+    "q103_substr_dedup" -> substrDedup,
+    "q106_chunk_dedup" -> chunkDedup)
 
   /** Shared oracle CTE chain: tokenize → shingle with positions → flag
     * duplicated shingles → merged islands (mirrors steps 1–4 above). */
@@ -202,5 +287,42 @@ object SpanOps {
          |  CAST(len(d2.toks) AS INT) - coalesce(rb.n_kept, 0) AS n_removed,
          |  coalesce(rb.clean_text, '') AS clean_text
          |FROM d AS d2 LEFT JOIN rb ON d2.doc_id = rb.doc_id
-         |ORDER BY d2.doc_id""".stripMargin)
+         |ORDER BY d2.doc_id""".stripMargin,
+    "q106_chunk_dedup" ->
+      s"""WITH d AS (SELECT doc_id,
+         |  string_split(trim(text), ' ') AS toks FROM documents),
+         |h AS (SELECT doc_id, toks, list_transform(toks, word ->
+         |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |      list_transform(generate_series(1, length(word)),
+         |        i -> CAST(unicode(word[i]) AS BIGINT))),
+         |      (a, b) -> (a * 31 + b) % $P)) AS wh
+         |  FROM d),
+         |b AS (SELECT doc_id, toks, CASE WHEN len(toks) < $CdcW
+         |    THEN [len(toks) - 1]
+         |    -- list_distinct does NOT preserve order in DuckDB; bounds
+         |    -- are ascending by construction, so sort restores them
+         |    ELSE list_sort(list_distinct(list_concat(
+         |      list_filter(generate_series(${CdcW - 1}, len(toks) - 1),
+         |        i -> (wh[i - 2] * $B3 + wh[i - 1] * $B2
+         |          + wh[i] * $B + wh[i + 1]) % $P % $CdcD = 0),
+         |      [len(toks) - 1]))) END AS bounds
+         |  FROM h),
+         |c AS (SELECT doc_id, toks, bounds,
+         |    unnest(generate_series(1, len(bounds))) AS j FROM b),
+         |ch AS (SELECT
+         |    CASE WHEN j = 1 THEN 0 ELSE bounds[j - 1] + 1 END AS s,
+         |    bounds[j] AS e, toks FROM c),
+         |t AS (SELECT array_to_string(toks[s + 1 : e + 1], ' ')
+         |      AS chunk_text,
+         |    e - s + 1 AS tok FROM ch),
+         |g AS (SELECT chunk_text, count(*) AS cnt, max(tok) AS tok
+         |  FROM t GROUP BY 1)
+         |SELECT CAST(sum(cnt) AS BIGINT) AS n_chunks,
+         |  CAST(count(*) AS BIGINT) AS n_distinct_chunks,
+         |  CAST(sum(cnt - 1) AS BIGINT) AS n_dup_occurrences,
+         |  CAST(sum(cnt * tok) AS BIGINT) AS chunk_tokens_total,
+         |  CAST(sum((cnt - 1) * tok) AS BIGINT) AS tokens_saved,
+         |  round(CAST(sum((cnt - 1) * tok) AS BIGINT) * 100.0e0
+         |    / CAST(sum(cnt * tok) AS BIGINT), 4) AS savings_pct
+         |FROM g""".stripMargin)
 }

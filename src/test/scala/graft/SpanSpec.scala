@@ -84,6 +84,90 @@ class SpanSpec extends SparkSpec {
     assert(got === expected)
   }
 
+  // ---- content-defined chunking (q106) -------------------------------
+
+  private val P = 1000000007L
+  private val B = 1000003L
+  private val B2 = B * B % P
+  private val B3 = B2 * B % P
+
+  private def refBounds(toks: IndexedSeq[String]): Seq[Int] = {
+    val wh = toks.map(_.foldLeft(0L)((a, c) => (a * 31 + c.toLong) % P))
+    if (toks.length < SpanOps.CdcW) Seq(toks.length - 1)
+    else ((SpanOps.CdcW - 1 until toks.length).filter { i =>
+      (wh(i - 3) * B3 + wh(i - 2) * B2 + wh(i - 1) * B + wh(i)) % P %
+        SpanOps.CdcD == 0
+    } :+ (toks.length - 1)).distinct
+  }
+
+  private def refChunks(text: String): Seq[String] = {
+    val toks = text.trim.split(" ").toIndexedSeq
+    val bs = refBounds(toks)
+    bs.zip(-1 +: bs.init).map { case (e, prev) =>
+      toks.slice(prev + 1, e + 1).mkString(" ")
+    }
+  }
+
+  private def randomTexts(seed: Long, n: Int): Seq[(Long, String)] = {
+    val rnd = new scala.util.Random(seed)
+    val vocab = Vector("t0", "t1", "t2", "t3", "t4", "tab", "scan")
+    (0L until n.toLong).map { id =>
+      id -> Seq.fill(1 + rnd.nextInt(60))(vocab(rnd.nextInt(vocab.size)))
+        .mkString(" ")
+    }
+  }
+
+  test("cdc chunks tile every doc exactly: concatenation rebuilds the " +
+      "text and token counts add up") {
+    val texts = randomTexts(7L, 50)
+    val got = SpanOps.cdcChunksOn(corpus(texts: _*))
+      .orderBy("doc_id", "chunk_id").collect()
+      .map(r => (r.getLong(0), r.getInt(3), r.getString(4)))
+      .groupBy(_._1)
+    for ((id, t) <- texts) {
+      val chunks = got(id).toSeq
+      assert(chunks.map(_._3).mkString(" ") === t.trim, s"doc $id")
+      assert(chunks.map(_._2).sum === t.trim.split(" ").length, s"doc $id")
+      assert(chunks.map(_._3) === refChunks(t), s"doc $id vs reference")
+    }
+  }
+
+  test("chunk dedup stats match a brute-force reference") {
+    val texts = randomTexts(11L, 80) ++
+      Seq(900L -> "t0 t1 t2 t3 t0 t1 t2 t3", 901L -> "t0 t1 t2 t3 t0 t1 t2 t3")
+    val all = texts.flatMap { case (_, t) => refChunks(t) }
+    val groups = all.groupBy(identity).toSeq.map { case (c, os) =>
+      (os.size.toLong, c.split(" ").length.toLong)
+    }
+    val (nChunks, nDistinct) = (all.size.toLong, groups.size.toLong)
+    val total = groups.map { case (cnt, tok) => cnt * tok }.sum
+    val saved = groups.map { case (cnt, tok) => (cnt - 1) * tok }.sum
+    val r = SpanOps.chunkDedupOn(corpus(texts: _*)).collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4)) === ((nChunks, nDistinct, nChunks - nDistinct,
+      total, saved)))
+    assert(math.abs(r.getDouble(5) - saved * 100.0 / total) < 1e-4)
+  }
+
+  test("cdc boundaries re-synchronize after an insertion (the property " +
+      "fixed-stride chunking lacks)") {
+    val tail = randomTexts(13L, 1).head._2 + " " +
+      randomTexts(17L, 1).head._2  // ~60+ shared trailing words
+    val a = "prefix0 " + tail
+    val b = "prefix0 prefix1 prefix2 " + tail  // shifted by two words
+    val chunksA = refChunks(a).toSet
+    val chunksB = refChunks(b).toSet
+    val shared = chunksA intersect chunksB
+    assert(shared.nonEmpty,
+      "content-defined boundaries must re-align on the shared tail")
+    // and the engine agrees with the reference on both docs
+    val got = SpanOps.cdcChunksOn(corpus(50L -> a, 51L -> b))
+      .orderBy("doc_id", "chunk_id").collect()
+      .map(r => (r.getLong(0), r.getString(4))).groupBy(_._1)
+    assert(got(50L).map(_._2).toSeq === refChunks(a))
+    assert(got(51L).map(_._2).toSeq === refChunks(b))
+  }
+
   /** Reference: count shingles, flag ≥2, merge intervals sequentially. */
   private def bruteSpans(texts: Map[Long, String],
       k: Int): Seq[(Long, Int, Int)] = {
