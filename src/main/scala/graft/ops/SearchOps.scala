@@ -230,7 +230,53 @@ object SearchOps {
       .limit(topK)
   }
 
+  // ---- q108: bigram-LM perplexity scoring ----------------------------------
+
+  /** q108: per-document LM perplexity under the corpus's own bigram model
+    * (q83's table, unsmoothed — every doc bigram is in the model by
+    * construction) — the CCNet-style "LM quality filter" signal: low
+    * perplexity = the doc looks like the corpus, high = outlier.
+    *
+    * Determinism: P(to|from) is one exact-integer division; per-doc ln
+    * sums go through the decimal accumulator ([[graft.Tables.davg]]) so
+    * they're order-independent, and `ppl` exponentiates the already-
+    * rounded average so both engines exp identical inputs.
+    *
+    * Scale: the bigram join is keyed on (from, to) — data-sized but
+    * linear, map-side combined on the count side; the denominator window
+    * is vocabulary-bounded; the per-doc agg is doc-keyed. Docs with < 2
+    * tokens have no bigrams and are dropped (no model to score them).
+    */
+  def lmPerplexity(s: SparkSession, dir: String): DataFrame =
+    lmPerplexityOn(docs(s, dir))
+
+  /** `docsDf` needs (doc_id, text). */
+  def lmPerplexityOn(docsDf: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val n = size(col("toks"))
+    val bg = docsDf.withColumn("toks", toks)
+      .filter(n >= 2)
+      .select(col("doc_id"), explode(zip_with(
+        slice(col("toks"), lit(1), n - 1),
+        slice(col("toks"), lit(2), n - 1),
+        (a, b) => struct(a.as("from_tok"), b.as("to_tok")))).as("p"))
+      .select(col("doc_id"), col("p.from_tok").as("from_tok"),
+        col("p.to_tok").as("to_tok"))
+    val probs = bg.groupBy("from_tok", "to_tok")
+      .agg(count(lit(1)).as("n_pairs"))
+      .withColumn("from_total",
+        sum("n_pairs").over(Window.partitionBy("from_tok")))
+    bg.join(probs, Seq("from_tok", "to_tok"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        graft.Tables.davg(log(col("n_pairs") / col("from_total")), 6)
+          .as("avg_logp"))
+      .withColumn("ppl", round(exp(-col("avg_logp")), 4))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q108_lm_perplexity" -> lmPerplexity,
     "q79_inverted_index" -> invertedIndex,
     "q80_token_cooccurrence" -> tokenCooccurrence,
     "q81_bm25_search" -> bm25Search,
@@ -295,5 +341,24 @@ object SearchOps {
         |  n_pairs / CAST(sum(n_pairs) OVER (PARTITION BY from_tok)
         |    AS BIGINT) AS p_next
         |FROM counts
-        |ORDER BY n_pairs DESC, from_tok, to_tok LIMIT 100""".stripMargin)
+        |ORDER BY n_pairs DESC, from_tok, to_tok LIMIT 100""".stripMargin,
+    "q108_lm_perplexity" ->
+      s"""WITH d AS (SELECT doc_id,
+         |    string_split(trim(text), ' ') AS toks FROM documents),
+         |bg AS (SELECT doc_id, p[1] AS from_tok, p[2] AS to_tok
+         |  FROM (SELECT doc_id, unnest(list_zip(toks[1:len(toks)-1],
+         |      toks[2:len(toks)])) AS p FROM d WHERE len(toks) >= 2)),
+         |c AS (SELECT from_tok, to_tok, count(*) AS n_pairs
+         |  FROM bg GROUP BY 1, 2),
+         |ct AS (SELECT *, CAST(sum(n_pairs) OVER (PARTITION BY from_tok)
+         |    AS BIGINT) AS from_total FROM c),
+         |j AS (SELECT doc_id,
+         |    ln(CAST(n_pairs AS DOUBLE) / from_total) AS lp
+         |  FROM bg JOIN ct USING (from_tok, to_tok)),
+         |a AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+         |    ${graft.Tables.sqlDavg("lp", 6)} AS avg_logp
+         |  FROM j GROUP BY doc_id)
+         |SELECT doc_id, n_bigrams, avg_logp,
+         |  round(exp(-avg_logp), 4) AS ppl
+         |FROM a ORDER BY doc_id""".stripMargin)
 }

@@ -81,8 +81,12 @@ object SpanOps {
     * Output: (doc_id, span_start, span_end, span_len), word indices,
     * inclusive, 0-based.
     */
-  def dupSpansOn(docsDf: DataFrame, k: Int = DefaultK): DataFrame = {
-    val occ = dupOcc(docsDf, k)
+  def dupSpansOn(docsDf: DataFrame, k: Int = DefaultK): DataFrame =
+    mergeIslands(dupOcc(docsDf, k), k)
+
+  /** Gaps-and-islands merge of flagged (doc_id, pos) shingle starts into
+    * maximal spans — shared by the whole-corpus and against-store paths. */
+  private def mergeIslands(occ: DataFrame, k: Int): DataFrame = {
     val byPos = Window.partitionBy("doc_id").orderBy("pos")
     val before = byPos.rowsBetween(Window.unboundedPreceding, -1)
     occ
@@ -99,6 +103,54 @@ object SpanOps {
         col("span_end").cast("int").as("span_end"),
         (col("span_end") - col("span_start") + 1).cast("int").as("span_len"))
       .orderBy("doc_id", "span_start")
+  }
+
+  // ---- incremental: spans against an indexed corpus ------------------
+
+  /** Spans of `incoming` docs that duplicate the REFERENCE corpus — the
+    * incremental/decontamination face of q102: within-batch repeats are
+    * deliberately NOT flagged (they're the new crawl's own content; q102
+    * on the batch finds those). The reference side contracts to its
+    * distinct shingle keys first — in production that contraction is the
+    * persisted shingle store ([[writeShingleStore]]), and the raw indexed
+    * corpus is never re-read ([[dupSpansAgainstStore]]). */
+  def dupSpansAgainstOn(incoming: DataFrame, reference: DataFrame,
+      k: Int = DefaultK): DataFrame =
+    spansAgainstKeys(incoming,
+      shingleOcc(reference, k).select("h").distinct(), k)
+
+  private def spansAgainstKeys(incoming: DataFrame, refKeys: DataFrame,
+      k: Int): DataFrame =
+    mergeIslands(
+      shingleOcc(incoming, k)
+        .join(refKeys, Seq("h"), "left_semi")
+        .select("doc_id", "pos"), k)
+
+  /** Materialize a corpus's distinct K-shingle key table (16-byte md5),
+    * hash-laid-out for balanced probes — the span-level sibling of
+    * `CurationOps.writeFingerprintStore`. Tiny relative to the corpus
+    * (32 B per distinct shingle, no text payload). */
+  def writeShingleStore(docsDf: DataFrame, path: String,
+      k: Int = DefaultK): Unit =
+    shingleOcc(docsDf, k).select("h").distinct()
+      .withColumn("fp", xxhash64(col("h")))
+      .repartition(col("fp"))
+      .write.mode("overwrite").parquet(path)
+
+  /** [[dupSpansAgainstOn]] probing the persisted store instead of
+    * re-scanning the indexed corpus. */
+  def dupSpansAgainstStore(incoming: DataFrame, storePath: String,
+      k: Int = DefaultK): DataFrame =
+    spansAgainstKeys(incoming,
+      incoming.sparkSession.read.parquet(storePath).select("h"), k)
+
+  /** q107: the q62-convention deterministic split — 80 % of the corpus is
+    * the already-indexed store, 20 % is the incoming crawl; emit the
+    * incoming docs' spans that duplicate the indexed side. */
+  def deltaSpans(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val existing = (col("doc_id") * 48271L + 23L) % 100L < 80L
+    dupSpansAgainstOn(d.filter(!existing), d.filter(existing))
   }
 
   def dupSpans(s: SparkSession, dir: String): DataFrame =
@@ -235,10 +287,24 @@ object SpanOps {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q102_dup_spans" -> dupSpans,
     "q103_substr_dedup" -> substrDedup,
-    "q106_chunk_dedup" -> chunkDedup)
+    "q106_chunk_dedup" -> chunkDedup,
+    "q107_delta_spans" -> deltaSpans)
+
+  /** Island-merge SQL (expects a CTE `occ(doc_id, pos)` upstream). */
+  private val islandCtes: String =
+    s"""isl AS (SELECT doc_id, pos,
+       |  CASE WHEN pos > coalesce(max(pos + ${DefaultK - 1}) OVER (
+       |      PARTITION BY doc_id ORDER BY pos
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -2) + 1
+       |    THEN 1 ELSE 0 END AS ni FROM occ),
+       |g AS (SELECT doc_id, pos,
+       |  sum(ni) OVER (PARTITION BY doc_id ORDER BY pos) AS grp FROM isl),
+       |spans AS (SELECT doc_id, CAST(min(pos) AS INT) AS span_start,
+       |    CAST(max(pos) + ${DefaultK - 1} AS INT) AS span_end
+       |  FROM g GROUP BY doc_id, grp)""".stripMargin
 
   /** Shared oracle CTE chain: tokenize → shingle with positions → flag
-    * duplicated shingles → merged islands (mirrors steps 1–4 above). */
+    * duplicated shingles → merged islands (mirrors steps 1–3 above). */
   private val spanCtes: String =
     s"""WITH d AS (SELECT doc_id,
        |  string_split(trim(text), ' ') AS toks FROM documents),
@@ -250,16 +316,7 @@ object SpanOps {
        |dup AS (SELECT shingle FROM sh GROUP BY 1 HAVING count(*) >= 2),
        |occ AS (SELECT doc_id, pos FROM sh
        |  WHERE shingle IN (SELECT shingle FROM dup)),
-       |isl AS (SELECT doc_id, pos,
-       |  CASE WHEN pos > coalesce(max(pos + ${DefaultK - 1}) OVER (
-       |      PARTITION BY doc_id ORDER BY pos
-       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -2) + 1
-       |    THEN 1 ELSE 0 END AS ni FROM occ),
-       |g AS (SELECT doc_id, pos,
-       |  sum(ni) OVER (PARTITION BY doc_id ORDER BY pos) AS grp FROM isl),
-       |spans AS (SELECT doc_id, CAST(min(pos) AS INT) AS span_start,
-       |    CAST(max(pos) + ${DefaultK - 1} AS INT) AS span_end
-       |  FROM g GROUP BY doc_id, grp)""".stripMargin
+       |$islandCtes""".stripMargin
 
   val oracle: Map[String, String] = Map(
     "q102_dup_spans" ->
@@ -324,5 +381,22 @@ object SpanOps {
          |  CAST(sum((cnt - 1) * tok) AS BIGINT) AS tokens_saved,
          |  round(CAST(sum((cnt - 1) * tok) AS BIGINT) * 100.0e0
          |    / CAST(sum(cnt * tok) AS BIGINT), 4) AS savings_pct
-         |FROM g""".stripMargin)
+         |FROM g""".stripMargin,
+    "q107_delta_spans" ->
+      s"""WITH d AS (SELECT doc_id,
+         |    string_split(trim(text), ' ') AS toks,
+         |    (doc_id * 48271 + 23) % 100 < 80 AS existing
+         |  FROM documents),
+         |sh AS (SELECT doc_id, existing, CAST(i AS INT) AS pos,
+         |    array_to_string(toks[i+1 : i+$DefaultK], ' ') AS shingle
+         |  FROM (SELECT doc_id, existing, toks,
+         |      unnest(range(0, len(toks) - $DefaultK + 1)) AS i
+         |    FROM d WHERE len(toks) >= $DefaultK)),
+         |ref AS (SELECT DISTINCT shingle FROM sh WHERE existing),
+         |occ AS (SELECT doc_id, pos FROM sh WHERE NOT existing
+         |  AND shingle IN (SELECT shingle FROM ref)),
+         |$islandCtes
+         |SELECT doc_id, span_start, span_end,
+         |  span_end - span_start + 1 AS span_len
+         |FROM spans ORDER BY doc_id, span_start""".stripMargin)
 }

@@ -11,6 +11,31 @@ class SearchSpec extends SparkSpec {
 
   import spark.implicits._
 
+  test("lm perplexity: hand-computed bigram probabilities, short docs " +
+      "dropped") {
+    val docs = Seq(
+      (1L, "a b"),
+      (2L, "a b"),
+      (3L, "a c"),
+      (4L, "solo")).toDF("doc_id", "text")
+    // counts: (a,b)=2, (a,c)=1; P(b|a)=2/3, P(c|a)=1/3
+    val out = SearchOps.lmPerplexityOn(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3))).toSeq
+    val lp23 = BigDecimal(math.log(2.0 / 3))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val lp13 = BigDecimal(math.log(1.0 / 3))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out.map(_._1) === Seq(1L, 2L, 3L), "doc 4 has no bigram")
+    assert(out(0) === ((1L, 1L, lp23,
+      BigDecimal(math.exp(-lp23)).setScale(4,
+        BigDecimal.RoundingMode.HALF_UP).toDouble)))
+    assert(out(1)._3 === out(0)._3, "identical docs score identically")
+    assert(out(2)._3 === lp13)
+    assert(out(2)._4 > out(0)._4,
+      "the rarer continuation must score higher perplexity")
+  }
+
   test("inverted index: df counts docs, cf counts occurrences") {
     val docs = Seq(
       (1L, "a b a"), // a twice here

@@ -84,6 +84,34 @@ class SpanSpec extends SparkSpec {
     assert(got === expected)
   }
 
+  test("against-store spans flag only cross-corpus duplication: " +
+      "within-batch repeats stay invisible") {
+    val reference = corpus(
+      1L -> "r1 r2 r3 r4",
+      2L -> "x y z")
+    val incoming = corpus(
+      10L -> "a b r1 r2 r3 q",      // shares "r1 r2 r3" with ref doc 1
+      11L -> "m n o p m n o p",     // internal repeat only — NOT flagged
+      12L -> "m n o p m n o p")     // cross-INCOMING dup only — NOT flagged
+    val got = SpanOps.dupSpansAgainstOn(incoming, reference, 3).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSeq
+    assert(got === Seq((10L, 2, 4)))
+  }
+
+  test("the persisted shingle store answers identically to the raw " +
+      "reference corpus") {
+    val reference = corpus((0L until 30L).flatMap(i =>
+      Seq(i -> s"w${i} w${i + 1} w${i + 2} w${i + 3} tail")): _*)
+    val incoming = corpus(100L -> "w5 w6 w7 w8 fresh stuff",
+      101L -> "nothing shared here at all")
+    val store = tmpDir("shingle-store")
+    SpanOps.writeShingleStore(reference, store, 3)
+    val direct = SpanOps.dupSpansAgainstOn(incoming, reference, 3).collect()
+    val viaStore = SpanOps.dupSpansAgainstStore(incoming, store, 3).collect()
+    assert(direct.toSeq === viaStore.toSeq)
+    assert(direct.nonEmpty)
+  }
+
   // ---- content-defined chunking (q106) -------------------------------
 
   private val P = 1000000007L
