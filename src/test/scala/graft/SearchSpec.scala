@@ -36,6 +36,14 @@ class SearchSpec extends SparkSpec {
       "the rarer continuation must score higher perplexity")
   }
 
+  test("lm perplexity plan: count agg, vocab window, bigram join, doc " +
+      "agg, sort — and nothing more") {
+    val docs = Seq((1L, "a b c"), (2L, "a b d")).toDF("doc_id", "text")
+    val n = "Exchange".r.findAllIn(SearchOps.lmPerplexityOn(docs)
+      .queryExecution.executedPlan.toString).length
+    assert(n <= 5, s"expected at most 5 exchanges, got $n")
+  }
+
   test("inverted index: df counts docs, cf counts occurrences") {
     val docs = Seq(
       (1L, "a b a"), // a twice here

@@ -112,6 +112,19 @@ class SpanSpec extends SparkSpec {
     assert(direct.nonEmpty)
   }
 
+  private def exchanges(df: org.apache.spark.sql.DataFrame): Int =
+    "Exchange".r.findAllIn(df.queryExecution.executedPlan.toString).length
+
+  test("plan shapes hold the documented shuffle budget") {
+    val df = corpus(randomTexts(3L, 20): _*)
+    // q102: shingle-key window + doc-key window + output sort — nothing else
+    assert(exchanges(SpanOps.dupSpansOn(df)) <= 3)
+    // q106: chunking is row-local; chunk-key agg + single-row final agg
+    assert(exchanges(SpanOps.chunkDedupOn(df)) <= 2)
+    // q103: q102's two + the one doc-keyed join (each side once) + sort
+    assert(exchanges(SpanOps.substrDedupOn(df)) <= 6)
+  }
+
   // ---- content-defined chunking (q106) -------------------------------
 
   private val P = 1000000007L
