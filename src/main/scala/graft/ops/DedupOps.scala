@@ -413,19 +413,29 @@ object DedupOps {
     minhashLshPairsList(docsDf, reliable)
   }
 
-  private def minhashLshPairsList(docsDf: DataFrame,
-      reliable: Boolean): DataFrame = {
-    val sigs = truncateLineage(signatures(docsDf), reliable)
+  /** First-match-band LSH candidate pairs (a_id < b_id) from a
+    * [[signatures]] frame — each pair emitted from its FIRST matching band
+    * only (the earlier-band inequality rides in the join condition, so no
+    * distinct() shuffle over the candidate stream). Shared by the MinHash
+    * listing (Jaccard confirm) and q112's screen arm (Levenshtein confirm).
+    */
+  private def lshCandidates(sigs: DataFrame): DataFrame = {
     val banded = sigs.select(col("doc_id"), col("bh"),
       posexplode(col("bh")).as(Seq("band", "band_key")))
     val firstMatch = expr(
       "!exists(zip_with(slice(x.bh, 1, x.band), slice(y.bh, 1, x.band)," +
         " (p, q) -> p = q), m -> m)")
-    val cands = banded.as("x").join(banded.as("y"),
+    banded.as("x").join(banded.as("y"),
         col("x.band") === col("y.band") &&
           col("x.band_key") === col("y.band_key") &&
           col("x.doc_id") < col("y.doc_id") && firstMatch)
       .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
+  }
+
+  private def minhashLshPairsList(docsDf: DataFrame,
+      reliable: Boolean): DataFrame = {
+    val sigs = truncateLineage(signatures(docsDf), reliable)
+    val cands = lshCandidates(sigs)
     val sa = sigs.select(col("doc_id").as("a_id"), col("shs").as("a_sh"),
       size(col("shs")).as("a_n"))
     val sb = sigs.select(col("doc_id").as("b_id"), col("shs").as("b_sh"),
@@ -442,6 +452,68 @@ object DedupOps {
   /** Catalog binding: `fullPairs = true` — see [[jaccardPairs]]. */
   def minhashLshPairs(s: SparkSession, dir: String): DataFrame =
     minhashLshPairsOn(docs(s, dir), fullPairs = true)
+
+  // ---- Edit-distance near-dup (q112) --------------------------------------
+
+  /** q112: edit-distance-confirmed near-dup pairs — `levenshtein ≤ maxDist`
+    * over length-banded candidate blocks. Unlike the MinHash/SimHash
+    * screens, the banding here is LOSSLESS, not probabilistic:
+    * dist(a, b) ≥ |len(a) − len(b)|, so with band width ≥ maxDist any
+    * qualifying pair sits at most one band apart. The probe side replicates
+    * into its three adjacent bands (ONE equi-join key — the band offset
+    * a−b ∈ {−1, 0, +1} picks exactly one matching copy, so each unordered
+    * pair survives exactly once with no distinct() over candidates), and
+    * every candidate is confirmed by the threshold-capped
+    * `levenshtein(a, b, maxDist)` — O(maxDist·min(m,n)) per pair with a
+    * banded DP, −1 past the cap, never the full O(m·n) table.
+    *
+    * Scale: the equi-join shuffles on the band id; the candidate term is
+    * quadratic WITHIN a band (a length histogram decides the block sizes —
+    * same hazard class as q41's signature blocks). On corpora where length
+    * bands grow unbounded, `screen = true` routes candidates through the
+    * MinHash-LSH banding instead ([[lshCandidates]] — recall-bounded like
+    * q38, shuffle on band keys, no quadratic term past the gate) and
+    * applies the same capped-Levenshtein confirm; DedupSpec pins the two
+    * arms equal on the harness corpora. The exact banded arm remains the
+    * catalog binding (oracle-checked listing).
+    */
+  def editPairsOn(docsDf: DataFrame, maxDist: Int = 10, band: Int = 16,
+      screen: Boolean = false): DataFrame = {
+    require(maxDist >= 0, s"maxDist must be >= 0, got $maxDist")
+    require(band >= math.max(maxDist, 1),
+      s"band width $band < maxDist $maxDist would split qualifying pairs " +
+        "more than one band apart (dist >= |len diff| makes band >= " +
+        "maxDist lossless)")
+    val confirmed =
+      if (screen) {
+        val cands = lshCandidates(signatures(docsDf))
+        val ta = docsDf.select(col("doc_id").as("a_id"),
+          col("text").as("ta"), col("n_chars").as("ca"))
+        val tb = docsDf.select(col("doc_id").as("b_id"),
+          col("text").as("tb"), col("n_chars").as("cb"))
+        cands.join(ta, "a_id").join(tb, "b_id")
+      } else {
+        val d = docsDf.select(col("doc_id"), col("text"), col("n_chars"),
+          expr(s"n_chars div $band").as("bkey"))
+        val left = d.select(col("doc_id").as("a_id"), col("text").as("ta"),
+          col("n_chars").as("ca"), col("bkey").as("key"))
+        val probe = d.select(col("doc_id").as("b_id"), col("text").as("tb"),
+          col("n_chars").as("cb"),
+          explode(array(col("bkey") - 1, col("bkey"), col("bkey") + 1))
+            .as("key"))
+        left.join(probe, "key").filter(col("a_id") < col("b_id"))
+      }
+    confirmed
+      .filter(abs(col("ca") - col("cb")) <= maxDist)
+      .withColumn("dist", levenshtein(col("ta"), col("tb"), maxDist))
+      .filter(col("dist") >= 0)
+      .select(col("a_id"), col("b_id"), col("dist").cast("long").as("dist"))
+      .orderBy("a_id", "b_id")
+  }
+
+  /** Catalog binding: the exact banded arm at (maxDist 10, band 16). */
+  def editPairs(s: SparkSession, dir: String): DataFrame =
+    editPairsOn(docs(s, dir))
 
   // ---- SimHash (Hamming-space scale path) ---------------------------------
 
@@ -911,7 +983,8 @@ object DedupOps {
     "q90_bloom_decontamination" -> bloomLeakProfile,
     "q93_dup_multiplicity" -> dupMultiplicity,
     "q101_dedup_decision" ->
-      ((s: SparkSession, dir: String) => dedupDecision(docs(s, dir))))
+      ((s: SparkSession, dir: String) => dedupDecision(docs(s, dir))),
+    "q112_edit_pairs" -> editPairs)
 
   /** Shared SQL fragment: the portable token fingerprint (rolling hash over
     * Unicode code points mod 1e9+7 — DuckDB `unicode()` ≡ graft_code_points).
@@ -936,6 +1009,15 @@ object DedupOps {
   }
 
   val oracle: Map[String, String] = Map(
+    // The length-band prefilter is semantically redundant (dist >= |len
+    // diff|) but keeps the oracle's DP calls off the hopeless pairs.
+    "q112_edit_pairs" ->
+      """SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |  CAST(levenshtein(a.text, b.text) AS BIGINT) AS dist
+        |FROM documents a JOIN documents b
+        |  ON a.doc_id < b.doc_id AND abs(a.n_chars - b.n_chars) <= 10
+        |WHERE levenshtein(a.text, b.text) <= 10
+        |ORDER BY a_id, b_id""".stripMargin,
     // Replays the ENTIRE minhash pipeline in SQL: token fingerprints →
     // 3-gram shingle hashes → 64 affine mod-p minima → 16 band keys →
     // band-collision candidate pairs → exact-Jaccard verification. Every

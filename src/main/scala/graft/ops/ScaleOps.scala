@@ -192,6 +192,39 @@ object ScaleOps {
       .filter(col("rank") <= k)
   }
 
+  /** Exact global `row_number() OVER (ORDER BY sort…)` without the
+    * single-task global sort a bare `Window.orderBy` runs (Spark warns for
+    * a reason: one task sorts the whole table). The q85 distributed-ranking
+    * decomposition, generalized to any sort key:
+    *
+    *   1. `repartitionByRange(sort…)` — partition p holds keys strictly
+    *      below partition p+1, so ranks are contiguous per partition;
+    *   2. `row_number` within each range partition — parallel local sorts;
+    *   3. global rank = local rank + offset(pid), the offset ladder being a
+    *      running sum over the ≤|partitions| per-pid counts (the only
+    *      single-task step touches one row per shuffle partition).
+    *
+    * `sort` must be a deterministic total order (tie-break on a unique
+    * column) for a stable result. Appends the 1-based rank as `out`.
+    */
+  def withGlobalRowNumber(df: DataFrame, sort: Seq[Column],
+      out: String = "rank"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ranged = df.repartitionByRange(sort: _*)
+      .withColumn("_pid", spark_partition_id())
+    val offs = ranged.groupBy("_pid").agg(count(lit(1)).as("_cnt"))
+      .withColumn("_off",
+        coalesce(sum("_cnt").over(Window.orderBy("_pid")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("_pid", "_off")
+    ranged
+      .withColumn("_rn", row_number().over(
+        Window.partitionBy("_pid").orderBy(sort: _*)))
+      .join(broadcast(offs), "_pid")
+      .withColumn(out, col("_off") + col("_rn"))
+      .drop("_pid", "_rn", "_off")
+  }
+
   /** Small-file compaction: rewrite a parquet directory into
     * ~`targetBytes`-sized files. Streaming sinks and fine-grained
     * partition writers accrete thousands of small files per directory;

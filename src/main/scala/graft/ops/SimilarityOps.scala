@@ -700,6 +700,43 @@ object SimilarityOps {
       .orderBy("label", "assigned_label")
   }
 
+  // ---------------------------------------------------------------- q110
+
+  /** q110: embedding-store integrity audit — per label: vector count, the
+    * dimension range (ragged arrays are the classic silent killer of a
+    * downstream matmul: one short vector poisons a whole batch), the L2
+    * norm range/mean, and the count of degenerate (near-zero-norm) vectors
+    * that would NaN out a cosine. Run before any ANN/dedup pass over a
+    * freshly ingested embedding table; at 100 TB this is one linear scan
+    * with an ≤|labels|-row aggregate and the same per-row native VecDot
+    * kernel the ANN queries use — no shuffle wider than the label rollup.
+    *
+    * Determinism: the per-row norm is the index-ordered [[dot]] fold
+    * (bit-identical to the unrolled oracle SQL), rounded to 6 dp; the mean
+    * runs through an exact decimal sum of those rounded norms.
+    */
+  def embeddingAudit(s: SparkSession, dir: String): DataFrame =
+    embeddingAuditOn(emb(s, dir))
+
+  /** `embDf` needs (label, embedding). */
+  def embeddingAuditOn(embDf: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(embDf.sparkSession)
+    val Dec = org.apache.spark.sql.types.DecimalType(38, 10)
+    embDf
+      .select(col("label"),
+        round(norm(col("embedding")), 6).as("nrm"),
+        size(col("embedding")).cast("long").as("dim"))
+      .groupBy("label")
+      .agg(
+        count(lit(1)).as("n"),
+        min("dim").as("min_dim"), max("dim").as("max_dim"),
+        min("nrm").as("min_norm"), max("nrm").as("max_norm"),
+        round(sum(col("nrm").cast(Dec)).cast("double") / count(lit(1)), 6)
+          .as("avg_norm"),
+        sum(when(col("nrm") < 1e-6, 1L).otherwise(0L)).as("n_degenerate"))
+      .orderBy("label")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q40_ann_topk" -> annTopK,
     "q41_cosine_top_pairs" -> cosineTopPairs,
@@ -709,7 +746,8 @@ object SimilarityOps {
     "q45_ann_ivf" -> annIvf,
     "q64_semantic_dedup" -> semanticDedup,
     "q89_crossmodal_curation" -> crossmodalCuration,
-    "q95_cluster_purity" -> clusterPurity)
+    "q95_cluster_purity" -> clusterPurity,
+    "q110_embedding_audit" -> embeddingAudit)
 
   /** The hyperplane constants as full-precision SQL literals (Java's
     * Double.toString round-trips, and DuckDB parses to the same IEEE
@@ -724,6 +762,19 @@ object SimilarityOps {
     }.reduce((acc, bit) => s"($acc * 2 + $bit)")
 
   val oracle: Map[String, String] = Map(
+    "q110_embedding_audit" ->
+      s"""WITH d AS (SELECT label,
+         |    round(${sqlNorm("embedding")}, 6) AS nrm,
+         |    len(embedding) AS dim FROM embeddings)
+         |SELECT label, count(*) AS n,
+         |  CAST(min(dim) AS BIGINT) AS min_dim,
+         |  CAST(max(dim) AS BIGINT) AS max_dim,
+         |  min(nrm) AS min_norm, max(nrm) AS max_norm,
+         |  round(CAST(sum(CAST(nrm AS DECIMAL(38,10))) AS DOUBLE)
+         |    / count(*), 6) AS avg_norm,
+         |  CAST(sum(CASE WHEN nrm < 1e-6 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_degenerate
+         |FROM d GROUP BY label ORDER BY label""".stripMargin,
     // Cross-modal curation: the q33 quality-score expression (inlined, raw
     // components) joined to the unrolled index-order embedding norm.
     "q89_crossmodal_curation" ->

@@ -551,6 +551,99 @@ object TextOps {
       .orderBy("source", "rank")
   }
 
+  // ---------------------------------------------------------------- q109
+
+  /** q109: Zipf rank-frequency fit — the corpus-health regression a
+    * training-mix report carries: token frequencies follow freq ∝ rank^s
+    * with s ≈ −1 for natural text, and the fitted log-log slope flags
+    * template-heavy or truncated-vocabulary corpora at a glance.
+    *
+    * Plan shape: one explode+agg builds the vocabulary (token, freq); the
+    * global frequency rank comes from [[ScaleOps.withGlobalRowNumber]]
+    * (range-repartition + parallel local ranks + an offset ladder — a bare
+    * `Window.orderBy` would sort the ~10M-word vocabulary of a real corpus
+    * in ONE task); the OLS slope/intercept then folds the (x, y) rows into
+    * five order-independent sums, so the fit itself is a 1-row aggregate.
+    *
+    * Determinism: log(rank)/log(freq) round to 9 dp before summing (libm
+    * may differ across engines in the last ulp; 9-dp rounding erases it),
+    * the sums run through DECIMAL(38,12) (order-independent), and the
+    * closed-form OLS arithmetic is double over those identical decimals,
+    * rounded to 6 dp.
+    */
+  def zipfFit(s: SparkSession, dir: String): DataFrame =
+    zipfFitOn(docs(s, dir))
+
+  /** `docsDf` needs (text). */
+  def zipfFitOn(docsDf: DataFrame): DataFrame = {
+    val Dec = org.apache.spark.sql.types.DecimalType(38, 12)
+    val freqs = docsDf
+      .select(explode(tokens).as("token"))
+      .filter(length(col("token")) > 0)
+      .groupBy("token").agg(count(lit(1)).as("freq"))
+    val ranked = ScaleOps.withGlobalRowNumber(
+      freqs, Seq(col("freq").desc, col("token").asc), out = "rank")
+    val slope =
+      (col("vocab_size") * col("sxy") - col("sx") * col("sy")) /
+        (col("vocab_size") * col("sxx") - col("sx") * col("sx"))
+    ranked
+      .select(col("freq"),
+        round(log(col("rank").cast("double")), 9).as("x"),
+        round(log(col("freq").cast("double")), 9).as("y"))
+      .agg(
+        count(lit(1)).as("vocab_size"),
+        sum("freq").as("total_tokens"),
+        sum(col("x").cast(Dec)).cast("double").as("sx"),
+        sum(col("y").cast(Dec)).cast("double").as("sy"),
+        sum((col("x") * col("x")).cast(Dec)).cast("double").as("sxx"),
+        sum((col("x") * col("y")).cast(Dec)).cast("double").as("sxy"))
+      .select(col("vocab_size"), col("total_tokens"),
+        round(slope, 6).as("slope"),
+        round((col("sy") - slope * col("sx")) / col("vocab_size"), 6)
+          .as("intercept"))
+  }
+
+  // ---------------------------------------------------------------- q111
+
+  /** q111: shingle novelty — per document, the fraction of its DISTINCT
+    * 3-shingles whose global first occurrence (minimum doc_id) is this
+    * document. The redundancy-growth curve for corpus curation: ingesting
+    * in doc_id order, novelty ≈ 1 means fresh content, novelty ≈ 0 means
+    * the document only restates earlier shingles — a down-weight or dedup
+    * candidate even when no single pair crosses a near-dup threshold.
+    *
+    * Plan shape: per-doc distinct shingles explode once; `min(doc_id)` per
+    * shingle (one hash agg with map-side partials) finds each shingle's
+    * first document; the novelty counts are a second ≤|docs|-row agg over
+    * that table, joined back on doc_id. Linear in total shingles, same
+    * class as q35/q56; no window, no join wider than (doc_id).
+    */
+  def shingleNovelty(s: SparkSession, dir: String): DataFrame =
+    shingleNoveltyOn(docs(s, dir))
+
+  /** `docsDf` needs (doc_id, text). */
+  def shingleNoveltyOn(docsDf: DataFrame): DataFrame = {
+    val sh = docsDf
+      .withColumn("toks", tokens)
+      .withColumn("n_tokens", size(col("toks")))
+      .filter(col("n_tokens") >= 3)
+      .withColumn("shingles", array_distinct(
+        transform(sequence(lit(1), col("n_tokens") - 2), i =>
+          concat_ws(" ",
+            element_at(col("toks"), i),
+            element_at(col("toks"), i + 1),
+            element_at(col("toks"), i + 2)))))
+      .select(col("doc_id"), explode(col("shingles")).as("sh"))
+    val novel = sh.groupBy("sh").agg(min("doc_id").as("doc_id"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_novel"))
+    sh.groupBy("doc_id").agg(count(lit(1)).as("n_distinct_shingles"))
+      .join(novel, Seq("doc_id"), "left")
+      .withColumn("n_novel", coalesce(col("n_novel"), lit(0L)))
+      .withColumn("novelty_ratio",
+        round(col("n_novel") / col("n_distinct_shingles"), 6))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q31_token_stats" -> tokenStats,
     "q32_lang_profile" -> langProfile,
@@ -564,9 +657,52 @@ object TextOps {
     "q66_vocab_stats" -> vocabStats,
     "q71_doc_chunks" -> docChunks,
     "q72_tfidf_keywords" -> tfidfKeywords,
-    "q97_group_sample" -> groupSample)
+    "q97_group_sample" -> groupSample,
+    "q109_zipf_fit" -> zipfFit,
+    "q111_shingle_novelty" -> shingleNovelty)
 
   val oracle: Map[String, String] = Map(
+    "q109_zipf_fit" ->
+      """WITH toks AS (SELECT unnest(string_split(trim(text), ' '))
+        |    AS token FROM documents),
+        |f AS (SELECT token, count(*) AS freq FROM toks
+        |  WHERE len(token) > 0 GROUP BY token),
+        |r AS (SELECT freq,
+        |    row_number() OVER (ORDER BY freq DESC, token) AS rank FROM f),
+        |xy AS (SELECT freq, round(ln(rank), 9) AS x,
+        |    round(ln(freq), 9) AS y FROM r),
+        |s AS (SELECT count(*) AS vocab_size,
+        |  CAST(sum(freq) AS BIGINT) AS total_tokens,
+        |  CAST(sum(CAST(x AS DECIMAL(38,12))) AS DOUBLE) AS sx,
+        |  CAST(sum(CAST(y AS DECIMAL(38,12))) AS DOUBLE) AS sy,
+        |  CAST(sum(CAST(x * x AS DECIMAL(38,12))) AS DOUBLE) AS sxx,
+        |  CAST(sum(CAST(x * y AS DECIMAL(38,12))) AS DOUBLE) AS sxy
+        |  FROM xy)
+        |SELECT vocab_size, total_tokens,
+        |  round((vocab_size * sxy - sx * sy)
+        |    / (vocab_size * sxx - sx * sx), 6) AS slope,
+        |  round((sy - (vocab_size * sxy - sx * sy)
+        |    / (vocab_size * sxx - sx * sx) * sx) / vocab_size, 6)
+        |    AS intercept
+        |FROM s""".stripMargin,
+    "q111_shingle_novelty" ->
+      """WITH d AS (SELECT doc_id,
+        |    string_split(trim(text), ' ') AS toks FROM documents),
+        |f AS (SELECT doc_id, list_distinct(
+        |    list_transform(generate_series(1, len(toks) - 2),
+        |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shs
+        |  FROM d WHERE len(toks) >= 3),
+        |e AS (SELECT doc_id, unnest(shs) AS sh FROM f),
+        |nv AS (SELECT doc_id, count(*) AS n_novel FROM
+        |    (SELECT sh, min(doc_id) AS doc_id FROM e GROUP BY sh)
+        |  GROUP BY doc_id),
+        |pd AS (SELECT doc_id, count(*) AS n_distinct_shingles FROM e
+        |  GROUP BY doc_id)
+        |SELECT pd.doc_id, pd.n_distinct_shingles,
+        |  coalesce(nv.n_novel, 0) AS n_novel,
+        |  round(coalesce(nv.n_novel, 0) / pd.n_distinct_shingles, 6)
+        |    AS novelty_ratio
+        |FROM pd LEFT JOIN nv USING (doc_id) ORDER BY pd.doc_id""".stripMargin,
     "q97_group_sample" ->
       """WITH enc AS (SELECT source,
         |    ((doc_id * 48271 + 11) % 1000000007)

@@ -629,6 +629,75 @@ class DedupSpec extends SparkSpec {
     assert(exact.forall(_.apply(3) === 1.0))
   }
 
+  // ---------------------------------------------------------------- q112
+
+  test("edit pairs: banded arm finds cross-band pairs exactly once") {
+    import spark.implicits._
+    // lengths 15 / 17 straddle the band-16 edge (bands 0 and 1) — the
+    // adjacent-band replication must still pair them, exactly once
+    val a = "a" * 15
+    val b = "a" * 17 // dist 2 from a (two inserts)
+    val c = "a" * 13 + "bb" // 15 chars, dist 2 from a (two substitutions)
+    val far = "z" * 41 // band 2; |len diff| > maxDist from everything
+    val docs = Seq((0L, a), (1L, b), (2L, c), (3L, far))
+      .toDF("doc_id", "text")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val got = DedupOps.editPairsOn(docs, maxDist = 10, band = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    // b vs c: substitute the two b's, insert two a's -> dist 4
+    assert(got === Seq((0L, 1L, 2L), (0L, 2L, 2L), (1L, 2L, 4L)))
+  }
+
+  test("edit pairs: banded arm equals capped brute force at sf0.001") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val banded = DedupOps.editPairsOn(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    // independent ground truth: full cross join, same capped levenshtein
+    val brute = docs.select(col("doc_id").as("a_id"), col("text").as("ta"))
+      .crossJoin(docs.select(col("doc_id").as("b_id"), col("text").as("tb")))
+      .filter(col("a_id") < col("b_id"))
+      .withColumn("dist", levenshtein(col("ta"), col("tb"), 10))
+      .filter(col("dist") >= 0)
+      .select(col("a_id"), col("b_id"), col("dist").cast("long"))
+      .orderBy("a_id", "b_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(banded === brute)
+  }
+
+  test("edit pairs: LSH-screen arm matches the banded arm on word-level " +
+      "near-dups") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val banded = DedupOps.editPairsOn(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val screened = DedupOps.editPairsOn(docs, screen = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // the screen is recall-bounded by construction; on this corpus (whole-
+    // word edits => high shingle overlap) it must keep every true pair
+    assert(screened === banded)
+  }
+
+  // ---------------------------------------------------------------- q110
+
+  test("embedding audit: ragged dims and degenerate vectors are flagged") {
+    import spark.implicits._
+    val rows = Seq(
+      (0L, Array(3.0f, 4.0f), 1), // norm 5
+      (1L, Array(0.0f, 0.0f), 1), // degenerate
+      (2L, Array(1.0f, 0.0f, 0.0f), 2)) // ragged: dim 3
+      .toDF("vec_id", "embedding", "label")
+    val got = SimilarityOps.embeddingAuditOn(rows).collect()
+    val l1 = got.find(_.getInt(0) == 1).get
+    assert(l1.getAs[Long]("n") === 2L)
+    assert(l1.getAs[Long]("n_degenerate") === 1L)
+    assert(l1.getAs[Double]("min_norm") === 0.0)
+    assert(l1.getAs[Double]("max_norm") === 5.0)
+    assert(l1.getAs[Long]("min_dim") === 2L && l1.getAs[Long]("max_dim") === 2L)
+    val l2 = got.find(_.getInt(0) == 2).get
+    assert(l2.getAs[Long]("min_dim") === 3L)
+    assert(l2.getAs[Double]("avg_norm") === 1.0)
+    assert(l2.getAs[Long]("n_degenerate") === 0L)
+  }
+
   test("dup multiplicity histogram partitions groups and docs") {
     import spark.implicits._
     val docs = Seq(

@@ -74,6 +74,32 @@ class OpsSpec extends SparkSpec {
     assert(auto === perRow, "dup fraction ≈ 0.96 must dispatch identically")
   }
 
+  test("zipf fit: planted two-point vocabulary fits slope -1 exactly") {
+    import spark.implicits._
+    // freqs 4 and 2 at ranks 1 and 2: ln(freq) drops by exactly ln(2) per
+    // ln(rank) step, so the OLS fit is slope -1, intercept ln(4)
+    val docs = Seq((0L, "a a a a b b")).toDF("doc_id", "text")
+    val r = TextOps.zipfFitOn(docs).head()
+    assert(r.getAs[Long]("vocab_size") === 2L)
+    assert(r.getAs[Long]("total_tokens") === 6L)
+    assert(r.getAs[Double]("slope") === -1.0)
+    assert(r.getAs[Double]("intercept") === 1.386294)
+  }
+
+  test("shingle novelty: later copies contribute zero novel shingles") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "w1 w2 w3 w4"), // shingles w1w2w3, w2w3w4 — both novel
+      (1L, "w1 w2 w3 w4"), // exact copy: nothing novel
+      (2L, "w2 w3 w4 w5")) // w2w3w4 seen at doc 0, w3w4w5 novel
+      .toDF("doc_id", "text")
+    val got = TextOps.shingleNoveltyOn(docs).collect()
+      .map(r => (r.getLong(0), r.getAs[Long]("n_distinct_shingles"),
+        r.getAs[Long]("n_novel"), r.getAs[Double]("novelty_ratio"))).toSeq
+    assert(got === Seq((0L, 2L, 2L, 1.0), (1L, 2L, 0L, 0.0),
+      (2L, 2L, 1L, 0.5)))
+  }
+
   test("doc chunks cover every token with the declared overlap") {
     import spark.implicits._
     val docs = Seq(

@@ -69,6 +69,18 @@ class StatSpec extends SparkSpec {
     assert(res.passed, res.status.toString)
   }
 
+  test("withGlobalRowNumber equals the built-in single-window row_number") {
+    val df = events.select("event_id", "value")
+    val got = ops.ScaleOps.withGlobalRowNumber(df,
+        Seq(col("value").desc, col("event_id")), out = "rank")
+      .select("event_id", "rank")
+    val want = df.withColumn("rank",
+        row_number().over(Window.orderBy(col("value").desc, col("event_id")))
+          .cast("long"))
+      .select("event_id", "rank")
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+  }
+
   // ---------------------------------------------------------------- q86
 
   test("decorrelated above-average equals Spark's correlated subquery") {
