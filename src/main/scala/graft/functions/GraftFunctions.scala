@@ -36,6 +36,7 @@ object GraftFunctions {
       (es => MinKLongs(es.head, intArg("graft_min_k", es, 1))
         .toAggregateExpression()),
     "graft_vec_dot" -> (es => VecDot(es.head, es(1))),
+    "graft_edit_lb" -> (es => EditLowerBound(es.head, es(1))),
     "graft_code_points" -> (es => CodePoints(es.head)),
     "graft_bloom_agg" ->
       (es => BloomLongs(es.head, intArg("graft_bloom_agg", es, 1),

@@ -288,6 +288,94 @@ case class CodePoints(child: Expression)
     copy(child = newChild)
 }
 
+/** edit_lb(a: string, b: string) → int: the counting-filter lower bound on
+  * Levenshtein distance — ceil(L1(hist(a), hist(b)) / 2) over 32-bin
+  * code-point histograms (bin = cp & 31). One edit operation changes at
+  * most two histogram counts by one each (a substitution decrements one
+  * bin and increments another; insert/delete touches one), so
+  * dist(a, b) ≥ ceil(L1 / 2) always — bucketing code points only LOWERS
+  * the bound, never breaks it.
+  *
+  * Purpose: pre-DP pruning in the q112 edit-similarity join. The capped
+  * Levenshtein confirm is O(maxDist·len) per candidate pair; this bound is
+  * O(len + 32) with two stack arrays, and on length-blocked candidates
+  * (mostly unrelated texts that happen to be of similar length) it
+  * eliminates the DP for the vast majority. Runs per candidate pair →
+  * real codegen like [[VecDot]].
+  */
+case class EditLowerBound(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "edit_lb"
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val ok = Seq(left, right).forall(_.dataType == StringType)
+    if (ok) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires two string arguments")
+  }
+
+  override protected def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.toString
+    val b = r.toString
+    val hist = new Array[Int](32)
+    var i = 0
+    while (i < a.length) {
+      val cp = a.codePointAt(i)
+      hist(cp & 31) += 1
+      i += Character.charCount(cp)
+    }
+    var j = 0
+    while (j < b.length) {
+      val cp = b.codePointAt(j)
+      hist(cp & 31) -= 1
+      j += Character.charCount(cp)
+    }
+    var l1 = 0
+    var k = 0
+    while (k < 32) {
+      l1 += math.abs(hist(k))
+      k += 1
+    }
+    (l1 + 1) / 2
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (l, r) => {
+      val a = ctx.freshName("a")
+      val b = ctx.freshName("b")
+      val hist = ctx.freshName("hist")
+      val cp = ctx.freshName("cp")
+      val i = ctx.freshName("i")
+      val l1 = ctx.freshName("l1")
+      s"""
+         |final String $a = $l.toString();
+         |final String $b = $r.toString();
+         |final int[] $hist = new int[32];
+         |for (int $i = 0; $i < $a.length(); ) {
+         |  final int $cp = $a.codePointAt($i);
+         |  $hist[$cp & 31] += 1;
+         |  $i += Character.charCount($cp);
+         |}
+         |for (int $i = 0; $i < $b.length(); ) {
+         |  final int $cp = $b.codePointAt($i);
+         |  $hist[$cp & 31] -= 1;
+         |  $i += Character.charCount($cp);
+         |}
+         |int $l1 = 0;
+         |for (int $i = 0; $i < 32; $i++) {
+         |  $l1 += java.lang.Math.abs($hist[$i]);
+         |}
+         |${ev.value} = ($l1 + 1) / 2;
+         |""".stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 /** vec_dot(a: array<float|double>, b: array<float|double>) → double: dot
   * product accumulated in double, strictly in index order (foldLeft), so the
   * result is bit-identical to a left-associated SQL sum of products — the

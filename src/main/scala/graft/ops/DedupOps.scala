@@ -469,31 +469,82 @@ object DedupOps {
     *
     * Scale: the equi-join shuffles on the band id; the candidate term is
     * quadratic WITHIN a band (a length histogram decides the block sizes —
-    * same hazard class as q41's signature blocks). On corpora where length
-    * bands grow unbounded, `screen = true` routes candidates through the
-    * MinHash-LSH banding instead ([[lshCandidates]] — recall-bounded like
-    * q38, shuffle on band keys, no quadratic term past the gate) and
-    * applies the same capped-Levenshtein confirm; DedupSpec pins the two
-    * arms equal on the harness corpora. The exact banded arm remains the
-    * catalog binding (oracle-checked listing).
+    * same hazard class as q41's signature blocks). Two gates keep the
+    * defaults bounded, mirroring the q37/q41 contracts:
+    *
+    *   - density: like every pair listing, the output is Ω(floor) from
+    *     exact-dup cliques alone (dist = 0 ≤ maxDist), so unless
+    *     `fullPairs = true` the exact-dup floor gate rejects dup-dense
+    *     corpora loudly and points at `dedupDecision(method = "edit")`,
+    *     the O(corpus) keep/drop form;
+    *   - band size: when the length histogram (one agg over `n_chars div
+    *     band`, short-circuited by a capped count for small corpora) shows
+    *     a band above `maxBandRows`, candidates route through the
+    *     MinHash-LSH banding instead ([[lshCandidates]] — recall-bounded
+    *     like q38: word-shingle screen, so sub-word edits that shred every
+    *     shingle can escape it; shuffle on band keys, no quadratic term)
+    *     with the same capped-Levenshtein confirm. `screen = true` forces
+    *     that arm, `exact = true` forces the lossless banded arm and skips
+    *     the histogram probe. DedupSpec pins the arms equal on
+    *     word-level-edit corpora either side of the gate.
     */
   def editPairsOn(docsDf: DataFrame, maxDist: Int = 10, band: Int = 16,
-      screen: Boolean = false): DataFrame = {
+      screen: Boolean = false, exact: Boolean = false,
+      fullPairs: Boolean = false, maxListedPairs: Long = MaxListedPairs,
+      maxBandRows: Int = 4096,
+      stats: Option[CorpusStats] = None): DataFrame = {
     require(maxDist >= 0, s"maxDist must be >= 0, got $maxDist")
     require(band >= math.max(maxDist, 1),
       s"band width $band < maxDist $maxDist would split qualifying pairs " +
         "more than one band apart (dist >= |len diff| makes band >= " +
         "maxDist lossless)")
+    require(!(screen && exact), "screen and exact are mutually exclusive")
+    val d0 =
+      if (docsDf.columns.contains("n_chars")) docsDf
+      else docsDf.withColumn("n_chars", length(col("text")).cast("long"))
+    if (!fullPairs) requirePairFloorBelow(d0, maxListedPairs, stats,
+      "editPairsOn")
+    val useScreen = screen ||
+      (!exact && maxBandSizeExceeds(d0, band, maxBandRows))
+    editPairsList(d0, maxDist, band, useScreen).orderBy("a_id", "b_id")
+  }
+
+  /** True iff some `n_chars div band` length band holds more than
+    * `maxBandRows` documents. A capped count (LocalLimit — each scan task
+    * stops at maxBandRows + 1 projected-empty rows) spares corpora that
+    * cannot possibly exceed it the histogram aggregation.
+    */
+  private def maxBandSizeExceeds(d0: DataFrame, band: Int,
+      maxBandRows: Int): Boolean = {
+    val counted = d0.select(lit(1)).limit(maxBandRows + 1).count()
+    counted > maxBandRows && {
+      d0.select(expr(s"n_chars div $band").as("bkey"))
+        .groupBy("bkey").agg(count(lit(1)).as("m"))
+        .agg(coalesce(max("m"), lit(0L))).head().getLong(0) > maxBandRows
+    }
+  }
+
+  /** The confirm pipeline shared by both arms (no output sort — the
+    * catalog wrapper sorts, [[dedupDecision]]'s miner doesn't need to).
+    * Candidates pass three filters of increasing cost: the length bound
+    * (O(1)), the counting-filter bound `graft_edit_lb` (O(len) histogram
+    * L1 — prunes similar-length-but-unrelated texts, the bulk of any
+    * length-blocked candidate set), and only then the O(maxDist·len)
+    * banded-DP `levenshtein` confirm.
+    */
+  private def editPairsList(d0: DataFrame, maxDist: Int, band: Int,
+      screen: Boolean): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(d0.sparkSession)
     val confirmed =
       if (screen) {
-        val cands = lshCandidates(signatures(docsDf))
-        val ta = docsDf.select(col("doc_id").as("a_id"),
+        val cands = lshCandidates(signatures(d0))
+        val ta = d0.select(col("doc_id").as("a_id"),
           col("text").as("ta"), col("n_chars").as("ca"))
-        val tb = docsDf.select(col("doc_id").as("b_id"),
+        val tb = d0.select(col("doc_id").as("b_id"),
           col("text").as("tb"), col("n_chars").as("cb"))
         cands.join(ta, "a_id").join(tb, "b_id")
       } else {
-        val d = docsDf.select(col("doc_id"), col("text"), col("n_chars"),
+        val d = d0.select(col("doc_id"), col("text"), col("n_chars"),
           expr(s"n_chars div $band").as("bkey"))
         val left = d.select(col("doc_id").as("a_id"), col("text").as("ta"),
           col("n_chars").as("ca"), col("bkey").as("key"))
@@ -505,15 +556,18 @@ object DedupOps {
       }
     confirmed
       .filter(abs(col("ca") - col("cb")) <= maxDist)
+      .filter(call_function("graft_edit_lb", col("ta"), col("tb")) <= maxDist)
       .withColumn("dist", levenshtein(col("ta"), col("tb"), maxDist))
       .filter(col("dist") >= 0)
       .select(col("a_id"), col("b_id"), col("dist").cast("long").as("dist"))
-      .orderBy("a_id", "b_id")
   }
 
-  /** Catalog binding: the exact banded arm at (maxDist 10, band 16). */
+  /** Catalog binding: `fullPairs = true`, `exact = true` — the
+    * oracle-checked lossless banded listing, pinned shape (see
+    * [[jaccardPairs]] for the family convention).
+    */
   def editPairs(s: SparkSession, dir: String): DataFrame =
-    editPairsOn(docs(s, dir))
+    editPairsOn(docs(s, dir), fullPairs = true, exact = true)
 
   // ---- SimHash (Hamming-space scale path) ---------------------------------
 
@@ -607,7 +661,11 @@ object DedupOps {
     * `method` picks the near-dup pair miner that defines the edges:
     * "jaccard" (exact token-set Jaccard ≥ 0.9, mask or prefix plan by
     * vocab size, per-language), "minhash" (MinHash+LSH verified shingle
-    * Jaccard ≥ 0.8), "simhash" (Hamming ≤ 3). Every arm contracts exact
+    * Jaccard ≥ 0.8), "simhash" (Hamming ≤ 3), "edit" (capped Levenshtein
+    * ≤ 10 over length bands, LSH-screened past the band-size gate —
+    * mining runs over the contracted distinct texts, so the exact-dup
+    * cliques that make the q112 listing Ω(pairs) cost one membership join
+    * here). Every arm contracts exact
     * duplicates first — on a dup-dense corpus mining runs over the small
     * distinct fraction; on a near-unique corpus the contraction is one
     * extra hash aggregation, the flat cost of density-independence. The
@@ -633,9 +691,18 @@ object DedupOps {
       contractedClusters(docsDf,
         dd => simhashPairsList(dd, reliable).select(col("a_id"), col("b_id")),
         reliable)
+    case "edit" =>
+      contractedClusters(docsDf, dd => {
+        val d0 =
+          if (dd.columns.contains("n_chars")) dd
+          else dd.withColumn("n_chars", length(col("text")).cast("long"))
+        editPairsList(d0, maxDist = 10, band = 16,
+            screen = maxBandSizeExceeds(d0, band = 16, maxBandRows = 4096))
+          .select(col("a_id"), col("b_id"))
+      }, reliable)
     case other => throw new IllegalArgumentException(
       s"dedupDecision: unknown method '$other' " +
-        "(expected jaccard | minhash | simhash)")
+        "(expected jaccard | minhash | simhash | edit)")
   }
 
   /** The dense-corpus arm shared by the q37/q38/q39 dispatch: contract

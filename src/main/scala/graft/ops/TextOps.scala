@@ -612,17 +612,20 @@ object TextOps {
     * the document only restates earlier shingles — a down-weight or dedup
     * candidate even when no single pair crosses a near-dup threshold.
     *
-    * Plan shape: per-doc distinct shingles explode once; `min(doc_id)` per
-    * shingle (one hash agg with map-side partials) finds each shingle's
-    * first document; the novelty counts are a second ≤|docs|-row agg over
-    * that table, joined back on doc_id. Linear in total shingles, same
-    * class as q35/q56; no window, no join wider than (doc_id).
+    * Plan shape: per-doc distinct shingles explode ONCE; `min(doc_id)`
+    * over a shingle-partitioned window (the q102 one-shuffle pattern —
+    * sort-free partitioning, no per-shingle agg + join-back that would
+    * re-explode and re-shuffle the stream) tags each occurrence with its
+    * shingle's first document; one ≤|docs|-row aggregation then counts
+    * distinct shingles and novel shingles per document in the same pass.
+    * Linear in total shingles, exactly two data-sized shuffles.
     */
   def shingleNovelty(s: SparkSession, dir: String): DataFrame =
     shingleNoveltyOn(docs(s, dir))
 
   /** `docsDf` needs (doc_id, text). */
   def shingleNoveltyOn(docsDf: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val sh = docsDf
       .withColumn("toks", tokens)
       .withColumn("n_tokens", size(col("toks")))
@@ -633,12 +636,18 @@ object TextOps {
             element_at(col("toks"), i),
             element_at(col("toks"), i + 1),
             element_at(col("toks"), i + 2)))))
-      .select(col("doc_id"), explode(col("shingles")).as("sh"))
-    val novel = sh.groupBy("sh").agg(min("doc_id").as("doc_id"))
-      .groupBy("doc_id").agg(count(lit(1)).as("n_novel"))
-    sh.groupBy("doc_id").agg(count(lit(1)).as("n_distinct_shingles"))
-      .join(novel, Seq("doc_id"), "left")
-      .withColumn("n_novel", coalesce(col("n_novel"), lit(0L)))
+      // 16-byte md5 key (the q102 convention): the window partitions and
+      // sorts on fixed-width binary, never on the raw shingle strings; a
+      // 128-bit collision (2^-128 per pair) is the only way two distinct
+      // shingles could share a first_doc slot
+      .select(col("doc_id"),
+        explode(transform(col("shingles"), s => unhex(md5(s)))).as("shk"))
+    sh.withColumn("first_doc", min("doc_id").over(Window.partitionBy("shk")))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_distinct_shingles"),
+        sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
+          .as("n_novel"))
       .withColumn("novelty_ratio",
         round(col("n_novel") / col("n_distinct_shingles"), 6))
       .orderBy("doc_id")

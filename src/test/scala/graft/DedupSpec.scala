@@ -676,6 +676,57 @@ class DedupSpec extends SparkSpec {
     assert(screened === banded)
   }
 
+  test("edit pairs: density gate fails fast on dup-dense corpora and " +
+      "dedupDecision(edit) matches union-find") {
+    val ex = intercept[IllegalArgumentException] {
+      DedupOps.editPairsOn(denseDocs, maxListedPairs = 100)
+    }
+    assert(ex.getMessage.contains("fullPairs") &&
+      ex.getMessage.contains("dedupDecision"), "error must name the escapes")
+    val forced = DedupOps.editPairsOn(denseDocs, fullPairs = true,
+      exact = true, maxListedPairs = 100)
+    val pairs = forced.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(pairs.nonEmpty, "the planted dup cliques must pair at dist 0")
+    val decision = DedupOps.dedupDecision(denseDocs, method = "edit")
+    assert(decision.columns.toSeq === Seq("doc_id", "rep"))
+    val got = decision.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got === expectedClusters(pairs))
+  }
+
+  test("edit pairs: band-size gate dispatches oversized bands to the LSH " +
+      "screen") {
+    import spark.implicits._
+    // five equal-length docs in ONE length band: a base sentence, a
+    // whole-word edit of it (shingle overlap survives -> the screen keeps
+    // it), and three unrelated same-length fillers that inflate the band
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    // one char appended to the LAST word: dist 1, and only the final
+    // 3-shingle changes (7/8 shared) so the LSH screen retains the pair
+    val near = base.replace("kappa", "kappaq")
+    val fillers = Seq(
+      "one small doc about completely unrelated query planner internals xx",
+      "another filler text describing shuffle exchange reuse and metrics z",
+      "third filler sentence on parquet encodings and page level statistic")
+    val docs = (Seq(base, near) ++ fillers).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val exact = DedupOps.editPairsOn(docs, maxDist = 10, band = 128,
+        exact = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(exact === Seq((0L, 1L)), "only the near pair confirms")
+    // auto arm with maxBandRows = 2: the single 5-doc band trips the gate,
+    // candidates come from the shingle screen instead — same confirmed set
+    // on word-level edits
+    val auto = DedupOps.editPairsOn(docs, maxDist = 10, band = 128,
+        maxBandRows = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(auto === exact, "screen arm must keep the word-level near pair")
+    // above the gate the auto arm IS the banded arm (capped-count
+    // short-circuit: 5 rows <= maxBandRows -> no histogram job)
+    val banded = DedupOps.editPairsOn(docs, maxDist = 10, band = 128)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(banded === exact)
+  }
+
   // ---------------------------------------------------------------- q110
 
   test("embedding audit: ragged dims and degenerate vectors are flagged") {

@@ -106,12 +106,20 @@ class FunctionsSpec extends SparkSpec {
         |  graft_simhash64(transform(sequence(1, 50), x -> x * 1234567L)) AS s,
         |  size(graft_minhash_band_keys(array(1L, 2L, 3L), 16)) AS b,
         |  size(graft_code_points('héllo wörld')) AS c,
-        |  graft_vec_dot(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d
+        |  graft_vec_dot(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d,
+        |  graft_edit_lb('kitten', 'sitting') AS e
         |FROM range(1, 4)""".stripMargin).collect()
     assert(r.length === 3)
     assert(r.head.getInt(1) === 16)
     assert(r.head.getInt(2) === 11)
     assert(r.head.getDouble(3) === 11.0)
+    // kitten→sitting: hist diff {k:+1, s:-1, e:+1, i:-1, g:-1} → L1 5, lb 3
+    // (≤ the true distance 3, and equals the interpreted eval)
+    assert(r.head.getInt(4) === 3)
+    assert(graft.functions.EditLowerBound(
+      org.apache.spark.sql.catalyst.expressions.Literal("kitten"),
+      org.apache.spark.sql.catalyst.expressions.Literal("sitting"))
+      .eval(null) === 3)
     // codegen result must equal the interpreted (nullSafeEval) result
     import org.apache.spark.sql.catalyst.expressions.Literal
     import org.apache.spark.sql.catalyst.util.GenericArrayData
@@ -120,6 +128,30 @@ class FunctionsSpec extends SparkSpec {
       org.apache.spark.sql.types.ArrayType(
         org.apache.spark.sql.types.LongType))).eval(null)
     assert(r.head.getLong(0) === interp.asInstanceOf[Long])
+  }
+
+  test("edit_lb is a true lower bound on Levenshtein distance") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) =>
+        if (i == 0) j else if (j == 0) i else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j), d(i)(j - 1)) + 1,
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    def lb(a: String, b: String): Int =
+      graft.functions.EditLowerBound(
+        org.apache.spark.sql.catalyst.expressions.Literal(a),
+        org.apache.spark.sql.catalyst.expressions.Literal(b))
+        .eval(null).asInstanceOf[Int]
+    // small alphabet maximizes bin collisions — the regime where an
+    // over-tight bound would break first
+    val sGen = Gen.listOf(Gen.oneOf('a', 'b', 'c', ' ')).map(_.mkString)
+    val prop = Prop.forAll(sGen, sGen)((a, b) => lb(a, b) <= lev(a, b))
+    val res = SCTest.check(SCTest.Parameters.default
+      .withMinSuccessfulTests(300), prop)
+    assert(res.passed, res.status.toString)
   }
 
   test("GraftExtensions injection path registers every graft function") {
