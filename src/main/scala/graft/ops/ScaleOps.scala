@@ -210,19 +210,34 @@ object ScaleOps {
   def withGlobalRowNumber(df: DataFrame, sort: Seq[Column],
       out: String = "rank"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // Local ranks WITHOUT a second data-sized shuffle: a
+    // `row_number over (partition by _pid)` window would force an Exchange
+    // on _pid (Catalyst cannot know range partitions cluster it), so
+    // instead read the rank out of monotonically_increasing_id's
+    // documented layout — partition id in the upper 31 bits, the
+    // within-partition record number in the lower 33 — assigned along the
+    // sortWithinPartitions order.
     val ranged = df.repartitionByRange(sort: _*)
-      .withColumn("_pid", spark_partition_id())
-    val offs = ranged.groupBy("_pid").agg(count(lit(1)).as("_cnt"))
+    val ranked = ranged
+      .sortWithinPartitions(sort: _*)
+      .withColumn("_mid", monotonically_increasing_id())
+      .withColumn("_pid", shiftright(col("_mid"), 33).cast("int"))
+      .withColumn("_rn",
+        col("_mid").bitwiseAND(lit((1L << 33) - 1)) + lit(1L))
+    // per-partition counts off the UNSORTED exchange (ReuseExchange shares
+    // it with the ranked branch; a count doesn't need the local sort, and
+    // aggregating above sortWithinPartitions would re-sort the whole
+    // input a second time)
+    val offs = ranged.withColumn("_pid", spark_partition_id())
+      .groupBy("_pid").agg(count(lit(1)).as("_cnt"))
       .withColumn("_off",
         coalesce(sum("_cnt").over(Window.orderBy("_pid")
           .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
       .select("_pid", "_off")
-    ranged
-      .withColumn("_rn", row_number().over(
-        Window.partitionBy("_pid").orderBy(sort: _*)))
+    ranked
       .join(broadcast(offs), "_pid")
       .withColumn(out, col("_off") + col("_rn"))
-      .drop("_pid", "_rn", "_off")
+      .drop("_mid", "_pid", "_rn", "_off")
   }
 
   /** Small-file compaction: rewrite a parquet directory into

@@ -749,6 +749,24 @@ class DedupSpec extends SparkSpec {
     assert(l2.getAs[Long]("n_degenerate") === 0L)
   }
 
+  test("q110/q112 plans hold the documented shuffle budget") {
+    import spark.implicits._
+    def exchanges(df: org.apache.spark.sql.DataFrame): Int =
+      "Exchange".r.findAllIn(df.queryExecution.executedPlan.toString).length
+    val embs = (0L until 20L)
+      .map(i => (i, Array.fill(8)(i.toFloat + 1f), (i % 3).toInt))
+      .toDF("vec_id", "embedding", "label")
+    // q110: one two-phase agg + the label-ordered output sort
+    val aud = exchanges(SimilarityOps.embeddingAuditOn(embs))
+    assert(aud <= 3, s"q110 exchanges = $aud")
+    // q112 banded arm: band-key join (each side once) + output sort
+    val docs = (0L until 20L).map(i => (i, s"text number $i padded a bit"))
+      .toDF("doc_id", "text")
+    val ep = exchanges(DedupOps.editPairsOn(docs, fullPairs = true,
+      exact = true))
+    assert(ep <= 4, s"q112 exchanges = $ep")
+  }
+
   test("dup multiplicity histogram partitions groups and docs") {
     import spark.implicits._
     val docs = Seq(

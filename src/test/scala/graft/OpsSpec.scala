@@ -74,6 +74,24 @@ class OpsSpec extends SparkSpec {
     assert(auto === perRow, "dup fraction ≈ 0.96 must dispatch identically")
   }
 
+  test("q109/q111 plans hold the documented shuffle budget") {
+    import spark.implicits._
+    val docs = (0L until 50L).map(i => (i, s"w$i common tokens here plus w${i % 7}"))
+      .toDF("doc_id", "text")
+    def exchanges(df: org.apache.spark.sql.DataFrame): Int =
+      "Exchange".r.findAllIn(df.queryExecution.executedPlan.toString).length
+    // q111: shingle-key window + doc-key agg + output sort; nothing else
+    val nov = exchanges(TextOps.shingleNoveltyOn(docs))
+    assert(nov <= 3, s"q111 exchanges = $nov")
+    // q109: TWO data-sized shuffles (vocab agg + range repartition), each
+    // printed twice in the static plan because the ranked subtree feeds
+    // both the offset branch and the main branch (AQE's ReuseExchange
+    // collapses them at runtime), plus four BOUNDED exchanges (per-pid
+    // count agg, one-partition offset ladder, broadcast, 1-row OLS fold)
+    val zf = exchanges(TextOps.zipfFitOn(docs))
+    assert(zf <= 8, s"q109 exchanges = $zf")
+  }
+
   test("zipf fit: planted two-point vocabulary fits slope -1 exactly") {
     import spark.implicits._
     // freqs 4 and 2 at ranks 1 and 2: ln(freq) drops by exactly ln(2) per
