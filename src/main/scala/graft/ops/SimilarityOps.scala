@@ -700,6 +700,43 @@ object SimilarityOps {
       .orderBy("label", "assigned_label")
   }
 
+  // ---------------------------------------------------------------- q113
+
+  /** q113: ANN top-k in random-projection space — the
+    * Johnson–Lindenstrauss scale path. Every vector projects ONCE onto the
+    * 16 fixed hyperplanes (the q42 constants, kept as VALUES instead of
+    * sign bits): 16 native `VecDot`s against literal planes, a map-only
+    * pass. The search then runs entirely in 16-dim space — dot products
+    * cost Dim/16 = 4× less than the q40 brute scan, and the projected
+    * table is ~4× smaller to shuffle, cache, or re-query. Top-k is the
+    * same broadcast-query + TakeOrderedAndProject shape as q40.
+    *
+    * Projected cosines approximate true cosines (JL preserves inner
+    * products in expectation); the spec pins a planted near-duplicate to
+    * rank 1 and the oracle replays the whole projection bit-exactly
+    * (plane literals round-trip through Double.toString, coordinates
+    * round to 6 dp before the cosine, so both engines fold identical
+    * doubles in identical order).
+    */
+  def annRp(s: SparkSession, dir: String): DataFrame =
+    annRpOn(emb(s, dir))
+
+  /** `embDf` needs (vec_id, label, embedding). */
+  def annRpOn(embDf: DataFrame, queryId: Long = 0L, k: Int = 10): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(embDf.sparkSession)
+    val proj = array(planes.map(p =>
+      round(dot(col("embedding"), typedLit(p.toSeq)), 6)): _*)
+    val e = embDf.select(col("vec_id"), col("label"), proj.as("p"))
+    val q = broadcast(e.filter(col("vec_id") === queryId)
+      .select(col("p").as("qp")))
+    e.crossJoin(q)
+      .filter(col("vec_id") =!= queryId)
+      .select(col("vec_id"), col("label"),
+        round(cosine(col("p"), col("qp")), 6).as("proj_sim"))
+      .orderBy(col("proj_sim").desc, col("vec_id").asc)
+      .limit(k)
+  }
+
   // ---------------------------------------------------------------- q110
 
   /** q110: embedding-store integrity audit — per label: vector count, the
@@ -747,7 +784,8 @@ object SimilarityOps {
     "q64_semantic_dedup" -> semanticDedup,
     "q89_crossmodal_curation" -> crossmodalCuration,
     "q95_cluster_purity" -> clusterPurity,
-    "q110_embedding_audit" -> embeddingAudit)
+    "q110_embedding_audit" -> embeddingAudit,
+    "q113_ann_rp" -> annRp)
 
   /** The hyperplane constants as full-precision SQL literals (Java's
     * Double.toString round-trips, and DuckDB parses to the same IEEE
@@ -761,7 +799,34 @@ object SimilarityOps {
       s"(CASE WHEN $d >= 0 THEN 1 ELSE 0 END)"
     }.reduce((acc, bit) => s"($acc * 2 + $bit)")
 
+  /** The 16 projected coordinates as a SQL list literal — each coordinate
+    * the unrolled index-order dot against one plane's full-precision
+    * literals, rounded to 6 dp (the Spark side rounds identically, so the
+    * downstream cosine folds identical doubles).
+    */
+  private def sqlProj(e: String): String =
+    planes.map { p =>
+      val d = p.zipWithIndex
+        .map { case (v, i) => s"CAST($e[${i + 1}] AS DOUBLE) * $v" }
+        .mkString(" + ")
+      s"round($d, 6)"
+    }.mkString("[", ", ", "]")
+
+  /** Index-order dot over the first `n` elements of two list columns. */
+  private def sqlDotK(a: String, b: String, n: Int): String =
+    (1 to n).map(i => s"$a[$i] * $b[$i]").mkString(" + ")
+
   val oracle: Map[String, String] = Map(
+    "q113_ann_rp" ->
+      s"""WITH p AS (SELECT vec_id, label, ${sqlProj("embedding")} AS p
+         |  FROM embeddings),
+         |q AS (SELECT p AS qp FROM p WHERE vec_id = 0)
+         |SELECT vec_id, label,
+         |  round((${sqlDotK("p", "qp", Planes)}) /
+         |    (sqrt(${sqlDotK("p", "p", Planes)})
+         |      * sqrt(${sqlDotK("qp", "qp", Planes)})), 6) AS proj_sim
+         |FROM p, q WHERE vec_id <> 0
+         |ORDER BY proj_sim DESC, vec_id LIMIT 10""".stripMargin,
     "q110_embedding_audit" ->
       s"""WITH d AS (SELECT label,
          |    round(${sqlNorm("embedding")}, 6) AS nrm,

@@ -653,6 +653,55 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  // ---------------------------------------------------------------- q114
+
+  /** q114: per-source distribution drift — KL(source ‖ corpus) over unigram
+    * token distributions, the mix-governance check a training-data report
+    * runs per ingest: a source whose token distribution diverges hard from
+    * the corpus (template spam, wrong language, boilerplate dumps) shows a
+    * large KL before any quality heuristic fires.
+    *
+    * Plan shape: the corpus shuffles ONCE into the (source, token, count)
+    * contraction; the corpus-wide token totals derive from that contracted
+    * table (never from the raw corpus), the per-source totals broadcast
+    * (≤|sources| rows), the grand total rides as a broadcast single-row
+    * frame. The KL fold is one ≤|sources|-row aggregation over the
+    * token-keyed join of two vocabulary-sized tables — everything past the
+    * first explode is bounded by |vocab|·|sources|, independent of corpus
+    * row count.
+    *
+    * Determinism: P ratios are double divisions of exact integer counts in
+    * a fixed operation order, ln rounds to 9 dp before the product (libm
+    * last-ulp insurance), the per-source sum rides DECIMAL(38,12), and the
+    * final KL rounds to 6 dp — the full q108/q109 float discipline.
+    */
+  def sourceDrift(s: SparkSession, dir: String): DataFrame =
+    sourceDriftOn(docs(s, dir))
+
+  /** `docsDf` needs (source, text). */
+  def sourceDriftOn(docsDf: DataFrame): DataFrame = {
+    val Dec = org.apache.spark.sql.types.DecimalType(38, 12)
+    val st = docsDf
+      .select(col("source"), explode(tokens).as("token"))
+      .filter(length(col("token")) > 0)
+      .groupBy("source", "token").agg(count(lit(1)).as("c"))
+    val tok = st.groupBy("token").agg(sum("c").as("ct"))
+    val src = st.groupBy("source").agg(sum("c").as("ns"),
+      count(lit(1)).as("vocab_size"))
+    val nn = broadcast(st.agg(sum("c").cast("double").as("nn")))
+    val ps = col("c").cast("double") / col("ns").cast("double")
+    val ratio = (col("c").cast("double") * col("nn")) /
+      (col("ct").cast("double") * col("ns").cast("double"))
+    st.join(tok, "token")
+      .join(broadcast(src), "source")
+      .crossJoin(nn)
+      .withColumn("term", ps * round(log(ratio), 9))
+      .groupBy("source")
+      .agg(max("ns").as("n_tokens"), max("vocab_size").as("vocab_size"),
+        round(sum(col("term").cast(Dec)).cast("double"), 6).as("kl_nats"))
+      .orderBy("source")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q31_token_stats" -> tokenStats,
     "q32_lang_profile" -> langProfile,
@@ -668,9 +717,33 @@ object TextOps {
     "q72_tfidf_keywords" -> tfidfKeywords,
     "q97_group_sample" -> groupSample,
     "q109_zipf_fit" -> zipfFit,
-    "q111_shingle_novelty" -> shingleNovelty)
+    "q111_shingle_novelty" -> shingleNovelty,
+    "q114_source_drift" -> sourceDrift)
 
   val oracle: Map[String, String] = Map(
+    "q114_source_drift" ->
+      """WITH st AS (SELECT source, token, count(*) AS c
+        |  FROM (SELECT source, unnest(string_split(trim(text), ' '))
+        |      AS token FROM documents)
+        |  WHERE len(token) > 0 GROUP BY source, token),
+        |tok AS (SELECT token, CAST(sum(c) AS BIGINT) AS ct
+        |  FROM st GROUP BY token),
+        |src AS (SELECT source, CAST(sum(c) AS BIGINT) AS ns,
+        |    count(*) AS vocab_size FROM st GROUP BY source),
+        |nn AS (SELECT CAST(sum(c) AS DOUBLE) AS nn FROM st),
+        |j AS (SELECT st.source,
+        |    (CAST(c AS DOUBLE) / CAST(ns AS DOUBLE))
+        |      * round(ln((CAST(c AS DOUBLE) * nn)
+        |        / (CAST(ct AS DOUBLE) * CAST(ns AS DOUBLE))), 9) AS term
+        |  FROM st JOIN tok USING (token) JOIN src USING (source)
+        |    CROSS JOIN nn),
+        |a AS (SELECT source,
+        |    round(CAST(sum(CAST(term AS DECIMAL(38,12))) AS DOUBLE), 6)
+        |      AS kl_nats
+        |  FROM j GROUP BY source)
+        |SELECT source, ns AS n_tokens,
+        |  CAST(vocab_size AS BIGINT) AS vocab_size, kl_nats
+        |FROM a JOIN src USING (source) ORDER BY source""".stripMargin,
     "q109_zipf_fit" ->
       """WITH toks AS (SELECT unnest(string_split(trim(text), ' '))
         |    AS token FROM documents),

@@ -203,6 +203,14 @@ class DedupSpec extends SparkSpec {
     assert(ivf.nonEmpty && ivf.head.getLong(0) === 1L,
       s"IVF must retrieve the planted neighbor, got ${ivf.map(_.getLong(0)).toSeq}")
 
+    // q113 random projection: the near-1 cosine survives the 16-dim JL
+    // projection, so the planted neighbor still ranks first there too
+    val rp = SimilarityOps.annRp(spark, dir).collect()
+    assert(rp.nonEmpty && rp.head.getLong(0) === 1L,
+      s"RP must retrieve the planted neighbor, got ${rp.map(_.getLong(0)).toSeq}")
+    assert(rp.head.getDouble(2) > 0.9,
+      s"projected cosine of a near-dup must stay high, got ${rp.head.getDouble(2)}")
+
     // all-NN dedup table: the planted pair must be mutual nearest neighbors
     // with cosine > 0.99; every vector gets exactly one row.
     val nn = SimilarityOps.nnDedup(spark, dir).collect()

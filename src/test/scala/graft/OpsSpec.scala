@@ -104,6 +104,37 @@ class OpsSpec extends SparkSpec {
     assert(r.getAs[Double]("intercept") === 1.386294)
   }
 
+  test("source drift: hand-computed two-source KL, zero self-drift") {
+    import spark.implicits._
+    import scala.math.BigDecimal.RoundingMode.HALF_UP
+    // corpus: a×3, b×4 (N = 7); s1 = {a:2, b:1}, s2 = {a:1, b:3}
+    val docs = Seq((0L, "a a b", "s1"), (1L, "a b b b", "s2"))
+      .toDF("doc_id", "text", "source")
+    def r9ln(num: Double, den: Double): Double =
+      BigDecimal(math.log(num / den)).setScale(9, HALF_UP).toDouble
+    def kl(terms: Seq[Double]): Double =
+      BigDecimal(terms.map(t =>
+          BigDecimal(t).setScale(12, HALF_UP)).sum.toDouble)
+        .setScale(6, HALF_UP).toDouble
+    val expS1 = kl(Seq(
+      (2.0 / 3.0) * r9ln(2.0 * 7.0, 3.0 * 3.0),
+      (1.0 / 3.0) * r9ln(1.0 * 7.0, 4.0 * 3.0)))
+    val expS2 = kl(Seq(
+      (1.0 / 4.0) * r9ln(1.0 * 7.0, 3.0 * 4.0),
+      (3.0 / 4.0) * r9ln(3.0 * 7.0, 4.0 * 4.0)))
+    val got = TextOps.sourceDriftOn(docs).collect()
+      .map(r => (r.getString(0), r.getAs[Long]("n_tokens"),
+        r.getAs[Long]("vocab_size"), r.getAs[Double]("kl_nats"))).toSeq
+    assert(got === Seq(("s1", 3L, 2L, expS1), ("s2", 4L, 2L, expS2)))
+    assert(expS1 > 0 && expS2 > 0, "diverging sources must have KL > 0")
+    // one source == the corpus: every ratio is 1, KL exactly 0
+    val solo = Seq((0L, "x y x", "only")).toDF("doc_id", "text", "source")
+    val g2 = TextOps.sourceDriftOn(solo).head()
+    assert(g2.getAs[Double]("kl_nats") === 0.0)
+    assert(g2.getAs[Long]("n_tokens") === 3L)
+    assert(g2.getAs[Long]("vocab_size") === 2L)
+  }
+
   test("shingle novelty: later copies contribute zero novel shingles") {
     import spark.implicits._
     val docs = Seq(
