@@ -144,6 +144,41 @@ object SpanOps {
     spansAgainstKeys(incoming,
       incoming.sparkSession.read.parquet(storePath).select("h"), k)
 
+  /** Per-document novelty of `incoming` against the REFERENCE corpus — the
+    * incremental face of q111: the fraction of each incoming doc's
+    * DISTINCT K-shingles absent from the indexed side. The crawl-triage
+    * score: fetchers prioritize (or keep) high-novelty documents before
+    * any pairwise dedup runs, for the cost of one store probe. Like
+    * [[dupSpansAgainstOn]], within-batch repetition is deliberately not
+    * scored (q111 on the batch does that); docs shorter than K tokens
+    * emit no shingles and no row.
+    *
+    * Plan: incoming contracts to distinct (doc_id, h); one left join
+    * against the reference's distinct keys (the persisted store in
+    * production — [[noveltyAgainstStore]]); one doc-keyed agg.
+    */
+  def noveltyAgainstOn(incoming: DataFrame, reference: DataFrame,
+      k: Int = DefaultK): DataFrame =
+    noveltyAgainstKeys(incoming,
+      shingleOcc(reference, k).select("h").distinct(), k)
+
+  /** [[noveltyAgainstOn]] probing the persisted shingle store. */
+  def noveltyAgainstStore(incoming: DataFrame, storePath: String,
+      k: Int = DefaultK): DataFrame =
+    noveltyAgainstKeys(incoming,
+      incoming.sparkSession.read.parquet(storePath).select("h"), k)
+
+  private def noveltyAgainstKeys(incoming: DataFrame, refKeys: DataFrame,
+      k: Int): DataFrame =
+    shingleOcc(incoming, k).select("doc_id", "h").distinct()
+      .join(refKeys.withColumn("_seen", lit(1)), Seq("h"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_distinct_shingles"),
+        sum(when(col("_seen").isNull, 1L).otherwise(0L)).as("n_novel"))
+      .withColumn("novelty_ratio",
+        round(col("n_novel") / col("n_distinct_shingles"), 6))
+      .orderBy("doc_id")
+
   /** q107: the q62-convention deterministic split — 80 % of the corpus is
     * the already-indexed store, 20 % is the incoming crawl; emit the
     * incoming docs' spans that duplicate the indexed side. */

@@ -112,6 +112,28 @@ class SpanSpec extends SparkSpec {
     assert(direct.nonEmpty)
   }
 
+  test("novelty against a reference corpus: copies 0, fresh 1, mixed " +
+      "in between; store equals direct") {
+    // k = 3 shingles; reference owns "a b c d" (shingles abc, bcd)
+    val reference = corpus(0L -> "a b c d")
+    // 10: exact copy -> 0.0; 11: disjoint -> 1.0;
+    // 12: "a b c x" -> shingles abc (seen), bcx (new) -> 0.5;
+    // 13: two tokens -> below k, no row
+    val incoming = corpus(10L -> "a b c d", 11L -> "p q r s",
+      12L -> "a b c x", 13L -> "a b")
+    val got = SpanOps.noveltyAgainstOn(incoming, reference, 3).collect()
+      .map(r => (r.getLong(0), r.getAs[Long]("n_distinct_shingles"),
+        r.getAs[Long]("n_novel"), r.getAs[Double]("novelty_ratio"))).toSeq
+    assert(got === Seq((10L, 2L, 0L, 0.0), (11L, 2L, 2L, 1.0),
+      (12L, 2L, 1L, 0.5)))
+    val store = tmpDir("novelty-store")
+    SpanOps.writeShingleStore(reference, store, 3)
+    val viaStore = SpanOps.noveltyAgainstStore(incoming, store, 3).collect()
+      .map(r => (r.getLong(0), r.getAs[Long]("n_distinct_shingles"),
+        r.getAs[Long]("n_novel"), r.getAs[Double]("novelty_ratio"))).toSeq
+    assert(viaStore === got)
+  }
+
   private def exchanges(df: org.apache.spark.sql.DataFrame): Int =
     "Exchange".r.findAllIn(df.queryExecution.executedPlan.toString).length
 
