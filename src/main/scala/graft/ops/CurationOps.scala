@@ -526,6 +526,49 @@ object CurationOps {
       .orderBy("source", "pack_id")
   }
 
+  // ---- q115: temperature-scaled source mixture ----------------------------
+
+  /** q115: α-temperature source sampling (the mT5/XLM-R mixing rule) —
+    * sampling share q_s ∝ n_s^α flattens the natural size distribution:
+    * α = 1 keeps natural shares, α = 0 samples sources uniformly, α ≈ 0.3
+    * (the published default, pinned for the oracle) upsamples small
+    * sources. Per source: token count, natural share, temperature share,
+    * the up/down-sampling factor q_s/p_s a sampler must apply, and the
+    * expected tokens drawn per epoch of corpus size.
+    *
+    * Scale: one corpus-sized agg contracts to ≤|sources| rows; totals ride
+    * a broadcast single-row frame; everything after the contraction is
+    * |sources|-bounded. Float discipline: `pow` rounds to 6 dp (libm
+    * insurance), the weight total sums the ROUNDED weights through
+    * DECIMAL(38,10) (exact, order-independent), and every share/factor
+    * divides identically-rounded doubles — full oracle hash-match.
+    */
+  def temperatureMix(s: SparkSession, dir: String): DataFrame =
+    temperatureMixOn(docs(s, dir))
+
+  /** `docsDf` needs (source, text). */
+  def temperatureMixOn(docsDf: DataFrame, alpha: Double = 0.3): DataFrame = {
+    val Dec = org.apache.spark.sql.types.DecimalType(38, 10)
+    val base = docsDf.groupBy("source")
+      .agg(sum(size(toks)).as("n_tokens"))
+      .withColumn("w",
+        round(pow(col("n_tokens").cast("double"), lit(alpha)), 6))
+    val tot = broadcast(base.agg(
+      sum("n_tokens").cast("double").as("nn"),
+      sum(col("w").cast(Dec)).cast("double").as("wsum")))
+    base.crossJoin(tot)
+      .withColumn("natural_share",
+        round(col("n_tokens").cast("double") / col("nn"), 6))
+      .withColumn("temp_share", round(col("w") / col("wsum"), 6))
+      .withColumn("sample_factor",
+        round(col("temp_share") / col("natural_share"), 6))
+      .withColumn("expected_tokens",
+        round(col("temp_share") * col("nn"), 0).cast("long"))
+      .select("source", "n_tokens", "natural_share", "temp_share",
+        "sample_factor", "expected_tokens")
+      .orderBy("source")
+  }
+
   // ---- q62: incremental delta dedup ---------------------------------------
 
   /** Incremental (delta) dedup: an incoming snapshot is deduplicated against
@@ -772,7 +815,8 @@ object CurationOps {
     "q61_token_packing" -> tokenPacking,
     "q62_delta_dedup" -> deltaDedup,
     "q65_substring_contamination" -> substringContamination,
-    "q67_source_overlap" -> sourceOverlap)
+    "q67_source_overlap" -> sourceOverlap,
+    "q115_temperature_mix" -> temperatureMix)
 
   // single line: the enclosing oracle string's stripMargin would otherwise
   // truncate a continuation line starting with the `||` concat operator
@@ -825,6 +869,23 @@ object CurationOps {
   }
 
   val oracle: Map[String, String] = Map(
+    "q115_temperature_mix" ->
+      """WITH b AS (SELECT source,
+        |    CAST(sum(len(string_split(trim(text), ' '))) AS BIGINT)
+        |      AS n_tokens
+        |  FROM documents GROUP BY source),
+        |w AS (SELECT source, n_tokens,
+        |    round(pow(CAST(n_tokens AS DOUBLE), 0.3), 6) AS w FROM b),
+        |t AS (SELECT CAST(sum(n_tokens) AS DOUBLE) AS nn,
+        |    CAST(sum(CAST(w AS DECIMAL(38,10))) AS DOUBLE) AS wsum FROM w)
+        |SELECT source, n_tokens,
+        |  round(CAST(n_tokens AS DOUBLE) / nn, 6) AS natural_share,
+        |  round(w / wsum, 6) AS temp_share,
+        |  round(round(w / wsum, 6)
+        |    / round(CAST(n_tokens AS DOUBLE) / nn, 6), 6) AS sample_factor,
+        |  CAST(round(round(w / wsum, 6) * nn, 0) AS BIGINT)
+        |    AS expected_tokens
+        |FROM w, t ORDER BY source""".stripMargin,
     // Replays the funnel stage by stage: q36's normalizer, q33's score
     // expression (raw components, rounded once), the q49 split, and the
     // independent sampling hash.

@@ -414,4 +414,30 @@ class CurationSpec extends SparkSpec {
     assert(graft.ops.DedupOps.pairFloorIfExceeds(corpus, 2L, Some(st))
       === graft.ops.DedupOps.pairFloorIfExceeds(corpus, 2L, None))
   }
+
+  test("temperature mix: alpha flattens shares, alpha = 1 is the identity") {
+    import spark.implicits._
+    import scala.math.BigDecimal.RoundingMode.HALF_UP
+    // A: 8 tokens, B: 2 tokens — natural shares 0.8 / 0.2
+    val docs = Seq(
+      (0L, "a b c d", "A"), (1L, "e f g h", "A"), (2L, "x y", "B"))
+      .toDF("doc_id", "text", "source")
+    def r6(x: Double) = BigDecimal(x).setScale(6, HALF_UP).toDouble
+    val m = CurationOps.temperatureMixOn(docs, alpha = 0.5).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val wA = r6(math.pow(8, 0.5))
+    val wB = r6(math.pow(2, 0.5))
+    val wsum = (BigDecimal(wA) + BigDecimal(wB)).toDouble
+    val tsB = r6(wB / wsum)
+    assert(m("A").getAs[Double]("temp_share") === r6(wA / wsum))
+    assert(m("B").getAs[Double]("temp_share") === tsB)
+    assert(m("B").getAs[Double]("sample_factor") === r6(tsB / 0.2))
+    assert(m("B").getAs[Double]("sample_factor") > 1.0,
+      "alpha < 1 must upsample the small source")
+    assert(m("A").getAs[Long]("expected_tokens")
+      === math.round(r6(wA / wsum) * 10.0))
+    // alpha = 1: temperature shares equal natural shares exactly
+    val id = CurationOps.temperatureMixOn(docs, alpha = 1.0).collect()
+    assert(id.forall(_.getAs[Double]("sample_factor") === 1.0))
+  }
 }
