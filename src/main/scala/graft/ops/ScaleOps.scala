@@ -240,6 +240,22 @@ object ScaleOps {
       .drop("_mid", "_pid", "_rn", "_off")
   }
 
+  /** Globally-ordered shard export — the curriculum-ordering writer: range
+    * repartition on `sort` (shard i's keys all precede shard i+1's) +
+    * a local sort per shard, so reading the part files in filename order
+    * (Spark numbers them by partition id) replays the corpus in global
+    * `sort` order without any single task ever holding more than one
+    * shard. The trainer-facing face of [[withGlobalRowNumber]]: rank when
+    * you need the number, writeOrdered when you need the bytes on disk in
+    * that order. `sort` should carry a unique tie-break column for a
+    * deterministic layout.
+    */
+  def writeOrdered(df: DataFrame, path: String, sort: Seq[Column],
+      shards: Int): Unit =
+    df.repartitionByRange(shards, sort: _*)
+      .sortWithinPartitions(sort: _*)
+      .write.mode("overwrite").parquet(path)
+
   /** Small-file compaction: rewrite a parquet directory into
     * ~`targetBytes`-sized files. Streaming sinks and fine-grained
     * partition writers accrete thousands of small files per directory;

@@ -69,6 +69,22 @@ class StatSpec extends SparkSpec {
     assert(res.passed, res.status.toString)
   }
 
+  test("writeOrdered: part files in filename order replay the global sort") {
+    val df = events.select("event_id", "value")
+    val dir = tmpDir("ordered-export")
+    ops.ScaleOps.writeOrdered(df, dir,
+      Seq(col("value").desc, col("event_id")), shards = 4)
+    val parts = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.getPath).sorted
+    assert(parts.length > 1, "must actually produce multiple shards")
+    val replayed = parts.toSeq.flatMap(p =>
+      spark.read.parquet(p).collect()
+        .map(r => (r.getDouble(1), r.getLong(0))))
+    val want = df.collect().map(r => (r.getDouble(1), r.getLong(0)))
+      .sortBy { case (v, id) => (-v, id) }.toSeq
+    assert(replayed === want)
+  }
+
   test("withGlobalRowNumber equals the built-in single-window row_number") {
     val df = events.select("event_id", "value")
     val got = ops.ScaleOps.withGlobalRowNumber(df,
