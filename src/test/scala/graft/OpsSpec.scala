@@ -149,6 +149,32 @@ class OpsSpec extends SparkSpec {
       (2L, 2L, 1L, 0.5)))
   }
 
+  test("novelty invariant at sf0.001: novel shingles partition the " +
+      "global distinct-shingle set") {
+    // every distinct shingle has exactly ONE first document, so the novel
+    // counts must sum to the corpus's global distinct-shingle count
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val out = TextOps.shingleNoveltyOn(docs)
+    val novelSum = out.agg(sum("n_novel")).head().getLong(0)
+    val globalDistinct = docs
+      .withColumn("toks", split(trim(col("text")), " "))
+      .filter(size(col("toks")) >= 3)
+      .select(explode(expr(
+        "transform(sequence(1, size(toks) - 2), i -> " +
+          "concat_ws(' ', toks[i-1], toks[i], toks[i+1]))")).as("sh"))
+      .distinct().count()
+    assert(novelSum === globalDistinct)
+  }
+
+  test("KL invariant at sf0.001: every source drift is non-negative") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val kls = TextOps.sourceDriftOn(docs).collect()
+      .map(r => r.getString(0) -> r.getAs[Double]("kl_nats"))
+    assert(kls.nonEmpty)
+    // Gibbs: KL >= 0 exactly; rounding at 9 dp can dip a hair below zero
+    kls.foreach { case (s, kl) => assert(kl >= -1e-6, s"$s: $kl") }
+  }
+
   test("doc chunks cover every token with the declared overlap") {
     import spark.implicits._
     val docs = Seq(
