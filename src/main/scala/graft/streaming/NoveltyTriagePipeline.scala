@@ -1,0 +1,70 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Streaming crawl triage: per-document K-shingle novelty against the
+  * indexed corpus with ZERO stream-side shuffle — the streaming face of
+  * `SpanOps.noveltyAgainstOn` / q111, built the `freshDocsBloom` way.
+  *
+  * The corpus's distinct shingle keys fold into one bloom filter at stream
+  * start (a bounded byte array riding the plan as a literal); each incoming
+  * document then scores ROW-LOCALLY: its own distinct shingle hashes fold
+  * through `graft_bloom_contains` — no join, no state, no watermark, so a
+  * crawl frontier can gate on novelty at wire speed.
+  *
+  * Bloom false positives only UNDERCOUNT novelty (a genuinely novel shingle
+  * read as already-indexed) — the conservative direction for a
+  * keep-if-novel gate: nothing stale is ever scored novel. Size `nBits` to
+  * the indexed corpus's distinct-shingle count for the usual FP math; the
+  * exact offline answer is `noveltyAgainstStore`.
+  */
+object NoveltyTriagePipeline {
+
+  /** Distinct 64-bit shingle keys (xxhash64 of the 16-byte md5 the span
+    * family shuffles on) — the bloom's domain.
+    */
+  private def shingleHashExpr(k: Int, toks: String): String =
+    s"transform(sequence(0, size($toks) - $k), i -> " +
+      s"xxhash64(unhex(md5(array_join(slice($toks, i + 1, $k), ' ')))))"
+
+  /** Build the corpus filter and return the scored stream. `docStream`
+    * needs (doc_id, text); appends n_shingles / n_novel / novelty_ratio
+    * (null ratio for docs shorter than K words, which emit no shingles).
+    */
+  def scoredDocs(docStream: DataFrame, corpus: DataFrame, k: Int = 8,
+      nBits: Int = 1 << 20, kHashes: Int = 7): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(corpus.sparkSession)
+    val filterBytes = corpus
+      .select(split(trim(col("text")), " ").as("toks"))
+      .where(size(col("toks")) >= k)
+      .select(explode(expr(shingleHashExpr(k, "toks"))).as("hk"))
+      .distinct()
+      .agg(expr(s"graft_bloom_agg(hk, $nBits, $kHashes)").as("b"))
+      .head().getAs[Array[Byte]]("b")
+    scoredAgainstFilter(docStream, filterBytes, k)
+  }
+
+  /** Score against pre-built filter bytes (persist them once beside the
+    * shingle store and every consumer skips the build pass).
+    */
+  def scoredAgainstFilter(docStream: DataFrame, filterBytes: Array[Byte],
+      k: Int = 8): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(docStream.sparkSession)
+    docStream
+      .withColumn("toks", split(trim(col("text")), " "))
+      .withColumn("shs",
+        when(size(col("toks")) >= k,
+          array_distinct(expr(shingleHashExpr(k, "toks"))))
+          .otherwise(typedLit(Seq.empty[Long])))
+      .withColumn("bf", lit(filterBytes))
+      .withColumn("n_shingles", size(col("shs")).cast("long"))
+      .withColumn("n_novel", expr(
+        "aggregate(shs, 0L, (acc, h) -> " +
+          "acc + IF(graft_bloom_contains(bf, h), 0L, 1L))"))
+      .withColumn("novelty_ratio",
+        when(col("n_shingles") > 0,
+          round(col("n_novel") / col("n_shingles"), 6)))
+      .drop("toks", "shs", "bf")
+  }
+}

@@ -311,6 +311,42 @@ class StreamingSpec extends SparkSpec {
     assert(got === Set(2L, 4L))
   }
 
+  test("novelty triage stream scores docs row-locally and matches the " +
+      "batch answer") {
+    import graft.streaming.NoveltyTriagePipeline
+    implicit val sqlCtx = spark.sqlContext
+    val corpus = Seq((0L, "a b c d")).toDF("doc_id", "text") // abc, bcd
+    val input = MemoryStream[(Long, String)]
+    val q = NoveltyTriagePipeline.scoredDocs(
+      input.toDS().toDF("doc_id", "text"), corpus, k = 3, nBits = 1 << 12)
+      .writeStream.format("memory").queryName("novelty_sink")
+      .outputMode("append").start()
+    val rows = Seq((10L, "a b c d"), (11L, "p q r s"),
+      (12L, "a b c x"), (13L, "a b"))
+    input.addData(rows: _*)
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("novelty_sink")
+      .select("doc_id", "n_shingles", "n_novel", "novelty_ratio")
+      .collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3))))).toMap
+    assert(got === Map(
+      10L -> ((2L, 0L, Some(0.0))), // exact copy of the index
+      11L -> ((2L, 2L, Some(1.0))), // fully fresh
+      12L -> ((2L, 1L, Some(0.5))), // half shared
+      13L -> ((0L, 0L, None)))) // shorter than k: no shingles, null ratio
+    // stream == batch for every doc the batch op scores (no FP undercount
+    // at this filter size on this fixture)
+    val batch = ops.SpanOps.noveltyAgainstOn(
+        rows.toDF("doc_id", "text"), corpus, 3)
+      .collect()
+      .map(r => (r.getLong(0), (r.getAs[Long]("n_distinct_shingles"),
+        r.getAs[Long]("n_novel"),
+        Some(r.getAs[Double]("novelty_ratio"))))).toMap
+    assert(batch === got.filter(_._2._1 > 0))
+  }
+
   test("file-source backpressure bounds each micro-batch of a pre-loaded dir") {
     import graft.streaming.TradeSource
     val drop = tmpDir("drop")
