@@ -707,6 +707,59 @@ object CurationOps {
       .withColumn("fp", xxhash64(col("norm")))
       .write.mode("append").parquet(path)
 
+  // ---- persisted cardinality store (mergeable HLL sketches) ---------------
+
+  /** Write the per-source token-cardinality SKETCH store: one
+    * Datasketches HLL byte blob per source (`hll_sketch_agg`,
+    * lgConfigK 14 ≈ ±0.8 % standard error, ~16 KB each). The cardinality
+    * face of the fingerprint/shingle/bloom store family: distinct-token
+    * counts keep answering at any corpus size from bounded bytes, and —
+    * unlike a stored NUMBER — sketches MERGE, so per-crawl updates union
+    * in ([[mergeIntoCardinalityStore]]) without ever re-reading the
+    * corpus. Exact distinct would need the full token set per source
+    * (the thing that does not fit at 100 TB); the sketch trades ~1 %
+    * error for O(1) storage and associative updates.
+    */
+  def writeCardinalityStore(docsDf: DataFrame, path: String): Unit =
+    docsDf.select(col("source"), explode(toks).as("token"))
+      .groupBy("source")
+      .agg(expr("hll_sketch_agg(token, 14)").as("sketch"))
+      .write.mode("overwrite").parquet(path)
+
+  /** Union a new batch's sketches into the store (full-outer on source:
+    * new sources appear, existing ones merge via `hll_union`). Rewrites
+    * the store via a staging temp view — the store is ≤|sources| rows, so
+    * the rewrite is trivial at any corpus size.
+    */
+  def mergeIntoCardinalityStore(batch: DataFrame, path: String): Unit = {
+    val s = batch.sparkSession
+    val store = s.read.parquet(path)
+    val schema = store.schema
+    val fresh = batch.select(col("source"), explode(toks).as("token"))
+      .groupBy("source")
+      .agg(expr("hll_sketch_agg(token, 14)").as("sketch"))
+    // materialize before the overwrite (reading lazily from the path being
+    // rewritten would race); ≤|sources| rows of bounded sketch bytes
+    val merged = store.withColumnRenamed("sketch", "old")
+      .join(fresh.withColumnRenamed("sketch", "new"), Seq("source"),
+        "full_outer")
+      .select(col("source"), expr(
+        "CASE WHEN old IS NULL THEN new WHEN new IS NULL THEN old " +
+          "ELSE hll_union(old, new) END").as("sketch"))
+      .collect()
+    import scala.jdk.CollectionConverters._
+    s.createDataFrame(merged.toSeq.asJava, schema)
+      .write.mode("overwrite").parquet(path)
+  }
+
+  /** Estimated distinct tokens per source from the store — no corpus
+    * access at all. */
+  def cardinalityFromStore(s: SparkSession, path: String): DataFrame =
+    s.read.parquet(path)
+      .select(col("source"),
+        expr("hll_sketch_estimate(sketch)").as("est_distinct_tokens"))
+      .orderBy("source")
+
   /** The ANALYZE-style maintenance entry, run whenever the corpus snapshot
     * changes (the same cadence as a fingerprint-store rebuild): refreshes
     * BOTH persisted artifacts under one root — `<root>/fingerprints` (the

@@ -415,6 +415,27 @@ class CurationSpec extends SparkSpec {
       === graft.ops.DedupOps.pairFloorIfExceeds(corpus, 2L, None))
   }
 
+  test("cardinality store: sketches answer exactly at small scale and " +
+      "merge across crawls") {
+    import spark.implicits._
+    val path = tmpDir("hll-store")
+    val corpus = Seq(
+      (0L, "a b c a", "s1"), // s1 distinct: a b c = 3
+      (1L, "x y", "s2")) // s2 distinct: x y = 2
+      .toDF("doc_id", "text", "source")
+    CurationOps.writeCardinalityStore(corpus, path)
+    def est(): Map[String, Long] =
+      CurationOps.cardinalityFromStore(spark, path).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // HLL is exact in sparse mode at these cardinalities
+    assert(est() === Map("s1" -> 3L, "s2" -> 2L))
+    // merge: s1 gains one new token (b d overlap-aware), s3 is brand new
+    val batch = Seq((2L, "b d", "s1"), (3L, "p q r", "s3"))
+      .toDF("doc_id", "text", "source")
+    CurationOps.mergeIntoCardinalityStore(batch, path)
+    assert(est() === Map("s1" -> 4L, "s2" -> 2L, "s3" -> 3L))
+  }
+
   test("temperature mix: alpha flattens shares, alpha = 1 is the identity") {
     import spark.implicits._
     import scala.math.BigDecimal.RoundingMode.HALF_UP
