@@ -168,11 +168,19 @@ class OpsSpec extends SparkSpec {
 
   test("KL invariant at sf0.001: every source drift is non-negative") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
-    val kls = TextOps.sourceDriftOn(docs).collect()
+    val drift = TextOps.sourceDriftOn(docs)
+    val kls = drift.collect()
       .map(r => r.getString(0) -> r.getAs[Double]("kl_nats"))
     assert(kls.nonEmpty)
     // Gibbs: KL >= 0 exactly; rounding at 9 dp can dip a hair below zero
     kls.foreach { case (s, kl) => assert(kl >= -1e-6, s"$s: $kl") }
+    // the token totals / source totals / grand total branches all derive
+    // from the SAME (source, token) contraction — the static plan prints
+    // the subtree several times, but at runtime AQE must collapse them to
+    // ONE corpus explode via exchange reuse
+    val finalPlan = drift.queryExecution.executedPlan.toString
+    assert(finalPlan.contains("ReusedExchange"),
+      "q114 must reuse the contraction exchange, not re-explode the corpus")
   }
 
   test("doc chunks cover every token with the declared overlap") {
