@@ -556,14 +556,18 @@ object CurationOps {
     val tot = broadcast(base.agg(
       sum("n_tokens").cast("double").as("nn"),
       sum(col("w").cast(Dec)).cast("double").as("wsum")))
+    // factor and expected tokens derive from the UNROUNDED shares: the
+    // display shares quantize at 6 dp, and a tail source below ~5e-7 of
+    // the corpus would round its natural share to 0.0 — nulling the very
+    // upsampling factor the alpha rule exists to report
+    val rawNatural = col("n_tokens").cast("double") / col("nn")
+    val rawTemp = col("w") / col("wsum")
     base.crossJoin(tot)
-      .withColumn("natural_share",
-        round(col("n_tokens").cast("double") / col("nn"), 6))
-      .withColumn("temp_share", round(col("w") / col("wsum"), 6))
-      .withColumn("sample_factor",
-        round(col("temp_share") / col("natural_share"), 6))
+      .withColumn("natural_share", round(rawNatural, 6))
+      .withColumn("temp_share", round(rawTemp, 6))
+      .withColumn("sample_factor", round(rawTemp / rawNatural, 6))
       .withColumn("expected_tokens",
-        round(col("temp_share") * col("nn"), 0).cast("long"))
+        round(rawTemp * col("nn"), 0).cast("long"))
       .select("source", "n_tokens", "natural_share", "temp_share",
         "sample_factor", "expected_tokens")
       .orderBy("source")
@@ -727,9 +731,10 @@ object CurationOps {
       .write.mode("overwrite").parquet(path)
 
   /** Union a new batch's sketches into the store (full-outer on source:
-    * new sources appear, existing ones merge via `hll_union`). Rewrites
-    * the store via a staging temp view — the store is ≤|sources| rows, so
-    * the rewrite is trivial at any corpus size.
+    * new sources appear, existing ones merge via `hll_union`). The merged
+    * rows round-trip through the driver before the overwrite — ≤|sources|
+    * rows of bounded sketch bytes, and reading lazily from the path being
+    * rewritten would race the overwrite.
     */
   def mergeIntoCardinalityStore(batch: DataFrame, path: String): Unit = {
     val s = batch.sparkSession
@@ -934,9 +939,9 @@ object CurationOps {
         |SELECT source, n_tokens,
         |  round(CAST(n_tokens AS DOUBLE) / nn, 6) AS natural_share,
         |  round(w / wsum, 6) AS temp_share,
-        |  round(round(w / wsum, 6)
-        |    / round(CAST(n_tokens AS DOUBLE) / nn, 6), 6) AS sample_factor,
-        |  CAST(round(round(w / wsum, 6) * nn, 0) AS BIGINT)
+        |  round((w / wsum)
+        |    / (CAST(n_tokens AS DOUBLE) / nn), 6) AS sample_factor,
+        |  CAST(round((w / wsum) * nn, 0) AS BIGINT)
         |    AS expected_tokens
         |FROM w, t ORDER BY source""".stripMargin,
     // Replays the funnel stage by stage: q36's normalizer, q33's score

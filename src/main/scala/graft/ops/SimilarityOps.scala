@@ -740,17 +740,21 @@ object SimilarityOps {
   // ---------------------------------------------------------------- q110
 
   /** q110: embedding-store integrity audit — per label: vector count, the
-    * dimension range (ragged arrays are the classic silent killer of a
-    * downstream matmul: one short vector poisons a whole batch), the L2
-    * norm range/mean, and the count of degenerate (near-zero-norm) vectors
-    * that would NaN out a cosine. Run before any ANN/dedup pass over a
-    * freshly ingested embedding table; at 100 TB this is one linear scan
-    * with an ≤|labels|-row aggregate and the same per-row native VecDot
-    * kernel the ANN queries use — no shuffle wider than the label rollup.
+    * count of NULL vectors (they'd silently null out a downstream cosine —
+    * min/max/avg all skip nulls, so without an explicit column the audit
+    * itself would be blind to them), the dimension range (ragged arrays
+    * are the classic silent killer of a downstream matmul: one short
+    * vector poisons a whole batch), the L2 norm range/mean, and the count
+    * of degenerate (near-zero-norm) vectors that would NaN out a cosine.
+    * Run before any ANN/dedup pass over a freshly ingested embedding
+    * table; at 100 TB this is one linear scan with an ≤|labels|-row
+    * aggregate and the same per-row native VecDot kernel the ANN queries
+    * use — no shuffle wider than the label rollup.
     *
     * Determinism: the per-row norm is the index-ordered [[dot]] fold
     * (bit-identical to the unrolled oracle SQL), rounded to 6 dp; the mean
-    * runs through an exact decimal sum of those rounded norms.
+    * runs through an exact decimal sum of those rounded norms, divided by
+    * the NON-NULL count.
     */
   def embeddingAudit(s: SparkSession, dir: String): DataFrame =
     embeddingAuditOn(emb(s, dir))
@@ -766,9 +770,10 @@ object SimilarityOps {
       .groupBy("label")
       .agg(
         count(lit(1)).as("n"),
+        sum(when(col("dim").isNull, 1L).otherwise(0L)).as("n_null"),
         min("dim").as("min_dim"), max("dim").as("max_dim"),
         min("nrm").as("min_norm"), max("nrm").as("max_norm"),
-        round(sum(col("nrm").cast(Dec)).cast("double") / count(lit(1)), 6)
+        round(sum(col("nrm").cast(Dec)).cast("double") / count(col("nrm")), 6)
           .as("avg_norm"),
         sum(when(col("nrm") < 1e-6, 1L).otherwise(0L)).as("n_degenerate"))
       .orderBy("label")
@@ -832,11 +837,13 @@ object SimilarityOps {
          |    round(${sqlNorm("embedding")}, 6) AS nrm,
          |    len(embedding) AS dim FROM embeddings)
          |SELECT label, count(*) AS n,
+         |  CAST(sum(CASE WHEN dim IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_null,
          |  CAST(min(dim) AS BIGINT) AS min_dim,
          |  CAST(max(dim) AS BIGINT) AS max_dim,
          |  min(nrm) AS min_norm, max(nrm) AS max_norm,
          |  round(CAST(sum(CAST(nrm AS DECIMAL(38,10))) AS DOUBLE)
-         |    / count(*), 6) AS avg_norm,
+         |    / count(nrm), 6) AS avg_norm,
          |  CAST(sum(CASE WHEN nrm < 1e-6 THEN 1 ELSE 0 END) AS BIGINT)
          |    AS n_degenerate
          |FROM d GROUP BY label ORDER BY label""".stripMargin,

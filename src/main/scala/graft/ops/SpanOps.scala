@@ -47,14 +47,21 @@ object SpanOps {
     * flag a span as duplicated) stays negligible past 10^12 shingles —
     * the same key-width reasoning as the dedup family's md5 membership
     * keys. */
+  /** SQL fragment: the 16-byte md5 K-shingle keys of a token-array column
+    * as an array expression — THE shingle-key definition, shared by every
+    * span-family op here and the streaming novelty face
+    * (`NoveltyTriagePipeline`), so the two can never silently diverge.
+    */
+  private[graft] def shingleKeysExpr(k: Int, toks: String): String =
+    s"transform(sequence(0, size($toks) - $k)," +
+      s" i -> unhex(md5(array_join(slice($toks, i + 1, $k), ' '))))"
+
   private def shingleOcc(docsDf: DataFrame, k: Int): DataFrame =
     docsDf
       .select(col("doc_id"), split(trim(col("text")), " ").as("toks"))
       .where(size(col("toks")) >= k)
-      .select(col("doc_id"), posexplode(expr(
-        s"transform(sequence(0, size(toks) - $k)," +
-          s" i -> unhex(md5(array_join(slice(toks, i + 1, $k), ' '))))"))
-        .as(Seq("pos", "h")))
+      .select(col("doc_id"),
+        posexplode(expr(shingleKeysExpr(k, "toks"))).as(Seq("pos", "h")))
 
   /** Duplicated (doc_id, pos) shingle occurrences: the shingle starting at
     * `pos` occurs ≥ 2 times corpus-wide (same doc or another doc — an

@@ -21,12 +21,14 @@ import org.apache.spark.sql.functions._
   */
 object NoveltyTriagePipeline {
 
-  /** Distinct 64-bit shingle keys (xxhash64 of the 16-byte md5 the span
-    * family shuffles on) — the bloom's domain.
+  /** 64-bit shingle keys (xxhash64 of the 16-byte md5 keys the span family
+    * shuffles on — `SpanOps.shingleKeysExpr` is the ONE shingle-key
+    * definition, so batch and stream can never silently diverge) — the
+    * bloom's domain.
     */
   private def shingleHashExpr(k: Int, toks: String): String =
-    s"transform(sequence(0, size($toks) - $k), i -> " +
-      s"xxhash64(unhex(md5(array_join(slice($toks, i + 1, $k), ' ')))))"
+    s"transform(${graft.ops.SpanOps.shingleKeysExpr(k, toks)}, " +
+      "h -> xxhash64(h))"
 
   /** Build the corpus filter and return the scored stream. `docStream`
     * needs (doc_id, text); appends n_shingles / n_novel / novelty_ratio
@@ -35,11 +37,14 @@ object NoveltyTriagePipeline {
   def scoredDocs(docStream: DataFrame, corpus: DataFrame, k: Int = 8,
       nBits: Int = 1 << 20, kHashes: Int = 7): DataFrame = {
     graft.functions.GraftFunctions.ensureRegistered(corpus.sparkSession)
+    // no distinct() before the fold: bloom insertion is idempotent, so
+    // duplicate keys change nothing in the bytes — a distinct would pay a
+    // full corpus-sized shuffle for nothing (per-task partial filters of
+    // nBits/8 bytes each merge to the single row instead)
     val filterBytes = corpus
       .select(split(trim(col("text")), " ").as("toks"))
       .where(size(col("toks")) >= k)
       .select(explode(expr(shingleHashExpr(k, "toks"))).as("hk"))
-      .distinct()
       .agg(expr(s"graft_bloom_agg(hk, $nBits, $kHashes)").as("b"))
       .head().getAs[Array[Byte]]("b")
     scoredAgainstFilter(docStream, filterBytes, k)

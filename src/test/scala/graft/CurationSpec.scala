@@ -449,14 +449,16 @@ class CurationSpec extends SparkSpec {
     val wA = r6(math.pow(8, 0.5))
     val wB = r6(math.pow(2, 0.5))
     val wsum = (BigDecimal(wA) + BigDecimal(wB)).toDouble
-    val tsB = r6(wB / wsum)
     assert(m("A").getAs[Double]("temp_share") === r6(wA / wsum))
-    assert(m("B").getAs[Double]("temp_share") === tsB)
-    assert(m("B").getAs[Double]("sample_factor") === r6(tsB / 0.2))
+    assert(m("B").getAs[Double]("temp_share") === r6(wB / wsum))
+    // factor/expected derive from the UNROUNDED shares (display rounding
+    // must not quantize a tail source's factor to null/0)
+    assert(m("B").getAs[Double]("sample_factor")
+      === r6((wB / wsum) / (2.0 / 10.0)))
     assert(m("B").getAs[Double]("sample_factor") > 1.0,
       "alpha < 1 must upsample the small source")
     assert(m("A").getAs[Long]("expected_tokens")
-      === math.round(r6(wA / wsum) * 10.0))
+      === math.round((wA / wsum) * 10.0))
     // alpha = 1: temperature shares equal natural shares exactly
     val id = CurationOps.temperatureMixOn(docs, alpha = 1.0).collect()
     assert(id.forall(_.getAs[Double]("sample_factor") === 1.0))

@@ -737,21 +737,27 @@ class DedupSpec extends SparkSpec {
 
   // ---------------------------------------------------------------- q110
 
-  test("embedding audit: ragged dims and degenerate vectors are flagged") {
+  test("embedding audit: ragged dims, degenerate and NULL vectors are " +
+      "flagged") {
     import spark.implicits._
     val rows = Seq(
       (0L, Array(3.0f, 4.0f), 1), // norm 5
       (1L, Array(0.0f, 0.0f), 1), // degenerate
-      (2L, Array(1.0f, 0.0f, 0.0f), 2)) // ragged: dim 3
+      (2L, Array(1.0f, 0.0f, 0.0f), 2), // ragged: dim 3
+      (3L, null.asInstanceOf[Array[Float]], 2)) // NULL vector
       .toDF("vec_id", "embedding", "label")
     val got = SimilarityOps.embeddingAuditOn(rows).collect()
     val l1 = got.find(_.getInt(0) == 1).get
     assert(l1.getAs[Long]("n") === 2L)
+    assert(l1.getAs[Long]("n_null") === 0L)
     assert(l1.getAs[Long]("n_degenerate") === 1L)
     assert(l1.getAs[Double]("min_norm") === 0.0)
     assert(l1.getAs[Double]("max_norm") === 5.0)
     assert(l1.getAs[Long]("min_dim") === 2L && l1.getAs[Long]("max_dim") === 2L)
     val l2 = got.find(_.getInt(0) == 2).get
+    assert(l2.getAs[Long]("n") === 2L)
+    // the null row is counted explicitly and does NOT dilute the mean
+    assert(l2.getAs[Long]("n_null") === 1L)
     assert(l2.getAs[Long]("min_dim") === 3L)
     assert(l2.getAs[Double]("avg_norm") === 1.0)
     assert(l2.getAs[Long]("n_degenerate") === 0L)
