@@ -51,10 +51,16 @@ object CorpusStats {
   private val dirCache =
     scala.collection.concurrent.TrieMap.empty[String, CorpusStats]
 
-  /** Stats for `dir`'s documents table, computed at most once per JVM. */
+  /** Stats for `dir`'s documents table, resolved at most once per JVM:
+    * first from the persisted `<dir>/corpus_stats` table if an ANALYZE
+    * pass ([[analyze]] / `CurationOps.analyzeCorpus`) left one — so a
+    * FRESH JVM over an analyzed corpus never pays the probe aggregation —
+    * falling back to [[compute]] otherwise.
+    */
   def forDir(s: SparkSession, dir: String): CorpusStats =
     dirCache.getOrElseUpdate(dir,
-      compute(graft.Tables.t(s, dir, "documents")))
+      read(s, s"$dir/corpus_stats")
+        .getOrElse(compute(graft.Tables.t(s, dir, "documents"))))
 
   def invalidate(dir: String): Unit = dirCache.remove(dir)
 

@@ -732,9 +732,13 @@ object CurationOps {
 
   /** Union a new batch's sketches into the store (full-outer on source:
     * new sources appear, existing ones merge via `hll_union`). The merged
-    * rows round-trip through the driver before the overwrite — ≤|sources|
-    * rows of bounded sketch bytes, and reading lazily from the path being
-    * rewritten would race the overwrite.
+    * rows round-trip through the driver — ≤|sources| rows of bounded
+    * sketch bytes, and reading lazily from the path being rewritten would
+    * race the rewrite. The new store lands via staging-dir write + atomic
+    * two-rename swap ([[ScaleOps.swapInto]]), never `mode("overwrite")` on
+    * the live path: this state is BY DESIGN unrebuildable without
+    * re-reading every past crawl, so a crash between overwrite's delete
+    * and its commit would be permanent sketch loss.
     */
   def mergeIntoCardinalityStore(batch: DataFrame, path: String): Unit = {
     val s = batch.sparkSession
@@ -743,8 +747,6 @@ object CurationOps {
     val fresh = batch.select(col("source"), explode(toks).as("token"))
       .groupBy("source")
       .agg(expr("hll_sketch_agg(token, 14)").as("sketch"))
-    // materialize before the overwrite (reading lazily from the path being
-    // rewritten would race); ≤|sources| rows of bounded sketch bytes
     val merged = store.withColumnRenamed("sketch", "old")
       .join(fresh.withColumnRenamed("sketch", "new"), Seq("source"),
         "full_outer")
@@ -753,8 +755,10 @@ object CurationOps {
           "ELSE hll_union(old, new) END").as("sketch"))
       .collect()
     import scala.jdk.CollectionConverters._
+    val staging = path + ".merging"
     s.createDataFrame(merged.toSeq.asJava, schema)
-      .write.mode("overwrite").parquet(path)
+      .write.mode("overwrite").parquet(staging)
+    ScaleOps.swapInto(s, staging, path)
   }
 
   /** Estimated distinct tokens per source from the store — no corpus

@@ -1,7 +1,7 @@
 package graft.ops
 
 import graft.Tables
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators over `documents` — the core training-data-pipeline
@@ -743,12 +743,33 @@ object DedupOps {
       Seq("doc_id"))
     val edges = minePairs(reps)
       .select(col("a_id").as("src"), col("b_id").as("dst"))
-    val nodes = groups.select(col("rep_id").as("id"))
-    val cc = connectedComponents(nodes, edges, reliable)
-    withKey.join(groups, Seq("__nh"))
-      .join(cc.select(col("id").as("rep_id"), col("rep")), Seq("rep_id"))
-      .select(col("doc_id"), col("rep"))
-      .orderBy("doc_id")
+    val members = withKey.join(groups, Seq("__nh"))
+    // One probe job fetches the mined rep-pair edge set up to the driver
+    // cap. Zero edges (every rep its own component — the common case on a
+    // corpus whose near-dups are all EXACT dups): rep_id is already the
+    // final label, no CC at all. Within the cap: driver union-find +
+    // broadcast label join — no iterative loop, no data-sized identity
+    // join. Past the cap: the distributed pointer-jumping loop over the
+    // checkpointed edge frame, the 100 TB arm.
+    val head = edgesUpToCap(edges)
+    val out =
+      if (head.isEmpty)
+        members.select(col("doc_id"), col("rep_id").as("rep"))
+      else if (head.length <= DriverCcMaxEdges)
+        members
+          .join(broadcast(unionFindLabels(docsDf.sparkSession, head)
+            .withColumnRenamed("id", "rep_id")), Seq("rep_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("_uf_rep"), col("rep_id")).as("rep"))
+      else {
+        val nodes = groups.select(col("rep_id").as("id"))
+        val cc = connectedComponents(nodes, truncateLineage(edges, reliable),
+          reliable)
+        members
+          .join(cc.select(col("id").as("rep_id"), col("rep")), Seq("rep_id"))
+          .select(col("doc_id"), col("rep"))
+      }
+    out.orderBy("doc_id")
   }
 
   /** Near-dup clustering: connected components over the exact Jaccard pair
@@ -871,12 +892,87 @@ object DedupOps {
     * [[dedupClusters]]; callers must have set a checkpoint dir). Returns
     * (id, rep) for every node, rep = component minimum.
     */
+  /** Undirected-edge-row cap for the driver union-find arm: 4M rows ≈
+    * 64 MB of long pairs — a bounded metadata hop in the fingerprint-store
+    * / centroid-collect class, NOT a data collect. Above it the
+    * distributed pointer-jumping loop runs.
+    */
+  private[graft] val DriverCcMaxEdges: Int = 4 << 20
+
+  /** Probe an undirected edge frame with ONE job: up to cap+1 rows. A
+    * result within the cap is the whole edge set (drives the union-find
+    * arm, or the zero-edge short-circuit); cap+1 rows means "too big,
+    * use the distributed loop". Fusing the emptiness test, the size gate
+    * and the edge collect into one action matters because at catalog
+    * scale the clustering cost is dominated by the NUMBER of sequential
+    * driver-blocking jobs, not by data volume.
+    */
+  private def edgesUpToCap(undirected: DataFrame): Array[Row] =
+    undirected.select(col("src").cast("long"), col("dst").cast("long"))
+      .limit(DriverCcMaxEdges + 1).collect()
+
+  /** Union-find with path compression over collected undirected pairs,
+    * union by MIN root: the smaller root always survives, and since every
+    * member starts as its own root the final root IS the component
+    * minimum — exactly the label min-propagation converges to. Returns
+    * one (id, rep) row per node that appears in an edge; callers
+    * left-join + coalesce so untouched nodes label themselves.
+    */
+  private def unionFindLabels(s: SparkSession, pairs: Array[Row]): DataFrame = {
+    import s.implicits._
+    val parent = new java.util.HashMap[Long, Long]()
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.get(r) != r) r = parent.get(r)
+      var c = x
+      while (c != r) { val n = parent.get(c); parent.put(c, r); c = n }
+      r
+    }
+    pairs.foreach { row =>
+      val a = row.getLong(0); val b = row.getLong(1)
+      parent.putIfAbsent(a, a); parent.putIfAbsent(b, b)
+      val ra = find(a); val rb = find(b)
+      if (ra != rb) parent.put(math.max(ra, rb), math.min(ra, rb))
+    }
+    import scala.jdk.CollectionConverters._
+    parent.keySet().asScala.iterator
+      .map(k => (k.toLong, find(k))).toSeq.toDF("id", "_uf_rep")
+  }
+
+  /** Size-dispatched: the label graph is the MINED near-dup edge set —
+    * after contraction usually minuscule relative to the corpus — while
+    * the pointer-jumping loop pays a fixed ~3-joins+checkpoint+
+    * convergence-probe tax PER ROUND regardless of edge count. Up to
+    * [[DriverCcMaxEdges]] rows the components come from a driver
+    * union-find over the collected pairs — one bounded single-job probe +
+    * one broadcast join instead of the loop. Beyond the cap (a genuinely
+    * huge mined graph at 100 TB) the distributed loop is the arm that
+    * runs; node count never gates anything, so the corpus-sized side
+    * stays distributed in both arms.
+    */
   def connectedComponents(nodes: DataFrame,
       undirected: DataFrame, reliable: Boolean = false): DataFrame = {
-    val edges = truncateLineage(
-      undirected
-        .union(undirected.select(col("dst").as("src"), col("src").as("dst"))),
-      reliable)
+    val head = edgesUpToCap(undirected)
+    if (head.isEmpty)
+      nodes.select(col("id"), col("id").as("rep"))
+    else if (head.length <= DriverCcMaxEdges)
+      nodes.join(broadcast(unionFindLabels(nodes.sparkSession, head)), Seq("id"),
+          "left")
+        .select(col("id"), coalesce(col("_uf_rep"), col("id")).as("rep"))
+    else {
+      val edges = truncateLineage(
+        undirected.union(
+          undirected.select(col("dst").as("src"), col("src").as("dst"))),
+        reliable)
+      connectedComponentsLoop(nodes, edges, reliable)
+    }
+  }
+
+  /** The distributed arm: min-label propagation with pointer jumping over
+    * an ALREADY bidirectional, lineage-truncated edge frame.
+    */
+  private[graft] def connectedComponentsLoop(nodes: DataFrame,
+      edges: DataFrame, reliable: Boolean = false): DataFrame = {
     // round 0 fused into initialization: label = min(self, neighbors)
     var labels = truncateLineage(
       nodes

@@ -217,17 +217,29 @@ object ScaleOps {
     // documented layout — partition id in the upper 31 bits, the
     // within-partition record number in the lower 33 — assigned along the
     // sortWithinPartitions order.
-    val ranged = df.repartitionByRange(sort: _*)
+    //
+    // The localCheckpoint is a CORRECTNESS precondition, not a tuning
+    // knob: the ranked branch and the per-pid count branch below must
+    // observe the SAME physical range partitioning. RangePartitioner
+    // samples its boundaries with an execution-specific (rdd.id-derived)
+    // seed, so two independent executions of the same repartitionByRange
+    // can draw DIFFERENT boundaries — the counts would then describe
+    // partitions other than the ones that assigned _mid, silently
+    // corrupting every rank. Materializing the ranged frame once pins one
+    // set of boundaries for both consumers regardless of whether
+    // ReuseExchange fires (spark.sql.exchange.reuse=false, AQE planning
+    // divergence, future plan edits breaking canonical equality).
+    val ranged = df.repartitionByRange(sort: _*).localCheckpoint(true)
     val ranked = ranged
       .sortWithinPartitions(sort: _*)
       .withColumn("_mid", monotonically_increasing_id())
       .withColumn("_pid", shiftright(col("_mid"), 33).cast("int"))
       .withColumn("_rn",
         col("_mid").bitwiseAND(lit((1L << 33) - 1)) + lit(1L))
-    // per-partition counts off the UNSORTED exchange (ReuseExchange shares
-    // it with the ranked branch; a count doesn't need the local sort, and
-    // aggregating above sortWithinPartitions would re-sort the whole
-    // input a second time)
+    // per-partition counts off the UNSORTED checkpointed blocks (shared
+    // with the ranked branch by construction; a count doesn't need the
+    // local sort, and aggregating above sortWithinPartitions would
+    // re-sort the whole input a second time)
     val offs = ranged.withColumn("_pid", spark_partition_id())
       .groupBy("_pid").agg(count(lit(1)).as("_cnt"))
       .withColumn("_off",
@@ -280,25 +292,45 @@ object ScaleOps {
     val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val bytes = fs.getContentSummary(hPath).getLength
     val nFiles = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
-    val tmp = new org.apache.hadoop.fs.Path(dir + ".compacting")
+    val tmp = dir + ".compacting"
     spark.read.parquet(dir)
       .repartition(nFiles)
-      .write.mode("overwrite").parquet(tmp.toString)
+      .write.mode("overwrite").parquet(tmp)
+    swapInto(spark, tmp, dir)
+  }
+
+  /** Publish a fully-written `staging` directory at `dir` via two metadata
+    * renames — the crash-safe alternative to `mode("overwrite")` on a
+    * durable store path (overwrite DELETES the existing directory before
+    * the new files commit, so a crash mid-write loses the old state). Every
+    * crash point leaves a complete copy of the data under a discoverable
+    * name (before the first rename: original at `dir`; between renames:
+    * original at `dir.old`, new data at `staging`; after: new data at
+    * `dir`, original at `dir.old` until the final cleanup delete). The
+    * window in which `dir` does not exist is two metadata renames, not a
+    * recursive delete; concurrent readers must still be drained externally,
+    * as with any in-place rewrite.
+    */
+  def swapInto(spark: SparkSession, staging: String, dir: String): Unit = {
+    val hPath = new org.apache.hadoop.fs.Path(dir)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new org.apache.hadoop.fs.Path(staging)
     val old = new org.apache.hadoop.fs.Path(dir + ".old")
-    fs.delete(old, true) // leftover from a previous crashed compact
+    fs.delete(old, true) // leftover from a previous crashed swap
     if (!fs.rename(hPath, old))
-      throw new java.io.IOException(s"compact: rename $hPath -> $old failed")
+      throw new java.io.IOException(s"swapInto: rename $hPath -> $old failed")
     if (!fs.rename(tmp, hPath)) {
       // roll back so `dir` stays populated; if even that fails, say WHERE
       // the data survives — a silent rollback failure would present as
       // total data loss to the next reader
       if (fs.rename(old, hPath))
-        throw new java.io.IOException(s"compact: rename $tmp -> $hPath " +
+        throw new java.io.IOException(s"swapInto: rename $tmp -> $hPath " +
           "failed (original restored)")
       else
-        throw new java.io.IOException(s"compact: rename $tmp -> $hPath " +
+        throw new java.io.IOException(s"swapInto: rename $tmp -> $hPath " +
           s"failed AND rollback failed — original data is intact at $old")
     }
     fs.delete(old, true)
+    ()
   }
 }

@@ -766,11 +766,17 @@ object SimilarityOps {
     embDf
       .select(col("label"),
         round(norm(col("embedding")), 6).as("nrm"),
-        size(col("embedding")).cast("long").as("dim"))
+        // dim guarded by isNotNull rather than relying on size(NULL) =
+        // NULL: under spark.sql.legacy.sizeOfNull a NULL embedding would
+        // report dim = -1, so n_null would read 0 and min_dim -1 —
+        // silently defeating the audit's whole point of surfacing NULLs
+        when(col("embedding").isNotNull,
+          size(col("embedding")).cast("long")).as("dim"),
+        col("embedding").isNull.as("is_null"))
       .groupBy("label")
       .agg(
         count(lit(1)).as("n"),
-        sum(when(col("dim").isNull, 1L).otherwise(0L)).as("n_null"),
+        sum(when(col("is_null"), 1L).otherwise(0L)).as("n_null"),
         min("dim").as("min_dim"), max("dim").as("max_dim"),
         min("nrm").as("min_norm"), max("nrm").as("max_norm"),
         round(sum(col("nrm").cast(Dec)).cast("double") / count(col("nrm")), 6)

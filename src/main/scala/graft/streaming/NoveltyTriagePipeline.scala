@@ -47,7 +47,13 @@ object NoveltyTriagePipeline {
       .select(explode(expr(shingleHashExpr(k, "toks"))).as("hk"))
       .agg(expr(s"graft_bloom_agg(hk, $nBits, $kHashes)").as("b"))
       .head().getAs[Array[Byte]]("b")
-    scoredAgainstFilter(docStream, filterBytes, k)
+    // Empty-corpus guard: a corpus with no >=k-token document aggregates
+    // zero rows and the fold yields NULL — as a NullType literal that
+    // would fail analysis (or null out n_novel) downstream. The
+    // semantically right filter for "nothing indexed yet" is the all-zero
+    // filter: every probe misses, every shingle scores novel.
+    scoredAgainstFilter(docStream,
+      if (filterBytes == null) new Array[Byte](nBits / 8) else filterBytes, k)
   }
 
   /** Score against pre-built filter bytes (persist them once beside the
@@ -55,6 +61,10 @@ object NoveltyTriagePipeline {
     */
   def scoredAgainstFilter(docStream: DataFrame, filterBytes: Array[Byte],
       k: Int = 8): DataFrame = {
+    require(filterBytes != null && filterBytes.nonEmpty,
+      "scoredAgainstFilter: filterBytes must be a non-empty bloom byte " +
+        "array (for an empty corpus pass an all-zero array of nBits/8 " +
+        "bytes — every shingle then scores novel)")
     graft.functions.GraftFunctions.ensureRegistered(docStream.sparkSession)
     docStream
       .withColumn("toks", split(trim(col("text")), " "))

@@ -90,6 +90,17 @@ class CorpusStatsSpec extends SparkSpec {
     intercept[Exception] { CorpusStats.forDir(spark, dir) }
   }
 
+  test("forDir reads persisted corpus_stats before computing") {
+    val dir = tmpDir("stats-readhit")
+    // numbers no compute fallback could produce, and NO documents table in
+    // the directory at all — the only way the assertion can pass is the
+    // persisted row being read (a compute attempt would throw)
+    val st = CorpusStats(rows = 42, distinctTexts = 41, exactDupPairFloor = 1)
+    CorpusStats.write(st, spark, s"$dir/corpus_stats")
+    try assert(CorpusStats.forDir(spark, dir) === st)
+    finally CorpusStats.invalidate(dir)
+  }
+
   test("q56/q63 stats-driven arm choice matches the probe-driven choice " +
       "and both arms stay row-identical") {
     val rnd = new scala.util.Random(11)

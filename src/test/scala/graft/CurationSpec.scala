@@ -434,6 +434,12 @@ class CurationSpec extends SparkSpec {
       .toDF("doc_id", "text", "source")
     CurationOps.mergeIntoCardinalityStore(batch, path)
     assert(est() === Map("s1" -> 4L, "s2" -> 2L, "s3" -> 3L))
+    // the merge publishes via staging + atomic swap (a crash must never
+    // leave the store deleted-but-unwritten) and cleans up after itself
+    assert(!new java.io.File(path + ".merging").exists,
+      "staging dir must be swapped away")
+    assert(!new java.io.File(path + ".old").exists,
+      "parked old store must be cleaned up")
   }
 
   test("temperature mix: alpha flattens shares, alpha = 1 is the identity") {

@@ -735,6 +735,76 @@ class DedupSpec extends SparkSpec {
     assert(banded === exact)
   }
 
+  test("connectedComponents zero-edge short-circuit labels every node " +
+      "with itself") {
+    import spark.implicits._
+    val nodes = Seq(5L, 9L, 2L).toDF("id")
+    val edges = Seq.empty[(Long, Long)].toDF("src", "dst")
+    val got = DedupOps.connectedComponents(nodes, edges).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === Set((5L, 5L), (9L, 9L), (2L, 2L)))
+  }
+
+  test("connectedComponents driver union-find arm equals the distributed " +
+      "pointer-jumping loop on a random graph") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    // 300 nodes, ~200 random edges: a mix of multi-node components, a
+    // long path (stresses pointer jumping), and isolated singletons
+    val ids = (0L until 300L)
+    val random = (0 until 200).map(_ =>
+      (ids(rnd.nextInt(300)), ids(rnd.nextInt(300)))).filter(p => p._1 != p._2)
+    val path = (250L until 299L).map(i => (i, i + 1)) // path component
+    val undirected = (random ++ path).toDF("src", "dst")
+    val nodes = ids.toDF("id")
+    val viaUf = DedupOps.connectedComponents(nodes, undirected)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val bidir = undirected.union(
+      undirected.select(col("dst").as("src"), col("src").as("dst")))
+      .localCheckpoint(true)
+    val viaLoop = DedupOps.connectedComponentsLoop(nodes, bidir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(viaUf === viaLoop)
+    assert(viaUf.size === 300)
+    // the path component must label down to its minimum
+    assert((250L to 299L).forall(i => viaUf(i) === viaUf(250L)))
+  }
+
+  test("dedupDecision on an exact-dups-only corpus (zero mined edges) " +
+      "labels every document, all four methods") {
+    import spark.implicits._
+    // two exact copies + one unrelated doc: after contraction the miners
+    // find NO near-dup rep pair in any arm, so the decision comes from the
+    // short-circuit path — it must still cover every doc_id
+    val docs = Seq(
+      (1L, "en", "x x"), (2L, "en", "x x"),
+      (3L, "en", "completely different words appear here"))
+      .toDF("doc_id", "lang", "text")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val want = Set((1L, 1L), (2L, 1L), (3L, 3L))
+    for (m <- Seq("jaccard", "minhash", "simhash", "edit")) {
+      val got = DedupOps.dedupDecision(docs, m).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got === want, s"method $m")
+    }
+  }
+
+  test("embedding audit counts NULL vectors under legacy sizeOfNull too") {
+    import spark.implicits._
+    val key = "spark.sql.legacy.sizeOfNull"
+    spark.conf.set(key, "true") // size(NULL) = -1 in this mode
+    try {
+      val rows = Seq(
+        (0L, Array(3.0f, 4.0f), 1),
+        (1L, null.asInstanceOf[Array[Float]], 1))
+        .toDF("vec_id", "embedding", "label")
+      val got = SimilarityOps.embeddingAuditOn(rows).collect().head
+      assert(got.getAs[Long]("n_null") === 1L)
+      assert(got.getAs[Long]("min_dim") === 2L,
+        "a legacy -1 dim must never reach min_dim")
+    } finally spark.conf.unset(key)
+  }
+
   // ---------------------------------------------------------------- q110
 
   test("embedding audit: ragged dims, degenerate and NULL vectors are " +

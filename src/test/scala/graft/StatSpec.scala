@@ -97,6 +97,29 @@ class StatSpec extends SparkSpec {
     assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
   }
 
+  test("withGlobalRowNumber stays correct with exchange reuse disabled") {
+    // the ranked branch and the offset-count branch must observe ONE
+    // physical range partitioning; the localCheckpoint pins it, so the
+    // result must hold even when ReuseExchange can never fire
+    val key = "spark.sql.exchange.reuse"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "false")
+    try {
+      val df = events.select("event_id", "value")
+      val got = ops.ScaleOps.withGlobalRowNumber(df,
+          Seq(col("value").desc, col("event_id")), out = "rank")
+        .select("event_id", "rank")
+      val want = df.withColumn("rank",
+          row_number().over(Window.orderBy(col("value").desc, col("event_id")))
+            .cast("long"))
+        .select("event_id", "rank")
+      assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   // ---------------------------------------------------------------- q86
 
   test("decorrelated above-average equals Spark's correlated subquery") {

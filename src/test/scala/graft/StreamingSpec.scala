@@ -311,6 +311,25 @@ class StreamingSpec extends SparkSpec {
     assert(got === Set(2L, 4L))
   }
 
+  test("novelty triage against an empty index scores everything novel") {
+    import graft.streaming.NoveltyTriagePipeline
+    implicit val sqlCtx = spark.sqlContext
+    // no corpus doc reaches k tokens → the bloom fold aggregates zero rows;
+    // the guard must substitute the all-zero filter, not a null literal
+    val corpus = Seq((0L, "a b")).toDF("doc_id", "text")
+    val input = MemoryStream[(Long, String)]
+    val q = NoveltyTriagePipeline.scoredDocs(
+      input.toDS().toDF("doc_id", "text"), corpus, k = 3, nBits = 1 << 12)
+      .writeStream.format("memory").queryName("novelty_empty_sink")
+      .outputMode("append").start()
+    input.addData((10L, "a b c d"))
+    q.processAllAvailable()
+    q.stop()
+    val r = spark.table("novelty_empty_sink")
+      .select("n_shingles", "n_novel", "novelty_ratio").collect().head
+    assert((r.getLong(0), r.getLong(1), r.getDouble(2)) === ((2L, 2L, 1.0)))
+  }
+
   test("novelty triage stream scores docs row-locally and matches the " +
       "batch answer") {
     import graft.streaming.NoveltyTriagePipeline
