@@ -48,6 +48,32 @@ object Scratch {
       spark.stop()
       return
     }
+    if (name == "tokstore") {
+      // incremental-path datapoint: drift / perplexity answered from the
+      // persisted count stores vs recomputed from the raw corpus. The
+      // store paths must not touch documents at all (model side), so the
+      // gap widens with corpus size while the store stays vocab-bounded.
+      import org.apache.spark.sql.functions._
+      val d = Tables.t(spark, dir, "documents")
+      println(s"docs = ${d.count()}")
+      val root = java.nio.file.Files.createTempDirectory("tokstore").toString
+      time("write_token_count_store")(
+        { ops.TextOps.writeTokenCountStore(d, s"$root/tokens"); 0L })
+      time("write_bigram_store")(
+        { ops.SearchOps.writeBigramStore(d, s"$root/bigrams"); 0L })
+      time("drift_raw")(ops.TextOps.sourceDriftOn(d).count())
+      time("drift_from_store")(
+        ops.TextOps.sourceDriftFromStore(spark, s"$root/tokens").count())
+      // perplexity scores an incoming batch (20% slice) — raw pays the
+      // full model recompute over the whole corpus, store reads counts
+      val incoming = d.filter((col("doc_id") * 48271L + 23L) % 100L >= 80L)
+      time("ppl_raw_full_corpus")(ops.SearchOps.lmPerplexityOn(d).count())
+      time("ppl_batch_from_store")(
+        ops.SearchOps.lmPerplexityFromStore(incoming, s"$root/bigrams")
+          .count())
+      spark.stop()
+      return
+    }
     if (name == "prof48") {
       // component timing of the q33/q48 scoring pass: which term costs?
       import org.apache.spark.sql.functions._

@@ -250,11 +250,14 @@ object SearchOps {
   def lmPerplexity(s: SparkSession, dir: String): DataFrame =
     lmPerplexityOn(docs(s, dir))
 
-  /** `docsDf` needs (doc_id, text). */
-  def lmPerplexityOn(docsDf: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+  /** Per-doc adjacent token pairs, generated row-locally with `zip_with`
+    * (shuffle-free) — shared by q108's raw path, the bigram store writer
+    * and the from-store scorer, so all three provably use one bigram
+    * definition.
+    */
+  private def docBigramsOn(docsDf: DataFrame): DataFrame = {
     val n = size(col("toks"))
-    val bg = docsDf.withColumn("toks", toks)
+    docsDf.withColumn("toks", toks)
       .filter(n >= 2)
       .select(col("doc_id"), explode(zip_with(
         slice(col("toks"), lit(1), n - 1),
@@ -262,13 +265,79 @@ object SearchOps {
         (a, b) => struct(a.as("from_tok"), b.as("to_tok")))).as("p"))
       .select(col("doc_id"), col("p.from_tok").as("from_tok"),
         col("p.to_tok").as("to_tok"))
-    val probs = bg.groupBy("from_tok", "to_tok")
-      .agg(count(lit(1)).as("n_pairs"))
-      .withColumn("from_total",
-        sum("n_pairs").over(Window.partitionBy("from_tok")))
+  }
+
+  /** Attach the conditional-probability model to a contracted
+    * (from_tok, to_tok, n_pairs) table: the denominator rides a
+    * vocabulary-bounded window, never a corpus-sized one.
+    */
+  private def withFromTotals(counts: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    counts.withColumn("from_total",
+      sum("n_pairs").over(Window.partitionBy("from_tok")))
+  }
+
+  /** `docsDf` needs (doc_id, text). */
+  def lmPerplexityOn(docsDf: DataFrame): DataFrame = {
+    val bg = docBigramsOn(docsDf)
+    val probs = withFromTotals(
+      bg.groupBy("from_tok", "to_tok").agg(count(lit(1)).as("n_pairs")))
     bg.join(probs, Seq("from_tok", "to_tok"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_bigrams"),
+        graft.Tables.davg(log(col("n_pairs") / col("from_total")), 6)
+          .as("avg_logp"))
+      .withColumn("ppl", round(exp(-col("avg_logp")), 4))
+      .orderBy("doc_id")
+  }
+
+  // ---- persisted bigram-count store ----------------------------------------
+
+  /** Materialize the bigram LM count table: one (from_tok, to_tok,
+    * n_pairs) row per distinct pair — the language-model face of the
+    * token-count store (`TextOps.writeTokenCountStore`), ≤|vocab|² rows
+    * and in practice vastly fewer, independent of corpus row count. Like
+    * all count stores it merges by ADDITION: append a crawl's counts and
+    * every reader sums across segments, so incremental perplexity scoring
+    * ([[lmPerplexityFromStore]]) never re-reads the indexed corpus.
+    */
+  def writeBigramStore(docsDf: DataFrame, path: String): Unit =
+    docBigramsOn(docsDf)
+      .groupBy("from_tok", "to_tok").agg(count(lit(1)).as("n_pairs"))
+      .repartition(col("from_tok"))
+      .write.mode("overwrite").parquet(path)
+
+  /** Fold a new batch's bigram counts into the store, append-only
+    * (sum-on-read merges segments; replaying an append double-counts that
+    * batch — admit exactly once, compact via the token-store convention).
+    */
+  def appendToBigramStore(batch: DataFrame, path: String): Unit =
+    docBigramsOn(batch)
+      .groupBy("from_tok", "to_tok").agg(count(lit(1)).as("n_pairs"))
+      .repartition(col("from_tok"))
+      .write.mode("append").parquet(path)
+
+  /** Score `docsDf` against the PERSISTED bigram model instead of the
+    * corpus that trained it — the per-ingest quality gate: the indexed
+    * corpus is never re-read, only the vocabulary-bounded count table.
+    * Bigrams absent from the model (possible only when scoring docs the
+    * model never saw — the store-trained twin of q108 is unsmoothed by
+    * construction) are counted in `n_oov` and excluded from the average,
+    * so `n_bigrams` keeps meaning "bigrams actually scored" and equals the
+    * raw path's count whenever the model covers the docs (store ≡ raw is
+    * spec-pinned on exactly that case).
+    */
+  def lmPerplexityFromStore(docsDf: DataFrame, path: String): DataFrame = {
+    val probs = withFromTotals(
+      docsDf.sparkSession.read.parquet(path)
+        .groupBy("from_tok", "to_tok").agg(sum("n_pairs").as("n_pairs")))
+    docBigramsOn(docsDf)
+      .join(probs, Seq("from_tok", "to_tok"), "left")
+      .groupBy("doc_id")
+      .agg(
+        sum(when(col("n_pairs").isNotNull, 1L).otherwise(0L))
+          .as("n_bigrams"),
+        sum(when(col("n_pairs").isNull, 1L).otherwise(0L)).as("n_oov"),
         graft.Tables.davg(log(col("n_pairs") / col("from_total")), 6)
           .as("avg_logp"))
       .withColumn("ppl", round(exp(-col("avg_logp")), 4))

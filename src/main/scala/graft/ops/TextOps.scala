@@ -679,12 +679,78 @@ object TextOps {
     sourceDriftOn(docs(s, dir))
 
   /** `docsDf` needs (source, text). */
-  def sourceDriftOn(docsDf: DataFrame): DataFrame = {
-    val Dec = org.apache.spark.sql.types.DecimalType(38, 12)
-    val st = docsDf
+  def sourceDriftOn(docsDf: DataFrame): DataFrame =
+    sourceDriftFromCounts(tokenCountsOn(docsDf))
+
+  /** The (source, token, count) unigram contraction q114 reduces the
+    * corpus to — ALSO the persisted token-count store's row format, so the
+    * store path and the raw path provably share one definition.
+    */
+  private def tokenCountsOn(docsDf: DataFrame): DataFrame =
+    docsDf
       .select(col("source"), explode(tokens).as("token"))
       .filter(length(col("token")) > 0)
       .groupBy("source", "token").agg(count(lit(1)).as("c"))
+
+  // ---- persisted token-count store ----------------------------------------
+
+  /** Materialize the unigram count store: one (source, token, c) row per
+    * distinct pair, hash-laid-out on token for balanced probes. The
+    * count-table face of the fingerprint/shingle/bloom/HLL store family —
+    * and the simplest member, because exact integer counts are already
+    * mergeable: a new crawl's counts just ADD ([[appendToTokenCountStore]]
+    * + sum-on-read), no sketch needed. Size ≤ |sources|·|vocab| rows —
+    * independent of corpus row count, the thing that doesn't fit at
+    * 100 TB. Drift ([[sourceDriftFromStore]]) then answers per crawl
+    * without ever re-reading the corpus.
+    */
+  def writeTokenCountStore(docsDf: DataFrame, path: String): Unit =
+    tokenCountsOn(docsDf)
+      .repartition(col("token"))
+      .write.mode("overwrite").parquet(path)
+
+  /** Fold a new crawl batch into the store, append-only: duplicate
+    * (source, token) rows across segments are summed by every reader, so
+    * a replayed append only double-counts that batch — compact with
+    * [[compactTokenCountStore]] after admitting batches exactly once.
+    * Append never rewrites existing segments (crash-safe without a swap:
+    * an uncommitted task's files stay in _temporary and are never read).
+    */
+  def appendToTokenCountStore(batch: DataFrame, path: String): Unit =
+    tokenCountsOn(batch)
+      .repartition(col("token"))
+      .write.mode("append").parquet(path)
+
+  /** Re-contract accumulated append segments to one row per
+    * (source, token), publishing via staging + atomic swap (the store is
+    * durable state — `mode("overwrite")` on the live path would lose it
+    * on a mid-write crash).
+    */
+  def compactTokenCountStore(s: SparkSession, path: String): Unit = {
+    val staging = path + ".merging"
+    s.read.parquet(path)
+      .groupBy("source", "token").agg(sum("c").as("c"))
+      .repartition(col("token"))
+      .write.mode("overwrite").parquet(staging)
+    ScaleOps.swapInto(s, staging, path)
+  }
+
+  /** q114's drift report off the persisted store — no corpus access at
+    * all: read ≤|sources|·|vocab| count rows, sum across append segments,
+    * and run the identical KL fold. Per-crawl incremental drift =
+    * appendToTokenCountStore(batch) + this.
+    */
+  def sourceDriftFromStore(s: SparkSession, path: String): DataFrame =
+    sourceDriftFromCounts(
+      s.read.parquet(path).groupBy("source", "token").agg(sum("c").as("c")))
+
+  /** The KL fold over an already-contracted (source, token, c) table —
+    * shared verbatim by the raw and store paths (store ≡ raw is pinned by
+    * spec, not by hope).
+    */
+  private def sourceDriftFromCounts(st0: DataFrame): DataFrame = {
+    val Dec = org.apache.spark.sql.types.DecimalType(38, 12)
+    val st = st0
     val tok = st.groupBy("token").agg(sum("c").as("ct"))
     val src = st.groupBy("source").agg(sum("c").as("ns"),
       count(lit(1)).as("vocab_size"))

@@ -135,6 +135,33 @@ class OpsSpec extends SparkSpec {
     assert(g2.getAs[Long]("vocab_size") === 2L)
   }
 
+  test("token-count store: from-store drift equals the raw q114 path " +
+      "across write, append and compact") {
+    import spark.implicits._
+    val path = tmpDir("tok-store") + "/token_counts"
+    val batch1 = Seq((0L, "a a b", "s1"), (1L, "a b b b", "s2"))
+      .toDF("doc_id", "text", "source")
+    val batch2 = Seq((2L, "b c c", "s1"), (3L, "c", "s3"))
+      .toDF("doc_id", "text", "source")
+    val whole = batch1.union(batch2)
+    val raw = TextOps.sourceDriftOn(whole).collect().map(_.toSeq).toSeq
+    // two crawls: initial write + one append — counts must SUM to the
+    // one-shot contraction, and the KL fold must match bit-for-bit
+    TextOps.writeTokenCountStore(batch1, path)
+    TextOps.appendToTokenCountStore(batch2, path)
+    assert(TextOps.sourceDriftFromStore(spark, path).collect()
+      .map(_.toSeq).toSeq === raw)
+    // compaction rewrites to one row per pair without changing answers
+    TextOps.compactTokenCountStore(spark, path)
+    val compacted = spark.read.parquet(path)
+    assert(compacted.groupBy("source", "token").count()
+      .filter(col("count") > 1).isEmpty, "compact must leave distinct pairs")
+    assert(TextOps.sourceDriftFromStore(spark, path).collect()
+      .map(_.toSeq).toSeq === raw)
+    assert(!new java.io.File(path + ".merging").exists)
+    assert(!new java.io.File(path + ".old").exists)
+  }
+
   test("shingle novelty: later copies contribute zero novel shingles") {
     import spark.implicits._
     val docs = Seq(

@@ -36,6 +36,29 @@ class SearchSpec extends SparkSpec {
       "the rarer continuation must score higher perplexity")
   }
 
+  test("bigram store: from-store perplexity equals the raw q108 path, " +
+      "appends merge, OOV bigrams are counted not scored") {
+    val path = tmpDir("bigram-store") + "/bigrams"
+    val batch1 = Seq((1L, "a b"), (2L, "a b")).toDF("doc_id", "text")
+    val batch2 = Seq((3L, "a c")).toDF("doc_id", "text")
+    val corpus = batch1.union(batch2)
+    SearchOps.writeBigramStore(batch1, path)
+    SearchOps.appendToBigramStore(batch2, path)
+    // store trained on the same corpus → scores must equal q108 raw,
+    // with zero OOV
+    val raw = SearchOps.lmPerplexityOn(corpus).collect().map(_.toSeq).toSeq
+    val viaStore = SearchOps.lmPerplexityFromStore(corpus, path)
+    assert(viaStore.collect().map(r =>
+      Seq(r.getAs[Long]("doc_id"), r.getAs[Long]("n_bigrams"),
+        r.getAs[Double]("avg_logp"), r.getAs[Double]("ppl"))).toSeq === raw)
+    assert(viaStore.collect().forall(_.getAs[Long]("n_oov") == 0L))
+    // a doc the model never saw: known bigram scored, unknown one counted
+    val fresh = Seq((9L, "a b z")).toDF("doc_id", "text")
+    val r = SearchOps.lmPerplexityFromStore(fresh, path).collect().head
+    assert(r.getAs[Long]("n_bigrams") === 1L) // (a,b) known
+    assert(r.getAs[Long]("n_oov") === 1L) // (b,z) unseen, excluded
+  }
+
   test("lm perplexity plan: count agg, vocab window, bigram join, doc " +
       "agg, sort — and nothing more") {
     val docs = Seq((1L, "a b c"), (2L, "a b d")).toDF("doc_id", "text")
