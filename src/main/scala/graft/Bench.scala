@@ -51,6 +51,28 @@ object Bench {
       .map { case (k, v) => "\"" + k + "\":" + ms(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
+    // Per-family subtotals on stderr (driver captures stdout's JSON line
+    // only): with 115 queries a round-over-round drift is much easier to
+    // attribute to a family than to re-diff 115 numbers.
+    val families: Seq[(String, Iterable[String])] = Seq(
+      "events" -> ops.EventOps.queries.keys,
+      "relational" -> ops.RelationalOps.queries.keys,
+      "text" -> ops.TextOps.queries.keys,
+      "dedup" -> ops.DedupOps.queries.keys,
+      "similarity" -> ops.SimilarityOps.queries.keys,
+      "multimodal" -> ops.MultimodalOps.queries.keys,
+      "temporal" -> ops.TemporalOps.queries.keys,
+      "curation" -> ops.CurationOps.queries.keys,
+      "search" -> ops.SearchOps.queries.keys,
+      "stat" -> ops.StatOps.queries.keys,
+      "span" -> ops.SpanOps.queries.keys,
+      "scrub" -> ops.ScrubOps.queries.keys,
+      "bpe" -> ops.BpeOps.queries.keys)
+    System.err.println("[bench] family subtotals sec: " + families.map {
+      case (n, ks) =>
+        val ts = ks.toSeq.flatMap(results.get).filter(_ >= 0)
+        f"$n=${ts.sum}%.2f/${ts.size}"
+    }.mkString(" "))
     println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

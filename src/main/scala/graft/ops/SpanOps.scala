@@ -205,8 +205,31 @@ object SpanOps {
     * filters decide its fate, not this operator).
     *
     * Output: (doc_id, n_tokens, n_kept, n_removed, clean_text).
+    *
+    * HEAVY-DUP REGIME: the rewrite is Ω(flagged spans) by nature — on a
+    * corpus where nearly every span is duplicated (measured: 144 s at
+    * 1000× on the deliberately dup-dense scale corpus, vs 13.5 s at 100×
+    * at realistic density) most of that cost buys rewritten text nobody
+    * keeps. Run detection-only q102 ([[dupSpansOn]]) first; if the
+    * flagged-span count says the corpus is rewrite-everything dense,
+    * exact-dedup / decision-form dedup is the cheaper tool. `spanBudget`
+    * makes that check a fail-fast gate: when set, the span count (a
+    * ≤|flagged-spans|-row frame, cheap next to the rewrite) is probed
+    * once and the call aborts with that guidance instead of paying the
+    * full rewrite. Default None = no probe, no behavior change.
     */
-  def substrDedupOn(docsDf: DataFrame, k: Int = DefaultK): DataFrame = {
+  def substrDedupOn(docsDf: DataFrame, k: Int = DefaultK,
+      spanBudget: Option[Long] = None): DataFrame = {
+    spanBudget.foreach { budget =>
+      val flagged = dupSpansOn(docsDf, k).count()
+      if (flagged > budget)
+        throw new IllegalStateException(
+          s"substrDedupOn: $flagged duplicated spans exceed the declared " +
+            s"budget $budget — the rewrite is Ω(flagged spans) and this " +
+            "corpus is in the rewrite-everything regime. Triage with " +
+            "detection-only dupSpansOn (q102) or drop whole documents " +
+            "via DedupOps.dedupDecision before rewriting.")
+    }
     val toks = docsDf.select(col("doc_id"),
       split(trim(col("text")), " ").as("toks"))
     // Per-doc sorted span arrays, then a row-local array rebuild: the

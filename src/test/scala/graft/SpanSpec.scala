@@ -70,6 +70,20 @@ class SpanSpec extends SparkSpec {
       (12L, 3, 0, 3, "")))
   }
 
+  test("q103 span budget gate fails fast in the rewrite-everything " +
+      "regime, default stays gate-free") {
+    val df = corpus(
+      1L -> "a b c d e f",
+      2L -> "a b c d e f") // every span duplicated
+    val e = intercept[IllegalStateException](
+      SpanOps.substrDedupOn(df, 3, spanBudget = Some(1L)))
+    assert(e.getMessage.contains("q102"), "must point at detection-only")
+    // a budget the corpus fits under, and the default no-budget path,
+    // both rewrite normally
+    assert(SpanOps.substrDedupOn(df, 3, spanBudget = Some(100L)).count() === 2)
+    assert(SpanOps.substrDedupOn(df, 3).count() === 2)
+  }
+
   test("randomized corpus matches a brute-force reference") {
     val k = 4
     val rnd = new scala.util.Random(20260813L)
