@@ -1,0 +1,147 @@
+package graft
+
+import graft.ops.{CurationOps, DedupOps, SpanOps, TextOps}
+import graft.streaming.NoveltyTriagePipeline
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** The incremental crawl loop, END TO END: every store family and the
+  * operators that feed them, composed the way a production crawl round
+  * actually chains them —
+  *
+  *   streaming novelty triage → span decontamination evidence →
+  *   within-batch dedup decision → fingerprint-store admission →
+  *   append to fingerprint / token-count / cardinality stores
+  *
+  * over two simulated crawl batches, asserting the END state equals the
+  * one-shot batch computation over everything ever admitted. Each stage is
+  * individually spec-pinned elsewhere; this pins the CONTRACTS BETWEEN
+  * them (id/column handoffs, store append semantics across rounds, triage
+  * feeding the decision form).
+  */
+class CrawlSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private val K = 3 // shingle size for triage/span stores (short fixtures)
+
+  private def docsDf(rows: Seq[(Long, String, String)]): DataFrame =
+    rows.map { case (id, src, t) => (id, src, t, "en") }
+      .toDF("doc_id", "source", "text", "lang")
+
+  /** Streaming triage: score `batch` against the currently-accepted corpus
+    * through the MemoryStream face, admit docs that are not fully known
+    * (novelty > 0, or null = too short to judge — conservative keep).
+    */
+  private def triage(batch: Seq[(Long, String, String)], accepted: DataFrame,
+      sinkName: String): Seq[(Long, String, String)] = {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String, String)]
+    val q = NoveltyTriagePipeline.scoredDocs(
+      input.toDS().toDF("doc_id", "source", "text"), accepted, k = K,
+      nBits = 1 << 12)
+      .writeStream.format("memory").queryName(sinkName)
+      .outputMode("append").start()
+    input.addData(batch: _*)
+    q.processAllAvailable()
+    q.stop()
+    val admittedIds = spark.table(sinkName)
+      .filter(col("novelty_ratio").isNull || col("novelty_ratio") > 0)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    batch.filter(r => admittedIds(r._1))
+  }
+
+  test("two-crawl round trip: triage → spans → decision → stores equals " +
+      "the one-shot batch answer") {
+    val root = tmpDir("crawl")
+    val fpStore = s"$root/fingerprints"
+    val shStore = s"$root/shingles"
+    val hllStore = s"$root/cardinality"
+    val tcStore = s"$root/token_counts"
+
+    // round 0: the already-indexed corpus seeds every store
+    val corpus0 = Seq(
+      (0L, "s1", "alpha beta gamma delta epsilon"),
+      (1L, "s1", "one two three four five six"))
+    var accepted = docsDf(corpus0)
+    CurationOps.writeFingerprintStore(accepted, fpStore)
+    SpanOps.writeShingleStore(accepted, shStore, K)
+    CurationOps.writeCardinalityStore(accepted, hllStore)
+    TextOps.writeTokenCountStore(accepted, tcStore)
+
+    // crawl 1: exact dup of an indexed doc (triage drops), a novel doc, a
+    // within-batch copy of it (decision drops), a too-short doc (admitted
+    // conservatively)
+    val crawl1 = Seq(
+      (10L, "s2", "alpha beta gamma delta epsilon"), // == doc 0
+      (11L, "s2", "brand new content words here now"),
+      (12L, "s2", "brand new content words here now"), // == doc 11
+      (13L, "s3", "mini doc")) // < K tokens: no shingles
+    // crawl 2: a cross-crawl dup of doc 11 (triage drops — the stores
+    // learned doc 11 in round 1) and one more novel doc
+    val crawl2 = Seq(
+      (20L, "s3", "brand new content words here now"), // == doc 11
+      (21L, "s2", "completely fresh final crawl payload"),
+      // novel overall (3 of 4 shingles fresh → admitted) but opens with
+      // doc 1's "one two three" span — the span probe must flag exactly it
+      (22L, "s3", "one two three unrelated trailing words"))
+
+    var spanEvidence = Map.empty[Long, Long]
+    for ((crawl, i) <- Seq(crawl1, crawl2).zipWithIndex) {
+      val admitted = triage(crawl, accepted, s"crawl_triage_$i")
+      // span decontamination evidence against the persisted shingle store
+      // (the raw indexed corpus is deliberately NOT an input here)
+      val spans = SpanOps.dupSpansAgainstStore(
+        docsDf(admitted), shStore, K)
+      spanEvidence ++= spans.groupBy("doc_id").count().collect()
+        .map(r => r.getLong(0) -> r.getLong(1))
+      // within-batch dedup decision: keep each component's representative
+      val decision = DedupOps.dedupDecision(docsDf(admitted))
+      val keepIds = decision.filter(col("doc_id") === col("rep"))
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      val kept = docsDf(admitted.filter(r => keepIds(r._1)))
+      // fingerprint-store admission (exact-dup probe, store-side only),
+      // then fold the fresh docs into every store
+      val fresh = CurationOps.freshAgainstStore(kept, fpStore)
+      CurationOps.appendToFingerprintStore(fresh, fpStore)
+      CurationOps.mergeIntoCardinalityStore(fresh, hllStore)
+      TextOps.appendToTokenCountStore(fresh, tcStore)
+      accepted = accepted.unionByName(fresh)
+      SpanOps.writeShingleStore(accepted, shStore, K)
+    }
+
+    // ---- end-state == one-shot batch answers --------------------------
+    val everything = docsDf(corpus0 ++ crawl1 ++ crawl2)
+    // 1. admitted doc set == exact dedup (min-id representative) one-shot
+    val oneShotIds = everything
+      .withColumn("norm", DedupOps.normText)
+      .groupBy("norm").agg(min("doc_id").as("doc_id"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val acceptedIds = accepted.select("doc_id").collect()
+      .map(_.getLong(0)).toSet
+    assert(acceptedIds === oneShotIds)
+    assert(acceptedIds === Set(0L, 1L, 11L, 13L, 21L, 22L))
+    // 2. incrementally-appended fingerprint store == one-shot rebuild
+    val oneShotFp = s"$root/fingerprints_oneshot"
+    CurationOps.writeFingerprintStore(accepted, oneShotFp)
+    def fps(p: String) = spark.read.parquet(p).select("fp").distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert(fps(fpStore) === fps(oneShotFp))
+    // 3. merged HLL cardinality == one-shot sketch build
+    val oneShotHll = s"$root/cardinality_oneshot"
+    CurationOps.writeCardinalityStore(accepted, oneShotHll)
+    def card(p: String) = CurationOps.cardinalityFromStore(spark, p)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(card(hllStore) === card(oneShotHll))
+    // 4. appended token counts == raw drift over the accepted corpus
+    assert(TextOps.sourceDriftFromStore(spark, tcStore).collect()
+      .map(_.toSeq).toSeq
+      === TextOps.sourceDriftOn(accepted).collect().map(_.toSeq).toSeq)
+    // 5. span evidence: fully-dup docs never reached the probe (triage
+    // dropped 10 and 20), genuinely fresh docs flagged nothing, and the
+    // partially-overlapping doc 22 was flagged on exactly one span — the
+    // "one two three" opening it shares with indexed doc 1
+    assert(spanEvidence === Map(22L -> 1L), s"span evidence: $spanEvidence")
+  }
+}

@@ -311,6 +311,48 @@ class StreamingSpec extends SparkSpec {
     assert(got === Set(2L, 4L))
   }
 
+  test("streaming scrub ingest: per-batch audit rows roll up to the " +
+      "batch q104 answer and the sink equals the batch scrub") {
+    import graft.streaming.ScrubPipeline
+    import graft.ops.ScrubOps
+    implicit val sqlCtx = spark.sqlContext
+    val sink = tmpDir("scrub-sink")
+    val audit = tmpDir("scrub-audit")
+    val batch1 = Seq(
+      (0L, "s1", "mail me at bob@example.com or alice@test.org today"),
+      (1L, "s1", "totally clean document text"),
+      (2L, "s2", "server at 10.0.0.1 leaked ssn 123-45-6789"))
+    val batch2 = Seq(
+      (3L, "s2", "call +1 555 123 4567 about 10.0.0.2"),
+      (4L, "s3", "nothing sensitive here either"))
+    val input = MemoryStream[(Long, String, String)]
+    val q = ScrubPipeline.runScrubIngest(
+      input.toDS().toDF("doc_id", "source", "text"),
+      sink, audit, tmpDir("scrub-ckpt"))
+    input.addData(batch1: _*)
+    q.processAllAvailable()
+    input.addData(batch2: _*)
+    q.processAllAvailable()
+    q.stop()
+    val all = (batch1 ++ batch2).toDF("doc_id", "source", "text")
+    // audit: the cross-batch rollup IS q104 over everything ingested
+    assert(ScrubPipeline.auditFromStore(spark, audit).collect()
+      .map(_.toSeq).toSeq
+      === ScrubOps.piiAuditOn(all).collect().map(_.toSeq).toSeq)
+    // and two batches really landed (the rollup summed, not copied)
+    assert(spark.read.parquet(audit).select("batch_id").distinct().count()
+      === 2L)
+    // sink: stream scrub ≡ batch scrub, row for row
+    val got = spark.read.parquet(sink)
+      .select("doc_id", "source", "text", "n_scrubbed")
+      .collect().map(_.toSeq).toSet
+    val want = ScrubOps.scrubOn(all)
+      .select("doc_id", "source", "text", "n_scrubbed")
+      .collect().map(_.toSeq).toSet
+    assert(got === want)
+    assert(got.exists(_(3).asInstanceOf[Int] > 0), "PII must be scrubbed")
+  }
+
   test("novelty triage against an empty index scores everything novel") {
     import graft.streaming.NoveltyTriagePipeline
     implicit val sqlCtx = spark.sqlContext
