@@ -782,6 +782,41 @@ object CurationOps {
     CorpusStats.analyze(docsDf, s"$root/corpus_stats")
   }
 
+  /** The FULL ANALYZE: refresh every persisted store family under one
+    * root in one maintenance job — the complete "index this corpus
+    * snapshot" entry a crawl scheduler calls between rounds:
+    *
+    *   - `fingerprints`  — distinct normalized-text fps (exact-dup probes)
+    *   - `shingles`      — distinct K-shingle md5 keys (span dedup /
+    *                       decontamination / exact novelty)
+    *   - `bloom`         — the shingle bloom filter (wire-speed streaming
+    *                       triage, one bounded row)
+    *   - `cardinality`   — per-source HLL sketches (distinct-token counts)
+    *   - `token_counts`  — (source, token, c) exact counts (drift)
+    *   - `bigrams`       — (from, to, n) LM counts (perplexity scoring)
+    *   - `corpus_stats`  — the dispatch-gate ANALYZE row
+    *
+    * Each artifact is bounded by vocabulary/shingle/source cardinality,
+    * never by corpus row count; afterwards every incremental operator
+    * (`freshAgainstStore`, `dupSpansAgainstStore`, `noveltyAgainstStore`,
+    * `scoredAgainstStore`, `cardinalityFromStore`, `sourceDriftFromStore`,
+    * `lmPerplexityFromStore`, the stats-driven dispatch gates) answers
+    * without touching the corpus again. Seven single-pass jobs — a
+    * maintenance-window batch, deliberately not micro-optimized into one
+    * shared scan (at 100 TB each pass wants its own shuffle shape).
+    * `docsDf` needs (doc_id, source, text).
+    */
+  def analyzeCorpusStores(docsDf: DataFrame, root: String,
+      k: Int = SpanOps.DefaultK, nBits: Int = 1 << 20): CorpusStats = {
+    writeFingerprintStore(docsDf, s"$root/fingerprints")
+    SpanOps.writeShingleStore(docsDf, s"$root/shingles", k)
+    SpanOps.writeBloomStore(docsDf, s"$root/bloom", k, nBits)
+    writeCardinalityStore(docsDf, s"$root/cardinality")
+    TextOps.writeTokenCountStore(docsDf, s"$root/token_counts")
+    SearchOps.writeBigramStore(docsDf, s"$root/bigrams")
+    CorpusStats.analyze(docsDf, s"$root/corpus_stats")
+  }
+
   // ---- registration -------------------------------------------------------
 
   // ---- q84: per-source dataset card ----------------------------------------

@@ -151,6 +151,64 @@ object SpanOps {
     spansAgainstKeys(incoming,
       incoming.sparkSession.read.parquet(storePath).select("h"), k)
 
+  // ---- persisted bloom filter: the wire-speed face of the shingle store ---
+
+  /** 64-bit bloom domain: xxhash64 over the md5 shingle keys — ONE
+    * definition shared by the batch filter builder below and the
+    * streaming scorer (`NoveltyTriagePipeline`), so a filter built here
+    * is guaranteed probe-compatible there.
+    */
+  private[graft] def shingleHash64Expr(k: Int, toks: String): String =
+    s"transform(${shingleKeysExpr(k, toks)}, h -> xxhash64(h))"
+
+  /** Fold the corpus's shingle hashes into one bloom byte array. No
+    * distinct() before the fold: insertion is idempotent, so duplicate
+    * keys change nothing in the bytes — a distinct would pay a
+    * corpus-sized shuffle for nothing (per-task partial filters of
+    * nBits/8 bytes each merge into the single row instead). An empty
+    * corpus (no ≥k-token doc) yields the all-zero-payload filter — the
+    * semantically right "nothing indexed yet" value (every probe misses,
+    * everything scores novel): `graft_bloom_agg` is non-nullable, so zero
+    * input rows serialize its initial buffer, which IS the canonical
+    * empty filter; the null fallback below is belt-and-braces in the same
+    * canonical layout (a raw zero array would fail the probe's header
+    * validation).
+    */
+  def bloomFilterBytes(corpus: DataFrame, k: Int = DefaultK,
+      nBits: Int = 1 << 20, kHashes: Int = 7): Array[Byte] = {
+    graft.functions.GraftFunctions.ensureRegistered(corpus.sparkSession)
+    val b = corpus
+      .select(split(trim(col("text")), " ").as("toks"))
+      .where(size(col("toks")) >= k)
+      .select(explode(expr(shingleHash64Expr(k, "toks"))).as("hk"))
+      .agg(expr(s"graft_bloom_agg(hk, $nBits, $kHashes)").as("b"))
+      .head().getAs[Array[Byte]]("b")
+    if (b == null) graft.functions.Bloom.empty(nBits, kHashes) else b
+  }
+
+  /** Persist the corpus bloom filter beside the shingle store: ONE row
+    * (k, n_bits, k_hashes, filter) of bounded bytes, so every streaming
+    * triage consumer (`NoveltyTriagePipeline.scoredAgainstStore`) loads
+    * the filter instead of re-folding the corpus at stream start — the
+    * difference between O(bytes-read) and O(corpus) stream startup.
+    * Parameters ride in the row because a probe with mismatched k/bits
+    * would be silently meaningless.
+    */
+  def writeBloomStore(corpus: DataFrame, path: String, k: Int = DefaultK,
+      nBits: Int = 1 << 20, kHashes: Int = 7): Unit = {
+    val s = corpus.sparkSession
+    import s.implicits._
+    Seq((k, nBits, kHashes, bloomFilterBytes(corpus, k, nBits, kHashes)))
+      .toDF("k", "n_bits", "k_hashes", "filter")
+      .coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  /** Read a persisted bloom store: (filter bytes, k). */
+  def readBloomStore(s: SparkSession, path: String): (Array[Byte], Int) = {
+    val r = s.read.parquet(path).select("filter", "k").head()
+    (r.getAs[Array[Byte]]("filter"), r.getInt(1))
+  }
+
   /** Per-document novelty of `incoming` against the REFERENCE corpus — the
     * incremental face of q111: the fraction of each incoming doc's
     * DISTINCT K-shingles absent from the indexed side. The crawl-triage

@@ -21,39 +21,35 @@ import org.apache.spark.sql.functions._
   */
 object NoveltyTriagePipeline {
 
-  /** 64-bit shingle keys (xxhash64 of the 16-byte md5 keys the span family
-    * shuffles on — `SpanOps.shingleKeysExpr` is the ONE shingle-key
-    * definition, so batch and stream can never silently diverge) — the
-    * bloom's domain.
+  /** 64-bit shingle keys — `SpanOps.shingleHash64Expr` is the ONE
+    * hash-domain definition (xxhash64 over the md5 keys the span family
+    * shuffles on), so batch-built filters and stream probes can never
+    * silently diverge.
     */
   private def shingleHashExpr(k: Int, toks: String): String =
-    s"transform(${graft.ops.SpanOps.shingleKeysExpr(k, toks)}, " +
-      "h -> xxhash64(h))"
+    graft.ops.SpanOps.shingleHash64Expr(k, toks)
 
   /** Build the corpus filter and return the scored stream. `docStream`
     * needs (doc_id, text); appends n_shingles / n_novel / novelty_ratio
     * (null ratio for docs shorter than K words, which emit no shingles).
+    * The filter fold and its empty-corpus guard (all-zero filter =
+    * everything novel) live in `SpanOps.bloomFilterBytes`.
     */
   def scoredDocs(docStream: DataFrame, corpus: DataFrame, k: Int = 8,
-      nBits: Int = 1 << 20, kHashes: Int = 7): DataFrame = {
-    graft.functions.GraftFunctions.ensureRegistered(corpus.sparkSession)
-    // no distinct() before the fold: bloom insertion is idempotent, so
-    // duplicate keys change nothing in the bytes — a distinct would pay a
-    // full corpus-sized shuffle for nothing (per-task partial filters of
-    // nBits/8 bytes each merge to the single row instead)
-    val filterBytes = corpus
-      .select(split(trim(col("text")), " ").as("toks"))
-      .where(size(col("toks")) >= k)
-      .select(explode(expr(shingleHashExpr(k, "toks"))).as("hk"))
-      .agg(expr(s"graft_bloom_agg(hk, $nBits, $kHashes)").as("b"))
-      .head().getAs[Array[Byte]]("b")
-    // Empty-corpus guard: a corpus with no >=k-token document aggregates
-    // zero rows and the fold yields NULL — as a NullType literal that
-    // would fail analysis (or null out n_novel) downstream. The
-    // semantically right filter for "nothing indexed yet" is the all-zero
-    // filter: every probe misses, every shingle scores novel.
+      nBits: Int = 1 << 20, kHashes: Int = 7): DataFrame =
     scoredAgainstFilter(docStream,
-      if (filterBytes == null) new Array[Byte](nBits / 8) else filterBytes, k)
+      graft.ops.SpanOps.bloomFilterBytes(corpus, k, nBits, kHashes), k)
+
+  /** Score against a PERSISTED bloom store (`SpanOps.writeBloomStore`,
+    * refreshed by the same maintenance job as the shingle store): stream
+    * startup reads one bounded row instead of folding the corpus. k rides
+    * in the store row — a probe with a mismatched shingle size would be
+    * silently meaningless, so it is not a caller parameter here.
+    */
+  def scoredAgainstStore(docStream: DataFrame, storePath: String): DataFrame = {
+    val (filterBytes, k) = graft.ops.SpanOps.readBloomStore(
+      docStream.sparkSession, storePath)
+    scoredAgainstFilter(docStream, filterBytes, k)
   }
 
   /** Score against pre-built filter bytes (persist them once beside the

@@ -1,6 +1,6 @@
 package graft
 
-import graft.ops.CurationOps
+import graft.ops.{CurationOps, SpanOps, TextOps}
 import org.apache.spark.sql.Row
 import org.apache.spark.sql.functions._
 
@@ -440,6 +440,39 @@ class CurationSpec extends SparkSpec {
       "staging dir must be swapped away")
     assert(!new java.io.File(path + ".old").exists,
       "parked old store must be cleaned up")
+  }
+
+  test("full ANALYZE: one root feeds every incremental consumer without " +
+      "re-reading the corpus") {
+    import spark.implicits._
+    val root = tmpDir("analyze-all")
+    val corpus = Seq(
+      (0L, "alpha beta gamma delta", "s1"),
+      (1L, "one two three four five", "s2"))
+      .toDF("doc_id", "text", "source")
+    val stats = CurationOps.analyzeCorpusStores(corpus, root, k = 3)
+    assert(stats === graft.ops.CorpusStats(2, 2, 0))
+    // every artifact exists and its consumer answers from the store alone
+    assert(CurationOps.freshAgainstStore(
+      Seq((9L, "alpha beta gamma delta", "s9")).toDF("doc_id", "text", "source"),
+      s"$root/fingerprints").isEmpty, "known doc must not be fresh")
+    assert(SpanOps.dupSpansAgainstStore(
+      Seq((9L, "one two three tail")).toDF("doc_id", "text"),
+      s"$root/shingles", 3).count() === 1L, "shared span must be flagged")
+    val scored = graft.streaming.NoveltyTriagePipeline.scoredAgainstStore(
+      Seq((9L, "one two three tail")).toDF("doc_id", "text"), s"$root/bloom")
+    assert(scored.select("n_novel").head().getLong(0) === 1L,
+      "one of the two shingles is novel (k comes from the store row)")
+    assert(CurationOps.cardinalityFromStore(spark, s"$root/cardinality")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      === Map("s1" -> 4L, "s2" -> 5L))
+    assert(TextOps.sourceDriftFromStore(spark, s"$root/token_counts")
+      .collect().map(_.toSeq).toSeq
+      === TextOps.sourceDriftOn(corpus).collect().map(_.toSeq).toSeq)
+    assert(graft.ops.SearchOps.lmPerplexityFromStore(corpus, s"$root/bigrams")
+      .collect().forall(_.getAs[Long]("n_oov") == 0L))
+    assert(graft.ops.CorpusStats.read(spark, s"$root/corpus_stats")
+      === Some(stats))
   }
 
   test("temperature mix: alpha flattens shares, alpha = 1 is the identity") {

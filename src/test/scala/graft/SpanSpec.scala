@@ -70,6 +70,26 @@ class SpanSpec extends SparkSpec {
       (12L, 3, 0, 3, "")))
   }
 
+  test("bloom store round-trips and an empty corpus persists the " +
+      "all-zero everything-is-novel filter") {
+    val path = tmpDir("bloom-store") + "/bloom"
+    val df = corpus(1L -> "a b c d", 2L -> "p q r")
+    SpanOps.writeBloomStore(df, path, k = 3, nBits = 1 << 12)
+    val (bytes, k) = SpanOps.readBloomStore(spark, path)
+    assert(k === 3)
+    // canonical layout: 8-byte header + nBits/8 payload
+    assert(bytes.length === 8 + (1 << 12) / 8)
+    assert(bytes.drop(8).exists(_ != 0), "indexed shingles must set bits")
+    // empty-corpus store: no >=k-token doc → all-zero payload with a
+    // VALID header (a probe must return false, not throw)
+    val emptyPath = tmpDir("bloom-store-empty") + "/bloom"
+    SpanOps.writeBloomStore(corpus(9L -> "xy"), emptyPath, k = 3,
+      nBits = 1 << 12)
+    val (zeroes, _) = SpanOps.readBloomStore(spark, emptyPath)
+    assert(zeroes.length === bytes.length && zeroes.drop(8).forall(_ == 0))
+    assert(!graft.functions.Bloom.mightContain(zeroes, 42L))
+  }
+
   test("q103 span budget gate fails fast in the rewrite-everything " +
       "regime, default stays gate-free") {
     val df = corpus(
