@@ -144,6 +144,58 @@ object SpanOps {
       .repartition(col("fp"))
       .write.mode("overwrite").parquet(path)
 
+  /** Fold an ADMITTED crawl batch's shingle keys into the store,
+    * append-only — the incremental face that keeps the indexed corpus
+    * never-re-read across crawls: each round touches only the fresh docs.
+    * Keys already present land as duplicate rows (batch-side distinct
+    * only; a store-side anti-join would pay a store-sized shuffle per
+    * crawl) — every consumer is duplicate-safe (semi-join probes, and
+    * [[noveltyAgainstStore]] contracts reference keys before counting),
+    * so duplicates cost bytes, not correctness. Compact with
+    * [[compactShingleStore]] when the bloat matters.
+    */
+  def appendToShingleStore(admitted: DataFrame, path: String,
+      k: Int = DefaultK): Unit =
+    shingleOcc(admitted, k).select("h").distinct()
+      .withColumn("fp", xxhash64(col("h")))
+      .repartition(col("fp"))
+      .write.mode("append").parquet(path)
+
+  /** Re-contract accumulated append segments to distinct keys, publishing
+    * via staging + atomic swap (durable state — never overwrite the live
+    * path in place).
+    */
+  def compactShingleStore(s: SparkSession, path: String): Unit = {
+    val staging = path + ".merging"
+    s.read.parquet(path).select("h").distinct()
+      .withColumn("fp", xxhash64(col("h")))
+      .repartition(col("fp"))
+      .write.mode("overwrite").parquet(staging)
+    ScaleOps.swapInto(s, staging, path)
+  }
+
+  /** Rebuild the bloom store FROM the shingle store — after a crawl
+    * appends fresh keys, the triage filter refreshes by folding the
+    * store's (duplicate-tolerant: bloom insertion is idempotent) key
+    * table, sized by distinct shingles, never by the corpus. `k` must be
+    * the store's shingle size (the store carries keys, not k — the bloom
+    * row records it for probe-compatibility).
+    */
+  def writeBloomStoreFromShingles(s: SparkSession, shinglePath: String,
+      bloomPath: String, k: Int = DefaultK, nBits: Int = 1 << 20,
+      kHashes: Int = 7): Unit = {
+    graft.functions.GraftFunctions.ensureRegistered(s)
+    val b = s.read.parquet(shinglePath)
+      .select(xxhash64(col("h")).as("hk"))
+      .agg(expr(s"graft_bloom_agg(hk, $nBits, $kHashes)").as("b"))
+      .head().getAs[Array[Byte]]("b")
+    import s.implicits._
+    Seq((k, nBits, kHashes,
+      if (b == null) graft.functions.Bloom.empty(nBits, kHashes) else b))
+      .toDF("k", "n_bits", "k_hashes", "filter")
+      .coalesce(1).write.mode("overwrite").parquet(bloomPath)
+  }
+
   /** [[dupSpansAgainstOn]] probing the persisted store instead of
     * re-scanning the indexed corpus. */
   def dupSpansAgainstStore(incoming: DataFrame, storePath: String,
@@ -227,11 +279,16 @@ object SpanOps {
     noveltyAgainstKeys(incoming,
       shingleOcc(reference, k).select("h").distinct(), k)
 
-  /** [[noveltyAgainstOn]] probing the persisted shingle store. */
+  /** [[noveltyAgainstOn]] probing the persisted shingle store. The
+    * store-side distinct matters here (unlike the semi-join probes):
+    * [[appendToShingleStore]] leaves duplicate keys across segments, and
+    * a non-distinct reference side would multiply join rows and overcount
+    * a doc's shingles.
+    */
   def noveltyAgainstStore(incoming: DataFrame, storePath: String,
       k: Int = DefaultK): DataFrame =
     noveltyAgainstKeys(incoming,
-      incoming.sparkSession.read.parquet(storePath).select("h"), k)
+      incoming.sparkSession.read.parquet(storePath).select("h").distinct(), k)
 
   private def noveltyAgainstKeys(incoming: DataFrame, refKeys: DataFrame,
       k: Int): DataFrame =

@@ -30,17 +30,16 @@ class CrawlSpec extends SparkSpec {
     rows.map { case (id, src, t) => (id, src, t, "en") }
       .toDF("doc_id", "source", "text", "lang")
 
-  /** Streaming triage: score `batch` against the currently-accepted corpus
+  /** Streaming triage: score `batch` against the PERSISTED bloom store
     * through the MemoryStream face, admit docs that are not fully known
     * (novelty > 0, or null = too short to judge — conservative keep).
     */
-  private def triage(batch: Seq[(Long, String, String)], accepted: DataFrame,
+  private def triage(batch: Seq[(Long, String, String)], bloomPath: String,
       sinkName: String): Seq[(Long, String, String)] = {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Long, String, String)]
-    val q = NoveltyTriagePipeline.scoredDocs(
-      input.toDS().toDF("doc_id", "source", "text"), accepted, k = K,
-      nBits = 1 << 12)
+    val q = NoveltyTriagePipeline.scoredAgainstStore(
+      input.toDS().toDF("doc_id", "source", "text"), bloomPath)
       .writeStream.format("memory").queryName(sinkName)
       .outputMode("append").start()
     input.addData(batch: _*)
@@ -57,6 +56,7 @@ class CrawlSpec extends SparkSpec {
     val root = tmpDir("crawl")
     val fpStore = s"$root/fingerprints"
     val shStore = s"$root/shingles"
+    val blStore = s"$root/bloom"
     val hllStore = s"$root/cardinality"
     val tcStore = s"$root/token_counts"
 
@@ -67,6 +67,8 @@ class CrawlSpec extends SparkSpec {
     var accepted = docsDf(corpus0)
     CurationOps.writeFingerprintStore(accepted, fpStore)
     SpanOps.writeShingleStore(accepted, shStore, K)
+    SpanOps.writeBloomStoreFromShingles(spark, shStore, blStore, K,
+      nBits = 1 << 12)
     CurationOps.writeCardinalityStore(accepted, hllStore)
     TextOps.writeTokenCountStore(accepted, tcStore)
 
@@ -89,7 +91,7 @@ class CrawlSpec extends SparkSpec {
 
     var spanEvidence = Map.empty[Long, Long]
     for ((crawl, i) <- Seq(crawl1, crawl2).zipWithIndex) {
-      val admitted = triage(crawl, accepted, s"crawl_triage_$i")
+      val admitted = triage(crawl, blStore, s"crawl_triage_$i")
       // span decontamination evidence against the persisted shingle store
       // (the raw indexed corpus is deliberately NOT an input here)
       val spans = SpanOps.dupSpansAgainstStore(
@@ -108,7 +110,12 @@ class CrawlSpec extends SparkSpec {
       CurationOps.mergeIntoCardinalityStore(fresh, hllStore)
       TextOps.appendToTokenCountStore(fresh, tcStore)
       accepted = accepted.unionByName(fresh)
-      SpanOps.writeShingleStore(accepted, shStore, K)
+      // the incremental index update: ONLY the fresh docs are shingled
+      // (the indexed corpus is never re-read), and the triage filter
+      // refreshes from the STORE, sized by distinct shingles
+      SpanOps.appendToShingleStore(fresh, shStore, K)
+      SpanOps.writeBloomStoreFromShingles(spark, shStore, blStore, K,
+        nBits = 1 << 12)
     }
 
     // ---- end-state == one-shot batch answers --------------------------
@@ -138,6 +145,22 @@ class CrawlSpec extends SparkSpec {
     assert(TextOps.sourceDriftFromStore(spark, tcStore).collect()
       .map(_.toSeq).toSeq
       === TextOps.sourceDriftOn(accepted).collect().map(_.toSeq).toSeq)
+    // 4b. incrementally-appended shingle store == one-shot rebuild (as
+    // key sets — appends may leave duplicate rows), the compacted form is
+    // row-identical, and the bloom rebuilt from the store byte-equals a
+    // bloom built from the corpus (insertion is idempotent + commutative)
+    val oneShotSh = s"$root/shingles_oneshot"
+    SpanOps.writeShingleStore(accepted, oneShotSh, K)
+    def keys(p: String) = spark.read.parquet(p).select("h")
+      .collect().map(r => r.getAs[Array[Byte]](0).toSeq).toSet
+    assert(keys(shStore) === keys(oneShotSh))
+    SpanOps.compactShingleStore(spark, shStore)
+    assert(spark.read.parquet(shStore).count()
+      === spark.read.parquet(oneShotSh).count())
+    val (bloomInc, kInc) = SpanOps.readBloomStore(spark, blStore)
+    assert(kInc === K)
+    assert(bloomInc.toSeq
+      === SpanOps.bloomFilterBytes(accepted, K, 1 << 12).toSeq)
     // 5. span evidence: fully-dup docs never reached the probe (triage
     // dropped 10 and 20), genuinely fresh docs flagged nothing, and the
     // partially-overlapping doc 22 was flagged on exactly one span — the

@@ -90,6 +90,19 @@ class SpanSpec extends SparkSpec {
     assert(!graft.functions.Bloom.mightContain(zeroes, 42L))
   }
 
+  test("noveltyAgainstStore is duplicate-safe across appended segments") {
+    val path = tmpDir("shingle-append") + "/shingles"
+    SpanOps.writeShingleStore(corpus(1L -> "a b c d"), path, 3)
+    // append re-indexes the "a b c" key → duplicate rows across segments
+    SpanOps.appendToShingleStore(corpus(2L -> "a b c z"), path, 3)
+    val r = SpanOps.noveltyAgainstStore(corpus(9L -> "a b c q"), path, 3)
+      .collect().head
+    // probe doc: "a b c" (indexed, twice in the store) + "b c q" (novel);
+    // a non-distinct reference side would multiply the join and report 3
+    assert((r.getAs[Long]("n_distinct_shingles"), r.getAs[Long]("n_novel"))
+      === ((2L, 1L)))
+  }
+
   test("q103 span budget gate fails fast in the rewrite-everything " +
       "regime, default stays gate-free") {
     val df = corpus(
