@@ -74,6 +74,35 @@ object Scratch {
       spark.stop()
       return
     }
+    if (name == "crawlstore") {
+      // incremental crawl-index datapoints: the 80% "already indexed" side
+      // seeds the shingle store once; the 20% batch then probes/appends
+      // with NO access to the indexed corpus. Bloom refresh reads the
+      // store's key table (distinct-shingle-sized, not corpus-sized).
+      import org.apache.spark.sql.functions._
+      val d = Tables.t(spark, dir, "documents")
+      println(s"docs = ${d.count()}")
+      val existing = (col("doc_id") * 48271L + 23L) % 100L < 80L
+      val indexed = d.filter(existing)
+      val batch = d.filter(!existing)
+      val root = java.nio.file.Files.createTempDirectory("crawlstore").toString
+      time("write_shingle_store_80pct")(
+        { ops.SpanOps.writeShingleStore(indexed, s"$root/sh"); 0L })
+      println(s"store keys = ${spark.read.parquet(s"$root/sh").count()}")
+      time("bloom_from_store")(
+        { ops.SpanOps.writeBloomStoreFromShingles(spark, s"$root/sh",
+          s"$root/bl", nBits = 1 << 27); 0L })
+      time("dup_spans_batch_vs_store")(
+        ops.SpanOps.dupSpansAgainstStore(batch, s"$root/sh").count())
+      time("novelty_batch_vs_store")(
+        ops.SpanOps.noveltyAgainstStore(batch, s"$root/sh").count())
+      time("append_batch_to_store")(
+        { ops.SpanOps.appendToShingleStore(batch, s"$root/sh"); 0L })
+      time("compact_store")(
+        { ops.SpanOps.compactShingleStore(spark, s"$root/sh"); 0L })
+      spark.stop()
+      return
+    }
     if (name == "prof48") {
       // component timing of the q33/q48 scoring pass: which term costs?
       import org.apache.spark.sql.functions._
