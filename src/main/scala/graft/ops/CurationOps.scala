@@ -900,7 +900,81 @@ object CurationOps {
       .orderBy("status")
   }
 
+  // ---- q116: deterministic hash split -------------------------------------
+
+  /** Assign each document to a named split by thresholding the first 16
+    * bits of `md5(salt || ':' || doc_id)` against the cumulative split
+    * weights — the standard deterministic train/valid/test assignment for
+    * a corpus that keeps growing: membership depends only on (salt,
+    * doc_id), so re-running the pipeline, adding a crawl, or recomputing
+    * on a different cluster never migrates an existing document across
+    * splits (no global sort, no sampling state to persist).
+    *
+    * The 16-bit threshold compares the 4-char hex PREFIX of the digest as
+    * a string — md5 hex is lowercase in both Spark and DuckDB, so the
+    * lexicographic compare is exactly the numeric compare and the oracle
+    * twin is a verbatim restatement. Granularity is 1/65536 ≈ 0.0015%,
+    * plenty for split weights.
+    *
+    * Scale: ONE map-side projection — no shuffle at all until whatever
+    * consumes the split column aggregates it. Appends `split`.
+    */
+  def withHashSplit(docsDf: DataFrame, salt: String,
+      splits: Seq[(String, Double)]): DataFrame = {
+    require(splits.nonEmpty && math.abs(splits.map(_._2).sum - 1.0) < 1e-9,
+      s"split weights must sum to 1: $splits")
+    val h4 = substring(
+      md5(concat(lit(salt + ":"), col("doc_id").cast("string"))), 1, 4)
+    val cum = splits.map(_._2).scanLeft(0.0)(_ + _).tail
+    // last arm is the unconditional otherwise — weights already sum to 1
+    val thresholds = cum.init.map(c => f"${(c * 65536).toInt}%04x")
+    val arms = splits.init.map(_._1).zip(thresholds)
+    val assigned =
+      if (arms.isEmpty) lit(splits.head._1)
+      else arms.tail.foldLeft(
+        when(h4 < arms.head._2, arms.head._1)) { case (acc, (name, t)) =>
+        acc.when(h4 < t, name)
+      }.otherwise(splits.last._1)
+    docsDf.withColumn("split", assigned)
+  }
+
+  /** The hex thresholds q116 pins (80/10/10 of 65536): shared with the
+    * oracle SQL so both engines compare against the identical literals.
+    */
+  private val Q116Splits = Seq("train" -> 0.8, "valid" -> 0.1, "test" -> 0.1)
+
+  /** q116: deterministic train/valid/test split report — per-split document
+    * count, token count, char count, and document share, after assigning
+    * every document via [[withHashSplit]] (salt "graft-split", 80/10/10).
+    * The audit a pipeline runs right after splitting: are the realized
+    * shares near the nominal weights, and how many tokens does each split
+    * actually hold?
+    *
+    * Scale: classification is map-side; the only shuffle is the ≤|splits|-
+    * row aggregation (map-side partials), and the share denominator rides
+    * a broadcast single-row frame — corpus row count never concentrates
+    * anywhere.
+    */
+  def hashSplit(s: SparkSession, dir: String): DataFrame =
+    hashSplitOn(docs(s, dir))
+
+  /** `docsDf` needs (doc_id, text, n_chars). */
+  def hashSplitOn(docsDf: DataFrame): DataFrame = {
+    val agg = withHashSplit(docsDf, "graft-split", Q116Splits)
+      .select(col("split"), size(toks).as("n_toks"), col("n_chars"))
+      .groupBy("split")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_toks").as("n_tokens"),
+        sum("n_chars").as("n_chars"))
+    val tot = agg.agg(sum("n_docs").cast("double").as("tot"))
+    agg.crossJoin(broadcast(tot))
+      .withColumn("doc_share", round(col("n_docs") / col("tot"), 6))
+      .drop("tot")
+      .orderBy("split")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q116_hash_split" -> hashSplit,
     "q100_curation_funnel" -> curationFunnel,
     "q92_corpus_diff" -> corpusDiff,
     "q84_dataset_card" -> datasetCard,
@@ -966,6 +1040,22 @@ object CurationOps {
   }
 
   val oracle: Map[String, String] = Map(
+    "q116_hash_split" ->
+      """WITH h AS (SELECT doc_id, n_chars,
+        |    len(string_split(trim(text), ' ')) AS n_toks,
+        |    substr(md5('graft-split:' || CAST(doc_id AS VARCHAR)), 1, 4)
+        |      AS h4
+        |  FROM documents),
+        |a AS (SELECT CASE WHEN h4 < 'cccc' THEN 'train'
+        |      WHEN h4 < 'e666' THEN 'valid' ELSE 'test' END AS split,
+        |    count(*) AS n_docs,
+        |    CAST(sum(n_toks) AS BIGINT) AS n_tokens,
+        |    CAST(sum(n_chars) AS BIGINT) AS n_chars
+        |  FROM h GROUP BY 1)
+        |SELECT split, n_docs, n_tokens, n_chars,
+        |  round(CAST(n_docs AS DOUBLE)
+        |    / CAST(sum(n_docs) OVER () AS DOUBLE), 6) AS doc_share
+        |FROM a ORDER BY split""".stripMargin,
     "q115_temperature_mix" ->
       """WITH b AS (SELECT source,
         |    CAST(sum(len(string_split(trim(text), ' '))) AS BIGINT)

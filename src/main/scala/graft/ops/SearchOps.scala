@@ -190,6 +190,72 @@ object SearchOps {
       .limit(topK)
   }
 
+  // ---- q120: hybrid retrieval (BM25 + embedding cosine, RRF-fused) ---------
+
+  /** q120: hybrid search — reciprocal-rank fusion of the lexical BM25 leg
+    * (q81's pinned 3-term query) and the semantic embedding-cosine leg
+    * (q40's pinned query vector, vec_id 0), the standard two-tower
+    * retrieval composition: `rrf = Σ 1/(60 + rank_leg)` over the legs a
+    * document appears in, ranks taken inside each leg's top-[[RrfLegK]].
+    *
+    * Scale: each leg is the already-scale-audited operator (BM25's
+    * posting-fetch explode + broadcast stats; the cosine leg a broadcast-
+    * query scan planned as TakeOrderedAndProject) cut to k rows BEFORE
+    * fusion — the full-outer fuse joins two k-row frames, so everything
+    * past the legs is bounded by 2k regardless of corpus size. The
+    * single-partition rank windows run on k rows, never on the corpus.
+    *
+    * Determinism: ranks are exact integers off engine-identical rounded
+    * leg scores (both legs tie-break on doc_id); each RRF term is one
+    * double division of exact integers, summed lex-then-sem and rounded
+    * to 6 dp; absent-leg ranks surface as 0 (not null) so the output
+    * schema is null-free.
+    */
+  def hybridRrf(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(s)
+    hybridRrfOn(docs(s, dir), Tables.t(s, dir, "embeddings"), Q81Terms)
+  }
+
+  private[ops] val RrfLegK = 50
+  private[ops] val RrfTopK = 20
+  private[ops] val RrfC = 60
+
+  /** `docsDf` needs (doc_id, text); `embDf` needs (vec_id, embedding) with
+    * vec_id aligned to doc_id; `terms` as in [[bm25SearchOn]].
+    */
+  def hybridRrfOn(docsDf: DataFrame, embDf: DataFrame, terms: Seq[String],
+      queryId: Long = 0L, legK: Int = RrfLegK,
+      topK: Int = RrfTopK): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    graft.functions.GraftFunctions.ensureRegistered(docsDf.sparkSession)
+    val lex = bm25SearchOn(docsDf, terms, legK)
+      .select(col("doc_id"),
+        row_number().over(Window.orderBy(col("bm25").desc,
+          col("doc_id").asc)).cast("long").as("lex_rank"))
+    val q = embDf.filter(col("vec_id") === queryId)
+      .select(col("embedding").as("q_emb"))
+    val sem = embDf.filter(col("vec_id") =!= queryId)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id").as("doc_id"),
+        round(SimilarityOps.cosine(col("embedding"), col("q_emb")), 6)
+          .as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("doc_id").asc).limit(legK)
+      .select(col("doc_id"),
+        row_number().over(Window.orderBy(col("cos_sim").desc,
+          col("doc_id").asc)).cast("long").as("sem_rank"))
+    val c = lit(RrfC.toDouble)
+    lex.join(sem, Seq("doc_id"), "full_outer")
+      .withColumn("rrf", round(
+        when(col("lex_rank").isNotNull, lit(1.0) / (c + col("lex_rank")))
+          .otherwise(0.0)
+          + when(col("sem_rank").isNotNull, lit(1.0) / (c + col("sem_rank")))
+            .otherwise(0.0), 6))
+      .withColumn("lex_rank", coalesce(col("lex_rank"), lit(0L)))
+      .withColumn("sem_rank", coalesce(col("sem_rank"), lit(0L)))
+      .orderBy(col("rrf").desc, col("doc_id").asc)
+      .limit(topK)
+  }
+
   // ---- q83: bigram language-model counts -----------------------------------
 
   /** q83: bigram language-model table — adjacent token pairs with counts
@@ -349,9 +415,60 @@ object SearchOps {
     "q79_inverted_index" -> invertedIndex,
     "q80_token_cooccurrence" -> tokenCooccurrence,
     "q81_bm25_search" -> bm25Search,
-    "q83_bigram_lm" -> bigramLm)
+    "q83_bigram_lm" -> bigramLm,
+    "q120_hybrid_rrf" -> hybridRrf)
 
   val oracle: Map[String, String] = Map(
+    "q120_hybrid_rrf" -> {
+      val inList = Q81Terms.map(t => s"'$t'").mkString(", ")
+      val tfCols = Q81Terms.zipWithIndex.map { case (t, i) =>
+        s"CAST(sum(CASE WHEN term = '$t' THEN 1 ELSE 0 END) AS BIGINT)" +
+          s" AS tf${i + 1}"
+      }.mkString(",\n    ")
+      val dfCols = Q81Terms.zipWithIndex.map { case (t, i) =>
+        s"CAST(sum(CASE WHEN term = '$t' THEN 1 ELSE 0 END) AS BIGINT)" +
+          s" AS df${i + 1}"
+      }.mkString(",\n    ")
+      val cosExpr = s"(${SimilarityOps.sqlDot("e.embedding", "q.q_emb")})" +
+        s"\n    / (${SimilarityOps.sqlNorm("e.embedding")}" +
+        s"\n       * ${SimilarityOps.sqlNorm("q.q_emb")})"
+      s"""WITH d AS (SELECT doc_id,
+         |    len(string_split(trim(text), ' ')) AS dl, text FROM documents),
+         |hits AS (SELECT doc_id, dl,
+         |    unnest(string_split(trim(text), ' ')) AS term FROM d),
+         |per_doc AS (SELECT doc_id, dl,
+         |    $tfCols
+         |  FROM hits WHERE term IN ($inList) GROUP BY doc_id, dl),
+         |dfs AS (SELECT
+         |    $dfCols
+         |  FROM (SELECT DISTINCT * FROM (SELECT doc_id,
+         |      unnest(string_split(trim(text), ' ')) AS term
+         |    FROM documents)) WHERE term IN ($inList)),
+         |stats AS (SELECT count(*) AS n_docs,
+         |    CAST(sum(dl) AS BIGINT) AS sum_dl FROM d),
+         |bm AS (SELECT doc_id, ${bm25Expr(Q81Terms.size)} AS bm25
+         |  FROM per_doc, dfs, stats
+         |  ORDER BY bm25 DESC, doc_id LIMIT $RrfLegK),
+         |lex AS (SELECT doc_id, row_number()
+         |    OVER (ORDER BY bm25 DESC, doc_id) AS lex_rank FROM bm),
+         |cs AS (SELECT e.vec_id AS doc_id,
+         |    round($cosExpr, 6) AS cos_sim
+         |  FROM embeddings e CROSS JOIN (SELECT embedding AS q_emb
+         |    FROM embeddings WHERE vec_id = 0) q
+         |  WHERE e.vec_id <> 0
+         |  ORDER BY cos_sim DESC, doc_id LIMIT $RrfLegK),
+         |sem AS (SELECT doc_id, row_number()
+         |    OVER (ORDER BY cos_sim DESC, doc_id) AS sem_rank FROM cs),
+         |f AS (SELECT coalesce(lex.doc_id, sem.doc_id) AS doc_id,
+         |    lex_rank, sem_rank
+         |  FROM lex FULL OUTER JOIN sem ON lex.doc_id = sem.doc_id)
+         |SELECT doc_id,
+         |  coalesce(lex_rank, 0) AS lex_rank,
+         |  coalesce(sem_rank, 0) AS sem_rank,
+         |  round(coalesce(1.0e0 / ($RrfC.0e0 + lex_rank), 0.0e0)
+         |    + coalesce(1.0e0 / ($RrfC.0e0 + sem_rank), 0.0e0), 6) AS rrf
+         |FROM f ORDER BY rrf DESC, doc_id LIMIT $RrfTopK""".stripMargin
+    },
     "q79_inverted_index" ->
       s"""WITH tok AS (SELECT doc_id,
          |    unnest(string_split(trim(text), ' ')) AS token FROM documents),

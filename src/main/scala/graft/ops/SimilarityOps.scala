@@ -40,11 +40,11 @@ object SimilarityOps {
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
   /** SQL twin of [[dot]]: identical term order for bit-exact float math. */
-  private def sqlDot(a: String, b: String): String =
+  private[ops] def sqlDot(a: String, b: String): String =
     (1 to Dim).map(i =>
       s"CAST($a[$i] AS DOUBLE) * CAST($b[$i] AS DOUBLE)").mkString(" + ")
 
-  private def sqlNorm(a: String): String = s"sqrt(${sqlDot(a, a)})"
+  private[ops] def sqlNorm(a: String): String = s"sqrt(${sqlDot(a, a)})"
 
   /** Brute-force cosine top-k for one query vector (vec_id 0): broadcast the
     * query row, one scan, TakeOrderedAndProject top-10.

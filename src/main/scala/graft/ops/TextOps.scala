@@ -768,7 +768,95 @@ object TextOps {
       .orderBy("source")
   }
 
+  // ---------------------------------------------------------------- q118
+
+  /** The rank checkpoints q118 reports coverage at. */
+  private[ops] val CoverageRanks = Seq(10, 100, 1000, 10000)
+
+  /** q118: vocabulary coverage curve — what fraction of all corpus tokens
+    * the top-k most frequent types cover, at k ∈ [[CoverageRanks]]. The
+    * tokenizer-design / vocab-sizing report: where the Zipf mass actually
+    * sits decides how large a subword vocabulary needs to be and how much
+    * of the stream OOV-falls-back at each candidate size.
+    *
+    * Scale: the corpus contracts to the (token, freq) vocabulary in its
+    * single data-sized shuffle; ranking the vocab table rides
+    * [[ScaleOps.withGlobalRowNumber]] (range repartition + local ranks +
+    * broadcast offset ladder — NO single-task global sort), and the curve
+    * is one ≤1-row aggregation of conditional sums. Everything past the
+    * first groupBy is vocab-bounded.
+    *
+    * Determinism: conditional sums are exact longs; each coverage is ONE
+    * double division of two exact integers, rounded to 6 dp.
+    */
+  def tokenCoverage(s: SparkSession, dir: String): DataFrame =
+    tokenCoverageOn(docs(s, dir))
+
+  /** `docsDf` needs (text). */
+  def tokenCoverageOn(docsDf: DataFrame): DataFrame = {
+    val freqs = docsDf
+      .select(explode(tokens).as("token"))
+      .filter(length(col("token")) > 0)
+      .groupBy("token").agg(count(lit(1)).as("freq"))
+    val ranked = ScaleOps.withGlobalRowNumber(
+      freqs, Seq(col("freq").desc, col("token").asc), "rank")
+    val covs = CoverageRanks.map { k =>
+      round(sum(when(col("rank") <= k, col("freq")).otherwise(0L))
+        .cast("double") / sum("freq").cast("double"), 6).as(s"cov_$k")
+    }
+    ranked.agg(
+      count(lit(1)).as("vocab_size"),
+      sum("freq").as("total_tokens") +: covs: _*)
+  }
+
+  // ---------------------------------------------------------------- q117
+
+  /** q117: quality-classifier logit — a pinned linear model (the distilled
+    * form of a fasttext-style quality classifier: cheap per-doc features ×
+    * frozen weights) scoring every document, with the keep decision taken
+    * on the rounded logit. This is the shape CCNet/Gopher-style pipelines
+    * deploy at corpus scale: the expensive model trains offline, and the
+    * corpus pass is pure per-row arithmetic over features the engine
+    * already computes ([[scoredDocsOn]] + the q32 stopword ratio).
+    *
+    * Features: lexical diversity, capped average token length, punctuation
+    * cleanliness, stopword ratio, log document length. Weights are part of
+    * the operator contract (a trained model would inject its own).
+    *
+    * Determinism: every feature is a division of exact integer counts
+    * except log-length, which rounds to 9 dp before its weight (the q108/
+    * q114 libm discipline); the weighted sum is one fixed left-associated
+    * expression tree, rounded to 6 dp, and `keep` compares the ROUNDED
+    * logit so the decision boundary is engine-identical.
+    *
+    * Scale: map-side only — no shuffle anywhere (the dump's order-by is
+    * presentation). Compose with [[ScaleOps]] partition sizing and the
+    * filter pushes into whatever scan feeds it.
+    */
+  def qualityLogit(s: SparkSession, dir: String): DataFrame =
+    qualityLogitOn(docs(s, dir))
+
+  /** `docsDf` needs (doc_id, text). */
+  def qualityLogitOn(docsDf: DataFrame): DataFrame = {
+    val stopArr = array(enStops.map(lit): _*)
+    scoredDocsOn(docsDf)
+      .withColumn("en_hits",
+        size(filter(col("toks"), t => array_contains(stopArr, t))))
+      .withColumn("logit", round(
+        lit(-3.1)
+          + lit(1.6) * col("distinct_ratio")
+          + lit(0.8) * least(col("avg_len") / 10.0, lit(1.0))
+          + lit(1.2) * (lit(1.0) - col("n_punct") / col("n_tokens"))
+          + lit(2.0) * (col("en_hits") / col("n_tokens"))
+          + lit(0.35) * round(log(col("n_tokens")), 9), 6))
+      .select(col("doc_id"), col("n_tokens"), col("en_hits"),
+        col("logit"), (col("logit") > 0.0).as("keep"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q118_token_coverage" -> tokenCoverage,
+    "q117_quality_logit" -> qualityLogit,
     "q31_token_stats" -> tokenStats,
     "q32_lang_profile" -> langProfile,
     "q33_quality_score" -> qualityScore,
@@ -787,6 +875,43 @@ object TextOps {
     "q114_source_drift" -> sourceDrift)
 
   val oracle: Map[String, String] = Map(
+    "q118_token_coverage" -> {
+      val covCols = CoverageRanks.map { k =>
+        s"""round(CAST(sum(CASE WHEN rank <= $k THEN freq ELSE 0 END)
+           |      AS DOUBLE) / CAST(sum(freq) AS DOUBLE), 6) AS cov_$k"""
+          .stripMargin
+      }.mkString(",\n  ")
+      s"""WITH toks AS (SELECT unnest(string_split(trim(text), ' '))
+         |    AS token FROM documents),
+         |f AS (SELECT token, count(*) AS freq FROM toks
+         |  WHERE len(token) > 0 GROUP BY token),
+         |r AS (SELECT freq,
+         |    row_number() OVER (ORDER BY freq DESC, token) AS rank FROM f)
+         |SELECT count(*) AS vocab_size,
+         |  CAST(sum(freq) AS BIGINT) AS total_tokens,
+         |  $covCols
+         |FROM r""".stripMargin
+    },
+    "q117_quality_logit" ->
+      s"""WITH d AS (SELECT doc_id, text,
+         |  string_split(trim(text), ' ') AS toks FROM documents),
+         |m AS (SELECT doc_id, len(toks) AS n_tokens,
+         |  len(list_distinct(toks)) / len(toks) AS distinct_ratio,
+         |  length(regexp_replace(text, ' ', '', 'g')) / len(toks)
+         |    AS avg_len,
+         |  len(regexp_extract_all(text, '[^a-zA-Z0-9 ]')) AS n_punct,
+         |  len(list_filter(toks, t -> list_contains($enStopsSql, t)))
+         |    AS en_hits
+         |  FROM d),
+         |sc AS (SELECT doc_id, n_tokens, en_hits,
+         |  round(-3.1e0 + 1.6e0 * distinct_ratio
+         |    + 0.8e0 * least(avg_len / 10.0e0, 1.0e0)
+         |    + 1.2e0 * (1.0e0 - n_punct / n_tokens)
+         |    + 2.0e0 * (en_hits / n_tokens)
+         |    + 0.35e0 * round(ln(n_tokens), 9), 6) AS logit FROM m)
+         |SELECT doc_id, n_tokens, en_hits, logit,
+         |  logit > 0.0e0 AS keep
+         |FROM sc ORDER BY doc_id""".stripMargin,
     "q114_source_drift" ->
       """WITH st AS (SELECT source, token, count(*) AS c
         |  FROM (SELECT source, unnest(string_split(trim(text), ' '))

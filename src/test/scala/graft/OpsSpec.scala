@@ -854,6 +854,74 @@ class OpsSpec extends SparkSpec {
     assert(!out.contains((1, 0)))
   }
 
+  test("hash split: exhaustive, weight-faithful, and stable under growth") {
+    import spark.implicits._
+    val splits = Seq("train" -> 0.8, "valid" -> 0.1, "test" -> 0.1)
+    def corpus(n: Long) = (1L to n).map(i => (i, s"tok a b c $i", 10L))
+      .toDF("doc_id", "text", "n_chars")
+    val s1 = CurationOps.withHashSplit(corpus(300), "graft-split", splits)
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    // exhaustive: every doc lands in exactly one named split
+    assert(s1.size === 300)
+    assert(s1.values.toSet.subsetOf(Set("train", "valid", "test")))
+    // weight-faithful within a loose band at n=300
+    val trainFrac = s1.values.count(_ == "train") / 300.0
+    assert(trainFrac > 0.7 && trainFrac < 0.9, s"train frac $trainFrac")
+    // growth stability: doubling the corpus must not migrate any existing
+    // document (membership is a pure function of salt + doc_id)
+    val s2 = CurationOps.withHashSplit(corpus(600), "graft-split", splits)
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    s1.foreach { case (id, sp) => assert(s2(id) === sp, s"doc $id moved") }
+    // a different salt reshuffles membership (seeds are real)
+    val s3 = CurationOps.withHashSplit(corpus(300), "other-salt", splits)
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    assert(s1.exists { case (id, sp) => s3(id) != sp })
+  }
+
+  test("q116 report partitions the corpus and shares sum to one") {
+    val out = CurationOps.hashSplit(spark, sfDir).collect()
+    val nDocs = Tables.t(spark, sfDir, "documents").count()
+    assert(out.map(_.getAs[Long]("n_docs")).sum === nDocs)
+    val shareSum = out.map(_.getAs[Double]("doc_share")).sum
+    assert(math.abs(shareSum - 1.0) < 1e-4)
+  }
+
+  test("quality logit: keep is the rounded-logit sign; hand-computed doc") {
+    val out = TextOps.qualityLogit(spark, sfDir).collect()
+    out.foreach { r =>
+      assert(r.getAs[Boolean]("keep") === (r.getAs[Double]("logit") > 0))
+    }
+    // hand check on a fixture doc: "the the a of" — all four tokens are
+    // stopwords, 3 distinct of 4, 9 non-space chars, zero punct
+    import spark.implicits._
+    val one = TextOps.qualityLogitOn(
+      Seq((1L, "the the a of")).toDF("doc_id", "text")).collect().head
+    // Spark's round() is HALF_UP — mirror it exactly
+    def r(v: Double, dp: Int): Double =
+      BigDecimal(v).setScale(dp, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val expected = r(-3.1 + 1.6 * (3.0 / 4.0)
+      + 0.8 * math.min((9.0 / 4.0) / 10.0, 1.0)
+      + 1.2 * (1.0 - 0.0 / 4.0)
+      + 2.0 * (4.0 / 4.0)
+      + 0.35 * r(math.log(4.0), 9), 6)
+    assert(one.getAs[Double]("logit") === expected)
+    assert(one.getAs[Int]("en_hits") === 4)
+  }
+
+  test("token coverage: monotone in rank, bounded by 1, mass-consistent") {
+    val r = TextOps.tokenCoverage(spark, sfDir).collect().head
+    val covs = Seq(10, 100, 1000, 10000).map(k => r.getAs[Double](s"cov_$k"))
+    assert(covs === covs.sorted)
+    assert(covs.forall(c => c > 0.0 && c <= 1.0))
+    // once k >= vocab_size the curve saturates at exactly 1
+    val vocab = r.getAs[Long]("vocab_size")
+    Seq(10, 100, 1000, 10000).zip(covs).foreach { case (k, c) =>
+      if (k >= vocab) assert(c === 1.0, s"cov_$k must saturate")
+    }
+    // the corpus vocabulary is tiny, so the tail checkpoint is saturated
+    assert(vocab < 10000)
+  }
+
   test("crossmodal curation: combined = score x norm, ranked and capped") {
     val out = SimilarityOps.crossmodalCuration(spark, sfDir).collect()
     assert(out.length === 20)

@@ -206,6 +206,48 @@ class SearchSpec extends SparkSpec {
     assert(res.passed, res.status.toString)
   }
 
+  test("hybrid rrf: score reciprocates the reported leg ranks, leg-only " +
+      "docs survive, ordering is total") {
+    val docs = Seq(
+      (1L, "table table spark the fast"),
+      (2L, "vector vector vector"),
+      (3L, "nothing relevant here"),
+      (4L, "table spark"),
+      (0L, "table")).toDF("doc_id", "text")
+    val embs = Seq(
+      (0L, Array(1f, 0f)), // the query vector
+      (1L, Array(0.9f, 0.1f)),
+      (4L, Array(0.2f, 0.9f)),
+      (9L, Array(1f, 0f)) // semantic-only doc: no text row at all
+    ).toDF("vec_id", "embedding")
+    val out = SearchOps.hybridRrfOn(
+        docs, embs, Seq("table", "vector", "spark"), 0L, 10, 10).collect()
+    // every row reciprocates its own reported ranks exactly
+    out.foreach { r =>
+      val lex = r.getAs[Long]("lex_rank")
+      val sem = r.getAs[Long]("sem_rank")
+      assert(lex > 0 || sem > 0, s"row in neither leg: $r")
+      val want = BigDecimal(
+        (if (lex > 0) 1.0 / (60.0 + lex) else 0.0)
+          + (if (sem > 0) 1.0 / (60.0 + sem) else 0.0))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(r.getAs[Double]("rrf") === want, s"rrf mismatch: $r")
+    }
+    val byId = out.map(r => r.getAs[Long]("doc_id") -> r).toMap
+    // lexical-only doc 2 and semantic-only doc 9 both survive fusion
+    assert(byId(2L).getAs[Long]("sem_rank") === 0L)
+    assert(byId(2L).getAs[Long]("lex_rank") > 0L)
+    assert(byId(9L).getAs[Long]("lex_rank") === 0L)
+    assert(byId(9L).getAs[Long]("sem_rank") > 0L)
+    // doc 1 is strong in BOTH legs → must outrank every single-leg doc
+    val rrf1 = byId(1L).getAs[Double]("rrf")
+    assert(Seq(2L, 9L).forall(id => rrf1 > byId(id).getAs[Double]("rrf")))
+    // presentation order is (rrf desc, doc_id asc) — a total order
+    val keys = out.map(r =>
+      (-r.getAs[Double]("rrf"), r.getAs[Long]("doc_id"))).toSeq
+    assert(keys === keys.sorted)
+  }
+
   test("co-occurrence top-k plans as TakeOrderedAndProject, no global sort") {
     val plan = SearchOps.tokenCooccurrence(spark, sfDir)
       .queryExecution.executedPlan.toString
