@@ -768,6 +768,81 @@ object TextOps {
       .orderBy("source")
   }
 
+  // ---------------------------------------------------------------- q119
+
+  /** Winnowing parameters: k-gram width (word shingles) and window size.
+    * Any shared run of ≥ WinnowW + WinnowK - 1 = 6 consecutive tokens is
+    * guaranteed to surface at least one shared fingerprint.
+    */
+  private[ops] val WinnowK = 3
+  private[ops] val WinnowW = 4
+
+  /** q119: winnowing fingerprints — the local-sampling document
+    * fingerprint of Schleimer/Wilkerson/Aiken (the MOSS algorithm): hash
+    * every word [[WinnowK]]-gram with the portable 31-polynomial (q34's
+    * hash, per shingle), slide a [[WinnowW]]-wide window over the hash
+    * sequence, and keep the window minimum (leftmost on ties — pinned so
+    * the oracle twin is deterministic; classic winnowing's rightmost rule
+    * only shifts the density constant). The selected (position, hash)
+    * set is the fingerprint: unlike q34's whole-doc hash it is robust to
+    * local edits, and unlike the full shingle set it samples ~2/(w+1) of
+    * the k-grams while still GUARANTEEING any match of ≥ w+k-1 tokens
+    * shares a fingerprint — the property plagiarism/near-dup detectors
+    * index on.
+    *
+    * Scale: entirely row-local (higher-order array functions over each
+    * doc; the only shuffle is the presentation sort) — the fingerprint
+    * inversion that follows at 100 TB is exactly q102's shingle-keyed
+    * pattern with a w+1-times-smaller key stream.
+    *
+    * Determinism: integer hashes, integer positions, one double division
+    * for the density, rounded to 6 dp.
+    */
+  def winnowFingerprints(s: SparkSession, dir: String): DataFrame =
+    winnowFingerprintsOn(docs(s, dir))
+
+  /** The library face: (doc_id, m, sel, fps) with the full selected
+    * position and fingerprint-hash arrays — what a near-dup indexer
+    * explodes and shuffles on (q102's pattern over a ~2/(w+1)-sampled
+    * stream). `docsDf` needs (doc_id, text).
+    */
+  def winnowSetsOn(docsDf: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(docsDf.sparkSession)
+    docsDf
+      .withColumn("toks", tokens)
+      .withColumn("n_tokens", size(col("toks")))
+      .filter(col("n_tokens") >= WinnowK)
+      .withColumn("shingles",
+        transform(sequence(lit(1), col("n_tokens") - (WinnowK - 1)), i =>
+          concat_ws(" ",
+            element_at(col("toks"), i),
+            element_at(col("toks"), i + 1),
+            element_at(col("toks"), i + 2))))
+      .withColumn("hs", transform(col("shingles"), sh =>
+        aggregate(call_function("graft_code_points", sh), lit(0L),
+          (acc, x) => (acc * lit(31L) + x) % lit(1000000007L))))
+      .withColumn("m", size(col("hs")))
+      // a doc shorter than one window still yields its global minimum
+      .withColumn("n_win", greatest(col("m") - lit(WinnowW - 1), lit(1)))
+      .withColumn("sel", array_distinct(
+        transform(sequence(lit(1), col("n_win")), i =>
+          (i - 1).cast("long") +
+            array_position(slice(col("hs"), i, lit(WinnowW)),
+              array_min(slice(col("hs"), i, lit(WinnowW)))))))
+      .withColumn("fps", array_distinct(
+        transform(col("sel"), p => element_at(col("hs"), p.cast("int")))))
+  }
+
+  /** q119's registered report over [[winnowSetsOn]]. */
+  def winnowFingerprintsOn(docsDf: DataFrame): DataFrame =
+    winnowSetsOn(docsDf)
+      .select(col("doc_id"), col("m").as("n_kgrams"),
+        size(col("sel")).as("n_fingerprints"),
+        round(size(col("sel")).cast("double") / col("m"), 6).as("density"),
+        array_min(col("fps")).as("min_fp"),
+        array_max(col("fps")).as("max_fp"))
+      .orderBy("doc_id")
+
   // ---------------------------------------------------------------- q118
 
   /** The rank checkpoints q118 reports coverage at. */
@@ -855,6 +930,7 @@ object TextOps {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q119_winnow_fingerprints" -> winnowFingerprints,
     "q118_token_coverage" -> tokenCoverage,
     "q117_quality_logit" -> qualityLogit,
     "q31_token_stats" -> tokenStats,
@@ -875,6 +951,36 @@ object TextOps {
     "q114_source_drift" -> sourceDrift)
 
   val oracle: Map[String, String] = Map(
+    "q119_winnow_fingerprints" ->
+      s"""WITH d AS (SELECT doc_id,
+         |    string_split(trim(text), ' ') AS toks FROM documents),
+         |f AS (SELECT doc_id,
+         |    list_transform(generate_series(1, len(toks) - 2),
+         |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+         |      AS shingles
+         |  FROM d WHERE len(toks) >= 3),
+         |h AS (SELECT doc_id, list_transform(shingles, s ->
+         |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |      list_transform(generate_series(1, length(s)),
+         |        i -> CAST(unicode(s[i]) AS BIGINT))),
+         |      (a, b) -> (a * 31 + b) % 1000000007)) AS hs
+         |  FROM f),
+         |m AS (SELECT doc_id, hs, len(hs) AS m,
+         |    greatest(len(hs) - ${WinnowW - 1}, 1) AS n_win FROM h),
+         |sel AS (SELECT doc_id, hs, m, list_distinct(
+         |    list_transform(generate_series(1, n_win),
+         |      i -> i - 1 + list_position(hs[i:i+${WinnowW - 1}],
+         |        list_min(hs[i:i+${WinnowW - 1}])))) AS sel
+         |  FROM m),
+         |fp AS (SELECT doc_id, m, sel,
+         |    list_distinct(list_transform(sel, p -> hs[p])) AS fps
+         |  FROM sel)
+         |SELECT doc_id, m AS n_kgrams,
+         |  len(sel) AS n_fingerprints,
+         |  round(CAST(len(sel) AS DOUBLE) / CAST(m AS DOUBLE), 6)
+         |    AS density,
+         |  list_min(fps) AS min_fp, list_max(fps) AS max_fp
+         |FROM fp ORDER BY doc_id""".stripMargin,
     "q118_token_coverage" -> {
       val covCols = CoverageRanks.map { k =>
         s"""round(CAST(sum(CASE WHEN rank <= $k THEN freq ELSE 0 END)

@@ -922,6 +922,49 @@ class OpsSpec extends SparkSpec {
     assert(vocab < 10000)
   }
 
+  test("winnowing: single-window doc yields one fingerprint; density and " +
+      "selection are within the guaranteed bounds") {
+    import spark.implicits._
+    // 6 tokens → m = 4 k-grams = exactly one w=4 window → 1 fingerprint
+    val tiny = TextOps.winnowFingerprintsOn(
+      Seq((1L, "a b c d e f")).toDF("doc_id", "text")).collect().head
+    assert(tiny.getAs[Int]("n_kgrams") === 4)
+    assert(tiny.getAs[Int]("n_fingerprints") === 1)
+    assert(tiny.getAs[Long]("min_fp") === tiny.getAs[Long]("max_fp"))
+    // corpus-wide: every doc selects at least one and at most m
+    // fingerprints, one per window in the worst case
+    val out = TextOps.winnowFingerprints(spark, sfDir).collect()
+    out.foreach { r =>
+      val m = r.getAs[Int]("n_kgrams")
+      val n = r.getAs[Int]("n_fingerprints")
+      assert(n >= 1 && n <= m, s"selection out of bounds: $r")
+      assert(n <= math.max(m - 3, 1), "more fingerprints than windows")
+    }
+  }
+
+  test("winnowing guarantee: docs sharing a >= w+k-1 token run share a " +
+      "fingerprint hash") {
+    import spark.implicits._
+    // randomized (seeded) corpora: pairs of docs with a planted shared run
+    // of exactly 6 tokens (= WinnowW + WinnowK - 1) at arbitrary offsets
+    val rnd = new scala.util.Random(20260814L)
+    def randToks(n: Int) = Seq.fill(n)("t" + rnd.nextInt(50))
+    val cases = (0 until 20).map { i =>
+      val shared = randToks(6)
+      val a = randToks(rnd.nextInt(10)) ++ shared ++ randToks(rnd.nextInt(10))
+      val b = randToks(rnd.nextInt(10)) ++ shared ++ randToks(rnd.nextInt(10))
+      (2L * i, a.mkString(" "), 2L * i + 1, b.mkString(" "))
+    }
+    val docs = cases.flatMap { case (ia, a, ib, b) =>
+      Seq((ia, a), (ib, b)) }.toDF("doc_id", "text")
+    val fps = TextOps.winnowSetsOn(docs)
+      .select("doc_id", "fps").as[(Long, Seq[Long])].collect().toMap
+    cases.foreach { case (ia, _, ib, _) =>
+      assert(fps(ia).toSet.intersect(fps(ib).toSet).nonEmpty,
+        s"docs $ia/$ib share a 6-token run but no fingerprint")
+    }
+  }
+
   test("crossmodal curation: combined = score x norm, ranked and capped") {
     val out = SimilarityOps.crossmodalCuration(spark, sfDir).collect()
     assert(out.length === 20)
