@@ -38,6 +38,10 @@ object GraftFunctions {
     "graft_vec_dot" -> (es => VecDot(es.head, es(1))),
     "graft_edit_lb" -> (es => EditLowerBound(es.head, es(1))),
     "graft_code_points" -> (es => CodePoints(es.head)),
+    "graft_shingle_hashes" ->
+      (es => ShingleHashes(es.head, intArg("graft_shingle_hashes", es, 1))),
+    "graft_winnow_positions" ->
+      (es => WinnowPositions(es.head, intArg("graft_winnow_positions", es, 1))),
     "graft_bloom_agg" ->
       (es => BloomLongs(es.head, intArg("graft_bloom_agg", es, 1),
         intArg("graft_bloom_agg", es, 2)).toAggregateExpression()),

@@ -812,23 +812,18 @@ object TextOps {
       .withColumn("toks", tokens)
       .withColumn("n_tokens", size(col("toks")))
       .filter(col("n_tokens") >= WinnowK)
-      .withColumn("shingles",
-        transform(sequence(lit(1), col("n_tokens") - (WinnowK - 1)), i =>
-          concat_ws(" ",
-            element_at(col("toks"), i),
-            element_at(col("toks"), i + 1),
-            element_at(col("toks"), i + 2))))
-      .withColumn("hs", transform(col("shingles"), sh =>
-        aggregate(call_function("graft_code_points", sh), lit(0L),
-          (acc, x) => (acc * lit(31L) + x) % lit(1000000007L))))
+      // ONE pass over the text: prefix hashes + O(1) per shingle span
+      // (graft_shingle_hashes ≡ the composed per-shingle code-point fold,
+      // value-for-value — pinned by FunctionsSpec and the DuckDB oracle,
+      // which keeps the naive per-shingle formulation)
+      .withColumn("hs",
+        call_function("graft_shingle_hashes", col("text"), lit(WinnowK)))
       .withColumn("m", size(col("hs")))
-      // a doc shorter than one window still yields its global minimum
-      .withColumn("n_win", greatest(col("m") - lit(WinnowW - 1), lit(1)))
-      .withColumn("sel", array_distinct(
-        transform(sequence(lit(1), col("n_win")), i =>
-          (i - 1).cast("long") +
-            array_position(slice(col("hs"), i, lit(WinnowW)),
-              array_min(slice(col("hs"), i, lit(WinnowW)))))))
+      // monotonic-deque sliding minimum: O(m), zero per-window allocation
+      // (vs two slices + two walks per window in the composed form —
+      // identical selection incl. the leftmost tie rule, spec-pinned)
+      .withColumn("sel",
+        call_function("graft_winnow_positions", col("hs"), lit(WinnowW)))
       .withColumn("fps", array_distinct(
         transform(col("sel"), p => element_at(col("hs"), p.cast("int")))))
   }

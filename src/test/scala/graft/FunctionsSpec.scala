@@ -107,7 +107,9 @@ class FunctionsSpec extends SparkSpec {
         |  size(graft_minhash_band_keys(array(1L, 2L, 3L), 16)) AS b,
         |  size(graft_code_points('héllo wörld')) AS c,
         |  graft_vec_dot(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d,
-        |  graft_edit_lb('kitten', 'sitting') AS e
+        |  graft_edit_lb('kitten', 'sitting') AS e,
+        |  size(graft_shingle_hashes('a b c d', 3)) AS f,
+        |  graft_winnow_positions(array(5L, 3L, 3L, 9L), 2) AS g
         |FROM range(1, 4)""".stripMargin).collect()
     assert(r.length === 3)
     assert(r.head.getInt(1) === 16)
@@ -116,6 +118,9 @@ class FunctionsSpec extends SparkSpec {
     // kitten→sitting: hist diff {k:+1, s:-1, e:+1, i:-1, g:-1} → L1 5, lb 3
     // (≤ the true distance 3, and equals the interpreted eval)
     assert(r.head.getInt(4) === 3)
+    assert(r.head.getInt(5) === 2)
+    // windows of 2 over [5,3,3,9]: mins at 2 (leftmost of the 3-tie), 2, 3
+    assert(r.head.getSeq[Long](6) === Seq(2L, 3L))
     assert(graft.functions.EditLowerBound(
       org.apache.spark.sql.catalyst.expressions.Literal("kitten"),
       org.apache.spark.sql.catalyst.expressions.Literal("sitting"))
@@ -128,6 +133,88 @@ class FunctionsSpec extends SparkSpec {
       org.apache.spark.sql.types.ArrayType(
         org.apache.spark.sql.types.LongType))).eval(null)
     assert(r.head.getLong(0) === interp.asInstanceOf[Long])
+  }
+
+  test("shingle_hashes equals the composed per-shingle code-point fold") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    GraftFunctions.ensureRegistered(spark)
+    // adversarial fixtures: runs of spaces (empty tokens), leading/trailing
+    // spaces, non-ASCII incl. an astral (surrogate-pair) code point,
+    // short docs below k, the empty string
+    val texts = Seq(
+      "the quick brown fox jumps",
+      "a  double  spaced   doc here",
+      "  leading and trailing  ",
+      "héllo wörld déjà vu encore",
+      "astral 😀 plane mixed in text",
+      "one two", "solo", "", "   ",
+      "x y z") ++ (1 to 50).map { i =>
+      val rnd = new scala.util.Random(i)
+      Seq.fill(3 + rnd.nextInt(20))("t" + rnd.nextInt(30)).mkString(" ")
+    }
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val composed = df
+      .withColumn("toks", split(trim(col("text")), " "))
+      .withColumn("n_tokens", size(col("toks")))
+      .filter(col("n_tokens") >= 3)
+      .withColumn("hs", transform(
+        sequence(lit(1), col("n_tokens") - 2), i =>
+          aggregate(call_function("graft_code_points",
+            concat_ws(" ",
+              element_at(col("toks"), i),
+              element_at(col("toks"), i + 1),
+              element_at(col("toks"), i + 2))), lit(0L),
+            (acc, x) => (acc * lit(31L) + x) % lit(1000000007L))))
+      .select("doc_id", "hs").as[(Long, Seq[Long])].collect().toMap
+    val kernel = df
+      .withColumn("hs",
+        call_function("graft_shingle_hashes", col("text"), lit(3)))
+      .select("doc_id", "hs").as[(Long, Seq[Long])].collect().toMap
+    composed.foreach { case (id, hs) =>
+      assert(kernel(id) === hs, s"doc $id: kernel != composed fold")
+    }
+    // below-k and empty docs yield an empty array, not a crash
+    kernel.filterKeys(id => !composed.contains(id)).foreach {
+      case (id, hs) => assert(hs.isEmpty, s"doc $id must be empty")
+    }
+  }
+
+  test("winnow_positions equals the composed per-window min selection " +
+      "on arbitrary sequences") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    GraftFunctions.ensureRegistered(spark)
+    val rnd = new scala.util.Random(42)
+    // small value alphabet forces plenty of ties → exercises the
+    // leftmost-tie rule; lengths 1..30 cross the below-one-window edge
+    val seqs = (0 until 200).map { i =>
+      (i.toLong, Seq.fill(1 + rnd.nextInt(30))(rnd.nextInt(6).toLong))
+    }
+    val df = seqs.toDF("id", "hs")
+    val w = 4
+    val composed = df
+      .withColumn("n_win", greatest(size(col("hs")) - (w - 1), lit(1)))
+      .withColumn("sel", array_distinct(
+        transform(sequence(lit(1), col("n_win")), i =>
+          (i - 1).cast("long") +
+            array_position(slice(col("hs"), i, lit(w)),
+              array_min(slice(col("hs"), i, lit(w)))))))
+      .select("id", "sel").as[(Long, Seq[Long])].collect().toMap
+    val kernel = df
+      .withColumn("sel",
+        call_function("graft_winnow_positions", col("hs"), lit(w)))
+      .select("id", "sel").as[(Long, Seq[Long])].collect().toMap
+    seqs.foreach { case (id, hs) =>
+      assert(kernel(id) === composed(id),
+        s"id $id hs=$hs: deque selection != composed selection")
+    }
+    // empty sequence → empty selection, not a crash
+    val empty = Seq((0L, Seq.empty[Long])).toDF("id", "hs")
+      .select(call_function("graft_winnow_positions", col("hs"), lit(w)))
+      .as[Seq[Long]].collect().head
+    assert(empty.isEmpty)
   }
 
   test("edit_lb is a true lower bound on Levenshtein distance") {

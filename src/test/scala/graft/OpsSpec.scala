@@ -90,6 +90,14 @@ class OpsSpec extends SparkSpec {
     // count agg, one-partition offset ladder, broadcast, 1-row OLS fold)
     val zf = exchanges(TextOps.zipfFitOn(docs))
     assert(zf <= 8, s"q109 exchanges = $zf")
+    // q119: entirely row-local — the ONLY exchange is the presentation
+    // sort of the report (the library face winnowSetsOn has zero)
+    val wn = exchanges(TextOps.winnowSetsOn(docs))
+    assert(wn === 0, s"winnowSetsOn exchanges = $wn")
+    // q118: q109's rank decomposition off the vocab contraction — same
+    // budget shape, one extra 1-row fold for the coverage agg
+    val tc = exchanges(TextOps.tokenCoverageOn(docs))
+    assert(tc <= 8, s"q118 exchanges = $tc")
   }
 
   test("zipf fit: planted two-point vocabulary fits slope -1 exactly") {
