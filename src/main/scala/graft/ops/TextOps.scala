@@ -828,6 +828,58 @@ object TextOps {
         transform(col("sel"), p => element_at(col("hs"), p.cast("int")))))
   }
 
+  // ---------------------------------------------------------------- q121
+
+  /** q121 parameters: fingerprints shared by more than MaxDf documents are
+    * dropped before the pair join (boilerplate phrases carry no dup
+    * signal and are the join's quadratic hazard — the q80 df-prune
+    * argument); candidate pairs need ≥ MinShared surviving shared
+    * fingerprints; the report keeps the top [[MatchTopK]].
+    */
+  private[ops] val WinnowMaxDf = 20
+  private[ops] val WinnowMinShared = 2
+  private[ops] val MatchTopK = 100
+
+  /** q121: winnowing near-dup candidates — the indexing step q119's
+    * fingerprints exist for: explode each doc's selected fingerprint set,
+    * drop ubiquitous fingerprints (document frequency > maxDf — a
+    * common-phrase fingerprint joins every pair of its documents, the
+    * classic quadratic hot key; dropping it loses no signal a MinShared
+    * threshold would keep), self-join on the fingerprint, and count
+    * shared fingerprints per ordered pair.
+    *
+    * Scale: the fingerprint stream is the ~2/(w+1)-SAMPLED shingle
+    * stream (the winnowing payoff — q37's shingle join at a fraction of
+    * the key volume); the df prune is one fp-keyed aggregation reused as
+    * a semi-join filter; the pair join is fp-keyed (hot keys capped at
+    * maxDf docs → ≤ maxDf² rows per fingerprint); the cut plans as
+    * TakeOrderedAndProject on the deterministic (n_shared desc, ids)
+    * order. Same dispatch family as q37: at real scale the density gate
+    * applies before any pair listing.
+    */
+  def winnowMatches(s: SparkSession, dir: String): DataFrame =
+    winnowMatchesOn(docs(s, dir), WinnowMaxDf, WinnowMinShared, MatchTopK)
+
+  /** `docsDf` needs (doc_id, text). */
+  def winnowMatchesOn(docsDf: DataFrame, maxDf: Int = WinnowMaxDf,
+      minShared: Int = WinnowMinShared, topK: Int = MatchTopK): DataFrame = {
+    val fp = winnowSetsOn(docsDf)
+      .select(col("doc_id"), explode(col("fps")).as("fp"))
+    val rare = fp.groupBy("fp").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf)
+      .select("fp")
+    val pruned = fp.join(rare, "fp")
+    val a = pruned.toDF("fp", "a_id")
+    val b = pruned.toDF("fp", "b_id")
+    a.join(b, "fp")
+      .filter(col("a_id") < col("b_id"))
+      .groupBy("a_id", "b_id")
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+      .orderBy(col("n_shared").desc, col("a_id").asc, col("b_id").asc)
+      .limit(topK)
+  }
+
   /** q119's registered report over [[winnowSetsOn]]. */
   def winnowFingerprintsOn(docsDf: DataFrame): DataFrame =
     winnowSetsOn(docsDf)
@@ -906,8 +958,12 @@ object TextOps {
   def qualityLogit(s: SparkSession, dir: String): DataFrame =
     qualityLogitOn(docs(s, dir))
 
-  /** `docsDf` needs (doc_id, text). */
-  def qualityLogitOn(docsDf: DataFrame): DataFrame = {
+  /** The column-appending, stream-safe form (no sort): every input column
+    * survives, plus (n_tokens, en_hits, logit, keep) — what an ingest
+    * pipeline slots between parse and sink
+    * ([[graft.streaming.QualityGatePipeline]]). `docsDf` needs (text).
+    */
+  def withQualityLogit(docsDf: DataFrame): DataFrame = {
     val stopArr = array(enStops.map(lit): _*)
     scoredDocsOn(docsDf)
       .withColumn("en_hits",
@@ -919,12 +975,19 @@ object TextOps {
           + lit(1.2) * (lit(1.0) - col("n_punct") / col("n_tokens"))
           + lit(2.0) * (col("en_hits") / col("n_tokens"))
           + lit(0.35) * round(log(col("n_tokens")), 9), 6))
-      .select(col("doc_id"), col("n_tokens"), col("en_hits"),
-        col("logit"), (col("logit") > 0.0).as("keep"))
-      .orderBy("doc_id")
+      .withColumn("keep", col("logit") > 0.0)
+      .drop("toks", "distinct_ratio", "avg_len", "n_punct", "score")
   }
 
+  /** `docsDf` needs (doc_id, text). */
+  def qualityLogitOn(docsDf: DataFrame): DataFrame =
+    withQualityLogit(docsDf)
+      .select(col("doc_id"), col("n_tokens"), col("en_hits"),
+        col("logit"), col("keep"))
+      .orderBy("doc_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q121_winnow_matches" -> winnowMatches,
     "q119_winnow_fingerprints" -> winnowFingerprints,
     "q118_token_coverage" -> tokenCoverage,
     "q117_quality_logit" -> qualityLogit,
@@ -945,31 +1008,52 @@ object TextOps {
     "q111_shingle_novelty" -> shingleNovelty,
     "q114_source_drift" -> sourceDrift)
 
+  /** The shared winnowing CTE chain (through per-doc fingerprint sets) —
+    * the q119 and q121 oracles both replay it verbatim, in the NAIVE
+    * per-shingle formulation (the native kernels are pinned
+    * value-identical to it by FunctionsSpec).
+    */
+  private val winnowCtes: String =
+    s"""WITH d AS (SELECT doc_id,
+       |    string_split(trim(text), ' ') AS toks FROM documents),
+       |f AS (SELECT doc_id,
+       |    list_transform(generate_series(1, len(toks) - 2),
+       |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+       |      AS shingles
+       |  FROM d WHERE len(toks) >= 3),
+       |h AS (SELECT doc_id, list_transform(shingles, s ->
+       |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |      list_transform(generate_series(1, length(s)),
+       |        i -> CAST(unicode(s[i]) AS BIGINT))),
+       |      (a, b) -> (a * 31 + b) % 1000000007)) AS hs
+       |  FROM f),
+       |m AS (SELECT doc_id, hs, len(hs) AS m,
+       |    greatest(len(hs) - ${WinnowW - 1}, 1) AS n_win FROM h),
+       |sel AS (SELECT doc_id, hs, m, list_distinct(
+       |    list_transform(generate_series(1, n_win),
+       |      i -> i - 1 + list_position(hs[i:i+${WinnowW - 1}],
+       |        list_min(hs[i:i+${WinnowW - 1}])))) AS sel
+       |  FROM m),
+       |fp AS (SELECT doc_id, m, sel,
+       |    list_distinct(list_transform(sel, p -> hs[p])) AS fps
+       |  FROM sel)""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "q121_winnow_matches" ->
+      s"""$winnowCtes,
+         |e AS (SELECT doc_id, unnest(fps) AS f FROM fp),
+         |rare AS (SELECT f FROM (SELECT f, count(*) AS df FROM e
+         |    GROUP BY f) WHERE df <= $WinnowMaxDf),
+         |p AS (SELECT doc_id, f FROM e JOIN rare USING (f)),
+         |pr AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+         |    count(*) AS n_shared
+         |  FROM p a JOIN p b ON a.f = b.f AND a.doc_id < b.doc_id
+         |  GROUP BY a_id, b_id)
+         |SELECT a_id, b_id, n_shared FROM pr
+         |WHERE n_shared >= $WinnowMinShared
+         |ORDER BY n_shared DESC, a_id, b_id LIMIT $MatchTopK""".stripMargin,
     "q119_winnow_fingerprints" ->
-      s"""WITH d AS (SELECT doc_id,
-         |    string_split(trim(text), ' ') AS toks FROM documents),
-         |f AS (SELECT doc_id,
-         |    list_transform(generate_series(1, len(toks) - 2),
-         |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
-         |      AS shingles
-         |  FROM d WHERE len(toks) >= 3),
-         |h AS (SELECT doc_id, list_transform(shingles, s ->
-         |    list_reduce(list_prepend(CAST(0 AS BIGINT),
-         |      list_transform(generate_series(1, length(s)),
-         |        i -> CAST(unicode(s[i]) AS BIGINT))),
-         |      (a, b) -> (a * 31 + b) % 1000000007)) AS hs
-         |  FROM f),
-         |m AS (SELECT doc_id, hs, len(hs) AS m,
-         |    greatest(len(hs) - ${WinnowW - 1}, 1) AS n_win FROM h),
-         |sel AS (SELECT doc_id, hs, m, list_distinct(
-         |    list_transform(generate_series(1, n_win),
-         |      i -> i - 1 + list_position(hs[i:i+${WinnowW - 1}],
-         |        list_min(hs[i:i+${WinnowW - 1}])))) AS sel
-         |  FROM m),
-         |fp AS (SELECT doc_id, m, sel,
-         |    list_distinct(list_transform(sel, p -> hs[p])) AS fps
-         |  FROM sel)
+      s"""$winnowCtes
          |SELECT doc_id, m AS n_kgrams,
          |  len(sel) AS n_fingerprints,
          |  round(CAST(len(sel) AS DOUBLE) / CAST(m AS DOUBLE), 6)

@@ -973,6 +973,37 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("winnow matches: planted near-dup pair found, ubiquitous " +
+      "fingerprints pruned before pairing") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7L)
+    def randToks(n: Int) = Seq.fill(n)("u" + rnd.nextInt(1000))
+    // docs 0/1: heavy overlap (a 30-token shared run → many shared
+    // fingerprints); docs 2..11: unrelated text, but ALL docs share one
+    // common boilerplate run whose fingerprints are ubiquitous (df = 12)
+    val shared = randToks(30)
+    val boiler = Seq("copyright", "footer", "terms", "apply", "here", "now")
+    val docs = (Seq(
+      (0L, (randToks(5) ++ shared ++ randToks(5) ++ boiler).mkString(" ")),
+      (1L, (randToks(5) ++ shared ++ randToks(5) ++ boiler).mkString(" "))) ++
+      (2L to 11L).map(i =>
+        (i, (randToks(25) ++ boiler).mkString(" ")))).toDF("doc_id", "text")
+    // maxDf = 3 prunes the df=12 boilerplate fingerprints: the unrelated
+    // docs must NOT pair up on boilerplate alone
+    val out = TextOps.winnowMatchesOn(docs, maxDf = 3, minShared = 2,
+      topK = 100).collect()
+    val pairs = out.map(r =>
+      (r.getAs[Long]("a_id"), r.getAs[Long]("b_id"))).toSet
+    assert(pairs.contains((0L, 1L)), s"planted pair missing: $pairs")
+    assert(pairs.forall { case (a, b) => a == 0L && b == 1L },
+      s"boilerplate-only pairs survived pruning: $pairs")
+    // without the df prune the boilerplate fingerprints pair everyone —
+    // the prune is doing real work in this fixture
+    val unpruned = TextOps.winnowMatchesOn(docs, maxDf = 1000,
+      minShared = 2, topK = 1000).count()
+    assert(unpruned > out.length)
+  }
+
   test("crossmodal curation: combined = score x norm, ranked and capped") {
     val out = SimilarityOps.crossmodalCuration(spark, sfDir).collect()
     assert(out.length === 20)

@@ -353,6 +353,54 @@ class StreamingSpec extends SparkSpec {
     assert(got.exists(_(3).asInstanceOf[Int] > 0), "PII must be scrubbed")
   }
 
+  test("streaming quality gate: keep/reject routing equals the batch " +
+      "q117 decision, the gate report rolls up additively") {
+    import graft.streaming.QualityGatePipeline
+    import graft.ops.TextOps
+    implicit val sqlCtx = spark.sqlContext
+    val keepDir = tmpDir("gate-keep")
+    val rejDir = tmpDir("gate-rej")
+    // mixed-quality docs: stopword-rich diverse text scores positive,
+    // degenerate repetition scores negative (see the q117 weights)
+    val batch1 = Seq(
+      (0L, "s1", "the quick brown fox is a friend of the lazy dog"),
+      (1L, "s1", "x x x x x x x x x x x x"),
+      (2L, "s2", "it is a truth universally acknowledged that a reader"))
+    val batch2 = Seq(
+      (3L, "s2", "spam spam spam spam spam spam"),
+      (4L, "s3", "a clear and varied sentence keeps the classifier happy"))
+    val input = MemoryStream[(Long, String, String)]
+    val q = QualityGatePipeline.runQualityGate(
+      input.toDS().toDF("doc_id", "source", "text"),
+      keepDir, rejDir, tmpDir("gate-ckpt"))
+    input.addData(batch1: _*)
+    q.processAllAvailable()
+    input.addData(batch2: _*)
+    q.processAllAvailable()
+    q.stop()
+    val all = (batch1 ++ batch2).toDF("doc_id", "source", "text")
+    val batchDecision = TextOps.qualityLogitOn(all)
+      .select("doc_id", "keep").as[(Long, Boolean)].collect().toMap
+    // routing must agree doc-for-doc with the batch query, and partition
+    // the input (every doc in exactly one sink)
+    val kept = spark.read.parquet(keepDir).select("doc_id")
+      .as[Long].collect().toSet
+    val rejected = spark.read.parquet(rejDir).select("doc_id")
+      .as[Long].collect().toSet
+    assert(kept.intersect(rejected).isEmpty)
+    assert(kept.union(rejected) === batchDecision.keySet)
+    assert(kept === batchDecision.filter(_._2).keySet)
+    assert(kept.nonEmpty && rejected.nonEmpty, "fixture must exercise both")
+    // the report: per-source totals partition, keep_rate reciprocates
+    val rep = QualityGatePipeline.gateReport(spark, keepDir, rejDir)
+      .collect()
+    assert(rep.map(_.getAs[Long]("n_docs")).sum === 5L)
+    rep.foreach { r =>
+      assert(r.getAs[Long]("n_kept") + r.getAs[Long]("n_rejected")
+        === r.getAs[Long]("n_docs"))
+    }
+  }
+
   test("novelty triage against an empty index scores everything novel") {
     import graft.streaming.NoveltyTriagePipeline
     implicit val sqlCtx = spark.sqlContext
