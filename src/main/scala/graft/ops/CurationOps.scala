@@ -814,6 +814,7 @@ object CurationOps {
     writeCardinalityStore(docsDf, s"$root/cardinality")
     TextOps.writeTokenCountStore(docsDf, s"$root/token_counts")
     SearchOps.writeBigramStore(docsDf, s"$root/bigrams")
+    TextOps.writeWinnowStore(docsDf, s"$root/winnow")
     CorpusStats.analyze(docsDf, s"$root/corpus_stats")
   }
 

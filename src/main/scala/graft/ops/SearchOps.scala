@@ -243,6 +243,17 @@ object SearchOps {
       .select(col("doc_id"),
         row_number().over(Window.orderBy(col("cos_sim").desc,
           col("doc_id").asc)).cast("long").as("sem_rank"))
+    fuseRrf(lex, sem, topK)
+  }
+
+  /** The pure fusion, leg-agnostic: `lex` is (doc_id, lex_rank) and `sem`
+    * is (doc_id, sem_rank), ranks ≥ 1 from ANY ranked retriever — swap
+    * the brute cosine leg for q42/q45/q113 (LSH/IVF/RP) at real scale and
+    * the fusion is unchanged (RRF consumes ranks, not scores). Both legs
+    * are expected top-k-cut already; the fuse is k-bounded.
+    */
+  def fuseRrf(lex: DataFrame, sem: DataFrame,
+      topK: Int = RrfTopK): DataFrame = {
     val c = lit(RrfC.toDouble)
     lex.join(sem, Seq("doc_id"), "full_outer")
       .withColumn("rrf", round(

@@ -880,6 +880,75 @@ object TextOps {
       .limit(topK)
   }
 
+  // ---- persisted winnow-fingerprint store ---------------------------------
+
+  /** Materialize the winnowing fingerprint index: one (fp, doc_id) row per
+    * selected fingerprint per document, fp-laid-out for balanced probes —
+    * the near-dup-candidate face of the fingerprint/shingle/bloom/count
+    * store family. Size is the ~2/(w+1)-sampled shingle stream (the
+    * winnowing payoff persisted), independent of how often the corpus is
+    * probed: incremental crawls match against the store
+    * ([[matchesAgainstStore]]) without ever re-reading the indexed corpus.
+    */
+  def writeWinnowStore(docsDf: DataFrame, path: String): Unit =
+    winnowSetsOn(docsDf)
+      .select(explode(col("fps")).as("fp"), col("doc_id"))
+      .repartition(col("fp"))
+      .write.mode("overwrite").parquet(path)
+
+  /** Fold an ADMITTED crawl batch into the store, append-only (the
+    * shingle-store convention: never rewrite existing segments; a
+    * replayed append lands duplicate rows, which the consumers tolerate —
+    * [[matchesAgainstStore]] counts DISTINCT shared fingerprints, and an
+    * inflated df only prunes more aggressively, the conservative
+    * direction). Compact via the staging+swap pattern when bloat matters.
+    */
+  def appendToWinnowStore(admitted: DataFrame, path: String): Unit =
+    winnowSetsOn(admitted)
+      .select(explode(col("fps")).as("fp"), col("doc_id"))
+      .repartition(col("fp"))
+      .write.mode("append").parquet(path)
+
+  /** Re-contract accumulated append segments to distinct (fp, doc_id)
+    * rows, publishing via staging + atomic swap (durable state — never
+    * overwrite the live path in place).
+    */
+  def compactWinnowStore(s: SparkSession, path: String): Unit = {
+    val staging = path + ".merging"
+    s.read.parquet(path).select("fp", "doc_id").distinct()
+      .repartition(col("fp"))
+      .write.mode("overwrite").parquet(staging)
+    ScaleOps.swapInto(s, staging, path)
+  }
+
+  /** q121's cross-crawl face: match an incoming batch against the INDEXED
+    * corpus via the persisted store — the batch fingerprints row-locally,
+    * the df prune and the pair join read only the store's sampled key
+    * table, and the indexed corpus text is never touched. Emits
+    * (batch_id, corpus_id, n_shared) pairs, the same contract as
+    * [[winnowMatchesOn]].
+    */
+  def matchesAgainstStore(incoming: DataFrame, storePath: String,
+      maxDf: Int = WinnowMaxDf, minShared: Int = WinnowMinShared,
+      topK: Int = MatchTopK): DataFrame = {
+    val s = incoming.sparkSession
+    val batchFp = winnowSetsOn(incoming)
+      .select(col("doc_id").as("batch_id"), explode(col("fps")).as("fp"))
+    val store = s.read.parquet(storePath)
+    val rare = store.groupBy("fp").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf)
+      .select("fp")
+    batchFp
+      .join(rare, "fp")
+      .join(store.withColumnRenamed("doc_id", "corpus_id"), "fp")
+      .groupBy("batch_id", "corpus_id")
+      .agg(countDistinct("fp").as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+      .orderBy(col("n_shared").desc, col("batch_id").asc,
+        col("corpus_id").asc)
+      .limit(topK)
+  }
+
   /** q119's registered report over [[winnowSetsOn]]. */
   def winnowFingerprintsOn(docsDf: DataFrame): DataFrame =
     winnowSetsOn(docsDf)

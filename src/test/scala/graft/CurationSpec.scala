@@ -471,6 +471,13 @@ class CurationSpec extends SparkSpec {
       === TextOps.sourceDriftOn(corpus).collect().map(_.toSeq).toSeq)
     assert(graft.ops.SearchOps.lmPerplexityFromStore(corpus, s"$root/bigrams")
       .collect().forall(_.getAs[Long]("n_oov") == 0L))
+    // winnow store: an indexed doc's replay matches itself through the
+    // fingerprint index alone
+    assert(TextOps.matchesAgainstStore(
+      Seq((9L, "alpha beta gamma delta")).toDF("doc_id", "text"),
+      s"$root/winnow", maxDf = 5, minShared = 1).collect()
+      .map(r => (r.getAs[Long]("batch_id"), r.getAs[Long]("corpus_id")))
+      .toSet === Set((9L, 0L)), "indexed doc must match via the store")
     assert(graft.ops.CorpusStats.read(spark, s"$root/corpus_stats")
       === Some(stats))
   }

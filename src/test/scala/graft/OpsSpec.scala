@@ -1004,6 +1004,48 @@ class OpsSpec extends SparkSpec {
     assert(unpruned > out.length)
   }
 
+  test("winnow store: incremental probe finds the planted cross-crawl " +
+      "overlap, survives a replayed append, corpus never re-read") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(99L)
+    def randToks(n: Int) = Seq.fill(n)("v" + rnd.nextInt(2000))
+    val shared = randToks(25)
+    val crawl1 = (Seq((10L, (randToks(8) ++ shared ++ randToks(8))
+      .mkString(" "))) ++
+      (11L to 18L).map(i => (i, randToks(30).mkString(" "))))
+      .toDF("doc_id", "text")
+    val crawl2 = Seq(
+      (20L, (randToks(6) ++ shared ++ randToks(4)).mkString(" ")),
+      (21L, randToks(30).mkString(" "))).toDF("doc_id", "text")
+    val store = tmpDir("winnow-store") + "/fps"
+    TextOps.writeWinnowStore(crawl1, store)
+    val m1 = TextOps.matchesAgainstStore(crawl2, store, maxDf = 5,
+      minShared = 2, topK = 100).collect()
+    val pairs = m1.map(r =>
+      (r.getAs[Long]("batch_id"), r.getAs[Long]("corpus_id"))).toSet
+    assert(pairs === Set((20L, 10L)),
+      s"exactly the planted cross-crawl pair must match: $pairs")
+    // replayed append (same batch twice): duplicate rows in the store
+    // must not change the match answer (distinct count + df headroom)
+    TextOps.appendToWinnowStore(crawl2, store)
+    TextOps.appendToWinnowStore(crawl2, store)
+    val m2 = TextOps.matchesAgainstStore(crawl2, store, maxDf = 8,
+      minShared = 2, topK = 100).collect()
+      .map(r => (r.getAs[Long]("batch_id"), r.getAs[Long]("corpus_id"),
+        r.getAs[Long]("n_shared"))).toSet
+    // each batch doc now also matches its own indexed copy exactly once
+    assert(m2.exists { case (b, c, _) => b == 20L && c == 10L })
+    assert(m2.exists { case (b, c, _) => b == 20L && c == 20L })
+    assert(m2.exists { case (b, c, _) => b == 21L && c == 21L })
+    // compact restores one row per (fp, doc) — match answer unchanged
+    TextOps.compactWinnowStore(spark, store)
+    val m3 = TextOps.matchesAgainstStore(crawl2, store, maxDf = 8,
+      minShared = 2, topK = 100).collect()
+      .map(r => (r.getAs[Long]("batch_id"), r.getAs[Long]("corpus_id"),
+        r.getAs[Long]("n_shared"))).toSet
+    assert(m3 === m2)
+  }
+
   test("crossmodal curation: combined = score x norm, ranked and capped") {
     val out = SimilarityOps.crossmodalCuration(spark, sfDir).collect()
     assert(out.length === 20)
