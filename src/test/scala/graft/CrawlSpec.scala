@@ -10,9 +10,10 @@ import org.apache.spark.sql.functions._
   * operators that feed them, composed the way a production crawl round
   * actually chains them —
   *
-  *   streaming novelty triage → span decontamination evidence →
-  *   within-batch dedup decision → fingerprint-store admission →
-  *   append to fingerprint / token-count / cardinality stores
+  *   streaming novelty triage → quality gate → span decontamination
+  *   evidence → winnow near-dup evidence → within-batch dedup decision →
+  *   fingerprint-store admission → append to fingerprint / token-count /
+  *   cardinality / winnow stores
   *
   * over two simulated crawl batches, asserting the END state equals the
   * one-shot batch computation over everything ever admitted. Each stage is
@@ -59,6 +60,7 @@ class CrawlSpec extends SparkSpec {
     val blStore = s"$root/bloom"
     val hllStore = s"$root/cardinality"
     val tcStore = s"$root/token_counts"
+    val wnStore = s"$root/winnow"
 
     // round 0: the already-indexed corpus seeds every store
     val corpus0 = Seq(
@@ -71,6 +73,7 @@ class CrawlSpec extends SparkSpec {
       nBits = 1 << 12)
     CurationOps.writeCardinalityStore(accepted, hllStore)
     TextOps.writeTokenCountStore(accepted, tcStore)
+    TextOps.writeWinnowStore(accepted, wnStore)
 
     // crawl 1: exact dup of an indexed doc (triage drops), a novel doc, a
     // within-batch copy of it (decision drops), a too-short doc (admitted
@@ -79,7 +82,10 @@ class CrawlSpec extends SparkSpec {
       (10L, "s2", "alpha beta gamma delta epsilon"), // == doc 0
       (11L, "s2", "brand new content words here now"),
       (12L, "s2", "brand new content words here now"), // == doc 11
-      (13L, "s3", "mini doc")) // < K tokens: no shingles
+      (13L, "s3", "mini doc"), // < K tokens: no shingles
+      // degenerate repetition: novel to triage, but the quality gate
+      // rejects it (q117 logit < 0) before it can poison any store
+      (14L, "s3", "x x x x x x x x x x"))
     // crawl 2: a cross-crawl dup of doc 11 (triage drops — the stores
     // learned doc 11 in round 1) and one more novel doc
     val crawl2 = Seq(
@@ -90,8 +96,20 @@ class CrawlSpec extends SparkSpec {
       (22L, "s3", "one two three unrelated trailing words"))
 
     var spanEvidence = Map.empty[Long, Long]
+    var matchEvidence = Set.empty[(Long, Long)]
     for ((crawl, i) <- Seq(crawl1, crawl2).zipWithIndex) {
-      val admitted = triage(crawl, blStore, s"crawl_triage_$i")
+      // winnow near-dup evidence runs on the RAW batch (it must see the
+      // dups triage is about to drop) against the persisted index only
+      matchEvidence ++= TextOps.matchesAgainstStore(docsDf(crawl),
+        wnStore, maxDf = 8, minShared = 1, topK = 100).collect()
+        .map(r => (r.getAs[Long]("batch_id"), r.getAs[Long]("corpus_id")))
+      val triaged = triage(crawl, blStore, s"crawl_triage_$i")
+      // quality gate: same frozen model as batch q117 / the streaming
+      // QualityGatePipeline — rejects never reach dedup or any store
+      val gateKeep = TextOps.withQualityLogit(docsDf(triaged))
+        .filter(col("keep")).select("doc_id")
+        .collect().map(_.getLong(0)).toSet
+      val admitted = triaged.filter(r => gateKeep(r._1))
       // span decontamination evidence against the persisted shingle store
       // (the raw indexed corpus is deliberately NOT an input here)
       val spans = SpanOps.dupSpansAgainstStore(
@@ -114,14 +132,17 @@ class CrawlSpec extends SparkSpec {
       // (the indexed corpus is never re-read), and the triage filter
       // refreshes from the STORE, sized by distinct shingles
       SpanOps.appendToShingleStore(fresh, shStore, K)
+      TextOps.appendToWinnowStore(fresh, wnStore)
       SpanOps.writeBloomStoreFromShingles(spark, shStore, blStore, K,
         nBits = 1 << 12)
     }
 
     // ---- end-state == one-shot batch answers --------------------------
     val everything = docsDf(corpus0 ++ crawl1 ++ crawl2)
-    // 1. admitted doc set == exact dedup (min-id representative) one-shot
-    val oneShotIds = everything
+    // 1. admitted doc set == quality gate + exact dedup (min-id
+    // representative), one-shot — the gate composes identically in both
+    val oneShotIds = TextOps.withQualityLogit(everything)
+      .filter(col("keep"))
       .withColumn("norm", DedupOps.normText)
       .groupBy("norm").agg(min("doc_id").as("doc_id"))
       .select("doc_id").collect().map(_.getLong(0)).toSet
@@ -166,5 +187,21 @@ class CrawlSpec extends SparkSpec {
     // partially-overlapping doc 22 was flagged on exactly one span — the
     // "one two three" opening it shares with indexed doc 1
     assert(spanEvidence === Map(22L -> 1L), s"span evidence: $spanEvidence")
+    // 6. winnow evidence: the cross-crawl exact dups surfaced from the
+    // persisted index BEFORE triage dropped them (10 == indexed 0;
+    // 20 == doc 11, indexed in round 1); the genuinely fresh docs paired
+    // with nothing; short doc 13 is unfingerprintable (below k tokens)
+    assert(matchEvidence.contains((10L, 0L)), s"matches: $matchEvidence")
+    assert(matchEvidence.contains((20L, 11L)), s"matches: $matchEvidence")
+    assert(!matchEvidence.exists(_._1 == 21L), s"matches: $matchEvidence")
+    assert(!matchEvidence.exists(_._1 == 11L), s"matches: $matchEvidence")
+    // 7. incrementally-appended winnow store == one-shot rebuild
+    val oneShotWn = s"$root/winnow_oneshot"
+    TextOps.writeWinnowStore(accepted, oneShotWn)
+    TextOps.compactWinnowStore(spark, wnStore)
+    def wnRows(p: String) = spark.read.parquet(p)
+      .collect().map(r => (r.getAs[Long]("fp"), r.getAs[Long]("doc_id")))
+      .toSet
+    assert(wnRows(wnStore) === wnRows(oneShotWn))
   }
 }
