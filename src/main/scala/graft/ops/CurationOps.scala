@@ -974,8 +974,55 @@ object CurationOps {
       .orderBy("split")
   }
 
+  // ---- q122: training-order manifest --------------------------------------
+
+  /** The shard width q122 pins (documents per training shard). */
+  private val Q122ShardSize = 64
+
+  /** q122: deterministic training-order manifest — the export-time global
+    * pseudo-shuffle every trainer needs: documents ordered by
+    * `md5('graft-order:' || doc_id)` (a keyed hash, so the permutation is
+    * reproducible on any cluster, any partitioning, any rerun — no RNG
+    * state to persist), each assigned its exact 1-based global position and
+    * a fixed-width shard id. Hash order makes every shard an unbiased
+    * sample of the corpus, so the per-shard source/language mixture tracks
+    * the global mixture without a true random shuffle — the property that
+    * keeps SGD batches i.i.d.-ish when shards are consumed sequentially.
+    *
+    * Split membership (q116 [[withHashSplit]]) is stable under corpus
+    * growth; positions deliberately are NOT (inserting a document shifts
+    * everything after it) — a manifest describes one frozen snapshot, and
+    * is regenerated per export.
+    *
+    * Scale: the global position comes from
+    * [[ScaleOps.withGlobalRowNumber]]'s distributed-ranking decomposition
+    * (range repartition → parallel local ranks → broadcast offset ladder) —
+    * no single-task `Window.orderBy` sort at any corpus size; everything
+    * else is map-side arithmetic. When the trainer wants the BYTES in this
+    * order rather than the rank column, [[ScaleOps.writeOrdered]] with the
+    * same `(hash, doc_id)` sort key lays the shards on disk directly.
+    */
+  def trainingManifest(s: SparkSession, dir: String): DataFrame =
+    trainingManifestOn(docs(s, dir), Q122ShardSize)
+
+  /** `docsDf` needs (doc_id, source). Emits (doc_id, source, pos, shard),
+    * pos 1-based in hash order, shard = (pos-1) / shardSize.
+    */
+  def trainingManifestOn(docsDf: DataFrame, shardSize: Int): DataFrame = {
+    require(shardSize > 0, s"shardSize must be positive: $shardSize")
+    val keyed = docsDf.select(col("doc_id"), col("source"))
+      .withColumn("_h",
+        md5(concat(lit("graft-order:"), col("doc_id").cast("string"))))
+    ScaleOps.withGlobalRowNumber(keyed, Seq(col("_h"), col("doc_id")), "pos")
+      .withColumn("shard",
+        floor((col("pos") - 1) / shardSize).cast("int"))
+      .drop("_h")
+      .orderBy("pos")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q116_hash_split" -> hashSplit,
+    "q122_training_manifest" -> trainingManifest,
     "q100_curation_funnel" -> curationFunnel,
     "q92_corpus_diff" -> corpusDiff,
     "q84_dataset_card" -> datasetCard,
@@ -1041,6 +1088,15 @@ object CurationOps {
   }
 
   val oracle: Map[String, String] = Map(
+    "q122_training_manifest" ->
+      """WITH r AS (SELECT doc_id, source,
+        |    row_number() OVER (
+        |      ORDER BY md5('graft-order:' || CAST(doc_id AS VARCHAR)),
+        |        doc_id) AS pos
+        |  FROM documents)
+        |SELECT doc_id, source, pos,
+        |  CAST(floor((pos - 1) / 64) AS INT) AS shard
+        |FROM r ORDER BY pos""".stripMargin,
     "q116_hash_split" ->
       """WITH h AS (SELECT doc_id, n_chars,
         |    len(string_split(trim(text), ' ')) AS n_toks,

@@ -509,4 +509,44 @@ class CurationSpec extends SparkSpec {
     val id = CurationOps.temperatureMixOn(docs, alpha = 1.0).collect()
     assert(id.forall(_.getAs[Double]("sample_factor") === 1.0))
   }
+
+  test("training manifest: positions are an exact hash-order permutation, " +
+    "shards are fixed-width, and reruns are identical") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val m = CurationOps.trainingManifestOn(docs, shardSize = 16).collect()
+    val n = docs.count()
+    assert(m.length === n)
+    // positions are exactly 1..n (the distributed rank is exact, no gaps)
+    assert(m.map(_.getAs[Long]("pos")).sorted.toSeq === (1L to n).toSeq)
+    // shard = (pos-1) / 16, every shard full except possibly the last
+    val byShard = m.groupBy(_.getAs[Int]("shard"))
+    assert(byShard.keySet === (0 until ((n.toInt + 15) / 16)).toSet)
+    byShard.foreach { case (sh, rows) =>
+      val want = if (sh == (n.toInt - 1) / 16 && n % 16 != 0) n % 16 else 16
+      assert(rows.length === want, s"shard $sh width")
+      rows.foreach(r => assert(
+        (r.getAs[Long]("pos") - 1) / 16 === sh.toLong))
+    }
+    // hash order: pos agrees with the driver-side sort of the same key
+    val want = m.map { r =>
+      val id = r.getAs[Long]("doc_id")
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"graft-order:$id".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      (h, id)
+    }.sorted.map(_._2).toSeq
+    assert(m.sortBy(_.getAs[Long]("pos")).map(_.getAs[Long]("doc_id"))
+      .toSeq === want)
+    // deterministic across executions (fresh range boundaries, same ranks)
+    val again = CurationOps.trainingManifestOn(docs, shardSize = 16)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("pos")))
+    assert(again.toSet === m.map(r =>
+      (r.getAs[Long]("doc_id"), r.getAs[Long]("pos"))).toSet)
+    // hash order interleaves sources: no 16-doc shard drawn from the
+    // ~uniform 10-source corpus should collapse to a single source
+    byShard.filter(_._2.length == 16).foreach { case (sh, rows) =>
+      assert(rows.map(_.getAs[String]("source")).distinct.length >= 2,
+        s"shard $sh is single-source — hash interleaving broken")
+    }
+  }
 }
