@@ -735,6 +735,37 @@ object TextOps {
     ScaleOps.swapInto(s, staging, path)
   }
 
+  /** Replay-idempotent keyed variant of [[appendToTokenCountStore]] for
+    * streaming ingest ([[graft.streaming.DriftMonitorPipeline]]): the
+    * batch's contraction lands under `path/batch_id=N`, and a replayed
+    * micro-batch OVERWRITES its own directory (IngestPipeline's sink
+    * convention) — crash-and-replay converges instead of double-counting
+    * the batch. Hive partition discovery keeps the keyed store readable by
+    * the same consumers as the flat one ([[sourceDriftFromStore]]'s
+    * contraction ignores the extra `batch_id` column); compact with
+    * [[compactKeyedTokenCountStore]], not the flat compactor (flat files
+    * at the root of a partitioned layout break directory discovery).
+    */
+  def writeTokenCountBatch(batch: DataFrame, path: String,
+      batchId: Long): Unit =
+    tokenCountsOn(batch)
+      .repartition(col("token"))
+      .write.mode("overwrite").parquet(s"$path/batch_id=$batchId")
+
+  /** Re-contract a keyed store's accumulated batch segments into one
+    * `batch_id=-1` segment (checkpointed batch ids are non-negative, so
+    * the slot never collides with a live batch), publishing via staging +
+    * atomic swap like [[compactTokenCountStore]].
+    */
+  def compactKeyedTokenCountStore(s: SparkSession, path: String): Unit = {
+    val staging = path + ".merging"
+    s.read.parquet(path)
+      .groupBy("source", "token").agg(sum("c").as("c"))
+      .repartition(col("token"))
+      .write.mode("overwrite").parquet(staging + "/batch_id=-1")
+    ScaleOps.swapInto(s, staging, path)
+  }
+
   /** q114's drift report off the persisted store — no corpus access at
     * all: read ≤|sources|·|vocab| count rows, sum across append segments,
     * and run the identical KL fold. Per-crawl incremental drift =

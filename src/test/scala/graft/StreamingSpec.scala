@@ -401,6 +401,53 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming drift monitor: per-batch reports equal cumulative batch " +
+      "q114, store segments replay and compact idempotently") {
+    import graft.streaming.DriftMonitorPipeline
+    import graft.ops.TextOps
+    implicit val sqlCtx = spark.sqlContext
+    val store = tmpDir("drift-store")
+    val report = tmpDir("drift-report")
+    val batch1 = Seq(
+      (0L, "s1", "alpha beta gamma alpha"),
+      (1L, "s2", "beta beta delta"))
+    val batch2 = Seq(
+      (2L, "s1", "gamma gamma epsilon"),
+      (3L, "s3", "zeta zeta zeta alpha"))
+    val input = MemoryStream[(Long, String, String)]
+    val q = DriftMonitorPipeline.runDriftMonitor(
+      input.toDS().toDF("doc_id", "source", "text"),
+      store, report, tmpDir("drift-ckpt"))
+    input.addData(batch1: _*)
+    q.processAllAvailable()
+    input.addData(batch2: _*)
+    q.processAllAvailable()
+    q.stop()
+    def rep(id: Long) = spark.read.parquet(report)
+      .filter(col("batch_id") === id).drop("batch_id")
+      .orderBy("source").collect().map(_.toSeq).toSeq
+    def want(rows: Seq[(Long, String, String)]) =
+      TextOps.sourceDriftOn(rows.toDF("doc_id", "source", "text"))
+        .collect().map(_.toSeq).toSeq
+    // batch-0 report covers batch 1 alone; batch-1 report is cumulative
+    assert(rep(0) === want(batch1))
+    assert(rep(1) === want(batch1 ++ batch2))
+    assert(DriftMonitorPipeline.latestReport(spark, report)
+      .collect().map(_.toSeq).toSeq === want(batch1 ++ batch2))
+    // replaying a batch overwrites its own segment — never double-counts
+    TextOps.writeTokenCountBatch(
+      batch2.toDF("doc_id", "source", "text"), store, 1L)
+    assert(TextOps.sourceDriftFromStore(spark, store)
+      .collect().map(_.toSeq).toSeq === want(batch1 ++ batch2))
+    // keyed compaction contracts segments without changing the answer
+    TextOps.compactKeyedTokenCountStore(spark, store)
+    assert(spark.read.parquet(store)
+      .select(col("batch_id").cast("long")).distinct()
+      .collect().map(_.getLong(0)).toSeq === Seq(-1L))
+    assert(TextOps.sourceDriftFromStore(spark, store)
+      .collect().map(_.toSeq).toSeq === want(batch1 ++ batch2))
+  }
+
   test("novelty triage against an empty index scores everything novel") {
     import graft.streaming.NoveltyTriagePipeline
     implicit val sqlCtx = spark.sqlContext
