@@ -481,6 +481,8 @@ case class VecDot(left: Expression, right: Expression)
   *
   * Fewer than k tokens → empty array (the caller's length filter sees the
   * same row set as the composed form, which emits no shingles there).
+  * Empty / all-space text is ONE empty token (split('') = ['']), so k = 1
+  * yields [0] — again matching the composed form, not an empty array.
   */
 case class ShingleHashes(child: Expression, k: Int)
     extends UnaryExpression {
@@ -549,7 +551,10 @@ object ShingleHashes {
       cj += 1
     }
     val m = nSpaces + 1 // token count (split on single space, empties kept)
-    if (m < k || n == 0) return new Array[Long](0)
+    // NOTE no n == 0 short-circuit: split('') is [''] (m = 1), so k = 1
+    // over empty/all-space text must yield the empty token's hash [0],
+    // exactly like the composed form; the len <= 0 branch below covers it
+    if (m < k) return new Array[Long](0)
     val out = new Array[Long](m - k + 1)
     var i = 0
     while (i <= m - k) {
@@ -587,6 +592,10 @@ object ShingleHashes {
   * allocation (each index enters and leaves the deque once). Equal values
   * are never popped, so the earliest index stays in front: the leftmost
   * tie rule falls out of the invariant.
+  *
+  * Null elements are rejected with an error: a window minimum over a null
+  * hash has no meaning, and silently reading the slot as 0 (ArrayData's
+  * primitive accessor behavior) would select it as every window's minimum.
   */
 case class WinnowPositions(child: Expression, w: Int)
     extends UnaryExpression {
@@ -633,6 +642,11 @@ object WinnowPositions {
     var nOut = 0
     var j = 0
     while (j < m) {
+      if (hs.isNullAt(j))
+        // ArrayData.getLong would silently read a null slot as 0 and
+        // select it as every window's minimum — fail loudly instead
+        throw new IllegalArgumentException(
+          s"winnow_positions: null hash at position ${j + 1}")
       val v = hs.getLong(j)
       // strict: equal values keep their earlier index ahead (leftmost tie)
       while (tail > head && hs.getLong(deque(tail - 1)) > v) tail -= 1

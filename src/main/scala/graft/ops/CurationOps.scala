@@ -794,14 +794,16 @@ object CurationOps {
     *   - `cardinality`   — per-source HLL sketches (distinct-token counts)
     *   - `token_counts`  — (source, token, c) exact counts (drift)
     *   - `bigrams`       — (from, to, n) LM counts (perplexity scoring)
+    *   - `winnow`        — sampled winnowing fingerprints (near-dup match)
     *   - `corpus_stats`  — the dispatch-gate ANALYZE row
     *
     * Each artifact is bounded by vocabulary/shingle/source cardinality,
     * never by corpus row count; afterwards every incremental operator
     * (`freshAgainstStore`, `dupSpansAgainstStore`, `noveltyAgainstStore`,
     * `scoredAgainstStore`, `cardinalityFromStore`, `sourceDriftFromStore`,
-    * `lmPerplexityFromStore`, the stats-driven dispatch gates) answers
-    * without touching the corpus again. Seven single-pass jobs — a
+    * `lmPerplexityFromStore`, `matchesAgainstStore`, the stats-driven
+    * dispatch gates) answers
+    * without touching the corpus again. Eight single-pass jobs — a
     * maintenance-window batch, deliberately not micro-optimized into one
     * shared scan (at 100 TB each pass wants its own shuffle shape).
     * `docsDf` needs (doc_id, source, text).

@@ -751,20 +751,27 @@ object DedupOps {
     // broadcast label join — no iterative loop, no data-sized identity
     // join. Past the cap: the distributed pointer-jumping loop over the
     // checkpointed edge frame, the 100 TB arm.
-    val head = edgesUpToCap(edges)
+    val (srcs, dsts) = edgesUpToCap(edges)
     val out =
-      if (head.isEmpty)
+      if (srcs.isEmpty)
         members.select(col("doc_id"), col("rep_id").as("rep"))
-      else if (head.length <= DriverCcMaxEdges)
+      else if (srcs.length <= DriverCcMaxEdges)
         members
-          .join(broadcast(unionFindLabels(docsDf.sparkSession, head)
+          .join(broadcast(unionFindLabels(docsDf.sparkSession, srcs, dsts)
             .withColumnRenamed("id", "rep_id")), Seq("rep_id"), "left")
           .select(col("doc_id"),
             coalesce(col("_uf_rep"), col("rep_id")).as("rep"))
       else {
+        // past the cap: go straight to the distributed loop — calling
+        // connectedComponents here would re-run the cap probe (a second
+        // multi-million-row driver job) and re-checkpoint an already
+        // truncated frame, both on precisely the most expensive path
         val nodes = groups.select(col("rep_id").as("id"))
-        val cc = connectedComponents(nodes, truncateLineage(edges, reliable),
+        val bidir = truncateLineage(
+          edges.union(
+            edges.select(col("dst").as("src"), col("src").as("dst"))),
           reliable)
+        val cc = connectedComponentsLoop(nodes, bidir, reliable)
         members
           .join(cc.select(col("id").as("rep_id"), col("rep")), Seq("rep_id"))
           .select(col("doc_id"), col("rep"))
@@ -899,44 +906,94 @@ object DedupOps {
     */
   private[graft] val DriverCcMaxEdges: Int = 4 << 20
 
-  /** Probe an undirected edge frame with ONE job: up to cap+1 rows. A
-    * result within the cap is the whole edge set (drives the union-find
-    * arm, or the zero-edge short-circuit); cap+1 rows means "too big,
-    * use the distributed loop". Fusing the emptiness test, the size gate
-    * and the edge collect into one action matters because at catalog
-    * scale the clustering cost is dominated by the NUMBER of sequential
-    * driver-blocking jobs, not by data volume.
+  /** Probe an undirected edge frame with ONE job: up to cap+1 edges,
+    * returned as two PRIMITIVE long arrays. A result within the cap is
+    * the whole edge set (drives the union-find arm, or the zero-edge
+    * short-circuit); cap+1 edges means "too big, use the distributed
+    * loop". Fusing the emptiness test, the size gate and the edge collect
+    * into one action matters because at catalog scale the clustering cost
+    * is dominated by the NUMBER of sequential driver-blocking jobs, not
+    * by data volume.
+    *
+    * Executors pack each partition's edges into a primitive array BEFORE
+    * the collect, so the driver never materializes millions of Row / boxed
+    * objects — at the 4M cap the resident footprint is the stated
+    * 2 × 32 MB of longs, not the ~10× a Row-array collect would cost.
     */
-  private def edgesUpToCap(undirected: DataFrame): Array[Row] =
-    undirected.select(col("src").cast("long"), col("dst").cast("long"))
-      .limit(DriverCcMaxEdges + 1).collect()
+  private def edgesUpToCap(
+      undirected: DataFrame): (Array[Long], Array[Long]) = {
+    val sess = undirected.sparkSession
+    import sess.implicits._
+    val chunks = undirected
+      .select(col("src").cast("long"), col("dst").cast("long"))
+      .limit(DriverCcMaxEdges + 1)
+      .as[(Long, Long)]
+      .mapPartitions { it =>
+        val buf = new scala.collection.mutable.ArrayBuilder.ofLong
+        it.foreach { e => buf += e._1; buf += e._2 }
+        Iterator.single(buf.result())
+      }.collect()
+    val n = chunks.iterator.map(_.length / 2).sum
+    val srcs = new Array[Long](n)
+    val dsts = new Array[Long](n)
+    var o = 0
+    chunks.foreach { c =>
+      var i = 0
+      while (i < c.length) { srcs(o) = c(i); dsts(o) = c(i + 1); o += 1
+        i += 2 }
+    }
+    (srcs, dsts)
+  }
 
   /** Union-find with path compression over collected undirected pairs,
     * union by MIN root: the smaller root always survives, and since every
     * member starts as its own root the final root IS the component
-    * minimum — exactly the label min-propagation converges to. Returns
-    * one (id, rep) row per node that appears in an edge; callers
-    * left-join + coalesce so untouched nodes label themselves.
+    * minimum — exactly the label min-propagation converges to. All state
+    * lives in primitive arrays (sorted-id index + int parent forest), so
+    * the 4M-edge worst case stays within the documented tens-of-MB driver
+    * budget instead of a boxed-HashMap's hundreds. Returns one (id, rep)
+    * row per edge-touched node whose rep differs from itself; callers
+    * left-join + coalesce so every other node labels itself.
     */
-  private def unionFindLabels(s: SparkSession, pairs: Array[Row]): DataFrame = {
+  private def unionFindLabels(s: SparkSession, srcs: Array[Long],
+      dsts: Array[Long]): DataFrame = {
     import s.implicits._
-    val parent = new java.util.HashMap[Long, Long]()
-    def find(x: Long): Long = {
-      var r = x
-      while (parent.get(r) != r) r = parent.get(r)
-      var c = x
-      while (c != r) { val n = parent.get(c); parent.put(c, r); c = n }
+    val n = srcs.length
+    val ids = new Array[Long](2 * n)
+    System.arraycopy(srcs, 0, ids, 0, n)
+    System.arraycopy(dsts, 0, ids, n, n)
+    java.util.Arrays.sort(ids)
+    var m = 0
+    var i = 0
+    while (i < ids.length) {
+      if (m == 0 || ids(m - 1) != ids(i)) { ids(m) = ids(i); m += 1 }
+      i += 1
+    }
+    // parent forest over indices into the sorted-dedup'd id array: ids are
+    // sorted, so the min-index root IS the min-id root
+    val parent = Array.tabulate(m)(identity)
+    def find(p: Int): Int = {
+      var r = p
+      while (parent(r) != r) r = parent(r)
+      var c = p
+      while (c != r) { val nx = parent(c); parent(c) = r; c = nx }
       r
     }
-    pairs.foreach { row =>
-      val a = row.getLong(0); val b = row.getLong(1)
-      parent.putIfAbsent(a, a); parent.putIfAbsent(b, b)
-      val ra = find(a); val rb = find(b)
-      if (ra != rb) parent.put(math.max(ra, rb), math.min(ra, rb))
+    i = 0
+    while (i < n) {
+      val ra = find(java.util.Arrays.binarySearch(ids, 0, m, srcs(i)))
+      val rb = find(java.util.Arrays.binarySearch(ids, 0, m, dsts(i)))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      i += 1
     }
-    import scala.jdk.CollectionConverters._
-    parent.keySet().asScala.iterator
-      .map(k => (k.toLong, find(k))).toSeq.toDF("id", "_uf_rep")
+    val out = Vector.newBuilder[(Long, Long)]
+    i = 0
+    while (i < m) {
+      val r = find(i)
+      if (r != i) out += ((ids(i), ids(r)))
+      i += 1
+    }
+    out.result().toDF("id", "_uf_rep")
   }
 
   /** Size-dispatched: the label graph is the MINED near-dup edge set —
@@ -952,12 +1009,12 @@ object DedupOps {
     */
   def connectedComponents(nodes: DataFrame,
       undirected: DataFrame, reliable: Boolean = false): DataFrame = {
-    val head = edgesUpToCap(undirected)
-    if (head.isEmpty)
+    val (srcs, dsts) = edgesUpToCap(undirected)
+    if (srcs.isEmpty)
       nodes.select(col("id"), col("id").as("rep"))
-    else if (head.length <= DriverCcMaxEdges)
-      nodes.join(broadcast(unionFindLabels(nodes.sparkSession, head)), Seq("id"),
-          "left")
+    else if (srcs.length <= DriverCcMaxEdges)
+      nodes.join(broadcast(unionFindLabels(nodes.sparkSession, srcs, dsts)),
+          Seq("id"), "left")
         .select(col("id"), coalesce(col("_uf_rep"), col("id")).as("rep"))
     else {
       val edges = truncateLineage(

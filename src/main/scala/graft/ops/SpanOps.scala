@@ -185,8 +185,10 @@ object SpanOps {
       bloomPath: String, k: Int = DefaultK, nBits: Int = 1 << 20,
       kHashes: Int = 7): Unit = {
     graft.functions.GraftFunctions.ensureRegistered(s)
+    // the store already persists fp = xxhash64(h) — read the 8-byte
+    // column instead of re-hashing every 16-byte key per refresh
     val b = s.read.parquet(shinglePath)
-      .select(xxhash64(col("h")).as("hk"))
+      .select(col("fp").as("hk"))
       .agg(expr(s"graft_bloom_agg(hk, $nBits, $kHashes)").as("b"))
       .head().getAs[Array[Byte]]("b")
     import s.implicits._

@@ -756,6 +756,14 @@ object TextOps {
     * `batch_id=-1` segment (checkpointed batch ids are non-negative, so
     * the slot never collides with a live batch), publishing via staging +
     * atomic swap like [[compactTokenCountStore]].
+    *
+    * ONLY compact while the owning stream is STOPPED with its checkpoint
+    * committed: counts are not duplicate-safe (unlike the semi-join-probed
+    * shingle store), so if batch N's segment is folded into `batch_id=-1`
+    * while the stream could still REPLAY batch N (crash between the
+    * segment write and the checkpoint commit), the replayed write
+    * re-creates `batch_id=N` alongside the folded copy and the batch is
+    * permanently double-counted.
     */
   def compactKeyedTokenCountStore(s: SparkSession, path: String): Unit = {
     val staging = path + ".merging"

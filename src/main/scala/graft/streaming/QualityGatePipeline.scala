@@ -60,10 +60,14 @@ object QualityGatePipeline {
     */
   def gateReport(s: SparkSession, keepDir: String,
       rejectDir: String): DataFrame = {
-    val keep = s.read.parquet(keepDir).select(col("source"))
-      .groupBy("source").agg(count(lit(1)).as("n_kept"))
-    val rej = s.read.parquet(rejectDir).select(col("source"))
-      .groupBy("source").agg(count(lit(1)).as("n_rejected"))
+    // a side with no committed batch yet reads as empty, not as an error
+    // (an all-keep or all-reject stream legitimately has one-sided dirs)
+    def side(dir: String, name: String) =
+      BatchDirs.readIfExists(s, dir).getOrElse(BatchDirs.emptyDocs(s))
+        .select(col("source"))
+        .groupBy("source").agg(count(lit(1)).as(name))
+    val keep = side(keepDir, "n_kept")
+    val rej = side(rejectDir, "n_rejected")
     keep.join(rej, Seq("source"), "full_outer")
       .na.fill(0L, Seq("n_kept", "n_rejected"))
       .withColumn("n_docs", col("n_kept") + col("n_rejected"))

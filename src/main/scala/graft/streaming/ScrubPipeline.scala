@@ -60,14 +60,19 @@ object ScrubPipeline {
     * store rollup must equal `piiAuditOn` run over everything ingested —
     * the invariant StreamingSpec pins.
     */
-  def auditFromStore(s: SparkSession, auditDir: String): DataFrame = {
-    val perBatch = s.read.parquet(auditDir)
-    val countCols = perBatch.columns
-      .filter(c => c != "source" && c != "batch_id")
-    perBatch.groupBy("source")
-      .agg(sum(countCols.head).as(countCols.head),
-        countCols.tail.map(c => sum(c).as(c)): _*)
-      .select(col("source") +: countCols.map(col): _*)
-      .orderBy("source")
-  }
+  def auditFromStore(s: SparkSession, auditDir: String): DataFrame =
+    BatchDirs.readIfExists(s, auditDir) match {
+      case None =>
+        // no batch committed yet: the empty q104-schema report, not a
+        // missing-path error
+        ScrubOps.piiAuditOn(BatchDirs.emptyDocs(s))
+      case Some(perBatch) =>
+        val countCols = perBatch.columns
+          .filter(c => c != "source" && c != "batch_id")
+        perBatch.groupBy("source")
+          .agg(sum(countCols.head).as(countCols.head),
+            countCols.tail.map(c => sum(c).as(c)): _*)
+          .select(col("source") +: countCols.map(col): _*)
+          .orderBy("source")
+    }
 }

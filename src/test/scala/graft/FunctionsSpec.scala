@@ -217,6 +217,46 @@ class FunctionsSpec extends SparkSpec {
     assert(empty.isEmpty)
   }
 
+  test("shingle_hashes k=1 matches the composed form on empty and " +
+      "all-space text (one empty token, hash 0)") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    GraftFunctions.ensureRegistered(spark)
+    // split(trim(''), ' ') = [''] in Spark — one empty token, so k=1 must
+    // emit its hash [0], exactly like the composed transform/fold
+    val df = Seq((0L, ""), (1L, "   "), (2L, "a"), (3L, "a b"))
+      .toDF("doc_id", "text")
+    val got = df.select(col("doc_id"),
+      call_function("graft_shingle_hashes", col("text"), lit(1)).as("hs"))
+      .as[(Long, Seq[Long])].collect().toMap
+    val composed = df
+      .withColumn("toks", split(trim(col("text")), " "))
+      .withColumn("hs", transform(col("toks"), t =>
+        aggregate(call_function("graft_code_points", t), lit(0L),
+          (acc, x) => (acc * lit(31L) + x) % lit(1000000007L))))
+      .select("doc_id", "hs").as[(Long, Seq[Long])].collect().toMap
+    (0L to 3L).foreach(id => assert(got(id) === composed(id), s"doc $id"))
+    assert(got(0L) === Seq(0L) && got(1L) === Seq(0L))
+  }
+
+  test("winnow_positions rejects null hash elements loudly") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    GraftFunctions.ensureRegistered(spark)
+    // ArrayData's primitive accessor would silently read a null slot as 0
+    // and select it as every window's minimum — the kernel must throw
+    val ex = intercept[Exception] {
+      Seq(Tuple1(Seq[java.lang.Long](null, 5L, 7L))).toDF("hs")
+        .select(call_function("graft_winnow_positions", col("hs"), lit(2)))
+        .collect()
+    }
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: causes(t.getCause)
+    assert(causes(ex).exists(_.getMessage != null) &&
+      causes(ex).exists(c => c.getMessage != null &&
+        c.getMessage.contains("null hash")), s"unexpected error: $ex")
+  }
+
   test("edit_lb is a true lower bound on Levenshtein distance") {
     import org.scalacheck.{Gen, Prop, Test => SCTest}
     def lev(a: String, b: String): Int = {

@@ -448,6 +448,23 @@ class StreamingSpec extends SparkSpec {
       .collect().map(_.toSeq).toSeq === want(batch1 ++ batch2))
   }
 
+  test("report rollups before any committed batch return the empty " +
+      "report, not a missing-path error") {
+    import graft.streaming.{DriftMonitorPipeline, QualityGatePipeline,
+      ScrubPipeline}
+    val nowhere = tmpDir("no-batches") + "/never-written"
+    val gate = QualityGatePipeline.gateReport(spark, nowhere, nowhere)
+    assert(gate.collect().isEmpty)
+    assert(gate.columns.toSeq ===
+      Seq("source", "n_docs", "n_kept", "n_rejected", "keep_rate"))
+    val audit = ScrubPipeline.auditFromStore(spark, nowhere)
+    assert(audit.collect().isEmpty && audit.columns.head === "source")
+    val drift = DriftMonitorPipeline.latestReport(spark, nowhere)
+    assert(drift.collect().isEmpty)
+    assert(drift.columns.toSeq ===
+      Seq("source", "n_tokens", "vocab_size", "kl_nats"))
+  }
+
   test("novelty triage against an empty index scores everything novel") {
     import graft.streaming.NoveltyTriagePipeline
     implicit val sqlCtx = spark.sqlContext
