@@ -103,6 +103,36 @@ object Scratch {
       spark.stop()
       return
     }
+    if (name == "manifest") {
+      // q122 scale datapoints: the distributed-rank manifest (exact global
+      // positions) and the writeOrdered shard export on the same hash key.
+      import org.apache.spark.sql.functions._
+      val d = Tables.t(spark, dir, "documents")
+      println(s"docs = ${d.count()}")
+      val shardSize = 4096
+      def manifest = ops.CurationOps.trainingManifestOn(d, shardSize)
+      manifest.count() // warm the scan
+      // forced: fold every output column so nothing prunes away
+      time("manifest_forced") {
+        // bit_xor: overflow-free under ANSI, still touches every column
+        manifest.select(xxhash64(col("doc_id"), col("source"), col("pos"),
+          col("shard")).as("x")).agg(expr("bit_xor(x)")).head()
+        0L
+      }
+      val outDir = java.nio.file.Files
+        .createTempDirectory("manifest-shards").toString + "/shards"
+      val nShards = ((d.count() + shardSize - 1) / shardSize).toInt
+      time("write_ordered_shards") {
+        ops.ScaleOps.writeOrdered(
+          d.withColumn("_h", md5(concat(lit("graft-order:"),
+            col("doc_id").cast("string")))),
+          outDir, Seq(col("_h"), col("doc_id")), nShards)
+        0L
+      }
+      println(s"shards = $nShards")
+      spark.stop()
+      return
+    }
     if (name == "prof48") {
       // component timing of the q33/q48 scoring pass: which term costs?
       import org.apache.spark.sql.functions._

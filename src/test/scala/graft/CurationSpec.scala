@@ -548,5 +548,16 @@ class CurationSpec extends SparkSpec {
       assert(rows.map(_.getAs[String]("source")).distinct.length >= 2,
         s"shard $sh is single-source — hash interleaving broken")
     }
+    // plan shape: the data path pays exactly its two range shuffles (the
+    // rank decomposition's repartitionByRange + the presentation sort);
+    // any single-partition exchange must be the ≤|partitions|-row offset
+    // ladder, never the data (the single-task Window.orderBy this
+    // operator exists to avoid)
+    val plan = CurationOps.trainingManifestOn(docs, shardSize = 16)
+      .queryExecution.executedPlan.toString
+    assert("rangepartitioning".r.findAllIn(plan.toLowerCase).length <= 2,
+      s"unexpected extra range shuffle:\n$plan")
+    assert(!plan.toLowerCase.contains("sortmergejoin"),
+      "the offset-ladder join must broadcast, not sort-merge")
   }
 }
