@@ -176,7 +176,11 @@ object EventOps {
     * totals. Built from exact integer cents so grouping and rounding are
     * engine-portable: `format_number` only ever formats the INTEGER part
     * (no fractional rounding mode to disagree on), and the 2-digit fraction
-    * is integer arithmetic on the cents.
+    * is integer arithmetic on the cents. Sign is split off and the digits
+    * formatted from ABSOLUTE cents (q88's sign discipline): on a negative
+    * total — a refund/credit type — raw `div`/`%` would truncate vs floor
+    * differently across engines AND lpad would mangle "-5" to two chars;
+    * abs + explicit '-' matches Python's `f"${-1234.5:,.2f}"` = $-1,234.50.
     */
   def displayFormat(s: SparkSession, dir: String): DataFrame =
     displayFormatOn(events(s, dir))
@@ -186,12 +190,14 @@ object EventOps {
       .groupBy("event_type")
       .agg(dsum(col("value")).as("total_value"))
       .withColumn("cents", round(col("total_value") * 100).cast("long"))
+      .withColumn("acents", abs(col("cents")))
       .select(
         col("event_type"), col("total_value"),
         concat(lit("$"),
-          format_number(expr("cents div 100"), 0),
+          when(col("cents") < 0, lit("-")).otherwise(lit("")),
+          format_number(expr("acents div 100"), 0),
           lit("."),
-          lpad(expr("CAST(cents % 100 AS STRING)"), 2, "0")).as("display"))
+          lpad(expr("CAST(acents % 100 AS STRING)"), 2, "0")).as("display"))
       .orderBy("event_type")
 
   /** A8 variant — hourly distinct users (exact distinct under shuffle). */
@@ -627,7 +633,8 @@ object EventOps {
          |c AS (SELECT *, CAST(round(total_value * 100) AS BIGINT) AS cents
          |  FROM a)
          |SELECT event_type, total_value,
-         |  '$$' || format('{:,}', cents // 100) || '.' ||
-         |    lpad(CAST(cents % 100 AS VARCHAR), 2, '0') AS display
+         |  '$$' || (CASE WHEN cents < 0 THEN '-' ELSE '' END)
+         |    || format('{:,}', abs(cents) // 100) || '.' ||
+         |    lpad(CAST(abs(cents) % 100 AS VARCHAR), 2, '0') AS display
          |FROM c ORDER BY event_type""".stripMargin)
 }

@@ -2,7 +2,7 @@ package graft.ops
 
 import graft.Tables
 import graft.Tables.{dsum, sqlDsum}
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
@@ -64,41 +64,47 @@ object StatOps {
       .orderBy("decile")
 
   /** The distributed exact-NTILE kernel: input rows plus a `tile` column
-    * (1-based), totally ordered by `(value, event_id)`. Exposed for reuse
-    * and for StatSpec's equivalence proof against the built-in window.
+    * (1-based), totally ordered by `(value, event_id)` — exactly the input
+    * schema plus `tile`, no internal columns leak. Internals are
+    * `__`-prefixed so caller columns can't collide with them (only the
+    * output name `tile` is claimed). Exposed for reuse and for StatSpec's
+    * equivalence proof against the built-in window.
     */
   def withNtileOn(df: DataFrame, k: Int): DataFrame = {
     require(k >= 1, s"ntile k must be >= 1, got $k")
+    require(!df.columns.contains("tile"),
+      "withNtileOn: input already has a 'tile' column")
     val ranged = df
       .repartitionByRange(col("value"), col("event_id"))
-      .withColumn("pid", spark_partition_id())
+      .withColumn("__pid", spark_partition_id())
     // per-partition counts -> running-sum offset ladder (+ grand total n).
     // The orderBy-only window is safe HERE: it sees one row per shuffle
     // partition (tens), never the data itself.
-    val counts = ranged.groupBy("pid").agg(count(lit(1)).as("cnt"))
+    val counts = ranged.groupBy("__pid").agg(count(lit(1)).as("__cnt"))
     val offs = counts
-      .withColumn("off",
-        coalesce(sum("cnt").over(Window.orderBy("pid")
+      .withColumn("__off",
+        coalesce(sum("__cnt").over(Window.orderBy("__pid")
           .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .withColumn("n", sum("cnt").over())
-      .select("pid", "off", "n")
+      .withColumn("__n", sum("__cnt").over())
+      .select("__pid", "__off", "__n")
     // local rank within each range partition + offset = exact global rank
     val ranked = ranged
-      .withColumn("rn", row_number().over(
-        Window.partitionBy("pid").orderBy("value", "event_id")))
-      .join(broadcast(offs), "pid")
-      .withColumn("r", col("off") + col("rn"))
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy("__pid").orderBy("value", "event_id")))
+      .join(broadcast(offs), "__pid")
+      .withColumn("__r", col("__off") + col("__rn"))
     // NTILE bucket rule, integer-exact: with n rows and k tiles the first
     // n%k tiles hold n/k+1 rows, the rest n/k. (CASE short-circuits, so
-    // the `div qq` arm never evaluates when qq = 0, i.e. n < k.)
+    // the `div __qq` arm never evaluates when __qq = 0, i.e. n < k.)
     ranked
-      .withColumn("qq", expr(s"n div $k"))
-      .withColumn("rem", expr(s"n % $k"))
-      .withColumn("cut", expr("rem * (qq + 1)"))
+      .withColumn("__qq", expr(s"__n div $k"))
+      .withColumn("__rem", expr(s"__n % $k"))
+      .withColumn("__cut", expr("__rem * (__qq + 1)"))
       .withColumn("tile", expr(
-        """CASE WHEN r <= cut THEN (r + qq) div (qq + 1)
-          |     ELSE rem + (r - cut + qq - 1) div qq END""".stripMargin))
-      .drop("pid", "rn", "off", "qq", "rem", "cut")
+        """CASE WHEN __r <= __cut THEN (__r + __qq) div (__qq + 1)
+          |     ELSE __rem + (__r - __cut + __qq - 1) div __qq END"""
+          .stripMargin))
+      .drop("__pid", "__rn", "__off", "__n", "__r", "__qq", "__rem", "__cut")
   }
 
   // ---------------------------------------------------------------- q86

@@ -29,8 +29,12 @@ object TemporalOps {
     * Implementation — union-and-carry: tag each side, union them, shuffle
     * once on `keys`, sort each group by (time, side) with right rows first
     * at equal times (inclusive `<=` semantics), and carry the most recent
-    * right payload forward with `last(ignoreNulls)` over a running window.
-    * Unmatched left rows keep null right columns (left-outer semantics).
+    * right row forward as ONE struct with `last(ignoreNulls)` over a
+    * running window — the struct is non-null for every right row, so a
+    * matched row whose payload FIELDS are null is carried as-is (row-level
+    * semantics, like DuckDB ASOF) instead of each column back-filling
+    * independently from older rows. Unmatched left rows keep a null
+    * struct → null right columns (left-outer semantics).
     *
     * Scale: ONE shuffle of |left|+|right| rows and a linear scan per group —
     * no candidate-pair expansion, unlike the naive inequality-join +
@@ -51,23 +55,29 @@ object TemporalOps {
     require(clash.isEmpty,
       s"asofJoin: non-key columns must be disjoint; both sides have: " +
         clash.mkString(", "))
+    val reserved = Seq("__t", "__side", "__r")
+    val taken = (left.columns ++ right.columns).intersect(reserved)
+    require(taken.isEmpty,
+      s"asofJoin: column names ${taken.mkString(", ")} are reserved")
+    val rStruct = org.apache.spark.sql.types.StructType(
+      rPayload.map(right.schema(_)))
     val lTagged = left.select(
       keys.map(col) ++ Seq(col(leftTime).as("__t"), lit(1).as("__side")) ++
-        lPayload.map(col) ++
-        rPayload.map(c => lit(null).cast(right.schema(c).dataType).as(c)): _*)
+        lPayload.map(col) :+ lit(null).cast(rStruct).as("__r"): _*)
     val rTagged = right.select(
       keys.map(col) ++ Seq(col(rightTime).as("__t"), lit(0).as("__side")) ++
-        lPayload.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
-        rPayload.map(col): _*)
+        lPayload.map(c => lit(null).cast(left.schema(c).dataType).as(c)) :+
+        struct(rPayload.map(col): _*).as("__r"): _*)
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(col("__t").asc, col("__side").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     lTagged.unionByName(rTagged)
       .select(
-        keys.map(col) ++ lPayload.map(col) ++ Seq(col("__side")) ++
-          rPayload.map(c => last(col(c), ignoreNulls = true).over(w).as(c)): _*)
+        keys.map(col) ++ lPayload.map(col) ++ Seq(col("__side"),
+          last(col("__r"), ignoreNulls = true).over(w).as("__r")): _*)
       .filter(col("__side") === 1)
-      .drop("__side")
+      .select(keys.map(col) ++ lPayload.map(col) ++
+        rPayload.map(c => col("__r").getField(c).as(c)): _*)
   }
 
   /** q54: click→view as-of attribution — every click joined to the latest
@@ -137,8 +147,6 @@ object TemporalOps {
       .orderBy("incident_id")
   }
 
-  private val WeekUs = 604800000000L // 7 days in micros
-
   /** q73: weekly retention cohorts — every user is assigned to the cohort of
     * their first active week, and each cell counts how many of that cohort's
     * users were active again `week_offset` weeks later (offset 0 = cohort
@@ -162,9 +170,14 @@ object TemporalOps {
     val w = Window.partitionBy("user_id")
     weekly
       .withColumn("cohort_week", min("week").over(w))
+      // calendar-day difference of the week-boundary DATES: week starts
+      // are always whole multiples of 7 calendar days apart, so the
+      // offset is exact in ANY session timezone — an epoch-micros `div`
+      // would drop an offset on the DST spring-forward week (the repo
+      // pins UTC, but the public On-form must not depend on it)
       .select(col("cohort_week"),
-        expr(s"(unix_micros(week) - unix_micros(cohort_week)) div ${WeekUs}L")
-          .as("week_offset"))
+        expr("CAST(datediff(to_date(week), to_date(cohort_week)) AS BIGINT)" +
+          " div 7").as("week_offset"))
       .groupBy("cohort_week", "week_offset")
       .agg(count(lit(1)).as("n_users")) // rows are distinct (user, week)
       .orderBy("cohort_week", "week_offset")
@@ -187,7 +200,14 @@ object TemporalOps {
     minutelyGapfillOn(ev(s, dir))
 
   /** `events` needs (ts). */
-  def minutelyGapfillOn(events: DataFrame): DataFrame = {
+  def minutelyGapfillOn(events: DataFrame): DataFrame =
+    gapfillUnordered(events).orderBy("minute")
+
+  /** The dense series without q74's presentation sort — q75 builds windows
+    * on top (whose day-partition exchange would immediately destroy a
+    * global order), so it must not inherit a useless mid-plan range-sort.
+    */
+  private def gapfillUnordered(events: DataFrame): DataFrame = {
     val perMin = events
       .groupBy(date_trunc("minute", col("ts")).as("minute"))
       .agg(count(lit(1)).as("n_events"))
@@ -200,7 +220,6 @@ object TemporalOps {
     spine.join(perMin, Seq("minute"), "left")
       .select(col("minute"),
         coalesce(col("n_events"), lit(0L)).as("n_events"))
-      .orderBy("minute")
   }
 
   private val TrailMin = 60 // trailing window length, minutes
@@ -227,7 +246,7 @@ object TemporalOps {
 
   /** `events` needs (ts). */
   def anomalyZscoreOn(events: DataFrame): DataFrame = {
-    val dense = minutelyGapfillOn(events)
+    val dense = gapfillUnordered(events)
       .withColumn("day", date_trunc("day", col("minute")))
     // previous day's last TrailMin minutes, re-tagged onto the next day
     val carry = dense
@@ -333,17 +352,20 @@ object TemporalOps {
     */
   def openOrderLinesOn(lineitemDf: DataFrame,
       ordersDf: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val spans = lineitemDf.select(col("l_orderkey"), col("l_shipdate"))
       .join(ordersDf.select(col("o_orderkey"), col("o_orderdate")),
         col("l_orderkey") === col("o_orderkey"))
       // only positive fulfillment spans define an open interval (the
       // synthetic data draws ship dates independently of order dates)
       .filter(col("l_shipdate") > col("o_orderdate"))
+    // one pass over the joined result: each span emits its ±1 boundary
+    // pair via a row-local explode (a self-union would execute the
+    // data-sized join once per branch)
     val deltas = spans
-      .select(col("o_orderdate").as("d"), lit(1L).as("delta"))
-      .unionAll(spans
-        .select(col("l_shipdate").as("d"), lit(-1L).as("delta")))
+      .select(explode(array(
+        struct(col("o_orderdate").as("d"), lit(1L).as("delta")),
+        struct(col("l_shipdate").as("d"), lit(-1L).as("delta")))).as("e"))
+      .select(col("e.d").as("d"), col("e.delta").as("delta"))
       .groupBy("d").agg(sum("delta").as("delta"))
     deltas
       .withColumn("n_open", sum("delta").over(Window.orderBy("d")))

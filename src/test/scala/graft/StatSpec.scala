@@ -21,6 +21,9 @@ class StatSpec extends SparkSpec {
 
   test("distributed ntile equals the built-in single-window ntile") {
     val df = events.select("event_id", "value")
+    // the documented contract: input schema plus tile, no internal leaks
+    assert(StatOps.withNtileOn(df, 10).columns.toSeq
+      === Seq("event_id", "value", "tile"))
     val got = StatOps.withNtileOn(df, 10)
       .select("event_id", "tile")
     val want = df.withColumn("tile",

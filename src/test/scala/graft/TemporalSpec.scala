@@ -33,6 +33,28 @@ class TemporalSpec extends SparkSpec {
       Row(3L, null)))   // left-outer: key with no right rows keeps null
   }
 
+  test("asofJoin carries the matched right row whole: null payload fields " +
+      "stay null, never back-filled from older rows") {
+    val left = Seq((1L, 10L, ts("2024-01-01 10:10:00")))
+      .toDF("k", "lid", "lt")
+    // the matched (latest) right row has a NULL in column a; per-column
+    // carry would tear it, resurrecting a=5 from the older row
+    val right = Seq(
+      (1L, ts("2024-01-01 10:00:00"), Some(5L), 6L),
+      (1L, ts("2024-01-01 10:05:00"), None, 7L))
+      .toDF("k", "rt", "a", "b")
+    val out = TemporalOps.asofJoin(left, right, Seq("k"), "lt", "rt")
+      .select("a", "b").collect()
+    assert(out.toSeq === Seq(Row(null, 7L)),
+      "row-level as-of semantics (DuckDB ASOF): matched row carried whole")
+    // reserved internal names are rejected loudly, not silently rebound
+    val bad = Seq((1L, ts("2024-01-01 10:00:00"), 1L)).toDF("k", "rt", "__r")
+    val ex = intercept[IllegalArgumentException] {
+      TemporalOps.asofJoin(left, bad, Seq("k"), "lt", "rt")
+    }
+    assert(ex.getMessage.contains("reserved"))
+  }
+
   test("asofJoin never matches a later right row") {
     val left = Seq((1L, 1L, ts("2024-01-01 00:00:00"))).toDF("k", "lid", "lt")
     val right = Seq((1L, ts("2024-01-01 00:00:01"), 9L)).toDF("k", "rt", "rid")
