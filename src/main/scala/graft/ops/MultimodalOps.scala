@@ -74,7 +74,10 @@ object MultimodalOps {
           batch.map { m =>
             val bytes = m.payload
             val n = bytes.length
-            if (n == 0) (m.doc_id, 0, 0.0, 0, 0, Array.fill(8)(0).mkString(","))
+            // empty payload mirrors the oracle's NULL propagation exactly:
+            // list_sum([]) = NULL mean, all-zero histogram argmax = bin 0,
+            // 0 frames, and an all-NULL thumb joins to the empty string
+            if (n == 0) (m.doc_id, 0, None: Option[Double], 0, 0, "")
             else {
             var sum = 0L
             val hist = new Array[Long](8)
@@ -101,7 +104,8 @@ object MultimodalOps {
               while (j < hi) { s += bytes(j) & 0xFF; j += 1 }
               (s / (hi - lo)).toInt
             }
-            (m.doc_id, n, meanByte, dominantBin, sampled, thumb.mkString(","))
+            (m.doc_id, n, Some(meanByte): Option[Double], dominantBin,
+              sampled, thumb.mkString(","))
             }
           }
         }

@@ -57,16 +57,29 @@ object RelationalOps {
     * shuffling a 4× smaller pre-reduced stream. Customer attributes join
     * last, onto already-aggregated per-customer rows.
     */
+  /** Per-order decimal revenue partials — the ONE definition of the
+    * TPC-H-chain pre-reduce (q21/q22/q76/q98 all contract lineitem to
+    * ≤|orders| rows BEFORE their orders join): the revenue expression and
+    * its exact DECIMAL(38,10) precision live here and nowhere else, so a
+    * change cannot silently diverge across the four consumers.
+    * `withCount` adds the per-order line count (q21/q22's n_items input).
+    */
+  private def perOrderRevenue(li: DataFrame,
+      withCount: Boolean = false): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 10)
+    val rev = sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+      .cast(dec)).as("rev_part")
+    if (withCount) li.groupBy("l_orderkey").agg(rev, count(lit(1)).as("n_part"))
+    else li.groupBy("l_orderkey").agg(rev)
+  }
+
   def topCustomerRevenue(s: SparkSession, dir: String): DataFrame =
     topCustomerRevenueOn(t(s, dir, "lineitem"), t(s, dir, "orders"),
       t(s, dir, "customer"))
 
   def topCustomerRevenueOn(li: DataFrame, o: DataFrame,
       c: DataFrame): DataFrame = {
-    val dec = org.apache.spark.sql.types.DecimalType(38, 10)
-    val perOrder = li.groupBy("l_orderkey").agg(
-      sum((col("l_extendedprice") * (lit(1.0) - col("l_discount"))).cast(dec))
-        .as("rev_part"), count(lit(1)).as("n_part"))
+    val perOrder = perOrderRevenue(li, withCount = true)
     perOrder.join(o, col("l_orderkey") === o("o_orderkey"))
       .groupBy("o_custkey")
       .agg(sum(col("rev_part")).as("rev_part"), sum(col("n_part")).as("n_items"))
@@ -88,14 +101,11 @@ object RelationalOps {
       nation: DataFrame, region: DataFrame): DataFrame = {
     val n = broadcast(nation)
     val r = broadcast(region)
-    val dec = org.apache.spark.sql.types.DecimalType(38, 10)
     // Same pre-reduce-before-join shape as q21: per-order partials join
     // orders, collapse to per-customer partials, and only then touch the
     // dimension chain — the broadcast joins and final 25-row rollup run on
     // ~|customer| rows, not |lineitem|.
-    val perOrder = li.groupBy("l_orderkey").agg(
-      sum((col("l_extendedprice") * (lit(1.0) - col("l_discount"))).cast(dec))
-        .as("rev_part"), count(lit(1)).as("n_part"))
+    val perOrder = perOrderRevenue(li, withCount = true)
     perOrder.join(o, col("l_orderkey") === o("o_orderkey"))
       .groupBy("o_custkey")
       .agg(sum(col("rev_part")).as("rev_part"), sum(col("n_part")).as("n_part"))
@@ -122,13 +132,9 @@ object RelationalOps {
 
   def revenueShareOn(li: DataFrame, o: DataFrame, c: DataFrame,
       nation: DataFrame, region: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val n = broadcast(nation)
     val r = broadcast(region)
-    val dec = org.apache.spark.sql.types.DecimalType(38, 10)
-    val perOrder = li.groupBy("l_orderkey").agg(
-      sum((col("l_extendedprice") * (lit(1.0) - col("l_discount"))).cast(dec))
-        .as("rev_part"))
+    val perOrder = perOrderRevenue(li)
     val perNation = perOrder
       .join(o, col("l_orderkey") === o("o_orderkey"))
       .groupBy("o_custkey").agg(sum(col("rev_part")).as("rev_part"))
@@ -358,10 +364,7 @@ object RelationalOps {
 
   def revenueCubeOn(li: DataFrame, o: DataFrame, c: DataFrame,
       nation: DataFrame, region: DataFrame): DataFrame = {
-    val dec = org.apache.spark.sql.types.DecimalType(38, 10)
-    val perOrder = li.groupBy("l_orderkey").agg(
-      sum((col("l_extendedprice") * (lit(1.0) - col("l_discount"))).cast(dec))
-        .as("rev_part"))
+    val perOrder = perOrderRevenue(li)
     val cells = perOrder.join(o, col("l_orderkey") === o("o_orderkey"))
       // collapse to per-(customer, status) partials before the customer
       // join (the q22 shape): the dimension chain attaches to ~|customer|·

@@ -116,23 +116,8 @@ object SimilarityOps {
     import session.implicits._
     val blocked = embDf
       .select(blockCol.cast("int").as("label"), col("vec_id"), col("embedding"))
-    // block sizes contract to ≤|blocks| rows and broadcast back — the same
-    // bounded side-table shape as the IVF probe list, never a driver hop.
-    // exact mode skips the sizes pass entirely (the gate column would be a
-    // constant), keeping the validation arm's plan identical to the
-    // ungated form.
-    val keyed =
-      if (exact)
-        blocked.select(col("label"), lit(0L).as("_sub"), col("vec_id"),
-          col("embedding"))
-      else {
-        val sizes = blocked.groupBy("label").agg(count(lit(1)).as("_bn"))
-        blocked.join(broadcast(sizes), "label")
-          .select(col("label"),
-            when(col("_bn") > maxExactBlock, signature(col("embedding")))
-              .otherwise(lit(0L)).as("_sub"),
-            col("vec_id"), col("embedding"))
-      }
+    val keyed = withSubBucket(blocked, maxExactBlock, exact)
+      .select(col("label"), col("_sub"), col("vec_id"), col("embedding"))
     val topPerLabel = keyed
       .as[(Int, Long, Long, Array[Float])]
       .groupByKey(t => (t._1, t._2))
@@ -175,7 +160,11 @@ object SimilarityOps {
           var acc = 0.0
           var t = 0
           while (t < va.length) { acc += va(t).toDouble * vb(t).toDouble; t += 1 }
-          rnd(acc / (nrm(i) * nrm(j)))
+          val r = acc / (nrm(i) * nrm(j))
+          // a zero-norm (or NaN/Inf-element) vector has no direction: score
+          // 0 — never a top pair — instead of feeding BigDecimal a NaN and
+          // killing the whole job (q110's audit exists to surface these)
+          if (java.lang.Double.isFinite(r)) rnd(r) else 0.0
         }
         // candidates = distinct pairs (i < j) plus each m≥2 group's self
         // pair; a candidate expands to ≥ 1 result pairs, and a result pair
@@ -371,18 +360,31 @@ object SimilarityOps {
     * MULTIPLICITY-DISPATCHED on top of the size gate: past `maxDupMult`
     * (one light hash-agg probe) exact-duplicate vectors are contracted
     * first — each copy's nearest neighbor IS another copy (byte-identical
-    * embeddings produce the bit-identical maximal cosine, tie-broken to
-    * the lowest other member id exactly as the direct arm's
-    * (cos, -nn_id) argmax would), so only DISTINCT vectors run the gated
-    * block scan and the quadratic-in-multiplicity term disappears.
-    * Contraction groups on the raw (label, embedding) columns — exact
-    * array equality, no hash in the result path. `exact = true` forces
-    * the direct exact scan everywhere (validation mode).
+    * embeddings produce the bit-identical maximal cosine), so only
+    * DISTINCT vectors run the gated block scan and the
+    * quadratic-in-multiplicity term disappears. Contraction groups on the
+    * raw (label, embedding) columns — exact array equality, no hash in
+    * the result path.
+    *
+    * Arm equivalence is on (vec_id, nn_cos): both arms return a true
+    * maximal-cosine neighbor. WHICH neighbor id is reported can differ
+    * under an exact cosine TIE between a copy's own duplicate group and a
+    * distinct-but-parallel vector (e.g. 2·v, where IEEE scaling makes the
+    * cosine bit-equal 1.0): the direct arm's (cos, -nn_id) argmax picks
+    * the globally lowest tied id, the contracted arm stays inside the
+    * duplicate group. Both answers are correct under the argmax spec;
+    * pinning the direct arm's id choice would require every tied
+    * candidate, which is exactly the Ω(multiplicity²) work the
+    * contraction removes. `exact = true` forces the direct exact scan
+    * everywhere (validation mode). `stats` supplies a pre-computed probe
+    * answer (the ANALYZE convention) so repeated calls skip the per-call
+    * hash-agg job over the corpus.
     */
   def nnDedupOn(embDf: DataFrame, maxExactBlock: Int = MaxExactBlock,
-      exact: Boolean = false, maxDupMult: Long = MaxDupMult): DataFrame = {
+      exact: Boolean = false, maxDupMult: Long = MaxDupMult,
+      stats: Option[Long] = None): DataFrame = {
     graft.functions.GraftFunctions.ensureRegistered(embDf.sparkSession)
-    if (!exact && estMaxDupMult(embDf) > maxDupMult)
+    if (!exact && stats.getOrElse(estMaxDupMult(embDf)) > maxDupMult)
       nnDedupContracted(embDf, maxExactBlock)
     else nnDedupDirect(embDf, maxExactBlock, exact)
   }
@@ -420,19 +422,30 @@ object SimilarityOps {
     dupRows.unionByName(singleRows).orderBy("vec_id")
   }
 
+  /** The q41/q44 shared size gate: per-label counts contract to ≤|blocks|
+    * rows and broadcast back (the same bounded side-table shape as the
+    * IVF probe list, never a driver hop); blocks past `maxExactBlock`
+    * subdivide by LSH signature into `_sub`. `exact` skips the sizes pass
+    * entirely (the gate column would be a constant), keeping the
+    * validation arm's plan identical to the ungated form. ONE definition
+    * so the two consumers' scale paths cannot silently diverge.
+    */
+  private def withSubBucket(df: DataFrame, maxExactBlock: Int,
+      exact: Boolean): DataFrame =
+    if (exact) df.withColumn("_sub", lit(0L))
+    else {
+      val sizes = df.groupBy("label").agg(count(lit(1)).as("_bn"))
+      df.join(broadcast(sizes), "label")
+        .withColumn("_sub",
+          when(col("_bn") > maxExactBlock, signature(col("embedding")))
+            .otherwise(lit(0L)))
+        .drop("_bn")
+    }
+
   private def nnDedupDirect(embDf: DataFrame, maxExactBlock: Int,
       exact: Boolean): DataFrame = {
     val d0 = embDf.withColumn("nrm", norm(col("embedding")))
-    // exact mode: no sizes pass, constant bucket (see cosineTopPairsOn)
-    val d =
-      if (exact) d0.withColumn("_sub", lit(0L))
-      else {
-        val sizes = d0.groupBy("label").agg(count(lit(1)).as("_bn"))
-        d0.join(broadcast(sizes), "label")
-          .withColumn("_sub",
-            when(col("_bn") > maxExactBlock, signature(col("embedding")))
-              .otherwise(lit(0L)))
-      }
+    val d = withSubBucket(d0, maxExactBlock, exact)
     val a = d.select(col("vec_id").as("vec_id"), col("label"), col("_sub"),
       col("embedding").as("a_emb"), col("nrm").as("a_nrm"))
     val b = d.select(col("vec_id").as("nn_id"), col("label").as("b_label"),
@@ -742,7 +755,10 @@ object SimilarityOps {
   /** q110: embedding-store integrity audit — per label: vector count, the
     * count of NULL vectors (they'd silently null out a downstream cosine —
     * min/max/avg all skip nulls, so without an explicit column the audit
-    * itself would be blind to them), the dimension range (ragged arrays
+    * itself would be blind to them), the count of vectors with a null
+    * ELEMENT (the class that hard-errors the vec_dot kernel — detected
+    * before the norm so the audit reports it instead of crashing on it),
+    * the dimension range (ragged arrays
     * are the classic silent killer of a downstream matmul: one short
     * vector poisons a whole batch), the L2 norm range/mean, and the count
     * of degenerate (near-zero-norm) vectors that would NaN out a cosine.
@@ -763,20 +779,30 @@ object SimilarityOps {
   def embeddingAuditOn(embDf: DataFrame): DataFrame = {
     graft.functions.GraftFunctions.ensureRegistered(embDf.sparkSession)
     val Dec = org.apache.spark.sql.types.DecimalType(38, 10)
+    // a null ELEMENT inside a vector is its own malformation class: the
+    // norm kernel (vec_dot) rejects it, so the audit must detect it FIRST
+    // and keep that row's nrm null — the audit's job is to report the
+    // malformed vector, not to die on it (the oracle twin propagates the
+    // null through its arithmetic naturally, landing on the same null nrm)
+    val nullElem = col("embedding").isNotNull &&
+      exists(col("embedding"), x => x.isNull)
     embDf
       .select(col("label"),
-        round(norm(col("embedding")), 6).as("nrm"),
+        when(col("embedding").isNotNull && !nullElem,
+          round(norm(col("embedding")), 6)).as("nrm"),
         // dim guarded by isNotNull rather than relying on size(NULL) =
         // NULL: under spark.sql.legacy.sizeOfNull a NULL embedding would
         // report dim = -1, so n_null would read 0 and min_dim -1 —
         // silently defeating the audit's whole point of surfacing NULLs
         when(col("embedding").isNotNull,
           size(col("embedding")).cast("long")).as("dim"),
-        col("embedding").isNull.as("is_null"))
+        col("embedding").isNull.as("is_null"),
+        nullElem.as("has_null_elem"))
       .groupBy("label")
       .agg(
         count(lit(1)).as("n"),
         sum(when(col("is_null"), 1L).otherwise(0L)).as("n_null"),
+        sum(when(col("has_null_elem"), 1L).otherwise(0L)).as("n_null_elem"),
         min("dim").as("min_dim"), max("dim").as("max_dim"),
         min("nrm").as("min_norm"), max("nrm").as("max_norm"),
         round(sum(col("nrm").cast(Dec)).cast("double") / count(col("nrm")), 6)
@@ -841,10 +867,14 @@ object SimilarityOps {
     "q110_embedding_audit" ->
       s"""WITH d AS (SELECT label,
          |    round(${sqlNorm("embedding")}, 6) AS nrm,
+         |    CASE WHEN embedding IS NOT NULL AND
+         |        len(list_filter(embedding, x -> x IS NULL)) > 0
+         |      THEN 1 ELSE 0 END AS ne,
          |    len(embedding) AS dim FROM embeddings)
          |SELECT label, count(*) AS n,
          |  CAST(sum(CASE WHEN dim IS NULL THEN 1 ELSE 0 END) AS BIGINT)
          |    AS n_null,
+         |  CAST(sum(ne) AS BIGINT) AS n_null_elem,
          |  CAST(min(dim) AS BIGINT) AS min_dim,
          |  CAST(max(dim) AS BIGINT) AS max_dim,
          |  min(nrm) AS min_norm, max(nrm) AS max_norm,

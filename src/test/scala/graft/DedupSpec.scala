@@ -862,4 +862,33 @@ class DedupSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     assert(out.toSeq === Seq((1L, 2L, 2L), (2L, 1L, 2L), (3L, 1L, 3L)))
   }
+
+  test("q41 kernel survives a zero-norm vector (scores 0, never a top " +
+      "pair) and q110 surfaces null-element vectors instead of crashing") {
+    import spark.implicits._
+    val embs = Seq(
+      (0L, 0, Array(1.0f, 0.0f)),
+      (1L, 0, Array(0.9f, 0.1f)),
+      (2L, 0, Array(0.0f, 0.0f))) // zero norm: cosine undefined
+      .toDF("vec_id", "label", "embedding")
+    val pairs = SimilarityOps.cosineTopPairsOn(embs, k = 10, exact = true)
+      .collect().map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id"),
+        r.getAs[Double]("cos_sim"))).toSeq
+    // no NaN crash; the degenerate vector's pairs score exactly 0
+    assert(pairs.exists { case (a, b, c) => a == 0L && b == 1L && c > 0.9 })
+    assert(pairs.filter(p => p._1 == 2L || p._2 == 2L)
+      .forall(_._3 === 0.0))
+    // audit: one vector with a null ELEMENT is counted, not thrown on
+    val ragged = Seq(
+      (0, Some(Seq[java.lang.Float](1.0f, 2.0f))),
+      (0, Some(Seq[java.lang.Float](null, 2.0f))),
+      (0, None: Option[Seq[java.lang.Float]]))
+      .toDF("label", "embedding")
+    val a = SimilarityOps.embeddingAuditOn(ragged).collect().head
+    assert(a.getAs[Long]("n") === 3L)
+    assert(a.getAs[Long]("n_null") === 1L)
+    assert(a.getAs[Long]("n_null_elem") === 1L)
+    // the clean vector's norm still reports
+    assert(a.getAs[Double]("max_norm") > 2.0)
+  }
 }

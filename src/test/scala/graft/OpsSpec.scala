@@ -798,6 +798,19 @@ class OpsSpec extends SparkSpec {
       s"z-order read $zRead rows vs linear $lRead — no pruning win")
   }
 
+  test("media features: empty payload mirrors the oracle's null " +
+      "propagation (null mean, empty thumb), not fake zeros") {
+    import spark.implicits._
+    val out = MultimodalOps.mediaFeaturesOn(
+      Seq((7L, "")).toDF("doc_id", "text")).collect().head
+    assert(out.getAs[Int]("n_bytes") === 0)
+    assert(out.isNullAt(out.fieldIndex("mean_byte")),
+      "list_sum([]) = NULL in the oracle — the kernel must agree")
+    assert(out.getAs[Int]("dominant_bin") === 0)
+    assert(out.getAs[Int]("frames_sampled") === 0)
+    assert(out.getAs[String]("thumb8") === "")
+  }
+
   test("media features match a hand-computed payload") {
     val feats = MultimodalOps.mediaFeatures(spark, sfDir).collect()
     val docs = Tables.t(spark, sfDir, "documents")
