@@ -98,11 +98,16 @@ object TradeGen {
   private def derive(ids: DataFrame, seed: Int, baseDate: String): DataFrame = {
     val s = seed * 1000 // offset streams per seed
 
+    // weighted pick over ONE materialized draw column (`_u7` below): a
+    // CASE chain that re-embedded the u(s+7) hash expression per branch
+    // is exactly the codegen-blowup shape perClass exists to avoid —
+    // referencing the projected attribute keeps the chain a few lines
+    // and guarantees one hash evaluation regardless of CSE
     val statusExpr = {
       val cum = statusWeights.scanLeft(0.0)(_ + _._2).tail
       statusWeights.map(_._1).zip(cum).init
         .foldLeft(None: Option[Column]) { case (acc, (st, c)) =>
-          Some(acc.fold(when(u(s + 7) < c, st))(_.when(u(s + 7) < c, st)))
+          Some(acc.fold(when(col("_u7") < c, st))(_.when(col("_u7") < c, st)))
         }.get.otherwise(statusWeights.last._1)
     }
 
@@ -152,7 +157,9 @@ object TradeGen {
         round((u(s + 5) * pSpan + pLo) * pScale, 0) / pScale)
       .withColumn("notional_value", round(col("quantity") * col("price"), 2))
       .withColumn("counterparty", pick(s + 6, counterparties))
+      .withColumn("_u7", u(s + 7))
       .withColumn("status", statusExpr)
+      .drop("_u7")
       .withColumn("settlement_venue", pick(s + 8, settlementVenues))
       .withColumn("trade_date",
         date_sub(to_date(lit(baseDate)), randint(s + 9, 0, 3).cast("int")))

@@ -55,6 +55,16 @@ object AnomalyPipeline {
   /** Closed minutes before z-scores are emitted. */
   val Warmup: Long = 30L
 
+  /** Zero-fill bound for silent gaps (one week of minutes): a single
+    * corrupt far-future timestamp (producer clock skew) must not make one
+    * fold emit tens of millions of gap rows into an in-memory builder
+    * (executor OOM). A week of explicit zeros already saturates the EWMA
+    * toward zero, so silent minutes beyond the cap are SKIPPED, not
+    * fabricated — the bucket jumps to the event's minute and scoring
+    * continues.
+    */
+  val MaxGapMinutes: Long = 7L * 1440L
+
   /** Score one closed minute against the state's baseline, then absorb it
     * (Welford-style EWMA update: mean' = mean + a·d; var' = (1−a)·(var +
     * a·d²)). Shared by the streaming operator and the test's batch fold.
@@ -87,12 +97,20 @@ object AnomalyPipeline {
         state = state.copy(openMinute = m, openCount = 1L)
       else if (m == state.openMinute)
         state = state.copy(openCount = state.openCount + 1L)
-      else {
+      else if (m < state.openMinute) {
+        // behind the open bucket: outside the documented per-key ordering
+        // contract — folding it would rewind the bucket and re-emit
+        // already-closed minutes (silent duplicate rows + a corrupted
+        // baseline). Dropped; the buffered-until-watermark composition is
+        // the tolerant path for feeds that genuinely reorder.
+      } else {
         // close the open minute, then every silent minute up to m
+        // (bounded by MaxGapMinutes — see its scaladoc)
         var cur = state
         var minute = cur.openMinute
         var count = cur.openCount
-        while (minute < m) {
+        val fillTo = math.min(m, minute + MaxGapMinutes)
+        while (minute < fillTo) {
           val (row, next) = closeMinute(eventType, minute * MinuteUs,
             count, cur)
           out += row

@@ -25,7 +25,11 @@ object DashboardPipeline {
   def kpiStream(events: DataFrame): DataFrame =
     events.agg(
       count(lit(1)).as("n_events"),
-      round(sum(col("value")), 2).as("total_value"),
+      // decimal-backed sum (Tables.dsum): streaming-state merge order
+      // differs from batch shuffle order, and a raw double sum near a
+      // .xx5 boundary would round differently — dsum makes the
+      // stream ≡ batch equality exact instead of tolerance-papered
+      graft.Tables.dsum(col("value")).as("total_value"),
       cnt(col("event_type") === "click").as("n_clicks"),
       cnt(col("event_type") === "error").as("n_errors"),
       approx_count_distinct(col("user_id")).as("approx_users"))
@@ -39,7 +43,7 @@ object DashboardPipeline {
     */
   def topUsersStream(events: DataFrame, k: Int = 10): DataFrame =
     events.groupBy("user_id")
-      .agg(round(sum(col("value")), 2).as("total_value"))
+      .agg(graft.Tables.dsum(col("value")).as("total_value"))
       .orderBy(col("total_value").desc, col("user_id").asc)
       .limit(k)
 }

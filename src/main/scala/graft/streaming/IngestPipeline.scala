@@ -91,7 +91,9 @@ object IngestPipeline {
     trades
       .groupBy(window(col("timestamp"), "1 minute").as("w"))
       .agg(count(lit(1)).as("n_trades"),
-        sum(col("notional_value")).as("total_notional"))
+        // decimal-backed (Tables.dsum): state-merge order must not be
+        // able to shift the rounded total off the batch twin's
+        graft.Tables.dsum(col("notional_value")).as("total_notional"))
       .select(col("w.start").as("minute"), col("n_trades"), col("total_notional"))
 
   /** Watermarked twin of [[minuteAggs]] — the production mode (SURVEY §2.5
@@ -147,7 +149,10 @@ object IngestPipeline {
         // unit from an earlier pipeline incarnation with nothing.
         // persist() so the emptiness probe and the write share one
         // evaluation of the parse/dedup plan instead of running it twice.
-        val deduped = batch.dropDuplicates("trade_id").persist()
+        // (No dropDuplicates here: the upstream dropDuplicatesWithinWatermark
+        // already hands each batch unique trade_ids — repeating it would add
+        // a full shuffle per 5-second batch for no behavioral change.)
+        val deduped = batch.persist()
         try {
           if (!deduped.isEmpty) sink match {
             case ParquetSink(dir) =>
@@ -174,27 +179,31 @@ object IngestPipeline {
       checkpointDir: String, trigger: Trigger): StreamingQuery =
     runIngest(spark, raw, ParquetSink(sinkDir), checkpointDir, trigger)
 
-  /** Delete a replayed batch's rows; silently a no-op when the table does
-    * not exist yet (first batch creates it via the JDBC writer).
+  /** Delete a replayed batch's rows; a no-op when the table does not
+    * exist yet (first batch creates it via the JDBC writer). The DELETE
+    * runs unconditionally and table-missing errors are swallowed — a
+    * metadata existence probe would have to reproduce each dialect's
+    * case/catalog/schema-qualification rules (e.g. `public.trades` never
+    * matches getTables' bare names), and a false negative there silently
+    * SKIPS the delete, turning a replay into duplicated rows. Any other
+    * SQL error (permissions, connectivity) propagates: proceeding to the
+    * append without the delete would break exactly-once.
     */
   private def deleteBatchRows(url: String, table: String,
       props: java.util.Properties, batchId: Long): Unit = {
     val conn = java.sql.DriverManager.getConnection(url, props)
     try {
-      val exists = {
-        val rs = conn.getMetaData.getTables(null, null, "%", null)
-        try {
-          var found = false
-          while (!found && rs.next())
-            found = rs.getString(3).equalsIgnoreCase(table)
-          found
-        } finally rs.close()
+      val st = conn.createStatement()
+      try { st.executeUpdate(s"DELETE FROM $table WHERE batch_id = $batchId"); () }
+      catch {
+        case e: java.sql.SQLException
+            if Option(e.getSQLState).exists(s =>
+              s == "42X05" || s == "42P01" || s == "42S02") =>
+          // table/view not found: Derby 42X05, Postgres 42P01, MySQL/
+          // SQLServer 42S02 — the first batch has not created it yet
+          ()
       }
-      if (exists) {
-        val st = conn.createStatement()
-        try { st.executeUpdate(s"DELETE FROM $table WHERE batch_id = $batchId"); () }
-        finally st.close()
-      }
+      finally st.close()
     } finally conn.close()
   }
 }

@@ -7,13 +7,22 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
 case class SessionEvent(user_id: Long, event_id: Long, tsMicros: Long,
     value: Double)
 
-/** Open-session state kept per user between micro-batches. */
+/** Open-session state kept per user between micro-batches. `totalValue`
+  * is the EXACT decimal running sum (see `SessionPipeline.dec`): the batch
+  * q13 twin totals through `Tables.dsum`'s order-independent decimal sum,
+  * and a raw double fold would drift off it by ulps on any
+  * non-representable values — "agree row-for-row" has to include the
+  * total.
+  */
 case class OpenSession(seq: Long, startMicros: Long, lastMicros: Long,
-    nEvents: Long, totalValue: Double)
+    nEvents: Long, totalValue: BigDecimal)
 
-/** Per-user state of the out-of-order-tolerant variant: events newer than
+/** Per-user state of the watermark-driven variants: events newer than
   * the watermark wait in `buffer` until no earlier event can still arrive;
-  * `nextSeq` preserves session numbering across watermark-closed sessions.
+  * `nextSeq` preserves session numbering across watermark-closed sessions
+  * AND across idle-state eviction (the state shrinks to this one counter
+  * as a tombstone — removing it entirely would restart a returning user at
+  * seq 1, emitting duplicate (user_id, session_seq) keys).
   */
 case class BufferedSession(buffer: Seq[SessionEvent],
     open: Option[OpenSession], nextSeq: Long)
@@ -37,40 +46,55 @@ case class ClosedSession(user_id: Long, session_seq: Long,
   * reproduces the reference's unbounded model (state never evicts — like its
   * Postgres PK); [[SessionPipeline.sessionizeWithTimeout]] is the production
   * variant: event-time watermark + `GroupStateTimeout.EventTimeTimeout`
-  * closes and emits long-idle sessions, so the final session of every user
-  * eventually flushes and state stays bounded by the ACTIVE user count, not
-  * the user universe. Events must arrive in event-time order per user within
-  * the feed (the reference's produce-time ordering guarantees this); an
-  * out-of-order-tolerant variant would buffer per-user until the watermark.
+  * closes and emits long-idle sessions, after which the state shrinks to a
+  * numbering tombstone (one counter per ever-seen user — the irreducible
+  * memory of exact per-user session_seq; the heavy open-session payload and
+  * buffers are what eviction reclaims). Events must arrive in event-time
+  * order per user within the feed (the reference's produce-time ordering
+  * guarantees this); [[SessionPipeline.sessionizeBuffered]] is the
+  * out-of-order-tolerant variant that buffers per-user until the watermark.
   */
 object SessionPipeline {
 
   val GapMicros: Long = 1800L * 1000000L
 
-  /** Fold one micro-batch of a user's events into the open-session state,
-    * returning the sessions this batch closed — shared by both the
-    * unbounded and the timeout variants.
+  /** The batch `Tables.dsum` contract replayed per event: each value
+    * enters the running sum as DECIMAL(38,10) — exactly Spark's
+    * double→decimal cast — so the fold is order-independent and the
+    * emitted 2-dp total is bit-equal to q13's.
     */
-  private def foldEvents(userId: Long, evs: Iterator[SessionEvent],
-      st: GroupState[OpenSession]): Iterator[ClosedSession] = {
+  private def dec(v: Double): BigDecimal =
+    BigDecimal(v).setScale(10, BigDecimal.RoundingMode.HALF_UP)
+
+  private def emit(userId: Long, o: OpenSession): ClosedSession =
+    ClosedSession(userId, o.seq, o.startMicros, o.lastMicros, o.nEvents,
+      o.totalValue.setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble)
+
+  /** Fold already-settled events (sorted here) into the open session —
+    * the ONE definition of the session rule, shared by all three stateful
+    * variants. `nextSeq0` seeds the seq of a session opened from empty
+    * state; returns (closed sessions, new open state, next fresh seq).
+    */
+  private def fold(userId: Long, evs: Seq[SessionEvent],
+      open0: Option[OpenSession], nextSeq0: Long)
+      : (Seq[ClosedSession], Option[OpenSession], Long) = {
     val closed = Seq.newBuilder[ClosedSession]
-    var open = st.getOption
-    evs.toSeq.sortBy(e => (e.tsMicros, e.event_id)).foreach { e =>
+    var open = open0
+    evs.sortBy(e => (e.tsMicros, e.event_id)).foreach { e =>
       open match {
         case Some(o) if e.tsMicros - o.lastMicros <= GapMicros =>
           open = Some(o.copy(lastMicros = e.tsMicros,
-            nEvents = o.nEvents + 1, totalValue = o.totalValue + e.value))
+            nEvents = o.nEvents + 1, totalValue = o.totalValue + dec(e.value)))
         case Some(o) =>
-          closed += ClosedSession(userId, o.seq, o.startMicros,
-            o.lastMicros, o.nEvents, o.totalValue)
+          closed += emit(userId, o)
           open = Some(OpenSession(o.seq + 1, e.tsMicros, e.tsMicros, 1L,
-            e.value))
+            dec(e.value)))
         case None =>
-          open = Some(OpenSession(1L, e.tsMicros, e.tsMicros, 1L, e.value))
+          open = Some(OpenSession(nextSeq0, e.tsMicros, e.tsMicros, 1L,
+            dec(e.value)))
       }
     }
-    open.foreach(st.update)
-    closed.result().iterator
+    (closed.result(), open, open.map(_.seq + 1).getOrElse(nextSeq0))
   }
 
   /** Unbounded-state sessionization (reference parity: state lives forever,
@@ -84,7 +108,10 @@ object SessionPipeline {
       .flatMapGroupsWithState[OpenSession, ClosedSession](
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
         (userId: Long, evs: Iterator[SessionEvent], st: GroupState[OpenSession]) =>
-          foldEvents(userId, evs, st)
+          val (closed, open, _) =
+            fold(userId, evs.toSeq, st.getOption, 1L)
+          open.foreach(st.update)
+          closed.iterator
       }
   }
 
@@ -100,7 +127,8 @@ object SessionPipeline {
     * exactly where a later event would have closed it. State per user =
     * the not-yet-final buffer + one open session; buffered events drain as
     * the watermark advances, so state is bounded by the out-of-orderness
-    * budget (`watermarkDelay`), not history.
+    * budget (`watermarkDelay`), not history — a fully drained user keeps
+    * only the nextSeq tombstone.
     */
   def sessionizeBuffered(events: Dataset[SessionEvent],
       watermarkDelay: String = "10 minutes")(
@@ -123,54 +151,42 @@ object SessionPipeline {
           // still arrive, so their order is settled
           val (ready, pending) = all.partition(_.tsMicros <= wmMicros)
           val closed = Seq.newBuilder[ClosedSession]
-          var open = prior.open
-          var nextSeq = prior.nextSeq
-          ready.sortBy(e => (e.tsMicros, e.event_id)).foreach { e =>
-            open match {
-              case Some(o) if e.tsMicros - o.lastMicros <= GapMicros =>
-                open = Some(o.copy(lastMicros = e.tsMicros,
-                  nEvents = o.nEvents + 1, totalValue = o.totalValue + e.value))
-              case Some(o) =>
-                closed += ClosedSession(userId, o.seq, o.startMicros,
-                  o.lastMicros, o.nEvents, o.totalValue)
-                open = Some(OpenSession(o.seq + 1, e.tsMicros, e.tsMicros, 1L,
-                  e.value))
-              case None =>
-                open = Some(OpenSession(nextSeq, e.tsMicros, e.tsMicros, 1L,
-                  e.value))
-            }
-          }
+          val (foldClosed, folded, seqAfter) =
+            fold(userId, ready, prior.open, prior.nextSeq)
+          closed ++= foldClosed
+          var open = folded
+          var nextSeq = seqAfter
           // any future event has ts > watermark: if even the watermark is
           // past the gap horizon, nothing can extend this session
           open.foreach { o =>
             if (wmMicros - o.lastMicros > GapMicros) {
-              closed += ClosedSession(userId, o.seq, o.startMicros,
-                o.lastMicros, o.nEvents, o.totalValue)
+              closed += emit(userId, o)
               nextSeq = o.seq + 1
               open = None
             }
           }
-          if (pending.isEmpty && open.isEmpty) st.remove()
-          else {
-            st.update(BufferedSession(pending, open, nextSeq))
-            // wake when the watermark can settle more work: the open
-            // session's gap horizon or the oldest buffered event
-            val targets =
-              open.map(o => (o.lastMicros + GapMicros) / 1000L).toSeq ++
-                pending.map(_.tsMicros / 1000L)
+          st.update(BufferedSession(pending, open, nextSeq))
+          // wake when the watermark can settle more work: the open
+          // session's gap horizon or the oldest buffered event. A drained
+          // user (tombstone) needs no wake-up — the counter just persists.
+          val targets =
+            open.map(o => (o.lastMicros + GapMicros) / 1000L).toSeq ++
+              pending.map(_.tsMicros / 1000L)
+          if (targets.nonEmpty)
             st.setTimeoutTimestamp(
               math.max(targets.min + 1L, st.getCurrentWatermarkMs() + 1L))
-          }
           closed.result().iterator
       }
   }
 
   /** Watermarked sessionization with idle-session eviction: once the
     * event-time watermark passes `lastEvent + gap`, the open session times
-    * out, is emitted as closed, and its state is removed. `watermarkDelay`
-    * is the out-of-orderness budget; the timeout itself reuses the same
-    * 30-minute gap that defines a session boundary, so a timed-out session
-    * closes exactly where a subsequent event would have closed it.
+    * out, is emitted as closed, and its state shrinks to the numbering
+    * tombstone. `watermarkDelay` is the out-of-orderness budget; the
+    * timeout itself reuses the same 30-minute gap that defines a session
+    * boundary, so a timed-out session closes exactly where a subsequent
+    * event would have closed it — and a returning user continues at the
+    * next session_seq, exactly like the batch q13 numbering.
     */
   def sessionizeWithTimeout(events: Dataset[SessionEvent],
       watermarkDelay: String = "10 minutes")(
@@ -182,24 +198,32 @@ object SessionPipeline {
       .withWatermark("event_ts", watermarkDelay)
       .as[SessionEvent]
       .groupByKey(_.user_id)
-      .flatMapGroupsWithState[OpenSession, ClosedSession](
+      .flatMapGroupsWithState[BufferedSession, ClosedSession](
         OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
-        (userId: Long, evs: Iterator[SessionEvent], st: GroupState[OpenSession]) =>
+        (userId: Long, evs: Iterator[SessionEvent],
+            st: GroupState[BufferedSession]) =>
           if (st.hasTimedOut) {
-            val o = st.get
-            st.remove()
-            Iterator.single(ClosedSession(userId, o.seq, o.startMicros,
-              o.lastMicros, o.nEvents, o.totalValue))
+            val prior = st.get
+            prior.open match {
+              case Some(o) =>
+                st.update(BufferedSession(Nil, None, o.seq + 1))
+                Iterator.single(emit(userId, o))
+              case None =>
+                Iterator.empty
+            }
           } else {
-            val closed = foldEvents(userId, evs, st)
-            st.getOption.foreach { o =>
+            val prior = st.getOption.getOrElse(BufferedSession(Nil, None, 1L))
+            val (closed, open, nextSeq) =
+              fold(userId, evs.toSeq, prior.open, prior.nextSeq)
+            st.update(BufferedSession(Nil, open, nextSeq))
+            open.foreach { o =>
               // fire once the watermark passes the session gap; clamp above
               // the current watermark (Spark rejects timeouts at/behind it)
               st.setTimeoutTimestamp(math.max(
                 (o.lastMicros + GapMicros) / 1000L,
                 st.getCurrentWatermarkMs() + 1))
             }
-            closed
+            closed.iterator
           }
       }
   }
@@ -210,8 +234,8 @@ object SessionPipeline {
     * out-of-order events within the watermark for free. Boundary semantics
     * match the custom operator exactly (probed: an event at precisely
     * lastEvent + gap MERGES; gap-exceeding splits — i.e. `<= gap` extends,
-    * like `foldEvents`), with `end = lastEvent + gap` instead of the last
-    * event time. What it CANNOT express is per-user session NUMBERING
+    * like the shared fold), with `end = lastEvent + gap` instead of the
+    * last event time. What it CANNOT express is per-user session NUMBERING
     * (session_seq) — the reason the custom-state operators exist.
     *
     * Also runs in batch (same aggregate, no watermark needed), where

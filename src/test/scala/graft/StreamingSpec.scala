@@ -616,6 +616,79 @@ class StreamingSpec extends SparkSpec {
     assert(got === Set(ClosedSession(1, 1, T * M, (T + 100) * M, 2, 3.0)))
   }
 
+  test("session numbering survives idle-state eviction: a returning user " +
+      "continues at the next seq, never a duplicate (user, seq) key") {
+    import graft.streaming.{ClosedSession, SessionEvent, SessionPipeline}
+    implicit val sqlCtx = spark.sqlContext
+    implicit val sp = spark
+    val M = 1000000L
+    def ev(u: Long, id: Long, sec: Long, v: Double) =
+      SessionEvent(u, id, sec * M, v)
+    val input = MemoryStream[SessionEvent]
+    val q = SessionPipeline.sessionizeWithTimeout(input.toDS(), "10 minutes")
+      .writeStream.format("memory").queryName("sess_seq")
+      .outputMode("append").start()
+    val T = 100000L
+    // session 1, then silence long enough to fire the idle timeout
+    input.addData(ev(1, 1, T, 1.0))
+    q.processAllAvailable()
+    input.addData(ev(9, 2, T + 10000, 0.5)) // other user advances watermark
+    q.processAllAvailable()
+    input.addData(ev(9, 3, T + 10010, 0.5)) // trigger runs the timeout
+    q.processAllAvailable()
+    // user 1 RETURNS after eviction; a later same-user event closes the
+    // new session by gap so both sessions are in the sink
+    input.addData(ev(1, 4, T + 20000, 2.0))
+    q.processAllAvailable()
+    input.addData(ev(1, 5, T + 30000, 3.0),
+      ev(9, 6, T + 40000, 0.5)) // gap-close user 1's second session
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("sess_seq").as[ClosedSession].collect()
+      .filter(_.user_id == 1L).map(c => (c.session_seq, c.total_value))
+      .sortBy(_._1).toSeq
+    // sessions 2 and 3 both formed after user 1's first eviction (the
+    // second by gap-close, the third by a later timeout): numbering runs
+    // 1, 2, 3 with no duplicate keys — batch q13 parity across evictions
+    assert(got === Seq((1L, 1.0), (2L, 2.0), (3L, 3.0)),
+      s"post-eviction numbering must continue, got $got")
+  }
+
+  test("anomaly gap-fill is bounded: a far-future timestamp emits at most " +
+      "MaxGapMinutes rows and a rewinding event is dropped, not folded") {
+    import graft.streaming.{AnomalyPipeline, TypedEvent}
+    implicit val sqlCtx = spark.sqlContext
+    implicit val sp = spark
+    val Mi = AnomalyPipeline.MinuteUs
+    val input = MemoryStream[TypedEvent]
+    val q = AnomalyPipeline.detect(input.toDS())
+      .writeStream.format("memory").queryName("anom_cap")
+      .outputMode("append").start()
+    input.addData(TypedEvent("click", 1L, 10L * Mi))
+    q.processAllAvailable()
+    // corrupt far-future event: ~2 years of silent minutes — unbounded
+    // zero-fill would build ~1M rows in memory; the cap bounds it
+    input.addData(TypedEvent("click", 2L, (10L + 1000000L) * Mi))
+    q.processAllAvailable()
+    // rewinding event (behind the open bucket): dropped silently
+    input.addData(TypedEvent("click", 3L, 5L * Mi))
+    q.processAllAvailable()
+    // a later in-order event closes the open bucket with count 1 (the
+    // rewound event was NOT folded in) and fills only its own gap
+    input.addData(TypedEvent("click", 4L, (12L + 1000000L) * Mi))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("anom_cap")
+    val n = rows.count()
+    assert(n <= AnomalyPipeline.MaxGapMinutes + 4,
+      s"gap fill must be capped, emitted $n rows")
+    import org.apache.spark.sql.functions.col
+    val closedFar = rows.filter(col("minuteMicros") === (10L + 1000000L) * Mi)
+      .select("n_events").collect()
+    assert(closedFar.map(_.getLong(0)).toSeq === Seq(1L),
+      "the rewound event must not inflate the open bucket")
+  }
+
   test("buffered sessionization reorders out-of-order events per user") {
     import graft.streaming.{ClosedSession, SessionEvent, SessionPipeline}
     implicit val sqlCtx = spark.sqlContext
