@@ -19,18 +19,22 @@ object ScaleOps {
 
   /** Inner equi-join of `fact ⋈ dim` on `key`, salted `salts` ways.
     *
-    * The salt is derived from a hash of the fact row's whole tuple (stable,
-    * no rand()); dim is replicated via a literal-range explode. Use when
-    * `fact`'s key distribution is heavily skewed and `dim` is too large to
-    * broadcast but small enough that `salts`× replication is acceptable —
-    * the classic fallback when one task holds the hot key.
+    * The salt hashes a per-row ordinal, NOT the row's content: a hot key
+    * made of byte-identical duplicate rows (replayed log lines) would all
+    * hash to one shard under a content salt, reconstituting the straggler
+    * the utility exists to eliminate. The join result is independent of
+    * which shard a row lands in (each fact row meets exactly one copy of
+    * its dimension row whatever its salt), so the ordinal's run-to-run
+    * instability is harmless. dim is replicated via a literal-range
+    * explode. Use when `fact`'s key distribution is heavily skewed and
+    * `dim` is too large to broadcast but small enough that `salts`×
+    * replication is acceptable.
     */
   def saltedJoin(fact: DataFrame, dim: DataFrame, key: String,
       salts: Int): DataFrame = {
     require(salts >= 1, s"salts must be >= 1, got $salts")
-    val factCols: Array[Column] = fact.columns.map(col)
     val salted = fact.withColumn("_salt",
-      pmod(xxhash64(factCols: _*), lit(salts.toLong)))
+      pmod(xxhash64(monotonically_increasing_id()), lit(salts.toLong)))
     val replicated = dim
       .withColumn("_salt", explode(sequence(lit(0L), lit(salts.toLong - 1))))
     salted.join(replicated, Seq(key, "_salt")).drop("_salt")
@@ -53,7 +57,11 @@ object ScaleOps {
 
   object KeySkewStats {
     def compute(df: DataFrame, key: String): KeySkewStats = {
-      val r = df.groupBy(col(key)).agg(count(lit(1)).as("cnt"))
+      // null keys are excluded: they match nothing in an equi-join, so a
+      // 60M-null-FK fact column must not elect a "hot key" and trigger
+      // salts× dim replication for rows the join discards anyway
+      val r = df.filter(col(key).isNotNull)
+        .groupBy(col(key)).agg(count(lit(1)).as("cnt"))
         .agg(coalesce(sum(col("cnt")), lit(0L)),
           count(lit(1)), coalesce(max(col("cnt")), lit(0L))).head()
       KeySkewStats(r.getLong(0), r.getLong(1), r.getLong(2))
@@ -137,6 +145,12 @@ object ScaleOps {
     * low bits each, x in the odd positions) — the space-filling-curve key
     * behind multi-dimensional data clustering. Pure Column arithmetic
     * (shift/and/or), so it stays inside whole-stage codegen.
+    *
+    * PRECONDITION: inputs must already fit in `bits` bits — the
+    * interleave reads only the low `bits` of each value (raw epoch
+    * seconds at 16 bits cycle every ~18 h, destroying locality).
+    * [[writeZOrdered]] range-normalizes its columns onto the grid before
+    * calling this; do the same for any direct use over wide-range values.
     */
   def zValue(x: Column, y: Column, bits: Int = 16): Column = {
     require(bits >= 1 && bits <= 31, s"bits must be in [1,31], got $bits")
@@ -160,12 +174,31 @@ object ScaleOps {
     * single-column layout on the same box predicate.
     */
   def writeZOrdered(df: DataFrame, dir: String, c1: String, c2: String,
-      files: Int, bits: Int = 16): Unit =
-    df.withColumn("_z", zValue(col(c1), col(c2), bits))
-      .repartitionByRange(files, col("_z"))
-      .sortWithinPartitions("_z")
-      .drop("_z")
-      .write.mode("overwrite").parquet(dir)
+      files: Int, bits: Int = 16): Unit = {
+    // each dimension range-normalizes onto the bits-wide grid first:
+    // interleaving RAW values would silently use only their low `bits`
+    // bits (zValue's documented precondition) — monotone per-column
+    // scaling preserves exactly the tile clustering the layout exists for
+    val r = df.agg(
+      min(col(c1)).cast("double"), max(col(c1)).cast("double"),
+      min(col(c2)).cast("double"), max(col(c2)).cast("double")).head()
+    if (r.isNullAt(0)) {
+      df.write.mode("overwrite").parquet(dir) // empty input: nothing to sort
+    } else {
+      val hi = (1L << bits) - 1
+      def scaled(c: String, lo: Double, up: Double): Column =
+        if (up <= lo) lit(0L)
+        else least(lit(hi), floor((col(c).cast("double") - lo)
+          * (hi + 1) / (up - lo)).cast("long"))
+      df.withColumn("_z", zValue(
+          scaled(c1, r.getDouble(0), r.getDouble(1)),
+          scaled(c2, r.getDouble(2), r.getDouble(3)), bits))
+        .repartitionByRange(files, col("_z"))
+        .sortWithinPartitions("_z")
+        .drop("_z")
+        .write.mode("overwrite").parquet(dir)
+    }
+  }
 
   /** Scalable exact top-k per group, for LOW-CARDINALITY grouping keys.
     *
@@ -290,6 +323,19 @@ object ScaleOps {
       targetBytes: Long = 128L << 20): Unit = {
     val hPath = new org.apache.hadoop.fs.Path(dir)
     val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // refuse Hive-partitioned roots: the flat rewrite would silently drop
+    // the directory structure (read infers the key as a data column, the
+    // write emits flat files) — destroying partition pruning and, for the
+    // batch_id-keyed streaming stores, the replay-overwrite contract.
+    // Partitioned layouts compact per leaf directory or with their own
+    // keyed compactors (e.g. TextOps.compactKeyedTokenCountStore).
+    val partitioned = fs.listStatus(hPath)
+      .filter(_.isDirectory).map(_.getPath.getName)
+      .filter(n => n.contains("=") && !n.startsWith("_"))
+    require(partitioned.isEmpty,
+      s"compact: $dir is a Hive-partitioned layout " +
+        s"(${partitioned.take(3).mkString(", ")}…) — a flat rewrite would " +
+        "drop the partition structure; compact leaf directories instead")
     val bytes = fs.getContentSummary(hPath).getLength
     val nFiles = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
     val tmp = dir + ".compacting"

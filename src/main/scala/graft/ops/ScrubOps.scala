@@ -31,15 +31,21 @@ object ScrubOps {
     ("ssn", "\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b", "<SSN>"),
     ("phone", "\\+[0-9][0-9()\\- ]{6,}[0-9]", "<PHONE>"))
 
-  private def hits(name: String, pattern: String): Column =
-    size(regexp_extract_all(col("text"), lit(pattern), lit(0)))
+  /** Match count of `pattern` in a text column; null text counts 0 hits
+    * explicitly — relying on size(NULL) would report −1 under the legacy
+    * sizeOfNull flag, silently corrupting every audit sum (the q110
+    * discipline: never let a session flag change the answer).
+    */
+  private def hitsIn(c: Column, pattern: String): Column =
+    when(c.isNotNull,
+      size(regexp_extract_all(c, lit(pattern), lit(0)))).otherwise(0)
 
   /** q104: per-source PII audit — documents scanned, documents containing
     * any PII, and per-family hit totals. On a clean corpus every counter
     * is 0 — which is exactly what the audit exists to prove. */
   def piiAuditOn(docsDf: DataFrame): DataFrame = {
     val withHits = patterns.foldLeft(docsDf) { case (df, (name, pat, _)) =>
-      df.withColumn(s"${name}_hits", hits(name, pat))
+      df.withColumn(s"${name}_hits", hitsIn(col("text"), pat))
     }
     val anyPii = patterns.map { case (n, _, _) => col(s"${n}_hits") > 0 }
       .reduce(_ || _)
@@ -59,13 +65,22 @@ object ScrubOps {
 
   /** Scrub library: replace every PII match with its family token, in the
     * documented pattern order. Returns the input with `text` rewritten and
-    * an `n_scrubbed` count of replaced spans. */
+    * an `n_scrubbed` count of replaced spans.
+    *
+    * Each family's count is taken on the text AFTER the earlier families
+    * already replaced their spans — counting every family against the
+    * ORIGINAL text would double-count overlaps (an SSN-shaped run inside a
+    * phone match is replaced once but would tally twice), so n_scrubbed
+    * is exactly the number of `<TOKEN>` insertions in the output. Audit
+    * semantics (what ARRIVED, per family, against the raw text) are
+    * [[piiAuditOn]]'s job, deliberately not this one's.
+    */
   def scrubOn(docsDf: DataFrame): DataFrame = {
-    val total = patterns.map { case (n, pat, _) => hits(n, pat) }
-      .reduce(_ + _)
-    val cleaned = patterns.foldLeft(col("text")) {
-      case (c, (_, pat, token)) => regexp_replace(c, pat, token)
-    }
+    val (cleaned, total) = patterns
+      .foldLeft((col("text"), lit(0): Column)) {
+        case ((c, n), (_, pat, token)) =>
+          (regexp_replace(c, pat, token), n + hitsIn(c, pat))
+      }
     docsDf
       .withColumn("n_scrubbed", total)
       .withColumn("text", cleaned)

@@ -386,13 +386,27 @@ object SearchOps {
 
   /** Fold a new batch's bigram counts into the store, append-only
     * (sum-on-read merges segments; replaying an append double-counts that
-    * batch — admit exactly once, compact via the token-store convention).
+    * batch — admit exactly once, compact with [[compactBigramStore]]).
     */
   def appendToBigramStore(batch: DataFrame, path: String): Unit =
     docBigramsOn(batch)
       .groupBy("from_tok", "to_tok").agg(count(lit(1)).as("n_pairs"))
       .repartition(col("from_tok"))
       .write.mode("append").parquet(path)
+
+  /** Re-contract accumulated append segments to one row per
+    * (from_tok, to_tok), publishing via staging + atomic swap — durable
+    * state, never `mode("overwrite")` on the live path (the token-store
+    * compactor's contract, on this store's own schema).
+    */
+  def compactBigramStore(s: SparkSession, path: String): Unit = {
+    val staging = path + ".merging"
+    s.read.parquet(path)
+      .groupBy("from_tok", "to_tok").agg(sum("n_pairs").as("n_pairs"))
+      .repartition(col("from_tok"))
+      .write.mode("overwrite").parquet(staging)
+    ScaleOps.swapInto(s, staging, path)
+  }
 
   /** Score `docsDf` against the PERSISTED bigram model instead of the
     * corpus that trained it — the per-ingest quality gate: the indexed
@@ -403,6 +417,13 @@ object SearchOps {
     * so `n_bigrams` keeps meaning "bigrams actually scored" and equals the
     * raw path's count whenever the model covers the docs (store ≡ raw is
     * spec-pinned on exactly that case).
+    *
+    * A FULLY-novel document (every bigram OOV, n_bigrams = 0) reports
+    * null avg_logp/ppl — there is nothing to average. Quality gates must
+    * branch on `n_bigrams = 0` (or `n_oov`) EXPLICITLY before thresholding
+    * ppl: a bare `ppl <= T` (and its negation) both evaluate null on such
+    * a row, silently dropping the most-novel documents from both the
+    * accept and reject sets.
     */
   def lmPerplexityFromStore(docsDf: DataFrame, path: String): DataFrame = {
     val probs = withFromTotals(

@@ -554,6 +554,17 @@ class OpsSpec extends SparkSpec {
     ScaleOps.compact(spark, dir, targetBytes = Long.MaxValue)
     assert(spark.read.parquet(dir).count() === 10000)
     assert(!new java.io.File(dir + ".old").exists())
+    // a Hive-partitioned root is refused loudly: a flat rewrite would
+    // silently drop the partition structure (and the batch_id-keyed
+    // streaming stores' replay contract)
+    val pdir = tmpDir("compact-part") + "/p"
+    spark.range(0, 100).selectExpr("id", "id % 3 AS k")
+      .write.partitionBy("k").parquet(pdir)
+    val ex = intercept[IllegalArgumentException] {
+      ScaleOps.compact(spark, pdir, targetBytes = Long.MaxValue)
+    }
+    assert(ex.getMessage.contains("partitioned"))
+    assert(spark.read.parquet(pdir).count() === 100, "store untouched")
   }
 
   test("two-phase salted top-k equals the single-window form") {

@@ -33,6 +33,28 @@ class ScrubSpec extends SparkSpec {
       (5L, "clean document with no pii at all", 0)))
   }
 
+  test("n_scrubbed counts each replaced span once when families overlap, " +
+      "and null text audits as zero hits") {
+    // the SSN-shaped run sits INSIDE what the phone pattern would match on
+    // the raw text: SSN fires first (documented order), after which the
+    // phone pattern no longer matches — ONE span was replaced, and a
+    // per-family count over the original text would have said two
+    val out = ScrubOps.scrubOn(corpus(
+      (0L, "call +1 222-33-4444 now", "s"))).collect().head
+    assert(out.getAs[String]("text") === "call +1 <SSN> now")
+    assert(out.getAs[Int]("n_scrubbed") === 1,
+      "overlapping families must not double-count one replacement")
+    // null text: every audit counter reads 0, independent of the legacy
+    // sizeOfNull session flag
+    import org.apache.spark.sql.functions.lit
+    val audit = ScrubOps.piiAuditOn(
+      corpus((1L, "x", "s")).withColumn("text", lit(null: String)))
+      .collect().head
+    assert(audit.getAs[Long]("n_docs") === 1L)
+    assert(audit.getAs[Long]("n_pii_docs") === 0L)
+    assert(audit.getAs[Long]("n_email") === 0L)
+  }
+
   test("an email's digits are not double-counted by the phone pattern " +
       "and an SSN inside a sentence stays an SSN") {
     val df = corpus(
