@@ -96,7 +96,8 @@ object CurationOps {
         .agg(count(lit(1)).as("n_shared"))
       decontaminationRows(train.drop("sh").join(shared, Seq("doc_id"), "left"))
     } else {
-      val keyed = docsDf.withColumn("__tk", md5(col("text")))
+      val keyed = docsDf.withColumn("__tk",
+        coalesce(md5(col("text")), lit("")))
       def distinctTexts(df: DataFrame): DataFrame = df
         .select(col("__tk"), col("text"))
         .groupBy("__tk").agg(first(col("text")).as("text"))
@@ -396,11 +397,17 @@ object CurationOps {
     val out = docsDf
       .select(col("doc_id"), col("source"), size(toks).as("n_toks"),
         factor.as("f"))
-      // floor(f) whole copies + 1 when hash(doc_id) < fractional-part · 100
+      // integer centi-copies: base = cents div 100 whole copies + 1 when
+      // hash(doc_id) < cents % 100. Deriving the base from the SAME
+      // rounded cents as the fractional test (not floor(f)) keeps the two
+      // consistent when the fractional part rounds up to a whole copy:
+      // f = 0.999 → 100 cents → exactly 1 copy, where floor(f) = 0 with
+      // a wrapped 0-cent remainder would silently DROP the whole source
+      .withColumn("__cents", round(col("f") * 100).cast("long"))
       .withColumn("replicas",
-        floor(col("f")).cast("long") +
+        expr("__cents div 100") +
           when((col("doc_id") * 48271L + 11L) % 100L
-            < round(col("f") * 100).cast("long") % 100L, 1L).otherwise(0L))
+            < col("__cents") % 100L, 1L).otherwise(0L))
       .filter(col("replicas") >= 1)
       // the training-shard stream: one row per replica
       .select(col("doc_id"), col("source"), col("n_toks"),
@@ -709,6 +716,10 @@ object CurationOps {
   def appendToFingerprintStore(admitted: DataFrame, path: String): Unit =
     admitted.select(DedupOps.normText.as("norm")).distinct()
       .withColumn("fp", xxhash64(col("norm")))
+      // hash layout on fp like every other appender in the store family —
+      // segments inheriting the batch's arbitrary upstream partitioning
+      // would skew fingerprint-keyed probes more with each crawl
+      .repartition(col("fp"))
       .write.mode("append").parquet(path)
 
   // ---- persisted cardinality store (mergeable HLL sketches) ---------------
@@ -929,8 +940,16 @@ object CurationOps {
     val h4 = substring(
       md5(concat(lit(salt + ":"), col("doc_id").cast("string"))), 1, 4)
     val cum = splits.map(_._2).scanLeft(0.0)(_ + _).tail
-    // last arm is the unconditional otherwise — weights already sum to 1
-    val thresholds = cum.init.map(c => f"${(c * 65536).toInt}%04x")
+    // last arm is the unconditional otherwise — weights already sum to 1.
+    // A non-final cumulative weight can still reach 1.0 (trailing
+    // zero-weight splits): formatted naively that is the 5-char "10000",
+    // which sorts BEFORE most 4-char digests ('1' < '8'…) and would
+    // misroute half the corpus into the zero-weight arm. 'g' sorts after
+    // every hex digit, so the arm matches every document — exact.
+    val thresholds = cum.init.map { c =>
+      val t = (c * 65536).toInt
+      if (t >= 65536) "g" else f"$t%04x"
+    }
     val arms = splits.init.map(_._1).zip(thresholds)
     val assigned =
       if (arms.isEmpty) lit(splits.head._1)
@@ -1288,7 +1307,7 @@ object CurationOps {
         |              WHEN 'src7' THEN 0.5 ELSE 1.0 END AS f
         |  FROM documents),
         |r AS (SELECT doc_id, source, n_toks,
-        |  CAST(floor(f) AS BIGINT) +
+        |  CAST(round(f * 100) AS BIGINT) // 100 +
         |    CASE WHEN (doc_id * 48271 + 11) % 100
         |      < CAST(round(f * 100) AS BIGINT) % 100 THEN 1 ELSE 0 END
         |    AS replicas FROM d),

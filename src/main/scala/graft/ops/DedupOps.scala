@@ -681,7 +681,8 @@ object DedupOps {
         val (d, vocab) = tokenizedDocs(dd)
         (if (vocab.length <= 64) jaccardPairsMask(d, vocab)
          else jaccardPairsPrefix(d)).select(col("a_id"), col("b_id"))
-      }, reliable, groupKey = struct(col("lang"), md5(col("text"))))
+      }, reliable, groupKey = struct(coalesce(col("lang"), lit("\u0000")),
+        nullSafeTextKey))
     case "minhash" =>
       contractedClusters(docsDf,
         dd => minhashLshPairsList(dd, reliable).select(
@@ -732,9 +733,19 @@ object DedupOps {
     * hundreds of colliding pairs — each one silently merging two unrelated
     * clusters; 2^-128 per pair never fires.
     */
+  /** Null-safe exact-text group key: md5(NULL) is NULL, and a NULL key
+    * survives the groupBy but never matches itself in the members join —
+    * silently DROPPING every null-text document from the output. The
+    * empty-string sentinel cannot collide with a real digest (md5 hex is
+    * always 32 chars), and it keeps groupBy's own convention: all
+    * null-text rows form one exact-duplicate group.
+    */
+  private def nullSafeTextKey: Column =
+    coalesce(md5(col("text")), lit(""))
+
   private def contractedClusters(docsDf: DataFrame,
       minePairs: DataFrame => DataFrame, reliable: Boolean,
-      groupKey: Column = md5(col("text"))): DataFrame = {
+      groupKey: Column = nullSafeTextKey): DataFrame = {
     val withKey = docsDf.withColumn("__nh", groupKey)
     val groups = truncateLineage(
       withKey.groupBy(col("__nh")).agg(min(col("doc_id")).as("rep_id")),
@@ -864,7 +875,8 @@ object DedupOps {
         dd => jaccardPairsPrefix(tokenizedDocs(dd)._1)
           .select(col("a_id"), col("b_id")),
         reliable,
-        groupKey = struct(col("lang"), md5(col("text"))))
+        groupKey = struct(coalesce(col("lang"), lit("\u0000")),
+          nullSafeTextKey))
       val paired = all.groupBy("rep").agg(count(lit(1)).as("_cn"))
         .filter(col("_cn") >= 2).select("rep")
       all.join(paired, "rep")

@@ -149,6 +149,19 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Word-3-shingles over the prepared (`toks`, `n_tokens`) columns — the
+    * ONE definition shared by the shingle profile (q35) and the novelty
+    * curve (q111), so a width or tokenization change cannot silently
+    * diverge the two reports (the same single-definition rule as
+    * `SpanOps.shingleKeysExpr` for the span family).
+    */
+  private def shingles3: Column =
+    transform(sequence(lit(1), col("n_tokens") - 2), i =>
+      concat_ws(" ",
+        element_at(col("toks"), i),
+        element_at(col("toks"), i + 1),
+        element_at(col("toks"), i + 2)))
+
   /** Word-level 3-shingle profile: shingle count, distinct shingles,
     * internal-repetition ratio (the MinHash front-end, measured exactly).
     */
@@ -162,11 +175,7 @@ object TextOps {
       .withColumn("n_tokens", size(col("toks")))
       .filter(col("n_tokens") >= 3)
       .withColumn("shingles",
-        transform(sequence(lit(1), col("n_tokens") - 2), i =>
-          concat_ws(" ",
-            element_at(col("toks"), i),
-            element_at(col("toks"), i + 1),
-            element_at(col("toks"), i + 2))))
+        shingles3)
       .select(
         col("doc_id"), col("n_tokens"),
         size(col("shingles")).as("n_shingles"),
@@ -290,7 +299,8 @@ object TextOps {
       repetitionProfileRows(docsDf, col("doc_id").as("doc_id"))
         .orderBy("doc_id")
     else {
-      val keyed = docsDf.withColumn("__tk", md5(col("text")))
+      val keyed = docsDf.withColumn("__tk",
+        coalesce(md5(col("text")), lit("")))
       val perText = repetitionProfileRows(
         keyed.select(col("__tk"), col("text"))
           .groupBy("__tk").agg(first(col("text")).as("text")),
@@ -402,7 +412,20 @@ object TextOps {
       .mapPartitions { it =>
         val counts = scala.collection.mutable.HashMap.empty[String, Long]
         it.foreach { text =>
-          val toks = text.trim.split(" ", -1)
+          // Spark's trim() strips ASCII spaces ONLY — match it exactly
+          // (Java String.trim also strips tabs/newlines, so the sketch
+          // would count different tokens than the exact q66 twin it is
+          // pinned against); null text contributes nothing, like the
+          // declarative explode
+          val toks =
+            if (text == null) Array.empty[String]
+            else {
+              var lo = 0
+              var hi = text.length
+              while (lo < hi && text.charAt(lo) == ' ') lo += 1
+              while (hi > lo && text.charAt(hi - 1) == ' ') hi -= 1
+              text.substring(lo, hi).split(" ", -1)
+            }
           var i = 0
           while (i < toks.length) {
             val t = toks(i)
@@ -631,11 +654,7 @@ object TextOps {
       .withColumn("n_tokens", size(col("toks")))
       .filter(col("n_tokens") >= 3)
       .withColumn("shingles", array_distinct(
-        transform(sequence(lit(1), col("n_tokens") - 2), i =>
-          concat_ws(" ",
-            element_at(col("toks"), i),
-            element_at(col("toks"), i + 1),
-            element_at(col("toks"), i + 2)))))
+        shingles3))
       // 16-byte md5 key (the q102 convention): the window partitions and
       // sorts on fixed-width binary, never on the raw shingle strings; a
       // 128-bit collision (2^-128 per pair) is the only way two distinct
@@ -787,10 +806,10 @@ object TextOps {
     * shared verbatim by the raw and store paths (store ≡ raw is pinned by
     * spec, not by hope).
     */
-  private def sourceDriftFromCounts(st0: DataFrame): DataFrame = {
+  private def sourceDriftFromCounts(st: DataFrame): DataFrame = {
     val Dec = org.apache.spark.sql.types.DecimalType(38, 12)
-    val st = st0
     val tok = st.groupBy("token").agg(sum("c").as("ct"))
+
     val src = st.groupBy("source").agg(sum("c").as("ns"),
       count(lit(1)).as("vocab_size"))
     val nn = broadcast(st.agg(sum("c").cast("double").as("nn")))

@@ -510,6 +510,41 @@ class CurationSpec extends SparkSpec {
     assert(id.forall(_.getAs[Double]("sample_factor") === 1.0))
   }
 
+  test("rebalance survives a fractional part that rounds to a whole copy " +
+    "(f = 0.999 keeps the source, never drops it)") {
+    import spark.implicits._
+    val docs = (0L until 200L).map(id => (id, "srcA", "alpha beta gamma"))
+      .toDF("doc_id", "source", "text")
+    val out = CurationOps.corpusRebalanceOn(docs, Seq("srcA" -> 0.999))
+      .collect()
+    // 0.999 rounds to 100 cents = exactly one copy per doc — a
+    // floor(f)-based split would compute 0 + (hash < 0) = 0 replicas
+    // and silently drop the entire source
+    assert(out.length === 1)
+    assert(out.head.getAs[Long]("n_docs_kept") === 200L)
+    assert(out.head.getAs[Long]("n_docs_out") === 200L)
+    // and f = 1.999 yields ~2 copies, not 1
+    val twice = CurationOps.corpusRebalanceOn(docs, Seq("srcA" -> 1.999))
+      .collect().head
+    assert(twice.getAs[Long]("n_docs_out") === 400L)
+  }
+
+  test("hash split routes nothing into a trailing zero-weight split") {
+    import spark.implicits._
+    val docs = (0L until 500L).map(id => (id, s"t $id"))
+      .toDF("doc_id", "text")
+    // cum weight reaches 1.0 BEFORE the final arm: naive %04x formatting
+    // would emit "10000", which sorts before most digests and misroutes
+    // ~half the corpus into the zero-weight split
+    val got = CurationOps.withHashSplit(docs, "graft-split",
+      Seq("train" -> 0.5, "valid" -> 0.5, "test" -> 0.0))
+      .groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(!got.contains("test"), s"zero-weight split got rows: $got")
+    assert(got.values.sum === 500L)
+    assert(got("train") > 150L && got("valid") > 150L, s"skewed: $got")
+  }
+
   test("training manifest: positions are an exact hash-order permutation, " +
     "shards are fixed-width, and reruns are identical") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")

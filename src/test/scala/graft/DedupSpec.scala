@@ -863,6 +863,25 @@ class DedupSpec extends SparkSpec {
     assert(out.toSeq === Seq((1L, 2L, 2L), (2L, 1L, 2L), (3L, 1L, 3L)))
   }
 
+  test("dedupDecision keeps null-text documents: they form one exact-dup " +
+      "group instead of vanishing from the contraction join") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "en", Some("alpha beta gamma")),
+      (1L, "en", None: Option[String]), // md5(NULL) = NULL group key
+      (2L, "en", None: Option[String]),
+      (3L, "en", Some("alpha beta gamma")))
+      .toDF("doc_id", "lang", "text")
+    val out = ops.DedupOps.dedupDecision(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // every input doc gets a decision row (the old null join key silently
+    // dropped docs 1 and 2), and the two null texts group together like
+    // any other pair of identical texts under groupBy semantics
+    assert(out.keySet === Set(0L, 1L, 2L, 3L))
+    assert(out(3L) === 0L)
+    assert(out(1L) === 1L && out(2L) === 1L)
+  }
+
   test("q41 kernel survives a zero-norm vector (scores 0, never a top " +
       "pair) and q110 surfaces null-element vectors instead of crashing") {
     import spark.implicits._
