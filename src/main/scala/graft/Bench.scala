@@ -8,6 +8,9 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // same session timezone as Verify/Smoke: the timed plans must be the
+      // exact plans the oracle validated, on any host timezone
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -50,7 +53,9 @@ object Bench {
       .sortBy { case (k, _) => k.drop(1).toInt }
       .map { case (k, v) => "\"" + k + "\":" + ms(v) }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    // failure markers (-1) are excluded: summing them would make every
+    // BROKEN query read as a ~1 s per-round speedup in the total
+    val total = results.values.filter(_ >= 0).sum
     // Per-family subtotals on stderr (driver captures stdout's JSON line
     // only): with 115 queries a round-over-round drift is much easier to
     // attribute to a family than to re-diff 115 numbers.

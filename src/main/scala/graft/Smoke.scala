@@ -20,10 +20,20 @@ object Smoke {
     println(s"ENTRY rows=$n ${if (n > 0) "OK" else "EMPTY!"}")
     SparkEntry.entry(spark).show(5, truncate = false)
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"
+    var failed = n <= 0
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
-      val c = fn(spark, sfDir).count()
-      println(f"$name%-28s rows=$c")
+      try {
+        val c = fn(spark, sfDir).count()
+        println(f"$name%-28s rows=$c")
+      } catch { case e: Throwable =>
+        println(f"$name%-28s FAILED: ${e.getMessage}")
+        failed = true
+      }
     }
     spark.stop()
+    // mirror the driver's gate in the EXIT CODE, not just the log line — a
+    // caller scripting around Smoke must see an empty entry or a throwing
+    // query as a failure
+    if (failed) sys.exit(1)
   }
 }

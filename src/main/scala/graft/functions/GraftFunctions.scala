@@ -22,7 +22,14 @@ object GraftFunctions {
     // integral literal types only — a bare numeric match would silently
     // truncate e.g. 2.5 to 2 via intValue()
     case Some(Literal(v: Number, ByteType | ShortType | IntegerType |
-        LongType)) => v.intValue()
+        LongType)) =>
+      val l = v.longValue()
+      // a long literal past Int range must error, not wrap: intValue() of
+      // 2^32+1 is 1, which would silently compute 1-gram hashes
+      if (l < Int.MinValue || l > Int.MaxValue)
+        throw new IllegalArgumentException(
+          s"$fn: argument ${i + 1} out of Int range: $l")
+      l.toInt
     case other => throw new IllegalArgumentException(
       s"$fn: argument ${i + 1} must be an integer literal, got " +
         other.map(_.sql).getOrElse("nothing"))

@@ -76,6 +76,10 @@ case class MinHashBandKeys(child: Expression, bands: Int)
   override protected def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
     val n = arr.numElements()
+    // no shingles → no signature → no band keys: folding the untouched
+    // Long.MaxValue sentinel minima would overflow signed 64-bit and emit
+    // negative "keys" outside the documented mod-p domain
+    if (n == 0) return new GenericArrayData(new Array[Long](0))
     val mins = Array.fill(NumHashes)(Long.MaxValue)
     var s = 0
     while (s < n) {
@@ -130,6 +134,11 @@ case class MinHashBandKeys(child: Expression, bands: Int)
          |final int $n = $arr.numElements();
          |final long[] $mins = new long[$NumHashes];
          |java.util.Arrays.fill($mins, Long.MAX_VALUE);
+         |if ($n == 0) {
+         |  ${ev.value} =
+         |    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+         |      new long[0]);
+         |} else {
          |for (int $s = 0; $s < $n; $s++) {
          |  final long $h = java.lang.Math.floorMod($arr.getLong($s), ${Mod}L);
          |  for (int $i = 0; $i < $NumHashes; $i++) {
@@ -148,6 +157,7 @@ case class MinHashBandKeys(child: Expression, bands: Int)
          |}
          |${ev.value} =
          |  new org.apache.spark.sql.catalyst.util.GenericArrayData($keys);
+         |}
          |""".stripMargin
     })
 

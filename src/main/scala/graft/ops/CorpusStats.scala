@@ -87,10 +87,18 @@ object CorpusStats {
       Some(CorpusStats(r.getLong(0), r.getLong(1), r.getLong(2)))
     } catch { case scala.util.control.NonFatal(_) => None }
 
-  /** ANALYZE: compute and persist in one step. */
+  /** ANALYZE: compute and persist in one step. Also refreshes the in-JVM
+    * memo for the owning directory — without this, a crawl-loop JVM that
+    * re-ANALYZEs a rewritten corpus would keep dispatching on the
+    * pre-rewrite cached stats (the persisted row is only consulted on a
+    * cache MISS).
+    */
   def analyze(docsDf: DataFrame, path: String): CorpusStats = {
     val st = compute(docsDf)
     write(st, docsDf.sparkSession, path)
+    val suffix = "/corpus_stats"
+    if (path.endsWith(suffix))
+      dirCache.put(path.dropRight(suffix.length), st)
     st
   }
 }

@@ -239,6 +239,27 @@ class FunctionsSpec extends SparkSpec {
     assert(got(0L) === Seq(0L) && got(1L) === Seq(0L))
   }
 
+  test("minhash_band_keys over an empty array yields an empty key set, " +
+      "and out-of-Int-range literal args error instead of wrapping") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    GraftFunctions.ensureRegistered(spark)
+    // no shingles → no signature → no band keys (folding the untouched
+    // Long.MaxValue minima would overflow into negative "keys")
+    val empty = Seq(Tuple1(Seq.empty[Long])).toDF("hs")
+      .select(call_function("graft_minhash_band_keys", col("hs"), lit(16)))
+      .as[Seq[Long]].collect().head
+    assert(empty.isEmpty)
+    // 2^32 + 1 truncates to 1 via intValue() — must error loudly
+    val ex = intercept[Exception] {
+      spark.sql("SELECT graft_shingle_hashes('a b c', 4294967297L)").collect()
+    }
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: causes(t.getCause)
+    assert(causes(ex).exists(c => c.getMessage != null &&
+      c.getMessage.contains("out of Int range")), s"got: $ex")
+  }
+
   test("winnow_positions rejects null hash elements loudly") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
