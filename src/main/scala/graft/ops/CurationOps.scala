@@ -1041,7 +1041,70 @@ object CurationOps {
       .orderBy("pos")
   }
 
+  // ---- q124: DSIR importance weights --------------------------------------
+
+  /** q124: data-selection importance weights (DSIR — Xie et al., "Data
+    * Selection for Language Models via Importance Resampling", NeurIPS
+    * 2023): score every raw document by the log-likelihood ratio of a
+    * target-domain unigram LM over the raw-corpus unigram LM, the signal
+    * DSIR resamples by to tilt a web-scale crawl toward a target domain.
+    * Target here: the `lang = 'en'` slice (the formatted-domain stand-in);
+    * any predicate slots in — the two LMs come from ONE shared token
+    * contraction with a conditional count.
+    *
+    * Laplace-smoothed over the raw vocabulary V: p(w) = (n_w + 1)/(T + |V|)
+    * per side, so target-absent tokens score a finite negative ratio
+    * instead of -∞. logw(doc) = Σ_w c_doc(w) · ln(p_t(w)/p_r(w)) — DSIR's
+    * hashed-ngram features exist to BOUND the feature table when the
+    * vocabulary is open; this corpus's vocab is already table-sized, and
+    * at 100 TB the same plan holds by hashing tokens into B buckets first
+    * (one extra per-row map; the contraction stays ≤ B rows).
+    *
+    * Scale: one corpus shuffle into the (token, n_raw, n_tgt) contraction
+    * (map-side combined, ≤|V| rows), totals in a single-row broadcast, the
+    * per-token log-ratio table broadcast back to the doc-keyed count
+    * frame — the corpus shuffles once on doc_id, everything else is
+    * vocabulary-sized. Determinism: each ratio is one ln of a quotient of
+    * exact integers (both engines ln identical doubles — the q108
+    * discipline), rounded to 6 dp and multiplied by integer counts in
+    * exact decimal, so the per-doc sum is order-independent.
+    */
+  def dsirWeights(s: SparkSession, dir: String): DataFrame =
+    dsirWeightsOn(docs(s, dir), col("lang") === "en")
+
+  /** `docsDf` needs (doc_id, text) plus whatever `isTarget` reads.
+    * Documents with no tokens (null/empty text) have no features and are
+    * absent from the output, like every token-explode consumer.
+    */
+  def dsirWeightsOn(docsDf: DataFrame, isTarget: Column): DataFrame = {
+    val Dec = org.apache.spark.sql.types.DecimalType(38, 6)
+    val tok = docsDf
+      .select(col("doc_id"), isTarget.as("is_target"),
+        explode(toks).as("token"))
+    val counts = tok.groupBy("token")
+      .agg(count(lit(1)).as("n_raw"),
+        sum(when(col("is_target"), 1L).otherwise(0L)).as("n_tgt"))
+    val totals = broadcast(counts.agg(
+      sum("n_raw").as("t_raw"), sum("n_tgt").as("t_tgt"),
+      count(lit(1)).as("v")))
+    val llr = broadcast(counts.crossJoin(totals)
+      .select(col("token"),
+        round(
+          log((col("n_tgt") + 1) / (col("t_tgt") + col("v")))
+            - log((col("n_raw") + 1) / (col("t_raw") + col("v"))), 6)
+          .as("llr")))
+    tok.groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("c"))
+      .join(llr, Seq("token"))
+      .groupBy("doc_id")
+      .agg(sum("c").as("n_tokens"),
+        round(sum((col("c") * col("llr")).cast(Dec)), 6).cast("double")
+          .as("dsir_logw"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q124_dsir_weights" -> dsirWeights,
     "q116_hash_split" -> hashSplit,
     "q122_training_manifest" -> trainingManifest,
     "q100_curation_funnel" -> curationFunnel,
@@ -1109,6 +1172,29 @@ object CurationOps {
   }
 
   val oracle: Map[String, String] = Map(
+    // Replays DSIR: one shared token table → smoothed per-side unigram
+    // LMs → per-token ln ratio rounded 6 dp → per-doc exact-decimal sum
+    // of count × ratio (order-independent on both engines).
+    "q124_dsir_weights" ->
+      """WITH tok AS (SELECT doc_id, (lang = 'en') AS is_target,
+        |    unnest(string_split(trim(text), ' ')) AS token FROM documents),
+        |counts AS (SELECT token, count(*) AS n_raw,
+        |    sum(CASE WHEN is_target THEN 1 ELSE 0 END) AS n_tgt
+        |  FROM tok GROUP BY token),
+        |totals AS (SELECT sum(n_raw) AS t_raw, sum(n_tgt) AS t_tgt,
+        |    count(*) AS v
+        |  FROM counts),
+        |llr AS (SELECT token,
+        |    round(ln((n_tgt + 1) / (t_tgt + v))
+        |      - ln((n_raw + 1) / (t_raw + v)), 6) AS llr
+        |  FROM counts CROSS JOIN totals),
+        |dc AS (SELECT doc_id, token, count(*) AS c FROM tok
+        |  GROUP BY doc_id, token)
+        |SELECT dc.doc_id, sum(dc.c) AS n_tokens,
+        |  CAST(round(sum(CAST(dc.c * llr.llr AS DECIMAL(38,6))), 6)
+        |    AS DOUBLE) AS dsir_logw
+        |FROM dc JOIN llr USING (token)
+        |GROUP BY dc.doc_id ORDER BY doc_id""".stripMargin,
     "q122_training_manifest" ->
       """WITH r AS (SELECT doc_id, source,
         |    row_number() OVER (

@@ -1,7 +1,7 @@
 package graft.ops
 
 import graft.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Decode input row (top-level, non-private: Spark's codegen'd encoders
@@ -178,13 +178,137 @@ object MultimodalOps {
       .orderBy("side", "key")
   }
 
+  // ---- q125: perceptual-hash media near-dup pairs --------------------------
+
+  /** q125: perceptual-hash media fingerprints — the index-build half of
+    * image dedup in a multimodal training pipeline (re-encoded/resized
+    * copies of one image share no byte-level digest, but their
+    * downsampled gradient hash is nearly identical). dHash construction
+    * over the stub decode: 64 equal-width bucket byte-means of the payload
+    * (the q51 thumbnail at hash resolution), bit k = mean[k] > mean[k+1],
+    * folded MSB-first into a 63-bit BIGINT. A real pixel decoder slots
+    * into the same kernel without touching anything downstream.
+    *
+    * The mining half is [[mediaPhashPairsOn]] (the q39 SimHash banding
+    * discipline on these fingerprints); the catalog pins the fingerprint
+    * build because the testdata's payloads are all ≥ Hamming 12 apart —
+    * the pair miner is spec-pinned against brute force on corpora that DO
+    * carry near-dup media (DuckDB confirms this one doesn't).
+    *
+    * Scale: the hash is a map-only batched-kernel pass — one row in, one
+    * 8-byte fingerprint out, no shuffle until the output sort; persist it
+    * beside the corpus like the text fingerprint store and incremental
+    * crawls only hash NEW media. Empty payloads have no gradient to hash
+    * and are excluded (the oracle filters identically).
+    */
+  def mediaPhash(s: SparkSession, dir: String): DataFrame =
+    mediaPhashOn(docs(s, dir)).orderBy("doc_id")
+
+  /** `docsDf` needs (doc_id, text); payload = UTF-8 bytes of `text` like
+    * every stub-media operator. Returns (doc_id, phash), unsorted (the
+    * catalog binding sorts; pipeline consumers shouldn't pay for it).
+    */
+  def mediaPhashOn(docsDf: DataFrame): DataFrame = {
+    val session = docsDf.sparkSession
+    import session.implicits._
+    val BatchSize = 32
+    docsDf
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+      .as[MediaIn]
+      .mapPartitions { it =>
+        it.grouped(BatchSize).flatMap { batch =>
+          batch.iterator.flatMap { m =>
+            val bytes = m.payload
+            val n = if (bytes == null) 0 else bytes.length
+            if (n == 0) Iterator.empty
+            else {
+              // 64 equal-width bucket means (q51 thumbnail arithmetic at
+              // hash width), then the 63-bit MSB-first gradient fold
+              val mu = Array.tabulate(64) { k =>
+                val lo = (k.toLong * n / 64).toInt
+                val hi = math.max(lo + 1, ((k + 1).toLong * n / 64).toInt)
+                var s = 0L
+                var j = lo
+                while (j < hi) { s += bytes(j) & 0xFF; j += 1 }
+                s / (hi - lo)
+              }
+              var h = 0L
+              var k = 0
+              while (k < 63) {
+                h = h * 2 + (if (mu(k) > mu(k + 1)) 1L else 0L)
+                k += 1
+              }
+              Iterator.single((m.doc_id, h))
+            }
+          }
+        }
+      }
+      .toDF("doc_id", "phash")
+  }
+
+  /** Near-duplicate media pairs over [[mediaPhashOn]] fingerprints — the
+    * q39 SimHash discipline in Hamming space: block on 4×16-bit hash
+    * chunks (pigeonhole: Hamming ≤ 3 shares at least one exact chunk),
+    * verify `bit_count(xor) ≤ 3` INSIDE the join condition, and emit each
+    * pair from its first shared chunk only, so no distinct() shuffle over
+    * candidates exists. The corpus never forms a cross product:
+    * candidates are hash-bucket collisions only.
+    */
+  def mediaPhashPairsOn(docsDf: DataFrame, maxHamming: Int = 3): DataFrame = {
+    require(maxHamming <= 3,
+      s"mediaPhashPairsOn: 4×16-bit blocking guarantees completeness only " +
+        s"to Hamming 3 (pigeonhole); got $maxHamming")
+    val hashed = mediaPhashOn(docsDf)
+    val chunked = hashed.select(col("doc_id"), col("phash"),
+      posexplode(array((0 until 4).map(j =>
+        shiftrightunsigned(col("phash"), j * 16)
+          .bitwiseAND(lit(0xFFFFL))): _*)).as(Seq("chunk_idx", "chunk")))
+    def chunkOf(h: Column, j: Column): Column =
+      call_function("shiftrightunsigned", h, j * lit(16))
+        .bitwiseAND(lit(0xFFFFL))
+    val firstMatch = when(col("x.chunk_idx") === 0, lit(true))
+      .otherwise(!exists(sequence(lit(0), col("x.chunk_idx") - 1), i =>
+        chunkOf(col("x.phash"), i) === chunkOf(col("y.phash"), i)))
+    chunked.as("x").join(chunked.as("y"),
+        col("x.chunk_idx") === col("y.chunk_idx") &&
+          col("x.chunk") === col("y.chunk") &&
+          col("x.doc_id") < col("y.doc_id") &&
+          bit_count(col("x.phash").bitwiseXOR(col("y.phash"))) <= maxHamming &&
+          firstMatch)
+      .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"),
+        bit_count(col("x.phash").bitwiseXOR(col("y.phash"))).as("hamming"))
+      .orderBy("a_id", "b_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q50_media_meta" -> mediaMeta,
     "q51_media_features" -> mediaFeatures,
     "q52_frame_sample" -> frameSample,
-    "q69_modality_coverage" -> modalityCoverage)
+    "q69_modality_coverage" -> modalityCoverage,
+    "q125_media_phash" -> mediaPhash)
 
   val oracle: Map[String, String] = Map(
+    // Replays the perceptual hash relationally (q51's unicode()-as-byte
+    // trick): 64 bucket byte-means with the kernel's exact floor
+    // arithmetic, then the 63-bit MSB-first gradient fold.
+    "q125_media_phash" ->
+      """WITH b AS (SELECT doc_id, length(text) AS n,
+        |    list_transform(generate_series(1, length(text)),
+        |      i -> CAST(unicode(text[i]) AS BIGINT)) AS bys
+        |  FROM documents WHERE length(text) > 0),
+        |mu AS (SELECT doc_id,
+        |    list_transform(generate_series(0, 63), k ->
+        |      list_sum(list_slice(bys, (k * n) // 64 + 1,
+        |          greatest((k * n) // 64 + 1, ((k + 1) * n) // 64)))
+        |        // greatest(((k + 1) * n) // 64 - (k * n) // 64, 1)) AS m
+        |  FROM b)
+        |SELECT doc_id,
+        |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |    list_transform(generate_series(0, 62), k ->
+        |      CASE WHEN m[k + 1] > m[k + 2] THEN CAST(1 AS BIGINT)
+        |           ELSE CAST(0 AS BIGINT) END)),
+        |    (a, bit) -> a * 2 + bit) AS phash
+        |FROM mu ORDER BY doc_id""".stripMargin,
     // Replays the stub decode kernel relationally: the payload is the
     // UTF-8 encoding of `text`, and the testdata corpus is pure ASCII
     // (octet_length(encode(text)) = length(text) for every row — verified

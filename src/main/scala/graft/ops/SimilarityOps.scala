@@ -811,6 +811,99 @@ object SimilarityOps {
       .orderBy("label")
   }
 
+  // ---------------------------------------------------------------- q123
+
+  /** Subspace count and width for product quantization: 64 dims → 8
+    * contiguous 8-dim blocks.
+    */
+  val PqSub = 8
+  val PqSubDim: Int = Dim / PqSub
+
+  /** q123: product-quantization ANN (Jégou et al., "Product Quantization
+    * for Nearest Neighbor Search", IEEE TPAMI 2011) — the memory-scale
+    * path past IVF (q45) and random projection (q113): each vector is
+    * split into [[PqSub]] contiguous subvectors and every subvector is
+    * quantized to its nearest sub-codeword, compressing 64 floats (256 B)
+    * to 8 one-byte codes — a 32× cut, the difference between an
+    * in-memory ANN index and none at 100 TB. Search is asymmetric
+    * distance computation (ADC): the query stays EXACT, one per-subspace
+    * lookup table is built once from the query, and every corpus vector
+    * costs 8 table lookups + 7 adds — no full-dimension arithmetic in the
+    * scan at all.
+    *
+    * Codebook: per (subspace, codeword) slices of the q43 decimal-exact
+    * rounded per-label centroids (the testdata's natural clustering —
+    * a [[kmeansCentroids]]-per-subspace codebook drops into the same
+    * literal shape), so the oracle re-derives identical codewords. The
+    * driver hop is |labels| × Dim rounded doubles — the same bounded
+    * codebook footprint every PQ system keeps.
+    *
+    * Scale: encoding is a map-only pass (all codewords ride as literals;
+    * the corpus never shuffles), the query row broadcasts, and the top-k
+    * is TakeOrderedAndProject. Determinism: each distance is
+    * |x_m|² − 2·x_m·c + |c|² with both dots in index order (native
+    * VecDot), c² a driver-side left fold the oracle unrolls identically,
+    * argmin tie-broken on the lower codeword, and the 8-term ADC sum
+    * left-associated on both engines before the final round.
+    */
+  def annPq(s: SparkSession, dir: String): DataFrame =
+    annPqOn(emb(s, dir))
+
+  /** Sorted distinct labels and the full rounded centroid per label —
+    * codeword index = label rank (bounded driver hop, q43 values).
+    */
+  private def pqCodebook(embDf: DataFrame): (Array[Int], Array[Array[Double]]) = {
+    val centRows = labelCentroidsOn(embDf)
+      .select("label", "dim", "centroid").collect()
+    val byLabel = centRows.groupBy(_.getAs[Int]("label"))
+    val labels = byLabel.keys.toArray.sorted
+    val full = labels.map(l => byLabel(l).sortBy(_.getAs[Int]("dim"))
+      .map(_.getAs[Double]("centroid")))
+    (labels, full)
+  }
+
+  /** `embDf` needs (vec_id, label, embedding). */
+  def annPqOn(embDf: DataFrame, queryId: Long = 0L, k: Int = 10): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(embDf.sparkSession)
+    val (labels, full) = pqCodebook(embDf)
+    // codebook(m)(j) = 8-dim sub-codeword j of subspace m
+    val cb: Array[Array[Array[Double]]] = Array.tabulate(PqSub)(m =>
+      full.map(_.slice(m * PqSubDim, (m + 1) * PqSubDim)))
+    def sub(m: Int): Column =
+      slice(col("embedding"), m * PqSubDim + 1, PqSubDim)
+    // |x_m|² − 2·x_m·c_j + |c_j|² per codeword: x² is a shared subtree
+    // (codegen subexpression elimination), dots are index-order VecDot,
+    // c² a driver left fold — the assignClusters arithmetic per subspace
+    def dists(m: Int): Seq[Column] = {
+      val x2 = dot(sub(m), sub(m))
+      cb(m).toSeq.map(c =>
+        x2 - lit(2.0) * dot(sub(m), typedLit(c.toSeq)) +
+          lit(c.map(v => v * v).sum))
+    }
+    def codeOf(m: Int): Column =
+      array_min(array(dists(m).zipWithIndex.map { case (d, j) =>
+        struct(d.as("d"), lit(j).as("c"))
+      }: _*)).getField("c")
+    val coded = embDf.select(col("vec_id"), col("label"),
+      array((0 until PqSub).map(codeOf): _*).as("codes"))
+    // ADC lookup tables: the SAME distance expressions evaluated once on
+    // the query row (asymmetric — the query side is never quantized)
+    val q = broadcast(embDf.filter(col("vec_id") === queryId)
+      .select((0 until PqSub).map(m => array(dists(m): _*).as(s"lut$m")): _*))
+    val adc = (0 until PqSub).map(m =>
+        element_at(col(s"lut$m"), col("codes")(m) + 1))
+      .reduceLeft(_ + _)
+    coded.crossJoin(q)
+      .filter(col("vec_id") =!= queryId)
+      .select(col("vec_id"), col("label"),
+        array_join(transform(col("codes"), j =>
+          element_at(typedLit(labels.toSeq), j + 1).cast("string")), ",")
+          .as("pq_code"),
+        round(adc, 6).as("adc_dist"))
+      .orderBy(col("adc_dist").asc, col("vec_id").asc)
+      .limit(k)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q40_ann_topk" -> annTopK,
     "q41_cosine_top_pairs" -> cosineTopPairs,
@@ -822,7 +915,8 @@ object SimilarityOps {
     "q89_crossmodal_curation" -> crossmodalCuration,
     "q95_cluster_purity" -> clusterPurity,
     "q110_embedding_audit" -> embeddingAudit,
-    "q113_ann_rp" -> annRp)
+    "q113_ann_rp" -> annRp,
+    "q123_ann_pq" -> annPq)
 
   /** The hyperplane constants as full-precision SQL literals (Java's
     * Double.toString round-trips, and DuckDB parses to the same IEEE
@@ -853,7 +947,63 @@ object SimilarityOps {
   private def sqlDotK(a: String, b: String, n: Int): String =
     (1 to n).map(i => s"$a[$i] * $b[$i]").mkString(" + ")
 
+  /** q123 oracle helpers: the per-subspace distance pieces, unrolled in
+    * index order with the subspace offset `m.m * PqSubDim` left symbolic —
+    * one SQL expression covers all 8 subspaces via the generate_series
+    * cross join.
+    */
+  private def sqlPqX2(e: String): String =
+    (1 to PqSubDim).map { i =>
+      val idx = s"m.m * $PqSubDim + $i"
+      s"CAST($e[$idx] AS DOUBLE) * CAST($e[$idx] AS DOUBLE)"
+    }.mkString(" + ")
+
+  private def sqlPqXC(e: String, c: String): String =
+    (1 to PqSubDim).map { i =>
+      val idx = s"m.m * $PqSubDim + $i"
+      s"CAST($e[$idx] AS DOUBLE) * $c[$idx]"
+    }.mkString(" + ")
+
+  private def sqlPqC2(c: String): String =
+    (1 to PqSubDim).map { i =>
+      val idx = s"m.m * $PqSubDim + $i"
+      s"$c[$idx] * $c[$idx]"
+    }.mkString(" + ")
+
   val oracle: Map[String, String] = Map(
+    // Replays PQ end to end: q43 rounded centroids → per-subspace
+    // |x_m|² − 2·x_m·c + |c|² (index-order unrolled, c² left-associated
+    // like the JVM fold) → argmin with the low-codeword tie-break →
+    // ADC = left fold of the 8 query-side lookups in subspace order.
+    "q123_ann_pq" ->
+      s"""WITH c0 AS (SELECT label, s.i AS dim,
+         |    round(CAST(sum(CAST(embedding[s.i] AS DECIMAL(38,10)))
+         |      AS DOUBLE) / count(*), 6) AS cv
+         |  FROM embeddings
+         |  CROSS JOIN (SELECT unnest(generate_series(1, $Dim)) AS i) s
+         |  GROUP BY label, s.i),
+         |ca AS (SELECT label, list(cv ORDER BY dim) AS carr FROM c0
+         |  GROUP BY label),
+         |m AS (SELECT unnest(generate_series(0, ${PqSub - 1})) AS m),
+         |d AS (SELECT e.vec_id, e.label AS v_label, m.m, ca.label AS code,
+         |    (${sqlPqX2("e.embedding")})
+         |      - 2 * (${sqlPqXC("e.embedding", "ca.carr")})
+         |      + (${sqlPqC2("ca.carr")}) AS dist
+         |  FROM embeddings e CROSS JOIN m CROSS JOIN ca),
+         |pick AS (SELECT vec_id, v_label, m, code,
+         |    row_number() OVER (PARTITION BY vec_id, m
+         |      ORDER BY dist, code) AS rn
+         |  FROM d),
+         |codes AS (SELECT vec_id, v_label, m, code FROM pick WHERE rn = 1),
+         |lut AS (SELECT m, code, dist FROM d WHERE vec_id = 0)
+         |SELECT c.vec_id, min(c.v_label) AS label,
+         |  string_agg(CAST(c.code AS VARCHAR), ',' ORDER BY c.m) AS pq_code,
+         |  round(list_reduce(list(l.dist ORDER BY c.m), (a, b) -> a + b), 6)
+         |    AS adc_dist
+         |FROM codes c JOIN lut l ON l.m = c.m AND l.code = c.code
+         |WHERE c.vec_id <> 0
+         |GROUP BY c.vec_id
+         |ORDER BY adc_dist, vec_id LIMIT 10""".stripMargin,
     "q113_ann_rp" ->
       s"""WITH p AS (SELECT vec_id, label, ${sqlProj("embedding")} AS p
          |  FROM embeddings),

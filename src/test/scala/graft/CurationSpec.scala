@@ -11,6 +11,44 @@ class CurationSpec extends SparkSpec {
 
   import spark.implicits._
 
+  test("dsir weights: sign tracks target alignment, monotone in target " +
+      "fraction, tokenless docs absent, partition-order independent") {
+    val docs = Seq(
+      (0L, "good good good good", "en"),
+      (1L, "bad bad bad bad", "xx"),
+      (2L, "good bad", "xx"),
+      (3L, null: String, "en")
+    ).toDF("doc_id", "text", "lang")
+    val out = CurationOps.dsirWeightsOn(docs, col("lang") === "en").collect()
+    // doc 3 has no tokens → no features → absent, like every token consumer
+    assert(out.map(_.getLong(0)).toSeq === Seq(0L, 1L, 2L))
+    assert(out.map(r => r.getLong(0) -> r.getLong(1)).toMap ===
+      Map(0L -> 4L, 1L -> 4L, 2L -> 2L))
+    val w = out.map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    // vocab {good, bad}: target is all-'good', so ln p_t/p_r is positive
+    // for 'good' and negative for 'bad'
+    assert(w(0L) > 0, s"all-target-token doc must score positive: ${w(0L)}")
+    assert(w(1L) < 0, s"off-target doc must score negative: ${w(1L)}")
+    assert(w(0L) > w(2L) && w(2L) > w(1L),
+      s"weights must be monotone in target-token fraction: $w")
+    // hand-check doc 0: 4 · (ln(5/6) − ln(6/12)) rounded at 6 dp per token
+    val llrGood = math.rint((math.log(5.0 / 6) - math.log(6.0 / 12)) * 1e6) / 1e6
+    assert(math.abs(w(0L) - 4 * llrGood) < 1e-9)
+
+    // the decimal accumulator makes the answer partition-order independent
+    val shuffled = CurationOps.dsirWeightsOn(
+      docs.repartition(7), col("lang") === "en").collect()
+    assert(shuffled.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSet === out.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSet)
+
+    // a different target predicate flips the tilt
+    val flipped = CurationOps.dsirWeightsOn(docs, col("lang") === "xx")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(flipped(1L) > 0 && flipped(0L) < 0,
+      s"target=xx must invert the ranking: $flipped")
+  }
+
   test("dataset card: volumes, quality split, cross-source dup attribution") {
     import graft.ops.CurationOps
     val docs = Seq(

@@ -241,6 +241,57 @@ class DedupSpec extends SparkSpec {
     assert(ivf.collect().head.getLong(0) === 0L)
   }
 
+  test("PQ ANN: planted near-duplicate ranks first, codes map to labels") {
+    import spark.implicits._
+    val dim = SimilarityOps.Dim
+    val rnd = new scala.util.Random(7)
+    def vec(): Array[Float] = Array.fill(dim)(rnd.nextGaussian().toFloat)
+    val q = vec()
+    val near = q.map(x => x + 0.02f * rnd.nextGaussian().toFloat)
+    val rows = (0L, q, 0) +: (1L, near, 0) +:
+      (2L until 200L).map(i => (i, vec(), (i % 4).toInt))
+    val embDf = rows.toDF("vec_id", "embedding", "label")
+
+    val out = SimilarityOps.annPqOn(embDf).collect()
+    assert(out.length === 10)
+    // a 0.02-σ perturbed copy quantizes to (nearly) the query's own
+    // codewords, so its ADC distance is the minimal lattice distance —
+    // far below any random gaussian's
+    assert(out.head.getLong(0) === 1L,
+      s"planted neighbor must rank first, got ${out.map(_.getLong(0)).toSeq}")
+    val dists = out.map(_.getAs[Double]("adc_dist")).toSeq
+    assert(dists === dists.sorted, "ADC distances must be ascending")
+    out.foreach { r =>
+      val code = r.getAs[String]("pq_code").split(",")
+      assert(code.length === SimilarityOps.PqSub)
+      assert(code.forall(c => (0 to 3).contains(c.toInt)),
+        s"every code must be a corpus label, got ${r.getAs[String]("pq_code")}")
+    }
+
+    // queryId/k are honored: from vector 1, vector 0 is the nearest
+    val fromOne = SimilarityOps.annPqOn(embDf, queryId = 1L, k = 5).collect()
+    assert(fromOne.length === 5)
+    assert(fromOne.head.getLong(0) === 0L)
+    assert(!fromOne.exists(_.getLong(0) == 1L), "query excluded from results")
+  }
+
+  test("PQ ANN: codes carry actual label values on non-contiguous labels") {
+    import spark.implicits._
+    val dim = SimilarityOps.Dim
+    val rnd = new scala.util.Random(11)
+    val rows = (0L until 40L).map(i =>
+      (i, Array.fill(dim)(rnd.nextGaussian().toFloat),
+        if (i % 2 == 0) 2 else 5))
+    val out = SimilarityOps.annPqOn(rows.toDF("vec_id", "embedding", "label"))
+      .collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val code = r.getAs[String]("pq_code").split(",").map(_.toInt)
+      assert(code.forall(c => c == 2 || c == 5),
+        s"codeword ids must be the label values {2,5}, got ${code.toSeq}")
+    }
+  }
+
   test("DataFrame-API entry points self-register kernels on a fresh session") {
     import org.apache.spark.sql.functions.col
     // a brand-new session has NO graft functions registered — every

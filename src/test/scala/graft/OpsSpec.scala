@@ -842,6 +842,37 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("media phash: identical payloads collide, a planted one-bucket edit " +
+      "stays in banding reach, banded miner equals brute force") {
+    import spark.implicits._
+    val base = "ab" * 64 // 128 bytes → 64 flat buckets → phash 0
+    val tweak = base.substring(0, 126) + "!!" // last bucket mean drops
+    val docs = Seq((0L, base), (1L, base), (2L, tweak), (3L, ""),
+      (4L, "zz" + base.substring(2)), (5L, null: String))
+      .toDF("doc_id", "text")
+    val h = MultimodalOps.mediaPhashOn(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(!h.contains(3L) && !h.contains(5L),
+      "empty/null payloads have no gradient and must be excluded")
+    assert(h(0L) === h(1L), "identical payloads must share a fingerprint")
+    val d02 = java.lang.Long.bitCount(h(0L) ^ h(2L))
+    assert(d02 >= 1 && d02 <= 2,
+      s"a single-bucket edit flips at most its two adjacent bits, got $d02")
+
+    val pairs = MultimodalOps.mediaPhashPairsOn(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq.sorted
+    val ids = h.keys.toSeq.sorted
+    val brute = (for {
+      a <- ids; b <- ids if a < b
+      d = java.lang.Long.bitCount(h(a) ^ h(b)) if d <= 3
+    } yield (a, b, d)).sorted
+    assert(brute.contains((0L, 1L, 0)))
+    assert(pairs === brute,
+      s"banded mining must equal brute force: $pairs vs $brute")
+    assert(pairs.size === pairs.distinct.size,
+      "first-shared-chunk emission must never duplicate a pair")
+  }
+
   test("centroid rows cover every (label, dim) cell") {
     val c = SimilarityOps.labelCentroids(spark, sfDir)
     val labels = Tables.t(spark, sfDir, "embeddings")
