@@ -52,7 +52,26 @@ object GraftFunctions {
     "graft_bloom_agg" ->
       (es => BloomLongs(es.head, intArg("graft_bloom_agg", es, 1),
         intArg("graft_bloom_agg", es, 2)).toAggregateExpression()),
-    "graft_bloom_contains" -> (es => BloomMightContain(es.head, es(1))))
+    "graft_bloom_contains" -> (es => BloomMightContain(es.head, es(1))),
+    "graft_pq_encode" -> (es => PqEncode(es.head,
+      intArg("graft_pq_encode", es, 2), cbArg("graft_pq_encode", es, 1))))
+
+  /** Extract an array<array<double>> literal (the PQ codebook): the
+    * codebook is plan metadata, not data — it must be a literal so the
+    * kernel embeds it once instead of deserializing per row.
+    */
+  private def cbArg(fn: String, es: Seq[Expression], i: Int): Seq[Seq[Double]] =
+    es.lift(i) match {
+      case Some(Literal(ad: org.apache.spark.sql.catalyst.util.ArrayData,
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.ArrayType(
+              org.apache.spark.sql.types.DoubleType, _), _))) =>
+        (0 until ad.numElements()).map(r =>
+          ad.getArray(r).toDoubleArray().toSeq)
+      case other => throw new IllegalArgumentException(
+        s"$fn: argument ${i + 1} must be an array<array<double>> literal, " +
+          s"got " + other.map(_.sql).getOrElse("nothing"))
+    }
 
   /** Idempotently register all graft functions into `spark`'s registry. */
   def ensureRegistered(spark: SparkSession): Unit = {

@@ -676,3 +676,111 @@ object WinnowPositions {
     if (nOut == out.length) out else java.util.Arrays.copyOf(out, nOut)
   }
 }
+
+/** pq_encode(vec: array<float|double>) → array<int>: product-quantization
+  * codes — for each contiguous `subDim`-wide subspace, the index of the
+  * codebook row whose subvector minimizes |x_m|² − 2·x_m·c + |c|² (ties to
+  * the lower index). One fused pass over the vector: no per-codeword array
+  * slices, no boxed intermediates — the expression-tree formulation of the
+  * same argmin (11 vec_dots × 8 subspaces per row) blows past the codegen
+  * method budget and falls back to interpreted eval with no subexpression
+  * reuse; this kernel is the whole encode in one static call.
+  *
+  * Bit-exactness contract (the q123 oracle replays it): x² and x·c
+  * accumulate in index order from 0.0, c² likewise (the driver-literal
+  * left fold), and the distance combines as (x² − 2·dot) + c² — identical
+  * IEEE op order to both the Column formulation and the unrolled SQL twin.
+  *
+  * The codebook is a constructor value (embedded via `addReferenceObj` in
+  * codegen, not re-parsed per row); the registry builder accepts it as an
+  * array<array<double>> LITERAL so `call_function` works from any session.
+  */
+case class PqEncode(child: Expression, subDim: Int, codebook: Seq[Seq[Double]])
+    extends UnaryExpression {
+  require(subDim >= 1, s"subDim must be >= 1, got $subDim")
+  require(codebook.nonEmpty, "pq_encode: empty codebook")
+  require(codebook.forall(_.length == codebook.head.length),
+    "pq_encode: ragged codebook")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType | DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires an array<float> or array<double> argument")
+  }
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "pq_encode"
+
+  private lazy val isFloat =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+  @transient private lazy val cb: Array[Array[Double]] =
+    codebook.map(_.toArray).toArray
+
+  override protected def nullSafeEval(input: Any): Any =
+    PqEncode.compute(input.asInstanceOf[ArrayData], isFloat, subDim, cb)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, { in =>
+      val cbRef = ctx.addReferenceObj("pqCodebook", cb, "double[][]")
+      s"""
+         |${ev.value} = graft.functions.PqEncode.compute(
+         |  $in, $isFloat, $subDim, $cbRef);
+         |""".stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object PqEncode {
+
+  /** The fused encode loop described on [[PqEncode]]. */
+  def compute(a: ArrayData, isFloat: Boolean, subDim: Int,
+      cb: Array[Array[Double]]): GenericArrayData = {
+    val dim = a.numElements()
+    require(cb(0).length == dim,
+      s"pq_encode: codebook width ${cb(0).length} != vector dim $dim")
+    require(dim % subDim == 0,
+      s"pq_encode: dim $dim not divisible by subDim $subDim")
+    val nSub = dim / subDim
+    val codes = new Array[Int](nSub)
+    var m = 0
+    while (m < nSub) {
+      val off = m * subDim
+      var x2 = 0.0
+      var i = 0
+      while (i < subDim) {
+        // a null element would read as 0.0 — the vec_dot discipline:
+        // fail loudly instead of quantizing a corrupted vector
+        if (a.isNullAt(off + i))
+          throw new IllegalArgumentException(
+            s"pq_encode: null element at position ${off + i}")
+        val x = if (isFloat) a.getFloat(off + i).toDouble
+                else a.getDouble(off + i)
+        x2 += x * x
+        i += 1
+      }
+      var best = 0
+      var bestD = Double.PositiveInfinity
+      var l = 0
+      while (l < cb.length) {
+        val c = cb(l)
+        var dotAcc = 0.0
+        var c2 = 0.0
+        var j = 0
+        while (j < subDim) {
+          val x = if (isFloat) a.getFloat(off + j).toDouble
+                  else a.getDouble(off + j)
+          dotAcc += x * c(off + j)
+          c2 += c(off + j) * c(off + j)
+          j += 1
+        }
+        val d = x2 - 2.0 * dotAcc + c2
+        if (d < bestD) { bestD = d; best = l }
+        l += 1
+      }
+      codes(m) = best
+      m += 1
+    }
+    new GenericArrayData(codes)
+  }
+}

@@ -1060,11 +1060,14 @@ object CurationOps {
     * at 100 TB the same plan holds by hashing tokens into B buckets first
     * (one extra per-row map; the contraction stays ≤ B rows).
     *
-    * Scale: one corpus shuffle into the (token, n_raw, n_tgt) contraction
-    * (map-side combined, ≤|V| rows), totals in a single-row broadcast, the
-    * per-token log-ratio table broadcast back to the doc-keyed count
-    * frame — the corpus shuffles once on doc_id, everything else is
-    * vocabulary-sized. Determinism: each ratio is one ln of a quotient of
+    * Scale: the LM side is a map-side-combined contraction to ≤|V| rows
+    * (the shuffle ships vocabulary-bounded partials, not tokens), totals
+    * ride a window over that contraction (the q108 denominator
+    * discipline — never a second corpus branch), and scoring is one
+    * broadcast join + ONE doc-keyed aggregation over token instances
+    * (Σ llr per instance ≡ Σ c·llr over any contraction — same decimal
+    * multiset — so no corpus-sized intermediate aggregate exists).
+    * Determinism: each ratio is one ln of a quotient of
     * exact integers (both engines ln identical doubles — the q108
     * discipline), rounded to 6 dp and multiplied by integer counts in
     * exact decimal, so the per-doc sum is order-independent.
@@ -1084,21 +1087,28 @@ object CurationOps {
     val counts = tok.groupBy("token")
       .agg(count(lit(1)).as("n_raw"),
         sum(when(col("is_target"), 1L).otherwise(0L)).as("n_tgt"))
-    val totals = broadcast(counts.agg(
-      sum("n_raw").as("t_raw"), sum("n_tgt").as("t_tgt"),
-      count(lit(1)).as("v")))
-    val llr = broadcast(counts.crossJoin(totals)
+    // totals via a window OVER the vocab-bounded contraction (the q108
+    // denominator discipline) — a separate `counts.agg` branch would be a
+    // second consumer of the counts subtree and re-run the corpus explode
+    // a third time in the static plan
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(lit(1))
+    val llr = broadcast(counts
+      .withColumn("t_raw", sum("n_raw").over(w))
+      .withColumn("t_tgt", sum("n_tgt").over(w))
+      .withColumn("v", count(lit(1)).over(w))
       .select(col("token"),
         round(
           log((col("n_tgt") + 1) / (col("t_tgt") + col("v")))
             - log((col("n_raw") + 1) / (col("t_raw") + col("v"))), 6)
           .as("llr")))
-    tok.groupBy(col("doc_id"), col("token"))
-      .agg(count(lit(1)).as("c"))
-      .join(llr, Seq("token"))
+    // score per token INSTANCE: Σ llr over instances ≡ Σ c·llr over the
+    // (doc, token) contraction — same decimal multiset, so skipping the
+    // corpus-sized intermediate aggregate changes nothing but the plan
+    // (one broadcast join + ONE doc-keyed agg, no 15M-group middle stage)
+    tok.join(llr, Seq("token"))
       .groupBy("doc_id")
-      .agg(sum("c").as("n_tokens"),
-        round(sum((col("c") * col("llr")).cast(Dec)), 6).cast("double")
+      .agg(count(lit(1)).as("n_tokens"),
+        round(sum(col("llr").cast(Dec)), 6).cast("double")
           .as("dsir_logw"))
       .orderBy("doc_id")
   }

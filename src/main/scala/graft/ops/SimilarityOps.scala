@@ -864,28 +864,42 @@ object SimilarityOps {
 
   /** `embDf` needs (vec_id, label, embedding). */
   def annPqOn(embDf: DataFrame, queryId: Long = 0L, k: Int = 10): DataFrame = {
-    graft.functions.GraftFunctions.ensureRegistered(embDf.sparkSession)
     val (labels, full) = pqCodebook(embDf)
+    annPqSearch(embDf, labels, full, queryId, k)
+  }
+
+  /** Trained-codebook form — the production path: the codebook is an
+    * ANALYZE artifact (e.g. [[kmeansCentroids]], trained once per corpus
+    * generation), so encode+search skips the per-call centroid pass
+    * entirely; `pq_code` then carries codeword indices. Same plan shape.
+    */
+  def annPqWith(embDf: DataFrame, codebook: Array[Array[Double]],
+      queryId: Long = 0L, k: Int = 10): DataFrame =
+    annPqSearch(embDf, codebook.indices.toArray, codebook, queryId, k)
+
+  private def annPqSearch(embDf: DataFrame, labels: Array[Int],
+      full: Array[Array[Double]], queryId: Long, k: Int): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(embDf.sparkSession)
     // codebook(m)(j) = 8-dim sub-codeword j of subspace m
     val cb: Array[Array[Array[Double]]] = Array.tabulate(PqSub)(m =>
       full.map(_.slice(m * PqSubDim, (m + 1) * PqSubDim)))
     def sub(m: Int): Column =
       slice(col("embedding"), m * PqSubDim + 1, PqSubDim)
-    // |x_m|² − 2·x_m·c_j + |c_j|² per codeword: x² is a shared subtree
-    // (codegen subexpression elimination), dots are index-order VecDot,
-    // c² a driver left fold — the assignClusters arithmetic per subspace
+    // |x_m|² − 2·x_m·c_j + |c_j|² per codeword: dots in index order,
+    // c² a driver left fold — the assignClusters arithmetic per subspace.
+    // Used ONLY on the single query row (the lookup tables); the corpus
+    // encodes through the fused native kernel, which computes the
+    // IDENTICAL op sequence (spec-pinned) without the 88-dot expression
+    // tree that overflows the codegen budget into interpreted eval.
     def dists(m: Int): Seq[Column] = {
       val x2 = dot(sub(m), sub(m))
       cb(m).toSeq.map(c =>
         x2 - lit(2.0) * dot(sub(m), typedLit(c.toSeq)) +
           lit(c.map(v => v * v).sum))
     }
-    def codeOf(m: Int): Column =
-      array_min(array(dists(m).zipWithIndex.map { case (d, j) =>
-        struct(d.as("d"), lit(j).as("c"))
-      }: _*)).getField("c")
     val coded = embDf.select(col("vec_id"), col("label"),
-      array((0 until PqSub).map(codeOf): _*).as("codes"))
+      call_function("graft_pq_encode", col("embedding"),
+        typedLit(full.map(_.toSeq).toSeq), lit(PqSubDim)).as("codes"))
     // ADC lookup tables: the SAME distance expressions evaluated once on
     // the query row (asymmetric — the query side is never quantized)
     val q = broadcast(embDf.filter(col("vec_id") === queryId)

@@ -275,6 +275,29 @@ class DedupSpec extends SparkSpec {
     assert(!fromOne.exists(_.getLong(0) == 1L), "query excluded from results")
   }
 
+  test("PQ ANN: a trained k-means codebook drops in and still retrieves " +
+      "the planted neighbor") {
+    import spark.implicits._
+    val dim = SimilarityOps.Dim
+    val rnd = new scala.util.Random(7)
+    def vec(): Array[Float] = Array.fill(dim)(rnd.nextGaussian().toFloat)
+    val q = vec()
+    val near = q.map(x => x + 0.02f * rnd.nextGaussian().toFloat)
+    val rows = (0L, q, 0) +: (1L, near, 0) +:
+      (2L until 200L).map(i => (i, vec(), (i % 4).toInt))
+    val embDf = rows.toDF("vec_id", "embedding", "label")
+    val trained = SimilarityOps.kmeansCentroids(embDf, k = 6, iters = 3)
+    val out = SimilarityOps.annPqWith(embDf, trained).collect()
+    assert(out.length === 10)
+    assert(out.head.getLong(0) === 1L,
+      s"planted neighbor must rank first, got ${out.map(_.getLong(0)).toSeq}")
+    out.foreach { r =>
+      val code = r.getAs[String]("pq_code").split(",").map(_.toInt)
+      assert(code.forall(c => c >= 0 && c < 6),
+        "trained-codebook codes are codeword indices")
+    }
+  }
+
   test("PQ ANN: codes carry actual label values on non-contiguous labels") {
     import spark.implicits._
     val dim = SimilarityOps.Dim

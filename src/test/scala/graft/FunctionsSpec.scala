@@ -135,6 +135,62 @@ class FunctionsSpec extends SparkSpec {
     assert(r.head.getLong(0) === interp.asInstanceOf[Long])
   }
 
+  test("pq_encode: fused kernel replays the documented op order exactly, " +
+      "strict codegen, lowest-index ties") {
+    val strict = spark.newSession()
+    strict.conf.set("spark.sql.codegen.fallback", "false")
+    GraftFunctions.ensureRegistered(strict)
+    import strict.implicits._
+    val rnd = new scala.util.Random(13)
+    val dim = 16
+    val subDim = 4
+    val cbook = Seq.fill(5)(Seq.fill(dim)(
+      math.rint(rnd.nextGaussian() * 1e6) / 1e6))
+    val rows = (0L until 40L).map(i =>
+      (i, Array.fill(dim)(rnd.nextGaussian().toFloat)))
+    val got = rows.toDF("id", "v")
+      .select(col("id"), call_function("graft_pq_encode", col("v"),
+        typedLit(cbook), lit(subDim)).as("codes"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    // independent driver-side replay of the contract: x², x·c, c² all
+    // index-order from 0.0, d = (x² − 2·dot) + c², first-min tie-break
+    rows.foreach { case (id, v) =>
+      val want = (0 until dim / subDim).map { m =>
+        var x2 = 0.0
+        (0 until subDim).foreach { i =>
+          val x = v(m * subDim + i).toDouble; x2 += x * x
+        }
+        val ds = cbook.map { c =>
+          var dotAcc = 0.0
+          var c2 = 0.0
+          (0 until subDim).foreach { j =>
+            val x = v(m * subDim + j).toDouble
+            dotAcc += x * c(m * subDim + j)
+            c2 += c(m * subDim + j) * c(m * subDim + j)
+          }
+          x2 - 2.0 * dotAcc + c2
+        }
+        ds.indexOf(ds.min)
+      }
+      assert(got(id) === want, s"row $id")
+    }
+    // identical codewords: the tie must keep the LOWEST index on every
+    // subspace (the oracle's ORDER BY dist, code)
+    val dup = Seq((1L, Array.fill(dim)(1.0f))).toDF("id", "v")
+      .select(call_function("graft_pq_encode", col("v"),
+        typedLit(Seq(cbook.head, cbook.head, cbook.head)), lit(subDim)))
+      .collect().head.getSeq[Int](0)
+    assert(dup === Seq.fill(dim / subDim)(0))
+    // a non-literal codebook argument must be rejected loudly
+    val err = intercept[Exception] {
+      rows.take(1).toDF("id", "v")
+        .select(call_function("graft_pq_encode", col("v"),
+          array(array(col("id").cast("double"))), lit(1)))
+        .collect()
+    }
+    assert(err.getMessage.contains("literal"))
+  }
+
   test("shingle_hashes equals the composed per-shingle code-point fold") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
