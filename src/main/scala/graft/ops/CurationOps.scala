@@ -1079,11 +1079,32 @@ object CurationOps {
     * Documents with no tokens (null/empty text) have no features and are
     * absent from the output, like every token-explode consumer.
     */
-  def dsirWeightsOn(docsDf: DataFrame, isTarget: Column): DataFrame = {
+  def dsirWeightsOn(docsDf: DataFrame, isTarget: Column): DataFrame =
+    dsirCore(docsDf, isTarget, identity)
+
+  /** Open-vocabulary scale face: the same pipeline with tokens hashed
+    * into `buckets` features first (DSIR's hashed-feature device) — the
+    * LM contraction is ≤ `buckets` rows however large the live
+    * vocabulary grows; colliding tokens pool their counts (the paper's
+    * accepted bias). When the hash is injective on the corpus vocabulary
+    * the output is IDENTICAL to [[dsirWeightsOn]] (spec-pinned — the
+    * smoothing V is the count of occupied features, which then equals
+    * |vocab|). Library-only face; the oracle-checked catalog form is the
+    * raw-token one.
+    */
+  def dsirWeightsHashedOn(docsDf: DataFrame, isTarget: Column,
+      buckets: Int): DataFrame = {
+    require(buckets >= 2, s"buckets must be >= 2, got $buckets")
+    dsirCore(docsDf, isTarget, t => pmod(xxhash64(t), lit(buckets.toLong)))
+  }
+
+  private def dsirCore(docsDf: DataFrame, isTarget: Column,
+      featOf: Column => Column): DataFrame = {
     val Dec = org.apache.spark.sql.types.DecimalType(38, 6)
     val tok = docsDf
       .select(col("doc_id"), isTarget.as("is_target"),
-        explode(toks).as("token"))
+        explode(toks).as("tok0"))
+      .select(col("doc_id"), col("is_target"), featOf(col("tok0")).as("token"))
     val counts = tok.groupBy("token")
       .agg(count(lit(1)).as("n_raw"),
         sum(when(col("is_target"), 1L).otherwise(0L)).as("n_tgt"))

@@ -258,26 +258,72 @@ object MultimodalOps {
     require(maxHamming <= 3,
       s"mediaPhashPairsOn: 4×16-bit blocking guarantees completeness only " +
         s"to Hamming 3 (pigeonhole); got $maxHamming")
-    val hashed = mediaPhashOn(docsDf)
-    val chunked = hashed.select(col("doc_id"), col("phash"),
-      posexplode(array((0 until 4).map(j =>
-        shiftrightunsigned(col("phash"), j * 16)
-          .bitwiseAND(lit(0xFFFFL))): _*)).as(Seq("chunk_idx", "chunk")))
-    def chunkOf(h: Column, j: Column): Column =
-      call_function("shiftrightunsigned", h, j * lit(16))
-        .bitwiseAND(lit(0xFFFFL))
-    val firstMatch = when(col("x.chunk_idx") === 0, lit(true))
-      .otherwise(!exists(sequence(lit(0), col("x.chunk_idx") - 1), i =>
-        chunkOf(col("x.phash"), i) === chunkOf(col("y.phash"), i)))
+    val chunked = chunkedPhash(mediaPhashOn(docsDf))
     chunked.as("x").join(chunked.as("y"),
         col("x.chunk_idx") === col("y.chunk_idx") &&
           col("x.chunk") === col("y.chunk") &&
           col("x.doc_id") < col("y.doc_id") &&
           bit_count(col("x.phash").bitwiseXOR(col("y.phash"))) <= maxHamming &&
-          firstMatch)
+          firstSharedChunk)
       .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"),
         bit_count(col("x.phash").bitwiseXOR(col("y.phash"))).as("hamming"))
       .orderBy("a_id", "b_id")
+  }
+
+  // ---- persisted phash fingerprint store -----------------------------------
+
+  /** Materialize the media fingerprint index: (doc_id, phash), 8 bytes per
+    * payload — the media face of the fingerprint-store family. Incremental
+    * crawls hash only NEW media ([[appendToPhashStore]], admit a batch
+    * exactly once) and screen against the index
+    * ([[phashPairsAgainstStore]]) without ever re-decoding the corpus.
+    */
+  def writePhashStore(docsDf: DataFrame, path: String): Unit =
+    mediaPhashOn(docsDf).write.mode("overwrite").parquet(path)
+
+  def appendToPhashStore(batch: DataFrame, path: String): Unit =
+    mediaPhashOn(batch).write.mode("append").parquet(path)
+
+  /** Near-dup screen of an incoming batch AGAINST the persisted index —
+    * q39's banding between the batch's fresh hashes and the stored ones
+    * (never pairwise within the corpus): (doc_id, dup_of, hamming), one
+    * row per (batch doc, indexed doc) pair within `maxHamming`. The
+    * incremental-media-dedup gate: reject or canonicalize before append.
+    */
+  def phashPairsAgainstStore(batch: DataFrame, path: String,
+      maxHamming: Int = 3): DataFrame = {
+    require(maxHamming <= 3,
+      s"phashPairsAgainstStore: 4×16-bit blocking guarantees completeness " +
+        s"only to Hamming 3 (pigeonhole); got $maxHamming")
+    val fresh = chunkedPhash(mediaPhashOn(batch))
+    val stored = chunkedPhash(batch.sparkSession.read.parquet(path))
+    fresh.as("x").join(stored.as("y"),
+        col("x.chunk_idx") === col("y.chunk_idx") &&
+          col("x.chunk") === col("y.chunk") &&
+          bit_count(col("x.phash").bitwiseXOR(col("y.phash"))) <= maxHamming &&
+          firstSharedChunk)
+      .select(col("x.doc_id").as("doc_id"), col("y.doc_id").as("dup_of"),
+        bit_count(col("x.phash").bitwiseXOR(col("y.phash"))).as("hamming"))
+      .orderBy("doc_id", "dup_of")
+  }
+
+  /** 4×16-bit band explosion of a (doc_id, phash) frame. */
+  private def chunkedPhash(hashed: DataFrame): DataFrame =
+    hashed.select(col("doc_id"), col("phash"),
+      posexplode(array((0 until 4).map(j =>
+        shiftrightunsigned(col("phash"), j * 16)
+          .bitwiseAND(lit(0xFFFFL))): _*)).as(Seq("chunk_idx", "chunk")))
+
+  /** Emit each candidate pair from its FIRST shared chunk only (the q39
+    * in-join dedup — no distinct() shuffle over candidates).
+    */
+  private def firstSharedChunk: Column = {
+    def chunkOf(h: Column, j: Column): Column =
+      call_function("shiftrightunsigned", h, j * lit(16))
+        .bitwiseAND(lit(0xFFFFL))
+    when(col("x.chunk_idx") === 0, lit(true))
+      .otherwise(!exists(sequence(lit(0), col("x.chunk_idx") - 1), i =>
+        chunkOf(col("x.phash"), i) === chunkOf(col("y.phash"), i)))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -918,6 +918,84 @@ object SimilarityOps {
       .limit(k)
   }
 
+  // ---- persisted PQ-encoded index ------------------------------------------
+
+  /** Materialize the PQ index: one (vec_id, label, codes) row per vector —
+    * 8 codes instead of 64 floats, the 32× compression that lets the ANN
+    * index of a 100 TB embedding table live in memory. Encode at ingest,
+    * search forever after against the CODES ONLY ([[annPqFromStore]]):
+    * the raw embedding table is never re-read by a query. Append-only like
+    * the shingle/fingerprint stores (admit a batch exactly once;
+    * re-encoding after a codebook retrain is a full rewrite by design —
+    * codes are meaningless across codebooks, so there is nothing to
+    * merge).
+    */
+  def writePqStore(embDf: DataFrame, codebook: Array[Array[Double]],
+      path: String): Unit =
+    pqEncoded(embDf, codebook).write.mode("overwrite").parquet(path)
+
+  /** Fold a new batch of vectors into the index (same admit-exactly-once
+    * contract as every append store).
+    */
+  def appendToPqStore(batch: DataFrame, codebook: Array[Array[Double]],
+      path: String): Unit =
+    pqEncoded(batch, codebook).write.mode("append").parquet(path)
+
+  private def pqEncoded(embDf: DataFrame,
+      codebook: Array[Array[Double]]): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(embDf.sparkSession)
+    embDf.select(col("vec_id"), col("label"),
+      call_function("graft_pq_encode", col("embedding"),
+        typedLit(codebook.map(_.toSeq).toSeq), lit(PqSubDim)).as("codes"))
+  }
+
+  /** ADC search over the PERSISTED code table: the query vector quantizes
+    * its lookup tables driver-side (the same op order as the in-plan
+    * form, so results are bit-identical to [[annPqWith]] on the same
+    * corpus — spec-pinned), and the scan touches only the 8-codes rows.
+    * `queryVec` arrives as floats like the stored embeddings so the
+    * float→double widening matches the expression path exactly.
+    */
+  def annPqFromStore(s: SparkSession, path: String,
+      codebook: Array[Array[Double]], queryVec: Array[Float],
+      excludeId: Long = -1L, k: Int = 10): DataFrame = {
+    val dim = queryVec.length
+    require(codebook.head.length == dim,
+      s"annPqFromStore: codebook width ${codebook.head.length} != query " +
+        s"dim $dim")
+    val nSub = dim / PqSubDim
+    // driver-side LUT replaying the kernel/expression op order: x², x·c
+    // index-order from 0.0, c² left fold, (x² − 2·dot) + c²
+    val lut: Seq[Seq[Double]] = (0 until nSub).map { m =>
+      val off = m * PqSubDim
+      var x2 = 0.0
+      (0 until PqSubDim).foreach { i =>
+        val x = queryVec(off + i).toDouble; x2 += x * x
+      }
+      codebook.toSeq.map { c =>
+        var dotAcc = 0.0
+        var c2 = 0.0
+        (0 until PqSubDim).foreach { j =>
+          val x = queryVec(off + j).toDouble
+          dotAcc += x * c(off + j)
+          c2 += c(off + j) * c(off + j)
+        }
+        x2 - 2.0 * dotAcc + c2
+      }
+    }
+    val adc = (0 until nSub).map(m =>
+        element_at(typedLit(lut(m)), col("codes")(m) + 1))
+      .reduceLeft(_ + _)
+    s.read.parquet(path)
+      .filter(col("vec_id") =!= excludeId)
+      .select(col("vec_id"), col("label"),
+        array_join(transform(col("codes"), j => j.cast("string")), ",")
+          .as("pq_code"),
+        round(adc, 6).as("adc_dist"))
+      .orderBy(col("adc_dist").asc, col("vec_id").asc)
+      .limit(k)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q40_ann_topk" -> annTopK,
     "q41_cosine_top_pairs" -> cosineTopPairs,

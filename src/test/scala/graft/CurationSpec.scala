@@ -49,6 +49,35 @@ class CurationSpec extends SparkSpec {
       s"target=xx must invert the ranking: $flipped")
   }
 
+  test("hashed dsir: injective bucketing reproduces the raw-token weights " +
+      "exactly; colliding buckets still cover every scored doc") {
+    val docs = Seq(
+      (0L, "good good better best", "en"),
+      (1L, "bad worse worst bad", "xx"),
+      (2L, "good bad middling", "xx")
+    ).toDF("doc_id", "text", "lang")
+    val raw = CurationOps.dsirWeightsOn(docs, col("lang") === "en")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // 2^20 buckets over a 7-word vocabulary: verify injectivity holds for
+    // THIS vocab (occupied buckets = |vocab|), then equality is exact
+    // because the smoothing V counts occupied features
+    val tokens = docs.select(explode(split(trim(col("text")), " ")).as("t"))
+    val nVocab = tokens.select("t").distinct().count()
+    val nFeats = tokens
+      .select(pmod(xxhash64(col("t")), lit((1L << 20))).as("f"))
+      .distinct().count()
+    assert(nFeats === nVocab, "fixture must be collision-free at 2^20")
+    val out = CurationOps.dsirWeightsHashedOn(docs, col("lang") === "en",
+      1 << 20).collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(out === raw,
+      "injective hashing must reproduce the raw-token DSIR weights")
+    // heavy collisions (2 buckets): weights change by design, but every
+    // doc still scores and token counts are preserved
+    val coarse = CurationOps.dsirWeightsHashedOn(docs, col("lang") === "en", 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(coarse === Map(0L -> 4L, 1L -> 4L, 2L -> 3L))
+  }
+
   test("dataset card: volumes, quality split, cross-source dup attribution") {
     import graft.ops.CurationOps
     val docs = Seq(

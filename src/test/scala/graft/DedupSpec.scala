@@ -298,6 +298,34 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("PQ store round-trip: search from the persisted codes is " +
+      "bit-identical to the in-plan form, appends extend the index") {
+    import spark.implicits._
+    val dim = SimilarityOps.Dim
+    val rnd = new scala.util.Random(19)
+    def vec(): Array[Float] = Array.fill(dim)(rnd.nextGaussian().toFloat)
+    val all = (0L until 120L).map(i => (i, vec(), (i % 3).toInt))
+    val embDf = all.toDF("vec_id", "embedding", "label")
+    val cbook = SimilarityOps.kmeansCentroids(embDf, k = 4, iters = 2)
+    val store = tmpDir("pq-store") + "/codes"
+
+    // seed with the first 80 vectors, append the remaining 40
+    SimilarityOps.writePqStore(
+      all.take(80).toDF("vec_id", "embedding", "label"), cbook, store)
+    SimilarityOps.appendToPqStore(
+      all.drop(80).toDF("vec_id", "embedding", "label"), cbook, store)
+    assert(spark.read.parquet(store).count() === 120)
+
+    val q = all.head._2
+    val fromStore = SimilarityOps.annPqFromStore(spark, store, cbook, q,
+      excludeId = 0L).collect()
+    val inline = SimilarityOps.annPqWith(embDf, cbook).collect()
+    assert(fromStore.map(r => (r.getLong(0), r.getString(2), r.getDouble(3)))
+      .toSeq ===
+      inline.map(r => (r.getLong(0), r.getString(2), r.getDouble(3))).toSeq,
+      "store search must replay the in-plan ADC bit-for-bit")
+  }
+
   test("PQ ANN: codes carry actual label values on non-contiguous labels") {
     import spark.implicits._
     val dim = SimilarityOps.Dim

@@ -873,6 +873,30 @@ class OpsSpec extends SparkSpec {
       "first-shared-chunk emission must never duplicate a pair")
   }
 
+  test("phash store: incremental batch screens against the index without " +
+      "re-hashing it, append extends, matches are the cross pairs") {
+    import spark.implicits._
+    val base = "ab" * 64
+    val store = tmpDir("phash-store") + "/phash"
+    // index two docs: the flat payload and a distant one
+    MultimodalOps.writePhashStore(
+      Seq((0L, base), (1L, "zz" + ("qx" * 63))).toDF("doc_id", "text"), store)
+    MultimodalOps.appendToPhashStore(
+      Seq((2L, base.substring(0, 126) + "!!")).toDF("doc_id", "text"), store)
+    assert(spark.read.parquet(store).count() === 3)
+    // incoming batch: an exact copy of doc 0 (hamming 0, also within 2 of
+    // doc 2's one-bucket edit) and an unrelated payload
+    val batch = Seq((100L, base), (101L, "mn" * 70)).toDF("doc_id", "text")
+    val hits = MultimodalOps.phashPairsAgainstStore(batch, store).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(hits.contains((100L, 0L, 0)),
+      s"the exact payload copy must hit its indexed original: ${hits.toSeq}")
+    assert(hits.filter(_._1 == 100L).map(_._2).toSet.contains(2L),
+      "the near variant in the index must also surface")
+    assert(hits.count { case (a, b, _) => a == 100L && b == 0L } === 1,
+      "first-shared-chunk emission: a 4-chunk collision emits ONE row")
+  }
+
   test("centroid rows cover every (label, dim) cell") {
     val c = SimilarityOps.labelCentroids(spark, sfDir)
     val labels = Tables.t(spark, sfDir, "embeddings")
