@@ -855,6 +855,9 @@ object SimilarityOps {
   private def pqCodebook(embDf: DataFrame): (Array[Int], Array[Array[Double]]) = {
     val centRows = labelCentroidsOn(embDf)
       .select("label", "dim", "centroid").collect()
+    require(centRows.nonEmpty,
+      "annPqOn: empty embedding table — no labels to derive a codebook " +
+        "from (train one and use annPqWith)")
     val byLabel = centRows.groupBy(_.getAs[Int]("label"))
     val labels = byLabel.keys.toArray.sorted
     val full = labels.map(l => byLabel(l).sortBy(_.getAs[Int]("dim"))

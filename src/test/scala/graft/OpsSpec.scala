@@ -100,6 +100,31 @@ class OpsSpec extends SparkSpec {
     assert(tc <= 8, s"q118 exchanges = $tc")
   }
 
+  test("q123/q124/q125 plans hold the documented shuffle budget") {
+    import spark.implicits._
+    def exchanges(df: org.apache.spark.sql.DataFrame): Int =
+      "Exchange".r.findAllIn(df.queryExecution.executedPlan.toString).length
+    // q125 fingerprints: map-only kernel — the ONLY exchange is the
+    // catalog binding's presentation sort (the library face has zero)
+    val docs = (0L until 40L).map(i => (i, s"payload number $i body"))
+      .toDF("doc_id", "text")
+    assert(exchanges(ops.MultimodalOps.mediaPhashOn(docs)) === 0,
+      "mediaPhashOn must be shuffle-free")
+    // q124: TWO data-sized exchanges (vocab-partial contraction + the
+    // doc-keyed agg) plus three bounded ones (single-partition totals
+    // window, llr broadcast, output sort) — never a raw-token shuffle
+    val ds = exchanges(ops.CurationOps.dsirWeightsOn(docs, col("doc_id") < 20))
+    assert(ds <= 5, s"q124 exchanges = $ds")
+    // q123 search: encode is a map-only project over the scan; the only
+    // exchange is the single-row LUT broadcast (plus none for top-k)
+    val rnd = new scala.util.Random(3)
+    val emb = (0L until 60L).map(i =>
+      (i, Array.fill(SimilarityOps.Dim)(rnd.nextGaussian().toFloat),
+        (i % 3).toInt)).toDF("vec_id", "embedding", "label")
+    val pq = exchanges(SimilarityOps.annPqOn(emb))
+    assert(pq <= 1, s"q123 search exchanges = $pq")
+  }
+
   test("zipf fit: planted two-point vocabulary fits slope -1 exactly") {
     import spark.implicits._
     // freqs 4 and 2 at ranks 1 and 2: ln(freq) drops by exactly ln(2) per
