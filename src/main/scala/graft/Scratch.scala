@@ -103,6 +103,39 @@ object Scratch {
       spark.stop()
       return
     }
+    if (name == "mvstore") {
+      // media/vector index datapoints: PQ codes and phash fingerprints
+      // persist once; incremental search/screen touches only the stores.
+      import org.apache.spark.sql.functions._
+      val e = Tables.t(spark, dir, "embeddings")
+      val d = Tables.t(spark, dir, "documents")
+      println(s"vectors = ${e.count()}  docs = ${d.count()}")
+      val root = java.nio.file.Files.createTempDirectory("mvstore").toString
+      var cb: Array[Array[Double]] = null
+      time("kmeans_codebook_k16x3")(
+        { cb = ops.SimilarityOps.kmeansCentroids(e, k = 16, iters = 3); 0L })
+      time("write_pq_store")(
+        { ops.SimilarityOps.writePqStore(e, cb, s"$root/pq"); 0L })
+      val q = e.filter(col("vec_id") === 0L)
+        .select("embedding").head().getSeq[Float](0).toArray
+      time("ann_pq_from_store")(
+        ops.SimilarityOps.annPqFromStore(spark, s"$root/pq", cb, q,
+          excludeId = 0L).count())
+      time("ann_pq_from_store_again")(
+        ops.SimilarityOps.annPqFromStore(spark, s"$root/pq", cb, q,
+          excludeId = 0L).count())
+      time("ann_pq_inline_rebuild")(
+        ops.SimilarityOps.annPqWith(e, cb).count())
+      val existing = (col("doc_id") * 48271L + 23L) % 100L < 80L
+      time("write_phash_store_80pct")(
+        { ops.MultimodalOps.writePhashStore(d.filter(existing),
+          s"$root/ph"); 0L })
+      time("phash_screen_20pct_batch")(
+        ops.MultimodalOps.phashPairsAgainstStore(d.filter(!existing),
+          s"$root/ph").count())
+      spark.stop()
+      return
+    }
     if (name == "manifest") {
       // q122 scale datapoints: the distributed-rank manifest (exact global
       // positions) and the writeOrdered shard export on the same hash key.

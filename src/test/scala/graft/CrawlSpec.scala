@@ -204,4 +204,68 @@ class CrawlSpec extends SparkSpec {
       .toSet
     assert(wnRows(wnStore) === wnRows(oneShotWn))
   }
+
+  test("media/vector crawl faces: phash screen gates each batch against " +
+      "the index, PQ appends keep store search == in-plan search") {
+    import graft.ops.{MultimodalOps, SimilarityOps}
+    val root = tmpDir("crawl-mv")
+    val phStore = s"$root/phash"
+    val pqStore = s"$root/pq_codes"
+    val dim = SimilarityOps.Dim
+
+    // deterministic payloads + embeddings per doc id
+    def payload(seed: Int): String =
+      new scala.util.Random(seed).alphanumeric.take(160).mkString
+    def vecOf(seed: Int): Array[Float] = {
+      val r = new scala.util.Random(seed)
+      Array.fill(dim)(r.nextGaussian().toFloat)
+    }
+    def mediaDf(rows: Seq[(Long, Int)]) =
+      rows.map { case (id, s) => (id, payload(s)) }.toDF("doc_id", "text")
+    def embOf(rows: Seq[(Long, Int)]) =
+      rows.map { case (id, s) => (id, vecOf(s), (id % 3).toInt) }
+        .toDF("vec_id", "embedding", "label")
+
+    // round 0: seed both indexes with the already-ingested corpus
+    val corpus0 = Seq((0L, 100), (1L, 101))
+    var acceptedRows = corpus0
+    MultimodalOps.writePhashStore(mediaDf(corpus0), phStore)
+    val cbook = SimilarityOps.kmeansCentroids(embOf(corpus0), k = 2,
+      iters = 2)
+    SimilarityOps.writePqStore(embOf(corpus0), cbook, pqStore)
+
+    // two crawls: each carries one exact media dup of an INDEXED doc
+    // (crawl 2's dup targets a doc admitted in crawl 1 — proving the
+    // append taught the screen) and one fresh payload
+    val crawls = Seq(
+      Seq((10L, 100), (11L, 102)), // 10 duplicates indexed doc 0
+      Seq((20L, 102), (21L, 103))) // 20 duplicates crawl-1 doc 11
+    for (crawl <- crawls) {
+      val hits = MultimodalOps.phashPairsAgainstStore(mediaDf(crawl), phStore)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+      val dupIds = hits.map(_._1).toSet
+      val fresh = crawl.filterNot(r => dupIds(r._1))
+      // the screen must flag EXACTLY the planted dup, at Hamming 0,
+      // against its true original
+      assert(hits.count(_._3 == 0) === 1, s"hits: ${hits.toSeq}")
+      MultimodalOps.appendToPhashStore(mediaDf(fresh), phStore)
+      SimilarityOps.appendToPqStore(embOf(fresh), cbook, pqStore)
+      acceptedRows ++= fresh
+    }
+    assert(acceptedRows.map(_._1).toSet === Set(0L, 1L, 11L, 21L))
+
+    // end state: incrementally-built indexes equal one-shot builds
+    val oneShotPh = s"$root/phash_oneshot"
+    MultimodalOps.writePhashStore(mediaDf(acceptedRows), oneShotPh)
+    def ph(p: String) = spark.read.parquet(p).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(ph(phStore) === ph(oneShotPh))
+    val fromStore = SimilarityOps.annPqFromStore(spark, pqStore, cbook,
+      vecOf(100), excludeId = 0L, k = 3).collect()
+    val inline = SimilarityOps.annPqWith(embOf(acceptedRows), cbook, k = 3)
+      .collect()
+    assert(fromStore.map(r =>
+      (r.getLong(0), r.getString(2), r.getDouble(3))).toSeq ===
+      inline.map(r => (r.getLong(0), r.getString(2), r.getDouble(3))).toSeq)
+  }
 }
