@@ -625,22 +625,9 @@ object DedupOps {
   private def simhashPairsList(docsDf: DataFrame,
       reliable: Boolean): DataFrame = {
     val sh = truncateLineage(simhashed(docsDf), reliable)
-    val chunked = sh.select(col("doc_id"), col("simhash"),
-      posexplode(array((0 until 4).map(j =>
-        shiftrightunsigned(col("simhash"), j * 16)
-          .bitwiseAND(lit(0xFFFFL))): _*)).as(Seq("chunk_idx", "chunk")))
-    def chunkOf(sim: Column, j: Column): Column =
-      call_function("shiftrightunsigned", sim, j * lit(16))
-        .bitwiseAND(lit(0xFFFFL))
-    val firstMatch = when(col("x.chunk_idx") === 0, lit(true))
-      .otherwise(!exists(sequence(lit(0), col("x.chunk_idx") - 1), i =>
-        chunkOf(col("x.simhash"), i) === chunkOf(col("y.simhash"), i)))
-    chunked.as("x").join(chunked.as("y"),
-        col("x.chunk_idx") === col("y.chunk_idx") &&
-          col("x.chunk") === col("y.chunk") &&
-          col("x.doc_id") < col("y.doc_id") &&
-          bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))) <= 3 &&
-          firstMatch)
+    val chunked = HammingBands.chunked(sh, "doc_id", "simhash")
+    HammingBands.pairs(chunked, chunked, "simhash", HammingBands.MaxHamming,
+        col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"),
         bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).as("hamming"))
       .orderBy("a_id", "b_id")

@@ -247,24 +247,36 @@ object MultimodalOps {
   }
 
   /** Near-duplicate media pairs over [[mediaPhashOn]] fingerprints — the
-    * q39 SimHash discipline in Hamming space: block on 4×16-bit hash
-    * chunks (pigeonhole: Hamming ≤ 3 shares at least one exact chunk),
-    * verify `bit_count(xor) ≤ 3` INSIDE the join condition, and emit each
-    * pair from its first shared chunk only, so no distinct() shuffle over
-    * candidates exists. The corpus never forms a cross product:
-    * candidates are hash-bucket collisions only.
+    * shared [[HammingBands]] discipline (q39's banding): 4×16-bit chunk
+    * blocking, in-join verify, first-shared-chunk emission. The corpus
+    * never forms a cross product: candidates are hash-bucket collisions
+    * only.
+    *
+    * Density-GATED like every sibling pair lister (the q37/q38/q39
+    * evidence ladder): identical payloads hash identically, so the
+    * exact-duplicate pair floor bounds this listing's output from below —
+    * past `maxListedPairs` the call fails fast. `fullPairs = true` forces
+    * the listing; the bounded production form for dup-dense media is the
+    * store screen ([[phashPairsAgainstStore]]: batch × index, never
+    * corpus × corpus).
     */
-  def mediaPhashPairsOn(docsDf: DataFrame, maxHamming: Int = 3): DataFrame = {
-    require(maxHamming <= 3,
-      s"mediaPhashPairsOn: 4×16-bit blocking guarantees completeness only " +
-        s"to Hamming 3 (pigeonhole); got $maxHamming")
-    val chunked = chunkedPhash(mediaPhashOn(docsDf))
-    chunked.as("x").join(chunked.as("y"),
-        col("x.chunk_idx") === col("y.chunk_idx") &&
-          col("x.chunk") === col("y.chunk") &&
-          col("x.doc_id") < col("y.doc_id") &&
-          bit_count(col("x.phash").bitwiseXOR(col("y.phash"))) <= maxHamming &&
-          firstSharedChunk)
+  def mediaPhashPairsOn(docsDf: DataFrame, maxHamming: Int = 3,
+      fullPairs: Boolean = false,
+      maxListedPairs: Long = DedupOps.MaxListedPairs): DataFrame = {
+    if (!fullPairs)
+      DedupOps.pairFloorIfExceeds(docsDf, maxListedPairs, None)
+        .foreach { floor =>
+          throw new IllegalArgumentException(
+            s"mediaPhashPairsOn: the corpus's exact-duplicate pair floor " +
+              s"($floor) exceeds maxListedPairs ($maxListedPairs) — " +
+              "identical payloads share a fingerprint, so the listing is " +
+              "output-bound by duplicate cliques alone. Pass fullPairs = " +
+              "true to force it, or screen incrementally with " +
+              "phashPairsAgainstStore.")
+        }
+    val chunked = HammingBands.chunked(mediaPhashOn(docsDf), "doc_id", "phash")
+    HammingBands.pairs(chunked, chunked, "phash", maxHamming,
+        col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"),
         bit_count(col("x.phash").bitwiseXOR(col("y.phash"))).as("hamming"))
       .orderBy("a_id", "b_id")
@@ -282,48 +294,38 @@ object MultimodalOps {
     mediaPhashOn(docsDf).write.mode("overwrite").parquet(path)
 
   def appendToPhashStore(batch: DataFrame, path: String): Unit =
-    mediaPhashOn(batch).write.mode("append").parquet(path)
+    appendHashedToPhashStore(mediaPhashOn(batch), path)
+
+  /** Append a PRE-HASHED (doc_id, phash) frame — the screen-then-append
+    * crawl loop hashes each batch once ([[mediaPhashOn]]), screens with
+    * [[phashHashedPairsAgainstStore]], and appends the fresh subset of
+    * the same frame; re-deriving the hashes here would double the
+    * dominant per-crawl cost.
+    */
+  def appendHashedToPhashStore(hashed: DataFrame, path: String): Unit =
+    hashed.select("doc_id", "phash").write.mode("append").parquet(path)
 
   /** Near-dup screen of an incoming batch AGAINST the persisted index —
-    * q39's banding between the batch's fresh hashes and the stored ones
-    * (never pairwise within the corpus): (doc_id, dup_of, hamming), one
-    * row per (batch doc, indexed doc) pair within `maxHamming`. The
+    * [[HammingBands]] between the batch's fresh hashes and the stored
+    * ones (never pairwise within the corpus): (doc_id, dup_of, hamming),
+    * one row per (batch doc, indexed doc) pair within `maxHamming`. The
     * incremental-media-dedup gate: reject or canonicalize before append.
     */
   def phashPairsAgainstStore(batch: DataFrame, path: String,
-      maxHamming: Int = 3): DataFrame = {
-    require(maxHamming <= 3,
-      s"phashPairsAgainstStore: 4×16-bit blocking guarantees completeness " +
-        s"only to Hamming 3 (pigeonhole); got $maxHamming")
-    val fresh = chunkedPhash(mediaPhashOn(batch))
-    val stored = chunkedPhash(batch.sparkSession.read.parquet(path))
-    fresh.as("x").join(stored.as("y"),
-        col("x.chunk_idx") === col("y.chunk_idx") &&
-          col("x.chunk") === col("y.chunk") &&
-          bit_count(col("x.phash").bitwiseXOR(col("y.phash"))) <= maxHamming &&
-          firstSharedChunk)
+      maxHamming: Int = 3): DataFrame =
+    phashHashedPairsAgainstStore(mediaPhashOn(batch),
+      batch.sparkSession, path, maxHamming)
+
+  /** [[phashPairsAgainstStore]] over a pre-hashed (doc_id, phash) batch. */
+  def phashHashedPairsAgainstStore(hashed: DataFrame, s: SparkSession,
+      path: String, maxHamming: Int = 3): DataFrame = {
+    val fresh = HammingBands.chunked(hashed, "doc_id", "phash")
+    val stored = HammingBands.chunked(s.read.parquet(path),
+      "doc_id", "phash")
+    HammingBands.pairs(fresh, stored, "phash", maxHamming, lit(true))
       .select(col("x.doc_id").as("doc_id"), col("y.doc_id").as("dup_of"),
         bit_count(col("x.phash").bitwiseXOR(col("y.phash"))).as("hamming"))
       .orderBy("doc_id", "dup_of")
-  }
-
-  /** 4×16-bit band explosion of a (doc_id, phash) frame. */
-  private def chunkedPhash(hashed: DataFrame): DataFrame =
-    hashed.select(col("doc_id"), col("phash"),
-      posexplode(array((0 until 4).map(j =>
-        shiftrightunsigned(col("phash"), j * 16)
-          .bitwiseAND(lit(0xFFFFL))): _*)).as(Seq("chunk_idx", "chunk")))
-
-  /** Emit each candidate pair from its FIRST shared chunk only (the q39
-    * in-join dedup — no distinct() shuffle over candidates).
-    */
-  private def firstSharedChunk: Column = {
-    def chunkOf(h: Column, j: Column): Column =
-      call_function("shiftrightunsigned", h, j * lit(16))
-        .bitwiseAND(lit(0xFFFFL))
-    when(col("x.chunk_idx") === 0, lit(true))
-      .otherwise(!exists(sequence(lit(0), col("x.chunk_idx") - 1), i =>
-        chunkOf(col("x.phash"), i) === chunkOf(col("y.phash"), i)))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

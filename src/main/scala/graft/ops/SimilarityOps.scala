@@ -966,7 +966,19 @@ object SimilarityOps {
     require(codebook.head.length == dim,
       s"annPqFromStore: codebook width ${codebook.head.length} != query " +
         s"dim $dim")
+    require(dim % PqSubDim == 0,
+      s"annPqFromStore: query dim $dim not divisible by subDim $PqSubDim " +
+        "(the in-plan encoder rejects the same inconsistency)")
     val nSub = dim / PqSubDim
+    // the store's code width must match the query's implied subspace
+    // count — a mismatched query would otherwise silently score only a
+    // PREFIX of each stored code (one-row probe, bounded driver hop)
+    s.read.parquet(path).select(size(col("codes")).as("w")).limit(1)
+      .collect().foreach { r =>
+        require(r.getInt(0) == nSub,
+          s"annPqFromStore: store encodes ${r.getInt(0)} subspaces but " +
+            s"the $dim-dim query implies $nSub — wrong codebook or store")
+      }
     // driver-side LUT replaying the kernel/expression op order: x², x·c
     // index-order from 0.0, c² left fold, (x² − 2·dot) + c²
     val lut: Seq[Seq[Double]] = (0 until nSub).map { m =>

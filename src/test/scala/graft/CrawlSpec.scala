@@ -241,14 +241,19 @@ class CrawlSpec extends SparkSpec {
       Seq((10L, 100), (11L, 102)), // 10 duplicates indexed doc 0
       Seq((20L, 102), (21L, 103))) // 20 duplicates crawl-1 doc 11
     for (crawl <- crawls) {
-      val hits = MultimodalOps.phashPairsAgainstStore(mediaDf(crawl), phStore)
-        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+      // hash each batch ONCE: the same (doc_id, phash) frame feeds the
+      // screen and, filtered to the fresh subset, the append
+      val hashed = MultimodalOps.mediaPhashOn(mediaDf(crawl))
+        .localCheckpoint(true)
+      val hits = MultimodalOps.phashHashedPairsAgainstStore(hashed, spark,
+        phStore).collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
       val dupIds = hits.map(_._1).toSet
       val fresh = crawl.filterNot(r => dupIds(r._1))
       // the screen must flag EXACTLY the planted dup, at Hamming 0,
       // against its true original
       assert(hits.count(_._3 == 0) === 1, s"hits: ${hits.toSeq}")
-      MultimodalOps.appendToPhashStore(mediaDf(fresh), phStore)
+      MultimodalOps.appendHashedToPhashStore(
+        hashed.filter(!col("doc_id").isInCollection(dupIds)), phStore)
       SimilarityOps.appendToPqStore(embOf(fresh), cbook, pqStore)
       acceptedRows ++= fresh
     }
