@@ -479,17 +479,14 @@ object SimilarityOps {
   def annIvf(s: SparkSession, dir: String): DataFrame =
     annIvfOn(emb(s, dir))
 
-  /** `embDf` needs (vec_id, label, embedding). */
-  def annIvfOn(embDf: DataFrame, queryId: Long = 0L, k: Int = 10,
-      nProbe: Int = 3): DataFrame = {
-    graft.functions.GraftFunctions.ensureRegistered(embDf.sparkSession)
-    val e = embDf
-    // centroid = decimal-exact per-dim mean rounded 6dp (the q43 definition):
-    // order-independent, so the probe choice is reproducible on any cluster
-    // AND re-derivable by the oracle (a float avg() would make the top-3
-    // probe set depend on partition order near ties)
-    val cent = e
-      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+  /** (label, centroid) with the q43 decimal-exact rounded per-dim mean:
+    * order-independent, so downstream choices (IVF probes, cohesion
+    * stats) are reproducible on any cluster AND re-derivable by the
+    * oracle (a float avg() would make near-tie decisions depend on
+    * partition order).
+    */
+  private def centroidFrame(e: DataFrame): DataFrame =
+    e.select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
       .groupBy("label", "pos")
       .agg(round(
         sum(col("v").cast("decimal(38,10)")).cast("double") / count(lit(1)), 6)
@@ -498,6 +495,13 @@ object SimilarityOps {
       .agg(transform(
         array_sort(collect_list(struct(col("pos"), col("cv")))),
         x => x.getField("cv")).as("centroid"))
+
+  /** `embDf` needs (vec_id, label, embedding). */
+  def annIvfOn(embDf: DataFrame, queryId: Long = 0L, k: Int = 10,
+      nProbe: Int = 3): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(embDf.sparkSession)
+    val e = embDf
+    val cent = centroidFrame(e)
     val q = broadcast(e.filter(col("vec_id") === queryId)
       .select(col("embedding").as("q_emb")))
     val probed = broadcast(
@@ -921,6 +925,43 @@ object SimilarityOps {
       .limit(k)
   }
 
+  // ---------------------------------------------------------------- q126
+
+  /** q126: cluster-cohesion report — per cluster: size, the cosine
+    * spread of members around their centroid (min = the cluster radius,
+    * exact-decimal mean), and the count of weakly-attached members
+    * (cosine < 0.5). The q95 confusion matrix answers "do clusters agree
+    * with labels"; this answers "how TIGHT is each cluster" — the
+    * diagnostic that picks the SemDeDup threshold (q64) and the IVF
+    * probe count (q45) before committing a multi-day dedup run: a loose
+    * cluster needs more probes and a stricter near-dup threshold.
+    *
+    * Scale: the centroid frame contracts to |labels| rows and broadcasts
+    * back — ONE corpus-sized shuffle (the posexplode contraction), one
+    * cosine per vector (native VecDot against the joined centroid), an
+    * ≤|labels|-row rollup. Determinism: q43 centroids, index-order dots,
+    * cosines rounded to 6 dp before the min/mean, mean through the exact
+    * decimal accumulator.
+    */
+  def clusterCohesion(s: SparkSession, dir: String): DataFrame =
+    clusterCohesionOn(emb(s, dir))
+
+  /** `embDf` needs (label, embedding). */
+  def clusterCohesionOn(embDf: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(embDf.sparkSession)
+    val Dec = org.apache.spark.sql.types.DecimalType(38, 10)
+    embDf.join(broadcast(centroidFrame(embDf)), "label")
+      .select(col("label"),
+        round(cosine(col("embedding"), col("centroid")), 6).as("cos"))
+      .groupBy("label")
+      .agg(count(lit(1)).as("n"),
+        min("cos").as("min_cos"),
+        round(sum(col("cos").cast(Dec)).cast("double") / count(lit(1)), 6)
+          .as("avg_cos"),
+        sum(when(col("cos") < 0.5, 1L).otherwise(0L)).as("n_weak"))
+      .orderBy("label")
+  }
+
   // ---- persisted PQ-encoded index ------------------------------------------
 
   /** Materialize the PQ index: one (vec_id, label, codes) row per vector —
@@ -1023,7 +1064,8 @@ object SimilarityOps {
     "q95_cluster_purity" -> clusterPurity,
     "q110_embedding_audit" -> embeddingAudit,
     "q113_ann_rp" -> annRp,
-    "q123_ann_pq" -> annPq)
+    "q123_ann_pq" -> annPq,
+    "q126_cluster_cohesion" -> clusterCohesion)
 
   /** The hyperplane constants as full-precision SQL literals (Java's
     * Double.toString round-trips, and DuckDB parses to the same IEEE
@@ -1078,6 +1120,29 @@ object SimilarityOps {
     }.mkString(" + ")
 
   val oracle: Map[String, String] = Map(
+    // Replays cohesion: q43 rounded centroids → one cosine per vector
+    // (index-order, rounded 6 dp) → per-label rollup with the decimal
+    // mean.
+    "q126_cluster_cohesion" ->
+      s"""WITH c0 AS (SELECT label, s.i AS dim,
+         |    round(CAST(sum(CAST(embedding[s.i] AS DECIMAL(38,10)))
+         |      AS DOUBLE) / count(*), 6) AS cv
+         |  FROM embeddings
+         |  CROSS JOIN (SELECT unnest(generate_series(1, $Dim)) AS i) s
+         |  GROUP BY label, s.i),
+         |ca AS (SELECT label, list(cv ORDER BY dim) AS carr FROM c0
+         |  GROUP BY label),
+         |d AS (SELECT e.label,
+         |    round((${sqlDot("e.embedding", "ca.carr")})
+         |      / (${sqlNorm("e.embedding")} * ${sqlNorm("ca.carr")}), 6)
+         |      AS cos
+         |  FROM embeddings e JOIN ca USING (label))
+         |SELECT label, count(*) AS n, min(cos) AS min_cos,
+         |  round(CAST(sum(CAST(cos AS DECIMAL(38,10))) AS DOUBLE)
+         |    / count(*), 6) AS avg_cos,
+         |  CAST(sum(CASE WHEN cos < 0.5 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_weak
+         |FROM d GROUP BY label ORDER BY label""".stripMargin,
     // Replays PQ end to end: q43 rounded centroids → per-subspace
     // |x_m|² − 2·x_m·c + |c|² (index-order unrolled, c² left-associated
     // like the JVM fold) → argmin with the low-codeword tie-break →

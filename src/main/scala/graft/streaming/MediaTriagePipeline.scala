@@ -1,0 +1,76 @@
+package graft.streaming
+
+import graft.ops.MultimodalOps
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+/** Streaming media dedup: each micro-batch of (doc_id, text)-payload
+  * documents is fingerprinted ONCE (`MultimodalOps.mediaPhashOn`),
+  * screened against the PERSISTED phash index
+  * (`phashHashedPairsAgainstStore` — Hamming-banded, never a corpus
+  * cross product), collapsed to one representative per within-batch
+  * fingerprint, and routed keep → sink / duplicate → quarantine; the
+  * fresh fingerprints then extend the index so the NEXT batch screens
+  * against them — the streaming face of the CrawlSpec media loop.
+  *
+  * Replay idempotence: every sink (keeps, quarantine, and the store
+  * segment itself) is batch-id-keyed and overwritten, the
+  * DriftMonitorPipeline store convention — a replayed micro-batch
+  * rewrites its own segment instead of double-appending fingerprints.
+  *
+  * Scale: hashing is the map-only batched kernel; the screen joins
+  * 8-byte fingerprint rows only; no stream-side state store exists at
+  * all (the phash store IS the state, bounded at 8 bytes per admitted
+  * payload and shared with every batch consumer).
+  */
+object MediaTriagePipeline {
+
+  /** Seed the batch-id-keyed store layout from an already-ingested
+    * corpus (segment -1, so partition discovery sees one uniform
+    * layout).
+    */
+  def seedStore(corpus: DataFrame, storeDir: String): Unit =
+    MultimodalOps.mediaPhashOn(corpus)
+      .write.mode("overwrite").parquet(s"$storeDir/batch_id=-1")
+
+  /** Run the ingest: keeps land under `sinkDir/batch_id=N`, duplicates
+    * (against the index, or non-representative within their batch)
+    * under `quarantineDir/batch_id=N`, and the batch's fresh
+    * fingerprints under `storeDir/batch_id=N`.
+    */
+  def runMediaIngest(docStream: DataFrame, storeDir: String,
+      sinkDir: String, quarantineDir: String, checkpointDir: String,
+      trigger: Trigger = Trigger.ProcessingTime(0L)): StreamingQuery =
+    docStream.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val s = batch.sparkSession
+        // hash once; the same frame feeds the screen, the within-batch
+        // collapse, and the store append (empty payloads hash to
+        // nothing and pass through untouched as keeps)
+        val hashed = MultimodalOps.mediaPhashOn(batch)
+          .localCheckpoint(eager = true)
+        val storeDups = MultimodalOps
+          .phashHashedPairsAgainstStore(hashed, s, storeDir)
+          .select("doc_id").distinct()
+        // within-batch collapse: lowest doc_id per fingerprint is the
+        // representative; later copies quarantine like store dups
+        val reps = hashed.groupBy("phash").agg(min("doc_id").as("doc_id"))
+        val batchDups = hashed.select("doc_id")
+          .join(reps.select("doc_id"), Seq("doc_id"), "left_anti")
+        val dupIds = storeDups.unionByName(batchDups).distinct()
+        batch.join(dupIds, Seq("doc_id"), "left_semi")
+          .write.mode("overwrite")
+          .parquet(s"$quarantineDir/batch_id=$batchId")
+        batch.join(dupIds, Seq("doc_id"), "left_anti")
+          .write.mode("overwrite").parquet(s"$sinkDir/batch_id=$batchId")
+        hashed.join(dupIds, Seq("doc_id"), "left_anti")
+          .select("doc_id", "phash")
+          .write.mode("overwrite").parquet(s"$storeDir/batch_id=$batchId")
+        ()
+      }
+      .start()
+}

@@ -273,4 +273,48 @@ class CrawlSpec extends SparkSpec {
       (r.getLong(0), r.getString(2), r.getDouble(3))).toSeq ===
       inline.map(r => (r.getLong(0), r.getString(2), r.getDouble(3))).toSeq)
   }
+
+  test("streaming media triage: store dups and within-batch copies " +
+      "quarantine, appends teach the screen across micro-batches") {
+    import graft.streaming.MediaTriagePipeline
+    import graft.ops.MultimodalOps
+    val root = tmpDir("media-stream")
+    val (store, sink, quar, ckpt) =
+      (s"$root/phash", s"$root/keep", s"$root/quarantine", s"$root/ckpt")
+    def payload(seed: Int): String =
+      new scala.util.Random(seed).alphanumeric.take(160).mkString
+
+    MediaTriagePipeline.seedStore(
+      Seq((0L, payload(100)), (1L, payload(101))).toDF("doc_id", "text"),
+      store)
+
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val q = MediaTriagePipeline.runMediaIngest(
+      input.toDS().toDF("doc_id", "text"), store, sink, quar, ckpt)
+    // batch 1: a dup of seeded doc 0, a fresh payload, and a
+    // within-batch copy of that fresh payload
+    input.addData((10L, payload(100)), (11L, payload(102)),
+      (12L, payload(102)))
+    q.processAllAvailable()
+    // batch 2: a dup of batch-1's admitted doc 11 (the append must have
+    // taught the screen) and one more fresh payload
+    input.addData((20L, payload(102)), (21L, payload(103)))
+    q.processAllAvailable()
+    q.stop()
+
+    def ids(p: String) = spark.read.parquet(p)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids(sink) === Set(11L, 21L))
+    assert(ids(quar) === Set(10L, 12L, 20L))
+    // end-state store == one-shot fingerprint build over everything kept
+    val oneShot = MultimodalOps.mediaPhashOn(
+      Seq((0L, payload(100)), (1L, payload(101)), (11L, payload(102)),
+        (21L, payload(103))).toDF("doc_id", "text"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val stored = spark.read.parquet(store)
+      .select("doc_id", "phash").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(stored === oneShot)
+  }
 }

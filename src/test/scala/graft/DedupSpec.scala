@@ -275,6 +275,29 @@ class DedupSpec extends SparkSpec {
     assert(!fromOne.exists(_.getLong(0) == 1L), "query excluded from results")
   }
 
+  test("cluster cohesion: a planted tight cluster reads tight, a diffuse " +
+      "one reads loose with weak members counted") {
+    import spark.implicits._
+    val dim = SimilarityOps.Dim
+    val rnd = new scala.util.Random(23)
+    val anchor = Array.fill(dim)(rnd.nextGaussian().toFloat)
+    // label 0: tiny perturbations of one anchor (cosine to centroid ≈ 1);
+    // label 1: independent gaussians (centroid ≈ 0, members scatter)
+    val tight = (0L until 20L).map(i =>
+      (i, anchor.map(x => x + 0.01f * rnd.nextGaussian().toFloat), 0))
+    val loose = (20L until 60L).map(i =>
+      (i, Array.fill(dim)(rnd.nextGaussian().toFloat), 1))
+    val out = SimilarityOps.clusterCohesionOn(
+      (tight ++ loose).toDF("vec_id", "embedding", "label"))
+      .collect().map(r => r.getInt(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getLong(4))).toMap
+    assert(out(0)._1 === 20L && out(1)._1 === 40L)
+    assert(out(0)._2 > 0.95, s"tight cluster radius: ${out(0)}")
+    assert(out(0)._4 === 0L, "no weak members in the tight cluster")
+    assert(out(1)._3 < out(0)._3, "diffuse cluster must read looser")
+    assert(out(1)._4 > 0L, s"diffuse cluster must count weak members: ${out(1)}")
+  }
+
   test("PQ ANN: a trained k-means codebook drops in and still retrieves " +
       "the planted neighbor") {
     import spark.implicits._
