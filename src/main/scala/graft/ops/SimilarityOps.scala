@@ -962,6 +962,44 @@ object SimilarityOps {
       .orderBy("label")
   }
 
+  // ---------------------------------------------------------------- q127
+
+  /** q127: contrastive triplet mining — (anchor, positive, negative) rows
+    * for embedding-model training (SimCLR/SBERT-style): the positive is
+    * the anchor's nearest neighbor (the q44 all-NN table — swap in the
+    * LSH/IVF/PQ candidate generators at scale, the fuseRrf convention),
+    * the negative a deterministic pseudo-random draw via rank arithmetic
+    * (rank' = (rank·48271 + 7) mod n, the repo's keyed-hash shuffle
+    * discipline — reproducible on any cluster, no rand()). Degenerate
+    * draws (negative = anchor or = positive) are dropped rather than
+    * re-drawn: a second join per retry buys back ~n/|corpus| rows.
+    *
+    * Scale: the NN table is the gated q44 scan (multiplicity-dispatched);
+    * ranks come from [[ScaleOps.withGlobalRowNumber]] over an id-only
+    * projection (range shuffle, no single-task sort); the negative
+    * attaches with one narrow rank-keyed join. Nothing here touches
+    * embedding payloads except the NN scan itself.
+    */
+  def contrastiveTriplets(s: SparkSession, dir: String): DataFrame =
+    contrastiveTripletsOn(emb(s, dir))
+
+  /** `embDf` needs (vec_id, label, embedding). */
+  def contrastiveTripletsOn(embDf: DataFrame): DataFrame = {
+    val pos = nnDedupOn(embDf)
+    val ranked = ScaleOps.withGlobalRowNumber(
+      embDf.select(col("vec_id")), Seq(col("vec_id")), "rk")
+    val n = broadcast(embDf.agg(count(lit(1)).as("n")))
+    pos.join(ranked, "vec_id").crossJoin(n)
+      .withColumn("negrk", (col("rk") * 48271L + 7L) % col("n") + 1L)
+      .join(ranked.select(col("vec_id").as("neg_id"),
+        col("rk").as("negrk")), Seq("negrk"))
+      .filter(col("neg_id") =!= col("vec_id") &&
+        col("neg_id") =!= col("nn_id"))
+      .select(col("vec_id").as("anchor_id"), col("nn_id").as("pos_id"),
+        col("neg_id"), col("nn_cos").as("pos_cos"))
+      .orderBy("anchor_id")
+  }
+
   // ---- persisted PQ-encoded index ------------------------------------------
 
   /** Materialize the PQ index: one (vec_id, label, codes) row per vector —
@@ -1065,7 +1103,8 @@ object SimilarityOps {
     "q110_embedding_audit" -> embeddingAudit,
     "q113_ann_rp" -> annRp,
     "q123_ann_pq" -> annPq,
-    "q126_cluster_cohesion" -> clusterCohesion)
+    "q126_cluster_cohesion" -> clusterCohesion,
+    "q127_contrastive_triplets" -> contrastiveTriplets)
 
   /** The hyperplane constants as full-precision SQL literals (Java's
     * Double.toString round-trips, and DuckDB parses to the same IEEE
@@ -1120,6 +1159,29 @@ object SimilarityOps {
     }.mkString(" + ")
 
   val oracle: Map[String, String] = Map(
+    // Replays triplet mining: the q44 all-NN table (positives) + the
+    // rank-arithmetic negative draw, degenerate draws dropped.
+    "q127_contrastive_triplets" ->
+      s"""WITH d AS (SELECT vec_id, label, embedding,
+         |  ${sqlNorm("embedding")} AS nrm FROM embeddings),
+         |p AS (SELECT a.vec_id AS vec_id, a.label, b.vec_id AS nn_id,
+         |  (${sqlDot("a.embedding", "b.embedding")}) / (a.nrm * b.nrm) AS cos
+         |  FROM d a JOIN d b ON a.label = b.label AND a.vec_id <> b.vec_id),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY vec_id
+         |  ORDER BY cos DESC, nn_id ASC) AS rn FROM p),
+         |nn AS (SELECT vec_id, nn_id, round(cos, 6) AS nn_cos
+         |  FROM r WHERE rn = 1),
+         |rk AS (SELECT vec_id, row_number() OVER (ORDER BY vec_id) AS rk
+         |  FROM embeddings),
+         |cnt AS (SELECT count(*) AS n FROM embeddings),
+         |t AS (SELECT nn.vec_id, nn.nn_id, nn.nn_cos,
+         |    ((rk.rk * 48271 + 7) % cnt.n) + 1 AS negrk
+         |  FROM nn JOIN rk USING (vec_id) CROSS JOIN cnt)
+         |SELECT t.vec_id AS anchor_id, t.nn_id AS pos_id,
+         |  g.vec_id AS neg_id, t.nn_cos AS pos_cos
+         |FROM t JOIN rk g ON g.rk = t.negrk
+         |WHERE g.vec_id <> t.vec_id AND g.vec_id <> t.nn_id
+         |ORDER BY anchor_id""".stripMargin,
     // Replays cohesion: q43 rounded centroids → one cosine per vector
     // (index-order, rounded 6 dp) → per-label rollup with the decimal
     // mean.

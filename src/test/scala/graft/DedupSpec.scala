@@ -275,6 +275,38 @@ class DedupSpec extends SparkSpec {
     assert(!fromOne.exists(_.getLong(0) == 1L), "query excluded from results")
   }
 
+  test("contrastive triplets: planted near-dup becomes the positive, " +
+      "negatives are valid draws, output is partition-order independent") {
+    import spark.implicits._
+    val dim = SimilarityOps.Dim
+    val rnd = new scala.util.Random(31)
+    def vec(): Array[Float] = Array.fill(dim)(rnd.nextGaussian().toFloat)
+    val q = vec()
+    val near = q.map(x => x + 0.02f * rnd.nextGaussian().toFloat)
+    val rows = (0L, q, 0) +: (1L, near, 0) +:
+      (2L until 80L).map(i => (i, vec(), (i % 2).toInt))
+    val embDf = rows.toDF("vec_id", "embedding", "label")
+    val out = SimilarityOps.contrastiveTripletsOn(embDf).collect()
+    val byAnchor = out.map(r => r.getLong(0) ->
+      (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    // the planted pair are each other's positives with near-1 cosine
+    assert(byAnchor(0L)._1 === 1L && byAnchor(1L)._1 === 0L)
+    assert(byAnchor(0L)._3 > 0.99)
+    // negatives never collide with the anchor or its positive
+    out.foreach { r =>
+      assert(r.getLong(2) !== r.getLong(0), s"neg == anchor: $r")
+      assert(r.getLong(2) !== r.getLong(1), s"neg == positive: $r")
+    }
+    // ≥ n − 2 anchors survive (degenerate draws drop, never re-draw)
+    assert(out.length >= 78, s"only ${out.length} triplets")
+    // rank arithmetic is partition-order independent
+    val shuffled = SimilarityOps.contrastiveTripletsOn(embDf.repartition(7))
+      .collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(shuffled === out.map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet)
+  }
+
   test("cluster cohesion: a planted tight cluster reads tight, a diffuse " +
       "one reads loose with weak members counted") {
     import spark.implicits._
