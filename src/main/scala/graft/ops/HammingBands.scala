@@ -16,7 +16,7 @@ import org.apache.spark.sql.functions._
   * is emitted from its FIRST shared chunk only, so no distinct() shuffle
   * over candidates exists anywhere downstream.
   */
-private[ops] object HammingBands {
+private[graft] object HammingBands {
 
   val Chunks = 4
   val ChunkBits = 16

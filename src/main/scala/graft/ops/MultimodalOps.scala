@@ -314,14 +314,19 @@ object MultimodalOps {
   def phashPairsAgainstStore(batch: DataFrame, path: String,
       maxHamming: Int = 3): DataFrame =
     phashHashedPairsAgainstStore(mediaPhashOn(batch),
-      batch.sparkSession, path, maxHamming)
+      batch.sparkSession, path, maxHamming = maxHamming)
 
-  /** [[phashPairsAgainstStore]] over a pre-hashed (doc_id, phash) batch. */
+  /** [[phashPairsAgainstStore]] over a pre-hashed (doc_id, phash) batch.
+    * `index` overrides the store read with a caller-filtered view of the
+    * same table (the streaming replay path must exclude the batch's own
+    * previously-committed segment).
+    */
   def phashHashedPairsAgainstStore(hashed: DataFrame, s: SparkSession,
-      path: String, maxHamming: Int = 3): DataFrame = {
+      path: String, index: Option[DataFrame] = None,
+      maxHamming: Int = 3): DataFrame = {
     val fresh = HammingBands.chunked(hashed, "doc_id", "phash")
-    val stored = HammingBands.chunked(s.read.parquet(path),
-      "doc_id", "phash")
+    val stored = HammingBands.chunked(
+      index.getOrElse(s.read.parquet(path)), "doc_id", "phash")
     HammingBands.pairs(fresh, stored, "phash", maxHamming, lit(true))
       .select(col("x.doc_id").as("doc_id"), col("y.doc_id").as("dup_of"),
         bit_count(col("x.phash").bitwiseXOR(col("y.phash"))).as("hamming"))

@@ -968,17 +968,24 @@ object SimilarityOps {
     * for embedding-model training (SimCLR/SBERT-style): the positive is
     * the anchor's nearest neighbor (the q44 all-NN table — swap in the
     * LSH/IVF/PQ candidate generators at scale, the fuseRrf convention),
-    * the negative a deterministic pseudo-random draw via rank arithmetic
-    * (rank' = (rank·48271 + 7) mod n, the repo's keyed-hash shuffle
-    * discipline — reproducible on any cluster, no rand()). Degenerate
-    * draws (negative = anchor or = positive) are dropped rather than
-    * re-drawn: a second join per retry buys back ~n/|corpus| rows.
+    * the negative a deterministic rank ROTATION (rank' = (rank−1+d) mod
+    * n, d ≈ 48271) — a rotation is a bijection with no fixed points for
+    * EVERY corpus size (a multiplicative draw collapses to one constant
+    * negative whenever gcd(multiplier, n) > 1), so the negative is never
+    * the anchor itself; reproducible on any cluster, no rand(). The one
+    * remaining degenerate case (the rotation landing exactly on the
+    * anchor's positive) drops rather than re-draws — ~1 row per corpus.
     *
     * Scale: the NN table is the gated q44 scan (multiplicity-dispatched);
     * ranks come from [[ScaleOps.withGlobalRowNumber]] over an id-only
     * projection (range shuffle, no single-task sort); the negative
     * attaches with one narrow rank-keyed join. Nothing here touches
-    * embedding payloads except the NN scan itself.
+    * embedding payloads except the NN scan itself. Dup-dense caveat,
+    * inherited from q44's arm equivalence: past the multiplicity gate
+    * the contracted arm may report a DIFFERENT (equally maximal) pos_id
+    * under exact cosine ties, which can flip the rare neg=positive drop —
+    * triplet sets on such corpora are arm-stable up to that corner, and
+    * the oracle twin replays the exact arm only.
     */
   def contrastiveTriplets(s: SparkSession, dir: String): DataFrame =
     contrastiveTripletsOn(emb(s, dir))
@@ -989,8 +996,12 @@ object SimilarityOps {
     val ranked = ScaleOps.withGlobalRowNumber(
       embDf.select(col("vec_id")), Seq(col("vec_id")), "rk")
     val n = broadcast(embDf.agg(count(lit(1)).as("n")))
+    // rotation offset: 48271 unless n divides it exactly (identity
+    // rotation — n = 48271 itself), where the coprime neighbor steps in
     pos.join(ranked, "vec_id").crossJoin(n)
-      .withColumn("negrk", (col("rk") * 48271L + 7L) % col("n") + 1L)
+      .withColumn("d",
+        when(lit(48271L) % col("n") === 0, 48270L).otherwise(48271L))
+      .withColumn("negrk", (col("rk") - 1L + col("d")) % col("n") + 1L)
       .join(ranked.select(col("vec_id").as("neg_id"),
         col("rk").as("negrk")), Seq("negrk"))
       .filter(col("neg_id") =!= col("vec_id") &&
@@ -1160,7 +1171,7 @@ object SimilarityOps {
 
   val oracle: Map[String, String] = Map(
     // Replays triplet mining: the q44 all-NN table (positives) + the
-    // rank-arithmetic negative draw, degenerate draws dropped.
+    // rank-rotation negative draw, the lone degenerate case dropped.
     "q127_contrastive_triplets" ->
       s"""WITH d AS (SELECT vec_id, label, embedding,
          |  ${sqlNorm("embedding")} AS nrm FROM embeddings),
@@ -1173,9 +1184,11 @@ object SimilarityOps {
          |  FROM r WHERE rn = 1),
          |rk AS (SELECT vec_id, row_number() OVER (ORDER BY vec_id) AS rk
          |  FROM embeddings),
-         |cnt AS (SELECT count(*) AS n FROM embeddings),
+         |cnt AS (SELECT count(*) AS n,
+         |    CASE WHEN 48271 % count(*) = 0 THEN 48270 ELSE 48271 END AS d
+         |  FROM embeddings),
          |t AS (SELECT nn.vec_id, nn.nn_id, nn.nn_cos,
-         |    ((rk.rk * 48271 + 7) % cnt.n) + 1 AS negrk
+         |    ((rk.rk - 1 + cnt.d) % cnt.n) + 1 AS negrk
          |  FROM nn JOIN rk USING (vec_id) CROSS JOIN cnt)
          |SELECT t.vec_id AS anchor_id, t.nn_id AS pos_id,
          |  g.vec_id AS neg_id, t.nn_cos AS pos_cos

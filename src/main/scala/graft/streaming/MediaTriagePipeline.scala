@@ -35,12 +35,13 @@ object MediaTriagePipeline {
       .write.mode("overwrite").parquet(s"$storeDir/batch_id=-1")
 
   /** Run the ingest: keeps land under `sinkDir/batch_id=N`, duplicates
-    * (against the index, or non-representative within their batch)
+    * (against the index, or near-duplicate of a lower-id batchmate)
     * under `quarantineDir/batch_id=N`, and the batch's fresh
     * fingerprints under `storeDir/batch_id=N`.
     */
   def runMediaIngest(docStream: DataFrame, storeDir: String,
       sinkDir: String, quarantineDir: String, checkpointDir: String,
+      maxHamming: Int = 3,
       trigger: Trigger = Trigger.ProcessingTime(0L)): StreamingQuery =
     docStream.writeStream
       .outputMode("append")
@@ -48,28 +49,46 @@ object MediaTriagePipeline {
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val s = batch.sparkSession
-        // hash once; the same frame feeds the screen, the within-batch
-        // collapse, and the store append (empty payloads hash to
-        // nothing and pass through untouched as keeps)
-        val hashed = MultimodalOps.mediaPhashOn(batch)
-          .localCheckpoint(eager = true)
-        val storeDups = MultimodalOps
-          .phashHashedPairsAgainstStore(hashed, s, storeDir)
-          .select("doc_id").distinct()
-        // within-batch collapse: lowest doc_id per fingerprint is the
-        // representative; later copies quarantine like store dups
-        val reps = hashed.groupBy("phash").agg(min("doc_id").as("doc_id"))
-        val batchDups = hashed.select("doc_id")
-          .join(reps.select("doc_id"), Seq("doc_id"), "left_anti")
-        val dupIds = storeDups.unionByName(batchDups).distinct()
-        batch.join(dupIds, Seq("doc_id"), "left_semi")
-          .write.mode("overwrite")
-          .parquet(s"$quarantineDir/batch_id=$batchId")
-        batch.join(dupIds, Seq("doc_id"), "left_anti")
-          .write.mode("overwrite").parquet(s"$sinkDir/batch_id=$batchId")
-        hashed.join(dupIds, Seq("doc_id"), "left_anti")
-          .select("doc_id", "phash")
-          .write.mode("overwrite").parquet(s"$storeDir/batch_id=$batchId")
+        if (!batch.isEmpty) {
+          import graft.ops.HammingBands
+          // hash once; the same frame feeds both screens and the store
+          // append (empty payloads hash to nothing and pass through
+          // untouched as keeps)
+          val hashed = MultimodalOps.mediaPhashOn(batch)
+            .localCheckpoint(eager = true)
+          // REPLAY SAFETY: a crashed attempt may have committed this
+          // batch's own store segment already — screening against it
+          // would self-match every previously-admitted doc and silently
+          // quarantine it on retry, so the batch's own segment is
+          // excluded from the index view
+          val index = s.read.parquet(storeDir)
+            .filter(col("batch_id") =!= batchId)
+            .select("doc_id", "phash")
+          val storeDups = MultimodalOps
+            .phashHashedPairsAgainstStore(hashed, s, storeDir,
+              index = Some(index), maxHamming = maxHamming)
+            .select("doc_id")
+          // within-batch collapse at the SAME Hamming threshold as the
+          // store screen (exact-only grouping would admit co-batched
+          // near-dups that consecutive batches reject): survivors are
+          // docs with no lower-id near-dup batchmate
+          val chunked = HammingBands.chunked(hashed, "doc_id", "phash")
+          val batchDups = HammingBands.pairs(chunked, chunked, "phash",
+              maxHamming, col("x.doc_id") < col("y.doc_id"))
+            .select(col("y.doc_id").as("doc_id"))
+          // one materialization feeds all three routing writes (and
+          // breaks the read-storeDir-then-overwrite-a-segment cycle)
+          val dupIds = storeDups.unionByName(batchDups).distinct()
+            .localCheckpoint(eager = true)
+          batch.join(dupIds, Seq("doc_id"), "left_semi")
+            .write.mode("overwrite")
+            .parquet(s"$quarantineDir/batch_id=$batchId")
+          batch.join(dupIds, Seq("doc_id"), "left_anti")
+            .write.mode("overwrite").parquet(s"$sinkDir/batch_id=$batchId")
+          hashed.join(dupIds, Seq("doc_id"), "left_anti")
+            .select("doc_id", "phash")
+            .write.mode("overwrite").parquet(s"$storeDir/batch_id=$batchId")
+        }
         ()
       }
       .start()

@@ -317,4 +317,41 @@ class CrawlSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(stored === oneShot)
   }
+
+  test("media triage replay: a batch's own pre-committed store segment " +
+      "never self-quarantines its keeps") {
+    import graft.streaming.MediaTriagePipeline
+    import graft.ops.MultimodalOps
+    val root = tmpDir("media-replay")
+    val (store, sink, quar, ckpt) =
+      (s"$root/phash", s"$root/keep", s"$root/quarantine", s"$root/ckpt")
+    def payload(seed: Int): String =
+      new scala.util.Random(seed).alphanumeric.take(160).mkString
+    MediaTriagePipeline.seedStore(
+      Seq((0L, payload(100))).toDF("doc_id", "text"), store)
+    // simulate a crashed first attempt of batch 0 that committed its
+    // store segment (doc 11 admitted) but not the checkpoint: the
+    // replay must NOT match doc 11 against its own stale fingerprint
+    MultimodalOps.mediaPhashOn(
+      Seq((11L, payload(102))).toDF("doc_id", "text"))
+      .write.parquet(s"$store/batch_id=0")
+
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val q = MediaTriagePipeline.runMediaIngest(
+      input.toDS().toDF("doc_id", "text"), store, sink, quar, ckpt)
+    input.addData((10L, payload(100)), (11L, payload(102)))
+    q.processAllAvailable()
+    q.stop()
+
+    def ids(p: String) = spark.read.parquet(p)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids(sink) === Set(11L),
+      "the replayed keep must survive its own stale store segment")
+    assert(ids(quar) === Set(10L))
+    // the rewritten segment still carries exactly the admitted doc
+    assert(spark.read.parquet(store)
+      .filter(col("batch_id") === 0).select("doc_id").collect()
+      .map(_.getLong(0)).toSet === Set(11L))
+  }
 }
