@@ -92,4 +92,29 @@ object MediaTriagePipeline {
         ()
       }
       .start()
+
+  /** Per-batch triage report off the accumulated routing dirs: documents
+    * seen / kept / quarantined and the realized duplicate rate — the
+    * monitor a media-ingest operator watches for a crawl source gone
+    * stale (dup_rate → 1) or a broken screen (dup_rate → 0 on a known
+    * dup-heavy source). A side with no committed batch reads as empty,
+    * not as an error (the gateReport convention).
+    */
+  def triageReport(s: org.apache.spark.sql.SparkSession, sinkDir: String,
+      quarantineDir: String): DataFrame = {
+    def side(dir: String, name: String) =
+      BatchDirs.readIfExists(s, dir)
+        .map(_.groupBy(col("batch_id").cast("long").as("batch_id"))
+          .agg(count(lit(1)).as(name)))
+        .getOrElse(s.range(0)
+          .select(col("id").as("batch_id"), col("id").as(name)))
+    side(sinkDir, "n_kept")
+      .join(side(quarantineDir, "n_quarantined"), Seq("batch_id"),
+        "full_outer")
+      .na.fill(0L, Seq("n_kept", "n_quarantined"))
+      .withColumn("n_docs", col("n_kept") + col("n_quarantined"))
+      .withColumn("dup_rate", round(col("n_quarantined") / col("n_docs"), 6))
+      .select("batch_id", "n_docs", "n_kept", "n_quarantined", "dup_rate")
+      .orderBy("batch_id")
+  }
 }

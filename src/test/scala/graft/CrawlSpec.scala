@@ -316,6 +316,12 @@ class CrawlSpec extends SparkSpec {
       .select("doc_id", "phash").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(stored === oneShot)
+    // the per-batch triage report rolls the routing dirs up additively
+    val report = MediaTriagePipeline.triageReport(spark, sink, quar)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(report === Map(0L -> (3L, 1L, 2L), 1L -> (2L, 1L, 1L)),
+      s"report: $report")
   }
 
   test("media triage replay: a batch's own pre-committed store segment " +

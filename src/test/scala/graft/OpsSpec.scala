@@ -123,6 +123,10 @@ class OpsSpec extends SparkSpec {
         (i % 3).toInt)).toDF("vec_id", "embedding", "label")
     val pq = exchanges(SimilarityOps.annPqOn(emb))
     assert(pq <= 1, s"q123 search exchanges = $pq")
+    // q126: ONE data-sized exchange (the centroid posexplode
+    // contraction) + its broadcast back + the ≤|labels| rollup/sort
+    val cc = exchanges(SimilarityOps.clusterCohesionOn(emb))
+    assert(cc <= 5, s"q126 exchanges = $cc")
   }
 
   test("zipf fit: planted two-point vocabulary fits slope -1 exactly") {
