@@ -54,7 +54,9 @@ object GraftFunctions {
         intArg("graft_bloom_agg", es, 2)).toAggregateExpression()),
     "graft_bloom_contains" -> (es => BloomMightContain(es.head, es(1))),
     "graft_pq_encode" -> (es => PqEncode(es.head,
-      intArg("graft_pq_encode", es, 2), cbArg("graft_pq_encode", es, 1))))
+      intArg("graft_pq_encode", es, 2), cbArg("graft_pq_encode", es, 1))),
+    "graft_pq_error" -> (es => PqError(es.head,
+      intArg("graft_pq_error", es, 2), cbArg("graft_pq_error", es, 1))))
 
   /** Extract an array<array<double>> literal (the PQ codebook): the
     * codebook is plan metadata, not data — it must be a literal so the

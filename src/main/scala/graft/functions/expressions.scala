@@ -735,7 +735,19 @@ object PqEncode {
 
   /** The fused encode loop described on [[PqEncode]]. */
   def compute(a: ArrayData, isFloat: Boolean, subDim: Int,
-      cb: Array[Array[Double]]): GenericArrayData = {
+      cb: Array[Array[Double]]): GenericArrayData =
+    new GenericArrayData(encodeCore(a, isFloat, subDim, cb, null))
+
+  /** Shared encode core: returns the per-subspace argmin codes; when
+    * `errAcc` is non-null, also accumulates the total quantization error
+    * Σ_m round6(max(bestD_m, 0)) into errAcc(0) — per-subspace HALF-UP
+    * rounding (floor(v·1e6 + 0.5), the q51 convention both engines
+    * replay) with tiny negative float artifacts of x²−2xc+c² clamped to
+    * zero so neither engine can emit −0.0.
+    */
+  private[functions] def encodeCore(a: ArrayData, isFloat: Boolean,
+      subDim: Int, cb: Array[Array[Double]],
+      errAcc: Array[Double]): Array[Int] = {
     val dim = a.numElements()
     require(cb(0).length == dim,
       s"pq_encode: codebook width ${cb(0).length} != vector dim $dim")
@@ -779,8 +791,68 @@ object PqEncode {
         l += 1
       }
       codes(m) = best
+      if (errAcc != null) {
+        val clamped = if (bestD < 0.0) 0.0 else bestD
+        errAcc(0) += math.floor(clamped * 1e6 + 0.5) / 1e6
+      }
       m += 1
     }
-    new GenericArrayData(codes)
+    codes
+  }
+}
+
+/** pq_error(vec: array<float|double>) → double: the total quantization
+  * error the vector's PQ codes carry — Σ over subspaces of the CHOSEN
+  * codeword's squared distance, each term rounded at 6 dp (HALF-UP, the
+  * engine-portable q51 arithmetic) and clamped at zero. The retraining
+  * monitor for a PQ index: ADC recall degrades silently as a drifting
+  * corpus moves away from the codebook, and this is the number that
+  * moves first. Same fused loop as [[PqEncode]] (shared core), same
+  * literal-codebook contract.
+  */
+case class PqError(child: Expression, subDim: Int, codebook: Seq[Seq[Double]])
+    extends UnaryExpression {
+  require(subDim >= 1, s"subDim must be >= 1, got $subDim")
+  require(codebook.nonEmpty, "pq_error: empty codebook")
+  require(codebook.forall(_.length == codebook.head.length),
+    "pq_error: ragged codebook")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType | DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires an array<float> or array<double> argument")
+  }
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "pq_error"
+
+  private lazy val isFloat =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+  @transient private lazy val cb: Array[Array[Double]] =
+    codebook.map(_.toArray).toArray
+
+  override protected def nullSafeEval(input: Any): Any =
+    PqError.compute(input.asInstanceOf[ArrayData], isFloat, subDim, cb)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, { in =>
+      val cbRef = ctx.addReferenceObj("pqCodebook", cb, "double[][]")
+      s"""
+         |${ev.value} = graft.functions.PqError.compute(
+         |  $in, $isFloat, $subDim, $cbRef);
+         |""".stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object PqError {
+
+  /** The error accumulation described on [[PqError]]. */
+  def compute(a: ArrayData, isFloat: Boolean, subDim: Int,
+      cb: Array[Array[Double]]): Double = {
+    val err = new Array[Double](1)
+    PqEncode.encodeCore(a, isFloat, subDim, cb, err)
+    err(0)
   }
 }

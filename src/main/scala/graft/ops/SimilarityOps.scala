@@ -1011,6 +1011,52 @@ object SimilarityOps {
       .orderBy("anchor_id")
   }
 
+  // ---------------------------------------------------------------- q128
+
+  /** q128: PQ quantization-distortion report — per label: vector count
+    * and the average / worst total quantization error under the current
+    * codebook (Σ over subspaces of the chosen codeword's squared
+    * distance, each term rounded 6 dp and zero-clamped — the
+    * `graft_pq_error` kernel). THE retraining monitor for a PQ index:
+    * ADC recall degrades silently as a drifting corpus moves away from
+    * the codebook it was encoded under, and distortion is the number
+    * that moves first — watch it per crawl, retrain + re-encode
+    * ([[writePqStore]]) when a label's average breaks its baseline.
+    *
+    * Scale: one map-only kernel pass + an ≤|labels|-row rollup — the
+    * q126 shape without even the broadcast-back (the codebook rides as a
+    * literal). Determinism: the kernel's per-subspace HALF-UP rounding
+    * is the oracle's round(greatest(d, 0), 6); the mean runs through the
+    * exact decimal accumulator; max compares bit-identical doubles.
+    */
+  def pqDistortion(s: SparkSession, dir: String): DataFrame =
+    pqDistortionOn(emb(s, dir))
+
+  /** `embDf` needs (label, embedding). */
+  def pqDistortionOn(embDf: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(embDf.sparkSession)
+    val (_, full) = pqCodebook(embDf)
+    pqDistortionWith(embDf, full)
+  }
+
+  /** Trained-codebook form (the per-crawl monitor never re-derives the
+    * codebook it is auditing).
+    */
+  def pqDistortionWith(embDf: DataFrame,
+      codebook: Array[Array[Double]]): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(embDf.sparkSession)
+    val Dec = org.apache.spark.sql.types.DecimalType(38, 10)
+    embDf.select(col("label"),
+        call_function("graft_pq_error", col("embedding"),
+          typedLit(codebook.map(_.toSeq).toSeq), lit(PqSubDim)).as("err"))
+      .groupBy("label")
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("err").cast(Dec)).cast("double") / count(lit(1)), 6)
+          .as("avg_sqerr"),
+        max("err").as("max_sqerr"))
+      .orderBy("label")
+  }
+
   // ---- persisted PQ-encoded index ------------------------------------------
 
   /** Materialize the PQ index: one (vec_id, label, codes) row per vector —
@@ -1115,7 +1161,8 @@ object SimilarityOps {
     "q113_ann_rp" -> annRp,
     "q123_ann_pq" -> annPq,
     "q126_cluster_cohesion" -> clusterCohesion,
-    "q127_contrastive_triplets" -> contrastiveTriplets)
+    "q127_contrastive_triplets" -> contrastiveTriplets,
+    "q128_pq_distortion" -> pqDistortion)
 
   /** The hyperplane constants as full-precision SQL literals (Java's
     * Double.toString round-trips, and DuckDB parses to the same IEEE
@@ -1170,6 +1217,39 @@ object SimilarityOps {
     }.mkString(" + ")
 
   val oracle: Map[String, String] = Map(
+    // Replays distortion: the q123 codebook/argmin CTEs, then the CHOSEN
+    // code's distance per subspace — round(greatest(d, 0), 6) summed in
+    // subspace order (the kernel's exact arithmetic) — rolled up per
+    // label through the decimal mean.
+    "q128_pq_distortion" ->
+      s"""WITH c0 AS (SELECT label, s.i AS dim,
+         |    round(CAST(sum(CAST(embedding[s.i] AS DECIMAL(38,10)))
+         |      AS DOUBLE) / count(*), 6) AS cv
+         |  FROM embeddings
+         |  CROSS JOIN (SELECT unnest(generate_series(1, $Dim)) AS i) s
+         |  GROUP BY label, s.i),
+         |ca AS (SELECT label, list(cv ORDER BY dim) AS carr FROM c0
+         |  GROUP BY label),
+         |m AS (SELECT unnest(generate_series(0, ${PqSub - 1})) AS m),
+         |d AS (SELECT e.vec_id, e.label AS v_label, m.m, ca.label AS code,
+         |    (${sqlPqX2("e.embedding")})
+         |      - 2 * (${sqlPqXC("e.embedding", "ca.carr")})
+         |      + (${sqlPqC2("ca.carr")}) AS dist
+         |  FROM embeddings e CROSS JOIN m CROSS JOIN ca),
+         |pick AS (SELECT vec_id, v_label, m, dist,
+         |    row_number() OVER (PARTITION BY vec_id, m
+         |      ORDER BY dist, code) AS rn
+         |  FROM d),
+         |e AS (SELECT vec_id, min(v_label) AS label,
+         |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |      list(round(greatest(dist, 0), 6) ORDER BY m)),
+         |      (a, b) -> a + b) AS err
+         |  FROM pick WHERE rn = 1 GROUP BY vec_id)
+         |SELECT label, count(*) AS n,
+         |  round(CAST(sum(CAST(err AS DECIMAL(38,10))) AS DOUBLE)
+         |    / count(*), 6) AS avg_sqerr,
+         |  max(err) AS max_sqerr
+         |FROM e GROUP BY label ORDER BY label""".stripMargin,
     // Replays triplet mining: the q44 all-NN table (positives) + the
     // rank-rotation negative draw, the lone degenerate case dropped.
     "q127_contrastive_triplets" ->

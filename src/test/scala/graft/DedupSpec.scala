@@ -330,6 +330,36 @@ class DedupSpec extends SparkSpec {
     assert(out(1)._4 > 0L, s"diffuse cluster must count weak members: ${out(1)}")
   }
 
+  test("pq distortion: identical-vector label reads zero, scattered label " +
+      "reads positive, a mismatched codebook inflates the monitor") {
+    import spark.implicits._
+    val dim = SimilarityOps.Dim
+    val rnd = new scala.util.Random(29)
+    val anchor = Array.fill(dim)(rnd.nextGaussian().toFloat)
+    // label 0: 10 identical copies (centroid == the vector → error 0);
+    // label 1: independent gaussians (strictly positive distortion)
+    val rows = (0L until 10L).map(i => (i, anchor.clone(), 0)) ++
+      (10L until 40L).map(i =>
+        (i, Array.fill(dim)(rnd.nextGaussian().toFloat), 1))
+    val embDf = rows.toDF("vec_id", "embedding", "label")
+    val out = SimilarityOps.pqDistortionOn(embDf).collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getDouble(2),
+        r.getDouble(3))).toMap
+    assert(out(0)._1 === 10L && out(1)._1 === 30L)
+    assert(out(0)._2 === 0.0 && out(0)._3 === 0.0,
+      s"identical vectors must quantize losslessly: ${out(0)}")
+    assert(out(1)._2 > 0.0 && out(1)._3 >= out(1)._2,
+      s"scattered label must carry distortion: ${out(1)}")
+    // the retraining signal: auditing under someone ELSE's codebook
+    // (every codeword shifted) must read strictly worse
+    val shifted = SimilarityOps.kmeansCentroids(embDf, k = 2, iters = 1)
+      .map(_.map(_ + 5.0))
+    val drifted = SimilarityOps.pqDistortionWith(embDf, shifted).collect()
+      .map(r => r.getInt(0) -> r.getDouble(2)).toMap
+    assert(drifted(0) > out(0)._2 && drifted(1) > out(1)._2,
+      s"a mismatched codebook must inflate distortion: $drifted vs $out")
+  }
+
   test("PQ ANN: a trained k-means codebook drops in and still retrieves " +
       "the planted neighbor") {
     import spark.implicits._

@@ -191,6 +191,47 @@ class FunctionsSpec extends SparkSpec {
     assert(err.getMessage.contains("literal"))
   }
 
+  test("pq_error: driver replay of the rounded clamped per-subspace " +
+      "error, zero for a vector that IS a codeword, strict codegen") {
+    val strict = spark.newSession()
+    strict.conf.set("spark.sql.codegen.fallback", "false")
+    GraftFunctions.ensureRegistered(strict)
+    import strict.implicits._
+    val rnd = new scala.util.Random(17)
+    val dim = 16
+    val subDim = 4
+    val cbook = Seq.fill(4)(Seq.fill(dim)(
+      math.rint(rnd.nextGaussian() * 1e6) / 1e6))
+    val rows = (0L until 30L).map(i =>
+      (i, Array.fill(dim)(rnd.nextGaussian().toFloat))) :+
+      // a vector that IS codeword 0 exactly: every subspace distance is
+      // a tiny float artifact at most, clamped and rounded to 0
+      (99L, cbook.head.map(_.toFloat).toArray)
+    val got = rows.toDF("id", "v")
+      .select(col("id"), call_function("graft_pq_error", col("v"),
+        typedLit(cbook), lit(subDim)).as("e"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got(99L) === 0.0)
+    rows.foreach { case (id, v) =>
+      val want = (0 until dim / subDim).map { m =>
+        val best = cbook.map { c =>
+          var x2 = 0.0
+          var dotAcc = 0.0
+          var c2 = 0.0
+          (0 until subDim).foreach { j =>
+            val x = v(m * subDim + j).toDouble
+            x2 += x * x
+            dotAcc += x * c(m * subDim + j)
+            c2 += c(m * subDim + j) * c(m * subDim + j)
+          }
+          x2 - 2.0 * dotAcc + c2
+        }.min
+        math.floor(math.max(best, 0.0) * 1e6 + 0.5) / 1e6
+      }.foldLeft(0.0)(_ + _)
+      assert(got(id) === want, s"row $id")
+    }
+  }
+
   test("shingle_hashes equals the composed per-shingle code-point fold") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
