@@ -1134,7 +1134,52 @@ object CurationOps {
       .orderBy("doc_id")
   }
 
+  // ---- q129: weighted sampling without replacement (E-S) ------------------
+
+  /** q129: deterministic weighted sampling without replacement
+    * (Efraimidis & Spirakis 2006, "Weighted random sampling with a
+    * reservoir") — THE resampling half of DSIR: q124 scores documents,
+    * this draws the training subset with probability proportional to
+    * weight. Each doc gets key = ln(u)/w with u a seeded-hash uniform in
+    * (0, 1]; the top-k keys ARE a weight-proportional sample without
+    * replacement (the E-S theorem, via the monotone ln transform of
+    * u^(1/w)), and because u derives from md5(seed, doc_id) the draw is
+    * reproducible on any cluster and re-derivable by the oracle — no
+    * rand(), the q116/q122 keyed-hash discipline.
+    *
+    * The catalog binding weights by the per-token DSIR ratio
+    * exp(dsir_logw / n_tokens) (bounded, positive — the raw exp(logw)
+    * over/underflows on long docs); any positive weight column drops in.
+    *
+    * Scale: one map pass to key every row + a global top-k
+    * (TakeOrderedAndProject — never a full sort); non-positive weights
+    * are excluded (they have zero selection probability by definition).
+    */
+  def weightedSample(s: SparkSession, dir: String): DataFrame =
+    weightedSampleOn(
+      dsirWeightsOn(docs(s, dir), col("lang") === "en")
+        .withColumn("w", exp(col("dsir_logw") / col("n_tokens"))),
+      col("w"), k = 20, seed = "graft-ws")
+
+  /** `df` needs (doc_id) plus whatever `weightCol` reads. */
+  def weightedSampleOn(df: DataFrame, weightCol: Column, k: Int,
+      seed: String): DataFrame = {
+    require(k > 0, s"k must be positive: $k")
+    // seeded uniform in (0, 1]: first 8 md5 hex chars → [0, 2^32) → +1
+    // over 2^32+1 (never 0, so ln(u) is finite)
+    val u = (conv(substring(md5(concat(lit(seed), lit(":"),
+        col("doc_id").cast("string"))), 1, 8), 16, 10).cast("double")
+      + 1.0) / 4294967297.0
+    df.filter(weightCol > 0)
+      .withColumn("es_key", log(u) / weightCol)
+      .orderBy(col("es_key").desc, col("doc_id").asc)
+      .limit(k)
+      .select(col("doc_id"), round(weightCol, 6).as("weight"),
+        round(col("es_key"), 6).as("es_key"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q129_weighted_sample" -> weightedSample,
     "q124_dsir_weights" -> dsirWeights,
     "q116_hash_split" -> hashSplit,
     "q122_training_manifest" -> trainingManifest,
@@ -1202,30 +1247,53 @@ object CurationOps {
        |ORDER BY src_a, src_b""".stripMargin
   }
 
+  /** Shared DSIR CTE body (per-doc n_tokens + dsir_logw as `dsir`):
+    * smoothed per-side unigram LMs from one token table, per-token ln
+    * ratio rounded 6 dp, per-doc exact-decimal sum of count × ratio —
+    * consumed by the q124 listing and q129's weight derivation so both
+    * oracles provably score identically.
+    */
+  private val sqlDsirCte =
+    """tok AS (SELECT doc_id, (lang = 'en') AS is_target,
+      |    unnest(string_split(trim(text), ' ')) AS token FROM documents),
+      |counts AS (SELECT token, count(*) AS n_raw,
+      |    sum(CASE WHEN is_target THEN 1 ELSE 0 END) AS n_tgt
+      |  FROM tok GROUP BY token),
+      |totals AS (SELECT sum(n_raw) AS t_raw, sum(n_tgt) AS t_tgt,
+      |    count(*) AS v
+      |  FROM counts),
+      |llr AS (SELECT token,
+      |    round(ln((n_tgt + 1) / (t_tgt + v))
+      |      - ln((n_raw + 1) / (t_raw + v)), 6) AS llr
+      |  FROM counts CROSS JOIN totals),
+      |dc AS (SELECT doc_id, token, count(*) AS c FROM tok
+      |  GROUP BY doc_id, token),
+      |dsir AS (SELECT dc.doc_id, sum(dc.c) AS n_tokens,
+      |    CAST(round(sum(CAST(dc.c * llr.llr AS DECIMAL(38,6))), 6)
+      |      AS DOUBLE) AS dsir_logw
+      |  FROM dc JOIN llr USING (token)
+      |  GROUP BY dc.doc_id)""".stripMargin
+
   val oracle: Map[String, String] = Map(
-    // Replays DSIR: one shared token table → smoothed per-side unigram
-    // LMs → per-token ln ratio rounded 6 dp → per-doc exact-decimal sum
-    // of count × ratio (order-independent on both engines).
     "q124_dsir_weights" ->
-      """WITH tok AS (SELECT doc_id, (lang = 'en') AS is_target,
-        |    unnest(string_split(trim(text), ' ')) AS token FROM documents),
-        |counts AS (SELECT token, count(*) AS n_raw,
-        |    sum(CASE WHEN is_target THEN 1 ELSE 0 END) AS n_tgt
-        |  FROM tok GROUP BY token),
-        |totals AS (SELECT sum(n_raw) AS t_raw, sum(n_tgt) AS t_tgt,
-        |    count(*) AS v
-        |  FROM counts),
-        |llr AS (SELECT token,
-        |    round(ln((n_tgt + 1) / (t_tgt + v))
-        |      - ln((n_raw + 1) / (t_raw + v)), 6) AS llr
-        |  FROM counts CROSS JOIN totals),
-        |dc AS (SELECT doc_id, token, count(*) AS c FROM tok
-        |  GROUP BY doc_id, token)
-        |SELECT dc.doc_id, sum(dc.c) AS n_tokens,
-        |  CAST(round(sum(CAST(dc.c * llr.llr AS DECIMAL(38,6))), 6)
-        |    AS DOUBLE) AS dsir_logw
-        |FROM dc JOIN llr USING (token)
-        |GROUP BY dc.doc_id ORDER BY doc_id""".stripMargin,
+      s"""WITH $sqlDsirCte
+         |SELECT doc_id, n_tokens, dsir_logw FROM dsir
+         |ORDER BY doc_id""".stripMargin,
+    // Replays E-S sampling over the DSIR weights: seeded md5 uniform in
+    // (0, 1], key = ln(u)/w, top-k by key (the ln transform preserves
+    // the u^(1/w) order).
+    "q129_weighted_sample" ->
+      s"""WITH $sqlDsirCte,
+         |w AS (SELECT doc_id,
+         |    exp(dsir_logw / n_tokens) AS w,
+         |    (CAST(concat('0x', substring(
+         |        md5('graft-ws:' || CAST(doc_id AS VARCHAR)), 1, 8))
+         |      AS BIGINT) + 1) / 4294967297.0 AS u
+         |  FROM dsir)
+         |SELECT doc_id, round(w, 6) AS weight,
+         |  round(ln(u) / w, 6) AS es_key
+         |FROM w WHERE w > 0
+         |ORDER BY ln(u) / w DESC, doc_id LIMIT 20""".stripMargin,
     "q122_training_manifest" ->
       """WITH r AS (SELECT doc_id, source,
         |    row_number() OVER (

@@ -78,6 +78,39 @@ class CurationSpec extends SparkSpec {
     assert(coarse === Map(0L -> 4L, 1L -> 4L, 2L -> 3L))
   }
 
+  test("weighted sample: selection tracks weights across seeds, " +
+      "non-positive weights excluded, keys replay driver-side") {
+    val df = Seq((1L, 1000.0), (2L, 1.0), (3L, 0.0), (4L, -2.0))
+      .toDF("doc_id", "w")
+    // w=0 / w<0 can never be drawn; k caps the output
+    val one = CurationOps.weightedSampleOn(df, col("w"), k = 1, seed = "s0")
+      .collect()
+    assert(one.length === 1)
+    // over 200 fixed seeds (deterministic — no rand anywhere), the
+    // 1000:1 weight ratio must dominate the top-1 draw
+    val wins = (0 until 200).count { i =>
+      CurationOps.weightedSampleOn(df, col("w"), k = 1, seed = s"seed$i")
+        .collect().head.getLong(0) == 1L
+    }
+    assert(wins > 180, s"heavy doc won only $wins/200 top-1 draws")
+    // full draw: only the two positive-weight docs are drawable, and
+    // the E-S key replays exactly from the documented derivation
+    val all = CurationOps.weightedSampleOn(df, col("w"), k = 10, seed = "sx")
+      .collect()
+    assert(all.map(_.getLong(0)).toSet === Set(1L, 2L))
+    all.foreach { r =>
+      val id = r.getLong(0)
+      val w = Map(1L -> 1000.0, 2L -> 1.0)(id)
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"sx:$id".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 8)
+      val u = (java.lang.Long.parseLong(hex, 16).toDouble + 1.0) /
+        4294967297.0
+      val key = math.rint(math.log(u) / w * 1e6) / 1e6
+      assert(math.abs(r.getDouble(2) - key) < 1e-9, s"doc $id key")
+    }
+  }
+
   test("dataset card: volumes, quality split, cross-source dup attribution") {
     import graft.ops.CurationOps
     val docs = Seq(
