@@ -747,12 +747,12 @@ object PqEncode {
     */
   private[functions] def encodeCore(a: ArrayData, isFloat: Boolean,
       subDim: Int, cb: Array[Array[Double]],
-      errAcc: Array[Double]): Array[Int] = {
+      errAcc: Array[Double], fn: String = "pq_encode"): Array[Int] = {
     val dim = a.numElements()
     require(cb(0).length == dim,
-      s"pq_encode: codebook width ${cb(0).length} != vector dim $dim")
+      s"$fn: codebook width ${cb(0).length} != vector dim $dim")
     require(dim % subDim == 0,
-      s"pq_encode: dim $dim not divisible by subDim $subDim")
+      s"$fn: dim $dim not divisible by subDim $subDim")
     val nSub = dim / subDim
     val codes = new Array[Int](nSub)
     var m = 0
@@ -765,7 +765,7 @@ object PqEncode {
         // fail loudly instead of quantizing a corrupted vector
         if (a.isNullAt(off + i))
           throw new IllegalArgumentException(
-            s"pq_encode: null element at position ${off + i}")
+            s"$fn: null element at position ${off + i}")
         val x = if (isFloat) a.getFloat(off + i).toDouble
                 else a.getDouble(off + i)
         x2 += x * x
@@ -852,7 +852,7 @@ object PqError {
   def compute(a: ArrayData, isFloat: Boolean, subDim: Int,
       cb: Array[Array[Double]]): Double = {
     val err = new Array[Double](1)
-    PqEncode.encodeCore(a, isFloat, subDim, cb, err)
+    PqEncode.encodeCore(a, isFloat, subDim, cb, err, "pq_error")
     err(0)
   }
 }

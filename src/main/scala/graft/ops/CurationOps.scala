@@ -1141,7 +1141,7 @@ object CurationOps {
     * reservoir") — THE resampling half of DSIR: q124 scores documents,
     * this draws the training subset with probability proportional to
     * weight. Each doc gets key = ln(u)/w with u a seeded-hash uniform in
-    * (0, 1]; the top-k keys ARE a weight-proportional sample without
+    * (0, 1); the top-k keys ARE a weight-proportional sample without
     * replacement (the E-S theorem, via the monotone ln transform of
     * u^(1/w)), and because u derives from md5(seed, doc_id) the draw is
     * reproducible on any cluster and re-derivable by the oracle — no
@@ -1165,8 +1165,9 @@ object CurationOps {
   def weightedSampleOn(df: DataFrame, weightCol: Column, k: Int,
       seed: String): DataFrame = {
     require(k > 0, s"k must be positive: $k")
-    // seeded uniform in (0, 1]: first 8 md5 hex chars → [0, 2^32) → +1
-    // over 2^32+1 (never 0, so ln(u) is finite)
+    // seeded uniform in (0, 1): first 8 md5 hex chars → [0, 2^32) → +1
+    // over 2^32+1 (never 0, so ln(u) is finite; never 1 either — max is
+    // 2^32/(2^32+1))
     val u = (conv(substring(md5(concat(lit(seed), lit(":"),
         col("doc_id").cast("string"))), 1, 8), 16, 10).cast("double")
       + 1.0) / 4294967297.0

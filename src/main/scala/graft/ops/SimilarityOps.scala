@@ -860,8 +860,9 @@ object SimilarityOps {
     val centRows = labelCentroidsOn(embDf)
       .select("label", "dim", "centroid").collect()
     require(centRows.nonEmpty,
-      "annPqOn: empty embedding table — no labels to derive a codebook " +
-        "from (train one and use annPqWith)")
+      "PQ codebook: empty embedding table — no labels to derive " +
+        "sub-codewords from (train one and use the *With form: " +
+        "annPqWith / pqDistortionWith)")
     val byLabel = centRows.groupBy(_.getAs[Int]("label"))
     val labels = byLabel.keys.toArray.sorted
     val full = labels.map(l => byLabel(l).sortBy(_.getAs[Int]("dim"))
