@@ -1,0 +1,82 @@
+package graft.streaming
+
+import graft.ops.SimilarityOps
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+/** Streaming embedding ingest: each micro-batch of (vec_id, label,
+  * embedding) rows passes the q110 integrity audit AS A ROUTING GATE
+  * (null vectors, null elements, wrong dimension, degenerate norms — the
+  * malformations that would crash or silently poison a downstream
+  * ANN/dedup pass — go to quarantine with a `reject_reason`), and the
+  * valid rows PQ-encode straight into the persisted code index
+  * ([[graft.ops.SimilarityOps.annPqFromStore]] searches it without ever
+  * touching raw embeddings) — the vector twin of [[MediaTriagePipeline]].
+  *
+  * Replay idempotence: both sinks are batch-id-keyed and overwritten (a
+  * replayed micro-batch rewrites its own segments). Zero stream-side
+  * state: encoding is per-row kernel arithmetic against the literal
+  * codebook, the gate is per-row predicates — no joins, no shuffle, no
+  * state store at all.
+  *
+  * The codebook is a trained artifact fixed at stream start (the
+  * [[graft.ops.SimilarityOps.kmeansCentroids]] ANALYZE convention);
+  * retraining means re-encoding the corpus, a batch job by design.
+  */
+object VectorIngestPipeline {
+
+  /** Seed the batch-id-keyed index layout from already-ingested vectors
+    * (segment -1, one uniform partition layout for readers).
+    */
+  def seedStore(embDf: DataFrame, codebook: Array[Array[Double]],
+      storeDir: String): Unit =
+    SimilarityOps.writePqStore(embDf, codebook, s"$storeDir/batch_id=-1")
+
+  /** Row-level reject reason, null when the row is valid — the q110
+    * audit classes in gate form, checked in hazard order (each test is
+    * only reached when the prior ones pass, so the norm kernel never
+    * sees the malformed shapes it rejects).
+    */
+  def rejectReason(dim: Int): Column =
+    when(col("embedding").isNull, "null_vector")
+      .when(exists(col("embedding"), x => x.isNull), "null_element")
+      .when(size(col("embedding")) =!= dim, "wrong_dim")
+      .when(SimilarityOps.norm(col("embedding")) < 1e-6, "degenerate_norm")
+
+  /** Run the ingest: valid rows encode into `storeDir/batch_id=N`
+    * (vec_id, label, codes — 8 B per vector), rejects land under
+    * `quarantineDir/batch_id=N` with their reason.
+    */
+  def runVectorIngest(embStream: DataFrame,
+      codebook: Array[Array[Double]], storeDir: String,
+      quarantineDir: String, checkpointDir: String,
+      trigger: Trigger = Trigger.ProcessingTime(0L)): StreamingQuery = {
+    val dim = codebook.head.length
+    embStream.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          graft.functions.GraftFunctions.ensureRegistered(batch.sparkSession)
+          val flagged = batch
+            .withColumn("reject_reason", rejectReason(dim))
+            .localCheckpoint(eager = true)
+          flagged.filter(col("reject_reason").isNotNull)
+            .select("vec_id", "label", "reject_reason")
+            .write.mode("overwrite")
+            .parquet(s"$quarantineDir/batch_id=$batchId")
+          // segment write is an OVERWRITE of the batch's own dir — a
+          // replayed attempt rewrites, never double-appends (the
+          // append-mode store face would duplicate rows on retry)
+          SimilarityOps.writePqStore(
+            flagged.filter(col("reject_reason").isNull)
+              .select("vec_id", "label", "embedding"),
+            codebook, s"$storeDir/batch_id=$batchId")
+        }
+        ()
+      }
+      .start()
+  }
+}

@@ -324,6 +324,59 @@ class CrawlSpec extends SparkSpec {
       s"report: $report")
   }
 
+  test("vector ingest: malformed embeddings quarantine with their reason, " +
+      "valid rows encode incrementally, store search equals in-plan") {
+    import graft.streaming.VectorIngestPipeline
+    import graft.ops.SimilarityOps
+    val root = tmpDir("vec-ingest")
+    val (store, quar, ckpt) = (s"$root/pq", s"$root/quarantine", s"$root/ckpt")
+    val dim = SimilarityOps.Dim
+    def vecOf(seed: Int): Array[Float] = {
+      val r = new scala.util.Random(seed)
+      Array.fill(dim)(r.nextGaussian().toFloat)
+    }
+    val seedRows = Seq((0L, vecOf(50), 0), (1L, vecOf(51), 1))
+    val cbook = SimilarityOps.kmeansCentroids(
+      seedRows.toDF("vec_id", "embedding", "label"), k = 2, iters = 2)
+    VectorIngestPipeline.seedStore(
+      seedRows.toDF("vec_id", "embedding", "label"), cbook, store)
+
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Array[java.lang.Float], Int)]
+    val q = VectorIngestPipeline.runVectorIngest(
+      input.toDS().toDF("vec_id", "embedding", "label"), cbook, store,
+      quar, ckpt)
+    def boxed(a: Array[Float]): Array[java.lang.Float] =
+      a.map(java.lang.Float.valueOf)
+    // batch 1: a valid vector plus every malformation class
+    input.addData(
+      (10L, boxed(vecOf(52)), 0),
+      (11L, null: Array[java.lang.Float], 1), // null vector
+      (12L, boxed(vecOf(53)).updated(3, null: java.lang.Float), 0), // null elem
+      (13L, boxed(vecOf(54)).take(10), 1), // wrong dim
+      (14L, Array.fill(dim)(java.lang.Float.valueOf(0.0f)), 0)) // degenerate
+    q.processAllAvailable()
+    // batch 2: one more valid vector
+    input.addData((20L, boxed(vecOf(55)), 1))
+    q.processAllAvailable()
+    q.stop()
+
+    val rejects = spark.read.parquet(quar)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(rejects === Map(11L -> "null_vector", 12L -> "null_element",
+      13L -> "wrong_dim", 14L -> "degenerate_norm"))
+    // the incrementally-encoded index answers searches identically to
+    // the in-plan form over everything admitted
+    val admitted = (seedRows ++ Seq((10L, vecOf(52), 0), (20L, vecOf(55), 1)))
+      .toDF("vec_id", "embedding", "label")
+    val fromStore = SimilarityOps.annPqFromStore(spark, store, cbook,
+      vecOf(50), excludeId = 0L, k = 3).collect()
+    val inline = SimilarityOps.annPqWith(admitted, cbook, k = 3).collect()
+    assert(fromStore.map(r =>
+      (r.getLong(0), r.getString(2), r.getDouble(3))).toSeq ===
+      inline.map(r => (r.getLong(0), r.getString(2), r.getDouble(3))).toSeq)
+  }
+
   test("media triage replay: a batch's own pre-committed store segment " +
       "never self-quarantines its keeps") {
     import graft.streaming.MediaTriagePipeline
