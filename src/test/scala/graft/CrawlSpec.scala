@@ -377,6 +377,44 @@ class CrawlSpec extends SparkSpec {
       inline.map(r => (r.getLong(0), r.getString(2), r.getDouble(3))).toSeq)
   }
 
+  test("vector ingest replay: a stale pre-committed segment is rewritten, " +
+      "never appended to") {
+    import graft.streaming.VectorIngestPipeline
+    import graft.ops.SimilarityOps
+    val root = tmpDir("vec-replay")
+    val (store, quar, ckpt) = (s"$root/pq", s"$root/quarantine", s"$root/ckpt")
+    val dim = SimilarityOps.Dim
+    def vecOf(seed: Int): Array[Float] = {
+      val r = new scala.util.Random(seed)
+      Array.fill(dim)(r.nextGaussian().toFloat)
+    }
+    val seedRows = Seq((0L, vecOf(60), 0), (1L, vecOf(61), 1))
+    val cbook = SimilarityOps.kmeansCentroids(
+      seedRows.toDF("vec_id", "embedding", "label"), k = 2, iters = 1)
+    VectorIngestPipeline.seedStore(
+      seedRows.toDF("vec_id", "embedding", "label"), cbook, store)
+    // a crashed attempt left batch 0's segment with stale rows (an old
+    // doc that the replayed batch no longer admits)
+    SimilarityOps.writePqStore(
+      Seq((99L, vecOf(62), 0)).toDF("vec_id", "embedding", "label"),
+      cbook, s"$store/batch_id=0")
+
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Array[Float], Int)]
+    val q = VectorIngestPipeline.runVectorIngest(
+      input.toDS().toDF("vec_id", "embedding", "label"), cbook, store,
+      quar, ckpt)
+    input.addData((10L, vecOf(63), 0))
+    q.processAllAvailable()
+    q.stop()
+
+    val seg0 = spark.read.parquet(store)
+      .filter(col("batch_id") === 0).select("vec_id").collect()
+      .map(_.getLong(0)).toSet
+    assert(seg0 === Set(10L),
+      s"the replayed segment must hold exactly the batch's rows: $seg0")
+  }
+
   test("media triage replay: a batch's own pre-committed store segment " +
       "never self-quarantines its keeps") {
     import graft.streaming.MediaTriagePipeline
