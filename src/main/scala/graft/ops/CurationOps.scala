@@ -814,10 +814,13 @@ object CurationOps {
     * `scoredAgainstStore`, `cardinalityFromStore`, `sourceDriftFromStore`,
     * `lmPerplexityFromStore`, `matchesAgainstStore`, the stats-driven
     * dispatch gates) answers
-    * without touching the corpus again. Eight single-pass jobs — a
+    * without touching the corpus again. Nine single-pass jobs — a
     * maintenance-window batch, deliberately not micro-optimized into one
-    * shared scan (at 100 TB each pass wants its own shuffle shape).
-    * `docsDf` needs (doc_id, source, text).
+    * shared scan (at 100 TB each pass wants its own shuffle shape). The
+    * vector-side PQ code index ([[SimilarityOps.writePqStore]]) stays a
+    * separate job: it reads the embeddings table and needs a trained
+    * codebook, not the document corpus. `docsDf` needs
+    * (doc_id, source, text).
     */
   def analyzeCorpusStores(docsDf: DataFrame, root: String,
       k: Int = SpanOps.DefaultK, nBits: Int = 1 << 20): CorpusStats = {
@@ -828,6 +831,7 @@ object CurationOps {
     TextOps.writeTokenCountStore(docsDf, s"$root/token_counts")
     SearchOps.writeBigramStore(docsDf, s"$root/bigrams")
     TextOps.writeWinnowStore(docsDf, s"$root/winnow")
+    MultimodalOps.writePhashStore(docsDf, s"$root/phash")
     CorpusStats.analyze(docsDf, s"$root/corpus_stats")
   }
 

@@ -578,6 +578,12 @@ class CurationSpec extends SparkSpec {
       s"$root/winnow", maxDf = 5, minShared = 1).collect()
       .map(r => (r.getAs[Long]("batch_id"), r.getAs[Long]("corpus_id")))
       .toSet === Set((9L, 0L)), "indexed doc must match via the store")
+    // phash store: an exact payload copy screens against the index alone
+    assert(graft.ops.MultimodalOps.phashPairsAgainstStore(
+      Seq((9L, "alpha beta gamma delta")).toDF("doc_id", "text"),
+      s"$root/phash").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+      .contains((9L, 0L, 0)), "payload copy must hit its indexed original")
     assert(graft.ops.CorpusStats.read(spark, s"$root/corpus_stats")
       === Some(stats))
   }
