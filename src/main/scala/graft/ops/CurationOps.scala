@@ -1183,7 +1183,43 @@ object CurationOps {
         round(col("es_key"), 6).as("es_key"))
   }
 
+  // ---- q130: train/held-out split-leakage audit ---------------------------
+
+  /** q130: the pre-training leakage sign-off — compose the q116
+    * deterministic hash split with q56's 5-gram decontamination: assign
+    * every document its split (salt "graft-split", 80/10/10), treat
+    * valid ∪ test as the held-out benchmark, flag train documents
+    * sharing any distinct 5-gram with it, and roll the evidence up per
+    * source (train volume, leaky docs, shared-5-gram mass, leak rate).
+    * A non-zero rate on a hash-split corpus means duplicated or
+    * near-duplicated text STRADDLES the split boundary — the failure
+    * mode document-level splitting cannot prevent and dedup-before-split
+    * (q101) exists to fix; this audit quantifies exactly how much of it
+    * a mix carries, per source, before anyone trains on it.
+    *
+    * Scale: split assignment is map-side; the decontamination inherits
+    * q56's shape (held-out distinct 5-grams contract and broadcast, one
+    * doc-keyed overlap count, the dup-density dispatch included); the
+    * rollup is ≤|sources| rows.
+    */
+  def splitLeakage(s: SparkSession, dir: String): DataFrame =
+    splitLeakageOn(docs(s, dir))
+
+  /** `docsDf` needs (doc_id, source, text). */
+  def splitLeakageOn(docsDf: DataFrame,
+      stats: Option[CorpusStats] = None): DataFrame =
+    ngramDecontaminationOn(
+      withHashSplit(docsDf, "graft-split", Q116Splits),
+      col("split") =!= "train", stats = stats)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_train"),
+        sum(when(col("contaminated"), 1L).otherwise(0L)).as("n_leaky"),
+        sum("n_shared_5grams").as("n_shared_5grams"))
+      .withColumn("leak_rate", round(col("n_leaky") / col("n_train"), 6))
+      .orderBy("source")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q130_split_leakage" -> splitLeakage,
     "q129_weighted_sample" -> weightedSample,
     "q124_dsir_weights" -> dsirWeights,
     "q116_hash_split" -> hashSplit,
@@ -1280,6 +1316,34 @@ object CurationOps {
       |  GROUP BY dc.doc_id)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // Replays the composition: q116's md5 hex-threshold split → q56's
+    // distinct-5-gram overlap of train vs the held-out union → per-source
+    // rollup.
+    "q130_split_leakage" ->
+      s"""WITH d AS (SELECT doc_id, source,
+         |    substr(md5('graft-split:' || CAST(doc_id AS VARCHAR)), 1, 4)
+         |      AS h4,
+         |    string_split(trim(text), ' ') AS toks FROM documents),
+         |sp AS (SELECT doc_id, source,
+         |    CASE WHEN h4 < 'cccc' THEN 'train'
+         |         WHEN h4 < 'e666' THEN 'valid' ELSE 'test' END AS split,
+         |    CASE WHEN len(toks) >= 5 THEN list_distinct($sqlShingles5)
+         |         ELSE [] END AS sh
+         |  FROM d),
+         |bench AS (SELECT DISTINCT unnest(sh) AS ngram FROM sp
+         |  WHERE split <> 'train'),
+         |train AS (SELECT doc_id, source, sh FROM sp WHERE split = 'train'),
+         |m AS (SELECT t.doc_id, count(*) AS n_shared
+         |  FROM (SELECT doc_id, unnest(sh) AS ngram FROM train) t
+         |  JOIN bench USING (ngram) GROUP BY t.doc_id)
+         |SELECT tr.source, count(*) AS n_train,
+         |  CAST(sum(CASE WHEN coalesce(m.n_shared, 0) > 0 THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_leaky,
+         |  CAST(sum(coalesce(m.n_shared, 0)) AS BIGINT) AS n_shared_5grams,
+         |  round(CAST(sum(CASE WHEN coalesce(m.n_shared, 0) > 0
+         |        THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS leak_rate
+         |FROM train tr LEFT JOIN m ON tr.doc_id = m.doc_id
+         |GROUP BY tr.source ORDER BY tr.source""".stripMargin,
     "q124_dsir_weights" ->
       s"""WITH $sqlDsirCte
          |SELECT doc_id, n_tokens, dsir_logw FROM dsir

@@ -78,6 +78,34 @@ class CurationSpec extends SparkSpec {
     assert(coarse === Map(0L -> 4L, 1L -> 4L, 2L -> 3L))
   }
 
+  test("split leakage: a 5-gram straddling the hash-split boundary is " +
+      "flagged to its train source, clean sources read zero") {
+    // probe the DETERMINISTIC split assignment for candidate ids first
+    val splits = Seq("train" -> 0.8, "valid" -> 0.1, "test" -> 0.1)
+    val assign = CurationOps.withHashSplit(
+      (0L until 30L).map(i => (i, "x")).toDF("doc_id", "text"),
+      "graft-split", splits)
+      .collect().map(r => r.getLong(0) -> r.getAs[String]("split")).toMap
+    val trainIds = assign.filter(_._2 == "train").keys.toSeq.sorted
+    val heldId = assign.find(_._2 != "train").map(_._1).get
+    // leaky: a train doc and a held-out doc share one 5-gram; clean: a
+    // second train doc with fully disjoint text
+    val docs = Seq(
+      (trainIds(0), "srcA", "prefix one two three four five suffix words"),
+      (trainIds(1), "srcB", "completely different disjoint text body here"),
+      (heldId, "srcH", "one two three four five"))
+      .toDF("doc_id", "source", "text")
+    val out = CurationOps.splitLeakageOn(docs).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    // only train docs are audited; the held-out source has no row
+    assert(out.keySet === Set("srcA", "srcB"))
+    assert(out("srcA") === ((1L, 1L, 1L, 1.0)),
+      s"boundary-straddling 5-gram must flag srcA: ${out("srcA")}")
+    assert(out("srcB") === ((1L, 0L, 0L, 0.0)),
+      s"disjoint train doc must stay clean: ${out("srcB")}")
+  }
+
   test("weighted sample: selection tracks weights across seeds, " +
       "non-positive weights excluded, keys replay driver-side") {
     val df = Seq((1L, 1000.0), (2L, 1.0), (3L, 0.0), (4L, -2.0))
