@@ -806,14 +806,16 @@ object CurationOps {
     *   - `token_counts`  — (source, token, c) exact counts (drift)
     *   - `bigrams`       — (from, to, n) LM counts (perplexity scoring)
     *   - `winnow`        — sampled winnowing fingerprints (near-dup match)
+    *   - `phash`         — 8 B perceptual media fingerprints (near-dup
+    *                       media screen)
     *   - `corpus_stats`  — the dispatch-gate ANALYZE row
     *
     * Each artifact is bounded by vocabulary/shingle/source cardinality,
     * never by corpus row count; afterwards every incremental operator
     * (`freshAgainstStore`, `dupSpansAgainstStore`, `noveltyAgainstStore`,
     * `scoredAgainstStore`, `cardinalityFromStore`, `sourceDriftFromStore`,
-    * `lmPerplexityFromStore`, `matchesAgainstStore`, the stats-driven
-    * dispatch gates) answers
+    * `lmPerplexityFromStore`, `matchesAgainstStore`,
+    * `phashPairsAgainstStore`, the stats-driven dispatch gates) answers
     * without touching the corpus again. Nine single-pass jobs — a
     * maintenance-window batch, deliberately not micro-optimized into one
     * shared scan (at 100 TB each pass wants its own shuffle shape). The

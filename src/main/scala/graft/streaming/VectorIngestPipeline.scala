@@ -42,7 +42,10 @@ object VectorIngestPipeline {
     when(col("embedding").isNull, "null_vector")
       .when(exists(col("embedding"), x => x.isNull), "null_element")
       .when(size(col("embedding")) =!= dim, "wrong_dim")
-      .when(SimilarityOps.norm(col("embedding")) < 1e-6, "degenerate_norm")
+      // the 6-dp round replays q110's exact arithmetic, so gate rejects
+      // reconcile one-for-one with the batch audit's n_degenerate
+      .when(round(SimilarityOps.norm(col("embedding")), 6) < 1e-6,
+        "degenerate_norm")
 
   /** Run the ingest: valid rows encode into `storeDir/batch_id=N`
     * (vec_id, label, codes — 8 B per vector), rejects land under
