@@ -1104,6 +1104,59 @@ object CurationOps {
     dsirCore(docsDf, isTarget, t => pmod(xxhash64(t), lit(buckets.toLong)))
   }
 
+  /** Incremental DSIR face off the persisted token-count store
+    * ([[graft.ops.TextOps.writeTokenCountStore]] — the (source, token, c)
+    * contraction IS the DSIR LM input): build both unigram LMs from the
+    * store's vocabulary-bounded count rows and score only the NEW batch —
+    * per-crawl importance scoring never re-reads the corpus, the
+    * `sourceDriftFromStore`/`lmPerplexityFromStore` convention completed
+    * for the curation side. The target slice is a predicate over the
+    * store's `source` key (DSIR's actual deployment shape: tilt toward
+    * named target sources); build the store with `source := lang` to
+    * replay the q124 language target.
+    *
+    * Semantics vs [[dsirWeightsOn]]: identical llr table and identical
+    * scores when the batch IS the store's corpus (spec-pinned). On a
+    * genuinely new batch, tokens outside the store vocabulary have no LM
+    * feature and contribute nothing (DSIR's fixed feature space — the
+    * historical LM doesn't grow mid-score), and `n_tokens` counts in-vocab
+    * instances only. The batch side drops empty tokens like the store
+    * contraction does, so multi-space text scores by the store's
+    * tokenizer, not the raw face's.
+    *
+    * Scale: the LM read is ≤|sources|·|vocab| count rows summed across
+    * append segments (no corpus access), llr broadcasts like the raw
+    * face, and the batch pays one explode + broadcast join + doc-keyed
+    * agg — cost proportional to the BATCH, not the corpus.
+    */
+  def dsirWeightsFromStore(batchDf: DataFrame, s: SparkSession,
+      storePath: String, isTargetSource: Column): DataFrame = {
+    val Dec = org.apache.spark.sql.types.DecimalType(38, 6)
+    val counts = s.read.parquet(storePath)
+      .groupBy("token")
+      .agg(sum("c").as("n_raw"),
+        sum(when(isTargetSource, col("c")).otherwise(lit(0L))).as("n_tgt"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(lit(1))
+    val llr = broadcast(counts
+      .withColumn("t_raw", sum("n_raw").over(w))
+      .withColumn("t_tgt", sum("n_tgt").over(w))
+      .withColumn("v", count(lit(1)).over(w))
+      .select(col("token"),
+        round(
+          log((col("n_tgt") + 1) / (col("t_tgt") + col("v")))
+            - log((col("n_raw") + 1) / (col("t_raw") + col("v"))), 6)
+          .as("llr")))
+    batchDf
+      .select(col("doc_id"), explode(toks).as("token"))
+      .filter(length(col("token")) > 0)
+      .join(llr, Seq("token"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        round(sum(col("llr").cast(Dec)), 6).cast("double")
+          .as("dsir_logw"))
+      .orderBy("doc_id")
+  }
+
   private def dsirCore(docsDf: DataFrame, isTarget: Column,
       featOf: Column => Column): DataFrame = {
     val Dec = org.apache.spark.sql.types.DecimalType(38, 6)
@@ -1205,7 +1258,8 @@ object CurationOps {
     * rollup is ≤|sources| rows.
     */
   def splitLeakage(s: SparkSession, dir: String): DataFrame =
-    splitLeakageOn(docs(s, dir))
+    splitLeakageOn(docs(s, dir),
+      stats = Some(CorpusStats.forDir(s, dir)))
 
   /** `docsDf` needs (doc_id, source, text). */
   def splitLeakageOn(docsDf: DataFrame,
@@ -1311,7 +1365,7 @@ object CurationOps {
       |  FROM counts CROSS JOIN totals),
       |dc AS (SELECT doc_id, token, count(*) AS c FROM tok
       |  GROUP BY doc_id, token),
-      |dsir AS (SELECT dc.doc_id, sum(dc.c) AS n_tokens,
+      |dsir AS (SELECT dc.doc_id, CAST(sum(dc.c) AS BIGINT) AS n_tokens,
       |    CAST(round(sum(CAST(dc.c * llr.llr AS DECIMAL(38,6))), 6)
       |      AS DOUBLE) AS dsir_logw
       |  FROM dc JOIN llr USING (token)

@@ -195,7 +195,7 @@ object MultimodalOps {
     * the pair miner is spec-pinned against brute force on corpora that DO
     * carry near-dup media (DuckDB confirms this one doesn't).
     *
-    * Scale: the hash is a map-only batched-kernel pass — one row in, one
+    * Scale: the hash is a map-only per-row kernel pass — one row in, one
     * 8-byte fingerprint out, no shuffle until the output sort; persist it
     * beside the corpus like the text fingerprint store and incremental
     * crawls only hash NEW media. Empty payloads have no gradient to hash
@@ -211,35 +211,35 @@ object MultimodalOps {
   def mediaPhashOn(docsDf: DataFrame): DataFrame = {
     val session = docsDf.sparkSession
     import session.implicits._
-    val BatchSize = 32
     docsDf
       .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
       .as[MediaIn]
       .mapPartitions { it =>
-        it.grouped(BatchSize).flatMap { batch =>
-          batch.iterator.flatMap { m =>
-            val bytes = m.payload
-            val n = if (bytes == null) 0 else bytes.length
-            if (n == 0) Iterator.empty
-            else {
-              // 64 equal-width bucket means (q51 thumbnail arithmetic at
-              // hash width), then the 63-bit MSB-first gradient fold
-              val mu = Array.tabulate(64) { k =>
-                val lo = (k.toLong * n / 64).toInt
-                val hi = math.max(lo + 1, ((k + 1).toLong * n / 64).toInt)
-                var s = 0L
-                var j = lo
-                while (j < hi) { s += bytes(j) & 0xFF; j += 1 }
-                s / (hi - lo)
-              }
-              var h = 0L
-              var k = 0
-              while (k < 63) {
-                h = h * 2 + (if (mu(k) > mu(k + 1)) 1L else 0L)
-                k += 1
-              }
-              Iterator.single((m.doc_id, h))
+        // per-row kernel: one payload in, one 8-byte fingerprint out (no
+        // cross-row state, so no batching layer — a vectorized pixel
+        // decoder that needs one would slot in at this seam)
+        it.flatMap { m =>
+          val bytes = m.payload
+          val n = if (bytes == null) 0 else bytes.length
+          if (n == 0) Iterator.empty
+          else {
+            // 64 equal-width bucket means (q51 thumbnail arithmetic at
+            // hash width), then the 63-bit MSB-first gradient fold
+            val mu = Array.tabulate(64) { k =>
+              val lo = (k.toLong * n / 64).toInt
+              val hi = math.max(lo + 1, ((k + 1).toLong * n / 64).toInt)
+              var s = 0L
+              var j = lo
+              while (j < hi) { s += bytes(j) & 0xFF; j += 1 }
+              s / (hi - lo)
             }
+            var h = 0L
+            var k = 0
+            while (k < 63) {
+              h = h * 2 + (if (mu(k) > mu(k + 1)) 1L else 0L)
+              k += 1
+            }
+            Iterator.single((m.doc_id, h))
           }
         }
       }

@@ -19,7 +19,7 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   * DriftMonitorPipeline store convention — a replayed micro-batch
   * rewrites its own segment instead of double-appending fingerprints.
   *
-  * Scale: hashing is the map-only batched kernel; the screen joins
+  * Scale: hashing is the map-only fingerprint kernel; the screen joins
   * 8-byte fingerprint rows only; no stream-side state store exists at
   * all (the phash store IS the state, bounded at 8 bytes per admitted
   * payload and shared with every batch consumer).
@@ -34,10 +34,13 @@ object MediaTriagePipeline {
     MultimodalOps.mediaPhashOn(corpus)
       .write.mode("overwrite").parquet(s"$storeDir/batch_id=-1")
 
-  /** Run the ingest: keeps land under `sinkDir/batch_id=N`, duplicates
-    * (against the index, or near-duplicate of a lower-id batchmate)
-    * under `quarantineDir/batch_id=N`, and the batch's fresh
-    * fingerprints under `storeDir/batch_id=N`.
+  /** Run the ingest: keeps land under `sinkDir/batch_id=N`; duplicates
+    * (against the index, or near-duplicate of a lower-id batchmate) and
+    * zero-length payloads land under `quarantineDir/batch_id=N` with a
+    * `reason` column ("duplicate" / "unhashable"); and the batch's fresh
+    * fingerprints under `storeDir/batch_id=N`. `storeDir` must be absent
+    * (first run) or batch-id-keyed ([[seedStore]]) — the flat
+    * `writePhashStore` layout is rejected.
     */
   def runMediaIngest(docStream: DataFrame, storeDir: String,
       sinkDir: String, quarantineDir: String, checkpointDir: String,
@@ -52,18 +55,32 @@ object MediaTriagePipeline {
         if (!batch.isEmpty) {
           import graft.ops.HammingBands
           // hash once; the same frame feeds both screens and the store
-          // append (empty payloads hash to nothing and pass through
-          // untouched as keeps)
+          // append (empty payloads hash to nothing — they surface in the
+          // quarantine routing below with reason "unhashable")
           val hashed = MultimodalOps.mediaPhashOn(batch)
             .localCheckpoint(eager = true)
           // REPLAY SAFETY: a crashed attempt may have committed this
           // batch's own store segment already — screening against it
           // would self-match every previously-admitted doc and silently
           // quarantine it on retry, so the batch's own segment is
-          // excluded from the index view
-          val index = s.read.parquet(storeDir)
-            .filter(col("batch_id") =!= batchId)
-            .select("doc_id", "phash")
+          // excluded from the index view. An absent store (never seeded,
+          // first-ever batch) reads as an empty index, not an error; a
+          // FLAT store layout (writePhashStore / analyzeCorpusStores —
+          // no batch_id partition) is rejected loudly because replay
+          // safety depends on segment exclusion.
+          val index = BatchDirs.readIfExists(s, storeDir) match {
+            case Some(df) =>
+              require(df.columns.contains("batch_id"),
+                s"runMediaIngest: the phash store at $storeDir has no " +
+                  "batch_id partition — only the batch-id-keyed layout " +
+                  "is accepted (seed with MediaTriagePipeline.seedStore, " +
+                  "not writePhashStore)")
+              df.filter(col("batch_id") =!= batchId)
+                .select("doc_id", "phash")
+            case None =>
+              import s.implicits._
+              Seq.empty[(Long, Long)].toDF("doc_id", "phash")
+          }
           val storeDups = MultimodalOps
             .phashHashedPairsAgainstStore(hashed, s, storeDir,
               index = Some(index), maxHamming = maxHamming)
@@ -80,10 +97,22 @@ object MediaTriagePipeline {
           // breaks the read-storeDir-then-overwrite-a-segment cycle)
           val dupIds = storeDups.unionByName(batchDups).distinct()
             .localCheckpoint(eager = true)
+          // quarantine carries its reason (the VectorIngestPipeline
+          // reject_reason convention): near-dups of the index or of a
+          // lower-id batchmate as "duplicate", zero-length payloads —
+          // which have no fingerprint to screen and would otherwise be
+          // silently re-admitted every batch — as "unhashable". The two
+          // legs are disjoint: an unhashable doc is never in `hashed`,
+          // so it can never appear in dupIds.
           batch.join(dupIds, Seq("doc_id"), "left_semi")
+            .withColumn("reason", lit("duplicate"))
+            .unionByName(
+              batch.join(hashed.select("doc_id"), Seq("doc_id"), "left_anti")
+                .withColumn("reason", lit("unhashable")))
             .write.mode("overwrite")
             .parquet(s"$quarantineDir/batch_id=$batchId")
-          batch.join(dupIds, Seq("doc_id"), "left_anti")
+          batch.join(hashed.select("doc_id"), Seq("doc_id"), "left_semi")
+            .join(dupIds, Seq("doc_id"), "left_anti")
             .write.mode("overwrite").parquet(s"$sinkDir/batch_id=$batchId")
           hashed.join(dupIds, Seq("doc_id"), "left_anti")
             .select("doc_id", "phash")
@@ -94,27 +123,38 @@ object MediaTriagePipeline {
       .start()
 
   /** Per-batch triage report off the accumulated routing dirs: documents
-    * seen / kept / quarantined and the realized duplicate rate — the
-    * monitor a media-ingest operator watches for a crawl source gone
-    * stale (dup_rate → 1) or a broken screen (dup_rate → 0 on a known
-    * dup-heavy source). A side with no committed batch reads as empty,
-    * not as an error (the gateReport convention).
+    * seen / kept / quarantined, the unhashable (empty-payload) share of
+    * the quarantine, and the realized duplicate rate — the monitor a
+    * media-ingest operator watches for a crawl source gone stale
+    * (dup_rate → 1) or a broken screen (dup_rate → 0 on a known
+    * dup-heavy source). `dup_rate` counts DUPLICATES only — unhashable
+    * rejects are surfaced separately as `n_unhashable` so they can't
+    * masquerade as dedup signal. A side with no committed batch reads as
+    * empty, not as an error (the gateReport convention).
     */
   def triageReport(s: org.apache.spark.sql.SparkSession, sinkDir: String,
       quarantineDir: String): DataFrame = {
-    def side(dir: String, name: String) =
-      BatchDirs.readIfExists(s, dir)
-        .map(_.groupBy(col("batch_id").cast("long").as("batch_id"))
-          .agg(count(lit(1)).as(name)))
-        .getOrElse(s.range(0)
-          .select(col("id").as("batch_id"), col("id").as(name)))
-    side(sinkDir, "n_kept")
-      .join(side(quarantineDir, "n_quarantined"), Seq("batch_id"),
-        "full_outer")
-      .na.fill(0L, Seq("n_kept", "n_quarantined"))
+    val kept = BatchDirs.readIfExists(s, sinkDir)
+      .map(_.groupBy(col("batch_id").cast("long").as("batch_id"))
+        .agg(count(lit(1)).as("n_kept")))
+      .getOrElse(s.range(0)
+        .select(col("id").as("batch_id"), col("id").as("n_kept")))
+    val quarantined = BatchDirs.readIfExists(s, quarantineDir)
+      .map(_.groupBy(col("batch_id").cast("long").as("batch_id"))
+        .agg(count(lit(1)).as("n_quarantined"),
+          sum(when(col("reason") === "unhashable", 1L).otherwise(0L))
+            .as("n_unhashable")))
+      .getOrElse(s.range(0)
+        .select(col("id").as("batch_id"), col("id").as("n_quarantined"),
+          col("id").as("n_unhashable")))
+    kept.join(quarantined, Seq("batch_id"), "full_outer")
+      .na.fill(0L, Seq("n_kept", "n_quarantined", "n_unhashable"))
       .withColumn("n_docs", col("n_kept") + col("n_quarantined"))
-      .withColumn("dup_rate", round(col("n_quarantined") / col("n_docs"), 6))
-      .select("batch_id", "n_docs", "n_kept", "n_quarantined", "dup_rate")
+      .withColumn("dup_rate",
+        round((col("n_quarantined") - col("n_unhashable")) / col("n_docs"),
+          6))
+      .select("batch_id", "n_docs", "n_kept", "n_quarantined",
+        "n_unhashable", "dup_rate")
       .orderBy("batch_id")
   }
 }

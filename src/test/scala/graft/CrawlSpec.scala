@@ -292,10 +292,10 @@ class CrawlSpec extends SparkSpec {
     val input = MemoryStream[(Long, String)]
     val q = MediaTriagePipeline.runMediaIngest(
       input.toDS().toDF("doc_id", "text"), store, sink, quar, ckpt)
-    // batch 1: a dup of seeded doc 0, a fresh payload, and a
-    // within-batch copy of that fresh payload
+    // batch 1: a dup of seeded doc 0, a fresh payload, a within-batch
+    // copy of that fresh payload, and an empty payload (unhashable)
     input.addData((10L, payload(100)), (11L, payload(102)),
-      (12L, payload(102)))
+      (12L, payload(102)), (13L, ""))
     q.processAllAvailable()
     // batch 2: a dup of batch-1's admitted doc 11 (the append must have
     // taught the screen) and one more fresh payload
@@ -306,7 +306,13 @@ class CrawlSpec extends SparkSpec {
     def ids(p: String) = spark.read.parquet(p)
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(ids(sink) === Set(11L, 21L))
-    assert(ids(quar) === Set(10L, 12L, 20L))
+    assert(ids(quar) === Set(10L, 12L, 13L, 20L))
+    // quarantine reasons: near-dups vs the empty-payload reject
+    val reasons = spark.read.parquet(quar)
+      .select("doc_id", "reason").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(reasons === Map(10L -> "duplicate", 12L -> "duplicate",
+      13L -> "unhashable", 20L -> "duplicate"))
     // end-state store == one-shot fingerprint build over everything kept
     val oneShot = MultimodalOps.mediaPhashOn(
       Seq((0L, payload(100)), (1L, payload(101)), (11L, payload(102)),
@@ -316,12 +322,65 @@ class CrawlSpec extends SparkSpec {
       .select("doc_id", "phash").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(stored === oneShot)
-    // the per-batch triage report rolls the routing dirs up additively
+    // the per-batch triage report rolls the routing dirs up additively;
+    // the unhashable reject is surfaced separately and excluded from
+    // dup_rate (batch 0: 4 docs, 1 kept, 3 quarantined of which 1
+    // unhashable -> dup_rate (3-1)/4 = 0.5)
     val report = MediaTriagePipeline.triageReport(spark, sink, quar)
       .collect().map(r => r.getLong(0) ->
-        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
-    assert(report === Map(0L -> (3L, 1L, 2L), 1L -> (2L, 1L, 1L)),
-      s"report: $report")
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getDouble(5))).toMap
+    assert(report === Map(0L -> (4L, 1L, 3L, 1L, 0.5),
+      1L -> (2L, 1L, 1L, 0L, 0.5)), s"report: $report")
+  }
+
+  test("media triage store guard: an absent store reads as an empty " +
+      "index; a flat (un-segmented) store layout is rejected") {
+    import graft.streaming.MediaTriagePipeline
+    import graft.ops.MultimodalOps
+    def payload(seed: Int): String =
+      new scala.util.Random(seed).alphanumeric.take(160).mkString
+    implicit val sqlCtx = spark.sqlContext
+
+    // arm 1: never-seeded store — the first batch must admit everything
+    // instead of dying on a path-not-found read
+    locally {
+      val root = tmpDir("media-unseeded")
+      val input = MemoryStream[(Long, String)]
+      val q = MediaTriagePipeline.runMediaIngest(
+        input.toDS().toDF("doc_id", "text"), s"$root/phash", s"$root/keep",
+        s"$root/quarantine", s"$root/ckpt")
+      input.addData((1L, payload(300)), (2L, payload(301)))
+      q.processAllAvailable()
+      q.stop()
+      assert(spark.read.parquet(s"$root/keep")
+        .select("doc_id").collect().map(_.getLong(0)).toSet === Set(1L, 2L))
+      // and the store segment was still written, teaching future batches
+      assert(spark.read.parquet(s"$root/phash")
+        .select("doc_id").collect().map(_.getLong(0)).toSet === Set(1L, 2L))
+    }
+
+    // arm 2: a flat writePhashStore layout (no batch_id partition) must
+    // fail loudly, not silently break replay-segment exclusion
+    locally {
+      val root = tmpDir("media-flat-store")
+      MultimodalOps.writePhashStore(
+        Seq((0L, payload(310))).toDF("doc_id", "text"), s"$root/phash")
+      val input = MemoryStream[(Long, String)]
+      val q = MediaTriagePipeline.runMediaIngest(
+        input.toDS().toDF("doc_id", "text"), s"$root/phash", s"$root/keep",
+        s"$root/quarantine", s"$root/ckpt")
+      input.addData((1L, payload(311)))
+      val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q.processAllAvailable()
+      }
+      q.stop()
+      def messages(t: Throwable): Seq[String] =
+        if (t == null) Seq.empty
+        else Option(t.getMessage).toSeq ++ messages(t.getCause)
+      assert(messages(e).exists(_.contains("batch_id partition")),
+        s"expected the seedStore guard message, got: ${messages(e)}")
+    }
   }
 
   test("vector ingest: malformed embeddings quarantine with their reason, " +

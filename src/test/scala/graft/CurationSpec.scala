@@ -78,6 +78,54 @@ class CurationSpec extends SparkSpec {
     assert(coarse === Map(0L -> 4L, 1L -> 4L, 2L -> 3L))
   }
 
+  test("dsir from token-count store: store path equals the raw face on " +
+      "the store's corpus, incremental appends match the one-shot LM, " +
+      "unseen tokens score nothing") {
+    val batch1 = Seq(
+      (0L, "good good good good", "en"),
+      (1L, "bad bad bad bad", "xx"),
+      (2L, "good bad", "xx")
+    ).toDF("doc_id", "text", "lang")
+    val batch2 = Seq(
+      (3L, "good bad bad", "en"),
+      (4L, "bad good", "xx")
+    ).toDF("doc_id", "text", "lang")
+    val path = tmpDir("dsir-store") + "/token_counts"
+    // the store keys LMs by `source`; source := lang replays the q124
+    // language target through the store face
+    def asStoreDocs(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("lang").as("source"), col("text"))
+    TextOps.writeTokenCountStore(asStoreDocs(batch1), path)
+    val raw1 = CurationOps.dsirWeightsOn(batch1, col("lang") === "en")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val fromStore1 = CurationOps.dsirWeightsFromStore(batch1, spark, path,
+        col("source") === "en")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(fromStore1 === raw1, "store ≡ raw on the store's own corpus")
+    // crawl 2: append the new batch's counts, score ONLY the new batch —
+    // rows must equal the one-shot raw answer over the combined corpus
+    // (same LM contraction by the OpsSpec sum-on-read law)
+    TextOps.appendToTokenCountStore(asStoreDocs(batch2), path)
+    val rawAll = CurationOps.dsirWeightsOn(batch1.union(batch2),
+        col("lang") === "en")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .filter(_._1 >= 3L).toSeq
+    val incr = CurationOps.dsirWeightsFromStore(batch2, spark, path,
+        col("source") === "en")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(incr === rawAll,
+      "incremental scoring must equal the one-shot combined-corpus answer")
+    // a batch with tokens the LM never saw: unseen tokens are outside the
+    // fixed feature space — they contribute nothing and don't count, and
+    // an all-unseen doc is absent entirely
+    val probe = Seq((9L, "good unseen"), (10L, "unseen unseen"))
+      .toDF("doc_id", "text")
+    val scored = CurationOps.dsirWeightsFromStore(probe, spark, path,
+        col("source") === "en")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(scored === Seq((9L, 1L)), s"unseen-token handling: $scored")
+  }
+
   test("split leakage: a 5-gram straddling the hash-split boundary is " +
       "flagged to its train source, clean sources read zero") {
     // probe the DETERMINISTIC split assignment for candidate ids first

@@ -50,6 +50,23 @@ def main(sf_dir: str, out_dir: str) -> int:
             print(f"FAIL {name}: {len(got)} rows vs oracle {len(want)}")
             n_fail += 1
             continue
+        # dtype-KIND-strict: the driver hashes values type-aware, so an
+        # oracle that returns HUGEINT (-> float64) where Spark writes int64
+        # fails there even when values compare equal (the q124/r06 class).
+        # Width within a kind (int32 vs int64) is fine — the driver
+        # canonicalizes it (16 int32-column queries passed r06's hash).
+        def kind(dt):
+            k = dt.kind
+            return "i" if k in "iu" else k
+        dtype_diff = [(c, str(got[c].dtype), str(want[c].dtype))
+                      for c in got.columns
+                      if kind(got[c].dtype) != kind(want[c].dtype)]
+        if dtype_diff:
+            n_fail += 1
+            print(f"FAIL {name}: dtype mismatch "
+                  + ", ".join(f"{c} spark={g} oracle={w}"
+                              for c, g, w in dtype_diff))
+            continue
         # exact compare; surface first few diffs
         neq = (got != want) & ~(got.isna() & want.isna())
         if neq.to_numpy().any():
