@@ -74,6 +74,42 @@ object Scratch {
       spark.stop()
       return
     }
+    if (name == "dsirstore") {
+      // incremental DSIR datapoint: the LM side comes from the persisted
+      // token-count store (built once, source := lang so the q124 target
+      // predicate becomes a source predicate); scoring a 20% batch then
+      // never touches `documents` — verified on the executed plan, not
+      // just asserted.
+      import org.apache.spark.sql.functions._
+      val d = Tables.t(spark, dir, "documents")
+      println(s"docs = ${d.count()}")
+      val root = java.nio.file.Files.createTempDirectory("dsirstore").toString
+      time("write_token_count_store_lang")(
+        { ops.TextOps.writeTokenCountStore(
+          d.select(col("lang").as("source"), col("text")), s"$root/tokens")
+          0L })
+      // the incoming crawl batch is EXTERNAL data in production — land the
+      // 20% slice as its own parquet so the scored plan can prove it
+      // never reads the corpus table
+      d.filter((col("doc_id") * 48271L + 23L) % 100L >= 80L)
+        .write.parquet(s"$root/incoming")
+      val batch = spark.read.parquet(s"$root/incoming")
+      time("dsir_raw_full_corpus")(
+        ops.CurationOps.dsirWeightsOn(d, col("lang") === "en").count())
+      val fromStore = ops.CurationOps.dsirWeightsFromStore(batch, spark,
+        s"$root/tokens", col("source") === "en")
+      time("dsir_batch_from_store")(fromStore.count())
+      time("dsir_batch_from_store_again")(fromStore.count())
+      val scans = fromStore.queryExecution.executedPlan.toString()
+        .linesIterator.filter(_.toLowerCase.contains("scan"))
+        .map(_.trim.take(160)).mkString("\n")
+      println(s"[plan] store-path scans:\n$scans")
+      require(scans.nonEmpty, "plan probe matched no scan nodes")
+      println(s"[plan] touches documents.parquet: " +
+        s"${scans.contains("documents")}")
+      spark.stop()
+      return
+    }
     if (name == "crawlstore") {
       // incremental crawl-index datapoints: the 80% "already indexed" side
       // seeds the shingle store once; the 20% batch then probes/appends

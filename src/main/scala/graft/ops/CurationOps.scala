@@ -711,7 +711,8 @@ object CurationOps {
     * their norms are disjoint from the store) into the store. Append-only:
     * replaying the same batch adds duplicate norms, which keeps probes
     * correct (anti-join semantics) at the cost of store bloat — compact
-    * by rewriting with [[writeFingerprintStore]] when it matters.
+    * with [[compactFingerprintStore]] when it matters (or rebuild from
+    * the corpus with [[writeFingerprintStore]] at ANALYZE cadence).
     */
   def appendToFingerprintStore(admitted: DataFrame, path: String): Unit =
     admitted.select(DedupOps.normText.as("norm")).distinct()
@@ -721,6 +722,21 @@ object CurationOps {
       // would skew fingerprint-keyed probes more with each crawl
       .repartition(col("fp"))
       .write.mode("append").parquet(path)
+
+  /** Re-contract accumulated append segments (replayed appends leave
+    * duplicate norms) to distinct rows, publishing via staging + atomic
+    * swap — durable state, never `mode("overwrite")` on the live path
+    * (the token/shingle/winnow-store compactor contract on this store's
+    * schema).
+    */
+  def compactFingerprintStore(s: SparkSession, path: String): Unit = {
+    val staging = path + ".merging"
+    s.read.parquet(path).select("norm").distinct()
+      .withColumn("fp", xxhash64(col("norm")))
+      .repartition(col("fp"))
+      .write.mode("overwrite").parquet(staging)
+    ScaleOps.swapInto(s, staging, path)
+  }
 
   // ---- persisted cardinality store (mergeable HLL sketches) ---------------
 

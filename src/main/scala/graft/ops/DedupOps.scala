@@ -652,7 +652,10 @@ object DedupOps {
     * ≤ 10 over length bands, LSH-screened past the band-size gate —
     * mining runs over the contracted distinct texts, so the exact-dup
     * cliques that make the q112 listing Ω(pairs) cost one membership join
-    * here). Every arm contracts exact
+    * here), "winnow" (≥ `TextOps.WinnowMinShared` shared df-pruned
+    * winnowing fingerprints — the q121 MOSS miner as a decision arm;
+    * guaranteed to link any pair sharing a run of ≥ w+k-1 tokens whose
+    * fingerprints survive the df prune). Every arm contracts exact
     * duplicates first — on a dup-dense corpus mining runs over the small
     * distinct fraction; on a near-unique corpus the contraction is one
     * extra hash aggregation, the flat cost of density-independence. The
@@ -688,9 +691,19 @@ object DedupOps {
             screen = maxBandSizeExceeds(d0, band = 16, maxBandRows = 4096))
           .select(col("a_id"), col("b_id"))
       }, reliable)
+    case "winnow" =>
+      // edges = rep pairs sharing ≥ WinnowMinShared df-pruned winnowing
+      // fingerprints (the q121 miner, un-cut) — local-edit-robust
+      // near-dup clustering over the ~2/(w+1)-sampled shingle stream;
+      // exact-dup cliques are contracted away before the pair join like
+      // every arm, so the fp-keyed join's ≤ maxDf² per-key bound is the
+      // only pair volume
+      contractedClusters(docsDf,
+        dd => TextOps.winnowEdgesOn(dd).select(col("a_id"), col("b_id")),
+        reliable)
     case other => throw new IllegalArgumentException(
       s"dedupDecision: unknown method '$other' " +
-        "(expected jaccard | minhash | simhash | edit)")
+        "(expected jaccard | minhash | simhash | edit | winnow)")
   }
 
   /** The dense-corpus arm shared by the q37/q38/q39 dispatch: contract

@@ -305,6 +305,18 @@ object MultimodalOps {
   def appendHashedToPhashStore(hashed: DataFrame, path: String): Unit =
     hashed.select("doc_id", "phash").write.mode("append").parquet(path)
 
+  /** Re-contract accumulated append segments (a replayed append leaves
+    * duplicate (doc_id, phash) rows, which duplicate screen pairs) to
+    * distinct rows, publishing via staging + atomic swap — durable state,
+    * never `mode("overwrite")` on the live path.
+    */
+  def compactPhashStore(s: SparkSession, path: String): Unit = {
+    val staging = path + ".merging"
+    s.read.parquet(path).select("doc_id", "phash").distinct()
+      .write.mode("overwrite").parquet(staging)
+    ScaleOps.swapInto(s, staging, path)
+  }
+
   /** Near-dup screen of an incoming batch AGAINST the persisted index —
     * [[HammingBands]] between the batch's fresh hashes and the stored
     * ones (never pairwise within the corpus): (doc_id, dup_of, hamming),

@@ -1081,6 +1081,19 @@ object SimilarityOps {
       path: String): Unit =
     pqEncoded(batch, codebook).write.mode("append").parquet(path)
 
+  /** Re-contract accumulated append segments (a replayed append leaves
+    * duplicate vec_id rows, which duplicate ADC results) to one row per
+    * vec_id — a replay re-encodes the identical codes, so any row of a
+    * vec_id is the row — publishing via staging + atomic swap: durable
+    * state, never `mode("overwrite")` on the live path.
+    */
+  def compactPqStore(s: SparkSession, path: String): Unit = {
+    val staging = path + ".merging"
+    s.read.parquet(path).dropDuplicates("vec_id")
+      .write.mode("overwrite").parquet(staging)
+    ScaleOps.swapInto(s, staging, path)
+  }
+
   private def pqEncoded(embDf: DataFrame,
       codebook: Array[Array[Double]]): DataFrame = {
     graft.functions.GraftFunctions.ensureRegistered(embDf.sparkSession)

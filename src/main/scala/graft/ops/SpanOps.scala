@@ -192,10 +192,20 @@ object SpanOps {
       .agg(expr(s"graft_bloom_agg(hk, $nBits, $kHashes)").as("b"))
       .head().getAs[Array[Byte]]("b")
     import s.implicits._
-    Seq((k, nBits, kHashes,
+    val fresh = Seq((k, nBits, kHashes,
       if (b == null) graft.functions.Bloom.empty(nBits, kHashes) else b))
       .toDF("k", "n_bits", "k_hashes", "filter")
-      .coalesce(1).write.mode("overwrite").parquet(bloomPath)
+    // refresh-in-place of durable state: land in staging and swap when a
+    // live store exists (a crash mid-overwrite would otherwise leave the
+    // crawl loop's triage filter deleted-but-unwritten); first build
+    // writes direct
+    val hPath = new org.apache.hadoop.fs.Path(bloomPath)
+    val fs = hPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(hPath)) {
+      val staging = bloomPath + ".merging"
+      fresh.coalesce(1).write.mode("overwrite").parquet(staging)
+      ScaleOps.swapInto(s, staging, bloomPath)
+    } else fresh.coalesce(1).write.mode("overwrite").parquet(bloomPath)
   }
 
   /** [[dupSpansAgainstOn]] probing the persisted store instead of

@@ -920,7 +920,21 @@ object TextOps {
 
   /** `docsDf` needs (doc_id, text). */
   def winnowMatchesOn(docsDf: DataFrame, maxDf: Int = WinnowMaxDf,
-      minShared: Int = WinnowMinShared, topK: Int = MatchTopK): DataFrame = {
+      minShared: Int = WinnowMinShared, topK: Int = MatchTopK): DataFrame =
+    winnowEdgesOn(docsDf, maxDf, minShared)
+      .orderBy(col("n_shared").desc, col("a_id").asc, col("b_id").asc)
+      .limit(topK)
+
+  /** The UN-CUT (a_id, b_id, n_shared) winnow edge list the q121 listing
+    * cuts to top-k — also the edge miner behind
+    * `DedupOps.dedupDecision(method = "winnow")`, where the decision
+    * dispatch has already contracted exact duplicates so the quadratic
+    * df-pruned key bound (≤ maxDf² rows per fingerprint) is the only pair
+    * volume left.
+    */
+  private[ops] def winnowEdgesOn(docsDf: DataFrame,
+      maxDf: Int = WinnowMaxDf, minShared: Int = WinnowMinShared)
+      : DataFrame = {
     import org.apache.spark.sql.expressions.Window
     // df via a count window over the fp key (q111's one-shuffle pattern:
     // no agg + join-back), so the SAME fp-keyed exchange under the window
@@ -945,8 +959,6 @@ object TextOps {
       .groupBy("a_id", "b_id")
       .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)
-      .orderBy(col("n_shared").desc, col("a_id").asc, col("b_id").asc)
-      .limit(topK)
   }
 
   // ---- persisted winnow-fingerprint store ---------------------------------

@@ -137,6 +137,11 @@ class CrawlSpec extends SparkSpec {
         nBits = 1 << 12)
     }
 
+    // the per-crawl bloom refreshes hit a LIVE store: they must have gone
+    // through staging + swap (never a direct overwrite) and left no residue
+    assert(!new java.io.File(blStore + ".merging").exists)
+    assert(!new java.io.File(blStore + ".old").exists)
+
     // ---- end-state == one-shot batch answers --------------------------
     val everything = docsDf(corpus0 ++ crawl1 ++ crawl2)
     // 1. admitted doc set == quality gate + exact dedup (min-id

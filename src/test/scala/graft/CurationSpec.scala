@@ -568,6 +568,17 @@ class CurationSpec extends SparkSpec {
     // replaying an append keeps probes correct (append-only contract)
     CurationOps.appendToFingerprintStore(admitted1, store)
     assert(CurationOps.freshAgainstStore(batch1, store).count() === 0)
+    // compaction re-contracts the replayed duplicates via staging+swap —
+    // the live dir is never the direct overwrite target, and no staging
+    // residue survives
+    CurationOps.compactFingerprintStore(spark, store)
+    val rows = spark.read.parquet(store).select("norm").collect()
+      .map(_.getString(0))
+    assert(rows.length === rows.distinct.length && rows.length === 3,
+      s"compacted store must hold the 3 distinct norms once: ${rows.toSeq}")
+    assert(CurationOps.freshAgainstStore(batch1, store).count() === 0)
+    assert(!new java.io.File(store + ".merging").exists)
+    assert(!new java.io.File(store + ".old").exists)
   }
 
   test("analyzeCorpus refreshes fingerprints and dispatch stats under one " +

@@ -409,6 +409,23 @@ class DedupSpec extends SparkSpec {
       .toSeq ===
       inline.map(r => (r.getLong(0), r.getString(2), r.getDouble(3))).toSeq,
       "store search must replay the in-plan ADC bit-for-bit")
+
+    // a replayed append leaves duplicate vec_ids; compaction re-contracts
+    // to one row per vec_id via staging+swap — never a direct overwrite
+    // of the live dir — and search answers are unchanged
+    SimilarityOps.appendToPqStore(
+      all.drop(80).toDF("vec_id", "embedding", "label"), cbook, store)
+    assert(spark.read.parquet(store).count() === 160)
+    SimilarityOps.compactPqStore(spark, store)
+    assert(spark.read.parquet(store).count() === 120)
+    val afterCompact = SimilarityOps.annPqFromStore(spark, store, cbook, q,
+      excludeId = 0L).collect()
+    assert(afterCompact.map(r => (r.getLong(0), r.getString(2),
+      r.getDouble(3))).toSeq ===
+      fromStore.map(r => (r.getLong(0), r.getString(2), r.getDouble(3)))
+        .toSeq, "compaction must not change ADC answers")
+    assert(!new java.io.File(store + ".merging").exists)
+    assert(!new java.io.File(store + ".old").exists)
   }
 
   test("PQ ANN: codes carry actual label values on non-contiguous labels") {
@@ -598,6 +615,35 @@ class DedupSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       DedupOps.dedupDecision(denseDocs, method = "nope")
     }
+  }
+
+  test("dedupDecision(winnow): matches union-find over the q121 miner on " +
+      "the contracted reps, planted overlap links, exact-dup cliques " +
+      "label through the contraction") {
+    import spark.implicits._
+    // the decision arm contracts exact dups BEFORE mining, so the df
+    // prune sees each distinct text once — compute the ground truth the
+    // same way: q121 listing over one rep per distinct text, un-cut,
+    // then union-find with the exact-text groups
+    val repsDf = denseDocs.collect().groupBy(_.getString(1)).values
+      .map(g => g.minBy(_.getLong(0)))
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+      .toDF("doc_id", "text")
+    val pairs = graft.ops.TextOps.winnowMatchesOn(repsDf, topK = 1000000)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(pairs.nonEmpty,
+      "the 21-token shared run between base and near must surface edges")
+    val decision = DedupOps.dedupDecision(denseDocs, method = "winnow")
+    assert(decision.columns.toSeq === Seq("doc_id", "rep"))
+    val got = decision.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got === expectedClusters(pairs))
+    // the planted near-dup (one token edited at the end) must have linked
+    // to the base clique through the winnow fingerprints
+    assert(got(30L) === 0L,
+      "near-dup rep must fold into the base cluster via shared fingerprints")
+    // and the 30-copy exact clique never reached the pair join: every
+    // copy labels through the contraction to the same rep
+    assert((0L until 30L).forall(got(_) === 0L))
   }
 
   test("q37 listing plans without collect_list and survives a hot mask group") {

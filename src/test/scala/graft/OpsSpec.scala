@@ -924,6 +924,19 @@ class OpsSpec extends SparkSpec {
       "the near variant in the index must also surface")
     assert(hits.count { case (a, b, _) => a == 100L && b == 0L } === 1,
       "first-shared-chunk emission: a 4-chunk collision emits ONE row")
+    // a replayed append leaves duplicate rows; compaction re-contracts
+    // via staging+swap — never a direct overwrite of the live dir
+    MultimodalOps.appendToPhashStore(
+      Seq((2L, base.substring(0, 126) + "!!")).toDF("doc_id", "text"), store)
+    assert(spark.read.parquet(store).count() === 4)
+    MultimodalOps.compactPhashStore(spark, store)
+    assert(spark.read.parquet(store).count() === 3)
+    val hits2 = MultimodalOps.phashPairsAgainstStore(batch, store).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(hits2.sorted === hits.sorted,
+      "compaction must not change screen answers")
+    assert(!new java.io.File(store + ".merging").exists)
+    assert(!new java.io.File(store + ".old").exists)
   }
 
   test("centroid rows cover every (label, dim) cell") {
