@@ -580,6 +580,71 @@ object CurationOps {
       .orderBy("source")
   }
 
+  // ---- q131: DoReMi-style domain reweighting -------------------------------
+
+  /** q131: one multiplicative-weights step of domain reweighting (DoReMi —
+    * Xie et al., "Doremi: Optimizing Data Mixtures Speeds Up Language
+    * Model Pretraining", NeurIPS 2023): score every document under the
+    * corpus's own bigram LM (q108's per-doc NLL — the reference-model
+    * loss), roll the token-weighted mean NLL up per source, take each
+    * source's clipped EXCESS over the corpus mean, and update the natural
+    * mix multiplicatively: w_s ∝ p_s · exp(η · excess_s), η = 1 pinned.
+    * Hard-for-the-LM domains get upsampled — DoReMi's update direction
+    * with the corpus LM standing in for the proxy/reference pair (a
+    * second per-doc loss column slots into the same rollup).
+    * Complements q115 (size-only temperature flattening) with a
+    * LOSS-aware mix — the two tables a data-mix owner reads side by side.
+    *
+    * Scale: q108's scoring shapes (bigram join linear and map-side
+    * combined, vocabulary-bounded denominator window), then ONE doc-keyed
+    * join to attach sources and a contraction to ≤|sources| rows; corpus
+    * totals ride a window OVER that contraction (the q108 denominator
+    * discipline). Determinism: per-source Σ(n_bigrams·avg_logp) rides
+    * DECIMAL(38,10) (order-independent; each term is an exact int × a
+    * 6dp-rounded double), NLLs round 6 dp before the subtraction, exp
+    * sees identical doubles in both engines, and the weight normalizer
+    * sums 6dp-rounded scores through DECIMAL(38,6).
+    */
+  def doremiWeights(s: SparkSession, dir: String): DataFrame =
+    doremiWeightsOn(docs(s, dir))
+
+  /** `docsDf` needs (doc_id, source, text). Docs with < 2 tokens have no
+    * bigrams and drop from the scoring (q108's contract); a source of
+    * ONLY such docs is absent from the table.
+    */
+  def doremiWeightsOn(docsDf: DataFrame): DataFrame = {
+    val Dec = org.apache.spark.sql.types.DecimalType(38, 10)
+    val Dec6 = org.apache.spark.sql.types.DecimalType(38, 6)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(lit(1))
+    val perDoc = SearchOps.lmPerplexityOn(docsDf)
+      .select(col("doc_id"), col("n_bigrams"), col("avg_logp"))
+    val bySrc = perDoc
+      .join(docsDf.select(col("doc_id"), col("source")), Seq("doc_id"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_bigrams").as("n_bigrams"),
+        sum((col("n_bigrams") * col("avg_logp")).cast(Dec)).as("sum_lp"))
+    val scored = bySrc
+      .withColumn("nll",
+        round(-col("sum_lp").cast("double") / col("n_bigrams"), 6))
+      .withColumn("nn", sum("n_bigrams").over(w).cast("double"))
+      .withColumn("nll_c",
+        round(-sum(col("sum_lp")).over(w).cast("double")
+          / sum(col("n_bigrams")).over(w), 6))
+      .withColumn("excess",
+        greatest(lit(0.0), round(col("nll") - col("nll_c"), 6)))
+      .withColumn("u",
+        round((col("n_bigrams") / col("nn")) * exp(col("excess")), 6))
+    scored
+      .withColumn("natural_share", round(col("n_bigrams") / col("nn"), 6))
+      .withColumn("doremi_weight",
+        round(col("u") / sum(col("u").cast(Dec6)).over(w).cast("double"),
+          6))
+      .select("source", "n_docs", "n_bigrams", "nll", "excess",
+        "natural_share", "doremi_weight")
+      .orderBy("source")
+  }
+
   // ---- q62: incremental delta dedup ---------------------------------------
 
   /** Incremental (delta) dedup: an incoming snapshot is deduplicated against
@@ -1308,7 +1373,8 @@ object CurationOps {
     "q62_delta_dedup" -> deltaDedup,
     "q65_substring_contamination" -> substringContamination,
     "q67_source_overlap" -> sourceOverlap,
-    "q115_temperature_mix" -> temperatureMix)
+    "q115_temperature_mix" -> temperatureMix,
+    "q131_doremi_weights" -> doremiWeights)
 
   // single line: the enclosing oracle string's stripMargin would otherwise
   // truncate a continuation line starting with the `||` concat operator
@@ -1460,6 +1526,33 @@ object CurationOps {
         |  round(CAST(n_docs AS DOUBLE)
         |    / CAST(sum(n_docs) OVER () AS DOUBLE), 6) AS doc_share
         |FROM a ORDER BY split""".stripMargin,
+    // Replays DoReMi: the shared q108 per-doc NLL CTE, source rollup via
+    // DECIMAL(38,10), window totals, clipped excess, multiplicative
+    // update with the DECIMAL(38,6) normalizer.
+    "q131_doremi_weights" ->
+      s"""WITH ${SearchOps.sqlPerDocNllCte},
+         |s AS (SELECT d2.source, CAST(count(*) AS BIGINT) AS n_docs,
+         |    CAST(sum(a.n_bigrams) AS BIGINT) AS n_bigrams,
+         |    sum(CAST(a.n_bigrams * a.avg_logp AS DECIMAL(38,10)))
+         |      AS sum_lp
+         |  FROM a JOIN documents d2 ON a.doc_id = d2.doc_id
+         |  GROUP BY d2.source),
+         |t AS (SELECT *,
+         |    round(-CAST(sum_lp AS DOUBLE) / n_bigrams, 6) AS nll,
+         |    CAST(sum(n_bigrams) OVER () AS DOUBLE) AS nn,
+         |    round(-CAST(sum(sum_lp) OVER () AS DOUBLE)
+         |      / sum(n_bigrams) OVER (), 6) AS nll_c
+         |  FROM s),
+         |u AS (SELECT *,
+         |    greatest(0e0, round(nll - nll_c, 6)) AS excess,
+         |    round((n_bigrams / nn)
+         |      * exp(greatest(0e0, round(nll - nll_c, 6))), 6) AS u
+         |  FROM t)
+         |SELECT source, n_docs, n_bigrams, nll, excess,
+         |  round(n_bigrams / nn, 6) AS natural_share,
+         |  round(u / CAST(sum(CAST(u AS DECIMAL(38,6))) OVER ()
+         |    AS DOUBLE), 6) AS doremi_weight
+         |FROM u ORDER BY source""".stripMargin,
     "q115_temperature_mix" ->
       """WITH b AS (SELECT source,
         |    CAST(sum(len(string_split(trim(text), ' '))) AS BIGINT)

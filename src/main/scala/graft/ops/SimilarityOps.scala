@@ -580,6 +580,86 @@ object SimilarityOps {
       .orderBy("vec_id")
   }
 
+  // ---- q132: semantic split leakage ----------------------------------------
+
+  /** Near-duplicate cosine threshold q132 pins for the oracle. Corpus-
+    * dependent like q64's: on THIS synthetic corpus (random-ish gaussians,
+    * no true embedding near-dups) 0.3 sits at the ~90th percentile of
+    * max train→held cosines so the audit reports a non-degenerate rate;
+    * a production embedding space uses a near-dup band (≥ 0.95).
+    */
+  private[ops] val Q132Threshold = 0.3
+
+  /** q132: semantic split-leakage audit — the embedding-space twin of the
+    * q130 n-gram audit: assign every vector its deterministic q116 hash
+    * split (salt "graft-split", the same 'cccc' hex threshold; valid ∪
+    * test form the held-out side), take each train vector's MAX cosine
+    * against the held-out vectors in its label block, and flag train
+    * vectors clearing [[Q132Threshold]], rolled up per label. n-gram
+    * decontamination misses paraphrases and re-encodings that embed
+    * nearby — the reason modern pipelines audit both lexical (q130) and
+    * semantic (this) leakage before training.
+    *
+    * Scale: blocks are labels with the SAME size gate as q41/q44
+    * ([[withSubBucket]]): past `maxExactBlock` a block subdivides by the
+    * 16-bit LSH signature, confining the train×held comparison to LSH
+    * cells (SemDeDup's accepted-miss screening — identical and
+    * near-parallel vectors share cells, so real leaks survive the
+    * subdivision) instead of O(|block|²). Each train vector contributes
+    * ONE row to the post-join shuffle (map-side partial max), the rollup
+    * is ≤|labels| rows. Determinism: cosine rounds 6 dp BEFORE the max
+    * (order-independent, the oracle's max(round(...))).
+    */
+  def semanticLeakage(s: SparkSession, dir: String): DataFrame =
+    semanticLeakageOn(emb(s, dir))
+
+  /** `embDf` needs (vec_id, label, embedding). `exact = true` forces the
+    * full within-label scan everywhere (validation mode — both harness
+    * scales sit below the gate, so the catalog plan IS the exact plan).
+    */
+  def semanticLeakageOn(embDf: DataFrame,
+      threshold: Double = Q132Threshold,
+      maxExactBlock: Int = MaxExactBlock,
+      exact: Boolean = false): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(embDf.sparkSession)
+    val isTrain = substring(
+      md5(concat(lit("graft-split:"), col("vec_id").cast("string"))),
+      1, 4) < "cccc"
+    val e = withSubBucket(
+      embDf.select(col("vec_id"), col("label"), col("embedding"))
+        .withColumn("is_train", isTrain)
+        .withColumn("nrm", norm(col("embedding"))),
+      maxExactBlock, exact)
+    val t = e.filter(col("is_train"))
+      .select(col("vec_id"), col("label"), col("_sub"),
+        col("embedding").as("t_emb"), col("nrm").as("t_nrm"))
+    val h = e.filter(!col("is_train"))
+      .select(col("label").as("h_label"), col("_sub").as("h_sub"),
+        col("embedding").as("h_emb"), col("nrm").as("h_nrm"))
+    val best = t
+      .join(h, col("label") === col("h_label") &&
+        col("_sub") === col("h_sub"))
+      .groupBy(col("vec_id"), col("label"))
+      .agg(max(round(dot(col("t_emb"), col("h_emb"))
+        / (col("t_nrm") * col("h_nrm")), 6)).as("max_cos"))
+    val heldCounts = e.filter(!col("is_train"))
+      .groupBy("label").agg(count(lit(1)).as("n_held"))
+    e.filter(col("is_train")).select("vec_id", "label")
+      .join(best, Seq("vec_id", "label"), "left")
+      .groupBy("label")
+      .agg(count(lit(1)).as("n_train"),
+        sum(when(col("max_cos") >= threshold, 1L).otherwise(0L))
+          .as("n_leaky"),
+        max("max_cos").as("max_cos"))
+      .join(heldCounts, Seq("label"), "left")
+      .na.fill(0L, Seq("n_held"))
+      .withColumn("leak_rate",
+        round(col("n_leaky").cast("double") / col("n_train"), 6))
+      .select("label", "n_train", "n_held", "n_leaky", "leak_rate",
+        "max_cos")
+      .orderBy("label")
+  }
+
   /** Lloyd's k-means coarse-codebook builder — the trained-cluster path the
     * IVF cells (q45) and semantic-dedup buckets (q64) document as
     * "precomputed in production". Deterministic end to end, so a rebuilt
@@ -1176,7 +1256,8 @@ object SimilarityOps {
     "q123_ann_pq" -> annPq,
     "q126_cluster_cohesion" -> clusterCohesion,
     "q127_contrastive_triplets" -> contrastiveTriplets,
-    "q128_pq_distortion" -> pqDistortion)
+    "q128_pq_distortion" -> pqDistortion,
+    "q132_semantic_leakage" -> semanticLeakage)
 
   /** The hyperplane constants as full-precision SQL literals (Java's
     * Double.toString round-trips, and DuckDB parses to the same IEEE
@@ -1393,6 +1474,37 @@ object SimilarityOps {
          |  round(score * raw_norm, 6) AS combined
          |FROM sc JOIN n ON sc.doc_id = n.doc_id
          |ORDER BY combined DESC, sc.doc_id LIMIT 20""".stripMargin,
+    // Replays the semantic leakage audit: q116's md5 split on vec_id,
+    // within-label train×held cosines (unrolled literal dot — bit-exact
+    // vs VecDot), per-train-vector max of 6dp-rounded cosines, per-label
+    // rollup with the threshold flag.
+    "q132_semantic_leakage" ->
+      s"""WITH e AS (SELECT vec_id, label, embedding,
+         |    substr(md5('graft-split:' || CAST(vec_id AS VARCHAR)), 1, 4)
+         |      < 'cccc' AS is_train
+         |  FROM embeddings),
+         |t AS (SELECT vec_id, label, embedding FROM e WHERE is_train),
+         |h AS (SELECT label, embedding FROM e WHERE NOT is_train),
+         |m AS (SELECT t.vec_id, t.label,
+         |    max(round((${sqlDot("t.embedding", "h.embedding")})
+         |      / (${sqlNorm("t.embedding")} * ${sqlNorm("h.embedding")}),
+         |      6)) AS max_cos
+         |  FROM t JOIN h ON t.label = h.label
+         |  GROUP BY t.vec_id, t.label),
+         |hn AS (SELECT label, CAST(count(*) AS BIGINT) AS n_held FROM h
+         |  GROUP BY label),
+         |r AS (SELECT t.label, CAST(count(*) AS BIGINT) AS n_train,
+         |    CAST(sum(CASE WHEN m.max_cos >= $Q132Threshold THEN 1
+         |        ELSE 0 END) AS BIGINT) AS n_leaky,
+         |    max(m.max_cos) AS max_cos
+         |  FROM t LEFT JOIN m ON t.vec_id = m.vec_id
+         |  GROUP BY t.label)
+         |SELECT r.label, r.n_train,
+         |  CAST(coalesce(hn.n_held, 0) AS BIGINT) AS n_held, r.n_leaky,
+         |  round(CAST(r.n_leaky AS DOUBLE) / r.n_train, 6) AS leak_rate,
+         |  r.max_cos
+         |FROM r LEFT JOIN hn ON r.label = hn.label
+         |ORDER BY r.label""".stripMargin,
     // Replays semantic dedup: literal-plane signatures (bit-exact vs the
     // codegen'd chain) → min-id representative per bucket → one cosine per
     // vector against its representative.
