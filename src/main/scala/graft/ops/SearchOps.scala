@@ -450,6 +450,29 @@ object SearchOps {
     "q83_bigram_lm" -> bigramLm,
     "q120_hybrid_rrf" -> hybridRrf)
 
+  /** The q108 per-doc bigram-NLL CTE chain (ending at `a`:
+    * (doc_id, n_bigrams, avg_logp)) — shared with q131's DoReMi oracle so
+    * both replay ONE LM/scoring definition, the sqlDsirCte convention.
+    * Declared ABOVE `oracle`: object vals initialize in declaration order,
+    * and the r07 regression was exactly this val forward-referenced as null.
+    */
+  private[ops] val sqlPerDocNllCte: String =
+    s"""d AS (SELECT doc_id,
+       |    string_split(trim(text), ' ') AS toks FROM documents),
+       |bg AS (SELECT doc_id, p[1] AS from_tok, p[2] AS to_tok
+       |  FROM (SELECT doc_id, unnest(list_zip(toks[1:len(toks)-1],
+       |      toks[2:len(toks)])) AS p FROM d WHERE len(toks) >= 2)),
+       |c AS (SELECT from_tok, to_tok, count(*) AS n_pairs
+       |  FROM bg GROUP BY 1, 2),
+       |ct AS (SELECT *, CAST(sum(n_pairs) OVER (PARTITION BY from_tok)
+       |    AS BIGINT) AS from_total FROM c),
+       |j AS (SELECT doc_id,
+       |    ln(CAST(n_pairs AS DOUBLE) / from_total) AS lp
+       |  FROM bg JOIN ct USING (from_tok, to_tok)),
+       |a AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+       |    ${graft.Tables.sqlDavg("lp", 6)} AS avg_logp
+       |  FROM j GROUP BY doc_id)""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "q120_hybrid_rrf" -> {
       val inList = Q81Terms.map(t => s"'$t'").mkString(", ")
@@ -565,25 +588,4 @@ object SearchOps {
          |SELECT doc_id, n_bigrams, avg_logp,
          |  round(exp(-avg_logp), 4) AS ppl
          |FROM a ORDER BY doc_id""".stripMargin)
-
-  /** The q108 per-doc bigram-NLL CTE chain (ending at `a`:
-    * (doc_id, n_bigrams, avg_logp)) — shared with q131's DoReMi oracle so
-    * both replay ONE LM/scoring definition, the sqlDsirCte convention.
-    */
-  private[ops] val sqlPerDocNllCte: String =
-    s"""d AS (SELECT doc_id,
-       |    string_split(trim(text), ' ') AS toks FROM documents),
-       |bg AS (SELECT doc_id, p[1] AS from_tok, p[2] AS to_tok
-       |  FROM (SELECT doc_id, unnest(list_zip(toks[1:len(toks)-1],
-       |      toks[2:len(toks)])) AS p FROM d WHERE len(toks) >= 2)),
-       |c AS (SELECT from_tok, to_tok, count(*) AS n_pairs
-       |  FROM bg GROUP BY 1, 2),
-       |ct AS (SELECT *, CAST(sum(n_pairs) OVER (PARTITION BY from_tok)
-       |    AS BIGINT) AS from_total FROM c),
-       |j AS (SELECT doc_id,
-       |    ln(CAST(n_pairs AS DOUBLE) / from_total) AS lp
-       |  FROM bg JOIN ct USING (from_tok, to_tok)),
-       |a AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
-       |    ${graft.Tables.sqlDavg("lp", 6)} AS avg_logp
-       |  FROM j GROUP BY doc_id)""".stripMargin
 }
