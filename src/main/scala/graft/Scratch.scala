@@ -110,6 +110,36 @@ object Scratch {
       spark.stop()
       return
     }
+    if (name == "doremistore") {
+      // incremental DoReMi datapoint: the bigram LM comes from the
+      // persisted store (built once); recomputing mix weights for a crawl
+      // batch then never touches `documents` — verified on the executed
+      // plan like the dsirstore probe.
+      import org.apache.spark.sql.functions._
+      val d = Tables.t(spark, dir, "documents")
+      println(s"docs = ${d.count()}")
+      val root = java.nio.file.Files.createTempDirectory("doremistore").toString
+      time("write_bigram_store")(
+        { ops.SearchOps.writeBigramStore(d, s"$root/bigrams"); 0L })
+      d.filter((col("doc_id") * 48271L + 23L) % 100L >= 80L)
+        .select("doc_id", "source", "text")
+        .write.parquet(s"$root/incoming")
+      val batch = spark.read.parquet(s"$root/incoming")
+      time("doremi_raw_full_corpus")(
+        ops.CurationOps.doremiWeightsOn(d).count())
+      val fromStore = ops.CurationOps.doremiFromStore(batch, s"$root/bigrams")
+      time("doremi_batch_from_store")(fromStore.count())
+      time("doremi_batch_from_store_again")(fromStore.count())
+      val scans = fromStore.queryExecution.executedPlan.toString()
+        .linesIterator.filter(_.toLowerCase.contains("scan"))
+        .map(_.trim.take(160)).mkString("\n")
+      println(s"[plan] store-path scans:\n$scans")
+      require(scans.nonEmpty, "plan probe matched no scan nodes")
+      println(s"[plan] touches documents.parquet: " +
+        s"${scans.contains("documents")}")
+      spark.stop()
+      return
+    }
     if (name == "crawlstore") {
       // incremental crawl-index datapoints: the 80% "already indexed" side
       // seeds the shingle store once; the 20% batch then probes/appends

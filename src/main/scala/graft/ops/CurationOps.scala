@@ -612,12 +612,47 @@ object CurationOps {
     * bigrams and drop from the scoring (q108's contract); a source of
     * ONLY such docs is absent from the table.
     */
-  def doremiWeightsOn(docsDf: DataFrame): DataFrame = {
+  def doremiWeightsOn(docsDf: DataFrame): DataFrame =
+    doremiRollup(
+      SearchOps.lmPerplexityOn(docsDf)
+        .select(col("doc_id"), col("n_bigrams"), col("avg_logp")),
+      docsDf)
+
+  /** Incremental DoReMi face off the persisted bigram store
+    * ([[graft.ops.SearchOps.writeBigramStore]]): per-doc NLL comes from
+    * [[graft.ops.SearchOps.lmPerplexityFromStore]] (the vocabulary-bounded
+    * count table — the indexed corpus is never re-read), then the same
+    * source rollup as [[doremiWeightsOn]] — per-crawl mix updates cost one
+    * batch scan, the `dsirWeightsFromStore` convention completed for the
+    * mix-weight side.
+    *
+    * Semantics vs the raw face: identical LM and identical weights when
+    * the batch IS the store's corpus (spec-pinned). On a genuinely new
+    * batch, OOV bigrams are excluded from the average (the store scorer's
+    * unsmoothed contract) and a FULLY-novel doc (n_bigrams = 0, null
+    * avg_logp) drops from the rollup like a < 2-token doc does on the raw
+    * face — there is no model evidence to weight it by.
+    *
+    * Scale: the LM read is ≤|vocab|² count rows summed across append
+    * segments; the batch pays one bigram explode + count-table join +
+    * doc-keyed agg + the ≤|sources| contraction — cost proportional to
+    * the BATCH, zero `documents` scans (plan-probed in PLANS.md).
+    */
+  def doremiFromStore(batchDf: DataFrame, storePath: String): DataFrame =
+    doremiRollup(
+      SearchOps.lmPerplexityFromStore(batchDf, storePath)
+        .filter(col("n_bigrams") > 0)
+        .select(col("doc_id"), col("n_bigrams"), col("avg_logp")),
+      batchDf)
+
+  /** Shared rollup: per-doc (doc_id, n_bigrams, avg_logp) + a
+    * (doc_id, source) attachment → one DoReMi multiplicative-weights row
+    * per source. Both faces replay ONE update definition.
+    */
+  private def doremiRollup(perDoc: DataFrame, docsDf: DataFrame): DataFrame = {
     val Dec = org.apache.spark.sql.types.DecimalType(38, 10)
     val Dec6 = org.apache.spark.sql.types.DecimalType(38, 6)
     val w = org.apache.spark.sql.expressions.Window.partitionBy(lit(1))
-    val perDoc = SearchOps.lmPerplexityOn(docsDf)
-      .select(col("doc_id"), col("n_bigrams"), col("avg_logp"))
     val bySrc = perDoc
       .join(docsDf.select(col("doc_id"), col("source")), Seq("doc_id"))
       .groupBy("source")
@@ -1201,9 +1236,9 @@ object CurationOps {
     * genuinely new batch, tokens outside the store vocabulary have no LM
     * feature and contribute nothing (DSIR's fixed feature space — the
     * historical LM doesn't grow mid-score), and `n_tokens` counts in-vocab
-    * instances only. The batch side drops empty tokens like the store
-    * contraction does, so multi-space text scores by the store's
-    * tokenizer, not the raw face's.
+    * instances only. Empty tokens (consecutive spaces) are dropped on
+    * BOTH faces — store contraction, batch side, and [[dsirWeightsOn]]'s
+    * raw explode all apply the same `length > 0` filter.
     *
     * Scale: the LM read is ≤|sources|·|vocab| count rows summed across
     * append segments (no corpus access), llr broadcasts like the raw
@@ -1241,9 +1276,13 @@ object CurationOps {
   private def dsirCore(docsDf: DataFrame, isTarget: Column,
       featOf: Column => Column): DataFrame = {
     val Dec = org.apache.spark.sql.types.DecimalType(38, 6)
+    // empty tokens (consecutive spaces in `split`) are not features — the
+    // same filter the token-count store contraction and the store-scoring
+    // batch side apply, so raw ≡ store holds on multi-spaced text too
     val tok = docsDf
       .select(col("doc_id"), isTarget.as("is_target"),
         explode(toks).as("tok0"))
+      .filter(length(col("tok0")) > 0)
       .select(col("doc_id"), col("is_target"), featOf(col("tok0")).as("token"))
     val counts = tok.groupBy("token")
       .agg(count(lit(1)).as("n_raw"),
@@ -1433,8 +1472,9 @@ object CurationOps {
     * oracles provably score identically.
     */
   private val sqlDsirCte =
-    """tok AS (SELECT doc_id, (lang = 'en') AS is_target,
-      |    unnest(string_split(trim(text), ' ')) AS token FROM documents),
+    """tok AS (SELECT * FROM (SELECT doc_id, (lang = 'en') AS is_target,
+      |      unnest(string_split(trim(text), ' ')) AS token FROM documents)
+      |  WHERE len(token) > 0),
       |counts AS (SELECT token, count(*) AS n_raw,
       |    sum(CASE WHEN is_target THEN 1 ELSE 0 END) AS n_tgt
       |  FROM tok GROUP BY token),

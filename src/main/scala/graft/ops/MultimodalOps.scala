@@ -309,10 +309,23 @@ object MultimodalOps {
     * duplicate (doc_id, phash) rows, which duplicate screen pairs) to
     * distinct rows, publishing via staging + atomic swap — durable state,
     * never `mode("overwrite")` on the live path.
+    *
+    * FLAT stores only ([[appendToPhashStore]]'s layout). The streaming
+    * triage store (`MediaTriagePipeline`, `batch_id=N`-partitioned) is
+    * rejected loudly — projecting it to (doc_id, phash) would silently
+    * convert it to the flat layout `runMediaIngest` refuses, bricking the
+    * stream until the store is re-seeded (the inverse of the pipeline's
+    * own layout guard).
     */
   def compactPhashStore(s: SparkSession, path: String): Unit = {
     val staging = path + ".merging"
-    s.read.parquet(path).select("doc_id", "phash").distinct()
+    val live = s.read.parquet(path)
+    require(!live.columns.contains("batch_id"),
+      s"phash store at $path is batch-id-keyed (a MediaTriagePipeline " +
+        "store) — compacting it would drop the batch_id partition and " +
+        "produce the flat layout runMediaIngest rejects; this compactor " +
+        "serves only the flat appendToPhashStore layout")
+    live.select("doc_id", "phash").distinct()
       .write.mode("overwrite").parquet(staging)
     ScaleOps.swapInto(s, staging, path)
   }

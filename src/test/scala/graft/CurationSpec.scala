@@ -788,4 +788,68 @@ class CurationSpec extends SparkSpec {
     assert(!plan.toLowerCase.contains("sortmergejoin"),
       "the offset-ladder join must broadcast, not sort-merge")
   }
+
+  test("dsir multi-space text: empty split tokens are not features, so " +
+      "the raw face equals the store face on doubled-space corpora") {
+    import graft.ops.TextOps
+    // 'a  b' splits to [a, '', b]; the '' must not count as a token on
+    // EITHER face (the r07 ADVICE divergence)
+    val docs = Seq(
+      (0L, "good  good", "en"), // doubled space
+      (1L, "bad bad", "xx")
+    ).toDF("doc_id", "text", "lang")
+    val raw = CurationOps.dsirWeightsOn(docs, col("lang") === "en")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(raw.map(t => t._1 -> t._2).toMap === Map(0L -> 2L, 1L -> 2L),
+      s"empty token leaked into n_tokens: $raw")
+    val path = tmpDir("dsir-mspace") + "/token_counts"
+    TextOps.writeTokenCountStore(
+      docs.select(col("lang").as("source"), col("text")), path)
+    val viaStore = CurationOps.dsirWeightsFromStore(docs, spark, path,
+        col("source") === "en")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(viaStore === raw,
+      "store ≡ raw must hold on multi-spaced text (same tokenizer)")
+  }
+
+  test("doremi from bigram store: store path equals the raw face on the " +
+      "store's corpus, appends match the one-shot LM, fully-novel docs " +
+      "drop from the rollup") {
+    import graft.ops.SearchOps
+    val batch1 = Seq(
+      (0L, "a b a b a c", "web"),
+      (1L, "a b a b", "books"),
+      (2L, "a c a c", "books")
+    ).toDF("doc_id", "text", "source")
+    val batch2 = Seq(
+      (3L, "a b a c", "web"),
+      (4L, "a c", "code")
+    ).toDF("doc_id", "text", "source")
+    val corpus = batch1.union(batch2)
+    val path = tmpDir("doremi-store") + "/bigrams"
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect().map(r =>
+      (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5), r.getDouble(6))).toSeq
+    // store trained on batch1 ≡ raw over batch1 (zero OOV)
+    SearchOps.writeBigramStore(batch1, path)
+    assert(rows(CurationOps.doremiFromStore(batch1, path)) ===
+      rows(CurationOps.doremiWeightsOn(batch1)),
+      "store ≡ raw on the store's own corpus")
+    // crawl 2 appends its counts; scoring the combined corpus from the
+    // store ≡ the one-shot raw answer (sum-on-read LM freshness)
+    SearchOps.appendToBigramStore(batch2, path)
+    assert(rows(CurationOps.doremiFromStore(corpus, path)) ===
+      rows(CurationOps.doremiWeightsOn(corpus)),
+      "post-append store LM must equal the one-shot corpus LM")
+    // a batch with one in-model doc and one fully-novel doc: the novel
+    // doc (every bigram OOV) has no model evidence — its source is
+    // absent, not scored as zero
+    val probe = Seq(
+      (8L, "a b", "web"),
+      (9L, "z z z", "novel")
+    ).toDF("doc_id", "text", "source")
+    val scored = CurationOps.doremiFromStore(probe, path)
+      .select("source").collect().map(_.getString(0)).toSeq
+    assert(scored === Seq("web"), s"novel-doc handling: $scored")
+  }
 }

@@ -1143,4 +1143,64 @@ class DedupSpec extends SparkSpec {
     // the clean vector's norm still reports
     assert(a.getAs[Double]("max_norm") > 2.0)
   }
+
+  test("q132 planted leak at the production band: a train→held near-dup " +
+      "(cos = 1.0) is flagged at threshold 0.95 on both the exact and " +
+      "the sub-bucketed arm") {
+    import spark.implicits._
+    val dim = SimilarityOps.Dim
+    val rnd = new scala.util.Random(777)
+    def vec(): Array[Float] = Array.fill(dim)(rnd.nextGaussian().toFloat)
+    // probe the DETERMINISTIC q116 split for candidate ids first (the
+    // q130 spec's device): we need ids we KNOW land train vs held
+    val assign = (0L until 40L).map { i =>
+      val h4 = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"graft-split:$i".getBytes("UTF-8"))
+        .take(2).map("%02x".format(_)).mkString
+      i -> (h4 < "cccc")
+    }.toMap
+    val trainIds = assign.filter(_._2).keys.toSeq.sorted
+    val heldIds = assign.filterNot(_._2).keys.toSeq.sorted
+    assert(trainIds.size >= 6 && heldIds.size >= 4,
+      s"fixture needs both sides: ${trainIds.size}/${heldIds.size}")
+    // label 0 (leaky): planted train vector + its EXACTLY-parallel held
+    // twin (2·v — cosine exactly 1.0, and positive scaling preserves every
+    // hyperplane sign bit, so the pair shares its LSH cell BY CONSTRUCTION
+    // under subdivision) + random train/held fillers.
+    // label 1 (clean): random vectors only, both sides.
+    val planted = vec()
+    val twin = planted.map(_ * 2.0f)
+    val leakyTrain = trainIds.head
+    val rows =
+      Seq((leakyTrain, planted, 0), (heldIds.head, twin, 0)) ++
+        trainIds.slice(1, 4).map(i => (i, vec(), 0)) ++
+        heldIds.slice(1, 3).map(i => (i, vec(), 0)) ++
+        trainIds.slice(4, 6).map(i => (i, vec(), 1)) ++
+        heldIds.slice(3, 4).map(i => (i, vec(), 1))
+    val embDf = rows.toDF("vec_id", "embedding", "label")
+
+    def audit(exact: Boolean, maxBlock: Int) =
+      SimilarityOps.semanticLeakageOn(embDf, threshold = 0.95,
+        maxExactBlock = maxBlock, exact = exact)
+        .collect().map(r => r.getInt(0) ->
+          (r.getLong(1), r.getLong(2), r.getLong(3),
+            // max_cos is null when no train vector shares a cell with any
+            // held vector (possible for a clean label under subdivision)
+            if (r.isNullAt(5)) Double.NaN else r.getDouble(5))).toMap
+    val full = audit(exact = true, maxBlock = 4096)
+    // exact arm: the planted pair is THE leak — label 0 flags exactly one
+    // train vector at max_cos 1.0, the clean label flags none
+    assert(full(0) === ((4L, 3L, 1L, 1.0)), s"leaky label: ${full(0)}")
+    assert(full(1)._3 === 0L, s"clean label must not flag: ${full(1)}")
+    // sub-bucketed arm (every label block > 2 subdivides by LSH cell):
+    // the parallel pair shares its cell, so the planted leak SURVIVES the
+    // subdivision — the recall claim at the production band
+    val sub = audit(exact = false, maxBlock = 2)
+    assert(sub(0)._3 === 1L && sub(0)._4 === 1.0,
+      s"planted leak must survive sub-bucketing: ${sub(0)}")
+    assert(sub(1)._3 === 0L, s"clean label under subdivision: ${sub(1)}")
+    // counts (n_train, n_held) are split-derived, not gate-derived —
+    // identical on both arms
+    assert(sub(0)._1 === full(0)._1 && sub(0)._2 === full(0)._2)
+  }
 }

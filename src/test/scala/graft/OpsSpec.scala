@@ -937,6 +937,19 @@ class OpsSpec extends SparkSpec {
       "compaction must not change screen answers")
     assert(!new java.io.File(store + ".merging").exists)
     assert(!new java.io.File(store + ".old").exists)
+    // a batch-id-keyed store (the streaming triage layout) is rejected
+    // loudly — compacting it would flatten the layout runMediaIngest
+    // requires, bricking the stream until re-seeded
+    val streamStore = tmpDir("phash-stream") + "/phash"
+    MultimodalOps.mediaPhashOn(
+      Seq((0L, base)).toDF("doc_id", "text"))
+      .write.parquet(streamStore + "/batch_id=0")
+    val e = intercept[IllegalArgumentException] {
+      MultimodalOps.compactPhashStore(spark, streamStore)
+    }
+    assert(e.getMessage.contains("batch-id-keyed"))
+    assert(spark.read.parquet(streamStore).count() === 1,
+      "the refused compactor must leave the store untouched")
   }
 
   test("centroid rows cover every (label, dim) cell") {
