@@ -554,10 +554,30 @@ object CurationOps {
     temperatureMixOn(docs(s, dir))
 
   /** `docsDf` needs (source, text). */
-  def temperatureMixOn(docsDf: DataFrame, alpha: Double = 0.3): DataFrame = {
+  def temperatureMixOn(docsDf: DataFrame, alpha: Double = 0.3): DataFrame =
+    temperatureMixFromCounts(
+      docsDf.groupBy("source").agg(sum(size(toks)).as("n_tokens")), alpha)
+
+  /** The q115 rule over the persisted token-count store — the per-crawl
+    * face: per-source sizes are the store's sum-on-read contraction
+    * (≤|sources|·|vocab| rows, zero corpus access). Sizes count the
+    * store's tokenizer (empty split tokens dropped), so a multi-spaced
+    * corpus reads marginally smaller than [[temperatureMixOn]]'s raw
+    * `size(split(...))`; shares and factors are ratio-stable under that.
+    */
+  def temperatureMixFromStore(s: SparkSession, storePath: String,
+      alpha: Double = 0.3): DataFrame =
+    temperatureMixFromCounts(
+      s.read.parquet(storePath)
+        .groupBy("source").agg(sum("c").as("n_tokens")), alpha)
+
+  /** The update half of q115 over any (source, n_tokens) contraction —
+    * one definition for the raw, store, and streaming faces.
+    */
+  private def temperatureMixFromCounts(counts: DataFrame,
+      alpha: Double): DataFrame = {
     val Dec = org.apache.spark.sql.types.DecimalType(38, 10)
-    val base = docsDf.groupBy("source")
-      .agg(sum(size(toks)).as("n_tokens"))
+    val base = counts
       .withColumn("w",
         round(pow(col("n_tokens").cast("double"), lit(alpha)), 6))
     val tot = broadcast(base.agg(
@@ -647,18 +667,58 @@ object CurationOps {
 
   /** Shared rollup: per-doc (doc_id, n_bigrams, avg_logp) + a
     * (doc_id, source) attachment → one DoReMi multiplicative-weights row
-    * per source. Both faces replay ONE update definition.
+    * per source. Every face replays ONE update definition, decomposed as
+    * contraction ([[doremiPartials]]) + update ([[doremiFromPartials]]) so
+    * the streaming governor can persist per-batch partials and re-derive
+    * cumulative weights without re-scoring earlier batches.
     */
-  private def doremiRollup(perDoc: DataFrame, docsDf: DataFrame): DataFrame = {
+  private def doremiRollup(perDoc: DataFrame, docsDf: DataFrame): DataFrame =
+    doremiFromPartials(doremiPartials(perDoc, docsDf))
+
+  /** The per-source sufficient statistics of the DoReMi update —
+    * (source, n_docs, n_bigrams, sum_lp) with sum_lp in exact
+    * DECIMAL(38,10): additive across disjoint doc sets, so per-batch
+    * partial rows summed over any segmentation reproduce the one-shot
+    * contraction exactly (the token-count store's sum-on-read law, for
+    * mix weights).
+    */
+  private[graft] def doremiPartials(perDoc: DataFrame,
+      docsDf: DataFrame): DataFrame = {
     val Dec = org.apache.spark.sql.types.DecimalType(38, 10)
-    val Dec6 = org.apache.spark.sql.types.DecimalType(38, 6)
-    val w = org.apache.spark.sql.expressions.Window.partitionBy(lit(1))
-    val bySrc = perDoc
+    perDoc
       .join(docsDf.select(col("doc_id"), col("source")), Seq("doc_id"))
       .groupBy("source")
       .agg(count(lit(1)).as("n_docs"),
         sum("n_bigrams").as("n_bigrams"),
         sum((col("n_bigrams") * col("avg_logp")).cast(Dec)).as("sum_lp"))
+  }
+
+  /** Per-source partials of a crawl batch scored against the PERSISTED
+    * bigram LM — what the streaming mix governor appends per micro-batch
+    * (frozen-reference semantics: the stored LM is DoReMi's fixed
+    * reference model; OOV bigrams are excluded and fully-novel docs drop,
+    * [[doremiFromStore]]'s contract).
+    */
+  def doremiBatchPartials(batchDf: DataFrame,
+      lmStorePath: String): DataFrame =
+    doremiPartials(
+      SearchOps.lmPerplexityFromStore(batchDf, lmStorePath)
+        .filter(col("n_bigrams") > 0)
+        .select(col("doc_id"), col("n_bigrams"), col("avg_logp")),
+      batchDf)
+
+  /** One DoReMi multiplicative-weights step over accumulated partial
+    * rows (multiple rows per source are summed — exact, the decimal
+    * accumulator). ≤|sources|·|segments| input rows, never corpus-sized.
+    */
+  def doremiFromPartials(partials: DataFrame): DataFrame = {
+    val Dec6 = org.apache.spark.sql.types.DecimalType(38, 6)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(lit(1))
+    val bySrc = partials
+      .groupBy("source")
+      .agg(sum("n_docs").as("n_docs"),
+        sum("n_bigrams").as("n_bigrams"),
+        sum("sum_lp").as("sum_lp"))
     val scored = bySrc
       .withColumn("nll",
         round(-col("sum_lp").cast("double") / col("n_bigrams"), 6))

@@ -803,4 +803,75 @@ class StreamingSpec extends SparkSpec {
     q.stop()
     assert(spark.table("dd").count() === 10)
   }
+
+  test("streaming mix governor: per-batch reports equal the store-face " +
+      "q115+q131 over everything ingested, replays converge, LM-less " +
+      "sources keep their size columns") {
+    import graft.streaming.MixGovernorPipeline
+    import graft.ops.CurationOps
+    implicit val sqlCtx = spark.sqlContext
+    val root = tmpDir("mixgov")
+    val lm = s"$root/lm"
+    val tokens = s"$root/tokens"
+    val partials = s"$root/partials"
+    val report = s"$root/report"
+    val batch1 = Seq(
+      (0L, "web", "a b a b a c"),
+      (1L, "books", "a b a b"),
+      (2L, "solo", "x")) // one token: no bigram, no DoReMi evidence
+    val batch2 = Seq(
+      (3L, "web", "a b a c"),
+      (4L, "books", "a c a c"))
+    val all = batch1 ++ batch2
+    def df(rows: Seq[(Long, String, String)]) =
+      rows.toDF("doc_id", "source", "text")
+    // frozen reference LM, seeded from the full crawl plan (DoReMi's
+    // fixed reference model) — batches then score with zero OOV
+    graft.ops.SearchOps.writeBigramStore(df(all), lm)
+    val input = MemoryStream[(Long, String, String)]
+    val q = MixGovernorPipeline.runMixGovernor(
+      input.toDS().toDF("doc_id", "source", "text"),
+      lm, tokens, partials, report, s"$root/ckpt")
+    input.addData(batch1: _*)
+    q.processAllAvailable()
+    input.addData(batch2: _*)
+    q.processAllAvailable()
+    q.stop()
+    def rep(id: Long) = spark.read.parquet(report)
+      .filter(col("batch_id") === id).drop("batch_id")
+      .orderBy("source").collect().map(_.toSeq).toSeq
+    // the expected report, assembled from the BATCH faces over the same
+    // ingested prefix (store-seeded LM ⇒ doremiFromStore is exact)
+    def want(rows: Seq[(Long, String, String)]) =
+      CurationOps.temperatureMixOn(df(rows))
+        .join(CurationOps.doremiFromStore(df(rows), lm)
+            .select(col("source"), col("n_docs"), col("nll"),
+              col("excess"), col("doremi_weight")),
+          Seq("source"), "left")
+        .orderBy("source").collect().map(_.toSeq).toSeq
+    assert(rep(0) === want(batch1))
+    assert(rep(1) === want(all))
+    assert(MixGovernorPipeline.latestReport(spark, report)
+      .collect().map(_.toSeq).toSeq === want(all))
+    // the 1-token source keeps its temperature row; DoReMi columns null
+    val soloRow = MixGovernorPipeline.latestReport(spark, report)
+      .filter(col("source") === "solo").collect().head
+    assert(soloRow.getAs[Long]("n_tokens") === 1L)
+    assert(soloRow.isNullAt(soloRow.fieldIndex("doremi_weight")))
+    // replaying a batch overwrites its keyed segments — the cumulative
+    // report is unchanged (no double count)
+    graft.ops.TextOps.writeTokenCountBatch(df(batch2), tokens, 1L)
+    CurationOps.doremiBatchPartials(df(batch2), lm)
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$partials/batch_id=1")
+    assert(MixGovernorPipeline.mixReport(spark, tokens, partials)
+      .orderBy("source").collect().map(_.toSeq).toSeq === want(all))
+    // before any batch commits: empty report with the full schema
+    val empty = MixGovernorPipeline.latestReport(spark,
+      s"$root/never-written")
+    assert(empty.collect().isEmpty)
+    assert(empty.columns.toSeq === Seq("source", "n_tokens",
+      "natural_share", "temp_share", "sample_factor", "expected_tokens",
+      "n_docs", "nll", "excess", "doremi_weight"))
+  }
 }
