@@ -707,6 +707,27 @@ object CurationOps {
         .select(col("doc_id"), col("n_bigrams"), col("avg_logp")),
       batchDf)
 
+  /** Re-contract a batch-id-keyed DoReMi-partials store
+    * (`MixGovernorPipeline`'s layout) into one `batch_id=-1` segment —
+    * the additive-statistics contraction is exact (decimal sums), so the
+    * mix report is unchanged. Staging + atomic swap; and like the keyed
+    * token-count compactor, ONLY compact while the owning stream is
+    * STOPPED with its checkpoint committed — a replayed batch would
+    * re-create its segment alongside the folded copy and double-count.
+    */
+  def compactDoremiPartials(s: SparkSession, path: String): Unit = {
+    val staging = path + ".merging"
+    s.read.parquet(path)
+      .groupBy("source")
+      .agg(sum("n_docs").as("n_docs"),
+        sum("n_bigrams").as("n_bigrams"),
+        sum("sum_lp").cast(org.apache.spark.sql.types.DecimalType(38, 10))
+          .as("sum_lp"))
+      .coalesce(1)
+      .write.mode("overwrite").parquet(staging + "/batch_id=-1")
+    ScaleOps.swapInto(s, staging, path)
+  }
+
   /** One DoReMi multiplicative-weights step over accumulated partial
     * rows (multiple rows per source are summed — exact, the decimal
     * accumulator). ≤|sources|·|segments| input rows, never corpus-sized.

@@ -866,6 +866,17 @@ class StreamingSpec extends SparkSpec {
       .parquet(s"$partials/batch_id=1")
     assert(MixGovernorPipeline.mixReport(spark, tokens, partials)
       .orderBy("source").collect().map(_.toSeq).toSeq === want(all))
+    // keyed compaction (stream stopped) contracts partials to one
+    // batch_id=-1 segment without changing the report — additive
+    // sufficient statistics are exact under re-aggregation
+    CurationOps.compactDoremiPartials(spark, partials)
+    assert(spark.read.parquet(partials)
+      .select(col("batch_id").cast("long")).distinct()
+      .collect().map(_.getLong(0)).toSeq === Seq(-1L))
+    assert(MixGovernorPipeline.mixReport(spark, tokens, partials)
+      .orderBy("source").collect().map(_.toSeq).toSeq === want(all))
+    assert(!new java.io.File(partials + ".merging").exists)
+    assert(!new java.io.File(partials + ".old").exists)
     // before any batch commits: empty report with the full schema
     val empty = MixGovernorPipeline.latestReport(spark,
       s"$root/never-written")
