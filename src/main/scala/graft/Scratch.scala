@@ -140,6 +140,41 @@ object Scratch {
       spark.stop()
       return
     }
+    if (name == "mixgov") {
+      // streaming mix-governor datapoint: replay the foreachBatch body
+      // (token segment + DoReMi partials + report) over K successive
+      // crawl slices and time the REPORT recompute per batch — the claim
+      // under test is that per-batch cost stays flat as the stores grow
+      // (report reads are |sources|·|vocab| + |sources|·|batches|
+      // bounded, never corpus-sized).
+      import org.apache.spark.sql.functions._
+      val d = Tables.t(spark, dir, "documents")
+      println(s"docs = ${d.count()}")
+      val root = java.nio.file.Files.createTempDirectory("mixgov").toString
+      time("seed_frozen_lm")(
+        { ops.SearchOps.writeBigramStore(d, s"$root/lm"); 0L })
+      val k = 5
+      (0 until k).foreach { i =>
+        val slice = d.filter(pmod(col("doc_id") * 48271L + 23L, lit(k.toLong))
+          === i.toLong)
+        time(s"batch_${i}_token_segment")(
+          { ops.TextOps.writeTokenCountBatch(slice, s"$root/tokens", i); 0L })
+        time(s"batch_${i}_doremi_partials")(
+          { ops.CurationOps.doremiBatchPartials(slice, s"$root/lm")
+            .coalesce(1).write.mode("overwrite")
+            .parquet(s"$root/partials/batch_id=$i"); 0L })
+        time(s"batch_${i}_report")(
+          streaming.MixGovernorPipeline.mixReport(spark, s"$root/tokens",
+            s"$root/partials").count())
+      }
+      time("compact_partials")(
+        { ops.CurationOps.compactDoremiPartials(spark, s"$root/partials"); 0L })
+      time("report_post_compact")(
+        streaming.MixGovernorPipeline.mixReport(spark, s"$root/tokens",
+          s"$root/partials").count())
+      spark.stop()
+      return
+    }
     if (name == "crawlstore") {
       // incremental crawl-index datapoints: the 80% "already indexed" side
       // seeds the shingle store once; the 20% batch then probes/appends
