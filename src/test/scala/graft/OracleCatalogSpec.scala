@@ -46,6 +46,22 @@ class OracleCatalogSpec extends AnyFunSuite {
     }
   }
 
+  test("no oracle string carries an unrendered interpolation") {
+    // a string literal missing its `s` prefix ships `$ident` / `${...}`
+    // verbatim into DuckDB — the sibling failure class of the
+    // interpolated-null bug. A bare `$` before a non-identifier char is
+    // legit SQL (q18 formats currency with '$' || …); only
+    // `$letter`/`$_`/`${` marks a lost interpolation.
+    val unrendered = """\$[A-Za-z_{]""".r
+    for ((name, sql) <- SparkEntry.oracleSql; if sql != null) {
+      val hit = unrendered.findFirstMatchIn(sql)
+      assert(hit.isEmpty,
+        s"$name: oracle SQL contains '${hit.map(_.matched).getOrElse("")}'" +
+          " — missing s-prefix on an interpolated literal? Context: " +
+          s"…${contextOf(sql, hit.map(_.start).getOrElse(0))}…")
+    }
+  }
+
   test("every oracle key has a matching query (no orphan oracles)") {
     val qKeys = SparkEntry.queries.keySet
     val orphans = SparkEntry.oracleSql.keySet -- qKeys
