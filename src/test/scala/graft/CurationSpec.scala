@@ -812,6 +812,44 @@ class CurationSpec extends SparkSpec {
       "store ≡ raw must hold on multi-spaced text (same tokenizer)")
   }
 
+  test("doremi partials law: ANY segmentation of the corpus into batches " +
+      "yields identical cumulative weights (randomized)") {
+    import graft.ops.{CurationOps, SearchOps}
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    // fixed corpus, frozen LM; the property quantifies over the batch
+    // assignment — the exact situation the mix governor lives in, where
+    // micro-batch boundaries are arbitrary
+    val corpus = Seq(
+      (0L, "web", "a b a b a c"),
+      (1L, "books", "a b a b"),
+      (2L, "books", "a c a c"),
+      (3L, "web", "a b a c"),
+      (4L, "code", "a c"),
+      (5L, "code", "b c b a")
+    ).toDF("doc_id", "source", "text")
+    val lm = tmpDir("doremi-law") + "/lm"
+    SearchOps.writeBigramStore(corpus, lm)
+    val oneShot = CurationOps.doremiFromStore(corpus, lm)
+      .collect().map(_.toSeq).toSeq
+    val assignGen = Gen.listOfN(6, Gen.choose(0, 2)) // each doc → batch 0..2
+    val prop = Prop.forAll(assignGen) { assign =>
+      val withBatch = corpus.withColumn("b",
+        // deterministic per-doc batch label from the generated assignment
+        org.apache.spark.sql.functions.element_at(
+          org.apache.spark.sql.functions.typedLit(assign.map(_.toLong)),
+          col("doc_id").cast("int") + 1))
+      val partials = (0 until 3).map { b =>
+        CurationOps.doremiBatchPartials(
+          withBatch.filter(col("b") === b.toLong).drop("b"), lm)
+      }.reduce(_ unionByName _)
+      CurationOps.doremiFromPartials(partials)
+        .collect().map(_.toSeq).toSeq == oneShot
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(8),
+      prop)
+    assert(res.passed, s"segmentation law failed: ${res.status}")
+  }
+
   test("doremi from bigram store: store path equals the raw face on the " +
       "store's corpus, appends match the one-shot LM, fully-novel docs " +
       "drop from the rollup") {
