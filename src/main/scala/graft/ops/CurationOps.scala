@@ -728,6 +728,19 @@ object CurationOps {
     ScaleOps.swapInto(s, staging, path)
   }
 
+  /** The zero-row partials frame with the exact [[doremiPartials]]
+    * schema — what a batch contributes when no reference LM exists yet
+    * (the mix governor's absent-store arm), and the "no batches yet"
+    * base of every partials consumer.
+    */
+  def emptyDoremiPartials(s: SparkSession): DataFrame = {
+    import s.implicits._
+    Seq.empty[(String, Long, Long, BigDecimal)]
+      .toDF("source", "n_docs", "n_bigrams", "sum_lp")
+      .withColumn("sum_lp",
+        col("sum_lp").cast(org.apache.spark.sql.types.DecimalType(38, 10)))
+  }
+
   /** One DoReMi multiplicative-weights step over accumulated partial
     * rows (multiple rows per source are summed — exact, the decimal
     * accumulator). ≤|sources|·|segments| input rows, never corpus-sized.

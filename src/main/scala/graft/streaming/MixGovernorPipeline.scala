@@ -35,8 +35,10 @@ object MixGovernorPipeline {
   /** Start the governor over a (doc_id, source, text) document stream.
     *
     * @param lmStoreDir    pre-seeded frozen bigram store (the reference
-    *                      LM); absent ⇒ every doc is fully OOV and the
-    *                      DoReMi columns stay empty until seeded
+    *                      LM); absent ⇒ batches contribute zero partial
+    *                      rows (model-less) and the report's DoReMi
+    *                      columns stay null until the store is seeded —
+    *                      token segments still land, so nothing is lost
     * @param tokenStoreDir batch-id-keyed token-count store segments
     * @param partialsDir   per-batch DoReMi partial rows
     *                      (`batch_id=N/(source, n_docs, n_bigrams, sum_lp)`)
@@ -54,7 +56,16 @@ object MixGovernorPipeline {
         if (!batch.isEmpty) {
           val s = batch.sparkSession
           TextOps.writeTokenCountBatch(batch, tokenStoreDir, batchId)
-          CurationOps.doremiBatchPartials(batch, lmStoreDir)
+          // an absent reference LM must not kill the stream (the media
+          // triage absent-store convention): the batch's docs are all
+          // model-less — zero partial rows, DoReMi columns stay null in
+          // the report until the store is seeded. The batch's TOKEN
+          // segment above still lands, so seeding later loses nothing.
+          val partials = BatchDirs.readIfExists(s, lmStoreDir) match {
+            case Some(_) => CurationOps.doremiBatchPartials(batch, lmStoreDir)
+            case None => CurationOps.emptyDoremiPartials(s)
+          }
+          partials
             .coalesce(1).write.mode("overwrite")
             .parquet(s"$partialsDir/batch_id=$batchId")
           mixReport(s, tokenStoreDir, partialsDir, alpha)
@@ -74,10 +85,13 @@ object MixGovernorPipeline {
     */
   def mixReport(s: SparkSession, tokenStoreDir: String,
       partialsDir: String, alpha: Double = 0.3): DataFrame = {
+    if (BatchDirs.readIfExists(s, tokenStoreDir).isEmpty)
+      return mixReportEmpty(s) // nothing ingested yet — not a read error
     val temp = CurationOps.temperatureMixFromStore(s, tokenStoreDir, alpha)
     val doremi = BatchDirs.readIfExists(s, partialsDir) match {
       case Some(p) => CurationOps.doremiFromPartials(p.drop("batch_id"))
-      case None => CurationOps.doremiFromPartials(emptyPartials(s))
+      case None =>
+        CurationOps.doremiFromPartials(CurationOps.emptyDoremiPartials(s))
     }
     temp.join(
       doremi.select(col("source"), col("n_docs"), col("nll"),
@@ -102,17 +116,9 @@ object MixGovernorPipeline {
   private def mixReportEmpty(s: SparkSession): DataFrame = {
     val temp = CurationOps.temperatureMixOn(BatchDirs.emptyDocs(s))
     temp.join(
-      CurationOps.doremiFromPartials(emptyPartials(s))
+      CurationOps.doremiFromPartials(CurationOps.emptyDoremiPartials(s))
         .select(col("source"), col("n_docs"), col("nll"), col("excess"),
           col("doremi_weight")),
       Seq("source"), "left")
-  }
-
-  private def emptyPartials(s: SparkSession): DataFrame = {
-    import s.implicits._
-    Seq.empty[(String, Long, Long, BigDecimal)]
-      .toDF("source", "n_docs", "n_bigrams", "sum_lp")
-      .withColumn("sum_lp",
-        col("sum_lp").cast(org.apache.spark.sql.types.DecimalType(38, 10)))
   }
 }

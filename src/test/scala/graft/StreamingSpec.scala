@@ -884,5 +884,42 @@ class StreamingSpec extends SparkSpec {
     assert(empty.columns.toSeq === Seq("source", "n_tokens",
       "natural_share", "temp_share", "sample_factor", "expected_tokens",
       "n_docs", "nll", "excess", "doremi_weight"))
+    // mixReport over never-written STORES likewise answers empty
+    assert(MixGovernorPipeline.mixReport(spark,
+      s"$root/no-tokens", s"$root/no-partials").collect().isEmpty)
+  }
+
+  test("mix governor without a seeded LM: the stream survives, size " +
+      "columns publish, DoReMi columns are null until the store exists") {
+    import graft.streaming.MixGovernorPipeline
+    implicit val sqlCtx = spark.sqlContext
+    val root = tmpDir("mixgov-nolm")
+    val lm = s"$root/lm" // never seeded before the stream starts
+    val input = MemoryStream[(Long, String, String)]
+    val q = MixGovernorPipeline.runMixGovernor(
+      input.toDS().toDF("doc_id", "source", "text"),
+      lm, s"$root/tokens", s"$root/partials", s"$root/report",
+      s"$root/ckpt")
+    input.addData((0L, "web", "a b a"), (1L, "books", "b c"))
+    q.processAllAvailable()
+    val r0 = MixGovernorPipeline.latestReport(spark, s"$root/report")
+      .orderBy("source").collect()
+    assert(r0.map(_.getString(0)).toSeq === Seq("books", "web"),
+      "size columns must publish without an LM")
+    assert(r0.forall(r => r.isNullAt(r.fieldIndex("doremi_weight"))),
+      "DoReMi columns must be null, not a crashed stream")
+    // seed the reference LM mid-crawl; the NEXT batch scores
+    graft.ops.SearchOps.writeBigramStore(
+      Seq((0L, "a b a"), (1L, "b c")).toDF("doc_id", "text"), lm)
+    input.addData((2L, "web", "a b"))
+    q.processAllAvailable()
+    q.stop()
+    val r1 = MixGovernorPipeline.latestReport(spark, s"$root/report")
+      .orderBy("source").collect()
+    val web = r1.find(_.getString(0) == "web").get
+    assert(!web.isNullAt(web.fieldIndex("doremi_weight")),
+      "post-seed batches must score against the new LM")
+    assert(web.getAs[Long]("n_docs") === 1L,
+      "only the post-seed batch carries LM evidence")
   }
 }
