@@ -659,11 +659,7 @@ object CurationOps {
     * the BATCH, zero `documents` scans (plan-probed in PLANS.md).
     */
   def doremiFromStore(batchDf: DataFrame, storePath: String): DataFrame =
-    doremiRollup(
-      SearchOps.lmPerplexityFromStore(batchDf, storePath)
-        .filter(col("n_bigrams") > 0)
-        .select(col("doc_id"), col("n_bigrams"), col("avg_logp")),
-      batchDf)
+    doremiFromPartials(doremiBatchPartials(batchDf, storePath))
 
   /** Shared rollup: per-doc (doc_id, n_bigrams, avg_logp) + a
     * (doc_id, source) attachment → one DoReMi multiplicative-weights row

@@ -384,6 +384,28 @@ object SearchOps {
       .repartition(col("from_tok"))
       .write.mode("overwrite").parquet(path)
 
+  /** [[writeBigramStore]] via staging + atomic swap — the seeding form
+    * for a path that LIVE READERS may already be polling (the mix
+    * governor's mid-crawl LM seed): a direct `mode("overwrite")` leaves
+    * the path existing-but-footerless for the whole job duration, so a
+    * concurrent poll crashes on schema inference or, worse, scores
+    * against a partially-committed LM. With the swap, a reader sees the
+    * path absent (the governor's null-columns arm) or fully written —
+    * never in between.
+    */
+  def writeBigramStoreStaged(docsDf: DataFrame, path: String): Unit = {
+    val staging = path + ".merging"
+    writeBigramStore(docsDf, staging)
+    val s = docsDf.sparkSession
+    val hPath = new org.apache.hadoop.fs.Path(path)
+    val fs = hPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(hPath)) graft.ops.ScaleOps.swapInto(s, staging, path)
+    else if (!fs.rename(new org.apache.hadoop.fs.Path(staging), hPath))
+      // first seed: one rename — the path goes absent → fully written
+      throw new java.io.IOException(
+        s"writeBigramStoreStaged: rename $staging -> $hPath failed")
+  }
+
   /** Fold a new batch's bigram counts into the store, append-only
     * (sum-on-read merges segments; replaying an append double-counts that
     * batch — admit exactly once, compact with [[compactBigramStore]]).

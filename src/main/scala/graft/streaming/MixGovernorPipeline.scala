@@ -9,9 +9,11 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   * flattening) and q131 (DoReMi loss-aware reweighting) over the persisted
   * stores: each crawl micro-batch folds its (source, token, count)
   * contraction into the token store, scores itself against the FROZEN
-  * reference bigram LM (`SearchOps.writeBigramStore`, seeded before the
-  * stream starts — DoReMi's reference model is fixed by construction;
-  * the proxy weights are what update), appends its ≤|sources| DoReMi
+  * reference bigram LM (seed with `SearchOps.writeBigramStoreStaged` —
+  * atomic even mid-crawl, a polled path is absent or fully written,
+  * never footer-less; DoReMi's reference model is fixed by
+  * construction, the proxy weights are what update), appends its
+  * ≤|sources| DoReMi
   * partial rows, and republishes BOTH mix tables from stores alone —
   * zero corpus re-reads, cost per batch ∝ batch. This is the live
   * sampling-weight feed a data-mix owner points the trainer at while a
@@ -20,9 +22,10 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   * Scale shape: per micro-batch, one batch-sized token contraction and
   * one batch-sized LM-score join (the identical work the batch faces
   * pay), then report reads bounded by |sources|·|vocab| (token store) and
-  * |sources|·|batches| (partials — compact by re-aggregating through
-  * [[CurationOps.doremiFromPartials]] if a crawl runs to millions of
-  * batches). Nothing downstream of a batch is ever corpus-sized.
+  * |sources|·|batches| (partials — if a crawl runs to millions of
+  * batches, re-contract them with [[CurationOps.compactDoremiPartials]]
+  * while the stream is stopped). Nothing downstream of a batch is ever
+  * corpus-sized.
   *
   * Idempotence: all three sinks key on the micro-batch id and overwrite
   * on replay (IngestPipeline's convention) — a crashed-and-replayed batch
@@ -53,28 +56,58 @@ object MixGovernorPipeline {
       .trigger(trigger)
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        if (!batch.isEmpty) {
-          val s = batch.sparkSession
-          TextOps.writeTokenCountBatch(batch, tokenStoreDir, batchId)
-          // an absent reference LM must not kill the stream (the media
-          // triage absent-store convention): the batch's docs are all
-          // model-less — zero partial rows, DoReMi columns stay null in
-          // the report until the store is seeded. The batch's TOKEN
-          // segment above still lands, so seeding later loses nothing.
-          val partials = BatchDirs.readIfExists(s, lmStoreDir) match {
-            case Some(_) => CurationOps.doremiBatchPartials(batch, lmStoreDir)
-            case None => CurationOps.emptyDoremiPartials(s)
+        // one source read per trigger: isEmpty, the token contraction,
+        // and the LM-score join all reuse the cached batch
+        val b = batch.persist()
+        try {
+          if (!b.isEmpty) {
+            val s = b.sparkSession
+            TextOps.writeTokenCountBatch(b, tokenStoreDir, batchId)
+            // an absent reference LM must not kill the stream (the media
+            // triage absent-store convention): the batch's docs are all
+            // model-less — zero partial rows, DoReMi columns stay null in
+            // the report until the store is seeded. The batch's TOKEN
+            // segment above still lands, so seeding later loses nothing.
+            // Seed a live path with writeBigramStoreStaged (absent →
+            // fully written, never footer-less mid-job).
+            val partials =
+              if (lmReadable(s, lmStoreDir))
+                CurationOps.doremiBatchPartials(b, lmStoreDir)
+              else CurationOps.emptyDoremiPartials(s)
+            partials
+              .coalesce(1).write.mode("overwrite")
+              .parquet(s"$partialsDir/batch_id=$batchId")
+            mixReport(s, tokenStoreDir, partialsDir, alpha)
+              .withColumn("batch_id", lit(batchId))
+              .coalesce(1).write.mode("overwrite")
+              .parquet(s"$reportDir/batch_id=$batchId")
           }
-          partials
-            .coalesce(1).write.mode("overwrite")
-            .parquet(s"$partialsDir/batch_id=$batchId")
-          mixReport(s, tokenStoreDir, partialsDir, alpha)
-            .withColumn("batch_id", lit(batchId))
-            .coalesce(1).write.mode("overwrite")
-            .parquet(s"$reportDir/batch_id=$batchId")
-        }
+        } finally { b.unpersist(); () }
       }
       .start()
+
+  /** Paths whose reference LM has been seen readable once — the LM is
+    * FROZEN by contract, so a successful probe never needs repeating;
+    * steady-state triggers pay zero store-probe I/O.
+    */
+  private val lmSeen =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** True when the reference LM at `path` is actually SCORABLE: the dir
+    * must hold readable parquet (a dir that exists but carries only an
+    * in-flight job's `_temporary` — the non-staged-seed race — reads as
+    * not-yet-seeded rather than crashing the stream).
+    */
+  private def lmReadable(s: SparkSession, path: String): Boolean =
+    lmSeen.contains(path) || {
+      // read.parquet itself throws on a footer-less dir — the Try wraps
+      // the whole probe, not just a schema access
+      val ok = scala.util.Try(
+        BatchDirs.readIfExists(s, path)
+          .exists(_.columns.contains("n_pairs"))).getOrElse(false)
+      if (ok) lmSeen.add(path)
+      ok
+    }
 
   /** The cumulative mix table from the stores alone: q115's temperature
     * columns for every source seen so far, left-joined with q131's DoReMi

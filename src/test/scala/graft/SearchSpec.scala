@@ -59,6 +59,27 @@ class SearchSpec extends SparkSpec {
     assert(r.getAs[Long]("n_oov") === 1L) // (b,z) unseen, excluded
   }
 
+  test("staged bigram store seed: first write lands atomically, a re-seed " +
+      "over the live store swaps, no staging residue either way") {
+    val path = tmpDir("bigram-staged") + "/bigrams"
+    val c1 = Seq((1L, "a b"), (2L, "a c")).toDF("doc_id", "text")
+    SearchOps.writeBigramStoreStaged(c1, path) // first seed: path absent
+    assert(SearchOps.lmPerplexityFromStore(c1, path).collect()
+      .forall(_.getAs[Long]("n_oov") == 0L))
+    assert(!new java.io.File(path + ".merging").exists)
+    // re-seed over the LIVE store (a frozen-LM refresh between crawls)
+    val c2 = Seq((3L, "x y"), (4L, "x z")).toDF("doc_id", "text")
+    SearchOps.writeBigramStoreStaged(c2, path)
+    val scored = SearchOps.lmPerplexityFromStore(c2, path).collect()
+    assert(scored.forall(_.getAs[Long]("n_oov") == 0L),
+      "the swapped store must hold ONLY the new LM")
+    assert(SearchOps.lmPerplexityFromStore(c1, path).collect()
+      .forall(_.getAs[Long]("n_bigrams") == 0L),
+      "the old LM must be fully replaced, not merged")
+    assert(!new java.io.File(path + ".merging").exists)
+    assert(!new java.io.File(path + ".old").exists)
+  }
+
   test("lm perplexity plan: count agg, vocab window, bigram join, doc " +
       "agg, sort — and nothing more") {
     val docs = Seq((1L, "a b c"), (2L, "a b d")).toDF("doc_id", "text")

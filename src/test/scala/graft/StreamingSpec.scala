@@ -908,9 +908,11 @@ class StreamingSpec extends SparkSpec {
       "size columns must publish without an LM")
     assert(r0.forall(r => r.isNullAt(r.fieldIndex("doremi_weight"))),
       "DoReMi columns must be null, not a crashed stream")
-    // seed the reference LM mid-crawl; the NEXT batch scores
-    graft.ops.SearchOps.writeBigramStore(
+    // seed the reference LM mid-crawl via the STAGED writer (the live
+    // path must go absent → fully written, never footer-less mid-job)
+    graft.ops.SearchOps.writeBigramStoreStaged(
       Seq((0L, "a b a"), (1L, "b c")).toDF("doc_id", "text"), lm)
+    assert(!new java.io.File(lm + ".merging").exists)
     input.addData((2L, "web", "a b"))
     q.processAllAvailable()
     q.stop()
