@@ -572,9 +572,11 @@ object CurationOps {
         .groupBy("source").agg(sum("c").as("n_tokens")), alpha)
 
   /** The update half of q115 over any (source, n_tokens) contraction —
-    * one definition for the raw, store, and streaming faces.
+    * one definition for the raw, store, and streaming faces (the
+    * governor feeds its already-opened store frame here so each trigger
+    * lists the store once).
     */
-  private def temperatureMixFromCounts(counts: DataFrame,
+  private[graft] def temperatureMixFromCounts(counts: DataFrame,
       alpha: Double): DataFrame = {
     val Dec = org.apache.spark.sql.types.DecimalType(38, 10)
     val base = counts

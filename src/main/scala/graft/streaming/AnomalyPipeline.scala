@@ -126,7 +126,11 @@ object AnomalyPipeline {
   }
 
   /** The streaming detector: one EWMA state per event type, scored rows in
-    * append mode as minutes close.
+    * append mode as minutes close. A minute closes only when a LATER
+    * same-key event arrives — a metric that goes permanently silent stops
+    * scoring (its open bucket never closes). Use [[detectWithTimeout]]
+    * when total-outage alarms matter; this form stays for
+    * produce-time-ordered feeds with no watermark column.
     */
   def detect(events: Dataset[TypedEvent])(
       implicit spark: SparkSession): Dataset[ScoredMinute] = {
@@ -138,6 +142,72 @@ object AnomalyPipeline {
         (k: String, evs: Iterator[TypedEvent], st: GroupState[EwmaState]) =>
           foldEvents(k, evs, st)
       }
+  }
+
+  /** [[detect]] plus outage coverage: minutes ALSO close as the
+    * event-time watermark passes them, so a metric that goes permanently
+    * silent keeps closing zero-count minutes and ALARMS on the collapse —
+    * the most important anomaly of all, and the one the event-driven form
+    * is structurally blind to (its open bucket waits forever for a next
+    * event). The `sessionizeWithTimeout` pattern: watermark +
+    * EventTimeTimeout, re-armed at the end of the open bucket and clamped
+    * above the current watermark. Closing stays bounded by
+    * [[MaxGapMinutes]] per firing, with the same jump-ahead semantics as
+    * the event-driven fill.
+    */
+  def detectWithTimeout(events: Dataset[TypedEvent],
+      watermarkDelay: String = "2 minutes")(
+      implicit spark: SparkSession): Dataset[ScoredMinute] = {
+    import org.apache.spark.sql.functions.{col, timestamp_micros}
+    import spark.implicits._
+    events
+      .withColumn("event_ts", timestamp_micros(col("tsMicros")))
+      .withWatermark("event_ts", watermarkDelay)
+      .as[TypedEvent]
+      .groupByKey(_.event_type)
+      .flatMapGroupsWithState[EwmaState, ScoredMinute](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (k: String, evs: Iterator[TypedEvent], st: GroupState[EwmaState]) =>
+          val out =
+            if (st.hasTimedOut) closeThroughWatermark(k, st)
+            else foldEvents(k, evs, st)
+          // re-arm: fire when the watermark passes the open bucket's end
+          st.getOption.filter(_.openMinute != Long.MinValue).foreach { s2 =>
+            st.setTimeoutTimestamp(math.max(
+              (s2.openMinute + 1) * MinuteUs / 1000L,
+              st.getCurrentWatermarkMs() + 1))
+          }
+          out
+      }
+  }
+
+  /** Close the open bucket and every complete silent minute strictly
+    * below the watermark's minute (a minute is complete once the
+    * watermark reaches its successor's start); the open bucket then
+    * jumps to the watermark minute with a zero count, exactly like the
+    * event-driven fill jumps past a capped gap.
+    */
+  private def closeThroughWatermark(eventType: String,
+      st: GroupState[EwmaState]): Iterator[ScoredMinute] = {
+    val wmMinute = Math.floorDiv(st.getCurrentWatermarkMs() * 1000L, MinuteUs)
+    val out = Seq.newBuilder[ScoredMinute]
+    var cur = st.get
+    if (cur.openMinute == Long.MinValue || wmMinute <= cur.openMinute)
+      Iterator.empty
+    else {
+      var minute = cur.openMinute
+      var count = cur.openCount
+      val fillTo = math.min(wmMinute, minute + MaxGapMinutes)
+      while (minute < fillTo) {
+        val (row, next) = closeMinute(eventType, minute * MinuteUs, count, cur)
+        out += row
+        cur = next
+        minute += 1
+        count = 0L
+      }
+      st.update(cur.copy(openMinute = wmMinute, openCount = 0L))
+      out.result().iterator
+    }
   }
 
   /** Batch reference fold (same algorithm over an in-memory series) — the

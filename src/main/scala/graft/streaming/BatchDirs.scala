@@ -12,13 +12,39 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 private[streaming] object BatchDirs {
 
-  /** The accumulated frame, or None when no batch directory exists yet. */
+  /** The accumulated frame, or None when no batch directory exists yet —
+    * INCLUDING a directory that exists but holds no readable parquet
+    * (only an in-flight or crashed write's `_temporary`): a crash during
+    * the very first segment write would otherwise wedge every replay and
+    * poller on "Unable to infer schema" until someone hand-deletes the
+    * dir, and a poller racing the first write would crash instead of
+    * reading "nothing committed yet". Only AnalysisException maps to
+    * None — IO errors on a real store still propagate.
+    */
   def readIfExists(s: SparkSession, dir: String): Option[DataFrame] = {
     val p = new org.apache.hadoop.fs.Path(dir)
     val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-    if (fs.exists(p) && fs.listStatus(p).nonEmpty) Some(s.read.parquet(dir))
+    if (fs.exists(p) && fs.listStatus(p).nonEmpty)
+      try Some(s.read.parquet(dir))
+      catch {
+        case _: org.apache.spark.sql.AnalysisException => None
+      }
     else None
   }
+
+  /** The slice of a batch-id-keyed report dir belonging to the highest
+    * committed batch id (partition discovery may type `batch_id` int or
+    * long — the filter is agnostic), with `batch_id` dropped; None when
+    * nothing has committed. The shared read of every pipeline's
+    * `latestReport`.
+    */
+  def latestBatchSlice(s: SparkSession, dir: String): Option[DataFrame] =
+    readIfExists(s, dir).map { rep =>
+      val last = rep.agg(org.apache.spark.sql.functions.max("batch_id"))
+        .head.get(0)
+      rep.filter(org.apache.spark.sql.functions.col("batch_id") === last)
+        .drop("batch_id")
+    }
 
   /** An empty (source, text) document frame — feeding it through a batch
     * report operator yields the zero-row report WITH the operator's own

@@ -57,14 +57,10 @@ object DriftMonitorPipeline {
     * spec-pinned equal to batch q114 over the concatenated batches.
     */
   def latestReport(s: SparkSession, reportDir: String): DataFrame =
-    BatchDirs.readIfExists(s, reportDir) match {
+    BatchDirs.latestBatchSlice(s, reportDir) match {
       case None =>
         // no batch committed yet: the empty q114-schema report
         TextOps.sourceDriftOn(BatchDirs.emptyDocs(s))
-      case Some(rep) =>
-        // partition discovery may type batch_id int or long — agnostic
-        val last = rep.agg(max("batch_id")).head.get(0)
-        rep.filter(col("batch_id") === last).drop("batch_id")
-          .orderBy("source")
+      case Some(rep) => rep.orderBy("source")
     }
 }

@@ -202,6 +202,22 @@ object IngestPipeline {
           // table/view not found: Derby 42X05, Postgres 42P01, MySQL/
           // SQLServer 42S02 — the first batch has not created it yet
           ()
+        case e: java.sql.SQLException
+            if e.getSQLState == null || e.getSQLState == "42000" =>
+          // dialects that bury table-not-found in a generic state
+          // (Oracle ORA-00942 → 42000) or report none (SQLite JDBC):
+          // disambiguate with a zero-row probe of the same table. Probe
+          // ALSO fails → the table really is missing (first batch; the
+          // append creates it). Probe succeeds → the table exists, the
+          // DELETE failure is real (e.g. a delete-denied grant) and must
+          // propagate — appending without the delete breaks exactly-once.
+          val probe = conn.createStatement()
+          val missing =
+            try { probe.executeQuery(s"SELECT 1 FROM $table WHERE 1 = 0")
+              .close(); false }
+            catch { case _: java.sql.SQLException => true }
+            finally probe.close()
+          if (!missing) throw e
       }
       finally st.close()
     } finally conn.close()

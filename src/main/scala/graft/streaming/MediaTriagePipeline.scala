@@ -50,8 +50,12 @@ object MediaTriagePipeline {
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val s = batch.sparkSession
+      .foreachBatch { (rawBatch: DataFrame, batchId: Long) =>
+        val s = rawBatch.sparkSession
+        // one source read per trigger: isEmpty, the hash pass, the two
+        // quarantine legs, and the sink join all reuse the cached batch
+        val batch = rawBatch.persist()
+        try {
         if (!batch.isEmpty) {
           import graft.ops.HammingBands
           // hash once; the same frame feeds both screens and the store
@@ -118,6 +122,7 @@ object MediaTriagePipeline {
             .select("doc_id", "phash")
             .write.mode("overwrite").parquet(s"$storeDir/batch_id=$batchId")
         }
+        } finally { batch.unpersist(); () }
         ()
       }
       .start()

@@ -100,11 +100,10 @@ object MixGovernorPipeline {
     */
   private def lmReadable(s: SparkSession, path: String): Boolean =
     lmSeen.contains(path) || {
-      // read.parquet itself throws on a footer-less dir — the Try wraps
-      // the whole probe, not just a schema access
-      val ok = scala.util.Try(
-        BatchDirs.readIfExists(s, path)
-          .exists(_.columns.contains("n_pairs"))).getOrElse(false)
+      // readIfExists maps a footer-less dir (in-flight/crashed write)
+      // to None, so the probe never crashes the stream
+      val ok = BatchDirs.readIfExists(s, path)
+        .exists(_.columns.contains("n_pairs"))
       if (ok) lmSeen.add(path)
       ok
     }
@@ -118,9 +117,13 @@ object MixGovernorPipeline {
     */
   def mixReport(s: SparkSession, tokenStoreDir: String,
       partialsDir: String, alpha: Double = 0.3): DataFrame = {
-    if (BatchDirs.readIfExists(s, tokenStoreDir).isEmpty)
+    val tokenStore = BatchDirs.readIfExists(s, tokenStoreDir)
+    if (tokenStore.isEmpty)
       return mixReportEmpty(s) // nothing ingested yet — not a read error
-    val temp = CurationOps.temperatureMixFromStore(s, tokenStoreDir, alpha)
+    // reuse the already-opened frame: one store listing per trigger
+    val temp = CurationOps.temperatureMixFromCounts(
+      tokenStore.get.groupBy("source")
+        .agg(org.apache.spark.sql.functions.sum("c").as("n_tokens")), alpha)
     val doremi = BatchDirs.readIfExists(s, partialsDir) match {
       case Some(p) => CurationOps.doremiFromPartials(p.drop("batch_id"))
       case None =>
@@ -137,13 +140,9 @@ object MixGovernorPipeline {
     * batch id (cumulative over everything ingested so far).
     */
   def latestReport(s: SparkSession, reportDir: String): DataFrame =
-    BatchDirs.readIfExists(s, reportDir) match {
-      case None =>
-        mixReportEmpty(s)
-      case Some(rep) =>
-        val last = rep.agg(max("batch_id")).head.get(0)
-        rep.filter(col("batch_id") === last).drop("batch_id")
-          .orderBy("source")
+    BatchDirs.latestBatchSlice(s, reportDir) match {
+      case None => mixReportEmpty(s)
+      case Some(rep) => rep.orderBy("source")
     }
 
   private def mixReportEmpty(s: SparkSession): DataFrame = {

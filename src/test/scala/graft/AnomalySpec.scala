@@ -58,4 +58,52 @@ class AnomalySpec extends SparkSpec {
     // warm-up minutes carry no score
     assert(got.take(AnomalyPipeline.Warmup.toInt).forall(_.z.isEmpty))
   }
+
+  test("watermark timeout scores a TOTAL outage: a permanently-silent " +
+      "metric keeps closing zero minutes and alarms, event-driven detect " +
+      "stays structurally blind") {
+    implicit val s = spark
+    implicit val sqlCtx = spark.sqlContext
+    // 'svc' is active minutes B+0–B+39 (counts alternate 10/12 so
+    // variance is non-zero and a collapse to 0 is a huge |z|), then
+    // silent FOREVER. 'other' keeps producing — it alone advances the
+    // watermark. (Base offset B keeps event times clear of the initial
+    // watermark at epoch 0, which drops rows at/behind it.)
+    val B = 1000L
+    def ev(t: String, id: Long, minute: Long, j: Long) =
+      TypedEvent(t, id, (B + minute) * MinuteUs + j * 1000L)
+    val svcCounts = (0L until 40L).map(i => i -> (10L + 2L * (i % 2)))
+    val svcEvents = svcCounts.flatMap { case (i, n) =>
+      (0L until n).map(j => ev("svc", i * 1000 + j, i, j))
+    }
+    val input = MemoryStream[TypedEvent]
+    val q = AnomalyPipeline.detectWithTimeout(input.toDS(), "2 minutes")
+      .writeStream.format("memory").queryName("anom_to")
+      .outputMode("append").start()
+    input.addData(svcEvents ++ Seq(ev("other", 1L, 41L, 0L)))
+    q.processAllAvailable()
+    // 'other' advances the watermark to minute 50; the NEXT trigger fires
+    // svc's timeout with that watermark
+    input.addData(ev("other", 2L, 52L, 0L))
+    q.processAllAvailable()
+    input.addData(ev("other", 3L, 52L, 1L))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("anom_to").as[graft.streaming.ScoredMinute]
+      .collect().filter(_.event_type == "svc").sortBy(_.minuteMicros)
+    // minutes 0–38 closed by events; 39 (the open bucket) and the silent
+    // 40–49 closed by the watermark (wm = 52 − 2 delay → minute 50)
+    val expectedSvc = AnomalyPipeline.batchFold("svc",
+      (svcCounts ++ (40L until 50L).map(_ -> 0L))
+        .map { case (i, n) => ((B + i) * MinuteUs, n) })
+    assert(got.toSeq === expectedSvc)
+    // the collapse ALARMS at its onset (the rest of the gap is absorbed
+    // as the EWMA variance inflates, like the event-driven spec's gap) —
+    // and every silent minute actually scored, instead of detect()'s
+    // structural silence
+    val silent = got.filter(_.n_events == 0L)
+    assert(silent.length === 10 && silent.head.is_anomaly.contains(true),
+      s"outage onset must alarm: ${silent.toSeq}")
+    assert(silent.forall(_.z.isDefined))
+  }
 }
