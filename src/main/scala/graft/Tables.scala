@@ -14,6 +14,14 @@ object Tables {
     * The driver's `events.parquet` stores `ts` as TIMESTAMP(NANOS), which the
     * Spark parquet reader rejects; read it as raw nanos and convert (all
     * values are micro-aligned, so the conversion is lossless).
+    *
+    * DELIBERATE session-wide side effect: `nanosAsLong` stays set after
+    * the call — the flag must hold through physical PLANNING of every
+    * query that ever scans the table (plans capture the hadoop conf at
+    * plan time, which can be long after this returns), so a save/restore
+    * scope would break any query planned later against a `t`-loaded
+    * frame. Consequence: unrelated reads of nanos-timestamped parquet in
+    * the same session decode those columns as bigint instead of erroring.
     */
   def t(spark: SparkSession, dir: String, name: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

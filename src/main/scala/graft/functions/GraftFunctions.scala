@@ -18,6 +18,18 @@ import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
   */
 object GraftFunctions {
 
+  /** Named-arity guard: wrong-arity SQL calls get "$fn expects N
+    * arguments, got M" instead of a bare IndexOutOfBoundsException from a
+    * positional `es(i)`.
+    */
+  private def arity(fn: String, es: Seq[Expression], n: Int)(
+      build: => Expression): Expression = {
+    if (es.length != n)
+      throw new IllegalArgumentException(
+        s"$fn expects $n argument${if (n == 1) "" else "s"}, got ${es.length}")
+    build
+  }
+
   private def intArg(fn: String, es: Seq[Expression], i: Int): Int = es.lift(i) match {
     // integral literal types only — a bare numeric match would silently
     // truncate e.g. 2.5 to 2 via intValue()
@@ -37,43 +49,78 @@ object GraftFunctions {
 
   val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "graft_minhash_band_keys" ->
-      (es => MinHashBandKeys(es.head, intArg("graft_minhash_band_keys", es, 1))),
-    "graft_simhash64" -> (es => SimHash64(es.head)),
+      (es => arity("graft_minhash_band_keys", es, 2)(
+        MinHashBandKeys(es.head, intArg("graft_minhash_band_keys", es, 1)))),
+    "graft_simhash64" ->
+      (es => arity("graft_simhash64", es, 1)(SimHash64(es.head))),
     "graft_min_k" ->
-      (es => MinKLongs(es.head, intArg("graft_min_k", es, 1))
-        .toAggregateExpression()),
-    "graft_vec_dot" -> (es => VecDot(es.head, es(1))),
-    "graft_edit_lb" -> (es => EditLowerBound(es.head, es(1))),
-    "graft_code_points" -> (es => CodePoints(es.head)),
+      (es => arity("graft_min_k", es, 2)(
+        MinKLongs(es.head, intArg("graft_min_k", es, 1))
+          .toAggregateExpression())),
+    "graft_vec_dot" ->
+      (es => arity("graft_vec_dot", es, 2)(VecDot(es.head, es(1)))),
+    "graft_edit_lb" ->
+      (es => arity("graft_edit_lb", es, 2)(EditLowerBound(es.head, es(1)))),
+    "graft_code_points" ->
+      (es => arity("graft_code_points", es, 1)(CodePoints(es.head))),
     "graft_shingle_hashes" ->
-      (es => ShingleHashes(es.head, intArg("graft_shingle_hashes", es, 1))),
+      (es => arity("graft_shingle_hashes", es, 2)(
+        ShingleHashes(es.head, intArg("graft_shingle_hashes", es, 1)))),
     "graft_winnow_positions" ->
-      (es => WinnowPositions(es.head, intArg("graft_winnow_positions", es, 1))),
+      (es => arity("graft_winnow_positions", es, 2)(
+        WinnowPositions(es.head, intArg("graft_winnow_positions", es, 1)))),
     "graft_bloom_agg" ->
-      (es => BloomLongs(es.head, intArg("graft_bloom_agg", es, 1),
-        intArg("graft_bloom_agg", es, 2)).toAggregateExpression()),
-    "graft_bloom_contains" -> (es => BloomMightContain(es.head, es(1))),
-    "graft_pq_encode" -> (es => PqEncode(es.head,
-      intArg("graft_pq_encode", es, 2), cbArg("graft_pq_encode", es, 1))),
-    "graft_pq_error" -> (es => PqError(es.head,
-      intArg("graft_pq_error", es, 2), cbArg("graft_pq_error", es, 1))))
+      (es => arity("graft_bloom_agg", es, 3)(
+        BloomLongs(es.head, intArg("graft_bloom_agg", es, 1),
+          intArg("graft_bloom_agg", es, 2)).toAggregateExpression())),
+    "graft_bloom_contains" ->
+      (es => arity("graft_bloom_contains", es, 2)(
+        BloomMightContain(es.head, es(1)))),
+    "graft_pq_encode" -> (es => arity("graft_pq_encode", es, 3)(
+      PqEncode(es.head,
+        intArg("graft_pq_encode", es, 2), cbArg("graft_pq_encode", es, 1)))),
+    "graft_pq_error" -> (es => arity("graft_pq_error", es, 3)(
+      PqError(es.head,
+        intArg("graft_pq_error", es, 2), cbArg("graft_pq_error", es, 1)))))
 
-  /** Extract an array<array<double>> literal (the PQ codebook): the
-    * codebook is plan metadata, not data — it must be a literal so the
-    * kernel embeds it once instead of deserializing per row.
+  /** Extract an array<array<double>> codebook that is a Literal OR any
+    * foldable expression (SQL text `array(array(0.1d, …))` is a
+    * CreateArray at analysis time — builders run BEFORE constant folding,
+    * so requiring a Literal would lock the PQ functions out of pure
+    * `spark.sql(...)`, the very path GraftExtensions exists for; a
+    * foldable expression evaluates here to the same plan-time constant).
+    * The codebook is plan metadata, not data — it must be plan-time
+    * constant so the kernel embeds it once instead of deserializing per
+    * row.
     */
-  private def cbArg(fn: String, es: Seq[Expression], i: Int): Seq[Seq[Double]] =
+  private def cbArg(fn: String, es: Seq[Expression], i: Int): Seq[Seq[Double]] = {
+    val cbType = org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.DoubleType))
+    def fromArrayData(ad: org.apache.spark.sql.catalyst.util.ArrayData) =
+      (0 until ad.numElements()).map(r =>
+        ad.getArray(r).toDoubleArray().toSeq)
     es.lift(i) match {
       case Some(Literal(ad: org.apache.spark.sql.catalyst.util.ArrayData,
           org.apache.spark.sql.types.ArrayType(
             org.apache.spark.sql.types.ArrayType(
               org.apache.spark.sql.types.DoubleType, _), _))) =>
-        (0 until ad.numElements()).map(r =>
-          ad.getArray(r).toDoubleArray().toSeq)
+        fromArrayData(ad)
+      case Some(e) if e.foldable && org.apache.spark.sql.catalyst.types
+          .DataTypeUtils.sameType(e.dataType, cbType) =>
+        e.eval() match {
+          case ad: org.apache.spark.sql.catalyst.util.ArrayData =>
+            fromArrayData(ad)
+          case _ => throw new IllegalArgumentException(
+            s"$fn: argument ${i + 1} evaluated to null — the codebook " +
+              "must be a non-null array<array<double>> constant")
+        }
       case other => throw new IllegalArgumentException(
-        s"$fn: argument ${i + 1} must be an array<array<double>> literal, " +
-          s"got " + other.map(_.sql).getOrElse("nothing"))
+        s"$fn: argument ${i + 1} must be an array<array<double>> " +
+          "constant (literal or foldable), got " +
+          other.map(_.sql).getOrElse("nothing"))
     }
+  }
 
   /** Idempotently register all graft functions into `spark`'s registry. */
   def ensureRegistered(spark: SparkSession): Unit = {

@@ -83,6 +83,12 @@ case class MinHashBandKeys(child: Expression, bands: Int)
     val mins = Array.fill(NumHashes)(Long.MaxValue)
     var s = 0
     while (s < n) {
+      // a null element would read as hash 0 from UnsafeArrayData — the
+      // vec_dot fail-loud discipline: a silent 0 becomes a spurious
+      // minimum in EVERY permutation (false duplicate matches)
+      if (arr.isNullAt(s))
+        throw new IllegalArgumentException(
+          s"$prettyName: null element at position $s")
       // inputs from the graft pipeline are already < Mod; floorMod keeps
       // arbitrary 64-bit inputs safe from product overflow
       val h = java.lang.Math.floorMod(arr.getLong(s), Mod)
@@ -140,6 +146,10 @@ case class MinHashBandKeys(child: Expression, bands: Int)
          |      new long[0]);
          |} else {
          |for (int $s = 0; $s < $n; $s++) {
+         |  if ($arr.isNullAt($s)) {
+         |    throw new IllegalArgumentException(
+         |      "minhash_band_keys: null element at position " + $s);
+         |  }
          |  final long $h = java.lang.Math.floorMod($arr.getLong($s), ${Mod}L);
          |  for (int $i = 0; $i < $NumHashes; $i++) {
          |    final long $v = ($h * $pa[$i] + $pb[$i]) % ${Mod}L;
@@ -186,6 +196,11 @@ case class SimHash64(child: Expression)
     val votes = new Array[Int](64)
     var t = 0
     while (t < n) {
+      // null element = silent hash 0 (all-zero bits vote down every
+      // position) — the vec_dot fail-loud discipline
+      if (arr.isNullAt(t))
+        throw new IllegalArgumentException(
+          s"$prettyName: null element at position $t")
       val h = arr.getLong(t)
       var k = 0
       while (k < 64) {
@@ -216,6 +231,10 @@ case class SimHash64(child: Expression)
          |final int $n = $arr.numElements();
          |final int[] $votes = new int[64];
          |for (int $t = 0; $t < $n; $t++) {
+         |  if ($arr.isNullAt($t)) {
+         |    throw new IllegalArgumentException(
+         |      "simhash64: null element at position " + $t);
+         |  }
          |  final long $h = $arr.getLong($t);
          |  for (int $k = 0; $k < 64; $k++) {
          |    if ((($h >>> $k) & 1L) == 1L) $votes[$k]++; else $votes[$k]--;
@@ -714,16 +733,19 @@ case class PqEncode(child: Expression, subDim: Int, codebook: Seq[Seq[Double]])
     child.dataType.asInstanceOf[ArrayType].elementType == FloatType
   @transient private lazy val cb: Array[Array[Double]] =
     codebook.map(_.toArray).toArray
+  @transient private lazy val c2s: Array[Array[Double]] =
+    PqEncode.subNorms(cb, subDim)
 
   override protected def nullSafeEval(input: Any): Any =
-    PqEncode.compute(input.asInstanceOf[ArrayData], isFloat, subDim, cb)
+    PqEncode.compute(input.asInstanceOf[ArrayData], isFloat, subDim, cb, c2s)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, { in =>
       val cbRef = ctx.addReferenceObj("pqCodebook", cb, "double[][]")
+      val c2Ref = ctx.addReferenceObj("pqSubNorms", c2s, "double[][]")
       s"""
          |${ev.value} = graft.functions.PqEncode.compute(
-         |  $in, $isFloat, $subDim, $cbRef);
+         |  $in, $isFloat, $subDim, $cbRef, $c2Ref);
          |""".stripMargin
     })
 
@@ -733,20 +755,56 @@ case class PqEncode(child: Expression, subDim: Int, codebook: Seq[Seq[Double]])
 
 object PqEncode {
 
+  /** The row-invariant per-(subspace, codeword) |c|² table: c² depends
+    * only on the constructor codebook, so recomputing it per row per
+    * codeword (the naive fused loop) roughly doubles the hot kernel's
+    * arithmetic for values that never change. Same index-ascending fold
+    * from 0.0 as the inline computation it replaces — bit-identical
+    * terms, so the q123/q128 oracle replay contract is untouched.
+    */
+  private[functions] def subNorms(cb: Array[Array[Double]],
+      subDim: Int): Array[Array[Double]] = {
+    val dim = cb(0).length
+    val nSub = math.max(1, dim / subDim)
+    val t = Array.ofDim[Double](nSub, cb.length)
+    var m = 0
+    while (m < nSub) {
+      val off = m * subDim
+      var l = 0
+      while (l < cb.length) {
+        val c = cb(l)
+        var c2 = 0.0
+        var j = 0
+        while (j < subDim && off + j < dim) {
+          c2 += c(off + j) * c(off + j)
+          j += 1
+        }
+        t(m)(l) = c2
+        l += 1
+      }
+      m += 1
+    }
+    t
+  }
+
   /** The fused encode loop described on [[PqEncode]]. */
   def compute(a: ArrayData, isFloat: Boolean, subDim: Int,
-      cb: Array[Array[Double]]): GenericArrayData =
-    new GenericArrayData(encodeCore(a, isFloat, subDim, cb, null))
+      cb: Array[Array[Double]],
+      c2s: Array[Array[Double]]): GenericArrayData =
+    new GenericArrayData(encodeCore(a, isFloat, subDim, cb, c2s, null))
 
   /** Shared encode core: returns the per-subspace argmin codes; when
     * `errAcc` is non-null, also accumulates the total quantization error
     * Σ_m round6(max(bestD_m, 0)) into errAcc(0) — per-subspace HALF-UP
     * rounding (floor(v·1e6 + 0.5), the q51 convention both engines
     * replay) with tiny negative float artifacts of x²−2xc+c² clamped to
-    * zero so neither engine can emit −0.0.
+    * zero so neither engine can emit −0.0. The subvector is copied to a
+    * local buffer once (not re-read through ArrayData per codeword) and
+    * |c|² comes from the precomputed [[subNorms]] table — identical IEEE
+    * op order to the original inline loops.
     */
   private[functions] def encodeCore(a: ArrayData, isFloat: Boolean,
-      subDim: Int, cb: Array[Array[Double]],
+      subDim: Int, cb: Array[Array[Double]], c2s: Array[Array[Double]],
       errAcc: Array[Double], fn: String = "pq_encode"): Array[Int] = {
     val dim = a.numElements()
     require(cb(0).length == dim,
@@ -755,6 +813,7 @@ object PqEncode {
       s"$fn: dim $dim not divisible by subDim $subDim")
     val nSub = dim / subDim
     val codes = new Array[Int](nSub)
+    val xs = new Array[Double](subDim)
     var m = 0
     while (m < nSub) {
       val off = m * subDim
@@ -768,6 +827,7 @@ object PqEncode {
             s"$fn: null element at position ${off + i}")
         val x = if (isFloat) a.getFloat(off + i).toDouble
                 else a.getDouble(off + i)
+        xs(i) = x
         x2 += x * x
         i += 1
       }
@@ -777,16 +837,12 @@ object PqEncode {
       while (l < cb.length) {
         val c = cb(l)
         var dotAcc = 0.0
-        var c2 = 0.0
         var j = 0
         while (j < subDim) {
-          val x = if (isFloat) a.getFloat(off + j).toDouble
-                  else a.getDouble(off + j)
-          dotAcc += x * c(off + j)
-          c2 += c(off + j) * c(off + j)
+          dotAcc += xs(j) * c(off + j)
           j += 1
         }
-        val d = x2 - 2.0 * dotAcc + c2
+        val d = x2 - 2.0 * dotAcc + c2s(m)(l)
         if (d < bestD) { bestD = d; best = l }
         l += 1
       }
@@ -829,16 +885,19 @@ case class PqError(child: Expression, subDim: Int, codebook: Seq[Seq[Double]])
     child.dataType.asInstanceOf[ArrayType].elementType == FloatType
   @transient private lazy val cb: Array[Array[Double]] =
     codebook.map(_.toArray).toArray
+  @transient private lazy val c2s: Array[Array[Double]] =
+    PqEncode.subNorms(cb, subDim)
 
   override protected def nullSafeEval(input: Any): Any =
-    PqError.compute(input.asInstanceOf[ArrayData], isFloat, subDim, cb)
+    PqError.compute(input.asInstanceOf[ArrayData], isFloat, subDim, cb, c2s)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, { in =>
       val cbRef = ctx.addReferenceObj("pqCodebook", cb, "double[][]")
+      val c2Ref = ctx.addReferenceObj("pqSubNorms", c2s, "double[][]")
       s"""
          |${ev.value} = graft.functions.PqError.compute(
-         |  $in, $isFloat, $subDim, $cbRef);
+         |  $in, $isFloat, $subDim, $cbRef, $c2Ref);
          |""".stripMargin
     })
 
@@ -850,9 +909,9 @@ object PqError {
 
   /** The error accumulation described on [[PqError]]. */
   def compute(a: ArrayData, isFloat: Boolean, subDim: Int,
-      cb: Array[Array[Double]]): Double = {
+      cb: Array[Array[Double]], c2s: Array[Array[Double]]): Double = {
     val err = new Array[Double](1)
-    PqEncode.encodeCore(a, isFloat, subDim, cb, err, "pq_error")
+    PqEncode.encodeCore(a, isFloat, subDim, cb, c2s, err, "pq_error")
     err(0)
   }
 }

@@ -19,22 +19,32 @@ object ScaleOps {
 
   /** Inner equi-join of `fact ⋈ dim` on `key`, salted `salts` ways.
     *
-    * The salt hashes a per-row ordinal, NOT the row's content: a hot key
-    * made of byte-identical duplicate rows (replayed log lines) would all
-    * hash to one shard under a content salt, reconstituting the straggler
-    * the utility exists to eliminate. The join result is independent of
-    * which shard a row lands in (each fact row meets exactly one copy of
-    * its dimension row whatever its salt), so the ordinal's run-to-run
-    * instability is harmless. dim is replicated via a literal-range
-    * explode. Use when `fact`'s key distribution is heavily skewed and
-    * `dim` is too large to broadcast but small enough that `salts`×
-    * replication is acceptable.
+    * The salt hashes the row's FULL content (every fact column), never a
+    * per-row ordinal: an ordinal (`monotonically_increasing_id`, rand) is
+    * fetch-order-dependent when `fact` is itself post-shuffle, and a
+    * stage retry that recomputes one map task after reducers fetched the
+    * old output re-salts those rows into DIFFERENT reduce partitions —
+    * the SPARK-23207 silent row-loss/duplication class. A content salt is
+    * deterministic per row, so retries land every row in the same shard.
+    * The join result is independent of which shard a row lands in (each
+    * fact row meets exactly one copy of its dimension row whatever its
+    * salt). Caveat: byte-identical duplicate fact rows share a shard — if
+    * the hot key is made of replayed identical rows, CONTRACT the
+    * duplicates first (the dedup family's contract-exact-dups-first
+    * dispatch) rather than salting them; salting cannot spread what the
+    * hash cannot tell apart without trading away retry determinism.
+    * dim is replicated via a literal-range explode. Use when `fact`'s key
+    * distribution is heavily skewed and `dim` is too large to broadcast
+    * but small enough that `salts`× replication is acceptable.
+    * `fact` must not already carry a `_salt` column (it would be
+    * replaced and then dropped).
     */
   def saltedJoin(fact: DataFrame, dim: DataFrame, key: String,
       salts: Int): DataFrame = {
     require(salts >= 1, s"salts must be >= 1, got $salts")
     val salted = fact.withColumn("_salt",
-      pmod(xxhash64(monotonically_increasing_id()), lit(salts.toLong)))
+      pmod(xxhash64(fact.columns.map(col).toIndexedSeq: _*),
+        lit(salts.toLong)))
     val replicated = dim
       .withColumn("_salt", explode(sequence(lit(0L), lit(salts.toLong - 1))))
     salted.join(replicated, Seq(key, "_salt")).drop("_salt")
@@ -182,14 +192,22 @@ object ScaleOps {
     val r = df.agg(
       min(col(c1)).cast("double"), max(col(c1)).cast("double"),
       min(col(c2)).cast("double"), max(col(c2)).cast("double")).head()
-    if (r.isNullAt(0)) {
-      df.write.mode("overwrite").parquet(dir) // empty input: nothing to sort
+    if (r.isNullAt(0) || r.isNullAt(2)) {
+      // empty input, or a coordinate column that is entirely null: no
+      // range to normalize onto — write unsorted rather than NPE on the
+      // missing min (a half-null grid would cluster nothing anyway)
+      df.write.mode("overwrite").parquet(dir)
     } else {
       val hi = (1L << bits) - 1
       def scaled(c: String, lo: Double, up: Double): Column =
         if (up <= lo) lit(0L)
-        else least(lit(hi), floor((col(c).cast("double") - lo)
-          * (hi + 1) / (up - lo)).cast("long"))
+        // explicit null propagation: `least` SKIPS nulls, so a null
+        // coordinate would otherwise read as the max tile and silently
+        // cluster null rows at the grid's far corner — a null z sorts
+        // null-coordinate rows together instead
+        else when(col(c).isNull, lit(null))
+          .otherwise(least(lit(hi), floor((col(c).cast("double") - lo)
+            * (hi + 1) / (up - lo)).cast("long")))
       df.withColumn("_z", zValue(
           scaled(c1, r.getDouble(0), r.getDouble(1)),
           scaled(c2, r.getDouble(2), r.getDouble(3)), bits))
@@ -209,7 +227,8 @@ object ScaleOps {
     * survivors per group. Any global top-k row is also top-k within its
     * salt cell, so the result is IDENTICAL to the single-window form for
     * any deterministic total order (`order` must tie-break on a unique
-    * column). Appends the final rank as `rank`.
+    * column). Appends the final rank as `rank`; `df` must not already
+    * carry `rank` or `_lrk` columns (they would be replaced/dropped).
     */
   def topKPerGroup(df: DataFrame, group: Seq[String], order: Seq[Column],
       k: Int, salt: Column, salts: Int = 32): DataFrame = {
@@ -238,7 +257,9 @@ object ScaleOps {
     *      single-task step touches one row per shuffle partition).
     *
     * `sort` must be a deterministic total order (tie-break on a unique
-    * column) for a stable result. Appends the 1-based rank as `out`.
+    * column) for a stable result. Appends the 1-based rank as `out`;
+    * `df` must not already carry `_mid`/`_pid`/`_rn`/`_off` columns
+    * (they would be replaced and dropped).
     */
   def withGlobalRowNumber(df: DataFrame, sort: Seq[Column],
       out: String = "rank"): DataFrame = {
@@ -262,7 +283,20 @@ object ScaleOps {
     // set of boundaries for both consumers regardless of whether
     // ReuseExchange fires (spark.sql.exchange.reuse=false, AQE planning
     // divergence, future plan edits breaking canonical equality).
-    val ranged = df.repartitionByRange(sort: _*).localCheckpoint(true)
+    //
+    // Pin mechanism: RELIABLE checkpoint when the session has a
+    // checkpoint dir configured (blocks survive executor loss — the
+    // spot/preemptible-fleet regime a 100 TB rank runs in), else
+    // localCheckpoint (executor-resident blocks: any executor loss after
+    // the pin fails the job instead of recomputing — fine on a stable
+    // cluster or local mode, and the only option without a checkpoint
+    // dir). Both pin identical boundaries; the trade is purely
+    // fault-tolerance vs. an extra write to reliable storage.
+    val ranged0 = df.repartitionByRange(sort: _*)
+    val ranged =
+      if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
+        ranged0.checkpoint(true)
+      else ranged0.localCheckpoint(true)
     val ranked = ranged
       .sortWithinPartitions(sort: _*)
       .withColumn("_mid", monotonically_increasing_id())
@@ -363,6 +397,14 @@ object ScaleOps {
     val tmp = new org.apache.hadoop.fs.Path(staging)
     val old = new org.apache.hadoop.fs.Path(dir + ".old")
     fs.delete(old, true) // leftover from a previous crashed swap
+    if (!fs.exists(hPath)) {
+      // first publish: nothing to park — one rename takes the path from
+      // absent to fully written (callers need no bootstrap special case)
+      if (!fs.rename(tmp, hPath))
+        throw new java.io.IOException(
+          s"swapInto: first-publish rename $tmp -> $hPath failed")
+      return
+    }
     if (!fs.rename(hPath, old))
       throw new java.io.IOException(s"swapInto: rename $hPath -> $old failed")
     if (!fs.rename(tmp, hPath)) {

@@ -396,14 +396,9 @@ object SearchOps {
   def writeBigramStoreStaged(docsDf: DataFrame, path: String): Unit = {
     val staging = path + ".merging"
     writeBigramStore(docsDf, staging)
-    val s = docsDf.sparkSession
-    val hPath = new org.apache.hadoop.fs.Path(path)
-    val fs = hPath.getFileSystem(s.sparkContext.hadoopConfiguration)
-    if (fs.exists(hPath)) graft.ops.ScaleOps.swapInto(s, staging, path)
-    else if (!fs.rename(new org.apache.hadoop.fs.Path(staging), hPath))
-      // first seed: one rename — the path goes absent → fully written
-      throw new java.io.IOException(
-        s"writeBigramStoreStaged: rename $staging -> $hPath failed")
+    // swapInto handles both arms: first seed (absent → one rename) and
+    // refresh over a live store (park + swap)
+    graft.ops.ScaleOps.swapInto(docsDf.sparkSession, staging, path)
   }
 
   /** Fold a new batch's bigram counts into the store, append-only

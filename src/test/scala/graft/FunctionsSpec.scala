@@ -357,6 +357,46 @@ class FunctionsSpec extends SparkSpec {
       c.getMessage.contains("out of Int range")), s"got: $ex")
   }
 
+  test("minhash_band_keys and simhash64 reject null hash elements " +
+      "loudly (silent 0 would fabricate minima / down-votes)") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    GraftFunctions.ensureRegistered(spark)
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: causes(t.getCause)
+    val df = Seq(Tuple1(Seq[java.lang.Long](1L, null, 3L))).toDF("hs")
+    val e1 = intercept[Exception] {
+      df.select(call_function("graft_minhash_band_keys", col("hs"), lit(16)))
+        .collect()
+    }
+    assert(causes(e1).exists(c => c.getMessage != null &&
+      c.getMessage.contains("null element")), s"got: $e1")
+    val e2 = intercept[Exception] {
+      df.select(call_function("graft_simhash64", col("hs"))).collect()
+    }
+    assert(causes(e2).exists(c => c.getMessage != null &&
+      c.getMessage.contains("null element")), s"got: $e2")
+  }
+
+  test("pq functions accept a SQL-text codebook (foldable, not yet a " +
+      "Literal at analysis time) and arity errors are named") {
+    GraftFunctions.ensureRegistered(spark)
+    // array(array(...)) in SQL is CreateArray when the builder runs —
+    // the foldable arm must evaluate it, or pure-SQL users are locked out
+    val codes = spark.sql(
+      """SELECT graft_pq_encode(array(0.0D, 1.0D),
+        |  array(array(0.0D, 1.0D), array(5.0D, 5.0D)), 2) AS c"""
+        .stripMargin).head().getSeq[Int](0)
+    assert(codes === Seq(0), s"nearest codeword must be row 0: $codes")
+    // wrong arity: a named message, not a bare IndexOutOfBounds
+    val e = intercept[Exception] {
+      spark.sql("SELECT graft_vec_dot(array(1.0D))").head()
+    }
+    val msgs = Iterator.iterate(e: Throwable)(_.getCause)
+      .takeWhile(_ != null).map(String.valueOf(_: Any)).mkString(" | ")
+    assert(msgs.contains("expects 2 arguments"), s"got: $msgs")
+  }
+
   test("winnow_positions rejects null hash elements loudly") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
