@@ -58,9 +58,13 @@ object BpeOps {
 
   /** Single-character symbol array of `c`. (Not `split(c, "")`: Spark's
     * split uses Java's limit=-1 semantics, which keeps a trailing empty
-    * string that would pollute the symbol alphabet.) */
+    * string that would pollute the symbol alphabet. And the empty string
+    * must short-circuit: sequence(1, 0) DESCENDS — Spark defaults the
+    * step to -1 when start > stop — so the bare transform would emit two
+    * phantom "" symbols for empty text.) */
   private def chars(c: Column): Column =
-    transform(sequence(lit(1), length(c)), i => c.substr(i, lit(1)))
+    when(length(c) === 0, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(1), length(c)), i => c.substr(i, lit(1))))
 
   /** Greedy left-to-right merge of adjacent (l, r) symbol pairs into l+r —
     * the standard BPE substitution, as a pure builtin fold: scan the

@@ -73,7 +73,9 @@ object MultimodalOps {
         it.grouped(BatchSize).flatMap { batch =>
           batch.map { m =>
             val bytes = m.payload
-            val n = bytes.length
+            // null payload (null text upstream) folds into the empty arm —
+            // the mediaPhashOn twin's guard, mirrored
+            val n = if (bytes == null) 0 else bytes.length
             // empty payload mirrors the oracle's NULL propagation exactly:
             // list_sum([]) = NULL mean, all-zero histogram argmax = bin 0,
             // 0 frames, and an all-NULL thumb joins to the empty string
@@ -97,8 +99,10 @@ object MultimodalOps {
             // Serialized as a comma-joined string: a scalar column keeps the
             // result sortable/hashable by any downstream engine.
             val thumb = Array.tabulate(8) { k =>
-              val lo = k * n / 8
-              val hi = math.max(lo + 1, (k + 1) * n / 8)
+              // Long bucket math like the phash twin: k * n wraps Int
+              // past ~307 MB payloads (negative lo → AIOOBE)
+              val lo = (k.toLong * n / 8).toInt
+              val hi = math.max(lo + 1, ((k + 1).toLong * n / 8).toInt)
               var s = 0L
               var j = lo
               while (j < hi) { s += bytes(j) & 0xFF; j += 1 }
@@ -264,7 +268,13 @@ object MultimodalOps {
       fullPairs: Boolean = false,
       maxListedPairs: Long = DedupOps.MaxListedPairs): DataFrame = {
     if (!fullPairs)
-      DedupOps.pairFloorIfExceeds(docsDf, maxListedPairs, None)
+      // the floor must count only payloads that HASH: empty/null payloads
+      // produce no fingerprint and no pairs, so a clique of empty rows
+      // (a common scraper failure) must not trip the gate for a listing
+      // it cannot inflate
+      DedupOps.pairFloorIfExceeds(
+        docsDf.filter(col("text").isNotNull && length(col("text")) > 0),
+        maxListedPairs, None)
         .foreach { floor =>
           throw new IllegalArgumentException(
             s"mediaPhashPairsOn: the corpus's exact-duplicate pair floor " +
@@ -290,8 +300,15 @@ object MultimodalOps {
     * exactly once) and screen against the index
     * ([[phashPairsAgainstStore]]) without ever re-decoding the corpus.
     */
-  def writePhashStore(docsDf: DataFrame, path: String): Unit =
-    mediaPhashOn(docsDf).write.mode("overwrite").parquet(path)
+  def writePhashStore(docsDf: DataFrame, path: String): Unit = {
+    // staging + swap even for the initial materialization: a REBUILD of a
+    // live store via bare overwrite deletes the crawl loop's index before
+    // the new files commit — a crash mid-write leaves it
+    // deleted-but-unwritten (the bloom-refresh lesson, applied here)
+    val staging = path + ".merging"
+    mediaPhashOn(docsDf).write.mode("overwrite").parquet(staging)
+    ScaleOps.swapInto(docsDf.sparkSession, staging, path)
+  }
 
   def appendToPhashStore(batch: DataFrame, path: String): Unit =
     appendHashedToPhashStore(mediaPhashOn(batch), path)

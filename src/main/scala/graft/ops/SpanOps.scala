@@ -136,13 +136,54 @@ object SpanOps {
   /** Materialize a corpus's distinct K-shingle key table (16-byte md5),
     * hash-laid-out for balanced probes — the span-level sibling of
     * `CurationOps.writeFingerprintStore`. Tiny relative to the corpus
-    * (32 B per distinct shingle, no text payload). */
+    * (32 B per distinct shingle, no text payload). The shingle width k
+    * rides in a hidden `_graft_meta` sidecar (underscore-prefixed, so
+    * Spark's file index never reads it as data): an 8-word-shingle probe
+    * of a 50-word-shingle store matches NOTHING and would otherwise
+    * report 100% novelty silently — the bloom store records its params
+    * in the row for the same reason. Published via staging + atomic swap
+    * (a rebuild of a LIVE store must never leave it deleted-but-unwritten
+    * mid-crash).
+    */
   def writeShingleStore(docsDf: DataFrame, path: String,
-      k: Int = DefaultK): Unit =
+      k: Int = DefaultK): Unit = {
+    val s = docsDf.sparkSession
+    val staging = path + ".merging"
     shingleOcc(docsDf, k).select("h").distinct()
       .withColumn("fp", xxhash64(col("h")))
       .repartition(col("fp"))
-      .write.mode("overwrite").parquet(path)
+      .write.mode("overwrite").parquet(staging)
+    writeShingleMeta(s, staging, k)
+    ScaleOps.swapInto(s, staging, path)
+  }
+
+  /** Record the store's shingle width in the hidden sidecar. */
+  private def writeShingleMeta(s: SparkSession, path: String, k: Int): Unit = {
+    import s.implicits._
+    Seq(k).toDF("k").coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/_graft_meta")
+  }
+
+  /** The store's recorded shingle width, or None for a store written
+    * before the sidecar existed (legacy layout — caller-supplied k is
+    * trusted there, as before).
+    */
+  private def storedShingleK(s: SparkSession, path: String): Option[Int] = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/_graft_meta")
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) Some(s.read.parquet(p.toString).head.getInt(0))
+    else None
+  }
+
+  /** Fail loudly when the caller's k disagrees with the store's recorded
+    * width — mismatched shingle hashes never collide, so every probe
+    * would silently answer "nothing indexed".
+    */
+  private def requireShingleK(s: SparkSession, path: String, k: Int): Unit =
+    storedShingleK(s, path).foreach(stored =>
+      require(stored == k,
+        s"shingle store at $path was built with k=$stored; probing or " +
+          s"appending with k=$k would be silently meaningless"))
 
   /** Fold an ADMITTED crawl batch's shingle keys into the store,
     * append-only — the incremental face that keeps the indexed corpus
@@ -155,11 +196,13 @@ object SpanOps {
     * [[compactShingleStore]] when the bloat matters.
     */
   def appendToShingleStore(admitted: DataFrame, path: String,
-      k: Int = DefaultK): Unit =
+      k: Int = DefaultK): Unit = {
+    requireShingleK(admitted.sparkSession, path, k)
     shingleOcc(admitted, k).select("h").distinct()
       .withColumn("fp", xxhash64(col("h")))
       .repartition(col("fp"))
       .write.mode("append").parquet(path)
+  }
 
   /** Re-contract accumulated append segments to distinct keys, publishing
     * via staging + atomic swap (durable state — never overwrite the live
@@ -167,10 +210,12 @@ object SpanOps {
     */
   def compactShingleStore(s: SparkSession, path: String): Unit = {
     val staging = path + ".merging"
+    val k = storedShingleK(s, path) // carry the sidecar across the swap
     s.read.parquet(path).select("h").distinct()
       .withColumn("fp", xxhash64(col("h")))
       .repartition(col("fp"))
       .write.mode("overwrite").parquet(staging)
+    k.foreach(writeShingleMeta(s, staging, _))
     ScaleOps.swapInto(s, staging, path)
   }
 
@@ -185,6 +230,7 @@ object SpanOps {
       bloomPath: String, k: Int = DefaultK, nBits: Int = 1 << 20,
       kHashes: Int = 7): Unit = {
     graft.functions.GraftFunctions.ensureRegistered(s)
+    requireShingleK(s, shinglePath, k) // bloom row must record the real k
     // the store already persists fp = xxhash64(h) — read the 8-byte
     // column instead of re-hashing every 16-byte key per refresh
     val b = s.read.parquet(shinglePath)
@@ -211,9 +257,11 @@ object SpanOps {
   /** [[dupSpansAgainstOn]] probing the persisted store instead of
     * re-scanning the indexed corpus. */
   def dupSpansAgainstStore(incoming: DataFrame, storePath: String,
-      k: Int = DefaultK): DataFrame =
+      k: Int = DefaultK): DataFrame = {
+    requireShingleK(incoming.sparkSession, storePath, k)
     spansAgainstKeys(incoming,
       incoming.sparkSession.read.parquet(storePath).select("h"), k)
+  }
 
   // ---- persisted bloom filter: the wire-speed face of the shingle store ---
 
@@ -298,9 +346,11 @@ object SpanOps {
     * a doc's shingles.
     */
   def noveltyAgainstStore(incoming: DataFrame, storePath: String,
-      k: Int = DefaultK): DataFrame =
+      k: Int = DefaultK): DataFrame = {
+    requireShingleK(incoming.sparkSession, storePath, k)
     noveltyAgainstKeys(incoming,
       incoming.sparkSession.read.parquet(storePath).select("h").distinct(), k)
+  }
 
   private def noveltyAgainstKeys(incoming: DataFrame, refKeys: DataFrame,
       k: Int): DataFrame =

@@ -64,7 +64,17 @@ object TemporalOps {
     val lTagged = left.select(
       keys.map(col) ++ Seq(col(leftTime).as("__t"), lit(1).as("__side")) ++
         lPayload.map(col) :+ lit(null).cast(rStruct).as("__r"): _*)
-    val rTagged = right.select(
+    // ASOF null semantics (the DuckDB contract): a right row with a NULL
+    // time can never satisfy `rightTime <= leftTime`, and a NULL key
+    // matches nothing in an equality join — but the union-sort would put
+    // a null __t FIRST (nulls-first asc) and carry its payload into every
+    // otherwise-unmatched left row, and null keys would group together.
+    // Drop such right rows; null-keyed LEFT rows stay (left-outer: they
+    // emit with a null match like DuckDB's).
+    val rClean = right.filter(
+      col(rightTime).isNotNull &&
+        keys.map(col(_).isNotNull).reduceOption(_ && _).getOrElse(lit(true)))
+    val rTagged = rClean.select(
       keys.map(col) ++ Seq(col(rightTime).as("__t"), lit(0).as("__side")) ++
         lPayload.map(c => lit(null).cast(left.schema(c).dataType).as(c)) :+
         struct(rPayload.map(col): _*).as("__r"): _*)
@@ -396,6 +406,10 @@ object TemporalOps {
   /** `eventsDf` needs (ts, user_id). */
   def rollingActiveUsersOn(eventsDf: DataFrame,
       windowDays: Int): DataFrame = {
+    // sequence(0, -1) DESCENDS (Spark defaults step to -1), so a
+    // non-positive window would silently vote each day into its
+    // PREDECESSOR instead of erroring
+    require(windowDays >= 1, s"windowDays must be >= 1, got $windowDays")
     val du = eventsDf
       .select(to_date(col("ts")).as("d"), col("user_id"))
       .distinct()

@@ -34,6 +34,16 @@ class BpeSpec extends SparkSpec {
       Seq("aa", "aa"), Seq("aa", "a"), Seq("aa", "b"), Seq("b", "a")))
   }
 
+  test("empty text tokenizes to an empty symbol array, not phantom " +
+      "empty strings") {
+    // sequence(1, 0) DESCENDS in Spark — the unguarded chars() would
+    // emit ["", ""] for empty text
+    val got = Seq("", "ab").toDF("t")
+      .select(BpeOps.bpeApply(col("t"), Seq("a" -> "b")).as("syms"))
+      .collect().map(_.getSeq[String](0)).toSeq
+    assert(got === Seq(Seq(), Seq("ab")))
+  }
+
   test("chained rules apply in order") {
     val df = Seq("aab", "aabaab").toDF("t")
     val got = df.select(BpeOps.bpeApply(col("t"),

@@ -157,6 +157,28 @@ class SpanSpec extends SparkSpec {
     val viaStore = SpanOps.dupSpansAgainstStore(incoming, store, 3).collect()
     assert(direct.toSeq === viaStore.toSeq)
     assert(direct.nonEmpty)
+    // the store records its shingle width: probing or appending with a
+    // different k is a silent nothing-matches — it must fail loudly
+    val e = intercept[IllegalArgumentException] {
+      SpanOps.dupSpansAgainstStore(incoming, store, 8)
+    }
+    assert(e.getMessage.contains("k=3") && e.getMessage.contains("k=8"))
+    intercept[IllegalArgumentException] {
+      SpanOps.appendToShingleStore(incoming, store, 5)
+    }
+    intercept[IllegalArgumentException] {
+      SpanOps.noveltyAgainstStore(incoming, store, 4)
+    }
+    // the sidecar survives compaction; a legacy store WITHOUT the sidecar
+    // (pre-metadata layout) still probes on caller-supplied k
+    SpanOps.compactShingleStore(spark, store)
+    assert(SpanOps.dupSpansAgainstStore(incoming, store, 3).collect()
+      .toSeq === direct.toSeq)
+    val metaDir = new java.io.File(store + "/_graft_meta")
+    assert(metaDir.exists, "compaction must carry the k sidecar across")
+    metaDir.listFiles().foreach(_.delete()); metaDir.delete()
+    assert(SpanOps.dupSpansAgainstStore(incoming, store, 3).collect()
+      .toSeq === direct.toSeq, "legacy store must stay probeable")
   }
 
   test("novelty against a reference corpus: copies 0, fresh 1, mixed " +

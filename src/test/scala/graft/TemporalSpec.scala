@@ -55,6 +55,33 @@ class TemporalSpec extends SparkSpec {
     assert(ex.getMessage.contains("reserved"))
   }
 
+  test("asofJoin ASOF null semantics: a null right time or null right " +
+      "key can never fabricate a match") {
+    val left = Seq((1L, 1L, ts("2024-01-01 10:00:00"), "l1"))
+      .toDF("k", "lid", "lt", "lpay")
+    // a null rt would sort FIRST (nulls-first asc) and be carried into
+    // every otherwise-unmatched left row; a null key matches nothing in
+    // an equality join — both must be dropped from the right side
+    val right = Seq(
+      (java.lang.Long.valueOf(1L), null: java.sql.Timestamp, "ghost"),
+      (null: java.lang.Long, ts("2024-01-01 09:00:00"), "nokey"))
+      .toDF("k", "rt", "rpay")
+    val out = TemporalOps.asofJoin(left, right, Seq("k"), "lt", "rt")
+      .select("lid", "rpay").collect()
+    assert(out.toSeq === Seq(Row(1L, null)),
+      s"null right rows must never match: ${out.toSeq}")
+  }
+
+  test("rolling active users rejects a non-positive window loudly") {
+    // sequence(0, -1) DESCENDS — a zero-day window would silently vote
+    // each day into its predecessor
+    val e = intercept[IllegalArgumentException] {
+      TemporalOps.rollingActiveUsersOn(
+        Seq((1L, ts("2024-01-01 10:00:00"))).toDF("user_id", "ts"), 0)
+    }
+    assert(e.getMessage.contains("windowDays"))
+  }
+
   test("asofJoin never matches a later right row") {
     val left = Seq((1L, 1L, ts("2024-01-01 00:00:00"))).toDF("k", "lid", "lt")
     val right = Seq((1L, ts("2024-01-01 00:00:01"), 9L)).toDF("k", "rt", "rid")
