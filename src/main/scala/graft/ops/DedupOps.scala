@@ -44,16 +44,22 @@ object DedupOps {
   /** Tokenized docs + the ≤65-token vocabulary probe that drives the plan
     * dispatch (shared by q37 and q46 so both branch identically).
     */
-  private def tokenizedDocs(docsDf: DataFrame): (DataFrame, Array[String]) = {
-    val d = docsDf
+  private def tokenizedDocs(docsDf: DataFrame): (DataFrame, Array[String]) =
+    (tokenizedFrame(docsDf),
+      tokenizedFrame(docsDf).select(explode(col("toks")).as("tok"))
+        .distinct().orderBy("tok").limit(65)
+        .collect().map(_.getString(0)))
+
+  /** The tokenized frame WITHOUT the ≤65-token vocabulary probe — for
+    * callers already committed to the general-vocab prefix plan (the
+    * dup-dense clustering arm), where running the probe job only to
+    * discard its result would cost a full corpus scan per call.
+    */
+  private def tokenizedFrame(docsDf: DataFrame): DataFrame =
+    docsDf
       .select(col("doc_id"), col("lang"),
         array_distinct(split(trim(col("text")), " ")).as("toks"))
       .withColumn("n_toks", size(col("toks")))
-    val vocab = d.select(explode(col("toks")).as("tok"))
-      .distinct().orderBy("tok").limit(65)
-      .collect().map(_.getString(0))
-    (d, vocab)
-  }
 
   /** Exact distinct-word Jaccard near-dup pairs (J ≥ 0.9), with a one-probe
     * cost-based plan choice (the kind of stats-driven dispatch a real engine
@@ -101,8 +107,11 @@ object DedupOps {
     if (!fullPairs)
       requirePairFloorBelow(docsDf, maxListedPairs, stats, "jaccardPairsOn")
     val (d, vocab) = tokenizedDocs(docsDf)
-    if (vocab.length <= 64) jaccardPairsMask(d, vocab)
-    else jaccardPairsPrefix(d)
+    // presentation sort lives HERE, not in the miners: the clustering /
+    // decision arms consume the listings as edge sets, where a global
+    // sort is a pure wasted range shuffle (editPairsList's convention)
+    (if (vocab.length <= 64) jaccardPairsMask(d, vocab)
+     else jaccardPairsPrefix(d)).orderBy("a_id", "b_id")
   }
 
   /** Catalog binding: `fullPairs = true` pins the oracle-checked listing
@@ -283,7 +292,7 @@ object DedupOps {
         col("a_mask") === col("y_mask") && col("x_id") < col("y_id"))
       .select(col("lang"), col("x_id").as("a_id"), col("y_id").as("b_id"),
         col("jaccard"))
-    cross.unionAll(same).orderBy("a_id", "b_id")
+    cross.unionAll(same)
   }
 
   /** General-vocab plan: prefix-filtered similarity join (PPJoin-lite) —
@@ -296,7 +305,12 @@ object DedupOps {
       explode(col("toks")).as("tok"))
     val vocab = expl.groupBy("tok").agg(count(lit(1)).as("freq"))
     val w = Window.partitionBy("doc_id").orderBy("freq", "tok")
-    val prefix = expl.join(broadcast(vocab), "tok")
+    // NO broadcast hint on the frequency table: it is vocabulary-sized,
+    // which on a general web corpus is unbounded (10^8 tokens = GBs) — a
+    // forced broadcast would blow the driver/broadcast cap on exactly
+    // the scale path this plan exists for. AQE broadcasts it anyway when
+    // it is actually small; past that a shuffle join on tok is correct.
+    val prefix = expl.join(vocab, "tok")
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= floor(col("n_toks") * 0.1) + 1)
       .select(col("doc_id"), col("tok"))
@@ -317,7 +331,6 @@ object DedupOps {
         jac >= 0.9)
       .select(col("lang"), col("a_id"), col("b_id"),
         round(jac, 6).as("jaccard"))
-      .orderBy("a_id", "b_id")
   }
 
   // ---- MinHash + LSH (sub-quadratic scale path) --------------------------
@@ -410,7 +423,7 @@ object DedupOps {
       stats: Option[CorpusStats] = None): DataFrame = {
     if (!fullPairs)
       requirePairFloorBelow(docsDf, maxListedPairs, stats, "minhashLshPairsOn")
-    minhashLshPairsList(docsDf, reliable)
+    minhashLshPairsList(docsDf, reliable).orderBy("a_id", "b_id")
   }
 
   /** First-match-band LSH candidate pairs (a_id < b_id) from a
@@ -446,7 +459,6 @@ object DedupOps {
       .filter(col("a_n") * 5 >= col("b_n") * 4 &&
         col("b_n") * 5 >= col("a_n") * 4 && jac >= 0.8)
       .select(col("a_id"), col("b_id"), round(jac, 6).as("jaccard"))
-      .orderBy("a_id", "b_id")
   }
 
   /** Catalog binding: `fullPairs = true` — see [[jaccardPairs]]. */
@@ -619,7 +631,7 @@ object DedupOps {
       stats: Option[CorpusStats] = None): DataFrame = {
     if (!fullPairs)
       requirePairFloorBelow(docsDf, maxListedPairs, stats, "simhashPairsOn")
-    simhashPairsList(docsDf, reliable)
+    simhashPairsList(docsDf, reliable).orderBy("a_id", "b_id")
   }
 
   private def simhashPairsList(docsDf: DataFrame,
@@ -630,7 +642,6 @@ object DedupOps {
         col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"),
         bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).as("hamming"))
-      .orderBy("a_id", "b_id")
   }
 
   /** Catalog binding: `fullPairs = true` — see [[jaccardPairs]]. */
@@ -671,8 +682,7 @@ object DedupOps {
         val (d, vocab) = tokenizedDocs(dd)
         (if (vocab.length <= 64) jaccardPairsMask(d, vocab)
          else jaccardPairsPrefix(d)).select(col("a_id"), col("b_id"))
-      }, reliable, groupKey = struct(coalesce(col("lang"), lit("\u0000")),
-        nullSafeTextKey))
+      }, reliable, groupKey = jaccardGroupKey)
     case "minhash" =>
       contractedClusters(docsDf,
         dd => minhashLshPairsList(dd, reliable).select(
@@ -743,6 +753,20 @@ object DedupOps {
   private def nullSafeTextKey: Column =
     coalesce(md5(col("text")), lit(""))
 
+  /** The jaccard-arm contraction key: (lang, raw-text digest), with a
+    * NULL-lang row keyed to ITSELF (doc_id tiebreak) — the per-language
+    * miners join on `lang === b_lang` (null-falsy) and the q46/q101
+    * oracle on `a.lang = b.lang`, so identical NULL-lang texts pair in
+    * NEITHER arm; grouping them in the contraction would force-merge
+    * what no miner ever links (the 872a352 cross-block invariant,
+    * extended to the null block).
+    */
+  private def jaccardGroupKey: Column =
+    struct(coalesce(col("lang"), lit("\u0000")),
+      when(col("lang").isNull,
+        concat(lit("\u0000id:"), col("doc_id").cast("string")))
+        .otherwise(nullSafeTextKey))
+
   private def contractedClusters(docsDf: DataFrame,
       minePairs: DataFrame => DataFrame, reliable: Boolean,
       groupKey: Column = nullSafeTextKey): DataFrame = {
@@ -752,8 +776,15 @@ object DedupOps {
       reliable)
     val reps = docsDf.join(groups.select(col("rep_id").as("doc_id")),
       Seq("doc_id"))
-    val edges = minePairs(reps)
-      .select(col("a_id").as("src"), col("b_id").as("dst"))
+    // truncate the mined edge set ONCE, before the probe: the probe and
+    // the past-cap CC loop both consume it, and without the checkpoint
+    // the most expensive path (past DriverCcMaxEdges) would re-execute
+    // the entire mining — candidate join plus verification — a second
+    // time for the bidirectional frame
+    val edges = truncateLineage(
+      minePairs(reps)
+        .select(col("a_id").as("src"), col("b_id").as("dst")),
+      reliable)
     val members = withKey.join(groups, Seq("__nh"))
     // One probe job fetches the mined rep-pair edge set up to the driver
     // cap. Zero edges (every rep its own component — the common case on a
@@ -778,10 +809,10 @@ object DedupOps {
         // multi-million-row driver job) and re-checkpoint an already
         // truncated frame, both on precisely the most expensive path
         val nodes = groups.select(col("rep_id").as("id"))
-        val bidir = truncateLineage(
-          edges.union(
-            edges.select(col("dst").as("src"), col("src").as("dst"))),
-          reliable)
+        // edges is already checkpointed — the union reads its blocks, no
+        // re-mining and no second checkpoint of the same data
+        val bidir = edges.union(
+          edges.select(col("dst").as("src"), col("src").as("dst")))
         val cc = connectedComponentsLoop(nodes, bidir, reliable)
         members
           .join(cc.select(col("id").as("rep_id"), col("rep")), Seq("rep_id"))
@@ -872,11 +903,13 @@ object DedupOps {
       // restores q46's exact semantics (only docs that participate in at
       // least one qualifying pair appear).
       val all = contractedClusters(docsDf,
-        dd => jaccardPairsPrefix(tokenizedDocs(dd)._1)
+        // tokenizedFrame, not tokenizedDocs: this arm is committed to
+        // the prefix plan, so the ≤65-token vocab probe (a full corpus
+        // job) would run only to be discarded
+        dd => jaccardPairsPrefix(tokenizedFrame(dd))
           .select(col("a_id"), col("b_id")),
         reliable,
-        groupKey = struct(coalesce(col("lang"), lit("\u0000")),
-          nullSafeTextKey))
+        groupKey = jaccardGroupKey)
       val paired = all.groupBy("rep").agg(count(lit(1)).as("_cn"))
         .filter(col("_cn") >= 2).select("rep")
       all.join(paired, "rep")

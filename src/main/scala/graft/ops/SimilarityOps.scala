@@ -398,17 +398,31 @@ object SimilarityOps {
       maxExactBlock: Int): DataFrame = {
     val g = embDf.groupBy(col("label"), col("embedding"))
       .agg(min(col("vec_id")).as("id1"), count(lit(1)).as("m"))
-    val withG = embDf.join(g, Seq("label", "embedding"))
+    // NULL-SAFE rejoin: groupBy treats null keys as equal, but an EqualTo
+    // join never rematches them — a plain Seq-join would silently DROP
+    // every null-label/null-embedding row from the output (the direct
+    // arm emits them), violating the every-vector-gets-a-row contract
+    val withG = embDf.as("e").join(g.as("g"),
+        col("e.label") <=> col("g.label") &&
+          col("e.embedding") <=> col("g.embedding"))
+      .select(col("e.*"), col("g.id1"), col("g.m"))
     // second-lowest member id — the lowest member's in-group neighbor
     // (id1 is unique across groups: each vec_id belongs to one group)
     val id2s = withG.filter(col("vec_id") =!= col("id1"))
       .groupBy(col("id1")).agg(min(col("vec_id")).as("id2"))
+    // nn_cos via the direct arm's OWN formula on the identical pair
+    // (dot(e,e)/(‖e‖·‖e‖), rounded 6) rather than a literal 1.0 — a
+    // zero vector yields the same NaN and a null embedding the same
+    // null the exact scan produces for that pair
+    val selfCos = round(
+      dot(col("embedding"), col("embedding"))
+        / (norm(col("embedding")) * norm(col("embedding"))), 6)
     val dupRows = withG.filter(col("m") >= 2)
       .join(id2s, Seq("id1"))
       .select(col("vec_id"), col("label"),
         when(col("vec_id") === col("id1"), col("id2"))
           .otherwise(col("id1")).as("nn_id"),
-        lit(1.0).as("nn_cos"))
+        selfCos.as("nn_cos"))
     // distinct vectors (group minima) are the candidate set; only the
     // true singletons still need a mined neighbor. A tie against a dup
     // group resolves to that group's minimum — exactly id1, the row the
@@ -781,13 +795,10 @@ object SimilarityOps {
 
   /** `embDf` needs (vec_id, label, embedding). */
   def clusterPurityOn(embDf: DataFrame): DataFrame = {
-    val centRows = labelCentroidsOn(embDf)
-      .select("label", "dim", "centroid").collect()
-    val labels = centRows.map(_.getAs[Int]("label")).distinct.sorted
-    val byLabel = centRows.groupBy(_.getAs[Int]("label"))
-    val codebook = labels.map(l => byLabel(l)
-      .sortBy(_.getAs[Int]("dim"))
-      .map(_.getAs[Double]("centroid")))
+    // one codebook-assembly definition (pqCodebook): same collect/group/
+    // sort discipline AND its empty-table guard, instead of a drifting
+    // re-implementation that failed later with an opaque array_min error
+    val (labels, codebook) = pqCodebook(embDf)
     assignClusters(embDf, codebook)
       .select(col("label"),
         element_at(typedLit(labels.toSeq), col("cluster") + 1)

@@ -617,6 +617,26 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("dedupDecision(jaccard): identical NULL-lang texts stay separate " +
+      "components (no miner ever pairs a null lang)") {
+    import spark.implicits._
+    // the per-language miners join on lang === b_lang (null-falsy) and
+    // the q46/q101 oracle on a.lang = b.lang — so the exact-dup
+    // contraction must NOT force-merge what no arm links
+    val docs = Seq(
+      (0L, "hello world common text", null: String),
+      (1L, "hello world common text", null: String),
+      (2L, "hello world common text", "en"),
+      (3L, "hello world common text", "en")
+    ).toDF("doc_id", "text", "lang")
+    val reps = DedupOps.dedupDecision(docs, method = "jaccard")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(reps(0L) === 0L && reps(1L) === 1L,
+      s"null-lang identical texts must each rep themselves: $reps")
+    assert(reps(2L) === 2L && reps(3L) === 2L,
+      s"same-lang identical texts still merge: $reps")
+  }
+
   test("dedupDecision(winnow): matches union-find over the q121 miner on " +
       "the contracted reps, planted overlap links, exact-dup cliques " +
       "label through the contraction") {
