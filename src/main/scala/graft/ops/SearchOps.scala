@@ -379,10 +379,7 @@ object SearchOps {
     * ([[lmPerplexityFromStore]]) never re-reads the indexed corpus.
     */
   def writeBigramStore(docsDf: DataFrame, path: String): Unit =
-    docBigramsOn(docsDf)
-      .groupBy("from_tok", "to_tok").agg(count(lit(1)).as("n_pairs"))
-      .repartition(col("from_tok"))
-      .write.mode("overwrite").parquet(path)
+    writeBigramStoreStaged(docsDf, path)
 
   /** [[writeBigramStore]] via staging + atomic swap — the seeding form
     * for a path that LIVE READERS may already be polling (the mix
@@ -395,7 +392,10 @@ object SearchOps {
     */
   def writeBigramStoreStaged(docsDf: DataFrame, path: String): Unit = {
     val staging = path + ".merging"
-    writeBigramStore(docsDf, staging)
+    docBigramsOn(docsDf)
+      .groupBy("from_tok", "to_tok").agg(count(lit(1)).as("n_pairs"))
+      .repartition(col("from_tok"))
+      .write.mode("overwrite").parquet(staging)
     // swapInto handles both arms: first seed (absent → one rename) and
     // refresh over a live store (park + swap)
     graft.ops.ScaleOps.swapInto(docsDf.sparkSession, staging, path)

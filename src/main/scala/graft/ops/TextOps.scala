@@ -21,6 +21,16 @@ object TextOps {
 
   private val tokens: Column = split(trim(col("text")), " ")
 
+  /** `size` with EXPLICIT null propagation: under
+    * `spark.sql.legacy.sizeOfNull` a null token array reads as −1, which
+    * silently poisons every downstream ratio (en_ratio = −1/−1 = 1.0
+    * labels an EMPTY doc 'en') where the oracle propagates NULL — the
+    * SimilarityOps q110 guard, applied to the token-count family. Under
+    * the default conf this is identical to bare `size`.
+    */
+  private def sizeOrNull(c: Column): Column =
+    when(c.isNull, lit(null)).otherwise(size(c))
+
   /** The exact alphabet of `[a-zA-Z0-9 ]` for regex-free `translate`
     * deletion (see the scoring-hygiene note on [[scoredDocsOn]]).
     */
@@ -45,12 +55,12 @@ object TextOps {
       .withColumn("toks", tokens)
       .select(
         col("doc_id"), col("lang"), col("n_chars"),
-        size(col("toks")).as("ws_tokens"),
+        sizeOrNull(col("toks")).as("ws_tokens"),
         size(regexp_extract_all(col("text"),
           lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"), lit(0))).as("re_tokens"),
         size(array_distinct(col("toks"))).as("distinct_tokens"),
         round(length(translate(col("text"), " ", ""))
-          / size(col("toks")), 4).as("avg_token_len"))
+          / sizeOrNull(col("toks")), 4).as("avg_token_len"))
       .orderBy("doc_id")
 
   /** Language ID via stopword-hit heuristic: ratio of English function words
@@ -64,9 +74,9 @@ object TextOps {
     val stopArr = array(enStops.map(lit): _*)
     docsDf
       .withColumn("toks", tokens)
-      .withColumn("n_tokens", size(col("toks")))
+      .withColumn("n_tokens", sizeOrNull(col("toks")))
       .withColumn("en_hits",
-        size(filter(col("toks"), t => array_contains(stopArr, t))))
+        sizeOrNull(filter(col("toks"), t => array_contains(stopArr, t))))
       .select(
         col("doc_id"), col("lang"), col("n_tokens"), col("en_hits"),
         round(col("en_hits") / col("n_tokens"), 6).as("en_ratio"),
@@ -95,7 +105,7 @@ object TextOps {
   private[ops] def scoredDocsOn(docsDf: DataFrame): DataFrame =
     docsDf
       .withColumn("toks", tokens)
-      .withColumn("n_tokens", size(col("toks")))
+      .withColumn("n_tokens", sizeOrNull(col("toks")))
       .withColumn("distinct_ratio",
         size(array_distinct(col("toks"))) / col("n_tokens"))
       .withColumn("avg_len",
@@ -172,7 +182,7 @@ object TextOps {
   def shingleProfileOn(docsDf: DataFrame): DataFrame =
     docsDf
       .withColumn("toks", tokens)
-      .withColumn("n_tokens", size(col("toks")))
+      .withColumn("n_tokens", sizeOrNull(col("toks")))
       .filter(col("n_tokens") >= 3)
       .withColumn("shingles",
         shingles3)
@@ -249,7 +259,7 @@ object TextOps {
   def sourceMixOn(docsDf: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     docsDf
-      .withColumn("n_toks", size(tokens))
+      .withColumn("n_toks", sizeOrNull(tokens))
       .groupBy("source", "lang")
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_toks")).as("n_tokens"))
@@ -333,7 +343,7 @@ object TextOps {
         acc => acc("best"))
     df
       .withColumn("toks", tokens)
-      .withColumn("n_tokens", size(col("toks")))
+      .withColumn("n_tokens", sizeOrNull(col("toks")))
       // guard: sequence(1, 0) would DESCEND ([1, 0]); emit [] for 1-token docs
       .withColumn("bigrams",
         when(col("n_tokens") >= 2,
@@ -470,7 +480,7 @@ object TextOps {
     require(window > 0 && stride > 0 && stride <= window)
     val d = docsDf
       .withColumn("toks", tokens)
-      .withColumn("n_tokens", size(col("toks")))
+      .withColumn("n_tokens", sizeOrNull(col("toks")))
       // 1 + ceil((n - window)/stride) via integer-exact floor arithmetic
       .withColumn("n_chunks",
         when(col("n_tokens") > window,
@@ -512,7 +522,7 @@ object TextOps {
     import org.apache.spark.sql.expressions.Window
     val d = docsDf
       .withColumn("toks", tokens)
-      .withColumn("n_tokens", size(col("toks")))
+      .withColumn("n_tokens", sizeOrNull(col("toks")))
     // run-length encode the sorted tokens: run starts / run ends by index
     // (indexes clamped: ANSI element_at faults on out-of-range)
     val n = col("n_tokens")
@@ -651,7 +661,7 @@ object TextOps {
     import org.apache.spark.sql.expressions.Window
     val sh = docsDf
       .withColumn("toks", tokens)
-      .withColumn("n_tokens", size(col("toks")))
+      .withColumn("n_tokens", sizeOrNull(col("toks")))
       .filter(col("n_tokens") >= 3)
       .withColumn("shingles", array_distinct(
         shingles3))
@@ -723,10 +733,14 @@ object TextOps {
     * 100 TB. Drift ([[sourceDriftFromStore]]) then answers per crawl
     * without ever re-reading the corpus.
     */
-  def writeTokenCountStore(docsDf: DataFrame, path: String): Unit =
+  def writeTokenCountStore(docsDf: DataFrame, path: String): Unit = {
+    // staged like every whole-store writer (rebuild of a live store)
+    val staging = path + ".merging"
     tokenCountsOn(docsDf)
       .repartition(col("token"))
-      .write.mode("overwrite").parquet(path)
+      .write.mode("overwrite").parquet(staging)
+    ScaleOps.swapInto(docsDf.sparkSession, staging, path)
+  }
 
   /** Fold a new crawl batch into the store, append-only: duplicate
     * (source, token) rows across segments are summed by every reader, so
@@ -868,7 +882,7 @@ object TextOps {
     graft.functions.GraftFunctions.ensureRegistered(docsDf.sparkSession)
     docsDf
       .withColumn("toks", tokens)
-      .withColumn("n_tokens", size(col("toks")))
+      .withColumn("n_tokens", sizeOrNull(col("toks")))
       .filter(col("n_tokens") >= WinnowK)
       // ONE pass over the text: prefix hashes + O(1) per shingle span
       // (graft_shingle_hashes ≡ the composed per-shingle code-point fold,
@@ -971,11 +985,15 @@ object TextOps {
     * probed: incremental crawls match against the store
     * ([[matchesAgainstStore]]) without ever re-reading the indexed corpus.
     */
-  def writeWinnowStore(docsDf: DataFrame, path: String): Unit =
+  def writeWinnowStore(docsDf: DataFrame, path: String): Unit = {
+    // staged like every whole-store writer (rebuild of a live store)
+    val staging = path + ".merging"
     winnowSetsOn(docsDf)
       .select(explode(col("fps")).as("fp"), col("doc_id"))
       .repartition(col("fp"))
-      .write.mode("overwrite").parquet(path)
+      .write.mode("overwrite").parquet(staging)
+    ScaleOps.swapInto(docsDf.sparkSession, staging, path)
+  }
 
   /** Fold an ADMITTED crawl batch into the store, append-only (the
     * shingle-store convention: never rewrite existing segments; a
@@ -1117,7 +1135,7 @@ object TextOps {
     val stopArr = array(enStops.map(lit): _*)
     scoredDocsOn(docsDf)
       .withColumn("en_hits",
-        size(filter(col("toks"), t => array_contains(stopArr, t))))
+        sizeOrNull(filter(col("toks"), t => array_contains(stopArr, t))))
       .withColumn("logit", round(
         lit(-3.1)
           + lit(1.6) * col("distinct_ratio")
