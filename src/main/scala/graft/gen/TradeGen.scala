@@ -140,7 +140,14 @@ object TradeGen {
     ids
       // 12-char unique key (reference: uuid4()[:12]); id-based rather than
       // random so the key is unique by construction and reproducible
-      .withColumn("trade_id", concat(lit("T"), lpad(col("id"), 11, "0")))
+      // lpad TRUNCATES past its width — an id ≥ 1e11 (12+ digits, the
+      // 100 TB row-count regime) would collide with the id holding its
+      // first 11 digits; ids past the zero-pad range keep their full
+      // digits, preserving uniqueness at any scale
+      .withColumn("trade_id", concat(lit("T"),
+        when(length(col("id").cast("string")) > 11,
+          col("id").cast("string"))
+          .otherwise(lpad(col("id"), 11, "0"))))
       .withColumn("asset_class", perClass(cls)(identity))
       .withColumn("instrument", {
         // nested literal array: [class][instrument-slot], both probes O(1)

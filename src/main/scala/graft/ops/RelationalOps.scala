@@ -187,8 +187,8 @@ object RelationalOps {
     c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
       .groupBy("c_mktsegment")
       .agg(count(lit(1)).as("n_inactive"),
-        round(sum(col("c_acctbal").cast("decimal(38,10)")), 2).cast("double")
-          .as("total_acctbal"))
+        // the one decimal-sum definition (oracle-stable discipline)
+        Tables.dsum(col("c_acctbal")).as("total_acctbal"))
       .orderBy("c_mktsegment")
   }
 

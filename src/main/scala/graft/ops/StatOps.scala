@@ -74,9 +74,22 @@ object StatOps {
     require(k >= 1, s"ntile k must be >= 1, got $k")
     require(!df.columns.contains("tile"),
       "withNtileOn: input already has a 'tile' column")
-    val ranged = df
-      .repartitionByRange(col("value"), col("event_id"))
-      .withColumn("__pid", spark_partition_id())
+    // Pin the range boundaries (ScaleOps.withGlobalRowNumber's
+    // CORRECTNESS precondition, applied to its sibling here): the counts
+    // branch and the ranked branch below both consume this exchange, and
+    // RangePartitioner samples boundaries with an execution-specific
+    // seed — without the pin, reuse=false / AQE divergence / a stage
+    // recompute could give the two branches DIFFERENT partitions, making
+    // the offset ladder describe partitions other than the ones that
+    // assigned __pid and silently corrupting every tile. (Deferred
+    // cleanup: rebase this kernel on withGlobalRowNumber itself, which
+    // also avoids the extra hash exchange of the __pid window.)
+    val ranged0 = df.repartitionByRange(col("value"), col("event_id"))
+    val pinned =
+      if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
+        ranged0.checkpoint(true)
+      else ranged0.localCheckpoint(true)
+    val ranged = pinned.withColumn("__pid", spark_partition_id())
     // per-partition counts -> running-sum offset ladder (+ grand total n).
     // The orderBy-only window is safe HERE: it sees one row per shuffle
     // partition (tens), never the data itself.
