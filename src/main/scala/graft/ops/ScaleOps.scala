@@ -257,12 +257,16 @@ object ScaleOps {
     *      single-task step touches one row per shuffle partition).
     *
     * `sort` must be a deterministic total order (tie-break on a unique
-    * column) for a stable result. Appends the 1-based rank as `out`;
-    * `df` must not already carry `_mid`/`_pid`/`_rn`/`_off` columns
-    * (they would be replaced and dropped).
+    * column) for a stable result. Appends the 1-based rank as `out`; when
+    * `totalOut` is set, also appends the grand total row count under that
+    * name (free: it is the last rung of the offset ladder the rank already
+    * pays for — rank-plus-count consumers like the NTILE bucket rule get
+    * `n` without a second job over the data). `df` must not already carry
+    * `_mid`/`_pid`/`_rn`/`_off` columns (they would be replaced and
+    * dropped).
     */
   def withGlobalRowNumber(df: DataFrame, sort: Seq[Column],
-      out: String = "rank"): DataFrame = {
+      out: String = "rank", totalOut: Option[String] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     // Local ranks WITHOUT a second data-sized shuffle: a
     // `row_number over (partition by _pid)` window would force an Exchange
@@ -307,12 +311,17 @@ object ScaleOps {
     // with the ranked branch by construction; a count doesn't need the
     // local sort, and aggregating above sortWithinPartitions would
     // re-sort the whole input a second time)
-    val offs = ranged.withColumn("_pid", spark_partition_id())
+    val offs0 = ranged.withColumn("_pid", spark_partition_id())
       .groupBy("_pid").agg(count(lit(1)).as("_cnt"))
       .withColumn("_off",
         coalesce(sum("_cnt").over(Window.orderBy("_pid")
           .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .select("_pid", "_off")
+    val offs = totalOut match {
+      case Some(n) => offs0
+        .withColumn(n, sum("_cnt").over())
+        .select(col("_pid"), col("_off"), col(n))
+      case None => offs0.select("_pid", "_off")
+    }
     ranked
       .join(broadcast(offs), "_pid")
       .withColumn(out, col("_off") + col("_rn"))

@@ -3,7 +3,6 @@ package graft.ops
 import graft.Tables
 import graft.Tables.{dsum, sqlDsum}
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
@@ -40,12 +39,16 @@ object StatOps {
     *
     *   1. `repartitionByRange(value, event_id)` — partition p holds keys
     *      strictly below partition p+1 (total order across partitions).
-    *   2. `row_number` partitioned by `spark_partition_id()` — each
-    *      partition sorts only its own slice, all in parallel.
+    *   2. per-partition local ranks in parallel (read out of
+    *      `monotonically_increasing_id` along the within-partition sort —
+    *      no partition-keyed window, so no extra hash exchange).
     *   3. global rank = local rank + offset(pid), where the offset ladder
     *      is a running sum over the ≤|partitions| per-pid counts — a
     *      single-partition window over a HANDFUL of rows, not the data.
     *   4. NTILE's bucket rule from the rank in pure integer arithmetic.
+    *
+    * Steps 1–3 are [[ScaleOps.withGlobalRowNumber]] (shared with q44/q70/
+    * q109/q118/q127); only the bucket rule lives here.
     *
     * Every stage is bounded: the only single-task step touches one row
     * per shuffle partition. This is how a 100 TB global rank/ntile has to
@@ -74,38 +77,15 @@ object StatOps {
     require(k >= 1, s"ntile k must be >= 1, got $k")
     require(!df.columns.contains("tile"),
       "withNtileOn: input already has a 'tile' column")
-    // Pin the range boundaries (ScaleOps.withGlobalRowNumber's
-    // CORRECTNESS precondition, applied to its sibling here): the counts
-    // branch and the ranked branch below both consume this exchange, and
-    // RangePartitioner samples boundaries with an execution-specific
-    // seed — without the pin, reuse=false / AQE divergence / a stage
-    // recompute could give the two branches DIFFERENT partitions, making
-    // the offset ladder describe partitions other than the ones that
-    // assigned __pid and silently corrupting every tile. (Deferred
-    // cleanup: rebase this kernel on withGlobalRowNumber itself, which
-    // also avoids the extra hash exchange of the __pid window.)
-    val ranged0 = df.repartitionByRange(col("value"), col("event_id"))
-    val pinned =
-      if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
-        ranged0.checkpoint(true)
-      else ranged0.localCheckpoint(true)
-    val ranged = pinned.withColumn("__pid", spark_partition_id())
-    // per-partition counts -> running-sum offset ladder (+ grand total n).
-    // The orderBy-only window is safe HERE: it sees one row per shuffle
-    // partition (tens), never the data itself.
-    val counts = ranged.groupBy("__pid").agg(count(lit(1)).as("__cnt"))
-    val offs = counts
-      .withColumn("__off",
-        coalesce(sum("__cnt").over(Window.orderBy("__pid")
-          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .withColumn("__n", sum("__cnt").over())
-      .select("__pid", "__off", "__n")
-    // local rank within each range partition + offset = exact global rank
-    val ranked = ranged
-      .withColumn("__rn", row_number().over(
-        Window.partitionBy("__pid").orderBy("value", "event_id")))
-      .join(broadcast(offs), "__pid")
-      .withColumn("__r", col("__off") + col("__rn"))
+    // Global rank + grand total from the ONE distributed-ranking kernel
+    // (ScaleOps.withGlobalRowNumber): it pins its range exchange (the
+    // boundary-divergence precondition both branches need) and reads
+    // local ranks out of monotonically_increasing_id, so unlike the old
+    // sibling implementation there is no extra `__pid` hash exchange for
+    // a partition-keyed window. `totalOut` rides the offset ladder —
+    // rank AND n in a single pass over the data.
+    val ranked = ScaleOps.withGlobalRowNumber(df,
+      Seq(col("value"), col("event_id")), out = "__r", totalOut = Some("__n"))
     // NTILE bucket rule, integer-exact: with n rows and k tiles the first
     // n%k tiles hold n/k+1 rows, the rest n/k. (CASE short-circuits, so
     // the `div __qq` arm never evaluates when __qq = 0, i.e. n < k.)
@@ -117,7 +97,7 @@ object StatOps {
         """CASE WHEN __r <= __cut THEN (__r + __qq) div (__qq + 1)
           |     ELSE __rem + (__r - __cut + __qq - 1) div __qq END"""
           .stripMargin))
-      .drop("__pid", "__rn", "__off", "__n", "__r", "__qq", "__rem", "__cut")
+      .drop("__n", "__r", "__qq", "__rem", "__cut")
   }
 
   // ---------------------------------------------------------------- q86

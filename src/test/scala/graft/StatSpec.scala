@@ -51,6 +51,20 @@ class StatSpec extends SparkSpec {
     }
   }
 
+  test("rebased ntile kernel drops the old __pid window exchange") {
+    // the pre-rebase sibling ranked with a row_number window PARTITIONED
+    // BY spark_partition_id(), which forced a data-sized hash exchange on
+    // __pid after the pinned range exchange. Rebased on
+    // withGlobalRowNumber (monotonic-id local ranks), the post-pin plan
+    // holds only BOUNDED exchanges: per-pid count agg, the one-partition
+    // offset ladder, and the broadcast of the offset table.
+    val df = events.select("event_id", "value")
+    val plan = StatOps.withNtileOn(df, 10)
+      .queryExecution.executedPlan.toString
+    val n = "Exchange".r.findAllIn(plan).length
+    assert(n <= 3, s"ntile exchanges = $n (expected <= 3 bounded)\n$plan")
+  }
+
   test("ntile bucket rule property: first n%k tiles get the extra row") {
     val prop = Prop.forAll(
       Gen.chooseNum(1, 60), Gen.chooseNum(1, 12)) { (n: Int, k: Int) =>
