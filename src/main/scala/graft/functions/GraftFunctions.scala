@@ -98,8 +98,16 @@ object GraftFunctions {
       org.apache.spark.sql.types.ArrayType(
         org.apache.spark.sql.types.DoubleType))
     def fromArrayData(ad: org.apache.spark.sql.catalyst.util.ArrayData) =
-      (0 until ad.numElements()).map(r =>
-        ad.getArray(r).toDoubleArray().toSeq)
+      (0 until ad.numElements()).map { r =>
+        // a null INNER array (array(array(1.0d), CAST(NULL AS
+        // array<double>))) passes the outer sameType/non-null checks —
+        // raise the same named error, not an NPE
+        val row = ad.getArray(r)
+        if (row == null) throw new IllegalArgumentException(
+          s"$fn: argument ${i + 1} contains a null inner array — the " +
+            "codebook must be a non-null array<array<double>> constant")
+        row.toDoubleArray().toSeq
+      }
     es.lift(i) match {
       case Some(Literal(ad: org.apache.spark.sql.catalyst.util.ArrayData,
           org.apache.spark.sql.types.ArrayType(

@@ -42,9 +42,29 @@ object ScaleOps {
   def saltedJoin(fact: DataFrame, dim: DataFrame, key: String,
       salts: Int): DataFrame = {
     require(salts >= 1, s"salts must be >= 1, got $salts")
+    // xxhash64 rejects MapType (unordered — no canonical hash), so salt
+    // only the hashable columns; rows identical on those but differing
+    // in a map column share a shard, the byte-identical-duplicate caveat
+    // above extended to map-only differences. All-map schemas can't
+    // content-salt at all — fail with a named error, not a generic
+    // hash-expression analysis error.
+    def hashable(dt: org.apache.spark.sql.types.DataType): Boolean =
+      dt match {
+        case _: org.apache.spark.sql.types.MapType => false
+        case a: org.apache.spark.sql.types.ArrayType =>
+          hashable(a.elementType)
+        case st: org.apache.spark.sql.types.StructType =>
+          st.fields.forall(f => hashable(f.dataType))
+        case _ => true
+      }
+    val saltCols = fact.schema.fields
+      .filter(f => hashable(f.dataType)).map(f => col(f.name)).toIndexedSeq
+    require(saltCols.nonEmpty,
+      "saltedJoin: fact has no hashable columns to content-salt on " +
+        "(every column contains a MapType) — project a hashable key " +
+        "before salting")
     val salted = fact.withColumn("_salt",
-      pmod(xxhash64(fact.columns.map(col).toIndexedSeq: _*),
-        lit(salts.toLong)))
+      pmod(xxhash64(saltCols: _*), lit(salts.toLong)))
     val replicated = dim
       .withColumn("_salt", explode(sequence(lit(0L), lit(salts.toLong - 1))))
     salted.join(replicated, Seq(key, "_salt")).drop("_salt")

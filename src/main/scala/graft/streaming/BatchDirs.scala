@@ -12,14 +12,22 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 private[streaming] object BatchDirs {
 
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
   /** The accumulated frame, or None when no batch directory exists yet —
     * INCLUDING a directory that exists but holds no readable parquet
     * (only an in-flight or crashed write's `_temporary`): a crash during
     * the very first segment write would otherwise wedge every replay and
     * poller on "Unable to infer schema" until someone hand-deletes the
     * dir, and a poller racing the first write would crash instead of
-    * reading "nothing committed yet". Only AnalysisException maps to
-    * None — IO errors on a real store still propagate.
+    * reading "nothing committed yet". Only the two error conditions that
+    * MEAN "nothing committed" map to None — no schema to infer (no
+    * parquet footer present) and path vanished between the existence
+    * check and the read (a staged swap's rename window); any other
+    * analysis failure on a real store (and all IO errors) still
+    * propagates, so a damaged store reads as damaged, not as
+    * not-yet-seeded. The None cases log a warning: a store that maps to
+    * None on every poll is visible in the logs, not silent.
     */
   def readIfExists(s: SparkSession, dir: String): Option[DataFrame] = {
     val p = new org.apache.hadoop.fs.Path(dir)
@@ -27,7 +35,14 @@ private[streaming] object BatchDirs {
     if (fs.exists(p) && fs.listStatus(p).nonEmpty)
       try Some(s.read.parquet(dir))
       catch {
-        case _: org.apache.spark.sql.AnalysisException => None
+        case e: org.apache.spark.sql.AnalysisException
+            if Option(e.getCondition).exists(c =>
+              c.startsWith("UNABLE_TO_INFER_SCHEMA") ||
+                c.startsWith("PATH_NOT_FOUND")) =>
+          log.warn(s"readIfExists: $dir exists but holds no readable " +
+            s"parquet (${e.getCondition}) — treating as nothing " +
+            "committed yet")
+          None
       }
     else None
   }

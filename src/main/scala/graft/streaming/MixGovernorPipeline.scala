@@ -70,13 +70,18 @@ object MixGovernorPipeline {
             // segment above still lands, so seeding later loses nothing.
             // Seed a live path with writeBigramStoreStaged (absent →
             // fully written, never footer-less mid-job).
-            val partials =
-              if (lmReadable(s, lmStoreDir))
-                CurationOps.doremiBatchPartials(b, lmStoreDir)
-              else CurationOps.emptyDoremiPartials(s)
-            partials
-              .coalesce(1).write.mode("overwrite")
-              .parquet(s"$partialsDir/batch_id=$batchId")
+            // probe-then-read still has a window (a live re-seed's staged
+            // swap can land between them) — if the LM read itself throws,
+            // fall through to the same model-less arm instead of failing
+            // the trigger; the next trigger re-probes and scores again
+            val partialsOut = s"$partialsDir/batch_id=$batchId"
+            val scored = lmReadable(s, lmStoreDir) && scala.util.Try {
+              CurationOps.doremiBatchPartials(b, lmStoreDir)
+                .coalesce(1).write.mode("overwrite").parquet(partialsOut)
+            }.isSuccess
+            if (!scored)
+              CurationOps.emptyDoremiPartials(s)
+                .coalesce(1).write.mode("overwrite").parquet(partialsOut)
             mixReport(s, tokenStoreDir, partialsDir, alpha)
               .withColumn("batch_id", lit(batchId))
               .coalesce(1).write.mode("overwrite")
@@ -86,27 +91,18 @@ object MixGovernorPipeline {
       }
       .start()
 
-  /** Paths whose reference LM has been seen readable once — the LM is
-    * FROZEN by contract, so a successful probe never needs repeating;
-    * steady-state triggers pay zero store-probe I/O.
-    */
-  private val lmSeen =
-    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
-
-  /** True when the reference LM at `path` is actually SCORABLE: the dir
-    * must hold readable parquet (a dir that exists but carries only an
-    * in-flight job's `_temporary` — the non-staged-seed race — reads as
-    * not-yet-seeded rather than crashing the stream).
+  /** True when the reference LM at `path` is actually SCORABLE right
+    * now: the dir must hold readable parquet with the bigram-store
+    * schema. Probed EVERY trigger — one file listing, trivial against a
+    * micro-batch of work. The LM is frozen by contract, but a live
+    * re-seed's staged swap has a brief path-absent rename window, and a
+    * memoized "seen readable once" answer would skip the probe exactly
+    * then (and leak across unrelated sessions sharing the JVM); a dir
+    * that exists but carries only an in-flight job's `_temporary` reads
+    * as not-yet-seeded rather than crashing the stream.
     */
   private def lmReadable(s: SparkSession, path: String): Boolean =
-    lmSeen.contains(path) || {
-      // readIfExists maps a footer-less dir (in-flight/crashed write)
-      // to None, so the probe never crashes the stream
-      val ok = BatchDirs.readIfExists(s, path)
-        .exists(_.columns.contains("n_pairs"))
-      if (ok) lmSeen.add(path)
-      ok
-    }
+    BatchDirs.readIfExists(s, path).exists(_.columns.contains("n_pairs"))
 
   /** The cumulative mix table from the stores alone: q115's temperature
     * columns for every source seen so far, left-joined with q131's DoReMi

@@ -397,6 +397,23 @@ class FunctionsSpec extends SparkSpec {
     assert(msgs.contains("expects 2 arguments"), s"got: $msgs")
   }
 
+  test("pq codebook with a NULL inner array is rejected with the named " +
+      "error, not an NPE") {
+    GraftFunctions.ensureRegistered(spark)
+    // passes the outer sameType + non-null checks; the per-row extraction
+    // must raise the codebook contract error instead of NPE-ing
+    val e = intercept[Exception] {
+      spark.sql(
+        """SELECT graft_pq_encode(array(0.0D, 1.0D),
+          |  array(array(0.0D, 1.0D), CAST(NULL AS array<double>)), 2)"""
+          .stripMargin).head()
+    }
+    val msgs = Iterator.iterate(e: Throwable)(_.getCause)
+      .takeWhile(_ != null).map(String.valueOf(_: Any)).mkString(" | ")
+    assert(msgs.contains("null inner array"), s"got: $msgs")
+    assert(!msgs.contains("NullPointerException"), s"got: $msgs")
+  }
+
   test("winnow_positions rejects null hash elements loudly") {
     import org.apache.spark.sql.functions._
     import spark.implicits._

@@ -538,6 +538,22 @@ class OpsSpec extends SparkSpec {
     assert(plain.exceptAll(salted).count() === 0)
   }
 
+  test("salted join tolerates unhashable (map) fact columns by salting " +
+      "on the hashable rest") {
+    import spark.implicits._
+    // xxhash64 fails analysis on MapType — the content salt must skip it
+    // (rows differing only in the map share a shard; correctness is
+    // unaffected, each fact row still meets exactly one dim copy)
+    val fact = spark.range(100)
+      .select((col("id") % 3).as("k"), col("id").as("payload"),
+        map(lit("a"), col("id")).as("m"))
+    val dim = Seq((0L, "zero"), (1L, "one"), (2L, "two")).toDF("k", "name")
+    val plain = fact.drop("m").join(dim, "k")
+    val salted = ops.ScaleOps.saltedJoin(fact, dim, "k", salts = 4).drop("m")
+    assert(salted.count() === plain.count())
+    assert(salted.exceptAll(plain).count() === 0)
+  }
+
   test("revenue shares are positive and sum to ~1 within each region") {
     val out = RelationalOps.revenueShare(spark, sfDir).collect()
     assert(out.nonEmpty)
