@@ -447,6 +447,23 @@ object Scratch {
       spark.stop()
       return
     }
+    if (name == "q132dup") {
+      // dup-dense q132 datapoint: the scale-up corpora replicate every
+      // embedding N× (copies straddle the split), so the gated direct
+      // scan's LSH cells carry the full copy mass — measure the forced
+      // arms and the dispatcher's own pick side by side
+      val e = Tables.t(spark, dir, "embeddings")
+      println(s"vectors = ${e.count()}")
+      def audit(tag: String, maxDupMult: Long): Unit =
+        time(tag)(ops.SimilarityOps.semanticLeakageOn(e,
+          maxDupMult = maxDupMult).count())
+      audit("contracted", 0L)
+      audit("contracted-again", 0L)
+      audit("dispatched", 256L)  // = SimilarityOps.MaxDupMult (private[ops])
+      audit("direct-gated", Long.MaxValue)
+      spark.stop()
+      return
+    }
     if (name == "q41lsh") {
       // the q41 kernel blocked by LSH bucket instead of label — the
       // documented handoff once label blocks outgrow memory

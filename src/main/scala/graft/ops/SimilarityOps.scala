@@ -627,21 +627,46 @@ object SimilarityOps {
   def semanticLeakage(s: SparkSession, dir: String): DataFrame =
     semanticLeakageOn(emb(s, dir))
 
+  /** The q116 deterministic split, shared by both q132 arms: ONE
+    * definition so the dup-dense dispatch cannot silently audit a
+    * different train/held assignment than the exact scan.
+    */
+  private def splitIsTrain: Column = substring(
+    md5(concat(lit("graft-split:"), col("vec_id").cast("string"))),
+    1, 4) < "cccc"
+
   /** `embDf` needs (vec_id, label, embedding). `exact = true` forces the
     * full within-label scan everywhere (validation mode — both harness
     * scales sit below the gate, so the catalog plan IS the exact plan).
+    *
+    * MULTIPLICITY-DISPATCHED like [[nnDedupOn]]: past `maxDupMult`
+    * (same light hash-agg probe; `stats` supplies a pre-computed answer)
+    * identical embeddings are contracted to one representative per
+    * (label, split-side) with multiplicity carried — on a dup-dense
+    * corpus every copy of a vector lands in the SAME LSH cell by
+    * construction (signatures agree bit-for-bit), so the gated scan's
+    * cells carry the full copy mass and the train×held join is quadratic
+    * in multiplicity; identical vectors have identical max-cosines, so
+    * auditing one representative and weighting the rollup by `m` is the
+    * same answer at linear cost.
     */
   def semanticLeakageOn(embDf: DataFrame,
       threshold: Double = Q132Threshold,
       maxExactBlock: Int = MaxExactBlock,
-      exact: Boolean = false): DataFrame = {
+      exact: Boolean = false,
+      maxDupMult: Long = MaxDupMult,
+      stats: Option[Long] = None): DataFrame = {
     graft.functions.GraftFunctions.ensureRegistered(embDf.sparkSession)
-    val isTrain = substring(
-      md5(concat(lit("graft-split:"), col("vec_id").cast("string"))),
-      1, 4) < "cccc"
+    if (!exact && stats.getOrElse(estMaxDupMult(embDf)) > maxDupMult)
+      semanticLeakageContracted(embDf, threshold, maxExactBlock)
+    else semanticLeakageDirect(embDf, threshold, maxExactBlock, exact)
+  }
+
+  private def semanticLeakageDirect(embDf: DataFrame,
+      threshold: Double, maxExactBlock: Int, exact: Boolean): DataFrame = {
     val e = withSubBucket(
       embDf.select(col("vec_id"), col("label"), col("embedding"))
-        .withColumn("is_train", isTrain)
+        .withColumn("is_train", splitIsTrain)
         .withColumn("nrm", norm(col("embedding"))),
       maxExactBlock, exact)
     val t = e.filter(col("is_train"))
@@ -663,6 +688,61 @@ object SimilarityOps {
       .groupBy("label")
       .agg(count(lit(1)).as("n_train"),
         sum(when(col("max_cos") >= threshold, 1L).otherwise(0L))
+          .as("n_leaky"),
+        max("max_cos").as("max_cos"))
+      .join(heldCounts, Seq("label"), "left")
+      .na.fill(0L, Seq("n_held"))
+      .withColumn("leak_rate",
+        round(col("n_leaky").cast("double") / col("n_train"), 6))
+      .select("label", "n_train", "n_held", "n_leaky", "leak_rate",
+        "max_cos")
+      .orderBy("label")
+  }
+
+  /** The dup-dense arm: identical embeddings on the same (label,
+    * split-side) are interchangeable for the audit — a train copy's max
+    * cosine is the group's max cosine, and a held copy contributes the
+    * same candidate values as its twin — so the scan runs over one
+    * representative per group and the rollup weights by multiplicity
+    * (`sum(m)` for n_train/n_held, `sum(m where leaky)` for n_leaky; the
+    * per-label max is multiplicity-invariant). The size gate then sees
+    * DISTINCT counts, so dup-dense blocks drop back under the exact
+    * threshold and the quadratic-in-multiplicity cell mass disappears.
+    * Cosines use the direct arm's own round-6-before-max expression —
+    * zero vectors produce the same NaN, so arm equivalence is exact.
+    */
+  private def semanticLeakageContracted(embDf: DataFrame,
+      threshold: Double, maxExactBlock: Int): DataFrame = {
+    // rep_id = min member id: a bounded group key for the per-rep max
+    // (shuffling a long, not the embedding array). min() skips null
+    // vec_ids, but a null vec_id has a null split side and is filtered
+    // from both sides below — exactly the direct arm's behavior.
+    val g = embDf.select(col("vec_id"), col("label"), col("embedding"))
+      .withColumn("is_train", splitIsTrain)
+      .groupBy(col("label"), col("is_train"), col("embedding"))
+      .agg(min(col("vec_id")).as("rep_id"), count(lit(1)).as("m"))
+    val e = withSubBucket(
+      g.withColumn("nrm", norm(col("embedding"))),
+      maxExactBlock, exact = false)
+    val t = e.filter(col("is_train"))
+      .select(col("rep_id"), col("label"), col("_sub"),
+        col("embedding").as("t_emb"), col("nrm").as("t_nrm"))
+    val h = e.filter(!col("is_train"))
+      .select(col("label").as("h_label"), col("_sub").as("h_sub"),
+        col("embedding").as("h_emb"), col("nrm").as("h_nrm"))
+    val best = t
+      .join(h, col("label") === col("h_label") &&
+        col("_sub") === col("h_sub"))
+      .groupBy(col("rep_id"), col("label"))
+      .agg(max(round(dot(col("t_emb"), col("h_emb"))
+        / (col("t_nrm") * col("h_nrm")), 6)).as("max_cos"))
+    val heldCounts = e.filter(!col("is_train"))
+      .groupBy("label").agg(sum(col("m")).as("n_held"))
+    e.filter(col("is_train")).select("rep_id", "label", "m")
+      .join(best, Seq("rep_id", "label"), "left")
+      .groupBy("label")
+      .agg(sum(col("m")).as("n_train"),
+        sum(when(col("max_cos") >= threshold, col("m")).otherwise(0L))
           .as("n_leaky"),
         max("max_cos").as("max_cos"))
       .join(heldCounts, Seq("label"), "left")

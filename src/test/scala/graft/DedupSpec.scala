@@ -1223,4 +1223,75 @@ class DedupSpec extends SparkSpec {
     // identical on both arms
     assert(sub(0)._1 === full(0)._1 && sub(0)._2 === full(0)._2)
   }
+
+  test("q132 dup-dense contracted arm: multiplicity-weighted rollup " +
+      "equals the exact scan, and the planted leak survives at the " +
+      "production band") {
+    import spark.implicits._
+    val dim = SimilarityOps.Dim
+    val rnd = new scala.util.Random(778)
+    def vec(): Array[Float] = Array.fill(dim)(rnd.nextGaussian().toFloat)
+    // deterministic q116 split probe over a wider id range so every
+    // duplicated embedding can take fresh ids on its OWN side (copies
+    // must not flip split side, or the fixture's expected counts move)
+    val assign = (0L until 120L).map { i =>
+      val h4 = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"graft-split:$i".getBytes("UTF-8"))
+        .take(2).map("%02x".format(_)).mkString
+      i -> (h4 < "cccc")
+    }.toMap
+    val trainPool = scala.collection.mutable.Queue(
+      assign.filter(_._2).keys.toSeq.sorted: _*)
+    val heldPool = scala.collection.mutable.Queue(
+      assign.filterNot(_._2).keys.toSeq.sorted: _*)
+    val planted = vec()
+    val twin = planted.map(_ * 2.0f)
+    // base corpus: the planted leak pair in label 0 plus clean fillers in
+    // labels 0 and 1 — then EVERY embedding gets 3 copies on its side
+    // (the dup-dense shape the 1000x sweep corpus has)
+    val base: Seq[(Array[Float], Int, Boolean)] =
+      Seq((planted, 0, true), (twin, 0, false)) ++
+        (1 to 3).map(_ => (vec(), 0, true)) ++
+        (1 to 2).map(_ => (vec(), 0, false)) ++
+        (1 to 2).map(_ => (vec(), 1, true)) ++
+        Seq((vec(), 1, false))
+    val rows = base.flatMap { case (e, label, isTrain) =>
+      val pool = if (isTrain) trainPool else heldPool
+      (1 to 3).map(_ => (pool.dequeue(), e, label))
+    }
+    val embDf = rows.toDF("vec_id", "embedding", "label")
+
+    def collectMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getInt(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4),
+          if (r.isNullAt(5)) Double.NaN else r.getDouble(5))).toMap
+    // arm equivalence at full exactness: contraction (forced via
+    // maxDupMult = 0) must reproduce the exact scan's multiplicity-
+    // weighted rollup bit-for-bit — same blocks, same cosines, counts
+    // carried by m instead of by row
+    val direct = collectMap(SimilarityOps.semanticLeakageOn(
+      embDf, threshold = 0.95, maxExactBlock = 4096, exact = true))
+    val contracted = collectMap(SimilarityOps.semanticLeakageOn(
+      embDf, threshold = 0.95, maxExactBlock = 4096, maxDupMult = 0L))
+    assert(contracted === direct,
+      s"contracted $contracted\nvs direct $direct")
+    // the planted leak: 3 train copies of the planted vector all leak
+    assert(direct(0)._1 === 12L && direct(0)._2 === 9L,
+      s"multiplicity-weighted counts: ${direct(0)}")
+    assert(direct(0)._3 === 3L && direct(0)._5 === 1.0,
+      s"all three planted copies must flag: ${direct(0)}")
+    assert(direct(1)._3 === 0L, s"clean label: ${direct(1)}")
+    // production band: contracted AND sub-bucketed (rep blocks > 2 still
+    // subdivide; the parallel pair shares its LSH cell by construction)
+    val sub = collectMap(SimilarityOps.semanticLeakageOn(
+      embDf, threshold = 0.95, maxExactBlock = 2, maxDupMult = 0L))
+    assert(sub(0)._3 === 3L && sub(0)._5 === 1.0,
+      s"planted leak must survive contraction + sub-bucketing: ${sub(0)}")
+    assert(sub(0)._1 === 12L && sub(0)._2 === 9L && sub(1)._3 === 0L)
+    // the dispatch probe itself routes this corpus (multiplicity 3) to
+    // the contracted arm at a maxDupMult of 2
+    val dispatched = collectMap(SimilarityOps.semanticLeakageOn(
+      embDf, threshold = 0.95, maxExactBlock = 4096, maxDupMult = 2L))
+    assert(dispatched === direct)
+  }
 }
