@@ -721,18 +721,14 @@ object CurationOps {
     * STOPPED with its checkpoint committed — a replayed batch would
     * re-create its segment alongside the folded copy and double-count.
     */
-  def compactDoremiPartials(s: SparkSession, path: String): Unit = {
-    val staging = path + ".merging"
-    s.read.parquet(path)
+  def compactDoremiPartials(s: SparkSession, path: String): Unit =
+    ScaleOps.compactStore(s, path, _
       .groupBy("source")
       .agg(sum("n_docs").as("n_docs"),
         sum("n_bigrams").as("n_bigrams"),
         sum("sum_lp").cast(org.apache.spark.sql.types.DecimalType(38, 10))
           .as("sum_lp"))
-      .coalesce(1)
-      .write.mode("overwrite").parquet(staging + "/batch_id=-1")
-    ScaleOps.swapInto(s, staging, path)
-  }
+      .coalesce(1), batchSlot = true)
 
   /** The zero-row partials frame with the exact [[doremiPartials]]
     * schema — what a batch contributes when no reference LM exists yet
@@ -935,14 +931,11 @@ object CurationOps {
     * (the token/shingle/winnow-store compactor contract on this store's
     * schema).
     */
-  def compactFingerprintStore(s: SparkSession, path: String): Unit = {
-    val staging = path + ".merging"
-    s.read.parquet(path).select("norm").distinct()
+  def compactFingerprintStore(s: SparkSession, path: String): Unit =
+    ScaleOps.compactStore(s, path, _
+      .select("norm").distinct()
       .withColumn("fp", xxhash64(col("norm")))
-      .repartition(col("fp"))
-      .write.mode("overwrite").parquet(staging)
-    ScaleOps.swapInto(s, staging, path)
-  }
+      .repartition(col("fp")))
 
   // ---- persisted cardinality store (mergeable HLL sketches) ---------------
 

@@ -334,18 +334,8 @@ object MultimodalOps {
     * stream until the store is re-seeded (the inverse of the pipeline's
     * own layout guard).
     */
-  def compactPhashStore(s: SparkSession, path: String): Unit = {
-    val staging = path + ".merging"
-    val live = s.read.parquet(path)
-    require(!live.columns.contains("batch_id"),
-      s"phash store at $path is batch-id-keyed (a MediaTriagePipeline " +
-        "store) — compacting it would drop the batch_id partition and " +
-        "produce the flat layout runMediaIngest rejects; this compactor " +
-        "serves only the flat appendToPhashStore layout")
-    live.select("doc_id", "phash").distinct()
-      .write.mode("overwrite").parquet(staging)
-    ScaleOps.swapInto(s, staging, path)
-  }
+  def compactPhashStore(s: SparkSession, path: String): Unit =
+    ScaleOps.compactStore(s, path, _.select("doc_id", "phash").distinct())
 
   /** Near-dup screen of an incoming batch AGAINST the persisted index —
     * [[HammingBands]] between the batch's fresh hashes and the stored

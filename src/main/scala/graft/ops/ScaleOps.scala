@@ -408,6 +408,56 @@ object ScaleOps {
     swapInto(spark, tmp, dir)
   }
 
+  /** Shared staged-compact core for the persisted store families: read
+    * the live store, apply the family's contraction, stage the rewrite at
+    * `<path>.merging`, publish via [[swapInto]]. ONE definition of the
+    * read→guard→contract→stage→swap sequence so the nine per-family
+    * compactors cannot drift (the class the phash batch-id guard patched
+    * is now enforced for EVERY family):
+    *
+    *  - `batchSlot = false` (flat stores): refuses a batch-id-keyed
+    *    layout — a flat rewrite would drop the `batch_id=N` partition
+    *    structure the owning streaming pipeline's layout guard requires,
+    *    bricking the stream until the store is re-seeded.
+    *  - `batchSlot = true` (streaming stores): requires the keyed layout
+    *    and lands the contraction under `batch_id=-1` (negative ids never
+    *    collide with a live batch). ONLY compact while the owning stream
+    *    is STOPPED with its checkpoint committed — a replayed batch would
+    *    re-create its segment alongside the folded copy.
+    *  - `onStaged` runs against the staging dir after the contraction
+    *    commits and before the swap — sidecar files (the shingle-k meta)
+    *    ride the same atomic publish.
+    *
+    * Any leftover staging dir from a crashed previous compact is deleted
+    * up front (the live store is untouched until the swap, so staging is
+    * never the only copy).
+    */
+  def compactStore(s: SparkSession, path: String,
+      contract: DataFrame => DataFrame,
+      batchSlot: Boolean = false,
+      onStaged: String => Unit = _ => ()): Unit = {
+    val staging = path + ".merging"
+    val stagingPath = new org.apache.hadoop.fs.Path(staging)
+    val fs = stagingPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val live = s.read.parquet(path)
+    if (batchSlot)
+      require(live.columns.contains("batch_id"),
+        s"compactStore: store at $path is not batch-id-keyed — this " +
+          "compactor serves a streaming store's keyed layout; use the " +
+          "family's flat compactor instead")
+    else
+      require(!live.columns.contains("batch_id"),
+        s"compactStore: store at $path is batch-id-keyed (a streaming " +
+          "pipeline's layout) — a flat rewrite would drop the batch_id " +
+          "partition and brick the owning pipeline; use the family's " +
+          "keyed compactor instead")
+    fs.delete(stagingPath, true)
+    contract(live).write.mode("overwrite")
+      .parquet(if (batchSlot) staging + "/batch_id=-1" else staging)
+    onStaged(staging)
+    swapInto(s, staging, path)
+  }
+
   /** Publish a fully-written `staging` directory at `dir` via two metadata
     * renames — the crash-safe alternative to `mode("overwrite")` on a
     * durable store path (overwrite DELETES the existing directory before

@@ -416,14 +416,10 @@ object SearchOps {
     * state, never `mode("overwrite")` on the live path (the token-store
     * compactor's contract, on this store's own schema).
     */
-  def compactBigramStore(s: SparkSession, path: String): Unit = {
-    val staging = path + ".merging"
-    s.read.parquet(path)
+  def compactBigramStore(s: SparkSession, path: String): Unit =
+    ScaleOps.compactStore(s, path, _
       .groupBy("from_tok", "to_tok").agg(sum("n_pairs").as("n_pairs"))
-      .repartition(col("from_tok"))
-      .write.mode("overwrite").parquet(staging)
-    ScaleOps.swapInto(s, staging, path)
-  }
+      .repartition(col("from_tok")))
 
   /** Score `docsDf` against the PERSISTED bigram model instead of the
     * corpus that trained it — the per-ingest quality gate: the indexed

@@ -1258,12 +1258,8 @@ object SimilarityOps {
     * vec_id is the row — publishing via staging + atomic swap: durable
     * state, never `mode("overwrite")` on the live path.
     */
-  def compactPqStore(s: SparkSession, path: String): Unit = {
-    val staging = path + ".merging"
-    s.read.parquet(path).dropDuplicates("vec_id")
-      .write.mode("overwrite").parquet(staging)
-    ScaleOps.swapInto(s, staging, path)
-  }
+  def compactPqStore(s: SparkSession, path: String): Unit =
+    ScaleOps.compactStore(s, path, _.dropDuplicates("vec_id"))
 
   private def pqEncoded(embDf: DataFrame,
       codebook: Array[Array[Double]]): DataFrame = {

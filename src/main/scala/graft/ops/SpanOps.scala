@@ -209,14 +209,12 @@ object SpanOps {
     * path in place).
     */
   def compactShingleStore(s: SparkSession, path: String): Unit = {
-    val staging = path + ".merging"
     val k = storedShingleK(s, path) // carry the sidecar across the swap
-    s.read.parquet(path).select("h").distinct()
+    ScaleOps.compactStore(s, path, _
+      .select("h").distinct()
       .withColumn("fp", xxhash64(col("h")))
-      .repartition(col("fp"))
-      .write.mode("overwrite").parquet(staging)
-    k.foreach(writeShingleMeta(s, staging, _))
-    ScaleOps.swapInto(s, staging, path)
+      .repartition(col("fp")),
+      onStaged = staging => k.foreach(writeShingleMeta(s, staging, _)))
   }
 
   /** Rebuild the bloom store FROM the shingle store — after a crawl

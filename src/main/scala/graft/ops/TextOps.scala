@@ -759,14 +759,10 @@ object TextOps {
     * durable state — `mode("overwrite")` on the live path would lose it
     * on a mid-write crash).
     */
-  def compactTokenCountStore(s: SparkSession, path: String): Unit = {
-    val staging = path + ".merging"
-    s.read.parquet(path)
+  def compactTokenCountStore(s: SparkSession, path: String): Unit =
+    ScaleOps.compactStore(s, path, _
       .groupBy("source", "token").agg(sum("c").as("c"))
-      .repartition(col("token"))
-      .write.mode("overwrite").parquet(staging)
-    ScaleOps.swapInto(s, staging, path)
-  }
+      .repartition(col("token")))
 
   /** Replay-idempotent keyed variant of [[appendToTokenCountStore]] for
     * streaming ingest ([[graft.streaming.DriftMonitorPipeline]]): the
@@ -798,14 +794,10 @@ object TextOps {
     * re-creates `batch_id=N` alongside the folded copy and the batch is
     * permanently double-counted.
     */
-  def compactKeyedTokenCountStore(s: SparkSession, path: String): Unit = {
-    val staging = path + ".merging"
-    s.read.parquet(path)
+  def compactKeyedTokenCountStore(s: SparkSession, path: String): Unit =
+    ScaleOps.compactStore(s, path, _
       .groupBy("source", "token").agg(sum("c").as("c"))
-      .repartition(col("token"))
-      .write.mode("overwrite").parquet(staging + "/batch_id=-1")
-    ScaleOps.swapInto(s, staging, path)
-  }
+      .repartition(col("token")), batchSlot = true)
 
   /** q114's drift report off the persisted store — no corpus access at
     * all: read ≤|sources|·|vocab| count rows, sum across append segments,
@@ -1012,13 +1004,10 @@ object TextOps {
     * rows, publishing via staging + atomic swap (durable state — never
     * overwrite the live path in place).
     */
-  def compactWinnowStore(s: SparkSession, path: String): Unit = {
-    val staging = path + ".merging"
-    s.read.parquet(path).select("fp", "doc_id").distinct()
-      .repartition(col("fp"))
-      .write.mode("overwrite").parquet(staging)
-    ScaleOps.swapInto(s, staging, path)
-  }
+  def compactWinnowStore(s: SparkSession, path: String): Unit =
+    ScaleOps.compactStore(s, path, _
+      .select("fp", "doc_id").distinct()
+      .repartition(col("fp")))
 
   /** q121's cross-crawl face: match an incoming batch against the INDEXED
     * corpus via the persisted store — the batch fingerprints row-locally,

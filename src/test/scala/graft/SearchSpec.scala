@@ -59,6 +59,41 @@ class SearchSpec extends SparkSpec {
     assert(r.getAs[Long]("n_oov") === 1L) // (b,z) unseen, excluded
   }
 
+  test("bigram store compaction: segments contract to one row per pair, " +
+      "scores unchanged, keyed/flat layout guards refuse crosswise") {
+    val path = tmpDir("bigram-compact") + "/bigrams"
+    SearchOps.writeBigramStore(Seq((1L, "a b"), (2L, "a b"))
+      .toDF("doc_id", "text"), path)
+    SearchOps.appendToBigramStore(Seq((3L, "a b c")).toDF("doc_id", "text"),
+      path)
+    val probe = Seq((9L, "a b c")).toDF("doc_id", "text")
+    val before = SearchOps.lmPerplexityFromStore(probe, path)
+      .collect().map(_.toSeq).toSeq
+    SearchOps.compactBigramStore(spark, path)
+    val store = spark.read.parquet(path)
+    // (a,b) appeared in both segments — exactly one row post-compact
+    assert(store.count() === store.select("from_tok", "to_tok")
+      .distinct().count())
+    assert(SearchOps.lmPerplexityFromStore(probe, path)
+      .collect().map(_.toSeq).toSeq === before)
+    assert(!new java.io.File(path + ".merging").exists)
+    assert(!new java.io.File(path + ".old").exists)
+    // the shared core's guards: a flat compactor on a batch-id-keyed
+    // store refuses (the phash class, now every family), and a keyed
+    // compactor on a flat store refuses the inverse conversion
+    val keyed = tmpDir("bigram-keyed") + "/partials"
+    Seq(("s", 1L)).toDF("source", "n_docs")
+      .write.parquet(keyed + "/batch_id=0")
+    val e1 = intercept[IllegalArgumentException] {
+      SearchOps.compactBigramStore(spark, keyed)
+    }
+    assert(e1.getMessage.contains("batch-id-keyed"))
+    val e2 = intercept[IllegalArgumentException] {
+      graft.ops.CurationOps.compactDoremiPartials(spark, path)
+    }
+    assert(e2.getMessage.contains("not batch-id-keyed"))
+  }
+
   test("staged bigram store seed: first write lands atomically, a re-seed " +
       "over the live store swaps, no staging residue either way") {
     val path = tmpDir("bigram-staged") + "/bigrams"
