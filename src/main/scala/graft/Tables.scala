@@ -54,6 +54,16 @@ object Tables {
 
   private val Dec = DecimalType(38, 10)
 
+  /** `size` that stays NULL on a NULL array whatever the
+    * `spark.sql.legacy.sizeOfNull` conf says: under the legacy conf a
+    * null-text document's token count reads -1 and flows into
+    * oracle-compared sums/outputs where DuckDB's `len(NULL)` is NULL.
+    * Every oracle-facing token/shingle count reads through this (the
+    * TextOps discipline, shared).
+    */
+  def sizeOrNull(c: Column): Column =
+    when(c.isNull, lit(null)).otherwise(size(c))
+
   /** Order-independent 2dp sum of a double column (oracle-stable). */
   def dsum(c: Column): Column = round(sum(c.cast(Dec)), 2).cast("double")
 

@@ -87,7 +87,8 @@ object CurationOps {
         withSh.filter(isBenchmark)
           .select(explode(col("sh")).as("ngram")).distinct())
       val train = withSh.filter(!isBenchmark)
-        .select(col("doc_id"), col("source"), size(col("sh")).as("n_5grams"),
+        .select(col("doc_id"), col("source"),
+          Tables.sizeOrNull(col("sh")).as("n_5grams"),
           col("sh"))
       val shared = train
         .select(col("doc_id"), explode(col("sh")).as("ngram"))
@@ -107,7 +108,8 @@ object CurationOps {
           .select(explode(col("sh")).as("ngram")).distinct())
       val train = keyed.filter(!isBenchmark)
       val perText = distinctTexts(train)
-        .select(col("__tk"), size(col("sh")).as("n_5grams"), col("sh"))
+        .select(col("__tk"), Tables.sizeOrNull(col("sh")).as("n_5grams"),
+          col("sh"))
       val sharedPerText = perText
         .select(col("__tk"), explode(col("sh")).as("ngram"))
         .join(benchNgrams, "ngram")
@@ -403,7 +405,8 @@ object CurationOps {
       case (acc, (src, f)) => acc.when(col("source") === src, f)
     }.otherwise(1.0)
     val out = docsDf
-      .select(col("doc_id"), col("source"), size(toks).as("n_toks"),
+      .select(col("doc_id"), col("source"),
+        Tables.sizeOrNull(toks).as("n_toks"),
         factor.as("f"))
       // integer centi-copies: base = cents div 100 whole copies + 1 when
       // hash(doc_id) < cents % 100. Deriving the base from the SAME
@@ -531,7 +534,7 @@ object CurationOps {
     val w = Window.partitionBy("source").orderBy("doc_id")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     docsDf
-      .select(col("doc_id"), col("source"), size(toks).as("n_toks"))
+      .select(col("doc_id"), col("source"), Tables.sizeOrNull(toks).as("n_toks"))
       .withColumn("cum", sum(col("n_toks")).over(w))
       // the pack a doc STARTS in: floor(preceding-tokens / budget)
       .withColumn("pack_id",
@@ -564,7 +567,8 @@ object CurationOps {
   /** `docsDf` needs (source, text). */
   def temperatureMixOn(docsDf: DataFrame, alpha: Double = 0.3): DataFrame =
     temperatureMixFromCounts(
-      docsDf.groupBy("source").agg(sum(size(toks)).as("n_tokens")), alpha)
+      docsDf.groupBy("source")
+        .agg(sum(Tables.sizeOrNull(toks)).as("n_tokens")), alpha)
 
   /** The q115 rule over the persisted token-count store — the per-crawl
     * face: per-source sizes are the store's sum-on-read contraction
@@ -1218,7 +1222,8 @@ object CurationOps {
   /** `docsDf` needs (doc_id, text, n_chars). */
   def hashSplitOn(docsDf: DataFrame): DataFrame = {
     val agg = withHashSplit(docsDf, "graft-split", Q116Splits)
-      .select(col("split"), size(toks).as("n_toks"), col("n_chars"))
+      .select(col("split"), Tables.sizeOrNull(toks).as("n_toks"),
+        col("n_chars"))
       .groupBy("split")
       .agg(count(lit(1)).as("n_docs"),
         sum("n_toks").as("n_tokens"),

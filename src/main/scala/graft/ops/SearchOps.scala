@@ -163,7 +163,10 @@ object SearchOps {
       topK: Int): DataFrame = {
     require(terms.nonEmpty && terms.distinct == terms,
       s"terms must be non-empty and distinct: $terms")
-    val d = docsDf.withColumn("dl", size(toks))
+    // null-text dl must be NULL, not the legacy conf's -1 (the TextOps
+    // sizeOrNull discipline): a -1 would pollute sum_dl where the
+    // oracle's len(NULL) skips the row in its sum
+    val d = docsDf.withColumn("dl", Tables.sizeOrNull(toks))
     val hits = d
       .select(col("doc_id"), col("dl"), explode(toks).as("term"))
       .filter(col("term").isin(terms: _*))

@@ -28,8 +28,7 @@ object TextOps {
     * SimilarityOps q110 guard, applied to the token-count family. Under
     * the default conf this is identical to bare `size`.
     */
-  private def sizeOrNull(c: Column): Column =
-    when(c.isNull, lit(null)).otherwise(size(c))
+  private def sizeOrNull(c: Column): Column = Tables.sizeOrNull(c)
 
   /** The exact alphabet of `[a-zA-Z0-9 ]` for regex-free `translate`
     * deletion (see the scoring-hygiene note on [[scoredDocsOn]]).

@@ -682,6 +682,17 @@ class CurationSpec extends SparkSpec {
     val docs = Seq(
       (0L, "a b c d", "A"), (1L, "e f g h", "A"), (2L, "x y", "B"))
       .toDF("doc_id", "text", "source")
+    // token sizes read through Tables.sizeOrNull: a null-text doc must
+    // not subtract a legacy -1 from its source's token sum
+    val key = "spark.sql.legacy.sizeOfNull"
+    spark.conf.set(key, "true")
+    try {
+      val withNull = docs.unionByName(Seq(
+        (3L, null.asInstanceOf[String], "B")).toDF("doc_id", "text", "source"))
+      val mixes = CurationOps.temperatureMixOn(withNull, alpha = 0.5)
+        .collect().map(r => r.getString(0) -> r.getAs[Long]("n_tokens")).toMap
+      assert(mixes("B") === 2L, s"legacy -1 leaked into B's sum: $mixes")
+    } finally spark.conf.unset(key)
     def r6(x: Double) = BigDecimal(x).setScale(6, HALF_UP).toDouble
     val m = CurationOps.temperatureMixOn(docs, alpha = 0.5).collect()
       .map(r => r.getString(0) -> r).toMap

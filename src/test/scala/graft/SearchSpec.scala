@@ -59,6 +59,21 @@ class SearchSpec extends SparkSpec {
     assert(r.getAs[Long]("n_oov") === 1L) // (b,z) unseen, excluded
   }
 
+  test("bm25 with a null-text doc is identical under legacy sizeOfNull") {
+    // dl reads through Tables.sizeOrNull: under the legacy conf a
+    // null-text doc's dl would be -1 and pollute sum_dl (the oracle's
+    // len(NULL) skips the row in its sum)
+    val docs = Seq((1L, "spark table spark"), (2L, "vector"),
+      (3L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    def run() = SearchOps.bm25SearchOn(docs, Seq("table", "vector", "spark"), 10)
+      .collect().map(_.toSeq).toSeq
+    val expected = run()
+    val key = "spark.sql.legacy.sizeOfNull"
+    spark.conf.set(key, "true")
+    try assert(run() === expected)
+    finally spark.conf.unset(key)
+  }
+
   test("bigram store compaction: segments contract to one row per pair, " +
       "scores unchanged, keyed/flat layout guards refuse crosswise") {
     val path = tmpDir("bigram-compact") + "/bigrams"
