@@ -1509,15 +1509,84 @@ object CurationOps {
   /** `docsDf` needs (doc_id, source, text). */
   def splitLeakageOn(docsDf: DataFrame,
       stats: Option[CorpusStats] = None): DataFrame =
-    ngramDecontaminationOn(
+    leakageRollup(ngramDecontaminationOn(
       withHashSplit(docsDf, "graft-split", Q116Splits),
-      col("split") =!= "train", stats = stats)
-      .groupBy("source")
-      .agg(count(lit(1)).as("n_train"),
-        sum(when(col("contaminated"), 1L).otherwise(0L)).as("n_leaky"),
-        sum("n_shared_5grams").as("n_shared_5grams"))
-      .withColumn("leak_rate", round(col("n_leaky") / col("n_train"), 6))
-      .orderBy("source")
+      col("split") =!= "train", stats = stats))
+
+  /** q130's per-source rollup of per-doc decontamination rows — ONE
+    * definition shared by the batch face and the streaming split-audit
+    * reports, so the two cannot drift.
+    */
+  private[graft] def leakageRollup(rows: DataFrame): DataFrame = rows
+    .groupBy("source")
+    .agg(count(lit(1)).as("n_train"),
+      sum(when(col("contaminated"), 1L).otherwise(0L)).as("n_leaky"),
+      sum("n_shared_5grams").as("n_shared_5grams"))
+    .withColumn("leak_rate", round(col("n_leaky") / col("n_train"), 6))
+    .orderBy("source")
+
+  /** The q116/q130 split assignment (salt "graft-split", 80/10/10) as a
+    * public face — the streaming split audit must route every document
+    * through the IDENTICAL assignment the batch audit uses.
+    */
+  def withDefaultSplit(docsDf: DataFrame): DataFrame =
+    withHashSplit(docsDf, "graft-split", Q116Splits)
+
+  /** Distinct word-5-grams of `docsDf` — the held-out segment a split
+    * audit persists per ingest batch ([[graft.streaming.SplitAuditPipeline]]).
+    * Stored as the ngram STRINGS (the exact q56/q130 join domain, not a
+    * 64-bit hash): the held-out side is the small split, and exactness
+    * here means the streaming audit can be pinned bit-equal to the batch
+    * q130, with no collision caveat.
+    */
+  def heldoutNgramsOn(docsDf: DataFrame): DataFrame =
+    docsDf.select(explode(array_distinct(shingles5(toks))).as("ngram"))
+      .distinct()
+
+  /** q130's per-doc audit of an EXTERNAL train frame against a reference
+    * 5-gram set (column `ngram`; deduplicated here, so accumulated store
+    * segments with repeated ngrams are fine): the same shingles5 →
+    * explode → overlap-count → [[decontaminationRows]] chain as the q56
+    * kernel, against a reference that arrives as data instead of as a
+    * predicate over the same frame. No forced broadcast: the reference is
+    * an accumulated store that grows with the held-out corpus — AQE picks
+    * broadcast vs shuffle join by its actual size.
+    */
+  def decontaminationAgainstNgrams(trainDf: DataFrame,
+      ngrams: DataFrame): DataFrame = {
+    val refNgrams = ngrams.select("ngram").distinct()
+    val withSh = trainDf.withColumn("sh", array_distinct(shingles5(toks)))
+    val train = withSh.select(col("doc_id"), col("source"),
+      Tables.sizeOrNull(col("sh")).as("n_5grams"), col("sh"))
+    val shared = train
+      .select(col("doc_id"), explode(col("sh")).as("ngram"))
+      .join(refNgrams, "ngram")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shared"))
+    decontaminationRows(train.drop("sh").join(shared, Seq("doc_id"), "left"))
+  }
+
+  /** [[decontaminationAgainstNgrams]] probing the persisted held-out
+    * 5-gram store — the final pre-training sign-off over any train frame
+    * with ZERO re-reads of the held-out corpus (only its accumulated
+    * distinct-ngram segments). Strict: an absent store is an error here;
+    * the streaming pipeline maps absence to the empty reference instead.
+    */
+  def decontaminationAgainstStore(trainDf: DataFrame,
+      storePath: String): DataFrame =
+    decontaminationAgainstNgrams(trainDf,
+      trainDf.sparkSession.read.parquet(storePath))
+
+  /** Fold the held-out store's batch segments to distinct ngrams under
+    * the `batch_id=-1` slot (duplicate-safe store — readers already take
+    * distinct, so this only reclaims bytes; the keyed-compactor
+    * stream-stopped contract still applies because a replayed batch
+    * re-creates its segment beside the folded copy, which here merely
+    * re-duplicates rows rather than corrupting anything).
+    */
+  def compactHeldoutNgramStore(s: SparkSession, path: String): Unit =
+    ScaleOps.compactStore(s, path, _.select("ngram").distinct()
+      .repartition(col("ngram")), batchSlot = true)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q130_split_leakage" -> splitLeakage,

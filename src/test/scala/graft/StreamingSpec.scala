@@ -924,4 +924,98 @@ class StreamingSpec extends SparkSpec {
     assert(web.getAs[Long]("n_docs") === 1L,
       "only the post-seed batch carries LM evidence")
   }
+
+  test("streaming split audit: per-batch reports flag within-batch and " +
+      "earlier-held leaks, the final store sign-off equals batch q130, " +
+      "replays and compaction are no-ops") {
+    import graft.streaming.SplitAuditPipeline
+    import graft.ops.CurationOps
+    implicit val sqlCtx = spark.sqlContext
+    val root = tmpDir("splitaudit")
+    val held = s"$root/held"
+    val report = s"$root/report"
+    // probe the deterministic q116 split for ids with KNOWN sides (the
+    // q130/q132 spec device)
+    val assign = (0L until 60L).map { i =>
+      val h4 = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"graft-split:$i".getBytes("UTF-8"))
+        .take(2).map("%02x".format(_)).mkString
+      i -> (h4 < "cccc")
+    }.toMap
+    val trainIds = assign.filter(_._2).keys.toSeq.sorted
+    val heldIds = assign.filterNot(_._2).keys.toSeq.sorted
+    assert(trainIds.size >= 5 && heldIds.size >= 2)
+    val Seq(tA, tB, tC, tD, tE) = trainIds.take(5)
+    val Seq(hA, hB) = heldIds.take(2)
+    // batch 1: tA leaks against hA IN THE SAME BATCH; tB's held twin only
+    // arrives in batch 2; tC is clean
+    val batch1 = Seq(
+      (tA, "web", "p q r s t u"),
+      (hA, "web", "p q r s t z"),
+      (tB, "web", "c1 c2 c3 c4 c5"),
+      (tC, "web", "u1 u2 u3 u4 u5"))
+    // batch 2: hB retro-leaks tB (not flagged in batch 1's report — the
+    // documented per-batch semantics); tD leaks against batch 1's hA
+    val batch2 = Seq(
+      (hB, "web", "c1 c2 c3 c4 c5 extra"),
+      (tD, "web", "p q r s t w"),
+      (tE, "books", "v1 v2 v3 v4 v5"))
+    val all = batch1 ++ batch2
+    def df(rows: Seq[(Long, String, String)]) =
+      rows.toDF("doc_id", "source", "text")
+    // before anything commits: empty report, full schema
+    val empty = SplitAuditPipeline.latestReport(spark, report)
+    assert(empty.collect().isEmpty)
+    assert(empty.columns.toSeq === Seq("source", "n_train", "n_leaky",
+      "n_shared_5grams", "leak_rate"))
+    val input = MemoryStream[(Long, String, String)]
+    val q = SplitAuditPipeline.runSplitAudit(
+      input.toDS().toDF("doc_id", "source", "text"),
+      held, report, s"$root/ckpt")
+    input.addData(batch1: _*)
+    q.processAllAvailable()
+    input.addData(batch2: _*)
+    q.processAllAvailable()
+    q.stop()
+    def rep(id: Long) = spark.read.parquet(report)
+      .filter(col("batch_id") === id).drop("batch_id")
+      .orderBy("source").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4))).toSeq
+    // batch 1: the within-batch leak flags immediately; tB reads clean
+    assert(rep(0) === Seq(("web", 3L, 1L, 1L, 0.333333)))
+    // batch 2: tD flags against batch 1's held doc; books is clean
+    assert(rep(1) === Seq(("books", 1L, 0L, 0L, 0.0),
+      ("web", 1L, 1L, 1L, 1.0)))
+    assert(SplitAuditPipeline.latestReport(spark, report)
+      .orderBy("source").collect().map(_.getString(0)).toSeq ===
+      Seq("books", "web"))
+    // final sign-off: the full train set against the finished store ==
+    // the batch q130 over the whole corpus (tB now flagged via hB)
+    val trainDocs = df(all.filter(r => assign(r._1)))
+    def signoff() = CurationOps.leakageRollup(
+      CurationOps.decontaminationAgainstStore(trainDocs, held))
+      .collect().map(_.toSeq).toSeq
+    val wantQ130 = CurationOps.splitLeakageOn(df(all))
+      .collect().map(_.toSeq).toSeq
+    assert(signoff() === wantQ130)
+    val perDoc = CurationOps.decontaminationAgainstStore(trainDocs, held)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(4)).toMap
+    assert(perDoc(tB), "the retro leak must flag in the store sign-off")
+    assert(!perDoc(tC) && perDoc(tA) && perDoc(tD) && !perDoc(tE))
+    // a replayed batch overwrites its keyed held segment — sign-off
+    // unchanged (duplicate-safe store, distinct on read)
+    CurationOps.heldoutNgramsOn(
+      df(batch1.filterNot(r => assign(r._1))))
+      .coalesce(1).write.mode("overwrite").parquet(s"$held/batch_id=0")
+    assert(signoff() === wantQ130)
+    // keyed compaction folds segments to batch_id=-1, sign-off unchanged
+    CurationOps.compactHeldoutNgramStore(spark, held)
+    assert(spark.read.parquet(held)
+      .select(col("batch_id").cast("long")).distinct()
+      .collect().map(_.getLong(0)).toSeq === Seq(-1L))
+    assert(signoff() === wantQ130)
+    assert(!new java.io.File(held + ".merging").exists)
+    assert(!new java.io.File(held + ".old").exists)
+  }
 }
