@@ -42,13 +42,18 @@ object DriftMonitorPipeline {
       .trigger(trigger)
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        if (!batch.isEmpty) {
-          TextOps.writeTokenCountBatch(batch, storeDir, batchId)
-          TextOps.sourceDriftFromStore(batch.sparkSession, storeDir)
-            .withColumn("batch_id", lit(batchId))
-            .coalesce(1).write.mode("overwrite")
-            .parquet(s"$reportDir/batch_id=$batchId")
-        }
+        // one source read per trigger (the sibling-pipeline convention):
+        // isEmpty and the store contraction reuse the cached batch
+        val b = batch.persist()
+        try {
+          if (!b.isEmpty) {
+            TextOps.writeTokenCountBatch(b, storeDir, batchId)
+            TextOps.sourceDriftFromStore(b.sparkSession, storeDir)
+              .withColumn("batch_id", lit(batchId))
+              .coalesce(1).write.mode("overwrite")
+              .parquet(s"$reportDir/batch_id=$batchId")
+          }
+        } finally { b.unpersist(); () }
       }
       .start()
 
