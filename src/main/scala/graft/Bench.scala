@@ -57,7 +57,7 @@ object Bench {
     // BROKEN query read as a ~1 s per-round speedup in the total
     val total = results.values.filter(_ >= 0).sum
     // Per-family subtotals on stderr (driver captures stdout's JSON line
-    // only): with 115 queries a round-over-round drift is much easier to
+    // only): with 132 queries a round-over-round drift is much easier to
     // attribute to a family than to re-diff 115 numbers.
     val families: Seq[(String, Iterable[String])] = Seq(
       "events" -> ops.EventOps.queries.keys,

@@ -59,9 +59,12 @@ object SplitAuditPipeline {
             // this batch's own held docs (within-batch leaks flag in the
             // same trigger); zero held docs still land an empty segment —
             // replay overwrites it either way
+            // NOT coalesce(1): unlike the <=|sources|-row report below,
+            // this segment is proportional to the batch's held text — the
+            // distinct's shuffle layout writes in parallel
             CurationOps.heldoutNgramsOn(
               split.filter(col("split") =!= "train"))
-              .coalesce(1).write.mode("overwrite")
+              .write.mode("overwrite")
               .parquet(s"$heldStoreDir/batch_id=$batchId")
             // an absent/just-created store (possible only if THIS segment
             // write raced a listing, or on replay edge states) reads as
