@@ -1165,12 +1165,15 @@ object SimilarityOps {
   /** `embDf` needs (vec_id, label, embedding). */
   def contrastiveTripletsOn(embDf: DataFrame): DataFrame = {
     val pos = nnDedupOn(embDf)
+    // n rides the ranking kernel's offset ladder (totalOut) — the
+    // previous separate count job re-scanned the corpus for a value the
+    // ladder already sums
     val ranked = ScaleOps.withGlobalRowNumber(
-      embDf.select(col("vec_id")), Seq(col("vec_id")), "rk")
-    val n = broadcast(embDf.agg(count(lit(1)).as("n")))
+      embDf.select(col("vec_id")), Seq(col("vec_id")), "rk",
+      totalOut = Some("n"))
     // rotation offset: 48271 unless n divides it exactly (identity
     // rotation — n = 48271 itself), where the coprime neighbor steps in
-    pos.join(ranked, "vec_id").crossJoin(n)
+    pos.join(ranked, "vec_id")
       .withColumn("d",
         when(lit(48271L) % col("n") === 0, 48270L).otherwise(48271L))
       .withColumn("negrk", (col("rk") - 1L + col("d")) % col("n") + 1L)
