@@ -331,7 +331,24 @@ object SimilarityOps {
     * `exact = true` forces the exact scan everywhere.
     */
   def nnDedup(s: SparkSession, dir: String): DataFrame =
-    nnDedupOn(emb(s, dir))
+    nnDedupOn(emb(s, dir), stats = Some(dupMultForDir(s, dir)))
+
+  /** Per-directory memo of the duplicate-multiplicity probe — the
+    * [[CorpusStats.forDir]] ANALYZE convention applied to the embeddings
+    * table: testdata directories are immutable within a run, so the two
+    * multiplicity-dispatched catalog faces (q64 nnDedup, q132
+    * semanticLeakage) share ONE probe job per directory instead of one
+    * hash-agg over the corpus per call. `On`-form callers with external
+    * frames keep the per-call probe (no path to key a snapshot by).
+    */
+  private val dupMultCache =
+    scala.collection.concurrent.TrieMap.empty[String, Long]
+
+  private def dupMultForDir(s: SparkSession, dir: String): Long =
+    dupMultCache.getOrElseUpdate(dir, estMaxDupMult(emb(s, dir)))
+
+  private[graft] def invalidateDupMult(dir: String): Unit =
+    dupMultCache.remove(dir)
 
   /** Duplicate-vector multiplicity above this dispatches [[nnDedupOn]] to
     * the contracted arm: the block scan (even LSH-subdivided — identical
@@ -625,7 +642,7 @@ object SimilarityOps {
     * (order-independent, the oracle's max(round(...))).
     */
   def semanticLeakage(s: SparkSession, dir: String): DataFrame =
-    semanticLeakageOn(emb(s, dir))
+    semanticLeakageOn(emb(s, dir), stats = Some(dupMultForDir(s, dir)))
 
   /** The q116 deterministic split, shared by both q132 arms: ONE
     * definition so the dup-dense dispatch cannot silently audit a
