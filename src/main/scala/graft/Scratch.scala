@@ -447,6 +447,47 @@ object Scratch {
       spark.stop()
       return
     }
+    if (name == "splitaudit") {
+      // incremental split-audit datapoint (the doremistore convention):
+      // the held-out 5-gram store is seeded once from the corpus's held
+      // split; scoring an incoming train batch then reads ONLY the batch
+      // and the store — verified on the executed plan, vs the full-corpus
+      // q130 recompute.
+      import org.apache.spark.sql.functions._
+      val d = Tables.t(spark, dir, "documents")
+      println(s"docs = ${d.count()}")
+      val root = java.nio.file.Files.createTempDirectory("splitaudit").toString
+      val split = ops.CurationOps.withDefaultSplit(d)
+      time("seed_held_store")({
+        ops.CurationOps.heldoutNgramsOn(
+          split.filter(col("split") =!= "train"))
+          .write.parquet(s"$root/held/batch_id=0"); 0L })
+      // the incoming crawl batch is EXTERNAL data in production — land a
+      // 1% train slice as its own parquet so the scored plan can prove it
+      // never reads the corpus table
+      // modulus coprime to the scale-up key span (5000-aligned copies):
+      // % 100 would pick the SAME base docs in every copy (one source)
+      split.filter(col("split") === "train")
+        .filter((col("doc_id") * 48271L + 23L) % 97L === 0L)
+        .select("doc_id", "source", "text")
+        .write.parquet(s"$root/incoming")
+      val batch = spark.read.parquet(s"$root/incoming")
+      println(s"batch = ${batch.count()}")
+      time("q130_full_corpus")(ops.CurationOps.splitLeakageOn(d).count())
+      val fromStore = ops.CurationOps.leakageRollup(
+        ops.CurationOps.decontaminationAgainstStore(batch, s"$root/held"))
+      time("audit_batch_from_store")(fromStore.count())
+      time("audit_batch_from_store_again")(fromStore.count())
+      val scans = fromStore.queryExecution.executedPlan.toString()
+        .linesIterator.filter(_.toLowerCase.contains("scan"))
+        .map(_.trim.take(160)).mkString("\n")
+      println(s"[plan] store-path scans:\n$scans")
+      require(scans.nonEmpty, "plan probe matched no scan nodes")
+      println(s"[plan] touches documents.parquet: " +
+        s"${scans.contains("documents")}")
+      spark.stop()
+      return
+    }
     if (name == "q132dup") {
       // dup-dense q132 datapoint: the scale-up corpora replicate every
       // embedding N× (copies straddle the split), so the gated direct
