@@ -501,8 +501,8 @@ object SearchOps {
           s" AS df${i + 1}"
       }.mkString(",\n    ")
       val cosExpr = s"(${SimilarityOps.sqlDot("e.embedding", "q.q_emb")})" +
-        s"\n    / (${SimilarityOps.sqlNorm("e.embedding")}" +
-        s"\n       * ${SimilarityOps.sqlNorm("q.q_emb")})"
+        s"\n    / nullif(${SimilarityOps.sqlNorm("e.embedding")}" +
+        s"\n       * ${SimilarityOps.sqlNorm("q.q_emb")}, 0)"
       s"""WITH d AS (SELECT doc_id,
          |    len(string_split(trim(text), ' ')) AS dl, text FROM documents),
          |hits AS (SELECT doc_id, dl,

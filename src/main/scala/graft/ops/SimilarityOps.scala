@@ -37,7 +37,16 @@ object SimilarityOps {
   /** Unrolled L2 norm. */
   def norm(a: Column): Column = sqrt(dot(a, a))
 
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  /** A zero-norm vector has no direction, so its cosine is NULL —
+    * excluded from maxes, thresholds and top-k cuts (the q41 JVM kernel's
+    * no-direction discipline at SQL level). `try_divide` instead of `/`:
+    * Spark 4's default ANSI mode THROWS on a double 0/0, so one
+    * degenerate vector in a corpus would otherwise kill every scan-level
+    * cosine query; try is also conf-robust (null under ANSI on or off,
+    * matching the oracle twins' nullif).
+    */
+  def cosine(a: Column, b: Column): Column =
+    try_divide(dot(a, b), norm(a) * norm(b))
 
   /** SQL twin of [[dot]]: identical term order for bit-exact float math. */
   private[ops] def sqlDot(a: String, b: String): String =
@@ -429,11 +438,12 @@ object SimilarityOps {
       .groupBy(col("id1")).agg(min(col("vec_id")).as("id2"))
     // nn_cos via the direct arm's OWN formula on the identical pair
     // (dot(e,e)/(‖e‖·‖e‖), rounded 6) rather than a literal 1.0 — a
-    // zero vector yields the same NaN and a null embedding the same
-    // null the exact scan produces for that pair
+    // zero vector yields the same NULL (try_divide — no direction, never
+    // a neighbor score) and a null embedding the same null the exact scan
+    // produces for that pair
     val selfCos = round(
-      dot(col("embedding"), col("embedding"))
-        / (norm(col("embedding")) * norm(col("embedding"))), 6)
+      try_divide(dot(col("embedding"), col("embedding")),
+        norm(col("embedding")) * norm(col("embedding"))), 6)
     val dupRows = withG.filter(col("m") >= 2)
       .join(id2s, Seq("id1"))
       .select(col("vec_id"), col("label"),
@@ -482,7 +492,8 @@ object SimilarityOps {
     val b = d.select(col("vec_id").as("nn_id"), col("label").as("b_label"),
       col("_sub").as("b_sub"), col("embedding").as("b_emb"),
       col("nrm").as("b_nrm"))
-    val cos = dot(col("a_emb"), col("b_emb")) / (col("a_nrm") * col("b_nrm"))
+    val cos = try_divide(dot(col("a_emb"), col("b_emb")),
+      col("a_nrm") * col("b_nrm"))
     // arg-max via max_by with a (cos, -nn_id) key — ties break to the lowest
     // neighbor id, matching the oracle's `ORDER BY cos DESC, nn_id ASC`.
     // Unlike a window rank (which shuffles every candidate pair), max_by
@@ -696,8 +707,8 @@ object SimilarityOps {
       .join(h, col("label") === col("h_label") &&
         col("_sub") === col("h_sub"))
       .groupBy(col("vec_id"), col("label"))
-      .agg(max(round(dot(col("t_emb"), col("h_emb"))
-        / (col("t_nrm") * col("h_nrm")), 6)).as("max_cos"))
+      .agg(max(round(try_divide(dot(col("t_emb"), col("h_emb")),
+        col("t_nrm") * col("h_nrm")), 6)).as("max_cos"))
     val heldCounts = e.filter(!col("is_train"))
       .groupBy("label").agg(count(lit(1)).as("n_held"))
     e.filter(col("is_train")).select("vec_id", "label")
@@ -726,7 +737,8 @@ object SimilarityOps {
     * DISTINCT counts, so dup-dense blocks drop back under the exact
     * threshold and the quadratic-in-multiplicity cell mass disappears.
     * Cosines use the direct arm's own round-6-before-max expression —
-    * zero vectors produce the same NaN, so arm equivalence is exact.
+    * zero vectors produce the same NULL (try_divide — a zero-norm
+    * vector has no direction), so arm equivalence is exact.
     */
   private def semanticLeakageContracted(embDf: DataFrame,
       threshold: Double, maxExactBlock: Int): DataFrame = {
@@ -751,8 +763,8 @@ object SimilarityOps {
       .join(h, col("label") === col("h_label") &&
         col("_sub") === col("h_sub"))
       .groupBy(col("rep_id"), col("label"))
-      .agg(max(round(dot(col("t_emb"), col("h_emb"))
-        / (col("t_nrm") * col("h_nrm")), 6)).as("max_cos"))
+      .agg(max(round(try_divide(dot(col("t_emb"), col("h_emb")),
+        col("t_nrm") * col("h_nrm")), 6)).as("max_cos"))
     val heldCounts = e.filter(!col("is_train"))
       .groupBy("label").agg(sum(col("m")).as("n_held"))
     e.filter(col("is_train")).select("rep_id", "label", "m")
@@ -1458,7 +1470,8 @@ object SimilarityOps {
       s"""WITH d AS (SELECT vec_id, label, embedding,
          |  ${sqlNorm("embedding")} AS nrm FROM embeddings),
          |p AS (SELECT a.vec_id AS vec_id, a.label, b.vec_id AS nn_id,
-         |  (${sqlDot("a.embedding", "b.embedding")}) / (a.nrm * b.nrm) AS cos
+         |  (${sqlDot("a.embedding", "b.embedding")})
+         |    / nullif(a.nrm * b.nrm, 0) AS cos
          |  FROM d a JOIN d b ON a.label = b.label AND a.vec_id <> b.vec_id),
          |r AS (SELECT *, row_number() OVER (PARTITION BY vec_id
          |  ORDER BY cos DESC, nn_id ASC) AS rn FROM p),
@@ -1491,7 +1504,7 @@ object SimilarityOps {
          |  GROUP BY label),
          |d AS (SELECT e.label,
          |    round((${sqlDot("e.embedding", "ca.carr")})
-         |      / (${sqlNorm("e.embedding")} * ${sqlNorm("ca.carr")}), 6)
+         |      / nullif(${sqlNorm("e.embedding")} * ${sqlNorm("ca.carr")}, 0), 6)
          |      AS cos
          |  FROM embeddings e JOIN ca USING (label))
          |SELECT label, count(*) AS n, min(cos) AS min_cos,
@@ -1539,8 +1552,8 @@ object SimilarityOps {
          |q AS (SELECT p AS qp FROM p WHERE vec_id = 0)
          |SELECT vec_id, label,
          |  round((${sqlDotK("p", "qp", Planes)}) /
-         |    (sqrt(${sqlDotK("p", "p", Planes)})
-         |      * sqrt(${sqlDotK("qp", "qp", Planes)})), 6) AS proj_sim
+         |    nullif(sqrt(${sqlDotK("p", "p", Planes)})
+         |      * sqrt(${sqlDotK("qp", "qp", Planes)}), 0), 6) AS proj_sim
          |FROM p, q WHERE vec_id <> 0
          |ORDER BY proj_sim DESC, vec_id LIMIT 10""".stripMargin,
     "q110_embedding_audit" ->
@@ -1594,7 +1607,8 @@ object SimilarityOps {
          |h AS (SELECT label, embedding FROM e WHERE NOT is_train),
          |m AS (SELECT t.vec_id, t.label,
          |    max(round((${sqlDot("t.embedding", "h.embedding")})
-         |      / (${sqlNorm("t.embedding")} * ${sqlNorm("h.embedding")}),
+         |      / nullif(${sqlNorm("t.embedding")}
+         |          * ${sqlNorm("h.embedding")}, 0),
          |      6)) AS max_cos
          |  FROM t JOIN h ON t.label = h.label
          |  GROUP BY t.vec_id, t.label),
@@ -1624,7 +1638,7 @@ object SimilarityOps {
          |  FROM r JOIN s ON s.vec_id = r.rep_id),
          |j AS (SELECT e.vec_id, e.sig, re.rep_id,
          |  round((${sqlDot("e.embedding", "re.rep_emb")})
-         |    / (${sqlNorm("e.embedding")} * ${sqlNorm("re.rep_emb")}), 6)
+         |    / nullif(${sqlNorm("e.embedding")} * ${sqlNorm("re.rep_emb")}, 0), 6)
          |    AS rep_cos
          |  FROM s e JOIN re ON e.sig = re.sig)
          |SELECT vec_id, sig, rep_id, rep_cos,
@@ -1641,7 +1655,7 @@ object SimilarityOps {
          |  WHERE vec_id = 0)
          |SELECT e.vec_id, e.label,
          |  round((${sqlDot("e.embedding", "q.q_emb")})
-         |    / (${sqlNorm("e.embedding")} * ${sqlNorm("q.q_emb")}), 6)
+         |    / nullif(${sqlNorm("e.embedding")} * ${sqlNorm("q.q_emb")}, 0), 6)
          |    AS cos_sim
          |FROM s e CROSS JOIN q
          |WHERE e.vec_id <> 0 AND (
@@ -1663,12 +1677,12 @@ object SimilarityOps {
          |q AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0),
          |pr AS (SELECT c.label,
          |    (${sqlDot("c.carr", "q.q_emb")})
-         |      / (${sqlNorm("c.carr")} * ${sqlNorm("q.q_emb")}) AS c_cos
+         |      / nullif(${sqlNorm("c.carr")} * ${sqlNorm("q.q_emb")}, 0) AS c_cos
          |  FROM c CROSS JOIN q
          |  ORDER BY c_cos DESC, c.label ASC LIMIT 3)
          |SELECT e.vec_id, e.label,
          |  round((${sqlDot("e.embedding", "q.q_emb")})
-         |    / (${sqlNorm("e.embedding")} * ${sqlNorm("q.q_emb")}), 6)
+         |    / nullif(${sqlNorm("e.embedding")} * ${sqlNorm("q.q_emb")}, 0), 6)
          |    AS cos_sim
          |FROM embeddings e JOIN pr ON e.label = pr.label CROSS JOIN q
          |WHERE e.vec_id <> 0
@@ -1676,7 +1690,7 @@ object SimilarityOps {
     "q40_ann_topk" ->
       s"""SELECT e.vec_id, e.label,
          |  round((${sqlDot("e.embedding", "q.q_emb")})
-         |    / (${sqlNorm("e.embedding")} * ${sqlNorm("q.q_emb")}), 6)
+         |    / nullif(${sqlNorm("e.embedding")} * ${sqlNorm("q.q_emb")}, 0), 6)
          |    AS cos_sim
          |FROM embeddings e CROSS JOIN
          |  (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0) q
@@ -1694,7 +1708,8 @@ object SimilarityOps {
       s"""WITH d AS (SELECT vec_id, label, embedding,
          |  ${sqlNorm("embedding")} AS nrm FROM embeddings),
          |p AS (SELECT a.vec_id AS vec_id, a.label, b.vec_id AS nn_id,
-         |  (${sqlDot("a.embedding", "b.embedding")}) / (a.nrm * b.nrm) AS cos
+         |  (${sqlDot("a.embedding", "b.embedding")})
+         |    / nullif(a.nrm * b.nrm, 0) AS cos
          |  FROM d a JOIN d b ON a.label = b.label AND a.vec_id <> b.vec_id),
          |r AS (SELECT *, row_number() OVER (PARTITION BY vec_id
          |  ORDER BY cos DESC, nn_id ASC) AS rn FROM p)

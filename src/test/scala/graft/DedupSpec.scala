@@ -1294,4 +1294,46 @@ class DedupSpec extends SparkSpec {
       embDf, threshold = 0.95, maxExactBlock = 4096, maxDupMult = 2L))
     assert(dispatched === direct)
   }
+
+  test("q132 contracted arm matches the exact scan on malformed inputs " +
+      "(null embeddings, zero vectors)") {
+    import spark.implicits._
+    // the nnDedupContracted null-safety class, applied to the audit: a
+    // contraction that grouped or joined carelessly could drop/duplicate
+    // null-embedding rows or fabricate a 1.0 for a zero vector
+    val dim = SimilarityOps.Dim
+    val rnd = new scala.util.Random(779)
+    def vec(): Array[Float] = Array.fill(dim)(rnd.nextGaussian().toFloat)
+    val assign = (0L until 40L).map { i =>
+      val h4 = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"graft-split:$i".getBytes("UTF-8"))
+        .take(2).map("%02x".format(_)).mkString
+      i -> (h4 < "cccc")
+    }.toMap
+    val trainIds = assign.filter(_._2).keys.toSeq.sorted
+    val heldIds = assign.filterNot(_._2).keys.toSeq.sorted
+    val zero = Array.fill(dim)(0.0f)
+    val rows: Seq[(Long, Array[Float], Int)] =
+      // two identical NULL-embedding train rows + one held null (group as
+      // one rep each side; never leaky, still counted in n_train/n_held)
+      Seq((trainIds(0), null, 0), (trainIds(1), null, 0),
+        (heldIds(0), null, 0),
+        // zero vectors on both sides: no direction — the cosine is NULL
+        // (try_divide; ANSI mode would THROW on the raw 0/0), excluded
+        // from the max and never leaky, identically on both arms
+        (trainIds(2), zero, 0), (heldIds(1), zero, 0),
+        // normal planted leak + filler
+        (trainIds(3), vec(), 0), (heldIds(2), vec(), 0))
+    val embDf = rows.toDF("vec_id", "embedding", "label")
+    def run(maxDupMult: Long, exact: Boolean = false) =
+      SimilarityOps.semanticLeakageOn(embDf, threshold = 0.95,
+        maxExactBlock = 4096, exact = exact, maxDupMult = maxDupMult)
+        .collect().map(_.toSeq).toSeq
+    val direct = run(Long.MaxValue)
+    val contracted = run(0L)
+    assert(contracted === direct,
+      s"contracted $contracted\nvs direct $direct")
+    // and the exact-forced arm agrees too (no gating on this tiny block)
+    assert(run(0L) === run(Long.MaxValue, exact = true))
+  }
 }
