@@ -864,6 +864,36 @@ class DedupSpec extends SparkSpec {
       .collect().map(_.toSeq).toSeq === exact)
   }
 
+  test("q44 arms agree on zero vectors: null nn_cos (no direction), no " +
+      "ANSI divide-by-zero crash") {
+    import spark.implicits._
+    // duplicated zero vectors exercise the contracted arm's self-pair
+    // cosine AND the direct arm's pair scan — both must yield NULL
+    // (try_divide), never throw (ANSI 0/0) or fabricate 1.0
+    val dim = SimilarityOps.Dim
+    val rnd = new scala.util.Random(321)
+    def vec(): Array[Float] = Array.fill(dim)(rnd.nextGaussian().toFloat)
+    val zero = Array.fill(dim)(0.0f)
+    val rows = (0L until 3L).map(i => (i, zero.clone(), 0)) ++
+      (10L until 14L).map(i => (i, vec(), 0))
+    val embDf = rows.toDF("vec_id", "embedding", "label")
+    def collectNn(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toMap
+    val exact = collectNn(SimilarityOps.nnDedupOn(embDf, exact = true))
+    val contracted = collectNn(SimilarityOps.nnDedupOn(embDf,
+      maxDupMult = 1))
+    assert(exact.size === 7 && contracted.size === 7,
+      "every vector still gets a row")
+    // equivalence on (vec_id, nn_cos) — the documented arm contract
+    assert(contracted.view.mapValues(_.map(c => c)).toMap ===
+      exact.view.mapValues(_.map(c => c)).toMap)
+    (0L until 3L).foreach { i =>
+      assert(exact(i).isEmpty, s"zero vector $i must score null: ${exact(i)}")
+    }
+    assert(exact(10L).nonEmpty)
+  }
+
   test("q41 kernel contraction: clique-heavy blocks expand top-k pairs in " +
       "exact tie order") {
     import spark.implicits._
