@@ -500,7 +500,7 @@ object Scratch {
           maxDupMult = maxDupMult).count())
       audit("contracted", 0L)
       audit("contracted-again", 0L)
-      audit("dispatched", 256L)  // = SimilarityOps.MaxDupMult (private[ops])
+      audit("dispatched", ops.SimilarityOps.MaxDupMult)
       audit("direct-gated", Long.MaxValue)
       spark.stop()
       return

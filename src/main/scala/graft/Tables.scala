@@ -64,6 +64,27 @@ object Tables {
   def sizeOrNull(c: Column): Column =
     when(c.isNull, lit(null)).otherwise(size(c))
 
+  /** Deterministic LCG bucket of an id column, overflow-free for EVERY
+    * 64-bit id: reduce mod `m` FIRST (floor-mod, so negative ids get a
+    * well-defined bucket too), then run the affine step on the bounded
+    * residue — `(id·mult + add) mod m ≡ ((id mod m)·mult + add) mod m` in
+    * exact arithmetic, so for the ordinary non-negative ids of the driver
+    * corpus the bucket is bit-identical to the historical raw form, while
+    * an extreme id (a Long.MaxValue sentinel row in a real crawl) no
+    * longer overflows the multiply — which Spark 4's default ANSI mode
+    * turns into an ARITHMETIC_OVERFLOW that kills the whole scan. Callers
+    * must keep `m·mult + add` < 2⁶³ (every graft split uses m ≤ 1e9+7,
+    * mult ≤ 48271).
+    */
+  def lcgBucket(id: Column, mult: Long, add: Long, m: Long): Column =
+    (pmod(id, lit(m)) * mult + add) % m
+
+  /** SQL twin of [[lcgBucket]] for the DuckDB oracle strings (DuckDB's
+    * `%` keeps the dividend's sign, so floor-mod is spelled out).
+    */
+  def sqlLcgBucket(id: String, mult: Long, add: Long, m: Long): String =
+    s"((($id % $m + $m) % $m) * $mult + $add) % $m"
+
   /** Order-independent 2dp sum of a double column (oracle-stable). */
   def dsum(c: Column): Column = round(sum(c.cast(Dec)), 2).cast("double")
 

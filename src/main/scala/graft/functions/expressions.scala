@@ -410,6 +410,19 @@ case class EditLowerBound(left: Expression, right: Expression)
   * result is bit-identical to a left-associated SQL sum of products — the
   * property the DuckDB oracle comparison depends on.
   *
+  * STRUCTURALLY-CORRUPT input — a length mismatch between the two arrays,
+  * or a null element inside either — yields NULL, not a number and not an
+  * exception. Returning a value would be silent corruption (truncating to
+  * the shorter array produces a plausible but wrong similarity; a null
+  * element reads as 0.0 from UnsafeArrayData); THROWING means one ragged
+  * row among 10¹¹ kills an entire 100 TB scan — the exact hazard class the
+  * round-9 zero-norm fix removed (there via `try_divide`). NULL completes
+  * that discipline: missing (null column), degenerate (zero norm) and
+  * corrupt (ragged / null element) vectors all score NULL, which every
+  * downstream max/threshold/top-k already excludes, and the q110
+  * embedding-audit face is the tool that REPORTS such rows. The kernel is
+  * therefore unconditionally nullable even over non-null inputs.
+  *
   * Hottest kernel of the four (runs once per CANDIDATE PAIR in the
   * similarity joins); like the others it implements real `doGenCode` —
   * a primitive loop over the two ArrayData with no per-call boxing.
@@ -418,6 +431,7 @@ case class VecDot(left: Expression, right: Expression)
     extends BinaryExpression {
 
   override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
   override def prettyName: String = "vec_dot"
 
   override def checkInputDataTypes(): TypeCheckResult = {
@@ -439,17 +453,14 @@ case class VecDot(left: Expression, right: Expression)
     val a = l.asInstanceOf[ArrayData]
     val b = r.asInstanceOf[ArrayData]
     val n = a.numElements()
-    // a malformed vector must fail loudly — silently truncating to the
-    // shorter array would return a plausible but wrong similarity
-    require(b.numElements() == n,
-      s"vec_dot requires equal-length arrays, got $n and ${b.numElements()}")
+    // corrupt input → NULL (see class doc): a length mismatch or a null
+    // element has no meaningful dot product, and a number here would be
+    // silent corruption while a throw kills the whole scan
+    if (b.numElements() != n) return null
     var acc = 0.0
     var i = 0
     while (i < n) {
-      // null elements would read as 0.0 from UnsafeArrayData — the same
-      // silent-corruption case as a length mismatch, so fail loudly too
-      require(!a.isNullAt(i) && !b.isNullAt(i),
-        s"vec_dot: null element at position $i")
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
       val x = if (leftFloat) a.getFloat(i).toDouble else a.getDouble(i)
       val y = if (rightFloat) b.getFloat(i).toDouble else b.getDouble(i)
       acc += x * y
@@ -466,24 +477,26 @@ case class VecDot(left: Expression, right: Expression)
       val n = ctx.freshName("n")
       val i = ctx.freshName("i")
       val acc = ctx.freshName("acc")
+      val bad = ctx.freshName("bad")
       val getA = if (leftFloat) s"(double) $a.getFloat($i)" else s"$a.getDouble($i)"
       val getB = if (rightFloat) s"(double) $b.getFloat($i)" else s"$b.getDouble($i)"
+      // corrupt input → NULL, same branch structure as nullSafeEval
       s"""
          |final int $n = $a.numElements();
          |if ($b.numElements() != $n) {
-         |  throw new IllegalArgumentException(
-         |    "vec_dot requires equal-length arrays, got " + $n +
-         |    " and " + $b.numElements());
-         |}
-         |double $acc = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  if ($a.isNullAt($i) || $b.isNullAt($i)) {
-         |    throw new IllegalArgumentException(
-         |      "vec_dot: null element at position " + $i);
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $acc = 0.0;
+         |  boolean $bad = false;
+         |  for (int $i = 0; $i < $n && !$bad; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) {
+         |      $bad = true;
+         |    } else {
+         |      $acc += $getA * $getB;
+         |    }
          |  }
-         |  $acc += $getA * $getB;
+         |  if ($bad) { ${ev.isNull} = true; } else { ${ev.value} = $acc; }
          |}
-         |${ev.value} = $acc;
          |""".stripMargin
     })
 
@@ -727,6 +740,9 @@ case class PqEncode(child: Expression, subDim: Int, codebook: Seq[Seq[Double]])
       s"$prettyName requires an array<float> or array<double> argument")
   }
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  // NULL codes for a vector the codebook cannot encode (ragged dim /
+  // null element — see encodeCore), even over a non-null child
+  override def nullable: Boolean = true
   override def prettyName: String = "pq_encode"
 
   private lazy val isFloat =
@@ -746,6 +762,7 @@ case class PqEncode(child: Expression, subDim: Int, codebook: Seq[Seq[Double]])
       s"""
          |${ev.value} = graft.functions.PqEncode.compute(
          |  $in, $isFloat, $subDim, $cbRef, $c2Ref);
+         |if (${ev.value} == null) { ${ev.isNull} = true; }
          |""".stripMargin
     })
 
@@ -787,11 +804,15 @@ object PqEncode {
     t
   }
 
-  /** The fused encode loop described on [[PqEncode]]. */
+  /** The fused encode loop described on [[PqEncode]]; null for a vector
+    * the codebook cannot encode (see [[PqEncode.encodeCore]]).
+    */
   def compute(a: ArrayData, isFloat: Boolean, subDim: Int,
       cb: Array[Array[Double]],
-      c2s: Array[Array[Double]]): GenericArrayData =
-    new GenericArrayData(encodeCore(a, isFloat, subDim, cb, c2s, null))
+      c2s: Array[Array[Double]]): GenericArrayData = {
+    val codes = encodeCore(a, isFloat, subDim, cb, c2s, null)
+    if (codes == null) null else new GenericArrayData(codes)
+  }
 
   /** Shared encode core: returns the per-subspace argmin codes; when
     * `errAcc` is non-null, also accumulates the total quantization error
@@ -802,15 +823,18 @@ object PqEncode {
     * local buffer once (not re-read through ArrayData per codeword) and
     * |c|² comes from the precomputed [[subNorms]] table — identical IEEE
     * op order to the original inline loops.
+    *
+    * A vector the codebook cannot encode — dimension differing from the
+    * codebook width (or not divisible by subDim), or a null element —
+    * returns NULL codes rather than throwing: the VecDot corrupt-input
+    * discipline (one ragged row must not kill a 100 TB encode pass; the
+    * q110 audit face reports such rows).
     */
   private[functions] def encodeCore(a: ArrayData, isFloat: Boolean,
       subDim: Int, cb: Array[Array[Double]], c2s: Array[Array[Double]],
-      errAcc: Array[Double], fn: String = "pq_encode"): Array[Int] = {
+      errAcc: Array[Double]): Array[Int] = {
     val dim = a.numElements()
-    require(cb(0).length == dim,
-      s"$fn: codebook width ${cb(0).length} != vector dim $dim")
-    require(dim % subDim == 0,
-      s"$fn: dim $dim not divisible by subDim $subDim")
+    if (cb(0).length != dim || dim % subDim != 0) return null
     val nSub = dim / subDim
     val codes = new Array[Int](nSub)
     val xs = new Array[Double](subDim)
@@ -820,11 +844,8 @@ object PqEncode {
       var x2 = 0.0
       var i = 0
       while (i < subDim) {
-        // a null element would read as 0.0 — the vec_dot discipline:
-        // fail loudly instead of quantizing a corrupted vector
-        if (a.isNullAt(off + i))
-          throw new IllegalArgumentException(
-            s"$fn: null element at position ${off + i}")
+        // a null element would read as 0.0 — corrupt input, NULL codes
+        if (a.isNullAt(off + i)) return null
         val x = if (isFloat) a.getFloat(off + i).toDouble
                 else a.getDouble(off + i)
         xs(i) = x
@@ -879,6 +900,9 @@ case class PqError(child: Expression, subDim: Int, codebook: Seq[Seq[Double]])
       s"$prettyName requires an array<float> or array<double> argument")
   }
   override def dataType: DataType = DoubleType
+  // NULL error for a vector the codebook cannot encode (the pq_encode /
+  // vec_dot corrupt-input discipline), even over a non-null child
+  override def nullable: Boolean = true
   override def prettyName: String = "pq_error"
 
   private lazy val isFloat =
@@ -895,9 +919,12 @@ case class PqError(child: Expression, subDim: Int, codebook: Seq[Seq[Double]])
     nullSafeCodeGen(ctx, ev, { in =>
       val cbRef = ctx.addReferenceObj("pqCodebook", cb, "double[][]")
       val c2Ref = ctx.addReferenceObj("pqSubNorms", c2s, "double[][]")
+      val boxed = ctx.freshName("boxedErr")
       s"""
-         |${ev.value} = graft.functions.PqError.compute(
+         |java.lang.Double $boxed = graft.functions.PqError.compute(
          |  $in, $isFloat, $subDim, $cbRef, $c2Ref);
+         |if ($boxed == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = $boxed.doubleValue(); }
          |""".stripMargin
     })
 
@@ -907,11 +934,13 @@ case class PqError(child: Expression, subDim: Int, codebook: Seq[Seq[Double]])
 
 object PqError {
 
-  /** The error accumulation described on [[PqError]]. */
+  /** The error accumulation described on [[PqError]]; null for a vector
+    * the codebook cannot encode (the [[PqEncode.encodeCore]] contract).
+    */
   def compute(a: ArrayData, isFloat: Boolean, subDim: Int,
-      cb: Array[Array[Double]], c2s: Array[Array[Double]]): Double = {
+      cb: Array[Array[Double]], c2s: Array[Array[Double]]): java.lang.Double = {
     val err = new Array[Double](1)
-    PqEncode.encodeCore(a, isFloat, subDim, cb, c2s, err, "pq_error")
-    err(0)
+    val codes = PqEncode.encodeCore(a, isFloat, subDim, cb, c2s, err)
+    if (codes == null) null else java.lang.Double.valueOf(err(0))
   }
 }

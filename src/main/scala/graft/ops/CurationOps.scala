@@ -256,8 +256,13 @@ object CurationOps {
   /** `docsDf` needs (source, text). Requires ≤ 62 distinct sources (chunk
     * the mask for more).
     */
-  def sourceOverlapOn(docsDf: DataFrame): DataFrame = {
-    graft.functions.GraftFunctions.ensureRegistered(docsDf.sparkSession)
+  def sourceOverlapOn(docsDf0: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(docsDf0.sparkSession)
+    // a NULL source has no overlap identity: it cannot name a bitmask
+    // slot (and would NPE the driver-side sort below) — drop such rows
+    // up front; provenance-less docs are a q53/q84 audit concern, not an
+    // overlap cell
+    val docsDf = docsDf0.filter(col("source").isNotNull)
     val sources = docsDf.select("source").distinct()
       .collect().map(_.getString(0)).sorted
     require(sources.length <= 62,
@@ -349,12 +354,20 @@ object CurationOps {
         transform(array_sort(col("sts")), s => s("mx")).as("mx_arr"))
     val mn = (i: Column) => element_at(col("mn_arr"), i + 1)
     val mx = (i: Column) => element_at(col("mx_arr"), i + 1)
-    // code_i in [-127,127]; degenerate dims (mx==mn) pin to code 0, err 0
-    val codes = transform(col("embedding"), (e, i) =>
+    // code_i in [-127,127]; degenerate dims (mx==mn) pin to code 0, err 0.
+    // The scaled value is guarded BEFORE the int cast: a NaN/Inf element
+    // (or a NaN-poisoned dim max — Spark orders NaN above everything, so
+    // one NaN in a dim makes mx NaN and mx > mn TRUE) would otherwise be
+    // an ANSI CAST_OVERFLOW killing the scan on one corrupt row; such
+    // elements quantize to a NULL code (the vec_dot corrupt-input
+    // discipline), which NULLs that vector's reconstruction stats.
+    val codes = transform(col("embedding"), (e, i) => {
+      val scaled = round((e.cast("double") - mn(i)) * 254.0 / (mx(i) - mn(i)))
       when(mx(i) > mn(i),
-        round((e.cast("double") - mn(i)) * 254.0 / (mx(i) - mn(i)))
-          .cast("int") - 127)
-        .otherwise(0))
+        when(scaled.between(-2147483647.0, 2147483647.0),
+          scaled.cast("int") - 127))
+        .otherwise(0)
+    })
     val errs = transform(col("embedding"), (e, i) =>
       when(mx(i) > mn(i),
         abs(e.cast("double") -
@@ -417,7 +430,7 @@ object CurationOps {
       .withColumn("__cents", round(col("f") * 100).cast("long"))
       .withColumn("replicas",
         expr("__cents div 100") +
-          when((col("doc_id") * 48271L + 11L) % 100L
+          when(Tables.lcgBucket(col("doc_id"), 48271L, 11L, 100L)
             < col("__cents") % 100L, 1L).otherwise(0L))
       .filter(col("replicas") >= 1)
       // the training-shard stream: one row per replica
@@ -799,7 +812,7 @@ object CurationOps {
     */
   def deltaDedup(s: SparkSession, dir: String): DataFrame =
     deltaDedupOn(docs(s, dir),
-      (col("doc_id") * 48271L + 23L) % 100L < 80L)
+      Tables.lcgBucket(col("doc_id"), 48271L, 23L, 100L) < 80L)
 
   /** `docsDf` needs (doc_id, source, text); `isExisting` marks the
     * already-ingested slice.
@@ -861,13 +874,13 @@ object CurationOps {
       .filter(col("score") >= 0.45)
       .select(d.columns.map(col): _*)
     val evalNorms = d
-      .filter((col("doc_id") * 48271L + 7L) % 100L >= 90L)
+      .filter(Tables.lcgBucket(col("doc_id"), 48271L, 7L, 100L) >= 90L)
       .select("norm").distinct()
     val clean = quality
-      .filter((col("doc_id") * 48271L + 7L) % 100L < 90L)
+      .filter(Tables.lcgBucket(col("doc_id"), 48271L, 7L, 100L) < 90L)
       .join(evalNorms, Seq("norm"), "left_anti")
     val sampled = clean
-      .filter((col("doc_id") * 9301L + 49297L) % 100L < 50L)
+      .filter(Tables.lcgBucket(col("doc_id"), 9301L, 49297L, 100L) < 50L)
     val stages = Seq(
       "0_raw" -> d, "1_dedup" -> deduped, "2_quality" -> quality,
       "3_decontaminated" -> clean, "4_sampled" -> sampled)
@@ -1823,12 +1836,12 @@ object CurationOps {
         |      + 0.3e0 * (1.0e0 - len(regexp_extract_all(text,
         |          '[^a-zA-Z0-9 ]')) / len(toks)), 6) >= 0.45e0),
         |ev AS (SELECT DISTINCT norm FROM d
-        |  WHERE (doc_id * 48271 + 7) % 100 >= 90),
+        |  WHERE ((doc_id % 100 + 100) % 100 * 48271 + 7) % 100 >= 90),
         |cl AS (SELECT * FROM q
-        |  WHERE (doc_id * 48271 + 7) % 100 < 90
+        |  WHERE ((doc_id % 100 + 100) % 100 * 48271 + 7) % 100 < 90
         |    AND NOT EXISTS (SELECT 1 FROM ev WHERE ev.norm = q.norm)),
         |sm AS (SELECT * FROM cl
-        |  WHERE (doc_id * 9301 + 49297) % 100 < 50)
+        |  WHERE ((doc_id % 100 + 100) % 100 * 9301 + 49297) % 100 < 50)
         |SELECT '0_raw' AS stage, count(*) AS n_docs,
         |  CAST(sum(n_toks) AS BIGINT) AS n_tokens FROM d
         |UNION ALL SELECT '1_dedup', count(*),
@@ -1961,7 +1974,7 @@ object CurationOps {
         |  FROM documents),
         |r AS (SELECT doc_id, source, n_toks,
         |  CAST(round(f * 100) AS BIGINT) // 100 +
-        |    CASE WHEN (doc_id * 48271 + 11) % 100
+        |    CASE WHEN ((doc_id % 100 + 100) % 100 * 48271 + 11) % 100
         |      < CAST(round(f * 100) AS BIGINT) % 100 THEN 1 ELSE 0 END
         |    AS replicas FROM d),
         |o AS (SELECT doc_id, source, n_toks,
@@ -2022,7 +2035,7 @@ object CurationOps {
     "q62_delta_dedup" ->
       """WITH d AS (SELECT doc_id, source,
         |  regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm,
-        |  (doc_id * 48271 + 23) % 100 < 80 AS existing FROM documents),
+        |  ((doc_id % 100 + 100) % 100 * 48271 + 23) % 100 < 80 AS existing FROM documents),
         |ex AS (SELECT DISTINCT norm FROM d WHERE existing),
         |inc AS (SELECT doc_id, source, norm FROM d WHERE NOT existing),
         |fr AS (SELECT * FROM inc

@@ -1132,7 +1132,7 @@ object DedupOps {
     val d = docsDf
       .withColumn("norm", normText)
       .withColumn("split",
-        when((col("doc_id") * 48271L + 7L) % 100L < 90L, "train")
+        when(Tables.lcgBucket(col("doc_id"), 48271L, 7L, 100L) < 90L, "train")
           .otherwise("eval"))
     val train = d.filter(col("split") === "train").select("norm").distinct()
     val eval = d.filter(col("split") === "eval")
@@ -1188,7 +1188,7 @@ object DedupOps {
     val d = docsDf
       .withColumn("norm", normText)
       .withColumn("split",
-        when((col("doc_id") * 48271L + 7L) % 100L < 90L, "train")
+        when(Tables.lcgBucket(col("doc_id"), 48271L, 7L, 100L) < 90L, "train")
           .otherwise("eval"))
     val evalNorms = d.filter(col("split") === "eval")
       .select("norm").distinct()
@@ -1363,7 +1363,7 @@ object DedupOps {
     "q49_contamination" ->
       """WITH d AS (SELECT doc_id, lang,
         |  regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm,
-        |  CASE WHEN (doc_id * 48271 + 7) % 100 < 90 THEN 'train'
+        |  CASE WHEN ((doc_id % 100 + 100) % 100 * 48271 + 7) % 100 < 90 THEN 'train'
         |       ELSE 'eval' END AS split
         |  FROM documents),
         |tr AS (SELECT DISTINCT norm FROM d WHERE split = 'train'),
@@ -1382,7 +1382,7 @@ object DedupOps {
     "q90_bloom_decontamination" ->
       """WITH d AS (SELECT doc_id, source,
         |  regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm,
-        |  CASE WHEN (doc_id * 48271 + 7) % 100 < 90 THEN 'train'
+        |  CASE WHEN ((doc_id % 100 + 100) % 100 * 48271 + 7) % 100 < 90 THEN 'train'
         |       ELSE 'eval' END AS split
         |  FROM documents),
         |ev AS (SELECT DISTINCT norm FROM d WHERE split = 'eval'),

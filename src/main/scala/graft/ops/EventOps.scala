@@ -162,7 +162,13 @@ object EventOps {
 
   def jsonPropsOn(eventsDf: DataFrame): DataFrame =
     eventsDf
-      .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+      // try_cast, not cast: $.k can hold a non-scalar (nested object /
+      // explicit JSON null / malformed payload), and ANSI cast turns one
+      // bad record into a whole-scan CAST_INVALID_INPUT — unparseable k
+      // reads as NULL (excluded from count/sum/min/max), matching the
+      // oracle twin's TRY_CAST
+      .withColumn("k",
+        expr("try_cast(get_json_object(props, '$.k') AS LONG)"))
       .groupBy("event_type")
       .agg(
         count(col("k")).as("n"),
@@ -189,7 +195,11 @@ object EventOps {
     eventsDf
       .groupBy("event_type")
       .agg(dsum(col("value")).as("total_value"))
-      .withColumn("cents", round(col("total_value") * 100).cast("long"))
+      // try_cast: a total beyond ±2⁶³ cents (corrupt/extreme doubles in a
+      // real feed) must not ANSI-overflow the scan — its display reads
+      // NULL (concat propagates the null), the oracle twin TRY_CASTs too
+      .withColumn("cents",
+        expr("try_cast(round(total_value * 100) AS LONG)"))
       .withColumn("acents", abs(col("cents")))
       .select(
         col("event_type"), col("total_value"),
@@ -614,7 +624,7 @@ object EventOps {
       """SELECT event_type, count(k) AS n, CAST(sum(k) AS BIGINT) AS sum_k,
         |  min(k) AS min_k, max(k) AS max_k
         |FROM (SELECT event_type,
-        |        CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        |        TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
         |      FROM events)
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q11_hourly_users" ->
@@ -630,7 +640,7 @@ object EventOps {
     "q18_display_format" ->
       s"""WITH a AS (SELECT event_type, ${sqlDsum("value")} AS total_value
          |  FROM events GROUP BY event_type),
-         |c AS (SELECT *, CAST(round(total_value * 100) AS BIGINT) AS cents
+         |c AS (SELECT *, TRY_CAST(round(total_value * 100) AS BIGINT) AS cents
          |  FROM a)
          |SELECT event_type, total_value,
          |  '$$' || (CASE WHEN cents < 0 THEN '-' ELSE '' END)

@@ -67,6 +67,11 @@ object MultimodalOps {
     import session.implicits._
     val BatchSize = 32
     docsDf
+      // an identity-less row cannot ride the typed kernel (MediaIn.doc_id
+      // is a primitive Long — the encoder's null assert would kill the
+      // whole scan on ONE corrupt row); the q50 meta audit is where
+      // null-id media rows surface
+      .filter(col("doc_id").isNotNull)
       .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
       .as[MediaIn]
       .mapPartitions { it =>
@@ -216,6 +221,8 @@ object MultimodalOps {
     val session = docsDf.sparkSession
     import session.implicits._
     docsDf
+      // null-id guard: the mediaFeaturesOn rationale, same kernel seam
+      .filter(col("doc_id").isNotNull)
       .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
       .as[MediaIn]
       .mapPartitions { it =>
@@ -380,7 +387,7 @@ object MultimodalOps {
       """WITH b AS (SELECT doc_id, length(text) AS n,
         |    list_transform(generate_series(1, length(text)),
         |      i -> CAST(unicode(text[i]) AS BIGINT)) AS bys
-        |  FROM documents WHERE length(text) > 0),
+        |  FROM documents WHERE length(text) > 0 AND doc_id IS NOT NULL),
         |mu AS (SELECT doc_id,
         |    list_transform(generate_series(0, 63), k ->
         |      list_sum(list_slice(bys, (k * n) // 64 + 1,
@@ -406,7 +413,7 @@ object MultimodalOps {
       """WITH b AS (SELECT doc_id, length(text) AS n,
         |  list_transform(generate_series(1, length(text)),
         |    i -> CAST(unicode(text[i]) AS BIGINT)) AS bys
-        |  FROM documents),
+        |  FROM documents WHERE doc_id IS NOT NULL),
         |h AS (SELECT doc_id, n, bys,
         |  list_transform(generate_series(0, 7), j ->
         |    len(list_filter(bys, x -> x // 32 = j))) AS hist

@@ -288,6 +288,14 @@ object ScaleOps {
   def withGlobalRowNumber(df: DataFrame, sort: Seq[Column],
       out: String = "rank", totalOut: Option[String] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // appended-output collisions would surface as duplicate/ambiguous
+    // columns only after the offs join — fail loud up front instead
+    // (withNtileOn's 'tile' guard, generalized)
+    require(!df.columns.contains(out),
+      s"withGlobalRowNumber: input already has a '$out' column")
+    totalOut.foreach(n => require(!df.columns.contains(n) && n != out,
+      s"withGlobalRowNumber: totalOut '$n' collides with an input column " +
+        "or the rank column"))
     // Local ranks WITHOUT a second data-sized shuffle: a
     // `row_number over (partition by _pid)` window would force an Exchange
     // on _pid (Catalyst cannot know range partitions cluster it), so

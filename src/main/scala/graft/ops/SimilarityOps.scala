@@ -125,6 +125,15 @@ object SimilarityOps {
     import session.implicits._
     val blocked = embDf
       .select(blockCol.cast("int").as("label"), col("vec_id"), col("embedding"))
+      // the typed kernel rides a (Int, Long, Long, Array[Float]) encoder
+      // whose null asserts would kill the scan on ONE corrupt row: a null
+      // block key / vec_id has no pair identity, and a null-element vector
+      // has no cosine (the vec_dot corrupt-input discipline — q110 is the
+      // audit face). NaN/Inf ELEMENTS stay: the kernel's score-0 arm
+      // handles those.
+      .filter(col("label").isNotNull && col("vec_id").isNotNull &&
+        col("embedding").isNotNull &&
+        !exists(col("embedding"), x => x.isNull))
     val keyed = withSubBucket(blocked, maxExactBlock, exact)
       .select(col("label"), col("_sub"), col("vec_id"), col("embedding"))
     val topPerLabel = keyed
@@ -166,6 +175,11 @@ object SimilarityOps {
           BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
         def cosOf(i: Int, j: Int): Double = {
           val (va, vb) = (embs(i), embs(j))
+          // a RAGGED pair (dims differ inside one label block — corrupt
+          // rows the q110 audit reports) has no cosine: score 0, the same
+          // never-a-top-pair arm as zero-norm below, instead of an
+          // index-out-of-bounds killing the whole block scan
+          if (va.length != vb.length) return 0.0
           var acc = 0.0
           var t = 0
           while (t < va.length) { acc += va(t).toDouble * vb(t).toDouble; t += 1 }
@@ -344,20 +358,49 @@ object SimilarityOps {
 
   /** Per-directory memo of the duplicate-multiplicity probe — the
     * [[CorpusStats.forDir]] ANALYZE convention applied to the embeddings
-    * table: testdata directories are immutable within a run, so the two
-    * multiplicity-dispatched catalog faces (q64 nnDedup, q132
-    * semanticLeakage) share ONE probe job per directory instead of one
-    * hash-agg over the corpus per call. `On`-form callers with external
-    * frames keep the per-call probe (no path to key a snapshot by).
+    * table: the two multiplicity-dispatched catalog faces (q64 nnDedup,
+    * q132 semanticLeakage) share ONE probe job per directory snapshot
+    * instead of one hash-agg over the corpus per call. `On`-form callers
+    * with external frames keep the per-call probe (no path to key a
+    * snapshot by).
+    *
+    * Keyed on (canonical path, file-listing signature) — name/length/mtime
+    * of every part file — NOT the raw dir string: a directory regenerated
+    * within one JVM (ScaleUp reruns, Scratch corpus rewrites) or reached
+    * via an aliasing relative path would otherwise serve a stale
+    * multiplicity, and in the gated regime the two dispatch arms are not
+    * output-equal (r09 ADVICE item, the lmSeen hazard class). A rewrite
+    * changes the signature, so the memo misses without anyone having to
+    * remember to call [[invalidateDupMult]]; stale entries for replaced
+    * snapshots are bounded by the handful of tooling dirs a JVM touches.
     */
   private val dupMultCache =
     scala.collection.concurrent.TrieMap.empty[String, Long]
 
-  private def dupMultForDir(s: SparkSession, dir: String): Long =
-    dupMultCache.getOrElseUpdate(dir, estMaxDupMult(emb(s, dir)))
+  /** Snapshot key for `dir`'s embeddings table: canonical path plus a fold
+    * of (name, length, mtime) over its part files (the table may be a
+    * single parquet file or a Spark-written directory). Missing paths key
+    * on the canonical path alone — the subsequent read fails loud.
+    */
+  private def embSnapshotKey(dir: String): String = {
+    val root = new java.io.File(dir, "embeddings.parquet").getCanonicalFile
+    val files =
+      if (root.isDirectory)
+        Option(root.listFiles()).map(_.toSeq.filter(_.isFile)).getOrElse(Nil)
+      else if (root.isFile) Seq(root)
+      else Nil
+    val sig = files.map(f => (f.getName, f.length, f.lastModified))
+      .sortBy(_._1).mkString(";")
+    root.getPath + "#" + files.size + "#" + sig.hashCode
+  }
 
-  private[graft] def invalidateDupMult(dir: String): Unit =
-    dupMultCache.remove(dir)
+  private[graft] def dupMultForDir(s: SparkSession, dir: String): Long =
+    dupMultCache.getOrElseUpdate(embSnapshotKey(dir), estMaxDupMult(emb(s, dir)))
+
+  private[graft] def invalidateDupMult(dir: String): Unit = {
+    dupMultCache.remove(dir) // legacy raw-string entries
+    dupMultCache.remove(embSnapshotKey(dir))
+  }
 
   /** Duplicate-vector multiplicity above this dispatches [[nnDedupOn]] to
     * the contracted arm: the block scan (even LSH-subdivided — identical
@@ -368,7 +411,7 @@ object SimilarityOps {
     * linear contracted. Both harness scales sit at multiplicity 1, so the
     * oracle-checked arm is the direct scan.
     */
-  private[ops] val MaxDupMult = 256L
+  private[graft] val MaxDupMult = 256L
 
   /** Dispatch probe: largest per-(label, identical-embedding) copy count.
     * Hashes the vector (64-bit) so the probe shuffles (label, hash) pairs,
@@ -803,7 +846,7 @@ object SimilarityOps {
       iters: Int = 5): Array[Array[Double]] = {
     graft.functions.GraftFunctions.ensureRegistered(embDf.sparkSession)
     var centroids: Array[Array[Double]] = embDf
-      .orderBy(((col("vec_id") * 48271L + 11L) % 1000000007L).asc,
+      .orderBy(Tables.lcgBucket(col("vec_id"), 48271L, 11L, 1000000007L).asc,
         col("vec_id").asc)
       .limit(k)
       .select(col("embedding").cast("array<double>"))
@@ -960,9 +1003,10 @@ object SimilarityOps {
     * count of NULL vectors (they'd silently null out a downstream cosine —
     * min/max/avg all skip nulls, so without an explicit column the audit
     * itself would be blind to them), the count of vectors with a null
-    * ELEMENT (the class that hard-errors the vec_dot kernel — detected
-    * before the norm so the audit reports it instead of crashing on it),
-    * the dimension range (ragged arrays
+    * ELEMENT (a class the vec_dot kernel reads as NULL — the corrupt-input
+    * discipline — so THIS query is where such rows become visible instead
+    * of silently shrinking every similarity result), the dimension range
+    * (ragged arrays
     * are the classic silent killer of a downstream matmul: one short
     * vector poisons a whole batch), the L2 norm range/mean, and the count
     * of degenerate (near-zero-norm) vectors that would NaN out a cosine.
@@ -1057,16 +1101,29 @@ object SimilarityOps {
     * codeword index = label rank (bounded driver hop, q43 values).
     */
   private def pqCodebook(embDf: DataFrame): (Array[Int], Array[Array[Double]]) = {
-    val centRows = labelCentroidsOn(embDf)
+    // null labels carry no codeword identity (Row.getAs[Int] would
+    // silently unbox them to 0 and merge them into real label 0), and
+    // ragged corpus vectors stretch their label's position-wise centroid
+    // past the corpus dim — both are training-data corruption, not
+    // codebook shape. Settle on the MODAL centroid length (ties to the
+    // smaller — deterministic), truncate longer centroids to it (their
+    // leading dims were averaged over every member, including the ragged
+    // one's prefix), and drop labels that cannot reach it; the q110 audit
+    // face is where the dropped rows get reported.
+    val centRows = labelCentroidsOn(embDf.filter(col("label").isNotNull))
       .select("label", "dim", "centroid").collect()
     require(centRows.nonEmpty,
       "PQ codebook: empty embedding table — no labels to derive " +
         "sub-codewords from (train one and use the *With form: " +
         "annPqWith / pqDistortionWith)")
     val byLabel = centRows.groupBy(_.getAs[Int]("label"))
-    val labels = byLabel.keys.toArray.sorted
+    val modal = byLabel.valuesIterator.map(_.length).toSeq
+      .groupBy(identity).maxBy { case (len, occ) => (occ.size, -len) }._1
+    val labels = byLabel.collect {
+      case (l, rows) if rows.length >= modal => l
+    }.toArray.sorted
     val full = labels.map(l => byLabel(l).sortBy(_.getAs[Int]("dim"))
-      .map(_.getAs[Double]("centroid")))
+      .take(modal).map(_.getAs[Double]("centroid")))
     (labels, full)
   }
 
@@ -1122,6 +1179,11 @@ object SimilarityOps {
           element_at(typedLit(labels.toSeq), j + 1).cast("string")), ",")
           .as("pq_code"),
         round(adc, 6).as("adc_dist"))
+      // a vector the codebook could not encode has NULL codes → NULL ADC
+      // distance (the kernel corrupt-input discipline); ascending order
+      // sorts nulls FIRST, so they must be excluded or they displace real
+      // neighbors from the top-k
+      .filter(col("adc_dist").isNotNull)
       .orderBy(col("adc_dist").asc, col("vec_id").asc)
       .limit(k)
   }

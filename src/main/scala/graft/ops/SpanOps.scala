@@ -366,7 +366,7 @@ object SpanOps {
     * incoming docs' spans that duplicate the indexed side. */
   def deltaSpans(s: SparkSession, dir: String): DataFrame = {
     val d = docs(s, dir)
-    val existing = (col("doc_id") * 48271L + 23L) % 100L < 80L
+    val existing = Tables.lcgBucket(col("doc_id"), 48271L, 23L, 100L) < 80L
     dupSpansAgainstOn(d.filter(!existing), d.filter(existing))
   }
 
@@ -625,7 +625,7 @@ object SpanOps {
     "q107_delta_spans" ->
       s"""WITH d AS (SELECT doc_id,
          |    string_split(trim(text), ' ') AS toks,
-         |    (doc_id * 48271 + 23) % 100 < 80 AS existing
+         |    ((doc_id % 100 + 100) % 100 * 48271 + 23) % 100 < 80 AS existing
          |  FROM documents),
          |sh AS (SELECT doc_id, existing, CAST(i AS INT) AS pos,
          |    array_to_string(toks[i+1 : i+$DefaultK], ' ') AS shingle

@@ -26,7 +26,10 @@ object StatOps {
   /** Exact decimal cast for `value` (2-dp prices): predicate arithmetic on
     * it is bit-exact and engine-portable, unlike float comparisons.
     */
-  private val Dec6 = DecimalType(18, 6)
+  // 38,6 not 18,6: the exact-decimal compare must absorb corrupt/extreme
+  // doubles (a 1e20 feed glitch overflows DECIMAL(18, 6) and ANSI kills
+  // the scan; NaN/Inf cast to NULL and drop out of sum and compare alike)
+  private val Dec6 = DecimalType(38, 6)
 
   // ---------------------------------------------------------------- q85
 
@@ -171,7 +174,10 @@ object StatOps {
 
   /** `df` needs (value). */
   def valueHistogramOn(df: DataFrame): DataFrame =
-    df.withColumn("cents", round(col("value") * 100).cast("long"))
+    // try_cast: NaN/Inf/±1e20-class values have no well-defined 25-wide
+    // bin and must not ANSI-overflow the scan; they collect in a NULL-bin
+    // row (visible, not dropped), the oracle twin TRY_CASTs identically
+    df.withColumn("cents", expr("try_cast(round(value * 100) AS LONG)"))
       .withColumn("bin", expr(
         "cents div 2500 - (CASE WHEN cents % 2500 < 0 THEN 1 ELSE 0 END)"))
       .groupBy("bin")
@@ -238,12 +244,12 @@ object StatOps {
     "q86_above_type_average" ->
       s"""WITH s AS (SELECT event_type,
          |    CAST(count(*) AS DECIMAL(12,0)) AS n_t,
-         |    sum(CAST(value AS DECIMAL(18,6))) AS tot_t
+         |    sum(CAST(value AS DECIMAL(38,6))) AS tot_t
          |  FROM events GROUP BY event_type)
          |SELECT e.event_type, count(*) AS n_above,
          |  ${sqlDsum("e.value")} AS sum_above
          |FROM events e JOIN s USING (event_type)
-         |WHERE CAST(e.value AS DECIMAL(18,6)) * n_t > tot_t
+         |WHERE CAST(e.value AS DECIMAL(38,6)) * n_t > tot_t
          |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin,
     "q87_viewer_segments" ->
       """WITH v AS (SELECT DISTINCT user_id FROM events
@@ -258,7 +264,7 @@ object StatOps {
         |ORDER BY segment""".stripMargin,
     "q88_value_histogram" ->
       s"""WITH b AS (SELECT value,
-         |    CAST(round(value * 100) AS BIGINT) // 2500 AS bin
+         |    TRY_CAST(round(value * 100) AS BIGINT) // 2500 AS bin
          |  FROM events)
          |SELECT bin, CAST(bin * 25 AS DOUBLE) AS bin_lo, count(*) AS n,
          |  min(value) AS min_v, max(value) AS max_v,

@@ -216,7 +216,7 @@ object TextOps {
     }.otherwise(0)
     docsDf
       .withColumn("keep",
-        (col("doc_id") * 48271L + 7L) % 100L < quotaCol)
+        Tables.lcgBucket(col("doc_id"), 48271L, 7L, 100L) < quotaCol)
       .groupBy("lang")
       .agg(count(lit(1)).as("n_docs"),
         sum(col("keep").cast("long")).as("n_kept"),
@@ -573,7 +573,7 @@ object TextOps {
     graft.functions.GraftFunctions.ensureRegistered(docsDf.sparkSession)
     docsDf
       .select(col("source"),
-        ((col("doc_id") * 48271L + 11L) % 1000000007L
+        (Tables.lcgBucket(col("doc_id"), 48271L, 11L, 1000000007L)
           * 2147483648L + col("doc_id")).as("e"))
       .groupBy("source")
       .agg(expr(s"graft_min_k(e, $k)").as("es"))
@@ -1319,7 +1319,8 @@ object TextOps {
         |FROM pd LEFT JOIN nv USING (doc_id) ORDER BY pd.doc_id""".stripMargin,
     "q97_group_sample" ->
       """WITH enc AS (SELECT source,
-        |    ((doc_id * 48271 + 11) % 1000000007)
+        |    ((doc_id % 1000000007 + 1000000007) % 1000000007
+        |      * 48271 + 11) % 1000000007
         |      * 2147483648 + doc_id AS e
         |  FROM documents),
         |s AS (SELECT source, list_sort(list(e))[1:3] AS es
@@ -1411,7 +1412,7 @@ object TextOps {
         |FROM g ORDER BY source, lang""".stripMargin,
     "q47_stratified_sample" ->
       """WITH k AS (SELECT lang,
-        |  (doc_id * 48271 + 7) % 100 <
+        |  ((doc_id % 100 + 100) % 100 * 48271 + 7) % 100 <
         |    (CASE lang WHEN 'en' THEN 40 WHEN 'de' THEN 80 WHEN 'es' THEN 80
         |               WHEN 'fr' THEN 80 WHEN 'zh' THEN 80 ELSE 0 END) AS keep
         |  FROM documents)

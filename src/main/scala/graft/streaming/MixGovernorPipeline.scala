@@ -35,6 +35,30 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   */
 object MixGovernorPipeline {
 
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
+  /** True iff `e` is the staged-swap rename window biting between the
+    * per-trigger LM probe and the scoring read: plan-time
+    * AnalysisException whose condition means "nothing at that path"
+    * (the two conditions BatchDirs.readIfExists narrows to), or an
+    * execution-time FileNotFoundException anywhere in the cause chain
+    * (files listed at planning renamed away before the scan task read
+    * them). Everything else — damaged store, OOM, sink IO failure —
+    * is NOT the window and must fail the trigger.
+    */
+  private def isLmSwapWindow(e: Throwable): Boolean = {
+    val chain = Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
+      .take(16).toSeq
+    chain.exists {
+      case a: org.apache.spark.sql.AnalysisException =>
+        Option(a.getCondition).exists(c =>
+          c.startsWith("UNABLE_TO_INFER_SCHEMA") ||
+            c.startsWith("PATH_NOT_FOUND"))
+      case _: java.io.FileNotFoundException => true
+      case _ => false
+    }
+  }
+
   /** Start the governor over a (doc_id, source, text) document stream.
     *
     * @param lmStoreDir    pre-seeded frozen bigram store (the reference
@@ -71,14 +95,29 @@ object MixGovernorPipeline {
             // Seed a live path with writeBigramStoreStaged (absent →
             // fully written, never footer-less mid-job).
             // probe-then-read still has a window (a live re-seed's staged
-            // swap can land between them) — if the LM read itself throws,
-            // fall through to the same model-less arm instead of failing
-            // the trigger; the next trigger re-probes and scores again
+            // swap can land between them) — if the LM read itself dies on
+            // exactly that window (path vanished / footer-less mid-swap),
+            // fall through to the model-less arm; the next trigger
+            // re-probes and scores again. ONLY the swap-window conditions
+            // map to model-less (mirroring BatchDirs.readIfExists's
+            // narrowed catch): any other scoring/write failure fails the
+            // trigger so checkpoint replay RE-SCORES this batch — a
+            // swallowed transient would commit an empty partial under this
+            // batch id and permanently lose its DoReMi evidence (sinks are
+            // batch-id-keyed; no later trigger revisits this batch).
             val partialsOut = s"$partialsDir/batch_id=$batchId"
-            val scored = lmReadable(s, lmStoreDir) && scala.util.Try {
-              CurationOps.doremiBatchPartials(b, lmStoreDir)
-                .coalesce(1).write.mode("overwrite").parquet(partialsOut)
-            }.isSuccess
+            val scored = lmReadable(s, lmStoreDir) && (
+              try {
+                CurationOps.doremiBatchPartials(b, lmStoreDir)
+                  .coalesce(1).write.mode("overwrite").parquet(partialsOut)
+                true
+              } catch {
+                case e: Throwable if isLmSwapWindow(e) =>
+                  log.warn(s"mix governor batch $batchId: reference LM at " +
+                    s"$lmStoreDir vanished mid-score (staged-swap rename " +
+                    s"window) — scoring model-less this trigger", e)
+                  false
+              })
             if (!scored)
               CurationOps.emptyDoremiPartials(s)
                 .coalesce(1).write.mode("overwrite").parquet(partialsOut)

@@ -1,0 +1,64 @@
+package graft
+
+/** The standing adversarial-fixture gate (round 10, VERDICT r09 item 1).
+  *
+  * Runs EVERY `SparkEntry.queries` entry over `AdversarialGen`'s malformed
+  * corpus — null/empty/whitespace text, zero-norm/null/ragged/NaN
+  * embeddings, null join keys, orphan FKs, duplicate primary keys, extreme
+  * longs, NaN/Infinity doubles, malformed JSON — asserting each query
+  * either completes (collect() succeeds) or fails loud under a contract
+  * documented here in `failLoud`.
+  *
+  * Why this exists: the round-9 zero-norm cosine DIVIDE_BY_ZERO survived
+  * eight adversarial review passes and two fully-green 132/132 oracle
+  * catalogs because the driver's gate corpus contains no degenerate rows.
+  * This gate makes that entire hazard class (ANSI-mode arithmetic on
+  * malformed inputs) a permanent regression test across the whole catalog.
+  *
+  * The real-corpus oracle hashes are unaffected by construction — the
+  * fixture lives in its own temp dir and no query here touches
+  * /root/testdata.
+  */
+class AdversarialFixtureSpec extends SparkSpec {
+
+  /** Documented fail-loud contracts: query name -> substring that must
+    * appear in the failure (exception class name or message). A query
+    * listed here is REQUIRED to throw on the malformed corpus — silently
+    * succeeding would itself be a contract change worth seeing.
+    */
+  private val failLoud: Map[String, String] = Map(
+    // q97 packs (bucket, doc_id) into ONE long (bucket·2³¹ + doc_id) so a
+    // single min-k sketch aggregate carries both; the pack is only
+    // injective for doc_id ∈ [0, 2³¹) — the operator's documented
+    // precondition (TextOps.groupSampleOn: "doc_id < 2^31"). An
+    // out-of-range id MUST fail loud (ANSI overflow) rather than sample
+    // from a silently-corrupted key space: a sampler that drops or
+    // misattributes rows biases the sample, which is worse than stopping.
+    "q97_group_sample" -> "ARITHMETIC_OVERFLOW")
+
+  private lazy val fixtureDir: String = {
+    val dir = tmpDir("graft-adversarial-fixture")
+    AdversarialGen.writeAll(spark, dir)
+    dir
+  }
+
+  for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
+    test(s"adversarial fixture: $name") {
+      failLoud.get(name) match {
+        case None =>
+          // must complete end-to-end; row count is unconstrained (many
+          // queries legitimately return 0 rows on a 40-row corpus)
+          val rows = fn(spark, fixtureDir).collect()
+          assert(rows != null)
+        case Some(expected) =>
+          val e = intercept[Throwable] { fn(spark, fixtureDir).collect() }
+          def chain(t: Throwable): Seq[Throwable] =
+            if (t == null) Nil else t +: chain(t.getCause)
+          val texts = chain(e).map(t => t.getClass.getName + ": " + t.getMessage)
+          assert(texts.exists(_.contains(expected)),
+            s"$name failed (as contracted) but not with the documented " +
+              s"condition '$expected'; got: ${texts.mkString(" | ")}")
+      }
+    }
+  }
+}

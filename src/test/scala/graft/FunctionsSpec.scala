@@ -536,6 +536,58 @@ class FunctionsSpec extends SparkSpec {
     assert(got === fp)
   }
 
+  test("corrupt-input discipline: vec_dot / pq_encode / pq_error read " +
+      "NULL on ragged or null-element vectors — codegen AND interpreted") {
+    // raw-user-column kernels must not kill a scan on one corrupt row
+    // (the round-9 zero-norm hazard class); NULL is not silent corruption
+    // because it is excluded from every max/threshold/top-k downstream.
+    // Pipeline-array kernels (minhash/simhash/winnow) stay fail-loud —
+    // their inputs are engine-constructed, a null there is an engine bug.
+    val strict = spark.newSession()
+    strict.conf.set("spark.sql.codegen.fallback", "false")
+    GraftFunctions.ensureRegistered(strict)
+    // arguments ride on col("id") so ConstantFolding cannot pre-evaluate
+    // them — the NULLs here are produced by the GENERATED code
+    val r = strict.range(1).select(
+      call_function("graft_vec_dot",
+        array(col("id").cast("double"), lit(2.0)),
+        array(lit(3.0))).as("ragged"),
+      call_function("graft_vec_dot",
+        array(col("id").cast("double"), expr("CAST(NULL AS DOUBLE)")),
+        array(lit(3.0), lit(4.0))).as("null_elem"),
+      call_function("graft_pq_encode",
+        array(col("id").cast("double"), lit(2.0), lit(3.0)),
+        expr("array(array(0.0D, 1.0D))"), lit(1)).as("pq_ragged"),
+      call_function("graft_pq_encode",
+        array(col("id").cast("double"), expr("CAST(NULL AS DOUBLE)")),
+        expr("array(array(0.0D, 1.0D))"), lit(1)).as("pq_null_elem"),
+      call_function("graft_pq_error",
+        array(col("id").cast("double"), lit(2.0), lit(3.0)),
+        expr("array(array(0.0D, 1.0D))"), lit(1)).as("pe_ragged"),
+      call_function("graft_pq_encode",
+        array(col("id").cast("double"), lit(2.0), lit(3.0)),
+        expr("array(array(0.0D, 1.0D, 3.0D))"), lit(2)).as("pq_indivisible"),
+      call_function("graft_vec_dot",
+        array(col("id").cast("double") + 1.0, lit(2.0)),
+        array(lit(3.0), lit(4.0))).as("well_formed")).head()
+    (0 to 5).foreach(i =>
+      assert(r.isNullAt(i), s"column $i must read NULL on corrupt input"))
+    assert(r.getDouble(6) === 11.0) // 1*3 + 2*4 — good rows still score
+    // interpreted (nullSafeEval) twins of the same cases
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.{ArrayType, DoubleType}
+    import graft.functions.{PqEncode, PqError, VecDot}
+    def arr(xs: Seq[java.lang.Double]) =
+      Literal.create(xs, ArrayType(DoubleType))
+    assert(VecDot(arr(Seq(1.0, 2.0)), arr(Seq(3.0))).eval(null) == null)
+    assert(VecDot(arr(Seq(1.0, null)), arr(Seq(3.0, 4.0))).eval(null) == null)
+    assert(PqEncode(arr(Seq(1.0, 2.0, 3.0)), 1, Seq(Seq(0.0, 1.0)))
+      .eval(null) == null)
+    assert(PqError(arr(Seq(1.0, 2.0, 3.0)), 1, Seq(Seq(0.0, 1.0)))
+      .eval(null) == null)
+    assert(VecDot(arr(Seq(1.0, 2.0)), arr(Seq(3.0, 4.0))).eval(null) === 11.0)
+  }
+
   test("vec_dot accepts mixed float/double arrays") {
     val one = Seq((Array(1.0f, 2.0f), Array(3.0, 4.0))).toDF("a", "b")
       .select(call_function("graft_vec_dot", col("a"), col("b")))
