@@ -83,9 +83,11 @@ case class MinHashBandKeys(child: Expression, bands: Int)
     val mins = Array.fill(NumHashes)(Long.MaxValue)
     var s = 0
     while (s < n) {
-      // a null element would read as hash 0 from UnsafeArrayData — the
-      // vec_dot fail-loud discipline: a silent 0 becomes a spurious
-      // minimum in EVERY permutation (false duplicate matches)
+      // a null element would read as hash 0 from UnsafeArrayData and
+      // become a spurious minimum in EVERY permutation (false duplicate
+      // matches). Fail loud — unlike vec_dot's raw-user-column NULL
+      // discipline, this array is PIPELINE-CONSTRUCTED (shingle_hashes
+      // emits no nulls), so a null here is an engine bug, not data.
       if (arr.isNullAt(s))
         throw new IllegalArgumentException(
           s"$prettyName: null element at position $s")
@@ -197,7 +199,8 @@ case class SimHash64(child: Expression)
     var t = 0
     while (t < n) {
       // null element = silent hash 0 (all-zero bits vote down every
-      // position) — the vec_dot fail-loud discipline
+      // position) — fail loud: a pipeline-constructed array (see
+      // MinHashBandKeys' rationale) with a null is an engine bug
       if (arr.isNullAt(t))
         throw new IllegalArgumentException(
           s"$prettyName: null element at position $t")

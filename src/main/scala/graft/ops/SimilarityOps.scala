@@ -1028,10 +1028,12 @@ object SimilarityOps {
     graft.functions.GraftFunctions.ensureRegistered(embDf.sparkSession)
     val Dec = org.apache.spark.sql.types.DecimalType(38, 10)
     // a null ELEMENT inside a vector is its own malformation class: the
-    // norm kernel (vec_dot) rejects it, so the audit must detect it FIRST
-    // and keep that row's nrm null — the audit's job is to report the
-    // malformed vector, not to die on it (the oracle twin propagates the
-    // null through its arithmetic naturally, landing on the same null nrm)
+    // norm kernel (vec_dot) reads it as NULL (corrupt-input discipline),
+    // but the audit detects it EXPLICITLY so the report distinguishes
+    // "null element" from other null-norm causes — the audit's job is to
+    // name the malformation, not infer it from a null score (the oracle
+    // twin propagates the null through its arithmetic naturally, landing
+    // on the same null nrm)
     val nullElem = col("embedding").isNotNull &&
       exists(col("embedding"), x => x.isNull)
     embDf
