@@ -75,15 +75,13 @@ object Tables {
     * turns into an ARITHMETIC_OVERFLOW that kills the whole scan. Callers
     * must keep `m·mult + add` < 2⁶³ (every graft split uses m ≤ 1e9+7,
     * mult ≤ 48271).
+    *
+    * The oracle twins spell the identical arithmetic inline (DuckDB's `%`
+    * keeps the dividend's sign, so floor-mod is written out):
+    * `((id % m + m) % m * mult + add) % m`.
     */
   def lcgBucket(id: Column, mult: Long, add: Long, m: Long): Column =
     (pmod(id, lit(m)) * mult + add) % m
-
-  /** SQL twin of [[lcgBucket]] for the DuckDB oracle strings (DuckDB's
-    * `%` keeps the dividend's sign, so floor-mod is spelled out).
-    */
-  def sqlLcgBucket(id: String, mult: Long, add: Long, m: Long): String =
-    s"((($id % $m + $m) % $m) * $mult + $add) % $m"
 
   /** Order-independent 2dp sum of a double column (oracle-stable). */
   def dsum(c: Column): Column = round(sum(c.cast(Dec)), 2).cast("double")

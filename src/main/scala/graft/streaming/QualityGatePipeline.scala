@@ -40,8 +40,16 @@ object QualityGatePipeline {
       .trigger(trigger)
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        // one scoring of the batch feeds both routes
-        val b = scored(batch).persist()
+        // one scoring of the batch feeds both routes. Routing is on
+        // coalesce(keep, false), NOT the raw keep column: an unscorable
+        // doc (null text → null token stats → null logit → NULL keep)
+        // would otherwise match NEITHER filter(keep) NOR filter(!keep)
+        // and silently vanish from both dirs — the two routes must
+        // PARTITION the batch (rejects are the quarantine trail), and
+        // "quality unknown" is not training data, so it rejects.
+        val b = scored(batch)
+          .withColumn("keep", coalesce(col("keep"), lit(false)))
+          .persist()
         try {
           if (!b.isEmpty) {
             b.filter(col("keep")).write.mode("overwrite")
