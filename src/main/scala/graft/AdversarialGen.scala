@@ -261,6 +261,24 @@ object AdversarialGen {
 
   // ---- entry points ---------------------------------------------------------
 
+  /** Write the EMPTY fixture into `dir`: all ten tables, exact driver
+    * schemas, zero rows — "day zero of a crawl", the other corpus state
+    * the driver's gate can never exercise. Derived from the malformed
+    * builders via `limit(0)` so the schemas cannot drift.
+    */
+  def writeEmpty(spark: SparkSession, dir: String): Unit = {
+    write(region(spark).limit(0), dir, "region")
+    write(nation(spark).limit(0), dir, "nation")
+    write(customer(spark).limit(0), dir, "customer")
+    write(supplier(spark).limit(0), dir, "supplier")
+    write(part(spark).limit(0), dir, "part")
+    write(orders(spark).limit(0), dir, "orders")
+    write(lineitem(spark).limit(0), dir, "lineitem")
+    write(events(spark).limit(0), dir, "events")
+    write(documents(spark).limit(0), dir, "documents")
+    write(embeddings(spark).limit(0), dir, "embeddings")
+  }
+
   /** Write the complete malformed fixture into `dir`. */
   def writeAll(spark: SparkSession, dir: String): Unit = {
     write(region(spark), dir, "region")

@@ -267,6 +267,14 @@ object CurationOps {
       .collect().map(_.getString(0)).sorted
     require(sources.length <= 62,
       s"source bitmask supports <= 62 sources, got ${sources.length}")
+    if (sources.length < 2) {
+      // overlap is pairwise — an empty or single-source corpus has no
+      // pairs (and the bitmask fold below needs a head + tail); emit the
+      // zero-row frame with the exact report schema
+      import docsDf0.sparkSession.implicits._
+      return Seq.empty[(String, String, Long, Long, Long, Double)]
+        .toDF("src_a", "src_b", "n_a", "n_b", "n_shared", "jaccard")
+    }
     // one 5-token polynomial fold per base over the token fingerprints
     def fold(tfs: Column, i: Column): Column =
       (1 until 5).foldLeft(element_at(tfs, i): Column)((acc, o) =>

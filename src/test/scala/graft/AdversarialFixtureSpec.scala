@@ -36,29 +36,58 @@ class AdversarialFixtureSpec extends SparkSpec {
     // misattributes rows biases the sample, which is worse than stopping.
     "q97_group_sample" -> "ARITHMETIC_OVERFLOW")
 
+  /** The EMPTY-corpus arm's fail-loud contracts — "day zero of a crawl":
+    * a query whose result is a TRAINED ARTIFACT has nothing to train on
+    * and must say so, not fabricate an answer.
+    */
+  private val failLoudEmpty: Map[String, String] = {
+    // the PQ family derives its codebook FROM the corpus: with zero
+    // vectors there is nothing to train, and the operators raise the
+    // named, actionable error (train separately, use the *With form)
+    // rather than fabricating a codebook
+    val noCodebook = "PQ codebook: empty embedding table"
+    Map(
+      "q123_ann_pq" -> noCodebook,
+      "q128_pq_distortion" -> noCodebook,
+      "q95_cluster_purity" -> noCodebook)
+  }
+
   private lazy val fixtureDir: String = {
     val dir = tmpDir("graft-adversarial-fixture")
     AdversarialGen.writeAll(spark, dir)
     dir
   }
 
+  private lazy val emptyDir: String = {
+    val dir = tmpDir("graft-empty-fixture")
+    AdversarialGen.writeEmpty(spark, dir)
+    dir
+  }
+
+  private def check(name: String, fn: (org.apache.spark.sql.SparkSession,
+      String) => org.apache.spark.sql.DataFrame, dir: String,
+      contract: Option[String]): Unit = contract match {
+    case None =>
+      // must complete end-to-end; row count is unconstrained (many
+      // queries legitimately return 0 rows on a degenerate corpus)
+      val rows = fn(spark, dir).collect()
+      assert(rows != null)
+    case Some(expected) =>
+      val e = intercept[Throwable] { fn(spark, dir).collect() }
+      def chain(t: Throwable): Seq[Throwable] =
+        if (t == null) Nil else t +: chain(t.getCause)
+      val texts = chain(e).map(t => t.getClass.getName + ": " + t.getMessage)
+      assert(texts.exists(_.contains(expected)),
+        s"$name failed (as contracted) but not with the documented " +
+          s"condition '$expected'; got: ${texts.mkString(" | ")}")
+  }
+
   for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
     test(s"adversarial fixture: $name") {
-      failLoud.get(name) match {
-        case None =>
-          // must complete end-to-end; row count is unconstrained (many
-          // queries legitimately return 0 rows on a 40-row corpus)
-          val rows = fn(spark, fixtureDir).collect()
-          assert(rows != null)
-        case Some(expected) =>
-          val e = intercept[Throwable] { fn(spark, fixtureDir).collect() }
-          def chain(t: Throwable): Seq[Throwable] =
-            if (t == null) Nil else t +: chain(t.getCause)
-          val texts = chain(e).map(t => t.getClass.getName + ": " + t.getMessage)
-          assert(texts.exists(_.contains(expected)),
-            s"$name failed (as contracted) but not with the documented " +
-              s"condition '$expected'; got: ${texts.mkString(" | ")}")
-      }
+      check(name, fn, fixtureDir, failLoud.get(name))
+    }
+    test(s"empty corpus: $name") {
+      check(name, fn, emptyDir, failLoudEmpty.get(name))
     }
   }
 }
