@@ -141,6 +141,39 @@ class StreamingAdversarialSpec extends SparkSpec {
     assert(routed === (malformedDocs.size + cleanDocs.size).toLong)
   }
 
+  test("trade ingest survives parseable-but-degenerate wire records " +
+      "(null timestamp / null numerics / wrong-typed fields)") {
+    implicit val sqlCtx = spark.sqlContext
+    val sink = tmpDir("adv-ingest-sink")
+    val input = MemoryStream[String]
+    // a VALID record, then the degenerate classes PERMISSIVE parse lets
+    // through (unlike the unparseable poison pill the existing specs
+    // cover): null event time, null/garbage numerics, missing fields
+    val valid = graft.gen.TradeGen.trades(spark, 1, seed = 3)
+    val validJson = valid.toJSON.collect().head
+    input.addData(
+      validJson,
+      """{"trade_id": "ADV-NULL-TS", "timestamp": null}""",
+      """{"trade_id": "ADV-NO-TS"}""",
+      """{"trade_id": "ADV-BAD-NUM", "timestamp":
+        | "2024-01-01T00:00:00.000001", "notional": "not-a-number",
+        | "quantity": null}""".stripMargin.replace("\n", ""),
+      """{"trade_id": null, "timestamp": "2024-01-01T00:00:00.000001"}""")
+    val q = IngestPipeline.runIngest(spark,
+      input.toDF().select(col("value")), sink, tmpDir("adv-ingest-ckpt"),
+      trigger = org.apache.spark.sql.streaming.Trigger.AvailableNow())
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.read.parquet(sink)
+    val ids = out.select("trade_id").collect().map(_.getString(0)).toSet
+    // the valid record and the parseable degenerates with a KEY land
+    // (null-key rows skip — the documented poison contract); a null
+    // timestamp must not wedge the dedup state op
+    assert(ids.contains(valid.select("trade_id").head().getString(0)))
+    assert(ids.contains("ADV-BAD-NUM"))
+    assert(!ids.contains(null))
+  }
+
   test("vector ingest quarantines every degenerate embedding class and " +
       "the malformed batch does not wedge the stream") {
     implicit val sqlCtx = spark.sqlContext
