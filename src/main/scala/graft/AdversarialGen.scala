@@ -261,37 +261,31 @@ object AdversarialGen {
 
   // ---- entry points ---------------------------------------------------------
 
+  /** The one (name, builder) list both fixture writers fold over — a new
+    * driver table added here is automatically in BOTH gate arms; two
+    * hand-maintained lists would let the empty arm silently skip it.
+    */
+  private val tables: Seq[(String, SparkSession => DataFrame)] = Seq(
+    "region" -> region _, "nation" -> nation _, "customer" -> customer _,
+    "supplier" -> supplier _, "part" -> part _, "orders" -> orders _,
+    "lineitem" -> lineitem _, "events" -> events _,
+    "documents" -> documents _, "embeddings" -> embeddings _)
+
   /** Write the EMPTY fixture into `dir`: all ten tables, exact driver
     * schemas, zero rows — "day zero of a crawl", the other corpus state
     * the driver's gate can never exercise. Derived from the malformed
     * builders via `limit(0)` so the schemas cannot drift.
     */
-  def writeEmpty(spark: SparkSession, dir: String): Unit = {
-    write(region(spark).limit(0), dir, "region")
-    write(nation(spark).limit(0), dir, "nation")
-    write(customer(spark).limit(0), dir, "customer")
-    write(supplier(spark).limit(0), dir, "supplier")
-    write(part(spark).limit(0), dir, "part")
-    write(orders(spark).limit(0), dir, "orders")
-    write(lineitem(spark).limit(0), dir, "lineitem")
-    write(events(spark).limit(0), dir, "events")
-    write(documents(spark).limit(0), dir, "documents")
-    write(embeddings(spark).limit(0), dir, "embeddings")
-  }
+  def writeEmpty(spark: SparkSession, dir: String): Unit =
+    tables.foreach { case (name, build) =>
+      write(build(spark).limit(0), dir, name)
+    }
 
   /** Write the complete malformed fixture into `dir`. */
-  def writeAll(spark: SparkSession, dir: String): Unit = {
-    write(region(spark), dir, "region")
-    write(nation(spark), dir, "nation")
-    write(customer(spark), dir, "customer")
-    write(supplier(spark), dir, "supplier")
-    write(part(spark), dir, "part")
-    write(orders(spark), dir, "orders")
-    write(lineitem(spark), dir, "lineitem")
-    write(events(spark), dir, "events")
-    write(documents(spark), dir, "documents")
-    write(embeddings(spark), dir, "embeddings")
-  }
+  def writeAll(spark: SparkSession, dir: String): Unit =
+    tables.foreach { case (name, build) =>
+      write(build(spark), dir, name)
+    }
 
   def main(args: Array[String]): Unit = {
     require(args.length == 1, "usage: AdversarialGen <outDir>")

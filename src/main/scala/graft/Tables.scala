@@ -83,6 +83,37 @@ object Tables {
   def lcgBucket(id: Column, mult: Long, add: Long, m: Long): Column =
     (pmod(id, lit(m)) * mult + add) % m
 
+  /** Snapshot key of an on-disk path (a parquet table directory or a
+    * single file): canonical path + part-file count + an MD5 fold of every
+    * file's (name, length, mtime). The ONE key definition for every
+    * per-directory memo in the engine (dupMultForDir, CorpusStats.forDir):
+    * a directory regenerated within one JVM — a ScaleUp rerun, a Scratch
+    * corpus rewrite — or reached via an aliasing relative path changes the
+    * key, so the memo re-probes without anyone calling an invalidation
+    * hook. MD5 of the full fold, not String.hashCode: a 32-bit hash can
+    * collide between two same-file-count snapshots, silently serving the
+    * stale entry the key exists to retire. A missing path keys on the
+    * canonical path alone — the subsequent read fails loud.
+    */
+  def pathSnapshotKey(path: String): String = {
+    val root = new java.io.File(path).getCanonicalFile
+    val files =
+      if (root.isDirectory)
+        Option(root.listFiles()).map(_.toSeq.filter(_.isFile)).getOrElse(Nil)
+      else if (root.isFile) Seq(root)
+      else Nil
+    val sig = files.map(f => (f.getName, f.length, f.lastModified))
+      .sortBy(_._1).mkString(";")
+    val md5 = java.security.MessageDigest.getInstance("MD5")
+      .digest(sig.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map("%02x".format(_)).mkString
+    s"${root.getPath}#${files.size}#$md5"
+  }
+
+  /** [[pathSnapshotKey]] of one testdata table under `dir`. */
+  def tableSnapshotKey(dir: String, name: String): String =
+    pathSnapshotKey(s"$dir/$name.parquet")
+
   /** Order-independent 2dp sum of a double column (oracle-stable). */
   def dsum(c: Column): Column = round(sum(c.cast(Dec)), 2).cast("double")
 

@@ -44,25 +44,38 @@ object CorpusStats {
     CorpusStats(r.getLong(0), r.getLong(1), r.getLong(2))
   }
 
-  // Memoized per corpus directory — the catalog's snapshot semantics: the
-  // testdata directories are immutable within a run, so every catalog query
-  // in a JVM shares ONE stats job per directory. Mutating a corpus in place
-  // requires invalidate() (or a fresh path, the usual lake convention).
+  // Memoized per corpus SNAPSHOT — every catalog query in a JVM shares
+  // ONE stats job per directory state. Keyed on the shared
+  // Tables.pathSnapshotKey fold over BOTH inputs the answer derives from
+  // (the documents part files and the persisted corpus_stats table), NOT
+  // the raw dir string: a directory regenerated in place (ScaleUp rerun,
+  // Scratch corpus rewrite) or an aliasing relative path would otherwise
+  // serve stale stats and steer the stats-dispatched operators onto the
+  // arm calibrated for the OLD corpus — the dupMultCache hazard class,
+  // fixed with the same mechanism.
   private val dirCache =
     scala.collection.concurrent.TrieMap.empty[String, CorpusStats]
 
-  /** Stats for `dir`'s documents table, resolved at most once per JVM:
-    * first from the persisted `<dir>/corpus_stats` table if an ANALYZE
-    * pass ([[analyze]] / `CurationOps.analyzeCorpus`) left one — so a
-    * FRESH JVM over an analyzed corpus never pays the probe aggregation —
-    * falling back to [[compute]] otherwise.
+  private def snapshotKey(dir: String): String =
+    graft.Tables.tableSnapshotKey(dir, "documents") + "|" +
+      graft.Tables.pathSnapshotKey(s"$dir/corpus_stats")
+
+  /** Stats for `dir`'s documents table, resolved at most once per JVM and
+    * directory snapshot: first from the persisted `<dir>/corpus_stats`
+    * table if an ANALYZE pass ([[analyze]] / `CurationOps.analyzeCorpus`)
+    * left one — so a FRESH JVM over an analyzed corpus never pays the
+    * probe aggregation — falling back to [[compute]] otherwise.
     */
   def forDir(s: SparkSession, dir: String): CorpusStats =
-    dirCache.getOrElseUpdate(dir,
+    dirCache.getOrElseUpdate(snapshotKey(dir),
       read(s, s"$dir/corpus_stats")
         .getOrElse(compute(graft.Tables.t(s, dir, "documents"))))
 
-  def invalidate(dir: String): Unit = dirCache.remove(dir)
+  def invalidate(dir: String): Unit = {
+    dirCache.remove(dir) // legacy raw-string entries
+    dirCache.remove(snapshotKey(dir))
+    ()
+  }
 
   private[graft] def clearCache(): Unit = dirCache.clear()
 
@@ -97,8 +110,12 @@ object CorpusStats {
     val st = compute(docsDf)
     write(st, docsDf.sparkSession, path)
     val suffix = "/corpus_stats"
+    // seed the memo under the POST-write snapshot key (the key includes
+    // the corpus_stats listing this write just changed), saving the next
+    // forDir the re-read; a later in-place corpus rewrite changes the key
+    // again and re-probes regardless
     if (path.endsWith(suffix))
-      dirCache.put(path.dropRight(suffix.length), st)
+      dirCache.put(snapshotKey(path.dropRight(suffix.length)), st)
     st
   }
 }

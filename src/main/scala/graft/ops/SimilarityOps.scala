@@ -377,22 +377,12 @@ object SimilarityOps {
   private val dupMultCache =
     scala.collection.concurrent.TrieMap.empty[String, Long]
 
-  /** Snapshot key for `dir`'s embeddings table: canonical path plus a fold
-    * of (name, length, mtime) over its part files (the table may be a
-    * single parquet file or a Spark-written directory). Missing paths key
-    * on the canonical path alone — the subsequent read fails loud.
+  /** Snapshot key for `dir`'s embeddings table — the shared
+    * [[Tables.pathSnapshotKey]] definition (canonical path + MD5'd
+    * part-file listing; CorpusStats.forDir keys the same way).
     */
-  private def embSnapshotKey(dir: String): String = {
-    val root = new java.io.File(dir, "embeddings.parquet").getCanonicalFile
-    val files =
-      if (root.isDirectory)
-        Option(root.listFiles()).map(_.toSeq.filter(_.isFile)).getOrElse(Nil)
-      else if (root.isFile) Seq(root)
-      else Nil
-    val sig = files.map(f => (f.getName, f.length, f.lastModified))
-      .sortBy(_._1).mkString(";")
-    root.getPath + "#" + files.size + "#" + sig.hashCode
-  }
+  private def embSnapshotKey(dir: String): String =
+    Tables.tableSnapshotKey(dir, "embeddings")
 
   private[graft] def dupMultForDir(s: SparkSession, dir: String): Long =
     dupMultCache.getOrElseUpdate(embSnapshotKey(dir), estMaxDupMult(emb(s, dir)))

@@ -568,13 +568,24 @@ object TextOps {
   def groupSample(s: SparkSession, dir: String): DataFrame =
     groupSampleOn(docs(s, dir), k = 3)
 
-  /** `docsDf` needs (doc_id < 2^31, source). */
+  /** `docsDf` needs (doc_id, source) with doc_id ∈ [0, 2^31) — the pack
+    * below is only injective on that range, and the guard is EXECUTABLE:
+    * an out-of-range id fails loud with a named error. ANSI overflow only
+    * catches large POSITIVE ids; a negative id packs without overflowing
+    * into a key that unpacks to a WRONG doc_id — a silently biased,
+    * misattributed sample, which is worse than stopping.
+    */
   def groupSampleOn(docsDf: DataFrame, k: Int): DataFrame = {
     graft.functions.GraftFunctions.ensureRegistered(docsDf.sparkSession)
     docsDf
       .select(col("source"),
-        (Tables.lcgBucket(col("doc_id"), 48271L, 11L, 1000000007L)
-          * 2147483648L + col("doc_id")).as("e"))
+        when(col("doc_id") >= 0L && col("doc_id") < 2147483648L,
+          Tables.lcgBucket(col("doc_id"), 48271L, 11L, 1000000007L)
+            * 2147483648L + col("doc_id"))
+          .otherwise(raise_error(concat(
+            lit("groupSampleOn: doc_id outside [0, 2^31) cannot ride the "),
+            lit("packed sample key: "), col("doc_id").cast("string"))))
+          .as("e"))
       .groupBy("source")
       .agg(expr(s"graft_min_k(e, $k)").as("es"))
       .select(col("source"), posexplode(col("es")).as(Seq("pos", "e")))

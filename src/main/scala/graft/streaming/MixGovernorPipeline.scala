@@ -41,20 +41,30 @@ object MixGovernorPipeline {
     * per-trigger LM probe and the scoring read: plan-time
     * AnalysisException whose condition means "nothing at that path"
     * (the two conditions BatchDirs.readIfExists narrows to), or an
-    * execution-time FileNotFoundException anywhere in the cause chain
-    * (files listed at planning renamed away before the scan task read
-    * them). Everything else — damaged store, OOM, sink IO failure —
-    * is NOT the window and must fail the trigger.
+    * execution-time FileNotFoundException (files listed at planning
+    * renamed away before the scan task read them) — and in EITHER case
+    * the failing path must lie under `lmStoreDir`. Scoping to the store
+    * path matters: the try also covers the micro-batch's own source scan
+    * and the partials sink write, and a FileNotFoundException from THOSE
+    * (an input file cleaned mid-trigger, a sink `_temporary` raced away)
+    * must fail the trigger so replay re-scores — misclassifying it as
+    * the swap window would commit empty partials and permanently lose
+    * the batch's DoReMi evidence, the exact loss this catch exists to
+    * prevent. Everything else — damaged store, OOM, other IO — also
+    * fails the trigger.
     */
-  private def isLmSwapWindow(e: Throwable): Boolean = {
+  private def isLmSwapWindow(e: Throwable, lmStoreDir: String): Boolean = {
+    val needle = lmStoreDir.replaceAll("/+$", "")
+    def mentionsStore(t: Throwable): Boolean =
+      Option(t.getMessage).exists(_.contains(needle))
     val chain = Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
       .take(16).toSeq
     chain.exists {
       case a: org.apache.spark.sql.AnalysisException =>
         Option(a.getCondition).exists(c =>
           c.startsWith("UNABLE_TO_INFER_SCHEMA") ||
-            c.startsWith("PATH_NOT_FOUND"))
-      case _: java.io.FileNotFoundException => true
+            c.startsWith("PATH_NOT_FOUND")) && mentionsStore(a)
+      case f: java.io.FileNotFoundException => mentionsStore(f)
       case _ => false
     }
   }
@@ -112,7 +122,7 @@ object MixGovernorPipeline {
                   .coalesce(1).write.mode("overwrite").parquet(partialsOut)
                 true
               } catch {
-                case e: Throwable if isLmSwapWindow(e) =>
+                case e: Throwable if isLmSwapWindow(e, lmStoreDir) =>
                   log.warn(s"mix governor batch $batchId: reference LM at " +
                     s"$lmStoreDir vanished mid-score (staged-swap rename " +
                     s"window) — scoring model-less this trigger", e)

@@ -29,12 +29,13 @@ class AdversarialFixtureSpec extends SparkSpec {
   private val failLoud: Map[String, String] = Map(
     // q97 packs (bucket, doc_id) into ONE long (bucket·2³¹ + doc_id) so a
     // single min-k sketch aggregate carries both; the pack is only
-    // injective for doc_id ∈ [0, 2³¹) — the operator's documented
-    // precondition (TextOps.groupSampleOn: "doc_id < 2^31"). An
-    // out-of-range id MUST fail loud (ANSI overflow) rather than sample
-    // from a silently-corrupted key space: a sampler that drops or
-    // misattributes rows biases the sample, which is worse than stopping.
-    "q97_group_sample" -> "ARITHMETIC_OVERFLOW")
+    // injective for doc_id ∈ [0, 2³¹). An out-of-range id MUST fail loud
+    // with the operator's own EXECUTABLE range guard (raise_error — ANSI
+    // overflow alone misses negative ids, which pack without overflowing
+    // into keys that unpack to WRONG doc_ids) rather than sample from a
+    // silently-corrupted key space: a sampler that drops or misattributes
+    // rows biases the sample, which is worse than stopping.
+    "q97_group_sample" -> "groupSampleOn: doc_id outside [0, 2^31)")
 
   /** The EMPTY-corpus arm's fail-loud contracts — "day zero of a crawl":
     * a query whose result is a TRAINED ARTIFACT has nothing to train on
