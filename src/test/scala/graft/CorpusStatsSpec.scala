@@ -68,25 +68,34 @@ class CorpusStatsSpec extends SparkSpec {
     assert(DedupOps.jaccardPairsOn(tiny).count() === 4950L)
   }
 
-  test("write/read round-trip and forDir memoization survive the backing " +
-      "directory disappearing") {
+  test("write/read round-trip; forDir memoizes per SNAPSHOT — an " +
+      "unchanged dir answers from cache, a rewritten dir re-probes, a " +
+      "deleted dir fails loud") {
     val st = CorpusStats(rows = 7, distinctTexts = 5, exactDupPairFloor = 2)
     val p = s"${tmpDir("stats")}/corpus_stats"
     CorpusStats.write(st, spark, p)
     assert(CorpusStats.read(spark, p) === Some(st))
     assert(CorpusStats.read(spark, p + "-missing") === None)
 
-    // memoization: first forDir computes; after the parquet is deleted a
-    // second call still answers from the cache (proof no job re-runs)
+    // snapshot-keyed memoization (the r10 Tables.pathSnapshotKey
+    // discipline): the SAME directory state answers from the cache; an
+    // IN-PLACE REWRITE changes the key and re-probes — the raw-dir-string
+    // memo this replaced would have served the pre-rewrite stats and
+    // steered every stats-dispatched operator onto the wrong arm; a
+    // DELETED dir is a state change too, so the next call fails loud
+    // instead of answering for a corpus that no longer exists
     val dir = tmpDir("stats-dir")
     corpus(Seq(0L -> "x", 1L -> "x", 2L -> "y"))
       .write.mode("overwrite").parquet(s"$dir/documents.parquet")
     val first = CorpusStats.forDir(spark, dir)
     assert(first === CorpusStats(3, 2, 1))
+    assert(CorpusStats.forDir(spark, dir) === first) // unchanged: cached
+    corpus(Seq(0L -> "x", 1L -> "x", 2L -> "x", 3L -> "x"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    assert(CorpusStats.forDir(spark, dir) === CorpusStats(4, 1, 6),
+      "a rewritten dir must re-probe, not serve the stale snapshot")
     import scala.reflect.io.Directory
     new Directory(new java.io.File(dir)).deleteRecursively()
-    assert(CorpusStats.forDir(spark, dir) === first)
-    CorpusStats.invalidate(dir)
     intercept[Exception] { CorpusStats.forDir(spark, dir) }
   }
 
