@@ -195,7 +195,11 @@ object AdversarialGen {
       Row(Long.MaxValue, ts("2024-01-02 21:00:00"), Long.MaxValue, "click", 18.0,
         """{"k": 12}"""),
       Row(Long.MinValue, ts("2024-01-02 22:00:00"), Long.MinValue, "view", 19.0,
-        """{"k": 13}""")))
+        """{"k": 13}"""),
+      // the enterprise sentinel date: a ~4-billion-minute span would
+      // explode any min/max-derived time spine (q74/q75 fail loud on it
+      // by contract — the named span guard, not an array-size error)
+      Row(46L, ts("9999-12-31 23:59:59"), 0L, "view", 20.0, """{"k": 14}""")))
 
   def documents(spark: SparkSession): DataFrame = mkDf(spark, StructType(Seq(
     StructField("doc_id", LongType), StructField("text", StringType),

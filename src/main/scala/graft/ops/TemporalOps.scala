@@ -213,6 +213,16 @@ object TemporalOps {
   def minutelyGapfillOn(events: DataFrame): DataFrame =
     gapfillUnordered(events).orderBy("minute")
 
+  /** The gap-fill spine refuses spans past this (20 years ≈ 10.5M
+    * minutes): a SENTINEL timestamp (9999-12-31 is endemic in enterprise
+    * feeds) or a corrupt epoch-scale value would otherwise explode a
+    * multi-billion-row sequence — an opaque array-size error (or an OOM)
+    * from deep inside codegen, at ANY corpus size. The guard makes it a
+    * named, actionable error instead; it rides the 1-row min/max
+    * aggregate the spine already pays for, so the data pass is untouched.
+    */
+  private[ops] val MaxGapfillMinutes: Long = 20L * 366 * 24 * 60
+
   /** The dense series without q74's presentation sort — q75 builds windows
     * on top (whose day-partition exchange would immediately destroy a
     * global order), so it must not inherit a useless mid-plan range-sort.
@@ -221,10 +231,24 @@ object TemporalOps {
     val perMin = events
       .groupBy(date_trunc("minute", col("ts")).as("minute"))
       .agg(count(lit(1)).as("n_events"))
+    // span guard (see MaxGapfillMinutes). The all-null-ts corpus keeps
+    // its zero-row spine: a NULL bound passes the guard arm and
+    // sequence(NULL, …) explodes to nothing, same as before.
+    val spanMinutes =
+      (unix_timestamp(col("t1")) - unix_timestamp(col("t0"))) / 60L
+    val guardedT0 =
+      when(col("t0").isNull || col("t1").isNull ||
+          spanMinutes <= MaxGapfillMinutes, col("t0"))
+        .otherwise(raise_error(concat(
+          lit("gapfill: minute span "), spanMinutes.cast("string"),
+          lit(s" exceeds the $MaxGapfillMinutes-minute guard "),
+          lit("(sentinel/corrupt timestamp? min="),
+          col("t0").cast("string"), lit(" max="),
+          col("t1").cast("string"), lit(")"))))
     val spine = events
       .agg(date_trunc("minute", min("ts")).as("t0"),
         date_trunc("minute", max("ts")).as("t1"))
-      .select(explode(sequence(col("t0"), col("t1"),
+      .select(explode(sequence(guardedT0, col("t1"),
         expr("interval 1 minute"))).as("minute"))
       .repartition(col("minute"))
     spine.join(perMin, Seq("minute"), "left")

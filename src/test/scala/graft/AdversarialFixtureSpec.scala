@@ -35,7 +35,14 @@ class AdversarialFixtureSpec extends SparkSpec {
     // into keys that unpack to WRONG doc_ids) rather than sample from a
     // silently-corrupted key space: a sampler that drops or misattributes
     // rows biases the sample, which is worse than stopping.
-    "q97_group_sample" -> "groupSampleOn: doc_id outside [0, 2^31)")
+    "q97_group_sample" -> "groupSampleOn: doc_id outside [0, 2^31)",
+    // the fixture's 9999-12-31 sentinel event makes the gap-fill span
+    // ~4.2 billion minutes — the dense-spine contract refuses it with
+    // the named span guard (the alternative is an opaque array-size
+    // error or an OOM from a multi-billion-row sequence explode); q75
+    // builds on the same spine
+    "q74_minutely_gapfill" -> "gapfill: minute span",
+    "q75_anomaly_zscore" -> "gapfill: minute span")
 
   /** The EMPTY-corpus arm's fail-loud contracts — "day zero of a crawl":
     * a query whose result is a TRAINED ARTIFACT has nothing to train on
