@@ -84,30 +84,84 @@ object Tables {
     (pmod(id, lit(m)) * mult + add) % m
 
   /** Snapshot key of an on-disk path (a parquet table directory or a
-    * single file): canonical path + part-file count + an MD5 fold of every
-    * file's (name, length, mtime). The ONE key definition for every
-    * per-directory memo in the engine (dupMultForDir, CorpusStats.forDir):
-    * a directory regenerated within one JVM — a ScaleUp rerun, a Scratch
-    * corpus rewrite — or reached via an aliasing relative path changes the
-    * key, so the memo re-probes without anyone calling an invalidation
-    * hook. MD5 of the full fold, not String.hashCode: a 32-bit hash can
-    * collide between two same-file-count snapshots, silently serving the
-    * stale entry the key exists to retire. A missing path keys on the
-    * canonical path alone — the subsequent read fails loud.
+    * single file): canonical path + file count + an MD5 fold of every
+    * file's (relative path, length, mtime), walked RECURSIVELY — a
+    * partitioned/nested layout (`label=0/part-*.parquet`) contributes its
+    * leaf files, not an empty signature an in-place rewrite would never
+    * change. The ONE key definition for every per-directory memo in the
+    * engine (dupMultForDir, CorpusStats.forDir): a directory regenerated
+    * within one JVM — a ScaleUp rerun, a Scratch corpus rewrite — or
+    * reached via an aliasing relative path changes the key, so the memo
+    * re-probes without anyone calling an invalidation hook. MD5 of the
+    * full fold, not String.hashCode: a 32-bit hash can collide between
+    * two same-file-count snapshots, silently serving the stale entry the
+    * key exists to retire. A missing path keys on the canonical path
+    * alone — the subsequent read fails loud.
     */
   def pathSnapshotKey(path: String): String = {
     val root = new java.io.File(path).getCanonicalFile
-    val files =
-      if (root.isDirectory)
-        Option(root.listFiles()).map(_.toSeq.filter(_.isFile)).getOrElse(Nil)
-      else if (root.isFile) Seq(root)
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory)
+        Option(f.listFiles()).map(_.toSeq.sortBy(_.getName).flatMap(walk))
+          .getOrElse(Nil)
+      else if (f.isFile) Seq(f)
       else Nil
-    val sig = files.map(f => (f.getName, f.length, f.lastModified))
+    val files = walk(root)
+    val rootPrefix = root.getPath + java.io.File.separator
+    val sig = files
+      .map(f => (f.getPath.stripPrefix(rootPrefix), f.length, f.lastModified))
       .sortBy(_._1).mkString(";")
     val md5 = java.security.MessageDigest.getInstance("MD5")
       .digest(sig.getBytes(java.nio.charset.StandardCharsets.UTF_8))
       .map("%02x".format(_)).mkString
     s"${root.getPath}#${files.size}#$md5"
+  }
+
+  private val MemoSep = "\u0000" // NUL never appears in a canonical path
+
+
+  /** Seed `group`'s entry under `key`, retiring the group's prior entries
+    * (the ANALYZE post-write seed path).
+    */
+  def snapshotMemoPut[V](
+      cache: scala.collection.concurrent.TrieMap[String, V],
+      group: String, key: String, value: V): Unit = {
+    snapshotMemoEvict(cache, group)
+    cache.put(group + MemoSep + key, value)
+    ()
+  }
+
+  /** Drop every memo entry of `group` (explicit-invalidation twin of the
+    * eviction [[snapshotMemo]] performs on a fresh-snapshot miss).
+    */
+  def snapshotMemoEvict[V](
+      cache: scala.collection.concurrent.TrieMap[String, V],
+      group: String): Unit =
+    cache.keysIterator.filter(_.startsWith(group + MemoSep))
+      .foreach(cache.remove)
+
+  /** `getOrElseUpdate` for snapshot-keyed memos with group-scoped
+    * eviction: inserting a fresh snapshot's entry first RETIRES the
+    * group's prior entries (stale snapshots of the same canonical
+    * directory) instead of stranding them — a long-lived JVM that
+    * regenerates a dir in a loop (ScaleUp reruns, a Scratch sweep
+    * rewriting its corpus per arm) would otherwise grow the memo without
+    * bound. The group is the canonical dir; the key is the snapshot key.
+    * TrieMap iteration is snapshot-consistent, so evicting while another
+    * thread inserts is safe — worst case a racing insert of the SAME
+    * fresh snapshot survives, which is the entry we want anyway.
+    */
+  def snapshotMemo[V](cache: scala.collection.concurrent.TrieMap[String, V],
+      group: String, key: String)(compute: => V): V = {
+    val full = group + MemoSep + key
+    cache.get(full) match {
+      case Some(v) => v
+      case None =>
+        cache.keysIterator
+          .filter(k => k.startsWith(group + MemoSep) && k != full)
+          .foreach(cache.remove)
+        cache.getOrElseUpdate(full, compute)
+    }
   }
 
   /** [[pathSnapshotKey]] of one testdata table under `dir`. */

@@ -66,16 +66,16 @@ object CorpusStats {
     * left one — so a FRESH JVM over an analyzed corpus never pays the
     * probe aggregation — falling back to [[compute]] otherwise.
     */
+  private def dirGroup(dir: String): String =
+    new java.io.File(dir).getCanonicalPath
+
   def forDir(s: SparkSession, dir: String): CorpusStats =
-    dirCache.getOrElseUpdate(snapshotKey(dir),
+    graft.Tables.snapshotMemo(dirCache, dirGroup(dir), snapshotKey(dir))(
       read(s, s"$dir/corpus_stats")
         .getOrElse(compute(graft.Tables.t(s, dir, "documents"))))
 
-  def invalidate(dir: String): Unit = {
-    dirCache.remove(dir) // legacy raw-string entries
-    dirCache.remove(snapshotKey(dir))
-    ()
-  }
+  def invalidate(dir: String): Unit =
+    graft.Tables.snapshotMemoEvict(dirCache, dirGroup(dir))
 
   private[graft] def clearCache(): Unit = dirCache.clear()
 
@@ -114,8 +114,11 @@ object CorpusStats {
     // the corpus_stats listing this write just changed), saving the next
     // forDir the re-read; a later in-place corpus rewrite changes the key
     // again and re-probes regardless
-    if (path.endsWith(suffix))
-      dirCache.put(snapshotKey(path.dropRight(suffix.length)), st)
+    if (path.endsWith(suffix)) {
+      val dir = path.dropRight(suffix.length)
+      graft.Tables.snapshotMemoPut(dirCache, dirGroup(dir),
+        snapshotKey(dir), st)
+    }
     st
   }
 }

@@ -371,8 +371,9 @@ object SimilarityOps {
     * multiplicity, and in the gated regime the two dispatch arms are not
     * output-equal (r09 ADVICE item, the lmSeen hazard class). A rewrite
     * changes the signature, so the memo misses without anyone having to
-    * remember to call [[invalidateDupMult]]; stale entries for replaced
-    * snapshots are bounded by the handful of tooling dirs a JVM touches.
+    * remember to call [[invalidateDupMult]]; a fresh snapshot retires the
+    * directory's prior entries ([[Tables.snapshotMemo]]), so a JVM that
+    * rewrites a dir in a loop never grows the memo.
     */
   private val dupMultCache =
     scala.collection.concurrent.TrieMap.empty[String, Long]
@@ -384,13 +385,15 @@ object SimilarityOps {
   private def embSnapshotKey(dir: String): String =
     Tables.tableSnapshotKey(dir, "embeddings")
 
-  private[graft] def dupMultForDir(s: SparkSession, dir: String): Long =
-    dupMultCache.getOrElseUpdate(embSnapshotKey(dir), estMaxDupMult(emb(s, dir)))
+  private def dirGroup(dir: String): String =
+    new java.io.File(dir).getCanonicalPath
 
-  private[graft] def invalidateDupMult(dir: String): Unit = {
-    dupMultCache.remove(dir) // legacy raw-string entries
-    dupMultCache.remove(embSnapshotKey(dir))
-  }
+  private[graft] def dupMultForDir(s: SparkSession, dir: String): Long =
+    Tables.snapshotMemo(dupMultCache, dirGroup(dir), embSnapshotKey(dir))(
+      estMaxDupMult(emb(s, dir)))
+
+  private[graft] def invalidateDupMult(dir: String): Unit =
+    Tables.snapshotMemoEvict(dupMultCache, dirGroup(dir))
 
   /** Duplicate-vector multiplicity above this dispatches [[nnDedupOn]] to
     * the contracted arm: the block scan (even LSH-subdivided — identical
@@ -1299,6 +1302,16 @@ object SimilarityOps {
 
   /** Trained-codebook form (the per-crawl monitor never re-derives the
     * codebook it is auditing).
+    *
+    * `graft_pq_error` reads an unencodable vector (ragged / null-element /
+    * codebook-width mismatch) as NULL, so the average divides by
+    * `count(err)` — encodable vectors only — and the NULL rows surface as
+    * an explicit `n_unencodable` count instead of silently diluting the
+    * distortion the retraining monitor watches (a corrupt crawl would
+    * otherwise UNDER-report distortion, the exact silent-bias class the
+    * kernel's NULL discipline exists to avoid). `try_divide`: a label
+    * whose vectors are ALL unencodable reports NULL distortion, not an
+    * ANSI divide-by-zero scan kill.
     */
   def pqDistortionWith(embDf: DataFrame,
       codebook: Array[Array[Double]]): DataFrame = {
@@ -1308,9 +1321,10 @@ object SimilarityOps {
         call_function("graft_pq_error", col("embedding"),
           typedLit(codebook.map(_.toSeq).toSeq), lit(PqSubDim)).as("err"))
       .groupBy("label")
-      .agg(count(lit(1)).as("n"),
-        round(sum(col("err").cast(Dec)).cast("double") / count(lit(1)), 6)
-          .as("avg_sqerr"),
+      .agg(count(col("err")).as("n"),
+        (count(lit(1)) - count(col("err"))).as("n_unencodable"),
+        round(try_divide(sum(col("err").cast(Dec)).cast("double"),
+          count(col("err"))), 6).as("avg_sqerr"),
         max("err").as("max_sqerr"))
       .orderBy("label")
   }
@@ -1513,9 +1527,10 @@ object SimilarityOps {
          |      list(round(greatest(dist, 0), 6) ORDER BY m)),
          |      (a, b) -> a + b) AS err
          |  FROM pick WHERE rn = 1 GROUP BY vec_id)
-         |SELECT label, count(*) AS n,
+         |SELECT label, count(err) AS n,
+         |  count(*) - count(err) AS n_unencodable,
          |  round(CAST(sum(CAST(err AS DECIMAL(38,10))) AS DOUBLE)
-         |    / count(*), 6) AS avg_sqerr,
+         |    / nullif(count(err), 0), 6) AS avg_sqerr,
          |  max(err) AS max_sqerr
          |FROM e GROUP BY label ORDER BY label""".stripMargin,
     // Replays triplet mining: the q44 all-NN table (positives) + the

@@ -54,9 +54,17 @@ object MixGovernorPipeline {
     * fails the trigger.
     */
   private def isLmSwapWindow(e: Throwable, lmStoreDir: String): Boolean = {
-    val needle = lmStoreDir.replaceAll("/+$", "")
+    // match BOTH the caller's spelling and the canonical absolute path:
+    // exception messages often carry a normalized form (a file: URI, a
+    // canonicalized path) while the caller passed a relative or
+    // differently-spelled one — a raw-string-only match would misclassify
+    // a genuine swap window and fail the trigger (fail-safe, but it
+    // defeats the model-less fallback this catch exists for)
+    val raw = lmStoreDir.replaceAll("/+$", "")
+    val needles = (raw +: (try Seq(new java.io.File(raw).getCanonicalPath)
+      catch { case _: java.io.IOException => Nil })).distinct
     def mentionsStore(t: Throwable): Boolean =
-      Option(t.getMessage).exists(_.contains(needle))
+      Option(t.getMessage).exists(m => needles.exists(m.contains))
     val chain = Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
       .take(16).toSeq
     chain.exists {

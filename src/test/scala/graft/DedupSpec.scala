@@ -343,9 +343,12 @@ class DedupSpec extends SparkSpec {
         (i, Array.fill(dim)(rnd.nextGaussian().toFloat), 1))
     val embDf = rows.toDF("vec_id", "embedding", "label")
     val out = SimilarityOps.pqDistortionOn(embDf).collect()
-      .map(r => r.getInt(0) -> (r.getLong(1), r.getDouble(2),
-        r.getDouble(3))).toMap
+      .map(r => r.getInt(0) -> (r.getAs[Long]("n"),
+        r.getAs[Double]("avg_sqerr"), r.getAs[Double]("max_sqerr"),
+        r.getAs[Long]("n_unencodable"))).toMap
     assert(out(0)._1 === 10L && out(1)._1 === 30L)
+    assert(out(0)._4 === 0L && out(1)._4 === 0L,
+      s"clean corpus must report zero unencodable vectors: $out")
     assert(out(0)._2 === 0.0 && out(0)._3 === 0.0,
       s"identical vectors must quantize losslessly: ${out(0)}")
     assert(out(1)._2 > 0.0 && out(1)._3 >= out(1)._2,
@@ -355,9 +358,30 @@ class DedupSpec extends SparkSpec {
     val shifted = SimilarityOps.kmeansCentroids(embDf, k = 2, iters = 1)
       .map(_.map(_ + 5.0))
     val drifted = SimilarityOps.pqDistortionWith(embDf, shifted).collect()
-      .map(r => r.getInt(0) -> r.getDouble(2)).toMap
+      .map(r => r.getInt(0) -> r.getAs[Double]("avg_sqerr")).toMap
     assert(drifted(0) > out(0)._2 && drifted(1) > out(1)._2,
       s"a mismatched codebook must inflate distortion: $drifted vs $out")
+    // corrupt-input discipline: an unencodable (ragged) vector surfaces
+    // in n_unencodable and must NOT dilute the encodable average — and a
+    // label that is ALL unencodable reads NULL distortion, not a
+    // divide-by-zero scan kill
+    val trained = SimilarityOps.kmeansCentroids(embDf, k = 2, iters = 1)
+    val corrupt = embDf.unionByName(Seq(
+        (100L, Array.fill(3)(1.0f), 0),
+        (101L, Array.fill(3)(2.0f), 9)).toDF("vec_id", "embedding", "label"))
+    val audited = SimilarityOps.pqDistortionWith(corrupt, trained).collect()
+      .map(r => r.getInt(0) -> r).toMap
+    assert(audited(0).getAs[Long]("n") === 10L &&
+      audited(0).getAs[Long]("n_unencodable") === 1L,
+      s"ragged vector must count as unencodable, not dilute: ${audited(0)}")
+    assert(audited(0).getAs[Double]("avg_sqerr") ===
+      SimilarityOps.pqDistortionWith(embDf, trained).collect()
+        .find(_.getInt(0) == 0).get.getAs[Double]("avg_sqerr"),
+      "encodable average must be unchanged by corrupt rows")
+    assert(audited(9).getAs[Long]("n") === 0L &&
+      audited(9).getAs[Long]("n_unencodable") === 1L &&
+      audited(9).isNullAt(audited(9).fieldIndex("avg_sqerr")),
+      s"all-unencodable label must read NULL, not crash: ${audited(9)}")
   }
 
   test("PQ ANN: a trained k-means codebook drops in and still retrieves " +

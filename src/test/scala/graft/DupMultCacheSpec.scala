@@ -40,4 +40,37 @@ class DupMultCacheSpec extends SparkSpec {
     val aliased = dir + "/./"
     assert(ops.SimilarityOps.dupMultForDir(spark, aliased) === 300L)
   }
+
+  test("snapshot keys see NESTED layouts: a rewrite under a partition " +
+      "subdirectory changes the key (r10 ADVICE: top-level-only listing " +
+      "read a partitioned table as an empty signature)") {
+    val dir = tmpDir("graft-snapkey")
+    val leaf = new java.io.File(s"$dir/label=0")
+    leaf.mkdirs()
+    java.nio.file.Files.write(leaf.toPath.resolve("part-0.parquet"),
+      "v1".getBytes)
+    val k1 = Tables.pathSnapshotKey(dir)
+    java.nio.file.Files.write(leaf.toPath.resolve("part-0.parquet"),
+      "v2-longer".getBytes)
+    val k2 = Tables.pathSnapshotKey(dir)
+    assert(k1 !== k2,
+      s"nested rewrite must change the snapshot key: $k1 vs $k2")
+  }
+
+  test("snapshotMemo retires a group's prior snapshot entries instead of " +
+      "stranding them (bounded memo in a regenerate-in-a-loop JVM)") {
+    val cache = scala.collection.concurrent.TrieMap.empty[String, Long]
+    var probes = 0
+    def probe(v: Long): Long = { probes += 1; v }
+    assert(Tables.snapshotMemo(cache, "/g", "snap1")(probe(1L)) === 1L)
+    assert(Tables.snapshotMemo(cache, "/g", "snap1")(probe(99L)) === 1L)
+    assert(probes === 1, "second identical-snapshot call must hit the memo")
+    assert(Tables.snapshotMemo(cache, "/other", "snapX")(probe(7L)) === 7L)
+    // a FRESH snapshot of /g evicts its stale entry but not /other's
+    assert(Tables.snapshotMemo(cache, "/g", "snap2")(probe(2L)) === 2L)
+    assert(cache.size === 2,
+      s"stale /g#snap1 must be retired, /other kept: ${cache.keySet}")
+    assert(Tables.snapshotMemo(cache, "/other", "snapX")(probe(99L)) === 7L,
+      "other group's entry must survive the eviction")
+  }
 }
