@@ -505,6 +505,75 @@ object Scratch {
       spark.stop()
       return
     }
+    if (name == "q127stage") {
+      // per-stage timing of q127 contrastive triplets (r10 bench watch
+      // item: best-of-18 floor rose 19% vs r8 quiet while its dominant
+      // q44 component got FASTER). Times each stage the bench's way
+      // (count(), best-of-N) so a floor rise localizes to (a) the q44
+      // all-NN pass, (b) the global rank ladder, or (c) the rotation
+      // join in isolation (checkpointed inputs), instead of reading as
+      // "q127 got slower".
+      import org.apache.spark.sql.functions._
+      graft.functions.GraftFunctions.ensureRegistered(spark)
+      val reps = args.lift(1).map(_.toInt).getOrElse(5)
+      val e = Tables.t(spark, dir, "embeddings")
+      println(s"vectors = ${e.count()}  reps = $reps")
+      // jobs-per-execution is the load-sensitivity number: each Spark job
+      // is a scheduler barrier, so a query's floor inflates by (per-job
+      // overhead × #jobs) on a busy box — q127 pays the most jobs of the
+      // watched set (eager rank checkpoint + broadcasts)
+      val jobs = new java.util.concurrent.atomic.AtomicInteger
+      spark.sparkContext.addSparkListener(
+        new org.apache.spark.scheduler.SparkListener {
+          override def onJobStart(
+              j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+            jobs.incrementAndGet(); ()
+          }
+        })
+      def best(tag: String)(f: => Long): Unit = {
+        val runs = (1 to reps).map { _ =>
+          spark.sharedState.cacheManager.clearCache()
+          val j0 = jobs.get()
+          val t0 = System.nanoTime()
+          val n = f
+          ((System.nanoTime() - t0) / 1e9, n, jobs.get() - j0)
+        }
+        println(f"$tag rows=${runs.head._2} jobs=${runs.head._3} " +
+          f"best=${runs.map(_._1).min}%.3f" +
+          s" all=[${runs.map(r => f"${r._1}%.2f").mkString(",")}]")
+      }
+      def ladder = ops.ScaleOps.withGlobalRowNumber(
+        e.select(col("vec_id")), Seq(col("vec_id")), "rk",
+        totalOut = Some("n"))
+      best("stage_a_nn_pass_q44")(ops.SimilarityOps.nnDedupOn(e).count())
+      best("stage_b_rank_ladder")(ladder.count())
+      // rotation pairing alone: both inputs pre-materialized so only the
+      // explode-pair aggregation + the NN join + filter are on the clock
+      val pos = ops.SimilarityOps.nnDedupOn(e).localCheckpoint(true)
+      val ranked = ladder.localCheckpoint(true)
+      best("stage_c_rotation_pair") {
+        val d = when(lit(48271L) % col("n") === 0, 48270L).otherwise(48271L)
+        val pairs = ranked
+          .select(explode(array(
+            struct(col("rk").as("k"), col("vec_id").as("aid"),
+              lit(null).cast("long").as("neg_id")),
+            struct((pmod(col("rk") - 1L - d, col("n")) + 1L).as("k"),
+              lit(null).cast("long").as("aid"),
+              col("vec_id").as("neg_id")))).as("r"))
+          .select(col("r.*"))
+          .groupBy("k")
+          .agg(max("aid").as("aid"), max("neg_id").as("neg_id"))
+        pos.join(pairs, col("vec_id") === col("aid"))
+          .filter(col("neg_id") =!= col("vec_id") &&
+            col("neg_id") =!= col("nn_id"))
+          .count()
+      }
+      best("full_q127")(
+        ops.SimilarityOps.contrastiveTriplets(spark, dir).count())
+      best("control_q44")(ops.SimilarityOps.nnDedup(spark, dir).count())
+      spark.stop()
+      return
+    }
     if (name == "q41lsh") {
       // the q41 kernel blocked by LSH bucket instead of label — the
       // documented handoff once label blocks outgrow memory

@@ -1236,9 +1236,19 @@ object SimilarityOps {
     *
     * Scale: the NN table is the gated q44 scan (multiplicity-dispatched);
     * ranks come from [[ScaleOps.withGlobalRowNumber]] over an id-only
-    * projection (range shuffle, no single-task sort); the negative
-    * attaches with one narrow rank-keyed join. Nothing here touches
-    * embedding payloads except the NN scan itself. Dup-dense caveat,
+    * projection (range shuffle, no single-task sort). The rank frame is
+    * consumed ONCE: each ranked row explodes into its two roles — the
+    * anchor at its own rank, and the negative for the anchor `d`
+    * positions behind it — and one rank-keyed aggregation zips the roles
+    * into (anchor, negative) pairs, so the whole rotation costs one
+    * narrow shuffle + one N-row join with the NN table. (Joining the
+    * rank frame twice — once for the anchor's rank, once to resolve the
+    * rotated rank back to an id — would replay the post-checkpoint
+    * branch of the ladder and pay a SECOND N-row join; at 2000 vectors
+    * that was ~15% of the query's floor in scheduler barriers alone,
+    * and at 10⁹ vectors it is an entire extra sort-merge join.)
+    * Nothing here touches embedding payloads except the NN scan itself.
+    * Dup-dense caveat,
     * inherited from q44's arm equivalence: past the multiplicity gate
     * the contracted arm may report a DIFFERENT (equally maximal) pos_id
     * under exact cosine ties, which can flip the rare neg=positive drop —
@@ -1259,12 +1269,26 @@ object SimilarityOps {
       totalOut = Some("n"))
     // rotation offset: 48271 unless n divides it exactly (identity
     // rotation — n = 48271 itself), where the coprime neighbor steps in
-    pos.join(ranked, "vec_id")
-      .withColumn("d",
-        when(lit(48271L) % col("n") === 0, 48270L).otherwise(48271L))
-      .withColumn("negrk", (col("rk") - 1L + col("d")) % col("n") + 1L)
-      .join(ranked.select(col("vec_id").as("neg_id"),
-        col("rk").as("negrk")), Seq("negrk"))
+    val d = when(lit(48271L) % col("n") === 0, 48270L).otherwise(48271L)
+    // each ranked row in both roles: anchor at rank rk, and negative for
+    // the anchor at rank (rk − 1 − d) mod n + 1 — the anchor whose
+    // rotation (a − 1 + d) mod n + 1 lands on rk. Exactly one row of
+    // each role per rank (the rotation is a bijection), so max() zips
+    // the pair; a null vec_id contributes null roles, which the inner
+    // join / null-guard filter below drop exactly as the join-twice
+    // shape did.
+    val idType = embDf.schema("vec_id").dataType
+    val pairs = ranked
+      .select(explode(array(
+        struct(col("rk").as("k"), col("vec_id").as("aid"),
+          lit(null).cast(idType).as("neg_id")),
+        struct((pmod(col("rk") - 1L - d, col("n")) + 1L).as("k"),
+          lit(null).cast(idType).as("aid"),
+          col("vec_id").as("neg_id")))).as("r"))
+      .select(col("r.*"))
+      .groupBy("k")
+      .agg(max("aid").as("aid"), max("neg_id").as("neg_id"))
+    pos.join(pairs, col("vec_id") === col("aid"))
       .filter(col("neg_id") =!= col("vec_id") &&
         col("neg_id") =!= col("nn_id"))
       .select(col("vec_id").as("anchor_id"), col("nn_id").as("pos_id"),
