@@ -571,6 +571,15 @@ object Scratch {
       best("full_q127")(
         ops.SimilarityOps.contrastiveTriplets(spark, dir).count())
       best("control_q44")(ops.SimilarityOps.nnDedup(spark, dir).count())
+      // per-job scheduler overhead: 18 trivial jobs back-to-back — q127's
+      // floor ≈ stage compute + (this / 18) × its job count, which is why
+      // the MOST-jobs query of the watched set is also the most
+      // load-sensitive one
+      best("overhead_18_empty_jobs") {
+        var i = 0
+        while (i < 18) { spark.range(1).count(); i += 1 }
+        18L
+      }
       spark.stop()
       return
     }

@@ -1256,11 +1256,19 @@ object SimilarityOps {
     * the oracle twin replays the exact arm only.
     */
   def contrastiveTriplets(s: SparkSession, dir: String): DataFrame =
-    contrastiveTripletsOn(emb(s, dir))
+    contrastiveTripletsOn(emb(s, dir), stats = Some(dupMultForDir(s, dir)))
 
-  /** `embDf` needs (vec_id, label, embedding). */
-  def contrastiveTripletsOn(embDf: DataFrame): DataFrame = {
-    val pos = nnDedupOn(embDf)
+  /** `embDf` needs (vec_id, label, embedding). `stats` is the ANALYZE
+    * convention (see [[nnDedupOn]]): the dir face passes the memoized
+    * multiplicity so the NN pass skips its per-call probe — q127 paid a
+    * full hash-agg job over the corpus on EVERY execution from r8 (when
+    * the dispatch probe landed) until r11 caught it via the per-stage
+    * floor decomposition; that one job was the entire "q127 floor rose
+    * while q44 got faster" bench watch item.
+    */
+  def contrastiveTripletsOn(embDf: DataFrame,
+      stats: Option[Long] = None): DataFrame = {
+    val pos = nnDedupOn(embDf, stats = stats)
     // n rides the ranking kernel's offset ladder (totalOut) — the
     // previous separate count job re-scanned the corpus for a value the
     // ladder already sums
