@@ -583,6 +583,44 @@ object Scratch {
       spark.stop()
       return
     }
+    if (name == "jobcensus") {
+      // jobs-per-query census over the whole catalog: each Spark job is a
+      // scheduler barrier (~tens of ms on this box, a cluster-wide sync
+      // point on a real fleet), so an outsized count marks a query that
+      // is (a) the most box-noise-sensitive in the bench and (b) worth a
+      // structural look for double-computed subtrees — the pattern the
+      // q127 decomposition caught (a rank frame joined twice replayed its
+      // whole post-checkpoint branch). Runs each query twice and reports
+      // the SECOND run's count (first pays memo-warming probes).
+      val jobs = new java.util.concurrent.atomic.AtomicInteger
+      spark.sparkContext.addSparkListener(
+        new org.apache.spark.scheduler.SparkListener {
+          override def onJobStart(
+              j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+            jobs.incrementAndGet(); ()
+          }
+        })
+      val counts = SparkEntry.queries.toSeq.sortBy(_._1).map {
+        case (qn, fn) =>
+          def once(): (Int, Double) = {
+            spark.sharedState.cacheManager.clearCache()
+            val j0 = jobs.get(); val t0 = System.nanoTime()
+            fn(spark, dir).count()
+            (jobs.get() - j0, (System.nanoTime() - t0) / 1e9)
+          }
+          once()
+          val (j, sec) = once()
+          (qn, j, sec)
+      }
+      counts.sortBy(-_._2).foreach { case (qn, j, sec) =>
+        println(f"$qn%-28s jobs=$j%3d warm=$sec%6.2f s")
+      }
+      val total = counts.map(_._2).sum
+      println(f"TOTAL jobs=$total over ${counts.size} queries " +
+        f"(mean ${total.toDouble / counts.size}%.1f)")
+      spark.stop()
+      return
+    }
     if (name == "q41lsh") {
       // the q41 kernel blocked by LSH bucket instead of label — the
       // documented handoff once label blocks outgrow memory
