@@ -145,7 +145,8 @@ object Bench {
     }.mkString(" "))
     // Self-describing noise context (r10 judge item): probe = CPU-spin
     // ratio vs the calibrated quiet floor at start/end of the run,
-    // spread = median per-query max/min over the 3 iterations, runs = the
+    // spread = median over queries of second-best/best across the 3
+    // iterations (JIT-robust — see its definition above), runs = the
     // iteration count behind each per-query min.
     System.err.println(
       f"[bench] cpu probe raw sec: start=$probeStart%.3f end=$probeEnd%.3f" +

@@ -538,8 +538,10 @@ object Scratch {
           val n = f
           ((System.nanoTime() - t0) / 1e9, n, jobs.get() - j0)
         }
-        println(f"$tag rows=${runs.head._2} jobs=${runs.head._3} " +
-          f"best=${runs.map(_._1).min}%.3f" +
+        // jobs: first rep (includes one-time memo-warming probes) AND
+        // the steady state the floor model should use
+        println(f"$tag rows=${runs.head._2} jobs=${runs.head._3}" +
+          f"/steady=${runs.last._3} best=${runs.map(_._1).min}%.3f" +
           s" all=[${runs.map(r => f"${r._1}%.2f").mkString(",")}]")
       }
       def ladder = ops.ScaleOps.withGlobalRowNumber(

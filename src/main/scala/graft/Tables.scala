@@ -100,13 +100,19 @@ object Tables {
     */
   def pathSnapshotKey(path: String): String = {
     val root = new java.io.File(path).getCanonicalFile
-    def walk(f: java.io.File): Seq[java.io.File] =
-      if (f.isDirectory)
-        Option(f.listFiles()).map(_.toSeq.sortBy(_.getName).flatMap(walk))
+    // symlinks are skipped and depth is bounded: a link cycle inside a
+    // scratch/testdata tree must not turn the memo key into an infinite
+    // recursion (or fold an unrelated linked tree into every probe), and
+    // no graft table layout nests past a few partition levels anyway
+    def walk(f: java.io.File, depth: Int): Seq[java.io.File] =
+      if (depth > 16 || java.nio.file.Files.isSymbolicLink(f.toPath)) Nil
+      else if (f.isDirectory)
+        Option(f.listFiles())
+          .map(_.toSeq.sortBy(_.getName).flatMap(walk(_, depth + 1)))
           .getOrElse(Nil)
       else if (f.isFile) Seq(f)
       else Nil
-    val files = walk(root)
+    val files = walk(root, 0)
     val rootPrefix = root.getPath + java.io.File.separator
     val sig = files
       .map(f => (f.getPath.stripPrefix(rootPrefix), f.length, f.lastModified))
@@ -119,6 +125,15 @@ object Tables {
 
   private val MemoSep = "\u0000" // NUL never appears in a canonical path
 
+
+  /** THE group key for snapshot-keyed per-directory memos — one
+    * definition beside the memo machinery it feeds, so the
+    * eviction/grouping semantics cannot drift between call sites
+    * (the pathSnapshotKey "ONE key definition" rule, applied to the
+    * group axis).
+    */
+  def memoGroup(dir: String): String =
+    new java.io.File(dir).getCanonicalPath
 
   /** Seed `group`'s entry under `key`, retiring the group's prior entries
     * (the ANALYZE post-write seed path).
@@ -147,9 +162,15 @@ object Tables {
     * regenerates a dir in a loop (ScaleUp reruns, a Scratch sweep
     * rewriting its corpus per arm) would otherwise grow the memo without
     * bound. The group is the canonical dir; the key is the snapshot key.
-    * TrieMap iteration is snapshot-consistent, so evicting while another
-    * thread inserts is safe — worst case a racing insert of the SAME
-    * fresh snapshot survives, which is the entry we want anyway.
+    * TrieMap iteration is snapshot-consistent, so concurrent
+    * evict/insert never corrupts the map. Worst concurrent-rewrite case:
+    * a thread that read the directory BEFORE a rewrite can miss on its
+    * stale key after a fresh-key entry landed, evict that fresh entry,
+    * and insert its stale-keyed value — the next fresh-key caller then
+    * re-pays one probe (self-healing: the stale entry is unreachable
+    * once every caller sees the new listing, and the group holds one
+    * entry either way). Correctness is never at stake — a stale KEY is
+    * only ever paired with its own snapshot's VALUE.
     */
   def snapshotMemo[V](cache: scala.collection.concurrent.TrieMap[String, V],
       group: String, key: String)(compute: => V): V = {

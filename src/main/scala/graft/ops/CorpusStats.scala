@@ -66,16 +66,14 @@ object CorpusStats {
     * left one — so a FRESH JVM over an analyzed corpus never pays the
     * probe aggregation — falling back to [[compute]] otherwise.
     */
-  private def dirGroup(dir: String): String =
-    new java.io.File(dir).getCanonicalPath
-
   def forDir(s: SparkSession, dir: String): CorpusStats =
-    graft.Tables.snapshotMemo(dirCache, dirGroup(dir), snapshotKey(dir))(
+    graft.Tables.snapshotMemo(dirCache, graft.Tables.memoGroup(dir),
+      snapshotKey(dir))(
       read(s, s"$dir/corpus_stats")
         .getOrElse(compute(graft.Tables.t(s, dir, "documents"))))
 
   def invalidate(dir: String): Unit =
-    graft.Tables.snapshotMemoEvict(dirCache, dirGroup(dir))
+    graft.Tables.snapshotMemoEvict(dirCache, graft.Tables.memoGroup(dir))
 
   private[graft] def clearCache(): Unit = dirCache.clear()
 
@@ -116,7 +114,7 @@ object CorpusStats {
     // again and re-probes regardless
     if (path.endsWith(suffix)) {
       val dir = path.dropRight(suffix.length)
-      graft.Tables.snapshotMemoPut(dirCache, dirGroup(dir),
+      graft.Tables.snapshotMemoPut(dirCache, graft.Tables.memoGroup(dir),
         snapshotKey(dir), st)
     }
     st

@@ -385,15 +385,12 @@ object SimilarityOps {
   private def embSnapshotKey(dir: String): String =
     Tables.tableSnapshotKey(dir, "embeddings")
 
-  private def dirGroup(dir: String): String =
-    new java.io.File(dir).getCanonicalPath
-
   private[graft] def dupMultForDir(s: SparkSession, dir: String): Long =
-    Tables.snapshotMemo(dupMultCache, dirGroup(dir), embSnapshotKey(dir))(
-      estMaxDupMult(emb(s, dir)))
+    Tables.snapshotMemo(dupMultCache, Tables.memoGroup(dir),
+      embSnapshotKey(dir))(estMaxDupMult(emb(s, dir)))
 
   private[graft] def invalidateDupMult(dir: String): Unit =
-    Tables.snapshotMemoEvict(dupMultCache, dirGroup(dir))
+    Tables.snapshotMemoEvict(dupMultCache, Tables.memoGroup(dir))
 
   /** Duplicate-vector multiplicity above this dispatches [[nnDedupOn]] to
     * the contracted arm: the block scan (even LSH-subdivided — identical

@@ -63,8 +63,24 @@ object MixGovernorPipeline {
     val raw = lmStoreDir.replaceAll("/+$", "")
     val needles = (raw +: (try Seq(new java.io.File(raw).getCanonicalPath)
       catch { case _: java.io.IOException => Nil })).distinct
+    // PATH-BOUNDARY match, not bare substring: /data/lm must not claim a
+    // failure on the sibling /data/lm2 (or /data/lm-inputs) — the needle
+    // occurrence must end the message or be followed by a non-path-word
+    // character (separator, quote, space), i.e. the store dir itself or a
+    // path under it
+    def boundedHit(m: String, needle: String): Boolean = {
+      var from = m.indexOf(needle)
+      while (from >= 0) {
+        val end = from + needle.length
+        if (end >= m.length || !Character.isLetterOrDigit(m.charAt(end)) &&
+            m.charAt(end) != '_' && m.charAt(end) != '-')
+          return true
+        from = m.indexOf(needle, from + 1)
+      }
+      false
+    }
     def mentionsStore(t: Throwable): Boolean =
-      Option(t.getMessage).exists(m => needles.exists(m.contains))
+      Option(t.getMessage).exists(m => needles.exists(boundedHit(m, _)))
     val chain = Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
       .take(16).toSeq
     chain.exists {

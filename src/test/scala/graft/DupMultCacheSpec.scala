@@ -57,6 +57,19 @@ class DupMultCacheSpec extends SparkSpec {
       s"nested rewrite must change the snapshot key: $k1 vs $k2")
   }
 
+  test("pathSnapshotKey terminates on a symlink cycle and keys on the " +
+      "real files only (r11 review: the recursive walk must not follow " +
+      "links)") {
+    val dir = tmpDir("graft-symlink")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, "part-0.parquet"), "v1".getBytes)
+    // dir/loop -> dir: unbounded without the link guard
+    java.nio.file.Files.createSymbolicLink(
+      java.nio.file.Paths.get(dir, "loop"), java.nio.file.Paths.get(dir))
+    val k = Tables.pathSnapshotKey(dir) // must return, not overflow
+    assert(k.contains("#1#"), s"one real file expected in the key: $k")
+  }
+
   test("snapshotMemo retires a group's prior snapshot entries instead of " +
       "stranding them (bounded memo in a regenerate-in-a-loop JVM)") {
     val cache = scala.collection.concurrent.TrieMap.empty[String, Long]

@@ -40,12 +40,19 @@ class WindowBoundednessSpec extends SparkSpec {
     case j: BaseJoinExec => j.children.forall(boundedBelow)
     case c: CartesianProductExec => c.children.forall(boundedBelow)
     case u: UnionExec => u.children.forall(boundedBelow)
+    // a Generate (explode) multiplies rows by a DATA-DEPENDENT array
+    // length — an aggregate-then-re-expand subtree is corpus-sized
+    // again, so explode does NOT inherit its child's boundedness
+    case _: GenerateExec => false
+    // exchange reuse replaces a subtree with a leaf pointing at the
+    // original — boundedness is the original's
+    case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec =>
+      boundedBelow(r.child)
     // local literal relations are bounded by construction
-    case _: LocalTableScanExec | _: RDDScanExec if p.children.isEmpty =>
-      p.isInstanceOf[LocalTableScanExec]
+    case _: LocalTableScanExec => true
     case leaf if leaf.children.isEmpty => false
-    // projections, filters, sorts, exchanges, generates, expands: row
-    // counts pass through (or shrink/multiply boundedly) — recurse
+    // projections, filters, sorts, exchanges, expands: row counts pass
+    // through (or shrink / multiply by a constant factor) — recurse
     case other => other.children.forall(boundedBelow)
   }
 
@@ -53,19 +60,21 @@ class WindowBoundednessSpec extends SparkSpec {
       "above a row-contracting node (aggregate / limit / bounded rung)") {
     val offenders = scala.collection.mutable.ArrayBuffer.empty[String]
     val scanned = scala.collection.mutable.ArrayBuffer.empty[String]
+    val aqeBefore = spark.conf.get("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {
       SparkEntry.queries.foreach { case (name, fn) =>
         val plan = fn(spark, sfDir).queryExecution.executedPlan
-        plan.foreach {
+        // collectWithSubqueries: a global window hiding inside a scalar
+        // or IN subquery plan must not escape the invariant
+        plan.collectWithSubqueries {
           case w: WindowExec if w.partitionSpec.isEmpty =>
             scanned += name
             if (!boundedBelow(w.child))
               offenders += s"$name: ${w.simpleString(160)}"
-          case _ => ()
         }
       }
-    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", aqeBefore)
     assert(scanned.nonEmpty,
       "probe matched no partition-less WindowExec anywhere — the walk " +
         "is broken (the catalog is known to contain offset ladders)")
@@ -77,6 +86,7 @@ class WindowBoundednessSpec extends SparkSpec {
       "actually fail)") {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.functions._
+    val aqeBefore = spark.conf.get("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {
       // the anti-pattern the invariant exists to catch: a global
@@ -99,6 +109,17 @@ class WindowBoundednessSpec extends SparkSpec {
       }
       assert(okWs.nonEmpty && okWs.forall(w => boundedBelow(w.child)),
         "walker rejected a window above an aggregate")
-    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+      // the review-found false-negative: aggregate-then-EXPLODE is
+      // corpus-sized again, so it must read unbounded
+      val reExpanded = Tables.t(spark, sfDir, "documents")
+        .groupBy("lang").agg(collect_list("doc_id").as("ids"))
+        .select(explode(col("ids")).as("doc_id"))
+        .withColumn("rn", row_number().over(Window.orderBy("doc_id")))
+      val reWs = reExpanded.queryExecution.executedPlan.collect {
+        case w: WindowExec if w.partitionSpec.isEmpty => w
+      }
+      assert(reWs.nonEmpty && reWs.forall(w => !boundedBelow(w.child)),
+        "walker accepted a global window above an aggregate-then-explode")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", aqeBefore)
   }
 }
