@@ -53,7 +53,8 @@ object MixGovernorPipeline {
     * prevent. Everything else — damaged store, OOM, other IO — also
     * fails the trigger.
     */
-  private def isLmSwapWindow(e: Throwable, lmStoreDir: String): Boolean = {
+  private[graft] def isLmSwapWindow(e: Throwable,
+      lmStoreDir: String): Boolean = {
     // match BOTH the caller's spelling and the canonical absolute path:
     // exception messages often carry a normalized form (a file: URI, a
     // canonicalized path) while the caller passed a relative or

@@ -1018,4 +1018,35 @@ class StreamingSpec extends SparkSpec {
     assert(!new java.io.File(held + ".merging").exists)
     assert(!new java.io.File(held + ".old").exists)
   }
+
+  test("LM-swap window classifier: store-path hits match at a path " +
+      "boundary (a sibling dir sharing the prefix must FAIL the trigger, " +
+      "not classify as the swap window), canonical and trailing-slash " +
+      "spellings both match") {
+    import streaming.MixGovernorPipeline.isLmSwapWindow
+    def fnf(msg: String) = new java.io.FileNotFoundException(msg)
+    val store = tmpDir("graft-lm") + "/lm"
+    new java.io.File(store).mkdirs()
+    val canon = new java.io.File(store).getCanonicalPath
+    // the store itself and files under it classify as the swap window
+    assert(isLmSwapWindow(fnf(s"File $canon does not exist"), store))
+    assert(isLmSwapWindow(fnf(s"$canon/part-0.parquet not found"), store))
+    assert(isLmSwapWindow(fnf(s"Path does not exist: file:$canon"),
+      store + "///"), "trailing slashes in the caller's spelling")
+    // SIBLING paths sharing the prefix must NOT classify (r11 review
+    // finding: a bare substring match claimed /data/lm2 for /data/lm —
+    // committing empty partials, silently losing the batch's evidence)
+    assert(!isLmSwapWindow(fnf(s"${canon}2/part-0.parquet not found"),
+      store))
+    assert(!isLmSwapWindow(fnf(s"$canon-inputs/part-0.parquet missing"),
+      store))
+    // unrelated failures never classify; nested causes are walked
+    assert(!isLmSwapWindow(fnf("/somewhere/else/part-0.parquet"), store))
+    assert(isLmSwapWindow(
+      new RuntimeException("task failed", fnf(s"$canon/p.parquet gone")),
+      store))
+    // non-FNF exceptions mentioning the store do not classify either
+    assert(!isLmSwapWindow(
+      new RuntimeException(s"$canon corrupted footer"), store))
+  }
 }
