@@ -1,0 +1,74 @@
+#!/usr/bin/env python3
+"""Adjudicate two bench artifacts: plan regression vs box noise.
+
+Usage: python3 tools/bench_compare.py <old> <new>
+
+Each argument is either a driver BENCH_rN.json (the JSON line is inside
+its "tail" field) or a raw line printed by graft.Bench. Prints the
+total ratio, the median per-query ratio (the robust signal — hypervisor
+noise inflates the mean, not the median), the top spikes both ways, and
+the new-format noise fields (runs / probe / spread) when present.
+
+Reading the output:
+- median ratio ~1.0 with a few 3-5x spikes            -> noise (spikes
+  move between runs; a plan regression is stationary)
+- median ratio uniformly up AND probe[start|end] >> 1 -> loaded box
+- one query up >20% across MULTIPLE sessions while its
+  family stays flat                                   -> investigate
+  (the q127 case: a real structural cost, found this way in r11)
+"""
+import json
+import re
+import sys
+
+
+def load(path: str) -> dict:
+    text = open(path).read()
+    try:
+        outer = json.loads(text)
+        if isinstance(outer, dict) and "tail" in outer:
+            text = outer["tail"]
+    except json.JSONDecodeError:
+        pass
+    m = re.search(r'\{"metric".*\}', text)
+    if not m:
+        sys.exit(f"{path}: no bench JSON line found")
+    return json.loads(m.group(0))
+
+
+def main(old_path: str, new_path: str) -> None:
+    old, new = load(old_path), load(new_path)
+    qs = sorted(set(old["queries"]) & set(new["queries"]),
+                key=lambda k: int(k[1:]))
+    ratios = {}
+    for q in qs:
+        a, b = old["queries"][q], new["queries"][q]
+        if a and b and a > 0 and b > 0:
+            ratios[q] = b / a
+    med = sorted(ratios.values())[len(ratios) // 2]
+    print(f"total: {old['value']:.2f} -> {new['value']:.2f} "
+          f"({new['value'] / old['value']:.3f}x)")
+    print(f"median per-query ratio: {med:.3f} over {len(ratios)} queries")
+    for tag, j in (("old", old), ("new", new)):
+        noise = {k: j[k] for k in ("runs", "probe", "spread") if k in j}
+        print(f"{tag} noise fields: {noise or '(pre-r11 format: none)'}")
+    up = sorted(ratios.items(), key=lambda kv: -kv[1])[:8]
+    down = sorted(ratios.items(), key=lambda kv: kv[1])[:8]
+    print("top regressions (new/old):")
+    for q, r in up:
+        print(f"  {q:6s} {r:5.2f}x  "
+              f"{old['queries'][q]:.3f} -> {new['queries'][q]:.3f}")
+    print("top improvements:")
+    for q, r in down:
+        print(f"  {q:6s} {r:5.2f}x  "
+              f"{old['queries'][q]:.3f} -> {new['queries'][q]:.3f}")
+    spikes = [q for q, r in ratios.items() if r > 2.0]
+    if spikes:
+        print(f"spikes >2x: {spikes} — check whether the SAME queries "
+              "spike in another session before reading as regression")
+
+
+if __name__ == "__main__":
+    if len(sys.argv) != 3:
+        sys.exit(__doc__)
+    main(sys.argv[1], sys.argv[2])
