@@ -221,7 +221,7 @@ object TemporalOps {
     * named, actionable error instead; it rides the 1-row min/max
     * aggregate the spine already pays for, so the data pass is untouched.
     */
-  private[ops] val MaxGapfillMinutes: Long = 20L * 366 * 24 * 60
+  private[graft] val MaxGapfillMinutes: Long = 20L * 366 * 24 * 60
 
   /** The dense series without q74's presentation sort — q75 builds windows
     * on top (whose day-partition exchange would immediately destroy a

@@ -160,6 +160,30 @@ class TemporalSpec extends SparkSpec {
       Row(ts("2024-01-01 00:03:00"), 1L)))
   }
 
+  test("gapfill span guard sits exactly at the boundary: a span AT the " +
+      "limit fills, one minute past raises the named error") {
+    import org.apache.spark.sql.functions.{count => fcount}
+    val limit = TemporalOps.MaxGapfillMinutes
+    def spanOf(mins: Long) = Seq(
+      (ts("2024-01-01 00:00:00"), 1L),
+      (new java.sql.Timestamp(
+        ts("2024-01-01 00:00:00").getTime + mins * 60000L), 2L))
+      .toDF("ts", "event_id")
+    // at the limit: fills (limit+1 rows — count, don't collect 10.5M rows)
+    val atLimit = TemporalOps.minutelyGapfillOn(spanOf(limit))
+      .agg(fcount(lit(1))).head().getLong(0)
+    assert(atLimit === limit + 1, "span == limit must fill, not raise")
+    // one past: the named guard, not an array-size error
+    val e = intercept[Exception] {
+      TemporalOps.minutelyGapfillOn(spanOf(limit + 1)).count()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t.getMessage).toSeq ++
+        Option(t.getCause).toSeq.flatMap(msgs)
+    assert(msgs(e).exists(_.contains("exceeds the")),
+      s"expected the named span-guard error, got: ${msgs(e)}")
+  }
+
   test("anomaly z-score flags a planted spike, nulls the warm-up") {
     // 26h alternating 1/2 events per minute (so trailing variance is
     // nonzero), plus a 100-event spike mid-day-2: the spike is the only
