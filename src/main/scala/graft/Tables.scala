@@ -100,16 +100,27 @@ object Tables {
     */
   def pathSnapshotKey(path: String): String = {
     val root = new java.io.File(path).getCanonicalFile
-    // symlinks are skipped and depth is bounded: a link cycle inside a
+    // Only symlinked DIRECTORIES are skipped (a link cycle inside a
     // scratch/testdata tree must not turn the memo key into an infinite
-    // recursion (or fold an unrelated linked tree into every probe), and
-    // no graft table layout nests past a few partition levels anyway
+    // recursion, or fold an unrelated linked tree into every probe).
+    // A symlinked regular FILE — a table staged via linked part-files —
+    // is included under its link name with the TARGET's (length, mtime)
+    // (File.length/lastModified follow links), so rewriting the link
+    // targets changes the key like any in-place rewrite. Depth past 16
+    // fails loud: a silently truncated signature would never change on
+    // rewrite, exactly the stale-memo hazard the key exists to retire
+    // (no graft table layout nests past a few partition levels anyway).
     def walk(f: java.io.File, depth: Int): Seq[java.io.File] =
-      if (depth > 16 || java.nio.file.Files.isSymbolicLink(f.toPath)) Nil
-      else if (f.isDirectory)
-        Option(f.listFiles())
+      if (depth > 16)
+        throw new IllegalStateException(
+          s"pathSnapshotKey: layout under $root nests past depth 16 at " +
+            s"$f — refusing to truncate the snapshot signature")
+      else if (f.isDirectory) {
+        if (java.nio.file.Files.isSymbolicLink(f.toPath)) Nil
+        else Option(f.listFiles())
           .map(_.toSeq.sortBy(_.getName).flatMap(walk(_, depth + 1)))
           .getOrElse(Nil)
+      }
       else if (f.isFile) Seq(f)
       else Nil
     val files = walk(root, 0)
@@ -141,9 +152,14 @@ object Tables {
   def snapshotMemoPut[V](
       cache: scala.collection.concurrent.TrieMap[String, V],
       group: String, key: String, value: V): Unit = {
-    snapshotMemoEvict(cache, group)
-    cache.put(group + MemoSep + key, value)
-    ()
+    // insert FIRST, then retire the group's other entries: the reverse
+    // order opens a window where the group is empty and a concurrent
+    // reader re-pays a probe for nothing
+    val full = group + MemoSep + key
+    cache.put(full, value)
+    cache.keysIterator
+      .filter(k => k.startsWith(group + MemoSep) && k != full)
+      .foreach(cache.remove)
   }
 
   /** Drop every memo entry of `group` (explicit-invalidation twin of the
@@ -156,7 +172,7 @@ object Tables {
       .foreach(cache.remove)
 
   /** `getOrElseUpdate` for snapshot-keyed memos with group-scoped
-    * eviction: inserting a fresh snapshot's entry first RETIRES the
+    * eviction: inserting a fresh snapshot's entry RETIRES the
     * group's prior entries (stale snapshots of the same canonical
     * directory) instead of stranding them — a long-lived JVM that
     * regenerates a dir in a loop (ScaleUp reruns, a Scratch sweep
@@ -178,10 +194,15 @@ object Tables {
     cache.get(full) match {
       case Some(v) => v
       case None =>
+        // compute FIRST, evict after: a compute that throws (transient
+        // FS/read failure) leaves the previously valid entry in place —
+        // callers still on the old snapshot keep their memo instead of
+        // re-paying the probe for a failure that touched nothing
+        val v = cache.getOrElseUpdate(full, compute)
         cache.keysIterator
           .filter(k => k.startsWith(group + MemoSep) && k != full)
           .foreach(cache.remove)
-        cache.getOrElseUpdate(full, compute)
+        v
     }
   }
 

@@ -1338,9 +1338,12 @@ object SimilarityOps {
     * an explicit `n_unencodable` count instead of silently diluting the
     * distortion the retraining monitor watches (a corrupt crawl would
     * otherwise UNDER-report distortion, the exact silent-bias class the
-    * kernel's NULL discipline exists to avoid). `try_divide`: a label
-    * whose vectors are ALL unencodable reports NULL distortion, not an
-    * ANSI divide-by-zero scan kill.
+    * kernel's NULL discipline exists to avoid). `n` stays `count(*)` —
+    * total rows per label, the column's meaning since the monitor first
+    * shipped — so a cross-round consumer of q128 sees no unexplained
+    * shift; encodable = n - n_unencodable is derivable. `try_divide`: a
+    * label whose vectors are ALL unencodable reports NULL distortion,
+    * not an ANSI divide-by-zero scan kill.
     */
   def pqDistortionWith(embDf: DataFrame,
       codebook: Array[Array[Double]]): DataFrame = {
@@ -1350,7 +1353,7 @@ object SimilarityOps {
         call_function("graft_pq_error", col("embedding"),
           typedLit(codebook.map(_.toSeq).toSeq), lit(PqSubDim)).as("err"))
       .groupBy("label")
-      .agg(count(col("err")).as("n"),
+      .agg(count(lit(1)).as("n"),
         (count(lit(1)) - count(col("err"))).as("n_unencodable"),
         round(try_divide(sum(col("err").cast(Dec)).cast("double"),
           count(col("err"))), 6).as("avg_sqerr"),
@@ -1556,7 +1559,7 @@ object SimilarityOps {
          |      list(round(greatest(dist, 0), 6) ORDER BY m)),
          |      (a, b) -> a + b) AS err
          |  FROM pick WHERE rn = 1 GROUP BY vec_id)
-         |SELECT label, count(err) AS n,
+         |SELECT label, count(*) AS n,
          |  count(*) - count(err) AS n_unencodable,
          |  round(CAST(sum(CAST(err AS DECIMAL(38,10))) AS DOUBLE)
          |    / nullif(count(err), 0), 6) AS avg_sqerr,

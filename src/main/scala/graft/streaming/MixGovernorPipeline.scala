@@ -65,16 +65,34 @@ object MixGovernorPipeline {
     val needles = (raw +: (try Seq(new java.io.File(raw).getCanonicalPath)
       catch { case _: java.io.IOException => Nil })).distinct
     // PATH-BOUNDARY match, not bare substring: /data/lm must not claim a
-    // failure on the sibling /data/lm2 (or /data/lm-inputs) — the needle
-    // occurrence must end the message or be followed by a non-path-word
-    // character (separator, quote, space), i.e. the store dir itself or a
-    // path under it
+    // failure on the sibling /data/lm2 (or /data/lm-inputs, or
+    // /data/lm.bak) — the needle occurrence must end the message or be
+    // followed by a non-path-word character (separator, quote, space).
+    // '.' is NOT a boundary by itself: a '.'-joined continuation is a
+    // sibling path unless it is (a) one of the store's OWN staged-swap
+    // artifacts (`.old` / `.merging` / `.compacting` — the exact suffixes
+    // ScaleOps.swapInto/compactStore create beside the live dir, the one
+    // family of dot-siblings that IS the store mid-swap) or (b) a
+    // sentence-ending period ("File /data/lm does not exist.").
     def boundedHit(m: String, needle: String): Boolean = {
+      def wordChar(c: Char): Boolean =
+        Character.isLetterOrDigit(c) || c == '_' || c == '-'
+      // boundary at position p: end-of-message, a non-word-non-dot char,
+      // or a sentence-ending '.' (dot followed by end or a non-word char)
+      def boundaryAt(p: Int): Boolean =
+        p >= m.length || {
+          val c = m.charAt(p)
+          if (c == '.') p + 1 >= m.length || !wordChar(m.charAt(p + 1))
+          else !wordChar(c)
+        }
+      val swapSuffixes = Seq("old", "merging", "compacting")
       var from = m.indexOf(needle)
       while (from >= 0) {
         val end = from + needle.length
-        if (end >= m.length || !Character.isLetterOrDigit(m.charAt(end)) &&
-            m.charAt(end) != '_' && m.charAt(end) != '-')
+        if (boundaryAt(end) ||
+            (end < m.length && m.charAt(end) == '.' &&
+              swapSuffixes.exists(s => m.startsWith(s, end + 1) &&
+                boundaryAt(end + 1 + s.length))))
           return true
         from = m.indexOf(needle, from + 1)
       }

@@ -371,14 +371,15 @@ class DedupSpec extends SparkSpec {
         (101L, Array.fill(3)(2.0f), 9)).toDF("vec_id", "embedding", "label"))
     val audited = SimilarityOps.pqDistortionWith(corrupt, trained).collect()
       .map(r => r.getInt(0) -> r).toMap
-    assert(audited(0).getAs[Long]("n") === 10L &&
+    assert(audited(0).getAs[Long]("n") === 11L &&
       audited(0).getAs[Long]("n_unencodable") === 1L,
-      s"ragged vector must count as unencodable, not dilute: ${audited(0)}")
+      s"n stays total rows; ragged vector counts as unencodable and " +
+        s"must not dilute: ${audited(0)}")
     assert(audited(0).getAs[Double]("avg_sqerr") ===
       SimilarityOps.pqDistortionWith(embDf, trained).collect()
         .find(_.getInt(0) == 0).get.getAs[Double]("avg_sqerr"),
       "encodable average must be unchanged by corrupt rows")
-    assert(audited(9).getAs[Long]("n") === 0L &&
+    assert(audited(9).getAs[Long]("n") === 1L &&
       audited(9).getAs[Long]("n_unencodable") === 1L &&
       audited(9).isNullAt(audited(9).fieldIndex("avg_sqerr")),
       s"all-unencodable label must read NULL, not crash: ${audited(9)}")

@@ -70,6 +70,81 @@ class DupMultCacheSpec extends SparkSpec {
     assert(k.contains("#1#"), s"one real file expected in the key: $k")
   }
 
+  test("pathSnapshotKey includes SYMLINKED regular files via their " +
+      "target's (length, mtime) — a table staged via linked part-files " +
+      "re-keys when the link targets are rewritten (r12 ADVICE: the " +
+      "recursive walk used to skip all symlinks, freezing the key)") {
+    val dir = tmpDir("graft-symfile")
+    val targetDir = tmpDir("graft-symfile-targets")
+    val target = java.nio.file.Paths.get(targetDir, "part-0.parquet")
+    java.nio.file.Files.write(target, "v1".getBytes)
+    java.nio.file.Files.createSymbolicLink(
+      java.nio.file.Paths.get(dir, "part-0.parquet"), target)
+    val k1 = Tables.pathSnapshotKey(dir)
+    assert(k1.contains("#1#"),
+      s"the linked part-file must contribute to the signature: $k1")
+    java.nio.file.Files.write(target, "v2-longer".getBytes)
+    val k2 = Tables.pathSnapshotKey(dir)
+    assert(k1 !== k2,
+      s"rewriting the link TARGET must change the key: $k1 vs $k2")
+  }
+
+  test("pathSnapshotKey fails loud past depth 16 instead of silently " +
+      "truncating the signature (a truncated key never changes on " +
+      "rewrite — the exact stale-memo hazard the key exists to retire)") {
+    val dir = tmpDir("graft-deep")
+    val deep = (1 to 18).foldLeft(new java.io.File(dir)) { (d, i) =>
+      val n = new java.io.File(d, s"d$i"); n.mkdirs(); n
+    }
+    java.nio.file.Files.write(
+      deep.toPath.resolve("part-0.parquet"), "v1".getBytes)
+    val e = intercept[IllegalStateException](Tables.pathSnapshotKey(dir))
+    assert(e.getMessage.contains("depth 16"), e.getMessage)
+  }
+
+  test("snapshotMemo: a compute that THROWS leaves the memo untouched — " +
+      "callers on the previous snapshot keep their entry (r12 ADVICE: " +
+      "evict-before-compute dropped the valid entry on a transient " +
+      "probe failure)") {
+    val cache = scala.collection.concurrent.TrieMap.empty[String, Long]
+    var probes = 0
+    def probe(v: Long): Long = { probes += 1; v }
+    assert(Tables.snapshotMemo(cache, "/g", "snap1")(probe(1L)) === 1L)
+    intercept[RuntimeException](Tables.snapshotMemo(cache, "/g", "snap2")(
+      throw new RuntimeException("transient FS failure")))
+    assert(cache.size === 1, s"failed compute must not evict: ${cache.keySet}")
+    assert(Tables.snapshotMemo(cache, "/g", "snap1")(probe(99L)) === 1L)
+    assert(probes === 1, "the surviving entry must still serve hits")
+  }
+
+  test("snapshotMemo under concurrent evict/insert: a key is always " +
+      "paired with its own snapshot's value, and one sequential call " +
+      "re-bounds the group (the documented self-healing worst case, " +
+      "pinned with threads rather than prose)") {
+    val cache = scala.collection.concurrent.TrieMap.empty[String, String]
+    val errs = new java.util.concurrent.atomic.AtomicInteger
+    val threads = (0 until 4).map { t =>
+      new Thread(() => {
+        var i = 0
+        while (i < 500) {
+          val key = s"snap${(i + t) % 3}"
+          val v = Tables.snapshotMemo(cache, "/g", key)(s"val-$key")
+          if (v != s"val-$key") errs.incrementAndGet()
+          i += 1
+        }
+      })
+    }
+    threads.foreach(_.start())
+    threads.foreach(_.join())
+    assert(errs.get === 0,
+      "a key must never serve another snapshot's value")
+    assert(cache.size <= 3,
+      s"group must stay bounded by the live key set: ${cache.keySet}")
+    Tables.snapshotMemo(cache, "/g", "snapFinal")("val-snapFinal")
+    assert(cache.size === 1,
+      s"one fresh-snapshot call must retire every stale entry: ${cache.keySet}")
+  }
+
   test("snapshotMemo retires a group's prior snapshot entries instead of " +
       "stranding them (bounded memo in a regenerate-in-a-loop JVM)") {
     val cache = scala.collection.concurrent.TrieMap.empty[String, Long]

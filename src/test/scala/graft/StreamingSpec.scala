@@ -1040,6 +1040,24 @@ class StreamingSpec extends SparkSpec {
       store))
     assert(!isLmSwapWindow(fnf(s"$canon-inputs/part-0.parquet missing"),
       store))
+    // '.'-joined DOT-SIBLINGS are siblings too (r12 ADVICE: '.' used to
+    // qualify as a boundary, so /data/lm.bak classified as the store) —
+    // EXCEPT the store's own staged-swap artifacts (.old/.merging/
+    // .compacting), which ARE the store mid-swap, and a sentence-ending
+    // period, which is message punctuation rather than a path character
+    assert(!isLmSwapWindow(fnf(s"$canon.bak/part-0.parquet not found"),
+      store), "a .bak sibling is not the store")
+    assert(!isLmSwapWindow(fnf(s"$canon.backup gone"), store))
+    assert(!isLmSwapWindow(fnf(s"$canon.oldest/part-0.parquet gone"),
+      store), "a swap-suffix PREFIX sibling (.oldest) is not .old")
+    assert(isLmSwapWindow(fnf(s"$canon.old/part-0.parquet not found"),
+      store), "the parked original IS the store mid-swap")
+    assert(isLmSwapWindow(fnf(s"File $canon.merging/part-0 missing"),
+      store))
+    assert(isLmSwapWindow(fnf(s"File $canon does not exist."), store),
+      "sentence-ending period must not defeat the boundary match")
+    assert(isLmSwapWindow(fnf(s"Renamed away: $canon.old."), store),
+      "swap artifact at sentence end")
     // unrelated failures never classify; nested causes are walked
     assert(!isLmSwapWindow(fnf("/somewhere/else/part-0.parquet"), store))
     assert(isLmSwapWindow(

@@ -45,6 +45,15 @@ def main(old_path: str, new_path: str) -> None:
         a, b = old["queries"][q], new["queries"][q]
         if a and b and a > 0 and b > 0:
             ratios[q] = b / a
+    # malformed-artifact guards: disjoint catalogs / all-errored entries /
+    # a zero old total should diagnose, not IndexError or ZeroDivisionError
+    if not ratios:
+        sys.exit("no comparable queries: the two artifacts share no "
+                 "query keys with positive timings (disjoint catalogs, "
+                 "or every shared entry is -1/errored)")
+    if not old.get("value") or old["value"] <= 0:
+        sys.exit(f"old artifact total is {old.get('value')!r} — "
+                 "not a usable baseline")
     med = sorted(ratios.values())[len(ratios) // 2]
     print(f"total: {old['value']:.2f} -> {new['value']:.2f} "
           f"({new['value'] / old['value']:.3f}x)")
