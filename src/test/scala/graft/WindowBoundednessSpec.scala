@@ -19,42 +19,16 @@ import org.apache.spark.sql.execution.window.WindowExec
   *
   * The probe walks the PHYSICAL plan (AQE disabled for planning, the
   * datechain convention — an adaptive root would hide WindowExec from
-  * collect) of every `SparkEntry.queries` entry at sf0.001 and requires
-  * each empty-partitionSpec WindowExec's input subtree to contract
-  * before any leaf: aggregates, limits, and bounded window rungs
-  * terminate the walk; unary nodes pass through; joins require every
-  * child bounded (a join only multiplies bounded inputs); leaves fail.
+  * collect; the AQE-on arm below proves the [[PlanProbe.physical]]
+  * unwrap sees through an adaptive root too) of every
+  * `SparkEntry.queries` entry at sf0.001 and requires each
+  * empty-partitionSpec WindowExec's input subtree to contract before
+  * any leaf — the shared [[PlanProbe.boundedBelow]] walk.
   */
 class WindowBoundednessSpec extends SparkSpec {
 
-  /** True when every row path from `p` up into the window passes through
-    * a row-contracting node.
-    */
-  private def boundedBelow(p: SparkPlan): Boolean = p match {
-    case _: BaseAggregateExec => true
-    case _: GlobalLimitExec | _: LocalLimitExec |
-        _: TakeOrderedAndProjectExec => true
-    // a lower window rung is fine iff it is itself bounded below — the
-    // offset-ladder / rollup shape (window over aggregate)
-    case w: WindowExec => boundedBelow(w.child)
-    case j: BaseJoinExec => j.children.forall(boundedBelow)
-    case c: CartesianProductExec => c.children.forall(boundedBelow)
-    case u: UnionExec => u.children.forall(boundedBelow)
-    // a Generate (explode) multiplies rows by a DATA-DEPENDENT array
-    // length — an aggregate-then-re-expand subtree is corpus-sized
-    // again, so explode does NOT inherit its child's boundedness
-    case _: GenerateExec => false
-    // exchange reuse replaces a subtree with a leaf pointing at the
-    // original — boundedness is the original's
-    case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec =>
-      boundedBelow(r.child)
-    // local literal relations are bounded by construction
-    case _: LocalTableScanExec => true
-    case leaf if leaf.children.isEmpty => false
-    // projections, filters, sorts, exchanges, expands: row counts pass
-    // through (or shrink / multiply by a constant factor) — recurse
-    case other => other.children.forall(boundedBelow)
-  }
+  private def boundedBelow(p: SparkPlan): Boolean =
+    PlanProbe.boundedBelow(p)
 
   test("every partition-less WindowExec in every catalog query sits " +
       "above a row-contracting node (aggregate / limit / bounded rung)") {
@@ -121,5 +95,27 @@ class WindowBoundednessSpec extends SparkSpec {
       assert(reWs.nonEmpty && reWs.forall(w => !boundedBelow(w.child)),
         "walker accepted a global window above an aggregate-then-explode")
     } finally spark.conf.set("spark.sql.adaptive.enabled", aqeBefore)
+  }
+
+  test("AQE-on planning cannot hide a WindowExec from the invariant: " +
+      "the adaptive root unwraps and the anti-pattern is still rejected") {
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    assert(spark.conf.get("spark.sql.adaptive.enabled") === "true",
+      "this arm exists to probe the session-default adaptive mode")
+    val bad = Tables.t(spark, sfDir, "documents")
+      .withColumn("rn", row_number().over(Window.orderBy("doc_id")))
+    val root = bad.queryExecution.executedPlan
+    assert(root.isInstanceOf[AdaptiveSparkPlanExec],
+      s"expected an adaptive root, got ${root.getClass.getSimpleName}")
+    assert(root.collect { case w: WindowExec => w }.isEmpty,
+      "bare collect on an adaptive LEAF sees nothing — PlanProbe.physical " +
+        "below is load-bearing, not decorative")
+    val ws = PlanProbe.physical(bad).collectWithSubqueries {
+      case w: WindowExec if w.partitionSpec.isEmpty => w
+    }
+    assert(ws.nonEmpty && ws.forall(w => !boundedBelow(w.child)),
+      "the adaptive initial plan must still expose and reject the window")
   }
 }
