@@ -206,6 +206,31 @@ object Tables {
     }
   }
 
+  /** THE driver-side collect for product code: every `.collect()` in the
+    * engine routes through here with an explicit cap and label, so "no
+    * unbounded driver materialization" is an executable contract instead
+    * of a per-round by-hand audit of raw collect sites. The input is cut
+    * at `cap + 1` rows BEFORE the action, so a frame that violates its
+    * audited bound fails with a named error after materializing at most
+    * cap+1 rows — never an opaque driver OOM. The `limit` composes with
+    * an ordered-limit input (EliminateLimits folds it into the existing
+    * TakeOrderedAndProject), so ordered call sites keep their order.
+    * Bench's session-warmup collect is the one deliberate exception
+    * (fixed 1-row aggregate, not product code).
+    */
+  def boundedCollect[T](ds: org.apache.spark.sql.Dataset[T], cap: Int,
+      label: String): Array[T] = {
+    require(cap > 0 && cap < Int.MaxValue,
+      s"boundedCollect($label): cap must be a positive Int, got $cap")
+    val rows = ds.limit(cap + 1).collect()
+    if (rows.length > cap)
+      throw new IllegalStateException(
+        s"boundedCollect($label): more than $cap rows reached the " +
+          "driver — the frame this site audited as bounded is not; " +
+          "shard or redesign before raising the cap")
+    rows
+  }
+
   /** [[pathSnapshotKey]] of one testdata table under `dir`. */
   def tableSnapshotKey(dir: String, name: String): String =
     pathSnapshotKey(s"$dir/$name.parquet")

@@ -97,7 +97,7 @@ object BpeOps {
     var exhausted = false
     while (step < merges && !exhausted) {
       // adjacent pairs via transform over the symbol array (no window):
-      val pairCounts = vocab
+      val top1 = vocab
         .where(size(col("syms")) >= 2)
         .select(col("freq"), explode(expr(
           "transform(sequence(1, size(syms) - 1)," +
@@ -107,7 +107,7 @@ object BpeOps {
         .agg(sum(col("freq")).as("cnt"))
         .orderBy(col("cnt").desc, col("l").asc, col("r").asc)
         .limit(1)
-        .collect()
+      val pairCounts = Tables.boundedCollect(top1, 1, "bpe top pair")
       if (pairCounts.isEmpty) exhausted = true
       else {
         val row = pairCounts(0)

@@ -195,7 +195,12 @@ object CurationOps {
           .groupBy("eval_id")
           .agg(count(lit(1)).as("n_hits")), probesDf)
       else {
-        val probes = probesDf.as[(Long, String)].collect().sortBy(_._1)
+        // the automaton arm genuinely needs every needle on the driver
+        // (the AC trie is built there); the cap is the same 4M-row class
+        // as DriverCcMaxEdges — a benchmark slice past it should shard
+        // the automaton, not silently OOM the driver
+        val probes = Tables.boundedCollect(probesDf.as[(Long, String)],
+          4 << 20, "decontamination needles (AC build)").sortBy(_._1)
         val bcNeedles =
           session.sparkContext.broadcast(probes.map(_._2))
         val evalIds = probes.map(_._1)
@@ -263,8 +268,11 @@ object CurationOps {
     // up front; provenance-less docs are a q53/q84 audit concern, not an
     // overlap cell
     val docsDf = docsDf0.filter(col("source").isNotNull)
-    val sources = docsDf.select("source").distinct()
-      .collect().map(_.getString(0)).sorted
+    // cap 63: the bitmask require below rejects 63+ anyway — boundedCollect
+    // just makes the failure fire before materializing an unbounded
+    // source column (a corrupt corpus with per-doc "sources")
+    val sources = Tables.boundedCollect(docsDf.select("source").distinct(),
+      63, "source-overlap bitmask sources").map(_.getString(0)).sorted
     require(sources.length <= 62,
       s"source bitmask supports <= 62 sources, got ${sources.length}")
     if (sources.length < 2) {
@@ -1012,13 +1020,16 @@ object CurationOps {
     val fresh = batch.select(col("source"), explode(toks).as("token"))
       .groupBy("source")
       .agg(expr("hll_sketch_agg(token, 14)").as("sketch"))
-    val merged = store.withColumnRenamed("sketch", "old")
-      .join(fresh.withColumnRenamed("sketch", "new"), Seq("source"),
-        "full_outer")
-      .select(col("source"), expr(
-        "CASE WHEN old IS NULL THEN new WHEN new IS NULL THEN old " +
-          "ELSE hll_union(old, new) END").as("sketch"))
-      .collect()
+    // one row per SOURCE (the store's key), not per document — a source
+    // taxonomy is a catalog, not a corpus
+    val merged = Tables.boundedCollect(
+      store.withColumnRenamed("sketch", "old")
+        .join(fresh.withColumnRenamed("sketch", "new"), Seq("source"),
+          "full_outer")
+        .select(col("source"), expr(
+          "CASE WHEN old IS NULL THEN new WHEN new IS NULL THEN old " +
+            "ELSE hll_union(old, new) END").as("sketch")),
+      100000, "cardinality-store source sketches")
     import scala.jdk.CollectionConverters._
     val staging = path + ".merging"
     s.createDataFrame(merged.toSeq.asJava, schema)

@@ -46,9 +46,10 @@ object DedupOps {
     */
   private def tokenizedDocs(docsDf: DataFrame): (DataFrame, Array[String]) =
     (tokenizedFrame(docsDf),
-      tokenizedFrame(docsDf).select(explode(col("toks")).as("tok"))
-        .distinct().orderBy("tok").limit(65)
-        .collect().map(_.getString(0)))
+      Tables.boundedCollect(
+        tokenizedFrame(docsDf).select(explode(col("toks")).as("tok"))
+          .distinct().orderBy("tok").limit(65),
+        65, "vocabulary dispatch probe").map(_.getString(0)))
 
   /** The tokenized frame WITHOUT the ≤65-token vocabulary probe — for
     * callers already committed to the general-vocab prefix plan (the
@@ -969,7 +970,11 @@ object DedupOps {
       undirected: DataFrame): (Array[Long], Array[Long]) = {
     val sess = undirected.sparkSession
     import sess.implicits._
-    val chunks = undirected
+    // the row count here is ONE PACKED CHUNK PER PARTITION of an input
+    // already cut at DriverCcMaxEdges + 1 — the edge volume is bounded by
+    // that limit, the chunk count by the partition count; the cap only
+    // backstops a pathological repartitioning
+    val chunks = Tables.boundedCollect(undirected
       .select(col("src").cast("long"), col("dst").cast("long"))
       .limit(DriverCcMaxEdges + 1)
       .as[(Long, Long)]
@@ -977,7 +982,7 @@ object DedupOps {
         val buf = new scala.collection.mutable.ArrayBuilder.ofLong
         it.foreach { e => buf += e._1; buf += e._2 }
         Iterator.single(buf.result())
-      }.collect()
+      }, 65536, "cc edge chunks (one per partition)")
     val n = chunks.iterator.map(_.length / 2).sum
     val srcs = new Array[Long](n)
     val dsts = new Array[Long](n)

@@ -835,20 +835,21 @@ object SimilarityOps {
   def kmeansCentroids(embDf: DataFrame, k: Int = 8,
       iters: Int = 5): Array[Array[Double]] = {
     graft.functions.GraftFunctions.ensureRegistered(embDf.sparkSession)
-    var centroids: Array[Array[Double]] = embDf
+    var centroids: Array[Array[Double]] = Tables.boundedCollect(embDf
       .orderBy(Tables.lcgBucket(col("vec_id"), 48271L, 11L, 1000000007L).asc,
         col("vec_id").asc)
       .limit(k)
-      .select(col("embedding").cast("array<double>"))
-      .collect().map(_.getSeq[Double](0).toArray)
+      .select(col("embedding").cast("array<double>")),
+      k, "k-means init vectors").map(_.getSeq[Double](0).toArray)
     var it = 0
     while (it < iters) {
-      val upd = assignClusters(embDf, centroids)
+      // k × dim cells (the codebook's own shape), never corpus-sized
+      val upd = Tables.boundedCollect(assignClusters(embDf, centroids)
         .select(col("cluster"), posexplode(col("embedding")).as(Seq("pos", "v")))
         .groupBy("cluster", "pos")
         .agg(sum(col("v").cast("decimal(38,10)")).as("s"),
-          count(lit(1)).as("n"))
-        .collect()
+          count(lit(1)).as("n")),
+        1 << 20, "k-means update cells (k × dim)")
       val next = centroids.map(_.clone()) // empty cluster keeps its centroid
       upd.foreach { r =>
         next(r.getInt(0))(r.getInt(1)) =
@@ -1102,8 +1103,11 @@ object SimilarityOps {
     // leading dims were averaged over every member, including the ragged
     // one's prefix), and drop labels that cannot reach it; the q110 audit
     // face is where the dropped rows get reported.
-    val centRows = labelCentroidsOn(embDf.filter(col("label").isNotNull))
-      .select("label", "dim", "centroid").collect()
+    // one row per (label, dim) — the codebook's own shape
+    val centRows = Tables.boundedCollect(
+      labelCentroidsOn(embDf.filter(col("label").isNotNull))
+        .select("label", "dim", "centroid"),
+      1 << 20, "pq codebook centroids (labels × dim)")
     require(centRows.nonEmpty,
       "PQ codebook: empty embedding table — no labels to derive " +
         "sub-codewords from (train one and use the *With form: " +
@@ -1422,8 +1426,9 @@ object SimilarityOps {
     // the store's code width must match the query's implied subspace
     // count — a mismatched query would otherwise silently score only a
     // PREFIX of each stored code (one-row probe, bounded driver hop)
-    s.read.parquet(path).select(size(col("codes")).as("w")).limit(1)
-      .collect().foreach { r =>
+    Tables.boundedCollect(
+      s.read.parquet(path).select(size(col("codes")).as("w")).limit(1),
+      1, "pq store code-width probe").foreach { r =>
         require(r.getInt(0) == nSub,
           s"annPqFromStore: store encodes ${r.getInt(0)} subspaces but " +
             s"the $dim-dim query implies $nSub — wrong codebook or store")
