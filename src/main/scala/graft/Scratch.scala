@@ -585,15 +585,15 @@ object Scratch {
       spark.stop()
       return
     }
-    if (name == "jobcensus") {
-      // jobs-per-query census over the whole catalog: each Spark job is a
-      // scheduler barrier (~tens of ms on this box, a cluster-wide sync
-      // point on a real fleet), so an outsized count marks a query that
-      // is (a) the most box-noise-sensitive in the bench and (b) worth a
-      // structural look for double-computed subtrees — the pattern the
-      // q127 decomposition caught (a rank frame joined twice replayed its
-      // whole post-checkpoint branch). Runs each query twice and reports
-      // the SECOND run's count (first pays memo-warming probes).
+    // jobs-per-query census over the whole catalog: each Spark job is a
+    // scheduler barrier (~tens of ms on this box, a cluster-wide sync
+    // point on a real fleet), so an outsized count marks a query that
+    // is (a) the most box-noise-sensitive in the bench and (b) worth a
+    // structural look for double-computed subtrees — the pattern the
+    // q127 decomposition caught (a rank frame joined twice replayed its
+    // whole post-checkpoint branch). Runs each query twice and reports
+    // the SECOND run's count (first pays memo-warming probes).
+    def runJobCensus(): Seq[(String, Int, Double)] = {
       val jobs = new java.util.concurrent.atomic.AtomicInteger
       spark.sparkContext.addSparkListener(
         new org.apache.spark.scheduler.SparkListener {
@@ -602,7 +602,7 @@ object Scratch {
             jobs.incrementAndGet(); ()
           }
         })
-      val counts = SparkEntry.queries.toSeq.sortBy(_._1).map {
+      SparkEntry.queries.toSeq.sortBy(_._1).map {
         case (qn, fn) =>
           def once(): (Int, Double) = {
             spark.sharedState.cacheManager.clearCache()
@@ -614,12 +614,62 @@ object Scratch {
           val (j, sec) = once()
           (qn, j, sec)
       }
+    }
+    if (name == "jobcensus") {
+      val counts = runJobCensus()
       counts.sortBy(-_._2).foreach { case (qn, j, sec) =>
         println(f"$qn%-28s jobs=$j%3d warm=$sec%6.2f s")
       }
       val total = counts.map(_._2).sum
       println(f"TOTAL jobs=$total over ${counts.size} queries " +
         f"(mean ${total.toDouble / counts.size}%.1f)")
+      spark.stop()
+      return
+    }
+    if (name == "jobbudget") {
+      // the census, turned into a GATE (r11 judge item 6): every catalog
+      // query carries a recorded job budget (JOB_BUDGETS.json, regenerated
+      // by this arm with `jobbudget <sfDir> write`); a query exceeding its
+      // budget by more than 2 fails loud — the q127 class (silent
+      // per-execution job creep from a replayed subtree) cannot recur
+      // unobserved. Drops are reported so the ledger can ratchet.
+      val budgetFile = new java.io.File("JOB_BUDGETS.json")
+      val counts = runJobCensus()
+      if (args.lift(2).contains("write") || !budgetFile.exists()) {
+        val json = counts.sortBy(_._1).map { case (qn, j, _) =>
+          s"""  "$qn": $j""" }.mkString("{\n", ",\n", "\n}\n")
+        java.nio.file.Files.write(budgetFile.toPath,
+          json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        println(s"wrote ${counts.size} budgets to $budgetFile")
+        spark.stop()
+        return
+      }
+      val budgets = {
+        val txt = new String(
+          java.nio.file.Files.readAllBytes(budgetFile.toPath),
+          java.nio.charset.StandardCharsets.UTF_8)
+        """"(q\w+)":\s*(\d+)""".r.findAllMatchIn(txt)
+          .map(m => m.group(1) -> m.group(2).toInt).toMap
+      }
+      val over = counts.filter { case (qn, j, _) =>
+        budgets.get(qn).exists(b => j > b + 2) }
+      val missing = counts.filterNot { case (qn, _, _) => budgets.contains(qn) }
+      val dropped = counts.filter { case (qn, j, _) =>
+        budgets.get(qn).exists(b => j < b) }
+      dropped.foreach { case (qn, j, _) =>
+        println(f"$qn%-28s jobs=$j%3d (budget ${budgets(qn)}%3d) — " +
+          "improved; ratchet with `jobbudget <dir> write`") }
+      missing.foreach { case (qn, j, _) =>
+        println(f"$qn%-28s jobs=$j%3d NEW (no budget) — record it") }
+      if (over.nonEmpty) {
+        over.foreach { case (qn, j, _) =>
+          println(f"$qn%-28s jobs=$j%3d EXCEEDS budget ${budgets(qn)}%3d " +
+            "+2 — find the replayed subtree or document in PLANS.md") }
+        spark.stop()
+        sys.exit(1)
+      }
+      println(s"job budgets OK: ${counts.size} queries within budget+2" +
+        (if (missing.nonEmpty) s"; ${missing.size} NEW unrecorded" else ""))
       spark.stop()
       return
     }

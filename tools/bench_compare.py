@@ -2,12 +2,20 @@
 """Adjudicate two bench artifacts: plan regression vs box noise.
 
 Usage: python3 tools/bench_compare.py <old> <new>
+       python3 tools/bench_compare.py --floors <BENCH_FLOORS.json> <new>
 
-Each argument is either a driver BENCH_rN.json (the JSON line is inside
-its "tail" field) or a raw line printed by graft.Bench. Prints the
-total ratio, the median per-query ratio (the robust signal — hypervisor
-noise inflates the mean, not the median), the top spikes both ways, and
-the new-format noise fields (runs / probe / spread) when present.
+Each artifact argument is either a driver BENCH_rN.json (the JSON line
+is inside its "tail" field) or a raw line printed by graft.Bench.
+Prints the total ratio, the median per-query ratio (the robust signal —
+hypervisor noise inflates the mean, not the median), the top spikes
+both ways, and the new-format noise fields (runs / probe / spread)
+when present.
+
+--floors mode compares one artifact against the best-known per-query
+floors ledger (tools/bench_floors.py): a query >25% over its
+cross-session floor is worth a look, >2x is the investigate set —
+UNLESS the spike set moves between sessions, which is the noise
+signature on this box.
 
 Reading the output:
 - median ratio ~1.0 with a few 3-5x spikes            -> noise (spikes
@@ -77,7 +85,47 @@ def main(old_path: str, new_path: str) -> None:
               "spike in another session before reading as regression")
 
 
+def floors_mode(floors_path: str, new_path: str) -> None:
+    floors = json.load(open(floors_path)).get("queries", {})
+    new = load(new_path)
+    # normalize artifact keys the way bench_floors.py does (pre-r5
+    # artifacts spell q04_value_by_type; the ledger keys are qNN)
+    timings = {}
+    for name, v in new.get("queries", {}).items():
+        m = re.match(r"^q(\d+)", name)
+        if m and isinstance(v, (int, float)) and v > 0:
+            timings[f"q{int(m.group(1)):02d}"] = v
+    rows = []
+    for q, e in floors.items():
+        v = timings.get(q)
+        if v is not None and e["floor"] > 0:
+            rows.append((q, v / e["floor"], e["floor"], v, e["source"]))
+    if not rows:
+        sys.exit("no comparable queries between the floors ledger and "
+                 "the artifact")
+    rows.sort(key=lambda r: -r[1])
+    med = sorted(r[1] for r in rows)[len(rows) // 2]
+    at_floor = sum(1 for r in rows if r[1] <= 1.001)
+    print(f"{len(rows)} queries vs floors ({floors_path}); "
+          f"median over-floor {med:.2f}x; {at_floor} at/below floor")
+    over = [r for r in rows if r[1] > 1.25]
+    if not over:
+        print("no query >25% over its cross-session floor")
+    else:
+        print("queries >25% over floor (check spike MOBILITY across "
+              "sessions before reading as regression):")
+        for q, r, fl, v, src in over[:15]:
+            print(f"  {q:6s} {r:5.2f}x  floor {fl:.3f} ({src}) -> {v:.3f}")
+    improved = [r for r in rows if r[1] < 1.0]
+    if improved:
+        print(f"{len(improved)} queries BELOW their recorded floor — run "
+              "tools/bench_floors.py to ratchet the ledger")
+
+
 if __name__ == "__main__":
-    if len(sys.argv) != 3:
+    if len(sys.argv) == 4 and sys.argv[1] == "--floors":
+        floors_mode(sys.argv[2], sys.argv[3])
+    elif len(sys.argv) == 3:
+        main(sys.argv[1], sys.argv[2])
+    else:
         sys.exit(__doc__)
-    main(sys.argv[1], sys.argv[2])
