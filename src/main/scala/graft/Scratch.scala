@@ -673,6 +673,42 @@ object Scratch {
       spark.stop()
       return
     }
+    if (name == "canary") {
+      // the standing 100× scale-canary set (r11 judge item 5): ten
+      // queries spanning the catalog's distinct shuffle shapes, run
+      // cold + warm against whatever corpus SCRATCH_DIR points at
+      // (build one with `graft.ScaleUp /root/testdata/sf0.01 <dst> 100`).
+      // One table per round in PLANS.md; a >25% cold regression vs the
+      // prior round's table is explained or fixed, not shrugged at.
+      val canaries = Seq(
+        "q102" -> "span explode + gap stitch",
+        "q107" -> "persisted store probe",
+        "q121" -> "winnowing fingerprint join",
+        "q127" -> "contrastive triplets (rank zip)",
+        "q65" -> "Aho–Corasick decontamination",
+        "q44" -> "NN dedup (dispatch-probed)",
+        "q46" -> "connected-components clusters",
+        "q81" -> "BM25 scoring",
+        "q124" -> "DSIR importance weights",
+        "q131" -> "DoReMi mix weights")
+      println(f"${"query"}%-28s ${"shape"}%-34s cold_s  warm_s")
+      canaries.foreach { case (prefix, shape) =>
+        val (qn, fn) = SparkEntry.queries.toSeq.sortBy(_._1)
+          .find(_._1.startsWith(prefix + "_"))
+          .orElse(SparkEntry.queries.find(_._1 == prefix))
+          .getOrElse(sys.error(s"canary $prefix not in catalog"))
+        def once(): Double = {
+          spark.sharedState.cacheManager.clearCache()
+          val t0 = System.nanoTime()
+          fn(spark, dir).count()
+          (System.nanoTime() - t0) / 1e9
+        }
+        val cold = once(); val warm = once()
+        println(f"$qn%-28s $shape%-34s $cold%6.2f  $warm%6.2f")
+      }
+      spark.stop()
+      return
+    }
     if (name == "q41lsh") {
       // the q41 kernel blocked by LSH bucket instead of label — the
       // documented handoff once label blocks outgrow memory
