@@ -593,6 +593,22 @@ object Scratch {
     // q127 decomposition caught (a rank frame joined twice replayed its
     // whole post-checkpoint branch). Runs each query twice and reports
     // the SECOND run's count (first pays memo-warming probes).
+    // SparkListener events ride the ASYNC AsyncEventQueue: a counter read
+    // right after count() races late deliveries, which only printed odd
+    // numbers while the census was informational but would flake the
+    // jobbudget GATE (spurious red, or masked creep). waitUntilEmpty is
+    // private[spark] — reflection, with a settle-sleep fallback.
+    def drainListenerBus(): Unit = {
+      val sc = spark.sparkContext
+      try {
+        val bus = sc.getClass.getMethod("listenerBus").invoke(sc)
+        bus.getClass.getMethods.find(m =>
+          m.getName == "waitUntilEmpty" && m.getParameterCount == 0) match {
+          case Some(m) => m.invoke(bus); ()
+          case None => Thread.sleep(300)
+        }
+      } catch { case _: ReflectiveOperationException => Thread.sleep(300) }
+    }
     def runJobCensus(): Seq[(String, Int, Double)] = {
       val jobs = new java.util.concurrent.atomic.AtomicInteger
       spark.sparkContext.addSparkListener(
@@ -606,8 +622,10 @@ object Scratch {
         case (qn, fn) =>
           def once(): (Int, Double) = {
             spark.sharedState.cacheManager.clearCache()
+            drainListenerBus()
             val j0 = jobs.get(); val t0 = System.nanoTime()
             fn(spark, dir).count()
+            drainListenerBus()
             (jobs.get() - j0, (System.nanoTime() - t0) / 1e9)
           }
           once()
@@ -634,8 +652,15 @@ object Scratch {
       // per-execution job creep from a replayed subtree) cannot recur
       // unobserved. Drops are reported so the ledger can ratchet.
       val budgetFile = new java.io.File("JOB_BUDGETS.json")
+      // a GATE must not self-disarm: a missing ledger in gate mode (wrong
+      // cwd, deleted file) fails loud — only the explicit `write` arg
+      // regenerates (r12 review finding)
+      if (!args.lift(2).contains("write") && !budgetFile.exists())
+        sys.error(s"jobbudget: ${budgetFile.getAbsolutePath} not found — " +
+          "run from the repo root, or regenerate with " +
+          "`jobbudget <dir> write`")
       val counts = runJobCensus()
-      if (args.lift(2).contains("write") || !budgetFile.exists()) {
+      if (args.lift(2).contains("write")) {
         val json = counts.sortBy(_._1).map { case (qn, j, _) =>
           s"""  "$qn": $j""" }.mkString("{\n", ",\n", "\n}\n")
         java.nio.file.Files.write(budgetFile.toPath,

@@ -222,7 +222,25 @@ object Tables {
       label: String): Array[T] = {
     require(cap > 0 && cap < Int.MaxValue,
       s"boundedCollect($label): cap must be a positive Int, got $cap")
-    val rows = ds.limit(cap + 1).collect()
+    // A root limit collects via executeTake, which by default probes
+    // partitions in sequential 1/4/16/… rounds — on a multi-partition
+    // frame that turns the site's former ONE parallel job into a ramp of
+    // driver-blocking jobs (the per-job scheduler barrier is the q127
+    // floor lesson; edgesUpToCap documents the one-job contract
+    // explicitly). Setting initialNumPartitions sky-high for the
+    // planning of THIS collect makes executeTake's first round scan
+    // every partition — the original single-job shape, now with the
+    // cap+1 row cut applied per partition before rows reach the driver.
+    val spark = ds.sparkSession
+    val key = "spark.sql.limit.initialNumPartitions"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "1000000") // >= any real partition count
+    val rows =
+      try ds.limit(cap + 1).collect()
+      finally prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
     if (rows.length > cap)
       throw new IllegalStateException(
         s"boundedCollect($label): more than $cap rows reached the " +

@@ -39,23 +39,66 @@ class BoundedCollectSpec extends SparkSpec {
     assert(Tables.boundedCollect(vals, 5, "at-cap").length === 5)
   }
 
-  test("no raw .collect() exists in src/main outside Bench's warmup and " +
-      "the boundedCollect helper itself (the grep audit, executable)") {
+  test("a multi-partition boundedCollect is still ONE job (the guard " +
+      "limit must not re-introduce executeTake's sequential partition " +
+      "ramp — the per-job scheduler barrier is the q127 floor lesson)") {
+    val jobs = new java.util.concurrent.atomic.AtomicInteger
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); ()
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      // AQE off: coalescing to one partition would mask the ramp this
+      // test exists to catch; 16 partitions × few rows each is exactly
+      // the shape where default executeTake runs 1/4/16 rounds (3 jobs)
+      val aqeBefore = spark.conf.get("spark.sql.adaptive.enabled")
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      try {
+        val multi = spark.range(64).toDF("id").repartition(16)
+        multi.count() // materialize inputs outside the window
+        SparkSpec.waitForListenerBus(spark)
+        val j0 = jobs.get()
+        val got = Tables.boundedCollect(multi, 1000, "one-job pin")
+        SparkSpec.waitForListenerBus(spark)
+        assert(got.length === 64)
+        assert(jobs.get() - j0 === 1,
+          s"boundedCollect must stay one job, ran ${jobs.get() - j0}")
+      } finally spark.conf.set("spark.sql.adaptive.enabled", aqeBefore)
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
+  test("no raw driver materialization exists in src/main outside Bench's " +
+      "warmup and the boundedCollect helper itself (the grep audit, " +
+      "executable; collectAsList/toLocalIterator count too)") {
     val root = new java.io.File("src/main/scala")
     assume(root.isDirectory, "spec must run from the repo root")
+    val patterns = Seq(".collect()", ".collectAsList()", ".toLocalIterator")
     def walk(f: java.io.File): Seq[java.io.File] =
       if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
-    val offenders = walk(root).filter(_.getName.endsWith(".scala"))
+    val hits = walk(root).filter(_.getName.endsWith(".scala"))
       .flatMap { f =>
-        val allowed = f.getName == "Bench.scala" || f.getName == "Tables.scala"
         new String(java.nio.file.Files.readAllBytes(f.toPath),
           java.nio.charset.StandardCharsets.UTF_8)
           .linesIterator.zipWithIndex.collect {
-          case (line, i) if line.contains(".collect()") && !allowed =>
-            s"${f.getPath}:${i + 1}: $line"
+          case (line, i) if patterns.exists(line.contains) =>
+            (f.getName, s"${f.getPath}:${i + 1}: $line")
         }.toSeq
       }
+    // the two allowed occurrences are pinned by COUNT, not by file —
+    // a new raw collect added to Tables.scala or Bench.scala must fail
+    // this spec too (the r12 review hole: a whole-file whitelist)
+    val offenders = hits.filterNot(_._1 == "Tables.scala")
+      .filterNot(_._1 == "Bench.scala").map(_._2)
     assert(offenders.isEmpty,
       s"raw driver collect outside the contract:\n${offenders.mkString("\n")}")
+    assert(hits.count(_._1 == "Tables.scala") == 2,
+      "Tables.scala must contain exactly the helper's doc mention and " +
+        s"its one collect:\n${hits.filter(_._1 == "Tables.scala").map(_._2).mkString("\n")}")
+    assert(hits.count(_._1 == "Bench.scala") == 1,
+      "Bench.scala must contain exactly the warmup collect:\n" +
+        hits.filter(_._1 == "Bench.scala").map(_._2).mkString("\n"))
   }
 }

@@ -94,6 +94,18 @@ class JoinBoundednessSpec extends SparkSpec {
         docs.filter(col("doc_id") === 0L).select(col("text").as("q_text")))))
       assert(probed.nonEmpty && probed.forall(identity),
         "walker rejected the vec_id === queryId point-probe idiom")
+      // a NEGATED equality is corpus-minus-one-row, and an equality
+      // hiding inside an OR disjunct selects the whole corpus — neither
+      // is a point probe (r12 review: cond.exists blessed both)
+      val negated = productNodes(docs.crossJoin(broadcast(
+        docs.filter(col("doc_id") =!= 0L).select(col("text").as("q_text")))))
+      assert(negated.nonEmpty && negated.forall(!_),
+        "walker accepted a negated equality (corpus minus one row)")
+      val disjunct = productNodes(docs.crossJoin(broadcast(
+        docs.filter(col("doc_id") === 0L || col("text").isNotNull)
+          .select(col("text").as("q_text")))))
+      assert(disjunct.nonEmpty && disjunct.forall(!_),
+        "walker accepted an equality hidden inside an OR disjunct")
     } finally spark.conf.set("spark.sql.adaptive.enabled", aqeBefore)
   }
 

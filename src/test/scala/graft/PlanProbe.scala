@@ -80,13 +80,27 @@ object PlanProbe {
     case other => other
   }
 
-  private def hasPointEquality(cond: Expression): Boolean = cond.exists {
-    case EqualTo(a, b) =>
-      val (sa, sb) = (stripCastsAndAliases(a), stripCastsAndAliases(b))
-      (sa.isInstanceOf[NamedExpression] && sb.foldable) ||
-        (sb.isInstanceOf[NamedExpression] && sa.foldable)
-    case _ => false
+  private def conjuncts(e: Expression): Seq[Expression] = e match {
+    case org.apache.spark.sql.catalyst.expressions.And(l, r) =>
+      conjuncts(l) ++ conjuncts(r)
+    case other => Seq(other)
   }
+
+  /** A top-level AND-conjunct must BE the attribute = literal equality —
+    * not merely contain one: `vec_id =!= q` is Not(EqualTo) (corpus minus
+    * one row) and `id === 0 || text.isNotNull` hides the equality inside
+    * a disjunct (whole corpus); `cond.exists` would bless both, silently
+    * re-opening the corpus-broadcast class this walker gates (the r12
+    * review finding — same family as Generate-inherits-boundedness).
+    */
+  private def hasPointEquality(cond: Expression): Boolean =
+    conjuncts(cond).exists {
+      case EqualTo(a, b) =>
+        val (sa, sb) = (stripCastsAndAliases(a), stripCastsAndAliases(b))
+        (sa.isInstanceOf[NamedExpression] && sb.foldable) ||
+          (sb.isInstanceOf[NamedExpression] && sa.foldable)
+      case _ => false
+    }
 
   /** The query's physical plan with an adaptive root unwrapped: under
     * AQE (the session default) `executedPlan` is an

@@ -1,9 +1,5 @@
 package graft
 
-import org.apache.spark.sql.execution._
-import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
-import org.apache.spark.sql.execution.exchange.Exchange
-import org.apache.spark.sql.execution.joins.{BaseJoinExec, CartesianProductExec}
 import org.apache.spark.sql.execution.window.WindowExec
 
 /** Pins the global-window boundedness invariant over the WHOLE catalog
@@ -27,7 +23,7 @@ import org.apache.spark.sql.execution.window.WindowExec
   */
 class WindowBoundednessSpec extends SparkSpec {
 
-  private def boundedBelow(p: SparkPlan): Boolean =
+  private def boundedBelow(p: org.apache.spark.sql.execution.SparkPlan) =
     PlanProbe.boundedBelow(p)
 
   test("every partition-less WindowExec in every catalog query sits " +

@@ -86,15 +86,16 @@ def main(old_path: str, new_path: str) -> None:
 
 
 def floors_mode(floors_path: str, new_path: str) -> None:
+    # one normalization definition for the ledger and the comparator —
+    # a format tweak updated in one tool must not silently desync the two
+    from bench_floors import qkey
     floors = json.load(open(floors_path)).get("queries", {})
     new = load(new_path)
-    # normalize artifact keys the way bench_floors.py does (pre-r5
-    # artifacts spell q04_value_by_type; the ledger keys are qNN)
     timings = {}
     for name, v in new.get("queries", {}).items():
-        m = re.match(r"^q(\d+)", name)
-        if m and isinstance(v, (int, float)) and v > 0:
-            timings[f"q{int(m.group(1)):02d}"] = v
+        q = qkey(name)
+        if q is not None and isinstance(v, (int, float)) and v > 0:
+            timings[q] = v
     rows = []
     for q, e in floors.items():
         v = timings.get(q)
