@@ -728,8 +728,15 @@ object Scratch {
           fn(spark, dir).count()
           (System.nanoTime() - t0) / 1e9
         }
-        val cold = once(); val warm = once()
-        println(f"$qn%-28s $shape%-34s $cold%6.2f  $warm%6.2f")
+        // a partial corpus (documents-only 1000× sweeps) skips the
+        // canaries whose tables are absent instead of aborting the set
+        try {
+          val cold = once(); val warm = once()
+          println(f"$qn%-28s $shape%-34s $cold%6.2f  $warm%6.2f")
+        } catch {
+          case e: Exception =>
+            println(f"$qn%-28s $shape%-34s SKIP (${e.getClass.getSimpleName})")
+        }
       }
       spark.stop()
       return
