@@ -16,6 +16,15 @@ replacing the per-round dig through PLANS.md prose.
 `total_floor` is the sum of per-query floors — an idealized
 every-query-at-its-best total no real session reaches; compare sessions
 against it directionally, not as a target.
+
+SOURCE POLICY: do NOT feed BENCH_r01/r02 into the ledger. The
+similarity family (q41/q44/q47) was reimplemented after r01 for
+100 TB scale (kernel/dispatch machinery), and those artifacts' floors
+for the old implementations (2-3x below every later round) are
+unreachable targets that would flag the rewritten queries every round.
+A floor should be the best of the CURRENT implementation lineage —
+when a query is deliberately reimplemented, delete its ledger entry so
+it re-seeds from the new lineage's sessions.
 """
 import json
 import os
