@@ -1058,6 +1058,12 @@ class StreamingSpec extends SparkSpec {
       "sentence-ending period must not defeat the boundary match")
     assert(isLmSwapWindow(fnf(s"Renamed away: $canon.old."), store),
       "swap artifact at sentence end")
+    // a URI-ENCODED spelling of the store path does not match — by
+    // contract: no Spark/Hadoop layer emits percent-encoded paths in
+    // FNF/Analysis messages, and a miss fails the trigger (fail-safe,
+    // replay re-scores) rather than committing empty partials
+    assert(!isLmSwapWindow(
+      fnf("File " + canon.replace("/", "%2F") + " does not exist"), store))
     // unrelated failures never classify; nested causes are walked
     assert(!isLmSwapWindow(fnf("/somewhere/else/part-0.parquet"), store))
     assert(isLmSwapWindow(
