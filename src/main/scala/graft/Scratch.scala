@@ -715,7 +715,9 @@ object Scratch {
         "q46" -> "connected-components clusters",
         "q81" -> "BM25 scoring",
         "q124" -> "DSIR importance weights",
-        "q131" -> "DoReMi mix weights")
+        "q131" -> "DoReMi mix weights",
+        // r12 addition: the probe-set BNLJ + cell-fanout shape is new
+        "q135" -> "IVF recall eval (probe fan-out)")
       println(f"${"query"}%-28s ${"shape"}%-34s cold_s  warm_s")
       canaries.foreach { case (prefix, shape) =>
         val (qn, fn) = SparkEntry.queries.toSeq.sortBy(_._1)

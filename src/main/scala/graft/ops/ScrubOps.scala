@@ -86,8 +86,62 @@ object ScrubOps {
       .withColumn("text", cleaned)
   }
 
+  // ---- q134: k-anonymity audit ----------------------------------------
+
+  /** Class-size threshold the q134 registration pins: an equivalence
+    * class with fewer than this many DISTINCT users is re-identifying.
+    */
+  val KAnonK = 5
+
+  def kanonAudit(s: SparkSession, dir: String): DataFrame =
+    kanonAuditOn(Tables.t(s, dir, "events"), KAnonK)
+
+  /** q134: k-anonymity audit over the quasi-identifier tuple
+    * (event_type, props.k, hour-of-day) against `user_id` — the standard
+    * pre-release privacy gate (Sweeney 2002, k-anonymity): a dataset
+    * keyed on those three indirect columns re-identifies a user whenever
+    * their equivalence class holds fewer than `k` distinct users. Runs
+    * AFTER the q104 PII pass: q104 strips direct identifiers; this
+    * measures what the remaining indirect ones still leak, per type —
+    * n_classes, how many are small, and the fraction of event ROWS
+    * sitting in a re-identifying class (`risk_pct`, the number a release
+    * gate thresholds).
+    *
+    * Scale: the corpus contracts immediately to ≤ |types|·|k-values|·24
+    * equivalence classes; `countDistinct(user_id)` is the only wide
+    * aggregation and plans as two-phase partial-distinct with map-side
+    * combine, so no row leaves its scan partition un-aggregated. The
+    * per-type rollup then folds ≤ |classes| rows. `try_cast` on props.k,
+    * not cast: one malformed payload must not kill the audit scan under
+    * ANSI mode (the q10 discipline) — unparseable k forms its own NULL
+    * quasi-identifier bucket in both engines.
+    */
+  def kanonAuditOn(eventsDf: DataFrame, k: Int): DataFrame = {
+    val classes = eventsDf
+      .select(col("event_type"),
+        expr("try_cast(get_json_object(props, '$.k') AS LONG)").as("k_prop"),
+        hour(col("ts")).as("hod"), col("user_id"))
+      .groupBy("event_type", "k_prop", "hod")
+      .agg(countDistinct(col("user_id")).as("n_users"),
+        count(lit(1)).as("n_events"))
+    classes
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n_classes"),
+        sum(when(col("n_users") < k, 1L).otherwise(0L))
+          .as("n_small_classes"),
+        min("n_users").as("min_class_users"),
+        sum("n_events").as("n_events"),
+        sum(when(col("n_users") < k, col("n_events")).otherwise(0L))
+          .as("n_events_at_risk"))
+      .withColumn("risk_pct",
+        round(col("n_events_at_risk") * lit(100.0) / col("n_events"), 4))
+      .orderBy("event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q104_pii_audit" -> piiAudit)
+    "q104_pii_audit" -> piiAudit,
+    "q134_kanon_audit" -> kanonAudit)
 
   val oracle: Map[String, String] = Map(
     "q104_pii_audit" -> {
@@ -105,5 +159,23 @@ object ScrubOps {
          |    AS n_pii_docs,
          |  $sums
          |FROM documents GROUP BY source ORDER BY source""".stripMargin
-    })
+    },
+    "q134_kanon_audit" ->
+      s"""WITH c AS (SELECT event_type,
+         |    TRY_CAST(json_extract_string(props, '$$.k') AS BIGINT)
+         |      AS k_prop,
+         |    extract(hour FROM ts) AS hod,
+         |    count(DISTINCT user_id) AS n_users, count(*) AS n_events
+         |  FROM events GROUP BY 1, 2, 3)
+         |SELECT event_type, count(*) AS n_classes,
+         |  CAST(sum(CASE WHEN n_users < $KAnonK THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_small_classes,
+         |  min(n_users) AS min_class_users,
+         |  CAST(sum(n_events) AS BIGINT) AS n_events,
+         |  CAST(sum(CASE WHEN n_users < $KAnonK THEN n_events ELSE 0 END)
+         |    AS BIGINT) AS n_events_at_risk,
+         |  round(CAST(sum(CASE WHEN n_users < $KAnonK THEN n_events
+         |      ELSE 0 END) AS BIGINT) * 100.0
+         |    / CAST(sum(n_events) AS BIGINT), 4) AS risk_pct
+         |FROM c GROUP BY event_type ORDER BY event_type""".stripMargin)
 }

@@ -612,6 +612,106 @@ object SimilarityOps {
         .as("centroid"), count(lit(1)).as("n"))
       .orderBy("label", "dim")
 
+  // ---- q135: IVF recall-vs-nProbe eval --------------------------------------
+
+  /** q135 registration constants: probe-set size, k, and the nProbe grid
+    * ceiling (the oracle replays the same literals).
+    */
+  val RecallProbes = 8
+  val RecallK = 10
+  val RecallMaxProbe = 4
+
+  def annIvfRecall(s: SparkSession, dir: String): DataFrame =
+    annIvfRecallOn(emb(s, dir))
+
+  /** `embDf` needs (vec_id, label, embedding).
+    *
+    * THE tuning curve an IVF deployment reads before fixing nProbe at
+    * scale: recall@k of the cell-probed search (q45's arm) against exact
+    * brute force, swept over nProbe = 1..`maxProbe`, averaged over a
+    * fixed probe set (the `pCount` smallest vec_ids — an eval set is
+    * small and pinned, never corpus-sized), with the cost axis alongside
+    * (`mean_frac_scanned`: probed-cell rows / corpus, self included).
+    * One row per nProbe: raising nProbe buys recall linearly in scan
+    * fraction — where the curve knees is where production stops.
+    *
+    * Scale: the probe set is bounded by construction (limit), so the
+    * ground-truth pass is |corpus|·pCount cosines — the price OF the
+    * eval, run on a fixed sample, never on every query. Candidates flow
+    * through a broadcast hash join on the cell label (≤ pCount·maxProbe
+    * probed cells), each candidate row fans out only to the nProbe arms
+    * that would scan it (explode over a ≤ maxProbe literal grid), and
+    * both top-k cuts go through [[ScaleOps.topKPerGroup]] — salted local
+    * rank first, so no corpus-sized partition ever sorts in one task the
+    * way a bare window over 8 probe groups would. Recall itself is a
+    * ≤ pCount·maxProbe·k row join: nothing after the two scans is
+    * corpus-sized.
+    */
+  def annIvfRecallOn(embDf: DataFrame, k: Int = RecallK,
+      pCount: Int = RecallProbes,
+      maxProbe: Int = RecallMaxProbe): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(embDf.sparkSession)
+    val e = embDf.select(col("vec_id"), col("label"), col("embedding"))
+    val probes = broadcast(e.orderBy("vec_id").limit(pCount)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb")))
+    val nProbeGrid = typedLit((1 to maxProbe).toList)
+
+    // exact ground truth: corpus × probes, top-k per probe
+    val exactScored = e.crossJoin(probes)
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        round(cosine(col("embedding"), col("q_emb")), 6).as("cos_sim"))
+    val exactTop = ScaleOps.topKPerGroup(exactScored, Seq("q_id"),
+        Seq(col("cos_sim").desc, col("vec_id").asc), k, col("vec_id"))
+      .select(col("q_id"), col("vec_id"))
+
+    // centroid rank per (probe, label): which cells each nProbe arm scans
+    // (annIvfOn's c_cos, ranked per probe instead of globally limited)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("q_id")
+      .orderBy(col("c_cos").desc, col("label").asc)
+    val probedCells = broadcast(probes.crossJoin(broadcast(centroidFrame(e)))
+      .withColumn("c_cos",
+        dot(col("centroid"), col("q_emb")) /
+          (sqrt(dot(col("centroid"), col("centroid"))) * norm(col("q_emb"))))
+      .withColumn("cent_rank", row_number().over(w))
+      .filter(col("cent_rank") <= maxProbe)
+      .select(col("q_id"), col("q_emb"), col("label"), col("cent_rank")))
+
+    // candidate top-k per (probe, nProbe): a cell of rank r is scanned by
+    // every arm with nProbe >= r
+    val candTop = ScaleOps.topKPerGroup(
+      e.join(probedCells, "label")
+        .filter(col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("cent_rank"), col("vec_id"),
+          round(cosine(col("embedding"), col("q_emb")), 6).as("cos_sim"))
+        .withColumn("n_probe",
+          explode(filter(nProbeGrid, np => np >= col("cent_rank")))),
+      Seq("q_id", "n_probe"),
+      Seq(col("cos_sim").desc, col("vec_id").asc), k, col("vec_id"))
+      .select(col("q_id"), col("n_probe"), col("vec_id"))
+
+    val hits = candTop.join(exactTop, Seq("q_id", "vec_id"))
+      .groupBy("q_id", "n_probe").agg(count(lit(1)).as("n_hits"))
+    val scanned = probedCells
+      .join(broadcast(e.groupBy("label").agg(count(lit(1)).as("cell_n"))),
+        "label")
+      .withColumn("n_probe",
+        explode(filter(nProbeGrid, np => np >= col("cent_rank"))))
+      .groupBy("q_id", "n_probe").agg(sum("cell_n").as("n_scanned"))
+
+    probes.select("q_id").withColumn("n_probe", explode(nProbeGrid))
+      .join(hits, Seq("q_id", "n_probe"), "left")
+      .join(scanned, Seq("q_id", "n_probe"), "left")
+      .crossJoin(broadcast(e.agg(count(lit(1)).as("n_total"))))
+      .groupBy("n_probe")
+      .agg(count(lit(1)).as("n_queries"),
+        graft.Tables.davg(coalesce(col("n_hits"), lit(0L)) / lit(k), 6)
+          .as("mean_recall_at_k"),
+        graft.Tables.davg(col("n_scanned") / col("n_total"), 6)
+          .as("mean_frac_scanned"))
+      .orderBy("n_probe")
+  }
+
   /** SemDeDup-style semantic dedup (Abbas et al. 2023): bucket every vector
     * by the high byte of the hyperplane signature — 256 coarse cells, the
     * deterministic stand-in for a k-means cluster assignment (a trained
@@ -1481,7 +1581,8 @@ object SimilarityOps {
     "q126_cluster_cohesion" -> clusterCohesion,
     "q127_contrastive_triplets" -> contrastiveTriplets,
     "q128_pq_distortion" -> pqDistortion,
-    "q132_semantic_leakage" -> semanticLeakage)
+    "q132_semantic_leakage" -> semanticLeakage,
+    "q135_ann_recall" -> annIvfRecall)
 
   /** The hyperplane constants as full-precision SQL literals (Java's
     * Double.toString round-trips, and DuckDB parses to the same IEEE
@@ -1793,6 +1894,65 @@ object SimilarityOps {
          |FROM embeddings e JOIN pr ON e.label = pr.label CROSS JOIN q
          |WHERE e.vec_id <> 0
          |ORDER BY cos_sim DESC, e.vec_id ASC LIMIT 10""".stripMargin,
+    "q135_ann_recall" ->
+      s"""WITH p AS (SELECT vec_id AS q_id, embedding AS q_emb
+         |  FROM embeddings ORDER BY vec_id LIMIT $RecallProbes),
+         |np AS (SELECT unnest(generate_series(1, $RecallMaxProbe)) AS np),
+         |ex AS (SELECT p.q_id, e.vec_id,
+         |    round((${sqlDot("e.embedding", "p.q_emb")})
+         |      / nullif(${sqlNorm("e.embedding")} * ${sqlNorm("p.q_emb")},
+         |        0), 6) AS cos_sim
+         |  FROM embeddings e CROSS JOIN p WHERE e.vec_id <> p.q_id),
+         |ext AS (SELECT q_id, vec_id FROM (SELECT q_id, vec_id,
+         |    row_number() OVER (PARTITION BY q_id
+         |      ORDER BY cos_sim DESC, vec_id ASC) AS rk FROM ex)
+         |  WHERE rk <= $RecallK),
+         |c0 AS (SELECT label, s.i AS dim,
+         |    round(CAST(sum(CAST(embedding[s.i] AS DECIMAL(38,10)))
+         |      AS DOUBLE) / count(*), 6) AS cv
+         |  FROM embeddings
+         |  CROSS JOIN (SELECT unnest(generate_series(1, $Dim)) AS i) s
+         |  GROUP BY label, s.i),
+         |c AS (SELECT label, list(cv ORDER BY dim) AS carr FROM c0
+         |  GROUP BY label),
+         |cr AS (SELECT q_id, q_emb, label, row_number() OVER (
+         |    PARTITION BY q_id ORDER BY c_cos DESC, label ASC) AS cent_rank
+         |  FROM (SELECT p.q_id, p.q_emb, c.label,
+         |      (${sqlDot("c.carr", "p.q_emb")})
+         |        / nullif(${sqlNorm("c.carr")} * ${sqlNorm("p.q_emb")}, 0)
+         |        AS c_cos
+         |    FROM c CROSS JOIN p)),
+         |pc AS (SELECT * FROM cr WHERE cent_rank <= $RecallMaxProbe),
+         |cand AS (SELECT pc.q_id, pc.cent_rank, e.vec_id,
+         |    round((${sqlDot("e.embedding", "pc.q_emb")})
+         |      / nullif(${sqlNorm("e.embedding")} * ${sqlNorm("pc.q_emb")},
+         |        0), 6) AS cos_sim
+         |  FROM embeddings e JOIN pc ON e.label = pc.label
+         |  WHERE e.vec_id <> pc.q_id),
+         |cat AS (SELECT q_id, n_probe, vec_id FROM (
+         |    SELECT q_id, np.np AS n_probe, vec_id, cos_sim,
+         |      row_number() OVER (PARTITION BY q_id, np.np
+         |        ORDER BY cos_sim DESC, vec_id ASC) AS rk
+         |    FROM cand CROSS JOIN np WHERE np.np >= cand.cent_rank)
+         |  WHERE rk <= $RecallK),
+         |h AS (SELECT q_id, n_probe, count(*) AS n_hits
+         |  FROM cat JOIN ext USING (q_id, vec_id) GROUP BY 1, 2),
+         |cs AS (SELECT label, count(*) AS cell_n FROM embeddings
+         |  GROUP BY label),
+         |tot AS (SELECT count(*) AS n_total FROM embeddings),
+         |sc AS (SELECT pc.q_id, np.np AS n_probe,
+         |    CAST(sum(cs.cell_n) AS BIGINT) AS n_scanned
+         |  FROM pc JOIN cs ON pc.label = cs.label
+         |  CROSS JOIN np WHERE np.np >= pc.cent_rank GROUP BY 1, 2),
+         |g AS (SELECT p.q_id, np.np AS n_probe FROM p CROSS JOIN np)
+         |SELECT CAST(g.n_probe AS INT) AS n_probe, count(*) AS n_queries,
+         |  ${Tables.sqlDavg(s"coalesce(h.n_hits, 0) / $RecallK", 6)}
+         |    AS mean_recall_at_k,
+         |  ${Tables.sqlDavg("sc.n_scanned / tot.n_total", 6)}
+         |    AS mean_frac_scanned
+         |FROM g LEFT JOIN h USING (q_id, n_probe)
+         |  LEFT JOIN sc USING (q_id, n_probe) CROSS JOIN tot
+         |GROUP BY g.n_probe ORDER BY n_probe""".stripMargin,
     "q40_ann_topk" ->
       s"""SELECT e.vec_id, e.label,
          |  round((${sqlDot("e.embedding", "q.q_emb")})

@@ -1153,7 +1153,66 @@ object TextOps {
         col("logit"), col("keep"))
       .orderBy("doc_id")
 
+  // ---- q133: n-gram entropy -------------------------------------------
+
+  /** q133: per-source Shannon entropy of the unigram and bigram token
+    * distributions — the corpus-diversity signal curation pipelines watch
+    * alongside Zipf fit (q109) and repetition (q63): entropy CRASHES when
+    * a source degenerates to boilerplate (templated spam repeats the same
+    * grams) and saturates toward log2(vocab) when token use is uniform.
+    * `h_cond = h_bigram − h_unigram` approximates the conditional
+    * next-token entropy — the bits a bigram LM still has to guess given
+    * the previous token, the per-source compressibility axis a mixing
+    * governor reads next to perplexity (q108).
+    *
+    * Identity used: H = −Σ (c/n)·log2(c/n) = log2(n) − (Σ c·log2 c)/n —
+    * one fold over the contracted (source, gram, c) table, no per-row
+    * probability column and no second pass for n. Scale: unigrams and
+    * bigrams contract to ≤ |sources|·|vocab| rows with map-side partial
+    * aggregation before the only shuffle (the q114 contraction); each
+    * per-term c·log2(c) is decimal-cast before summation (the dsum/davg
+    * discipline) so the fold is order-independent and the oracle twin
+    * lands on identical decimals in any partition order.
+    */
+  def ngramEntropy(s: SparkSession, dir: String): DataFrame =
+    ngramEntropyOn(docs(s, dir))
+
+  /** `docsDf` needs (source, text). */
+  def ngramEntropyOn(docsDf: DataFrame): DataFrame = {
+    val Dec = org.apache.spark.sql.types.DecimalType(38, 10)
+    // (source, gram, c) -> one row per source: total, vocab, entropy
+    def entropyOf(counts: DataFrame, nName: String, vName: String,
+        hName: String): DataFrame =
+      counts
+        .groupBy("source")
+        .agg(sum("c").as(nName), count(lit(1)).as(vName),
+          sum((col("c") * log2(col("c"))).cast(Dec)).as("_clc"))
+        .select(col("source"), col(nName), col(vName),
+          round(log2(col(nName)) -
+            col("_clc").cast("double") / col(nName), 6).as(hName))
+    val d = docsDf.select(col("source"), tokens.as("toks"))
+    val uni = d.select(col("source"), explode(col("toks")).as("g"))
+      .groupBy("source", "g").agg(count(lit(1)).as("c"))
+    val n = size(col("toks"))
+    // q83's zip_with bigram construction, keyed by source instead of doc
+    val bi = d.filter(n >= 2)
+      .select(col("source"), explode(zip_with(
+        slice(col("toks"), lit(1), n - 1),
+        slice(col("toks"), lit(2), n - 1),
+        (a, b) => concat_ws(" ", a, b))).as("g"))
+      .groupBy("source", "g").agg(count(lit(1)).as("c"))
+    entropyOf(uni, "n_tokens", "vocab", "h_unigram")
+      // left join: a source whose every doc is a single token has no
+      // bigrams at all — its bigram stats are NULL, not 0 (no model to
+      // measure), mirroring q108's no-bigrams discipline
+      .join(entropyOf(bi, "n_bigrams", "bigram_vocab", "h_bigram"),
+        Seq("source"), "left")
+      .withColumn("h_cond", round(col("h_bigram") - col("h_unigram"), 6))
+      .orderBy("source")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q133_ngram_entropy" -> ngramEntropy,
     "q121_winnow_matches" -> winnowMatches,
     "q119_winnow_fingerprints" -> winnowFingerprints,
     "q118_token_coverage" -> tokenCoverage,
@@ -1206,6 +1265,33 @@ object TextOps {
        |  FROM sel)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q133_ngram_entropy" ->
+      """WITH d AS (SELECT source,
+        |    string_split(trim(text), ' ') AS toks FROM documents),
+        |uc AS (SELECT source, g, count(*) AS c
+        |  FROM (SELECT source, unnest(toks) AS g FROM d) GROUP BY 1, 2),
+        |ue AS (SELECT source, CAST(sum(c) AS BIGINT) AS n_tokens,
+        |    count(*) AS vocab,
+        |    round(log2(CAST(sum(c) AS BIGINT))
+        |      - CAST(sum(CAST(c * log2(c) AS DECIMAL(38,10))) AS DOUBLE)
+        |        / CAST(sum(c) AS BIGINT), 6) AS h_unigram
+        |  FROM uc GROUP BY source),
+        |bc AS (SELECT source, g, count(*) AS c
+        |  FROM (SELECT source, unnest(list_transform(
+        |      generate_series(1, len(toks) - 1),
+        |      i -> toks[i] || ' ' || toks[i+1])) AS g
+        |    FROM d WHERE len(toks) >= 2) GROUP BY 1, 2),
+        |be AS (SELECT source, CAST(sum(c) AS BIGINT) AS n_bigrams,
+        |    count(*) AS bigram_vocab,
+        |    round(log2(CAST(sum(c) AS BIGINT))
+        |      - CAST(sum(CAST(c * log2(c) AS DECIMAL(38,10))) AS DOUBLE)
+        |        / CAST(sum(c) AS BIGINT), 6) AS h_bigram
+        |  FROM bc GROUP BY source)
+        |SELECT ue.source, ue.n_tokens, ue.vocab, ue.h_unigram,
+        |  be.n_bigrams, be.bigram_vocab, be.h_bigram,
+        |  round(be.h_bigram - ue.h_unigram, 6) AS h_cond
+        |FROM ue LEFT JOIN be ON ue.source = be.source
+        |ORDER BY ue.source""".stripMargin,
     "q121_winnow_matches" ->
       s"""$winnowCtes,
          |e AS (SELECT doc_id, unnest(fps) AS f FROM fp),

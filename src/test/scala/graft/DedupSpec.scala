@@ -1391,4 +1391,49 @@ class DedupSpec extends SparkSpec {
     // and the exact-forced arm agrees too (no gating on this tiny block)
     assert(run(0L) === run(Long.MaxValue, exact = true))
   }
+
+  test("IVF recall eval: planted cross-cell neighbor gives recall 0.5 at " +
+      "nProbe 1 and 1.0 once its cell is probed; full probe scans all") {
+    import spark.implicits._
+    // query 0 lives in cell L0; its TRUE nearest neighbor (id 3) is
+    // labeled L1, so nProbe=1 (L0 only: candidates 1,2) finds 1 of the
+    // exact top-2 {3, 1}; nProbe=2 scans both cells and recovers both
+    def v(xs: Double*): Array[Float] = xs.map(_.toFloat).toArray
+    val embDf = Seq(
+      (0L, v(1, 0, 0, 0), 0), (1L, v(0.95, 0.05, 0, 0), 0),
+      (2L, v(0.9, 0.1, 0, 0), 0),
+      (3L, v(0.99, 0.01, 0, 0), 1), (4L, v(0, 0, 1, 0), 1),
+      (5L, v(0, 0, 0.9, 0.1), 1)).toDF("vec_id", "embedding", "label")
+    val got = SimilarityOps.annIvfRecallOn(embDf, k = 2, pCount = 1,
+        maxProbe = 2).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+      .toSeq
+    assert(got === Seq(
+      (1, 1L, 0.5, 0.5),
+      (2, 1L, 1.0, 1.0)))
+  }
+
+  test("IVF recall eval: recall and scan fraction are monotone in nProbe " +
+      "and reach exactly 1.0 when every cell is probed") {
+    import spark.implicits._
+    val dim = SimilarityOps.Dim
+    val rnd = new scala.util.Random(11)
+    def vec(): Array[Float] = Array.fill(dim)(rnd.nextGaussian().toFloat)
+    val embDf = (0L until 120L).map(i => (i, vec(), (i % 3).toInt))
+      .toDF("vec_id", "embedding", "label")
+    val rows = SimilarityOps.annIvfRecallOn(embDf, k = 10, pCount = 4,
+        maxProbe = 3).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+      .toSeq
+    assert(rows.map(_._1) === Seq(1, 2, 3))
+    assert(rows.forall(_._2 === 4L))
+    val recalls = rows.map(_._3)
+    val fracs = rows.map(_._4)
+    assert(recalls.zip(recalls.tail).forall { case (a, b) => a <= b },
+      s"recall must be monotone in nProbe: $recalls")
+    assert(fracs.zip(fracs.tail).forall { case (a, b) => a < b },
+      s"scan fraction must strictly grow: $fracs")
+    // probing all |labels| cells IS brute force: recall exactly 1
+    assert(recalls.last === 1.0 && fracs.last === 1.0)
+  }
 }

@@ -1214,4 +1214,29 @@ class OpsSpec extends SparkSpec {
       .select("vec_id").collect().map(_.getLong(0)).toSet
     assert(out.forall(r => embIds.contains(r.getAs[Long]("doc_id"))))
   }
+
+  test("n-gram entropy: hand-computed unigram/bigram entropy; a " +
+      "single-token source has NULL bigram stats") {
+    import spark.implicits._
+    // source A: one doc "a a b" -> unigram dist (2/3, 1/3): H =
+    // log2(3) - (2*log2 2 + 1*log2 1)/3 = 0.918296; bigrams "a a", "a b"
+    // each once: H = 1.0 exactly; h_cond = their difference
+    // source B: two single-token docs -> (1/2, 1/2): H = 1.0, NO bigrams
+    val df = Seq(("A", "a a b"), ("B", "x"), ("B", "y"))
+      .toDF("source", "text")
+    val got = TextOps.ngramEntropyOn(df).collect()
+    assert(got.length === 2)
+    val a = got(0)
+    assert(a.getString(0) === "A")
+    assert((a.getLong(1), a.getLong(2)) === ((3L, 2L)))
+    assert(a.getDouble(3) === 0.918296)
+    assert((a.getLong(4), a.getLong(5)) === ((2L, 2L)))
+    assert(a.getDouble(6) === 1.0)
+    assert(a.getDouble(7) === 0.081704)
+    val b = got(1)
+    assert(b.getString(0) === "B")
+    assert((b.getLong(1), b.getLong(2), b.getDouble(3)) === ((2L, 2L, 1.0)))
+    assert(b.isNullAt(4) && b.isNullAt(5) && b.isNullAt(6) && b.isNullAt(7),
+      "a bigram-free source must report NULL bigram stats, not zeros")
+  }
 }

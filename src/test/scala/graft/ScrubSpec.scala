@@ -84,4 +84,28 @@ class ScrubSpec extends SparkSpec {
       ("books", 1L, 0L, 0L, 0L, 0L, 0L),
       ("web", 1L, 0L, 0L, 0L, 0L, 0L)))
   }
+
+  test("k-anonymity audit: planted small classes, row-level risk, and a " +
+      "NULL quasi-identifier bucket for unparseable props") {
+    import spark.implicits._
+    def ev(t: String, u: Long, props: String) =
+      (t, u, java.sql.Timestamp.valueOf("2026-01-01 00:10:00"), props)
+    val rows =
+      // view/k=1/hod=0: 2 distinct users over 3 events -> small (< 5)
+      Seq(ev("view", 1L, """{"k": 1}"""), ev("view", 1L, """{"k": 1}"""),
+        ev("view", 2L, """{"k": 1}""")) ++
+      // view/k=2/hod=0: 5 distinct users -> safe
+      (1L to 5L).map(u => ev("view", u, """{"k": 2}""")) ++
+      // click/k=1/hod=0: one user posting 4 events -> the worst class
+      Seq.fill(4)(ev("click", 9L, """{"k": 1}""")) ++
+      // click with unparseable k: its own NULL-k class, 5 users -> safe
+      (1L to 5L).map(u => ev("click", u, "not json"))
+    val df = rows.toDF("event_type", "user_id", "ts", "props")
+    val got = ScrubOps.kanonAuditOn(df, k = 5).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getDouble(6))).toSeq
+    assert(got === Seq(
+      ("click", 2L, 1L, 1L, 9L, 4L, 44.4444),
+      ("view", 2L, 1L, 2L, 8L, 3L, 37.5)))
+  }
 }
