@@ -612,6 +612,58 @@ object SimilarityOps {
         .as("centroid"), count(lit(1)).as("n"))
       .orderBy("label", "dim")
 
+  // ---- q136: per-label embedding drift between snapshots --------------------
+
+  /** q136: embedding drift report between a base corpus and a new crawl
+    * batch — the embedding-space twin of q114's token-KL drift and the
+    * retraining trigger that fires BEFORE q128's PQ distortion visibly
+    * degrades: per label, both snapshot sizes, the cosine between the two
+    * decimal-exact centroids (q43's order-independent mean, so the number
+    * is reproducible on any cluster and re-derivable by the oracle), and
+    * both centroid norms (a shrinking batch norm with high cosine =
+    * same direction, lower confidence — a different failure than
+    * rotation, so both axes are reported).
+    *
+    * The catalog face derives the batch from the corpus with pinned
+    * deterministic edits (every vec_id % 5 == 0 vector, each element
+    * rescaled x·0.9 + 0.05 — a simulated encoder nudge) so the oracle
+    * rebuilds the identical pair; [[embeddingDriftOn]] is the general
+    * two-snapshot library form.
+    *
+    * Scale: each side is ONE q43-shape contraction (posexplode +
+    * map-side partial decimal sums) to ≤ |labels| centroid rows; the
+    * full-outer label join and everything after it is label-bounded. The
+    * corpora are never joined row-to-row. A label present in only one
+    * snapshot reports its missing side as n = 0 with NULL cosine (no
+    * centroid to compare — the q108 no-model discipline).
+    */
+  def embeddingDrift(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val base = e.filter(col("vec_id") % 5 =!= 0)
+    val batch = e.filter(col("vec_id") % 5 === 0)
+      .withColumn("embedding",
+        transform(col("embedding"), x => x.cast("double") * 0.9 + 0.05))
+    embeddingDriftOn(base, batch)
+  }
+
+  /** Both snapshots need (label, embedding). */
+  def embeddingDriftOn(baseDf: DataFrame, batchDf: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(baseDf.sparkSession)
+    def side(df: DataFrame, nName: String, cName: String): DataFrame =
+      centroidFrame(df.select(col("label"), col("embedding")))
+        .join(df.groupBy("label").agg(count(lit(1)).as(nName)), "label")
+        .withColumnRenamed("centroid", cName)
+    side(baseDf, "n_base", "c_base")
+      .join(side(batchDf, "n_batch", "c_batch"), Seq("label"), "full_outer")
+      .select(col("label"),
+        coalesce(col("n_base"), lit(0L)).as("n_base"),
+        coalesce(col("n_batch"), lit(0L)).as("n_batch"),
+        round(cosine(col("c_base"), col("c_batch")), 6).as("centroid_cos"),
+        round(norm(col("c_base")), 6).as("base_norm"),
+        round(norm(col("c_batch")), 6).as("batch_norm"))
+      .orderBy("label")
+  }
+
   // ---- q135: IVF recall-vs-nProbe eval --------------------------------------
 
   /** q135 registration constants: probe-set size, k, and the nProbe grid
@@ -1582,7 +1634,8 @@ object SimilarityOps {
     "q127_contrastive_triplets" -> contrastiveTriplets,
     "q128_pq_distortion" -> pqDistortion,
     "q132_semantic_leakage" -> semanticLeakage,
-    "q135_ann_recall" -> annIvfRecall)
+    "q135_ann_recall" -> annIvfRecall,
+    "q136_embedding_drift" -> embeddingDrift)
 
   /** The hyperplane constants as full-precision SQL literals (Java's
     * Double.toString round-trips, and DuckDB parses to the same IEEE
@@ -1894,6 +1947,43 @@ object SimilarityOps {
          |FROM embeddings e JOIN pr ON e.label = pr.label CROSS JOIN q
          |WHERE e.vec_id <> 0
          |ORDER BY cos_sim DESC, e.vec_id ASC LIMIT 10""".stripMargin,
+    "q136_embedding_drift" ->
+      s"""WITH b0 AS (SELECT label, s.i AS dim,
+         |    round(CAST(sum(CAST(embedding[s.i] AS DECIMAL(38,10)))
+         |      AS DOUBLE) / count(*), 6) AS cv
+         |  FROM embeddings
+         |  CROSS JOIN (SELECT unnest(generate_series(1, $Dim)) AS i) s
+         |  WHERE vec_id % 5 <> 0 GROUP BY label, s.i),
+         |bc AS (SELECT label, list(cv ORDER BY dim) AS carr FROM b0
+         |  GROUP BY label),
+         |bn AS (SELECT label, count(*) AS n_base FROM embeddings
+         |  WHERE vec_id % 5 <> 0 GROUP BY label),
+         |t AS (SELECT label, list_transform(embedding,
+         |      x -> CAST(x AS DOUBLE) * 0.9 + 0.05) AS embedding
+         |  FROM embeddings WHERE vec_id % 5 = 0),
+         |t0 AS (SELECT label, s.i AS dim,
+         |    round(CAST(sum(CAST(embedding[s.i] AS DECIMAL(38,10)))
+         |      AS DOUBLE) / count(*), 6) AS cv
+         |  FROM t
+         |  CROSS JOIN (SELECT unnest(generate_series(1, $Dim)) AS i) s
+         |  GROUP BY label, s.i),
+         |tc AS (SELECT label, list(cv ORDER BY dim) AS carr FROM t0
+         |  GROUP BY label),
+         |tn AS (SELECT label, count(*) AS n_batch FROM t GROUP BY label),
+         |base AS (SELECT bc.label, bn.n_base, bc.carr
+         |  FROM bc JOIN bn USING (label)),
+         |batch AS (SELECT tc.label, tn.n_batch, tc.carr
+         |  FROM tc JOIN tn USING (label))
+         |SELECT coalesce(base.label, batch.label) AS label,
+         |  coalesce(base.n_base, 0) AS n_base,
+         |  coalesce(batch.n_batch, 0) AS n_batch,
+         |  round((${sqlDot("base.carr", "batch.carr")})
+         |    / nullif(${sqlNorm("base.carr")} * ${sqlNorm("batch.carr")},
+         |      0), 6) AS centroid_cos,
+         |  round(${sqlNorm("base.carr")}, 6) AS base_norm,
+         |  round(${sqlNorm("batch.carr")}, 6) AS batch_norm
+         |FROM base FULL OUTER JOIN batch ON base.label = batch.label
+         |ORDER BY label""".stripMargin,
     "q135_ann_recall" ->
       s"""WITH p AS (SELECT vec_id AS q_id, embedding AS q_emb
          |  FROM embeddings ORDER BY vec_id LIMIT $RecallProbes),

@@ -1436,4 +1436,32 @@ class DedupSpec extends SparkSpec {
     // probing all |labels| cells IS brute force: recall exactly 1
     assert(recalls.last === 1.0 && fracs.last === 1.0)
   }
+
+  test("embedding drift: identical batch reports cosine 1, an orthogonal " +
+      "batch 0, and a base-only label keeps NULL cosine with n_batch 0") {
+    import spark.implicits._
+    def v(xs: Double*): Array[Float] = xs.map(_.toFloat).toArray
+    // label 0: batch == base -> centroids identical, cos exactly 1.0
+    // label 1: base on e1, batch on e2 -> cos exactly 0.0
+    // label 2: base only -> full-outer right side missing
+    val base = Seq(
+      (0, v(1, 0, 0, 0)), (0, v(0, 1, 0, 0)),
+      (1, v(1, 0, 0, 0)), (1, v(1, 0.5, 0, 0)),
+      (2, v(0, 0, 1, 0))).toDF("label", "embedding")
+    val batch = Seq(
+      (0, v(1, 0, 0, 0)), (0, v(0, 1, 0, 0)),
+      (1, v(0, 0, 0, 1))).toDF("label", "embedding")
+    val got = SimilarityOps.embeddingDriftOn(base, batch).collect()
+    assert(got.length === 3)
+    val l0 = got(0)
+    assert((l0.getLong(1), l0.getLong(2)) === ((2L, 2L)))
+    assert(l0.getDouble(3) === 1.0, "identical centroids must read 1.0")
+    val l1 = got(1)
+    assert(l1.getDouble(3) === 0.0, "orthogonal centroids must read 0.0")
+    val l2 = got(2)
+    assert((l2.getLong(1), l2.getLong(2)) === ((1L, 0L)))
+    assert(l2.isNullAt(3) && l2.isNullAt(5),
+      "a batch-missing label has no centroid to compare: NULL, not 0")
+    assert(!l2.isNullAt(4), "the base norm is still reported")
+  }
 }
