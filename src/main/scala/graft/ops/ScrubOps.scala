@@ -116,14 +116,27 @@ object ScrubOps {
     * ANSI mode (the q10 discipline) — unparseable k forms its own NULL
     * quasi-identifier bucket in both engines.
     */
-  def kanonAuditOn(eventsDf: DataFrame, k: Int): DataFrame = {
-    val classes = eventsDf
-      .select(col("event_type"),
-        expr("try_cast(get_json_object(props, '$.k') AS LONG)").as("k_prop"),
-        hour(col("ts")).as("hod"), col("user_id"))
+  def kanonAuditOn(eventsDf: DataFrame, k: Int): DataFrame =
+    kanonRollup(quasiClasses(eventsDf)
       .groupBy("event_type", "k_prop", "hod")
       .agg(countDistinct(col("user_id")).as("n_users"),
-        count(lit(1)).as("n_events"))
+        count(lit(1)).as("n_events")), k)
+
+  /** The quasi-identifier projection shared by the exact audit and the
+    * persisted store (one definition, so the two paths provably classify
+    * identically).
+    */
+  private def quasiClasses(eventsDf: DataFrame): DataFrame =
+    eventsDf.select(col("event_type"),
+      expr("try_cast(get_json_object(props, '$.k') AS LONG)").as("k_prop"),
+      hour(col("ts")).as("hod"), col("user_id"))
+
+  /** The per-type rollup over (event_type, n_users, n_events) class rows —
+    * shared verbatim by the exact path and the store path (store ≡ exact
+    * is pinned by spec over small-cardinality classes, where the HLL
+    * estimate is exact).
+    */
+  private def kanonRollup(classes: DataFrame, k: Int): DataFrame =
     classes
       .groupBy("event_type")
       .agg(
@@ -137,7 +150,66 @@ object ScrubOps {
       .withColumn("risk_pct",
         round(col("n_events_at_risk") * lit(100.0) / col("n_events"), 4))
       .orderBy("event_type")
+
+  // ---- persisted k-anonymity class store (mergeable HLL user sketches) ----
+
+  /** One row per equivalence class: a Datasketches HLL sketch of the
+    * class's DISTINCT users (lgConfigK 14 — exact at small class sizes,
+    * the regime the audit cares about; ±0.8 % beyond) plus the exact
+    * event count. The privacy face of the store family: sketches MERGE,
+    * so a cross-crawl audit ([[kanonAuditFromStore]]) reads bounded class
+    * rows and NEVER re-scans past events — exact cross-crawl distinct
+    * would need every class's full user set, the thing that does not fit
+    * at 100 TB. Append-only like the token-count store: the user sketch
+    * is SET-idempotent, so a replayed append cannot inflate the privacy
+    * counts — only `n_events` double-counts (admit batches exactly once,
+    * or compact); the audit's risk verdicts stay replay-proof.
+    */
+  private def classSketches(eventsDf: DataFrame): DataFrame =
+    quasiClasses(eventsDf)
+      .groupBy("event_type", "k_prop", "hod")
+      .agg(expr("hll_sketch_agg(user_id, 14)").as("sketch"),
+        count(lit(1)).as("n_events"))
+
+  /** Build (or rebuild) the store from a full corpus — staged write +
+    * atomic swap like every whole-store writer. */
+  def writeKanonStore(eventsDf: DataFrame, path: String): Unit = {
+    val staging = path + ".merging"
+    classSketches(eventsDf)
+      .write.mode("overwrite").parquet(staging)
+    ScaleOps.swapInto(eventsDf.sparkSession, staging, path)
   }
+
+  /** Fold a crawl batch in, append-only (crash-safe without a swap: an
+    * uncommitted task's files stay in _temporary and are never read).
+    * Duplicate class rows across segments union on read. */
+  def appendToKanonStore(batch: DataFrame, path: String): Unit =
+    classSketches(batch).write.mode("append").parquet(path)
+
+  /** Merge segment rows back to one row per class (maintenance — readers
+    * do the same union on the fly). */
+  def compactKanonStore(s: SparkSession, path: String): Unit = {
+    val staging = path + ".merging"
+    mergedKanonStore(s, path).write.mode("overwrite").parquet(staging)
+    ScaleOps.swapInto(s, staging, path)
+  }
+
+  private def mergedKanonStore(s: SparkSession, path: String): DataFrame =
+    s.read.parquet(path)
+      .groupBy("event_type", "k_prop", "hod")
+      .agg(expr("hll_union_agg(sketch, false)").as("sketch"),
+        sum("n_events").as("n_events"))
+
+  /** The q134 audit from the store alone — zero event scans. `n_users`
+    * is the sketch estimate: exact for small classes (the ones the
+    * audit flags), ~1 % for huge ones (which are nowhere near any sane
+    * k threshold, so the verdict is unaffected). */
+  def kanonAuditFromStore(s: SparkSession, path: String,
+      k: Int = KAnonK): DataFrame =
+    kanonRollup(mergedKanonStore(s, path)
+      .select(col("event_type"),
+        expr("hll_sketch_estimate(sketch)").as("n_users"),
+        col("n_events")), k)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q104_pii_audit" -> piiAudit,

@@ -108,4 +108,46 @@ class ScrubSpec extends SparkSpec {
       ("click", 2L, 1L, 1L, 9L, 4L, 44.4444),
       ("view", 2L, 1L, 2L, 8L, 3L, 37.5)))
   }
+
+  test("k-anonymity store: from-store audit equals the exact batch audit, " +
+      "appended crawls merge, and a replayed append cannot change the " +
+      "privacy verdicts (user sketches are set-idempotent)") {
+    import spark.implicits._
+    def ev(t: String, u: Long, kp: Long) =
+      (t, u, java.sql.Timestamp.valueOf("2026-01-01 00:10:00"),
+        s"""{"k": $kp}""")
+    val crawl1 = (Seq(ev("view", 1L, 1L), ev("view", 2L, 1L)) ++
+      (1L to 5L).map(u => ev("view", u, 2L)))
+      .toDF("event_type", "user_id", "ts", "props")
+    val crawl2 = (Seq(ev("view", 3L, 1L)) ++
+      Seq.fill(4)(ev("click", 9L, 1L)))
+      .toDF("event_type", "user_id", "ts", "props")
+    val whole = crawl1.unionByName(crawl2)
+    val path = tmpDir("kanon-store") + "/kanon"
+
+    // build from crawl1, fold crawl2 in append-only
+    ScrubOps.writeKanonStore(crawl1, path)
+    ScrubOps.appendToKanonStore(crawl2, path)
+    def dump(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSeq
+    val exact = dump(ScrubOps.kanonAuditOn(whole, k = 5))
+    assert(dump(ScrubOps.kanonAuditFromStore(spark, path)) === exact,
+      "store audit must equal the exact whole-corpus audit at small " +
+        "cardinalities")
+
+    // replayed append: distinct-user columns unchanged, only n_events
+    // inflates by the replayed batch
+    ScrubOps.appendToKanonStore(crawl2, path)
+    val replayed = dump(ScrubOps.kanonAuditFromStore(spark, path))
+    assert(replayed.map(r => (r(0), r(1), r(2), r(3))) ===
+      exact.map(r => (r(0), r(1), r(2), r(3))),
+      "class counts and min users must survive a replayed append")
+
+    // compaction: one row per class, audit unchanged
+    ScrubOps.compactKanonStore(spark, path)
+    assert(dump(ScrubOps.kanonAuditFromStore(spark, path)) === replayed)
+    assert(spark.read.parquet(path).groupBy("event_type", "k_prop", "hod")
+      .count().collect().forall(_.getLong(3) === 1L),
+      "compaction must leave one row per class")
+  }
 }
