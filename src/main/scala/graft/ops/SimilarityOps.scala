@@ -581,9 +581,11 @@ object SimilarityOps {
       .select(col("embedding").as("q_emb")))
     val probed = broadcast(
       cent.crossJoin(q)
-        .withColumn("c_cos",
-          dot(col("centroid"), col("q_emb")) /
-            (sqrt(dot(col("centroid"), col("centroid"))) * norm(col("q_emb"))))
+        // cosine(), not a raw `/`: a degenerate all-zero centroid must
+        // rank LAST as NULL like the oracle's nullif (one idiom with
+        // q135's probe ranking; identical values on any non-degenerate
+        // cell)
+        .withColumn("c_cos", cosine(col("centroid"), col("q_emb")))
         .orderBy(col("c_cos").desc, col("label").asc)
         .limit(nProbe)
         .select(col("label")))
@@ -617,7 +619,9 @@ object SimilarityOps {
   /** q136: embedding drift report between a base corpus and a new crawl
     * batch — the embedding-space twin of q114's token-KL drift and the
     * retraining trigger that fires BEFORE q128's PQ distortion visibly
-    * degrades: per label, both snapshot sizes, the cosine between the two
+    * degrades: per label, both snapshot sizes (read out of the centroid
+    * contraction itself — the widest dimension's contributor count, the
+    * row count for any non-empty vector), the cosine between the two
     * decimal-exact centroids (q43's order-independent mean, so the number
     * is reproducible on any cluster and re-derivable by the oracle), and
     * both centroid norms (a shrinking batch norm with high cosine =
@@ -649,10 +653,22 @@ object SimilarityOps {
   /** Both snapshots need (label, embedding). */
   def embeddingDriftOn(baseDf: DataFrame, batchDf: DataFrame): DataFrame = {
     graft.functions.GraftFunctions.ensureRegistered(baseDf.sparkSession)
+    // centroidFrame's contraction with the per-label size read OUT OF the
+    // same pass (n = the widest dimension's contributor count — the row
+    // count for any non-empty vector), instead of a second corpus scan
+    // per side for a bare count (r12 session-2 review finding: the
+    // docstring promises ONE contraction per side, and now it is one)
     def side(df: DataFrame, nName: String, cName: String): DataFrame =
-      centroidFrame(df.select(col("label"), col("embedding")))
-        .join(df.groupBy("label").agg(count(lit(1)).as(nName)), "label")
-        .withColumnRenamed("centroid", cName)
+      df.select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+        .groupBy("label", "pos")
+        .agg(round(
+          sum(col("v").cast("decimal(38,10)")).cast("double") / count(lit(1)),
+          6).as("cv"), count(lit(1)).as("cnt"))
+        .groupBy("label")
+        .agg(transform(
+          array_sort(collect_list(struct(col("pos"), col("cv")))),
+          x => x.getField("cv")).as(cName),
+          max("cnt").as(nName))
     side(baseDf, "n_base", "c_base")
       .join(side(batchDf, "n_batch", "c_batch"), Seq("label"), "full_outer")
       .select(col("label"),
@@ -721,10 +737,12 @@ object SimilarityOps {
     // (annIvfOn's c_cos, ranked per probe instead of globally limited)
     val w = org.apache.spark.sql.expressions.Window.partitionBy("q_id")
       .orderBy(col("c_cos").desc, col("label").asc)
+    // cosine(), not a raw `/`: a degenerate all-zero centroid (vectors
+    // that cancel) must rank LAST as NULL like the oracle's nullif —
+    // NaN under a raw divide would sort FIRST in desc order and probe
+    // the empty-direction cell (r12 session-2 review finding)
     val probedCells = broadcast(probes.crossJoin(broadcast(centroidFrame(e)))
-      .withColumn("c_cos",
-        dot(col("centroid"), col("q_emb")) /
-          (sqrt(dot(col("centroid"), col("centroid"))) * norm(col("q_emb"))))
+      .withColumn("c_cos", cosine(col("centroid"), col("q_emb")))
       .withColumn("cent_rank", row_number().over(w))
       .filter(col("cent_rank") <= maxProbe)
       .select(col("q_id"), col("q_emb"), col("label"), col("cent_rank")))
@@ -1950,30 +1968,27 @@ object SimilarityOps {
     "q136_embedding_drift" ->
       s"""WITH b0 AS (SELECT label, s.i AS dim,
          |    round(CAST(sum(CAST(embedding[s.i] AS DECIMAL(38,10)))
-         |      AS DOUBLE) / count(*), 6) AS cv
+         |      AS DOUBLE) / count(*), 6) AS cv,
+         |    count(embedding[s.i]) AS cnt
          |  FROM embeddings
          |  CROSS JOIN (SELECT unnest(generate_series(1, $Dim)) AS i) s
          |  WHERE vec_id % 5 <> 0 GROUP BY label, s.i),
-         |bc AS (SELECT label, list(cv ORDER BY dim) AS carr FROM b0
-         |  GROUP BY label),
-         |bn AS (SELECT label, count(*) AS n_base FROM embeddings
-         |  WHERE vec_id % 5 <> 0 GROUP BY label),
+         |base AS (SELECT label, list(cv ORDER BY dim) AS carr,
+         |    max(cnt) AS n_base
+         |  FROM b0 GROUP BY label),
          |t AS (SELECT label, list_transform(embedding,
          |      x -> CAST(x AS DOUBLE) * 0.9 + 0.05) AS embedding
          |  FROM embeddings WHERE vec_id % 5 = 0),
          |t0 AS (SELECT label, s.i AS dim,
          |    round(CAST(sum(CAST(embedding[s.i] AS DECIMAL(38,10)))
-         |      AS DOUBLE) / count(*), 6) AS cv
+         |      AS DOUBLE) / count(*), 6) AS cv,
+         |    count(embedding[s.i]) AS cnt
          |  FROM t
          |  CROSS JOIN (SELECT unnest(generate_series(1, $Dim)) AS i) s
          |  GROUP BY label, s.i),
-         |tc AS (SELECT label, list(cv ORDER BY dim) AS carr FROM t0
-         |  GROUP BY label),
-         |tn AS (SELECT label, count(*) AS n_batch FROM t GROUP BY label),
-         |base AS (SELECT bc.label, bn.n_base, bc.carr
-         |  FROM bc JOIN bn USING (label)),
-         |batch AS (SELECT tc.label, tn.n_batch, tc.carr
-         |  FROM tc JOIN tn USING (label))
+         |batch AS (SELECT label, list(cv ORDER BY dim) AS carr,
+         |    max(cnt) AS n_batch
+         |  FROM t0 GROUP BY label)
          |SELECT coalesce(base.label, batch.label) AS label,
          |  coalesce(base.n_base, 0) AS n_base,
          |  coalesce(batch.n_batch, 0) AS n_batch,
