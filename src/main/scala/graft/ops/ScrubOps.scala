@@ -165,7 +165,7 @@ object ScrubOps {
     * counts — only `n_events` double-counts (admit batches exactly once,
     * or compact); the audit's risk verdicts stay replay-proof.
     */
-  private def classSketches(eventsDf: DataFrame): DataFrame =
+  private[graft] def classSketches(eventsDf: DataFrame): DataFrame =
     quasiClasses(eventsDf)
       .groupBy("event_type", "k_prop", "hod")
       .agg(expr("hll_sketch_agg(user_id, 14)").as("sketch"),

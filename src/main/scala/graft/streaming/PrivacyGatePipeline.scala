@@ -1,0 +1,82 @@
+package graft.streaming
+
+import graft.ops.ScrubOps
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+/** Streaming k-anonymity monitor — the per-ingest face of q134
+  * (`ScrubOps.kanonAuditOn`): a release gate wants the privacy verdict
+  * CONTINUOUSLY as events arrive, not as a later full-corpus sweep it
+  * cannot afford at 100 TB. Each micro-batch contracts to its
+  * quasi-identifier class rows (HLL user sketch + exact event count — the
+  * q134 store row) and lands batch-id-keyed; the audit then merges
+  * sketches across every batch ever ingested, so the cross-crawl distinct
+  * count is exact where it matters (small classes) and never re-reads an
+  * event.
+  *
+  * Scale shape: the only stream-side work is one bounded aggregation per
+  * batch (classes ≤ |types|·|k-values|·24 regardless of batch size); no
+  * watermark, no stream state — the STORE is the state, and it is
+  * mergeable by construction. Sinks follow `IngestPipeline`'s idempotence
+  * convention: per-batch rows are keyed on the micro-batch id and
+  * overwritten on replay, so a crashed-and-replayed batch converges —
+  * and doubly so here, because the user sketches are set-idempotent
+  * even across a NON-keyed replay (only n_events needs the keying).
+  */
+object PrivacyGatePipeline {
+
+  /** End-to-end privacy ingest: per micro-batch, write the batch's
+    * quasi-identifier class sketches under `storeDir/batch_id=N`.
+    */
+  def runPrivacyIngest(eventStream: DataFrame, storeDir: String,
+      checkpointDir: String,
+      trigger: Trigger = Trigger.ProcessingTime("5 seconds")): StreamingQuery =
+    eventStream.writeStream
+      .outputMode("append")
+      .trigger(trigger)
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty)
+          ScrubOps.classSketches(batch)
+            .coalesce(1).write.mode("overwrite")
+            .parquet(s"$storeDir/batch_id=$batchId")
+      }
+      .start()
+
+  /** The q134 verdict over everything ever ingested — zero event
+    * re-reads: per-batch rows merge via `hll_union_agg` inside
+    * [[ScrubOps.kanonAuditFromStore]] (the batch_id partition column
+    * groups out). An empty store (no batch committed yet) reports the
+    * empty q134 schema, not a missing-path error.
+    */
+  def auditFromStore(s: SparkSession, storeDir: String,
+      k: Int = ScrubOps.KAnonK): DataFrame =
+    BatchDirs.readIfExists(s, storeDir) match {
+      case None => ScrubOps.kanonAuditOn(emptyEvents(s), k)
+      case Some(_) => ScrubOps.kanonAuditFromStore(s, storeDir, k)
+    }
+
+  /** The gate itself: the quasi-identifier classes CURRENTLY below `k`
+    * distinct users — the rows a release blocks on (the per-class drill-
+    * down behind [[auditFromStore]]'s per-type risk counters).
+    */
+  def smallClassesFromStore(s: SparkSession, storeDir: String,
+      k: Int = ScrubOps.KAnonK): DataFrame =
+    s.read.parquet(storeDir)
+      .groupBy("event_type", "k_prop", "hod")
+      .agg(expr("hll_union_agg(sketch, false)").as("sketch"),
+        sum("n_events").as("n_events"))
+      .select(col("event_type"), col("k_prop"), col("hod"),
+        expr("hll_sketch_estimate(sketch)").as("n_users"), col("n_events"))
+      .filter(col("n_users") < k)
+      .orderBy("event_type", "k_prop", "hod")
+
+  /** Zero-row frame in the events-stream shape (for the empty-store
+    * audit). */
+  private def emptyEvents(s: SparkSession): DataFrame = {
+    import s.implicits._
+    Seq.empty[(String, Long, java.sql.Timestamp, String)]
+      .toDF("event_type", "user_id", "ts", "props")
+  }
+}

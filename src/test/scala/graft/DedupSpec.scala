@@ -1464,4 +1464,24 @@ class DedupSpec extends SparkSpec {
       "a batch-missing label has no centroid to compare: NULL, not 0")
     assert(!l2.isNullAt(4), "the base norm is still reported")
   }
+
+  test("IVF recall eval: nProbe beyond the cell count behaves as a full " +
+      "probe (rows present, recall and scan fraction saturate at 1.0)") {
+    import spark.implicits._
+    def v(xs: Double*): Array[Float] = xs.map(_.toFloat).toArray
+    val embDf = Seq(
+      (0L, v(1, 0, 0, 0), 0), (1L, v(0.9, 0.1, 0, 0), 0),
+      (2L, v(0, 0, 1, 0), 1), (3L, v(0, 0, 0.9, 0.1), 1))
+      .toDF("vec_id", "embedding", "label")
+    // only 2 cells exist; sweep to nProbe 4 anyway
+    val rows = SimilarityOps.annIvfRecallOn(embDf, k = 2, pCount = 1,
+        maxProbe = 4).collect()
+      .map(r => (r.getInt(0), r.getDouble(2), r.getDouble(3))).toSeq
+    assert(rows.map(_._1) === Seq(1, 2, 3, 4),
+      "every swept nProbe must report a row even past the cell count")
+    rows.filter(_._1 >= 2).foreach { case (np, recall, frac) =>
+      assert(recall === 1.0 && frac === 1.0,
+        s"nProbe $np >= |cells| must saturate at full-probe: $rows")
+    }
+  }
 }

@@ -1073,4 +1073,55 @@ class StreamingSpec extends SparkSpec {
     assert(!isLmSwapWindow(
       new RuntimeException(s"$canon corrupted footer"), store))
   }
+
+  test("streaming privacy gate: per-batch class sketches roll up to the " +
+      "exact q134 audit, small classes are flagged, empty store is a " +
+      "zero-row report") {
+    import graft.streaming.PrivacyGatePipeline
+    import graft.ops.ScrubOps
+    implicit val sqlCtx = spark.sqlContext
+    val store = tmpDir("privacy-store")
+    def ev(t: String, u: Long, kp: Long) =
+      (t, u, java.sql.Timestamp.valueOf("2026-01-01 00:10:00"),
+        s"""{"k": $kp}""")
+    // crawl 1: view/k=1 has 2 users (small); view/k=2 has 5 (safe)
+    val batch1 = Seq(ev("view", 1L, 1L), ev("view", 2L, 1L)) ++
+      (1L to 5L).map(u => ev("view", u, 2L))
+    // crawl 2: a third view/k=1 user arrives (still small: 3 < 5);
+    // click/k=1 appears with one hammering user
+    val batch2 = Seq(ev("view", 3L, 1L)) ++
+      Seq.fill(4)(ev("click", 9L, 1L))
+
+    // before any batch: the empty q134-schema report, not an error
+    assert(PrivacyGatePipeline.auditFromStore(spark, store).count() === 0L)
+
+    val input = MemoryStream[(String, Long, java.sql.Timestamp, String)]
+    val q = PrivacyGatePipeline.runPrivacyIngest(
+      input.toDS().toDF("event_type", "user_id", "ts", "props"),
+      store, tmpDir("privacy-ckpt"))
+    input.addData(batch1: _*)
+    q.processAllAvailable()
+    input.addData(batch2: _*)
+    q.processAllAvailable()
+    q.stop()
+
+    val all = (batch1 ++ batch2)
+      .toDF("event_type", "user_id", "ts", "props")
+    // the cross-batch sketch merge IS the exact q134 audit here (small
+    // cardinalities: HLL exact) — including the cross-batch distinct
+    // union (view/k=1 = users {1,2} + {3} = 3, not 2 + 1 events)
+    assert(PrivacyGatePipeline.auditFromStore(spark, store).collect()
+      .map(_.toSeq).toSeq
+      === ScrubOps.kanonAuditOn(all, ScrubOps.KAnonK).collect()
+        .map(_.toSeq).toSeq)
+    // two batch segments really landed (merged, not overwritten)
+    assert(spark.read.parquet(store).select("batch_id").distinct().count()
+      === 2L)
+    // the gate's drill-down: exactly the two planted small classes, with
+    // the cross-batch user union counted exactly
+    val small = PrivacyGatePipeline.smallClassesFromStore(spark, store)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(3),
+        r.getLong(4))).toSeq
+    assert(small === Seq(("click", 1L, 1L, 4L), ("view", 1L, 3L, 3L)))
+  }
 }
