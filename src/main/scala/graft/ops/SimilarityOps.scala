@@ -782,6 +782,84 @@ object SimilarityOps {
       .orderBy("n_probe")
   }
 
+  // ---- q137: LSH recall-vs-radius eval --------------------------------------
+
+  /** Band-hamming radius ceiling the q137 registration pins (swept
+    * 0..this over the two 8-bit bands of the 16-bit signature — q42's
+    * production filter sits at radius 2).
+    */
+  val RecallMaxRadius = 4
+
+  def annLshRecall(s: SparkSession, dir: String): DataFrame =
+    annLshRecallOn(emb(s, dir))
+
+  /** `embDf` needs (vec_id, embedding).
+    *
+    * q135's harness pointed at the OTHER index family: recall@k of q42's
+    * banded-hamming LSH filter vs exact brute force, swept over the band
+    * radius 0..`maxRadius` — the radius is the signature index's one
+    * tuning knob (q42 ships radius 2), and this curve is what justifies
+    * it: where recall knees against the candidate fraction actually
+    * scanned. Same bounded probe set, same cost axis, so the q135 and
+    * q137 curves read side by side when choosing WHICH index to deploy.
+    *
+    * Scale: unlike IVF (storage-side cells), the LSH filter is
+    * score-side, so ONE corpus×probes pass (bounded probe build side)
+    * computes every pair's cosine AND min band distance; the exact arm
+    * ranks that frame unfiltered while each radius arm ranks its
+    * min_band-prefix (explode over a ≤ maxRadius+1 literal grid — a pair
+    * fans out only to the radii that admit it). Both rank cuts go
+    * through the salted [[ScaleOps.topKPerGroup]]; recall and the
+    * scanned-fraction census are ≤ probes·radii joins after the scan. A
+    * probe with NO candidate at radius r reports 0 scanned and 0 recall
+    * (coalesced, not dropped — the curve must show the empty-filter
+    * regime honestly).
+    */
+  def annLshRecallOn(embDf: DataFrame, k: Int = RecallK,
+      pCount: Int = RecallProbes,
+      maxRadius: Int = RecallMaxRadius): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(embDf.sparkSession)
+    val e = embDf.select(col("vec_id"), col("embedding"))
+      .withColumn("sig", signature(col("embedding")))
+    val probes = broadcast(e.orderBy("vec_id").limit(pCount)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        col("sig").as("q_sig")))
+    val radiusGrid = typedLit((0 to maxRadius).toList)
+    val hi = bit_count(shiftrightunsigned(col("sig"), 8)
+      .bitwiseXOR(shiftrightunsigned(col("q_sig"), 8)))
+    val lo = bit_count(col("sig").bitwiseAND(lit(0xFFL))
+      .bitwiseXOR(col("q_sig").bitwiseAND(lit(0xFFL))))
+    val scored = e.crossJoin(probes)
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        round(cosine(col("embedding"), col("q_emb")), 6).as("cos_sim"),
+        least(hi, lo).as("min_band"))
+    val exactTop = ScaleOps.topKPerGroup(scored, Seq("q_id"),
+        Seq(col("cos_sim").desc, col("vec_id").asc), k, col("vec_id"))
+      .select(col("q_id"), col("vec_id"))
+    val cand = scored.withColumn("radius",
+      explode(filter(radiusGrid, r => r >= col("min_band"))))
+    val candTop = ScaleOps.topKPerGroup(cand, Seq("q_id", "radius"),
+        Seq(col("cos_sim").desc, col("vec_id").asc), k, col("vec_id"))
+      .select(col("q_id"), col("radius"), col("vec_id"))
+    val hits = candTop.join(exactTop, Seq("q_id", "vec_id"))
+      .groupBy("q_id", "radius").agg(count(lit(1)).as("n_hits"))
+    val scanned = cand.groupBy("q_id", "radius")
+      .agg(count(lit(1)).as("n_scanned"))
+    probes.select("q_id").withColumn("radius", explode(radiusGrid))
+      .join(hits, Seq("q_id", "radius"), "left")
+      .join(scanned, Seq("q_id", "radius"), "left")
+      .crossJoin(broadcast(e.agg((count(lit(1)) - 1).as("n_others"))))
+      .groupBy("radius")
+      .agg(count(lit(1)).as("n_queries"),
+        graft.Tables.davg(coalesce(col("n_hits"), lit(0L)) / lit(k), 6)
+          .as("mean_recall_at_k"),
+        graft.Tables.davg(
+          coalesce(col("n_scanned"), lit(0L)) / col("n_others"), 6)
+          .as("mean_frac_scanned"))
+      .orderBy("radius")
+  }
+
   /** SemDeDup-style semantic dedup (Abbas et al. 2023): bucket every vector
     * by the high byte of the hyperplane signature — 256 coarse cells, the
     * deterministic stand-in for a k-means cluster assignment (a trained
@@ -1653,7 +1731,8 @@ object SimilarityOps {
     "q128_pq_distortion" -> pqDistortion,
     "q132_semantic_leakage" -> semanticLeakage,
     "q135_ann_recall" -> annIvfRecall,
-    "q136_embedding_drift" -> embeddingDrift)
+    "q136_embedding_drift" -> embeddingDrift,
+    "q137_lsh_recall" -> annLshRecall)
 
   /** The hyperplane constants as full-precision SQL literals (Java's
     * Double.toString round-trips, and DuckDB parses to the same IEEE
@@ -1965,6 +2044,45 @@ object SimilarityOps {
          |FROM embeddings e JOIN pr ON e.label = pr.label CROSS JOIN q
          |WHERE e.vec_id <> 0
          |ORDER BY cos_sim DESC, e.vec_id ASC LIMIT 10""".stripMargin,
+    "q137_lsh_recall" ->
+      s"""WITH s AS (SELECT vec_id, embedding,
+         |    CAST(${sqlSignature("embedding")} AS BIGINT) AS sig
+         |  FROM embeddings),
+         |p AS (SELECT vec_id AS q_id, embedding AS q_emb, sig AS q_sig
+         |  FROM s ORDER BY vec_id LIMIT $RecallProbes),
+         |rg AS (SELECT unnest(generate_series(0, $RecallMaxRadius)) AS r),
+         |sc AS (SELECT p.q_id, e.vec_id,
+         |    round((${sqlDot("e.embedding", "p.q_emb")})
+         |      / nullif(${sqlNorm("e.embedding")} * ${sqlNorm("p.q_emb")},
+         |        0), 6) AS cos_sim,
+         |    least(bit_count(xor(e.sig >> 8, p.q_sig >> 8)),
+         |      bit_count(xor(e.sig & 255, p.q_sig & 255))) AS min_band
+         |  FROM s e CROSS JOIN p WHERE e.vec_id <> p.q_id),
+         |ext AS (SELECT q_id, vec_id FROM (SELECT q_id, vec_id,
+         |    row_number() OVER (PARTITION BY q_id
+         |      ORDER BY cos_sim DESC, vec_id ASC) AS rk FROM sc)
+         |  WHERE rk <= $RecallK),
+         |ca AS (SELECT q_id, rg.r AS radius, vec_id, cos_sim
+         |  FROM sc CROSS JOIN rg WHERE rg.r >= sc.min_band),
+         |cat AS (SELECT q_id, radius, vec_id FROM (
+         |    SELECT q_id, radius, vec_id,
+         |      row_number() OVER (PARTITION BY q_id, radius
+         |        ORDER BY cos_sim DESC, vec_id ASC) AS rk FROM ca)
+         |  WHERE rk <= $RecallK),
+         |h AS (SELECT q_id, radius, count(*) AS n_hits
+         |  FROM cat JOIN ext USING (q_id, vec_id) GROUP BY 1, 2),
+         |scn AS (SELECT q_id, radius, count(*) AS n_scanned
+         |  FROM ca GROUP BY 1, 2),
+         |tot AS (SELECT count(*) - 1 AS n_others FROM embeddings),
+         |g AS (SELECT p.q_id, rg.r AS radius FROM p CROSS JOIN rg)
+         |SELECT CAST(g.radius AS INT) AS radius, count(*) AS n_queries,
+         |  ${Tables.sqlDavg(s"coalesce(h.n_hits, 0) / $RecallK", 6)}
+         |    AS mean_recall_at_k,
+         |  ${Tables.sqlDavg("coalesce(scn.n_scanned, 0) / tot.n_others", 6)}
+         |    AS mean_frac_scanned
+         |FROM g LEFT JOIN h USING (q_id, radius)
+         |  LEFT JOIN scn USING (q_id, radius) CROSS JOIN tot
+         |GROUP BY g.radius ORDER BY radius""".stripMargin,
     "q136_embedding_drift" ->
       s"""WITH b0 AS (SELECT label, s.i AS dim,
          |    round(CAST(sum(CAST(embedding[s.i] AS DECIMAL(38,10)))

@@ -1484,4 +1484,30 @@ class DedupSpec extends SparkSpec {
         s"nProbe $np >= |cells| must saturate at full-probe: $rows")
     }
   }
+
+  test("LSH recall eval: recall climbs monotonically with the band " +
+      "radius and saturates at exactly 1.0 when the radius admits " +
+      "every pair") {
+    import spark.implicits._
+    val dim = SimilarityOps.Dim
+    val rnd = new scala.util.Random(23)
+    def vec(): Array[Float] = Array.fill(dim)(rnd.nextGaussian().toFloat)
+    val embDf = (0L until 150L).map(i => (i, vec(), 0))
+      .toDF("vec_id", "embedding", "label")
+    // radius 8 admits EVERY pair (two 8-bit bands: min hamming <= 8)
+    val rows = SimilarityOps.annLshRecallOn(embDf, k = 10, pCount = 4,
+        maxRadius = 8).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+      .toSeq
+    assert(rows.map(_._1) === (0 to 8))
+    assert(rows.forall(_._2 === 4L))
+    val recalls = rows.map(_._3)
+    val fracs = rows.map(_._4)
+    assert(recalls.zip(recalls.tail).forall { case (a, b) => a <= b },
+      s"recall must be monotone in radius: $recalls")
+    assert(fracs.zip(fracs.tail).forall { case (a, b) => a <= b },
+      s"scan fraction must be monotone in radius: $fracs")
+    assert(recalls.last === 1.0 && fracs.last === 1.0,
+      s"radius 8 IS brute force over 8-bit bands: $rows")
+  }
 }
