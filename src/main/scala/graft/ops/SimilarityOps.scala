@@ -860,6 +860,100 @@ object SimilarityOps {
       .orderBy("radius")
   }
 
+  // ---- q138: PQ progressive-scan recall eval --------------------------------
+
+  /** Subspace-prefix grid the q138 registration pins: ADC over the first
+    * m of the [[PqSub]] subspaces = reading m of the 8 code bytes per
+    * vector.
+    */
+  val RecallSubGrid: Seq[Int] = Seq(2, 4, 6, 8)
+
+  def annPqRecall(s: SparkSession, dir: String): DataFrame =
+    annPqRecallOn(emb(s, dir))
+
+  /** `embDf` needs (vec_id, label, embedding).
+    *
+    * The eval harness pointed at the THIRD index family: recall@k of
+    * q123's asymmetric-distance PQ search vs exact brute force, swept
+    * over the SUBSPACE PREFIX actually read (ADC over the first m of 8
+    * code bytes) — the progressive-scan knob: a PQ index can rank on a
+    * prefix of each vector's code and read deeper only for finalists, so
+    * this curve is the bytes-per-vector ⇄ recall trade, the same
+    * decision axis q135 (cells) and q137 (radius) give the other two
+    * families. `frac_code_read = m/8` is the cost column.
+    *
+    * Scale: the corpus encodes ONCE through the fused native
+    * `graft_pq_encode` kernel (map-only); per probe the 8 lookup tables
+    * are |codebook|-bounded expressions evaluated on the probe row and
+    * broadcast, so scoring is one corpus×probes pass over 8-byte codes —
+    * never the raw vectors — and each pair's prefix sums fan out over a
+    * 4-literal grid. Both rank cuts go through the salted
+    * [[ScaleOps.topKPerGroup]]. Unencodable vectors carry NULL pieces
+    * and are excluded before ranking (q123's corrupt-input discipline).
+    */
+  def annPqRecallOn(embDf: DataFrame, k: Int = RecallK,
+      pCount: Int = RecallProbes,
+      subGrid: Seq[Int] = RecallSubGrid): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(embDf.sparkSession)
+    require(subGrid.nonEmpty && subGrid.forall(m => m >= 1 && m <= PqSub),
+      s"annPqRecallOn: subspace grid must lie in 1..$PqSub, got $subGrid")
+    val (_, full) = pqCodebook(embDf)
+    val cb: Array[Array[Array[Double]]] = Array.tabulate(PqSub)(m =>
+      full.map(_.slice(m * PqSubDim, (m + 1) * PqSubDim)))
+    def sub(m: Int): Column =
+      slice(col("q_emb"), m * PqSubDim + 1, PqSubDim)
+    // the q123 LUT arithmetic, evaluated on each PROBE row
+    def dists(m: Int): Seq[Column] = {
+      val x2 = dot(sub(m), sub(m))
+      cb(m).toSeq.map(c =>
+        x2 - lit(2.0) * dot(sub(m), typedLit(c.toSeq)) +
+          lit(c.map(v => v * v).sum))
+    }
+    val e = embDf.select(col("vec_id"), col("embedding"))
+    val probes0 = e.orderBy("vec_id").limit(pCount)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+
+    val exactScored = e.crossJoin(broadcast(probes0))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        round(cosine(col("embedding"), col("q_emb")), 6).as("cos_sim"))
+    val exactTop = ScaleOps.topKPerGroup(exactScored, Seq("q_id"),
+        Seq(col("cos_sim").desc, col("vec_id").asc), k, col("vec_id"))
+      .select(col("q_id"), col("vec_id"))
+
+    val luts = broadcast(probes0.select(col("q_id") +:
+      (0 until PqSub).map(m => array(dists(m): _*).as(s"lut$m")): _*))
+    val coded = e.select(col("vec_id"),
+      call_function("graft_pq_encode", col("embedding"),
+        typedLit(full.map(_.toSeq).toSeq), lit(PqSubDim)).as("codes"))
+    val pieces = array((0 until PqSub).map(m =>
+      element_at(col(s"lut$m"), col("codes")(m) + 1)): _*)
+    val grid = typedLit(subGrid.toList)
+    val scoredAdc = coded.crossJoin(luts)
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"), pieces.as("pieces"))
+      .withColumn("m_used", explode(grid))
+      .select(col("q_id"), col("vec_id"), col("m_used"),
+        round(aggregate(slice(col("pieces"), lit(1), col("m_used")),
+          lit(0.0), (a, x) => a + x), 6).as("adc_dist"))
+      .filter(col("adc_dist").isNotNull)
+    val candTop = ScaleOps.topKPerGroup(scoredAdc, Seq("q_id", "m_used"),
+        Seq(col("adc_dist").asc, col("vec_id").asc), k, col("vec_id"))
+      .select(col("q_id"), col("m_used"), col("vec_id"))
+
+    val hits = candTop.join(exactTop, Seq("q_id", "vec_id"))
+      .groupBy("q_id", "m_used").agg(count(lit(1)).as("n_hits"))
+    probes0.select("q_id").withColumn("m_used", explode(grid))
+      .join(hits, Seq("q_id", "m_used"), "left")
+      .groupBy("m_used")
+      .agg(count(lit(1)).as("n_queries"),
+        graft.Tables.davg(coalesce(col("n_hits"), lit(0L)) / lit(k), 6)
+          .as("mean_recall_at_k"))
+      .withColumn("frac_code_read",
+        round(col("m_used") / lit(PqSub.toDouble), 6))
+      .orderBy("m_used")
+  }
+
   /** SemDeDup-style semantic dedup (Abbas et al. 2023): bucket every vector
     * by the high byte of the hyperplane signature — 256 coarse cells, the
     * deterministic stand-in for a k-means cluster assignment (a trained
@@ -1732,7 +1826,8 @@ object SimilarityOps {
     "q132_semantic_leakage" -> semanticLeakage,
     "q135_ann_recall" -> annIvfRecall,
     "q136_embedding_drift" -> embeddingDrift,
-    "q137_lsh_recall" -> annLshRecall)
+    "q137_lsh_recall" -> annLshRecall,
+    "q138_pq_recall" -> annPqRecall)
 
   /** The hyperplane constants as full-precision SQL literals (Java's
     * Double.toString round-trips, and DuckDB parses to the same IEEE
@@ -2044,6 +2139,66 @@ object SimilarityOps {
          |FROM embeddings e JOIN pr ON e.label = pr.label CROSS JOIN q
          |WHERE e.vec_id <> 0
          |ORDER BY cos_sim DESC, e.vec_id ASC LIMIT 10""".stripMargin,
+    "q138_pq_recall" ->
+      s"""WITH c0 AS (SELECT label, s.i AS dim,
+         |    round(CAST(sum(CAST(embedding[s.i] AS DECIMAL(38,10)))
+         |      AS DOUBLE) / count(*), 6) AS cv
+         |  FROM embeddings
+         |  CROSS JOIN (SELECT unnest(generate_series(1, $Dim)) AS i) s
+         |  GROUP BY label, s.i),
+         |ca AS (SELECT label, list(cv ORDER BY dim) AS carr FROM c0
+         |  GROUP BY label),
+         |m AS (SELECT unnest(generate_series(0, ${PqSub - 1})) AS m),
+         |mg AS (SELECT unnest([${RecallSubGrid.mkString(", ")}]) AS m_used),
+         |p AS (SELECT vec_id AS q_id, embedding AS q_emb
+         |  FROM embeddings ORDER BY vec_id LIMIT $RecallProbes),
+         |ex AS (SELECT p.q_id, e.vec_id,
+         |    round((${sqlDot("e.embedding", "p.q_emb")})
+         |      / nullif(${sqlNorm("e.embedding")} * ${sqlNorm("p.q_emb")},
+         |        0), 6) AS cos_sim
+         |  FROM embeddings e CROSS JOIN p WHERE e.vec_id <> p.q_id),
+         |ext AS (SELECT q_id, vec_id FROM (SELECT q_id, vec_id,
+         |    row_number() OVER (PARTITION BY q_id
+         |      ORDER BY cos_sim DESC, vec_id ASC) AS rk FROM ex)
+         |  WHERE rk <= $RecallK),
+         |d AS (SELECT e.vec_id, m.m, ca.label AS code,
+         |    (${sqlPqX2("e.embedding")})
+         |      - 2 * (${sqlPqXC("e.embedding", "ca.carr")})
+         |      + (${sqlPqC2("ca.carr")}) AS dist
+         |  FROM embeddings e CROSS JOIN m CROSS JOIN ca),
+         |pick AS (SELECT vec_id, m, code,
+         |    row_number() OVER (PARTITION BY vec_id, m
+         |      ORDER BY dist, code) AS rn, dist
+         |  FROM d),
+         |codes AS (SELECT vec_id, m, code FROM pick
+         |  WHERE rn = 1 AND dist IS NOT NULL),
+         |lut AS (SELECT p.q_id, m.m, ca.label AS code,
+         |    (${sqlPqX2("p.q_emb")})
+         |      - 2 * (${sqlPqXC("p.q_emb", "ca.carr")})
+         |      + (${sqlPqC2("ca.carr")}) AS dist
+         |  FROM p CROSS JOIN m CROSS JOIN ca),
+         |adc AS (SELECT l.q_id, c.vec_id, mg.m_used,
+         |    round(list_reduce(list_prepend(0.0, list(l.dist ORDER BY c.m)),
+         |      (a, b) -> a + b), 6) AS adc_dist
+         |  FROM codes c JOIN lut l ON l.m = c.m AND l.code = c.code
+         |  CROSS JOIN mg
+         |  WHERE c.m < mg.m_used AND c.vec_id <> l.q_id
+         |  GROUP BY l.q_id, c.vec_id, mg.m_used
+         |  HAVING count(*) = mg.m_used AND adc_dist IS NOT NULL),
+         |cat AS (SELECT q_id, m_used, vec_id FROM (
+         |    SELECT q_id, m_used, vec_id,
+         |      row_number() OVER (PARTITION BY q_id, m_used
+         |        ORDER BY adc_dist ASC, vec_id ASC) AS rk FROM adc)
+         |  WHERE rk <= $RecallK),
+         |h AS (SELECT q_id, m_used, count(*) AS n_hits
+         |  FROM cat JOIN ext USING (q_id, vec_id) GROUP BY 1, 2),
+         |g AS (SELECT p.q_id, mg.m_used FROM p CROSS JOIN mg)
+         |SELECT CAST(g.m_used AS INT) AS m_used, count(*) AS n_queries,
+         |  ${Tables.sqlDavg(s"coalesce(h.n_hits, 0) / $RecallK", 6)}
+         |    AS mean_recall_at_k,
+         |  round(CAST(g.m_used AS DOUBLE) / $PqSub, 6) AS frac_code_read
+         |FROM g LEFT JOIN h USING (q_id, m_used)
+         |GROUP BY g.m_used ORDER BY m_used""".stripMargin,
     "q137_lsh_recall" ->
       s"""WITH s AS (SELECT vec_id, embedding,
          |    CAST(${sqlSignature("embedding")} AS BIGINT) AS sig

@@ -57,6 +57,7 @@ class AdversarialFixtureSpec extends SparkSpec {
     Map(
       "q123_ann_pq" -> noCodebook,
       "q128_pq_distortion" -> noCodebook,
+      "q138_pq_recall" -> noCodebook,
       "q95_cluster_purity" -> noCodebook)
   }
 

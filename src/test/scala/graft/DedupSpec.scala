@@ -1510,4 +1510,34 @@ class DedupSpec extends SparkSpec {
     assert(recalls.last === 1.0 && fracs.last === 1.0,
       s"radius 8 IS brute force over 8-bit bands: $rows")
   }
+
+  test("PQ recall eval: perfectly clustered labels reach recall 1.0 at " +
+      "every code prefix once the separating subspace is read") {
+    import spark.implicits._
+    val dim = SimilarityOps.Dim
+    // label j: 1.0 at dim j+1 (all inside subspace 0, so every swept
+    // prefix m >= 2 contains the separating subspace) + a small distinct
+    // ramp at dim 9+j (subspace 1) to make the exact ranking unambiguous
+    val rows = (0L until 15L).map { i =>
+      val j = (i % 3).toInt
+      val v = Array.fill(dim)(0f)
+      v(j) = 1f
+      v(8 + j) = 0.01f * (i / 3 + 1)
+      (i, v, j)
+    }
+    val embDf = rows.toDF("vec_id", "embedding", "label")
+    // probes 0,1,2 = one per cluster; each probe's exact top-4 IS its 4
+    // cluster mates, and ADC ranks the identically-coded mates first
+    val got = SimilarityOps.annPqRecallOn(embDf, k = 4, pCount = 3)
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+      .toSeq
+    assert(got.map(_._1) === Seq(2, 4, 6, 8))
+    assert(got.forall(_._2 === 3L))
+    got.foreach { case (m, _, recall, frac) =>
+      assert(recall === 1.0,
+        s"clustered corpus must give full recall at prefix $m: $got")
+      assert(frac === m / 8.0)
+    }
+  }
 }
