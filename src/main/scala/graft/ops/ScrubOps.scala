@@ -190,26 +190,47 @@ object ScrubOps {
     * do the same union on the fly). */
   def compactKanonStore(s: SparkSession, path: String): Unit = {
     val staging = path + ".merging"
-    mergedKanonStore(s, path).write.mode("overwrite").parquet(staging)
+    mergedKanonSketches(s.read.parquet(path))
+      .write.mode("overwrite").parquet(staging)
     ScaleOps.swapInto(s, staging, path)
   }
 
-  private def mergedKanonStore(s: SparkSession, path: String): DataFrame =
-    s.read.parquet(path)
+  /** THE class-merge definition — duplicate class rows across store
+    * segments union to one SKETCH row per class (the store's own row
+    * format; compaction rewrites exactly this). Shared by the audit,
+    * compaction, and the streaming gate's drill-down
+    * ([[graft.streaming.PrivacyGatePipeline]]), so the verdict and the
+    * per-class view can never diverge.
+    */
+  private[graft] def mergedKanonSketches(perBatch: DataFrame): DataFrame =
+    perBatch
       .groupBy("event_type", "k_prop", "hod")
       .agg(expr("hll_union_agg(sketch, false)").as("sketch"),
         sum("n_events").as("n_events"))
 
-  /** The q134 audit from the store alone — zero event scans. `n_users`
-    * is the sketch estimate: exact for small classes (the ones the
-    * audit flags), ~1 % for huge ones (which are nowhere near any sane
-    * k threshold, so the verdict is unaffected). */
+  /** [[mergedKanonSketches]] with the sketch resolved to its estimate —
+    * the (class, n_users, n_events) view both audit faces read.
+    * `n_users` is the sketch estimate: exact for small classes (the
+    * ones the audit flags), ~1 % for huge ones (nowhere near any sane
+    * k threshold).
+    */
+  private[graft] def kanonClassEstimates(perBatch: DataFrame): DataFrame =
+    mergedKanonSketches(perBatch)
+      .select(col("event_type"), col("k_prop"), col("hod"),
+        expr("hll_sketch_estimate(sketch)").as("n_users"), col("n_events"))
+
+  /** The q134 rollup over an already-read per-batch class frame — the
+    * form a poller that has the frame in hand uses (no second store
+    * read).
+    */
+  private[graft] def kanonAuditFromClasses(perBatch: DataFrame,
+      k: Int): DataFrame =
+    kanonRollup(kanonClassEstimates(perBatch), k)
+
+  /** The q134 audit from the store alone — zero event scans. */
   def kanonAuditFromStore(s: SparkSession, path: String,
       k: Int = KAnonK): DataFrame =
-    kanonRollup(mergedKanonStore(s, path)
-      .select(col("event_type"),
-        expr("hll_sketch_estimate(sketch)").as("n_users"),
-        col("n_events")), k)
+    kanonAuditFromClasses(s.read.parquet(path), k)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q104_pii_audit" -> piiAudit,

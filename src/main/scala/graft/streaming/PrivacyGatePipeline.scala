@@ -45,30 +45,33 @@ object PrivacyGatePipeline {
       .start()
 
   /** The q134 verdict over everything ever ingested — zero event
-    * re-reads: per-batch rows merge via `hll_union_agg` inside
-    * [[ScrubOps.kanonAuditFromStore]] (the batch_id partition column
-    * groups out). An empty store (no batch committed yet) reports the
-    * empty q134 schema, not a missing-path error.
+    * re-reads: per-batch rows merge via the ONE class-merge definition
+    * ([[ScrubOps.kanonAuditFromClasses]]; the batch_id partition column
+    * groups out), consuming the frame `readIfExists` already built — no
+    * second listing/footer pass per poll. An empty store (no batch
+    * committed yet) reports the empty q134 schema, not a missing-path
+    * error.
     */
   def auditFromStore(s: SparkSession, storeDir: String,
       k: Int = ScrubOps.KAnonK): DataFrame =
     BatchDirs.readIfExists(s, storeDir) match {
       case None => ScrubOps.kanonAuditOn(emptyEvents(s), k)
-      case Some(_) => ScrubOps.kanonAuditFromStore(s, storeDir, k)
+      case Some(perBatch) => ScrubOps.kanonAuditFromClasses(perBatch, k)
     }
 
   /** The gate itself: the quasi-identifier classes CURRENTLY below `k`
     * distinct users — the rows a release blocks on (the per-class drill-
-    * down behind [[auditFromStore]]'s per-type risk counters).
+    * down behind [[auditFromStore]]'s per-type risk counters). Same
+    * empty-store discipline as the audit: a poller racing the first
+    * batch gets the zero-row classes frame, never a missing-path error —
+    * and the class view is [[ScrubOps.kanonClassEstimates]], the same
+    * definition the audit rolls up, so the two can never disagree.
     */
   def smallClassesFromStore(s: SparkSession, storeDir: String,
       k: Int = ScrubOps.KAnonK): DataFrame =
-    s.read.parquet(storeDir)
-      .groupBy("event_type", "k_prop", "hod")
-      .agg(expr("hll_union_agg(sketch, false)").as("sketch"),
-        sum("n_events").as("n_events"))
-      .select(col("event_type"), col("k_prop"), col("hod"),
-        expr("hll_sketch_estimate(sketch)").as("n_users"), col("n_events"))
+    BatchDirs.readIfExists(s, storeDir)
+      .getOrElse(ScrubOps.classSketches(emptyEvents(s)))
+      .transform(ScrubOps.kanonClassEstimates)
       .filter(col("n_users") < k)
       .orderBy("event_type", "k_prop", "hod")
 

@@ -1092,8 +1092,11 @@ class StreamingSpec extends SparkSpec {
     val batch2 = Seq(ev("view", 3L, 1L)) ++
       Seq.fill(4)(ev("click", 9L, 1L))
 
-    // before any batch: the empty q134-schema report, not an error
+    // before any batch: the empty q134-schema report AND the empty
+    // drill-down, not a missing-path error (a release gate polls both)
     assert(PrivacyGatePipeline.auditFromStore(spark, store).count() === 0L)
+    assert(PrivacyGatePipeline.smallClassesFromStore(spark, store)
+      .count() === 0L)
 
     val input = MemoryStream[(String, Long, java.sql.Timestamp, String)]
     val q = PrivacyGatePipeline.runPrivacyIngest(
