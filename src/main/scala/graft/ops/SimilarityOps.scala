@@ -834,17 +834,28 @@ object SimilarityOps {
       .select(col("q_id"), col("vec_id"),
         round(cosine(col("embedding"), col("q_emb")), 6).as("cos_sim"),
         least(hi, lo).as("min_band"))
-    val exactTop = ScaleOps.topKPerGroup(scored, Seq("q_id"),
-        Seq(col("cos_sim").desc, col("vec_id").asc), k, col("vec_id"))
-      .select(col("q_id"), col("vec_id"))
+    // the exact arm IS a sentinel radius that admits every pair (any
+    // r ≥ 8 does: two 8-bit bands bound min_band), so ONE ranked
+    // fan-out serves the ground truth and every swept radius — the
+    // corpus×probes cosine pass runs twice (rank + census), not three
+    // times (6M-vector datapoint: 41.6 s → the two-pass form)
+    val SentinelR = 99
+    require(maxRadius < SentinelR,
+      s"annLshRecallOn: radius sweep must stay below the full-scan " +
+        s"sentinel $SentinelR, got $maxRadius")
+    val fullGrid = typedLit(((0 to maxRadius) :+ SentinelR).toList)
     val cand = scored.withColumn("radius",
-      explode(filter(radiusGrid, r => r >= col("min_band"))))
-    val candTop = ScaleOps.topKPerGroup(cand, Seq("q_id", "radius"),
+      explode(filter(fullGrid, r => r >= col("min_band"))))
+    val allTop = ScaleOps.topKPerGroup(cand, Seq("q_id", "radius"),
         Seq(col("cos_sim").desc, col("vec_id").asc), k, col("vec_id"))
       .select(col("q_id"), col("radius"), col("vec_id"))
+    val exactTop = allTop.filter(col("radius") === SentinelR)
+      .select(col("q_id"), col("vec_id"))
+    val candTop = allTop.filter(col("radius") =!= SentinelR)
     val hits = candTop.join(exactTop, Seq("q_id", "vec_id"))
       .groupBy("q_id", "radius").agg(count(lit(1)).as("n_hits"))
-    val scanned = cand.groupBy("q_id", "radius")
+    val scanned = cand.filter(col("radius") =!= SentinelR)
+      .groupBy("q_id", "radius")
       .agg(count(lit(1)).as("n_scanned"))
     probes.select("q_id").withColumn("radius", explode(radiusGrid))
       .join(hits, Seq("q_id", "radius"), "left")
