@@ -871,6 +871,83 @@ object SimilarityOps {
       .orderBy("radius")
   }
 
+  // ---- q139: RP projection-prefix recall eval -------------------------------
+
+  /** Projection-prefix grid the q139 registration pins: rank on the
+    * first d of the [[Planes]] random-projection coordinates.
+    */
+  val RecallDimGrid: Seq[Int] = Seq(4, 8, 12, 16)
+
+  def annRpRecall(s: SparkSession, dir: String): DataFrame =
+    annRpRecallOn(emb(s, dir))
+
+  /** `embDf` needs (vec_id, embedding).
+    *
+    * The eval harness pointed at the FOURTH index family: recall@k of
+    * q113's random-projection search vs exact brute force, swept over
+    * the projection PREFIX ranked on (the first d of 16 JL coordinates)
+    * — the dimension knob: how few projected floats still preserve the
+    * neighborhood. `frac_proj_read = d/16` is the cost column (each
+    * projected float costs 1/4 of a full-vector dot at Dim 64, so d = 16
+    * is already a 4× cheaper scan; this curve says how much FURTHER the
+    * projection can shrink). Completes the eval quartet: q135 cells /
+    * q137 radius / q138 code bytes / q139 projection dims — one
+    * decision surface across all four index families.
+    *
+    * Scale: project once per vector (map-only, the q113 expression),
+    * then ONE corpus×probes pass (bounded probe build side) emits every
+    * pair's prefix similarities AND the full-precision ground truth as a
+    * sentinel prefix (the q137 trick — d = 99 ranks on the true cosine
+    * over the raw embedding), so one ranked fan-out serves everything;
+    * rank cuts through the salted [[ScaleOps.topKPerGroup]]; no census
+    * pass at all (RP reads every vector — the cost axis is dims, not
+    * candidates).
+    */
+  def annRpRecallOn(embDf: DataFrame, k: Int = RecallK,
+      pCount: Int = RecallProbes,
+      dimGrid: Seq[Int] = RecallDimGrid): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(embDf.sparkSession)
+    require(dimGrid.nonEmpty && dimGrid.forall(d => d >= 1 && d <= Planes),
+      s"annRpRecallOn: prefix grid must lie in 1..$Planes, got $dimGrid")
+    val SentinelD = 99
+    val proj = array(planes.map(p =>
+      round(dot(col("embedding"), typedLit(p.toSeq)), 6)): _*)
+    val e = embDf.select(col("vec_id"), col("embedding"), proj.as("p"))
+    val probes = broadcast(e.orderBy("vec_id").limit(pCount)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        col("p").as("qp")))
+    def prefixSim(d: Int): Column =
+      round(cosine(slice(col("p"), 1, d), slice(col("qp"), 1, d)), 6)
+    val arms = dimGrid.map(d =>
+      struct(lit(d).as("d_used"), prefixSim(d).as("sim"))) :+
+      struct(lit(SentinelD).as("d_used"),
+        round(cosine(col("embedding"), col("q_emb")), 6).as("sim"))
+    val ranked = ScaleOps.topKPerGroup(
+      e.crossJoin(probes)
+        .filter(col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id"), explode(array(arms: _*)).as("x"))
+        .select(col("q_id"), col("vec_id"),
+          col("x.d_used").as("d_used"), col("x.sim").as("sim")),
+      Seq("q_id", "d_used"),
+      Seq(col("sim").desc, col("vec_id").asc), k, col("vec_id"))
+      .select(col("q_id"), col("d_used"), col("vec_id"))
+    val exactTop = ranked.filter(col("d_used") === SentinelD)
+      .select(col("q_id"), col("vec_id"))
+    val hits = ranked.filter(col("d_used") =!= SentinelD)
+      .join(exactTop, Seq("q_id", "vec_id"))
+      .groupBy("q_id", "d_used").agg(count(lit(1)).as("n_hits"))
+    probes.select("q_id")
+      .withColumn("d_used", explode(typedLit(dimGrid.toList)))
+      .join(hits, Seq("q_id", "d_used"), "left")
+      .groupBy("d_used")
+      .agg(count(lit(1)).as("n_queries"),
+        graft.Tables.davg(coalesce(col("n_hits"), lit(0L)) / lit(k), 6)
+          .as("mean_recall_at_k"))
+      .withColumn("frac_proj_read",
+        round(col("d_used") / lit(Planes.toDouble), 6))
+      .orderBy("d_used")
+  }
+
   // ---- q138: PQ progressive-scan recall eval --------------------------------
 
   /** Subspace-prefix grid the q138 registration pins: ADC over the first
@@ -1838,7 +1915,8 @@ object SimilarityOps {
     "q135_ann_recall" -> annIvfRecall,
     "q136_embedding_drift" -> embeddingDrift,
     "q137_lsh_recall" -> annLshRecall,
-    "q138_pq_recall" -> annPqRecall)
+    "q138_pq_recall" -> annPqRecall,
+    "q139_rp_recall" -> annRpRecall)
 
   /** The hyperplane constants as full-precision SQL literals (Java's
     * Double.toString round-trips, and DuckDB parses to the same IEEE
@@ -2150,6 +2228,46 @@ object SimilarityOps {
          |FROM embeddings e JOIN pr ON e.label = pr.label CROSS JOIN q
          |WHERE e.vec_id <> 0
          |ORDER BY cos_sim DESC, e.vec_id ASC LIMIT 10""".stripMargin,
+    "q139_rp_recall" -> {
+      def pfold(terms: String): String =
+        s"list_reduce(list_prepend(0.0, list_transform(" +
+          s"generate_series(1, dg.d), i -> $terms)), (x, y) -> x + y)"
+      s"""WITH pr AS (SELECT vec_id, embedding,
+         |    ${sqlProj("embedding")} AS p
+         |  FROM embeddings),
+         |q AS (SELECT vec_id AS q_id, embedding AS q_emb, p AS qp
+         |  FROM pr ORDER BY vec_id LIMIT $RecallProbes),
+         |dg AS (SELECT unnest([${RecallDimGrid.mkString(", ")}]) AS d),
+         |ex AS (SELECT q.q_id, e.vec_id,
+         |    round((${sqlDot("e.embedding", "q.q_emb")})
+         |      / nullif(${sqlNorm("e.embedding")} * ${sqlNorm("q.q_emb")},
+         |        0), 6) AS cos_sim
+         |  FROM pr e CROSS JOIN q WHERE e.vec_id <> q.q_id),
+         |ext AS (SELECT q_id, vec_id FROM (SELECT q_id, vec_id,
+         |    row_number() OVER (PARTITION BY q_id
+         |      ORDER BY cos_sim DESC, vec_id ASC) AS rk FROM ex)
+         |  WHERE rk <= $RecallK),
+         |sc AS (SELECT q.q_id, e.vec_id, dg.d AS d_used,
+         |    round((${pfold("e.p[i] * q.qp[i]")})
+         |      / nullif(sqrt(${pfold("e.p[i] * e.p[i]")})
+         |        * sqrt(${pfold("q.qp[i] * q.qp[i]")}), 0), 6) AS sim
+         |  FROM pr e CROSS JOIN q CROSS JOIN dg
+         |  WHERE e.vec_id <> q.q_id),
+         |cat AS (SELECT q_id, d_used, vec_id FROM (
+         |    SELECT q_id, d_used, vec_id,
+         |      row_number() OVER (PARTITION BY q_id, d_used
+         |        ORDER BY sim DESC, vec_id ASC) AS rk FROM sc)
+         |  WHERE rk <= $RecallK),
+         |h AS (SELECT q_id, d_used, count(*) AS n_hits
+         |  FROM cat JOIN ext USING (q_id, vec_id) GROUP BY 1, 2),
+         |g AS (SELECT q.q_id, dg.d AS d_used FROM q CROSS JOIN dg)
+         |SELECT CAST(g.d_used AS INT) AS d_used, count(*) AS n_queries,
+         |  ${Tables.sqlDavg(s"coalesce(h.n_hits, 0) / $RecallK", 6)}
+         |    AS mean_recall_at_k,
+         |  round(CAST(g.d_used AS DOUBLE) / $Planes, 6) AS frac_proj_read
+         |FROM g LEFT JOIN h USING (q_id, d_used)
+         |GROUP BY g.d_used ORDER BY d_used""".stripMargin
+    },
     "q138_pq_recall" ->
       s"""WITH c0 AS (SELECT label, s.i AS dim,
          |    round(CAST(sum(CAST(embedding[s.i] AS DECIMAL(38,10)))

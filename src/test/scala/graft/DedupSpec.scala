@@ -1540,4 +1540,28 @@ class DedupSpec extends SparkSpec {
       assert(frac === m / 8.0)
     }
   }
+
+  test("RP recall eval: an exact duplicate is recovered at every " +
+      "projection prefix, and recall grows with dimensions read") {
+    import spark.implicits._
+    val dim = SimilarityOps.Dim
+    val rnd = new scala.util.Random(31)
+    // 10 base vectors, each appearing 3 times: every probe (ids 0..3)
+    // has an exact duplicate, whose projection is identical at EVERY
+    // prefix -> top-1 in both the prefix arms and the exact arm
+    val base = Array.fill(10)(Array.fill(dim)(rnd.nextGaussian().toFloat))
+    val embDf = (0L until 30L).map(i => (i, base((i % 10).toInt), 0))
+      .toDF("vec_id", "embedding", "label")
+    val got = SimilarityOps.annRpRecallOn(embDf, k = 1, pCount = 4)
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+      .toSeq
+    assert(got.map(_._1) === Seq(4, 8, 12, 16))
+    assert(got.forall(_._2 === 4L))
+    got.foreach { case (d, _, recall, frac) =>
+      assert(recall === 1.0,
+        s"an exact duplicate must be top-1 at prefix $d: $got")
+      assert(frac === d / 16.0)
+    }
+  }
 }
