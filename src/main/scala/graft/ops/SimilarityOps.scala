@@ -854,7 +854,12 @@ object SimilarityOps {
     val candTop = allTop.filter(col("radius") =!= SentinelR)
     val hits = candTop.join(exactTop, Seq("q_id", "vec_id"))
       .groupBy("q_id", "radius").agg(count(lit(1)).as("n_hits"))
-    val scanned = cand.filter(col("radius") =!= SentinelR)
+    // census from the SWEPT grid only — regenerating the sentinel rows
+    // just to filter them out would waste one row per corpus×probe pair
+    // (r12 session-2 third review finding); cosine is column-pruned out
+    // of this branch, so it stays the cheap pass
+    val scanned = scored.withColumn("radius",
+        explode(filter(radiusGrid, r => r >= col("min_band"))))
       .groupBy("q_id", "radius")
       .agg(count(lit(1)).as("n_scanned"))
     probes.select("q_id").withColumn("radius", explode(radiusGrid))
@@ -907,8 +912,10 @@ object SimilarityOps {
       pCount: Int = RecallProbes,
       dimGrid: Seq[Int] = RecallDimGrid): DataFrame = {
     graft.functions.GraftFunctions.ensureRegistered(embDf.sparkSession)
-    require(dimGrid.nonEmpty && dimGrid.forall(d => d >= 1 && d <= Planes),
-      s"annRpRecallOn: prefix grid must lie in 1..$Planes, got $dimGrid")
+    require(dimGrid.nonEmpty && dimGrid.forall(d => d >= 1 && d <= Planes)
+        && dimGrid.distinct.size == dimGrid.size,
+      s"annRpRecallOn: prefix grid must be distinct values in " +
+        s"1..$Planes, got $dimGrid")
     val SentinelD = 99
     val proj = array(planes.map(p =>
       round(dot(col("embedding"), typedLit(p.toSeq)), 6)): _*)
@@ -983,8 +990,10 @@ object SimilarityOps {
       pCount: Int = RecallProbes,
       subGrid: Seq[Int] = RecallSubGrid): DataFrame = {
     graft.functions.GraftFunctions.ensureRegistered(embDf.sparkSession)
-    require(subGrid.nonEmpty && subGrid.forall(m => m >= 1 && m <= PqSub),
-      s"annPqRecallOn: subspace grid must lie in 1..$PqSub, got $subGrid")
+    require(subGrid.nonEmpty && subGrid.forall(m => m >= 1 && m <= PqSub)
+        && subGrid.distinct.size == subGrid.size,
+      s"annPqRecallOn: subspace grid must be distinct values in " +
+        s"1..$PqSub, got $subGrid")
     val (_, full) = pqCodebook(embDf)
     val cb: Array[Array[Array[Double]]] = Array.tabulate(PqSub)(m =>
       full.map(_.slice(m * PqSubDim, (m + 1) * PqSubDim)))

@@ -1542,7 +1542,7 @@ class DedupSpec extends SparkSpec {
   }
 
   test("RP recall eval: an exact duplicate is recovered at every " +
-      "projection prefix, and recall grows with dimensions read") {
+      "projection prefix (recall@1 exactly 1.0 across the sweep)") {
     import spark.implicits._
     val dim = SimilarityOps.Dim
     val rnd = new scala.util.Random(31)
