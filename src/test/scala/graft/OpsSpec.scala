@@ -849,8 +849,15 @@ class OpsSpec extends SparkSpec {
     val (lRead, lRows) = rowsRead(ldir)
     assert(zRows === lRows) // same answer from both layouts
     // the box is 1/16 of the space: the z layout's 2-d tiles skip row
-    // groups on BOTH dims; the x-sort still reads every y for x<64
-    assert(zRead * 2 <= lRead,
+    // groups on BOTH dims; the x-sort still reads every y for x<64.
+    // Bar is 1.5x, not 2x: repartitionByRange samples its boundaries
+    // with a seed derived from the GLOBAL rdd id (suite history), so
+    // row-group edges jitter run to run — the long-unreproduced OpsSpec
+    // flake was exactly this assertion reading a 1.96x win against a
+    // 2.0x bar (r12 session-2; zRead 8418 vs lRead 16505). The material
+    // claim is "2-d tiles beat a 1-d sort decisively", not a knife-edge
+    // constant.
+    assert(zRead * 3 <= lRead * 2,
       s"z-order read $zRead rows vs linear $lRead — no pruning win")
   }
 
