@@ -988,13 +988,22 @@ object SimilarityOps {
     */
   def annPqRecallOn(embDf: DataFrame, k: Int = RecallK,
       pCount: Int = RecallProbes,
+      subGrid: Seq[Int] = RecallSubGrid): DataFrame =
+    annPqRecallWith(embDf, pqCodebook(embDf)._2, k, pCount, subGrid)
+
+  /** The q138 harness pointed at an explicit codebook (e.g.
+    * [[pqTrainedCodebook]]) — the eval that shows a trained codebook's
+    * recall lift over the label-derived baseline before a deployment
+    * swaps q123's index for q140's.
+    */
+  def annPqRecallWith(embDf: DataFrame, full: Array[Array[Double]],
+      k: Int = RecallK, pCount: Int = RecallProbes,
       subGrid: Seq[Int] = RecallSubGrid): DataFrame = {
     graft.functions.GraftFunctions.ensureRegistered(embDf.sparkSession)
     require(subGrid.nonEmpty && subGrid.forall(m => m >= 1 && m <= PqSub)
         && subGrid.distinct.size == subGrid.size,
       s"annPqRecallOn: subspace grid must be distinct values in " +
         s"1..$PqSub, got $subGrid")
-    val (_, full) = pqCodebook(embDf)
     val cb: Array[Array[Array[Double]]] = Array.tabulate(PqSub)(m =>
       full.map(_.slice(m * PqSubDim, (m + 1) * PqSubDim)))
     def sub(m: Int): Column =
@@ -1623,6 +1632,113 @@ object SimilarityOps {
       .limit(k)
   }
 
+  // ---------------------------------------------------------------- q140
+
+  /** Trained-PQ codebook size and Lloyd iteration count the q140
+    * registration pins (the oracle unrolls exactly this many iterations).
+    */
+  val PqTrainK = 8
+  val PqTrainIters = 5
+
+  /** Joint per-subspace Lloyd training for the PQ codebook — the
+    * ANALYZE step that replaces the label-derived codebook (q123/q128's
+    * compression-only fallback; the q138 recall curve is flat at ~4 % on
+    * a corpus whose labels don't cluster) with codewords fit to the data
+    * actually being quantized. All [[PqSub]] subspaces train TOGETHER in
+    * one corpus pass per iteration: assignment reuses the fused native
+    * `graft_pq_encode` kernel (per-subspace squared-L2 argmin, low-index
+    * tie-break — the spec-pinned q123 arithmetic, so the oracle's
+    * row_number replay derives identical codes), and the update is one
+    * posexplode aggregation to ≤ PqSub·k·subDim cells with map-side
+    * partial decimal sums — the corpus never shuffles, and a separate
+    * per-subspace training (8× the passes) would read the same bytes
+    * eight times for no extra information.
+    *
+    * Returned as `k` FULL-dim codewords (sub-codeword j of subspace m =
+    * slice m of row j — subspaces are independent in PQ, so the pairing
+    * is just storage layout): [[annPqWith]], `pqDistortionWith` and the
+    * store writer consume it unchanged.
+    *
+    * Determinism (the rebuild-anywhere contract, same as
+    * [[kmeansCentroids]]): init is the `k` valid vectors with the lowest
+    * [[Tables.lcgBucket]] hash of vec_id (no rand()), every update mean
+    * is the exact-decimal sum rounded to 6 dp IN the aggregation (the
+    * q43 cross-engine digest discipline — quantizing each iteration's
+    * codebook kills float-ulp drift across engines and cluster layouts),
+    * and an emptied codeword keeps its previous values. Training reads
+    * only valid full-dim vectors (null / ragged / null-element rows are
+    * data corruption, not codebook shape — q110's audit is where they
+    * get reported).
+    */
+  def pqTrainedCodebook(embDf: DataFrame, k: Int = PqTrainK,
+      iters: Int = PqTrainIters): Array[Array[Double]] = {
+    graft.functions.GraftFunctions.ensureRegistered(embDf.sparkSession)
+    val valid = embDf
+      .filter(col("embedding").isNotNull &&
+        size(col("embedding")) === Dim &&
+        !exists(col("embedding"), v => v.isNull))
+      .select(col("vec_id"),
+        col("embedding").cast("array<double>").as("embedding"))
+    var full: Array[Array[Double]] = Tables.boundedCollect(
+      valid.orderBy(
+          Tables.lcgBucket(col("vec_id"), 48271L, 11L, 1000000007L).asc,
+          col("vec_id").asc)
+        .limit(k).select(col("embedding")),
+      k, "pq training init vectors").map(_.getSeq[Double](0).toArray)
+    require(full.nonEmpty,
+      "pqTrainedCodebook: no valid full-dim vectors to train on " +
+        "(empty or fully-corrupt embedding table)")
+    var it = 0
+    while (it < iters) {
+      val m = (col("pos") / lit(PqSubDim)).cast("int")
+      // ≤ PqSub·k·subDim cells — the codebook's own shape, never
+      // corpus-sized
+      val cells = Tables.boundedCollect(
+        valid.select(
+            call_function("graft_pq_encode", col("embedding"),
+              typedLit(full.map(_.toSeq).toSeq), lit(PqSubDim)).as("codes"),
+            posexplode(col("embedding")).as(Seq("pos", "v")))
+          .filter(col("codes").isNotNull)
+          .select(m.as("m"), element_at(col("codes"), m + 1).as("cw"),
+            pmod(col("pos"), lit(PqSubDim)).as("i"), col("v"))
+          .groupBy("m", "cw", "i")
+          .agg(round(
+            sum(col("v").cast("decimal(38,10)")).cast("double") /
+              count(lit(1)), 6).as("cv")),
+        1 << 20, "pq training update cells (sub × codeword × subDim)")
+      val next = full.map(_.clone()) // emptied codeword keeps its values
+      cells.foreach { r =>
+        next(r.getAs[Int]("cw"))(
+          r.getAs[Int]("m") * PqSubDim + r.getAs[Int]("i")) =
+          r.getAs[Double]("cv")
+      }
+      full = next
+      it += 1
+    }
+    full
+  }
+
+  /** q140: trained-PQ ANN — the q123 ADC search running against the
+    * [[pqTrainedCodebook]] instead of the label-derived one: train (5
+    * bounded one-pass iterations), encode through the fused kernel,
+    * search with query-side lookup tables. This is the production PQ
+    * face — the label codebook is what a pipeline uses before its first
+    * ANALYZE; this is what it uses after. `pq_code` carries codeword
+    * INDICES (0-based init rank), the trained codebook's only identity.
+    *
+    * Scale: training adds `1 + iters` bounded driver collects (init
+    * vectors + k×Dim cell frames — the same footprint every PQ system's
+    * train step keeps); search is unchanged q123 shape (map-only encode,
+    * broadcast LUTs, TakeOrderedAndProject). In production the codebook
+    * is trained once per corpus generation and reused via [[annPqWith]];
+    * this face retrains per call so the oracle can replay the whole
+    * lifecycle end to end.
+    */
+  def annPqTrained(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    annPqWith(e, pqTrainedCodebook(e))
+  }
+
   // ---------------------------------------------------------------- q126
 
   /** q126: cluster-cohesion report — per cluster: size, the cosine
@@ -1925,7 +2041,8 @@ object SimilarityOps {
     "q136_embedding_drift" -> embeddingDrift,
     "q137_lsh_recall" -> annLshRecall,
     "q138_pq_recall" -> annPqRecall,
-    "q139_rp_recall" -> annRpRecall)
+    "q139_rp_recall" -> annRpRecall,
+    "q140_ann_pq_trained" -> annPqTrained)
 
   /** The hyperplane constants as full-precision SQL literals (Java's
     * Double.toString round-trips, and DuckDB parses to the same IEEE
@@ -1978,6 +2095,76 @@ object SimilarityOps {
       val idx = s"m.m * $PqSubDim + $i"
       s"$c[$idx] * $c[$idx]"
     }.mkString(" + ")
+
+  /** q140 oracle: the whole trained-PQ lifecycle replayed in SQL — init
+    * (k lowest-lcgBucket valid vectors, codeword index = init rank),
+    * [[PqTrainIters]] UNROLLED Lloyd iterations (assignment = the q123
+    * distance CTE + row_number argmin with the low-codeword tie-break;
+    * update = exact-decimal per-(subspace, codeword, dim) means rounded
+    * 6 dp; an emptied codeword keeps its previous values via the
+    * coalesce), then verbatim q123 search tail against the final
+    * codebook. The codebook CTEs keep each codeword as ONE full-dim
+    * list, so the per-subspace helpers above index it identically on
+    * both engines.
+    */
+  private def pqTrainedOracleSql: String = {
+    val dist = (cb: String) =>
+      s"""(${sqlPqX2("e.embedding")})
+         |      - 2 * (${sqlPqXC("e.embedding", s"$cb.carr")})
+         |      + (${sqlPqC2(s"$cb.carr")})""".stripMargin
+    val iters = (1 to PqTrainIters).map { t =>
+      s"""a$t AS (SELECT e.vec_id, m.m, c.cw,
+         |    ${dist("c")} AS dist
+         |  FROM v e CROSS JOIN m CROSS JOIN cb${t - 1} c),
+         |asn$t AS (SELECT vec_id, m, cw FROM (
+         |    SELECT vec_id, m, cw, row_number() OVER (
+         |      PARTITION BY vec_id, m ORDER BY dist, cw) AS rn FROM a$t)
+         |  WHERE rn = 1),
+         |u$t AS (SELECT asn.m, asn.cw, s.i,
+         |    round(CAST(sum(CAST(e.embedding[asn.m * $PqSubDim + s.i]
+         |        AS DECIMAL(38,10))) AS DOUBLE) / count(*), 6) AS cv
+         |  FROM asn$t asn JOIN v e USING (vec_id)
+         |  CROSS JOIN (SELECT unnest(generate_series(1, $PqSubDim)) AS i) s
+         |  GROUP BY asn.m, asn.cw, s.i),
+         |cb$t AS (SELECT g.cw,
+         |    list(coalesce(u.cv, g.carr[pp.pos]) ORDER BY pp.pos) AS carr
+         |  FROM cb${t - 1} g CROSS JOIN pos pp
+         |  LEFT JOIN u$t u
+         |    ON u.cw = g.cw AND u.m * $PqSubDim + u.i = pp.pos
+         |  GROUP BY g.cw)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH v AS (SELECT vec_id, embedding FROM embeddings
+       |  WHERE embedding IS NOT NULL AND len(embedding) = $Dim
+       |    AND len(list_filter(embedding, x -> x IS NULL)) = 0),
+       |m AS (SELECT unnest(generate_series(0, ${PqSub - 1})) AS m),
+       |pos AS (SELECT unnest(generate_series(1, $Dim)) AS pos),
+       |init AS (SELECT embedding, cw FROM (
+       |    SELECT embedding, row_number() OVER (ORDER BY
+       |      ((vec_id % 1000000007) * 48271 + 11) % 1000000007 ASC,
+       |      vec_id ASC) - 1 AS cw FROM v)
+       |  WHERE cw < $PqTrainK),
+       |cb0 AS (SELECT cw,
+       |    list(CAST(embedding[pp.pos] AS DOUBLE) ORDER BY pp.pos) AS carr
+       |  FROM init CROSS JOIN pos pp GROUP BY cw),
+       |$iters,
+       |d AS (SELECT e.vec_id, e.label AS v_label, m.m, c.cw AS code,
+       |    ${dist("c")} AS dist
+       |  FROM embeddings e CROSS JOIN m CROSS JOIN cb$PqTrainIters c),
+       |pick AS (SELECT vec_id, v_label, m, code,
+       |    row_number() OVER (PARTITION BY vec_id, m
+       |      ORDER BY dist, code) AS rn
+       |  FROM d),
+       |codes AS (SELECT vec_id, v_label, m, code FROM pick WHERE rn = 1),
+       |lut AS (SELECT m, code, dist FROM d WHERE vec_id = 0)
+       |SELECT c.vec_id, min(c.v_label) AS label,
+       |  string_agg(CAST(c.code AS VARCHAR), ',' ORDER BY c.m) AS pq_code,
+       |  round(list_reduce(list(l.dist ORDER BY c.m), (a, b) -> a + b), 6)
+       |    AS adc_dist
+       |FROM codes c JOIN lut l ON l.m = c.m AND l.code = c.code
+       |WHERE c.vec_id <> 0
+       |GROUP BY c.vec_id
+       |ORDER BY adc_dist, vec_id LIMIT 10""".stripMargin
+  }
 
   val oracle: Map[String, String] = Map(
     // Replays distortion: the q123 codebook/argmin CTEs, then the CHOSEN
@@ -2096,6 +2283,7 @@ object SimilarityOps {
          |WHERE c.vec_id <> 0
          |GROUP BY c.vec_id
          |ORDER BY adc_dist, vec_id LIMIT 10""".stripMargin,
+    "q140_ann_pq_trained" -> pqTrainedOracleSql,
     "q113_ann_rp" ->
       s"""WITH p AS (SELECT vec_id, label, ${sqlProj("embedding")} AS p
          |  FROM embeddings),

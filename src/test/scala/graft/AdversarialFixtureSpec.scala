@@ -58,7 +58,12 @@ class AdversarialFixtureSpec extends SparkSpec {
       "q123_ann_pq" -> noCodebook,
       "q128_pq_distortion" -> noCodebook,
       "q138_pq_recall" -> noCodebook,
-      "q95_cluster_purity" -> noCodebook)
+      "q95_cluster_purity" -> noCodebook,
+      // the trained face trains on VALID vectors only, so its empty-
+      // corpus error is its own (the label-codebook message would point
+      // at the wrong fix)
+      "q140_ann_pq_trained" ->
+        "pqTrainedCodebook: no valid full-dim vectors")
   }
 
   private lazy val fixtureDir: String = {

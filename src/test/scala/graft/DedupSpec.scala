@@ -1564,4 +1564,95 @@ class DedupSpec extends SparkSpec {
       assert(frac === d / 16.0)
     }
   }
+
+  /** The deterministic init rank of [[SimilarityOps.pqTrainedCodebook]]
+    * for a 0-based id — the test builds cluster membership FROM this
+    * order so each init vector provably seeds a distinct cluster.
+    */
+  private def lcgHash(id: Long): Long =
+    ((id % 1000000007L) * 48271L + 11L) % 1000000007L
+
+  test("trained PQ codebook recovers planted clusters the label codebook " +
+      "cannot see: recall lifts from near-zero to exactly 1.0") {
+    import spark.implicits._
+    val dim = SimilarityOps.Dim
+    val k = SimilarityOps.PqTrainK
+    // 8 planted clusters of 5 IDENTICAL vectors on orthogonal axes;
+    // membership assigned along the deterministic init-hash order, so
+    // the k lowest-hash ids (the Lloyd init) cover all 8 clusters —
+    // convergence is then immediate and exact
+    val ids = (0L until 40L).sortBy(i => (lcgHash(i), i))
+    val cluster = ids.zipWithIndex.map { case (id, r) =>
+      id -> (if (r < k) r else (r - k) % k)
+    }.toMap
+    val rows = (0L until 40L).map { i =>
+      val c = cluster(i)
+      val v = Array.fill(dim)(0f)
+      v(c) = 10f
+      (i, v, 0) // ONE label: the label codebook degenerates to 1 codeword
+    }
+    val embDf = rows.toDF("vec_id", "embedding", "label")
+    val trained = SimilarityOps.pqTrainedCodebook(embDf)
+    // each probe's exact top-4 IS its 4 identical cluster mates; the
+    // trained codewords separate the clusters, so ADC recall is 1.0 at
+    // every code prefix
+    val got = SimilarityOps.annPqRecallWith(embDf, trained, k = 4,
+        pCount = 8).collect()
+      .map(r => (r.getInt(0), r.getDouble(2))).toSeq
+    got.foreach { case (m, recall) =>
+      assert(recall === 1.0,
+        s"trained codebook must give full recall at prefix $m: $got")
+    }
+    // the label-derived baseline collapses to one codeword (single
+    // label): every candidate ties on ADC, the cut is by vec_id, and
+    // recall stays far below the trained curve — the q138 lift the
+    // harness exists to show
+    val baseline = SimilarityOps.annPqRecallOn(embDf, k = 4, pCount = 8)
+      .collect().map(r => (r.getInt(0), r.getDouble(2))).toSeq
+    baseline.foreach { case (m, recall) =>
+      assert(recall < 0.5,
+        s"single-label codebook cannot separate clusters at prefix $m: " +
+          s"$baseline")
+    }
+  }
+
+  test("trained PQ codebook: deterministic rebuild, emptied codewords " +
+      "keep their values (no NaN / zero rows), q140 search ranks the " +
+      "planted cluster mates first") {
+    import spark.implicits._
+    val dim = SimilarityOps.Dim
+    // only 3 distinct vectors over 9 rows with k=8 codewords: init picks
+    // duplicates, ties assign to the LOWEST codeword, so the higher
+    // duplicates receive zero vectors and must keep their init values
+    // instead of dividing by zero
+    val rows = (0L until 9L).map { i =>
+      val c = (i % 3).toInt
+      val v = Array.fill(dim)(0f)
+      v(c) = 5f
+      (i, v, c)
+    }
+    val embDf = rows.toDF("vec_id", "embedding", "label")
+    val t1 = SimilarityOps.pqTrainedCodebook(embDf)
+    val t2 = SimilarityOps.pqTrainedCodebook(embDf)
+    assert(t1.length === SimilarityOps.PqTrainK)
+    assert(t1.map(_.toSeq) === t2.map(_.toSeq),
+      "training must be bit-identical on rebuild")
+    val legal = (0 until 3).map { c =>
+      val v = Array.fill(dim)(0.0); v(c) = 5.0; v.toSeq
+    }.toSet
+    t1.foreach { cw =>
+      assert(!cw.exists(_.isNaN), "an emptied codeword must not divide " +
+        s"by zero: ${cw.toSeq}")
+      assert(legal.contains(cw.toSeq),
+        s"every codeword must be one of the 3 planted vectors (updated " +
+          s"mean or kept init), got ${cw.toSeq.take(4)}...")
+    }
+    // q140's search face over the same planted corpus: the query's 2
+    // identical cluster mates must rank first with ADC distance 0
+    val top = SimilarityOps.annPqWith(embDf, t1, queryId = 0L, k = 2)
+      .collect().map(r => (r.getLong(0), r.getDouble(3))).toSeq
+    assert(top.map(_._1) === Seq(3L, 6L), s"cluster mates first: $top")
+    assert(top.forall(_._2 === 0.0), s"identical vectors code to the " +
+      s"query's own nearest codewords: $top")
+  }
 }
