@@ -122,14 +122,24 @@ object ScrubOps {
       .agg(countDistinct(col("user_id")).as("n_users"),
         count(lit(1)).as("n_events")), k)
 
-  /** The quasi-identifier projection shared by the exact audit and the
-    * persisted store (one definition, so the two paths provably classify
-    * identically).
+  /** The quasi-identifier projection shared by the exact audits and the
+    * persisted store (one definition, so every path provably classifies
+    * identically). Carries BOTH protected attributes: `user_id` (the
+    * k-anonymity identity) and `sens_band` (the l-diversity sensitive
+    * value — the event's `value` floored to its integer band). The band
+    * is range-guarded, not cast-guarded: Spark's `floor(double)` maps
+    * NaN to 0 and ±Inf to Long.Min/Max instead of failing, so a bare
+    * floor would silently hash garbage values into REAL bands and
+    * corrupt the diversity counts. `BETWEEN ±1e15` (inside 2⁵³, where
+    * double→long is exact) sends NaN, infinities and astronomically
+    * corrupt values to the NULL band on BOTH engines.
     */
   private def quasiClasses(eventsDf: DataFrame): DataFrame =
     eventsDf.select(col("event_type"),
       expr("try_cast(get_json_object(props, '$.k') AS LONG)").as("k_prop"),
-      hour(col("ts")).as("hod"), col("user_id"))
+      hour(col("ts")).as("hod"), col("user_id"),
+      when(col("value").between(-1e15, 1e15), floor(col("value")))
+        .as("sens_band"))
 
   /** The per-type rollup over (event_type, n_users, n_events) class rows —
     * shared verbatim by the exact path and the store path (store ≡ exact
@@ -146,6 +156,59 @@ object ScrubOps {
         min("n_users").as("min_class_users"),
         sum("n_events").as("n_events"),
         sum(when(col("n_users") < k, col("n_events")).otherwise(0L))
+          .as("n_events_at_risk"))
+      .withColumn("risk_pct",
+        round(col("n_events_at_risk") * lit(100.0) / col("n_events"), 4))
+      .orderBy("event_type")
+
+  // ---- q141: l-diversity audit ----------------------------------------
+
+  /** Distinct-sensitive-value threshold the q141 registration pins: an
+    * equivalence class whose members share fewer than this many distinct
+    * sensitive values is homogeneity-attack prone.
+    */
+  val LDivL = 3
+
+  def ldivAudit(s: SparkSession, dir: String): DataFrame =
+    ldivAuditOn(Tables.t(s, dir, "events"), LDivL)
+
+  /** q141: l-diversity audit — the standard companion to q134
+    * (Machanavajjhala et al. 2007, "l-diversity: privacy beyond
+    * k-anonymity"): k-anonymity bounds how well an attacker can SINGLE
+    * OUT a user, but a class can pass k and still leak — if every member
+    * shares the same sensitive value, knowing someone is IN the class
+    * reveals their value (the homogeneity attack). This audit counts,
+    * per event type, the equivalence classes (same quasi-identifier
+    * tuple as q134 — the one [[quasiClasses]] definition) whose distinct
+    * sensitive-value count (`sens_band`) falls below `l`, and the
+    * fraction of event rows sitting in such a class.
+    *
+    * Scale: identical shape to q134 — immediate contraction to
+    * ≤ |types|·|k-values|·24 classes, `countDistinct` planning as
+    * two-phase partial-distinct, a ≤ |classes| rollup. A class whose
+    * every sensitive value is NULL (unparseable) counts 0 distinct —
+    * maximally homogeneous, flagged, the safe direction.
+    */
+  def ldivAuditOn(eventsDf: DataFrame, l: Int): DataFrame =
+    ldivRollup(quasiClasses(eventsDf)
+      .groupBy("event_type", "k_prop", "hod")
+      .agg(countDistinct(col("sens_band")).as("n_sens"),
+        count(lit(1)).as("n_events")), l)
+
+  /** The per-type rollup over (event_type, n_sens, n_events) class rows —
+    * shared verbatim by the exact path and the store path (the q134
+    * rollup-sharing discipline, applied to the diversity measure).
+    */
+  private def ldivRollup(classes: DataFrame, l: Int): DataFrame =
+    classes
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n_classes"),
+        sum(when(col("n_sens") < l, 1L).otherwise(0L))
+          .as("n_low_div_classes"),
+        min("n_sens").as("min_class_sens"),
+        sum("n_events").as("n_events"),
+        sum(when(col("n_sens") < l, col("n_events")).otherwise(0L))
           .as("n_events_at_risk"))
       .withColumn("risk_pct",
         round(col("n_events_at_risk") * lit(100.0) / col("n_events"), 4))
@@ -169,6 +232,7 @@ object ScrubOps {
     quasiClasses(eventsDf)
       .groupBy("event_type", "k_prop", "hod")
       .agg(expr("hll_sketch_agg(user_id, 14)").as("sketch"),
+        expr("hll_sketch_agg(sens_band, 14)").as("sens_sketch"),
         count(lit(1)).as("n_events"))
 
   /** Build (or rebuild) the store from a full corpus — staged write +
@@ -206,6 +270,7 @@ object ScrubOps {
     perBatch
       .groupBy("event_type", "k_prop", "hod")
       .agg(expr("hll_union_agg(sketch, false)").as("sketch"),
+        expr("hll_union_agg(sens_sketch, false)").as("sens_sketch"),
         sum("n_events").as("n_events"))
 
   /** [[mergedKanonSketches]] with the sketch resolved to its estimate —
@@ -217,7 +282,12 @@ object ScrubOps {
   private[graft] def kanonClassEstimates(perBatch: DataFrame): DataFrame =
     mergedKanonSketches(perBatch)
       .select(col("event_type"), col("k_prop"), col("hod"),
-        expr("hll_sketch_estimate(sketch)").as("n_users"), col("n_events"))
+        expr("hll_sketch_estimate(sketch)").as("n_users"),
+        // an all-NULL-band class has a NULL sketch: 0 distinct values
+        // (maximally homogeneous), matching the exact countDistinct
+        coalesce(expr("hll_sketch_estimate(sens_sketch)"), lit(0L))
+          .as("n_sens"),
+        col("n_events"))
 
   /** The q134 rollup over an already-read per-batch class frame — the
     * form a poller that has the frame in hand uses (no second store
@@ -232,9 +302,23 @@ object ScrubOps {
       k: Int = KAnonK): DataFrame =
     kanonAuditFromClasses(s.read.parquet(path), k)
 
+  /** The q141 rollup over an already-read per-batch class frame (the
+    * same [[kanonClassEstimates]] view q134's store face rolls up — one
+    * store read serves both audits).
+    */
+  private[graft] def ldivAuditFromClasses(perBatch: DataFrame,
+      l: Int): DataFrame =
+    ldivRollup(kanonClassEstimates(perBatch), l)
+
+  /** The q141 audit from the store alone — zero event scans. */
+  def ldivAuditFromStore(s: SparkSession, path: String,
+      l: Int = LDivL): DataFrame =
+    ldivAuditFromClasses(s.read.parquet(path), l)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q104_pii_audit" -> piiAudit,
-    "q134_kanon_audit" -> kanonAudit)
+    "q134_kanon_audit" -> kanonAudit,
+    "q141_ldiv_audit" -> ldivAudit)
 
   val oracle: Map[String, String] = Map(
     "q104_pii_audit" -> {
@@ -268,6 +352,26 @@ object ScrubOps {
          |  CAST(sum(CASE WHEN n_users < $KAnonK THEN n_events ELSE 0 END)
          |    AS BIGINT) AS n_events_at_risk,
          |  round(CAST(sum(CASE WHEN n_users < $KAnonK THEN n_events
+         |      ELSE 0 END) AS BIGINT) * 100.0
+         |    / CAST(sum(n_events) AS BIGINT), 4) AS risk_pct
+         |FROM c GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q141_ldiv_audit" ->
+      s"""WITH c AS (SELECT event_type,
+         |    TRY_CAST(json_extract_string(props, '$$.k') AS BIGINT)
+         |      AS k_prop,
+         |    extract(hour FROM ts) AS hod,
+         |    count(DISTINCT CASE WHEN value BETWEEN -1e15 AND 1e15
+         |      THEN CAST(floor(value) AS BIGINT) END) AS n_sens,
+         |    count(*) AS n_events
+         |  FROM events GROUP BY 1, 2, 3)
+         |SELECT event_type, count(*) AS n_classes,
+         |  CAST(sum(CASE WHEN n_sens < $LDivL THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_low_div_classes,
+         |  min(n_sens) AS min_class_sens,
+         |  CAST(sum(n_events) AS BIGINT) AS n_events,
+         |  CAST(sum(CASE WHEN n_sens < $LDivL THEN n_events ELSE 0 END)
+         |    AS BIGINT) AS n_events_at_risk,
+         |  round(CAST(sum(CASE WHEN n_sens < $LDivL THEN n_events
          |      ELSE 0 END) AS BIGINT) * 100.0
          |    / CAST(sum(n_events) AS BIGINT), 4) AS risk_pct
          |FROM c GROUP BY event_type ORDER BY event_type""".stripMargin)

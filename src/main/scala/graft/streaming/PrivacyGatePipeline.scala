@@ -37,10 +37,38 @@ object PrivacyGatePipeline {
       .trigger(trigger)
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        if (!batch.isEmpty)
+        if (!batch.isEmpty) {
+          // staged write + two-rename publish: a REPLAYED batch must not
+          // leave the segment missing for the duration of a parquet
+          // write — a gate poller racing that window would transiently
+          // under-report small classes (this sink feeds a release gate,
+          // unlike the report sinks). Dot-prefixed staging/parked dirs
+          // are invisible to Spark's file listing, so a concurrent
+          // reader sees the old segment until the final rename; the
+          // unreadable window is two metadata renames, not a write.
+          val spark = batch.sparkSession
+          val fs = new org.apache.hadoop.fs.Path(storeDir)
+            .getFileSystem(spark.sparkContext.hadoopConfiguration)
+          val staging =
+            new org.apache.hadoop.fs.Path(s"$storeDir/.staging_$batchId")
+          val dest =
+            new org.apache.hadoop.fs.Path(s"$storeDir/batch_id=$batchId")
+          val old =
+            new org.apache.hadoop.fs.Path(s"$storeDir/.old_$batchId")
           ScrubOps.classSketches(batch)
-            .coalesce(1).write.mode("overwrite")
-            .parquet(s"$storeDir/batch_id=$batchId")
+            .coalesce(1).write.mode("overwrite").parquet(staging.toString)
+          fs.delete(old, true) // leftover from a previous crashed swap
+          if (fs.exists(dest) && !fs.rename(dest, old))
+            throw new java.io.IOException(
+              s"privacy gate: park $dest -> $old failed")
+          if (!fs.rename(staging, dest))
+            throw new java.io.IOException(
+              s"privacy gate: publish $staging -> $dest failed" +
+                (if (fs.exists(old)) s" — prior segment intact at $old"
+                 else ""))
+          fs.delete(old, true)
+          ()
+        }
       }
       .start()
 
@@ -57,6 +85,17 @@ object PrivacyGatePipeline {
     BatchDirs.readIfExists(s, storeDir) match {
       case None => ScrubOps.kanonAuditOn(emptyEvents(s), k)
       case Some(perBatch) => ScrubOps.kanonAuditFromClasses(perBatch, k)
+    }
+
+  /** The q141 l-diversity verdict over everything ever ingested — the
+    * same store read, the same merged class view, the diversity rollup
+    * ([[ScrubOps.ldivAuditFromClasses]]).
+    */
+  def ldivFromStore(s: SparkSession, storeDir: String,
+      l: Int = ScrubOps.LDivL): DataFrame =
+    BatchDirs.readIfExists(s, storeDir) match {
+      case None => ScrubOps.ldivAuditOn(emptyEvents(s), l)
+      case Some(perBatch) => ScrubOps.ldivAuditFromClasses(perBatch, l)
     }
 
   /** The gate itself: the quasi-identifier classes CURRENTLY below `k`
@@ -79,7 +118,7 @@ object PrivacyGatePipeline {
     * audit). */
   private def emptyEvents(s: SparkSession): DataFrame = {
     import s.implicits._
-    Seq.empty[(String, Long, java.sql.Timestamp, String)]
-      .toDF("event_type", "user_id", "ts", "props")
+    Seq.empty[(String, Long, java.sql.Timestamp, String, Double)]
+      .toDF("event_type", "user_id", "ts", "props", "value")
   }
 }

@@ -89,7 +89,8 @@ class ScrubSpec extends SparkSpec {
       "NULL quasi-identifier bucket for unparseable props") {
     import spark.implicits._
     def ev(t: String, u: Long, props: String) =
-      (t, u, java.sql.Timestamp.valueOf("2026-01-01 00:10:00"), props)
+      (t, u, java.sql.Timestamp.valueOf("2026-01-01 00:10:00"), props,
+        u * 1.5)
     val rows =
       // view/k=1/hod=0: 2 distinct users over 3 events -> small (< 5)
       Seq(ev("view", 1L, """{"k": 1}"""), ev("view", 1L, """{"k": 1}"""),
@@ -100,7 +101,7 @@ class ScrubSpec extends SparkSpec {
       Seq.fill(4)(ev("click", 9L, """{"k": 1}""")) ++
       // click with unparseable k: its own NULL-k class, 5 users -> safe
       (1L to 5L).map(u => ev("click", u, "not json"))
-    val df = rows.toDF("event_type", "user_id", "ts", "props")
+    val df = rows.toDF("event_type", "user_id", "ts", "props", "value")
     val got = ScrubOps.kanonAuditOn(df, k = 5).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
         r.getLong(4), r.getLong(5), r.getDouble(6))).toSeq
@@ -109,19 +110,47 @@ class ScrubSpec extends SparkSpec {
       ("view", 2L, 1L, 2L, 8L, 3L, 37.5)))
   }
 
+  test("l-diversity audit: a k-anonymous but homogeneous class is " +
+      "flagged, NaN values form a NULL band, an all-NULL class counts " +
+      "0 distinct") {
+    import spark.implicits._
+    def ev(t: String, u: Long, v: Double) =
+      (t, u, java.sql.Timestamp.valueOf("2026-01-01 00:10:00"),
+        """{"k": 1}""", v)
+    val rows =
+      // view/k=1: 5 users (passes k-anonymity!) but ONE value band —
+      // the homogeneity attack q134 cannot see
+      (1L to 5L).map(u => ev("view", u, 7.25)) ++
+      // click/k=1: 3 users, 3 distinct bands -> diverse (>= 3)
+      Seq(ev("click", 1L, 1.0), ev("click", 2L, 2.0),
+        ev("click", 3L, 3.5)) ++
+      // buy/k=1: NaN and infinite values -> NULL bands only -> 0
+      // distinct, maximally homogeneous, flagged
+      Seq(ev("buy", 1L, Double.NaN),
+        ev("buy", 2L, Double.PositiveInfinity))
+    val df = rows.toDF("event_type", "user_id", "ts", "props", "value")
+    val got = ScrubOps.ldivAuditOn(df, l = 3).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getDouble(6))).toSeq
+    assert(got === Seq(
+      ("buy", 1L, 1L, 0L, 2L, 2L, 100.0),
+      ("click", 1L, 0L, 3L, 3L, 0L, 0.0),
+      ("view", 1L, 1L, 1L, 5L, 5L, 100.0)))
+  }
+
   test("k-anonymity store: from-store audit equals the exact batch audit, " +
       "appended crawls merge, and a replayed append cannot change the " +
       "privacy verdicts (user sketches are set-idempotent)") {
     import spark.implicits._
     def ev(t: String, u: Long, kp: Long) =
       (t, u, java.sql.Timestamp.valueOf("2026-01-01 00:10:00"),
-        s"""{"k": $kp}""")
+        s"""{"k": $kp}""", u * 1.5)
     val crawl1 = (Seq(ev("view", 1L, 1L), ev("view", 2L, 1L)) ++
       (1L to 5L).map(u => ev("view", u, 2L)))
-      .toDF("event_type", "user_id", "ts", "props")
+      .toDF("event_type", "user_id", "ts", "props", "value")
     val crawl2 = (Seq(ev("view", 3L, 1L)) ++
       Seq.fill(4)(ev("click", 9L, 1L)))
-      .toDF("event_type", "user_id", "ts", "props")
+      .toDF("event_type", "user_id", "ts", "props", "value")
     val whole = crawl1.unionByName(crawl2)
     val path = tmpDir("kanon-store") + "/kanon"
 

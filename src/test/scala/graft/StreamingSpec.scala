@@ -1083,7 +1083,7 @@ class StreamingSpec extends SparkSpec {
     val store = tmpDir("privacy-store")
     def ev(t: String, u: Long, kp: Long) =
       (t, u, java.sql.Timestamp.valueOf("2026-01-01 00:10:00"),
-        s"""{"k": $kp}""")
+        s"""{"k": $kp}""", u * 1.5)
     // crawl 1: view/k=1 has 2 users (small); view/k=2 has 5 (safe)
     val batch1 = Seq(ev("view", 1L, 1L), ev("view", 2L, 1L)) ++
       (1L to 5L).map(u => ev("view", u, 2L))
@@ -1098,9 +1098,10 @@ class StreamingSpec extends SparkSpec {
     assert(PrivacyGatePipeline.smallClassesFromStore(spark, store)
       .count() === 0L)
 
-    val input = MemoryStream[(String, Long, java.sql.Timestamp, String)]
+    val input =
+      MemoryStream[(String, Long, java.sql.Timestamp, String, Double)]
     val q = PrivacyGatePipeline.runPrivacyIngest(
-      input.toDS().toDF("event_type", "user_id", "ts", "props"),
+      input.toDS().toDF("event_type", "user_id", "ts", "props", "value"),
       store, tmpDir("privacy-ckpt"))
     input.addData(batch1: _*)
     q.processAllAvailable()
@@ -1109,7 +1110,7 @@ class StreamingSpec extends SparkSpec {
     q.stop()
 
     val all = (batch1 ++ batch2)
-      .toDF("event_type", "user_id", "ts", "props")
+      .toDF("event_type", "user_id", "ts", "props", "value")
     // the cross-batch sketch merge IS the exact q134 audit here (small
     // cardinalities: HLL exact) — including the cross-batch distinct
     // union (view/k=1 = users {1,2} + {3} = 3, not 2 + 1 events)
@@ -1124,7 +1125,16 @@ class StreamingSpec extends SparkSpec {
     // the cross-batch user union counted exactly
     val small = PrivacyGatePipeline.smallClassesFromStore(spark, store)
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(3),
-        r.getLong(4))).toSeq
-    assert(small === Seq(("click", 1L, 1L, 4L), ("view", 1L, 3L, 3L)))
+        r.getLong(4), r.getLong(5))).toSeq
+    // n_sens: click/k=1 = one hammering user, one value band (1);
+    // view/k=1 = users {1,2,3} with bands {1,3,4} = 3
+    assert(small === Seq(("click", 1L, 1L, 1L, 4L),
+      ("view", 1L, 3L, 3L, 3L)))
+    // the l-diversity verdict reads the SAME store and equals the exact
+    // batch q141 answer (small cardinalities: HLL exact)
+    assert(PrivacyGatePipeline.ldivFromStore(spark, store).collect()
+      .map(_.toSeq).toSeq
+      === ScrubOps.ldivAuditOn(all, ScrubOps.LDivL).collect()
+        .map(_.toSeq).toSeq)
   }
 }
