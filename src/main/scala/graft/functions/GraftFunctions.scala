@@ -30,6 +30,14 @@ object GraftFunctions {
     build
   }
 
+  private def boolArg(fn: String, es: Seq[Expression], i: Int): Boolean =
+    es.lift(i) match {
+      case Some(Literal(v: java.lang.Boolean, _)) => v.booleanValue()
+      case other => throw new IllegalArgumentException(
+        s"$fn: argument ${i + 1} must be a boolean literal, got " +
+          other.map(_.sql).getOrElse("nothing"))
+    }
+
   private def intArg(fn: String, es: Seq[Expression], i: Int): Int = es.lift(i) match {
     // integral literal types only — a bare numeric match would silently
     // truncate e.g. 2.5 to 2 via intValue()
@@ -57,6 +65,10 @@ object GraftFunctions {
       (es => arity("graft_min_k", es, 2)(
         MinKLongs(es.head, intArg("graft_min_k", es, 1))
           .toAggregateExpression())),
+    "graft_topk_ids" ->
+      (es => arity("graft_topk_ids", es, 4)(
+        TopKIdsByScore(es.head, es(1), intArg("graft_topk_ids", es, 2),
+          boolArg("graft_topk_ids", es, 3)).toAggregateExpression())),
     "graft_vec_dot" ->
       (es => arity("graft_vec_dot", es, 2)(VecDot(es.head, es(1)))),
     "graft_edit_lb" ->

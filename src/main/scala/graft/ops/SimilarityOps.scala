@@ -699,39 +699,38 @@ object SimilarityOps {
     * brute force, swept over nProbe = 1..`maxProbe`, averaged over a
     * fixed probe set (the `pCount` smallest vec_ids — an eval set is
     * small and pinned, never corpus-sized), with the cost axis alongside
-    * (`mean_frac_scanned`: probed-cell rows / corpus, self included).
+    * (`mean_frac_scanned`: probed-cell candidates / (n−1), self
+    * excluded — the quartet-wide convention).
     * One row per nProbe: raising nProbe buys recall linearly in scan
     * fraction — where the curve knees is where production stops.
     *
     * Scale: the probe set is bounded by construction (limit), so the
     * ground-truth pass is |corpus|·pCount cosines — the price OF the
-    * eval, run on a fixed sample, never on every query. Candidates flow
-    * through a broadcast hash join on the cell label (≤ pCount·maxProbe
-    * probed cells), each candidate row fans out only to the nProbe arms
-    * that would scan it (explode over a ≤ maxProbe literal grid), and
-    * both top-k cuts go through [[ScaleOps.topKPerGroup]] — salted local
-    * rank first, so no corpus-sized partition ever sorts in one task the
-    * way a bare window over 8 probe groups would. Recall itself is a
-    * ≤ pCount·maxProbe·k row join: nothing after the two scans is
-    * corpus-sized.
+    * eval, run on a fixed sample, never on every query. That ONE pass
+    * (norms precomputed per row) serves everything: each pair left-joins
+    * its broadcast probed-cell rank (≤ pCount·maxProbe build side), and
+    * a single map-side-combined aggregation per probe computes the exact
+    * top-k, every nProbe arm's top-k (`when(cent_rank <= np, cos)` — an
+    * unprobed pair is a null the [[graft.functions.TopKIdsByScore]] heap
+    * skips), AND the scanned census as sibling conditional sums. Recall
+    * is an array_intersect over ≤ probes·arms k-id lists: nothing after
+    * the scan is corpus-sized, and no fan-out row ever exists.
+    *
+    * Cost convention (shared by the whole quartet): `mean_frac_scanned`
+    * EXCLUDES the probe itself and divides by n−1, so the four family
+    * curves read as one decision surface; on a single-vector corpus the
+    * fraction is NULL (no other vectors — undefined, not 0).
     */
   def annIvfRecallOn(embDf: DataFrame, k: Int = RecallK,
       pCount: Int = RecallProbes,
       maxProbe: Int = RecallMaxProbe): DataFrame = {
     graft.functions.GraftFunctions.ensureRegistered(embDf.sparkSession)
     val e = embDf.select(col("vec_id"), col("label"), col("embedding"))
+      .withColumn("enorm", norm(col("embedding")))
     val probes = broadcast(e.orderBy("vec_id").limit(pCount)
-      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb")))
-    val nProbeGrid = typedLit((1 to maxProbe).toList)
-
-    // exact ground truth: corpus × probes, top-k per probe
-    val exactScored = e.crossJoin(probes)
-      .filter(col("vec_id") =!= col("q_id"))
-      .select(col("q_id"), col("vec_id"),
-        round(cosine(col("embedding"), col("q_emb")), 6).as("cos_sim"))
-    val exactTop = ScaleOps.topKPerGroup(exactScored, Seq("q_id"),
-        Seq(col("cos_sim").desc, col("vec_id").asc), k, col("vec_id"))
-      .select(col("q_id"), col("vec_id"))
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        col("enorm").as("qnorm")))
+    val nProbes = 1 to maxProbe
 
     // centroid rank per (probe, label): which cells each nProbe arm scans
     // (annIvfOn's c_cos, ranked per probe instead of globally limited)
@@ -745,39 +744,44 @@ object SimilarityOps {
       .withColumn("c_cos", cosine(col("centroid"), col("q_emb")))
       .withColumn("cent_rank", row_number().over(w))
       .filter(col("cent_rank") <= maxProbe)
-      .select(col("q_id"), col("q_emb"), col("label"), col("cent_rank")))
+      .select(col("q_id"), col("label"), col("cent_rank")))
 
-    // candidate top-k per (probe, nProbe): a cell of rank r is scanned by
-    // every arm with nProbe >= r
-    val candTop = ScaleOps.topKPerGroup(
-      e.join(probedCells, "label")
-        .filter(col("vec_id") =!= col("q_id"))
-        .select(col("q_id"), col("cent_rank"), col("vec_id"),
-          round(cosine(col("embedding"), col("q_emb")), 6).as("cos_sim"))
-        .withColumn("n_probe",
-          explode(filter(nProbeGrid, np => np >= col("cent_rank")))),
-      Seq("q_id", "n_probe"),
-      Seq(col("cos_sim").desc, col("vec_id").asc), k, col("vec_id"))
-      .select(col("q_id"), col("n_probe"), col("vec_id"))
-
-    val hits = candTop.join(exactTop, Seq("q_id", "vec_id"))
-      .groupBy("q_id", "n_probe").agg(count(lit(1)).as("n_hits"))
-    val scanned = probedCells
-      .join(broadcast(e.groupBy("label").agg(count(lit(1)).as("cell_n"))),
-        "label")
-      .withColumn("n_probe",
-        explode(filter(nProbeGrid, np => np >= col("cent_rank"))))
-      .groupBy("q_id", "n_probe").agg(sum("cell_n").as("n_scanned"))
-
-    probes.select("q_id").withColumn("n_probe", explode(nProbeGrid))
-      .join(hits, Seq("q_id", "n_probe"), "left")
-      .join(scanned, Seq("q_id", "n_probe"), "left")
-      .crossJoin(broadcast(e.agg(count(lit(1)).as("n_total"))))
-      .groupBy("n_probe")
+    // conditional sims and scan flags are PRE-computed in this
+    // whole-stage-codegen'd project: a TypedImperativeAggregate's
+    // children evaluate interpreted per row, so the aggregate inputs
+    // must be bare column refs, not per-row CASE trees
+    val topks = e.crossJoin(probes)
+      .filter(col("vec_id") =!= col("q_id"))
+      .join(probedCells, Seq("q_id", "label"), "left")
+      .select(col("q_id"), col("vec_id"), col("cent_rank"),
+        round(try_divide(dot(col("embedding"), col("q_emb")),
+          col("enorm") * col("qnorm")), 6).as("cos_sim"))
+      .select(col("q_id") +: col("vec_id") +: col("cos_sim") +:
+        (nProbes.map(np =>
+          when(col("cent_rank") <= np, col("cos_sim")).as(s"sim_$np")) ++
+         nProbes.map(np =>
+          when(col("cent_rank") <= np, 1L).otherwise(0L)
+            .as(s"in_$np"))): _*)
+      .groupBy("q_id")
+      .agg(topkIds(col("cos_sim"), col("vec_id"), k).as("ids_exact"),
+        nProbes.map(np =>
+          topkIds(col(s"sim_$np"), col("vec_id"), k).as(s"ids_$np")) ++
+        nProbes.map(np => sum(col(s"in_$np")).as(s"scan_$np")): _*)
+    val arms = nProbes.map(np =>
+      struct(lit(np).as("n_probe"),
+        size(array_intersect(col(s"ids_$np"), col("ids_exact")))
+          .as("n_hits"),
+        col(s"scan_$np").as("n_scanned")))
+    probes.select("q_id")
+      .join(topks, Seq("q_id"), "left")
+      .select(col("q_id"), explode(array(arms: _*)).as("a"))
+      .crossJoin(broadcast(e.agg((count(lit(1)) - 1).as("n_others"))))
+      .groupBy(col("a.n_probe").as("n_probe"))
       .agg(count(lit(1)).as("n_queries"),
-        graft.Tables.davg(coalesce(col("n_hits"), lit(0L)) / lit(k), 6)
+        graft.Tables.davg(coalesce(col("a.n_hits"), lit(0)) / lit(k), 6)
           .as("mean_recall_at_k"),
-        graft.Tables.davg(col("n_scanned") / col("n_total"), 6)
+        graft.Tables.davg(try_divide(
+          coalesce(col("a.n_scanned"), lit(0L)), col("n_others")), 6)
           .as("mean_frac_scanned"))
       .orderBy("n_probe")
   }
@@ -804,16 +808,23 @@ object SimilarityOps {
     * q137 curves read side by side when choosing WHICH index to deploy.
     *
     * Scale: unlike IVF (storage-side cells), the LSH filter is
-    * score-side, so ONE corpus×probes pass (bounded probe build side)
-    * computes every pair's cosine AND min band distance; the exact arm
-    * ranks that frame unfiltered while each radius arm ranks its
-    * min_band-prefix (explode over a ≤ maxRadius+1 literal grid — a pair
-    * fans out only to the radii that admit it). Both rank cuts go
-    * through the salted [[ScaleOps.topKPerGroup]]; recall and the
-    * scanned-fraction census are ≤ probes·radii joins after the scan. A
-    * probe with NO candidate at radius r reports 0 scanned and 0 recall
-    * (coalesced, not dropped — the curve must show the empty-filter
-    * regime honestly).
+    * score-side, so ONE corpus×probes pass (bounded probe build side,
+    * norms precomputed per row) computes every pair's cosine AND min
+    * band distance, and EVERYTHING aggregates out of that single frame
+    * in one map-side-combined pass: the exact arm and each radius arm
+    * are [[graft.functions.TopKIdsByScore]] bounded heaps (a radius arm
+    * scores `when(min_band <= r, cos)` — an unadmitted pair is a null
+    * the heap skips, so no arm fan-out rows ever exist), and the
+    * scanned-fraction census is a sibling conditional sum in the SAME
+    * aggregation. Recall is an array_intersect over ≤ probes·radii k-id
+    * lists. A probe with NO candidate at radius r reports 0 scanned and
+    * 0 recall (coalesced, not dropped — the curve must show the
+    * empty-filter regime honestly).
+    *
+    * Cost convention (shared by the whole quartet): `mean_frac_scanned`
+    * EXCLUDES the probe itself and divides by n−1, so the four family
+    * curves read as one decision surface; on a single-vector corpus the
+    * fraction is NULL (no other vectors — undefined, not 0).
     */
   def annLshRecallOn(embDf: DataFrame, k: Int = RecallK,
       pCount: Int = RecallProbes,
@@ -821,57 +832,50 @@ object SimilarityOps {
     graft.functions.GraftFunctions.ensureRegistered(embDf.sparkSession)
     val e = embDf.select(col("vec_id"), col("embedding"))
       .withColumn("sig", signature(col("embedding")))
+      .withColumn("enorm", norm(col("embedding")))
     val probes = broadcast(e.orderBy("vec_id").limit(pCount)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
-        col("sig").as("q_sig")))
-    val radiusGrid = typedLit((0 to maxRadius).toList)
+        col("sig").as("q_sig"), col("enorm").as("qnorm")))
+    val radii = 0 to maxRadius
     val hi = bit_count(shiftrightunsigned(col("sig"), 8)
       .bitwiseXOR(shiftrightunsigned(col("q_sig"), 8)))
     val lo = bit_count(col("sig").bitwiseAND(lit(0xFFL))
       .bitwiseXOR(col("q_sig").bitwiseAND(lit(0xFFL))))
-    val scored = e.crossJoin(probes)
+    // conditional sims and scan flags are PRE-computed in this
+    // whole-stage-codegen'd project: a TypedImperativeAggregate's
+    // children evaluate interpreted per row, so the aggregate inputs
+    // must be bare column refs, not per-row CASE trees
+    val topks = e.crossJoin(probes)
       .filter(col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id"),
-        round(cosine(col("embedding"), col("q_emb")), 6).as("cos_sim"),
+        round(try_divide(dot(col("embedding"), col("q_emb")),
+          col("enorm") * col("qnorm")), 6).as("cos_sim"),
         least(hi, lo).as("min_band"))
-    // the exact arm IS a sentinel radius that admits every pair (any
-    // r ≥ 8 does: two 8-bit bands bound min_band), so ONE ranked
-    // fan-out serves the ground truth and every swept radius — the
-    // corpus×probes cosine pass runs twice (rank + census), not three
-    // times (6M-vector datapoint: 41.6 s → the two-pass form)
-    val SentinelR = 99
-    require(maxRadius < SentinelR,
-      s"annLshRecallOn: radius sweep must stay below the full-scan " +
-        s"sentinel $SentinelR, got $maxRadius")
-    val fullGrid = typedLit(((0 to maxRadius) :+ SentinelR).toList)
-    val cand = scored.withColumn("radius",
-      explode(filter(fullGrid, r => r >= col("min_band"))))
-    val allTop = ScaleOps.topKPerGroup(cand, Seq("q_id", "radius"),
-        Seq(col("cos_sim").desc, col("vec_id").asc), k, col("vec_id"))
-      .select(col("q_id"), col("radius"), col("vec_id"))
-    val exactTop = allTop.filter(col("radius") === SentinelR)
-      .select(col("q_id"), col("vec_id"))
-    val candTop = allTop.filter(col("radius") =!= SentinelR)
-    val hits = candTop.join(exactTop, Seq("q_id", "vec_id"))
-      .groupBy("q_id", "radius").agg(count(lit(1)).as("n_hits"))
-    // census from the SWEPT grid only — regenerating the sentinel rows
-    // just to filter them out would waste one row per corpus×probe pair
-    // (r12 session-2 third review finding); cosine is column-pruned out
-    // of this branch, so it stays the cheap pass
-    val scanned = scored.withColumn("radius",
-        explode(filter(radiusGrid, r => r >= col("min_band"))))
-      .groupBy("q_id", "radius")
-      .agg(count(lit(1)).as("n_scanned"))
-    probes.select("q_id").withColumn("radius", explode(radiusGrid))
-      .join(hits, Seq("q_id", "radius"), "left")
-      .join(scanned, Seq("q_id", "radius"), "left")
+      .select(col("q_id") +: col("vec_id") +: col("cos_sim") +:
+        (radii.map(r =>
+          when(col("min_band") <= r, col("cos_sim")).as(s"sim_$r")) ++
+         radii.map(r =>
+          when(col("min_band") <= r, 1L).otherwise(0L).as(s"in_$r"))): _*)
+      .groupBy("q_id")
+      .agg(topkIds(col("cos_sim"), col("vec_id"), k).as("ids_exact"),
+        radii.map(r =>
+          topkIds(col(s"sim_$r"), col("vec_id"), k).as(s"ids_$r")) ++
+        radii.map(r => sum(col(s"in_$r")).as(s"scan_$r")): _*)
+    val arms = radii.map(r =>
+      struct(lit(r).as("radius"),
+        size(array_intersect(col(s"ids_$r"), col("ids_exact")))
+          .as("n_hits"),
+        col(s"scan_$r").as("n_scanned")))
+    probes.select("q_id")
+      .join(topks, Seq("q_id"), "left")
+      .select(col("q_id"), explode(array(arms: _*)).as("a"))
       .crossJoin(broadcast(e.agg((count(lit(1)) - 1).as("n_others"))))
-      .groupBy("radius")
+      .groupBy(col("a.radius").as("radius"))
       .agg(count(lit(1)).as("n_queries"),
-        graft.Tables.davg(coalesce(col("n_hits"), lit(0L)) / lit(k), 6)
+        graft.Tables.davg(coalesce(col("a.n_hits"), lit(0)) / lit(k), 6)
           .as("mean_recall_at_k"),
-        graft.Tables.davg(
-          coalesce(col("n_scanned"), lit(0L)) / col("n_others"), 6)
+        graft.Tables.davg(try_divide(
+          coalesce(col("a.n_scanned"), lit(0L)), col("n_others")), 6)
           .as("mean_frac_scanned"))
       .orderBy("radius")
   }
@@ -900,12 +904,17 @@ object SimilarityOps {
     * decision surface across all four index families.
     *
     * Scale: project once per vector (map-only, the q113 expression),
-    * then ONE corpus×probes pass (bounded probe build side) emits every
-    * pair's prefix similarities AND the full-precision ground truth as a
-    * sentinel prefix (the q137 trick — d = 99 ranks on the true cosine
-    * over the raw embedding), so one ranked fan-out serves everything;
-    * rank cuts through the salted [[ScaleOps.topKPerGroup]]; no census
-    * pass at all (RP reads every vector — the cost axis is dims, not
+    * then ONE corpus×probes pass (bounded probe build side) computes
+    * every pair's prefix similarities AND the full-precision ground
+    * truth as sibling COLUMNS, and every arm's top-k is a
+    * [[graft.functions.TopKIdsByScore]] bounded-heap aggregate over that
+    * one frame — each pair row is consumed map-side (O(log k) heap
+    * update per arm), only O(k) survivors per (task, probe) ever
+    * shuffle, and recall is an array_intersect over ≤ probes·arms k-id
+    * lists. The previous form exploded the frame ×(arms+1) through two
+    * salted rank stages; the 6M-vector measurement said those SORTS of
+    * 240M rows, not the cosines, were the whole cost. No census pass at
+    * all (RP reads every vector — the cost axis is dims, not
     * candidates).
     */
   def annRpRecallOn(embDf: DataFrame, k: Int = RecallK,
@@ -916,44 +925,76 @@ object SimilarityOps {
         && dimGrid.distinct.size == dimGrid.size,
       s"annRpRecallOn: prefix grid must be distinct values in " +
         s"1..$Planes, got $dimGrid")
-    val SentinelD = 99
     val proj = array(planes.map(p =>
       round(dot(col("embedding"), typedLit(p.toSeq)), 6)): _*)
-    val e = embDf.select(col("vec_id"), col("embedding"), proj.as("p"))
+    // Per-pair arithmetic is the eval's whole cost at 10⁸ pairs, so
+    // everything pair-INDEPENDENT precomputes per row: prefix norms on
+    // both sides, the full-vector norm, and the projection itself. The
+    // per-pair prefix dots then build INCREMENTALLY along the sorted
+    // grid in the exact VecDot fold order (0.0-seeded, index-ascending,
+    // left-associated), so every sim is bit-identical to the
+    // cosine-over-slice form the oracle replays — ~10⁹ slice
+    // allocations and redundant norm recomputations cheaper.
+    val sortedGrid = dimGrid.sorted
+    def extendDot(acc: Column, a: String, b: String, lo: Int,
+        hi: Int): Column =
+      (lo to hi).foldLeft(acc)((c, i) =>
+        c + element_at(col(a), i) * element_at(col(b), i))
+    def prefixNorms(a: String, prefix: String): Seq[Column] =
+      sortedGrid.zip(0 +: sortedGrid.dropRight(1)).scanLeft(
+          (lit(0.0), 0)) { case ((acc, _), (d, prev)) =>
+        (extendDot(acc, a, a, prev + 1, d), d)
+      }.drop(1).map { case (sq, d) => sqrt(sq).as(s"$prefix$d") }
+    val e = embDf.select(col("vec_id") +: col("embedding") +:
+      proj.as("p") +: norm(col("embedding")).as("enorm") +: Nil: _*)
+      .select(col("*") +: prefixNorms("p", "pn_"): _*)
     val probes = broadcast(e.orderBy("vec_id").limit(pCount)
-      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
-        col("p").as("qp")))
-    def prefixSim(d: Int): Column =
-      round(cosine(slice(col("p"), 1, d), slice(col("qp"), 1, d)), 6)
-    val arms = dimGrid.map(d =>
-      struct(lit(d).as("d_used"), prefixSim(d).as("sim"))) :+
-      struct(lit(SentinelD).as("d_used"),
-        round(cosine(col("embedding"), col("q_emb")), 6).as("sim"))
-    val ranked = ScaleOps.topKPerGroup(
-      e.crossJoin(probes)
-        .filter(col("vec_id") =!= col("q_id"))
-        .select(col("q_id"), col("vec_id"), explode(array(arms: _*)).as("x"))
-        .select(col("q_id"), col("vec_id"),
-          col("x.d_used").as("d_used"), col("x.sim").as("sim")),
-      Seq("q_id", "d_used"),
-      Seq(col("sim").desc, col("vec_id").asc), k, col("vec_id"))
-      .select(col("q_id"), col("d_used"), col("vec_id"))
-    val exactTop = ranked.filter(col("d_used") === SentinelD)
-      .select(col("q_id"), col("vec_id"))
-    val hits = ranked.filter(col("d_used") =!= SentinelD)
-      .join(exactTop, Seq("q_id", "vec_id"))
-      .groupBy("q_id", "d_used").agg(count(lit(1)).as("n_hits"))
+      .select(col("vec_id").as("q_id") +: col("embedding").as("q_emb") +:
+        col("p").as("qp") +: col("enorm").as("qnorm") +:
+        sortedGrid.map(d => col(s"pn_$d").as(s"qn_$d")): _*))
+    val pairDots = sortedGrid.zip(0 +: sortedGrid.dropRight(1))
+      .scanLeft((lit(0.0), 0)) { case ((acc, _), (d, prev)) =>
+        (extendDot(acc, "p", "qp", prev + 1, d), d)
+      }.drop(1)
+    val sims = pairDots.map { case (dt, d) =>
+      round(try_divide(dt, col(s"pn_$d") * col(s"qn_$d")), 6)
+        .as(s"sim_$d")
+    }
+    val topks = e.crossJoin(probes)
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id") +: col("vec_id") +: (sims :+
+        round(try_divide(dot(col("embedding"), col("q_emb")),
+          col("enorm") * col("qnorm")), 6).as("sim_exact")): _*)
+      .groupBy("q_id")
+      .agg(topkIds(col("sim_exact"), col("vec_id"), k).as("ids_exact"),
+        sortedGrid.map(d =>
+          topkIds(col(s"sim_$d"), col("vec_id"), k).as(s"ids_$d")): _*)
+    val armHits = dimGrid.map(d =>
+      struct(lit(d).as("d_used"),
+        size(array_intersect(col(s"ids_$d"), col("ids_exact")))
+          .as("n_hits")))
     probes.select("q_id")
-      .withColumn("d_used", explode(typedLit(dimGrid.toList)))
-      .join(hits, Seq("q_id", "d_used"), "left")
-      .groupBy("d_used")
+      .join(topks, Seq("q_id"), "left")
+      .select(col("q_id"), explode(array(armHits: _*)).as("a"))
+      .groupBy(col("a.d_used").as("d_used"))
       .agg(count(lit(1)).as("n_queries"),
-        graft.Tables.davg(coalesce(col("n_hits"), lit(0L)) / lit(k), 6)
+        graft.Tables.davg(coalesce(col("a.n_hits"), lit(0)) / lit(k), 6)
           .as("mean_recall_at_k"))
       .withColumn("frac_proj_read",
         round(col("d_used") / lit(Planes.toDouble), 6))
       .orderBy("d_used")
   }
+
+  /** [[graft.functions.TopKIdsByScore]] as a column: the group's k best
+    * ids by (score, id) — `asc = false` for similarities (highest
+    * first), `asc = true` for distances; null scores/ids never rank.
+    * Plans as ObjectHashAggregate with a map-side partial: the
+    * bounded-heap replacement for a salted rank stage wherever only the
+    * top-k IDS are needed.
+    */
+  private def topkIds(score: Column, id: Column, k: Int,
+      asc: Boolean = false): Column =
+    call_function("graft_topk_ids", score, id, lit(k), lit(asc))
 
   // ---- q138: PQ progressive-scan recall eval --------------------------------
 
@@ -980,11 +1021,15 @@ object SimilarityOps {
     * Scale: the corpus encodes ONCE through the fused native
     * `graft_pq_encode` kernel (map-only); per probe the 8 lookup tables
     * are |codebook|-bounded expressions evaluated on the probe row and
-    * broadcast, so scoring is one corpus×probes pass over 8-byte codes —
-    * never the raw vectors — and each pair's prefix sums fan out over a
-    * 4-literal grid. Both rank cuts go through the salted
-    * [[ScaleOps.topKPerGroup]]. Unencodable vectors carry NULL pieces
-    * and are excluded before ranking (q123's corrupt-input discipline).
+    * broadcast alongside the raw query vector, so ONE corpus×probes
+    * pass computes the exact cosine AND every ADC prefix sum
+    * (incremental in subspace order — the identical 0.0-seeded
+    * left-assoc fold as the slice-aggregate it replaces), and one
+    * map-side-combined aggregation per probe takes every arm's top-k
+    * through [[graft.functions.TopKIdsByScore]] bounded heaps
+    * (`asc = true` — ADC is a distance). Unencodable vectors carry NULL
+    * pieces and never rank (q123's corrupt-input discipline, now the
+    * heap's null-skip).
     */
   def annPqRecallOn(embDf: DataFrame, k: Int = RecallK,
       pCount: Int = RecallProbes,
@@ -1015,45 +1060,45 @@ object SimilarityOps {
         x2 - lit(2.0) * dot(sub(m), typedLit(c.toSeq)) +
           lit(c.map(v => v * v).sum))
     }
-    val e = embDf.select(col("vec_id"), col("embedding"))
-    val probes0 = e.orderBy("vec_id").limit(pCount)
-      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
-
-    val exactScored = e.crossJoin(broadcast(probes0))
-      .filter(col("vec_id") =!= col("q_id"))
-      .select(col("q_id"), col("vec_id"),
-        round(cosine(col("embedding"), col("q_emb")), 6).as("cos_sim"))
-    val exactTop = ScaleOps.topKPerGroup(exactScored, Seq("q_id"),
-        Seq(col("cos_sim").desc, col("vec_id").asc), k, col("vec_id"))
-      .select(col("q_id"), col("vec_id"))
-
-    val luts = broadcast(probes0.select(col("q_id") +:
-      (0 until PqSub).map(m => array(dists(m): _*).as(s"lut$m")): _*))
-    val coded = e.select(col("vec_id"),
+    val e = embDf.select(col("vec_id"), col("embedding"),
+      norm(col("embedding")).as("enorm"),
       call_function("graft_pq_encode", col("embedding"),
         typedLit(full.map(_.toSeq).toSeq), lit(PqSubDim)).as("codes"))
-    val pieces = array((0 until PqSub).map(m =>
-      element_at(col(s"lut$m"), col("codes")(m) + 1)): _*)
-    val grid = typedLit(subGrid.toList)
-    val scoredAdc = coded.crossJoin(luts)
+    val probes = broadcast(e.orderBy("vec_id").limit(pCount)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        col("enorm").as("qnorm"))
+      .select(col("*") +:
+        (0 until PqSub).map(m => array(dists(m): _*).as(s"lut$m")): _*))
+    val sortedGrid = subGrid.sorted
+    def piece(m: Int): Column =
+      element_at(col(s"lut$m"), col("codes")(m) + 1)
+    // ADC prefix sums build incrementally along the sorted grid — the
+    // same ((0.0 + p0) + p1) + … association at every grid point as the
+    // full fold, so each arm's distance is bit-identical to the oracle's
+    val adcs = sortedGrid.zip(0 +: sortedGrid.dropRight(1))
+      .scanLeft((lit(0.0), 0)) { case ((acc, _), (m, prev)) =>
+        ((prev until m).foldLeft(acc)((c, i) => c + piece(i)), m)
+      }.drop(1).map { case (adc, m) => round(adc, 6).as(s"adc_$m") }
+    val topks = e.crossJoin(probes)
       .filter(col("vec_id") =!= col("q_id"))
-      .select(col("q_id"), col("vec_id"), pieces.as("pieces"))
-      .withColumn("m_used", explode(grid))
-      .select(col("q_id"), col("vec_id"), col("m_used"),
-        round(aggregate(slice(col("pieces"), lit(1), col("m_used")),
-          lit(0.0), (a, x) => a + x), 6).as("adc_dist"))
-      .filter(col("adc_dist").isNotNull)
-    val candTop = ScaleOps.topKPerGroup(scoredAdc, Seq("q_id", "m_used"),
-        Seq(col("adc_dist").asc, col("vec_id").asc), k, col("vec_id"))
-      .select(col("q_id"), col("m_used"), col("vec_id"))
-
-    val hits = candTop.join(exactTop, Seq("q_id", "vec_id"))
-      .groupBy("q_id", "m_used").agg(count(lit(1)).as("n_hits"))
-    probes0.select("q_id").withColumn("m_used", explode(grid))
-      .join(hits, Seq("q_id", "m_used"), "left")
-      .groupBy("m_used")
+      .select(col("q_id") +: col("vec_id") +:
+        round(try_divide(dot(col("embedding"), col("q_emb")),
+          col("enorm") * col("qnorm")), 6).as("cos_sim") +: adcs: _*)
+      .groupBy("q_id")
+      .agg(topkIds(col("cos_sim"), col("vec_id"), k).as("ids_exact"),
+        sortedGrid.map(m =>
+          topkIds(col(s"adc_$m"), col("vec_id"), k, asc = true)
+            .as(s"ids_$m")): _*)
+    val arms = sortedGrid.map(m =>
+      struct(lit(m).as("m_used"),
+        size(array_intersect(col(s"ids_$m"), col("ids_exact")))
+          .as("n_hits")))
+    probes.select("q_id")
+      .join(topks, Seq("q_id"), "left")
+      .select(col("q_id"), explode(array(arms: _*)).as("a"))
+      .groupBy(col("a.m_used").as("m_used"))
       .agg(count(lit(1)).as("n_queries"),
-        graft.Tables.davg(coalesce(col("n_hits"), lit(0L)) / lit(k), 6)
+        graft.Tables.davg(coalesce(col("a.n_hits"), lit(0)) / lit(k), 6)
           .as("mean_recall_at_k"))
       .withColumn("frac_code_read",
         round(col("m_used") / lit(PqSub.toDouble), 6))
@@ -2641,18 +2686,17 @@ object SimilarityOps {
          |  WHERE rk <= $RecallK),
          |h AS (SELECT q_id, n_probe, count(*) AS n_hits
          |  FROM cat JOIN ext USING (q_id, vec_id) GROUP BY 1, 2),
-         |cs AS (SELECT label, count(*) AS cell_n FROM embeddings
-         |  GROUP BY label),
-         |tot AS (SELECT count(*) AS n_total FROM embeddings),
-         |sc AS (SELECT pc.q_id, np.np AS n_probe,
-         |    CAST(sum(cs.cell_n) AS BIGINT) AS n_scanned
-         |  FROM pc JOIN cs ON pc.label = cs.label
-         |  CROSS JOIN np WHERE np.np >= pc.cent_rank GROUP BY 1, 2),
+         |tot AS (SELECT count(*) - 1 AS n_others FROM embeddings),
+         |sc AS (SELECT q_id, np.np AS n_probe,
+         |    CAST(count(*) AS BIGINT) AS n_scanned
+         |  FROM cand CROSS JOIN np WHERE np.np >= cand.cent_rank
+         |  GROUP BY 1, 2),
          |g AS (SELECT p.q_id, np.np AS n_probe FROM p CROSS JOIN np)
          |SELECT CAST(g.n_probe AS INT) AS n_probe, count(*) AS n_queries,
          |  ${Tables.sqlDavg(s"coalesce(h.n_hits, 0) / $RecallK", 6)}
          |    AS mean_recall_at_k,
-         |  ${Tables.sqlDavg("sc.n_scanned / tot.n_total", 6)}
+         |  ${Tables.sqlDavg(
+              "coalesce(sc.n_scanned, 0) / nullif(tot.n_others, 0)", 6)}
          |    AS mean_frac_scanned
          |FROM g LEFT JOIN h USING (q_id, n_probe)
          |  LEFT JOIN sc USING (q_id, n_probe) CROSS JOIN tot

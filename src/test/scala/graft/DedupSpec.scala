@@ -1408,8 +1408,11 @@ class DedupSpec extends SparkSpec {
         maxProbe = 2).collect()
       .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
       .toSeq
+    // frac under the quartet-wide convention: candidates EXCLUDING the
+    // probe itself over n-1 — nProbe=1 scans cell L0's 2 other members
+    // of the 5 non-probe vectors (0.4); full probe = 5/5 = 1.0
     assert(got === Seq(
-      (1, 1L, 0.5, 0.5),
+      (1, 1L, 0.5, 0.4),
       (2, 1L, 1.0, 1.0)))
   }
 

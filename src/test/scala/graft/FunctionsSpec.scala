@@ -53,6 +53,56 @@ class FunctionsSpec extends SparkSpec {
     assert(r === Seq.empty[Long])
   }
 
+  test("graft_topk_ids equals the row_number window it replaces: both " +
+      "directions, lower-id ties, null skips, partial merges") {
+    // many partitions force partial-buffer serialize + merge; duplicate
+    // scores force the id tie-break; nulls in both children force skips
+    val df = spark.range(2000).select(
+      (col("id") % 5).as("g"),
+      when(col("id") % 17 === 0, lit(null).cast("double"))
+        .otherwise(((col("id") * 48271L) % 97L).cast("double") / 10.0)
+        .as("s"),
+      when(col("id") % 31 === 0, lit(null).cast("long"))
+        .otherwise(col("id")).as("v"))
+      .repartition(8)
+    for (asc <- Seq(true, false)) {
+      val got = df.groupBy("g")
+        .agg(expr(s"graft_topk_ids(s, v, 7, $asc)").as("ids"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+      val want = df.collect()
+        .filter(r => !r.isNullAt(1) && !r.isNullAt(2))
+        .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+        .groupBy(_._1)
+        .map { case (g, rows) =>
+          val sorted =
+            if (asc) rows.sortBy(t => (t._2, t._3))
+            else rows.sortBy(t => (-t._2, t._3))
+          g -> sorted.take(7).map(_._3).toSeq
+        }
+      want.foreach { case (g, w) =>
+        assert(got(g) === w, s"group $g asc=$asc")
+      }
+    }
+  }
+
+  test("graft_topk_ids: NaN ranks as the largest score (the Spark sort " +
+      "order), empty/all-null groups yield an empty array, k past the " +
+      "group size returns everything ranked") {
+    import spark.implicits._
+    val df = Seq((Double.NaN, 1L), (5.0, 2L), (7.0, 3L), (Double.NaN, 0L))
+      .toDF("s", "v")
+    assert(df.agg(expr("graft_topk_ids(s, v, 3, false)")).head()
+      .getSeq[Long](0) === Seq(0L, 1L, 3L),
+      "desc: NaN first (ties by id), then the largest real score")
+    assert(df.agg(expr("graft_topk_ids(s, v, 3, true)")).head()
+      .getSeq[Long](0) === Seq(2L, 3L, 0L),
+      "asc: real scores first, NaN last")
+    assert(df.agg(expr("graft_topk_ids(s, v, 9, true)")).head()
+      .getSeq[Long](0) === Seq(2L, 3L, 0L, 1L))
+    assert(spark.sql("SELECT graft_topk_ids(CAST(NULL AS DOUBLE), 1L, " +
+      "3, true) ").head().getSeq[Long](0) === Seq.empty[Long])
+  }
+
   test("graft_min_k agrees with sorted-take on arbitrary data") {
     import org.scalacheck.{Gen, Prop, Test => SCTest}
     val prop = Prop.forAll(
