@@ -717,7 +717,9 @@ object Scratch {
         "q124" -> "DSIR importance weights",
         "q131" -> "DoReMi mix weights",
         // r12 addition: the probe-set BNLJ + cell-fanout shape is new
-        "q135" -> "IVF recall eval (probe fan-out)")
+        "q135" -> "IVF recall eval (probe fan-out)",
+        // r13 addition: the quartet's one-pass topk-aggregate shape
+        "q139" -> "RP recall eval (topk aggregate)")
       println(f"${"query"}%-28s ${"shape"}%-34s cold_s  warm_s")
       canaries.foreach { case (prefix, shape) =>
         val (qn, fn) = SparkEntry.queries.toSeq.sortBy(_._1)

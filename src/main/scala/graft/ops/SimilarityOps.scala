@@ -725,6 +725,10 @@ object SimilarityOps {
       pCount: Int = RecallProbes,
       maxProbe: Int = RecallMaxProbe): DataFrame = {
     graft.functions.GraftFunctions.ensureRegistered(embDf.sparkSession)
+    require(maxProbe >= 1 && pCount >= 1 && k >= 1,
+      s"annIvfRecallOn: maxProbe, pCount and k must be >= 1, got " +
+        s"($maxProbe, $pCount, $k) — an empty sweep grid or probe set " +
+        "is a caller bug, not an empty curve")
     val e = embDf.select(col("vec_id"), col("label"), col("embedding"))
       .withColumn("enorm", norm(col("embedding")))
     val probes = broadcast(e.orderBy("vec_id").limit(pCount)
@@ -830,6 +834,10 @@ object SimilarityOps {
       pCount: Int = RecallProbes,
       maxRadius: Int = RecallMaxRadius): DataFrame = {
     graft.functions.GraftFunctions.ensureRegistered(embDf.sparkSession)
+    require(maxRadius >= 0 && pCount >= 1 && k >= 1,
+      s"annLshRecallOn: maxRadius must be >= 0, pCount and k >= 1, got " +
+        s"($maxRadius, $pCount, $k) — an empty sweep grid or probe set " +
+        "is a caller bug, not an empty curve")
     val e = embDf.select(col("vec_id"), col("embedding"))
       .withColumn("sig", signature(col("embedding")))
       .withColumn("enorm", norm(col("embedding")))

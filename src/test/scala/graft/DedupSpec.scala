@@ -1568,6 +1568,52 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("recall eval grid edges: pCount past the corpus size evals every " +
+      "vector, k past the corpus saturates recall, a single-label corpus " +
+      "collapses the IVF cells without dying, empty grids fail loud") {
+    import spark.implicits._
+    val dim = SimilarityOps.Dim
+    val rnd = new scala.util.Random(41)
+    // 5 vectors, ONE label: a single IVF cell — every nProbe arm probes
+    // the same (only) cell, so recall across arms equals the full scan
+    val embDf = (0L until 5L)
+      .map(i => (i, Array.fill(dim)(rnd.nextGaussian().toFloat), 0))
+      .toDF("vec_id", "embedding", "label")
+    // pCount 64 >> 5: every vector becomes a probe. k 50 >> 4 others:
+    // every arm holds ALL 4 others, and recall reports 4/50 = 0.08 —
+    // the denominator is the REQUESTED k (the oracle-pinned convention:
+    // asking for 50 neighbors of a 5-vector corpus IS a recall failure,
+    // not a rescaled success); the scan fraction saturates at 1.0
+    val ivf = SimilarityOps.annIvfRecallOn(embDf, k = 50, pCount = 64,
+        maxProbe = 2).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(ivf.map(_._1).toSeq === Seq(1, 2))
+    ivf.foreach { case (np, nq, recall, frac) =>
+      assert(nq === 5L, "every vector becomes a probe")
+      assert(recall === 0.08 && frac === 1.0,
+        s"one cell IS the corpus at any nProbe: ${ivf.toSeq}")
+    }
+    val rp = SimilarityOps.annRpRecallOn(embDf, k = 50, pCount = 64)
+      .collect().map(r => (r.getLong(1), r.getDouble(2)))
+    rp.foreach { case (nq, recall) =>
+      assert(nq === 5L && recall === 0.08,
+        s"k past the corpus holds all 4 others in every arm: ${rp.toSeq}")
+    }
+    // empty / senseless grids are caller bugs, not empty curves
+    intercept[IllegalArgumentException] {
+      SimilarityOps.annIvfRecallOn(embDf, maxProbe = 0)
+    }
+    intercept[IllegalArgumentException] {
+      SimilarityOps.annLshRecallOn(embDf, maxRadius = -1)
+    }
+    intercept[IllegalArgumentException] {
+      SimilarityOps.annRpRecallOn(embDf, dimGrid = Seq.empty)
+    }
+    intercept[IllegalArgumentException] {
+      SimilarityOps.annPqRecallOn(embDf, subGrid = Seq(2, 2))
+    }
+  }
+
   /** The deterministic init rank of [[SimilarityOps.pqTrainedCodebook]]
     * for a 0-based id — the test builds cluster membership FROM this
     * order so each init vector provably seeds a distinct cluster.

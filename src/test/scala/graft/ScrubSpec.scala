@@ -138,6 +138,34 @@ class ScrubSpec extends SparkSpec {
       ("view", 1L, 1L, 1L, 5L, 5L, 100.0)))
   }
 
+  test("k-anonymity store: a corrupted sketch blob fails the audit LOUD " +
+      "instead of silently under-counting users (an under-count would " +
+      "inflate risk_pct — safe direction, but a corrupt store must be " +
+      "rebuilt, not trusted)") {
+    import spark.implicits._
+    def ev(t: String, u: Long, kp: Long) =
+      (t, u, java.sql.Timestamp.valueOf("2026-01-01 00:10:00"),
+        s"""{"k": $kp}""", u * 1.5)
+    val crawl = (1L to 5L).map(u => ev("view", u, 1L))
+      .toDF("event_type", "user_id", "ts", "props", "value")
+    val path = tmpDir("kanon-corrupt") + "/kanon"
+    ScrubOps.writeKanonStore(crawl, path)
+    // truncate every sketch blob to its first 3 bytes — a torn write /
+    // bad disk, past any parquet checksum
+    val damaged = spark.read.parquet(path)
+      .withColumn("sketch",
+        org.apache.spark.sql.functions.expr("substring(sketch, 1, 3)"))
+    val e = intercept[Throwable] {
+      ScrubOps.kanonAuditFromClasses(damaged, ScrubOps.KAnonK).collect()
+    }
+    def chain(t: Throwable): Seq[String] =
+      if (t == null) Nil
+      else (t.getClass.getName + ": " + t.getMessage) +: chain(t.getCause)
+    assert(chain(e).exists(m => m.toLowerCase.contains("sketch") ||
+      m.toLowerCase.contains("corrupt") || m.contains("Exception")),
+      s"expected a loud sketch failure, got: ${chain(e).mkString(" | ")}")
+  }
+
   test("k-anonymity store: from-store audit equals the exact batch audit, " +
       "appended crawls merge, and a replayed append cannot change the " +
       "privacy verdicts (user sketches are set-idempotent)") {

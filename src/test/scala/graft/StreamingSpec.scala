@@ -1137,4 +1137,44 @@ class StreamingSpec extends SparkSpec {
       === ScrubOps.ldivAuditOn(all, ScrubOps.LDivL).collect()
         .map(_.toSeq).toSeq)
   }
+
+  test("privacy gate staging: a crashed batch's leftover dot-prefixed " +
+      "staging dir is invisible to readers and a later run of the same " +
+      "batch publishes over it; the committed segment stays readable " +
+      "throughout") {
+    import graft.streaming.PrivacyGatePipeline
+    import graft.ops.ScrubOps
+    implicit val sqlCtx = spark.sqlContext
+    val store = tmpDir("privacy-staging")
+    def ev(t: String, u: Long, kp: Long) =
+      (t, u, java.sql.Timestamp.valueOf("2026-01-01 00:10:00"),
+        s"""{"k": $kp}""", u * 1.5)
+    val batch = (1L to 4L).map(u => ev("view", u, 1L))
+    // simulate the crash: a prior attempt died AFTER writing a partial
+    // staging dir (half a parquet file) but BEFORE the publish renames
+    val staging = new java.io.File(s"$store/.staging_0")
+    staging.mkdirs()
+    java.nio.file.Files.write(staging.toPath.resolve("part-00000.parquet"),
+      Array[Byte](1, 2, 3))
+    // a reader polling now must see the empty store, not the garbage
+    assert(PrivacyGatePipeline.auditFromStore(spark, store).count() === 0L)
+    val input =
+      MemoryStream[(String, Long, java.sql.Timestamp, String, Double)]
+    val q = PrivacyGatePipeline.runPrivacyIngest(
+      input.toDS().toDF("event_type", "user_id", "ts", "props", "value"),
+      store, tmpDir("privacy-staging-ckpt"))
+    input.addData(batch: _*)
+    q.processAllAvailable()
+    q.stop()
+    // the replayed batch overwrote the garbage staging and published
+    val all = batch.toDF("event_type", "user_id", "ts", "props", "value")
+    assert(PrivacyGatePipeline.auditFromStore(spark, store).collect()
+      .map(_.toSeq).toSeq
+      === ScrubOps.kanonAuditOn(all, ScrubOps.KAnonK).collect()
+        .map(_.toSeq).toSeq)
+    // and no stray visible dirs: exactly the one batch segment
+    val visible = new java.io.File(store).listFiles()
+      .map(_.getName).filterNot(_.startsWith(".")).toSeq
+    assert(visible === Seq("batch_id=0"), s"visible: $visible")
+  }
 }
