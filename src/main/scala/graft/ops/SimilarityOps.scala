@@ -1726,12 +1726,18 @@ object SimilarityOps {
   def pqTrainedCodebook(embDf: DataFrame, k: Int = PqTrainK,
       iters: Int = PqTrainIters): Array[Array[Double]] = {
     graft.functions.GraftFunctions.ensureRegistered(embDf.sparkSession)
+    // persisted across the Lloyd iterations (standard k-means practice:
+    // 1 + iters sequential jobs would otherwise re-scan and re-project
+    // the corpus each time); MEMORY_AND_DISK so a corpus past executor
+    // memory degrades to spill, not OOM
     val valid = embDf
       .filter(col("embedding").isNotNull &&
         size(col("embedding")) === Dim &&
         !exists(col("embedding"), v => v.isNull))
       .select(col("vec_id"),
         col("embedding").cast("array<double>").as("embedding"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
     var full: Array[Array[Double]] = Tables.boundedCollect(
       valid.orderBy(
           Tables.lcgBucket(col("vec_id"), 48271L, 11L, 1000000007L).asc,
@@ -1743,32 +1749,45 @@ object SimilarityOps {
         "(empty or fully-corrupt embedding table)")
     var it = 0
     while (it < iters) {
-      val m = (col("pos") / lit(PqSubDim)).cast("int")
-      // ≤ PqSub·k·subDim cells — the codebook's own shape, never
-      // corpus-sized
+      // ≤ PqSub·k cell rows of subDim means each — the codebook's own
+      // shape, never corpus-sized. The explode is ×PqSub (one row per
+      // vector per SUBSPACE, its position means as sibling decimal-sum
+      // columns), not ×Dim: an element-level posexplode pushed 8× the
+      // rows through the hash aggregate for identical math (6M-vector
+      // measurement: the update explode dominated the whole training)
       val cells = Tables.boundedCollect(
         valid.select(
             call_function("graft_pq_encode", col("embedding"),
               typedLit(full.map(_.toSeq).toSeq), lit(PqSubDim)).as("codes"),
-            posexplode(col("embedding")).as(Seq("pos", "v")))
+            col("embedding"))
           .filter(col("codes").isNotNull)
-          .select(m.as("m"), element_at(col("codes"), m + 1).as("cw"),
-            pmod(col("pos"), lit(PqSubDim)).as("i"), col("v"))
-          .groupBy("m", "cw", "i")
-          .agg(round(
-            sum(col("v").cast("decimal(38,10)")).cast("double") /
-              count(lit(1)), 6).as("cv")),
-        1 << 20, "pq training update cells (sub × codeword × subDim)")
+          .select(col("codes"), col("embedding"),
+            explode(typedLit((0 until PqSub).toList)).as("m"))
+          .select(col("m") +:
+            element_at(col("codes"), col("m") + 1).as("cw") +:
+            (1 to PqSubDim).map(i =>
+              element_at(col("embedding"),
+                col("m") * PqSubDim + i).as(s"v_$i")): _*)
+          .groupBy("m", "cw")
+          .agg(count(lit(1)).as("n"),
+            (1 to PqSubDim).map(i => round(
+              sum(col(s"v_$i").cast("decimal(38,10)")).cast("double") /
+                count(lit(1)), 6).as(s"cv_$i")): _*),
+        1 << 20, "pq training update cells (sub × codeword)")
       val next = full.map(_.clone()) // emptied codeword keeps its values
       cells.foreach { r =>
-        next(r.getAs[Int]("cw"))(
-          r.getAs[Int]("m") * PqSubDim + r.getAs[Int]("i")) =
-          r.getAs[Double]("cv")
+        val base = r.getAs[Int]("m") * PqSubDim
+        var i = 1
+        while (i <= PqSubDim) {
+          next(r.getAs[Int]("cw"))(base + i - 1) = r.getAs[Double](s"cv_$i")
+          i += 1
+        }
       }
       full = next
       it += 1
     }
     full
+    } finally valid.unpersist(blocking = false)
   }
 
   /** q140: trained-PQ ANN — the q123 ADC search running against the
