@@ -1044,6 +1044,20 @@ object SimilarityOps {
       subGrid: Seq[Int] = RecallSubGrid): DataFrame =
     annPqRecallWith(embDf, pqCodebook(embDf)._2, k, pCount, subGrid)
 
+  /** q142: the q138 curve pointed at the TRAINED codebook — the
+    * side-by-side that closes the PQ story: q138 documents what the
+    * label-derived codebook buys as an INDEX (on this corpus:
+    * compression-only, ~4 % flat — the honest verdict that mandated
+    * training), and this face documents what the q140 ANALYZE buys
+    * back. Same harness, same probes, same grid, same oracle replay
+    * (training CTEs + the q138 recall tail), so the two curves differ
+    * in exactly one variable: the codebook.
+    */
+  def annPqRecallTrained(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    annPqRecallWith(e, pqTrainedCodebook(e))
+  }
+
   /** The q138 harness pointed at an explicit codebook (e.g.
     * [[pqTrainedCodebook]]) — the eval that shows a trained codebook's
     * recall lift over the label-derived baseline before a deployment
@@ -2114,7 +2128,8 @@ object SimilarityOps {
     "q137_lsh_recall" -> annLshRecall,
     "q138_pq_recall" -> annPqRecall,
     "q139_rp_recall" -> annRpRecall,
-    "q140_ann_pq_trained" -> annPqTrained)
+    "q140_ann_pq_trained" -> annPqTrained,
+    "q142_pq_recall_trained" -> annPqRecallTrained)
 
   /** The hyperplane constants as full-precision SQL literals (Java's
     * Double.toString round-trips, and DuckDB parses to the same IEEE
@@ -2179,7 +2194,11 @@ object SimilarityOps {
     * list, so the per-subspace helpers above index it identically on
     * both engines.
     */
-  private def pqTrainedOracleSql: String = {
+  /** The Lloyd-training CTE chain (valid vectors → init → cb0..cbN)
+    * shared by the q140 and q142 oracles; defines `v`, `m`, `pos`,
+    * `init`, `cb0..cb$PqTrainIters`. No trailing comma.
+    */
+  private def pqTrainedCbCtes: String = {
     val dist = (cb: String) =>
       s"""(${sqlPqX2("e.embedding")})
          |      - 2 * (${sqlPqXC("e.embedding", s"$cb.carr")})
@@ -2205,7 +2224,7 @@ object SimilarityOps {
          |    ON u.cw = g.cw AND u.m * $PqSubDim + u.i = pp.pos
          |  GROUP BY g.cw)""".stripMargin
     }.mkString(",\n")
-    s"""WITH v AS (SELECT vec_id, embedding FROM embeddings
+    s"""v AS (SELECT vec_id, embedding FROM embeddings
        |  WHERE embedding IS NOT NULL AND len(embedding) = $Dim
        |    AND len(list_filter(embedding, x -> x IS NULL)) = 0),
        |m AS (SELECT unnest(generate_series(0, ${PqSub - 1})) AS m),
@@ -2218,7 +2237,18 @@ object SimilarityOps {
        |cb0 AS (SELECT cw,
        |    list(CAST(embedding[pp.pos] AS DOUBLE) ORDER BY pp.pos) AS carr
        |  FROM init CROSS JOIN pos pp GROUP BY cw),
-       |$iters,
+       |$iters""".stripMargin
+  }
+
+  /** q140 oracle: [[pqTrainedCbCtes]] + the verbatim q123 search tail
+    * against the final trained codebook.
+    */
+  private def pqTrainedOracleSql: String = {
+    val dist = (cb: String) =>
+      s"""(${sqlPqX2("e.embedding")})
+         |      - 2 * (${sqlPqXC("e.embedding", s"$cb.carr")})
+         |      + (${sqlPqC2(s"$cb.carr")})""".stripMargin
+    s"""WITH $pqTrainedCbCtes,
        |d AS (SELECT e.vec_id, e.label AS v_label, m.m, c.cw AS code,
        |    ${dist("c")} AS dist
        |  FROM embeddings e CROSS JOIN m CROSS JOIN cb$PqTrainIters c),
@@ -2237,6 +2267,64 @@ object SimilarityOps {
        |GROUP BY c.vec_id
        |ORDER BY adc_dist, vec_id LIMIT 10""".stripMargin
   }
+
+  /** The q138 recall-replay tail: probes, exact ground truth, encode +
+    * ADC prefix arms, rollup — everything downstream of a codebook CTE
+    * named `ca` (label, carr full-dim) and the subspace series `m`.
+    * Shared verbatim by the label face (q138) and the trained face
+    * (q142), so the two curves differ in exactly one CTE.
+    */
+  private def pqRecallOracleTail: String =
+    s"""mg AS (SELECT unnest([${RecallSubGrid.mkString(", ")}]) AS m_used),
+       |p AS (SELECT vec_id AS q_id, embedding AS q_emb
+       |  FROM embeddings ORDER BY vec_id LIMIT $RecallProbes),
+       |ex AS (SELECT p.q_id, e.vec_id,
+       |    round((${sqlDot("e.embedding", "p.q_emb")})
+       |      / nullif(${sqlNorm("e.embedding")} * ${sqlNorm("p.q_emb")},
+       |        0), 6) AS cos_sim
+       |  FROM embeddings e CROSS JOIN p WHERE e.vec_id <> p.q_id),
+       |ext AS (SELECT q_id, vec_id FROM (SELECT q_id, vec_id,
+       |    row_number() OVER (PARTITION BY q_id
+       |      ORDER BY cos_sim DESC, vec_id ASC) AS rk FROM ex)
+       |  WHERE rk <= $RecallK),
+       |d AS (SELECT e.vec_id, m.m, ca.label AS code,
+       |    (${sqlPqX2("e.embedding")})
+       |      - 2 * (${sqlPqXC("e.embedding", "ca.carr")})
+       |      + (${sqlPqC2("ca.carr")}) AS dist
+       |  FROM embeddings e CROSS JOIN m CROSS JOIN ca),
+       |pick AS (SELECT vec_id, m, code,
+       |    row_number() OVER (PARTITION BY vec_id, m
+       |      ORDER BY dist, code) AS rn, dist
+       |  FROM d),
+       |codes AS (SELECT vec_id, m, code FROM pick
+       |  WHERE rn = 1 AND dist IS NOT NULL),
+       |lut AS (SELECT p.q_id, m.m, ca.label AS code,
+       |    (${sqlPqX2("p.q_emb")})
+       |      - 2 * (${sqlPqXC("p.q_emb", "ca.carr")})
+       |      + (${sqlPqC2("ca.carr")}) AS dist
+       |  FROM p CROSS JOIN m CROSS JOIN ca),
+       |adc AS (SELECT l.q_id, c.vec_id, mg.m_used,
+       |    round(list_reduce(list_prepend(0.0, list(l.dist ORDER BY c.m)),
+       |      (a, b) -> a + b), 6) AS adc_dist
+       |  FROM codes c JOIN lut l ON l.m = c.m AND l.code = c.code
+       |  CROSS JOIN mg
+       |  WHERE c.m < mg.m_used AND c.vec_id <> l.q_id
+       |  GROUP BY l.q_id, c.vec_id, mg.m_used
+       |  HAVING count(*) = mg.m_used AND adc_dist IS NOT NULL),
+       |cat AS (SELECT q_id, m_used, vec_id FROM (
+       |    SELECT q_id, m_used, vec_id,
+       |      row_number() OVER (PARTITION BY q_id, m_used
+       |        ORDER BY adc_dist ASC, vec_id ASC) AS rk FROM adc)
+       |  WHERE rk <= $RecallK),
+       |h AS (SELECT q_id, m_used, count(*) AS n_hits
+       |  FROM cat JOIN ext USING (q_id, vec_id) GROUP BY 1, 2),
+       |g AS (SELECT p.q_id, mg.m_used FROM p CROSS JOIN mg)
+       |SELECT CAST(g.m_used AS INT) AS m_used, count(*) AS n_queries,
+       |  ${Tables.sqlDavg(s"coalesce(h.n_hits, 0) / $RecallK", 6)}
+       |    AS mean_recall_at_k,
+       |  round(CAST(g.m_used AS DOUBLE) / $PqSub, 6) AS frac_code_read
+       |FROM g LEFT JOIN h USING (q_id, m_used)
+       |GROUP BY g.m_used ORDER BY m_used""".stripMargin
 
   val oracle: Map[String, String] = Map(
     // Replays distortion: the q123 codebook/argmin CTEs, then the CHOSEN
@@ -2547,56 +2635,13 @@ object SimilarityOps {
          |ca AS (SELECT label, list(cv ORDER BY dim) AS carr FROM c0
          |  GROUP BY label),
          |m AS (SELECT unnest(generate_series(0, ${PqSub - 1})) AS m),
-         |mg AS (SELECT unnest([${RecallSubGrid.mkString(", ")}]) AS m_used),
-         |p AS (SELECT vec_id AS q_id, embedding AS q_emb
-         |  FROM embeddings ORDER BY vec_id LIMIT $RecallProbes),
-         |ex AS (SELECT p.q_id, e.vec_id,
-         |    round((${sqlDot("e.embedding", "p.q_emb")})
-         |      / nullif(${sqlNorm("e.embedding")} * ${sqlNorm("p.q_emb")},
-         |        0), 6) AS cos_sim
-         |  FROM embeddings e CROSS JOIN p WHERE e.vec_id <> p.q_id),
-         |ext AS (SELECT q_id, vec_id FROM (SELECT q_id, vec_id,
-         |    row_number() OVER (PARTITION BY q_id
-         |      ORDER BY cos_sim DESC, vec_id ASC) AS rk FROM ex)
-         |  WHERE rk <= $RecallK),
-         |d AS (SELECT e.vec_id, m.m, ca.label AS code,
-         |    (${sqlPqX2("e.embedding")})
-         |      - 2 * (${sqlPqXC("e.embedding", "ca.carr")})
-         |      + (${sqlPqC2("ca.carr")}) AS dist
-         |  FROM embeddings e CROSS JOIN m CROSS JOIN ca),
-         |pick AS (SELECT vec_id, m, code,
-         |    row_number() OVER (PARTITION BY vec_id, m
-         |      ORDER BY dist, code) AS rn, dist
-         |  FROM d),
-         |codes AS (SELECT vec_id, m, code FROM pick
-         |  WHERE rn = 1 AND dist IS NOT NULL),
-         |lut AS (SELECT p.q_id, m.m, ca.label AS code,
-         |    (${sqlPqX2("p.q_emb")})
-         |      - 2 * (${sqlPqXC("p.q_emb", "ca.carr")})
-         |      + (${sqlPqC2("ca.carr")}) AS dist
-         |  FROM p CROSS JOIN m CROSS JOIN ca),
-         |adc AS (SELECT l.q_id, c.vec_id, mg.m_used,
-         |    round(list_reduce(list_prepend(0.0, list(l.dist ORDER BY c.m)),
-         |      (a, b) -> a + b), 6) AS adc_dist
-         |  FROM codes c JOIN lut l ON l.m = c.m AND l.code = c.code
-         |  CROSS JOIN mg
-         |  WHERE c.m < mg.m_used AND c.vec_id <> l.q_id
-         |  GROUP BY l.q_id, c.vec_id, mg.m_used
-         |  HAVING count(*) = mg.m_used AND adc_dist IS NOT NULL),
-         |cat AS (SELECT q_id, m_used, vec_id FROM (
-         |    SELECT q_id, m_used, vec_id,
-         |      row_number() OVER (PARTITION BY q_id, m_used
-         |        ORDER BY adc_dist ASC, vec_id ASC) AS rk FROM adc)
-         |  WHERE rk <= $RecallK),
-         |h AS (SELECT q_id, m_used, count(*) AS n_hits
-         |  FROM cat JOIN ext USING (q_id, vec_id) GROUP BY 1, 2),
-         |g AS (SELECT p.q_id, mg.m_used FROM p CROSS JOIN mg)
-         |SELECT CAST(g.m_used AS INT) AS m_used, count(*) AS n_queries,
-         |  ${Tables.sqlDavg(s"coalesce(h.n_hits, 0) / $RecallK", 6)}
-         |    AS mean_recall_at_k,
-         |  round(CAST(g.m_used AS DOUBLE) / $PqSub, 6) AS frac_code_read
-         |FROM g LEFT JOIN h USING (q_id, m_used)
-         |GROUP BY g.m_used ORDER BY m_used""".stripMargin,
+         |$pqRecallOracleTail""".stripMargin,
+    // Training CTEs + the identical recall tail: the q138/q142 pair
+    // differs in exactly the `ca` codebook CTE.
+    "q142_pq_recall_trained" ->
+      s"""WITH $pqTrainedCbCtes,
+         |ca AS (SELECT cw AS label, carr FROM cb$PqTrainIters),
+         |$pqRecallOracleTail""".stripMargin,
     "q137_lsh_recall" ->
       s"""WITH s AS (SELECT vec_id, embedding,
          |    CAST(${sqlSignature("embedding")} AS BIGINT) AS sig

@@ -63,6 +63,8 @@ class AdversarialFixtureSpec extends SparkSpec {
       // corpus error is its own (the label-codebook message would point
       // at the wrong fix)
       "q140_ann_pq_trained" ->
+        "pqTrainedCodebook: no valid full-dim vectors",
+      "q142_pq_recall_trained" ->
         "pqTrainedCodebook: no valid full-dim vectors")
   }
 
