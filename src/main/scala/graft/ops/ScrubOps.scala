@@ -147,15 +147,25 @@ object ScrubOps {
     * estimate is exact).
     */
   private def kanonRollup(classes: DataFrame, k: Int): DataFrame =
+    privacyRollup(classes, "n_users", k, "n_small_classes",
+      "min_class_users")
+
+  /** ONE per-type privacy rollup serving both audits: count the classes
+    * whose `measure` falls below the threshold and the event rows
+    * sitting in them. Keeping a single definition is what lets a future
+    * risk_pct fix land on q134 and q141 together.
+    */
+  private def privacyRollup(classes: DataFrame, measure: String,
+      threshold: Int, smallName: String, minName: String): DataFrame =
     classes
       .groupBy("event_type")
       .agg(
         count(lit(1)).as("n_classes"),
-        sum(when(col("n_users") < k, 1L).otherwise(0L))
-          .as("n_small_classes"),
-        min("n_users").as("min_class_users"),
+        sum(when(col(measure) < threshold, 1L).otherwise(0L))
+          .as(smallName),
+        min(measure).as(minName),
         sum("n_events").as("n_events"),
-        sum(when(col("n_users") < k, col("n_events")).otherwise(0L))
+        sum(when(col(measure) < threshold, col("n_events")).otherwise(0L))
           .as("n_events_at_risk"))
       .withColumn("risk_pct",
         round(col("n_events_at_risk") * lit(100.0) / col("n_events"), 4))
@@ -200,19 +210,8 @@ object ScrubOps {
     * rollup-sharing discipline, applied to the diversity measure).
     */
   private def ldivRollup(classes: DataFrame, l: Int): DataFrame =
-    classes
-      .groupBy("event_type")
-      .agg(
-        count(lit(1)).as("n_classes"),
-        sum(when(col("n_sens") < l, 1L).otherwise(0L))
-          .as("n_low_div_classes"),
-        min("n_sens").as("min_class_sens"),
-        sum("n_events").as("n_events"),
-        sum(when(col("n_sens") < l, col("n_events")).otherwise(0L))
-          .as("n_events_at_risk"))
-      .withColumn("risk_pct",
-        round(col("n_events_at_risk") * lit(100.0) / col("n_events"), 4))
-      .orderBy("event_type")
+    privacyRollup(classes, "n_sens", l, "n_low_div_classes",
+      "min_class_sens")
 
   // ---- persisted k-anonymity class store (mergeable HLL user sketches) ----
 
@@ -266,12 +265,22 @@ object ScrubOps {
     * ([[graft.streaming.PrivacyGatePipeline]]), so the verdict and the
     * per-class view can never diverge.
     */
-  private[graft] def mergedKanonSketches(perBatch: DataFrame): DataFrame =
+  private[graft] def mergedKanonSketches(perBatch: DataFrame): DataFrame = {
+    // a pre-r13 store (no sens_sketch column) must fail HERE with the
+    // rebuild instruction, deterministically — left to spark.read's
+    // schema sampling, a MIXED old/new segment set either throws an
+    // unresolved-column error or silently nulls the new column depending
+    // on which file footer gets sampled
+    require(perBatch.columns.contains("sens_sketch"),
+      "kanon class store has no sens_sketch column — written by a " +
+        "pre-l-diversity release; rebuild it with writeKanonStore " +
+        "(stores are crawl artifacts, not versioned contracts)")
     perBatch
       .groupBy("event_type", "k_prop", "hod")
       .agg(expr("hll_union_agg(sketch, false)").as("sketch"),
         expr("hll_union_agg(sens_sketch, false)").as("sens_sketch"),
         sum("n_events").as("n_events"))
+  }
 
   /** [[mergedKanonSketches]] with the sketch resolved to its estimate —
     * the (class, n_users, n_events) view both audit faces read.

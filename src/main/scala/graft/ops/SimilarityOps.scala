@@ -773,7 +773,7 @@ object SimilarityOps {
         nProbes.map(np => sum(col(s"in_$np")).as(s"scan_$np")): _*)
     val arms = nProbes.map(np =>
       struct(lit(np).as("n_probe"),
-        size(array_intersect(col(s"ids_$np"), col("ids_exact")))
+        Tables.sizeOrNull(array_intersect(col(s"ids_$np"), col("ids_exact")))
           .as("n_hits"),
         col(s"scan_$np").as("n_scanned")))
     probes.select("q_id")
@@ -871,7 +871,7 @@ object SimilarityOps {
         radii.map(r => sum(col(s"in_$r")).as(s"scan_$r")): _*)
     val arms = radii.map(r =>
       struct(lit(r).as("radius"),
-        size(array_intersect(col(s"ids_$r"), col("ids_exact")))
+        Tables.sizeOrNull(array_intersect(col(s"ids_$r"), col("ids_exact")))
           .as("n_hits"),
         col(s"scan_$r").as("n_scanned")))
     probes.select("q_id")
@@ -979,7 +979,7 @@ object SimilarityOps {
           topkIds(col(s"sim_$d"), col("vec_id"), k).as(s"ids_$d")): _*)
     val armHits = dimGrid.map(d =>
       struct(lit(d).as("d_used"),
-        size(array_intersect(col(s"ids_$d"), col("ids_exact")))
+        Tables.sizeOrNull(array_intersect(col(s"ids_$d"), col("ids_exact")))
           .as("n_hits")))
     probes.select("q_id")
       .join(topks, Seq("q_id"), "left")
@@ -1113,7 +1113,7 @@ object SimilarityOps {
             .as(s"ids_$m")): _*)
     val arms = sortedGrid.map(m =>
       struct(lit(m).as("m_used"),
-        size(array_intersect(col(s"ids_$m"), col("ids_exact")))
+        Tables.sizeOrNull(array_intersect(col(s"ids_$m"), col("ids_exact")))
           .as("n_hits")))
     probes.select("q_id")
       .join(topks, Seq("q_id"), "left")
@@ -2183,17 +2183,6 @@ object SimilarityOps {
       s"$c[$idx] * $c[$idx]"
     }.mkString(" + ")
 
-  /** q140 oracle: the whole trained-PQ lifecycle replayed in SQL — init
-    * (k lowest-lcgBucket valid vectors, codeword index = init rank),
-    * [[PqTrainIters]] UNROLLED Lloyd iterations (assignment = the q123
-    * distance CTE + row_number argmin with the low-codeword tie-break;
-    * update = exact-decimal per-(subspace, codeword, dim) means rounded
-    * 6 dp; an emptied codeword keeps its previous values via the
-    * coalesce), then verbatim q123 search tail against the final
-    * codebook. The codebook CTEs keep each codeword as ONE full-dim
-    * list, so the per-subspace helpers above index it identically on
-    * both engines.
-    */
   /** The Lloyd-training CTE chain (valid vectors → init → cb0..cbN)
     * shared by the q140 and q142 oracles; defines `v`, `m`, `pos`,
     * `init`, `cb0..cb$PqTrainIters`. No trailing comma.
@@ -2231,7 +2220,8 @@ object SimilarityOps {
        |pos AS (SELECT unnest(generate_series(1, $Dim)) AS pos),
        |init AS (SELECT embedding, cw FROM (
        |    SELECT embedding, row_number() OVER (ORDER BY
-       |      ((vec_id % 1000000007) * 48271 + 11) % 1000000007 ASC,
+       |      (((vec_id % 1000000007) + 1000000007) % 1000000007
+       |        * 48271 + 11) % 1000000007 ASC,
        |      vec_id ASC) - 1 AS cw FROM v)
        |  WHERE cw < $PqTrainK),
        |cb0 AS (SELECT cw,
@@ -2285,7 +2275,8 @@ object SimilarityOps {
        |  FROM embeddings e CROSS JOIN p WHERE e.vec_id <> p.q_id),
        |ext AS (SELECT q_id, vec_id FROM (SELECT q_id, vec_id,
        |    row_number() OVER (PARTITION BY q_id
-       |      ORDER BY cos_sim DESC, vec_id ASC) AS rk FROM ex)
+       |      ORDER BY cos_sim DESC, vec_id ASC) AS rk FROM ex
+       |    WHERE cos_sim IS NOT NULL)
        |  WHERE rk <= $RecallK),
        |d AS (SELECT e.vec_id, m.m, ca.label AS code,
        |    (${sqlPqX2("e.embedding")})
@@ -2602,7 +2593,8 @@ object SimilarityOps {
          |  FROM pr e CROSS JOIN q WHERE e.vec_id <> q.q_id),
          |ext AS (SELECT q_id, vec_id FROM (SELECT q_id, vec_id,
          |    row_number() OVER (PARTITION BY q_id
-         |      ORDER BY cos_sim DESC, vec_id ASC) AS rk FROM ex)
+         |      ORDER BY cos_sim DESC, vec_id ASC) AS rk FROM ex
+         |    WHERE cos_sim IS NOT NULL)
          |  WHERE rk <= $RecallK),
          |sc AS (SELECT q.q_id, e.vec_id, dg.d AS d_used,
          |    round((${pfold("e.p[i] * q.qp[i]")})
@@ -2613,7 +2605,8 @@ object SimilarityOps {
          |cat AS (SELECT q_id, d_used, vec_id FROM (
          |    SELECT q_id, d_used, vec_id,
          |      row_number() OVER (PARTITION BY q_id, d_used
-         |        ORDER BY sim DESC, vec_id ASC) AS rk FROM sc)
+         |        ORDER BY sim DESC, vec_id ASC) AS rk FROM sc
+         |    WHERE sim IS NOT NULL)
          |  WHERE rk <= $RecallK),
          |h AS (SELECT q_id, d_used, count(*) AS n_hits
          |  FROM cat JOIN ext USING (q_id, vec_id) GROUP BY 1, 2),
@@ -2658,14 +2651,16 @@ object SimilarityOps {
          |  FROM s e CROSS JOIN p WHERE e.vec_id <> p.q_id),
          |ext AS (SELECT q_id, vec_id FROM (SELECT q_id, vec_id,
          |    row_number() OVER (PARTITION BY q_id
-         |      ORDER BY cos_sim DESC, vec_id ASC) AS rk FROM sc)
+         |      ORDER BY cos_sim DESC, vec_id ASC) AS rk FROM sc
+         |    WHERE cos_sim IS NOT NULL)
          |  WHERE rk <= $RecallK),
          |ca AS (SELECT q_id, rg.r AS radius, vec_id, cos_sim
          |  FROM sc CROSS JOIN rg WHERE rg.r >= sc.min_band),
          |cat AS (SELECT q_id, radius, vec_id FROM (
          |    SELECT q_id, radius, vec_id,
          |      row_number() OVER (PARTITION BY q_id, radius
-         |        ORDER BY cos_sim DESC, vec_id ASC) AS rk FROM ca)
+         |        ORDER BY cos_sim DESC, vec_id ASC) AS rk FROM ca
+         |    WHERE cos_sim IS NOT NULL)
          |  WHERE rk <= $RecallK),
          |h AS (SELECT q_id, radius, count(*) AS n_hits
          |  FROM cat JOIN ext USING (q_id, vec_id) GROUP BY 1, 2),
@@ -2726,7 +2721,8 @@ object SimilarityOps {
          |  FROM embeddings e CROSS JOIN p WHERE e.vec_id <> p.q_id),
          |ext AS (SELECT q_id, vec_id FROM (SELECT q_id, vec_id,
          |    row_number() OVER (PARTITION BY q_id
-         |      ORDER BY cos_sim DESC, vec_id ASC) AS rk FROM ex)
+         |      ORDER BY cos_sim DESC, vec_id ASC) AS rk FROM ex
+         |    WHERE cos_sim IS NOT NULL)
          |  WHERE rk <= $RecallK),
          |c0 AS (SELECT label, s.i AS dim,
          |    round(CAST(sum(CAST(embedding[s.i] AS DECIMAL(38,10)))
@@ -2754,7 +2750,8 @@ object SimilarityOps {
          |    SELECT q_id, np.np AS n_probe, vec_id, cos_sim,
          |      row_number() OVER (PARTITION BY q_id, np.np
          |        ORDER BY cos_sim DESC, vec_id ASC) AS rk
-         |    FROM cand CROSS JOIN np WHERE np.np >= cand.cent_rank)
+         |    FROM cand CROSS JOIN np
+         |    WHERE np.np >= cand.cent_rank AND cos_sim IS NOT NULL)
          |  WHERE rk <= $RecallK),
          |h AS (SELECT q_id, n_probe, count(*) AS n_hits
          |  FROM cat JOIN ext USING (q_id, vec_id) GROUP BY 1, 2),

@@ -61,11 +61,20 @@ object PrivacyGatePipeline {
           if (fs.exists(dest) && !fs.rename(dest, old))
             throw new java.io.IOException(
               s"privacy gate: park $dest -> $old failed")
-          if (!fs.rename(staging, dest))
+          if (!fs.rename(staging, dest)) {
+            // roll the parked segment back so pollers keep reading the
+            // PRIOR verdict (swapInto's rollback discipline — leaving it
+            // parked under an invisible dot-dir would reopen the exact
+            // under-report window this staging exists to close)
+            if (fs.exists(old) && fs.rename(old, dest))
+              throw new java.io.IOException(s"privacy gate: publish " +
+                s"$staging -> $dest failed (prior segment restored)")
             throw new java.io.IOException(
               s"privacy gate: publish $staging -> $dest failed" +
-                (if (fs.exists(old)) s" — prior segment intact at $old"
+                (if (fs.exists(old))
+                   s" AND rollback failed — prior segment is at $old"
                  else ""))
+          }
           fs.delete(old, true)
           ()
         }

@@ -138,6 +138,24 @@ class ScrubSpec extends SparkSpec {
       ("view", 1L, 1L, 1L, 5L, 5L, 100.0)))
   }
 
+  test("k-anonymity store: a pre-l-diversity store (no sens_sketch " +
+      "column) fails with the rebuild instruction, not a schema-sampling " +
+      "lottery") {
+    import spark.implicits._
+    def ev(t: String, u: Long, kp: Long) =
+      (t, u, java.sql.Timestamp.valueOf("2026-01-01 00:10:00"),
+        s"""{"k": $kp}""", u * 1.5)
+    val crawl = (1L to 3L).map(u => ev("view", u, 1L))
+      .toDF("event_type", "user_id", "ts", "props", "value")
+    val path = tmpDir("kanon-old-schema") + "/kanon"
+    ScrubOps.writeKanonStore(crawl, path)
+    val oldSchema = spark.read.parquet(path).drop("sens_sketch")
+    val e = intercept[IllegalArgumentException] {
+      ScrubOps.kanonAuditFromClasses(oldSchema, ScrubOps.KAnonK).collect()
+    }
+    assert(e.getMessage.contains("rebuild it with writeKanonStore"))
+  }
+
   test("k-anonymity store: a corrupted sketch blob fails the audit LOUD " +
       "instead of silently under-counting users (an under-count would " +
       "inflate risk_pct — safe direction, but a corrupt store must be " +
