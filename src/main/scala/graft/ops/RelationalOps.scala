@@ -252,13 +252,18 @@ object RelationalOps {
     topOrdersPerSegmentOn(t(s, dir, "customer"), t(s, dir, "orders"))
 
   def topOrdersPerSegmentOn(c: DataFrame, o: DataFrame): DataFrame = {
-    // two-phase salted top-k (ScaleOps.topKPerGroup): the 5-valued segment
-    // key would otherwise cap the rank window at 5-task parallelism
-    ScaleOps.topKPerGroup(
-        o.join(c, o("o_custkey") === c("c_custkey")),
-        Seq("c_mktsegment"),
-        Seq(col("o_totalprice").desc, col("o_orderkey").asc),
-        3, col("o_orderkey"))
+    // bounded-heap top-k ids (ScaleOps.topKIdsPerGroup): the 5-valued
+    // segment key would cap a rank window at 5-task parallelism, and
+    // even the salted two-window form shuffles+sorts the whole joined
+    // frame once — the aggregate consumes it map-side instead, and the
+    // ≤ 5·3 winners broadcast back against the orders scan to recover
+    // their price (the losers are never touched again)
+    val top = ScaleOps.topKIdsPerGroup(
+      o.join(c, o("o_custkey") === c("c_custkey")),
+      Seq("c_mktsegment"),
+      col("o_totalprice"), col("o_orderkey"), 3, "o_orderkey")
+    o.select("o_orderkey", "o_totalprice")
+      .join(broadcast(top), "o_orderkey")
       .select("c_mktsegment", "rank", "o_orderkey", "o_totalprice")
       .orderBy("c_mktsegment", "rank")
   }

@@ -264,6 +264,31 @@ object ScaleOps {
       .filter(col("rank") <= k)
   }
 
+  /** [[topKPerGroup]] without the corpus shuffle, for orderings of the
+    * form (double score [asc|desc], long id asc): the native
+    * `graft_topk_ids` bounded-heap aggregate consumes every row
+    * MAP-SIDE (ObjectHashAggregate partials), so the only thing that
+    * ever shuffles is O(partitions · groups) k-id buffers — the salted
+    * two-window form still shuffles and sorts the whole input once.
+    * Returns one row per kept id: (group…, rank, `idName`). Callers
+    * needing more columns than the id join the (≤ |groups|·k row)
+    * result back BROADCAST against the source — a second scan that
+    * computes nothing for the losers beats a corpus-wide exchange at
+    * any scale.
+    */
+  def topKIdsPerGroup(df: DataFrame, group: Seq[String], score: Column,
+      id: Column, k: Int, idName: String,
+      asc: Boolean = false): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(df.sparkSession)
+    df.groupBy(group.map(col): _*)
+      .agg(call_function("graft_topk_ids", score, id, lit(k), lit(asc))
+        .as("_ids"))
+      .select(group.map(col) :+
+        posexplode(col("_ids")).as(Seq("_pos", idName)): _*)
+      .select(group.map(col) ++
+        Seq((col("_pos") + 1).cast("int").as("rank"), col(idName)): _*)
+  }
+
   /** Exact global `row_number() OVER (ORDER BY sort…)` without the
     * single-task global sort a bare `Window.orderBy` runs (Spark warns for
     * a reason: one task sorts the whole table). The q85 distributed-ranking

@@ -227,23 +227,31 @@ object TextOps {
 
   /** Quality-based retention: the top-20 documents per language by the q33
     * composite score (the "keep the best k per stratum" curation op).
-    * Deterministic tie-break on doc_id. Uses the two-phase salted top-k
-    * ([[ScaleOps.topKPerGroup]]): a plain rank window partitioned by the
-    * ~5-valued `lang` would sort the whole corpus in 5 tasks at any scale.
+    * Deterministic tie-break on doc_id. Uses the bounded-heap top-k
+    * aggregate ([[ScaleOps.topKIdsPerGroup]]): a plain rank window
+    * partitioned by the ~5-valued `lang` would sort the whole corpus in
+    * 5 tasks at any scale, and even the salted two-window form shuffles
+    * the whole (lang, doc_id, score) projection once — the aggregate
+    * consumes it map-side, and only the ≤ langs·20 winning docs are
+    * ever re-scored (a second scan, broadcast-pruned, computes nothing
+    * for the losers).
     */
   def qualityTopK(s: SparkSession, dir: String): DataFrame =
     qualityTopKOn(docs(s, dir))
 
   /** `docsDf` needs (doc_id, lang, text). */
-  def qualityTopKOn(docsDf: DataFrame): DataFrame =
-    ScaleOps.topKPerGroup(
-        // project BEFORE the windows: only (lang, doc_id, score) shuffles —
-        // without this the rank exchanges carry text + token arrays
-        scoredDocsOn(docsDf).select("lang", "doc_id", "score"),
-        Seq("lang"),
-        Seq(col("score").desc, col("doc_id").asc), 20, col("doc_id"))
+  def qualityTopKOn(docsDf: DataFrame): DataFrame = {
+    val top = ScaleOps.topKIdsPerGroup(
+      scoredDocsOn(docsDf).select("lang", "doc_id", "score"),
+      Seq("lang"),
+      col("score"), col("doc_id"), 20, "doc_id")
+    val winners = scoredDocsOn(
+        docsDf.join(broadcast(top.select("doc_id")), "doc_id"))
+      .select("doc_id", "score")
+    top.join(winners, "doc_id")
       .select("lang", "rank", "doc_id", "score")
       .orderBy("lang", "rank")
+  }
 
   /** Corpus mixture report: per (source, lang) document and token counts
     * plus each cell's share of all corpus tokens — the numbers behind every
