@@ -252,6 +252,10 @@ object RelationalOps {
     topOrdersPerSegmentOn(t(s, dir, "customer"), t(s, dir, "orders"))
 
   def topOrdersPerSegmentOn(c: DataFrame, o: DataFrame): DataFrame = {
+    // a null-price or null-key order never ranks (the heap's null-skip,
+    // mirrored by the oracle's null filter — the window form parked
+    // such rows at the rank tail, a slot a revenue top-k has no use
+    // for).
     // bounded-heap top-k ids (ScaleOps.topKIdsPerGroup): the 5-valued
     // segment key would cap a rank window at 5-task parallelism, and
     // even the salted two-window form shuffles+sorts the whole joined
@@ -611,7 +615,8 @@ object RelationalOps {
         |  SELECT c_mktsegment, o_orderkey, o_totalprice,
         |    row_number() OVER (PARTITION BY c_mktsegment
         |      ORDER BY o_totalprice DESC, o_orderkey ASC) AS rank
-        |  FROM orders JOIN customer ON o_custkey = c_custkey)
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  WHERE o_totalprice IS NOT NULL AND o_orderkey IS NOT NULL)
         |WHERE rank <= 3 ORDER BY c_mktsegment, rank""".stripMargin,
     "q29_user_running_value" ->
       """SELECT user_id, event_id, ts, value,

@@ -275,6 +275,12 @@ object ScaleOps {
     * result back BROADCAST against the source — a second scan that
     * computes nothing for the losers beats a corpus-wide exchange at
     * any scale.
+    *
+    * Contract: null scores and null ids never rank (the aggregate's
+    * SQL-convention skip — callers' oracles must filter the same), and
+    * `id` must identify a row WITHIN its group for the join-back to be
+    * faithful (join back on the full group key + id when ids can repeat
+    * across groups).
     */
   def topKIdsPerGroup(df: DataFrame, group: Seq[String], score: Column,
       id: Column, k: Int, idName: String,

@@ -239,16 +239,22 @@ object TextOps {
   def qualityTopK(s: SparkSession, dir: String): DataFrame =
     qualityTopKOn(docs(s, dir))
 
-  /** `docsDf` needs (doc_id, lang, text). */
+  /** `docsDf` needs (doc_id, lang, text). A null-scoring (e.g.
+    * null-text) document never ranks — the heap's null-skip, mirrored
+    * by the oracle's null filter; the window form it replaced parked
+    * such rows at the rank tail instead, a slot a quality cut has no
+    * use for.
+    */
   def qualityTopKOn(docsDf: DataFrame): DataFrame = {
     val top = ScaleOps.topKIdsPerGroup(
       scoredDocsOn(docsDf).select("lang", "doc_id", "score"),
       Seq("lang"),
       col("score"), col("doc_id"), 20, "doc_id")
-    val winners = scoredDocsOn(
-        docsDf.join(broadcast(top.select("doc_id")), "doc_id"))
-      .select("doc_id", "score")
-    top.join(winners, "doc_id")
+    // ONE reference to `top`, joined on BOTH keys: a second reference
+    // would recompute the whole scored-scan subtree (no common-subplan
+    // reuse across different projections), and a bare doc_id join would
+    // cross-pair the strata of an id duplicated across langs
+    scoredDocsOn(docsDf.join(broadcast(top), Seq("doc_id", "lang")))
       .select("lang", "rank", "doc_id", "score")
       .orderBy("lang", "rank")
   }
@@ -1538,7 +1544,8 @@ object TextOps {
         |        / len(toks)), 6) AS score
         |  FROM d),
         |r AS (SELECT *, row_number() OVER (PARTITION BY lang
-        |  ORDER BY score DESC, doc_id ASC) AS rank FROM sc)
+        |  ORDER BY score DESC, doc_id ASC) AS rank FROM sc
+        |  WHERE score IS NOT NULL AND doc_id IS NOT NULL)
         |SELECT lang, rank, doc_id, score FROM r WHERE rank <= 20
         |ORDER BY lang, rank""".stripMargin,
     "q31_token_stats" ->

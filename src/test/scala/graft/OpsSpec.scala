@@ -1246,4 +1246,33 @@ class OpsSpec extends SparkSpec {
     assert(b.isNullAt(4) && b.isNullAt(5) && b.isNullAt(6) && b.isNullAt(7),
       "a bigram-free source must report NULL bigram stats, not zeros")
   }
+
+  test("topKIdsPerGroup equals the null-filtered rank window it replaces: " +
+      "duplicate scores, null scores/ids skipped, strata smaller than k") {
+    import spark.implicits._
+    // 3 strata: 'a' dense with score ties, 'b' smaller than k, 'c' only
+    // null scores (must vanish entirely); null ids sprinkled in
+    val rows =
+      (0L until 40L).map(i => ("a", Option(i), Option((i % 7).toDouble))) ++
+      (100L until 103L).map(i => ("b", Option(i), Option(9.0))) ++
+      Seq(("c", Option(200L), Option.empty[Double]),
+        ("a", Option.empty[Long], Option(99.0)), // best score, null id
+        ("a", Option(50L), Option.empty[Double]))
+    val df = rows.toDF("g", "id", "s").repartition(7)
+    val got = ScaleOps.topKIdsPerGroup(df, Seq("g"), col("s"), col("id"),
+        5, "id")
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
+      .toSet
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("g").orderBy(col("s").desc, col("id").asc)
+    val want = df.filter(col("s").isNotNull && col("id").isNotNull)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .collect().map(r => (r.getString(0), r.getInt(3), r.getLong(1)))
+      .toSet
+    assert(got === want)
+    assert(!got.exists(_._1 == "c"), "an all-null stratum must vanish")
+    assert(got.count(_._1 == "b") === 3, "a stratum smaller than k " +
+      "returns everything ranked")
+  }
 }
