@@ -734,7 +734,6 @@ object SimilarityOps {
     val probes = broadcast(e.orderBy("vec_id").limit(pCount)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
         col("enorm").as("qnorm")))
-    val nProbes = 1 to maxProbe
 
     // centroid rank per (probe, label): which cells each nProbe arm scans
     // (annIvfOn's c_cos, ranked per probe instead of globally limited)
@@ -748,15 +747,79 @@ object SimilarityOps {
       .withColumn("c_cos", cosine(col("centroid"), col("q_emb")))
       .withColumn("cent_rank", row_number().over(w))
       .filter(col("cent_rank") <= maxProbe)
-      .select(col("q_id"), col("label"), col("cent_rank")))
+      .select(col("q_id"), col("label").as("cell"), col("cent_rank")))
+    ivfRecallCurve(e.withColumn("cell", col("label")), probes, probedCells,
+      k, 1 to maxProbe)
+  }
 
+  /** q144: the q135 curve pointed at the TRAINED coarse cells — the
+    * side-by-side that closes the IVF story the way q142 closes PQ's:
+    * q135 documents what the label-derived cells buy, this face what the
+    * [[kmeansCentroids]] ANALYZE buys back, on the same harness, probes,
+    * nProbe grid, and oracle replay — the two curves differ in exactly
+    * one variable: the cell assignment. Retrains per call BY DESIGN (the
+    * q140/q143 convention — the oracle covers the lifecycle); production
+    * evaluates a store-loaded codebook via [[annIvfRecallWithCells]].
+    */
+  def annIvfRecallTrained(s: SparkSession, dir: String): DataFrame = {
+    val valid = validLabeled(emb(s, dir))
+    annIvfRecallWithCells(valid,
+      kmeansCentroids(valid, IvfTrainK, IvfTrainIters))
+  }
+
+  /** The q135 harness pointed at an explicit coarse codebook: vectors
+    * assign to cells via [[assignClusters]], each probe ranks ALL cells
+    * by squared-L2 asc (the assignment's own metric and op order —
+    * [[cellDists]] — so the probe ring and the cell contents agree on
+    * geometry; ties to the lower cell index like the oracle's
+    * `ORDER BY dist, cw`). `validDf` needs (vec_id, label, embedding),
+    * null-free full-dim ([[validLabeled]]'s contract — training-set and
+    * index membership must not diverge, so the ground-truth pass runs
+    * over the same frame).
+    */
+  def annIvfRecallWithCells(validDf: DataFrame,
+      centroids: Array[Array[Double]], k: Int = RecallK,
+      pCount: Int = RecallProbes,
+      maxProbe: Int = RecallMaxProbe): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(validDf.sparkSession)
+    require(maxProbe >= 1 && pCount >= 1 && k >= 1,
+      s"annIvfRecallWithCells: maxProbe, pCount and k must be >= 1, got " +
+        s"($maxProbe, $pCount, $k) — an empty sweep grid or probe set " +
+        "is a caller bug, not an empty curve")
+    require(centroids.nonEmpty,
+      "annIvfRecallWithCells: empty coarse codebook — train with " +
+        "kmeansCentroids")
+    val e = assignClusters(validDf, centroids)
+      .withColumnRenamed("cluster", "cell")
+      .withColumn("enorm", norm(col("embedding")))
+    val probes = broadcast(e.orderBy("vec_id").limit(pCount)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        col("enorm").as("qnorm")))
+    val probedCells = broadcast(probes.select(col("q_id"),
+        posexplode(slice(
+          array_sort(array(cellDists(col("q_emb"), centroids): _*)),
+          1, maxProbe)).as(Seq("p", "s")))
+      .select(col("q_id"), col("s.c").as("cell"),
+        (col("p") + 1).cast("int").as("cent_rank")))
+    ivfRecallCurve(e, probes, probedCells, k, 1 to maxProbe)
+  }
+
+  /** The shared q135/q144 sweep: given the assigned corpus (vec_id, cell,
+    * embedding, enorm), the bounded probe set, and each probe's ranked
+    * cell list (cent_rank 1..maxProbe), compute exact ground truth, every
+    * nProbe arm's top-k, and the scanned census in ONE corpus×probes pass
+    * — the label face and the trained face differ only in how `cell` and
+    * `cent_rank` were derived.
+    */
+  private def ivfRecallCurve(assigned: DataFrame, probes: DataFrame,
+      probedCells: DataFrame, k: Int, nProbes: Seq[Int]): DataFrame = {
     // conditional sims and scan flags are PRE-computed in this
     // whole-stage-codegen'd project: a TypedImperativeAggregate's
     // children evaluate interpreted per row, so the aggregate inputs
     // must be bare column refs, not per-row CASE trees
-    val topks = e.crossJoin(probes)
+    val topks = assigned.crossJoin(probes)
       .filter(col("vec_id") =!= col("q_id"))
-      .join(probedCells, Seq("q_id", "label"), "left")
+      .join(probedCells, Seq("q_id", "cell"), "left")
       .select(col("q_id"), col("vec_id"), col("cent_rank"),
         round(try_divide(dot(col("embedding"), col("q_emb")),
           col("enorm") * col("qnorm")), 6).as("cos_sim"))
@@ -779,7 +842,7 @@ object SimilarityOps {
     probes.select("q_id")
       .join(topks, Seq("q_id"), "left")
       .select(col("q_id"), explode(array(arms: _*)).as("a"))
-      .crossJoin(broadcast(e.agg((count(lit(1)) - 1).as("n_others"))))
+      .crossJoin(broadcast(assigned.agg((count(lit(1)) - 1).as("n_others"))))
       .groupBy(col("a.n_probe").as("n_probe"))
       .agg(count(lit(1)).as("n_queries"),
         graft.Tables.davg(coalesce(col("a.n_hits"), lit(0)) / lit(k), 6)
@@ -1069,7 +1132,7 @@ object SimilarityOps {
     graft.functions.GraftFunctions.ensureRegistered(embDf.sparkSession)
     require(subGrid.nonEmpty && subGrid.forall(m => m >= 1 && m <= PqSub)
         && subGrid.distinct.size == subGrid.size,
-      s"annPqRecallOn: subspace grid must be distinct values in " +
+      s"annPqRecallWith: subspace grid must be distinct values in " +
         s"1..$PqSub, got $subGrid")
     val cb: Array[Array[Array[Double]]] = Array.tabulate(PqSub)(m =>
       full.map(_.slice(m * PqSubDim, (m + 1) * PqSubDim)))
@@ -1337,8 +1400,11 @@ object SimilarityOps {
     * codebook on any cluster layout is bit-identical: init picks the k
     * vectors with the lowest arithmetic hash of vec_id (reproducible, no
     * rand()), assignment breaks distance ties on the lower cluster index,
-    * and centroid updates are decimal-exact means (partition-order
-    * independent, the q43 discipline).
+    * and centroid updates are decimal-exact means rounded to 6 dp IN the
+    * aggregation (partition-order independent AND engine-independent —
+    * the q43/q140 cross-engine digest discipline; quantizing each
+    * iteration's codebook kills float-ulp drift, which is what lets the
+    * q143/q144 oracles replay the full training in DuckDB).
     *
     * Scale per iteration: the k×dim codebook rides into the plan as
     * literals (broadcast by value), assignment is per-row arithmetic
@@ -1356,19 +1422,22 @@ object SimilarityOps {
       .limit(k)
       .select(col("embedding").cast("array<double>")),
       k, "k-means init vectors").map(_.getSeq[Double](0).toArray)
+    require(centroids.nonEmpty,
+      "kmeansCentroids: no vectors to train on (empty embedding frame) — " +
+        "an empty codebook would make every downstream assignment undefined")
     var it = 0
     while (it < iters) {
       // k × dim cells (the codebook's own shape), never corpus-sized
       val upd = Tables.boundedCollect(assignClusters(embDf, centroids)
         .select(col("cluster"), posexplode(col("embedding")).as(Seq("pos", "v")))
         .groupBy("cluster", "pos")
-        .agg(sum(col("v").cast("decimal(38,10)")).as("s"),
-          count(lit(1)).as("n")),
+        .agg(round(
+          sum(col("v").cast("decimal(38,10)")).cast("double") / count(lit(1)),
+          6).as("cv")),
         1 << 20, "k-means update cells (k × dim)")
       val next = centroids.map(_.clone()) // empty cluster keeps its centroid
       upd.foreach { r =>
-        next(r.getInt(0))(r.getInt(1)) =
-          (r.getDecimal(2).doubleValue() / r.getLong(3))
+        next(r.getInt(0))(r.getInt(1)) = r.getDouble(2)
       }
       centroids = next
       it += 1
@@ -1384,16 +1453,9 @@ object SimilarityOps {
   def assignClusters(embDf: DataFrame,
       centroids: Array[Array[Double]]): DataFrame = {
     graft.functions.GraftFunctions.ensureRegistered(embDf.sparkSession)
-    val x2 = dot(col("embedding"), col("embedding"))
-    val scored = centroids.zipWithIndex.map { case (c, i) =>
-      val c2 = c.map(v => v * v).sum
-      struct(
-        (x2 - lit(2.0) * dot(col("embedding"), typedLit(c.toSeq)) + lit(c2))
-          .as("d"),
-        lit(i).as("c"))
-    }
     embDf.withColumn("cluster",
-      array_min(array(scored: _*)).getField("c"))
+      array_min(array(cellDists(col("embedding"), centroids): _*))
+        .getField("c"))
   }
 
   /** q89: cross-modal curation — the documents table (lexical quality,
@@ -1825,6 +1887,103 @@ object SimilarityOps {
     annPqWith(e, pqTrainedCodebook(e))
   }
 
+  // ---------------------------------------------------------------- q143
+
+  /** Trained-IVF coarse codebook size and Lloyd iteration count the
+    * q143/q144 registrations pin (the oracle unrolls exactly this many
+    * iterations).
+    */
+  val IvfTrainK = 8
+  val IvfTrainIters = 5
+
+  /** Valid full-dim (vec_id, label, embedding: array<double>) projection —
+    * the trained-IVF faces train AND search over exactly this frame, so a
+    * vector excluded from training (null / ragged / null-element — data
+    * corruption, reported by q110's audit, not silently quantized) is
+    * also never a search candidate: train-set and index membership cannot
+    * diverge.
+    */
+  private def validLabeled(embDf: DataFrame): DataFrame =
+    embDf.filter(col("embedding").isNotNull &&
+        size(col("embedding")) === Dim &&
+        !exists(col("embedding"), v => v.isNull))
+      .select(col("vec_id"), col("label"),
+        col("embedding").cast("array<double>").as("embedding"))
+
+  /** q143: trained-IVF ANN — the q45 cell-probed search running against
+    * [[kmeansCentroids]] cells instead of the label-derived ones: train
+    * (5 bounded one-pass Lloyd iterations), assign every vector to its
+    * nearest trained centroid (the spec-pinned [[assignClusters]]
+    * arithmetic — squared-L2 argmin, low-index tie-break), probe the
+    * query's 3 nearest cells by the same metric, exact-re-rank only those
+    * cells' vectors. This is the production IVF face — q45's label cells
+    * are what a pipeline uses before its first ANALYZE; this is what it
+    * uses after (the open half of q140's trained-index story).
+    *
+    * Scale: training is [[kmeansCentroids]]'s bounded loop (the corpus
+    * never shuffles — ≤ k·dim update cells per iteration); the search is
+    * unchanged q45 shape (codebook rides in as literals, probe list
+    * broadcast, TakeOrderedAndProject top-k). The face retrains per call
+    * BY DESIGN so the oracle replays the whole train→assign→probe→rank
+    * lifecycle (the q140 convention); production trains once and reuses
+    * via [[annIvfWithCells]].
+    */
+  def annIvfTrained(s: SparkSession, dir: String): DataFrame = {
+    val valid = validLabeled(emb(s, dir))
+    annIvfWithCells(valid, kmeansCentroids(valid, IvfTrainK, IvfTrainIters))
+  }
+
+  /** The q45 search shape pointed at an explicit coarse codebook (e.g.
+    * [[kmeansCentroids]], trained once per corpus generation): corpus
+    * vectors assign to cells via [[assignClusters]], the query probes its
+    * `nProbe` nearest cells (squared-L2 asc, lower cell index on ties —
+    * the SAME metric as the assignment, so the probe ring and the cell
+    * contents agree on geometry), and only the probed cells' vectors pay
+    * an exact cosine. `validDf` needs (vec_id, label, embedding); pass a
+    * null-free full-dim frame ([[validLabeled]]'s contract).
+    *
+    * Scale: zero corpus shuffles — the codebook and the ≤ nProbe probe
+    * list are broadcast/literal, assignment is per-row arithmetic, the
+    * cut is TakeOrderedAndProject.
+    */
+  def annIvfWithCells(validDf: DataFrame, centroids: Array[Array[Double]],
+      queryId: Long = 0L, k: Int = 10, nProbe: Int = 3): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(validDf.sparkSession)
+    require(centroids.nonEmpty,
+      "annIvfWithCells: empty coarse codebook — train with kmeansCentroids")
+    val q = broadcast(validDf.filter(col("vec_id") === queryId)
+      .select(col("embedding").as("q_emb")))
+    val probed = broadcast(q.select(
+        explode(slice(array_sort(array(cellDists(col("q_emb"), centroids): _*)),
+          1, nProbe)).as("s"))
+      .select(col("s.c").as("cell")))
+    assignClusters(validDf, centroids)
+      .join(probed, col("cluster") === col("cell"))
+      .filter(col("vec_id") =!= queryId)
+      .crossJoin(q)
+      .select(col("vec_id"), col("label"), col("cell"),
+        round(cosine(col("embedding"), col("q_emb")), 6).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_id").asc)
+      .limit(k)
+  }
+
+  /** Per-cell struct(squared-L2 distance to `qEmb`, cell index) — the
+    * [[assignClusters]] arithmetic (|x|² shared, index-order dots, c²
+    * folded driver-side in index order) exposed as sortable structs, so
+    * probe RANKING reuses the assignment's exact op order: array_sort's
+    * lexicographic (d, c) ascending is the oracle's `ORDER BY dist, cw`.
+    */
+  private def cellDists(qEmb: Column,
+      centroids: Array[Array[Double]]): Seq[Column] = {
+    val x2 = dot(qEmb, qEmb)
+    centroids.zipWithIndex.map { case (c, i) =>
+      val c2 = c.map(v => v * v).sum
+      struct(
+        (x2 - lit(2.0) * dot(qEmb, typedLit(c.toSeq)) + lit(c2)).as("d"),
+        lit(i).as("c"))
+    }.toSeq
+  }
+
   // ---------------------------------------------------------------- q126
 
   /** q126: cluster-cohesion report — per cluster: size, the cosine
@@ -2129,7 +2288,9 @@ object SimilarityOps {
     "q138_pq_recall" -> annPqRecall,
     "q139_rp_recall" -> annRpRecall,
     "q140_ann_pq_trained" -> annPqTrained,
-    "q142_pq_recall_trained" -> annPqRecallTrained)
+    "q142_pq_recall_trained" -> annPqRecallTrained,
+    "q143_ann_ivf_trained" -> annIvfTrained,
+    "q144_ivf_recall_trained" -> annIvfRecallTrained)
 
   /** The hyperplane constants as full-precision SQL literals (Java's
     * Double.toString round-trips, and DuckDB parses to the same IEEE
@@ -2256,6 +2417,153 @@ object SimilarityOps {
        |WHERE c.vec_id <> 0
        |GROUP BY c.vec_id
        |ORDER BY adc_dist, vec_id LIMIT 10""".stripMargin
+  }
+
+  /** Full-dim squared-L2 between two SQL list expressions in the
+    * [[cellDists]]/[[assignClusters]] op order: (x·x − 2·(x·c)) + (c·c),
+    * every dot unrolled left-associated in index order — bit-exact vs the
+    * Spark side's native VecDot accumulation and driver-side c² fold.
+    */
+  private def sqlL2(x: String, c: String): String =
+    s"""(${sqlDot(x, x)})
+       |      - 2 * (${sqlDot(x, c)})
+       |      + (${sqlDot(c, c)})""".stripMargin
+
+  /** The full-dim Lloyd-training CTE chain (valid vectors → init →
+    * cb0..cbN) shared by the q143 and q144 oracles; defines `v`, `pos`,
+    * `init`, `cb0..cb$IvfTrainIters`. No trailing comma. The
+    * [[pqTrainedCbCtes]] pattern with the subspace axis removed — the
+    * coarse quantizer trains on whole vectors.
+    */
+  private def ivfTrainedCbCtes: String = {
+    val iters = (1 to IvfTrainIters).map { t =>
+      s"""a$t AS (SELECT e.vec_id, c.cw,
+         |    ${sqlL2("e.embedding", "c.carr")} AS dist
+         |  FROM v e CROSS JOIN cb${t - 1} c),
+         |asn$t AS (SELECT vec_id, cw FROM (
+         |    SELECT vec_id, cw, row_number() OVER (
+         |      PARTITION BY vec_id ORDER BY dist, cw) AS rn FROM a$t)
+         |  WHERE rn = 1),
+         |u$t AS (SELECT asn.cw, pp.pos,
+         |    round(CAST(sum(CAST(e.embedding[pp.pos] AS DECIMAL(38,10)))
+         |      AS DOUBLE) / count(*), 6) AS cv
+         |  FROM asn$t asn JOIN v e USING (vec_id) CROSS JOIN pos pp
+         |  GROUP BY asn.cw, pp.pos),
+         |cb$t AS (SELECT g.cw,
+         |    list(coalesce(u.cv, g.carr[pp.pos]) ORDER BY pp.pos) AS carr
+         |  FROM cb${t - 1} g CROSS JOIN pos pp
+         |  LEFT JOIN u$t u ON u.cw = g.cw AND u.pos = pp.pos
+         |  GROUP BY g.cw)""".stripMargin
+    }.mkString(",\n")
+    s"""v AS (SELECT vec_id, label, embedding FROM embeddings
+       |  WHERE embedding IS NOT NULL AND len(embedding) = $Dim
+       |    AND len(list_filter(embedding, x -> x IS NULL)) = 0),
+       |pos AS (SELECT unnest(generate_series(1, $Dim)) AS pos),
+       |init AS (SELECT embedding, cw FROM (
+       |    SELECT embedding, row_number() OVER (ORDER BY
+       |      (((vec_id % 1000000007) + 1000000007) % 1000000007
+       |        * 48271 + 11) % 1000000007 ASC,
+       |      vec_id ASC) - 1 AS cw FROM v)
+       |  WHERE cw < $IvfTrainK),
+       |cb0 AS (SELECT cw,
+       |    list(CAST(embedding[pp.pos] AS DOUBLE) ORDER BY pp.pos) AS carr
+       |  FROM init CROSS JOIN pos pp GROUP BY cw),
+       |$iters""".stripMargin
+  }
+
+  /** q143 oracle: [[ivfTrainedCbCtes]] + final assignment under the
+    * trained codebook + the 3-nearest-cell probe + the q45 exact re-rank
+    * tail within the probed cells.
+    */
+  private def ivfTrainedOracleSql: String = {
+    val n = IvfTrainIters
+    s"""WITH $ivfTrainedCbCtes,
+       |q AS (SELECT embedding AS q_emb FROM v WHERE vec_id = 0),
+       |pd AS (SELECT c.cw,
+       |    ${sqlL2("q.q_emb", "c.carr")} AS dist
+       |  FROM cb$n c CROSS JOIN q),
+       |pr AS (SELECT cw FROM pd ORDER BY dist, cw LIMIT 3),
+       |fa AS (SELECT e.vec_id, c.cw,
+       |    ${sqlL2("e.embedding", "c.carr")} AS dist
+       |  FROM v e CROSS JOIN cb$n c),
+       |fasn AS (SELECT vec_id, cw FROM (
+       |    SELECT vec_id, cw, row_number() OVER (
+       |      PARTITION BY vec_id ORDER BY dist, cw) AS rn FROM fa)
+       |  WHERE rn = 1)
+       |SELECT e.vec_id, e.label, CAST(a.cw AS INT) AS cell,
+       |  round((${sqlDot("e.embedding", "q.q_emb")})
+       |    / nullif(${sqlNorm("e.embedding")} * ${sqlNorm("q.q_emb")}, 0), 6)
+       |    AS cos_sim
+       |FROM v e JOIN fasn a USING (vec_id) JOIN pr ON a.cw = pr.cw
+       |CROSS JOIN q
+       |WHERE e.vec_id <> 0
+       |ORDER BY cos_sim DESC, vec_id ASC LIMIT 10""".stripMargin
+  }
+
+  /** q144 oracle: [[ivfTrainedCbCtes]] + the q135 recall-replay tail
+    * (probes, exact ground truth, per-arm candidates, rollup) with the
+    * label cells swapped for the trained assignment — the two curves'
+    * oracles differ in exactly the cell derivation, like the faces.
+    */
+  private def ivfRecallTrainedOracleSql: String = {
+    val n = IvfTrainIters
+    s"""WITH $ivfTrainedCbCtes,
+       |p AS (SELECT vec_id AS q_id, embedding AS q_emb
+       |  FROM v ORDER BY vec_id LIMIT $RecallProbes),
+       |np AS (SELECT unnest(generate_series(1, $RecallMaxProbe)) AS np),
+       |ex AS (SELECT p.q_id, e.vec_id,
+       |    round((${sqlDot("e.embedding", "p.q_emb")})
+       |      / nullif(${sqlNorm("e.embedding")} * ${sqlNorm("p.q_emb")},
+       |        0), 6) AS cos_sim
+       |  FROM v e CROSS JOIN p WHERE e.vec_id <> p.q_id),
+       |ext AS (SELECT q_id, vec_id FROM (SELECT q_id, vec_id,
+       |    row_number() OVER (PARTITION BY q_id
+       |      ORDER BY cos_sim DESC, vec_id ASC) AS rk FROM ex
+       |    WHERE cos_sim IS NOT NULL)
+       |  WHERE rk <= $RecallK),
+       |fa AS (SELECT e.vec_id, c.cw,
+       |    ${sqlL2("e.embedding", "c.carr")} AS dist
+       |  FROM v e CROSS JOIN cb$n c),
+       |fasn AS (SELECT vec_id, cw FROM (
+       |    SELECT vec_id, cw, row_number() OVER (
+       |      PARTITION BY vec_id ORDER BY dist, cw) AS rn FROM fa)
+       |  WHERE rn = 1),
+       |cr AS (SELECT q_id, q_emb, cw, row_number() OVER (
+       |    PARTITION BY q_id ORDER BY dist, cw) AS cent_rank
+       |  FROM (SELECT p.q_id, p.q_emb, c.cw,
+       |      ${sqlL2("p.q_emb", "c.carr")} AS dist
+       |    FROM cb$n c CROSS JOIN p)),
+       |pc AS (SELECT * FROM cr WHERE cent_rank <= $RecallMaxProbe),
+       |cand AS (SELECT pc.q_id, pc.cent_rank, e.vec_id,
+       |    round((${sqlDot("e.embedding", "pc.q_emb")})
+       |      / nullif(${sqlNorm("e.embedding")} * ${sqlNorm("pc.q_emb")},
+       |        0), 6) AS cos_sim
+       |  FROM v e JOIN fasn a USING (vec_id) JOIN pc ON a.cw = pc.cw
+       |  WHERE e.vec_id <> pc.q_id),
+       |cat AS (SELECT q_id, n_probe, vec_id FROM (
+       |    SELECT q_id, np.np AS n_probe, vec_id, cos_sim,
+       |      row_number() OVER (PARTITION BY q_id, np.np
+       |        ORDER BY cos_sim DESC, vec_id ASC) AS rk
+       |    FROM cand CROSS JOIN np
+       |    WHERE np.np >= cand.cent_rank AND cos_sim IS NOT NULL)
+       |  WHERE rk <= $RecallK),
+       |h AS (SELECT q_id, n_probe, count(*) AS n_hits
+       |  FROM cat JOIN ext USING (q_id, vec_id) GROUP BY 1, 2),
+       |tot AS (SELECT count(*) - 1 AS n_others FROM v),
+       |sc AS (SELECT q_id, np.np AS n_probe,
+       |    CAST(count(*) AS BIGINT) AS n_scanned
+       |  FROM cand CROSS JOIN np WHERE np.np >= cand.cent_rank
+       |  GROUP BY 1, 2),
+       |g AS (SELECT p.q_id, np.np AS n_probe FROM p CROSS JOIN np)
+       |SELECT CAST(g.n_probe AS INT) AS n_probe, count(*) AS n_queries,
+       |  ${Tables.sqlDavg(s"coalesce(h.n_hits, 0) / $RecallK", 6)}
+       |    AS mean_recall_at_k,
+       |  ${Tables.sqlDavg(
+            "coalesce(sc.n_scanned, 0) / nullif(tot.n_others, 0)", 6)}
+       |    AS mean_frac_scanned
+       |FROM g LEFT JOIN h USING (q_id, n_probe)
+       |  LEFT JOIN sc USING (q_id, n_probe) CROSS JOIN tot
+       |GROUP BY g.n_probe ORDER BY n_probe""".stripMargin
   }
 
   /** The q138 recall-replay tail: probes, exact ground truth, encode +
@@ -2435,6 +2743,8 @@ object SimilarityOps {
          |GROUP BY c.vec_id
          |ORDER BY adc_dist, vec_id LIMIT 10""".stripMargin,
     "q140_ann_pq_trained" -> pqTrainedOracleSql,
+    "q143_ann_ivf_trained" -> ivfTrainedOracleSql,
+    "q144_ivf_recall_trained" -> ivfRecallTrainedOracleSql,
     "q113_ann_rp" ->
       s"""WITH p AS (SELECT vec_id, label, ${sqlProj("embedding")} AS p
          |  FROM embeddings),

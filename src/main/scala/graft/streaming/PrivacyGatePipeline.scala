@@ -57,29 +57,49 @@ object PrivacyGatePipeline {
             new org.apache.hadoop.fs.Path(s"$storeDir/.old_$batchId")
           ScrubOps.classSketches(batch)
             .coalesce(1).write.mode("overwrite").parquet(staging.toString)
-          fs.delete(old, true) // leftover from a previous crashed swap
-          if (fs.exists(dest) && !fs.rename(dest, old))
-            throw new java.io.IOException(
-              s"privacy gate: park $dest -> $old failed")
-          if (!fs.rename(staging, dest)) {
-            // roll the parked segment back so pollers keep reading the
-            // PRIOR verdict (swapInto's rollback discipline — leaving it
-            // parked under an invisible dot-dir would reopen the exact
-            // under-report window this staging exists to close)
-            if (fs.exists(old) && fs.rename(old, dest))
-              throw new java.io.IOException(s"privacy gate: publish " +
-                s"$staging -> $dest failed (prior segment restored)")
-            throw new java.io.IOException(
-              s"privacy gate: publish $staging -> $dest failed" +
-                (if (fs.exists(old))
-                   s" AND rollback failed — prior segment is at $old"
-                 else ""))
-          }
-          fs.delete(old, true)
-          ()
+          publishSegment(fs, staging, dest, old)
         }
       }
       .start()
+
+  /** The two-rename publish: park the live segment, swap the staging dir
+    * in, drop the parked copy — with rollback (a failed publish restores
+    * the parked prior segment so pollers keep reading the PRIOR verdict;
+    * swapInto's discipline) and crashed-swap recovery (a prior run that
+    * died between the park and the publish left `dest` missing and the
+    * ONLY copy of the prior segment at `old` — restore it FIRST, before
+    * anything can delete it, so a failed publish in THIS run still has a
+    * prior verdict to roll back to; `old` alongside an intact `dest` is
+    * the other crash shape — died before the post-publish cleanup — and
+    * is safe to drop).
+    */
+  private[graft] def publishSegment(fs: org.apache.hadoop.fs.FileSystem,
+      staging: org.apache.hadoop.fs.Path, dest: org.apache.hadoop.fs.Path,
+      old: org.apache.hadoop.fs.Path): Unit = {
+    if (fs.exists(old) && !fs.exists(dest) && !fs.rename(old, dest))
+      throw new java.io.IOException(
+        s"privacy gate: crashed-swap recovery $old -> $dest failed")
+    fs.delete(old, true) // leftover from a crash AFTER publish
+    if (fs.exists(dest) && !fs.rename(dest, old))
+      throw new java.io.IOException(
+        s"privacy gate: park $dest -> $old failed")
+    if (!fs.rename(staging, dest)) {
+      // roll the parked segment back so pollers keep reading the
+      // PRIOR verdict (leaving it parked under an invisible dot-dir
+      // would reopen the exact under-report window this staging
+      // exists to close)
+      if (fs.exists(old) && fs.rename(old, dest))
+        throw new java.io.IOException(s"privacy gate: publish " +
+          s"$staging -> $dest failed (prior segment restored)")
+      throw new java.io.IOException(
+        s"privacy gate: publish $staging -> $dest failed" +
+          (if (fs.exists(old))
+             s" AND rollback failed — prior segment is at $old"
+           else ""))
+    }
+    fs.delete(old, true)
+    ()
+  }
 
   /** The q134 verdict over everything ever ingested — zero event
     * re-reads: per-batch rows merge via the ONE class-merge definition

@@ -65,7 +65,11 @@ class AdversarialFixtureSpec extends SparkSpec {
       "q140_ann_pq_trained" ->
         "pqTrainedCodebook: no valid full-dim vectors",
       "q142_pq_recall_trained" ->
-        "pqTrainedCodebook: no valid full-dim vectors")
+        "pqTrainedCodebook: no valid full-dim vectors",
+      // the trained-IVF faces train kmeansCentroids on the same valid
+      // projection — zero vectors means zero codebook, said loud
+      "q143_ann_ivf_trained" -> "kmeansCentroids: no vectors to train on",
+      "q144_ivf_recall_trained" -> "kmeansCentroids: no vectors to train on")
   }
 
   private lazy val fixtureDir: String = {

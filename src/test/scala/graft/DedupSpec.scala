@@ -1704,4 +1704,94 @@ class DedupSpec extends SparkSpec {
     assert(top.forall(_._2 === 0.0), s"identical vectors code to the " +
       s"query's own nearest codewords: $top")
   }
+
+  /** 8 planted clusters of 5 IDENTICAL vectors on orthogonal axes, ONE
+    * label, membership assigned along the deterministic init-hash order
+    * (the pqTrainedCodebook spec's recipe) — the k lowest-hash ids seed
+    * all 8 clusters, so Lloyd converges immediately and exactly. The
+    * label-derived cells degenerate to a single cell over this corpus;
+    * the trained cells separate it — the q143/q144 story in miniature.
+    */
+  private def plantedIvfCorpus: (org.apache.spark.sql.DataFrame,
+      Map[Long, Int]) = {
+    import spark.implicits._
+    val dim = SimilarityOps.Dim
+    val k = SimilarityOps.IvfTrainK
+    val ids = (0L until 40L).sortBy(i => (lcgHash(i), i))
+    val cluster = ids.zipWithIndex.map { case (id, r) =>
+      id -> (if (r < k) r else (r - k) % k)
+    }.toMap
+    val rows = (0L until 40L).map { i =>
+      val v = Array.fill(dim)(0f)
+      v(cluster(i)) = 10f
+      (i, v, 0)
+    }
+    (rows.toDF("vec_id", "embedding", "label"), cluster)
+  }
+
+  test("trained IVF (q143): probing one Lloyd cell returns exactly the " +
+      "planted cluster mates, and the whole lifecycle rebuilds " +
+      "bit-identically") {
+    val (embDf, cluster) = plantedIvfCorpus
+    def run() = SimilarityOps.annIvfWithCells(embDf,
+      SimilarityOps.kmeansCentroids(embDf, SimilarityOps.IvfTrainK,
+        SimilarityOps.IvfTrainIters), queryId = 0L, k = 4)
+      .collect()
+    val out = run()
+    val mates = (1L until 40L).filter(i => cluster(i) == cluster(0L))
+    assert(out.map(_.getLong(0)).toSet === mates.toSet,
+      s"the probed trained cell holds the planted mates: " +
+        s"${out.map(_.getLong(0)).toSeq}")
+    assert(out.forall(_.getDouble(3) === 1.0),
+      s"identical cluster mates read cosine 1.0: ${out.toSeq}")
+    assert(out.map(_.getInt(2)).distinct.length === 1,
+      "all mates sit in ONE trained cell (the assignment recovered the " +
+        "planted structure)")
+    assert(out.map(_.toSeq).toSeq === run().map(_.toSeq).toSeq,
+      "train→assign→probe→rank must be bit-identical on rebuild")
+  }
+
+  test("trained IVF recall curve (q144): full recall at nProbe=1 for " +
+      "~1/8 of the scan the degenerate single-label cells pay") {
+    val (embDf, _) = plantedIvfCorpus
+    val cents = SimilarityOps.kmeansCentroids(embDf,
+      SimilarityOps.IvfTrainK, SimilarityOps.IvfTrainIters)
+    val trained = SimilarityOps.annIvfRecallWithCells(embDf, cents, k = 4)
+      .collect()
+      .map(r => (r.getInt(0), r.getDouble(2), r.getDouble(3))).toSeq
+    trained.foreach { case (np, recall, frac) =>
+      assert(recall === 1.0,
+        s"trained cells give full recall at nProbe=$np: $trained")
+      assert(frac < 0.5, s"probed-cell scan stays a fraction: $trained")
+    }
+    val frac1 = trained.find(_._1 == 1).get._3
+    assert(frac1 < 0.2,
+      s"one trained cell is ~4/39 of the candidates, got $frac1")
+    // the label face on the same corpus: ONE label = one cell = every
+    // arm scans the whole corpus — recall 1.0 bought at frac 1.0, the
+    // cost axis q144 exists to document
+    val label = SimilarityOps.annIvfRecallOn(embDf, k = 4)
+      .collect().map(r => (r.getInt(0), r.getDouble(3))).toMap
+    assert(label(1) === 1.0,
+      s"single label-cell probing scans everything: $label")
+  }
+
+  test("trained IVF guards: an empty corpus refuses to train and an " +
+      "empty codebook refuses to search, each with its own message") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, Array[Float], Int)]
+      .toDF("vec_id", "embedding", "label")
+    val e1 = intercept[IllegalArgumentException] {
+      SimilarityOps.kmeansCentroids(empty)
+    }
+    assert(e1.getMessage.contains("no vectors to train on"))
+    val e2 = intercept[IllegalArgumentException] {
+      SimilarityOps.annIvfWithCells(empty, Array.empty)
+    }
+    assert(e2.getMessage.contains("empty coarse codebook"))
+    val e3 = intercept[IllegalArgumentException] {
+      SimilarityOps.annIvfRecallWithCells(empty, Array.empty)
+    }
+    assert(e3.getMessage.contains("empty coarse codebook"))
+  }
 }

@@ -1177,4 +1177,50 @@ class StreamingSpec extends SparkSpec {
       .map(_.getName).filterNot(_.startsWith(".")).toSeq
     assert(visible === Seq("batch_id=0"), s"visible: $visible")
   }
+
+  test("privacy gate crashed-swap recovery: a replay that finds the " +
+      "prior segment parked (crash between park and publish) restores " +
+      "it BEFORE any delete, so a failed publish still rolls back to " +
+      "the prior verdict instead of losing the only copy") {
+    import graft.streaming.PrivacyGatePipeline
+    import org.apache.hadoop.fs.{FilterFileSystem, Path => HPath}
+    val root = tmpDir("privacy-crashswap")
+    val fsReal = new HPath(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def crashState(tag: String): (HPath, HPath, HPath) = {
+      val staging = new HPath(s"$root/$tag/.staging_0")
+      val dest = new HPath(s"$root/$tag/batch_id=0")
+      val old = new HPath(s"$root/$tag/.old_0")
+      fsReal.mkdirs(old)
+      fsReal.create(new HPath(old, "PRIOR")).close()
+      fsReal.mkdirs(staging)
+      fsReal.create(new HPath(staging, "NEW")).close()
+      (staging, dest, old)
+    }
+    // arm 1: the publish rename fails (the r13 ADVICE window) — without
+    // the recovery step the parked prior would already be deleted and
+    // the rollback branch could never fire
+    val (s1, d1, o1) = crashState("fail")
+    val failing = new FilterFileSystem(fsReal) {
+      override def rename(src: HPath, dst: HPath): Boolean =
+        if (src.getName.startsWith(".staging_")) false
+        else super.rename(src, dst)
+    }
+    val e = intercept[java.io.IOException] {
+      PrivacyGatePipeline.publishSegment(failing, s1, d1, o1)
+    }
+    assert(e.getMessage.contains("prior segment restored"),
+      s"rollback must restore the prior verdict, got: ${e.getMessage}")
+    assert(fsReal.exists(new HPath(d1, "PRIOR")),
+      "the parked prior segment must be back at dest")
+    assert(!fsReal.exists(o1), "nothing left parked after rollback")
+    // arm 2: the same crash state with a healthy FS converges to the
+    // replayed batch (recovery → park → publish → cleanup)
+    val (s2, d2, o2) = crashState("ok")
+    PrivacyGatePipeline.publishSegment(fsReal, s2, d2, o2)
+    assert(fsReal.exists(new HPath(d2, "NEW")),
+      "the replayed batch must be the published segment")
+    assert(!fsReal.exists(o2) && !fsReal.exists(s2),
+      "park and staging dirs are both consumed")
+  }
 }
