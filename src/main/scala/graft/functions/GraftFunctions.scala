@@ -69,6 +69,18 @@ object GraftFunctions {
       (es => arity("graft_topk_ids", es, 4)(
         TopKIdsByScore(es.head, es(1), intArg("graft_topk_ids", es, 2),
           boolArg("graft_topk_ids", es, 3)).toAggregateExpression())),
+    "graft_topk_rows" ->
+      (es => {
+        // two arities: (score, id, k, asc) or (score, id, payload, k, asc)
+        if (es.length != 4 && es.length != 5)
+          throw new IllegalArgumentException(
+            s"graft_topk_rows expects 4 or 5 arguments, got ${es.length}")
+        val payload = if (es.length == 5) Some(es(2)) else None
+        val base = es.length - 2
+        TopKRowsByScore(es.head, es(1), payload,
+          intArg("graft_topk_rows", es, base),
+          boolArg("graft_topk_rows", es, base + 1)).toAggregateExpression()
+      }),
     "graft_vec_dot" ->
       (es => arity("graft_vec_dot", es, 2)(VecDot(es.head, es(1)))),
     "graft_edit_lb" ->

@@ -252,3 +252,207 @@ case class TopKIdsByScore(score: Expression, id: Expression, k: Int,
       newChildren: IndexedSeq[Expression]): TopKIdsByScore =
     copy(score = newChildren(0), id = newChildren(1))
 }
+
+/** [[TopKIdsBuffer]] with a payload slot per kept element: same capped
+  * binary heap on (score, id), but each admitted element also carries an
+  * opaque already-copied value that rides along through swaps, merges and
+  * serde. O(k) per group regardless of group size.
+  */
+final class TopKRowsBuffer(val k: Int, val asc: Boolean) {
+  private[functions] var size = 0
+  private[functions] val scores = new Array[Double](math.max(k, 1))
+  private[functions] val ids = new Array[Long](math.max(k, 1))
+  private[functions] val payloads = new Array[Any](math.max(k, 1))
+
+  /** a strictly worse than b (the heap roots the worst) — the exact
+    * [[TopKIdsBuffer]] ordering: `java.lang.Double.compare` (NaN sorts
+    * as the largest score, like Spark's sort), ties to the LOWER id.
+    */
+  private def worse(sa: Double, ia: Long, sb: Double, ib: Long): Boolean = {
+    val c = java.lang.Double.compare(sa, sb)
+    if (c != 0) { if (asc) c > 0 else c < 0 } else ia > ib
+  }
+
+  private def swap(i: Int, j: Int): Unit = {
+    val ts = scores(i); val ti = ids(i); val tp = payloads(i)
+    scores(i) = scores(j); ids(i) = ids(j); payloads(i) = payloads(j)
+    scores(j) = ts; ids(j) = ti; payloads(j) = tp
+  }
+
+  private def siftDown(i0: Int): Unit = {
+    var i = i0
+    while (true) {
+      val l = 2 * i + 1; val r = l + 1
+      var w = i
+      if (l < size && worse(scores(l), ids(l), scores(w), ids(w))) w = l
+      if (r < size && worse(scores(r), ids(r), scores(w), ids(w))) w = r
+      if (w == i) return
+      swap(i, w)
+      i = w
+    }
+  }
+
+  private def siftUp(i0: Int): Unit = {
+    var i = i0
+    while (i > 0) {
+      val p = (i - 1) / 2
+      if (!worse(scores(i), ids(i), scores(p), ids(p))) return
+      swap(i, p)
+      i = p
+    }
+  }
+
+  def add(score: Double, id: Long, payload: Any): Unit =
+    if (k > 0) {
+      if (size < k) {
+        scores(size) = score; ids(size) = id; payloads(size) = payload
+        size += 1
+        siftUp(size - 1)
+      } else if (worse(scores(0), ids(0), score, id)) {
+        scores(0) = score; ids(0) = id; payloads(0) = payload
+        siftDown(0)
+      }
+    }
+
+  def mergeFrom(o: TopKRowsBuffer): Unit = {
+    var i = 0
+    while (i < o.size) { add(o.scores(i), o.ids(i), o.payloads(i)); i += 1 }
+  }
+
+  /** Kept element indices, best-first — the `row_number <= k` output
+    * order.
+    */
+  def rankedIdx: Array[Int] =
+    Array.range(0, size).sortWith((a, b) =>
+      worse(scores(b), ids(b), scores(a), ids(a)))
+}
+
+/** graft_topk_rows(score: double, id: bigint[, payload], k, asc) →
+  * array<struct<id, score[, payload]>>: [[TopKIdsByScore]] carrying the
+  * ranking score — and optionally one payload column (use `struct(...)`
+  * to carry several) — THROUGH the aggregation buffer, so a rank-heavy
+  * caller recovers the winners' columns without the join-back scan the
+  * ids-only form requires (q28/q48 paid a second corpus scan just to
+  * re-read the score of ≤ groups·k winners). Same bounded-heap plan
+  * shape: ObjectHashAggregate with map-side partials, O(k·|payload|)
+  * buffer per group, O(log k) admission.
+  *
+  * Ordering, null-skip, and NaN contracts are [[TopKIdsByScore]]'s
+  * verbatim: (score [desc|asc], id asc), null score or id rows never
+  * rank, NaN sorts as the largest score. A NULL payload on a ranking row
+  * is kept (the payload is cargo, not a key).
+  */
+case class TopKRowsByScore(score: Expression, id: Expression,
+    payload: Option[Expression], k: Int, asc: Boolean,
+    mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[TopKRowsBuffer] {
+
+  override def children: Seq[Expression] = Seq(score, id) ++ payload
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (score.dataType == DoubleType && id.dataType == LongType && k >= 1)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_topk_rows expects (double, bigint[, payload], k >= 1), got " +
+        s"(${score.dataType}, ${id.dataType}, $k)")
+
+  override def createAggregationBuffer(): TopKRowsBuffer =
+    new TopKRowsBuffer(k, asc)
+
+  override def update(b: TopKRowsBuffer, input: InternalRow): TopKRowsBuffer = {
+    val s = score.eval(input)
+    if (s != null) {
+      val i = id.eval(input)
+      if (i != null) {
+        // copy: the heap outlives the (reused) input row buffer
+        val p = payload.map(e => InternalRow.copyValue(e.eval(input))).orNull
+        b.add(s.asInstanceOf[Double], i.asInstanceOf[Long], p)
+      }
+    }
+    b
+  }
+
+  override def merge(b: TopKRowsBuffer, o: TopKRowsBuffer): TopKRowsBuffer = {
+    b.mergeFrom(o)
+    b
+  }
+
+  override def eval(b: TopKRowsBuffer): Any =
+    new GenericArrayData(b.rankedIdx.map { j =>
+      val vs = Array[Any](b.ids(j), b.scores(j)) ++
+        payload.map(_ => b.payloads(j))
+      new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(vs)
+    })
+
+  // payload serde rides an UnsafeRow over the single payload field — the
+  // one serializer that covers every Catalyst type without a per-type
+  // switch (null payload = length -1)
+  @transient private lazy val payloadSer =
+    org.apache.spark.sql.catalyst.expressions.UnsafeProjection
+      .create(payload.map(_.dataType).toArray)
+
+  override def serialize(b: TopKRowsBuffer): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val out = new java.io.DataOutputStream(bos)
+    out.writeInt(b.size)
+    var i = 0
+    while (i < b.size) {
+      out.writeDouble(b.scores(i))
+      out.writeLong(b.ids(i))
+      payload.foreach { _ =>
+        val p = b.payloads(i)
+        if (p == null) out.writeInt(-1)
+        else {
+          val bytes = payloadSer(InternalRow(p)).getBytes
+          out.writeInt(bytes.length)
+          out.write(bytes)
+        }
+      }
+      i += 1
+    }
+    out.flush()
+    bos.toByteArray
+  }
+
+  override def deserialize(bytes: Array[Byte]): TopKRowsBuffer = {
+    val in = new java.io.DataInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    val n = in.readInt()
+    val b = new TopKRowsBuffer(k, asc)
+    var i = 0
+    while (i < n) {
+      val s = in.readDouble()
+      val id0 = in.readLong()
+      val p: Any = payload.map { e =>
+        val len = in.readInt()
+        if (len < 0) null
+        else {
+          val pb = new Array[Byte](len)
+          in.readFully(pb)
+          val row = new org.apache.spark.sql.catalyst.expressions.UnsafeRow(1)
+          row.pointTo(pb, len)
+          InternalRow.copyValue(row.get(0, e.dataType))
+        }
+      }.orNull
+      b.add(s, id0, p)
+      i += 1
+    }
+    b
+  }
+
+  override def dataType: DataType = ArrayType(StructType(
+    Seq(StructField("id", LongType, nullable = false),
+      StructField("score", DoubleType, nullable = false)) ++
+      payload.map(e => StructField("payload", e.dataType, e.nullable))),
+    containsNull = false)
+  override def nullable: Boolean = false
+
+  override def withNewMutableAggBufferOffset(o: Int): TopKRowsByScore =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): TopKRowsByScore =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): TopKRowsByScore =
+    copy(score = newChildren(0), id = newChildren(1),
+      payload = payload.map(_ => newChildren(2)))
+}

@@ -256,18 +256,18 @@ object RelationalOps {
     // mirrored by the oracle's null filter — the window form parked
     // such rows at the rank tail, a slot a revenue top-k has no use
     // for).
-    // bounded-heap top-k ids (ScaleOps.topKIdsPerGroup): the 5-valued
-    // segment key would cap a rank window at 5-task parallelism, and
-    // even the salted two-window form shuffles+sorts the whole joined
-    // frame once — the aggregate consumes it map-side instead, and the
-    // ≤ 5·3 winners broadcast back against the orders scan to recover
-    // their price (the losers are never touched again)
-    val top = ScaleOps.topKIdsPerGroup(
-      o.join(c, o("o_custkey") === c("c_custkey")),
-      Seq("c_mktsegment"),
-      col("o_totalprice"), col("o_orderkey"), 3, "o_orderkey")
-    o.select("o_orderkey", "o_totalprice")
-      .join(broadcast(top), "o_orderkey")
+    // score-carrying bounded-heap top-k (ScaleOps.topKPairsPerGroup):
+    // the 5-valued segment key would cap a rank window at 5-task
+    // parallelism, and even the salted two-window form shuffles+sorts
+    // the whole joined frame once — the aggregate consumes it map-side
+    // instead, and the winners' prices ride the aggregation buffer out,
+    // so the join-back scan the ids-only form paid (a second pass over
+    // orders just to re-read ≤ 5·3 prices) is gone
+    ScaleOps.topKPairsPerGroup(
+        o.join(c, o("o_custkey") === c("c_custkey")),
+        Seq("c_mktsegment"),
+        col("o_totalprice"), col("o_orderkey"), 3,
+        "o_orderkey", "o_totalprice")
       .select("c_mktsegment", "rank", "o_orderkey", "o_totalprice")
       .orderBy("c_mktsegment", "rank")
   }

@@ -295,6 +295,32 @@ object ScaleOps {
         Seq((col("_pos") + 1).cast("int").as("rank"), col(idName)): _*)
   }
 
+  /** [[topKIdsPerGroup]] carrying the ranking score through the
+    * aggregation buffer (the payload-carrying `graft_topk_rows` form), so
+    * callers that only need (id, score) back — the q28/q48 shape — skip
+    * the join-back scan entirely: the winners' scores arrive IN the
+    * ≤ |groups|·k aggregate output, and the source is scanned exactly
+    * once. Returns one row per kept id: (group…, rank, `idName`,
+    * `scoreName`). Same contracts as the ids form: (score [desc|asc],
+    * id asc) ordering, null scores/ids never rank (callers' oracles must
+    * filter the same). Callers needing MORE than the score add it via
+    * the aggregate's payload slot — `struct(...)` carries any column set,
+    * still one scan.
+    */
+  def topKPairsPerGroup(df: DataFrame, group: Seq[String], score: Column,
+      id: Column, k: Int, idName: String, scoreName: String,
+      asc: Boolean = false): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(df.sparkSession)
+    df.groupBy(group.map(col): _*)
+      .agg(call_function("graft_topk_rows", score, id, lit(k), lit(asc))
+        .as("_top"))
+      .select(group.map(col) :+
+        posexplode(col("_top")).as(Seq("_pos", "_r")): _*)
+      .select(group.map(col) ++
+        Seq((col("_pos") + 1).cast("int").as("rank"),
+          col("_r.id").as(idName), col("_r.score").as(scoreName)): _*)
+  }
+
   /** Exact global `row_number() OVER (ORDER BY sort…)` without the
     * single-task global sort a bare `Window.orderBy` runs (Spark warns for
     * a reason: one task sorts the whole table). The q85 distributed-ranking

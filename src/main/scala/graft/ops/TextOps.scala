@@ -227,14 +227,13 @@ object TextOps {
 
   /** Quality-based retention: the top-20 documents per language by the q33
     * composite score (the "keep the best k per stratum" curation op).
-    * Deterministic tie-break on doc_id. Uses the bounded-heap top-k
-    * aggregate ([[ScaleOps.topKIdsPerGroup]]): a plain rank window
-    * partitioned by the ~5-valued `lang` would sort the whole corpus in
-    * 5 tasks at any scale, and even the salted two-window form shuffles
-    * the whole (lang, doc_id, score) projection once — the aggregate
-    * consumes it map-side, and only the ≤ langs·20 winning docs are
-    * ever re-scored (a second scan, broadcast-pruned, computes nothing
-    * for the losers).
+    * Deterministic tie-break on doc_id. Uses the score-carrying
+    * bounded-heap top-k aggregate ([[ScaleOps.topKPairsPerGroup]]): a
+    * plain rank window partitioned by the ~5-valued `lang` would sort
+    * the whole corpus in 5 tasks at any scale, and even the salted
+    * two-window form shuffles the whole (lang, doc_id, score) projection
+    * once — the aggregate consumes it map-side and the winners' scores
+    * ride the buffer out, so the corpus is scored exactly once.
     */
   def qualityTopK(s: SparkSession, dir: String): DataFrame =
     qualityTopKOn(docs(s, dir))
@@ -245,19 +244,18 @@ object TextOps {
     * such rows at the rank tail instead, a slot a quality cut has no
     * use for.
     */
-  def qualityTopKOn(docsDf: DataFrame): DataFrame = {
-    val top = ScaleOps.topKIdsPerGroup(
-      scoredDocsOn(docsDf).select("lang", "doc_id", "score"),
-      Seq("lang"),
-      col("score"), col("doc_id"), 20, "doc_id")
-    // ONE reference to `top`, joined on BOTH keys: a second reference
-    // would recompute the whole scored-scan subtree (no common-subplan
-    // reuse across different projections), and a bare doc_id join would
-    // cross-pair the strata of an id duplicated across langs
-    scoredDocsOn(docsDf.join(broadcast(top), Seq("doc_id", "lang")))
+  def qualityTopKOn(docsDf: DataFrame): DataFrame =
+    // score-carrying bounded-heap top-k: the winners' scores ride the
+    // aggregation buffer out, so the re-score join-back the ids-only
+    // form paid (a second scoredDocsOn scan over the corpus for
+    // ≤ langs·20 winners — and its duplicated-id join subtleties) is
+    // gone; the corpus is scored exactly once
+    ScaleOps.topKPairsPerGroup(
+        scoredDocsOn(docsDf).select("lang", "doc_id", "score"),
+        Seq("lang"),
+        col("score"), col("doc_id"), 20, "doc_id", "score")
       .select("lang", "rank", "doc_id", "score")
       .orderBy("lang", "rank")
-  }
 
   /** Corpus mixture report: per (source, lang) document and token counts
     * plus each cell's share of all corpus tokens — the numbers behind every

@@ -103,6 +103,84 @@ class FunctionsSpec extends SparkSpec {
       "3, true) ").head().getSeq[Long](0) === Seq.empty[Long])
   }
 
+  test("graft_topk_rows ranks exactly like graft_topk_ids and carries " +
+      "score + payload faithfully: both arities, both directions, null " +
+      "payloads kept, forced partial merges") {
+    val df = spark.range(2000).select(
+      (col("id") % 5).as("g"),
+      when(col("id") % 17 === 0, lit(null).cast("double"))
+        .otherwise(((col("id") * 48271L) % 97L).cast("double") / 10.0)
+        .as("s"),
+      when(col("id") % 31 === 0, lit(null).cast("long"))
+        .otherwise(col("id")).as("v"),
+      when(col("id") % 13 === 0, lit(null).cast("string"))
+        .otherwise(concat(lit("p"), col("id"))).as("p"))
+      .repartition(8)
+    for (asc <- Seq(true, false)) {
+      val rows = df.groupBy("g")
+        .agg(expr(s"graft_topk_rows(s, v, p, 7, $asc)").as("top"),
+          expr(s"graft_topk_ids(s, v, 7, $asc)").as("ids"))
+        .collect()
+      assert(rows.length === 5)
+      rows.foreach { r =>
+        val top = r.getSeq[org.apache.spark.sql.Row](1)
+        assert(top.map(_.getLong(0)) === r.getSeq[Long](2),
+          s"same ranked ids as the ids form (asc=$asc, g=${r.getLong(0)})")
+        top.foreach { t =>
+          val id = t.getLong(0)
+          assert(t.getDouble(1) === ((id * 48271L) % 97L).toDouble / 10.0,
+            "carried score is the ranking value")
+          if (id % 13 == 0) assert(t.isNullAt(2),
+            "a null payload on a ranking row is kept as null cargo")
+          else assert(t.getString(2) === s"p$id",
+            "carried payload matches the source row")
+        }
+      }
+    }
+    // 4-arg arity: struct<id, score> only — same ids, no payload field
+    val r4 = df.groupBy("g")
+      .agg(expr("graft_topk_rows(s, v, 7, false)").as("top"),
+        expr("graft_topk_ids(s, v, 7, false)").as("ids"))
+      .collect()
+    r4.foreach { r =>
+      val top = r.getSeq[org.apache.spark.sql.Row](1)
+      assert(top.forall(_.length == 2), "pairs arity has no payload field")
+      assert(top.map(_.getLong(0)) === r.getSeq[Long](2))
+    }
+  }
+
+  test("graft_topk_rows: struct payloads survive the partial-merge serde, " +
+      "k past the group size returns everything, wrong arity and bad " +
+      "types fail with named errors") {
+    val df = spark.range(100).select(col("id"),
+      ((col("id") * 7) % 13).cast("double").as("s"),
+      struct(col("id").as("a"), concat(lit("x"), col("id")).as("b"))
+        .as("pay"))
+      .repartition(7) // forces serialize + merge of struct payloads
+    val out = df.agg(expr("graft_topk_rows(s, id, pay, 5, false)"))
+      .head().getSeq[org.apache.spark.sql.Row](0)
+    assert(out.length === 5)
+    out.foreach { t =>
+      val id = t.getLong(0)
+      val p = t.getStruct(2)
+      assert(p.getLong(0) === id && p.getString(1) === s"x$id",
+        s"struct payload must round-trip through serde: $t")
+    }
+    assert(df.limit(3).agg(expr("graft_topk_rows(s, id, pay, 9, true)"))
+      .head().getSeq[org.apache.spark.sql.Row](0).length === 3,
+      "k past the group size returns everything ranked")
+    val eArity = intercept[Exception] {
+      spark.sql("SELECT graft_topk_rows(1.0D, 1L, 2)").collect()
+    }
+    assert(eArity.getMessage.contains("expects 4 or 5 arguments"),
+      s"named arity error, got: ${eArity.getMessage}")
+    val eType = intercept[Exception] {
+      spark.sql("SELECT graft_topk_rows('a', 1L, 3, true)").collect()
+    }
+    assert(eType.getMessage.toLowerCase.contains("graft_topk_rows"),
+      s"named type error, got: ${eType.getMessage}")
+  }
+
   test("graft_min_k agrees with sorted-take on arbitrary data") {
     import org.scalacheck.{Gen, Prop, Test => SCTest}
     val prop = Prop.forAll(

@@ -1274,5 +1274,18 @@ class OpsSpec extends SparkSpec {
     assert(!got.exists(_._1 == "c"), "an all-null stratum must vanish")
     assert(got.count(_._1 == "b") === 3, "a stratum smaller than k " +
       "returns everything ranked")
+    // the score-carrying form: identical (g, rank, id) rows, with each
+    // carried score equal to the value that ranked the row
+    val pairs = ScaleOps.topKPairsPerGroup(df, Seq("g"), col("s"),
+        col("id"), 5, "id", "s")
+      .collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    assert(pairs.map(t => (t._1, t._2, t._3)).toSet === want)
+    val srcScore = rows.collect { case (g, Some(id), Some(s)) =>
+      (g, id) -> s }.toMap
+    pairs.foreach { case (g, _, id, s) =>
+      assert(s === srcScore((g, id)),
+        s"carried score must be the ranking value for ($g, $id)")
+    }
   }
 }
