@@ -1878,9 +1878,10 @@ object SimilarityOps {
     * vectors + k×Dim cell frames — the same footprint every PQ system's
     * train step keeps); search is unchanged q123 shape (map-only encode,
     * broadcast LUTs, TakeOrderedAndProject). In production the codebook
-    * is trained once per corpus generation and reused via [[annPqWith]];
-    * this face retrains per call so the oracle can replay the whole
-    * lifecycle end to end.
+    * is trained once per corpus generation, persisted via
+    * [[writeCodebookStore]], and reused via [[readCodebookStore]] +
+    * [[annPqWith]]; this face retrains per call so the oracle can replay
+    * the whole lifecycle end to end.
     */
   def annPqTrained(s: SparkSession, dir: String): DataFrame = {
     val e = emb(s, dir)
@@ -1925,8 +1926,9 @@ object SimilarityOps {
     * unchanged q45 shape (codebook rides in as literals, probe list
     * broadcast, TakeOrderedAndProject top-k). The face retrains per call
     * BY DESIGN so the oracle replays the whole train→assign→probe→rank
-    * lifecycle (the q140 convention); production trains once and reuses
-    * via [[annIvfWithCells]].
+    * lifecycle (the q140 convention); production trains once, persists
+    * via [[writeCodebookStore]], and reuses via [[readCodebookStore]] +
+    * [[annIvfWithCells]].
     */
   def annIvfTrained(s: SparkSession, dir: String): DataFrame = {
     val valid = validLabeled(emb(s, dir))
@@ -2203,6 +2205,64 @@ object SimilarityOps {
     embDf.select(col("vec_id"), col("label"),
       call_function("graft_pq_encode", col("embedding"),
         typedLit(codebook.map(_.toSeq).toSeq), lit(PqSubDim)).as("codes"))
+  }
+
+  // ---- persisted trained-codebook store --------------------------------
+
+  /** Persist a trained codebook ([[pqTrainedCodebook]]'s PQ rows or
+    * [[kmeansCentroids]]'s IVF cells — both are k full-dim codewords) —
+    * the missing piece of the trained-index lifecycle: the q140/q143
+    * catalog faces retrain per call BY DESIGN so the oracle replays the
+    * whole ANALYZE, but production trains ONCE, stores the k×dim
+    * artifact here, and every later call — [[annPqWith]] /
+    * [[annIvfWithCells]] search, [[writePqStore]] encode,
+    * `pqDistortionWith` retraining monitor — loads it back with ZERO
+    * corpus reads. One row per codeword (cw, centroid) plus the shape
+    * metadata the reader validates before any search can misuse a
+    * mismatched artifact. Staged write + atomic swap like every
+    * whole-store writer (never `mode("overwrite")` on the live path);
+    * `train_iters` records provenance for the rebuild-anywhere contract.
+    */
+  def writeCodebookStore(s: SparkSession, codebook: Array[Array[Double]],
+      path: String, trainIters: Int): Unit = {
+    require(codebook.nonEmpty &&
+        codebook.forall(_.length == codebook.head.length),
+      "writeCodebookStore: codebook must be non-empty and rectangular")
+    import s.implicits._
+    val staging = path + ".merging"
+    codebook.zipWithIndex.toSeq
+      .map { case (c, i) => (i, c.toSeq, c.length, trainIters) }
+      .toDF("cw", "centroid", "dim", "train_iters")
+      .coalesce(1).write.mode("overwrite").parquet(staging)
+    ScaleOps.swapInto(s, staging, path)
+  }
+
+  /** Load a codebook back as the literal array every search/encode face
+    * consumes — a bounded driver hop over k rows, never a corpus read.
+    * Fails loud on the artifacts a broken pipeline could leave: an empty
+    * store, mixed widths, or duplicate/missing codeword rows (an
+    * accidental `mode("append")` on the live path — codebooks are
+    * whole artifacts, REPLACED by [[writeCodebookStore]]'s swap, never
+    * appended: codeword index IS the identity the stored pq codes point
+    * into, so a doubled row set would silently rescore half the index).
+    */
+  def readCodebookStore(s: SparkSession, path: String): Array[Array[Double]] = {
+    val rows = Tables.boundedCollect(
+      s.read.parquet(path).select("cw", "centroid", "dim").orderBy("cw"),
+      1 << 16, "codebook store rows")
+    require(rows.nonEmpty, s"readCodebookStore: empty codebook store at " +
+      s"$path — train and publish with writeCodebookStore first")
+    require(rows.map(_.getInt(2)).distinct.length == 1 &&
+        rows.forall(r => r.getSeq[Double](1).length == r.getInt(2)),
+      s"readCodebookStore: inconsistent codeword widths at $path — " +
+        "corrupt or mixed-generation store; rebuild with writeCodebookStore")
+    val cws = rows.map(_.getInt(0)).toSeq
+    require(cws == (0 until rows.length),
+      s"readCodebookStore: store at $path is not one row per contiguous " +
+        s"codeword (cw = $cws) — an accidental append or partial write; " +
+        "rebuild with writeCodebookStore (codebook stores are replaced, " +
+        "never appended)")
+    rows.map(_.getSeq[Double](1).toArray)
   }
 
   /** ADC search over the PERSISTED code table: the query vector quantizes

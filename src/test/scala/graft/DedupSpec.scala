@@ -1776,6 +1776,70 @@ class DedupSpec extends SparkSpec {
       s"single label-cell probing scans everything: $label")
   }
 
+  test("codebook store: write/read round-trips the trained artifact " +
+      "bit-identically, from-store search equals the inline path, and " +
+      "appends/empties fail loud") {
+    val (embDf, _) = plantedIvfCorpus
+    val ivfCb = SimilarityOps.kmeansCentroids(embDf,
+      SimilarityOps.IvfTrainK, SimilarityOps.IvfTrainIters)
+    val pqCb = SimilarityOps.pqTrainedCodebook(embDf)
+    val root = tmpDir("codebook-store")
+
+    // round-trip: the loaded artifact IS the trained one, bit for bit
+    SimilarityOps.writeCodebookStore(spark, ivfCb, s"$root/ivf",
+      SimilarityOps.IvfTrainIters)
+    SimilarityOps.writeCodebookStore(spark, pqCb, s"$root/pq",
+      SimilarityOps.PqTrainIters)
+    val ivfBack = SimilarityOps.readCodebookStore(spark, s"$root/ivf")
+    assert(ivfBack.map(_.toSeq) === ivfCb.map(_.toSeq))
+    assert(SimilarityOps.readCodebookStore(spark, s"$root/pq")
+      .map(_.toSeq) === pqCb.map(_.toSeq))
+
+    // train once, search forever: the from-store searches are
+    // bit-identical to the inline-trained ones — zero retraining
+    assert(SimilarityOps.annIvfWithCells(embDf, ivfBack, queryId = 0L,
+        k = 4).collect().map(_.toSeq).toSeq
+      === SimilarityOps.annIvfWithCells(embDf, ivfCb, queryId = 0L,
+        k = 4).collect().map(_.toSeq).toSeq)
+    assert(SimilarityOps.annPqWith(embDf,
+        SimilarityOps.readCodebookStore(spark, s"$root/pq"))
+        .collect().map(_.toSeq).toSeq
+      === SimilarityOps.annPqWith(embDf, pqCb).collect().map(_.toSeq).toSeq)
+
+    // a re-publish REPLACES (swap semantics): the store reads the new
+    // artifact, not a union
+    SimilarityOps.writeCodebookStore(spark, ivfCb.take(3), s"$root/ivf", 1)
+    assert(SimilarityOps.readCodebookStore(spark, s"$root/ivf").length === 3)
+
+    // accidental append on the live path → duplicate codeword rows must
+    // refuse with the rebuild message, not silently rescore half an index
+    import spark.implicits._
+    pqCb.zipWithIndex.toSeq
+      .map { case (c, i) => (i, c.toSeq, c.length, 1) }
+      .toDF("cw", "centroid", "dim", "train_iters")
+      .write.mode("append").parquet(s"$root/pq")
+    val eDup = intercept[IllegalArgumentException] {
+      SimilarityOps.readCodebookStore(spark, s"$root/pq")
+    }
+    assert(eDup.getMessage.contains("accidental append or partial write"))
+
+    // an empty store (published from a broken trainer) fails loud too
+    Seq.empty[(Int, Seq[Double], Int, Int)]
+      .toDF("cw", "centroid", "dim", "train_iters")
+      .write.mode("overwrite").parquet(s"$root/empty")
+    val eEmpty = intercept[IllegalArgumentException] {
+      SimilarityOps.readCodebookStore(spark, s"$root/empty")
+    }
+    assert(eEmpty.getMessage.contains("empty codebook store"))
+
+    // a non-rectangular codebook never publishes
+    val eRect = intercept[IllegalArgumentException] {
+      SimilarityOps.writeCodebookStore(spark,
+        Array(Array(1.0, 2.0), Array(3.0)), s"$root/bad", 1)
+    }
+    assert(eRect.getMessage.contains("rectangular"))
+  }
+
   test("trained IVF guards: an empty corpus refuses to train and an " +
       "empty codebook refuses to search, each with its own message") {
     import spark.implicits._
