@@ -150,26 +150,34 @@ object ScrubOps {
     privacyRollup(classes, "n_users", k, "n_small_classes",
       "min_class_users")
 
-  /** ONE per-type privacy rollup serving both audits: count the classes
-    * whose `measure` falls below the threshold and the event rows
-    * sitting in them. Keeping a single definition is what lets a future
-    * risk_pct fix land on q134 and q141 together.
+  /** ONE per-type privacy rollup serving all three audits: count the
+    * flagged classes and the event rows sitting in them. Keeping a
+    * single definition is what lets a future risk_pct fix land on
+    * q134/q141/q145 together. `flagged` is the audit's own verdict
+    * column expression (below-k users, below-l diversity, past-t
+    * distance — directions differ, the rollup does not); `worst` its
+    * per-type extreme.
     */
-  private def privacyRollup(classes: DataFrame, measure: String,
-      threshold: Int, smallName: String, minName: String): DataFrame =
+  private def privacyRollupBy(classes: DataFrame, flagged: Column,
+      worst: Column, flagName: String, worstName: String): DataFrame =
     classes
       .groupBy("event_type")
       .agg(
         count(lit(1)).as("n_classes"),
-        sum(when(col(measure) < threshold, 1L).otherwise(0L))
-          .as(smallName),
-        min(measure).as(minName),
+        sum(when(flagged, 1L).otherwise(0L)).as(flagName),
+        worst.as(worstName),
         sum("n_events").as("n_events"),
-        sum(when(col(measure) < threshold, col("n_events")).otherwise(0L))
+        sum(when(flagged, col("n_events")).otherwise(0L))
           .as("n_events_at_risk"))
       .withColumn("risk_pct",
         round(col("n_events_at_risk") * lit(100.0) / col("n_events"), 4))
       .orderBy("event_type")
+
+  /** The below-threshold form q134/q141 share (small measure = risky). */
+  private def privacyRollup(classes: DataFrame, measure: String,
+      threshold: Int, smallName: String, minName: String): DataFrame =
+    privacyRollupBy(classes, col(measure) < threshold, min(measure),
+      smallName, minName)
 
   // ---- q141: l-diversity audit ----------------------------------------
 
@@ -212,6 +220,122 @@ object ScrubOps {
   private def ldivRollup(classes: DataFrame, l: Int): DataFrame =
     privacyRollup(classes, "n_sens", l, "n_low_div_classes",
       "min_class_sens")
+
+  // ---- q145: t-closeness audit ----------------------------------------
+
+  /** Earth-mover's-distance ceiling the q145 registration pins: an
+    * equivalence class whose sensitive-value distribution sits further
+    * than this from its type's global distribution leaks by skew even
+    * when it passes k-anonymity AND l-diversity (on this corpus the
+    * class-t median is ~0.17 and p90 ~0.30 — 0.3 flags the skewed tail).
+    */
+  val TCloseT = 0.3
+
+  def tcloseAudit(s: SparkSession, dir: String): DataFrame =
+    tcloseAuditOn(Tables.t(s, dir, "events"), TCloseT)
+
+  /** q145: t-closeness audit — the triad's third member (Li, Li,
+    * Venkatasubramanian 2007, "t-closeness: privacy beyond k-anonymity
+    * and l-diversity"): q134 bounds singling-out and q141 homogeneity,
+    * but a class can pass both and still leak by SKEW — if a class's
+    * sensitive values are diverse yet concentrated far from the global
+    * distribution (say, all in the top value bands), membership alone
+    * shifts an attacker's posterior. Per equivalence class (the one
+    * [[quasiClasses]] definition), this computes the paper's ordered
+    * earth-mover's distance between the class's `sens_band` distribution
+    * and its event type's global one — t = Σᵢ|cumP−cumQ| / (m−1) over
+    * the type's m ordered bands — and rolls up per type: classes past
+    * `t`, the worst class, and the event rows at risk.
+    *
+    * Exactness (the cross-engine digest discipline): the EMD is computed
+    * in INTEGER arithmetic until one final division — with class counts
+    * aᵢ (A total) and type counts bᵢ (B total), |cumP−cumQ| at band i is
+    * |B·cumAᵢ − A·cumBᵢ| / (A·B), so t = Σ|B·cumAᵢ − A·cumBᵢ| /
+    * (A·B·(m−1)) with an exact decimal numerator (operands cast to
+    * DECIMAL(19,0) so products are exact at any corpus size), then ONE
+    * double division rounded to 6 dp — no float accumulation order to
+    * drift between engines.
+    *
+    * Scale: ONE corpus pass (the (class, band) contraction, map-side
+    * partial), localCheckpointed so the three bounded consumers —
+    * class totals, type distribution, the class×band grid — share the
+    * scan instead of re-reading events; everything after is bounded by
+    * |classes|·|bands| (≤ types·k-values·24 classes; bands bound by the
+    * VALUE RANGE, not the corpus — floor-banding is the knob if a
+    * wild-range attribute ever inflates it). Null bands (unparseable /
+    * non-finite values, the [[quasiClasses]] range guard) stay OUT of
+    * both distributions but IN `n_events`; a class with no measurable
+    * band (all-corrupt, or a type with no bands at all) reads t = NULL
+    * and counts as flagged — the safe direction, like q141's 0-distinct.
+    * A single-band type (m = 1) reads t = 0 for every measurable class:
+    * all mass in one band means every class matches the global
+    * distribution exactly.
+    */
+  def tcloseAuditOn(eventsDf: DataFrame, t: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val Dec = org.apache.spark.sql.types.DecimalType(19, 0)
+    // the one corpus pass: per-(class, band) counts, null bands kept as
+    // their own rows (n_events cargo, excluded from the distributions)
+    val cb0 = quasiClasses(eventsDf)
+      .groupBy("event_type", "k_prop", "hod", "sens_band")
+      .agg(count(lit(1)).as("a"))
+      .localCheckpoint()
+    val cls = cb0.groupBy("event_type", "k_prop", "hod")
+      .agg(sum("a").as("n_events"),
+        sum(when(col("sens_band").isNotNull, col("a")).otherwise(0L))
+          .as("a_tot"))
+    val cb = cb0.filter(col("sens_band").isNotNull)
+    val wType = Window.partitionBy("event_type")
+    val tb = cb.groupBy("event_type", "sens_band")
+      .agg(sum("a").as("b"))
+      .withColumn("cum_b", sum("b").over(wType.orderBy("sens_band")))
+      .withColumn("m", count(lit(1)).over(wType))
+      .withColumn("btot", sum("b").over(wType))
+      .select(col("event_type"), col("sens_band"), col("cum_b"), col("m"),
+        col("btot"))
+    // the class×band grid: every class × every band of ITS type (a class
+    // absent from a band still contributes |cum| there); bounded rows,
+    // null-safe keys (a NULL k_prop/hod is a real class in both engines)
+    val grid = cls.as("c").join(tb.as("t"),
+        col("c.event_type") === col("t.event_type"))
+      .join(cb.as("x"),
+        col("x.event_type") === col("c.event_type") &&
+          (col("x.k_prop") <=> col("c.k_prop")) &&
+          (col("x.hod") <=> col("c.hod")) &&
+          col("x.sens_band") === col("t.sens_band"), "left")
+      .select(col("c.event_type").as("event_type"),
+        col("c.k_prop").as("k_prop"), col("c.hod").as("hod"),
+        col("c.a_tot").as("a_tot"), col("t.sens_band").as("sens_band"),
+        col("t.cum_b").as("cum_b"), col("t.m").as("m"),
+        col("t.btot").as("btot"),
+        coalesce(col("x.a"), lit(0L)).as("a"))
+    val wClass = Window.partitionBy("event_type", "k_prop", "hod")
+      .orderBy("sens_band")
+    val num = grid
+      .withColumn("cum_a", sum("a").over(wClass))
+      .withColumn("contrib", abs(
+        col("btot").cast(Dec) * col("cum_a").cast(Dec) -
+          col("a_tot").cast(Dec) * col("cum_b").cast(Dec)))
+      .groupBy("event_type", "k_prop", "hod")
+      .agg(max("a_tot").as("a_tot"), max("m").as("m"),
+        max("btot").as("btot"), sum("contrib").as("num"))
+      .withColumn("t_dist",
+        when(col("a_tot") > 0 && col("m") === 1, lit(0.0))
+          .otherwise(round(try_divide(col("num").cast("double"),
+            col("a_tot").cast("double") * col("btot") * (col("m") - 1)),
+            6)))
+    // classes of a bandless type never reach the grid — the left join
+    // hands them NULL t (flagged), with n_events intact from cls
+    val classes = cls.as("c").join(num.as("n"),
+        col("c.event_type") === col("n.event_type") &&
+          (col("c.k_prop") <=> col("n.k_prop")) &&
+          (col("c.hod") <=> col("n.hod")), "left")
+      .select(col("c.event_type").as("event_type"), col("c.n_events"),
+        col("n.t_dist").as("t_dist"))
+    privacyRollupBy(classes,
+      col("t_dist").isNull || col("t_dist") > t, max("t_dist"),
+      "n_far_classes", "max_class_t")
+  }
 
   // ---- persisted k-anonymity class store (mergeable HLL user sketches) ----
 
@@ -327,7 +451,8 @@ object ScrubOps {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q104_pii_audit" -> piiAudit,
     "q134_kanon_audit" -> kanonAudit,
-    "q141_ldiv_audit" -> ldivAudit)
+    "q141_ldiv_audit" -> ldivAudit,
+    "q145_tclose_audit" -> tcloseAudit)
 
   val oracle: Map[String, String] = Map(
     "q104_pii_audit" -> {
@@ -383,5 +508,72 @@ object ScrubOps {
          |  round(CAST(sum(CASE WHEN n_sens < $LDivL THEN n_events
          |      ELSE 0 END) AS BIGINT) * 100.0
          |    / CAST(sum(n_events) AS BIGINT), 4) AS risk_pct
-         |FROM c GROUP BY event_type ORDER BY event_type""".stripMargin)
+         |FROM c GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // Replays the integer-exact EMD: (class, band) contraction → class
+    // totals / type distribution / class×band grid → cumulative counts →
+    // |B·cumA − A·cumB| in DECIMAL(19,0) products → one double division.
+    "q145_tclose_audit" -> {
+      val far = s"t_dist IS NULL OR t_dist > $TCloseT"
+      s"""WITH qc AS (SELECT event_type,
+         |    TRY_CAST(json_extract_string(props, '$$.k') AS BIGINT)
+         |      AS k_prop,
+         |    extract(hour FROM ts) AS hod,
+         |    CASE WHEN value BETWEEN -1e15 AND 1e15
+         |      THEN CAST(floor(value) AS BIGINT) END AS sens_band
+         |  FROM events),
+         |cb0 AS (SELECT event_type, k_prop, hod, sens_band, count(*) AS a
+         |  FROM qc GROUP BY 1, 2, 3, 4),
+         |cls AS (SELECT event_type, k_prop, hod,
+         |    CAST(sum(a) AS BIGINT) AS n_events,
+         |    CAST(sum(CASE WHEN sens_band IS NOT NULL THEN a ELSE 0 END)
+         |      AS BIGINT) AS a_tot
+         |  FROM cb0 GROUP BY 1, 2, 3),
+         |cb AS (SELECT * FROM cb0 WHERE sens_band IS NOT NULL),
+         |tb AS (SELECT event_type, sens_band, CAST(sum(a) AS BIGINT) AS b
+         |  FROM cb GROUP BY 1, 2),
+         |tbc AS (SELECT event_type, sens_band,
+         |    sum(b) OVER (PARTITION BY event_type ORDER BY sens_band)
+         |      AS cum_b,
+         |    count(*) OVER (PARTITION BY event_type) AS m,
+         |    sum(b) OVER (PARTITION BY event_type) AS btot
+         |  FROM tb),
+         |grid AS (SELECT c.event_type, c.k_prop, c.hod, c.a_tot,
+         |    t.sens_band, t.cum_b, t.m, t.btot, coalesce(x.a, 0) AS a
+         |  FROM cls c JOIN tbc t ON c.event_type = t.event_type
+         |  LEFT JOIN cb x ON x.event_type = c.event_type
+         |    AND x.k_prop IS NOT DISTINCT FROM c.k_prop
+         |    AND x.hod IS NOT DISTINCT FROM c.hod
+         |    AND x.sens_band = t.sens_band),
+         |cum AS (SELECT event_type, k_prop, hod, a_tot, m, btot,
+         |    abs(CAST(btot AS DECIMAL(19,0))
+         |        * CAST(sum(a) OVER (PARTITION BY event_type, k_prop, hod
+         |            ORDER BY sens_band) AS DECIMAL(19,0))
+         |      - CAST(a_tot AS DECIMAL(19,0)) * CAST(cum_b AS DECIMAL(19,0)))
+         |      AS contrib
+         |  FROM grid),
+         |tcn AS (SELECT event_type, k_prop, hod, max(a_tot) AS a_tot,
+         |    max(m) AS m, max(btot) AS btot, sum(contrib) AS num
+         |  FROM cum GROUP BY 1, 2, 3),
+         |tcl AS (SELECT event_type, k_prop, hod,
+         |    CASE WHEN a_tot > 0 AND m = 1 THEN CAST(0 AS DOUBLE)
+         |      ELSE round(CAST(num AS DOUBLE)
+         |        / nullif(CAST(a_tot AS DOUBLE) * btot * (m - 1), 0), 6)
+         |      END AS t_dist
+         |  FROM tcn),
+         |cl AS (SELECT c.event_type, c.n_events, n.t_dist
+         |  FROM cls c LEFT JOIN tcl n ON c.event_type = n.event_type
+         |    AND c.k_prop IS NOT DISTINCT FROM n.k_prop
+         |    AND c.hod IS NOT DISTINCT FROM n.hod)
+         |SELECT event_type, count(*) AS n_classes,
+         |  CAST(sum(CASE WHEN $far THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_far_classes,
+         |  max(t_dist) AS max_class_t,
+         |  CAST(sum(n_events) AS BIGINT) AS n_events,
+         |  CAST(sum(CASE WHEN $far THEN n_events ELSE 0 END) AS BIGINT)
+         |    AS n_events_at_risk,
+         |  round(CAST(sum(CASE WHEN $far THEN n_events ELSE 0 END)
+         |      AS BIGINT) * 100.0
+         |    / CAST(sum(n_events) AS BIGINT), 4) AS risk_pct
+         |FROM cl GROUP BY event_type ORDER BY event_type""".stripMargin
+    })
 }

@@ -138,6 +138,41 @@ class ScrubSpec extends SparkSpec {
       ("view", 1L, 1L, 1L, 5L, 5L, 100.0)))
   }
 
+  test("t-closeness audit: a diverse-but-skewed class is flagged past t, " +
+      "a global-matching class reads 0, a single-band type reads 0, and " +
+      "an unmeasurable class flags as NULL — hand-computed EMDs") {
+    import spark.implicits._
+    def ev(t: String, kp: Long, v: Double) =
+      (t, 1L, java.sql.Timestamp.valueOf("2026-01-01 00:10:00"),
+        s"""{"k": $kp}""", v)
+    val rows =
+      // view global bands: {0: 6, 1: 6} (B = 12, m = 2)
+      // k=1: all 4 measurable events in band 0 (+1 NaN = n_events cargo)
+      //   → t = |12·4 − 4·6| / (4·12·1) = 0.5 — flagged at t = 0.3
+      (Seq.fill(4)(ev("view", 1L, 0.5)) :+ ev("view", 1L, Double.NaN)) ++
+      // k=2: all 4 in band 1 → the same skew from the other side, 0.5
+      Seq.fill(4)(ev("view", 2L, 1.5)) ++
+      // k=3: 2+2 — exactly the global distribution → t = 0, not flagged
+      Seq(ev("view", 3L, 0.5), ev("view", 3L, 0.5),
+        ev("view", 3L, 1.5), ev("view", 3L, 1.5)) ++
+      // a single-band type: every class trivially matches global → t = 0
+      Seq.fill(3)(ev("solo", 1L, 9.2)) ++
+      // a type with NO measurable band (NaN / Inf only): t = NULL,
+      // flagged — the safe direction, like q141's 0-distinct
+      Seq(ev("bad", 1L, Double.NaN), ev("bad", 1L, Double.PositiveInfinity))
+    val df = rows.toDF("event_type", "user_id", "ts", "props", "value")
+    val got = ScrubOps.tcloseAuditOn(df, 0.3).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) null else r.getDouble(3),
+        r.getLong(4), r.getLong(5), r.getDouble(6))).toSeq
+    assert(got === Seq(
+      ("bad", 1L, 1L, null, 2L, 2L, 100.0),
+      ("solo", 1L, 0L, 0.0, 3L, 0L, 0.0),
+      // view: 3 classes, k=1/k=2 flagged (9 of 13 rows at risk,
+      // incl. the NaN cargo row of k=1), worst class t = 0.5
+      ("view", 3L, 2L, 0.5, 13L, 9L, 69.2308)))
+  }
+
   test("k-anonymity store: a pre-l-diversity store (no sens_sketch " +
       "column) fails with the rebuild instruction, not a schema-sampling " +
       "lottery") {
