@@ -540,7 +540,18 @@ object ScaleOps {
     val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val tmp = new org.apache.hadoop.fs.Path(staging)
     val old = new org.apache.hadoop.fs.Path(dir + ".old")
-    fs.delete(old, true) // leftover from a previous crashed swap
+    // crashed-swap recovery (the r13 privacy-gate ADVICE window, shared
+    // by every store writer): a prior run that died between its two
+    // renames left `dir` missing and the ONLY prior copy parked at
+    // `dir.old` — restore it BEFORE the delete below can discard it, so
+    // a failed publish in THIS run still rolls back to populated state
+    // instead of reporting total loss. `old` alongside an intact `dir`
+    // is the other crash shape (died before the final cleanup) and is
+    // safe to drop.
+    if (fs.exists(old) && !fs.exists(hPath) && !fs.rename(old, hPath))
+      throw new java.io.IOException(
+        s"swapInto: crashed-swap recovery $old -> $hPath failed")
+    fs.delete(old, true) // leftover from a crash AFTER publish
     if (!fs.exists(hPath)) {
       // first publish: nothing to park — one rename takes the path from
       // absent to fully written (callers need no bootstrap special case)
@@ -551,7 +562,14 @@ object ScaleOps {
     }
     if (!fs.rename(hPath, old))
       throw new java.io.IOException(s"swapInto: rename $hPath -> $old failed")
-    if (!fs.rename(tmp, hPath)) {
+    // a publish failure may THROW rather than return false (local FS
+    // raises FileNotFound on a missing staging dir) — both shapes must
+    // reach the rollback below, or the live path stays missing with the
+    // prior copy parked under .old
+    val published =
+      try fs.rename(tmp, hPath)
+      catch { case _: java.io.IOException => false }
+    if (!published) {
       // roll back so `dir` stays populated; if even that fails, say WHERE
       // the data survives — a silent rollback failure would present as
       // total data loss to the next reader

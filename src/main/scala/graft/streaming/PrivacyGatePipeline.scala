@@ -83,7 +83,13 @@ object PrivacyGatePipeline {
     if (fs.exists(dest) && !fs.rename(dest, old))
       throw new java.io.IOException(
         s"privacy gate: park $dest -> $old failed")
-    if (!fs.rename(staging, dest)) {
+    // a publish failure may THROW rather than return false (local FS
+    // raises FileNotFound on a missing staging dir) — both shapes must
+    // reach the rollback below (swapInto's discipline)
+    val published =
+      try fs.rename(staging, dest)
+      catch { case _: java.io.IOException => false }
+    if (!published) {
       // roll the parked segment back so pollers keep reading the
       // PRIOR verdict (leaving it parked under an invisible dot-dir
       // would reopen the exact under-report window this staging

@@ -1840,6 +1840,49 @@ class DedupSpec extends SparkSpec {
     assert(eRect.getMessage.contains("rectangular"))
   }
 
+  test("trainer degenerate shapes: k past the corpus size keeps a sane " +
+      "codebook (one codeword per existing vector), emptied k-means " +
+      "clusters keep their values, an all-corrupt table refuses to " +
+      "train, and a missing query id is an empty search — not a crash") {
+    import spark.implicits._
+    val dim = SimilarityOps.Dim
+    // 5 valid vectors, k = 8: init collects what exists — 5 codewords
+    val five = (0L until 5L).map { i =>
+      val v = Array.fill(dim)(0f); v(i.toInt) = 3f; (i, v, 0)
+    }.toDF("vec_id", "embedding", "label")
+    val cb = SimilarityOps.kmeansCentroids(five, k = 8, iters = 2)
+    assert(cb.length === 5, "codebook holds the vectors that exist")
+    assert(cb.forall(c => c.length == dim && !c.exists(_.isNaN)))
+    val pq = SimilarityOps.pqTrainedCodebook(five, k = 8, iters = 2)
+    assert(pq.length === 5 &&
+      pq.forall(c => c.length == dim && !c.exists(_.isNaN)))
+    // duplicate-heavy init (2 distinct vectors, k = 4): ties assign to
+    // the LOWEST cluster, so the duplicate clusters empty every
+    // iteration and must keep their init values — no NaN, no zero rows
+    val dups = (0L until 6L).map { i =>
+      val v = Array.fill(dim)(0f); v((i % 2).toInt) = 2f; (i, v, 0)
+    }.toDF("vec_id", "embedding", "label")
+    val cbd = SimilarityOps.kmeansCentroids(dups, k = 4, iters = 3)
+    val legal = (0 until 2).map { c =>
+      val v = Array.fill(dim)(0.0); v(c) = 2.0; v.toSeq
+    }.toSet
+    assert(cbd.length === 4 && cbd.forall(c => legal.contains(c.toSeq)),
+      s"every codeword is a planted vector (updated mean or kept init)")
+    // an all-corrupt (non-empty) table: ragged and null rows only — the
+    // trainer's OWN message, distinct from the empty-frame guard
+    val corrupt = Seq(
+      (0L, Array.fill(3)(1.0f), 0),
+      (1L, null.asInstanceOf[Array[Float]], 0))
+      .toDF("vec_id", "embedding", "label")
+    val e = intercept[IllegalArgumentException] {
+      SimilarityOps.pqTrainedCodebook(corrupt)
+    }
+    assert(e.getMessage.contains("no valid full-dim vectors"))
+    // a query id with no valid vector: empty probe ring, empty result
+    assert(SimilarityOps.annIvfWithCells(five, cb, queryId = 99L)
+      .count() === 0L)
+  }
+
   test("trained IVF guards: an empty corpus refuses to train and an " +
       "empty codebook refuses to search, each with its own message") {
     import spark.implicits._

@@ -1247,6 +1247,68 @@ class OpsSpec extends SparkSpec {
       "a bigram-free source must report NULL bigram stats, not zeros")
   }
 
+  test("topKIdsPerGroup/topKPairsPerGroup: NaN scores rank as the " +
+      "largest (Spark's sort order, matching the window form) and " +
+      "k < 1 is rejected at analysis with the named guard") {
+    import spark.implicits._
+    val df = Seq(("a", 1L, Double.NaN), ("a", 2L, 5.0), ("a", 3L, 7.0),
+      ("a", 4L, Double.NaN)).toDF("g", "id", "s")
+    val got = ScaleOps.topKIdsPerGroup(df, Seq("g"), col("s"), col("id"),
+        3, "id")
+      .orderBy("rank").collect()
+      .map(r => (r.getInt(1), r.getLong(2))).toSeq
+    assert(got === Seq((1, 1L), (2, 4L), (3, 3L)),
+      "desc: NaN first (ties by id), then the largest real score")
+    assert(ScaleOps.topKPairsPerGroup(df, Seq("g"), col("s"), col("id"),
+        3, "id", "s")
+      .orderBy("rank").collect()
+      .map(r => (r.getInt(1), r.getLong(2))).toSeq === got)
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("g").orderBy(col("s").desc, col("id").asc)
+    val want = df.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .collect().map(r => (r.getInt(3), r.getLong(1))).toSeq.sorted
+    assert(got.sorted === want, "the window form agrees on NaN order")
+    val e = intercept[Exception] {
+      ScaleOps.topKIdsPerGroup(df, Seq("g"), col("s"), col("id"), 0, "id")
+        .collect()
+    }
+    assert(e.getMessage.contains("k >= 1"),
+      s"k = 0 must fail the named type check, got: ${e.getMessage}")
+  }
+
+  test("swapInto crashed-swap recovery: a retry that finds the prior copy " +
+      "parked at dir.old restores it, and a failed publish rolls back to " +
+      "populated state instead of losing the only copy") {
+    import org.apache.hadoop.fs.{Path => HPath}
+    val root = tmpDir("swapinto-crash")
+    val fs = new HPath(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // arm 1: happy retry from the crash state (dir missing, prior parked
+    // at dir.old, fresh staging) converges to the new data
+    fs.mkdirs(new HPath(s"$root/a/store.old"))
+    fs.create(new HPath(s"$root/a/store.old/PRIOR")).close()
+    fs.mkdirs(new HPath(s"$root/a/staging"))
+    fs.create(new HPath(s"$root/a/staging/NEW")).close()
+    ScaleOps.swapInto(spark, s"$root/a/staging", s"$root/a/store")
+    assert(fs.exists(new HPath(s"$root/a/store/NEW")))
+    assert(!fs.exists(new HPath(s"$root/a/store.old")))
+    // arm 2: same crash state but the retry's staging never materialized
+    // (crashed again before the rewrite) — the publish fails, and the
+    // prior copy must survive AT the live path (pre-fix it was deleted
+    // before the publish could fail, reading as total loss)
+    fs.mkdirs(new HPath(s"$root/b/store.old"))
+    fs.create(new HPath(s"$root/b/store.old/PRIOR")).close()
+    val e = intercept[java.io.IOException] {
+      ScaleOps.swapInto(spark, s"$root/b/staging-missing", s"$root/b/store")
+    }
+    assert(e.getMessage.contains("restored"),
+      s"rollback must report the restore, got: ${e.getMessage}")
+    assert(fs.exists(new HPath(s"$root/b/store/PRIOR")),
+      "the prior segment must be back at the live path after the failed " +
+        "publish")
+  }
+
   test("topKIdsPerGroup equals the null-filtered rank window it replaces: " +
       "duplicate scores, null scores/ids skipped, strata smaller than k") {
     import spark.implicits._

@@ -219,6 +219,32 @@ class ScrubSpec extends SparkSpec {
       s"expected a loud sketch failure, got: ${chain(e).mkString(" | ")}")
   }
 
+  test("l-diversity store: a corrupted sens_sketch blob fails the q141 " +
+      "audit LOUD (a silent undercount of n_sens would only INFLATE the " +
+      "flagged set — the safe direction — but a corrupt store must be " +
+      "rebuilt, not trusted)") {
+    import spark.implicits._
+    def ev(t: String, u: Long, kp: Long) =
+      (t, u, java.sql.Timestamp.valueOf("2026-01-01 00:10:00"),
+        s"""{"k": $kp}""", u * 1.5)
+    val crawl = (1L to 5L).map(u => ev("view", u, 1L))
+      .toDF("event_type", "user_id", "ts", "props", "value")
+    val path = tmpDir("ldiv-corrupt") + "/kanon"
+    ScrubOps.writeKanonStore(crawl, path)
+    val damaged = spark.read.parquet(path)
+      .withColumn("sens_sketch",
+        org.apache.spark.sql.functions.expr("substring(sens_sketch, 1, 3)"))
+    val e = intercept[Throwable] {
+      ScrubOps.ldivAuditFromClasses(damaged, ScrubOps.LDivL).collect()
+    }
+    def chain(t: Throwable): Seq[String] =
+      if (t == null) Nil
+      else (t.getClass.getName + ": " + t.getMessage) +: chain(t.getCause)
+    assert(chain(e).exists(m => m.toLowerCase.contains("sketch") ||
+      m.toLowerCase.contains("corrupt") || m.contains("Exception")),
+      s"expected a loud sketch failure, got: ${chain(e).mkString(" | ")}")
+  }
+
   test("k-anonymity store: from-store audit equals the exact batch audit, " +
       "appended crawls merge, and a replayed append cannot change the " +
       "privacy verdicts (user sketches are set-idempotent)") {
