@@ -719,7 +719,10 @@ object Scratch {
         // r12 addition: the probe-set BNLJ + cell-fanout shape is new
         "q135" -> "IVF recall eval (probe fan-out)",
         // r13 addition: the quartet's one-pass topk-aggregate shape
-        "q139" -> "RP recall eval (topk aggregate)")
+        "q139" -> "RP recall eval (topk aggregate)",
+        // r14 addition: the t-closeness class×band grid (checkpointed
+        // contraction + null-safe joins + per-class cumulative windows)
+        "q145" -> "t-closeness EMD grid")
       println(f"${"query"}%-28s ${"shape"}%-34s cold_s  warm_s")
       canaries.foreach { case (prefix, shape) =>
         val (qn, fn) = SparkEntry.queries.toSeq.sortBy(_._1)

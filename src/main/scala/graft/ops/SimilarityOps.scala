@@ -1427,7 +1427,16 @@ object SimilarityOps {
         "an empty codebook would make every downstream assignment undefined")
     var it = 0
     while (it < iters) {
-      // k × dim cells (the codebook's own shape), never corpus-sized
+      // k × dim cells (the codebook's own shape), never corpus-sized.
+      // Shape adjudicated by measurement, not analogy (r14, 6M-vector
+      // A/B): this training is COMPUTE-bound in assignClusters (k native
+      // dots per row), so neither the q140 trainer's chunked-sibling-sum
+      // update (wash at 6M, 1.25× slower at sf0.1) nor a MEMORY_AND_DISK
+      // corpus pin across iterations (1.15× SLOWER at 6M — a cached row
+      // cache scans worse than the vectorized parquet reader here) beat
+      // this plain posexplode contraction. PQ's recorded explode win came
+      // from its ×8-per-SUBSPACE fanout on top of the fused encode
+      // kernel, a balance full-dim k-means does not share.
       val upd = Tables.boundedCollect(assignClusters(embDf, centroids)
         .select(col("cluster"), posexplode(col("embedding")).as(Seq("pos", "v")))
         .groupBy("cluster", "pos")
