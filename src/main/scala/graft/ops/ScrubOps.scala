@@ -272,8 +272,6 @@ object ScrubOps {
     * distribution exactly.
     */
   def tcloseAuditOn(eventsDf: DataFrame, t: Double): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val Dec = org.apache.spark.sql.types.DecimalType(19, 0)
     // the one corpus pass: per-(class, band) counts, null bands kept as
     // their own rows (n_events cargo, excluded from the distributions)
     val cb0 = quasiClasses(eventsDf)
@@ -284,7 +282,19 @@ object ScrubOps {
       .agg(sum("a").as("n_events"),
         sum(when(col("sens_band").isNotNull, col("a")).otherwise(0L))
           .as("a_tot"))
-    val cb = cb0.filter(col("sens_band").isNotNull)
+    tcloseFromClassFrames(cls, cb0.filter(col("sens_band").isNotNull), t)
+  }
+
+  /** The q145 EMD tail shared by the exact path and the store path:
+    * `cls` = per-class (event_type, k_prop, hod, n_events, a_tot),
+    * `cb` = per-(class, non-null band) counts (event_type, k_prop, hod,
+    * sens_band, a). Both are bounded frames — everything here is
+    * |classes|·|bands| work.
+    */
+  private def tcloseFromClassFrames(cls: DataFrame, cb: DataFrame,
+      t: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val Dec = org.apache.spark.sql.types.DecimalType(19, 0)
     val wType = Window.partitionBy("event_type")
     val tb = cb.groupBy("event_type", "sens_band")
       .agg(sum("a").as("b"))
@@ -352,11 +362,28 @@ object ScrubOps {
     * or compact); the audit's risk verdicts stay replay-proof.
     */
   private[graft] def classSketches(eventsDf: DataFrame): DataFrame =
+    // two-level aggregation: the extra (class, band) level costs nothing
+    // the class level didn't already pay (HLL sketches union exactly, so
+    // building per band and unioning per class yields the same
+    // registers) and is what produces `band_counts` — the per-class
+    // sensitive-value HISTOGRAM the q145 store face needs. Sketches
+    // cannot serve an EMD (distinct-count structure only, no mass), so
+    // the histogram is the feasible store form; it stays bounded because
+    // bands are value-range-bounded, and it merges across crawls by
+    // per-band SUM (exact, unlike the sketches' estimates).
     quasiClasses(eventsDf)
+      .groupBy("event_type", "k_prop", "hod", "sens_band")
+      .agg(expr("hll_sketch_agg(user_id, 14)").as("u"),
+        expr("hll_sketch_agg(sens_band, 14)").as("s"),
+        count(lit(1)).as("n"))
       .groupBy("event_type", "k_prop", "hod")
-      .agg(expr("hll_sketch_agg(user_id, 14)").as("sketch"),
-        expr("hll_sketch_agg(sens_band, 14)").as("sens_sketch"),
-        count(lit(1)).as("n_events"))
+      .agg(expr("hll_union_agg(u, false)").as("sketch"),
+        expr("hll_union_agg(s, false)").as("sens_sketch"),
+        map_from_entries(array_sort(collect_list(
+          when(col("sens_band").isNotNull,
+            struct(col("sens_band"), col("n"))))))
+          .as("band_counts"),
+        sum(col("n")).as("n_events"))
 
   /** Build (or rebuild) the store from a full corpus — staged write +
     * atomic swap like every whole-store writer. */
@@ -399,10 +426,21 @@ object ScrubOps {
       "kanon class store has no sens_sketch column — written by a " +
         "pre-l-diversity release; rebuild it with writeKanonStore " +
         "(stores are crawl artifacts, not versioned contracts)")
+    require(perBatch.columns.contains("band_counts"),
+      "kanon class store has no band_counts column — written by a " +
+        "pre-t-closeness release; rebuild it with writeKanonStore " +
+        "(stores are crawl artifacts, not versioned contracts)")
     perBatch
       .groupBy("event_type", "k_prop", "hod")
       .agg(expr("hll_union_agg(sketch, false)").as("sketch"),
         expr("hll_union_agg(sens_sketch, false)").as("sens_sketch"),
+        // per-band SUM across segments (exact histogram merge — the
+        // fold is bounded by the class's band count)
+        aggregate(collect_list(col("band_counts")),
+          typedLit(Map.empty[Long, Long]),
+          (acc, m) => map_zip_with(acc, m,
+            (_, v1, v2) => coalesce(v1, lit(0L)) + coalesce(v2, lit(0L))))
+          .as("band_counts"),
         sum("n_events").as("n_events"))
   }
 
@@ -447,6 +485,36 @@ object ScrubOps {
   def ldivAuditFromStore(s: SparkSession, path: String,
       l: Int = LDivL): DataFrame =
     ldivAuditFromClasses(s.read.parquet(path), l)
+
+  /** The q145 rollup over an already-read per-batch class frame — the
+    * triad's third store face, reading the `band_counts` histograms (the
+    * sketches can't serve an EMD: distinct-count structure carries no
+    * mass, so the histogram is the feasible store form — exact, not an
+    * estimate). One [[mergedKanonSketches]] merge feeds both the class
+    * totals and the band rows, localCheckpointed so the store is read
+    * once (the q145 exact path's shared-scan discipline). Replay caveat:
+    * band counts, like `n_events`, double on a replayed append — admit
+    * batches exactly once, or compact.
+    */
+  private[graft] def tcloseAuditFromClasses(perBatch: DataFrame,
+      t: Double): DataFrame = {
+    val merged = mergedKanonSketches(perBatch)
+      .select(col("event_type"), col("k_prop"), col("hod"),
+        col("band_counts"), col("n_events"))
+      .localCheckpoint()
+    val cls = merged.select(col("event_type"), col("k_prop"), col("hod"),
+      col("n_events"),
+      aggregate(map_values(col("band_counts")), lit(0L), _ + _)
+        .as("a_tot"))
+    val cb = merged.select(col("event_type"), col("k_prop"), col("hod"),
+      explode(col("band_counts")).as(Seq("sens_band", "a")))
+    tcloseFromClassFrames(cls, cb, t)
+  }
+
+  /** The q145 audit from the store alone — zero event scans. */
+  def tcloseAuditFromStore(s: SparkSession, path: String,
+      t: Double = TCloseT): DataFrame =
+    tcloseAuditFromClasses(s.read.parquet(path), t)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q104_pii_audit" -> piiAudit,

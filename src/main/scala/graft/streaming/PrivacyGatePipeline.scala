@@ -133,6 +133,18 @@ object PrivacyGatePipeline {
       case Some(perBatch) => ScrubOps.ldivAuditFromClasses(perBatch, l)
     }
 
+  /** The q145 t-closeness verdict from the same store — the third audit
+    * the one ingest serves (the `band_counts` histograms merge across
+    * batches by exact per-band sum, so the cross-crawl EMD needs zero
+    * event re-reads). Same empty-store discipline as the others.
+    */
+  def tcloseFromStore(s: SparkSession, storeDir: String,
+      t: Double = ScrubOps.TCloseT): DataFrame =
+    BatchDirs.readIfExists(s, storeDir) match {
+      case None => ScrubOps.tcloseAuditOn(emptyEvents(s), t)
+      case Some(perBatch) => ScrubOps.tcloseAuditFromClasses(perBatch, t)
+    }
+
   /** The gate itself: the quasi-identifier classes CURRENTLY below `k`
     * distinct users — the rows a release blocks on (the per-class drill-
     * down behind [[auditFromStore]]'s per-type risk counters). Same

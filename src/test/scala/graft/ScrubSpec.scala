@@ -219,6 +219,44 @@ class ScrubSpec extends SparkSpec {
       s"expected a loud sketch failure, got: ${chain(e).mkString(" | ")}")
   }
 
+  test("t-closeness store face: the q145 verdict from the band-count " +
+      "histograms equals the exact event-scan audit across appended " +
+      "crawls, survives compaction, and a pre-t-closeness store fails " +
+      "with the rebuild message") {
+    import spark.implicits._
+    def ev(t: String, kp: Long, v: Double) =
+      (t, 1L, java.sql.Timestamp.valueOf("2026-01-01 00:10:00"),
+        s"""{"k": $kp}""", v)
+    val crawl1 = ((Seq.fill(4)(ev("view", 1L, 0.5)) ++
+      Seq.fill(2)(ev("view", 2L, 1.5))) :+ ev("bad", 1L, Double.NaN))
+      .toDF("event_type", "user_id", "ts", "props", "value")
+    // crawl 2 extends an EXISTING class (view/k=2) and adds a new one —
+    // the cross-batch histogram merge is what the EMD depends on
+    val crawl2 = (Seq.fill(2)(ev("view", 2L, 1.5)) ++
+      Seq(ev("view", 3L, 0.5), ev("view", 3L, 1.5)))
+      .toDF("event_type", "user_id", "ts", "props", "value")
+    val whole = crawl1.unionByName(crawl2)
+    val path = tmpDir("tclose-store") + "/kanon"
+    ScrubOps.writeKanonStore(crawl1, path)
+    ScrubOps.appendToKanonStore(crawl2, path)
+    def dump(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSeq
+    val exact = dump(ScrubOps.tcloseAuditOn(whole, ScrubOps.TCloseT))
+    assert(exact.nonEmpty && exact.exists(r => r(2) != 0L),
+      s"fixture sanity: some class must flag: $exact")
+    assert(dump(ScrubOps.tcloseAuditFromStore(spark, path)) === exact,
+      "store histograms must reproduce the exact EMD verdicts")
+    ScrubOps.compactKanonStore(spark, path)
+    assert(dump(ScrubOps.tcloseAuditFromStore(spark, path)) === exact,
+      "compaction merges histograms by exact per-band sum")
+    val oldSchema = spark.read.parquet(path).drop("band_counts")
+    val e = intercept[IllegalArgumentException] {
+      ScrubOps.tcloseAuditFromClasses(oldSchema, ScrubOps.TCloseT)
+    }
+    assert(e.getMessage.contains("pre-t-closeness"),
+      s"named rebuild message, got: ${e.getMessage}")
+  }
+
   test("l-diversity store: a corrupted sens_sketch blob fails the q141 " +
       "audit LOUD (a silent undercount of n_sens would only INFLATE the " +
       "flagged set — the safe direction — but a corrupt store must be " +

@@ -1097,6 +1097,7 @@ class StreamingSpec extends SparkSpec {
     assert(PrivacyGatePipeline.auditFromStore(spark, store).count() === 0L)
     assert(PrivacyGatePipeline.smallClassesFromStore(spark, store)
       .count() === 0L)
+    assert(PrivacyGatePipeline.tcloseFromStore(spark, store).count() === 0L)
 
     val input =
       MemoryStream[(String, Long, java.sql.Timestamp, String, Double)]
@@ -1135,6 +1136,12 @@ class StreamingSpec extends SparkSpec {
     assert(PrivacyGatePipeline.ldivFromStore(spark, store).collect()
       .map(_.toSeq).toSeq
       === ScrubOps.ldivAuditOn(all, ScrubOps.LDivL).collect()
+        .map(_.toSeq).toSeq)
+    // and the t-closeness verdict too — one ingest, three audits (band
+    // histograms merge across the two batches by exact per-band sum)
+    assert(PrivacyGatePipeline.tcloseFromStore(spark, store).collect()
+      .map(_.toSeq).toSeq
+      === ScrubOps.tcloseAuditOn(all, ScrubOps.TCloseT).collect()
         .map(_.toSeq).toSeq)
   }
 
