@@ -103,21 +103,39 @@ case class MinKLongs(child: Expression, k: Int,
 
 /** Bounded top-k-by-score buffer: a capped binary heap of (score, id)
   * pairs rooted at the WORST kept element, so admission is one compare
-  * and a replace is O(log k). O(k) per group regardless of group size;
-  * partials merge by re-offering (order-insensitive). Ordering is the
-  * exact `row_number` ordering it replaces — `java.lang.Double.compare`
-  * (so NaN sorts as the largest score, like Spark's sort), ties broken
-  * on the LOWER id.
+  * and a replace is O(log k) — with an optional opaque payload slot per
+  * kept element that rides along through swaps, merges and serde (THE
+  * one heap serving both the ids-only and the row-carrying aggregates;
+  * a future ordering/tie-break fix lands once). O(k) per group
+  * regardless of group size; partials merge by re-offering
+  * (order-insensitive). Ordering is the exact `row_number` ordering it
+  * replaces — `java.lang.Double.compare` (so NaN sorts as the largest
+  * score, like Spark's sort), ties broken on the LOWER id.
   */
 final class TopKIdsBuffer(val k: Int, val asc: Boolean) {
   private[functions] var size = 0
   private[functions] val scores = new Array[Double](math.max(k, 1))
   private[functions] val ids = new Array[Long](math.max(k, 1))
+  private[functions] val payloads = new Array[Any](math.max(k, 1))
 
   /** a strictly worse than b (the heap roots the worst). */
   private def worse(sa: Double, ia: Long, sb: Double, ib: Long): Boolean = {
     val c = java.lang.Double.compare(sa, sb)
     if (c != 0) { if (asc) c > 0 else c < 0 } else ia > ib
+  }
+
+  /** Would (score, id) be admitted right now? The pre-payload gate: a
+    * caller with an expensive payload to materialize checks this FIRST —
+    * on the 10⁸-row inputs this aggregate targets, almost every row is
+    * rejected here in one compare, before any payload eval/copy.
+    */
+  def admits(score: Double, id: Long): Boolean =
+    k > 0 && (size < k || worse(scores(0), ids(0), score, id))
+
+  private def swap(i: Int, j: Int): Unit = {
+    val ts = scores(i); val ti = ids(i); val tp = payloads(i)
+    scores(i) = scores(j); ids(i) = ids(j); payloads(i) = payloads(j)
+    scores(j) = ts; ids(j) = ti; payloads(j) = tp
   }
 
   private def siftDown(i0: Int): Unit = {
@@ -128,9 +146,7 @@ final class TopKIdsBuffer(val k: Int, val asc: Boolean) {
       if (l < size && worse(scores(l), ids(l), scores(w), ids(w))) w = l
       if (r < size && worse(scores(r), ids(r), scores(w), ids(w))) w = r
       if (w == i) return
-      val ts = scores(i); val ti = ids(i)
-      scores(i) = scores(w); ids(i) = ids(w)
-      scores(w) = ts; ids(w) = ti
+      swap(i, w)
       i = w
     }
   }
@@ -140,36 +156,39 @@ final class TopKIdsBuffer(val k: Int, val asc: Boolean) {
     while (i > 0) {
       val p = (i - 1) / 2
       if (!worse(scores(i), ids(i), scores(p), ids(p))) return
-      val ts = scores(i); val ti = ids(i)
-      scores(i) = scores(p); ids(i) = ids(p)
-      scores(p) = ts; ids(p) = ti
+      swap(i, p)
       i = p
     }
   }
 
-  def add(score: Double, id: Long): Unit =
+  def add(score: Double, id: Long): Unit = add(score, id, null)
+
+  def add(score: Double, id: Long, payload: Any): Unit =
     if (k > 0) {
       if (size < k) {
-        scores(size) = score; ids(size) = id; size += 1
+        scores(size) = score; ids(size) = id; payloads(size) = payload
+        size += 1
         siftUp(size - 1)
       } else if (worse(scores(0), ids(0), score, id)) {
-        scores(0) = score; ids(0) = id
+        scores(0) = score; ids(0) = id; payloads(0) = payload
         siftDown(0)
       }
     }
 
   def mergeFrom(o: TopKIdsBuffer): Unit = {
     var i = 0
-    while (i < o.size) { add(o.scores(i), o.ids(i)); i += 1 }
+    while (i < o.size) { add(o.scores(i), o.ids(i), o.payloads(i)); i += 1 }
   }
 
-  /** Kept ids, best-first — exactly the `row_number <= k` output order. */
-  def rankedIds: Array[Long] = {
-    val idx = Array.range(0, size)
-    val sorted = idx.sortWith((a, b) =>
+  /** Kept element indices, best-first — the `row_number <= k` output
+    * order.
+    */
+  def rankedIdx: Array[Int] =
+    Array.range(0, size).sortWith((a, b) =>
       worse(scores(b), ids(b), scores(a), ids(a)))
-    sorted.map(ids(_))
-  }
+
+  /** Kept ids, best-first — exactly the `row_number <= k` output order. */
+  def rankedIds: Array[Long] = rankedIdx.map(ids(_))
 }
 
 /** graft_topk_ids(score: double, id: bigint, k, asc) → array<bigint>: the
@@ -253,80 +272,6 @@ case class TopKIdsByScore(score: Expression, id: Expression, k: Int,
     copy(score = newChildren(0), id = newChildren(1))
 }
 
-/** [[TopKIdsBuffer]] with a payload slot per kept element: same capped
-  * binary heap on (score, id), but each admitted element also carries an
-  * opaque already-copied value that rides along through swaps, merges and
-  * serde. O(k) per group regardless of group size.
-  */
-final class TopKRowsBuffer(val k: Int, val asc: Boolean) {
-  private[functions] var size = 0
-  private[functions] val scores = new Array[Double](math.max(k, 1))
-  private[functions] val ids = new Array[Long](math.max(k, 1))
-  private[functions] val payloads = new Array[Any](math.max(k, 1))
-
-  /** a strictly worse than b (the heap roots the worst) — the exact
-    * [[TopKIdsBuffer]] ordering: `java.lang.Double.compare` (NaN sorts
-    * as the largest score, like Spark's sort), ties to the LOWER id.
-    */
-  private def worse(sa: Double, ia: Long, sb: Double, ib: Long): Boolean = {
-    val c = java.lang.Double.compare(sa, sb)
-    if (c != 0) { if (asc) c > 0 else c < 0 } else ia > ib
-  }
-
-  private def swap(i: Int, j: Int): Unit = {
-    val ts = scores(i); val ti = ids(i); val tp = payloads(i)
-    scores(i) = scores(j); ids(i) = ids(j); payloads(i) = payloads(j)
-    scores(j) = ts; ids(j) = ti; payloads(j) = tp
-  }
-
-  private def siftDown(i0: Int): Unit = {
-    var i = i0
-    while (true) {
-      val l = 2 * i + 1; val r = l + 1
-      var w = i
-      if (l < size && worse(scores(l), ids(l), scores(w), ids(w))) w = l
-      if (r < size && worse(scores(r), ids(r), scores(w), ids(w))) w = r
-      if (w == i) return
-      swap(i, w)
-      i = w
-    }
-  }
-
-  private def siftUp(i0: Int): Unit = {
-    var i = i0
-    while (i > 0) {
-      val p = (i - 1) / 2
-      if (!worse(scores(i), ids(i), scores(p), ids(p))) return
-      swap(i, p)
-      i = p
-    }
-  }
-
-  def add(score: Double, id: Long, payload: Any): Unit =
-    if (k > 0) {
-      if (size < k) {
-        scores(size) = score; ids(size) = id; payloads(size) = payload
-        size += 1
-        siftUp(size - 1)
-      } else if (worse(scores(0), ids(0), score, id)) {
-        scores(0) = score; ids(0) = id; payloads(0) = payload
-        siftDown(0)
-      }
-    }
-
-  def mergeFrom(o: TopKRowsBuffer): Unit = {
-    var i = 0
-    while (i < o.size) { add(o.scores(i), o.ids(i), o.payloads(i)); i += 1 }
-  }
-
-  /** Kept element indices, best-first — the `row_number <= k` output
-    * order.
-    */
-  def rankedIdx: Array[Int] =
-    Array.range(0, size).sortWith((a, b) =>
-      worse(scores(b), ids(b), scores(a), ids(a)))
-}
-
 /** graft_topk_rows(score: double, id: bigint[, payload], k, asc) →
   * array<struct<id, score[, payload]>>: [[TopKIdsByScore]] carrying the
   * ranking score — and optionally one payload column (use `struct(...)`
@@ -345,7 +290,7 @@ final class TopKRowsBuffer(val k: Int, val asc: Boolean) {
 case class TopKRowsByScore(score: Expression, id: Expression,
     payload: Option[Expression], k: Int, asc: Boolean,
     mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
-    extends TypedImperativeAggregate[TopKRowsBuffer] {
+    extends TypedImperativeAggregate[TopKIdsBuffer] {
 
   override def children: Seq[Expression] = Seq(score, id) ++ payload
 
@@ -356,28 +301,36 @@ case class TopKRowsByScore(score: Expression, id: Expression,
       s"graft_topk_rows expects (double, bigint[, payload], k >= 1), got " +
         s"(${score.dataType}, ${id.dataType}, $k)")
 
-  override def createAggregationBuffer(): TopKRowsBuffer =
-    new TopKRowsBuffer(k, asc)
+  override def createAggregationBuffer(): TopKIdsBuffer =
+    new TopKIdsBuffer(k, asc)
 
-  override def update(b: TopKRowsBuffer, input: InternalRow): TopKRowsBuffer = {
+  override def update(b: TopKIdsBuffer, input: InternalRow): TopKIdsBuffer = {
     val s = score.eval(input)
     if (s != null) {
       val i = id.eval(input)
       if (i != null) {
-        // copy: the heap outlives the (reused) input row buffer
-        val p = payload.map(e => InternalRow.copyValue(e.eval(input))).orNull
-        b.add(s.asInstanceOf[Double], i.asInstanceOf[Long], p)
+        val sv = s.asInstanceOf[Double]
+        val iv = i.asInstanceOf[Long]
+        // admission FIRST: almost every row of a large group is rejected
+        // in one compare — the payload (possibly a whole struct) is only
+        // evaluated and deep-copied for the O(k log n) admitted rows.
+        // The copy matters: the heap outlives the (reused) input row.
+        if (b.admits(sv, iv)) {
+          val p =
+            payload.map(e => InternalRow.copyValue(e.eval(input))).orNull
+          b.add(sv, iv, p)
+        }
       }
     }
     b
   }
 
-  override def merge(b: TopKRowsBuffer, o: TopKRowsBuffer): TopKRowsBuffer = {
+  override def merge(b: TopKIdsBuffer, o: TopKIdsBuffer): TopKIdsBuffer = {
     b.mergeFrom(o)
     b
   }
 
-  override def eval(b: TopKRowsBuffer): Any =
+  override def eval(b: TopKIdsBuffer): Any =
     new GenericArrayData(b.rankedIdx.map { j =>
       val vs = Array[Any](b.ids(j), b.scores(j)) ++
         payload.map(_ => b.payloads(j))
@@ -391,7 +344,7 @@ case class TopKRowsByScore(score: Expression, id: Expression,
     org.apache.spark.sql.catalyst.expressions.UnsafeProjection
       .create(payload.map(_.dataType).toArray)
 
-  override def serialize(b: TopKRowsBuffer): Array[Byte] = {
+  override def serialize(b: TopKIdsBuffer): Array[Byte] = {
     val bos = new java.io.ByteArrayOutputStream()
     val out = new java.io.DataOutputStream(bos)
     out.writeInt(b.size)
@@ -414,11 +367,11 @@ case class TopKRowsByScore(score: Expression, id: Expression,
     bos.toByteArray
   }
 
-  override def deserialize(bytes: Array[Byte]): TopKRowsBuffer = {
+  override def deserialize(bytes: Array[Byte]): TopKIdsBuffer = {
     val in = new java.io.DataInputStream(
       new java.io.ByteArrayInputStream(bytes))
     val n = in.readInt()
-    val b = new TopKRowsBuffer(k, asc)
+    val b = new TopKIdsBuffer(k, asc)
     var i = 0
     while (i < n) {
       val s = in.readDouble()

@@ -284,15 +284,24 @@ object ScaleOps {
     */
   def topKIdsPerGroup(df: DataFrame, group: Seq[String], score: Column,
       id: Column, k: Int, idName: String,
-      asc: Boolean = false): DataFrame = {
+      asc: Boolean = false): DataFrame =
+    explodeTopK(df, group,
+      call_function("graft_topk_ids", score, id, lit(k), lit(asc)),
+      r => Seq(r.as(idName)))
+
+  /** The shared aggregate→posexplode→rank scaffolding behind both top-k
+    * wrapper forms (ONE definition, so a rank/explode fix lands once).
+    */
+  private def explodeTopK(df: DataFrame, group: Seq[String], agg: Column,
+      finish: Column => Seq[Column]): DataFrame = {
     graft.functions.GraftFunctions.ensureRegistered(df.sparkSession)
     df.groupBy(group.map(col): _*)
-      .agg(call_function("graft_topk_ids", score, id, lit(k), lit(asc))
-        .as("_ids"))
+      .agg(agg.as("_top"))
       .select(group.map(col) :+
-        posexplode(col("_ids")).as(Seq("_pos", idName)): _*)
+        posexplode(col("_top")).as(Seq("_pos", "_r")): _*)
       .select(group.map(col) ++
-        Seq((col("_pos") + 1).cast("int").as("rank"), col(idName)): _*)
+        ((col("_pos") + 1).cast("int").as("rank") +:
+          finish(col("_r"))): _*)
   }
 
   /** [[topKIdsPerGroup]] carrying the ranking score through the
@@ -309,17 +318,11 @@ object ScaleOps {
     */
   def topKPairsPerGroup(df: DataFrame, group: Seq[String], score: Column,
       id: Column, k: Int, idName: String, scoreName: String,
-      asc: Boolean = false): DataFrame = {
-    graft.functions.GraftFunctions.ensureRegistered(df.sparkSession)
-    df.groupBy(group.map(col): _*)
-      .agg(call_function("graft_topk_rows", score, id, lit(k), lit(asc))
-        .as("_top"))
-      .select(group.map(col) :+
-        posexplode(col("_top")).as(Seq("_pos", "_r")): _*)
-      .select(group.map(col) ++
-        Seq((col("_pos") + 1).cast("int").as("rank"),
-          col("_r.id").as(idName), col("_r.score").as(scoreName)): _*)
-  }
+      asc: Boolean = false): DataFrame =
+    explodeTopK(df, group,
+      call_function("graft_topk_rows", score, id, lit(k), lit(asc)),
+      r => Seq(r.getField("id").as(idName),
+        r.getField("score").as(scoreName)))
 
   /** Exact global `row_number() OVER (ORDER BY sort…)` without the
     * single-task global sort a bare `Window.orderBy` runs (Spark warns for
@@ -563,22 +566,29 @@ object ScaleOps {
     if (!fs.rename(hPath, old))
       throw new java.io.IOException(s"swapInto: rename $hPath -> $old failed")
     // a publish failure may THROW rather than return false (local FS
-    // raises FileNotFound on a missing staging dir) — both shapes must
-    // reach the rollback below, or the live path stays missing with the
-    // prior copy parked under .old
+    // raises FileNotFound on a missing staging dir; remote FS clients
+    // can surface RuntimeExceptions) — every non-fatal shape must reach
+    // the rollback below, or the live path stays missing with the prior
+    // copy parked under .old. The original exception rides along as the
+    // CAUSE so an operator can tell a missing staging dir from a
+    // permission error without FS-side logs.
+    var publishErr: Throwable = null
     val published =
       try fs.rename(tmp, hPath)
-      catch { case _: java.io.IOException => false }
+      catch {
+        case scala.util.control.NonFatal(e) => publishErr = e; false
+      }
     if (!published) {
       // roll back so `dir` stays populated; if even that fails, say WHERE
       // the data survives — a silent rollback failure would present as
       // total data loss to the next reader
       if (fs.rename(old, hPath))
         throw new java.io.IOException(s"swapInto: rename $tmp -> $hPath " +
-          "failed (original restored)")
+          "failed (original restored)", publishErr)
       else
         throw new java.io.IOException(s"swapInto: rename $tmp -> $hPath " +
-          s"failed AND rollback failed — original data is intact at $old")
+          s"failed AND rollback failed — original data is intact at $old",
+          publishErr)
     }
     fs.delete(old, true)
     ()

@@ -430,13 +430,29 @@ object ScrubOps {
       "kanon class store has no band_counts column — written by a " +
         "pre-t-closeness release; rebuild it with writeKanonStore " +
         "(stores are crawl artifacts, not versioned contracts)")
+    // MIXED old/new segment sets pass the column check (schema sampling
+    // surfaces the new footer) but read the old rows' band_counts as
+    // NULL — and collect_list would silently SKIP them, computing the
+    // q145 EMD from a partial histogram while n_events still counts both
+    // generations. Unlike a dropped sens_sketch (which can only inflate
+    // the flagged set — safe), a partial histogram can flip a verdict
+    // the UNSAFE way (an old-skewed, new-balanced class reads t ≈ 0), so
+    // a NULL row fails LOUD with the same rebuild instruction
+    // (r14 self-review finding). classSketches never writes a NULL map
+    // (an all-null-band class gets the EMPTY map), so NULL here is
+    // always a pre-t-closeness segment or damage.
+    val guardedBands = when(col("band_counts").isNotNull, col("band_counts"))
+      .otherwise(raise_error(lit(
+        "kanon class store mixes pre- and post-t-closeness segments " +
+          "(NULL band_counts row) — rebuild it with writeKanonStore " +
+          "(stores are crawl artifacts, not versioned contracts)")))
     perBatch
       .groupBy("event_type", "k_prop", "hod")
       .agg(expr("hll_union_agg(sketch, false)").as("sketch"),
         expr("hll_union_agg(sens_sketch, false)").as("sens_sketch"),
         // per-band SUM across segments (exact histogram merge — the
         // fold is bounded by the class's band count)
-        aggregate(collect_list(col("band_counts")),
+        aggregate(collect_list(guardedBands),
           typedLit(Map.empty[Long, Long]),
           (acc, m) => map_zip_with(acc, m,
             (_, v1, v2) => coalesce(v1, lit(0L)) + coalesce(v2, lit(0L))))

@@ -84,11 +84,16 @@ object PrivacyGatePipeline {
       throw new java.io.IOException(
         s"privacy gate: park $dest -> $old failed")
     // a publish failure may THROW rather than return false (local FS
-    // raises FileNotFound on a missing staging dir) — both shapes must
-    // reach the rollback below (swapInto's discipline)
+    // raises FileNotFound on a missing staging dir; remote FS clients
+    // can surface RuntimeExceptions) — every non-fatal shape must reach
+    // the rollback below (swapInto's discipline), with the original
+    // exception riding along as the CAUSE
+    var publishErr: Throwable = null
     val published =
       try fs.rename(staging, dest)
-      catch { case _: java.io.IOException => false }
+      catch {
+        case scala.util.control.NonFatal(e) => publishErr = e; false
+      }
     if (!published) {
       // roll the parked segment back so pollers keep reading the
       // PRIOR verdict (leaving it parked under an invisible dot-dir
@@ -96,12 +101,12 @@ object PrivacyGatePipeline {
       // exists to close)
       if (fs.exists(old) && fs.rename(old, dest))
         throw new java.io.IOException(s"privacy gate: publish " +
-          s"$staging -> $dest failed (prior segment restored)")
+          s"$staging -> $dest failed (prior segment restored)", publishErr)
       throw new java.io.IOException(
         s"privacy gate: publish $staging -> $dest failed" +
           (if (fs.exists(old))
              s" AND rollback failed — prior segment is at $old"
-           else ""))
+           else ""), publishErr)
     }
     fs.delete(old, true)
     ()

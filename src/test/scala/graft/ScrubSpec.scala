@@ -255,6 +255,24 @@ class ScrubSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("pre-t-closeness"),
       s"named rebuild message, got: ${e.getMessage}")
+    // a MIXED old/new segment set passes the column check (schema
+    // sampling surfaced the new footer) but reads old rows' band_counts
+    // as NULL — must fail LOUD, not compute the EMD from a partial
+    // histogram (a silently partial histogram can UNDER-flag)
+    import org.apache.spark.sql.functions.{when => swhen, col => scol,
+      lit => slit}
+    val mixed = spark.read.parquet(path).withColumn("band_counts",
+      swhen(scol("k_prop") === 1L,
+        slit(null).cast("map<bigint,bigint>"))
+        .otherwise(scol("band_counts")))
+    val eMixed = intercept[Throwable] {
+      ScrubOps.tcloseAuditFromClasses(mixed, ScrubOps.TCloseT).collect()
+    }
+    def chain(x: Throwable): Seq[String] =
+      if (x == null) Nil else x.getMessage +: chain(x.getCause)
+    assert(chain(eMixed).exists(m =>
+      m != null && m.contains("mixes pre- and post-t-closeness")),
+      s"mixed store must fail loud, got: ${chain(eMixed).mkString(" | ")}")
   }
 
   test("l-diversity store: a corrupted sens_sketch blob fails the q141 " +
