@@ -280,6 +280,66 @@ object TextOps {
       .orderBy("source", "lang")
   }
 
+  /** q146's registration pins T = 2, i.e. exponent α = 1/T = 0.5 —
+    * deliberately, because share^0.5 IS sqrt, which both engines compute
+    * IEEE-identically (a general pow() drifts libm-to-libm and would
+    * break the cross-engine digest; other temperatures are a caller knob
+    * on [[temperatureMixOn]], outside the oracle's scope).
+    */
+  val MixTemperature = 2.0
+
+  def temperatureMix(s: SparkSession, dir: String): DataFrame =
+    temperatureMixOn(docs(s, dir))
+
+  /** q146: temperature-scaled sampling weights per (source, lang) cell —
+    * the third standard training-mix scheme alongside natural sampling
+    * (q53's raw shares) and learned weights (q131 DoReMi): wᵢ ∝ pᵢ^(1/T)
+    * flattens the corpus distribution so low-resource cells are
+    * up-sampled without memorizing them (the mT5/XLM-R recipe). Reports,
+    * per cell: token count, raw share, the tempered sampling weight, and
+    * the up-sampling factor (weight / raw share — the number a data
+    * loader actually applies; > 1 = boosted tail, < 1 = trimmed head).
+    *
+    * Scale: ONE q53-shape corpus contraction to ≤ |sources|·|langs|
+    * cells; both normalizers are windows over that cell table, never the
+    * corpus. Determinism: raw shares round to 6 dp, the tempered values
+    * (sqrt of a 6-dp double — bit-identical cross-engine) round to 6 dp
+    * BEFORE normalizing, and the normalizer sums them as exact decimals
+    * (a double window-sum would be partition-order dependent). A cell
+    * with no measurable tokens (all-null text) carries NULL share and
+    * weight and stays OUT of both normalizers — in both engines.
+    */
+  def temperatureMixOn(docsDf: DataFrame,
+      temperature: Double = MixTemperature): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(temperature > 0, s"temperatureMixOn: temperature must be " +
+      s"positive, got $temperature")
+    val w = Window.partitionBy()
+    val cells = docsDf
+      .withColumn("n_toks", sizeOrNull(tokens))
+      .groupBy("source", "lang")
+      .agg(sum(col("n_toks")).as("n_tokens"))
+      .withColumn("raw_share", round(
+        col("n_tokens").cast("double") / sum(col("n_tokens")).over(w), 6))
+      .withColumn("tempered", round(
+        // T = 2 routes through sqrt EXPLICITLY: IEEE-754 requires sqrt
+        // to be correctly rounded, but pow(x, 0.5) only promises ~1 ulp
+        // — libm-dependent bits the oracle cannot replay. Other
+        // temperatures (production knob) take the pow path.
+        if (temperature == 2.0) sqrt(col("raw_share"))
+        else pow(col("raw_share"), lit(1.0 / temperature)), 6))
+    cells
+      .withColumn("sampling_weight", round(
+        col("tempered") /
+          sum(col("tempered").cast("decimal(38,10)")).over(w)
+            .cast("double"), 6))
+      .withColumn("upsample", round(
+        try_divide(col("sampling_weight"), col("raw_share")), 4))
+      .select("source", "lang", "n_tokens", "raw_share",
+        "sampling_weight", "upsample")
+      .orderBy("source", "lang")
+  }
+
   /** Repetition profile — the Gopher-style repetition filters: per document,
     * the most-frequent-token share and bigram-duplication stats that flag
     * boilerplate / degenerate text before training (Rae et al. 2021 §A1.1
@@ -1237,6 +1297,7 @@ object TextOps {
     "q47_stratified_sample" -> stratifiedSample,
     "q48_quality_topk" -> qualityTopK,
     "q53_source_mix" -> sourceMix,
+    "q146_temperature_mix" -> temperatureMix,
     "q63_repetition_profile" -> repetitionProfile,
     "q66_vocab_stats" -> vocabStats,
     "q71_doc_chunks" -> docChunks,
@@ -1519,6 +1580,25 @@ object TextOps {
         |  round(n_tokens * CAST(100 AS DOUBLE)
         |    / sum(n_tokens) OVER (), 4) AS token_share_pct
         |FROM g ORDER BY source, lang""".stripMargin,
+    // Replays the tempered mix: raw shares → sqrt (T = 2; IEEE
+    // correctly-rounded, unlike pow) rounded 6 dp → decimal-exact
+    // normalizer → weight and up-sample factor.
+    "q146_temperature_mix" ->
+      """WITH d AS (SELECT source, lang,
+        |  len(string_split(trim(text), ' ')) AS n_toks FROM documents),
+        |g AS (SELECT source, lang, CAST(sum(n_toks) AS BIGINT) AS n_tokens
+        |  FROM d GROUP BY source, lang),
+        |r AS (SELECT source, lang, n_tokens,
+        |  round(CAST(n_tokens AS DOUBLE) / sum(n_tokens) OVER (), 6)
+        |    AS raw_share FROM g),
+        |t AS (SELECT source, lang, n_tokens, raw_share,
+        |  round(sqrt(raw_share), 6) AS tempered FROM r),
+        |wt AS (SELECT source, lang, n_tokens, raw_share,
+        |  round(tempered / CAST(sum(CAST(tempered AS DECIMAL(38,10)))
+        |    OVER () AS DOUBLE), 6) AS sampling_weight FROM t)
+        |SELECT source, lang, n_tokens, raw_share, sampling_weight,
+        |  round(sampling_weight / nullif(raw_share, 0), 4) AS upsample
+        |FROM wt ORDER BY source, lang""".stripMargin,
     "q47_stratified_sample" ->
       """WITH k AS (SELECT lang,
         |  ((doc_id % 100 + 100) % 100 * 48271 + 7) % 100 <

@@ -404,12 +404,17 @@ class CrawlSpec extends SparkSpec {
       seedRows.toDF("vec_id", "embedding", "label"), k = 2, iters = 2)
     VectorIngestPipeline.seedStore(
       seedRows.toDF("vec_id", "embedding", "label"), cbook, store)
+    // publish the ANALYZE artifact and run the stream FROM THE STORE —
+    // the restart-safe lifecycle (train once, publish, every ingest
+    // rehydrates the same literal array); the search-vs-inline equality
+    // below then proves the rehydrated codebook IS the trained one
+    SimilarityOps.writeCodebookStore(spark, cbook, s"$root/codebook", 2)
 
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Long, Array[java.lang.Float], Int)]
-    val q = VectorIngestPipeline.runVectorIngest(
-      input.toDS().toDF("vec_id", "embedding", "label"), cbook, store,
-      quar, ckpt)
+    val q = VectorIngestPipeline.runVectorIngestFromStore(
+      input.toDS().toDF("vec_id", "embedding", "label"),
+      s"$root/codebook", store, quar, ckpt)
     def boxed(a: Array[Float]): Array[java.lang.Float] =
       a.map(java.lang.Float.valueOf)
     // batch 1: a valid vector plus every malformation class

@@ -37,6 +37,50 @@ class OpsSpec extends SparkSpec {
     assert(out === Map(1L -> 4, 2L -> 0, 3L -> 3))
   }
 
+  test("temperature mix flattens the sampling distribution: tails boost " +
+      "past 1, heads trim below 1, weights sum to 1, and a no-token " +
+      "cell stays out of both normalizers") {
+    import spark.implicits._
+    // shares 80/16/4 (%): en is the head, fr the tail; de has NULL text
+    // only (no measurable tokens — must not poison the normalizers)
+    val docs = (
+      Seq.fill(20)(("web", "en", "a b c d")) ++ // 80 tokens
+      Seq.fill(4)(("web", "es", "a b c d")) ++ // 16
+      Seq(("web", "fr", "a b c d")) :+ // 4
+      ("web", "de", null.asInstanceOf[String]))
+      .toDF("source", "lang", "text")
+    val out = TextOps.temperatureMixOn(docs).collect()
+      .map(r => r.getString(1) -> r).toMap
+    val w = out.view.mapValues(r =>
+      if (r.isNullAt(4)) Double.NaN else r.getDouble(4)).toMap
+    // T = 2: weights ∝ sqrt(0.8, 0.16, 0.04) = (0.894427, 0.4, 0.2)
+    // normalized over 1.494427
+    assert(math.abs(w("en") - 0.598509) < 1e-6, s"head weight: $w")
+    assert(math.abs(w("es") - 0.267661) < 1e-6)
+    assert(math.abs(w("fr") - 0.133831) < 1e-6)
+    assert(math.abs(w("en") + w("es") + w("fr") - 1.0) < 1e-5,
+      "measurable weights must normalize to 1")
+    val up = out.view.mapValues(r =>
+      if (r.isNullAt(5)) Double.NaN else r.getDouble(5)).toMap
+    assert(up("en") < 1.0 && up("es") > 1.0 && up("fr") > 1.0,
+      s"tempering trims the head and boosts the tail: $up")
+    assert(up("fr") > up("es"), "the thinner the tail, the bigger the " +
+      s"boost: $up")
+    assert(out("de").isNullAt(3) && out("de").isNullAt(4),
+      "a no-token cell reads NULL share and weight")
+    // a different temperature is a library knob: T → 1 approaches the
+    // raw shares (upsample → 1)
+    val t1 = TextOps.temperatureMixOn(docs, temperature = 1.000001)
+      .collect().filterNot(_.isNullAt(5))
+      .map(r => (r.getString(1), r.getDouble(5))).toMap
+    Seq("en", "es", "fr").foreach { l =>
+      assert(math.abs(t1(l) - 1.0) < 0.01, s"T→1 is natural sampling: $t1")
+    }
+    intercept[IllegalArgumentException] {
+      TextOps.temperatureMixOn(docs, temperature = 0.0)
+    }
+  }
+
   test("repetition profile counts top token and bigram runs exactly") {
     import spark.implicits._
     val docs = Seq(
