@@ -340,6 +340,57 @@ object TextOps {
       .orderBy("source", "lang")
   }
 
+  /** Context-length budget the q147 registration pins — tokens per
+    * training sequence the truncation/packing planner targets (64 sits
+    * inside this corpus's 10–99 token range, so the report carries real
+    * mass on both sides; production passes its own).
+    */
+  val ContextBudget = 64
+
+  def contextBudget(s: SparkSession, dir: String): DataFrame =
+    contextBudgetOn(docs(s, dir), ContextBudget)
+
+  /** q147: context-length planning — per language: document-length
+    * percentiles (p50/p95/p99 token counts, the q14 exact-percentile
+    * machinery pointed at lengths), the share of documents exceeding the
+    * training context budget, and the fraction of corpus TOKENS lost if
+    * those documents are truncated at the budget. These are the numbers
+    * behind choosing a context length and a packing strategy before a
+    * training run: a high over-share with a low lost-token fraction says
+    * "truncate", the reverse says "split or raise the context".
+    *
+    * Scale: one corpus pass — per-row token counts feed a single
+    * aggregation (the array-argument percentile keeps ONE sorted buffer
+    * per language for all three ranks); output is ≤ |langs| rows. A
+    * null-text document carries a NULL count: out of the percentile
+    * buffer and the over-budget census in both engines, but still in
+    * `n_docs` (it is a document; it just has no measurable length).
+    */
+  def contextBudgetOn(docsDf: DataFrame, budget: Int): DataFrame = {
+    require(budget >= 1,
+      s"contextBudgetOn: budget must be >= 1, got $budget")
+    docsDf
+      .withColumn("n_toks", sizeOrNull(tokens))
+      .groupBy("lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_toks")).as("n_tokens"),
+        expr("percentile(n_toks, array(0.5D, 0.95D, 0.99D))").as("ps"),
+        sum(when(col("n_toks") > budget, 1L).otherwise(0L)).as("n_over"),
+        sum(when(col("n_toks") > budget, col("n_toks") - budget)
+          .otherwise(0L)).as("toks_lost"))
+      .select(col("lang"), col("n_docs"), col("n_tokens"),
+        round(element_at(col("ps"), 1), 4).as("p50_toks"),
+        round(element_at(col("ps"), 2), 4).as("p95_toks"),
+        round(element_at(col("ps"), 3), 4).as("p99_toks"),
+        col("n_over"),
+        round(col("n_over") * lit(100.0).cast("double") / col("n_docs"), 4)
+          .as("over_pct"),
+        round(try_divide(col("toks_lost") * lit(100.0).cast("double"),
+          col("n_tokens")), 4).as("tokens_lost_pct"))
+      .orderBy("lang")
+  }
+
   /** Repetition profile — the Gopher-style repetition filters: per document,
     * the most-frequent-token share and bigram-duplication stats that flag
     * boilerplate / degenerate text before training (Rae et al. 2021 §A1.1
@@ -1298,6 +1349,7 @@ object TextOps {
     "q48_quality_topk" -> qualityTopK,
     "q53_source_mix" -> sourceMix,
     "q146_temperature_mix" -> temperatureMix,
+    "q147_context_budget" -> contextBudget,
     "q63_repetition_profile" -> repetitionProfile,
     "q66_vocab_stats" -> vocabStats,
     "q71_doc_chunks" -> docChunks,
@@ -1599,6 +1651,29 @@ object TextOps {
         |SELECT source, lang, n_tokens, raw_share, sampling_weight,
         |  round(sampling_weight / nullif(raw_share, 0), 4) AS upsample
         |FROM wt ORDER BY source, lang""".stripMargin,
+    // Replays the truncation planner: exact interpolated percentiles
+    // (quantile_cont ≡ Spark's percentile — the q14-proven pairing) over
+    // per-doc token counts, plus the over-budget census and lost-token
+    // fraction in long arithmetic until the final rounded divisions.
+    "q147_context_budget" ->
+      s"""WITH d AS (SELECT lang,
+         |  len(string_split(trim(text), ' ')) AS n_toks FROM documents)
+         |SELECT lang, count(*) AS n_docs,
+         |  CAST(sum(n_toks) AS BIGINT) AS n_tokens,
+         |  round(quantile_cont(n_toks, 0.5), 4) AS p50_toks,
+         |  round(quantile_cont(n_toks, 0.95), 4) AS p95_toks,
+         |  round(quantile_cont(n_toks, 0.99), 4) AS p99_toks,
+         |  CAST(sum(CASE WHEN n_toks > $ContextBudget THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_over,
+         |  round(CAST(sum(CASE WHEN n_toks > $ContextBudget
+         |      THEN 1 ELSE 0 END) AS BIGINT) * CAST(100 AS DOUBLE)
+         |    / count(*), 4) AS over_pct,
+         |  round(CAST(sum(CASE WHEN n_toks > $ContextBudget
+         |      THEN n_toks - $ContextBudget ELSE 0 END) AS BIGINT)
+         |      * CAST(100 AS DOUBLE)
+         |    / nullif(CAST(sum(n_toks) AS BIGINT), 0), 4)
+         |    AS tokens_lost_pct
+         |FROM d GROUP BY lang ORDER BY lang""".stripMargin,
     "q47_stratified_sample" ->
       """WITH k AS (SELECT lang,
         |  ((doc_id % 100 + 100) % 100 * 48271 + 7) % 100 <

@@ -81,6 +81,35 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("context budget report: percentiles, over-budget census and lost " +
+      "tokens agree with hand counts; null text stays out of the buffer " +
+      "but in n_docs") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "en", "a b c"), // 3 tokens
+      (2L, "en", "a b c d e"), // 5
+      (3L, "en", "a b c d e f g"), // 7
+      (4L, "en", null.asInstanceOf[String]),
+      (5L, "de", "a b")) // 2
+      .toDF("doc_id", "lang", "text")
+    val out = TextOps.contextBudgetOn(docs, budget = 4).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val en = out("en")
+    assert(en.getLong(1) === 4L, "n_docs counts the null-text doc")
+    assert(en.getLong(2) === 15L)
+    assert(en.getDouble(3) === 5.0, "p50 of (3, 5, 7)")
+    assert(en.getDouble(4) === 6.8, "p95 interpolates: 5 + 0.9*(7-5)")
+    assert(en.getDouble(5) === 6.96)
+    assert(en.getLong(6) === 2L, "docs 2 and 3 exceed budget 4")
+    assert(en.getDouble(7) === 50.0, "2 of 4 docs over")
+    assert(en.getDouble(8) === 26.6667,
+      "truncating at 4 loses (5-4) + (7-4) = 4 of 15 tokens")
+    assert(out("de").getLong(6) === 0L && out("de").getDouble(8) === 0.0)
+    intercept[IllegalArgumentException] {
+      TextOps.contextBudgetOn(docs, budget = 0)
+    }
+  }
+
   test("repetition profile counts top token and bigram runs exactly") {
     import spark.implicits._
     val docs = Seq(
