@@ -116,7 +116,15 @@ final class TopKIdsBuffer(val k: Int, val asc: Boolean) {
   private[functions] var size = 0
   private[functions] val scores = new Array[Double](math.max(k, 1))
   private[functions] val ids = new Array[Long](math.max(k, 1))
-  private[functions] val payloads = new Array[Any](math.max(k, 1))
+  // lazily allocated on the first non-null payload: the ids-only
+  // aggregate (millions of groups on the q137/q139 workloads) never
+  // pays the k-slot reference array, nor the two extra reference
+  // stores per sift level moving nulls around
+  private[functions] var payloads: Array[Any] = null
+
+  /** Payload of kept element `i` (null when no payload ever rode in). */
+  def payloadAt(i: Int): Any =
+    if (payloads == null) null else payloads(i)
 
   /** a strictly worse than b (the heap roots the worst). */
   private def worse(sa: Double, ia: Long, sb: Double, ib: Long): Boolean = {
@@ -133,9 +141,14 @@ final class TopKIdsBuffer(val k: Int, val asc: Boolean) {
     k > 0 && (size < k || worse(scores(0), ids(0), score, id))
 
   private def swap(i: Int, j: Int): Unit = {
-    val ts = scores(i); val ti = ids(i); val tp = payloads(i)
-    scores(i) = scores(j); ids(i) = ids(j); payloads(i) = payloads(j)
-    scores(j) = ts; ids(j) = ti; payloads(j) = tp
+    val ts = scores(i); val ti = ids(i)
+    scores(i) = scores(j); ids(i) = ids(j)
+    scores(j) = ts; ids(j) = ti
+    if (payloads != null) {
+      val tp = payloads(i)
+      payloads(i) = payloads(j)
+      payloads(j) = tp
+    }
   }
 
   private def siftDown(i0: Int): Unit = {
@@ -165,19 +178,23 @@ final class TopKIdsBuffer(val k: Int, val asc: Boolean) {
 
   def add(score: Double, id: Long, payload: Any): Unit =
     if (k > 0) {
+      if (payload != null && payloads == null)
+        payloads = new Array[Any](math.max(k, 1))
       if (size < k) {
-        scores(size) = score; ids(size) = id; payloads(size) = payload
+        scores(size) = score; ids(size) = id
+        if (payloads != null) payloads(size) = payload
         size += 1
         siftUp(size - 1)
       } else if (worse(scores(0), ids(0), score, id)) {
-        scores(0) = score; ids(0) = id; payloads(0) = payload
+        scores(0) = score; ids(0) = id
+        if (payloads != null) payloads(0) = payload
         siftDown(0)
       }
     }
 
   def mergeFrom(o: TopKIdsBuffer): Unit = {
     var i = 0
-    while (i < o.size) { add(o.scores(i), o.ids(i), o.payloads(i)); i += 1 }
+    while (i < o.size) { add(o.scores(i), o.ids(i), o.payloadAt(i)); i += 1 }
   }
 
   /** Kept element indices, best-first — the `row_number <= k` output
@@ -333,7 +350,7 @@ case class TopKRowsByScore(score: Expression, id: Expression,
   override def eval(b: TopKIdsBuffer): Any =
     new GenericArrayData(b.rankedIdx.map { j =>
       val vs = Array[Any](b.ids(j), b.scores(j)) ++
-        payload.map(_ => b.payloads(j))
+        payload.map(_ => b.payloadAt(j))
       new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(vs)
     })
 
@@ -353,7 +370,7 @@ case class TopKRowsByScore(score: Expression, id: Expression,
       out.writeDouble(b.scores(i))
       out.writeLong(b.ids(i))
       payload.foreach { _ =>
-        val p = b.payloads(i)
+        val p = b.payloadAt(i)
         if (p == null) out.writeInt(-1)
         else {
           val bytes = payloadSer(InternalRow(p)).getBytes

@@ -51,22 +51,6 @@ object VectorIngestPipeline {
     * (vec_id, label, codes — 8 B per vector), rejects land under
     * `quarantineDir/batch_id=N` with their reason.
     */
-  /** [[runVectorIngest]] with the codebook rehydrated from a persisted
-    * [[graft.ops.SimilarityOps.writeCodebookStore]] artifact — the
-    * trained-index lifecycle end to end with zero retraining at stream
-    * start: a batch ANALYZE publishes the codebook once, and every
-    * ingest (re)start loads the SAME literal array. Codes are
-    * meaningless across codebooks, so this is the restart-safe form —
-    * a hand-passed array can drift from what the index was built with,
-    * while the store's contiguity/width guards fail loud on damage.
-    */
-  def runVectorIngestFromStore(embStream: DataFrame, codebookDir: String,
-      storeDir: String, quarantineDir: String, checkpointDir: String,
-      trigger: Trigger = Trigger.ProcessingTime(0L)): StreamingQuery =
-    runVectorIngest(embStream,
-      SimilarityOps.readCodebookStore(embStream.sparkSession, codebookDir),
-      storeDir, quarantineDir, checkpointDir, trigger)
-
   def runVectorIngest(embStream: DataFrame,
       codebook: Array[Array[Double]], storeDir: String,
       quarantineDir: String, checkpointDir: String,
@@ -98,4 +82,20 @@ object VectorIngestPipeline {
       }
       .start()
   }
+
+  /** [[runVectorIngest]] with the codebook rehydrated from a persisted
+    * [[graft.ops.SimilarityOps.writeCodebookStore]] artifact — the
+    * trained-index lifecycle end to end with zero retraining at stream
+    * start: a batch ANALYZE publishes the codebook once, and every
+    * ingest (re)start loads the SAME literal array. Codes are
+    * meaningless across codebooks, so this is the restart-safe form —
+    * a hand-passed array can drift from what the index was built with,
+    * while the store's contiguity/width guards fail loud on damage.
+    */
+  def runVectorIngestFromStore(embStream: DataFrame, codebookDir: String,
+      storeDir: String, quarantineDir: String, checkpointDir: String,
+      trigger: Trigger = Trigger.ProcessingTime(0L)): StreamingQuery =
+    runVectorIngest(embStream,
+      SimilarityOps.readCodebookStore(embStream.sparkSession, codebookDir),
+      storeDir, quarantineDir, checkpointDir, trigger)
 }
