@@ -340,6 +340,67 @@ object TextOps {
       .orderBy("source", "lang")
   }
 
+  def temperedSample(s: SparkSession, dir: String): DataFrame =
+    temperedSampleOn(docs(s, dir))
+
+  /** q148: the q146 mix report turned into an EXECUTABLE epoch plan —
+    * per (source, lang) cell, a deterministic document sample whose kept
+    * token mass approaches the tempered target shares: each cell's keep
+    * fraction is its q146 up-sampling factor normalized so the
+    * most-boosted cell keeps everything (pure filtering cannot duplicate
+    * documents, so the plan realizes the tempered RATIOS at the largest
+    * corpus size filtering allows; true up-sampling repeats the epoch).
+    * Reports, per cell: docs/tokens before and after, the keep fraction,
+    * the tempered target share, the ACHIEVED share of kept tokens, and
+    * the deviation — the honest gap between the doc-level sample and the
+    * token-level target (big docs make cells granular).
+    *
+    * Determinism (the q47 sampling discipline): membership is
+    * `lcgBucket(doc_id) < floor(keep_frac · 10⁶)` — explicit floor, NOT
+    * a long cast (Spark truncates, DuckDB rounds — a cast would admit a
+    * different document set per engine); every share/fraction rounds to
+    * 6 dp before use. A cell with no measurable tokens (q146's NULL
+    * weight) keeps nothing: achieved share 0, NULL target and deviation.
+    *
+    * Scale: q146's cell contraction + ONE broadcast join of the ≤
+    * |sources|·|langs| plan onto the corpus + one aggregation back to
+    * cells. The corpus never shuffles; the keep decision is per-row
+    * arithmetic.
+    */
+  def temperedSampleOn(docsDf: DataFrame,
+      temperature: Double = MixTemperature): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy()
+    val plan = temperatureMixOn(docsDf, temperature)
+      .withColumn("keep_frac", round(
+        try_divide(col("upsample"), max(col("upsample")).over(w)), 6))
+      .select(col("source"), col("lang"),
+        col("sampling_weight").as("target_share"), col("keep_frac"))
+    docsDf
+      .withColumn("n_toks", sizeOrNull(tokens))
+      .join(broadcast(plan), Seq("source", "lang"), "left")
+      .withColumn("keep",
+        coalesce(Tables.lcgBucket(col("doc_id"), 48271L, 13L, 1000000L) <
+          floor(col("keep_frac") * lit(1e6)), lit(false)))
+      .groupBy("source", "lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("keep").cast("long")).as("n_kept"),
+        sum("n_toks").as("n_tokens"),
+        sum(when(col("keep"), col("n_toks")).otherwise(0L))
+          .as("kept_tokens"),
+        first(col("target_share")).as("target_share"),
+        first(col("keep_frac")).as("keep_frac"))
+      .withColumn("achieved_share", round(try_divide(
+        col("kept_tokens").cast("double"),
+        sum(col("kept_tokens")).over(w)), 6))
+      .withColumn("deviation",
+        round(col("achieved_share") - col("target_share"), 6))
+      .select("source", "lang", "n_docs", "n_kept", "n_tokens",
+        "kept_tokens", "keep_frac", "target_share", "achieved_share",
+        "deviation")
+      .orderBy("source", "lang")
+  }
+
   /** Context-length budget the q147 registration pins — tokens per
     * training sequence the truncation/packing planner targets (64 sits
     * inside this corpus's 10–99 token range, so the report carries real
@@ -1350,6 +1411,7 @@ object TextOps {
     "q53_source_mix" -> sourceMix,
     "q146_temperature_mix" -> temperatureMix,
     "q147_context_budget" -> contextBudget,
+    "q148_tempered_sample" -> temperedSample,
     "q63_repetition_profile" -> repetitionProfile,
     "q66_vocab_stats" -> vocabStats,
     "q71_doc_chunks" -> docChunks,
@@ -1674,6 +1736,55 @@ object TextOps {
          |    / nullif(CAST(sum(n_toks) AS BIGINT), 0), 4)
          |    AS tokens_lost_pct
          |FROM d GROUP BY lang ORDER BY lang""".stripMargin,
+    // Replays the epoch plan: the q146 chain through up-sampling factors
+    // → keep fractions (normalized to the most-boosted cell) → the
+    // deterministic lcg keep per document (explicit floor — a long CAST
+    // rounds in DuckDB and truncates in Spark) → the achieved-vs-target
+    // rollup.
+    "q148_tempered_sample" ->
+      """WITH d0 AS (SELECT source, lang, doc_id,
+        |  len(string_split(trim(text), ' ')) AS n_toks FROM documents),
+        |g0 AS (SELECT source, lang, CAST(sum(n_toks) AS BIGINT)
+        |    AS n_tokens
+        |  FROM d0 GROUP BY source, lang),
+        |r AS (SELECT source, lang, n_tokens,
+        |  round(CAST(n_tokens AS DOUBLE) / sum(n_tokens) OVER (), 6)
+        |    AS raw_share FROM g0),
+        |t AS (SELECT source, lang, raw_share,
+        |  round(sqrt(raw_share), 6) AS tempered FROM r),
+        |wt AS (SELECT source, lang, raw_share,
+        |  round(tempered / CAST(sum(CAST(tempered AS DECIMAL(38,10)))
+        |    OVER () AS DOUBLE), 6) AS sampling_weight FROM t),
+        |up AS (SELECT source, lang, sampling_weight,
+        |  round(sampling_weight / nullif(raw_share, 0), 4) AS upsample
+        |  FROM wt),
+        |p AS (SELECT source, lang, sampling_weight AS target_share,
+        |  round(upsample / max(upsample) OVER (), 6) AS keep_frac
+        |  FROM up),
+        |j AS (SELECT d.source, d.lang, d.n_toks,
+        |  coalesce(((d.doc_id % 1000000 + 1000000) % 1000000 * 48271 + 13)
+        |      % 1000000 < floor(p.keep_frac * 1e6), false) AS keep,
+        |  p.target_share, p.keep_frac
+        |  FROM d0 d LEFT JOIN p ON d.source = p.source
+        |    AND d.lang = p.lang),
+        |g AS (SELECT source, lang, count(*) AS n_docs,
+        |  CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_kept,
+        |  CAST(sum(n_toks) AS BIGINT) AS n_tokens,
+        |  CAST(sum(CASE WHEN keep THEN n_toks ELSE 0 END) AS BIGINT)
+        |    AS kept_tokens,
+        |  any_value(keep_frac) AS keep_frac,
+        |  any_value(target_share) AS target_share
+        |  FROM j GROUP BY 1, 2),
+        |a AS (SELECT source, lang, n_docs, n_kept, n_tokens, kept_tokens,
+        |  keep_frac, target_share,
+        |  round(CAST(kept_tokens AS DOUBLE)
+        |    / nullif(sum(kept_tokens) OVER (), 0), 6) AS achieved_share
+        |  FROM g)
+        |SELECT source, lang, n_docs, n_kept, n_tokens, kept_tokens,
+        |  keep_frac, target_share, achieved_share,
+        |  round(achieved_share - target_share, 6) AS deviation
+        |FROM a ORDER BY source, lang""".stripMargin,
     "q47_stratified_sample" ->
       """WITH k AS (SELECT lang,
         |  ((doc_id % 100 + 100) % 100 * 48271 + 7) % 100 <

@@ -81,6 +81,38 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("tempered sample: hand-computed keep fractions, the most-boosted " +
+      "cell keeps everything, and the realized shares land on the " +
+      "tempered targets when cells are granular enough") {
+    import spark.implicits._
+    // 3 cells of single-token docs, shares exactly 0.6 / 0.3 / 0.1:
+    // tempered = sqrt -> (.774597, .547723, .316228), weights
+    // (.472735, .334273, .192993), upsample (.7879, 1.1142, 1.9299),
+    // keep_frac normalized to the most-boosted (fr) cell
+    val docs = ((0L until 600L).map(i => (i, "en", "web", "tok")) ++
+      (1000L until 1300L).map(i => (i, "es", "web", "tok")) ++
+      (2000L until 2100L).map(i => (i, "fr", "web", "tok")))
+      .toDF("doc_id", "lang", "source", "text")
+    val out = TextOps.temperedSampleOn(docs).collect()
+      .map(r => r.getString(1) -> r).toMap
+    assert(out("en").getDouble(6) === 0.408259, s"keep_frac: ${out("en")}")
+    assert(out("es").getDouble(6) === 0.577336)
+    assert(out("fr").getDouble(6) === 1.0,
+      "the most-boosted cell keeps everything (filtering cannot " +
+        "duplicate)")
+    assert(out("fr").getLong(3) === 100L, "keep_frac 1.0 keeps all docs")
+    // realized shares: deterministic (the lcg keep-set is fixed), and
+    // with 100+ docs per cell they sit on the tempered targets
+    Seq("en", "es", "fr").foreach { l =>
+      val r = out(l)
+      assert(math.abs(r.getDouble(8) - r.getDouble(7)) < 0.06,
+        s"achieved ≈ target for $l: $r")
+      assert(math.abs(r.getDouble(9) -
+          (r.getDouble(8) - r.getDouble(7))) < 1e-6,
+        s"deviation is the honest gap: $r")
+    }
+  }
+
   test("context budget report: percentiles, over-budget census and lost " +
       "tokens agree with hand counts; null text stays out of the buffer " +
       "but in n_docs") {
