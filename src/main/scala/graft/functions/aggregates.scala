@@ -176,8 +176,11 @@ final class TopKIdsBuffer(val k: Int, val asc: Boolean) {
 
   def add(score: Double, id: Long): Unit = add(score, id, null)
 
+  // the admission decision lives ONLY in admits(): if the ordering or
+  // tie-break ever changes, the gate callers use to skip payload
+  // materialization and the heap's own replacement test move together
   def add(score: Double, id: Long, payload: Any): Unit =
-    if (k > 0) {
+    if (admits(score, id)) {
       if (payload != null && payloads == null)
         payloads = new Array[Any](math.max(k, 1))
       if (size < k) {
@@ -185,7 +188,7 @@ final class TopKIdsBuffer(val k: Int, val asc: Boolean) {
         if (payloads != null) payloads(size) = payload
         size += 1
         siftUp(size - 1)
-      } else if (worse(scores(0), ids(0), score, id)) {
+      } else {
         scores(0) = score; ids(0) = id
         if (payloads != null) payloads(0) = payload
         siftDown(0)

@@ -252,9 +252,16 @@ object ScrubOps {
     * aᵢ (A total) and type counts bᵢ (B total), |cumP−cumQ| at band i is
     * |B·cumAᵢ − A·cumBᵢ| / (A·B), so t = Σ|B·cumAᵢ − A·cumBᵢ| /
     * (A·B·(m−1)) with an exact decimal numerator (operands cast to
-    * DECIMAL(19,0) so products are exact at any corpus size), then ONE
-    * double division rounded to 6 dp — no float accumulation order to
-    * drift between engines.
+    * DECIMAL(19,0) — a LongType count always fits 19 digits, so the
+    * cast cannot overflow, and the product of two Long-ranged counts is
+    * < 8.6×10³⁷, inside DECIMAL(38,0), so every PRODUCT is exact for
+    * any corpus a Long count can hold), then ONE double division
+    * rounded to 6 dp — no float accumulation order to drift between
+    * engines. The per-class band SUM of those products is the one spot
+    * that can exceed 38 digits (a_tot·btot·m ≳ 10³⁸, i.e. both totals
+    * near 2⁶³ across many bands); it then degrades to NULL, so the
+    * class reads t = NULL and is FLAGGED — the safe direction — never
+    * a silently wrong t.
     *
     * Scale: ONE corpus pass (the (class, band) contraction, map-side
     * partial), localCheckpointed so the three bounded consumers —

@@ -307,7 +307,11 @@ object TextOps {
     * BEFORE normalizing, and the normalizer sums them as exact decimals
     * (a double window-sum would be partition-order dependent). A cell
     * with no measurable tokens (all-null text) carries NULL share and
-    * weight and stays OUT of both normalizers — in both engines.
+    * weight and stays OUT of both normalizers — in both engines. A
+    * positive-mass cell whose share rounds to 0 at 6 dp reads the
+    * minimum representable 1e-6 instead (so the deepest tail keeps a
+    * finite up-sample factor and q148 keeps rather than drops it); a
+    * zero-token cell keeps its honest 0 share and NULL up-sample.
     */
   def temperatureMixOn(docsDf: DataFrame,
       temperature: Double = MixTemperature): DataFrame = {
@@ -321,6 +325,16 @@ object TextOps {
       .agg(sum(col("n_toks")).as("n_tokens"))
       .withColumn("raw_share", round(
         col("n_tokens").cast("double") / sum(col("n_tokens")).over(w), 6))
+      // a POSITIVE-mass cell whose true share rounds to 0 at 6 dp
+      // (share < 5e-7: the deepest tail, the cell temperature sampling
+      // exists to boost) clamps to the minimum representable 1e-6 —
+      // otherwise its up-sample factor divides by zero and the q148
+      // plan silently DROPS the cell, the opposite of the intent. A
+      // zero-token cell keeps its honest 0; an unmeasurable (all-null
+      // text) cell keeps NULL.
+      .withColumn("raw_share",
+        when(col("n_tokens") > 0, greatest(col("raw_share"), lit(1e-6)))
+          .otherwise(col("raw_share")))
       .withColumn("tempered", round(
         // T = 2 routes through sqrt EXPLICITLY: IEEE-754 requires sqrt
         // to be correctly rounded, but pow(x, 0.5) only promises ~1 ulp
@@ -1703,8 +1717,11 @@ object TextOps {
         |g AS (SELECT source, lang, CAST(sum(n_toks) AS BIGINT) AS n_tokens
         |  FROM d GROUP BY source, lang),
         |r AS (SELECT source, lang, n_tokens,
-        |  round(CAST(n_tokens AS DOUBLE) / sum(n_tokens) OVER (), 6)
-        |    AS raw_share FROM g),
+        |  CASE WHEN n_tokens > 0 THEN greatest(
+        |      round(CAST(n_tokens AS DOUBLE) / sum(n_tokens) OVER (), 6),
+        |      0.000001)
+        |    ELSE round(CAST(n_tokens AS DOUBLE) / sum(n_tokens) OVER (), 6)
+        |  END AS raw_share FROM g),
         |t AS (SELECT source, lang, n_tokens, raw_share,
         |  round(sqrt(raw_share), 6) AS tempered FROM r),
         |wt AS (SELECT source, lang, n_tokens, raw_share,
@@ -1748,8 +1765,11 @@ object TextOps {
         |    AS n_tokens
         |  FROM d0 GROUP BY source, lang),
         |r AS (SELECT source, lang, n_tokens,
-        |  round(CAST(n_tokens AS DOUBLE) / sum(n_tokens) OVER (), 6)
-        |    AS raw_share FROM g0),
+        |  CASE WHEN n_tokens > 0 THEN greatest(
+        |      round(CAST(n_tokens AS DOUBLE) / sum(n_tokens) OVER (), 6),
+        |      0.000001)
+        |    ELSE round(CAST(n_tokens AS DOUBLE) / sum(n_tokens) OVER (), 6)
+        |  END AS raw_share FROM g0),
         |t AS (SELECT source, lang, raw_share,
         |  round(sqrt(raw_share), 6) AS tempered FROM r),
         |wt AS (SELECT source, lang, raw_share,

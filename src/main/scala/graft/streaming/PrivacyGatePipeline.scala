@@ -71,7 +71,15 @@ object PrivacyGatePipeline {
     * anything can delete it, so a failed publish in THIS run still has a
     * prior verdict to roll back to; `old` alongside an intact `dest` is
     * the other crash shape — died before the post-publish cleanup — and
-    * is safe to drop).
+    * is safe to drop). Each successful publish also sweeps stale
+    * `.old_M` siblings of OTHER batches whose published segment exists:
+    * unlike swapInto's fixed `.old` name (self-cleaning — the next swap
+    * deletes it), the batch-scoped name is touched by no later batch, so
+    * a lost post-publish delete on a committed batch would leak a parked
+    * copy per crash forever. A parked copy WITHOUT a published twin is
+    * never swept — that is the crashed-swap shape, and it belongs to its
+    * own batch's replay recovery (batches serialize within the query, so
+    * no in-flight publish can be sweeping-visible here).
     */
   private[graft] def publishSegment(fs: org.apache.hadoop.fs.FileSystem,
       staging: org.apache.hadoop.fs.Path, dest: org.apache.hadoop.fs.Path,
@@ -109,7 +117,28 @@ object PrivacyGatePipeline {
            else ""), publishErr)
     }
     fs.delete(old, true)
+    sweepStaleParked(fs, dest)
     ()
+  }
+
+  /** Delete committed batches' leftover parked copies (see
+    * [[publishSegment]]): any `.old_M` sibling whose `batch_id=M`
+    * segment EXISTS is redundant by definition — the publish that
+    * created the segment either deleted the parked copy or died before
+    * doing so (and M's replay, if any, already ran its recovery). One
+    * directory listing per publish; never touches a parked copy whose
+    * published twin is missing.
+    */
+  private def sweepStaleParked(fs: org.apache.hadoop.fs.FileSystem,
+      dest: org.apache.hadoop.fs.Path): Unit = {
+    val parent = dest.getParent
+    fs.listStatus(parent).foreach { st =>
+      val name = st.getPath.getName
+      if (name.startsWith(".old_") &&
+          fs.exists(new org.apache.hadoop.fs.Path(parent,
+            s"batch_id=${name.stripPrefix(".old_")}")))
+        fs.delete(st.getPath, true)
+    }
   }
 
   /** The q134 verdict over everything ever ingested — zero event

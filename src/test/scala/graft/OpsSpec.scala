@@ -81,6 +81,30 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("temperature mix sub-rounding tail: a positive-mass cell whose " +
+      "share rounds to 0 at 6 dp reads the minimum representable 1e-6, " +
+      "keeps a finite up-sample factor, and the epoch plan KEEPS it " +
+      "instead of silently dropping the most-deserving cell") {
+    import spark.implicits._
+    // head cell: one ~2.2M-token doc; tail cell: 1 token → true share
+    // ≈ 4.5e-7, which rounds to 0.0 at 6 dp without the clamp
+    val docs = Seq(
+      (1L, "en", "web", ("tok " * 2200000).trim),
+      (2L, "mi", "web", "tok"))
+      .toDF("doc_id", "lang", "source", "text")
+    val mix = TextOps.temperatureMixOn(docs).collect()
+      .map(r => r.getString(1) -> r).toMap
+    assert(mix("mi").getDouble(3) === 1e-6,
+      s"sub-rounding share clamps to 1e-6: ${mix("mi")}")
+    assert(!mix("mi").isNullAt(5) && mix("mi").getDouble(5) > 1.0,
+      s"the tail keeps a finite boosted up-sample: ${mix("mi")}")
+    val samp = TextOps.temperedSampleOn(docs).collect()
+      .map(r => r.getString(1) -> r).toMap
+    assert(samp("mi").getDouble(6) === 1.0 && samp("mi").getLong(3) === 1L,
+      s"the deepest tail is the most-boosted cell and keeps its doc: " +
+        s"${samp("mi")}")
+  }
+
   test("tempered sample: hand-computed keep fractions, the most-boosted " +
       "cell keeps everything, and the realized shares land on the " +
       "tempered targets when cells are granular enough") {

@@ -1230,4 +1230,40 @@ class StreamingSpec extends SparkSpec {
     assert(!fsReal.exists(o2) && !fsReal.exists(s2),
       "park and staging dirs are both consumed")
   }
+
+  test("privacy gate stale-park sweep: a successful publish reclaims " +
+      "committed batches' leftover .old_M parked copies (their segment " +
+      "exists — a crash lost only the cleanup delete) but never touches " +
+      "a parked copy whose published twin is missing (the crashed-swap " +
+      "shape, owned by that batch's replay recovery)") {
+    import graft.streaming.PrivacyGatePipeline
+    import org.apache.hadoop.fs.{Path => HPath}
+    val root = tmpDir("privacy-sweep")
+    val fs = new HPath(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def mk(dir: String, file: String): Unit = {
+      val p = new HPath(s"$root/$dir")
+      fs.mkdirs(p)
+      fs.create(new HPath(p, file)).close()
+    }
+    // batch 3: committed, but the post-publish delete was lost — the
+    // batch-scoped park name means no later replay ever deletes it
+    mk("batch_id=3", "DATA3"); mk(".old_3", "STALE3")
+    // batch 7: crashed between park and publish — .old_7 is the ONLY
+    // copy; the sweep must leave it for batch 7's own replay recovery
+    mk(".old_7", "ONLY_COPY7")
+    // batch 9 publishes normally
+    mk(".staging_9", "NEW9")
+    PrivacyGatePipeline.publishSegment(fs,
+      new HPath(s"$root/.staging_9"), new HPath(s"$root/batch_id=9"),
+      new HPath(s"$root/.old_9"))
+    assert(fs.exists(new HPath(s"$root/batch_id=9/NEW9")),
+      "batch 9 published")
+    assert(!fs.exists(new HPath(s"$root/.old_3")),
+      "the committed batch's stale parked copy is reclaimed")
+    assert(fs.exists(new HPath(s"$root/batch_id=3/DATA3")),
+      "its published segment is untouched")
+    assert(fs.exists(new HPath(s"$root/.old_7/ONLY_COPY7")),
+      "a parked copy with no published twin is never swept")
+  }
 }
