@@ -324,6 +324,26 @@ object ScaleOps {
       r => Seq(r.getField("id").as(idName),
         r.getField("score").as(scoreName)))
 
+  /** [[topKPairsPerGroup]] carrying an arbitrary extra column through the
+    * aggregate's payload slot (pass `struct(...)` to carry several) — the
+    * full row-carrying form: winners arrive with id, score AND cargo in
+    * the ≤ |groups|·k aggregate output, one scan, no join-back. The
+    * payload is cargo, not a key: it is only evaluated and copied for the
+    * O(k log n) admitted rows (the heap's `admits()` pre-gate), and a
+    * NULL payload on a ranking row is kept. Returns one row per kept id:
+    * (group…, rank, `idName`, `scoreName`, `payloadName`).
+    */
+  def topKRowsPerGroup(df: DataFrame, group: Seq[String], score: Column,
+      id: Column, payload: Column, k: Int, idName: String,
+      scoreName: String, payloadName: String,
+      asc: Boolean = false): DataFrame =
+    explodeTopK(df, group,
+      call_function("graft_topk_rows", score, id, payload, lit(k),
+        lit(asc)),
+      r => Seq(r.getField("id").as(idName),
+        r.getField("score").as(scoreName),
+        r.getField("payload").as(payloadName)))
+
   /** Exact global `row_number() OVER (ORDER BY sort…)` without the
     * single-task global sort a bare `Window.orderBy` runs (Spark warns for
     * a reason: one task sorts the whole table). The q85 distributed-ranking

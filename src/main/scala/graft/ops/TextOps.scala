@@ -257,6 +257,47 @@ object TextOps {
       .select("lang", "rank", "doc_id", "score")
       .orderBy("lang", "rank")
 
+  /** q150's registration pins the per-source cap at 10 (the sf fixtures
+    * hold ~25 docs per source, so the cap genuinely cuts); production
+    * passes its own.
+    */
+  val SourceCap = 10
+
+  def sourceCap(s: SparkSession, dir: String): DataFrame =
+    sourceCapOn(docs(s, dir))
+
+  /** q150: per-source document caps — the Common Crawl curation step
+    * "cap documents per registered domain, keep the best": per source,
+    * the top `cap` documents by the q33 quality score, each arriving
+    * with its lang and token count. The quality-ranked twin of q58's
+    * rebalance: q58 trims an over-represented source by a deterministic
+    * hash (any doc as good as any other), this keeps the BEST documents
+    * when a boilerplate-heavy domain must shrink.
+    *
+    * Scale: ONE corpus scan — the scorer feeds the payload-carrying
+    * bounded-heap aggregate ([[graft.functions.TopKRowsByScore]] via
+    * [[ScaleOps.topKRowsPerGroup]]), so per (task, source) only the
+    * O(k log n) admitted rows ever evaluate or copy the (lang, n_toks)
+    * cargo struct (`admits()` rejects the rest in one compare), state is
+    * O(cap) per source, partials combine map-side, and only
+    * ≤ |sources|·cap survivor rows shuffle — at 100 TB that is the
+    * difference between shuffling kilobytes and sorting the corpus by a
+    * registered-domain key (the window form: one task per domain sorting
+    * that domain's full document set). Ties break on the lower doc_id; a
+    * null-scoring (null-text) document never ranks (heap null-skip ≡ the
+    * oracle's null filter); a null lang/n_toks rides as NULL cargo.
+    */
+  def sourceCapOn(docsDf: DataFrame, cap: Int = SourceCap): DataFrame =
+    ScaleOps.topKRowsPerGroup(
+        scoredDocsOn(docsDf).select(col("source"), col("doc_id"),
+          col("score"),
+          struct(col("lang"), col("n_tokens").as("n_toks")).as("cargo")),
+        Seq("source"), col("score"), col("doc_id"), col("cargo"), cap,
+        "doc_id", "score", "cargo")
+      .select(col("source"), col("rank"), col("doc_id"), col("score"),
+        col("cargo.lang").as("lang"), col("cargo.n_toks").as("n_toks"))
+      .orderBy("source", "rank")
+
   /** Corpus mixture report: per (source, lang) document and token counts
     * plus each cell's share of all corpus tokens — the numbers behind every
     * training-mix / up-sampling decision. One aggregation plus an
@@ -1426,6 +1467,7 @@ object TextOps {
     "q146_temperature_mix" -> temperatureMix,
     "q147_context_budget" -> contextBudget,
     "q148_tempered_sample" -> temperedSample,
+    "q150_source_cap" -> sourceCap,
     "q63_repetition_profile" -> repetitionProfile,
     "q66_vocab_stats" -> vocabStats,
     "q71_doc_chunks" -> docChunks,
@@ -1832,6 +1874,28 @@ object TextOps {
         |  WHERE score IS NOT NULL AND doc_id IS NOT NULL)
         |SELECT lang, rank, doc_id, score FROM r WHERE rank <= 20
         |ORDER BY lang, rank""".stripMargin,
+    // Replays the per-source cap: the q33 scoring chain, then the
+    // rank-per-source window cut at the cap — the semantic twin of the
+    // bounded-heap aggregate (same (score DESC, doc_id ASC) order, same
+    // null filter), carrying lang and token count like the payload slot.
+    "q150_source_cap" ->
+      s"""WITH d AS (SELECT doc_id, source, lang, text,
+         |  string_split(trim(text), ' ') AS toks FROM documents),
+         |sc AS (SELECT doc_id, source, lang, len(toks) AS n_toks,
+         |  round(0.4e0 * (len(list_distinct(toks)) / len(toks))
+         |    + 0.3e0 * least(
+         |        length(regexp_replace(text, ' ', '', 'g')) / len(toks)
+         |          / 10.0e0,
+         |        1.0e0)
+         |    + 0.3e0 * (1.0e0 - len(regexp_extract_all(text,
+         |        '[^a-zA-Z0-9 ]')) / len(toks)), 6) AS score
+         |  FROM d),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY source
+         |  ORDER BY score DESC, doc_id ASC) AS rank FROM sc
+         |  WHERE score IS NOT NULL AND doc_id IS NOT NULL)
+         |SELECT source, rank, doc_id, score, lang, n_toks FROM r
+         |WHERE rank <= $SourceCap
+         |ORDER BY source, rank""".stripMargin,
     "q31_token_stats" ->
       """SELECT doc_id, lang, n_chars,
         |  len(string_split(trim(text), ' ')) AS ws_tokens,

@@ -81,6 +81,31 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("source cap keeps the best docs per source with their cargo: " +
+      "hand-computed scores rank correctly, ties break on the lower " +
+      "doc_id, a null-text doc never ranks, and lang/n_toks arrive " +
+      "through the payload slot without a join-back") {
+    import spark.implicits._
+    // scores: 'a b c d' 0.73 > 'a b c c' 0.63 > 'a a a a' 0.43
+    val docsDf = Seq(
+      (1L, "s1", "en", "a a a a"),
+      (2L, "s1", "de", "a b c d"),
+      (3L, "s1", "en", "a b c c"),
+      (4L, "s1", "en", null.asInstanceOf[String]),
+      (5L, "s2", "fr", "x y"),
+      (6L, "s2", "fr", "x y")) // exact tie with doc 5
+      .toDF("doc_id", "source", "lang", "text")
+    val out = TextOps.sourceCapOn(docsDf, cap = 2).collect()
+      .map(r => (r.getString(0), r.getInt(1)) ->
+        (r.getLong(2), r.getString(4), r.getInt(5))).toMap
+    assert(out === Map(
+      ("s1", 1) -> ((2L, "de", 4)),
+      ("s1", 2) -> ((3L, "en", 4)),
+      ("s2", 1) -> ((5L, "fr", 2)), // tie → lower doc_id first
+      ("s2", 2) -> ((6L, "fr", 2))),
+      s"capped set: $out")
+  }
+
   test("temperature mix sub-rounding tail: a positive-mass cell whose " +
       "share rounds to 0 at 6 dp reads the minimum representable 1e-6, " +
       "keeps a finite up-sample factor, and the epoch plan KEEPS it " +
