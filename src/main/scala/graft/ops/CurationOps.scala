@@ -907,6 +907,142 @@ object CurationOps {
     }.reduce(_ unionAll _).orderBy("stage")
   }
 
+  // ---- q149: the per-crawl funnel (incoming vs the existing corpus) -------
+
+  /** The funnel's shingle width — 3 (q111's novelty measure), NOT
+    * [[SpanOps.DefaultK]]'s 8: the gate asks "is this document mostly
+    * restating indexed content", and the finer shingle catches rephrased
+    * near-copies an 8-word exact window misses. One value, pinned here,
+    * shared by q149 and the streaming funnel's store segments.
+    */
+  val FunnelShingleK = 3
+
+  /** The q149 release bar: only 'good'-bucket documents (q33 score ≥
+    * 0.55) ship from a crawl — stricter than q100's keep-not-poor 0.45,
+    * because q100 curates an already-owned corpus (trimming is loss)
+    * while a crawl funnel ADMITS new liability (admitting junk is loss).
+    */
+  val FunnelQualityBar = 0.55
+
+  /** The per-crawl routing core shared by q149 and the streaming funnel
+    * ([[graft.streaming.CurationFunnelPipeline]]): route an incoming
+    * crawl through the five production gates and return every stage's
+    * surviving frame in funnel order. Each reference side arrives as a
+    * bounded contracted frame — in batch, the prior crawl's contractions;
+    * in streaming, the persisted stores — so the core itself never
+    * decides WHERE reference state lives, only what the gates mean
+    * (stream and batch decisions provably agree; the spec pins them
+    * doc-for-doc).
+    *
+    *   0_arrived        the incoming crawl
+    *   1_quality        q33 composite score ≥ [[FunnelQualityBar]]
+    *                    (per-row arithmetic — runs FIRST so every keyed
+    *                    stage below only sees documents that could ship;
+    *                    null text never ships)
+    *   2_fresh          norm absent from the corpus fingerprint set
+    *                    (q62's store probe) AND first occurrence within
+    *                    the crawl itself (first-write-wins by doc_id)
+    *   3_novel          span-level near-copy gate: at least half the
+    *                    doc's distinct 3-shingles unseen in the reference
+    *                    keys (q111's measure against the shingle store);
+    *                    the compare is integer — 2·n_novel ≥ n_shingles —
+    *                    so no float threshold can drift cross-engine;
+    *                    docs too short to shingle pass (nothing measured,
+    *                    nothing to overlap)
+    *   4_decontaminated norm absent from the held-out benchmark set (the
+    *                    q49/q90 convention: a re-crawled eval document
+    *                    must never ship as training data)
+    *   5_released       zero PII hits across all four q104 families
+    *                    ([[ScrubOps.anyPii]] — the document-side privacy
+    *                    gate)
+    *
+    * Scale: the quality gate is shuffle-free row arithmetic; stages 2/4
+    * are anti-joins against contracted norm sets (broadcast when small,
+    * shuffled-hash otherwise — AQE's call); stage 3 explodes shingles for
+    * the ALREADY-GATED sliver only and contracts per doc_id; the PII gate
+    * is row-local regex. Nothing downstream of the incoming crawl is ever
+    * reference-corpus-sized.
+    */
+  private[graft] def crawlFunnelStages(incoming: DataFrame,
+      corpusNorms: DataFrame, refShingleKeys: DataFrame,
+      evalNorms: DataFrame): Seq[(String, DataFrame)] = {
+    import org.apache.spark.sql.expressions.Window
+    val d = incoming
+      .withColumn("norm", DedupOps.normText)
+      .withColumn("n_toks", size(toks))
+    val quality = TextOps.scoredDocsOn(d)
+      .filter(col("score") >= FunnelQualityBar)
+      .select(d.columns.map(col): _*)
+    val fresh = quality
+      .join(corpusNorms.select("norm"), Seq("norm"), "left_anti")
+      .withColumn("rn",
+        row_number().over(Window.partitionBy("norm").orderBy("doc_id")))
+      .filter(col("rn") === 1).drop("rn")
+    val nov = SpanOps.noveltyAgainstKeys(fresh, refShingleKeys,
+        FunnelShingleK)
+      .select(col("doc_id"), col("n_distinct_shingles"), col("n_novel"))
+    val novel = fresh.join(nov, Seq("doc_id"), "left")
+      .filter(col("n_distinct_shingles").isNull ||
+        col("n_novel") * 2 >= col("n_distinct_shingles"))
+      .select(fresh.columns.map(col): _*)
+    val clean = novel.join(evalNorms.select("norm"), Seq("norm"),
+      "left_anti")
+    val released = clean.filter(!ScrubOps.anyPii(col("text")))
+    Seq("0_arrived" -> d, "1_quality" -> quality, "2_fresh" -> fresh,
+      "3_novel" -> novel, "4_decontaminated" -> clean,
+      "5_released" -> released)
+  }
+
+  /** Per-(stage, source) survivor counts over [[crawlFunnelStages]]'
+    * frames — the funnel's mix accounting (which sources the gates eat
+    * from is exactly what a mix owner watches during a crawl). Shared by
+    * the q149 face and the streaming funnel's per-batch report.
+    */
+  private[graft] def crawlFunnelReport(
+      stages: Seq[(String, DataFrame)]): DataFrame =
+    stages.map { case (name, df) =>
+      df.groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_toks").cast("long")).as("n_tokens"))
+        .select(lit(name).as("stage"), col("source"), col("n_docs"),
+          col("n_tokens"))
+    }.reduce(_ unionAll _).orderBy("stage", "source")
+
+  /** q149: the per-crawl curation funnel over a two-crawl fixture — the
+    * incremental twin of q100's whole-corpus sweep: crawl 1 (80% of docs
+    * by the q107 split) is the EXISTING indexed corpus, crawl 2 the
+    * incoming one, and the incoming side additionally carries re-fetches
+    * (~5% of all pages re-crawled verbatim under fresh doc_ids — the q92
+    * synthesis convention; a real crawler re-fetches unchanged pages
+    * constantly, and a fixture with zero exact dups would never exercise
+    * the freshness gate). The held-out benchmark is an independent 10%
+    * norm sample (a DIFFERENT lcg multiplier than the crawl split — with
+    * the same multiplier the two buckets are affinely locked and no eval
+    * doc could ever land in crawl 2, silencing the decontamination gate
+    * structurally). Reports per-(stage, source) surviving docs/tokens.
+    */
+  def crawlFunnel(s: SparkSession, dir: String): DataFrame =
+    crawlFunnelOn(docs(s, dir))
+
+  /** `docsDf` needs (doc_id, source, text). */
+  def crawlFunnelOn(docsDf: DataFrame): DataFrame = {
+    val raw = docsDf.select("doc_id", "source", "text")
+    val crawl2 = Tables.lcgBucket(col("doc_id"), 48271L, 23L, 100L) >= 80L
+    val refetch = raw
+      .filter(Tables.lcgBucket(col("doc_id"), 9301L, 11L, 100L) < 5L)
+      .withColumn("doc_id", col("doc_id") + lit(1000000000L))
+    val incoming = raw.filter(crawl2).unionByName(refetch)
+    val existing = raw.filter(!crawl2)
+    val corpusNorms =
+      existing.select(DedupOps.normText.as("norm")).distinct()
+    val refKeys = SpanOps.distinctShingleKeys(existing, FunnelShingleK)
+    val evalNorms = raw
+      .filter(Tables.lcgBucket(col("doc_id"), 9301L, 49297L, 100L) >= 90L)
+      .select(DedupOps.normText.as("norm")).distinct()
+    crawlFunnelReport(
+      crawlFunnelStages(incoming, corpusNorms, refKeys, evalNorms))
+  }
+
   // ---- fingerprint store: the persisted face of delta dedup ---------------
 
   /** Materialize the corpus's distinct normalized-text fingerprint table —
@@ -1627,6 +1763,7 @@ object CurationOps {
     "q116_hash_split" -> hashSplit,
     "q122_training_manifest" -> trainingManifest,
     "q100_curation_funnel" -> curationFunnel,
+    "q149_crawl_funnel" -> crawlFunnel,
     "q92_corpus_diff" -> corpusDiff,
     "q84_dataset_card" -> datasetCard,
     "q56_ngram_decontamination" -> ngramDecontamination,
@@ -1872,6 +2009,77 @@ object CurationOps {
         |UNION ALL SELECT '4_sampled', count(*),
         |  CAST(sum(n_toks) AS BIGINT) FROM sm
         |ORDER BY stage""".stripMargin,
+    // Replays the per-crawl funnel: the two-crawl + re-fetch fixture,
+    // then the five gates — q33 score bar, anti-join freshness with
+    // first-write-wins, the integer 2·novel ≥ shingles novelty cut,
+    // benchmark-norm decontamination, and the q104-pattern PII gate.
+    "q149_crawl_funnel" ->
+      s"""WITH raw AS (SELECT doc_id, source, text FROM documents),
+         |refetch AS (SELECT doc_id + 1000000000 AS doc_id, source, text
+         |  FROM raw WHERE ((doc_id % 100 + 100) % 100 * 9301 + 11)
+         |    % 100 < 5),
+         |inc0 AS (SELECT * FROM raw
+         |    WHERE ((doc_id % 100 + 100) % 100 * 48271 + 23) % 100 >= 80
+         |  UNION ALL SELECT * FROM refetch),
+         |d0 AS (SELECT doc_id, source, text,
+         |    regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS norm,
+         |    string_split(trim(text), ' ') AS toks,
+         |    len(string_split(trim(text), ' ')) AS n_toks
+         |  FROM inc0),
+         |ex AS (SELECT *,
+         |    regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS norm,
+         |    string_split(trim(text), ' ') AS toks FROM raw
+         |  WHERE ((doc_id % 100 + 100) % 100 * 48271 + 23) % 100 < 80),
+         |q AS (SELECT * FROM d0 WHERE
+         |    round(0.4e0 * (len(list_distinct(toks)) / len(toks))
+         |      + 0.3e0 * least((length(regexp_replace(text, ' ', '', 'g'))
+         |          / len(toks)) / 10.0e0, 1.0e0)
+         |      + 0.3e0 * (1.0e0 - len(regexp_extract_all(text,
+         |          '[^a-zA-Z0-9 ]')) / len(toks)), 6)
+         |      >= ${FunnelQualityBar}e0),
+         |exn AS (SELECT DISTINCT norm FROM ex),
+         |f AS (SELECT * FROM (SELECT q.*, row_number() OVER (
+         |    PARTITION BY norm ORDER BY doc_id) AS rn FROM q
+         |  WHERE NOT EXISTS (SELECT 1 FROM exn WHERE exn.norm = q.norm))
+         |  WHERE rn = 1),
+         |exsh AS (SELECT DISTINCT sh FROM (SELECT
+         |    unnest(list_distinct(list_transform(
+         |      generate_series(1, len(toks) - 2),
+         |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])))
+         |    AS sh
+         |  FROM ex WHERE len(toks) >= 3)),
+         |fsh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+         |    generate_series(1, len(toks) - 2),
+         |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS sh
+         |  FROM f WHERE len(toks) >= 3),
+         |nv AS (SELECT doc_id, count(*) AS n_sh,
+         |    sum(CASE WHEN e.sh IS NULL THEN 1 ELSE 0 END) AS n_novel
+         |  FROM fsh LEFT JOIN exsh e USING (sh) GROUP BY doc_id),
+         |n AS (SELECT f.* FROM f LEFT JOIN nv USING (doc_id)
+         |  WHERE nv.doc_id IS NULL OR 2 * nv.n_novel >= nv.n_sh),
+         |ev AS (SELECT DISTINCT
+         |    regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS norm
+         |  FROM raw WHERE ((doc_id % 100 + 100) % 100 * 9301 + 49297)
+         |    % 100 >= 90),
+         |c AS (SELECT * FROM n WHERE NOT EXISTS
+         |  (SELECT 1 FROM ev WHERE ev.norm = n.norm)),
+         |r AS (SELECT * FROM c
+         |  WHERE NOT (${ScrubOps.anyPiiSql("text")}))
+         |SELECT * FROM (
+         |  SELECT '0_arrived' AS stage, source, count(*) AS n_docs,
+         |    CAST(sum(n_toks) AS BIGINT) AS n_tokens FROM d0
+         |    GROUP BY source
+         |  UNION ALL SELECT '1_quality', source, count(*),
+         |    CAST(sum(n_toks) AS BIGINT) FROM q GROUP BY source
+         |  UNION ALL SELECT '2_fresh', source, count(*),
+         |    CAST(sum(n_toks) AS BIGINT) FROM f GROUP BY source
+         |  UNION ALL SELECT '3_novel', source, count(*),
+         |    CAST(sum(n_toks) AS BIGINT) FROM n GROUP BY source
+         |  UNION ALL SELECT '4_decontaminated', source, count(*),
+         |    CAST(sum(n_toks) AS BIGINT) FROM c GROUP BY source
+         |  UNION ALL SELECT '5_released', source, count(*),
+         |    CAST(sum(n_toks) AS BIGINT) FROM r GROUP BY source
+         |) ORDER BY stage, source""".stripMargin,
     "q92_corpus_diff" ->
       """WITH v2 AS (
         |  SELECT doc_id, text || ' (rev2)' AS text FROM documents

@@ -40,6 +40,25 @@ object ScrubOps {
     when(c.isNotNull,
       size(regexp_extract_all(c, lit(pattern), lit(0)))).otherwise(0)
 
+  /** True when the text carries ANY family's PII — the release-gate
+    * predicate of the curation funnel (q149 /
+    * [[graft.streaming.CurationFunnelPipeline]]). Built from the same
+    * `patterns` seq as the q104 audit, so the gate and the audit can
+    * never disagree on what counts as PII. Null text reads false (0
+    * hits everywhere) — a doc with no text has no PII; whether it ships
+    * at all is the quality gate's call, not this one's.
+    */
+  private[graft] def anyPii(c: Column): Column =
+    patterns.map { case (_, pat, _) => hitsIn(c, pat) > 0 }.reduce(_ || _)
+
+  /** DuckDB twin of [[anyPii]] over a column reference — emitted into
+    * oracle SQL (q104, q149) from the SAME `patterns` seq.
+    */
+  private[graft] def anyPiiSql(textCol: String): String =
+    patterns.map { case (_, pat, _) =>
+      s"len(regexp_extract_all($textCol, '${pat.replace("'", "''")}')) > 0"
+    }.mkString(" OR ")
+
   /** q104: per-source PII audit — documents scanned, documents containing
     * any PII, and per-family hit totals. On a clean corpus every counter
     * is 0 — which is exactly what the audit exists to prove. */

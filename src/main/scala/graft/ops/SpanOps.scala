@@ -158,7 +158,7 @@ object SpanOps {
   }
 
   /** Record the store's shingle width in the hidden sidecar. */
-  private def writeShingleMeta(s: SparkSession, path: String, k: Int): Unit = {
+  private[graft] def writeShingleMeta(s: SparkSession, path: String, k: Int): Unit = {
     import s.implicits._
     Seq(k).toDF("k").coalesce(1)
       .write.mode("overwrite").parquet(s"$path/_graft_meta")
@@ -179,7 +179,7 @@ object SpanOps {
     * width — mismatched shingle hashes never collide, so every probe
     * would silently answer "nothing indexed".
     */
-  private def requireShingleK(s: SparkSession, path: String, k: Int): Unit =
+  private[graft] def requireShingleK(s: SparkSession, path: String, k: Int): Unit =
     storedShingleK(s, path).foreach(stored =>
       require(stored == k,
         s"shingle store at $path was built with k=$stored; probing or " +
@@ -350,8 +350,17 @@ object SpanOps {
       incoming.sparkSession.read.parquet(storePath).select("h").distinct(), k)
   }
 
-  private def noveltyAgainstKeys(incoming: DataFrame, refKeys: DataFrame,
+  /** The distinct K-shingle keys of a document frame — the contracted
+    * reference side every against-keys probe and funnel-store segment
+    * rides on (ONE definition with [[shingleOcc]]'s keys, so a store
+    * segment and a probe can never hash differently).
+    */
+  private[graft] def distinctShingleKeys(docsDf: DataFrame,
       k: Int): DataFrame =
+    shingleOcc(docsDf, k).select("h").distinct()
+
+  private[graft] def noveltyAgainstKeys(incoming: DataFrame,
+      refKeys: DataFrame, k: Int): DataFrame =
     shingleOcc(incoming, k).select("doc_id", "h").distinct()
       .join(refKeys.withColumn("_seen", lit(1)), Seq("h"), "left")
       .groupBy("doc_id")
