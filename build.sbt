@@ -30,12 +30,15 @@ javaOptions ++= jdk17AddOpens ++ Seq(
 )
 // The standing gate battery as ONE command (verify SKILL.md step 5):
 // the three plan invariants, the bounded-collect contract, both
-// degenerate-input suites, then the per-query job-budget gate
-// (SCRATCH_DIR selects the corpus; defaults to sf0.1). Each stage
-// fails the chain loud; a clean run ends with the jobbudget
+// degenerate-input suites, the store-equivalence gate (every persisted
+// store family: build → append → compact → from-store == exact), then
+// the per-query job-budget gate (SCRATCH_DIR selects the corpus;
+// defaults to sf0.1). Each stage fails the chain loud; a clean run
+// passes the storegate PASS line and ends with the jobbudget
 // "job budgets OK" line.
 addCommandAlias("gates",
   ";testOnly graft.WindowBoundednessSpec graft.JoinBoundednessSpec " +
     "graft.ScanHygieneSpec graft.BoundedCollectSpec " +
     "graft.AdversarialFixtureSpec graft.StreamingAdversarialSpec" +
+  ";runMain graft.Scratch storegate" +
   ";runMain graft.Scratch jobbudget")

@@ -748,6 +748,248 @@ object Scratch {
       spark.stop()
       return
     }
+    if (name == "storegate") {
+      // the store-equivalence gate (r14 judge item 3): every persisted
+      // store family runs its LIVED crawl sequence — build from crawl 1,
+      // fold crawl 2 in through the append/merge face (replaying the
+      // append where the family documents replay-tolerance), compact —
+      // and each from-store consumer must answer EXACTLY like the inline
+      // computation over the whole corpus (or like a store rebuilt fresh
+      // from it, for faces whose only contract is store-in/store-out).
+      // The sbt-test twins pin each equality in isolation on synthetic
+      // rows; this arm proves the whole layer on a real corpus in one
+      // driver-visible PASS/FAIL line, wired into `sbt gates`.
+      import org.apache.spark.sql.functions._
+      import spark.implicits._
+      val docsAll = Tables.t(spark, dir, "documents")
+        .select("doc_id", "source", "lang", "text")
+      val isC1 = Tables.lcgBucket(col("doc_id"), 48271L, 23L, 100L) < 80L
+      val c1 = docsAll.filter(isC1)
+      val c2 = docsAll.filter(!isC1)
+      // a cross-crawl probe batch (10%, independent multiplier) so every
+      // probe face matches against BOTH seeded and appended segments
+      val probe = docsAll.filter(
+        Tables.lcgBucket(col("doc_id"), 9301L, 11L, 100L) < 10L)
+      val root = java.nio.file.Files.createTempDirectory("storegate")
+        .toString
+      var failures = List.empty[String]
+      var nOk = 0
+      def gate(family: String)(body: => Unit): Unit =
+        try { body; nOk += 1; println(s"[storegate] $family OK") }
+        catch { case scala.util.control.NonFatal(e) =>
+          failures ::= s"$family: ${e.getMessage}"
+          println(s"[storegate] $family FAILED: ${e.getMessage}")
+        }
+      def dump(df: DataFrame) = df.collect().map(_.toSeq).toSeq
+
+      gate("fingerprint") {
+        val p = s"$root/fingerprints"
+        ops.CurationOps.writeFingerprintStore(c1, p)
+        val admitted = ops.CurationOps.freshAgainstStore(c2, p)
+        ops.CurationOps.appendToFingerprintStore(admitted, p)
+        ops.CurationOps.appendToFingerprintStore(admitted, p) // replay
+        ops.CurationOps.compactFingerprintStore(spark, p)
+        val stored = spark.read.parquet(p).select("norm")
+        val exact = docsAll.select(ops.DedupOps.normText.as("norm"))
+          .distinct()
+        require(stored.exceptAll(exact).isEmpty &&
+          exact.exceptAll(stored).isEmpty,
+          "compacted store norms != whole-corpus distinct norms")
+        val novel = Seq((9000000001L, "srcX",
+          "a sentence no crawl has ever produced zqx"))
+          .toDF("doc_id", "source", "text")
+        require(ops.CurationOps.freshAgainstStore(novel, p).count() == 1L,
+          "a genuinely new doc must survive the store probe")
+      }
+      gate("shingle") {
+        val p = s"$root/shingles"
+        ops.SpanOps.writeShingleStore(c1, p)
+        ops.SpanOps.appendToShingleStore(c2, p)
+        ops.SpanOps.appendToShingleStore(c2, p) // replay
+        ops.SpanOps.compactShingleStore(spark, p)
+        val viaStore = dump(ops.SpanOps.noveltyAgainstStore(probe, p)
+          .orderBy("doc_id"))
+        val inline = dump(ops.SpanOps.noveltyAgainstKeys(probe,
+            ops.SpanOps.distinctShingleKeys(docsAll, ops.SpanOps.DefaultK),
+            ops.SpanOps.DefaultK)
+          .orderBy("doc_id"))
+        require(viaStore == inline,
+          s"novelty from store != inline over whole corpus " +
+            s"(${viaStore.size} vs ${inline.size} rows)")
+      }
+      gate("bloom") {
+        val pb = s"$root/bloom"
+        ops.SpanOps.writeBloomStoreFromShingles(spark, s"$root/shingles",
+          pb, nBits = 1 << 22)
+        val rebuilt = s"$root/bloom_rebuilt"
+        ops.SpanOps.writeBloomStore(docsAll, rebuilt, nBits = 1 << 22)
+        val (b1, k1) = ops.SpanOps.readBloomStore(spark, pb)
+        val (b2, k2) = ops.SpanOps.readBloomStore(spark, rebuilt)
+        require(k1 == k2 && java.util.Arrays.equals(b1, b2),
+          "bloom refreshed from the appended shingle store != bloom " +
+            "built from the whole corpus (bit arrays must be identical)")
+      }
+      gate("winnow") {
+        val p = s"$root/winnow"
+        ops.TextOps.writeWinnowStore(c1, p)
+        ops.TextOps.appendToWinnowStore(c2, p)
+        ops.TextOps.appendToWinnowStore(c2, p) // replay
+        ops.TextOps.compactWinnowStore(spark, p)
+        val rebuilt = s"$root/winnow_rebuilt"
+        ops.TextOps.writeWinnowStore(docsAll, rebuilt)
+        require(dump(ops.TextOps.matchesAgainstStore(probe, p)) ==
+          dump(ops.TextOps.matchesAgainstStore(probe, rebuilt)),
+          "winnow matches from the incremental store != rebuilt store")
+      }
+      gate("phash") {
+        val p = s"$root/phash"
+        ops.MultimodalOps.writePhashStore(c1, p)
+        ops.MultimodalOps.appendToPhashStore(c2, p)
+        ops.MultimodalOps.appendToPhashStore(c2, p) // replay
+        ops.MultimodalOps.compactPhashStore(spark, p)
+        val rebuilt = s"$root/phash_rebuilt"
+        ops.MultimodalOps.writePhashStore(docsAll, rebuilt)
+        require(dump(ops.MultimodalOps.phashPairsAgainstStore(probe, p)) ==
+          dump(ops.MultimodalOps.phashPairsAgainstStore(probe, rebuilt)),
+          "phash screen from the incremental store != rebuilt store")
+      }
+      val emb = Tables.t(spark, dir, "embeddings")
+      val embC1 = emb.filter(
+        Tables.lcgBucket(col("vec_id"), 48271L, 23L, 100L) < 80L)
+      val embC2 = emb.filter(
+        Tables.lcgBucket(col("vec_id"), 48271L, 23L, 100L) >= 80L)
+      val cbook = ops.SimilarityOps.kmeansCentroids(emb, k = 16, iters = 2)
+      gate("codebook") {
+        val p = s"$root/codebook"
+        ops.SimilarityOps.writeCodebookStore(spark, cbook, p, trainIters = 2)
+        val back = ops.SimilarityOps.readCodebookStore(spark, p)
+        require(back.length == cbook.length &&
+          back.zip(cbook).forall { case (a, b) => a.sameElements(b) },
+          "codebook must round-trip bit-identically")
+      }
+      gate("pq_codes") {
+        val p = s"$root/pq"
+        ops.SimilarityOps.writePqStore(embC1, cbook, p)
+        ops.SimilarityOps.appendToPqStore(embC2, cbook, p)
+        ops.SimilarityOps.appendToPqStore(embC2, cbook, p) // replay
+        ops.SimilarityOps.compactPqStore(spark, p)
+        val q = emb.filter(col("vec_id") === 0L)
+          .select("embedding").head().getSeq[Float](0).toArray
+        val viaStore = ops.SimilarityOps.annPqFromStore(spark, p, cbook, q,
+          excludeId = 0L).collect()
+          .map(r => (r.getLong(0), r.getString(2), r.getDouble(3))).toSeq
+        val inline = ops.SimilarityOps.annPqWith(emb, cbook).collect()
+          .map(r => (r.getLong(0), r.getString(2), r.getDouble(3))).toSeq
+        require(viaStore == inline,
+          s"ADC from the compacted store != in-plan form " +
+            s"($viaStore vs $inline)")
+      }
+      gate("cardinality") {
+        val p = s"$root/cardinality"
+        ops.CurationOps.writeCardinalityStore(c1, p)
+        ops.CurationOps.mergeIntoCardinalityStore(c2, p)
+        ops.CurationOps.mergeIntoCardinalityStore(c2, p) // replay: set-idem
+        val est = ops.CurationOps.cardinalityFromStore(spark, p).collect()
+          .map(r => r.getString(0) -> r.getLong(1)).toMap
+        val exact = docsAll
+          .select(col("source"),
+            explode(split(trim(col("text")), " ")).as("token"))
+          .groupBy("source").agg(countDistinct("token").as("n"))
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        require(est.keySet == exact.keySet, s"source sets differ: " +
+          s"${est.keySet} vs ${exact.keySet}")
+        // merged sketches lose the HIP estimator (composite fallback) —
+        // the store's contract is the SKETCH's ±0.8% @ lgK 14, gated
+        // here at 3% to stay load-noise-proof
+        exact.foreach { case (src, n) =>
+          val rel = math.abs(est(src) - n).toDouble / math.max(n, 1L)
+          require(rel <= 0.03,
+            s"cardinality estimate for $src off by ${rel * 100}%: " +
+              s"est ${est(src)} vs exact $n")
+        }
+      }
+      val events = Tables.t(spark, dir, "events")
+      val evC1 = events.filter(
+        pmod(xxhash64(col("event_id")), lit(100L)) < 80L)
+      val evC2 = events.filter(
+        pmod(xxhash64(col("event_id")), lit(100L)) >= 80L)
+      val kanonPath = s"$root/kanon"
+      gate("kanon") {
+        ops.ScrubOps.writeKanonStore(evC1, kanonPath)
+        ops.ScrubOps.appendToKanonStore(evC2, kanonPath)
+        ops.ScrubOps.compactKanonStore(spark, kanonPath)
+        require(dump(ops.ScrubOps.kanonAuditFromStore(spark, kanonPath)) ==
+          dump(ops.ScrubOps.kanonAuditOn(events, ops.ScrubOps.KAnonK)),
+          "k-anon audit from the compacted store != exact event scan")
+      }
+      gate("ldiv") {
+        require(dump(ops.ScrubOps.ldivAuditFromStore(spark, kanonPath)) ==
+          dump(ops.ScrubOps.ldivAuditOn(events, ops.ScrubOps.LDivL)),
+          "l-diversity audit from the store != exact event scan")
+      }
+      gate("tclose") {
+        require(dump(ops.ScrubOps.tcloseAuditFromStore(spark, kanonPath)) ==
+          dump(ops.ScrubOps.tcloseAuditOn(events, ops.ScrubOps.TCloseT)),
+          "t-closeness audit from the store != exact event scan")
+      }
+      gate("token_counts") {
+        val p = s"$root/token_counts"
+        ops.TextOps.writeTokenCountStore(c1, p)
+        ops.TextOps.appendToTokenCountStore(c2, p) // counts: admit ONCE
+        ops.TextOps.compactTokenCountStore(spark, p)
+        require(dump(ops.TextOps.sourceDriftFromStore(spark, p)) ==
+          dump(ops.TextOps.sourceDriftOn(docsAll)),
+          "source drift from the compacted count store != inline")
+      }
+      val lmPath = s"$root/bigrams"
+      gate("bigram_lm") {
+        ops.SearchOps.writeBigramStore(c1, lmPath)
+        ops.SearchOps.appendToBigramStore(c2, lmPath) // counts: admit ONCE
+        ops.SearchOps.compactBigramStore(spark, lmPath)
+        val viaStore = ops.SearchOps.lmPerplexityFromStore(docsAll, lmPath)
+        require(viaStore.filter(col("n_oov") =!= 0L).isEmpty,
+          "LM trained on the whole corpus must score it with zero OOV")
+        require(viaStore
+            .select("doc_id", "n_bigrams", "avg_logp", "ppl").collect()
+            .map(_.toSeq).toSeq ==
+          dump(ops.SearchOps.lmPerplexityOn(docsAll)),
+          "perplexity from the appended LM store != one-shot inline LM")
+      }
+      gate("doremi_partials") {
+        val p = s"$root/doremi_partials"
+        ops.CurationOps.doremiBatchPartials(c1, lmPath)
+          .coalesce(1).write.mode("overwrite").parquet(s"$p/batch_id=0")
+        ops.CurationOps.doremiBatchPartials(c2, lmPath)
+          .coalesce(1).write.mode("overwrite").parquet(s"$p/batch_id=1")
+        ops.CurationOps.compactDoremiPartials(spark, p)
+        require(dump(ops.CurationOps.doremiFromPartials(
+            spark.read.parquet(p))) ==
+          dump(ops.CurationOps.doremiFromStore(docsAll, lmPath)),
+          "DoReMi from compacted partials != one-shot from the LM store")
+      }
+      gate("dsir") {
+        val p = s"$root/dsir_tokens"
+        def langDocs(df: DataFrame) =
+          df.select(col("lang").as("source"), col("text"))
+        ops.TextOps.writeTokenCountStore(langDocs(c1), p)
+        ops.TextOps.appendToTokenCountStore(langDocs(c2), p)
+        require(dump(ops.CurationOps.dsirWeightsFromStore(docsAll, spark,
+            p, col("source") === "en")) ==
+          dump(ops.CurationOps.dsirWeightsOn(docsAll,
+            col("lang") === "en")),
+          "DSIR weights from the appended count store != inline")
+      }
+      val total = nOk + failures.size
+      if (failures.nonEmpty) {
+        spark.stop()
+        sys.error(s"storegate FAIL: ${failures.size}/$total families " +
+          s"broken —\n  ${failures.reverse.mkString("\n  ")}")
+      }
+      println(s"storegate PASS: $nOk/$total store families " +
+        "from-store == exact")
+      spark.stop()
+      return
+    }
     if (name == "q41lsh") {
       // the q41 kernel blocked by LSH bucket instead of label — the
       // documented handoff once label blocks outgrow memory
