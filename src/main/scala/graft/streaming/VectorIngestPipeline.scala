@@ -27,11 +27,16 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 object VectorIngestPipeline {
 
   /** Seed the batch-id-keyed index layout from already-ingested vectors
-    * (segment -1, one uniform partition layout for readers).
+    * (segment -1, one uniform partition layout for readers). Stamps the
+    * codebook fingerprint at the store ROOT: the keyed layout's segments
+    * are one index, so the generation guard lives on the whole store,
+    * not per segment.
     */
   def seedStore(embDf: DataFrame, codebook: Array[Array[Double]],
-      storeDir: String): Unit =
+      storeDir: String): Unit = {
     SimilarityOps.writePqStore(embDf, codebook, s"$storeDir/batch_id=-1")
+    SimilarityOps.stampPqStoreRoot(embDf.sparkSession, storeDir, codebook)
+  }
 
   /** Row-level reject reason, null when the row is valid — the q110
     * audit classes in gate form, checked in hazard order (each test is
@@ -63,6 +68,12 @@ object VectorIngestPipeline {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty) {
           graft.functions.GraftFunctions.ensureRegistered(batch.sparkSession)
+          // generation guard: a restart fed a codebook that isn't the
+          // store's encoding generation (the hand-passed-array drift the
+          // scaladoc warns about) must fail the stream loud — its codes
+          // would be unsearchable alongside the existing segments
+          SimilarityOps.requirePqStoreRoot(batch.sparkSession, storeDir,
+            codebook, "runVectorIngest")
           val flagged = batch
             .withColumn("reject_reason", rejectReason(dim))
             .localCheckpoint(eager = true)
@@ -77,6 +88,10 @@ object VectorIngestPipeline {
             flagged.filter(col("reject_reason").isNull)
               .select("vec_id", "label", "embedding"),
             codebook, s"$storeDir/batch_id=$batchId")
+          // (re)stamp the root fingerprint — idempotent one-row write,
+          // so even a store bootstrapped by its first batch carries it
+          SimilarityOps.stampPqStoreRoot(batch.sparkSession, storeDir,
+            codebook)
         }
         ()
       }

@@ -484,6 +484,56 @@ class CrawlSpec extends SparkSpec {
       s"the replayed segment must hold exactly the batch's rows: $seg0")
   }
 
+  test("vector ingest generation guard: a restart fed a codebook that " +
+      "isn't the store's encoding generation fails the stream loud") {
+    import graft.streaming.VectorIngestPipeline
+    import graft.ops.SimilarityOps
+    val root = tmpDir("vec-gen-guard")
+    val (store, quar) = (s"$root/pq", s"$root/quarantine")
+    val dim = SimilarityOps.Dim
+    def vecOf(seed: Int): Array[Float] = {
+      val r = new scala.util.Random(seed)
+      Array.fill(dim)(r.nextGaussian().toFloat)
+    }
+    val seedRows = Seq((0L, vecOf(70), 0), (1L, vecOf(71), 1))
+      .toDF("vec_id", "embedding", "label")
+    val cbook = SimilarityOps.kmeansCentroids(seedRows, k = 2, iters = 2)
+    VectorIngestPipeline.seedStore(seedRows, cbook, store)
+
+    // the hand-passed-array drift the pipeline scaladoc warns about:
+    // same shape, different values — its codes would be unsearchable
+    // alongside the seeded segments
+    val drifted = cbook.map(_.map(_ * 1.5))
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Array[Float], Int)]
+    val q = VectorIngestPipeline.runVectorIngest(
+      input.toDS().toDF("vec_id", "embedding", "label"), drifted, store,
+      quar, s"$root/ckpt-bad")
+    input.addData((10L, vecOf(72), 0))
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q.processAllAvailable()
+    }
+    q.stop()
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("DIFFERENT codebook generation")),
+      s"expected the generation-guard message, got: ${messages(e)}")
+    // and nothing was written: the guard ran before the segment write
+    assert(!new java.io.File(s"$store/batch_id=0").exists,
+      "the drifted batch must not leave a segment")
+
+    // the matching codebook restarts cleanly from a fresh checkpoint
+    val q2 = VectorIngestPipeline.runVectorIngest(
+      input.toDS().toDF("vec_id", "embedding", "label"), cbook, store,
+      quar, s"$root/ckpt-good")
+    input.addData((11L, vecOf(73), 1))
+    q2.processAllAvailable()
+    q2.stop()
+    assert(spark.read.parquet(store).select("vec_id").collect()
+      .map(_.getLong(0)).toSet === Set(0L, 1L, 10L, 11L))
+  }
+
   test("media triage replay: a batch's own pre-committed store segment " +
       "never self-quarantines its keeps") {
     import graft.streaming.MediaTriagePipeline

@@ -453,6 +453,56 @@ class DedupSpec extends SparkSpec {
     assert(!new java.io.File(store + ".old").exists)
   }
 
+  test("PQ store generation guard: a drifted codebook fails append and " +
+      "search loud, the stamp survives compaction, pre-stamp stores " +
+      "are accepted") {
+    import spark.implicits._
+    val dim = SimilarityOps.Dim
+    val rnd = new scala.util.Random(23)
+    def vec(): Array[Float] = Array.fill(dim)(rnd.nextGaussian().toFloat)
+    val all = (0L until 60L).map(i => (i, vec(), (i % 3).toInt))
+    val embDf = all.toDF("vec_id", "embedding", "label")
+    val cbook = SimilarityOps.kmeansCentroids(embDf, k = 4, iters = 2)
+    // same k, same dim, different values — the width checks see nothing
+    val retrained = SimilarityOps.kmeansCentroids(embDf, k = 4, iters = 1)
+    assert(SimilarityOps.codebookFingerprint(cbook) !==
+      SimilarityOps.codebookFingerprint(retrained),
+      "fixture must produce two distinct codebook generations")
+    val store = tmpDir("pq-gen-guard") + "/codes"
+    SimilarityOps.writePqStore(embDf, cbook, store)
+    val q = all.head._2
+
+    val eAppend = intercept[IllegalArgumentException] {
+      SimilarityOps.appendToPqStore(embDf.limit(1), retrained, store)
+    }
+    assert(eAppend.getMessage.contains("DIFFERENT codebook generation"),
+      eAppend.getMessage)
+    val eSearch = intercept[IllegalArgumentException] {
+      SimilarityOps.annPqFromStore(spark, store, retrained, q)
+    }
+    assert(eSearch.getMessage.contains("DIFFERENT codebook generation"),
+      eSearch.getMessage)
+
+    // the stamp rides compaction's staging+swap like the shingle-k meta
+    SimilarityOps.appendToPqStore(embDf, cbook, store) // dup rows to eat
+    SimilarityOps.compactPqStore(spark, store)
+    assert(SimilarityOps.annPqFromStore(spark, store, cbook, q,
+      excludeId = 0L).count() === 10L,
+      "the matching codebook must still search after compaction")
+    intercept[IllegalArgumentException] {
+      SimilarityOps.annPqFromStore(spark, store, retrained, q)
+    }
+
+    // a pre-fingerprint store (no sidecar) skips the check instead of
+    // bricking: delete the meta and the drifted search is merely
+    // unguarded, as before r15
+    val fs = new org.apache.hadoop.fs.Path(s"$store/_graft_meta")
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$store/_graft_meta"), true)
+    assert(SimilarityOps.annPqFromStore(spark, store, retrained, q)
+      .count() === 10L, "absent meta must skip the generation check")
+  }
+
   test("PQ ANN: codes carry actual label values on non-contiguous labels") {
     import spark.implicits._
     val dim = SimilarityOps.Dim
