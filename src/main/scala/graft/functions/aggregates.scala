@@ -359,7 +359,12 @@ case class TopKRowsByScore(score: Expression, id: Expression,
 
   // payload serde rides an UnsafeRow over the single payload field — the
   // one serializer that covers every Catalyst type without a per-type
-  // switch (null payload = length -1)
+  // switch (null payload = length -1). No schema tag per element is
+  // needed because the schema is PLAN-FIXED: the payload expression is
+  // part of this aggregate node, every partial of one node serializes
+  // the same type, and partials of different call sites never share
+  // buffer slots (distinct agg-buffer offsets) — pinned by the
+  // two-different-typed-calls-in-one-aggregation FunctionsSpec arm.
   @transient private lazy val payloadSer =
     org.apache.spark.sql.catalyst.expressions.UnsafeProjection
       .create(payload.map(_.dataType).toArray)

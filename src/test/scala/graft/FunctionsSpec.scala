@@ -181,6 +181,47 @@ class FunctionsSpec extends SparkSpec {
       s"named type error, got: ${eType.getMessage}")
   }
 
+  test("graft_topk_rows: two different-typed payload calls in ONE " +
+      "aggregation keep their own serde — the plan-fixed-schema contract") {
+    // the payload schema is fixed per CALL SITE at plan time (the
+    // expression is part of the aggregate node, so every partial of one
+    // node serializes the same type — partials of different nodes never
+    // share buffer slots). This is the invariant that makes the
+    // per-payload UnsafeRow serde safe without a schema tag per element;
+    // pin it where it would break: two different-typed calls side by
+    // side, partials forced, each must round-trip its own type.
+    val df = spark.range(600).select(
+      (col("id") % 4).as("g"),
+      ((col("id") * 31L) % 101L).cast("double").as("s"),
+      col("id").as("v"),
+      concat(lit("str"), col("id")).as("ps"),
+      struct((col("id") * 2).as("a"),
+        (col("id") % 7).cast("int").as("b")).as("pt"))
+      .repartition(9) // forces serialize/merge of BOTH payload schemas
+    val rows = df.groupBy("g").agg(
+        expr("graft_topk_rows(s, v, ps, 4, false)").as("t_str"),
+        expr("graft_topk_rows(s, v, pt, 4, false)").as("t_struct"),
+        expr("graft_topk_ids(s, v, 4, false)").as("ids"))
+      .collect()
+    assert(rows.length === 4)
+    rows.foreach { r =>
+      val ids = r.getSeq[Long](3)
+      val tStr = r.getSeq[org.apache.spark.sql.Row](1)
+      val tStruct = r.getSeq[org.apache.spark.sql.Row](2)
+      assert(tStr.map(_.getLong(0)) === ids &&
+        tStruct.map(_.getLong(0)) === ids,
+        "both payload calls rank identically to the ids form")
+      tStr.foreach(t => assert(t.getString(2) === s"str${t.getLong(0)}",
+        s"string-payload call must yield its own payloads: $t"))
+      tStruct.foreach { t =>
+        val p = t.getStruct(2)
+        assert(p.getLong(0) === t.getLong(0) * 2 &&
+          p.getInt(1) === (t.getLong(0) % 7).toInt,
+          s"struct-payload call must yield its own payloads: $t")
+      }
+    }
+  }
+
   test("graft_min_k agrees with sorted-take on arbitrary data") {
     import org.scalacheck.{Gen, Prop, Test => SCTest}
     val prop = Prop.forAll(

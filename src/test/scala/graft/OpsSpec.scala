@@ -130,6 +130,42 @@ class OpsSpec extends SparkSpec {
         s"${samp("mi")}")
   }
 
+  test("q148 keep boundary: membership is strict-less-than on the " +
+      "floored product — a bucket EQUAL to the threshold is excluded, " +
+      "and the 6-dp float product floors exactly like the JVM's IEEE " +
+      "model (the cross-engine determinism contract)") {
+    import spark.implicits._
+    // the keep predicate verbatim as temperedSampleOn builds it, over a
+    // literal keep_frac
+    def sparkKept(kf: Double, ids: Seq[Long]): Set[Long] =
+      ids.toDF("doc_id")
+        .filter(graft.Tables.lcgBucket(col("doc_id"), 48271L, 13L,
+          1000000L) < floor(lit(kf) * lit(1e6)))
+        .collect().map(_.getLong(0)).toSet
+    def bucket(id: Long): Long = ((id % 1000000L) * 48271L + 13L) % 1000000L
+    def modelKept(kf: Double, ids: Seq[Long]): Set[Long] =
+      ids.filter(id => bucket(id) < math.floor(kf * 1e6)).toSet
+
+    // exact-equality exclusion: bucket(668797) == 500000 == the kf=0.5
+    // threshold; bucket(297166) == 499999, one inside it
+    assert(bucket(668797L) === 500000L && bucket(297166L) === 499999L)
+    assert(sparkKept(0.5, Seq(668797L, 297166L)) === Set(297166L),
+      "a bucket equal to floor(keep_frac*1e6) must be excluded (strict <)")
+
+    // representation hazard: 0.000249*1e6 = 248.99999... floors to 248,
+    // NOT 249 — deterministic (IEEE multiply of identical inputs is
+    // bit-identical in Spark, DuckDB and the JVM), so both engines admit
+    // the same one-smaller bucket set; pin Spark against the JVM model
+    // across the hazard value and the plain ones
+    assert(math.floor(0.000249 * 1e6) === 248.0,
+      "fixture must exercise the below-integer product")
+    val ids = (0L until 4000L) ++ Seq(668797L, 297166L)
+    for (kf <- Seq(0.000249, 1e-6, 0.5, 0.999999, 1.0))
+      assert(sparkKept(kf, ids) === modelKept(kf, ids),
+        s"Spark's floored-product keep set must equal the IEEE model at " +
+          s"keep_frac=$kf")
+  }
+
   test("tempered sample: hand-computed keep fractions, the most-boosted " +
       "cell keeps everything, and the realized shares land on the " +
       "tempered targets when cells are granular enough") {

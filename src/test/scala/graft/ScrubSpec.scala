@@ -155,6 +155,12 @@ class ScrubSpec extends SparkSpec {
       // k=3: 2+2 — exactly the global distribution → t = 0, not flagged
       Seq(ev("view", 3L, 0.5), ev("view", 3L, 0.5),
         ev("view", 3L, 1.5), ev("view", 3L, 1.5)) ++
+      // k=9: a_tot = 0 INSIDE a banded type (every value corrupt) — the
+      // grid row exists (joined to the type's bands) with num = 0 and
+      // denominator 0·btot·(m−1) = 0: try_divide reads NULL, flagged —
+      // never a 0/0 scan kill nor a silently-clean t = 0
+      Seq(ev("view", 9L, Double.NaN),
+        ev("view", 9L, Double.NegativeInfinity)) ++
       // a single-band type: every class trivially matches global → t = 0
       Seq.fill(3)(ev("solo", 1L, 9.2)) ++
       // a type with NO measurable band (NaN / Inf only): t = NULL,
@@ -168,9 +174,10 @@ class ScrubSpec extends SparkSpec {
     assert(got === Seq(
       ("bad", 1L, 1L, null, 2L, 2L, 100.0),
       ("solo", 1L, 0L, 0.0, 3L, 0L, 0.0),
-      // view: 3 classes, k=1/k=2 flagged (9 of 13 rows at risk,
-      // incl. the NaN cargo row of k=1), worst class t = 0.5
-      ("view", 3L, 2L, 0.5, 13L, 9L, 69.2308)))
+      // view: 4 classes, k=1/k=2 (skew) + k=9 (a_tot=0, NULL t) flagged
+      // — 11 of 15 rows at risk incl. the corrupt-value cargo rows;
+      // worst MEASURED class t = 0.5
+      ("view", 4L, 3L, 0.5, 15L, 11L, 73.3333)))
   }
 
   test("k-anonymity store: a pre-l-diversity store (no sens_sketch " +
