@@ -1995,6 +1995,144 @@ object SimilarityOps {
     }.toSeq
   }
 
+  // ---------------------------------------------------------------- q151
+
+  /** Probe-ring width the q151 registration pins (q143's 3, so the two
+    * trained faces differ only in what is scanned inside the ring:
+    * exact vectors there, residual codes here).
+    */
+  val IvfPqNProbe = 3
+
+  /** q151: trained IVF-PQ residual ANN — the two trained quantizers
+    * COMPOSED the way a production index actually ships (the FAISS
+    * IVFADC shape): a coarse Lloyd codebook ([[kmeansCentroids]])
+    * partitions the corpus into cells, every vector PQ-encodes its
+    * RESIDUAL (vector − its cell centroid) against a second per-subspace
+    * codebook trained ON those residuals ([[pqResidualCodebook]]), and a
+    * query probes its [[IvfPqNProbe]] nearest cells, scoring ONLY the
+    * probed cells' residual codes by ADC with a per-cell lookup table
+    * (the query's residual differs per cell). Residual encoding is what
+    * makes the composition worth it: residuals are centered near 0, so
+    * the same 8-bit-per-subspace budget spends its codewords on a far
+    * tighter distribution than raw vectors — q140 compresses, q143
+    * prunes, q151 does both, which is the only way an exhaustive-scan-
+    * free index fits a 100 TB corpus.
+    *
+    * Scale: both trainings are the proven bounded loops (corpus never
+    * shuffles; ≤ k·dim update cells per iteration); the search scan
+    * touches only probed cells' 8-byte codes — no full-dim arithmetic
+    * per candidate at all (8 table lookups + 7 adds); probe list and
+    * LUTs broadcast from the single query row; the cut is
+    * TakeOrderedAndProject. Retrains per call BY DESIGN (the q140/q143
+    * convention — the oracle replays BOTH trainings, the residual
+    * construction, the encode, and the probed ADC end to end);
+    * production trains once, persists both artifacts via
+    * [[writeCodebookStore]], and searches via [[annIvfPqWith]].
+    *
+    * Determinism: coarse assignment is [[assignClusters]]' arithmetic;
+    * residuals are element-wise IEEE subtractions (exact, both
+    * engines); the residual trainer inherits [[pqTrainedCodebook]]'s
+    * in-aggregation 6-dp rounding; LUT distances replay the q123 op
+    * order per probed cell; the 8-term ADC sum left-associates before
+    * the final round.
+    */
+  def annIvfPqTrained(s: SparkSession, dir: String): DataFrame = {
+    val valid = validLabeled(emb(s, dir))
+    val cells = kmeansCentroids(valid, IvfTrainK, IvfTrainIters)
+    annIvfPqWith(valid, cells, pqResidualCodebook(valid, cells))
+  }
+
+  /** The coarse-assigned residual frame: (vec_id, label, cluster,
+    * residual = embedding − its cell centroid) — ONE definition feeding
+    * the residual trainer, the index encode, and (via the same
+    * arithmetic on the query row) the search LUTs, so the three can
+    * never disagree on what a residual is. Element-wise double
+    * subtraction: exact and engine-identical given the 6-dp-rounded
+    * centroids ride in as literals.
+    */
+  private def residualsWith(validDf: DataFrame,
+      cells: Array[Array[Double]]): DataFrame = {
+    val cellsLit = typedLit(cells.map(_.toSeq).toSeq)
+    assignClusters(validDf, cells)
+      .select(col("vec_id"), col("label"), col("cluster"),
+        zip_with(col("embedding"),
+          element_at(cellsLit, col("cluster") + 1),
+          (x, c) => x - c).as("residual"))
+  }
+
+  /** Train the residual PQ codebook: [[pqTrainedCodebook]]'s bounded
+    * per-subspace Lloyd loop pointed at the residual frame instead of
+    * the raw corpus. `validDf` must be [[validLabeled]]-shaped and
+    * `cells` the coarse codebook the index will assign against —
+    * training on residuals of a DIFFERENT coarse generation would
+    * produce codewords centered on the wrong distribution (the
+    * codebook-fingerprint store guard exists for exactly this class).
+    */
+  def pqResidualCodebook(validDf: DataFrame, cells: Array[Array[Double]],
+      k: Int = PqTrainK, iters: Int = PqTrainIters): Array[Array[Double]] =
+    pqTrainedCodebook(
+      residualsWith(validDf, cells)
+        .select(col("vec_id"), col("residual").as("embedding")),
+      k, iters)
+
+  /** IVF-PQ search against explicit artifacts — the production form
+    * (both codebooks trained once, persisted via
+    * [[writeCodebookStore]], rehydrated via [[readCodebookStore]]).
+    * `validDf` needs (vec_id, label, embedding), null-free full-dim
+    * ([[validLabeled]]'s contract).
+    */
+  def annIvfPqWith(validDf: DataFrame, cells: Array[Array[Double]],
+      residCb: Array[Array[Double]], queryId: Long = 0L, k: Int = 10,
+      nProbe: Int = IvfPqNProbe): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(validDf.sparkSession)
+    require(cells.nonEmpty && residCb.nonEmpty,
+      "annIvfPqWith: empty coarse or residual codebook — train with " +
+        "kmeansCentroids / pqResidualCodebook")
+    val cellsLit = typedLit(cells.map(_.toSeq).toSeq)
+    // index side: residual codes + cell, 8 B per vector (built at ingest
+    // in production; per call here so the oracle replays it)
+    val coded = residualsWith(validDf, cells)
+      .select(col("vec_id"), col("label"), col("cluster").as("cell"),
+        call_function("graft_pq_encode", col("residual"),
+          typedLit(residCb.map(_.toSeq).toSeq), lit(PqSubDim)).as("codes"))
+    val q = broadcast(validDf.filter(col("vec_id") === queryId)
+      .select(col("embedding").as("q_emb")))
+    // the probe ring: q143's exact metric and tie-break
+    val probed = broadcast(q.select(
+        explode(slice(array_sort(array(cellDists(col("q_emb"), cells): _*)),
+          1, nProbe)).as("s"))
+      .select(col("s.c").as("cell")))
+    // per-probed-cell ADC lookup tables: the query's residual is CELL-
+    // dependent, so each probed cell carries its own [m][cw] table —
+    // O(nProbe · PqSub · k) entries on nProbe rows, never corpus work.
+    // Distances replay annPqSearch's op order over the residual slices.
+    val qRes = zip_with(col("q_emb"),
+      element_at(cellsLit, col("cell") + 1), (x, c) => x - c)
+    val rcb: Array[Array[Array[Double]]] = Array.tabulate(PqSub)(m =>
+      residCb.map(_.slice(m * PqSubDim, (m + 1) * PqSubDim)))
+    val lutCol = array((0 until PqSub).map { m =>
+      val qrm = slice(qRes, m * PqSubDim + 1, PqSubDim)
+      val x2 = dot(qrm, qrm)
+      array(rcb(m).toSeq.map(c =>
+        x2 - lit(2.0) * dot(qrm, typedLit(c.toSeq)) +
+          lit(c.map(v => v * v).sum)): _*)
+    }: _*)
+    val luts = broadcast(probed.crossJoin(q)
+      .select(col("cell"), lutCol.as("lut")))
+    val adc = (0 until PqSub).map(m =>
+        element_at(element_at(col("lut"), m + 1), col("codes")(m) + 1))
+      .reduceLeft(_ + _)
+    coded.join(luts, Seq("cell"))
+      .filter(col("vec_id") =!= queryId)
+      .select(col("vec_id"), col("label"), col("cell"),
+        array_join(transform(col("codes"), j => j.cast("string")), ",")
+          .as("pq_code"),
+        round(adc, 6).as("adc_dist"))
+      .filter(col("adc_dist").isNotNull)
+      .orderBy(col("adc_dist").asc, col("vec_id").asc)
+      .limit(k)
+  }
+
   // ---------------------------------------------------------------- q126
 
   /** q126: cluster-cohesion report — per cluster: size, the cosine
@@ -2444,7 +2582,8 @@ object SimilarityOps {
     "q140_ann_pq_trained" -> annPqTrained,
     "q142_pq_recall_trained" -> annPqRecallTrained,
     "q143_ann_ivf_trained" -> annIvfTrained,
-    "q144_ivf_recall_trained" -> annIvfRecallTrained)
+    "q144_ivf_recall_trained" -> annIvfRecallTrained,
+    "q151_ann_ivfpq" -> annIvfPqTrained)
 
   /** The hyperplane constants as full-precision SQL literals (Java's
     * Double.toString round-trips, and DuckDB parses to the same IEEE
@@ -2521,14 +2660,14 @@ object SimilarityOps {
          |  FROM asn$t asn JOIN v e USING (vec_id)
          |  CROSS JOIN (SELECT unnest(generate_series(1, $PqSubDim)) AS i) s
          |  GROUP BY asn.m, asn.cw, s.i),
-         |cb$t AS (SELECT g.cw,
+         |cb$t AS MATERIALIZED (SELECT g.cw,
          |    list(coalesce(u.cv, g.carr[pp.pos]) ORDER BY pp.pos) AS carr
          |  FROM cb${t - 1} g CROSS JOIN pos pp
          |  LEFT JOIN u$t u
          |    ON u.cw = g.cw AND u.m * $PqSubDim + u.i = pp.pos
          |  GROUP BY g.cw)""".stripMargin
     }.mkString(",\n")
-    s"""v AS (SELECT vec_id, embedding FROM embeddings
+    s"""v AS MATERIALIZED (SELECT vec_id, embedding FROM embeddings
        |  WHERE embedding IS NOT NULL AND len(embedding) = $Dim
        |    AND len(list_filter(embedding, x -> x IS NULL)) = 0),
        |m AS (SELECT unnest(generate_series(0, ${PqSub - 1})) AS m),
@@ -2573,6 +2712,120 @@ object SimilarityOps {
        |ORDER BY adc_dist, vec_id LIMIT 10""".stripMargin
   }
 
+  /** The per-subspace Lloyd chain of [[pqTrainedCbCtes]] pointed at an
+    * arbitrary (vec_id, rarr) CTE with prefixed names — the q151 oracle
+    * trains the RESIDUAL codebook with it (src = the residual CTE,
+    * p = "r"): defines `${p}m`, `${p}init`, `${p}cb0..cb$PqTrainIters`.
+    * Assumes a `pos` CTE (1..Dim) is already in scope. Kept textually
+    * parallel to [[pqTrainedCbCtes]] on purpose — the two replay the
+    * SAME Spark trainer ([[pqTrainedCodebook]]); if they ever diverge,
+    * q140 or q151 goes red at the oracle gate.
+    */
+  private def pqLloydCtesOver(src: String, p: String): String = {
+    val dist = (cb: String) =>
+      s"""(${sqlPqX2("e.rarr")})
+         |      - 2 * (${sqlPqXC("e.rarr", s"$cb.carr")})
+         |      + (${sqlPqC2(s"$cb.carr")})""".stripMargin
+    val iters = (1 to PqTrainIters).map { t =>
+      s"""${p}a$t AS (SELECT e.vec_id, m.m, c.cw,
+         |    ${dist("c")} AS dist
+         |  FROM $src e CROSS JOIN ${p}m m CROSS JOIN ${p}cb${t - 1} c),
+         |${p}asn$t AS (SELECT vec_id, m, cw FROM (
+         |    SELECT vec_id, m, cw, row_number() OVER (
+         |      PARTITION BY vec_id, m ORDER BY dist, cw) AS rn
+         |    FROM ${p}a$t)
+         |  WHERE rn = 1),
+         |${p}u$t AS (SELECT asn.m, asn.cw, s.i,
+         |    round(CAST(sum(CAST(e.rarr[asn.m * $PqSubDim + s.i]
+         |        AS DECIMAL(38,10))) AS DOUBLE) / count(*), 6) AS cv
+         |  FROM ${p}asn$t asn JOIN $src e USING (vec_id)
+         |  CROSS JOIN (SELECT unnest(generate_series(1, $PqSubDim)) AS i) s
+         |  GROUP BY asn.m, asn.cw, s.i),
+         |${p}cb$t AS MATERIALIZED (SELECT g.cw,
+         |    list(coalesce(u.cv, g.carr[pp.pos]) ORDER BY pp.pos) AS carr
+         |  FROM ${p}cb${t - 1} g CROSS JOIN pos pp
+         |  LEFT JOIN ${p}u$t u
+         |    ON u.cw = g.cw AND u.m * $PqSubDim + u.i = pp.pos
+         |  GROUP BY g.cw)""".stripMargin
+    }.mkString(",\n")
+    s"""${p}m AS (SELECT unnest(generate_series(0, ${PqSub - 1})) AS m),
+       |${p}init AS (SELECT rarr, cw FROM (
+       |    SELECT rarr, row_number() OVER (ORDER BY
+       |      (((vec_id % 1000000007) + 1000000007) % 1000000007
+       |        * 48271 + 11) % 1000000007 ASC,
+       |      vec_id ASC) - 1 AS cw FROM $src)
+       |  WHERE cw < $PqTrainK),
+       |${p}cb0 AS (SELECT cw,
+       |    list(CAST(rarr[pp.pos] AS DOUBLE) ORDER BY pp.pos) AS carr
+       |  FROM ${p}init CROSS JOIN pos pp GROUP BY cw),
+       |$iters""".stripMargin
+  }
+
+  /** q151 oracle: [[ivfTrainedCbCtes]] (coarse training) + final
+    * assignment + residual construction + [[pqLloydCtesOver]] (residual
+    * training) + residual encode + the probe ring + per-probed-cell ADC
+    * lookup tables + the probed-cells-only ADC rank — the whole IVFADC
+    * lifecycle replayed.
+    */
+  private def ivfPqOracleSql: String = {
+    val n = IvfTrainIters
+    val rn = PqTrainIters
+    val rdist = (cb: String) =>
+      s"""(${sqlPqX2("e.rarr")})
+         |      - 2 * (${sqlPqXC("e.rarr", s"$cb.carr")})
+         |      + (${sqlPqC2(s"$cb.carr")})""".stripMargin
+    // q151 stacks a second training chain ON TOP of the coarse one —
+    // `res` is pinned MATERIALIZED because it feeds 13 references
+    // (residual init + 5 Lloyd iterations + encode + final), each of
+    // which would otherwise re-run the whole coarse assignment (and,
+    // with `v` inlined, re-open the parquet until even a 20k fd limit
+    // blows — the measured failure). `v` and the cb levels are
+    // MATERIALIZED inside the shared builders.
+    s"""WITH $ivfTrainedCbCtes,
+       |fa AS (SELECT e.vec_id, c.cw,
+       |    ${sqlL2("e.embedding", "c.carr")} AS dist
+       |  FROM v e CROSS JOIN cb$n c),
+       |fasn AS (SELECT vec_id, cw FROM (
+       |    SELECT vec_id, cw, row_number() OVER (
+       |      PARTITION BY vec_id ORDER BY dist, cw) AS rn FROM fa)
+       |  WHERE rn = 1),
+       |res AS MATERIALIZED (SELECT e.vec_id, e.label, a.cw AS cell,
+       |    list_transform(generate_series(1, $Dim),
+       |      i -> CAST(e.embedding[i] AS DOUBLE) - c.carr[i]) AS rarr
+       |  FROM v e JOIN fasn a USING (vec_id) JOIN cb$n c ON c.cw = a.cw),
+       |${pqLloydCtesOver("res", "r")},
+       |rd AS (SELECT e.vec_id, m.m, c.cw AS code,
+       |    ${rdist("c")} AS dist
+       |  FROM res e CROSS JOIN rm m CROSS JOIN rcb$rn c),
+       |rcodes AS (SELECT vec_id, m, code FROM (
+       |    SELECT vec_id, m, code, row_number() OVER (
+       |      PARTITION BY vec_id, m ORDER BY dist, code) AS rn FROM rd)
+       |  WHERE rn = 1),
+       |q AS (SELECT embedding AS q_emb FROM v WHERE vec_id = 0),
+       |pd AS (SELECT c.cw,
+       |    ${sqlL2("q.q_emb", "c.carr")} AS dist
+       |  FROM cb$n c CROSS JOIN q),
+       |pr AS (SELECT cw FROM pd ORDER BY dist, cw LIMIT $IvfPqNProbe),
+       |qr AS (SELECT pr.cw AS cell,
+       |    list_transform(generate_series(1, $Dim),
+       |      i -> CAST(q.q_emb[i] AS DOUBLE) - c.carr[i]) AS rarr
+       |  FROM pr JOIN cb$n c ON c.cw = pr.cw CROSS JOIN q),
+       |lut AS (SELECT e.cell, m.m, c.cw AS code,
+       |    ${rdist("c")} AS dist
+       |  FROM qr e CROSS JOIN rm m CROSS JOIN rcb$rn c)
+       |SELECT r.vec_id, min(r.label) AS label,
+       |  CAST(min(r.cell) AS INT) AS cell,
+       |  string_agg(CAST(c.code AS VARCHAR), ',' ORDER BY c.m) AS pq_code,
+       |  round(list_reduce(list(l.dist ORDER BY c.m), (a, b) -> a + b), 6)
+       |    AS adc_dist
+       |FROM res r JOIN pr ON r.cell = pr.cw
+       |JOIN rcodes c ON c.vec_id = r.vec_id
+       |JOIN lut l ON l.cell = r.cell AND l.m = c.m AND l.code = c.code
+       |WHERE r.vec_id <> 0
+       |GROUP BY r.vec_id
+       |ORDER BY adc_dist, r.vec_id LIMIT 10""".stripMargin
+  }
+
   /** Full-dim squared-L2 between two SQL list expressions in the
     * [[cellDists]]/[[assignClusters]] op order: (x·x − 2·(x·c)) + (c·c),
     * every dot unrolled left-associated in index order — bit-exact vs the
@@ -2590,6 +2843,11 @@ object SimilarityOps {
     * coarse quantizer trains on whole vectors.
     */
   private def ivfTrainedCbCtes: String = {
+    // each cb$t is referenced TWICE (the next iteration's assignment and
+    // its own fallback join), so an inlined chain re-executes level t−1
+    // for both — 2^iters blowup; MATERIALIZED pins each level to run
+    // once (DuckDB 1.0 syntax; same results, measured 24 s → ~2 s on the
+    // q143 oracle at sf0.01)
     val iters = (1 to IvfTrainIters).map { t =>
       s"""a$t AS (SELECT e.vec_id, c.cw,
          |    ${sqlL2("e.embedding", "c.carr")} AS dist
@@ -2603,13 +2861,13 @@ object SimilarityOps {
          |      AS DOUBLE) / count(*), 6) AS cv
          |  FROM asn$t asn JOIN v e USING (vec_id) CROSS JOIN pos pp
          |  GROUP BY asn.cw, pp.pos),
-         |cb$t AS (SELECT g.cw,
+         |cb$t AS MATERIALIZED (SELECT g.cw,
          |    list(coalesce(u.cv, g.carr[pp.pos]) ORDER BY pp.pos) AS carr
          |  FROM cb${t - 1} g CROSS JOIN pos pp
          |  LEFT JOIN u$t u ON u.cw = g.cw AND u.pos = pp.pos
          |  GROUP BY g.cw)""".stripMargin
     }.mkString(",\n")
-    s"""v AS (SELECT vec_id, label, embedding FROM embeddings
+    s"""v AS MATERIALIZED (SELECT vec_id, label, embedding FROM embeddings
        |  WHERE embedding IS NOT NULL AND len(embedding) = $Dim
        |    AND len(list_filter(embedding, x -> x IS NULL)) = 0),
        |pos AS (SELECT unnest(generate_series(1, $Dim)) AS pos),
@@ -2619,7 +2877,7 @@ object SimilarityOps {
        |        * 48271 + 11) % 1000000007 ASC,
        |      vec_id ASC) - 1 AS cw FROM v)
        |  WHERE cw < $IvfTrainK),
-       |cb0 AS (SELECT cw,
+       |cb0 AS MATERIALIZED (SELECT cw,
        |    list(CAST(embedding[pp.pos] AS DOUBLE) ORDER BY pp.pos) AS carr
        |  FROM init CROSS JOIN pos pp GROUP BY cw),
        |$iters""".stripMargin
@@ -2899,6 +3157,7 @@ object SimilarityOps {
     "q140_ann_pq_trained" -> pqTrainedOracleSql,
     "q143_ann_ivf_trained" -> ivfTrainedOracleSql,
     "q144_ivf_recall_trained" -> ivfRecallTrainedOracleSql,
+    "q151_ann_ivfpq" -> ivfPqOracleSql,
     "q113_ann_rp" ->
       s"""WITH p AS (SELECT vec_id, label, ${sqlProj("embedding")} AS p
          |  FROM embeddings),

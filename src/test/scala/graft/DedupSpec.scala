@@ -453,6 +453,53 @@ class DedupSpec extends SparkSpec {
     assert(!new java.io.File(store + ".old").exists)
   }
 
+  test("IVF-PQ: the composed index retrieves the planted neighbor from " +
+      "residual codes, candidates come only from the probed ring, codes " +
+      "index the residual codebook, and empty artifacts fail loud") {
+    import spark.implicits._
+    val dim = SimilarityOps.Dim
+    val rnd = new scala.util.Random(41)
+    def vec(): Array[Float] = Array.fill(dim)(rnd.nextGaussian().toFloat)
+    val q = vec()
+    val near = q.map(x => x + 0.02f * rnd.nextGaussian().toFloat)
+    val rows = (0L, q, 0) +: (1L, near, 0) +:
+      (2L until 200L).map(i => (i, vec(), (i % 4).toInt))
+    val embDf = rows.toDF("vec_id", "embedding", "label")
+      .select(col("vec_id"), col("label"),
+        col("embedding").cast("array<double>").as("embedding"))
+    val cells = SimilarityOps.kmeansCentroids(embDf, k = 6, iters = 3)
+    val rcb = SimilarityOps.pqResidualCodebook(embDf, cells, k = 6,
+      iters = 3)
+    val out = SimilarityOps.annIvfPqWith(embDf, cells, rcb).collect()
+    assert(out.length === 10)
+    assert(out.head.getLong(0) === 1L,
+      s"planted neighbor must rank first through residual ADC, got " +
+        s"${out.map(_.getLong(0)).toSeq}")
+    // every candidate's cell sits in the query's nProbe ring — recompute
+    // the ring with the library's own assignment arithmetic
+    val qCell = SimilarityOps.assignClusters(
+      embDf.filter(col("vec_id") === 0L), cells)
+      .select("cluster").head().getInt(0)
+    val candCells = out.map(_.getInt(2)).toSet
+    assert(candCells.size <= SimilarityOps.IvfPqNProbe &&
+      candCells.contains(qCell),
+      s"candidates must come from ≤ nProbe cells incl. the query's own: " +
+        s"$candCells (query cell $qCell)")
+    out.foreach { r =>
+      val codes = r.getString(3).split(",").map(_.toInt)
+      assert(codes.length === SimilarityOps.PqSub &&
+        codes.forall(c => c >= 0 && c < 6),
+        s"codes are residual-codebook indices: ${r.getString(3)}")
+      assert(!r.isNullAt(4), "every valid candidate scores a finite ADC")
+    }
+    intercept[IllegalArgumentException] {
+      SimilarityOps.annIvfPqWith(embDf, Array.empty, rcb)
+    }
+    intercept[IllegalArgumentException] {
+      SimilarityOps.annIvfPqWith(embDf, cells, Array.empty)
+    }
+  }
+
   test("PQ store generation guard: a drifted codebook fails append and " +
       "search loud, the stamp survives compaction, pre-stamp stores " +
       "are accepted") {
