@@ -507,6 +507,86 @@ object TextOps {
       .orderBy("lang")
   }
 
+  /** Packing-stream count the q152 registration pins — deterministic
+    * parallel packing streams per language (production sets this to its
+    * worker count; 8 exercises multi-stream accounting on the test
+    * corpus).
+    */
+  val PackShards = 8
+
+  def packingPlan(s: SparkSession, dir: String): DataFrame =
+    packingPlanOn(docs(s, dir), ContextBudget, PackShards)
+
+  /** q152: the q147 report turned into an EXECUTABLE sequence-packing
+    * plan (the q146→q148 pattern): documents are concatenated in
+    * deterministic doc_id order within (lang, shard) packing streams and
+    * chunked into fixed `budget`-token training sequences — the
+    * GPT-style pack-and-chunk a data loader actually runs. Reports, per
+    * language: total and packable docs, token mass, the number of
+    * training sequences produced, how many documents straddle a sequence
+    * boundary (they arrive split across two contexts — the cost of
+    * chunk-packing vs the padding it saves), the padding tokens lost in
+    * each stream's final partial sequence, and the realized fill rate.
+    *
+    * Packing is order-DEFINED, so the shard is part of the plan's
+    * identity: each (lang, shard) stream packs independently (shard =
+    * lcgBucket(doc_id) — deterministic, rebuild-anywhere), which is
+    * exactly how a multi-worker loader packs; one global stream would
+    * serialize the epoch behind a single cursor.
+    *
+    * Scale: ONE corpus pass; the only shuffle is the (lang, shard)
+    * window sort that DEFINES packing order — |langs|·|shards| bounded
+    * partitions, shards being the parallelism knob (production uses
+    * thousands); everything after contracts to ≤ |langs|·|shards| cells.
+    * Determinism: all counters are integer arithmetic (`DIV`, never a
+    * float division or long cast — Spark DIV and DuckDB // agree on
+    * non-negative operands); a doc straddles a boundary iff its first
+    * and last token land in different chunks: (cum_before DIV budget) ≠
+    * ((cum_after − 1) DIV budget). A null-text doc is in `n_docs` but
+    * out of the pack (q147's census convention); a language with no
+    * measurable text reads 0 sequences and NULL token mass / fill.
+    */
+  def packingPlanOn(docsDf: DataFrame, budget: Int,
+      shards: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(budget >= 1, s"packingPlanOn: budget must be >= 1, got $budget")
+    require(shards >= 1, s"packingPlanOn: shards must be >= 1, got $shards")
+    val d = docsDf.withColumn("n_toks", sizeOrNull(tokens))
+    val w = Window.partitionBy("lang", "shard").orderBy("doc_id")
+    val packed = d.filter(col("n_toks").isNotNull)
+      .withColumn("shard",
+        Tables.lcgBucket(col("doc_id"), 48271L, 17L, shards))
+      .withColumn("cum_after", sum("n_toks").over(w))
+      .withColumn("split",
+        (expr(s"(cum_after - n_toks) DIV $budget") =!=
+          expr(s"(cum_after - 1) DIV $budget")).cast("long"))
+    val perStream = packed.groupBy("lang", "shard")
+      .agg(count(lit(1)).as("n_packable"),
+        sum("n_toks").as("s_tokens"),
+        sum("split").as("n_split"))
+      .withColumn("n_seqs", expr(s"(s_tokens + ${budget - 1}) DIV $budget"))
+    val perLang = perStream.groupBy("lang")
+      .agg(sum("n_packable").as("n_packable"),
+        sum("s_tokens").as("n_tokens"),
+        sum("n_seqs").as("n_sequences"),
+        sum("n_split").as("n_split_docs"))
+      .withColumn("padding_tokens",
+        col("n_sequences") * budget - col("n_tokens"))
+      .withColumn("fill_pct", round(
+        col("n_tokens") * lit(100.0).cast("double") /
+          (col("n_sequences") * lit(budget.toDouble)), 4))
+    d.groupBy("lang").agg(count(lit(1)).as("n_docs")).as("t")
+      .join(perLang.as("p"), col("t.lang") <=> col("p.lang"), "left")
+      .select(col("t.lang").as("lang"), col("n_docs"),
+        coalesce(col("n_packable"), lit(0L)).as("n_packable"),
+        col("n_tokens"),
+        coalesce(col("n_sequences"), lit(0L)).as("n_sequences"),
+        coalesce(col("n_split_docs"), lit(0L)).as("n_split_docs"),
+        coalesce(col("padding_tokens"), lit(0L)).as("padding_tokens"),
+        col("fill_pct"))
+      .orderBy("lang")
+  }
+
   /** Repetition profile — the Gopher-style repetition filters: per document,
     * the most-frequent-token share and bigram-duplication stats that flag
     * boilerplate / degenerate text before training (Rae et al. 2021 §A1.1
@@ -1467,6 +1547,7 @@ object TextOps {
     "q146_temperature_mix" -> temperatureMix,
     "q147_context_budget" -> contextBudget,
     "q148_tempered_sample" -> temperedSample,
+    "q152_packing_plan" -> packingPlan,
     "q150_source_cap" -> sourceCap,
     "q63_repetition_profile" -> repetitionProfile,
     "q66_vocab_stats" -> vocabStats,
@@ -1795,6 +1876,46 @@ object TextOps {
          |    / nullif(CAST(sum(n_toks) AS BIGINT), 0), 4)
          |    AS tokens_lost_pct
          |FROM d GROUP BY lang ORDER BY lang""".stripMargin,
+    // Replays pack-and-chunk: per-(lang, shard) running token sums in
+    // doc_id order, integer chunk ids (// on both engines — never a
+    // float division or long cast), the straddle test on first-vs-last
+    // token chunk, and the per-language rollup with the null-safe join
+    // that keeps unmeasurable languages at 0 sequences.
+    "q152_packing_plan" ->
+      s"""WITH d AS (SELECT doc_id, lang,
+         |    len(string_split(trim(text), ' ')) AS n_toks FROM documents),
+         |m AS (SELECT doc_id, lang, n_toks,
+         |    ((doc_id % $PackShards + $PackShards) % $PackShards
+         |      * 48271 + 17) % $PackShards AS shard
+         |  FROM d WHERE n_toks IS NOT NULL),
+         |c AS (SELECT lang, shard, n_toks,
+         |    sum(n_toks) OVER (PARTITION BY lang, shard
+         |      ORDER BY doc_id) AS cum_after
+         |  FROM m),
+         |s AS (SELECT lang, shard, count(*) AS n_packable,
+         |    CAST(sum(n_toks) AS BIGINT) AS s_tokens,
+         |    CAST(sum(CASE WHEN (cum_after - n_toks) // $ContextBudget
+         |        <> (cum_after - 1) // $ContextBudget
+         |      THEN 1 ELSE 0 END) AS BIGINT) AS n_split
+         |  FROM c GROUP BY lang, shard),
+         |p AS (SELECT lang,
+         |    CAST(sum(n_packable) AS BIGINT) AS n_packable,
+         |    CAST(sum(s_tokens) AS BIGINT) AS n_tokens,
+         |    CAST(sum((s_tokens + ${ContextBudget - 1}) // $ContextBudget)
+         |      AS BIGINT) AS n_sequences,
+         |    CAST(sum(n_split) AS BIGINT) AS n_split_docs
+         |  FROM s GROUP BY lang)
+         |SELECT t.lang, t.n_docs,
+         |  coalesce(p.n_packable, 0) AS n_packable, p.n_tokens,
+         |  coalesce(p.n_sequences, 0) AS n_sequences,
+         |  coalesce(p.n_split_docs, 0) AS n_split_docs,
+         |  coalesce(p.n_sequences * $ContextBudget - p.n_tokens, 0)
+         |    AS padding_tokens,
+         |  round(p.n_tokens * CAST(100 AS DOUBLE)
+         |    / (p.n_sequences * $ContextBudget), 4) AS fill_pct
+         |FROM (SELECT lang, count(*) AS n_docs FROM d GROUP BY lang) t
+         |LEFT JOIN p ON t.lang IS NOT DISTINCT FROM p.lang
+         |ORDER BY t.lang""".stripMargin,
     // Replays the epoch plan: the q146 chain through up-sampling factors
     // → keep fractions (normalized to the most-boosted cell) → the
     // deterministic lcg keep per document (explicit floor — a long CAST

@@ -130,6 +130,50 @@ class OpsSpec extends SparkSpec {
         s"${samp("mi")}")
   }
 
+  test("packing plan: hand-traced chunk boundaries, straddling docs " +
+      "counted once, per-stream packing is independent, null text is " +
+      "censused but unpacked") {
+    import spark.implicits._
+    // one stream (shards = 1), budget 10: docs of 4/5/3/12 tokens pack
+    // at offsets 0/4/9/12 — doc 3 straddles chunk 0→1, doc 4 spans
+    // 1→2; 24 tokens → 3 sequences, 6 padding, fill 80%
+    def toks(n: Int): String = Seq.fill(n)("t").mkString(" ")
+    val docs = Seq(
+      (1L, "en", toks(4)), (2L, "en", toks(5)), (3L, "en", toks(3)),
+      (4L, "en", toks(12)), (5L, "en", null.asInstanceOf[String]),
+      (6L, "xx", null.asInstanceOf[String]))
+      .toDF("doc_id", "lang", "text")
+    val one = TextOps.packingPlanOn(docs, budget = 10, shards = 1)
+      .collect().map(r => r.getString(0) -> r).toMap
+    val en = one("en")
+    assert((en.getLong(1), en.getLong(2), en.getLong(3), en.getLong(4),
+      en.getLong(5), en.getLong(6), en.getDouble(7)) ===
+      ((5L, 4L, 24L, 3L, 2L, 6L, 80.0)), s"en plan: $en")
+    val xx = one("xx")
+    assert(xx.getLong(1) === 1L && xx.getLong(2) === 0L &&
+      xx.isNullAt(3) && xx.getLong(4) === 0L && xx.getLong(6) === 0L &&
+      xx.isNullAt(7),
+      s"an unmeasurable language reads 0 sequences, NULL mass/fill: $xx")
+
+    // two streams: lcgBucket(id, 48271, 17, 2) routes odd ids → 0,
+    // even → 1; budget 6 packs (3,4) and (5,5) independently — each
+    // stream's second doc straddles ITS boundary, 2+2 sequences
+    val d2 = Seq((1L, "en", toks(3)), (3L, "en", toks(4)),
+      (2L, "en", toks(5)), (4L, "en", toks(5)))
+      .toDF("doc_id", "lang", "text")
+    val two = TextOps.packingPlanOn(d2, budget = 6, shards = 2)
+      .collect().head
+    assert((two.getLong(2), two.getLong(3), two.getLong(4),
+      two.getLong(5), two.getLong(6)) === ((4L, 17L, 4L, 2L, 7L)),
+      s"independent streams: $two")
+    intercept[IllegalArgumentException] {
+      TextOps.packingPlanOn(docs, budget = 0, shards = 1)
+    }
+    intercept[IllegalArgumentException] {
+      TextOps.packingPlanOn(docs, budget = 10, shards = 0)
+    }
+  }
+
   test("q148 keep boundary: membership is strict-less-than on the " +
       "floored product — a bucket EQUAL to the threshold is excluded, " +
       "and the 6-dp float product floors exactly like the JVM's IEEE " +
