@@ -698,6 +698,27 @@ object Scratch {
       spark.stop()
       return
     }
+    if (name == "timeq") {
+      // one-off cold+warm timing of a single catalog query against
+      // SCRATCH_DIR — the canary harness for queries outside the
+      // standing set (6M-vector trained-face datapoints, ad-hoc
+      // adjudication): `SCRATCH_DIR=<dir> Scratch timeq q151`
+      val prefix = args.lift(1).getOrElse(sys.error("timeq <queryPrefix>"))
+      val (qn, fn) = SparkEntry.queries.toSeq.sortBy(_._1)
+        .find(_._1.startsWith(prefix + "_"))
+        .orElse(SparkEntry.queries.find(_._1 == prefix))
+        .getOrElse(sys.error(s"timeq $prefix not in catalog"))
+      def once(): Double = {
+        spark.sharedState.cacheManager.clearCache()
+        val t0 = System.nanoTime()
+        fn(spark, dir).count()
+        (System.nanoTime() - t0) / 1e9
+      }
+      val cold = once(); val warm = once()
+      println(f"$qn%-28s cold $cold%6.2f s  warm $warm%6.2f s")
+      spark.stop()
+      return
+    }
     if (name == "canary") {
       // the standing 100× scale-canary set (r11 judge item 5): ten
       // queries spanning the catalog's distinct shuffle shapes, run
