@@ -905,6 +905,31 @@ object Scratch {
           s"ADC from the compacted store != in-plan form " +
             s"($viaStore vs $inline)")
       }
+      gate("ivfpq_index") {
+        val p = s"$root/ivfpq"
+        val valid = ops.SimilarityOps.validLabeled(emb)
+        val vC1 = valid.filter(
+          Tables.lcgBucket(col("vec_id"), 48271L, 23L, 100L) < 80L)
+        val vC2 = valid.filter(
+          Tables.lcgBucket(col("vec_id"), 48271L, 23L, 100L) >= 80L)
+        val rcb = ops.SimilarityOps.pqResidualCodebook(valid, cbook,
+          k = 8, iters = 2)
+        ops.SimilarityOps.writeIvfPqStore(vC1, cbook, rcb, p)
+        ops.SimilarityOps.appendToIvfPqStore(vC2, cbook, rcb, p)
+        ops.SimilarityOps.appendToIvfPqStore(vC2, cbook, rcb, p) // replay
+        ops.SimilarityOps.compactIvfPqStore(spark, p)
+        val q = emb.filter(col("vec_id") === 0L)
+          .select("embedding").head().getSeq[Float](0).toArray
+        def key(r: org.apache.spark.sql.Row) =
+          (r.getLong(0), r.getInt(2), r.getString(3), r.getDouble(4))
+        val viaStore = ops.SimilarityOps.annIvfPqFromStore(spark, p,
+          cbook, rcb, q, excludeId = 0L).collect().map(key).toSeq
+        val inline = ops.SimilarityOps.annIvfPqWith(valid, cbook, rcb)
+          .collect().map(key).toSeq
+        require(viaStore == inline,
+          s"residual ADC from the compacted inverted lists != in-plan " +
+            s"form ($viaStore vs $inline)")
+      }
       gate("cardinality") {
         val p = s"$root/cardinality"
         ops.CurationOps.writeCardinalityStore(c1, p)

@@ -1913,7 +1913,7 @@ object SimilarityOps {
     * also never a search candidate: train-set and index membership cannot
     * diverge.
     */
-  private def validLabeled(embDf: DataFrame): DataFrame =
+  private[graft] def validLabeled(embDf: DataFrame): DataFrame =
     embDf.filter(col("embedding").isNotNull &&
         size(col("embedding")) === Dim &&
         !exists(col("embedding"), v => v.isNull))
@@ -2129,6 +2129,174 @@ object SimilarityOps {
           .as("pq_code"),
         round(adc, 6).as("adc_dist"))
       .filter(col("adc_dist").isNotNull)
+      .orderBy(col("adc_dist").asc, col("vec_id").asc)
+      .limit(k)
+  }
+
+  // ---- persisted IVF-PQ index (cell-partitioned inverted lists) ----------
+
+  /** Stamp/read the TWO codebook fingerprints an IVF-PQ store depends
+    * on — coarse cells and residual codewords are separate trained
+    * artifacts with separate retrain cadences, and a drift in EITHER
+    * silently mis-scores the whole index (stale residual codes against
+    * fresh cells are exactly as wrong as the reverse).
+    */
+  private def writeIvfPqMeta(s: SparkSession, path: String,
+      cellsFp: Long, residFp: Long): Unit = {
+    import s.implicits._
+    Seq((cellsFp, residFp)).toDF("cells_fp", "resid_fp").coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/_graft_meta")
+  }
+
+  private def requireIvfPqFingerprints(s: SparkSession, path: String,
+      cells: Array[Array[Double]], residCb: Array[Array[Double]],
+      op: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/_graft_meta")
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) {
+      val r = Tables.boundedCollect(s.read.parquet(p.toString)
+        .select("cells_fp", "resid_fp"), 1, "ivfpq store fingerprints").head
+      def bad(which: String) = s"$op: the IVF-PQ store at $path was " +
+        s"encoded by a DIFFERENT $which codebook generation than the " +
+        "one passed — its codes would score silently wrong. Load the " +
+        "store's matching artifacts (readCodebookStore) or re-encode " +
+        "the index (writeIvfPqStore)"
+      require(r.getLong(0) == codebookFingerprint(cells), bad("coarse"))
+      require(r.getLong(1) == codebookFingerprint(residCb), bad("residual"))
+    }
+  }
+
+  /** Materialize the IVF-PQ index: one (vec_id, label, codes) row per
+    * vector, PARTITIONED BY its coarse cell — the inverted-list layout,
+    * so a probed search prunes to nProbe cell directories at the
+    * STORAGE level (the scan never opens an unprobed cell's files) and
+    * each row costs 8 residual-code bytes. This is the at-scale form of
+    * q151: both artifacts train once ([[kmeansCentroids]] /
+    * [[pqResidualCodebook]], persisted via [[writeCodebookStore]]), the
+    * corpus encodes once at ingest, and every search after reads codes
+    * only ([[annIvfPqFromStore]]). Dual fingerprints stamp the sidecar.
+    * `validDf` needs (vec_id, label, embedding), null-free full-dim.
+    */
+  def writeIvfPqStore(validDf: DataFrame, cells: Array[Array[Double]],
+      residCb: Array[Array[Double]], path: String): Unit = {
+    ivfPqEncoded(validDf, cells, residCb)
+      .write.partitionBy("cell").mode("overwrite").parquet(path)
+    writeIvfPqMeta(validDf.sparkSession, path,
+      codebookFingerprint(cells), codebookFingerprint(residCb))
+  }
+
+  /** Fold a new batch into the index (admit exactly once, the
+    * [[appendToPqStore]] contract); refuses drifted artifacts loud.
+    */
+  def appendToIvfPqStore(batch: DataFrame, cells: Array[Array[Double]],
+      residCb: Array[Array[Double]], path: String): Unit = {
+    requireIvfPqFingerprints(batch.sparkSession, path, cells, residCb,
+      "appendToIvfPqStore")
+    ivfPqEncoded(batch, cells, residCb)
+      .write.partitionBy("cell").mode("append").parquet(path)
+    writeIvfPqMeta(batch.sparkSession, path,
+      codebookFingerprint(cells), codebookFingerprint(residCb))
+  }
+
+  /** Re-contract replayed-append duplicates to one row per vec_id,
+    * PRESERVING the cell partitioning (the layout is the index — a flat
+    * rewrite would turn every probe back into a full scan). Staged +
+    * atomic swap with the fingerprint sidecar carried across.
+    */
+  def compactIvfPqStore(s: SparkSession, path: String): Unit = {
+    val meta = Tables.boundedCollect(
+      s.read.parquet(s"$path/_graft_meta").select("cells_fp", "resid_fp"),
+      1, "ivfpq store fingerprints").headOption
+    val staging = path + ".merging"
+    val stagingPath = new org.apache.hadoop.fs.Path(staging)
+    val fs = stagingPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(stagingPath, true)
+    s.read.parquet(path).dropDuplicates("vec_id")
+      .write.partitionBy("cell").mode("overwrite").parquet(staging)
+    meta.foreach(r => writeIvfPqMeta(s, staging, r.getLong(0),
+      r.getLong(1)))
+    ScaleOps.swapInto(s, staging, path)
+  }
+
+  private def ivfPqEncoded(validDf: DataFrame,
+      cells: Array[Array[Double]],
+      residCb: Array[Array[Double]]): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(validDf.sparkSession)
+    residualsWith(validDf, cells)
+      .select(col("vec_id"), col("label"),
+        call_function("graft_pq_encode", col("residual"),
+          typedLit(residCb.map(_.toSeq).toSeq), lit(PqSubDim)).as("codes"),
+        col("cluster").as("cell"))
+  }
+
+  /** ADC search over the PERSISTED inverted lists: the probe ring and
+    * the per-probed-cell lookup tables compute driver-side from the
+    * literal artifacts (replaying [[annIvfPqWith]]'s op order exactly —
+    * spec-pinned bit-identical), and the scan reads ONLY the probed
+    * cells' code files via partition pruning. `queryVec` arrives as
+    * floats like the stored embeddings ([[annPqFromStore]]'s
+    * convention).
+    */
+  def annIvfPqFromStore(s: SparkSession, path: String,
+      cells: Array[Array[Double]], residCb: Array[Array[Double]],
+      queryVec: Array[Float], excludeId: Long = -1L, k: Int = 10,
+      nProbe: Int = IvfPqNProbe): DataFrame = {
+    val dim = queryVec.length
+    requireIvfPqFingerprints(s, path, cells, residCb, "annIvfPqFromStore")
+    require(cells.nonEmpty && cells.head.length == dim,
+      s"annIvfPqFromStore: coarse codebook width != query dim $dim")
+    require(residCb.nonEmpty && residCb.head.length == dim,
+      s"annIvfPqFromStore: residual codebook width != query dim $dim")
+    require(dim % PqSubDim == 0,
+      s"annIvfPqFromStore: query dim $dim not divisible by $PqSubDim")
+    val nSub = dim / PqSubDim
+    Tables.boundedCollect(
+      s.read.parquet(path).select(size(col("codes")).as("w")).limit(1),
+      1, "ivfpq store code-width probe").foreach { r =>
+      require(r.getInt(0) == nSub,
+        s"annIvfPqFromStore: store encodes ${r.getInt(0)} subspaces but " +
+          s"the $dim-dim query implies $nSub — wrong codebook or store")
+    }
+    val q = queryVec.map(_.toDouble)
+    // probe ring: assignClusters' arithmetic driver-side — x² shared,
+    // index-order dots, c² left fold, (d, c) ascending
+    val x2 = { var a = 0.0; q.foreach(v => a += v * v); a }
+    val probedCells = cells.zipWithIndex.map { case (c, i) =>
+      var dotAcc = 0.0; var c2 = 0.0
+      (0 until dim).foreach { j => dotAcc += q(j) * c(j); c2 += c(j) * c(j) }
+      (x2 - 2.0 * dotAcc + c2, i)
+    }.sortBy(identity).take(nProbe).map(_._2)
+    // per-probed-cell LUTs: qr = q − cell, then the annPqFromStore LUT
+    // replay per subspace over the residual codewords
+    val lutByCell: Map[Int, Seq[Seq[Double]]] = probedCells.map { ci =>
+      val qr = Array.tabulate(dim)(j => q(j) - cells(ci)(j))
+      ci -> (0 until nSub).map { m =>
+        val off = m * PqSubDim
+        var qx2 = 0.0
+        (0 until PqSubDim).foreach { i =>
+          val x = qr(off + i); qx2 += x * x
+        }
+        residCb.toSeq.map { c =>
+          var dotAcc = 0.0; var c2 = 0.0
+          (0 until PqSubDim).foreach { j =>
+            dotAcc += qr(off + j) * c(off + j)
+            c2 += c(off + j) * c(off + j)
+          }
+          qx2 - 2.0 * dotAcc + c2
+        }
+      }
+    }.toMap
+    val lut = element_at(typedLit(lutByCell), col("cell"))
+    val adc = (0 until nSub).map(m =>
+        element_at(element_at(lut, m + 1), col("codes")(m) + 1))
+      .reduceLeft(_ + _)
+    s.read.parquet(path)
+      .filter(col("cell").isInCollection(probedCells.toSeq) &&
+        col("vec_id") =!= excludeId)
+      .select(col("vec_id"), col("label"), col("cell"),
+        array_join(transform(col("codes"), j => j.cast("string")), ",")
+          .as("pq_code"),
+        round(adc, 6).as("adc_dist"))
       .orderBy(col("adc_dist").asc, col("vec_id").asc)
       .limit(k)
   }

@@ -500,6 +500,77 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("IVF-PQ store: inverted-list search from persisted codes is " +
+      "bit-identical to the in-plan form across append+replay+compact, " +
+      "the probed scan prunes to cell partitions, and a drift in either " +
+      "artifact fails loud by name") {
+    import spark.implicits._
+    val dim = SimilarityOps.Dim
+    val rnd = new scala.util.Random(47)
+    def vec(): Array[Float] = Array.fill(dim)(rnd.nextGaussian().toFloat)
+    val all = (0L until 120L).map(i => (i, vec(), (i % 3).toInt))
+    def frame(rows: Seq[(Long, Array[Float], Int)]) =
+      rows.toDF("vec_id", "embedding", "label")
+        .select(col("vec_id"), col("label"),
+          col("embedding").cast("array<double>").as("embedding"))
+    val embDf = frame(all)
+    val cells = SimilarityOps.kmeansCentroids(embDf, k = 4, iters = 2)
+    val rcb = SimilarityOps.pqResidualCodebook(embDf, cells, k = 4,
+      iters = 2)
+    val store = tmpDir("ivfpq-store") + "/index"
+    SimilarityOps.writeIvfPqStore(frame(all.take(80)), cells, rcb, store)
+    SimilarityOps.appendToIvfPqStore(frame(all.drop(80)), cells, rcb,
+      store)
+    assert(spark.read.parquet(store).count() === 120)
+
+    val q = all.head._2
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getInt(2), r.getString(3), r.getDouble(4))
+    val fromStore = SimilarityOps.annIvfPqFromStore(spark, store, cells,
+      rcb, q, excludeId = 0L)
+    assert(fromStore.collect().map(key).toSeq ===
+      SimilarityOps.annIvfPqWith(embDf, cells, rcb).collect()
+        .map(key).toSeq,
+      "store search must replay the in-plan residual ADC bit-for-bit")
+    // the layout IS the index: cell directories on disk, and the probed
+    // scan prunes to them at the source (no unprobed cell is read)
+    assert(new java.io.File(store).listFiles()
+      .exists(_.getName.startsWith("cell=")), "inverted-list layout")
+    assert(fromStore.queryExecution.executedPlan.toString
+      .contains("PartitionFilters: ["),
+      "the probe must reach the scan as a partition filter")
+
+    // replayed append duplicates; compaction re-contracts, preserves
+    // the partitioning AND the fingerprint sidecar
+    SimilarityOps.appendToIvfPqStore(frame(all.drop(80)), cells, rcb,
+      store)
+    assert(spark.read.parquet(store).count() === 160)
+    SimilarityOps.compactIvfPqStore(spark, store)
+    assert(spark.read.parquet(store).count() === 120)
+    assert(new java.io.File(store).listFiles()
+      .exists(_.getName.startsWith("cell=")),
+      "compaction must keep the inverted-list layout")
+    assert(SimilarityOps.annIvfPqFromStore(spark, store, cells, rcb, q,
+      excludeId = 0L).collect().map(key).toSeq ===
+      SimilarityOps.annIvfPqWith(embDf, cells, rcb).collect()
+        .map(key).toSeq, "compaction must not change answers")
+
+    // drift in EITHER artifact is named: coarse vs residual
+    val cells2 = cells.map(_.map(_ * 1.5))
+    val rcb2 = rcb.map(_.map(_ * 1.5))
+    val eCoarse = intercept[IllegalArgumentException] {
+      SimilarityOps.annIvfPqFromStore(spark, store, cells2, rcb, q)
+    }
+    assert(eCoarse.getMessage.contains("DIFFERENT coarse codebook"),
+      eCoarse.getMessage)
+    val eResid = intercept[IllegalArgumentException] {
+      SimilarityOps.appendToIvfPqStore(frame(all.take(1)), cells, rcb2,
+        store)
+    }
+    assert(eResid.getMessage.contains("DIFFERENT residual codebook"),
+      eResid.getMessage)
+  }
+
   test("PQ store generation guard: a drifted codebook fails append and " +
       "search loud, the stamp survives compaction, pre-stamp stores " +
       "are accepted") {
