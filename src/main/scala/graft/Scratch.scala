@@ -801,7 +801,13 @@ object Scratch {
           failures ::= s"$family: ${e.getMessage}"
           println(s"[storegate] $family FAILED: ${e.getMessage}")
         }
-      def dump(df: DataFrame) = df.collect().map(_.toSeq).toSeq
+      // bounded by contract: every gate frame is an audit/top-k/
+      // per-source contraction, far under the cap (the grep audit in
+      // BoundedCollectSpec forbids raw collects here too — rightly:
+      // storegate is wired into `sbt gates`, not a dev scratch path)
+      def dump(df: DataFrame) =
+        Tables.boundedCollect(df, 1 << 20, "storegate frame")
+          .map(_.toSeq).toSeq
 
       gate("fingerprint") {
         val p = s"$root/fingerprints"
@@ -896,10 +902,12 @@ object Scratch {
         ops.SimilarityOps.compactPqStore(spark, p)
         val q = emb.filter(col("vec_id") === 0L)
           .select("embedding").head().getSeq[Float](0).toArray
-        val viaStore = ops.SimilarityOps.annPqFromStore(spark, p, cbook, q,
-          excludeId = 0L).collect()
+        val viaStore = Tables.boundedCollect(
+          ops.SimilarityOps.annPqFromStore(spark, p, cbook, q,
+            excludeId = 0L), 100, "pq store top-k")
           .map(r => (r.getLong(0), r.getString(2), r.getDouble(3))).toSeq
-        val inline = ops.SimilarityOps.annPqWith(emb, cbook).collect()
+        val inline = Tables.boundedCollect(
+          ops.SimilarityOps.annPqWith(emb, cbook), 100, "pq inline top-k")
           .map(r => (r.getLong(0), r.getString(2), r.getDouble(3))).toSeq
         require(viaStore == inline,
           s"ADC from the compacted store != in-plan form " +
@@ -922,10 +930,12 @@ object Scratch {
           .select("embedding").head().getSeq[Float](0).toArray
         def key(r: org.apache.spark.sql.Row) =
           (r.getLong(0), r.getInt(2), r.getString(3), r.getDouble(4))
-        val viaStore = ops.SimilarityOps.annIvfPqFromStore(spark, p,
-          cbook, rcb, q, excludeId = 0L).collect().map(key).toSeq
-        val inline = ops.SimilarityOps.annIvfPqWith(valid, cbook, rcb)
-          .collect().map(key).toSeq
+        val viaStore = Tables.boundedCollect(
+          ops.SimilarityOps.annIvfPqFromStore(spark, p, cbook, rcb, q,
+            excludeId = 0L), 100, "ivfpq store top-k").map(key).toSeq
+        val inline = Tables.boundedCollect(
+          ops.SimilarityOps.annIvfPqWith(valid, cbook, rcb), 100,
+          "ivfpq inline top-k").map(key).toSeq
         require(viaStore == inline,
           s"residual ADC from the compacted inverted lists != in-plan " +
             s"form ($viaStore vs $inline)")
@@ -935,13 +945,16 @@ object Scratch {
         ops.CurationOps.writeCardinalityStore(c1, p)
         ops.CurationOps.mergeIntoCardinalityStore(c2, p)
         ops.CurationOps.mergeIntoCardinalityStore(c2, p) // replay: set-idem
-        val est = ops.CurationOps.cardinalityFromStore(spark, p).collect()
+        val est = Tables.boundedCollect(
+          ops.CurationOps.cardinalityFromStore(spark, p), 1 << 16,
+          "cardinality store rows")
           .map(r => r.getString(0) -> r.getLong(1)).toMap
-        val exact = docsAll
+        val exact = Tables.boundedCollect(docsAll
           .select(col("source"),
             explode(split(trim(col("text")), " ")).as("token"))
-          .groupBy("source").agg(countDistinct("token").as("n"))
-          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+          .groupBy("source").agg(countDistinct("token").as("n")),
+          1 << 16, "exact cardinality rows")
+          .map(r => r.getString(0) -> r.getLong(1)).toMap
         require(est.keySet == exact.keySet, s"source sets differ: " +
           s"${est.keySet} vs ${exact.keySet}")
         // merged sketches lose the HIP estimator (composite fallback) —
@@ -995,9 +1008,8 @@ object Scratch {
         val viaStore = ops.SearchOps.lmPerplexityFromStore(docsAll, lmPath)
         require(viaStore.filter(col("n_oov") =!= 0L).isEmpty,
           "LM trained on the whole corpus must score it with zero OOV")
-        require(viaStore
-            .select("doc_id", "n_bigrams", "avg_logp", "ppl").collect()
-            .map(_.toSeq).toSeq ==
+        require(dump(viaStore
+            .select("doc_id", "n_bigrams", "avg_logp", "ppl")) ==
           dump(ops.SearchOps.lmPerplexityOn(docsAll)),
           "perplexity from the appended LM store != one-shot inline LM")
       }

@@ -2133,6 +2133,134 @@ object SimilarityOps {
       .limit(k)
   }
 
+  /** q153: the recall curve for the COMPOSED index — q144 measures what
+    * probing costs with exact re-ranking inside the ring, q142 what
+    * quantization costs with the whole corpus scanned; this face
+    * measures both at once (candidates from nProbe trained cells,
+    * ranked by residual ADC), which is the number an IVFADC deployment
+    * actually ships on. Same harness conventions as the rest of the
+    * quartet: bounded probe set, recall@k vs exact brute force,
+    * `mean_frac_scanned` cost axis (probe excluded, /(n−1)).
+    * Retrains both artifacts per call BY DESIGN (the oracle replays the
+    * whole lifecycle); production evaluates store-loaded artifacts via
+    * [[annIvfPqRecallWith]].
+    *
+    * Measured at sf0.01 (the honest verdict, like q138's): recall@10
+    * reads 0.35 FLAT across nProbe 1→4 at the q144 ring's scan
+    * fractions — the ADC ranking saturates (the error is in the 8-byte
+    * quantization, not the candidate set, so a wider ring buys
+    * nothing), versus 0.775→0.9125 for q144's exact re-rank on the
+    * same ring and 0.2625 for q142's full-scan raw-PQ at the same
+    * 8-byte budget. Two production lessons in one curve: residual
+    * encoding beats raw PQ decisively (0.35 at 12 % scan vs 0.2625 at
+    * 100 %), and a deployed IVFADC wants an exact REFINE stage over its
+    * ADC finalists — which this library already ships as q144's ring
+    * re-rank.
+    */
+  def annIvfPqRecall(s: SparkSession, dir: String): DataFrame = {
+    val valid = validLabeled(emb(s, dir))
+    val cells = kmeansCentroids(valid, IvfTrainK, IvfTrainIters)
+    annIvfPqRecallWith(valid, cells, pqResidualCodebook(valid, cells))
+  }
+
+  /** The sweep against explicit artifacts. `validDf` needs (vec_id,
+    * label, embedding), null-free full-dim.
+    *
+    * Scale: ONE corpus×probes pass (bounded probe build side) computes
+    * the exact cosine AND the residual ADC per probed pair — the
+    * per-(probe, cell) LUTs ride in on the ≤ pCount·maxProbe probed-cell
+    * rows (an unprobed pair's null LUT nulls its ADC, which the
+    * [[graft.functions.TopKIdsByScore]] heap skips — no arm fan-out rows
+    * ever exist), and one map-side-combined aggregation per probe takes
+    * the exact arm (cos desc) and every nProbe arm (ADC asc) plus the
+    * scanned census. Nothing after the scan is corpus-sized.
+    */
+  def annIvfPqRecallWith(validDf: DataFrame, cells: Array[Array[Double]],
+      residCb: Array[Array[Double]], k: Int = RecallK,
+      pCount: Int = RecallProbes,
+      maxProbe: Int = RecallMaxProbe): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(validDf.sparkSession)
+    require(maxProbe >= 1 && pCount >= 1 && k >= 1,
+      s"annIvfPqRecallWith: maxProbe, pCount and k must be >= 1, got " +
+        s"($maxProbe, $pCount, $k)")
+    require(cells.nonEmpty && residCb.nonEmpty,
+      "annIvfPqRecallWith: empty coarse or residual codebook — train " +
+        "with kmeansCentroids / pqResidualCodebook")
+    val cellsLit = typedLit(cells.map(_.toSeq).toSeq)
+    val e = assignClusters(validDf, cells)
+      .select(col("vec_id"), col("embedding"),
+        norm(col("embedding")).as("enorm"),
+        col("cluster").as("cell"),
+        call_function("graft_pq_encode",
+          zip_with(col("embedding"),
+            element_at(cellsLit, col("cluster") + 1), (x, c) => x - c),
+          typedLit(residCb.map(_.toSeq).toSeq), lit(PqSubDim)).as("codes"))
+    val probes = broadcast(e.orderBy("vec_id").limit(pCount)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        col("enorm").as("qnorm")))
+    // per-(probe, probed-cell) rows carrying that pair's ADC LUT — the
+    // annIvfPqWith LUT expression with q_emb varying per row
+    val qRes = zip_with(col("q_emb"),
+      element_at(cellsLit, col("cell") + 1), (x, c) => x - c)
+    val rcb: Array[Array[Array[Double]]] = Array.tabulate(PqSub)(m =>
+      residCb.map(_.slice(m * PqSubDim, (m + 1) * PqSubDim)))
+    val lutCol = array((0 until PqSub).map { m =>
+      val qrm = slice(qRes, m * PqSubDim + 1, PqSubDim)
+      val x2 = dot(qrm, qrm)
+      array(rcb(m).toSeq.map(c =>
+        x2 - lit(2.0) * dot(qrm, typedLit(c.toSeq)) +
+          lit(c.map(v => v * v).sum)): _*)
+    }: _*)
+    val probedCells = broadcast(probes
+      .select(col("q_id"), col("q_emb"), posexplode(slice(
+          array_sort(array(cellDists(col("q_emb"), cells): _*)),
+          1, maxProbe)).as(Seq("p", "s")))
+      .select(col("q_id"), col("q_emb"), col("s.c").as("cell"),
+        (col("p") + 1).cast("int").as("cent_rank"))
+      .withColumn("lut", lutCol)
+      .drop("q_emb"))
+    val nProbes = 1 to maxProbe
+    val adc = round((0 until PqSub).map(m =>
+        element_at(element_at(col("lut"), m + 1), col("codes")(m) + 1))
+      .reduceLeft(_ + _), 6)
+    val topks = e.crossJoin(probes)
+      .filter(col("vec_id") =!= col("q_id"))
+      .join(probedCells, Seq("q_id", "cell"), "left")
+      .select(col("q_id"), col("vec_id"), col("cent_rank"),
+        round(try_divide(dot(col("embedding"), col("q_emb")),
+          col("enorm") * col("qnorm")), 6).as("cos_sim"),
+        adc.as("adc"))
+      .select(col("q_id") +: col("vec_id") +: col("cos_sim") +:
+        (nProbes.map(np =>
+          when(col("cent_rank") <= np, col("adc")).as(s"adc_$np")) ++
+         nProbes.map(np =>
+          when(col("cent_rank") <= np, 1L).otherwise(0L)
+            .as(s"in_$np"))): _*)
+      .groupBy("q_id")
+      .agg(topkIds(col("cos_sim"), col("vec_id"), k).as("ids_exact"),
+        nProbes.map(np =>
+          topkIds(col(s"adc_$np"), col("vec_id"), k, asc = true)
+            .as(s"ids_$np")) ++
+        nProbes.map(np => sum(col(s"in_$np")).as(s"scan_$np")): _*)
+    val arms = nProbes.map(np =>
+      struct(lit(np).as("n_probe"),
+        Tables.sizeOrNull(array_intersect(col(s"ids_$np"), col("ids_exact")))
+          .as("n_hits"),
+        col(s"scan_$np").as("n_scanned")))
+    probes.select("q_id")
+      .join(topks, Seq("q_id"), "left")
+      .select(col("q_id"), explode(array(arms: _*)).as("a"))
+      .crossJoin(broadcast(e.agg((count(lit(1)) - 1).as("n_others"))))
+      .groupBy(col("a.n_probe").as("n_probe"))
+      .agg(count(lit(1)).as("n_queries"),
+        graft.Tables.davg(coalesce(col("a.n_hits"), lit(0)) / lit(k), 6)
+          .as("mean_recall_at_k"),
+        graft.Tables.davg(try_divide(
+          coalesce(col("a.n_scanned"), lit(0L)), col("n_others")), 6)
+          .as("mean_frac_scanned"))
+      .orderBy("n_probe")
+  }
+
   // ---- persisted IVF-PQ index (cell-partitioned inverted lists) ----------
 
   /** Stamp/read the TWO codebook fingerprints an IVF-PQ store depends
@@ -2751,7 +2879,8 @@ object SimilarityOps {
     "q142_pq_recall_trained" -> annPqRecallTrained,
     "q143_ann_ivf_trained" -> annIvfTrained,
     "q144_ivf_recall_trained" -> annIvfRecallTrained,
-    "q151_ann_ivfpq" -> annIvfPqTrained)
+    "q151_ann_ivfpq" -> annIvfPqTrained,
+    "q153_ivfpq_recall" -> annIvfPqRecall)
 
   /** The hyperplane constants as full-precision SQL literals (Java's
     * Double.toString round-trips, and DuckDB parses to the same IEEE
@@ -2992,6 +3121,99 @@ object SimilarityOps {
        |WHERE r.vec_id <> 0
        |GROUP BY r.vec_id
        |ORDER BY adc_dist, r.vec_id LIMIT 10""".stripMargin
+  }
+
+  /** q153 oracle: the q151 lifecycle CTEs (coarse + residual training,
+    * residuals, codes) + the q144 recall tail with the candidate
+    * ranking swapped from exact cosine to residual ADC — per (probe,
+    * probed cell) query residuals, per-pair LUT sums, ADC-ascending
+    * arms, exact ground truth unchanged.
+    */
+  private def ivfPqRecallOracleSql: String = {
+    val n = IvfTrainIters
+    val rn = PqTrainIters
+    val rdist = (cb: String) =>
+      s"""(${sqlPqX2("e.rarr")})
+         |      - 2 * (${sqlPqXC("e.rarr", s"$cb.carr")})
+         |      + (${sqlPqC2(s"$cb.carr")})""".stripMargin
+    s"""WITH $ivfTrainedCbCtes,
+       |fa AS (SELECT e.vec_id, c.cw,
+       |    ${sqlL2("e.embedding", "c.carr")} AS dist
+       |  FROM v e CROSS JOIN cb$n c),
+       |fasn AS (SELECT vec_id, cw FROM (
+       |    SELECT vec_id, cw, row_number() OVER (
+       |      PARTITION BY vec_id ORDER BY dist, cw) AS rn FROM fa)
+       |  WHERE rn = 1),
+       |res AS MATERIALIZED (SELECT e.vec_id, e.label, a.cw AS cell,
+       |    list_transform(generate_series(1, $Dim),
+       |      i -> CAST(e.embedding[i] AS DOUBLE) - c.carr[i]) AS rarr
+       |  FROM v e JOIN fasn a USING (vec_id) JOIN cb$n c ON c.cw = a.cw),
+       |${pqLloydCtesOver("res", "r")},
+       |rd AS (SELECT e.vec_id, m.m, c.cw AS code,
+       |    ${rdist("c")} AS dist
+       |  FROM res e CROSS JOIN rm m CROSS JOIN rcb$rn c),
+       |rcodes AS MATERIALIZED (SELECT vec_id, m, code FROM (
+       |    SELECT vec_id, m, code, row_number() OVER (
+       |      PARTITION BY vec_id, m ORDER BY dist, code) AS rn FROM rd)
+       |  WHERE rn = 1),
+       |p AS (SELECT vec_id AS q_id, embedding AS q_emb
+       |  FROM v ORDER BY vec_id LIMIT $RecallProbes),
+       |np AS (SELECT unnest(generate_series(1, $RecallMaxProbe)) AS np),
+       |ex AS (SELECT p.q_id, e.vec_id,
+       |    round((${sqlDot("e.embedding", "p.q_emb")})
+       |      / nullif(${sqlNorm("e.embedding")} * ${sqlNorm("p.q_emb")},
+       |        0), 6) AS cos_sim
+       |  FROM v e CROSS JOIN p WHERE e.vec_id <> p.q_id),
+       |ext AS (SELECT q_id, vec_id FROM (SELECT q_id, vec_id,
+       |    row_number() OVER (PARTITION BY q_id
+       |      ORDER BY cos_sim DESC, vec_id ASC) AS rk FROM ex
+       |    WHERE cos_sim IS NOT NULL)
+       |  WHERE rk <= $RecallK),
+       |cr AS (SELECT q_id, q_emb, cw, row_number() OVER (
+       |    PARTITION BY q_id ORDER BY dist, cw) AS cent_rank
+       |  FROM (SELECT p.q_id, p.q_emb, c.cw,
+       |      ${sqlL2("p.q_emb", "c.carr")} AS dist
+       |    FROM cb$n c CROSS JOIN p)),
+       |pc AS (SELECT * FROM cr WHERE cent_rank <= $RecallMaxProbe),
+       |qr AS (SELECT pc.q_id, pc.cw AS cell, pc.cent_rank,
+       |    list_transform(generate_series(1, $Dim),
+       |      i -> CAST(pc.q_emb[i] AS DOUBLE) - c.carr[i]) AS rarr
+       |  FROM pc JOIN cb$n c ON c.cw = pc.cw),
+       |lut AS MATERIALIZED (SELECT e.q_id, e.cell, e.cent_rank, m.m,
+       |    c.cw AS code, ${rdist("c")} AS dist
+       |  FROM qr e CROSS JOIN rm m CROSS JOIN rcb$rn c),
+       |cand AS MATERIALIZED (SELECT l.q_id, l.cent_rank, r.vec_id,
+       |    round(list_reduce(list(l.dist ORDER BY c.m), (a, b) -> a + b),
+       |      6) AS adc
+       |  FROM res r
+       |  JOIN rcodes c ON c.vec_id = r.vec_id
+       |  JOIN lut l ON l.cell = r.cell AND l.m = c.m AND l.code = c.code
+       |  WHERE r.vec_id <> l.q_id
+       |  GROUP BY l.q_id, l.cent_rank, r.vec_id),
+       |cat AS (SELECT q_id, n_probe, vec_id FROM (
+       |    SELECT q_id, np.np AS n_probe, vec_id, adc,
+       |      row_number() OVER (PARTITION BY q_id, np.np
+       |        ORDER BY adc ASC, vec_id ASC) AS rk
+       |    FROM cand CROSS JOIN np
+       |    WHERE np.np >= cand.cent_rank AND adc IS NOT NULL)
+       |  WHERE rk <= $RecallK),
+       |h AS (SELECT q_id, n_probe, count(*) AS n_hits
+       |  FROM cat JOIN ext USING (q_id, vec_id) GROUP BY 1, 2),
+       |tot AS (SELECT count(*) - 1 AS n_others FROM v),
+       |sc AS (SELECT q_id, np.np AS n_probe,
+       |    CAST(count(*) AS BIGINT) AS n_scanned
+       |  FROM cand CROSS JOIN np WHERE np.np >= cand.cent_rank
+       |  GROUP BY 1, 2),
+       |g AS (SELECT p.q_id, np.np AS n_probe FROM p CROSS JOIN np)
+       |SELECT CAST(g.n_probe AS INT) AS n_probe, count(*) AS n_queries,
+       |  ${Tables.sqlDavg(s"coalesce(h.n_hits, 0) / $RecallK", 6)}
+       |    AS mean_recall_at_k,
+       |  ${Tables.sqlDavg(
+            "coalesce(sc.n_scanned, 0) / nullif(tot.n_others, 0)", 6)}
+       |    AS mean_frac_scanned
+       |FROM g LEFT JOIN h USING (q_id, n_probe)
+       |  LEFT JOIN sc USING (q_id, n_probe) CROSS JOIN tot
+       |GROUP BY g.n_probe ORDER BY n_probe""".stripMargin
   }
 
   /** Full-dim squared-L2 between two SQL list expressions in the
@@ -3326,6 +3548,7 @@ object SimilarityOps {
     "q143_ann_ivf_trained" -> ivfTrainedOracleSql,
     "q144_ivf_recall_trained" -> ivfRecallTrainedOracleSql,
     "q151_ann_ivfpq" -> ivfPqOracleSql,
+    "q153_ivfpq_recall" -> ivfPqRecallOracleSql,
     "q113_ann_rp" ->
       s"""WITH p AS (SELECT vec_id, label, ${sqlProj("embedding")} AS p
          |  FROM embeddings),

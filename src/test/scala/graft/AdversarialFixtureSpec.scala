@@ -70,8 +70,10 @@ class AdversarialFixtureSpec extends SparkSpec {
       // projection — zero vectors means zero codebook, said loud
       "q143_ann_ivf_trained" -> "kmeansCentroids: no vectors to train on",
       "q144_ivf_recall_trained" -> "kmeansCentroids: no vectors to train on",
-      // IVF-PQ trains its coarse quantizer first — same day-zero error
-      "q151_ann_ivfpq" -> "kmeansCentroids: no vectors to train on")
+      // the IVF-PQ faces train their coarse quantizer first — same
+      // day-zero error
+      "q151_ann_ivfpq" -> "kmeansCentroids: no vectors to train on",
+      "q153_ivfpq_recall" -> "kmeansCentroids: no vectors to train on")
   }
 
   private lazy val fixtureDir: String = {

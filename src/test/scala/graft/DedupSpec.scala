@@ -571,6 +571,43 @@ class DedupSpec extends SparkSpec {
       eResid.getMessage)
   }
 
+  test("IVF-PQ recall curve: four arms over the same ring as the exact " +
+      "re-rank curve — identical scan fractions, recalls in range, and " +
+      "the ADC arms never fabricate hits for unprobed candidates") {
+    import spark.implicits._
+    val dim = SimilarityOps.Dim
+    val rnd = new scala.util.Random(53)
+    def vec(): Array[Float] = Array.fill(dim)(rnd.nextGaussian().toFloat)
+    val embDf = (0L until 200L).map(i => (i, vec(), (i % 4).toInt))
+      .toDF("vec_id", "embedding", "label")
+      .select(col("vec_id"), col("label"),
+        col("embedding").cast("array<double>").as("embedding"))
+    val cells = SimilarityOps.kmeansCentroids(embDf, k = 4, iters = 2)
+    val rcb = SimilarityOps.pqResidualCodebook(embDf, cells, k = 4,
+      iters = 2)
+    val adcCurve = SimilarityOps.annIvfPqRecallWith(embDf, cells, rcb)
+      .collect()
+    val exactCurve = SimilarityOps.annIvfRecallWithCells(embDf, cells)
+      .collect()
+    assert(adcCurve.length === 4 && exactCurve.length === 4)
+    adcCurve.zip(exactCurve).foreach { case (a, x) =>
+      assert(a.getInt(0) === x.getInt(0) && a.getLong(1) === 8L)
+      val r = a.getDouble(2)
+      assert(r >= 0.0 && r <= 1.0, s"recall in range: $a")
+      // the ring (hence the scan census) is shared with the exact
+      // curve — ADC only changes the RANKING inside it
+      assert(a.getDouble(3) === x.getDouble(3),
+        s"same ring, same scan fraction: $a vs $x")
+      // ADC ranks within the same candidate set, so it can never beat
+      // the exact re-rank on the same ring
+      assert(r <= x.getDouble(2) + 1e-9,
+        s"ADC recall bounded by exact re-rank on the same ring: $a vs $x")
+    }
+    val fracs = adcCurve.map(_.getDouble(3))
+    assert(fracs.zip(fracs.tail).forall { case (a, b) => a <= b },
+      "scan fraction grows with the ring")
+  }
+
   test("PQ store generation guard: a drifted codebook fails append and " +
       "search loud, the stamp survives compaction, pre-stamp stores " +
       "are accepted") {
