@@ -168,7 +168,7 @@ object SpanOps {
     * before the sidecar existed (legacy layout — caller-supplied k is
     * trusted there, as before).
     */
-  private def storedShingleK(s: SparkSession, path: String): Option[Int] = {
+  private[graft] def storedShingleK(s: SparkSession, path: String): Option[Int] = {
     val p = new org.apache.hadoop.fs.Path(s"$path/_graft_meta")
     val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
     if (fs.exists(p)) Some(s.read.parquet(p.toString).head.getInt(0))

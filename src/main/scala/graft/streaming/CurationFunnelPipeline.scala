@@ -1,6 +1,6 @@
 package graft.streaming
 
-import graft.ops.{CurationOps, DedupOps, SpanOps}
+import graft.ops.{CurationOps, DedupOps, ScaleOps, SpanOps}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
@@ -27,8 +27,8 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   * function of the batch id; every sink (keep, report, norm segment,
   * shingle segment) overwrites its own key, so replay converges
   * byte-for-byte (IngestPipeline's convention). Segments accumulate one
-  * dir per batch — re-seed via [[seedFunnelStores]] from the released
-  * corpus at compaction cadence if dir count ever matters.
+  * dir per batch — [[compactFunnelStores]] folds them back into the
+  * seed slot at compaction cadence (stream stopped).
   *
   * Scale shape: per trigger, the batch pays exactly what the q149 face
   * pays on its crawl — row-local quality/PII arithmetic, two anti-joins
@@ -62,6 +62,28 @@ object CurationFunnelPipeline {
       .write.mode("overwrite").parquet(s"$shingleStoreDir/batch_id=-1")
     SpanOps.writeShingleMeta(corpus.sparkSession, shingleStoreDir,
       CurationOps.FunnelShingleK)
+  }
+
+  /** Fold the funnel's accumulated per-batch reference segments into the
+    * `batch_id=-1` seed slot — run at compaction cadence WHILE THE
+    * STREAM IS STOPPED (the probe set is a pure function of committed
+    * batch ids; compacting under a live stream could hand one batch a
+    * reference set another batch id scheme). Correctness is invariant:
+    * every compacted row lands at batch_id=-1 < any future N, so the
+    * pre-batch probe filter sees exactly the same norms/keys — only the
+    * directory count contracts. Staged + atomic swap per store
+    * ([[graft.ops.ScaleOps.compactStore]]'s keyed slot), shingle-width
+    * sidecar carried across.
+    */
+  def compactFunnelStores(s: SparkSession, normStoreDir: String,
+      shingleStoreDir: String): Unit = {
+    ScaleOps.compactStore(s, normStoreDir,
+      _.select("norm").distinct(), batchSlot = true)
+    val k = SpanOps.storedShingleK(s, shingleStoreDir)
+    ScaleOps.compactStore(s, shingleStoreDir,
+      _.select("h").distinct(), batchSlot = true,
+      onStaged = staging =>
+        k.foreach(SpanOps.writeShingleMeta(s, staging, _)))
   }
 
   /** Start the funnel over a (doc_id, source, text) document stream.

@@ -118,6 +118,31 @@ class CurationFunnelSpec extends SparkSpec {
     assert(CurationFunnelPipeline.latestReport(spark, reportDir)
       .agg(sum(when(col("stage") === "0_arrived", col("n_docs"))))
       .head.getLong(0) === 2L, "latest report covers only batch 2")
+
+    // compaction cadence: fold seed + both batch segments into the seed
+    // slot — probe answers invariant, directory count contracts to one,
+    // the width sidecar survives the swap
+    CurationFunnelPipeline.compactFunnelStores(spark, normStore,
+      shingleStore)
+    def segs(p: String): Set[String] = new java.io.File(p).listFiles()
+      .map(_.getName).filter(_.startsWith("batch_id=")).toSet
+    assert(segs(normStore) === Set("batch_id=-1") &&
+      segs(shingleStore) === Set("batch_id=-1"),
+      s"one seed segment after compaction: ${segs(normStore)} / " +
+        s"${segs(shingleStore)}")
+    SpanOps.requireShingleK(spark, shingleStore,
+      CurationOps.FunnelShingleK)
+    // batch 3 against the compacted stores: a re-crawl of batch 1's
+    // RELEASED doc still dies (the fold kept every norm), novelty still
+    // fires, a genuinely new doc still ships
+    CurationFunnelPipeline.routeBatch(Seq(
+        (30L, "s1", "fresh distinct wording lives here happily"),
+        (31L, "s1", "yet another wholly original third crawl sentence"))
+      .toDF("doc_id", "source", "text"), 2L,
+      normStore, shingleStore, evalStore, keepDir, reportDir)
+    assert(spark.read.parquet(s"$keepDir/batch_id=2")
+      .select("doc_id").as[Long].collect().toSet === Set(31L),
+      "compaction must not change any gate's answer")
   }
 
   test("curation funnel contracts: an absent eval store fails loud " +
