@@ -2261,6 +2261,64 @@ object SimilarityOps {
       .orderBy("n_probe")
   }
 
+  /** ADC shortlist width the q154 registration pins — how many ADC
+    * finalists pay an exact re-rank (the FAISS `refine` knob; 5× the
+    * requested k is the conventional starting point).
+    */
+  val IvfPqRefine = 50
+
+  /** q154: the REFINED IVFADC search — the production query path q153's
+    * own evidence mandates: stage 1 ranks the probed cells' residual
+    * codes by ADC and keeps a `shortlist`-deep finalist set (8 bytes per
+    * candidate — the q151 scan); stage 2 re-reads FULL vectors for only
+    * those ≤ `shortlist` finalists and re-ranks them by exact cosine.
+    * q153 measured why: ADC alone saturates at 0.35 recall@10
+    * (quantization-bound) while the same ring exact-re-ranked reads
+    * 0.875 at nProbe 3. Measured at sf0.01 (mean over the 8 harness
+    * probes): the 50-deep refine reads **0.7625** — recovering most of
+    * the 0.35 → 0.875 gap for 50 full-vector reads instead of ~2.2k
+    * (the residue is true neighbors ADC misranks below the shortlist;
+    * the `shortlist` knob trades those reads for that tail).
+    *
+    * Scale: stage 1 is the q151 plan (codes-only scan, partition-
+    * prunable from the store); stage 2 is a broadcast semi-join of the
+    * ≤ `shortlist` finalist ids back to the vector table — point
+    * lookups, never a second corpus scan. Retrains per call BY DESIGN
+    * (oracle replays the lifecycle); production searches store-loaded
+    * artifacts with [[annIvfPqRefinedWith]] over [[annIvfPqFromStore]]'s
+    * shortlist.
+    */
+  def annIvfPqRefined(s: SparkSession, dir: String): DataFrame = {
+    val valid = validLabeled(emb(s, dir))
+    val cells = kmeansCentroids(valid, IvfTrainK, IvfTrainIters)
+    annIvfPqRefinedWith(valid, cells, pqResidualCodebook(valid, cells))
+  }
+
+  /** The two-stage search against explicit artifacts. `validDf` needs
+    * (vec_id, label, embedding), null-free full-dim.
+    */
+  def annIvfPqRefinedWith(validDf: DataFrame,
+      cells: Array[Array[Double]], residCb: Array[Array[Double]],
+      queryId: Long = 0L, k: Int = 10, nProbe: Int = IvfPqNProbe,
+      shortlist: Int = IvfPqRefine): DataFrame = {
+    require(shortlist >= k,
+      s"annIvfPqRefinedWith: shortlist $shortlist must be >= k $k — a " +
+        "shorter shortlist than the answer set is a caller bug")
+    val finalists = annIvfPqWith(validDf, cells, residCb, queryId,
+        k = shortlist, nProbe = nProbe)
+      .select(col("vec_id"), col("cell"), col("adc_dist"))
+    val q = broadcast(validDf.filter(col("vec_id") === queryId)
+      .select(col("embedding").as("q_emb"),
+        norm(col("embedding")).as("qnorm")))
+    validDf.join(broadcast(finalists), Seq("vec_id"))
+      .crossJoin(q)
+      .select(col("vec_id"), col("label"), col("cell"), col("adc_dist"),
+        round(try_divide(dot(col("embedding"), col("q_emb")),
+          norm(col("embedding")) * col("qnorm")), 6).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_id").asc)
+      .limit(k)
+  }
+
   // ---- persisted IVF-PQ index (cell-partitioned inverted lists) ----------
 
   /** Stamp/read the TWO codebook fingerprints an IVF-PQ store depends
@@ -2880,7 +2938,8 @@ object SimilarityOps {
     "q143_ann_ivf_trained" -> annIvfTrained,
     "q144_ivf_recall_trained" -> annIvfRecallTrained,
     "q151_ann_ivfpq" -> annIvfPqTrained,
-    "q153_ivfpq_recall" -> annIvfPqRecall)
+    "q153_ivfpq_recall" -> annIvfPqRecall,
+    "q154_ivfpq_refined" -> annIvfPqRefined)
 
   /** The hyperplane constants as full-precision SQL literals (Java's
     * Double.toString round-trips, and DuckDB parses to the same IEEE
@@ -3058,27 +3117,27 @@ object SimilarityOps {
        |$iters""".stripMargin
   }
 
-  /** q151 oracle: [[ivfTrainedCbCtes]] (coarse training) + final
-    * assignment + residual construction + [[pqLloydCtesOver]] (residual
-    * training) + residual encode + the probe ring + per-probed-cell ADC
-    * lookup tables + the probed-cells-only ADC rank — the whole IVFADC
-    * lifecycle replayed.
+  /** The shared q151/q154 lifecycle chain: [[ivfTrainedCbCtes]] (coarse
+    * training) + final assignment + residual construction +
+    * [[pqLloydCtesOver]] (residual training) + residual encode + the
+    * probe ring + per-probed-cell ADC lookup tables. Defines everything
+    * through `lut` (plus `q`, `pr`, `res`, `rcodes`); no trailing comma.
+    *
+    * The stacked chain is why `res` is pinned MATERIALIZED: it feeds 13
+    * references (residual init + 5 Lloyd iterations + encode + final),
+    * each of which would otherwise re-run the whole coarse assignment
+    * (and, with `v` inlined, re-open the parquet until even a 20k fd
+    * limit blows — the measured failure). `v` and the cb levels are
+    * MATERIALIZED inside the shared builders.
     */
-  private def ivfPqOracleSql: String = {
+  private def ivfPqSearchCtes: String = {
     val n = IvfTrainIters
     val rn = PqTrainIters
     val rdist = (cb: String) =>
       s"""(${sqlPqX2("e.rarr")})
          |      - 2 * (${sqlPqXC("e.rarr", s"$cb.carr")})
          |      + (${sqlPqC2(s"$cb.carr")})""".stripMargin
-    // q151 stacks a second training chain ON TOP of the coarse one —
-    // `res` is pinned MATERIALIZED because it feeds 13 references
-    // (residual init + 5 Lloyd iterations + encode + final), each of
-    // which would otherwise re-run the whole coarse assignment (and,
-    // with `v` inlined, re-open the parquet until even a 20k fd limit
-    // blows — the measured failure). `v` and the cb levels are
-    // MATERIALIZED inside the shared builders.
-    s"""WITH $ivfTrainedCbCtes,
+    s"""$ivfTrainedCbCtes,
        |fa AS (SELECT e.vec_id, c.cw,
        |    ${sqlL2("e.embedding", "c.carr")} AS dist
        |  FROM v e CROSS JOIN cb$n c),
@@ -3109,7 +3168,14 @@ object SimilarityOps {
        |  FROM pr JOIN cb$n c ON c.cw = pr.cw CROSS JOIN q),
        |lut AS (SELECT e.cell, m.m, c.cw AS code,
        |    ${rdist("c")} AS dist
-       |  FROM qr e CROSS JOIN rm m CROSS JOIN rcb$rn c)
+       |  FROM qr e CROSS JOIN rm m CROSS JOIN rcb$rn c)""".stripMargin
+  }
+
+  /** q151 oracle: [[ivfPqSearchCtes]] + the probed-cells-only ADC rank —
+    * the whole IVFADC lifecycle replayed.
+    */
+  private def ivfPqOracleSql: String =
+    s"""WITH $ivfPqSearchCtes
        |SELECT r.vec_id, min(r.label) AS label,
        |  CAST(min(r.cell) AS INT) AS cell,
        |  string_agg(CAST(c.code AS VARCHAR), ',' ORDER BY c.m) AS pq_code,
@@ -3121,7 +3187,29 @@ object SimilarityOps {
        |WHERE r.vec_id <> 0
        |GROUP BY r.vec_id
        |ORDER BY adc_dist, r.vec_id LIMIT 10""".stripMargin
-  }
+
+  /** q154 oracle: [[ivfPqSearchCtes]] + the ADC shortlist (q151's rank,
+    * LIMIT [[IvfPqRefine]]) + the exact-cosine refine over only the
+    * finalists' full vectors.
+    */
+  private def ivfPqRefinedOracleSql: String =
+    s"""WITH $ivfPqSearchCtes,
+       |short AS (SELECT r.vec_id, min(r.label) AS label,
+       |    CAST(min(r.cell) AS INT) AS cell,
+       |    round(list_reduce(list(l.dist ORDER BY c.m), (a, b) -> a + b),
+       |      6) AS adc_dist
+       |  FROM res r JOIN pr ON r.cell = pr.cw
+       |  JOIN rcodes c ON c.vec_id = r.vec_id
+       |  JOIN lut l ON l.cell = r.cell AND l.m = c.m AND l.code = c.code
+       |  WHERE r.vec_id <> 0
+       |  GROUP BY r.vec_id
+       |  ORDER BY adc_dist, r.vec_id LIMIT $IvfPqRefine)
+       |SELECT s.vec_id, s.label, s.cell, s.adc_dist,
+       |  round((${sqlDot("e.embedding", "q.q_emb")})
+       |    / nullif(${sqlNorm("e.embedding")} * ${sqlNorm("q.q_emb")}, 0),
+       |    6) AS cos_sim
+       |FROM short s JOIN v e ON e.vec_id = s.vec_id CROSS JOIN q
+       |ORDER BY cos_sim DESC, s.vec_id ASC LIMIT 10""".stripMargin
 
   /** q153 oracle: the q151 lifecycle CTEs (coarse + residual training,
     * residuals, codes) + the q144 recall tail with the candidate
@@ -3549,6 +3637,7 @@ object SimilarityOps {
     "q144_ivf_recall_trained" -> ivfRecallTrainedOracleSql,
     "q151_ann_ivfpq" -> ivfPqOracleSql,
     "q153_ivfpq_recall" -> ivfPqRecallOracleSql,
+    "q154_ivfpq_refined" -> ivfPqRefinedOracleSql,
     "q113_ann_rp" ->
       s"""WITH p AS (SELECT vec_id, label, ${sqlProj("embedding")} AS p
          |  FROM embeddings),

@@ -73,7 +73,8 @@ class AdversarialFixtureSpec extends SparkSpec {
       // the IVF-PQ faces train their coarse quantizer first — same
       // day-zero error
       "q151_ann_ivfpq" -> "kmeansCentroids: no vectors to train on",
-      "q153_ivfpq_recall" -> "kmeansCentroids: no vectors to train on")
+      "q153_ivfpq_recall" -> "kmeansCentroids: no vectors to train on",
+      "q154_ivfpq_refined" -> "kmeansCentroids: no vectors to train on")
   }
 
   private lazy val fixtureDir: String = {

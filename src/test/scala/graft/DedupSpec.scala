@@ -608,6 +608,55 @@ class DedupSpec extends SparkSpec {
       "scan fraction grows with the ring")
   }
 
+  test("IVF-PQ refined search: exact re-rank of the ADC shortlist finds " +
+      "the planted neighbor, never recalls worse than pure ADC, carries " +
+      "the stage-1 ADC distance as cargo, and rejects a shortlist " +
+      "narrower than k") {
+    import spark.implicits._
+    val dim = SimilarityOps.Dim
+    val rnd = new scala.util.Random(59)
+    def vec(): Array[Float] = Array.fill(dim)(rnd.nextGaussian().toFloat)
+    val q = vec()
+    val near = q.map(x => x + 0.02f * rnd.nextGaussian().toFloat)
+    val rows = (0L, q, 0) +: (1L, near, 0) +:
+      (2L until 200L).map(i => (i, vec(), (i % 4).toInt))
+    val embDf = rows.toDF("vec_id", "embedding", "label")
+      .select(col("vec_id"), col("label"),
+        col("embedding").cast("array<double>").as("embedding"))
+    val cells = SimilarityOps.kmeansCentroids(embDf, k = 4, iters = 2)
+    val rcb = SimilarityOps.pqResidualCodebook(embDf, cells, k = 4,
+      iters = 2)
+    val refined = SimilarityOps.annIvfPqRefinedWith(embDf, cells, rcb)
+      .collect()
+    assert(refined.length === 10)
+    assert(refined.head.getLong(0) === 1L,
+      s"exact re-rank must surface the planted neighbor first: " +
+        s"${refined.map(_.getLong(0)).toSeq}")
+    // cosine ordering is descending and carried per row
+    val sims = refined.map(_.getDouble(4))
+    assert(sims.zip(sims.tail).forall { case (a, b) => a >= b })
+    // the stage-1 ADC distance rides along as cargo: each refined row's
+    // adc_dist equals the pure-ADC search's value for that id
+    val adcById = SimilarityOps.annIvfPqWith(embDf, cells, rcb,
+        k = SimilarityOps.IvfPqRefine).collect()
+      .map(r => r.getLong(0) -> r.getDouble(4)).toMap
+    refined.foreach(r => assert(adcById(r.getLong(0)) === r.getDouble(3),
+      s"cargo ADC must match stage 1 for ${r.getLong(0)}"))
+    // refined ⊇ shortlist ∩ true-top-k, and ADC's top-10 ⊆ shortlist —
+    // so refined recall can never be worse than pure ADC's
+    val exactTop = SimilarityOps.annTopKOn(embDf).collect()
+      .map(_.getLong(0)).toSet
+    val adcTop = SimilarityOps.annIvfPqWith(embDf, cells, rcb).collect()
+      .map(_.getLong(0)).toSet
+    assert((refined.map(_.getLong(0)).toSet & exactTop).size >=
+      (adcTop & exactTop).size,
+      "refine must not lose recall vs pure ADC")
+    intercept[IllegalArgumentException] {
+      SimilarityOps.annIvfPqRefinedWith(embDf, cells, rcb, k = 10,
+        shortlist = 5)
+    }
+  }
+
   test("PQ store generation guard: a drifted codebook fails append and " +
       "search loud, the stamp survives compaction, pre-stamp stores " +
       "are accepted") {
