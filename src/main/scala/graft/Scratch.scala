@@ -698,23 +698,29 @@ object Scratch {
       spark.stop()
       return
     }
+    // shared by the canary and timeq arms: prefix -> catalog query, and
+    // the cleared-cache cold/warm timing body — ONE definition so the
+    // two arms can never measure different things
+    def resolveQuery(prefix: String,
+        arm: String): (String, (SparkSession, String) => DataFrame) =
+      SparkEntry.queries.toSeq.sortBy(_._1)
+        .find(_._1.startsWith(prefix + "_"))
+        .orElse(SparkEntry.queries.find(_._1 == prefix))
+        .getOrElse(sys.error(s"$arm $prefix not in catalog"))
+    def timeOnce(fn: (SparkSession, String) => DataFrame): Double = {
+      spark.sharedState.cacheManager.clearCache()
+      val t0 = System.nanoTime()
+      fn(spark, dir).count()
+      (System.nanoTime() - t0) / 1e9
+    }
     if (name == "timeq") {
       // one-off cold+warm timing of a single catalog query against
       // SCRATCH_DIR — the canary harness for queries outside the
       // standing set (6M-vector trained-face datapoints, ad-hoc
       // adjudication): `SCRATCH_DIR=<dir> Scratch timeq q151`
       val prefix = args.lift(1).getOrElse(sys.error("timeq <queryPrefix>"))
-      val (qn, fn) = SparkEntry.queries.toSeq.sortBy(_._1)
-        .find(_._1.startsWith(prefix + "_"))
-        .orElse(SparkEntry.queries.find(_._1 == prefix))
-        .getOrElse(sys.error(s"timeq $prefix not in catalog"))
-      def once(): Double = {
-        spark.sharedState.cacheManager.clearCache()
-        val t0 = System.nanoTime()
-        fn(spark, dir).count()
-        (System.nanoTime() - t0) / 1e9
-      }
-      val cold = once(); val warm = once()
+      val (qn, fn) = resolveQuery(prefix, "timeq")
+      val cold = timeOnce(fn); val warm = timeOnce(fn)
       println(f"$qn%-28s cold $cold%6.2f s  warm $warm%6.2f s")
       spark.stop()
       return
@@ -746,20 +752,11 @@ object Scratch {
         "q145" -> "t-closeness EMD grid")
       println(f"${"query"}%-28s ${"shape"}%-34s cold_s  warm_s")
       canaries.foreach { case (prefix, shape) =>
-        val (qn, fn) = SparkEntry.queries.toSeq.sortBy(_._1)
-          .find(_._1.startsWith(prefix + "_"))
-          .orElse(SparkEntry.queries.find(_._1 == prefix))
-          .getOrElse(sys.error(s"canary $prefix not in catalog"))
-        def once(): Double = {
-          spark.sharedState.cacheManager.clearCache()
-          val t0 = System.nanoTime()
-          fn(spark, dir).count()
-          (System.nanoTime() - t0) / 1e9
-        }
+        val (qn, fn) = resolveQuery(prefix, "canary")
         // a partial corpus (documents-only 1000× sweeps) skips the
         // canaries whose tables are absent instead of aborting the set
         try {
-          val cold = once(); val warm = once()
+          val cold = timeOnce(fn); val warm = timeOnce(fn)
           println(f"$qn%-28s $shape%-34s $cold%6.2f  $warm%6.2f")
         } catch {
           case e: Exception =>

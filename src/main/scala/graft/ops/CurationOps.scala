@@ -881,7 +881,7 @@ object CurationOps {
     import org.apache.spark.sql.expressions.Window
     val d = docsDf
       .withColumn("norm", DedupOps.normText)
-      .withColumn("n_toks", size(toks)) // the one tokenizer definition
+      .withColumn("n_toks", Tables.sizeOrNull(toks)) // the one tokenizer
     val deduped = d
       .withColumn("rn",
         row_number().over(Window.partitionBy("norm").orderBy("doc_id")))
@@ -965,29 +965,40 @@ object CurationOps {
     */
   private[graft] def crawlFunnelStages(incoming: DataFrame,
       corpusNorms: DataFrame, refShingleKeys: DataFrame,
-      evalNorms: DataFrame): Seq[(String, DataFrame)] = {
+      evalNorms: DataFrame, pin: Boolean = false): Seq[(String, DataFrame)] = {
     import org.apache.spark.sql.expressions.Window
-    val d = incoming
+    // pin = true (the streaming funnel): localCheckpoint each stage so
+    // the four sinks a micro-batch materializes (report union + keep +
+    // two store folds) run every gate ONCE instead of re-executing the
+    // whole chain per consumer — the VectorIngestPipeline convention;
+    // bounded, the frames are micro-batch-sized. The batch face keeps
+    // the pure declarative chain (one consumer, oracle-replayed plan).
+    def staged(df: DataFrame): DataFrame =
+      if (pin) df.localCheckpoint(eager = true) else df
+    val d = staged(incoming
       .withColumn("norm", DedupOps.normText)
-      .withColumn("n_toks", size(toks))
-    val quality = TextOps.scoredDocsOn(d)
+      // sizeOrNull, not raw size: a null-text doc must count NULL toks
+      // in the oracle-compared stage sums under EVERY conf (legacy
+      // sizeOfNull would read -1 — the r15 self-review finding)
+      .withColumn("n_toks", Tables.sizeOrNull(toks)))
+    val quality = staged(TextOps.scoredDocsOn(d)
       .filter(col("score") >= FunnelQualityBar)
-      .select(d.columns.map(col): _*)
-    val fresh = quality
+      .select(d.columns.map(col): _*))
+    val fresh = staged(quality
       .join(corpusNorms.select("norm"), Seq("norm"), "left_anti")
       .withColumn("rn",
         row_number().over(Window.partitionBy("norm").orderBy("doc_id")))
-      .filter(col("rn") === 1).drop("rn")
+      .filter(col("rn") === 1).drop("rn"))
     val nov = SpanOps.noveltyAgainstKeys(fresh, refShingleKeys,
         FunnelShingleK)
       .select(col("doc_id"), col("n_distinct_shingles"), col("n_novel"))
-    val novel = fresh.join(nov, Seq("doc_id"), "left")
+    val novel = staged(fresh.join(nov, Seq("doc_id"), "left")
       .filter(col("n_distinct_shingles").isNull ||
         col("n_novel") * 2 >= col("n_distinct_shingles"))
-      .select(fresh.columns.map(col): _*)
-    val clean = novel.join(evalNorms.select("norm"), Seq("norm"),
-      "left_anti")
-    val released = clean.filter(!ScrubOps.anyPii(col("text")))
+      .select(fresh.columns.map(col): _*))
+    val clean = staged(novel.join(evalNorms.select("norm"), Seq("norm"),
+      "left_anti"))
+    val released = staged(clean.filter(!ScrubOps.anyPii(col("text"))))
     Seq("0_arrived" -> d, "1_quality" -> quality, "2_fresh" -> fresh,
       "3_novel" -> novel, "4_decontaminated" -> clean,
       "5_released" -> released)
@@ -1028,8 +1039,13 @@ object CurationOps {
   def crawlFunnelOn(docsDf: DataFrame): DataFrame = {
     val raw = docsDf.select("doc_id", "source", "text")
     val crawl2 = Tables.lcgBucket(col("doc_id"), 48271L, 23L, 100L) >= 80L
+    // the synthetic-id shift must not overflow ANSI arithmetic: a
+    // sentinel id near Long.MaxValue is simply never synthesized into a
+    // re-fetch (both engines pin the same bound, so the fixture stays
+    // replayable)
     val refetch = raw
-      .filter(Tables.lcgBucket(col("doc_id"), 9301L, 11L, 100L) < 5L)
+      .filter(Tables.lcgBucket(col("doc_id"), 9301L, 11L, 100L) < 5L &&
+        col("doc_id") <= lit(Long.MaxValue - 1000000000L))
       .withColumn("doc_id", col("doc_id") + lit(1000000000L))
     val incoming = raw.filter(crawl2).unionByName(refetch)
     val existing = raw.filter(!crawl2)
@@ -2017,7 +2033,7 @@ object CurationOps {
       s"""WITH raw AS (SELECT doc_id, source, text FROM documents),
          |refetch AS (SELECT doc_id + 1000000000 AS doc_id, source, text
          |  FROM raw WHERE ((doc_id % 100 + 100) % 100 * 9301 + 11)
-         |    % 100 < 5),
+         |    % 100 < 5 AND doc_id <= 9223372035854775807),
          |inc0 AS (SELECT * FROM raw
          |    WHERE ((doc_id % 100 + 100) % 100 * 48271 + 23) % 100 >= 80
          |  UNION ALL SELECT * FROM refetch),

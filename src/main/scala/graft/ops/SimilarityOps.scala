@@ -2337,6 +2337,10 @@ object SimilarityOps {
   private def requireIvfPqFingerprints(s: SparkSession, path: String,
       cells: Array[Array[Double]], residCb: Array[Array[Double]],
       op: String): Unit = {
+    require(cells.nonEmpty && residCb.nonEmpty,
+      s"$op: empty coarse or residual codebook — train with " +
+        "kmeansCentroids / pqResidualCodebook, or load the store's " +
+        "artifacts with readCodebookStore")
     val p = new org.apache.hadoop.fs.Path(s"$path/_graft_meta")
     val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
     if (fs.exists(p)) {
@@ -2684,7 +2688,7 @@ object SimilarityOps {
     var h = 0xcbf29ce484222325L
     def mix(v: Long): Unit = { h ^= v; h *= 0x100000001b3L }
     mix(cb.length.toLong)
-    mix(cb.head.length.toLong)
+    mix(cb.headOption.map(_.length.toLong).getOrElse(0L))
     cb.foreach(_.foreach(d => mix(java.lang.Double.doubleToLongBits(d))))
     h
   }
@@ -2729,7 +2733,12 @@ object SimilarityOps {
     requirePqFingerprint(s, storeDir, codebook, op)
 
   private def requirePqFingerprint(s: SparkSession, path: String,
-      codebook: Array[Array[Double]], op: String): Unit =
+      codebook: Array[Array[Double]], op: String): Unit = {
+    // named BEFORE any head access: an empty codebook must say so, not
+    // surface a bare NoSuchElementException (r15 self-review finding)
+    require(codebook.nonEmpty, s"$op: empty codebook — train with " +
+      "kmeansCentroids / pqTrainedCodebook, or load the store's " +
+      "artifact with readCodebookStore")
     storedPqFingerprint(s, path).foreach(stored =>
       require(stored == codebookFingerprint(codebook),
         s"$op: the PQ store at $path was encoded by a DIFFERENT codebook " +
@@ -2737,6 +2746,7 @@ object SimilarityOps {
           "silently wrong. Load the store's matching codebook " +
           "(readCodebookStore on the artifact published with it) or " +
           "re-encode the index against the new codebook (writePqStore)"))
+  }
 
   /** Materialize the PQ index: one (vec_id, label, codes) row per vector —
     * 8 codes instead of 64 floats, the 32× compression that lets the ANN

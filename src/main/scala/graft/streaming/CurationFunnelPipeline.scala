@@ -64,26 +64,55 @@ object CurationFunnelPipeline {
       CurationOps.FunnelShingleK)
   }
 
-  /** Fold the funnel's accumulated per-batch reference segments into the
+  /** Fold the funnel's per-batch reference segments into the
     * `batch_id=-1` seed slot — run at compaction cadence WHILE THE
     * STREAM IS STOPPED (the probe set is a pure function of committed
     * batch ids; compacting under a live stream could hand one batch a
-    * reference set another batch id scheme). Correctness is invariant:
-    * every compacted row lands at batch_id=-1 < any future N, so the
-    * pre-batch probe filter sees exactly the same norms/keys — only the
-    * directory count contracts. Staged + atomic swap per store
-    * ([[graft.ops.ScaleOps.compactStore]]'s keyed slot), shingle-width
+    * reference set another batch's id scheme).
+    *
+    * The NEWEST segment is deliberately left in place: the highest
+    * batch id is the one batch that may have crashed after its segment
+    * writes but before the checkpoint commit, and will then REPLAY
+    * under the same id. Folding it into the seed would self-poison that
+    * replay — the batch's probe (batch_id < N) would see its own
+    * released norms, route every previously-released doc to duplicate,
+    * and overwrite the keep segment EMPTY (silent data loss; the
+    * round-15 self-review finding). Every segment below the max is
+    * checkpoint-committed (streaming replays only the latest batch), so
+    * folding those is safe: -1 < any future or replayed id, and every
+    * probe set is unchanged. Staged + atomic swap per store
+    * ([[graft.ops.ScaleOps.compactStore]]'s keyed slot, the retained
+    * segment copied into staging before the swap), shingle-width
     * sidecar carried across.
     */
   def compactFunnelStores(s: SparkSession, normStoreDir: String,
       shingleStoreDir: String): Unit = {
-    ScaleOps.compactStore(s, normStoreDir,
-      _.select("norm").distinct(), batchSlot = true)
+    compactKeyed(s, normStoreDir, "norm", None)
     val k = SpanOps.storedShingleK(s, shingleStoreDir)
-    ScaleOps.compactStore(s, shingleStoreDir,
-      _.select("h").distinct(), batchSlot = true,
-      onStaged = staging =>
-        k.foreach(SpanOps.writeShingleMeta(s, staging, _)))
+    compactKeyed(s, shingleStoreDir, "h",
+      Some(staging => k.foreach(SpanOps.writeShingleMeta(s, staging, _))))
+  }
+
+  private def compactKeyed(s: SparkSession, dir: String, keyCol: String,
+      extra: Option[String => Unit]): Unit = {
+    val maxId = graft.Tables.boundedCollect(
+      s.read.parquet(dir).agg(max("batch_id")), 1,
+      "funnel store max segment").headOption
+      .filterNot(_.isNullAt(0)).map(_.getInt(0))
+    // nothing beyond the seed: no fold to do
+    if (maxId.forall(_ <= -1)) return
+    val newest = maxId.get
+    ScaleOps.compactStore(s, dir,
+      _.filter(col("batch_id") < newest).select(keyCol).distinct(),
+      batchSlot = true,
+      onStaged = staging => {
+        // carry the possibly-uncommitted newest segment verbatim — the
+        // live dir stays intact until the swap below
+        s.read.parquet(dir).filter(col("batch_id") === newest)
+          .select(keyCol)
+          .write.parquet(s"$staging/batch_id=$newest")
+        extra.foreach(_(staging))
+      })
   }
 
   /** Start the funnel over a (doc_id, source, text) document stream.
@@ -133,7 +162,7 @@ object CurationFunnelPipeline {
     // loud by contract: decontamination must never silently no-op
     val evalNorms = s.read.parquet(evalStoreDir).select("norm")
     val stages = CurationOps.crawlFunnelStages(batch, priorNorms,
-      priorKeys, evalNorms)
+      priorKeys, evalNorms, pin = true)
     val released = stages.last._2
     released.select(batch.columns.map(col): _*)
       .write.mode("overwrite").parquet(s"$keepDir/batch_id=$batchId")

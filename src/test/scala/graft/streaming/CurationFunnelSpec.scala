@@ -119,22 +119,34 @@ class CurationFunnelSpec extends SparkSpec {
       .agg(sum(when(col("stage") === "0_arrived", col("n_docs"))))
       .head.getLong(0) === 2L, "latest report covers only batch 2")
 
-    // compaction cadence: fold seed + both batch segments into the seed
-    // slot — probe answers invariant, directory count contracts to one,
-    // the width sidecar survives the swap
+    // compaction cadence: fold every COMMITTED segment into the seed
+    // slot. The NEWEST segment (batch 1) is deliberately retained — it
+    // is the one batch that may have crashed pre-checkpoint and will
+    // replay under its own id; folding it would self-poison that replay
     CurationFunnelPipeline.compactFunnelStores(spark, normStore,
       shingleStore)
     def segs(p: String): Set[String] = new java.io.File(p).listFiles()
       .map(_.getName).filter(_.startsWith("batch_id=")).toSet
-    assert(segs(normStore) === Set("batch_id=-1") &&
-      segs(shingleStore) === Set("batch_id=-1"),
-      s"one seed segment after compaction: ${segs(normStore)} / " +
+    assert(segs(normStore) === Set("batch_id=-1", "batch_id=1") &&
+      segs(shingleStore) === Set("batch_id=-1", "batch_id=1"),
+      s"seed + retained-newest after compaction: ${segs(normStore)} / " +
         s"${segs(shingleStore)}")
     SpanOps.requireShingleK(spark, shingleStore,
       CurationOps.FunnelShingleK)
+    // the crashed-replay regression (the r15 self-review finding):
+    // batch 1's segments survived compaction, so replaying batch 1
+    // probes batch_id < 1 references only and converges — its keep
+    // segment is rewritten IDENTICAL, never emptied by its own norms
+    CurationFunnelPipeline.routeBatch(
+      batch2.toDF("doc_id", "source", "text"), 1L,
+      normStore, shingleStore, evalStore, keepDir, reportDir)
+    assert(spark.read.parquet(s"$keepDir/batch_id=1")
+      .select("doc_id").as[Long].collect().toSet === Set(21L),
+      "a replayed newest batch must converge after compaction, not " +
+        "self-poison against its own folded norms")
     // batch 3 against the compacted stores: a re-crawl of batch 1's
-    // RELEASED doc still dies (the fold kept every norm), novelty still
-    // fires, a genuinely new doc still ships
+    // RELEASED doc still dies (the fold + retained segment keep every
+    // norm), novelty still fires, a genuinely new doc still ships
     CurationFunnelPipeline.routeBatch(Seq(
         (30L, "s1", "fresh distinct wording lives here happily"),
         (31L, "s1", "yet another wholly original third crawl sentence"))
@@ -143,6 +155,13 @@ class CurationFunnelSpec extends SparkSpec {
     assert(spark.read.parquet(s"$keepDir/batch_id=2")
       .select("doc_id").as[Long].collect().toSet === Set(31L),
       "compaction must not change any gate's answer")
+    // a second compaction now folds batch 1 (no longer newest) and
+    // retains batch 2 — the ratchet advances one batch behind the head
+    CurationFunnelPipeline.compactFunnelStores(spark, normStore,
+      shingleStore)
+    assert(segs(normStore) === Set("batch_id=-1", "batch_id=2"),
+      s"second compaction folds the previously-retained segment: " +
+        s"${segs(normStore)}")
   }
 
   test("curation funnel contracts: an absent eval store fails loud " +
