@@ -2356,6 +2356,21 @@ object SimilarityOps {
     }
   }
 
+  /** Root-level stamp/validate for the batch-id-keyed streaming IVF-PQ
+    * layout ([[graft.streaming.VectorIngestPipeline.runIvfPqIngest]]) —
+    * the [[stampPqStoreRoot]] convention with both artifacts.
+    */
+  private[graft] def stampIvfPqStoreRoot(s: SparkSession,
+      storeDir: String, cells: Array[Array[Double]],
+      residCb: Array[Array[Double]]): Unit =
+    writeIvfPqMeta(s, storeDir, codebookFingerprint(cells),
+      codebookFingerprint(residCb))
+
+  private[graft] def requireIvfPqStoreRoot(s: SparkSession,
+      storeDir: String, cells: Array[Array[Double]],
+      residCb: Array[Array[Double]], op: String): Unit =
+    requireIvfPqFingerprints(s, storeDir, cells, residCb, op)
+
   /** Materialize the IVF-PQ index: one (vec_id, label, codes) row per
     * vector, PARTITIONED BY its coarse cell — the inverted-list layout,
     * so a probed search prunes to nProbe cell directories at the

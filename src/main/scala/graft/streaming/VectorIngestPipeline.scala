@@ -113,4 +113,82 @@ object VectorIngestPipeline {
     runVectorIngest(embStream,
       SimilarityOps.readCodebookStore(embStream.sparkSession, codebookDir),
       storeDir, quarantineDir, checkpointDir, trigger)
+
+  // ---- the composed-index (IVF-PQ) ingest -------------------------------
+
+  /** Seed the batch-id-keyed IVF-PQ layout (segment -1, each segment
+    * cell-partitioned inside — the q151 inverted lists under the
+    * streaming key) and stamp BOTH artifact fingerprints at the root.
+    * `validDf` needs (vec_id, label, embedding), null-free full-dim.
+    */
+  def seedIvfPqStore(validDf: DataFrame, cells: Array[Array[Double]],
+      residCb: Array[Array[Double]], storeDir: String): Unit = {
+    SimilarityOps.writeIvfPqStore(validDf, cells, residCb,
+      s"$storeDir/batch_id=-1")
+    SimilarityOps.stampIvfPqStoreRoot(validDf.sparkSession, storeDir,
+      cells, residCb)
+  }
+
+  /** [[runVectorIngest]]'s gauntlet with the COMPOSED-index encode:
+    * valid rows assign to their coarse cell and land residual codes in
+    * `storeDir/batch_id=N/cell=M` (the q151 inverted lists, so
+    * [[graft.ops.SimilarityOps.annIvfPqFromStore]] over the keyed root
+    * still prunes to probed cells), rejects quarantine with their
+    * reason. Same replay discipline (keyed overwrite), same per-batch
+    * root guard — now over BOTH artifacts, because a drift in either
+    * one mis-scores the whole index.
+    */
+  def runIvfPqIngest(embStream: DataFrame, cells: Array[Array[Double]],
+      residCb: Array[Array[Double]], storeDir: String,
+      quarantineDir: String, checkpointDir: String,
+      trigger: Trigger = Trigger.ProcessingTime(0L)): StreamingQuery = {
+    val dim = cells.head.length
+    embStream.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          graft.functions.GraftFunctions.ensureRegistered(batch.sparkSession)
+          SimilarityOps.requireIvfPqStoreRoot(batch.sparkSession,
+            storeDir, cells, residCb, "runIvfPqIngest")
+          val flagged = batch
+            .withColumn("reject_reason", rejectReason(dim))
+            .localCheckpoint(eager = true)
+          flagged.filter(col("reject_reason").isNotNull)
+            .select("vec_id", "label", "reject_reason")
+            .write.mode("overwrite")
+            .parquet(s"$quarantineDir/batch_id=$batchId")
+          // cast to the q151 valid-frame convention so streamed codes
+          // are bit-identical to a batch encode of the same rows
+          SimilarityOps.writeIvfPqStore(
+            flagged.filter(col("reject_reason").isNull)
+              .select(col("vec_id"), col("label"),
+                col("embedding").cast("array<double>").as("embedding")),
+            cells, residCb, s"$storeDir/batch_id=$batchId")
+          SimilarityOps.stampIvfPqStoreRoot(batch.sparkSession, storeDir,
+            cells, residCb)
+        }
+        ()
+      }
+      .start()
+  }
+
+  /** [[runIvfPqIngest]] with BOTH artifacts rehydrated from their
+    * persisted [[graft.ops.SimilarityOps.writeCodebookStore]] stores —
+    * the composed-index lifecycle end to end: one ANALYZE publishes the
+    * coarse cells and the residual codebook, every ingest (re)start
+    * loads the same two literal arrays, and the root fingerprints refuse
+    * a mismatched pair loud.
+    */
+  def runIvfPqIngestFromStores(embStream: DataFrame, cellsDir: String,
+      residCbDir: String, storeDir: String, quarantineDir: String,
+      checkpointDir: String,
+      trigger: Trigger = Trigger.ProcessingTime(0L)): StreamingQuery = {
+    val s = embStream.sparkSession
+    runIvfPqIngest(embStream,
+      SimilarityOps.readCodebookStore(s, cellsDir),
+      SimilarityOps.readCodebookStore(s, residCbDir),
+      storeDir, quarantineDir, checkpointDir, trigger)
+  }
 }

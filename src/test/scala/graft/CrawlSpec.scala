@@ -534,6 +534,82 @@ class CrawlSpec extends SparkSpec {
       .map(_.getLong(0)).toSet === Set(0L, 1L, 10L, 11L))
   }
 
+  test("IVF-PQ ingest: malformed vectors quarantine, valid rows land " +
+      "residual codes in cell-partitioned segments, keyed-root search " +
+      "equals the batch encode, and a drifted artifact fails the " +
+      "stream loud") {
+    import graft.streaming.VectorIngestPipeline
+    import graft.ops.SimilarityOps
+    val root = tmpDir("ivfpq-ingest")
+    val (store, quar) = (s"$root/index", s"$root/quarantine")
+    val dim = SimilarityOps.Dim
+    def vecOf(seed: Int): Array[Float] = {
+      val r = new scala.util.Random(seed)
+      Array.fill(dim)(r.nextGaussian().toFloat)
+    }
+    def valid(rows: Seq[(Long, Array[Float], Int)]) =
+      rows.toDF("vec_id", "embedding", "label")
+        .select(col("vec_id"), col("label"),
+          col("embedding").cast("array<double>").as("embedding"))
+    val seedRows = (0L until 40L).map(i => (i, vecOf(80 + i.toInt), (i % 2).toInt))
+    val cells = SimilarityOps.kmeansCentroids(valid(seedRows), k = 3,
+      iters = 2)
+    val rcb = SimilarityOps.pqResidualCodebook(valid(seedRows), cells,
+      k = 3, iters = 2)
+    VectorIngestPipeline.seedIvfPqStore(valid(seedRows), cells, rcb, store)
+    // one ANALYZE publishes both artifacts; the stream rehydrates them
+    SimilarityOps.writeCodebookStore(spark, cells, s"$root/cells", 2)
+    SimilarityOps.writeCodebookStore(spark, rcb, s"$root/rcb", 2)
+
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Array[java.lang.Float], Int)]
+    val q = VectorIngestPipeline.runIvfPqIngestFromStores(
+      input.toDS().toDF("vec_id", "embedding", "label"),
+      s"$root/cells", s"$root/rcb", store, quar, s"$root/ckpt")
+    def boxed(a: Array[Float]): Array[java.lang.Float] =
+      a.map(java.lang.Float.valueOf)
+    input.addData(
+      (100L, boxed(vecOf(200)), 0),
+      (101L, null: Array[java.lang.Float], 1), // null vector
+      (102L, boxed(vecOf(201)).take(7), 0)) // wrong dim
+    q.processAllAvailable()
+    input.addData((110L, boxed(vecOf(202)), 1))
+    q.processAllAvailable()
+    q.stop()
+
+    assert(spark.read.parquet(quar).collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap ===
+      Map(101L -> "null_vector", 102L -> "wrong_dim"))
+    // segments are cell-partitioned inside their batch dir
+    assert(new java.io.File(s"$store/batch_id=0").listFiles()
+      .exists(_.getName.startsWith("cell=")), "inverted-list layout")
+    // keyed-root search == the batch face over everything admitted
+    val admitted = valid(seedRows ++
+      Seq((100L, vecOf(200), 0), (110L, vecOf(202), 1)))
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getInt(2), r.getString(3), r.getDouble(4))
+    val fromStore = SimilarityOps.annIvfPqFromStore(spark, store, cells,
+      rcb, vecOf(80), excludeId = 0L).collect().map(key).toSeq
+    assert(fromStore === SimilarityOps.annIvfPqWith(admitted, cells, rcb)
+      .collect().map(key).toSeq,
+      "keyed-root search must equal the batch encode of the same rows")
+
+    // a restart fed a drifted RESIDUAL codebook fails loud pre-write
+    val q2 = VectorIngestPipeline.runIvfPqIngest(
+      input.toDS().toDF("vec_id", "embedding", "label"),
+      cells, rcb.map(_.map(_ * 1.5)), store, quar, s"$root/ckpt-bad")
+    input.addData((120L, boxed(vecOf(203)), 0))
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q2.processAllAvailable()
+    }
+    q2.stop()
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("DIFFERENT residual codebook")),
+      s"expected the residual generation-guard message: ${messages(e)}")
+  }
+
   test("media triage replay: a batch's own pre-committed store segment " +
       "never self-quarantines its keeps") {
     import graft.streaming.MediaTriagePipeline
