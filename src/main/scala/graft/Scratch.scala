@@ -1045,6 +1045,62 @@ object Scratch {
       spark.stop()
       return
     }
+    if (name == "ivfpqphase") {
+      // r15 optimization-round instrumentation: split the trained-face
+      // cost (q140/q143/q151/q153/q154) into its lifecycle phases so the
+      // optimization targets the measured leg, not a guess (guide §1).
+      import org.apache.spark.sql.functions.col
+      import org.apache.spark.metrics.source.CodegenMetrics
+      def phase(n: String)(f: => Unit): Unit = {
+        val c0 = CodegenMetrics.METRIC_COMPILATION_TIME.getCount
+        val t0 = System.nanoTime()
+        f
+        val dc = CodegenMetrics.METRIC_COMPILATION_TIME.getCount - c0
+        println(f"[ivfpqphase] $n%-28s ${(System.nanoTime() - t0) / 1e9}%6.2f s" +
+          f"  janino_compiles=$dc")
+      }
+      (1 to args.lift(1).map(_.toInt).getOrElse(2)).foreach { i =>
+        println(s"[ivfpqphase] --- pass $i ---")
+        spark.sharedState.cacheManager.clearCache()
+        val valid = ops.SimilarityOps.validLabeled(
+          Tables.t(spark, dir, "embeddings"))
+        phase("valid.count")(valid.count())
+        var cells: Array[Array[Double]] = null
+        phase("kmeansCentroids (coarse)") {
+          cells = ops.SimilarityOps.kmeansCentroids(valid,
+            ops.SimilarityOps.IvfTrainK, ops.SimilarityOps.IvfTrainIters)
+        }
+        var rcb: Array[Array[Double]] = null
+        phase("pqResidualCodebook") {
+          rcb = ops.SimilarityOps.pqResidualCodebook(valid, cells)
+        }
+        phase("annIvfPqWith search")(
+          ops.SimilarityOps.annIvfPqWith(valid, cells, rcb).count())
+        phase("annIvfPqRecallWith sweep")(
+          ops.SimilarityOps.annIvfPqRecallWith(valid, cells, rcb).count())
+        phase("annIvfPqRefinedWith")(
+          ops.SimilarityOps.annIvfPqRefinedWith(valid, cells, rcb).count())
+        phase("pqTrainedCodebook (raw, q140)")(
+          ops.SimilarityOps.pqTrainedCodebook(valid.drop("label")))
+        // split one representative kmeans-update iteration into plan vs
+        // execute: where do the ~350 ms/job actually go?
+        val upd = ops.SimilarityOps.assignClusters(valid, cells)
+          .select(col("cluster"),
+            org.apache.spark.sql.functions.posexplode(col("embedding"))
+              .as(Seq("pos", "v")))
+          .groupBy("cluster", "pos")
+          .agg(org.apache.spark.sql.functions.round(
+            org.apache.spark.sql.functions.sum(
+              col("v").cast("decimal(38,10)")).cast("double") /
+              org.apache.spark.sql.functions.count(
+                org.apache.spark.sql.functions.lit(1)), 6).as("cv"))
+        phase("update: analyze+optimize")(upd.queryExecution.executedPlan)
+        phase("update: execute (collect)")(upd.collect())
+        phase("trivial job (range.count)")(spark.range(1000).count())
+      }
+      spark.stop()
+      return
+    }
     if (name == "q41lsh") {
       // the q41 kernel blocked by LSH bucket instead of label — the
       // documented handoff once label blocks outgrow memory

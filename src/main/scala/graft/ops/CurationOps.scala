@@ -876,35 +876,57 @@ object CurationOps {
   def curationFunnel(s: SparkSession, dir: String): DataFrame =
     curationFunnelOn(docs(s, dir))
 
-  /** `docsDf` needs (doc_id, lang, text). */
+  /** `docsDf` needs (doc_id, lang, text).
+    *
+    * ONE corpus pass (r15 optimization round): the stage filters are
+    * strictly nested, so instead of one union branch per stage — which
+    * re-executes the whole prefix chain per branch (5 scans of the corpus,
+    * the dedup window 4×, the quality regexes 3×) — each document computes
+    * its deepest surviving stage from per-row flags plus two windows over
+    * the SAME norm partitioning (one exchange), and the report aggregates
+    * the exploded stage prefix. The eval-norm anti-join becomes a window
+    * too: "norm ∈ evalNorms" ≡ "some doc in my norm partition sits in the
+    * eval bucket" (evalNorms is built from this very frame), so the
+    * contraction + join disappear outright. A stage no document reaches
+    * still reports (0, NULL) via the literal stage list — the df.agg
+    * contract of the original shape. Results pinned identical by the
+    * oracle and CurationSpec; the per-stage FRAMES live on in
+    * [[crawlFunnelStages]] for the streaming funnel.
+    */
   def curationFunnelOn(docsDf: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    val spark = docsDf.sparkSession
+    import spark.implicits._
     val d = docsDf
       .withColumn("norm", DedupOps.normText)
       .withColumn("n_toks", Tables.sizeOrNull(toks)) // the one tokenizer
-    val deduped = d
-      .withColumn("rn",
-        row_number().over(Window.partitionBy("norm").orderBy("doc_id")))
-      .filter(col("rn") === 1).drop("rn")
-    val quality = TextOps.scoredDocsOn(deduped)
-      .filter(col("score") >= 0.45)
-      .select(d.columns.map(col): _*)
-    val evalNorms = d
-      .filter(Tables.lcgBucket(col("doc_id"), 48271L, 7L, 100L) >= 90L)
-      .select("norm").distinct()
-    val clean = quality
-      .filter(Tables.lcgBucket(col("doc_id"), 48271L, 7L, 100L) < 90L)
-      .join(evalNorms, Seq("norm"), "left_anti")
-    val sampled = clean
-      .filter(Tables.lcgBucket(col("doc_id"), 9301L, 49297L, 100L) < 50L)
-    val stages = Seq(
-      "0_raw" -> d, "1_dedup" -> deduped, "2_quality" -> quality,
-      "3_decontaminated" -> clean, "4_sampled" -> sampled)
-    stages.map { case (name, df) =>
-      df.agg(count(lit(1)).as("n_docs"),
-          sum(col("n_toks").cast("long")).as("n_tokens"))
-        .select(lit(name).as("stage"), col("n_docs"), col("n_tokens"))
-    }.reduce(_ unionAll _).orderBy("stage")
+    val byNorm = Window.partitionBy("norm")
+    val evalLcg = Tables.lcgBucket(col("doc_id"), 48271L, 7L, 100L)
+    val scored = TextOps.scoredDocsOn(d) // per-row arithmetic only
+      .withColumn("rn", row_number().over(byNorm.orderBy("doc_id")))
+      .withColumn("eval_hit",
+        max(when(evalLcg >= 90L, 1).otherwise(0)).over(byNorm))
+    val s1 = col("rn") === 1
+    val s2 = s1 && col("score") >= 0.45
+    // null-norm guard: an anti-join never matches a NULL key, so a
+    // null-norm doc is never decontaminated away (unreachable anyway —
+    // null text has no score — but the semantics must not depend on that)
+    val s3 = s2 && evalLcg < 90L &&
+      (col("eval_hit") === 0 || col("norm").isNull)
+    val s4 = s3 && Tables.lcgBucket(col("doc_id"), 9301L, 49297L, 100L) < 50L
+    val reach = when(s4, 4).when(s3, 3).when(s2, 2).when(s1, 1).otherwise(0)
+    val names = Seq("0_raw", "1_dedup", "2_quality", "3_decontaminated",
+      "4_sampled")
+    val agg = scored
+      .select(col("n_toks"), explode(sequence(lit(0), reach)).as("si"))
+      .groupBy("si")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_toks").cast("long")).as("n_tokens"))
+    names.zipWithIndex.toDF("stage", "si")
+      .join(agg, Seq("si"), "left")
+      .select(col("stage"), coalesce(col("n_docs"), lit(0L)).as("n_docs"),
+        col("n_tokens"))
+      .orderBy("stage")
   }
 
   // ---- q149: the per-crawl funnel (incoming vs the existing corpus) -------
@@ -1035,6 +1057,77 @@ object CurationOps {
   def crawlFunnel(s: SparkSession, dir: String): DataFrame =
     crawlFunnelOn(docs(s, dir))
 
+  /** The one-pass twin of [[crawlFunnelReport]]∘[[crawlFunnelStages]] for
+    * the BATCH face (r15 optimization round): the six stage filters are
+    * strictly nested, so the per-stage union — which re-executed the whole
+    * gate-chain prefix per branch (74 parquet scans in the q149 plan: the
+    * quality regexes 5×, the reference shingle contraction 3×, …) —
+    * collapses into per-document flags + one deepest-stage explode:
+    *
+    *   - quality: per-row score (unchanged expression);
+    *   - fresh: the corpus-norm anti-join becomes a left-join flag
+    *     (NULL-key semantics identical: a left join misses exactly where
+    *     an anti-join survives), and first-write-wins becomes a
+    *     cumulative count of QUALITY docs per norm — the anti-join only
+    *     ever removes whole norm groups, so ranks within surviving
+    *     groups are unchanged;
+    *   - novel: [[SpanOps.noveltyAgainstKeys]] is per-doc independent
+    *     (distinct own-shingles probed against the reference keys), so it
+    *     computes over ALL incoming docs once and joins back by doc_id —
+    *     the values for gated docs are identical, and the reference
+    *     contraction now runs ONCE instead of three times;
+    *   - decontaminated / released: left-join flag + per-row regex.
+    *
+    * Every reference side executes once; stage membership is decided
+    * per row; the report aggregates the exploded stage prefix. Cell
+    * existence semantics match the staged shape exactly (a (stage,
+    * source) cell exists iff ≥ 1 doc of that source survived that
+    * stage). CurationSpec pins this one-pass report row-identical to
+    * [[crawlFunnelReport]] over [[crawlFunnelStages]] on the same
+    * inputs; the staged frames remain the streaming funnel's routing
+    * core.
+    */
+  private[graft] def crawlFunnelOnePass(incoming: DataFrame,
+      corpusNorms: DataFrame, refShingleKeys: DataFrame,
+      evalNorms: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = incoming
+      .withColumn("norm", DedupOps.normText)
+      .withColumn("n_toks", Tables.sizeOrNull(toks))
+    val nov = SpanOps.noveltyAgainstKeys(
+      incoming.select("doc_id", "text"), refShingleKeys, FunnelShingleK)
+      .select(col("doc_id"), col("n_distinct_shingles"), col("n_novel"))
+    val full = TextOps.scoredDocsOn(d) // per-row arithmetic only
+      .join(corpusNorms.select(col("norm")).withColumn("_corpus", lit(1))
+        .distinct(), Seq("norm"), "left")
+      .join(evalNorms.select(col("norm")).withColumn("_eval", lit(1))
+        .distinct(), Seq("norm"), "left")
+      .join(nov, Seq("doc_id"), "left")
+    val s1 = col("score") >= FunnelQualityBar
+    val ranked = full.withColumn("_qrank",
+      sum(when(s1, 1).otherwise(0)).over(
+        Window.partitionBy("norm").orderBy("doc_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val s2 = s1 && col("_corpus").isNull && col("_qrank") === 1
+    val s3 = s2 && (col("n_distinct_shingles").isNull ||
+      col("n_novel") * 2 >= col("n_distinct_shingles"))
+    val s4 = s3 && col("_eval").isNull
+    val s5 = s4 && !ScrubOps.anyPii(col("text"))
+    val reach = when(s5, 5).when(s4, 4).when(s3, 3).when(s2, 2)
+      .when(s1, 1).otherwise(0)
+    val names = Seq("0_arrived", "1_quality", "2_fresh", "3_novel",
+      "4_decontaminated", "5_released")
+    ranked
+      .select(col("source"), col("n_toks"),
+        explode(sequence(lit(0), reach)).as("si"))
+      .groupBy("si", "source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_toks").cast("long")).as("n_tokens"))
+      .select(element_at(typedLit(names), col("si") + 1).as("stage"),
+        col("source"), col("n_docs"), col("n_tokens"))
+      .orderBy("stage", "source")
+  }
+
   /** `docsDf` needs (doc_id, source, text). */
   def crawlFunnelOn(docsDf: DataFrame): DataFrame = {
     val raw = docsDf.select("doc_id", "source", "text")
@@ -1055,8 +1148,7 @@ object CurationOps {
     val evalNorms = raw
       .filter(Tables.lcgBucket(col("doc_id"), 9301L, 49297L, 100L) >= 90L)
       .select(DedupOps.normText.as("norm")).distinct()
-    crawlFunnelReport(
-      crawlFunnelStages(incoming, corpusNorms, refKeys, evalNorms))
+    crawlFunnelOnePass(incoming, corpusNorms, refKeys, evalNorms)
   }
 
   // ---- fingerprint store: the persisted face of delta dedup ---------------

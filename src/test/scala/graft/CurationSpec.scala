@@ -547,6 +547,54 @@ class CurationSpec extends SparkSpec {
     assert(out("1_dedup")._1 === nDistinct)
   }
 
+  test("crawl funnel one-pass report == staged report on the same inputs " +
+      "(incl. refetch dups, eval overlap, null text)") {
+    // a fixture that exercises every gate: near-dup shingles, an exact
+    // corpus dup, an eval-split overlap, a PII doc, a null-text doc and a
+    // doc too short to shingle
+    val incoming = Seq(
+      (100L, "web", "the quick brown fox jumps over the lazy dog again " +
+        "and again with plenty of distinct tokens here"),
+      (101L, "web", "the quick brown fox jumps over the lazy dog again " +
+        "and again with plenty of distinct tokens here"), // intra-crawl dup
+      (102L, "wiki", "an entirely novel document about spectral graph " +
+        "theory eigenvalues and expander mixing lemmas"),
+      (103L, "wiki", "contact me at alice@example.com for the dataset " +
+        "and further correspondence about licensing terms"),
+      (104L, "web", "already indexed content that the reference corpus " +
+        "holds verbatim in its fingerprint store today"),
+      (105L, "cc", "short doc"),
+      (106L, "cc", null: String),
+      (107L, "web", "held out benchmark prose that must never ship as " +
+        "training data from any crawl whatsoever period")
+    ).toDF("doc_id", "source", "text")
+    val corpus = Seq(
+      "already indexed content that the reference corpus holds verbatim " +
+        "in its fingerprint store today",
+      "some other indexed page about unrelated matters entirely"
+    ).toDF("text").select(graft.ops.DedupOps.normText.as("norm")).distinct()
+    val refKeys = SpanOps.distinctShingleKeys(
+      Seq((1L, "the quick brown fox jumps over the lazy dog today"))
+        .toDF("doc_id", "text"), CurationOps.FunnelShingleK)
+    val evalNorms = Seq(
+      "held out benchmark prose that must never ship as training data " +
+        "from any crawl whatsoever period")
+      .toDF("text").select(graft.ops.DedupOps.normText.as("norm")).distinct()
+    val staged = CurationOps.crawlFunnelReport(CurationOps.crawlFunnelStages(
+      incoming, corpus, refKeys, evalNorms)).collect().map(_.toSeq).toSeq
+    val onePass = CurationOps.crawlFunnelOnePass(
+      incoming, corpus, refKeys, evalNorms).collect().map(_.toSeq).toSeq
+    assert(onePass === staged,
+      s"one-pass funnel report drifted from the staged core:\n" +
+        s"one-pass: $onePass\nstaged:   $staged")
+    // and the fixture actually exercised attrition: some doc fell at
+    // every gate except arrival
+    val byStage = staged.groupBy(_.head).map { case (k, rows) =>
+      k -> rows.map(_(2).asInstanceOf[Long]).sum }
+    assert(byStage("0_arrived") > byStage("5_released"),
+      s"fixture must attrit through the funnel: $byStage")
+  }
+
   test("fingerprint store: write, probe, append, re-probe") {
     val store = tmpDir("fp_store") + "/store"
     val corpus = Seq((1L, "Known Doc one"), (2L, "known doc two"))
