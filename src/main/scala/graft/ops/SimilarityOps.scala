@@ -1822,7 +1822,19 @@ object SimilarityOps {
       .select(col("vec_id"),
         col("embedding").cast("array<double>").as("embedding"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
+    try pqTrainOn(valid, k, iters)
+    finally valid.unpersist(blocking = false)
+  }
+
+  /** The Lloyd loop of [[pqTrainedCodebook]] over an ALREADY-materialized
+    * valid (vec_id, embedding: array&lt;double&gt;) frame — the trained
+    * IVF-PQ faces feed it their localCheckpointed residual frame (r15),
+    * which already serves the encode and the search, instead of paying
+    * the trainer's own persist of a second copy.
+    */
+  private def pqTrainOn(valid: DataFrame, k: Int,
+      iters: Int): Array[Array[Double]] = {
+    graft.functions.GraftFunctions.ensureRegistered(valid.sparkSession)
     var full: Array[Array[Double]] = Tables.boundedCollect(
       valid.orderBy(
           Tables.lcgBucket(col("vec_id"), 48271L, 11L, 1000000007L).asc,
@@ -1872,7 +1884,6 @@ object SimilarityOps {
       it += 1
     }
     full
-    } finally valid.unpersist(blocking = false)
   }
 
   /** q140: trained-PQ ANN — the q123 ADC search running against the
@@ -1959,21 +1970,27 @@ object SimilarityOps {
     */
   def annIvfWithCells(validDf: DataFrame, centroids: Array[Array[Double]],
       queryId: Long = 0L, k: Int = 10, nProbe: Int = 3): DataFrame = {
-    graft.functions.GraftFunctions.ensureRegistered(validDf.sparkSession)
+    val session = validDf.sparkSession
+    graft.functions.GraftFunctions.ensureRegistered(session)
+    import session.implicits._
     require(centroids.nonEmpty,
       "annIvfWithCells: empty coarse codebook — train with kmeansCentroids")
-    val q = broadcast(validDf.filter(col("vec_id") === queryId)
-      .select(col("embedding").as("q_emb")))
-    val probed = broadcast(q.select(
-        explode(slice(array_sort(array(cellDists(col("q_emb"), centroids): _*)),
-          1, nProbe)).as("s"))
-      .select(col("s.c").as("cell")))
+    // probe ring driver-side from ONE bounded collect of the query row
+    // ([[probeRingLocal]] — the annIvfPqFromStore twin of cellDists'
+    // expression arithmetic); the query vector re-enters the plan as a
+    // literal. The previous q → probed broadcast-subtree chain cost two
+    // sequential jobs, each re-running the corpus scan (r15; a missing
+    // query id yields an empty ring → empty join → empty result, the
+    // prior empty-broadcast behavior).
+    val qOpt = queryVecLocal(validDf, queryId)
+    val ring = qOpt.map(q => probeRingLocal(q, centroids, nProbe))
+      .getOrElse(Seq.empty)
+    val qArr: Seq[Double] = qOpt.map(_.toSeq).getOrElse(Seq.empty)
     assignClusters(validDf, centroids)
-      .join(probed, col("cluster") === col("cell"))
+      .join(broadcast(ring.toDF("cell")), col("cluster") === col("cell"))
       .filter(col("vec_id") =!= queryId)
-      .crossJoin(q)
       .select(col("vec_id"), col("label"), col("cell"),
-        round(cosine(col("embedding"), col("q_emb")), 6).as("cos_sim"))
+        round(cosine(col("embedding"), typedLit(qArr)), 6).as("cos_sim"))
       .orderBy(col("cos_sim").desc, col("vec_id").asc)
       .limit(k)
   }
@@ -2039,7 +2056,15 @@ object SimilarityOps {
   def annIvfPqTrained(s: SparkSession, dir: String): DataFrame = {
     val valid = validLabeled(emb(s, dir))
     val cells = kmeansCentroids(valid, IvfTrainK, IvfTrainIters)
-    annIvfPqWith(valid, cells, pqResidualCodebook(valid, cells))
+    // r15: ONE materialized residual frame (localCheckpoint — scoped to
+    // this call's lineage, reclaimed with it, never the session cache)
+    // feeds the residual trainer's 6 bounded iterations AND the index
+    // encode; before, the trainer pinned its own copy and the search
+    // re-derived residuals from parquet with a second full
+    // coarse-assignment pass.
+    val resid = residualsWith(valid, cells).localCheckpoint(eager = true)
+    annIvfPqSearchOn(resid, cells, pqResidualCodebookOn(resid),
+      queryId = 0L, k = 10, nProbe = IvfPqNProbe)
   }
 
   /** The coarse-assigned residual frame: (vec_id, label, cluster,
@@ -2053,8 +2078,13 @@ object SimilarityOps {
   private def residualsWith(validDf: DataFrame,
       cells: Array[Array[Double]]): DataFrame = {
     val cellsLit = typedLit(cells.map(_.toSeq).toSeq)
+    // embedding rides along (r15): the trained faces localCheckpoint this
+    // frame once and serve the query-vector lookup, the recall sweep's
+    // exact arm and the refine stage from it — consumers that don't need
+    // it prune the column at plan time, so the inline (*With) paths pay
+    // nothing for it
     assignClusters(validDf, cells)
-      .select(col("vec_id"), col("label"), col("cluster"),
+      .select(col("vec_id"), col("label"), col("cluster"), col("embedding"),
         zip_with(col("embedding"),
           element_at(cellsLit, col("cluster") + 1),
           (x, c) => x - c).as("residual"))
@@ -2075,6 +2105,18 @@ object SimilarityOps {
         .select(col("vec_id"), col("residual").as("embedding")),
       k, iters)
 
+  /** [[pqResidualCodebook]] over an ALREADY-materialized residual frame
+    * (the trained faces' localCheckpoint) — skips the trainer's own
+    * persist and its validity re-filter: residuals of [[validLabeled]]
+    * vectors are non-null full-dim doubles by construction (zip_with of
+    * two non-null double arrays), so the filter passes every row and the
+    * training set is identical.
+    */
+  private def pqResidualCodebookOn(residFrame: DataFrame,
+      k: Int = PqTrainK, iters: Int = PqTrainIters): Array[Array[Double]] =
+    pqTrainOn(residFrame
+      .select(col("vec_id"), col("residual").as("embedding")), k, iters)
+
   /** IVF-PQ search against explicit artifacts — the production form
     * (both codebooks trained once, persisted via
     * [[writeCodebookStore]], rehydrated via [[readCodebookStore]]).
@@ -2084,45 +2126,46 @@ object SimilarityOps {
   def annIvfPqWith(validDf: DataFrame, cells: Array[Array[Double]],
       residCb: Array[Array[Double]], queryId: Long = 0L, k: Int = 10,
       nProbe: Int = IvfPqNProbe): DataFrame = {
-    graft.functions.GraftFunctions.ensureRegistered(validDf.sparkSession)
     require(cells.nonEmpty && residCb.nonEmpty,
       "annIvfPqWith: empty coarse or residual codebook — train with " +
         "kmeansCentroids / pqResidualCodebook")
-    val cellsLit = typedLit(cells.map(_.toSeq).toSeq)
+    annIvfPqSearchOn(residualsWith(validDf, cells), cells, residCb,
+      queryId, k, nProbe)
+  }
+
+  /** The IVF-PQ search over an already-built residual frame
+    * ([[residualsWith]] inline, or the trained faces' localCheckpoint of
+    * it). The probe ring and the per-probed-cell ADC lookup tables are
+    * the [[annIvfPqFromStore]] driver arithmetic ([[probeRingLocal]] /
+    * [[adcLutsLocal]] — bit-identical to the former expression path; the
+    * storegate's from-store == inline pin is the proof), computed from
+    * ONE bounded collect of the query row and shipped as a LOCAL
+    * relation. The previous q → probed → luts broadcast-subtree chain
+    * cost three sequential jobs, each re-running its own corpus scan
+    * (r15 optimization; a missing query id yields empty ring → empty
+    * local relation → empty result, the prior empty-broadcast behavior).
+    */
+  private def annIvfPqSearchOn(residFrame: DataFrame,
+      cells: Array[Array[Double]], residCb: Array[Array[Double]],
+      queryId: Long, k: Int, nProbe: Int): DataFrame = {
+    val session = residFrame.sparkSession
+    graft.functions.GraftFunctions.ensureRegistered(session)
+    import session.implicits._
     // index side: residual codes + cell, 8 B per vector (built at ingest
     // in production; per call here so the oracle replays it)
-    val coded = residualsWith(validDf, cells)
+    val coded = residFrame
       .select(col("vec_id"), col("label"), col("cluster").as("cell"),
         call_function("graft_pq_encode", col("residual"),
           typedLit(residCb.map(_.toSeq).toSeq), lit(PqSubDim)).as("codes"))
-    val q = broadcast(validDf.filter(col("vec_id") === queryId)
-      .select(col("embedding").as("q_emb")))
-    // the probe ring: q143's exact metric and tie-break
-    val probed = broadcast(q.select(
-        explode(slice(array_sort(array(cellDists(col("q_emb"), cells): _*)),
-          1, nProbe)).as("s"))
-      .select(col("s.c").as("cell")))
-    // per-probed-cell ADC lookup tables: the query's residual is CELL-
-    // dependent, so each probed cell carries its own [m][cw] table —
-    // O(nProbe · PqSub · k) entries on nProbe rows, never corpus work.
-    // Distances replay annPqSearch's op order over the residual slices.
-    val qRes = zip_with(col("q_emb"),
-      element_at(cellsLit, col("cell") + 1), (x, c) => x - c)
-    val rcb: Array[Array[Array[Double]]] = Array.tabulate(PqSub)(m =>
-      residCb.map(_.slice(m * PqSubDim, (m + 1) * PqSubDim)))
-    val lutCol = array((0 until PqSub).map { m =>
-      val qrm = slice(qRes, m * PqSubDim + 1, PqSubDim)
-      val x2 = dot(qrm, qrm)
-      array(rcb(m).toSeq.map(c =>
-        x2 - lit(2.0) * dot(qrm, typedLit(c.toSeq)) +
-          lit(c.map(v => v * v).sum)): _*)
-    }: _*)
-    val luts = broadcast(probed.crossJoin(q)
-      .select(col("cell"), lutCol.as("lut")))
+    val luts: Seq[(Int, Seq[Seq[Double]])] =
+      queryVecLocal(residFrame, queryId).map { q =>
+        val ring = probeRingLocal(q, cells, nProbe)
+        adcLutsLocal(q, ring, cells, residCb, PqSub).toSeq.sortBy(_._1)
+      }.getOrElse(Seq.empty)
     val adc = (0 until PqSub).map(m =>
         element_at(element_at(col("lut"), m + 1), col("codes")(m) + 1))
       .reduceLeft(_ + _)
-    coded.join(luts, Seq("cell"))
+    coded.join(broadcast(luts.toDF("cell", "lut")), Seq("cell"))
       .filter(col("vec_id") =!= queryId)
       .select(col("vec_id"), col("label"), col("cell"),
         array_join(transform(col("codes"), j => j.cast("string")), ",")
@@ -2160,7 +2203,11 @@ object SimilarityOps {
   def annIvfPqRecall(s: SparkSession, dir: String): DataFrame = {
     val valid = validLabeled(emb(s, dir))
     val cells = kmeansCentroids(valid, IvfTrainK, IvfTrainIters)
-    annIvfPqRecallWith(valid, cells, pqResidualCodebook(valid, cells))
+    // r15: one localCheckpointed residual frame serves trainer, sweep
+    // census, probe collect and exact arm (the annIvfPqTrained shape)
+    val resid = residualsWith(valid, cells).localCheckpoint(eager = true)
+    annIvfPqRecallOn(resid, cells, pqResidualCodebookOn(resid),
+      RecallK, RecallProbes, RecallMaxProbe)
   }
 
   /** The sweep against explicit artifacts. `validDf` needs (vec_id,
@@ -2179,46 +2226,54 @@ object SimilarityOps {
       residCb: Array[Array[Double]], k: Int = RecallK,
       pCount: Int = RecallProbes,
       maxProbe: Int = RecallMaxProbe): DataFrame = {
-    graft.functions.GraftFunctions.ensureRegistered(validDf.sparkSession)
-    require(maxProbe >= 1 && pCount >= 1 && k >= 1,
-      s"annIvfPqRecallWith: maxProbe, pCount and k must be >= 1, got " +
-        s"($maxProbe, $pCount, $k)")
     require(cells.nonEmpty && residCb.nonEmpty,
       "annIvfPqRecallWith: empty coarse or residual codebook — train " +
         "with kmeansCentroids / pqResidualCodebook")
-    val cellsLit = typedLit(cells.map(_.toSeq).toSeq)
-    val e = assignClusters(validDf, cells)
+    annIvfPqRecallOn(residualsWith(validDf, cells), cells, residCb,
+      k, pCount, maxProbe)
+  }
+
+  /** The sweep over an already-built residual frame. Probe rows and the
+    * per-(probe, cell) rings/LUTs are driver arithmetic over ONE bounded
+    * collect of the probe set ([[probeRingLocal]] / [[adcLutsLocal]] —
+    * the annIvfPqFromStore twins), shipped as local relations; the
+    * previous plan evaluated them as two broadcast-subtree jobs that each
+    * re-ran the corpus scan + encode (r15 optimization).
+    */
+  private def annIvfPqRecallOn(residFrame: DataFrame,
+      cells: Array[Array[Double]], residCb: Array[Array[Double]],
+      k: Int, pCount: Int, maxProbe: Int): DataFrame = {
+    val session = residFrame.sparkSession
+    graft.functions.GraftFunctions.ensureRegistered(session)
+    import session.implicits._
+    require(maxProbe >= 1 && pCount >= 1 && k >= 1,
+      s"annIvfPqRecallWith: maxProbe, pCount and k must be >= 1, got " +
+        s"($maxProbe, $pCount, $k)")
+    val e = residFrame
       .select(col("vec_id"), col("embedding"),
         norm(col("embedding")).as("enorm"),
         col("cluster").as("cell"),
-        call_function("graft_pq_encode",
-          zip_with(col("embedding"),
-            element_at(cellsLit, col("cluster") + 1), (x, c) => x - c),
+        call_function("graft_pq_encode", col("residual"),
           typedLit(residCb.map(_.toSeq).toSeq), lit(PqSubDim)).as("codes"))
-    val probes = broadcast(e.orderBy("vec_id").limit(pCount)
-      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
-        col("enorm").as("qnorm")))
-    // per-(probe, probed-cell) rows carrying that pair's ADC LUT — the
-    // annIvfPqWith LUT expression with q_emb varying per row
-    val qRes = zip_with(col("q_emb"),
-      element_at(cellsLit, col("cell") + 1), (x, c) => x - c)
-    val rcb: Array[Array[Array[Double]]] = Array.tabulate(PqSub)(m =>
-      residCb.map(_.slice(m * PqSubDim, (m + 1) * PqSubDim)))
-    val lutCol = array((0 until PqSub).map { m =>
-      val qrm = slice(qRes, m * PqSubDim + 1, PqSubDim)
-      val x2 = dot(qrm, qrm)
-      array(rcb(m).toSeq.map(c =>
-        x2 - lit(2.0) * dot(qrm, typedLit(c.toSeq)) +
-          lit(c.map(v => v * v).sum)): _*)
-    }: _*)
-    val probedCells = broadcast(probes
-      .select(col("q_id"), col("q_emb"), posexplode(slice(
-          array_sort(array(cellDists(col("q_emb"), cells): _*)),
-          1, maxProbe)).as(Seq("p", "s")))
-      .select(col("q_id"), col("q_emb"), col("s.c").as("cell"),
-        (col("p") + 1).cast("int").as("cent_rank"))
-      .withColumn("lut", lutCol)
-      .drop("q_emb"))
+    // the bounded probe set, collected once: (q_id, q_emb, qnorm) — qnorm
+    // is math.sqrt of the index-order self-dot, bit-identical to the
+    // norm() expression (java.lang.Math.sqrt is IEEE correctly-rounded)
+    val probeRows: Seq[(Long, Seq[Double], Double)] = Tables.boundedCollect(
+      residFrame.orderBy("vec_id").limit(pCount)
+        .select(col("vec_id"), col("embedding").cast("array<double>")),
+      pCount, "ivfpq recall probe set").toSeq.map { r =>
+      val q = r.getSeq[Double](1).toArray
+      (r.getLong(0), q.toSeq, math.sqrt(ddot(q, q)))
+    }
+    val probes = broadcast(probeRows.toDF("q_id", "q_emb", "qnorm"))
+    // per-(probe, probed-cell) rows carrying that pair's ADC LUT
+    val probedCells = broadcast(probeRows.flatMap { case (qid, qs, _) =>
+      val q = qs.toArray
+      val ring = probeRingLocal(q, cells, maxProbe)
+      val lutByCell = adcLutsLocal(q, ring, cells, residCb, PqSub)
+      ring.zipWithIndex.map { case (cell, p) =>
+        (qid, cell, p + 1, lutByCell(cell)) }
+    }.toDF("q_id", "cell", "cent_rank", "lut"))
     val nProbes = 1 to maxProbe
     val adc = round((0 until PqSub).map(m =>
         element_at(element_at(col("lut"), m + 1), col("codes")(m) + 1))
@@ -2291,7 +2346,12 @@ object SimilarityOps {
   def annIvfPqRefined(s: SparkSession, dir: String): DataFrame = {
     val valid = validLabeled(emb(s, dir))
     val cells = kmeansCentroids(valid, IvfTrainK, IvfTrainIters)
-    annIvfPqRefinedWith(valid, cells, pqResidualCodebook(valid, cells))
+    // r15: one localCheckpointed residual frame serves trainer, stage-1
+    // codes scan AND the stage-2 full-vector refine (it carries the raw
+    // embedding) — before, stage 2 re-read parquet
+    val resid = residualsWith(valid, cells).localCheckpoint(eager = true)
+    annIvfPqRefinedOn(resid, cells, pqResidualCodebookOn(resid),
+      0L, 10, IvfPqNProbe, IvfPqRefine)
   }
 
   /** The two-stage search against explicit artifacts. `validDf` needs
@@ -2300,24 +2360,112 @@ object SimilarityOps {
   def annIvfPqRefinedWith(validDf: DataFrame,
       cells: Array[Array[Double]], residCb: Array[Array[Double]],
       queryId: Long = 0L, k: Int = 10, nProbe: Int = IvfPqNProbe,
-      shortlist: Int = IvfPqRefine): DataFrame = {
+      shortlist: Int = IvfPqRefine): DataFrame =
+    annIvfPqRefinedOn(residualsWith(validDf, cells), cells, residCb,
+      queryId, k, nProbe, shortlist)
+
+  /** The two-stage search over an already-built residual frame: stage 1
+    * is [[annIvfPqSearchOn]]'s codes-only ADC scan kept `shortlist` deep;
+    * stage 2 re-ranks ONLY the finalists by exact cosine against the
+    * query vector, which rides in as a literal from the same single
+    * bounded collect (r15: the broadcast query-row subtree and its extra
+    * job are gone; the refine reads the residual frame's embedding
+    * column, so the trained face re-reads its checkpoint, not parquet).
+    */
+  private def annIvfPqRefinedOn(residFrame: DataFrame,
+      cells: Array[Array[Double]], residCb: Array[Array[Double]],
+      queryId: Long, k: Int, nProbe: Int, shortlist: Int): DataFrame = {
     require(shortlist >= k,
       s"annIvfPqRefinedWith: shortlist $shortlist must be >= k $k — a " +
         "shorter shortlist than the answer set is a caller bug")
-    val finalists = annIvfPqWith(validDf, cells, residCb, queryId,
+    val finalists = annIvfPqSearchOn(residFrame, cells, residCb, queryId,
         k = shortlist, nProbe = nProbe)
       .select(col("vec_id"), col("cell"), col("adc_dist"))
-    val q = broadcast(validDf.filter(col("vec_id") === queryId)
-      .select(col("embedding").as("q_emb"),
-        norm(col("embedding")).as("qnorm")))
-    validDf.join(broadcast(finalists), Seq("vec_id"))
-      .crossJoin(q)
+    // the same arithmetic the former broadcast row carried: q_emb verbatim,
+    // qnorm = sqrt(index-order self-dot) — bit-identical to norm()
+    val qOpt = queryVecLocal(residFrame, queryId)
+    val qArr: Seq[Double] = qOpt.map(_.toSeq).getOrElse(Seq.empty)
+    val qnorm = qOpt.map(q => math.sqrt(ddot(q, q))).getOrElse(Double.NaN)
+    residFrame.join(broadcast(finalists), Seq("vec_id"))
       .select(col("vec_id"), col("label"), col("cell"), col("adc_dist"),
-        round(try_divide(dot(col("embedding"), col("q_emb")),
-          norm(col("embedding")) * col("qnorm")), 6).as("cos_sim"))
+        round(try_divide(dot(col("embedding"), typedLit(qArr)),
+          norm(col("embedding")) * lit(qnorm)), 6).as("cos_sim"))
       .orderBy(col("cos_sim").desc, col("vec_id").asc)
       .limit(k)
   }
+
+  // ---- driver-side probe arithmetic (ONE definition for the store and
+  // ---- inline searches; the storegate's from-store == inline pin is what
+  // ---- proves it bit-identical to the expression path) -------------------
+
+  /** Driver twin of [[dot]]'s VecDot kernel: index-order `acc += x·y`. */
+  private def ddot(a: Array[Double], b: Array[Double]): Double = {
+    var acc = 0.0; var i = 0
+    while (i < a.length) { acc += a(i) * b(i); i += 1 }
+    acc
+  }
+
+  /** Driver-side probe ring — [[assignClusters]]' arithmetic (x² shared,
+    * index-order dots, c² accumulated in the same index order), then
+    * (d, c) ascending, first `nProbe` cell indices. Extracted verbatim
+    * from [[annIvfPqFromStore]] (r15): the inline searches now share it
+    * instead of evaluating the same arithmetic as a chain of
+    * broadcast-subtree jobs.
+    */
+  private[graft] def probeRingLocal(q: Array[Double],
+      cells: Array[Array[Double]], nProbe: Int): Seq[Int] = {
+    val dim = q.length
+    val x2 = { var a = 0.0; q.foreach(v => a += v * v); a }
+    cells.zipWithIndex.map { case (c, i) =>
+      var dotAcc = 0.0; var c2 = 0.0
+      (0 until dim).foreach { j => dotAcc += q(j) * c(j); c2 += c(j) * c(j) }
+      (x2 - 2.0 * dotAcc + c2, i)
+    }.sortBy(identity).take(nProbe).map(_._2).toSeq
+  }
+
+  /** Per-probed-cell ADC lookup tables driver-side: qr = q − cell, then
+    * the annPqFromStore LUT replay per subspace over the residual
+    * codewords. Extracted verbatim from [[annIvfPqFromStore]] (r15).
+    */
+  private[graft] def adcLutsLocal(q: Array[Double], probed: Seq[Int],
+      cells: Array[Array[Double]], residCb: Array[Array[Double]],
+      nSub: Int): Map[Int, Seq[Seq[Double]]] = {
+    val dim = q.length
+    probed.map { ci =>
+      val qr = Array.tabulate(dim)(j => q(j) - cells(ci)(j))
+      ci -> (0 until nSub).map { m =>
+        val off = m * PqSubDim
+        var qx2 = 0.0
+        (0 until PqSubDim).foreach { i =>
+          val x = qr(off + i); qx2 += x * x
+        }
+        residCb.toSeq.map { c =>
+          var dotAcc = 0.0; var c2 = 0.0
+          (0 until PqSubDim).foreach { j =>
+            dotAcc += qr(off + j) * c(off + j)
+            c2 += c(off + j) * c(off + j)
+          }
+          qx2 - 2.0 * dotAcc + c2
+        }
+      }
+    }.toMap
+  }
+
+  /** The single query row's full-dim vector, collected ONCE — the bounded
+    * driver hop every probe-side computation hangs off (r15: replaces the
+    * q → probed → luts broadcast-subtree chains, which cost one job each
+    * and re-ran their own corpus scan). The frame must be null-free
+    * full-dim ([[validLabeled]] / [[residualsWith]] shapes). Exactly one
+    * row may carry the id: a duplicated query id previously multiplied
+    * the probe join silently; the bounded collect fails loud instead.
+    */
+  private def queryVecLocal(df: DataFrame,
+      queryId: Long): Option[Array[Double]] =
+    Tables.boundedCollect(
+      df.filter(col("vec_id") === queryId)
+        .select(col("embedding").cast("array<double>")),
+      1, s"ann query vector (vec_id=$queryId)")
+      .headOption.map(_.getSeq[Double](0).toArray)
 
   // ---- persisted IVF-PQ index (cell-partitioned inverted lists) ----------
 
@@ -2463,34 +2611,9 @@ object SimilarityOps {
           s"the $dim-dim query implies $nSub — wrong codebook or store")
     }
     val q = queryVec.map(_.toDouble)
-    // probe ring: assignClusters' arithmetic driver-side — x² shared,
-    // index-order dots, c² left fold, (d, c) ascending
-    val x2 = { var a = 0.0; q.foreach(v => a += v * v); a }
-    val probedCells = cells.zipWithIndex.map { case (c, i) =>
-      var dotAcc = 0.0; var c2 = 0.0
-      (0 until dim).foreach { j => dotAcc += q(j) * c(j); c2 += c(j) * c(j) }
-      (x2 - 2.0 * dotAcc + c2, i)
-    }.sortBy(identity).take(nProbe).map(_._2)
-    // per-probed-cell LUTs: qr = q − cell, then the annPqFromStore LUT
-    // replay per subspace over the residual codewords
-    val lutByCell: Map[Int, Seq[Seq[Double]]] = probedCells.map { ci =>
-      val qr = Array.tabulate(dim)(j => q(j) - cells(ci)(j))
-      ci -> (0 until nSub).map { m =>
-        val off = m * PqSubDim
-        var qx2 = 0.0
-        (0 until PqSubDim).foreach { i =>
-          val x = qr(off + i); qx2 += x * x
-        }
-        residCb.toSeq.map { c =>
-          var dotAcc = 0.0; var c2 = 0.0
-          (0 until PqSubDim).foreach { j =>
-            dotAcc += qr(off + j) * c(off + j)
-            c2 += c(off + j) * c(off + j)
-          }
-          qx2 - 2.0 * dotAcc + c2
-        }
-      }
-    }.toMap
+    val probedCells = probeRingLocal(q, cells, nProbe)
+    val lutByCell: Map[Int, Seq[Seq[Double]]] =
+      adcLutsLocal(q, probedCells, cells, residCb, nSub)
     val lut = element_at(typedLit(lutByCell), col("cell"))
     val adc = (0 until nSub).map(m =>
         element_at(element_at(lut, m + 1), col("codes")(m) + 1))
