@@ -517,7 +517,12 @@ object CurationOps {
   def dedupCanonicalOn(docsDf: DataFrame,
       stats: Option[CorpusStats] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // localCheckpoint (r15): the (doc_id, rep) frame is consumed THREE
+    // times below (membership join, score join, per-rep sizes) — without
+    // the truncation each consumer re-executes the clustering's
+    // post-checkpoint label-expansion join. Bounded: two longs per doc.
     val clusters = DedupOps.dedupClustersOn(docsDf, stats = stats)
+      .localCheckpoint(eager = true)
     // score only cluster MEMBERS: the quality pass is the expensive leg
     // (regex + tokenization over text) and non-clustered docs — most of a
     // real corpus — never need a score here

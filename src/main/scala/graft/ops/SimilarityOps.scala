@@ -789,18 +789,28 @@ object SimilarityOps {
     require(centroids.nonEmpty,
       "annIvfRecallWithCells: empty coarse codebook — train with " +
         "kmeansCentroids")
+    val session = validDf.sparkSession
+    import session.implicits._
     val e = assignClusters(validDf, centroids)
       .withColumnRenamed("cluster", "cell")
       .withColumn("enorm", norm(col("embedding")))
-    val probes = broadcast(e.orderBy("vec_id").limit(pCount)
-      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
-        col("enorm").as("qnorm")))
-    val probedCells = broadcast(probes.select(col("q_id"),
-        posexplode(slice(
-          array_sort(array(cellDists(col("q_emb"), centroids): _*)),
-          1, maxProbe)).as(Seq("p", "s")))
-      .select(col("q_id"), col("s.c").as("cell"),
-        (col("p") + 1).cast("int").as("cent_rank")))
+    // bounded probe set collected ONCE; rings are [[probeRingLocal]]'s
+    // driver arithmetic (the cellDists twin) and both frames enter the
+    // plan as local relations — the previous probes → probedCells
+    // broadcast chain cost two sequential corpus-scan jobs (r15; qnorm =
+    // math.sqrt of the index-order self-dot, bit-identical to norm())
+    val probeRows: Seq[(Long, Seq[Double], Double)] = Tables.boundedCollect(
+      validDf.orderBy("vec_id").limit(pCount)
+        .select(col("vec_id"), col("embedding").cast("array<double>")),
+      pCount, "ivf recall probe set").toSeq.map { r =>
+      val q = r.getSeq[Double](1).toArray
+      (r.getLong(0), q.toSeq, math.sqrt(ddot(q, q)))
+    }
+    val probes = broadcast(probeRows.toDF("q_id", "q_emb", "qnorm"))
+    val probedCells = broadcast(probeRows.flatMap { case (qid, qs, _) =>
+      probeRingLocal(qs.toArray, centroids, maxProbe).zipWithIndex
+        .map { case (cell, p) => (qid, cell, p + 1) }
+    }.toDF("q_id", "cell", "cent_rank"))
     ivfRecallCurve(e, probes, probedCells, k, 1 to maxProbe)
   }
 
@@ -1413,6 +1423,27 @@ object SimilarityOps {
     * shuffles. Driver holds only the k×dim codebook between iterations
     * (same bounded footprint as the IVF probe list).
     */
+  /** Run `f` with adaptive query execution disabled on this session —
+    * scoped save/restore, the boundedCollect initialNumPartitions
+    * pattern. The Lloyd update contraction is bounded at ≤ k·dim cells by
+    * CONSTRUCTION (map-side partial aggregation, no skew possible, no
+    * partition sizing to adapt), so AQE has nothing to decide there and
+    * its stage-by-stage materialization only turns each iteration's one
+    * collect into two driver-blocking jobs — ×(iters) per training, ×2
+    * trainings per IVF-PQ face (guide §8: use what the optimizer cannot
+    * know). Identical results either way; the oracle re-confirms.
+    */
+  private def withAqeOff[T](spark: SparkSession)(f: => T): T = {
+    val key = "spark.sql.adaptive.enabled"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "false")
+    try f
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   def kmeansCentroids(embDf: DataFrame, k: Int = 8,
       iters: Int = 5): Array[Array[Double]] = {
     graft.functions.GraftFunctions.ensureRegistered(embDf.sparkSession)
@@ -1437,13 +1468,16 @@ object SimilarityOps {
       // this plain posexplode contraction. PQ's recorded explode win came
       // from its ×8-per-SUBSPACE fanout on top of the fused encode
       // kernel, a balance full-dim k-means does not share.
-      val upd = Tables.boundedCollect(assignClusters(embDf, centroids)
-        .select(col("cluster"), posexplode(col("embedding")).as(Seq("pos", "v")))
-        .groupBy("cluster", "pos")
-        .agg(round(
-          sum(col("v").cast("decimal(38,10)")).cast("double") / count(lit(1)),
-          6).as("cv")),
-        1 << 20, "k-means update cells (k × dim)")
+      val upd = withAqeOff(embDf.sparkSession) {
+        Tables.boundedCollect(assignClusters(embDf, centroids)
+          .select(col("cluster"),
+            posexplode(col("embedding")).as(Seq("pos", "v")))
+          .groupBy("cluster", "pos")
+          .agg(round(
+            sum(col("v").cast("decimal(38,10)")).cast("double") /
+              count(lit(1)), 6).as("cv")),
+          1 << 20, "k-means update cells (k × dim)")
+      }
       val next = centroids.map(_.clone()) // empty cluster keeps its centroid
       upd.foreach { r =>
         next(r.getInt(0))(r.getInt(1)) = r.getDouble(2)
@@ -1852,25 +1886,27 @@ object SimilarityOps {
       // columns), not ×Dim: an element-level posexplode pushed 8× the
       // rows through the hash aggregate for identical math (6M-vector
       // measurement: the update explode dominated the whole training)
-      val cells = Tables.boundedCollect(
-        valid.select(
-            call_function("graft_pq_encode", col("embedding"),
-              typedLit(full.map(_.toSeq).toSeq), lit(PqSubDim)).as("codes"),
-            col("embedding"))
-          .filter(col("codes").isNotNull)
-          .select(col("codes"), col("embedding"),
-            explode(typedLit((0 until PqSub).toList)).as("m"))
-          .select(col("m") +:
-            element_at(col("codes"), col("m") + 1).as("cw") +:
-            (1 to PqSubDim).map(i =>
-              element_at(col("embedding"),
-                col("m") * PqSubDim + i).as(s"v_$i")): _*)
-          .groupBy("m", "cw")
-          .agg(count(lit(1)).as("n"),
-            (1 to PqSubDim).map(i => round(
-              sum(col(s"v_$i").cast("decimal(38,10)")).cast("double") /
-                count(lit(1)), 6).as(s"cv_$i")): _*),
-        1 << 20, "pq training update cells (sub × codeword)")
+      val cells = withAqeOff(valid.sparkSession) {
+        Tables.boundedCollect(
+          valid.select(
+              call_function("graft_pq_encode", col("embedding"),
+                typedLit(full.map(_.toSeq).toSeq), lit(PqSubDim)).as("codes"),
+              col("embedding"))
+            .filter(col("codes").isNotNull)
+            .select(col("codes"), col("embedding"),
+              explode(typedLit((0 until PqSub).toList)).as("m"))
+            .select(col("m") +:
+              element_at(col("codes"), col("m") + 1).as("cw") +:
+              (1 to PqSubDim).map(i =>
+                element_at(col("embedding"),
+                  col("m") * PqSubDim + i).as(s"v_$i")): _*)
+            .groupBy("m", "cw")
+            .agg(count(lit(1)).as("n"),
+              (1 to PqSubDim).map(i => round(
+                sum(col(s"v_$i").cast("decimal(38,10)")).cast("double") /
+                  count(lit(1)), 6).as(s"cv_$i")): _*),
+          1 << 20, "pq training update cells (sub × codeword)")
+      }
       val next = full.map(_.clone()) // emptied codeword keeps its values
       cells.foreach { r =>
         val base = r.getAs[Int]("m") * PqSubDim
