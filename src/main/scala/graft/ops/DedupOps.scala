@@ -273,7 +273,13 @@ object DedupOps {
     * one-giant-row-per-group-pair.
     */
   private def jaccardPairsMask(d: DataFrame, vocab: Array[String]): DataFrame = {
-    val md = maskedDocs(d, vocab)
+    // localCheckpoint (r15): this one plan consumes md FIVE times (the
+    // group-edge contraction plus xs/ys on both the cross and same-mask
+    // branches) — without truncation each consumer re-runs tokenize +
+    // mask-encode (+ the q101 arm's contraction join upstream).
+    // dedupClustersOn already checkpoints its own mask frame for exactly
+    // this reason; the listing/decision path now matches it.
+    val md = maskedDocs(d, vocab).localCheckpoint(eager = true)
     val edges = maskGroupEdges(maskGroups(md))
     val xs = md.select(col("lang").as("x_lang"), col("mask").as("x_mask"),
       col("doc_id").as("x_id"))
